@@ -1,0 +1,56 @@
+"""Engine-wide constants and configuration.
+
+The robustness limits mirror the reference's hard-won defaults so the
+engine is safe against adversarial pages (zip bombs, HTML bombs):
+
+- detection reads at most ``MAGIC_PREFIX`` bytes
+  (reference: tika-core/.../mime/MimeTypes.java:465-469)
+- text-vs-binary sniff reads at most ``TEXT_SNIFF_PREFIX`` bytes
+  (reference: tika-core/.../detect/TextDetector.java:48)
+- statistical charset detection reads at most ``CHARSET_PREFIX`` bytes
+  (reference: tika-parsers/.../txt/CharsetDetector.java:97)
+- output chars <= max(OUTPUT_MIN_BYTES, OUTPUT_RATIO * input bytes)
+  (reference: tika-core/.../sax/SecureContentHandler.java:65-80)
+- plain-text write limit ``WRITE_LIMIT`` chars
+  (reference: tika-core/.../sax/WriteOutContentHandler.java:125)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MAGIC_PREFIX = 8192
+TEXT_SNIFF_PREFIX = 512
+CHARSET_PREFIX = 8000
+META_CHARSET_PREFIX = 8192  # HtmlParser.java:60 — meta-charset regex window
+
+OUTPUT_MIN_CHARS = 1_000_000
+OUTPUT_RATIO = 100            # output chars <= max(1MB, 100x input bytes)
+MAX_XML_DEPTH = 100
+MAX_EMBED_DEPTH = 10
+WRITE_LIMIT = 100_000         # parseToString default cap
+
+DEFAULT_CHARSET = "windows-1252"
+
+# Size-bucket boundaries (bytes) for skew-defusing repartitioning —
+# pages are bucketed by len(html) so a partition never mixes many giant
+# pages with tiny ones (SURVEY.md §4 O9).
+SIZE_BUCKET_BOUNDS = [4_096, 65_536, 1_048_576, 8_388_608]
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Processing options — the ParseContext analog.
+
+    (reference: tika-core/.../parser/ParseContext.java:23-42)
+    """
+
+    mode: str = "text"               # 'text' (-t) | 'text-main' (-T) | 'metadata'
+    write_limit: int = WRITE_LIMIT
+    output_min_chars: int = OUTPUT_MIN_CHARS
+    output_ratio: int = OUTPUT_RATIO
+    default_charset: str = DEFAULT_CHARSET
+    identify_language: bool = True
+    collect_links: bool = True
+    summary_chars: int = 500         # ParserPostProcessor.java:58 first-500 summary
+    size_bucket_bounds: tuple = field(default=tuple(SIZE_BUCKET_BOUNDS))

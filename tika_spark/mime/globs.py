@@ -1,0 +1,79 @@
+"""Filename/URL glob detection.
+
+Semantics re-derived from the reference (tika-core/.../mime/
+Patterns.java:77-198, detect/NameDetector.java:100-140): URL paths are
+stripped of query/fragment and directories and percent-decoded; lookup
+precedence is exact literal name, then longest ``*.ext`` suffix
+(case-sensitive, then lowercased). The regex-glob tier of the reference
+is not needed for the web slice (no ``Makefile``-style rules routed).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import unquote
+
+# literal-name tier (freedesktop precedence tier 1)
+NAME_MAP: dict[str, str] = {
+    "makefile": "text/x-makefile",
+}
+
+# suffix tier: extension (lowercase, no dot) -> media type
+EXT_MAP: dict[str, str] = {
+    "html": "text/html", "htm": "text/html", "xhtml": "application/xhtml+xml",
+    "xml": "application/xml", "xsl": "application/xml",
+    "pdf": "application/pdf",
+    "txt": "text/plain", "text": "text/plain", "log": "text/plain",
+    "csv": "text/csv", "tsv": "text/tab-separated-values",
+    "json": "application/json", "js": "application/javascript",
+    "css": "text/css",
+    "rss": "application/rss+xml", "atom": "application/atom+xml",
+    "rtf": "application/rtf",
+    "gz": "application/x-gzip", "tgz": "application/x-gzip",
+    "zip": "application/zip", "jar": "application/java-archive",
+    "tar": "application/x-tar", "bz2": "application/x-bzip2",
+    "png": "image/png", "gif": "image/gif",
+    "jpg": "image/jpeg", "jpeg": "image/jpeg", "bmp": "image/bmp",
+    "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
+    "doc": "application/msword", "xls": "application/vnd.ms-excel",
+    "ppt": "application/vnd.ms-powerpoint",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "odt": "application/vnd.oasis.opendocument.text",
+    "epub": "application/epub+zip",
+    "mp3": "audio/mpeg", "mp4": "video/mp4", "wav": "audio/x-wav",
+    "eml": "message/rfc822", "mbox": "application/mbox",
+    "class": "application/java-vm",
+}
+
+
+def resource_name_from_url(url: str | None) -> str | None:
+    """Strip query/fragment/dirs, percent-decode (NameDetector.java:100-140)."""
+    if not url:
+        return None
+    name = url
+    for sep in ("?", "#"):
+        i = name.find(sep)
+        if i >= 0:
+            name = name[:i]
+    name = name.rstrip("/")
+    i = max(name.rfind("/"), name.rfind("\\"))
+    if i >= 0:
+        name = name[i + 1:]
+    name = unquote(name).strip()
+    return name or None
+
+
+def match_name(url_or_name: str | None) -> str | None:
+    """Media type from the resource name, or None."""
+    name = resource_name_from_url(url_or_name)
+    if not name:
+        return None
+    hit = NAME_MAP.get(name) or NAME_MAP.get(name.lower())
+    if hit:
+        return hit
+    i = name.rfind(".")
+    if i < 0 or i == len(name) - 1:
+        return None
+    ext = name[i + 1:]
+    return EXT_MAP.get(ext) or EXT_MAP.get(ext.lower())

@@ -1,0 +1,108 @@
+"""Magic-byte detection rules.
+
+Semantics re-derived from the reference (tika-core/.../detect/
+MagicDetector.java:153-206, mime/Magic.java:67-79): each rule is a set
+of (offset-range, pattern, optional mask) clauses; a rule matches if
+any clause matches anywhere in its offset window of the document
+prefix; rules are evaluated in (priority desc, pattern length desc)
+order and the first match wins. Only the first MAGIC_PREFIX (8192)
+bytes are ever inspected (mime/MimeTypes.java:465-469).
+
+The rule table below is a from-scratch subset of tika-mimetypes.xml
+covering the web-crawl slice (html/xml/pdf/text/feeds/archives/images)
+plus common container signatures routed to status rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from tika_spark.config import MAGIC_PREFIX
+
+
+class Clause(NamedTuple):
+    lo: int            # window start (inclusive)
+    hi: int            # window end (inclusive) for the pattern START
+    pattern: bytes
+    mask: bytes | None = None
+    ci: bool = False   # case-insensitive ASCII match
+
+
+class MagicRule(NamedTuple):
+    mime: str
+    priority: int
+    clauses: tuple
+
+
+def _m(mime: str, priority: int, *clauses: Clause) -> MagicRule:
+    return MagicRule(mime, priority, tuple(clauses))
+
+
+# HTML tag probes, window 0:64, case-insensitive — mirrors the
+# reference's priority-40 html magic block (tika-mimetypes.xml:3732-3762).
+_HTML_TOKENS = (
+    b"<!DOCTYPE HTML", b"<HTML", b"<HEAD", b"<BODY", b"<TITLE",
+    b"<h1", b"<H1", b"<!doctype html",
+)
+
+MAGIC_RULES: list[MagicRule] = [
+    _m("application/pdf", 50, Clause(0, 0, b"%PDF-")),
+    _m("application/xml", 50,
+       Clause(0, 0, b"<?xml"),
+       Clause(0, 0, b"\xef\xbb\xbf<?xml"),          # UTF-8 BOM
+       Clause(0, 0, b"\xff\xfe<\x00?\x00x\x00m\x00l\x00"),  # UTF-16LE BOM
+       Clause(0, 0, b"\xfe\xff\x00<\x00?\x00x\x00m\x00l")), # UTF-16BE BOM
+    _m("application/x-gzip", 45, Clause(0, 0, b"\x1f\x8b")),
+    _m("application/zip", 45, Clause(0, 0, b"PK\x03\x04")),
+    _m("application/rtf", 50, Clause(0, 0, b"{\\rtf")),
+    _m("image/png", 50, Clause(0, 0, b"\x89PNG\r\n\x1a\n")),
+    _m("image/gif", 50, Clause(0, 0, b"GIF87a"), Clause(0, 0, b"GIF89a")),
+    _m("image/jpeg", 50, Clause(0, 0, b"\xff\xd8\xff")),
+    _m("image/bmp", 50, Clause(0, 0, b"BM", mask=None)),
+    _m("application/x-tika-msoffice", 45,
+       Clause(0, 0, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")),
+    _m("text/html", 40, *[Clause(0, 64, t, ci=True) for t in _HTML_TOKENS]),
+    # UTF BOMs with no other signature -> text/plain (MimeDetectionTest BOM cases)
+    _m("text/plain", 30,
+       Clause(0, 0, b"\xef\xbb\xbf"),
+       Clause(0, 0, b"\xff\xfe"),
+       Clause(0, 0, b"\xfe\xff")),
+]
+
+# Pre-sort once: priority desc, then longest first-clause pattern desc —
+# first match wins (Magic.java:67-79 ordering).
+MAGIC_RULES.sort(key=lambda r: (-r.priority, -max(len(c.pattern) for c in r.clauses)))
+
+
+def _clause_matches(prefix: bytes, c: Clause) -> bool:
+    pat = c.pattern
+    n = len(pat)
+    hay = prefix[c.lo: c.hi + n]
+    if c.ci:
+        hay = hay.upper()
+        pat = pat.upper()
+    if c.mask is None:
+        return pat in hay if c.hi > c.lo else hay.startswith(pat)
+    # masked compare at each window position
+    for off in range(0, max(1, len(hay) - n + 1)):
+        seg = hay[off: off + n]
+        if len(seg) < n:
+            break
+        if all((s & m) == (p & m) for s, m, p in zip(seg, c.mask, pat)):
+            return True
+    return False
+
+
+def match_magic(prefix: bytes) -> str | None:
+    """First matching rule's media type, or None.
+
+    ``prefix`` should already be capped at MAGIC_PREFIX bytes.
+    """
+    if not prefix:
+        return None
+    prefix = prefix[:MAGIC_PREFIX]
+    for rule in MAGIC_RULES:
+        for c in rule.clauses:
+            if _clause_matches(prefix, c):
+                return rule.mime
+    return None
