@@ -1,0 +1,243 @@
+"""HTML extraction chain tests.
+
+Pin the semantics of the reference's contracts:
+- XHTMLContentHandlerTest.java:48-99 — whitespace skeleton (TAB before
+  cells/items, NEWLINE after blocks, inline adds nothing);
+- HtmlParserTest.java:78-129 — title/metadata/link extraction, base
+  resolution, script/style discarded;
+- HtmlParserTest.java:392-406 — boilerplate stripping contract;
+- HtmlParser.java:57-64 — charset cascade order and cp1252 default;
+- SafeContentHandlerTest — invalid char replacement;
+- SecureContentHandler — output ratio guard.
+"""
+
+import pytest
+
+from tika_spark import charset as cs
+from tika_spark.config import ExtractConfig
+from tika_spark.html import extract_html
+from tika_spark.html.dom import build_dom, normalize_tree
+from tika_spark.html.layout import resolve_url, safe_chars, serialize_body
+
+
+def body_text(html: str) -> str:
+    _, body = normalize_tree(build_dom(html))
+    text, _, _ = serialize_body(body)
+    return text
+
+
+class TestLayoutContract:
+    """XHTMLContentHandler whitespace skeleton (the byte-parity surface)."""
+
+    def test_paragraph_newline(self):
+        assert body_text("<body><p>one</p><p>two</p></body>") == "one\ntwo\n"
+
+    def test_inline_adds_nothing(self):
+        assert body_text("<body><p>a<b>b</b><i>c</i>d</p></body>") == "abcd\n"
+
+    def test_table_tabs_and_newlines(self):
+        got = body_text("<body><table><tr><td>a</td><td>b</td></tr>"
+                        "<tr><td>c</td><td>d</td></tr></table></body>")
+        assert got == "\ta\tb\n\tc\td\n\n"
+
+    def test_list_items(self):
+        got = body_text("<body><ul><li>x</li><li>y</li></ul></body>")
+        assert got == "\tx\n\ty\n\n"
+
+    def test_heading_newlines(self):
+        assert body_text("<body><h1>H</h1>text</body>") == "H\ntext"
+
+    def test_br_and_div_newlines(self):
+        # div unmapped but in ENDLINE -> newline (TIKA-343)
+        assert body_text("<body><div>a<br>b</div></body>") == "a\nb\n"
+
+    def test_script_style_discarded_entirely(self):
+        got = body_text("<body><p>keep</p><script>drop()</script>"
+                        "<style>.x{}</style></body>")
+        assert "drop" not in got and ".x" not in got and "keep" in got
+
+    def test_unknown_element_text_kept(self):
+        assert body_text("<body><custom>kept</custom></body>") == "kept"
+
+    def test_whitespace_preserved(self):
+        assert body_text("<body><p>a  b</p></body>") == "a  b\n"
+
+    def test_dl_dt_dd(self):
+        got = body_text("<body><dl><dt>t</dt><dd>d</dd></dl></body>")
+        assert got == "\tt\n\td\n\n"
+
+
+class TestSafeChars:
+    def test_control_chars_replaced(self):
+        assert safe_chars("a\x00b\x07c") == "a�b�c"
+
+    def test_valid_whitespace_kept(self):
+        assert safe_chars("a\tb\nc\rd") == "a\tb\nc\rd"
+
+
+class TestResolveUrl:
+    BASE = "http://domain.com/nested/path/file.html"
+
+    def test_relative(self):
+        assert resolve_url(self.BASE, "other.html") == \
+            "http://domain.com/nested/path/other.html"
+
+    def test_absolute_path(self):
+        assert resolve_url(self.BASE, "/top.html") == "http://domain.com/top.html"
+
+    def test_query_on_file_base(self):
+        # HtmlHandler.java:288-296 special case
+        assert resolve_url("http://d.com/a/b.html?x=1", "?pid=2") == \
+            "http://d.com/a/b.html?pid=2"
+
+    def test_passthrough_schemes(self):
+        for u in ("mailto:x@y.z", "javascript:void(0)", "tel:123",
+                  "urn:isbn:1", "data:text/plain,hi", "about:blank"):
+            assert resolve_url(self.BASE, u) == u
+
+    def test_no_base(self):
+        assert resolve_url(None, "x.html") == "x.html"
+
+
+class TestCharsetCascade:
+    def test_meta_http_equiv_wins(self):
+        page = (b"<html><head><meta http-equiv='Content-Type' "
+                b"content='text/html; charset=ISO-8859-1'></head>"
+                b"<body>caf\xe9</body></html>")
+        r = extract_html(page)
+        assert r["charset"] == "iso-8859-1"
+        assert "caf\xe9" in r["text"]
+
+    def test_html5_meta_charset(self):
+        page = b"<html><head><meta charset='utf-8'></head><body>ok</body></html>"
+        assert extract_html(page)["charset"] == "utf-8"
+
+    def test_declared_content_type_param(self):
+        page = "<html><body>код</body></html>".encode("koi8-r")
+        r = extract_html(page, declared_type="text/html; charset=koi8-r")
+        assert r["charset"] == "koi8-r"
+        assert "код" in r["text"]
+
+    def test_default_cp1252_smart_quotes(self):
+        # no charset declared anywhere; 0x93/0x94 are cp1252 smart quotes
+        page = b"<html><body><p>\x93quoted\x94</p></body></html>"
+        r = extract_html(page)
+        assert "“quoted”" in r["text"]
+
+    def test_utf8_bom(self):
+        page = b"\xef\xbb\xbf<html><body>\xc3\xa9t\xc3\xa9</body></html>"
+        r = extract_html(page)
+        assert "été" in r["text"]
+
+
+class TestHeadMetadata:
+    PAGE = (b"<html><head><title>Title: Hello</title>"
+            b"<meta name='Author' content='J. Doe'>"
+            b"<meta name='ICBM' content='42.3601, -71.0589'>"
+            b"<base href='http://base.example/app/'>"
+            b"</head><body><p>b</p></body></html>")
+
+    def test_title(self):
+        assert extract_html(self.PAGE)["title"] == "Title: Hello"
+
+    def test_meta_and_icbm(self):
+        md = extract_html(self.PAGE)["metadata"]
+        assert md["Author"] == ["J. Doe"]
+        assert md["geo:lat"] == ["42.3601"]
+        assert md["geo:long"] == ["-71.0589"]
+
+    def test_base_sets_content_location_and_resolution(self):
+        page = self.PAGE.replace(
+            b"<p>b</p>", b"<p><a href='x.html'>x</a></p>")
+        r = extract_html(page, url="http://orig.example/page.html")
+        assert r["metadata"]["Content-Location"] == ["http://base.example/app/"]
+        assert r["links"][0][1] == "http://base.example/app/x.html"
+
+    def test_title_not_in_body_text(self):
+        assert "Hello" not in extract_html(self.PAGE)["text"]
+
+
+class TestLinks:
+    def test_anchor_and_img(self):
+        page = (b"<html><body><p><a href='http://t/x' title='tt'>click "
+                b"<img src='i.png' alt='pic'> me</a></p></body></html>")
+        links = extract_html(page)["links"]
+        kinds = [l[0] for l in links]
+        assert "a" in kinds and "img" in kinds
+        a = next(l for l in links if l[0] == "a")
+        assert a[1] == "http://t/x" and a[2] == "tt"
+        assert "click" in a[3] and "pic" in a[3] and "me" in a[3]
+
+
+class TestBoilerpipe:
+    BOILER = (
+        b"<html><head><title>B</title></head><body>"
+        b"<table><tr><td><a href='/'>Home</a> | <a href='/n'>News</a> | "
+        b"<a href='/s'>Sport</a> | <a href='/w'>Weather</a></td></tr></table>"
+        b"<div><img src='banner.png' alt=''></div>"
+        b"<p>This is the real meat of the page, a long paragraph of actual "
+        b"content with enough words to count as a proper content block for "
+        b"the classifier to keep, and it needs to keep going for a while "
+        b"longer so that the word count rises above the forty-word "
+        b"threshold that the published decision tree uses for blocks that "
+        b"directly follow link-dense navigation regions of the page.</p>"
+        b"<p>This is the end of the text.</p>"
+        b"<div><a href='/about'>About</a> <a href='/contact'>Contact</a> "
+        b"footer</div></body></html>")
+
+    def test_contract(self):
+        # HtmlParserTest.java:392-406 contract shape
+        r = extract_html(self.BOILER, config=ExtractConfig(mode="text-main"))
+        assert r["text"].startswith("This is the real meat")
+        assert r["text"].endswith("This is the end of the text.\n")
+        assert "Home" not in r["text"]
+        assert "footer" not in r["text"]
+
+    def test_spans_cover_content(self):
+        r = extract_html(self.BOILER, config=ExtractConfig(mode="text-main"))
+        assert len(r["spans"]) == 2
+        s0, e0, k = r["spans"][0]
+        assert r["text"][s0:e0].startswith("This is the real meat")
+        assert k == "content"
+
+    def test_full_mode_keeps_everything(self):
+        r = extract_html(self.BOILER, config=ExtractConfig(mode="text"))
+        assert "Home" in r["text"] and "footer" in r["text"]
+
+
+class TestGuards:
+    def test_output_ratio_guard(self):
+        # tiny input expanding hugely cannot happen in html (no decompress),
+        # so exercise via write_limit instead
+        page = b"<html><body><p>" + b"word " * 50_000 + b"</p></body></html>"
+        r = extract_html(page, config=ExtractConfig(write_limit=1000))
+        assert r["status"] == "write_limit"
+        assert len(r["text"]) == 1000
+
+    def test_never_raises_on_garbage(self):
+        for junk in (b"", b"\x00\xff" * 400, b"<<<<>>>>", b"<a" * 1000,
+                     b"<html><body>" + b"<div>" * 500):
+            r = extract_html(junk)
+            assert isinstance(r["text"], str)
+
+
+class TestDomRecovery:
+    def test_unclosed_tags(self):
+        assert "one" in body_text("<body><p>one<p>two</body>")
+        assert body_text("<body><p>one<p>two</body>") == "one\ntwo\n"
+
+    def test_implied_li_close(self):
+        got = body_text("<body><ul><li>a<li>b</ul></body>")
+        assert got == "\ta\n\tb\n\n"
+
+    def test_stray_end_tag_ignored(self):
+        assert body_text("<body></div><p>x</p></body>") == "x\n"
+
+    def test_depth_bomb_flattened(self):
+        page = "<body>" + "<blockquote>" * 500 + "deep" + "</blockquote>" * 500
+        assert "deep" in body_text(page)
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q"]))

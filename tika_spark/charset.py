@@ -1,0 +1,257 @@
+"""Charset detection and decoding.
+
+Reimplements (from scratch) the reference's charset cascade for HTML
+(tika-parsers/.../html/HtmlParser.java:81-165) and the spirit of its
+statistical detector (tika-parsers/.../txt/CharsetDetector.java):
+
+HTML cascade order:
+1. ``<meta http-equiv=Content-Type content="...charset=X">`` regex over
+   the first 8192 bytes read as ASCII (TIKA-332/357), plus the HTML5
+   ``<meta charset=X>`` form (an extension over the 1.x reference);
+2. charset parameter of the declared Content-Type hint (TIKA-341);
+3. statistical detection with the declared encoding as a confidence
+   bonus (``conf += (100 - conf) / 2`` — CharsetDetector.java:207-210);
+4. default **windows-1252**.
+
+The statistical recognizers here are deterministic, numpy-friendly
+reimplementations of the ICU approach: BOM checks, UTF-8 validity
+scan, UTF-16 null-byte patterning, ISO-2022 escapes, plus single-byte
+heuristics (cp866, koi8-r, cp500/EBCDIC) driven by byte-class hit
+rates. ``charset_normalizer`` (if importable) is consulted as a
+last-tier fallback only.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+import numpy as np
+
+from tika_spark.config import CHARSET_PREFIX, DEFAULT_CHARSET, META_CHARSET_PREFIX
+
+# --- charset-name hygiene (CharsetUtils.clean analog) ---------------------
+
+_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8", "utf_8": "utf-8",
+    "latin1": "iso-8859-1", "latin-1": "iso-8859-1",
+    "iso8859-1": "iso-8859-1", "iso-8859-1": "iso-8859-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "x-sjis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "gb2312": "gb18030", "gbk": "gb18030",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    "ibm866": "cp866", "cp866": "cp866",
+    "ibm500": "cp500", "cp500": "cp500", "ebcdic-cp-us": "cp500",
+    "koi8-r": "koi8-r", "koi8r": "koi8-r",
+}
+
+
+def clean_charset(name: str | None) -> str | None:
+    """Normalize a charset token; None if unsupported by Python codecs."""
+    if not name:
+        return None
+    token = name.strip().strip("\"'").strip().lower().rstrip(";,")
+    token = _ALIASES.get(token, token)
+    try:
+        codecs.lookup(token)
+    except (LookupError, TypeError):
+        return None
+    return token
+
+
+# --- meta-tag charset sniff (HtmlParser.getEncoding stage 1) ---------------
+
+_HTTP_EQUIV_RE = re.compile(
+    r"(?is)<meta\s+http-equiv\s*=\s*['\"]?\s*content-type['\"]?\s+"
+    r"content\s*=\s*['\"]([^'\"]+)['\"]")
+_HTML5_META_RE = re.compile(r"(?is)<meta\s+charset\s*=\s*['\"]?\s*([-\w.:]+)")
+
+
+def meta_charset(data: bytes) -> str | None:
+    """Charset from a meta tag in the first 8192 bytes, else None."""
+    head = data[:META_CHARSET_PREFIX].decode("latin-1", errors="replace")
+    m = _HTTP_EQUIV_RE.search(head)
+    if m:
+        # one or more `x` / `x=y` attrs separated by ';' (TIKA-349)
+        for attr in m.group(1).split(";"):
+            k, _, v = attr.strip().partition("=")
+            if k.strip().lower() == "charset" and v:
+                cs = clean_charset(v)
+                if cs:
+                    return cs
+    m = _HTML5_META_RE.search(head)
+    if m:
+        return clean_charset(m.group(1))
+    return None
+
+
+def charset_from_content_type(declared_type: str | None) -> str | None:
+    if not declared_type:
+        return None
+    for part in declared_type.split(";")[1:]:
+        k, _, v = part.strip().partition("=")
+        if k.strip().lower() == "charset":
+            return clean_charset(v)
+    return None
+
+
+# --- statistical recognizers -----------------------------------------------
+
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def bom_charset(data: bytes) -> str | None:
+    for bom, cs in _BOMS:
+        if data.startswith(bom):
+            return cs
+    return None
+
+
+def _score_utf8(buf: np.ndarray) -> int:
+    """Confidence 0-100 that buf is valid UTF-8 with multibyte content."""
+    try:
+        raw = buf.tobytes()
+        raw.decode("utf-8")
+    except UnicodeDecodeError as e:
+        # allow a truncated final sequence only
+        if e.start < len(buf) - 4:
+            return 0
+        try:
+            raw[:e.start].decode("utf-8")
+        except UnicodeDecodeError:
+            return 0
+    n_multi = int((buf >= 0xC0).sum())
+    if n_multi == 0:
+        return 15 if (buf < 0x80).all() else 0   # pure ASCII: weak signal
+    return min(100, 60 + n_multi)
+
+
+def _score_utf16(buf: np.ndarray, little: bool) -> int:
+    if len(buf) < 8:
+        return 0
+    hi = buf[1::2] if little else buf[0::2]
+    zero_rate = float((hi == 0).mean())
+    return int(90 * zero_rate) if zero_rate > 0.5 else 0
+
+
+def _score_range(buf: np.ndarray, lo_hi_pairs, name: str) -> int:
+    """Hit-rate of high bytes within the charset's letter ranges."""
+    high = buf[buf >= 0x80]
+    if len(high) < 8:
+        return 0
+    mask = np.zeros(len(high), dtype=bool)
+    for lo, hi in lo_hi_pairs:
+        mask |= (high >= lo) & (high <= hi)
+    rate = float(mask.mean())
+    return int(75 * rate) if rate > 0.85 else 0
+
+
+_ESC = 0x1B
+
+
+def _score_iso2022(raw: bytes) -> tuple[str, int] | None:
+    for seq, cs in ((b"\x1b$B", "iso2022_jp"), (b"\x1b$)C", "iso2022_kr"),
+                    (b"\x1b$)A", "iso2022_jp")):
+        if seq in raw:
+            return cs, 100
+    return None
+
+
+def _score_cp500(buf: np.ndarray) -> int:
+    """EBCDIC: letters live in 0x81-0xA9/0xC1-0xE9, space = 0x40."""
+    if len(buf) < 32:
+        return 0
+    n = len(buf)
+    space_rate = float((buf == 0x40).mean())
+    letters = (((buf >= 0x81) & (buf <= 0xA9)) | ((buf >= 0xC1) & (buf <= 0xE9)))
+    letter_rate = float(letters.mean())
+    ascii_ctrl = float(((buf >= 0x20) & (buf < 0x7F)).mean())
+    if space_rate > 0.05 and letter_rate > 0.4 and ascii_ctrl < 0.1:
+        return 85
+    return 0
+
+
+def detect_statistical(data: bytes, declared: str | None = None) -> str:
+    """Best-effort statistical charset detection over <=8000 bytes."""
+    raw = data[:CHARSET_PREFIX]
+    if not raw:
+        return declared or DEFAULT_CHARSET
+    cs = bom_charset(raw)
+    if cs:
+        return cs
+    iso = _score_iso2022(raw)
+    if iso:
+        return iso[0]
+
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    scores: dict[str, int] = {}
+    scores["utf-8"] = _score_utf8(buf)
+    scores["utf-16-le"] = _score_utf16(buf, little=True)
+    scores["utf-16-be"] = _score_utf16(buf, little=False)
+    scores["cp500"] = _score_cp500(buf)
+    # single-byte Cyrillic heuristics
+    scores["cp866"] = _score_range(buf, [(0x80, 0xAF), (0xE0, 0xF1)], "cp866")
+    scores["koi8-r"] = _score_range(buf, [(0xC0, 0xFF)], "koi8-r")
+
+    declared = clean_charset(declared)
+    if declared:
+        # declared-hint bonus (CharsetDetector.java:207-210)
+        base = scores.get(declared, 0)
+        if base == 0:
+            try:
+                raw.decode(declared)
+                base = 40
+            except (UnicodeDecodeError, LookupError):
+                base = 0
+        scores[declared] = base + (100 - base) // 2
+
+    best, conf = max(scores.items(), key=lambda kv: kv[1])
+    if conf >= 50:
+        return best
+    if conf > 0 and best == "utf-8":
+        return best
+    try:  # last tier: charset_normalizer, if baked in
+        from charset_normalizer import from_bytes
+        m = from_bytes(raw).best()
+        if m is not None and m.encoding:
+            cleaned = clean_charset(m.encoding)
+            if cleaned:
+                return cleaned
+    except ImportError:
+        pass
+    return DEFAULT_CHARSET
+
+
+def html_charset(data: bytes, declared_type: str | None = None,
+                 default: str = DEFAULT_CHARSET) -> str:
+    """The full HTML charset cascade (HtmlParser.java:81-165 order)."""
+    cs = meta_charset(data)
+    if cs:
+        return cs
+    declared = charset_from_content_type(declared_type)
+    got = detect_statistical(data, declared=declared)
+    return got or default
+
+
+def decode(data: bytes, charset: str) -> str:
+    """Decode with replacement, stripping a leading BOM if present."""
+    bom = bom_charset(data)
+    if bom:
+        for b, cs in _BOMS:
+            if data.startswith(b) and cs == bom:
+                data = data[len(b):]
+                charset = bom if bom != "utf-8" else charset
+                break
+        if bom.startswith("utf-") and not charset.startswith("utf"):
+            charset = bom
+    try:
+        return data.decode(charset, errors="replace")
+    except LookupError:
+        return data.decode(DEFAULT_CHARSET, errors="replace")
