@@ -1,0 +1,188 @@
+"""TXT / XML / feed / PDF parser tests + language identification.
+
+Models the reference's parser test contracts: TXTParser BOM/charset
+behavior, DcXMLParser metadata mapping, FeedParser emission shape,
+PDFParserTest word-boundary and reading-order pins,
+LanguageIdentifierTest round-trips.
+"""
+
+import pytest
+
+from tika_spark.fixtures.pdfgen import make_pdf
+from tika_spark.language import CERTAINTY_LIMIT, default_model, profile_text
+from tika_spark.language.corpus import PROFILE_LANGUAGES, SEED_TEXT
+from tika_spark.pdf import extract_pdf
+from tika_spark.textparse import extract_text
+from tika_spark.xmlparse import extract_feed, extract_xml
+
+
+class TestTxt:
+    def test_utf8(self):
+        r = extract_text("héllo wörld".encode("utf-8"))
+        assert r["text"] == "héllo wörld\n"
+        assert r["charset"] == "utf-8"
+
+    def test_bom_dropped(self):
+        r = extract_text(b"\xef\xbb\xbfhello")
+        assert r["text"] == "hello\n"
+
+    def test_utf16le(self):
+        r = extract_text("привет мир".encode("utf-16-le"), None, None)
+        # no BOM: statistical utf-16 null-pattern recognizer
+        assert "привет" in r["text"]
+
+    def test_utf16_bom(self):
+        r = extract_text("hello world".encode("utf-16"))  # BOM'd
+        assert r["text"] == "hello world\n"
+
+    def test_cp866_russian(self):
+        data = "русский текст в старой кодировке для проверки".encode("cp866")
+        r = extract_text(data)
+        assert r["charset"] == "cp866"
+        assert "русский" in r["text"]
+
+    def test_cp500_ebcdic(self):
+        data = "the quick brown fox jumps over the lazy dog".encode("cp500")
+        r = extract_text(data)
+        assert r["charset"] == "cp500"
+        assert "quick brown fox" in r["text"]
+
+    def test_declared_hint(self):
+        data = "café".encode("iso-8859-1")
+        r = extract_text(data, declared_type="text/plain; charset=iso-8859-1")
+        assert "café" in r["text"]
+
+
+class TestXml:
+    def test_text_content(self):
+        r = extract_xml(b"<?xml version='1.0'?><root><a>one</a><b>two</b></root>")
+        assert "one" in r["text"] and "two" in r["text"]
+
+    def test_dublin_core(self):
+        data = (b"<?xml version='1.0'?>"
+                b"<metadata xmlns:dc='http://purl.org/dc/elements/1.1/'>"
+                b"<dc:title>Tulips</dc:title>"
+                b"<dc:creator>Jane</dc:creator>"
+                b"<dc:subject>flowers</dc:subject></metadata>")
+        r = extract_xml(data)
+        assert r["title"] == "Tulips"
+        assert r["metadata"]["dc:creator"] == ["Jane"]
+
+    def test_malformed_is_error_row(self):
+        r = extract_xml(b"<?xml version='1.0'?><unclosed>")
+        assert r["status"] == "error"
+
+    def test_entity_bomb_refused(self):
+        bomb = (b"<?xml version='1.0'?><!DOCTYPE x [<!ENTITY a 'aaaa'>]>"
+                b"<x>&a;</x>")
+        assert extract_xml(bomb)["status"] == "error"
+
+
+class TestFeed:
+    RSS = (b"<?xml version='1.0'?><rss version='2.0'><channel>"
+           b"<title>TestChannel</title><description>Sample RSS File</description>"
+           b"<item><title>First</title><link>http://x/1</link>"
+           b"<description>one desc</description></item>"
+           b"<item><title>Second</title><link>http://x/2</link></item>"
+           b"</channel></rss>")
+
+    def test_rss_metadata(self):
+        r = extract_feed(self.RSS)
+        assert r["title"] == "TestChannel"
+        assert r["metadata"]["description"] == ["Sample RSS File"]
+
+    def test_rss_shape_and_links(self):
+        r = extract_feed(self.RSS)
+        assert r["text"].startswith("TestChannel\nSample RSS File\n")
+        assert "\tFirst\none desc\n" in r["text"]
+        assert [l[1] for l in r["links"]] == ["http://x/1", "http://x/2"]
+
+    def test_atom(self):
+        atom = (b"<?xml version='1.0'?>"
+                b"<feed xmlns='http://www.w3.org/2005/Atom'>"
+                b"<title>AtomFeed</title><subtitle>sub</subtitle>"
+                b"<entry><title>E1</title><link href='http://a/1'/>"
+                b"<summary>s1</summary></entry></feed>")
+        r = extract_feed(atom)
+        assert r["title"] == "AtomFeed"
+        assert r["links"][0][1] == "http://a/1"
+
+
+class TestPdf:
+    def test_metadata_and_text(self):
+        pdf = make_pdf([["Hello PDF line one", "line two"]],
+                       title="T1", author="A1")
+        r = extract_pdf(pdf)
+        assert r["title"] == "T1"
+        assert r["metadata"]["Author"] == ["A1"]
+        assert r["text"] == "Hello PDF line one\nline two\n\n"
+
+    def test_multi_page_spans(self):
+        pdf = make_pdf([["p1"], ["p2"], ["p3"]])
+        r = extract_pdf(pdf)
+        assert r["metadata"]["xmpTPg:NPages"] == ["3"]
+        assert len(r["spans"]) == 3
+        assert r["text"] == "p1\n\np2\n\np3\n\n"
+
+    def test_word_boundary_no_concatenation(self):
+        # PDFParserTest.java:67-70 pin
+        t = extract_pdf(make_pdf([["Toolkit", "Apache tools"]]))["text"]
+        assert "ToolkitApache" not in t
+
+    def test_two_column_reading_order(self):
+        # PDFParserTest.java:147 pin: box order, not interleaved
+        pdf = make_pdf([["Left column line 1", "Left column line 2",
+                         "Right column line 1", "Right column line 2"]],
+                       two_columns=True)
+        t = extract_pdf(pdf)["text"]
+        assert ("Left column line 1\nLeft column line 2\n"
+                "Right column line 1\nRight column line 2") in t
+
+    def test_uncompressed_stream(self):
+        pdf = make_pdf([["plain stream"]], compress=False)
+        assert "plain stream" in extract_pdf(pdf)["text"]
+
+    def test_garbage_never_raises(self):
+        for junk in (b"", b"%PDF-1.4", b"%PDF-1.4 junk", b"\x00" * 100):
+            r = extract_pdf(junk)
+            assert isinstance(r["text"], str)
+
+
+class TestLanguage:
+    def test_profiling_writer_contract(self):
+        # ProfilingWriter.java semantics: "ab cd" ->
+        # _ab ab_ _cd cd_ (incl. trailing close() separator)
+        c = profile_text("ab cd")
+        assert dict(c) == {"_ab": 1, "ab_": 1, "_cd": 1, "cd_": 1}
+
+    def test_separator_runs_collapse(self):
+        assert profile_text("a  b") == profile_text("a b")
+
+    def test_all_languages_self_identify_certain(self):
+        m = default_model()
+        for lang in PROFILE_LANGUAGES:
+            got, dist = m.identify(SEED_TEXT[lang])
+            assert got == lang, f"{lang} -> {got}"
+            assert dist < CERTAINTY_LIMIT
+
+    def test_heldout_sentences(self):
+        m = default_model()
+        cases = {
+            "en": "The students wrote letters in the library before the rain.",
+            "de": "Die Studenten schrieben Briefe in der Bibliothek am Abend.",
+            "fr": "Les étudiants écrivaient des lettres à la bibliothèque.",
+            "es": "Los estudiantes escribían cartas en la biblioteca.",
+            "ru": "Студенты писали письма в библиотеке вечером.",
+        }
+        for lang, text in cases.items():
+            got, _ = m.identify(text)
+            assert got == lang, f"{lang} -> {got}"
+
+    def test_empty_is_unknown(self):
+        got, dist = default_model().identify("")
+        assert dist >= CERTAINTY_LIMIT
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q"]))

@@ -114,8 +114,17 @@ def bom_charset(data: bytes) -> str | None:
     return None
 
 
+# control bytes that essentially never occur in real text (any charset)
+_CTRL_MASK = np.zeros(256, dtype=bool)
+for _b in list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1B)) \
+        + list(range(0x1C, 0x20)):
+    _CTRL_MASK[_b] = True
+
+
 def _score_utf8(buf: np.ndarray) -> int:
     """Confidence 0-100 that buf is valid UTF-8 with multibyte content."""
+    if _CTRL_MASK[buf].any():
+        return 0  # text in a sane charset has no raw control bytes
     try:
         raw = buf.tobytes()
         raw.decode("utf-8")
@@ -134,26 +143,36 @@ def _score_utf8(buf: np.ndarray) -> int:
 
 
 def _score_utf16(buf: np.ndarray, little: bool) -> int:
-    if len(buf) < 8:
+    """UTF-16 of one-script text: high bytes concentrate on <=2 values
+    (0x00 for latin, the Unicode block byte otherwise)."""
+    if len(buf) < 16 or len(buf) % 2:
         return 0
     hi = buf[1::2] if little else buf[0::2]
-    zero_rate = float((hi == 0).mean())
-    return int(90 * zero_rate) if zero_rate > 0.5 else 0
+    lo = buf[0::2] if little else buf[1::2]
+    vals, counts = np.unique(hi, return_counts=True)
+    top2 = float(np.sort(counts)[-2:].sum()) / len(hi)
+    lo_distinct = len(np.unique(lo))
+    if top2 > 0.9 and lo_distinct > 4:
+        return 80
+    return 0
 
 
-def _score_range(buf: np.ndarray, lo_hi_pairs, name: str) -> int:
-    """Hit-rate of high bytes within the charset's letter ranges."""
+def _score_sbcs_cyrillic(buf: np.ndarray, ranges) -> int:
+    """Single-byte Cyrillic codepages: letters in the given byte ranges,
+    words split by ASCII space 0x20."""
+    if _CTRL_MASK[buf].any():
+        return 0
     high = buf[buf >= 0x80]
     if len(high) < 8:
         return 0
     mask = np.zeros(len(high), dtype=bool)
-    for lo, hi in lo_hi_pairs:
+    for lo, hi in ranges:
         mask |= (high >= lo) & (high <= hi)
     rate = float(mask.mean())
-    return int(75 * rate) if rate > 0.85 else 0
-
-
-_ESC = 0x1B
+    has_ascii_space = float((buf == 0x20).mean()) > 0.02
+    if rate > 0.85 and has_ascii_space:
+        return 75
+    return 0
 
 
 def _score_iso2022(raw: bytes) -> tuple[str, int] | None:
@@ -165,15 +184,15 @@ def _score_iso2022(raw: bytes) -> tuple[str, int] | None:
 
 
 def _score_cp500(buf: np.ndarray) -> int:
-    """EBCDIC: letters live in 0x81-0xA9/0xC1-0xE9, space = 0x40."""
+    """EBCDIC: letters in 0x81-0xA9/0xC1-0xE9, space = 0x40, and almost
+    nothing in the ASCII-control/space region."""
     if len(buf) < 32:
         return 0
-    n = len(buf)
     space_rate = float((buf == 0x40).mean())
     letters = (((buf >= 0x81) & (buf <= 0xA9)) | ((buf >= 0xC1) & (buf <= 0xE9)))
     letter_rate = float(letters.mean())
-    ascii_ctrl = float(((buf >= 0x20) & (buf < 0x7F)).mean())
-    if space_rate > 0.05 and letter_rate > 0.4 and ascii_ctrl < 0.1:
+    low_ascii = float((buf < 0x40).mean())
+    if space_rate > 0.05 and letter_rate > 0.4 and low_ascii < 0.1:
         return 85
     return 0
 
@@ -197,8 +216,8 @@ def detect_statistical(data: bytes, declared: str | None = None) -> str:
     scores["utf-16-be"] = _score_utf16(buf, little=False)
     scores["cp500"] = _score_cp500(buf)
     # single-byte Cyrillic heuristics
-    scores["cp866"] = _score_range(buf, [(0x80, 0xAF), (0xE0, 0xF1)], "cp866")
-    scores["koi8-r"] = _score_range(buf, [(0xC0, 0xFF)], "koi8-r")
+    scores["cp866"] = _score_sbcs_cyrillic(buf, [(0x80, 0xAF), (0xE0, 0xF1)])
+    scores["koi8-r"] = _score_sbcs_cyrillic(buf, [(0xC0, 0xFF)])
 
     declared = clean_charset(declared)
     if declared:

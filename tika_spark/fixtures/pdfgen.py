@@ -1,0 +1,107 @@
+"""Deterministic minimal PDF writer for golden fixtures.
+
+Produces well-formed PDF 1.4 files with a classic xref table, an Info
+dictionary, one or more pages, and (optionally Flate-compressed)
+content streams using Td/Tj text placement — the exact subset the
+from-scratch extractor (tika_spark.pdf.parser) interprets, modeled on
+the reference's fixture corpus (testPDF.pdf, testPDFTwoTextBoxes.pdf).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_pdf(pages: list[list[str]], *, title: str | None = None,
+             author: str | None = None, subject: str | None = None,
+             creator: str | None = None, compress: bool = True,
+             two_columns: bool = False) -> bytes:
+    """Build a PDF. ``pages`` is a list of pages, each a list of lines.
+
+    With ``two_columns`` each page's lines are split into a left and a
+    right text box emitted as two separate BT/ET blocks (content-stream
+    order = left box fully, then right box — the reading-order pin).
+    """
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)  # 1-based object number
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    content_nums = []
+    for lines in pages:
+        ops = ["BT", "/F1 12 Tf"]
+        if two_columns:
+            half = (len(lines) + 1) // 2
+            boxes = [(72, lines[:half]), (306, lines[half:])]
+            for x0, box_lines in boxes:
+                ops.append(f"1 0 0 1 {x0} 720 Tm")
+                for i, line in enumerate(box_lines):
+                    if i:
+                        ops.append("0 -14 Td")
+                    ops.append(f"({_esc(line)}) Tj")
+        else:
+            ops.append("1 0 0 1 72 720 Tm")
+            for i, line in enumerate(lines):
+                if i:
+                    ops.append("0 -14 Td")
+                ops.append(f"({_esc(line)}) Tj")
+        ops.append("ET")
+        raw = "\n".join(ops).encode("latin-1")
+        if compress:
+            flate = zlib.compress(raw)
+            body = (b"<< /Length " + str(len(flate)).encode()
+                    + b" /Filter /FlateDecode >>\nstream\n" + flate
+                    + b"\nendstream")
+        else:
+            body = (b"<< /Length " + str(len(raw)).encode()
+                    + b" >>\nstream\n" + raw + b"\nendstream")
+        content_nums.append(add(body))
+
+    page_nums = []
+    pages_num_placeholder = len(objects) + len(pages) + 1
+    for cn in content_nums:
+        page_nums.append(add(
+            (f"<< /Type /Page /Parent {pages_num_placeholder} 0 R "
+             f"/MediaBox [0 0 612 792] /Contents {cn} 0 R "
+             f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+             ).encode()))
+
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    pages_num = add((f"<< /Type /Pages /Kids [{kids}] "
+                     f"/Count {len(page_nums)} >>").encode())
+    assert pages_num == pages_num_placeholder
+    catalog_num = add((f"<< /Type /Catalog /Pages {pages_num} 0 R >>").encode())
+
+    info_entries = []
+    for key, val in (("Title", title), ("Author", author),
+                     ("Subject", subject), ("Creator", creator)):
+        if val is not None:
+            info_entries.append(f"/{key} ({_esc(val)})")
+    info_num = add(("<< " + " ".join(info_entries) + " >>").encode()) \
+        if info_entries else None
+
+    # assemble with xref
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    n = len(objects) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    trailer = f"trailer\n<< /Size {n} /Root {catalog_num} 0 R"
+    if info_num:
+        trailer += f" /Info {info_num} 0 R"
+    trailer += f" >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    out += trailer.encode()
+    return bytes(out)

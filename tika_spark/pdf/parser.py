@@ -1,0 +1,510 @@
+"""Minimal from-scratch PDF text + metadata extractor.
+
+Semantics mirrored from the reference's PDF chain:
+
+- reading order is **content-stream order**, never geometric sort
+  (tika-parsers/.../pdf/PDF2XHTML.java:84-98 ``setSortByPosition(false)``;
+  pinned by PDFParserTest.java:147 — two text boxes come out box by
+  box, not interleaved);
+- a word separator (single space) is inserted at chunk joins so
+  headings and paragraphs never concatenate
+  (PDFParserTest.java:67-70 — no "ToolkitApache");
+- line separator is ``\\n``; each page is a ``<div class="page">`` with
+  one paragraph through the XHTML layout contract -> page text +
+  ``\\n`` (p) + ``\\n`` (div)  (PDF2XHTML.java:119-179);
+- doc-info dictionary entries Title/Author/Subject/Keywords/Creator/
+  Producer/Trapped/CreationDate/ModDate plus custom entries map to
+  metadata (PDFParser.java:102-138);
+- encrypted or unparseable documents degrade to a metadata-only /
+  error row, never an exception (PDFParser.java:76-99 ignores decrypt
+  failures).
+
+Supported filters: FlateDecode, ASCIIHexDecode, none. Fonts are
+assumed to carry a latin-1-compatible single-byte encoding — adequate
+for the synthetic golden corpus; real-crawl coverage would add
+/ToUnicode CMap handling (documented gap).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from tika_spark.config import ExtractConfig
+from tika_spark.html.layout import safe_chars
+
+_DEFAULT = ExtractConfig()
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer\b")
+
+# ---------------------------------------------------------------- lexer --
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                nl = d.find(b"\n", self.pos)
+                self.pos = n if nl < 0 else nl + 1
+            else:
+                return
+
+    def parse_object(self):
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            return None
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return self._parse_dict()
+        if c == 0x3C:  # '<' hex string
+            return self._parse_hex_string()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        return self._parse_number_or_keyword()
+
+    def _parse_dict(self):
+        self.pos += 2
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            if self.pos >= len(self.data):
+                return out
+            key = self.parse_object()
+            if not isinstance(key, Name):
+                return out
+            out[str(key)] = self.parse_object()
+
+    def _parse_array(self):
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos >= len(self.data):
+                return out
+            if self.data[self.pos] == 0x5D:  # ']'
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_name(self):
+        self.pos += 1
+        start = self.pos
+        d = self.data
+        while self.pos < len(d) and d[self.pos] not in _WS and \
+                d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        # #xx hex escapes in names
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                     lambda m: bytes([int(m.group(1), 16)]), raw)
+        return Name(raw.decode("latin-1"))
+
+    def _parse_literal_string(self):
+        self.pos += 1
+        d = self.data
+        out = bytearray()
+        depth = 1
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= len(d):
+                    break
+                e = d[self.pos]
+                if e in b"nrtbf":
+                    out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                            0x62: b"\b", 0x66: b"\f"}[e]
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = d[self.pos:self.pos + 3]
+                    m = re.match(rb"[0-7]{1,3}", oct_digits)
+                    out.append(int(m.group(0), 8) & 0xFF)
+                    self.pos += len(m.group(0))
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return PdfString(bytes(out))
+                out.append(c)
+                self.pos += 1
+            else:
+                out.append(c)
+                self.pos += 1
+        return PdfString(bytes(out))
+
+    def _parse_hex_string(self):
+        end = self.data.find(b">", self.pos)
+        raw = self.data[self.pos + 1: end if end >= 0 else len(self.data)]
+        self.pos = (end + 1) if end >= 0 else len(self.data)
+        hexs = re.sub(rb"[^0-9A-Fa-f]", b"", raw)
+        if len(hexs) % 2:
+            hexs += b"0"
+        return PdfString(bytes.fromhex(hexs.decode("ascii")))
+
+    _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+    def _parse_number_or_keyword(self):
+        d = self.data
+        m = self._NUM_RE.match(d, self.pos)
+        if m:
+            # could be "N G R" indirect reference
+            save = self.pos
+            self.pos = m.end()
+            tok = m.group(0)
+            if b"." not in tok:
+                self._skip_ws()
+                m2 = self._NUM_RE.match(d, self.pos)
+                if m2 and b"." not in m2.group(0):
+                    p2 = m2.end()
+                    k = p2
+                    while k < len(d) and d[k] in _WS:
+                        k += 1
+                    if k < len(d) and d[k:k + 1] == b"R" and (
+                            k + 1 >= len(d) or d[k + 1] in _WS
+                            or d[k + 1] in _DELIM):
+                        self.pos = k + 1
+                        return Ref(int(tok), int(m2.group(0)))
+                self.pos = m.end()
+                return int(tok)
+            return float(tok)
+        # keyword (true/false/null/operator)
+        start = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS and \
+                d[self.pos] not in _DELIM:
+            self.pos += 1
+        kw = d[start:self.pos]
+        if not kw:
+            self.pos += 1
+            return None
+        return Keyword(kw.decode("latin-1"))
+
+
+class Name(str):
+    pass
+
+
+class Keyword(str):
+    pass
+
+
+class PdfString(bytes):
+    def text(self) -> str:
+        if self.startswith(b"\xfe\xff"):
+            return self[2:].decode("utf-16-be", errors="replace")
+        return self.decode("latin-1")
+
+
+class Ref(tuple):
+    def __new__(cls, num, gen):
+        return super().__new__(cls, (num, gen))
+
+
+# ------------------------------------------------------------- document --
+
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
+        self._scan_objects()
+        self.trailer = self._find_trailer()
+
+    def _scan_objects(self):
+        d = self.data
+        for m in _OBJ_RE.finditer(d):
+            num = int(m.group(1))
+            body_start = m.end()
+            end = d.find(b"endobj", body_start)
+            if end < 0:
+                end = len(d)
+            segment = d[body_start:end]
+            stream_data = None
+            sm = re.search(rb"stream\r?\n", segment)
+            if sm:
+                obj_part = segment[:sm.start()]
+                s_start = sm.end()
+                s_end = segment.rfind(b"endstream")
+                stream_data = segment[s_start: s_end if s_end >= 0 else None]
+                if stream_data.endswith(b"\r\n"):
+                    stream_data = stream_data[:-2]
+                elif stream_data.endswith(b"\n"):
+                    stream_data = stream_data[:-1]
+            else:
+                obj_part = segment
+            obj = _Lexer(obj_part).parse_object()
+            # later definitions (incremental updates) win
+            self.objects[num] = (obj, stream_data)
+
+    def _find_trailer(self) -> dict:
+        out: dict = {}
+        for m in _TRAILER_RE.finditer(self.data):
+            t = _Lexer(self.data, m.end()).parse_object()
+            if isinstance(t, dict):
+                out.update(t)
+        if "Root" not in out:
+            # no classic trailer (e.g. xref streams): find a /Type/Catalog
+            for num, (obj, _) in self.objects.items():
+                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                    out["Root"] = Ref(num, 0)
+                    break
+        return out
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref) and depth < 32:
+            got = self.objects.get(obj[0])
+            obj = got[0] if got else None
+            depth += 1
+        return obj
+
+    def stream_of(self, ref) -> bytes | None:
+        if isinstance(ref, Ref):
+            got = self.objects.get(ref[0])
+            if not got:
+                return None
+            obj, raw = got
+        else:
+            return None
+        if raw is None:
+            return None
+        return self._decode_stream(obj if isinstance(obj, dict) else {}, raw)
+
+    def _decode_stream(self, sdict: dict, raw: bytes) -> bytes:
+        filters = sdict.get("Filter")
+        filters = [filters] if isinstance(filters, (Name, str)) and \
+            not isinstance(filters, list) else (filters or [])
+        data = raw
+        for f in filters:
+            fname = str(self.resolve(f))
+            if fname == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    try:
+                        data = zlib.decompressobj().decompress(data)
+                    except zlib.error:
+                        return b""
+            elif fname == "ASCIIHexDecode":
+                hexs = re.sub(rb"[^0-9A-Fa-f]", b"",
+                              data.split(b">", 1)[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                data = bytes.fromhex(hexs.decode("ascii"))
+            else:
+                return b""  # unsupported filter: skip stream
+        return data
+
+    def pages(self) -> list[dict]:
+        """Page dicts in document order via the page tree."""
+        root = self.resolve(self.trailer.get("Root"))
+        out: list[dict] = []
+        if isinstance(root, dict):
+            self._walk_pages(self.resolve(root.get("Pages")), out, 0)
+        if not out:
+            # damaged page tree: fall back to any /Type/Page objects
+            for num in sorted(self.objects):
+                obj = self.objects[num][0]
+                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Page":
+                    out.append(obj)
+        return out
+
+    def _walk_pages(self, node, out: list, depth: int):
+        if not isinstance(node, dict) or depth > 32:
+            return
+        ntype = str(node.get("Type", ""))
+        if ntype == "Page":
+            out.append(node)
+            return
+        for kid in node.get("Kids", []) or []:
+            self._walk_pages(self.resolve(kid), out, depth + 1)
+
+    def page_content(self, page: dict) -> bytes:
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for r in refs:
+            s = self.stream_of(r)
+            if s:
+                parts.append(s)
+        return b"\n".join(parts)
+
+
+# ------------------------------------------------- content interpreter --
+
+
+def _interpret_text(content: bytes) -> str:
+    """Run the text-showing subset of the content-stream language.
+
+    Line logic (PDFTextStripper-equivalent defaults): a vertical move
+    starts a new line; a horizontal move within a line inserts the
+    word separator; TJ kerning gaps below -180/1000 em insert the word
+    separator."""
+    lex = _Lexer(content)
+    stack: list = []
+    out: list[str] = []
+    in_text = False
+    x = y = 0.0
+    leading = 0.0
+    last_x: float | None = None
+    last_y: float | None = None
+
+    def show(s: str):
+        nonlocal last_x, last_y
+        if s == "":
+            return
+        if last_y is not None and y != last_y:
+            out.append("\n")                      # line separator
+        elif last_y is not None and x != last_x and out \
+                and not out[-1].endswith((" ", "\n")):
+            out.append(" ")                       # word separator at joins
+        out.append(s)
+        last_x, last_y = x, y
+
+    while True:
+        try:
+            tok = lex.parse_object()
+        except Exception:
+            break
+        if tok is None:
+            break
+        if not isinstance(tok, Keyword):
+            stack.append(tok)
+            continue
+        op = str(tok)
+        if op == "BT":
+            in_text = True
+            x = y = 0.0
+        elif op == "ET":
+            in_text = False
+        elif op == "Td" and len(stack) >= 2:
+            x, y = x + _f(stack[-2]), y + _f(stack[-1])
+        elif op == "TD" and len(stack) >= 2:
+            leading = -_f(stack[-1])
+            x, y = x + _f(stack[-2]), y + _f(stack[-1])
+        elif op == "Tm" and len(stack) >= 6:
+            x, y = _f(stack[-2]), _f(stack[-1])
+        elif op == "T*":
+            y -= leading
+        elif op == "TL" and stack:
+            leading = _f(stack[-1])
+        elif op in ("Tj", "'", '\'') and in_text:
+            if op != "Tj":
+                y -= leading
+            s = next((v for v in reversed(stack)
+                      if isinstance(v, PdfString)), None)
+            if s is not None:
+                show(s.text())
+        elif op == "TJ" and in_text and stack:
+            arr = stack[-1]
+            if isinstance(arr, list):
+                parts: list[str] = []
+                for item in arr:
+                    if isinstance(item, PdfString):
+                        parts.append(item.text())
+                    elif isinstance(item, (int, float)) and item < -180:
+                        parts.append(" ")  # big kerning gap = word break
+                show("".join(parts))
+        stack.clear()
+
+    return "".join(out)
+
+
+def _f(v) -> float:
+    return float(v) if isinstance(v, (int, float)) else 0.0
+
+
+def extract_pdf(data: bytes, url: str | None = None,
+                declared_type: str | None = None,
+                config: ExtractConfig = _DEFAULT) -> dict:
+    """Extract one PDF. Never raises on content."""
+    data = bytes(data or b"")
+    metadata: dict[str, list[str]] = {"Content-Type": ["application/pdf"]}
+    try:
+        doc = PdfDocument(data)
+    except Exception as e:  # scanner is defensive, but belt+braces
+        return {"charset": None, "title": None, "text": "", "spans": [],
+                "links": [], "metadata": metadata, "status": "error",
+                "error": f"pdf: {e!r}"}
+
+    # encrypted? (we do not decrypt; metadata-only row like empty-pw fail)
+    encrypted = isinstance(doc.trailer.get("Encrypt"), (Ref, dict))
+
+    info = doc.resolve(doc.trailer.get("Info"))
+    _INFO_KEYS = {"Title": "title", "Author": "Author", "Subject": "subject",
+                  "Keywords": "Keywords", "Creator": "Application-Name",
+                  "Producer": "producer", "Trapped": "trapped",
+                  "CreationDate": "created", "ModDate": "Last-Modified"}
+    if isinstance(info, dict):
+        for k, v in info.items():
+            v = doc.resolve(v)
+            if isinstance(v, PdfString):
+                val = v.text().strip()
+            elif isinstance(v, (Name, int, float)):
+                val = str(v)
+            elif isinstance(v, list):
+                val = ", ".join(x.text() if isinstance(x, PdfString)
+                                else str(x) for x in v)
+            else:
+                continue
+            if val:
+                metadata.setdefault(_INFO_KEYS.get(k, k), []).append(val)
+
+    pages = doc.pages()
+    metadata["xmpTPg:NPages"] = [str(len(pages))]
+
+    if encrypted:
+        return {"charset": None, "title": metadata.get("title", [None])[0],
+                "text": "", "spans": [], "links": [], "metadata": metadata,
+                "status": "encrypted"}
+
+    pieces: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for page in pages:
+        try:
+            content = doc.page_content(page)
+            page_text = _interpret_text(content) if content else ""
+        except Exception:
+            page_text = ""
+        # <div class=page><p>text</p></div> -> text + '\n' (p) + '\n' (div)
+        pieces.append(page_text)
+        pieces.append("\n\n")
+        spans.append((pos, pos + len(page_text), "page"))
+        pos += len(page_text) + 2
+
+    text = safe_chars("".join(pieces))
+    status = "ok"
+    limit = max(config.output_min_chars, config.output_ratio * max(1, len(data)))
+    if len(text) > limit:
+        text, status = text[:limit], "output_limit"
+    if len(text) > config.write_limit:
+        text, status = text[:config.write_limit], "write_limit"
+    return {"charset": None, "title": metadata.get("title", [None])[0],
+            "text": text, "spans": spans, "links": [],
+            "metadata": metadata, "status": status}
