@@ -1,0 +1,136 @@
+"""DataFrame-level pipeline invariants (SURVEY.md §5.2 Tier 3).
+
+- golden byte-equality per url over the full variant matrix;
+- row counts preserved; status accounting sums;
+- determinism under different parallelism (local[4] repartition 2 vs 8);
+- error/no_parser rows never abort the job;
+- kill/resume produces a byte-identical snapshot.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from tika_spark.config import ExtractConfig
+from tika_spark.fixtures.pages import generate_pages_df, generate_pages_pandas
+from tika_spark.pipeline.job import extract, lineage_manifest
+from tika_spark.pipeline.runner import done_buckets, run
+
+N_ROWS = 240
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages_df(spark, N_ROWS, partitions=4)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages):
+    out = extract(pages, mode="text")
+    out.cache().count()
+    return out
+
+
+class TestExtractJob:
+    def test_row_count_preserved(self, pages, extracted):
+        assert extracted.count() == pages.count() == N_ROWS
+
+    def test_no_html_column_in_output(self, extracted):
+        assert "html" not in extracted.columns
+
+    def test_golden_byte_equality(self, pages, extracted):
+        j = extracted.join(
+            pages.select("url", F.col("text").alias("golden")), "url")
+        n_bad = j.filter(F.col("text") != F.col("golden")).count()
+        assert n_bad == 0
+
+    def test_status_accounting(self, extracted):
+        by = dict(extracted.groupBy("status").count().collect())
+        assert sum(by.values()) == N_ROWS
+        assert by.get("error", 0) == 0
+        assert by.get("no_parser", 0) > 0  # binary_junk rows
+
+    def test_mime_distribution(self, extracted):
+        mimes = {r["mime"] for r in extracted.select("mime").distinct().collect()}
+        assert {"text/html", "application/pdf", "application/rss+xml",
+                "text/plain", "application/xml",
+                "application/octet-stream"} <= mimes
+
+    def test_metadata_and_links_typed(self, extracted):
+        row = (extracted.filter(F.col("mime") == "text/html")
+               .filter(F.size("links") > 0).first())
+        assert row is not None
+        assert row["links"][0]["uri"].startswith(("http", "/", "mailto"))
+        assert isinstance(row["metadata"], dict)
+
+    def test_determinism_under_parallelism(self, spark, pages):
+        a = extract(pages, mode="text", repartition=2)
+        b = extract(pages, mode="text", repartition=8)
+        cols = ["url", "mime", "charset", "lang", "title", "text", "status"]
+        diff = (a.select(cols).exceptAll(b.select(cols))).count()
+        assert diff == 0
+
+    def test_poison_rows_survive(self, spark):
+        import datetime
+        rows = [("u://1", datetime.datetime(2026, 1, 1), None),
+                ("u://2", datetime.datetime(2026, 1, 1), b""),
+                ("u://3", datetime.datetime(2026, 1, 1), b"\x00" * 10_000)]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+        out = extract(df).collect()
+        assert len(out) == 3  # no task failure
+
+    def test_text_main_mode(self, spark, pages):
+        out = extract(pages.filter(F.col("source") == "html_boiler"),
+                      mode="text-main")
+        goldens = {r["url"]: r for r in
+                   (gen for gen in _main_goldens())}
+        for row in out.collect():
+            g = goldens.get(row["url"])
+            if g is not None:
+                assert row["text"] == g["text_main"], row["url"]
+
+    def test_lineage_manifest_sums(self, extracted):
+        lin = lineage_manifest(extracted)
+        total = lin.agg(F.sum("n_rows")).collect()[0][0]
+        assert total == N_ROWS
+
+
+def _main_goldens():
+    from tika_spark.fixtures.pages import gen_row
+    for i in range(N_ROWS):
+        r = gen_row(i)
+        if r["text_main"] is not None:
+            yield r
+
+
+class TestRunnerResume:
+    def test_resume_after_kill(self, spark, tmp_path):
+        inp = str(tmp_path / "pages.parquet")
+        generate_pages_df(spark, 120, partitions=4).write.parquet(inp)
+
+        out_a = str(tmp_path / "run_full")
+        m1 = run(spark, inp, out_a, n_buckets=4, group_size=2, verbose=False)
+        assert m1["rows_processed"] == 120
+        assert done_buckets(out_a) == {0, 1, 2, 3}
+
+        # simulate a kill after the first group: drop manifests + data
+        # for buckets 2,3, then resume
+        out_b = str(tmp_path / "run_killed")
+        run(spark, inp, out_b, n_buckets=4, group_size=2, verbose=False)
+        for b in (2, 3):
+            os.remove(os.path.join(out_b, "_lineage", f"bucket-{b}.json"))
+        m2 = run(spark, inp, out_b, n_buckets=4, group_size=2, verbose=False)
+        assert m2["buckets_resumed_from"] == 2  # skipped the done ones
+
+        cols = ["url", "mime", "text", "status"]
+        a = spark.read.parquet(os.path.join(out_a, "data")).select(cols)
+        b = spark.read.parquet(os.path.join(out_b, "data")).select(cols)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q", "-x"]))

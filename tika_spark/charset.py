@@ -151,8 +151,11 @@ def _score_utf16(buf: np.ndarray, little: bool) -> int:
     lo = buf[0::2] if little else buf[1::2]
     vals, counts = np.unique(hi, return_counts=True)
     top2 = float(np.sort(counts)[-2:].sum()) / len(hi)
-    lo_distinct = len(np.unique(lo))
-    if top2 > 0.9 and lo_distinct > 4:
+    lo_vals, lo_counts = np.unique(lo, return_counts=True)
+    lo_top2 = float(np.sort(lo_counts)[-2:].sum()) / len(lo)
+    # real UTF-16: high bytes nearly constant, low bytes diverse;
+    # a run of one repeated ASCII char concentrates BOTH -> reject
+    if top2 > 0.9 and len(lo_vals) > 4 and lo_top2 < 0.7:
         return 80
     return 0
 

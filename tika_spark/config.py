@@ -46,7 +46,9 @@ class ExtractConfig:
     """
 
     mode: str = "text"               # 'text' (-t) | 'text-main' (-T) | 'metadata'
-    write_limit: int = WRITE_LIMIT
+    # 0 = unlimited (the CLI -t/-T modes); WRITE_LIMIT mirrors the
+    # parseToString facade default for callers who want it
+    write_limit: int = 0
     output_min_chars: int = OUTPUT_MIN_CHARS
     output_ratio: int = OUTPUT_RATIO
     default_charset: str = DEFAULT_CHARSET

@@ -99,7 +99,7 @@ def extract_html(data: bytes, url: str | None = None,
         text = text[:limit]
         spans = [s for s in spans if s[0] < limit]
         status = "output_limit"
-    if len(text) > config.write_limit:
+    if config.write_limit and len(text) > config.write_limit:
         text = text[:config.write_limit]
         spans = [s for s in spans if s[0] < config.write_limit]
         status = "write_limit"

@@ -503,7 +503,7 @@ def extract_pdf(data: bytes, url: str | None = None,
     limit = max(config.output_min_chars, config.output_ratio * max(1, len(data)))
     if len(text) > limit:
         text, status = text[:limit], "output_limit"
-    if len(text) > config.write_limit:
+    if config.write_limit and len(text) > config.write_limit:
         text, status = text[:config.write_limit], "write_limit"
     return {"charset": None, "title": metadata.get("title", [None])[0],
             "text": text, "spans": spans, "links": [],

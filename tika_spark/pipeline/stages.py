@@ -1,0 +1,166 @@
+"""The extraction mapInPandas stage: one Arrow batch in, one out.
+
+Dispatch semantics mirror the reference's CompositeParser
+(tika-core/.../parser/CompositeParser.java:195-218): the detected
+media type is looked up in the route table, walking the supertype
+chain until a route is found; unknown types become ``status='no_parser'``
+rows (EmptyParser fallback, never a failure). A parser exception is
+caught per document and becomes ``status='error'`` (the ForkParser
+fault-isolation intent, fork/ForkParser.java — a poison document must
+never kill a partition).
+
+Heavy singletons (detection tables, language model) are module-level,
+initialized once per Python worker and reused across batches
+(the reference's amortized-singleton pattern, HtmlParser.java:66-69;
+requires spark.python.worker.reuse=true, the default).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+
+from tika_spark.config import ExtractConfig
+from tika_spark.html.extract import extract_html
+from tika_spark.mime import lattice
+from tika_spark.mime.detector import detect_batch
+from tika_spark.pdf.parser import extract_pdf
+from tika_spark.textparse import extract_text
+from tika_spark.xmlparse import extract_feed, extract_xml
+
+# media type -> route; lookup walks the supertype chain (F0)
+ROUTE_TABLE = {
+    "text/html": "html",
+    "application/xhtml+xml": "html",
+    "application/vnd.wap.xhtml+xml": "html",
+    "application/x-asp": "html",
+    "application/pdf": "pdf",
+    "application/rss+xml": "feed",
+    "application/atom+xml": "feed",
+    "application/xml": "xml",
+    "image/svg+xml": "xml",
+    "application/rdf+xml": "xml",
+    "text/plain": "txt",
+}
+
+_EXTRACTORS = {
+    "html": extract_html,
+    "pdf": extract_pdf,
+    "xml": extract_xml,
+    "feed": extract_feed,
+    "txt": extract_text,
+}
+
+EXTRACT_SCHEMA = (
+    "url string, warc_ts timestamp, mime string, charset string, "
+    "lang string, lang_distance double, title string, text string, "
+    "spans array<struct<start:int,end:int,kind:string>>, "
+    "links array<struct<kind:string,uri:string,title:string,text:string>>, "
+    "metadata map<string,array<string>>, "
+    "status string, error string, n_bytes bigint, n_chars bigint, "
+    "part_id int, batch_ms double"
+)
+
+OUTPUT_COLUMNS = [f.split()[0] for f in EXTRACT_SCHEMA.split(", ")]
+
+
+def route_for_mime(mime: str) -> str | None:
+    for t in lattice.supertype_chain(mime):
+        r = ROUTE_TABLE.get(t)
+        if r:
+            return r
+    return None
+
+
+def _empty_result() -> dict:
+    return {"charset": None, "title": None, "text": "", "spans": [],
+            "links": [], "metadata": {}, "status": "no_parser"}
+
+
+def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
+                  part_id: int = -1) -> pd.DataFrame:
+    """Extract one Arrow batch (pandas DataFrame in/out)."""
+    t0 = time.perf_counter()
+    n = len(pdf)
+    html = pdf["html"]
+    urls = pdf["url"] if "url" in pdf else pd.Series([None] * n,
+                                                     index=pdf.index)
+    declared = pdf["declared_type"] if "declared_type" in pdf else None
+
+    mimes = detect_batch(html, urls, declared)
+    results: list[dict] = [None] * n  # type: ignore[list-item]
+    routes = mimes.map(lambda m: route_for_mime(m))
+
+    # group rows by route, run each group's extractor in batch order
+    positions = {i: k for k, i in enumerate(pdf.index)}
+    for route, idx in routes.groupby(routes).groups.items():
+        fn = _EXTRACTORS.get(route)
+        for i in idx:
+            k = positions[i]
+            if fn is None:
+                results[k] = _empty_result()
+                continue
+            try:
+                results[k] = fn(html[i], urls[i],
+                                declared[i] if declared is not None else None,
+                                config)
+            except Exception as e:  # poison doc -> error row, task survives
+                r = _empty_result()
+                r["status"], r["error"] = "error", repr(e)[:1000]
+                results[k] = r
+    for k in range(n):
+        if results[k] is None:
+            results[k] = _empty_result()
+
+    texts = pd.Series([r["text"] for r in results], index=pdf.index)
+
+    langs = [None] * n
+    dists = [None] * n
+    if config.identify_language:
+        from tika_spark.language import default_model
+        model = default_model()
+        ident = model.identify_batch(texts)
+        langs = ident["lang"].tolist()
+        dists = ident["lang_distance"].tolist()
+
+    batch_ms = (time.perf_counter() - t0) * 1000.0
+    out = pd.DataFrame({
+        "url": urls.values,
+        "warc_ts": (pdf["warc_ts"].values if "warc_ts" in pdf
+                    else [None] * n),
+        "mime": mimes.values,
+        "charset": [r.get("charset") for r in results],
+        "lang": langs,
+        "lang_distance": dists,
+        "title": [r.get("title") for r in results],
+        "text": texts.values,
+        "spans": [[{"start": s, "end": e, "kind": k}
+                   for (s, e, k) in r.get("spans", [])] for r in results],
+        "links": [[{"kind": k, "uri": u, "title": t, "text": x}
+                   for (k, u, t, x) in r.get("links", [])] for r in results],
+        "metadata": [r.get("metadata", {}) for r in results],
+        "status": [r.get("status", "ok") for r in results],
+        "error": [r.get("error") for r in results],
+        "n_bytes": html.map(lambda b: len(b) if b is not None else 0).values,
+        "n_chars": texts.str.len().values,
+        "part_id": part_id,
+        "batch_ms": batch_ms,
+    })
+    return out
+
+
+def make_extract_fn(config: ExtractConfig):
+    """Build the mapInPandas function (config captured in closure)."""
+
+    def extract_batches(iterator):
+        try:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            part_id = ctx.partitionId() if ctx else -1
+        except Exception:
+            part_id = -1
+        for pdf in iterator:
+            yield process_batch(pdf, config, part_id)
+
+    return extract_batches

@@ -30,7 +30,7 @@ def extract_text(data: bytes, url: str | None = None,
     limit = max(config.output_min_chars, config.output_ratio * max(1, len(data)))
     if len(text) > limit:
         text, status = text[:limit], "output_limit"
-    if len(text) > config.write_limit:
+    if config.write_limit and len(text) > config.write_limit:
         text, status = text[:config.write_limit], "write_limit"
     body = text + "\n"  # single <p> block through the layout contract
     return {

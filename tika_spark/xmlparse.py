@@ -75,7 +75,7 @@ def extract_xml(data: bytes, url: str | None = None,
     pieces = [t for t in root.itertext()]
     text = safe_chars("".join(pieces))
     status = "ok"
-    if len(text) > config.write_limit:
+    if config.write_limit and len(text) > config.write_limit:
         text, status = text[:config.write_limit], "write_limit"
     title = metadata.get("title", [None])[0]
     return {
