@@ -1,0 +1,107 @@
+"""Headline benchmark: full extraction job + corpus pipeline ops.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+The extraction input is the deterministic synthetic pages table
+(tika_spark.fixtures.pages — realistic variant mix incl. a giant-HTML
+tail) at 4x the sf's documents row count, plus the mixed-format wrap of
+the sf documents themselves; both are generated distributed (mapInPandas
+over spark.range / column expressions), never on the driver.
+
+Each query is forced with a noop-format write (full materialization of
+every column, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main():
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("tika-spark-bench")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import _pages_mixed
+    from tika_spark.analysis import dedup, similarity, textstats
+    from tika_spark.fixtures.pages import generate_pages_df
+    from tika_spark.pipeline.job import extract, lineage_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_docs = docs.count()
+    emb.count()
+
+    n_pages = n_docs * 4
+    pages = generate_pages_df(spark, n_pages).cache()
+    pages.count()  # materialize input outside the timed region
+
+    queries = {}
+    t_all = time.perf_counter()
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    timed("extract_pages_text", lambda: force(
+        extract(pages, mode="text", repartition=cpus)))
+    timed("extract_pages_main", lambda: force(
+        extract(pages, mode="text-main", repartition=cpus)))
+    timed("extract_docs_mixed", lambda: force(
+        extract(_pages_mixed(docs), mode="text", repartition=cpus)))
+    timed("lineage_manifest", lambda: force(
+        lineage_manifest(extract(pages, mode="text", repartition=cpus))))
+    timed("quality_fingerprint", lambda: force(
+        textstats.fingerprint(textstats.quality_features(docs))))
+    timed("word_topk_by_lang", lambda: force(
+        textstats.word_topk(docs, k=10, by="lang")))
+    timed("dedup_exact", lambda: force(dedup.exact_dedup(docs)))
+    timed("dedup_minhash_lsh", lambda: force(
+        dedup.minhash_lsh_pairs(docs, threshold=0.12)))
+    timed("dedup_simhash", lambda: force(
+        dedup.simhash_pairs(docs, max_hamming=3)))
+    timed("ann_topk", lambda: force(similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=10)))
+    timed("ann_lsh_topk", lambda: force(similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10)))
+
+    total = round(time.perf_counter() - t_all, 3)
+    extract_sec = queries["extract_pages_text"]
+    print(json.dumps({
+        "metric": "extract+corpus pipeline wall",
+        "value": total, "unit": "sec", "queries": queries, "sf": sf,
+        "cpus": cpus, "n_pages": n_pages, "n_docs": n_docs,
+        "extract_docs_per_sec": round(n_pages / extract_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Unit tests for the training-data pipeline layer
+(tika_spark.analysis: textstats / dedup / similarity / multimodal)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tika_spark.analysis import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat today", "en"),  # near
+    (4, "completely different words about spark and arrow batches", "en"),
+    (5, "der schnelle braune fuchs springt heute sehr weit", "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"]).cache()
+
+
+def test_quality_features_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 the end.")], ["doc_id", "text"])
+    row = textstats.quality_features(df).first()
+    assert row["n_chars_text"] == 25
+    assert row["n_tokens"] == 5
+    assert row["n_alpha"] == 16          # Helloworldtheend
+    assert row["n_digit"] == 2
+    assert row["n_punct"] == 3           # , ! .  (two dots? no: , ! . .)
+    assert row["n_stopwords"] == 1       # 'the'
+    assert row["max_token_len"] == 6     # 'Hello,'
+
+
+def test_quality_punct_count(spark):
+    df = spark.createDataFrame([(1, "a.b.c!")], ["doc_id", "text"])
+    assert textstats.quality_features(df).first()["n_punct"] == 3
+
+
+def test_token_count_and_fingerprint(docs_df):
+    out = textstats.fingerprint(
+        textstats.with_token_count(docs_df)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tokens"] == 9
+    assert by_id[1]["fp_md5"] == by_id[2]["fp_md5"]
+    assert by_id[1]["fp_md5"] != by_id[3]["fp_md5"]
+    assert by_id[1]["fp_64"] == by_id[2]["fp_64"]
+
+
+def test_word_topk_deterministic(docs_df):
+    top = textstats.word_topk(docs_df, k=3).collect()
+    assert top[0]["word"] == "the" and top[0]["n"] == 6
+    # ties broken alphabetically
+    assert [r["word"] for r in top] == sorted(
+        [r["word"] for r in top],
+        key=lambda w: (-dict((x["word"], x["n"]) for x in top)[w], w))
+
+
+def test_outlinks_and_summary(spark):
+    df = spark.createDataFrame(
+        [(1, "see http://a.com/x and https://b.org/y.")],
+        ["doc_id", "text"])
+    row = textstats.summary(textstats.outlinks(df)).first()
+    assert row["outlinks"] == ["http://a.com/x", "https://b.org/y."]
+    assert row["summary"].startswith("see http")
+
+
+def test_exact_dedup(docs_df):
+    kept = dedup.exact_dedup(docs_df)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4, 5}  # doc 2 deduped against doc 1
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    pairs = dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2), (1, 3),
+                                                       (2, 3)}
+    exact = [p for p in pairs if (p["id_a"], p["id_b"]) == (1, 2)][0]
+    assert exact["sim_micro"] == 1_000_000
+
+
+def test_minhash_lsh_recall(docs_df):
+    # identical + high-jaccard docs must surface as LSH candidates
+    pairs = dedup.minhash_lsh_pairs(docs_df, threshold=0.3)
+    got = {(p["id_a"], p["id_b"]) for p in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got
+    # verified sims must equal exact jaccard (same verify primitive)
+    exact = {(p["id_a"], p["id_b"]): p["sim_micro"]
+             for p in dedup.ngram_jaccard_pairs(
+                 docs_df, threshold=0.3).collect()}
+    for p in pairs.collect():
+        key = (p["id_a"], p["id_b"])
+        if key in exact:
+            assert p["sim_micro"] == exact[key]
+
+
+def test_simhash_pairs(docs_df):
+    pairs = dedup.simhash_pairs(docs_df, max_hamming=3).collect()
+    got = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    assert got[(1, 2)] == 0  # identical text → identical signature
+
+
+def test_simhash_deterministic_hash():
+    assert dedup.hash64("spark") == dedup.hash64("spark")
+    assert dedup.hash64("spark") != dedup.hash64("sparks")
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)], 0)
+            for i in range(20)]
+    rows.append((100, rows[0][1], 1))  # exact duplicate of vec 0
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk_self_first(emb_df):
+    q = emb_df.filter(F.col("vec_id") == 0)
+    top = similarity.brute_force_topk(emb_df, q, k=3).collect()
+    assert top[0]["rank"] == 1 and top[0]["vec_id"] == 0
+    assert top[0]["sim_micro"] == 1_000_000
+    # vec 11 (i*7 ≡ 0 mod 11) and vec 100 are exact duplicates of vec 0;
+    # ties break on vec_id ascending
+    assert [r["vec_id"] for r in top] == [0, 11, 100]
+    assert all(r["sim_micro"] == 1_000_000 for r in top)
+
+
+def test_cosine_pairs_finds_duplicate(emb_df):
+    pairs = similarity.cosine_pairs(emb_df, threshold=0.999).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    # every (i, i+11) is an exact dup by construction, plus the planted 100
+    assert {(0, 11), (0, 100), (11, 100), (1, 12), (8, 19)} <= got
+    assert all(p["sim_micro"] >= 999_000 for p in pairs)
+
+
+def test_lsh_topk_contains_duplicate(emb_df):
+    q = emb_df.filter(F.col("vec_id") == 0)
+    top = similarity.lsh_topk(emb_df, q, dim=8, k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 100 in ids  # same bucket by construction
+
+
+def test_lsh_signature_deterministic(spark, emb_df):
+    s1 = emb_df.select(similarity.lsh_signature(
+        F.col("embedding"), 8).alias("s")).collect()
+    s2 = emb_df.select(similarity.lsh_signature(
+        F.col("embedding"), 8).alias("s")).collect()
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+
+
+def test_decode_media_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"x" * 100, "image/png"), (2, b"y" * 50, "audio/wav"),
+         (3, None, "video/mp4")],
+        "id long, payload binary, media_type string")
+    out = {r["id"]: r for r in multimodal.decode_media(df).collect()}
+    assert out[1]["width"] == 16 + 100 % 624
+    assert out[1]["duration_ms"] == 0
+    assert out[2]["duration_ms"] == 50       # audio: fake duration
+    assert out[3]["n_bytes"] == 0 and out[3]["status"] == "ok"
+    assert multimodal.MEDIA_META_SCHEMA.startswith("id long")
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"", "image/png")

@@ -1,0 +1,257 @@
+"""Corpus deduplication operators (exact, MinHash+LSH, SimHash, Jaccard).
+
+No reference counterpart (Tika is per-document); these are the corpus
+stages its extraction output feeds. Design targets ~10^12 documents:
+
+- **Exact dedup** shuffles an 8-byte fingerprint, never the text.
+- **MinHash+LSH** is the scale path for near-dup: signature build is a
+  per-row projection (no shuffle); candidate generation shuffles only
+  (band_id, band_hash, doc_id) triples; the verify join touches shingle
+  sets only for candidate pairs (a tiny fraction of the corpus).
+- **Blocked n-gram Jaccard** is the exact-verify primitive; its
+  all-pairs form is for small blocks / oracles only — at scale it runs
+  strictly behind LSH candidate generation.
+- **SimHash** packs a 64-bit signature per doc (one vectorized pandas
+  UDF, numpy bit-bucket accumulation per Arrow batch); candidates join
+  on 16-bit chunks (any hamming<=3 pair shares an identical chunk by
+  pigeonhole over 4 chunks).
+
+All joins are equi-joins on small keys => sort-merge/AQE friendly; the
+skew risk (a viral boilerplate shingle minhashing identically across
+millions of docs) is bounded by ``max_bucket`` group-size capping,
+mirroring the reference's zip-bomb guard philosophy
+(sax/SecureContentHandler.java:65-80: bound adversarial blowup).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from tika_spark.analysis.textstats import fingerprint, tokens, word_shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per exact (whitespace-normalized) text.
+
+    Shuffle carries only (fp_64, fp_md5, id): the groupBy key is the
+    64-bit fingerprint, md5 double-checks against xxhash collisions.
+    """
+    fp = fingerprint(df.select(id_col, text_col), text_col)
+    w = Window.partitionBy("fp_64", "fp_md5").orderBy(F.asc(id_col))
+    return (fp.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select(id_col, "fp_md5"))
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays, as a native column
+    expression (verify primitive for every near-dup path)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5,
+                        block_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Near-dup pairs by exact k-word-shingle Jaccard >= threshold.
+
+    ``block_cols`` restricts candidate pairs to equal blocking keys
+    (e.g. ('lang',)); with no blocking this is all-pairs and suitable
+    only for small inputs / oracle checks — the scale path is
+    :func:`minhash_lsh_pairs`, which uses this same verify expression.
+
+    Output: (id_a, id_b, sim_micro) with id_a < id_b; similarity is an
+    exact integer (micro-units) so results hash identically everywhere.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   *[F.col(c) for c in block_cols],
+                   word_shingles(F.col(text_col), k).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sim = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (a.join(b, cond)
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.round(sim * 1_000_000).cast("long")
+                      .alias("sim_micro"))
+             .filter(F.col("sim_micro") >= int(threshold * 1_000_000)))
+
+
+# ---------------------------------------------------------- minhash lsh
+
+# deterministic multipliers/offsets for the k hash permutations
+# h_i(x) = (A_i * x + B_i) mod 2^31-1  over x = xxhash64(shingle) mod 2^31-1
+# 31-bit domain keeps A*x + B <= ~2^62: no long overflow under ANSI mode
+_MPRIME = (1 << 31) - 1
+
+
+def _perm_consts(n: int, seed: int = 1):
+    a, out = seed * 2654435761 % _MPRIME, []
+    for _ in range(n):
+        a = (a * 1103515245 + 12345) % _MPRIME
+        b = (a * 69069 + 1) % _MPRIME
+        out.append((a | 1, b))
+    return out
+
+
+def with_minhash_signature(df: DataFrame, text_col: str,
+                           num_perm: int = 32, k: int = 3,
+                           out_col: str = "sig",
+                           keep_shingles: str | None = None) -> DataFrame:
+    """Add a num_perm-wide MinHash signature column, fully native:
+    shingle → xxhash64 → affine permutation → array_min per permutation.
+    Per-row projection, zero shuffle, whole-stage codegen.
+
+    Built as *staged* projections (shingles, then hashes, then the
+    num_perm mins) rather than one nested expression: each stage's
+    alias is expensive and referenced num_perm times, which stops
+    Catalyst's CollapseProject from inlining it — the shingle set and
+    its hashes are computed once per row, not once per permutation.
+    """
+    sh_col = keep_shingles or "__mh_sh"
+    staged = (df
+              .withColumn(sh_col, word_shingles(F.col(text_col), k))
+              .withColumn("__mh_h", F.transform(
+                  F.col(sh_col),
+                  lambda s: F.pmod(F.xxhash64(s), F.lit(_MPRIME)))))
+    mins = [F.array_min(F.transform(
+                F.col("__mh_h"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b),
+                                 F.lit(_MPRIME))))
+            for (a, b) in _perm_consts(num_perm)]
+    out = staged.withColumn(out_col, F.array(*mins)).drop("__mh_h")
+    return out if keep_shingles else out.drop(sh_col)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.5,
+                      max_bucket: int = 1000) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by exact
+    shingle Jaccard. The standard s-curve: P(candidate) =
+    1-(1-s^r)^bands with r = num_perm//bands rows per band.
+
+    Stages (shuffle budget in parens):
+      1. signature+shingles per row (none — projection)
+      2. explode bands → hash 4-row slice → groupBy bucket (ids only)
+      3. same-bucket pairs, capped at ``max_bucket`` ids per bucket
+         (viral-content skew guard), distinct (small)
+      4. verify join back to shingle sets for candidate ids only
+    """
+    r = num_perm // bands
+    base = with_minhash_signature(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        text_col, num_perm, k, keep_shingles="sh").drop(text_col)
+    bandcols = F.array(*[
+        F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * r + j + 1)
+                                for j in range(r)])
+        for bi in range(bands)])
+    buckets = (base.select("id", F.posexplode(bandcols)
+                           .alias("band", "bhash")))
+    grouped = (buckets.groupBy("band", "bhash")
+               .agg(F.slice(F.sort_array(F.collect_list("id")), 1,
+                            max_bucket).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = (grouped
+             .select(F.explode("ids").alias("id_a"), "ids")
+             .select("id_a", F.explode("ids").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .distinct())
+    sets = base.select("id", "sh")
+    verified = (pairs
+                .join(sets.select(F.col("id").alias("id_a"),
+                                  F.col("sh").alias("sh_a")), "id_a")
+                .join(sets.select(F.col("id").alias("id_b"),
+                                  F.col("sh").alias("sh_b")), "id_b")
+                .select("id_a", "id_b",
+                        F.round(jaccard(F.col("sh_a"), F.col("sh_b"))
+                                * 1_000_000).cast("long")
+                        .alias("sim_micro")))
+    return verified.filter(
+        F.col("sim_micro") >= int(threshold * 1_000_000))
+
+
+# -------------------------------------------------------------- simhash
+
+
+# LongType() object (not a DDL string): executor-side module import
+# must not require an active SparkContext for type parsing
+@pandas_udf(LongType())
+def _simhash64(words: pd.Series) -> pd.Series:
+    """64-bit SimHash per document from its token array — one numpy
+    pass per Arrow batch (vectorized over all tokens in the batch)."""
+    import numpy as np
+    out = np.zeros(len(words), dtype=np.int64)
+    for i, toks in enumerate(words):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.fromiter(
+            (hash64(w) for w in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per
+    process — unusable across executors)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     _simhash64(tokens(F.col(text_col))).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3
+                  ) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into 4 × 16-bit
+    chunks; any pair within hamming 3 agrees exactly on >=1 chunk, so an
+    equi-join per chunk finds all of them — no cross join ever forms.
+    """
+    sigs = simhash(df, id_col, text_col)
+    chunks = sigs.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(0xFFFF)
+            for i in range(4)])).alias("chunk_idx", "chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

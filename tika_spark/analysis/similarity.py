@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — exact, native column expressions
+(zip_with dot product inside whole-stage codegen), query side broadcast.
+Scale path: random-hyperplane LSH bucketing (signature is a per-row
+projection; probing joins only the query's bucket ring instead of the
+full corpus — at 10^12 vectors brute force is a non-starter).
+
+Numeric determinism: similarities are emitted as integer micro-units
+(round(sim*1e6)) so driver-side value hashing is exact; ordering ties
+break on vec_id.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# ------------------------------------------------------------- cosine
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    # float32 storage → double math, identical everywhere
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries is expected small → broadcast; the scan over base is then
+    shuffle-free (map-side join + per-query partial top-k via the
+    window's sort pushdown under AQE).
+    Output: (query_id, vec_id, sim_micro, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    b = base.select(F.col(id_col).alias("vec_id"),
+                    _as_double(F.col(vec_col)).alias("bv"))
+    sim = cosine(F.col("qv"), F.col("bv"))
+    scored = (b.crossJoin(F.broadcast(q))
+               .select("query_id", "vec_id",
+                       F.round(sim * 1_000_000).cast("long")
+                       .alias("sim_micro")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+
+    All-pairs form — oracle/small-block use; at scale run it per LSH
+    bucket (see :func:`lsh_signature`) exactly like minhash_lsh_pairs.
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.round(sim * 1_000_000).cast("long")
+                     .alias("sim_micro"))
+             .filter(F.col("sim_micro") >= int(threshold * 1_000_000)))
+
+
+# ------------------------------------------------------ hyperplane LSH
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG —
+    no numpy RNG so the plan is reproducible from source alone)."""
+    state = seed * 6364136223846793005 % (1 << 63)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 63)
+            # map to (-1, 1) deterministic uniform
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / n for x in row])
+    return planes
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16,
+                  seed: int = 7) -> Column:
+    """n_planes-bit sign signature: bit i = (vec . plane_i) > 0.
+    Native fold per plane — per-row projection, no shuffle, no UDF."""
+    v = _as_double(vec)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_planes: int = 12, probe_bits: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to vectors whose LSH
+    signature is within ``probe_bits`` bit flips of the query's
+    (multiprobe ring). Recall is tunable via n_planes/probe_bits; the
+    join is an equi-join on bucket id → shuffle bounded by bucket sizes,
+    never |base| x |queries|.
+    """
+    sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    b = base.select(F.col(id_col).alias("vec_id"),
+                    _as_double(F.col(vec_col)).alias("bv"),
+                    sig.alias("bucket"))
+    probes = [F.col("qsig")] + [
+        F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+    ][: 1 + (n_planes if probe_bits >= 1 else 0)]
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"),
+                        sig.alias("qsig"))
+         .select("query_id", "qv",
+                 F.explode(F.array(*probes)).alias("bucket")))
+    sim = cosine(F.col("qv"), F.col("bv"))
+    scored = (b.join(F.broadcast(q), "bucket")
+               .select("query_id", "vec_id",
+                       F.round(sim * 1_000_000).cast("long")
+                       .alias("sim_micro")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

@@ -1,0 +1,137 @@
+"""Text analysis over a documents table — 100% native Spark SQL functions.
+
+Counterpart intent: the reference's text post-processing/classifier layer
+(outlink regex + summary, parser/ParserPostProcessor.java:51-69;
+3-gram language profiling, language/ProfilingWriter.java:66-94), widened
+to the quality/token/fingerprint features a training-data pipeline needs.
+
+Scale notes (100 TB):
+- Every function here is a narrow per-row projection (no shuffle) except
+  the corpus profiles, which are a single partial-aggregatable groupBy —
+  map-side combine keeps the shuffle at |vocab| not |corpus|.
+- No Python UDFs anywhere in this module: everything stays inside
+  whole-stage codegen, so the scan → project pipeline is one JVM stage
+  with full predicate pushdown and column pruning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# small default stopword list (deterministic; mirrors the spirit of the
+# reference's per-language ngram profiles without shipping a model)
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "on")
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (the reference's word-boundary notion in
+    ProfilingWriter: runs of non-separator chars)."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count(F.col(text_col)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     stopwords=STOPWORDS) -> DataFrame:
+    """Integer quality-signal columns (exact, hash-stable — no float
+    ratios; ratios are derivable downstream).
+
+    n_chars_text  length in characters
+    n_bytes_text  length in UTF-8 bytes (CJK-aware size signal)
+    n_tokens      whitespace tokens
+    n_alpha       ascii-letter chars
+    n_digit       digit chars
+    n_punct       ascii punctuation chars
+    n_stopwords   tokens in the stopword list
+    max_token_len longest token (gibberish / base64 blob signal)
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    sw = F.array([F.lit(s) for s in stopwords])
+    return (df
+            .withColumn("n_chars_text", F.length(text))
+            .withColumn("n_bytes_text", F.octet_length(text))
+            .withColumn("n_tokens", F.size(toks))
+            .withColumn("n_alpha", F.length(
+                F.regexp_replace(text, "[^A-Za-z]", "")))
+            .withColumn("n_digit", F.length(
+                F.regexp_replace(text, "[^0-9]", "")))
+            .withColumn("n_punct", F.length(F.regexp_replace(
+                text, r"[^!-/:-@\[-`{-~]", "")))
+            .withColumn("n_stopwords", F.size(
+                F.filter(toks, lambda t: F.array_contains(sw, t))))
+            .withColumn("max_token_len", F.coalesce(
+                F.array_max(F.transform(toks, F.length)), F.lit(0))))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints:
+
+    fp_md5  content hash of the whitespace-normalized text (exact-dup key)
+    fp_64   64-bit xxhash of the same (compact join/bucket key at scale —
+            8 bytes shuffled instead of 32)
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), _WS, " ")
+    return (df.withColumn("fp_md5", F.md5(norm))
+              .withColumn("fp_64", F.xxhash64(norm)))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (native, no UDF).
+
+    Building block for n-gram Jaccard dedup and MinHash signatures.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+
+    def make(i):
+        return F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                  for j in range(k)])
+    return F.when(F.size(toks) >= k,
+                  F.array_distinct(F.transform(idx, make))
+                  ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def word_topk(df: DataFrame, k: int = 20, text_col: str = "text",
+              by: str | None = None) -> DataFrame:
+    """Corpus word-frequency profile (the reference's profile-builder
+    aggregation, language/LanguageProfilerBuilder.java, mapped to words):
+    explode → groupBy → count → top-k, deterministic tie-break on word.
+
+    Scale: partial aggregation (map-side combine) bounds the shuffle at
+    vocabulary size; the top-k is a single reduction over |vocab| rows.
+    """
+    words = df.select(
+        *( [F.col(by)] if by else [] ),
+        F.explode(tokens(F.col(text_col))).alias("word"))
+    keys = ([by] if by else []) + ["word"]
+    counts = words.groupBy(*keys).agg(F.count("*").alias("n"))
+    order = [F.desc("n"), F.asc("word")]
+    if by:
+        w = Window.partitionBy(by).orderBy(*order)
+        return (counts.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k).drop("rank"))
+    return counts.orderBy(*order).limit(k)
+
+
+def outlinks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Outlink harvest over plain text — the reference's post-processor
+    regex (utils/RegexUtils.java:40-48) as a native regexp_extract_all."""
+    pat = r"(https?://[^\s\"<>]+)"
+    return df.withColumn("outlinks",
+                         F.regexp_extract_all(F.col(text_col), F.lit(pat), 1))
+
+
+def summary(df: DataFrame, text_col: str = "text",
+            n: int = 500) -> DataFrame:
+    """First-n-chars summary (ParserPostProcessor.java:62-64)."""
+    return df.withColumn("summary", F.substring(F.col(text_col), 1, n))
