@@ -1,0 +1,250 @@
+"""Package/container subsystem tests: archives (E6), container
+detection (B8), OOXML/ODF/EPUB (E8-E10), recursion (F1)."""
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tika_spark.config import ExtractConfig
+from tika_spark.mime.detector import detect
+from tika_spark.pkg.container import refine_container
+from tika_spark.pkg.epub import extract_epub
+from tika_spark.pkg.odf import extract_odf
+from tika_spark.pkg.ooxml import extract_ooxml
+from tika_spark.pkg.parser import extract_package
+
+CFG = ExtractConfig()
+
+
+def make_zip(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, payload in entries.items():
+            zf.writestr(name, payload)
+    return buf.getvalue()
+
+
+def make_tar(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in entries.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+DOCX = make_zip({
+    "[Content_Types].xml": b"<Types/>",
+    "docProps/core.xml":
+        b'<cp:coreProperties '
+        b'xmlns:cp="http://schemas.openxmlformats.org/package/2006/'
+        b'metadata/core-properties" '
+        b'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        b"<dc:title>My Doc</dc:title><dc:creator>Ada</dc:creator>"
+        b"</cp:coreProperties>",
+    "word/document.xml":
+        b'<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        b'wordprocessingml/2006/main"><w:body>'
+        b"<w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t> world</w:t></w:r>"
+        b"</w:p><w:p><w:r><w:t>Second para</w:t></w:r></w:p>"
+        b"</w:body></w:document>",
+})
+
+ODT = make_zip({
+    "mimetype": b"application/vnd.oasis.opendocument.text",
+    "meta.xml":
+        b'<office:document-meta xmlns:office="urn:oasis:names:tc:'
+        b'opendocument:xmlns:office:1.0" xmlns:dc="http://purl.org/dc/'
+        b'elements/1.1/"><office:meta><dc:title>Odt Title</dc:title>'
+        b"</office:meta></office:document-meta>",
+    "content.xml":
+        b'<office:document-content xmlns:office="urn:oasis:names:tc:'
+        b'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:'
+        b'tc:opendocument:xmlns:text:1.0"><office:body><office:text>'
+        b"<text:h>Heading</text:h><text:p>Body one<text:tab/>tabbed"
+        b"</text:p></office:text></office:body>"
+        b"</office:document-content>",
+})
+
+EPUB = make_zip({
+    "mimetype": b"application/epub+zip",
+    "content.opf":
+        b'<package xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        b"<metadata><dc:title>Book</dc:title></metadata></package>",
+    "ch1.xhtml": b"<html><head><title>c1</title></head><body>"
+                 b"<p>chapter one</p></body></html>",
+    "ch2.xhtml": b"<html><body><p>chapter two</p></body></html>",
+})
+
+
+# ------------------------------------------------------- B8 detection
+
+
+def test_detect_zip_plain():
+    z = make_zip({"a.txt": b"hello"})
+    assert detect(z) == "application/zip"
+
+
+def test_detect_docx_via_container():
+    assert detect(DOCX) == ("application/vnd.openxmlformats-"
+                            "officedocument.wordprocessingml.document")
+
+
+def test_detect_odt_epub_via_mimetype_entry():
+    assert detect(ODT) == "application/vnd.oasis.opendocument.text"
+    assert detect(EPUB) == "application/epub+zip"
+
+
+def test_detect_tar_bzip2_gzip():
+    assert detect(make_tar({"f": b"x"})) == "application/x-tar"
+    assert detect(gzip.compress(b"data")) == "application/x-gzip"
+    import bz2
+    assert detect(bz2.compress(b"data")) == "application/x-bzip2"
+
+
+def test_refine_corrupt_zip_stays_zip():
+    assert refine_container(b"PK\x03\x04junk", "application/zip") \
+        == "application/zip"
+
+
+# -------------------------------------------------------- E6 archives
+
+
+def test_zip_package_children_and_text():
+    z = make_zip({"one.txt": b"first", "sub/two.html": b"<p>x</p>"})
+    r = extract_package(z, "http://e.com/a.zip", None, CFG)
+    assert r["text"] == "one.txt\nsub/two.html\n"
+    assert [c[0] for c in r["children"]] == ["one.txt", "sub/two.html"]
+    assert r["children"][0][1] == b"first"
+    assert r["status"] == "ok"
+    assert r["spans"][0] == (0, 7, "package-entry")
+
+
+def test_gzip_package_names_child_from_url():
+    g = gzip.compress(b"payload text")
+    r = extract_package(g, "http://e.com/file.txt.gz", None, CFG)
+    assert r["children"] == [("file.txt", b"payload text")]
+
+
+def test_tar_package():
+    t = make_tar({"a.txt": b"alpha", "b.txt": b"beta"})
+    r = extract_package(t, None, None, CFG)
+    assert [c for c, _ in r["children"]] == ["a.txt", "b.txt"]
+
+
+def test_zip_bomb_guard():
+    # 10 KB input expanding to ~100 MB would blow the 100x ratio
+    bomb = make_zip({"big": b"\0" * 50_000_000})
+    r = extract_package(bomb, None, None, CFG)
+    total = sum(len(d) for _, d in r["children"])
+    assert total <= max(1_000_000, 100 * len(bomb))
+    assert r["status"] == "output_limit"
+
+
+# --------------------------------------------------- E8-E10 documents
+
+
+def test_docx_extract():
+    r = extract_ooxml(DOCX, mime="application/vnd.openxmlformats-"
+                      "officedocument.wordprocessingml.document")
+    assert r["text"] == "Hello world\nSecond para\n"
+    assert r["title"] == "My Doc"
+    assert r["metadata"]["Author"] == ["Ada"]
+
+
+def test_xlsx_extract():
+    xlsx = make_zip({
+        "[Content_Types].xml": b"<Types/>",
+        "xl/workbook.xml": b"<workbook/>",
+        "xl/sharedStrings.xml":
+            b'<sst xmlns="http://schemas.openxmlformats.org/'
+            b'spreadsheetml/2006/main"><si><t>name</t></si>'
+            b"<si><t>qty</t></si></sst>",
+        "xl/worksheets/sheet1.xml":
+            b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+            b'spreadsheetml/2006/main"><sheetData>'
+            b'<row><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row>'
+            b"<row><c><v>7</v></c><c><v>9</v></c></row>"
+            b"</sheetData></worksheet>",
+    })
+    r = extract_ooxml(xlsx, mime="application/vnd.openxmlformats-"
+                      "officedocument.spreadsheetml.sheet")
+    assert r["text"] == "name\tqty\n7\t9\n"
+
+
+def test_odt_extract():
+    r = extract_odf(ODT, mime="application/vnd.oasis.opendocument.text")
+    assert r["text"] == "Heading\nBody one\ttabbed\n"
+    assert r["title"] == "Odt Title"
+
+
+def test_epub_extract():
+    r = extract_epub(EPUB)
+    assert r["text"] == "chapter one\nchapter two\n"
+    assert r["title"] == "Book"
+
+
+# ------------------------------------------------------- F1 recursion
+
+
+@pytest.fixture(scope="module")
+def nested_pages(spark):
+    inner_zip = make_zip({"deep.txt": b"deep text"})
+    rows = [
+        ("http://e.com/a.zip",
+         make_zip({"page.html":
+                   b"<html><head><title>T</title></head><body>"
+                   b"<p>inner page</p></body></html>",
+                   "nested.zip": inner_zip})),
+        ("http://e.com/plain.html",
+         b"<html><body><p>top-level</p></body></html>"),
+        ("http://e.com/note.txt.gz", gzip.compress(b"gz note")),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_recursive(spark, nested_pages):
+    from tika_spark.pipeline.job import extract_recursive
+    out = extract_recursive(nested_pages, mode="text").collect()
+    by_url = {r["url"]: r for r in out}
+    assert by_url["http://e.com/a.zip"]["mime"] == "application/zip"
+    assert by_url["http://e.com/a.zip"]["text"] == \
+        "page.html\nnested.zip\n"
+    assert by_url["http://e.com/a.zip!/page.html"]["text"] \
+        == "inner page\n"
+    assert by_url["http://e.com/a.zip!/page.html"]["depth"] == 1
+    assert by_url["http://e.com/a.zip!/nested.zip!/deep.txt"]["text"] \
+        == "deep text\n"
+    assert by_url["http://e.com/a.zip!/nested.zip!/deep.txt"]["depth"] == 2
+    assert by_url["http://e.com/note.txt.gz!/note.txt"]["text"] \
+        == "gz note\n"
+    assert by_url["http://e.com/plain.html"]["depth"] == 0
+    assert "children" not in out[0].asDict()
+
+
+def test_depth_bound(spark):
+    # a chain deeper than max_depth stops expanding, job still succeeds
+    payload = b"bottom"
+    for i in range(4):
+        payload = make_zip({f"level{i}.zip" if i else "leaf.txt": payload})
+    df = spark.createDataFrame([("u://chain.zip", payload)],
+                               "url string, html binary")
+    from tika_spark.pipeline.job import extract_recursive
+    out = extract_recursive(df, mode="text", max_depth=2).collect()
+    assert max(r["depth"] for r in out) == 2
+    assert all(r["status"] in ("ok", "no_parser") for r in out)
+
+
+def test_docx_through_pipeline(spark):
+    from tika_spark.pipeline.job import extract
+    df = spark.createDataFrame([("u://d.docx", DOCX)],
+                               "url string, html binary")
+    row = extract(df, mode="text").collect()[0]
+    assert row["mime"].endswith("wordprocessingml.document")
+    assert row["text"] == "Hello world\nSecond para\n"
+    assert row["title"] == "My Doc"

@@ -143,6 +143,12 @@ def detect(data: bytes | None, url: str | None = None,
 
     mime = _apply_hint(mime, globs.match_name(url))
     mime = _apply_hint(mime, declared_type)
+
+    if mime == "application/zip":
+        # container-aware refinement (B8): peek at the zip central
+        # directory for OOXML/ODF/EPUB signatures (ZipContainerDetector)
+        from tika_spark.pkg.container import refine_container
+        mime = refine_container(bytes(data or b""), mime)
     return mime
 
 

@@ -54,6 +54,9 @@ MAGIC_RULES: list[MagicRule] = [
        Clause(0, 0, b"\xfe\xff\x00<\x00?\x00x\x00m\x00l")), # UTF-16BE BOM
     _m("application/x-gzip", 45, Clause(0, 0, b"\x1f\x8b")),
     _m("application/zip", 45, Clause(0, 0, b"PK\x03\x04")),
+    _m("application/x-bzip2", 45, Clause(0, 0, b"BZh")),
+    # POSIX tar: "ustar" magic at offset 257 (tika-mimetypes.xml tar block)
+    _m("application/x-tar", 45, Clause(257, 257, b"ustar")),
     _m("application/rtf", 50, Clause(0, 0, b"{\\rtf")),
     _m("image/png", 50, Clause(0, 0, b"\x89PNG\r\n\x1a\n")),
     _m("image/gif", 50, Clause(0, 0, b"GIF87a"), Clause(0, 0, b"GIF89a")),

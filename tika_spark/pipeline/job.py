@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from tika_spark.config import ExtractConfig
+from tika_spark.config import MAX_EMBED_DEPTH, ExtractConfig
 from tika_spark.pipeline.stages import EXTRACT_SCHEMA, make_extract_fn
 
 _DEFAULT = ExtractConfig()
@@ -48,8 +48,18 @@ def extract(df: DataFrame, mode: str = "text",
 
     Input columns: url, html (binary); optional warc_ts, declared_type.
     Output: url, warc_ts, mime, charset, lang, lang_distance, title,
-    text, spans, links, metadata, status, error, n_bytes, n_chars,
-    part_id, batch_ms  (NO html — the binary never leaves the stage).
+    text, spans, links, metadata, status, error, children, n_bytes,
+    n_chars, part_id, batch_ms  (NO html — the binary never leaves the
+    stage; ``children`` carries archive members for the F1 recursion
+    and is empty for non-container rows).
+
+    ``repartition``: number of partitions for the skew-defusing
+    (size_bucket, crc32(url)) shuffle; None → defaultParallelism;
+    ``0`` → **skip the shuffle** and trust the input partitioning.
+    Use 0 when the source table is already written bucketed by content
+    size (the recommended Iceberg layout at crawl scale — then the
+    heavy binary column is never shuffled at all and the whole job is
+    scan → mapInPandas → write with zero exchanges).
     """
     if config is None:
         config = ExtractConfig(mode=mode)
@@ -60,15 +70,60 @@ def extract(df: DataFrame, mode: str = "text",
             if c in df.columns]
     slim = df.select(*cols)  # column pruning before the python stage
 
-    bucketed = with_size_bucket(slim, config.size_bucket_bounds)
-    n_parts = repartition or slim.sparkSession.sparkContext.defaultParallelism
-    # spread giants uniformly, then make batches size-homogeneous
-    arranged = (bucketed
-                .repartition(n_parts, F.col("size_bucket"), F.crc32("url"))
-                .sortWithinPartitions("size_bucket")
-                .drop("size_bucket"))
+    if repartition == 0:
+        arranged = slim
+    else:
+        bucketed = with_size_bucket(slim, config.size_bucket_bounds)
+        n_parts = (repartition
+                   or slim.sparkSession.sparkContext.defaultParallelism)
+        # spread giants uniformly, then make batches size-homogeneous
+        arranged = (bucketed
+                    .repartition(n_parts, F.col("size_bucket"),
+                                 F.crc32("url"))
+                    .sortWithinPartitions("size_bucket")
+                    .drop("size_bucket"))
     return arranged.mapInPandas(make_extract_fn(config),
                                 schema=EXTRACT_SCHEMA)
+
+
+def extract_recursive(df: DataFrame, mode: str = "text",
+                      config: ExtractConfig | None = None,
+                      max_depth: int = MAX_EMBED_DEPTH,
+                      repartition: int | None = None) -> DataFrame:
+    """Extraction with embedded-document recursion (SURVEY.md §2 F1,
+    §3.4): archive members surfaced in ``children`` are exploded into
+    new rows (url = ``parent!/name``) that re-enter the same
+    detect → route → parse job, iterating to a driver-side fixpoint.
+
+    Depth is bounded by MAX_EMBED_DEPTH, mirroring the reference's
+    package-nesting guard (sax/SecureContentHandler.java:80 — depth 10);
+    members still unexpanded at the bound are dropped (their parent row
+    keeps the entry-name text). Output = extract() schema minus
+    ``children``, plus ``depth``.
+
+    The per-level ``isEmpty()`` is the deliberate driver-side fixpoint
+    check (no recursion inside a UDF); levels after the first are tiny
+    (only container members), so the extra jobs are cheap. Each level
+    re-applies the size-bucket repartitioning so a zip full of giant
+    members cannot skew one task.
+    """
+    out = extract(df, mode=mode, config=config, repartition=repartition)
+    level = out.withColumn("depth", F.lit(0))
+    results = level.drop("children")
+    for depth in range(1, max_depth + 1):
+        frontier = level.filter(F.size("children") > 0)
+        children = (frontier
+                    .select("url", F.explode("children").alias("c"))
+                    .select(F.concat(F.col("url"), F.lit("!/"),
+                                     F.col("c.name")).alias("url"),
+                            F.col("c.data").alias("html")))
+        if children.isEmpty():
+            break
+        out = extract(children, mode=mode, config=config,
+                      repartition=repartition)
+        level = out.withColumn("depth", F.lit(depth))
+        results = results.unionByName(level.drop("children"))
+    return results
 
 
 def lineage_manifest(extracted: DataFrame) -> DataFrame:

@@ -26,6 +26,10 @@ from tika_spark.html.extract import extract_html
 from tika_spark.mime import lattice
 from tika_spark.mime.detector import detect_batch
 from tika_spark.pdf.parser import extract_pdf
+from tika_spark.pkg.epub import extract_epub
+from tika_spark.pkg.odf import extract_odf
+from tika_spark.pkg.ooxml import extract_ooxml
+from tika_spark.pkg.parser import extract_package
 from tika_spark.textparse import extract_text
 from tika_spark.xmlparse import extract_feed, extract_xml
 
@@ -42,6 +46,23 @@ ROUTE_TABLE = {
     "image/svg+xml": "xml",
     "application/rdf+xml": "xml",
     "text/plain": "txt",
+    # archives (E6) — children explode through extract_recursive (F1)
+    "application/zip": "pkg",
+    "application/x-gzip": "pkg",
+    "application/x-tar": "pkg",
+    "application/x-bzip2": "pkg",
+    # zip-based document formats (E8-E10), specific types from the
+    # container refinement (B8) — matched before the zip supertype
+    "application/vnd.openxmlformats-officedocument"
+    ".wordprocessingml.document": "ooxml",
+    "application/vnd.openxmlformats-officedocument"
+    ".spreadsheetml.sheet": "ooxml",
+    "application/vnd.openxmlformats-officedocument"
+    ".presentationml.presentation": "ooxml",
+    "application/vnd.oasis.opendocument.text": "odf",
+    "application/vnd.oasis.opendocument.spreadsheet": "odf",
+    "application/vnd.oasis.opendocument.presentation": "odf",
+    "application/epub+zip": "epub",
 }
 
 _EXTRACTORS = {
@@ -50,7 +71,14 @@ _EXTRACTORS = {
     "xml": extract_xml,
     "feed": extract_feed,
     "txt": extract_text,
+    "pkg": extract_package,
+    "ooxml": extract_ooxml,
+    "odf": extract_odf,
+    "epub": extract_epub,
 }
+
+# routes whose extractor takes the detected media type (dispatch detail)
+_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf"})
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "
@@ -58,7 +86,9 @@ EXTRACT_SCHEMA = (
     "spans array<struct<start:int,end:int,kind:string>>, "
     "links array<struct<kind:string,uri:string,title:string,text:string>>, "
     "metadata map<string,array<string>>, "
-    "status string, error string, n_bytes bigint, n_chars bigint, "
+    "status string, error string, "
+    "children array<struct<name:string,data:binary>>, "
+    "n_bytes bigint, n_chars bigint, "
     "part_id int, batch_ms double"
 )
 
@@ -102,9 +132,12 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
                 results[k] = _empty_result()
                 continue
             try:
-                results[k] = fn(html[i], urls[i],
-                                declared[i] if declared is not None else None,
-                                config)
+                decl_i = declared[i] if declared is not None else None
+                if route in _MIME_AWARE_ROUTES:
+                    results[k] = fn(html[i], urls[i], decl_i, config,
+                                    mime=mimes[i])
+                else:
+                    results[k] = fn(html[i], urls[i], decl_i, config)
             except Exception as e:  # poison doc -> error row, task survives
                 r = _empty_result()
                 r["status"], r["error"] = "error", repr(e)[:1000]
@@ -142,6 +175,9 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
         "metadata": [r.get("metadata", {}) for r in results],
         "status": [r.get("status", "ok") for r in results],
         "error": [r.get("error") for r in results],
+        "children": [[{"name": nm, "data": payload}
+                      for (nm, payload) in r.get("children", [])]
+                     for r in results],
         "n_bytes": html.map(lambda b: len(b) if b is not None else 0).values,
         "n_chars": texts.str.len().values,
         "part_id": part_id,

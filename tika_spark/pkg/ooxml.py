@@ -1,0 +1,147 @@
+"""OOXML parsers: docx / xlsx / pptx via zip + stdlib XML (E8).
+
+Reimplements the *output semantics* of the reference's OOXML chain
+(tika-parsers/.../microsoft/ooxml/OOXMLParser.java:44-60,
+OOXMLExtractorFactory.java — thin drivers over POI's
+POIXMLTextExtractor decorators) directly from the published ECMA-376
+part names, without POI:
+
+- docx: ``word/document.xml`` — each ``w:p`` paragraph's ``w:t`` runs
+  joined, one paragraph per line (POI XWPFWordExtractor shape); tab
+  elements ``w:tab`` → TAB.
+- xlsx: ``xl/sharedStrings.xml`` + ``xl/worksheets/sheet*.xml`` —
+  rows as TAB-separated cells, one row per line (the reference's
+  Excel emit shape: <tr><td> through the C5 TAB/NEWLINE layout,
+  microsoft/ExcelExtractor.java).
+- pptx: ``ppt/slides/slide*.xml`` — each ``a:t`` run, one per line,
+  slides in numeric order.
+
+Core properties (``docProps/core.xml``: dc:title, dc:creator,
+cp:keywords, dc:subject) map to metadata for all three.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import xml.etree.ElementTree as ET
+import zipfile
+
+from tika_spark.config import ExtractConfig
+from tika_spark.html.layout import safe_chars
+
+_DEFAULT = ExtractConfig()
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_DC = "{http://purl.org/dc/elements/1.1/}"
+_CP = ("{http://schemas.openxmlformats.org/package/2006/metadata/"
+       "core-properties}")
+
+
+def _core_metadata(zf: zipfile.ZipFile) -> dict[str, list[str]]:
+    meta: dict[str, list[str]] = {}
+    try:
+        root = ET.fromstring(zf.read("docProps/core.xml"))
+    except Exception:
+        return meta
+    for tag, key in ((_DC + "title", "title"), (_DC + "creator", "Author"),
+                     (_DC + "subject", "subject"),
+                     (_CP + "keywords", "Keywords")):
+        el = root.find(tag)
+        if el is not None and el.text:
+            meta[key] = [el.text]
+    return meta
+
+
+def _docx_text(zf: zipfile.ZipFile) -> str:
+    root = ET.fromstring(zf.read("word/document.xml"))
+    lines = []
+    for p in root.iter(_W + "p"):
+        parts = []
+        for node in p.iter():
+            if node.tag == _W + "t" and node.text:
+                parts.append(node.text)
+            elif node.tag == _W + "tab":
+                parts.append("\t")
+            elif node.tag == _W + "br":
+                parts.append("\n")
+        lines.append("".join(parts))
+    return "".join(line + "\n" for line in lines)
+
+
+def _xlsx_text(zf: zipfile.ZipFile) -> str:
+    shared: list[str] = []
+    try:
+        sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sroot.iter(_S + "si"):
+            shared.append("".join(t.text or "" for t in si.iter(_S + "t")))
+    except KeyError:
+        pass
+    sheets = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+    out = []
+    for name in sheets:
+        root = ET.fromstring(zf.read(name))
+        for row in root.iter(_S + "row"):
+            cells = []
+            for c in row.iter(_S + "c"):
+                v = c.find(_S + "v")
+                raw = v.text if v is not None and v.text else ""
+                if c.get("t") == "s" and raw.isdigit():
+                    idx = int(raw)
+                    raw = shared[idx] if idx < len(shared) else ""
+                elif c.get("t") == "inlineStr":
+                    raw = "".join(t.text or ""
+                                  for t in c.iter(_S + "t"))
+                cells.append(raw)
+            out.append("\t".join(cells) + "\n")
+    return "".join(out)
+
+
+def _pptx_text(zf: zipfile.ZipFile) -> str:
+    slides = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+    out = []
+    for name in slides:
+        root = ET.fromstring(zf.read(name))
+        for t in root.iter(_A + "t"):
+            if t.text:
+                out.append(t.text + "\n")
+    return "".join(out)
+
+
+def extract_ooxml(data: bytes, url: str | None = None,
+                  declared_type: str | None = None,
+                  config: ExtractConfig = _DEFAULT,
+                  mime: str = "") -> dict:
+    data = bytes(data or b"")
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        metadata = _core_metadata(zf)
+        if "wordprocessingml" in mime or "word/document.xml" in \
+                zf.namelist():
+            text = _docx_text(zf)
+        elif "spreadsheetml" in mime or "xl/workbook.xml" in zf.namelist():
+            text = _xlsx_text(zf)
+        else:
+            text = _pptx_text(zf)
+    text = safe_chars(text)
+    limit = max(config.output_min_chars,
+                config.output_ratio * max(1, len(data)))
+    status = "ok"
+    if len(text) > limit:
+        text, status = text[:limit], "output_limit"
+    return {
+        "charset": None,
+        "title": metadata.get("title", [None])[0],
+        "text": text,
+        "spans": [(0, len(text), "body")] if text else [],
+        "links": [],
+        "metadata": {**metadata, "Content-Type": [mime or "application/zip"]},
+        "status": status,
+    }

@@ -1,0 +1,82 @@
+"""Two-parallelism scaling run (sandbox proxy for N vs 4N executors).
+
+Generates the seeded synthetic pages table once to parquet, then runs
+the identical full extraction job (detect → parse → block-classify →
+emit, mode text-main) at local[N] and local[4N], one JVM at a time.
+
+    python tools/scaling_bench.py [n_pages] [N]
+
+Prints one JSON line: throughput at each level + efficiency
+(T_N/T_4N)/4; the driver-facing writeup lands in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def session(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"scaling-{cpus}")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def run_level(cpus: int, input_path: str, mode: str, repeats: int) -> dict:
+    from tika_spark.pipeline.job import extract
+    spark = session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(input_path)
+    n = pages.count()
+    # one warmup (JVM/codegen/python-worker spinup), then timed runs
+    extract(pages, mode=mode, repartition=cpus * 2).write \
+        .format("noop").mode("overwrite").save()
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        extract(pages, mode=mode, repartition=cpus * 2).write \
+            .format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - t0)
+    spark.stop()
+    best = min(walls)
+    return {"cpus": cpus, "n_pages": n, "wall_sec": [round(w, 2)
+            for w in walls], "best_sec": round(best, 2),
+            "docs_per_sec": round(n / best, 1)}
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    mode = os.environ.get("SCALING_MODE", "text-main")
+    input_path = f"/tmp/scaling_pages_{n_pages}"
+
+    if not os.path.isdir(input_path):
+        spark = session(8)
+        spark.sparkContext.setLogLevel("ERROR")
+        from tika_spark.fixtures.pages import generate_pages_df
+        tmp = input_path + ".tmp"
+        generate_pages_df(spark, n_pages).write.mode("overwrite") \
+            .parquet(tmp)
+        shutil.move(tmp, input_path)
+        spark.stop()
+
+    lo = run_level(base, input_path, mode, repeats=3)
+    hi = run_level(base * 4, input_path, mode, repeats=3)
+    eff = (lo["best_sec"] / hi["best_sec"]) / 4
+    print(json.dumps({"mode": mode, "low": lo, "high": hi,
+                      "scaling_efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
