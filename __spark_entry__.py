@@ -19,11 +19,13 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # needed at module scope: pandas_udf resolves the
+#                      string type hints of nested UDFs via __globals__
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from tika_spark.analysis import dedup, multimodal, similarity, textstats
-from tika_spark.pipeline.job import extract
+from tika_spark.pipeline.job import extract, extract_recursive
 
 # ----------------------------------------------------------------- helpers
 
@@ -227,6 +229,80 @@ def _q_media_meta(spark, sf_dir):
                       F.col("height").cast("long").alias("height"))
 
 
+def _zip_wrap_udf():
+    """Deterministic one-member zip per document (fixture builder for
+    the F1 recursion check; ZIP_STORED + fixed date → byte-stable)."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                info = zipfile.ZipInfo("doc.txt", (1980, 1, 1, 0, 0, 0))
+                zf.writestr(info, (t or "").encode("utf-8"))
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_recursive_zip(spark, sf_dir):
+    """F1 embedded-doc recursion: every doc wrapped in a zip; the
+    parent row carries the entry-name text, the exploded child row the
+    extracted member text."""
+    wrap = _zip_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".zip"))
+        .alias("url"),
+        wrap(F.col("text")).alias("html"))
+    out = extract_recursive(pages, mode="text")
+    return out.select("url", F.col("depth").cast("long").alias("depth"),
+                      "text")
+
+
+def _png_udf():
+    """Deterministic minimal PNG per document (E12 fixture builder)."""
+    import struct
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def png(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            w, h = 16 + int(i) % 640, 16 + (int(i) * 3) % 480
+            ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            chunk = b"IHDR" + ihdr
+            out.append(b"\x89PNG\r\n\x1a\n"
+                       + struct.pack(">I", len(ihdr)) + chunk
+                       + struct.pack(">I", zlib.crc32(chunk)))
+        return pd.Series(out)
+
+    return png
+
+
+def _q_extract_media_dims(spark, sf_dir):
+    png = _png_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".png"))
+        .alias("url"),
+        png(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="text")
+    width = F.element_at(F.col("metadata"), "width")[0]
+    height = F.element_at(F.col("metadata"), "height")[0]
+    return out.select("url", "mime",
+                      width.cast("long").alias("width"),
+                      height.cast("long").alias("height"))
+
+
 def _q_length_histogram(spark, sf_dir):
     b = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
     return (_docs(spark, sf_dir).select(b.alias("bucket"))
@@ -241,6 +317,52 @@ def _q_latest_event_per_user(spark, sf_dir):
                                               F.desc("event_id"))
     return (ev.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("user_id", "event_id"))
+
+
+def _q_ngram_profile_topk(spark, sf_dir):
+    """G3 profile-builder aggregation: char 3-grams of the normalized
+    text (lowercase, non-letters → '_', ProfilingWriter.java:66-94),
+    explode → groupBy → count → top 30. Restricted to lang='en' so the
+    ascii normalization is oracle-exact."""
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    norm = F.regexp_replace(F.lower("text"), "[^a-z]", "_")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(norm)-2, 0)), "
+        "i -> substring(norm, i, 3))")
+    exploded = docs.select(norm.alias("norm")).select(
+        F.explode(grams).alias("ngram"))
+    return (exploded.groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("ngram")).limit(30))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): per-user session
+    count — the batch form of the session-window op (§2.I), all native
+    lag/sum window functions."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    new_sess = F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+                 F.count("*").cast("long").alias("n_events")))
+    return sess
+
+
+def _q_docs_rollup(spark, sf_dir):
+    """Rollup aggregate over (lang, source) — §2.I grouping-sets
+    coverage; NULL group keys coalesced to 'ALL' for hash stability."""
+    out = (_docs(spark, sf_dir)
+           .rollup("lang", "source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars")))
+    return out.select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                      F.coalesce("source", F.lit("ALL")).alias("source"),
+                      "n_docs", "sum_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -265,8 +387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "media_meta": _q_media_meta,
+        "extract_recursive_zip": _q_extract_recursive_zip,
+        "extract_media_dims": _q_extract_media_dims,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
+        "ngram_profile_topk": _q_ngram_profile_topk,
+        "events_sessionize": _q_events_sessionize,
+        "docs_rollup": _q_docs_rollup,
     }
 
 
@@ -379,6 +506,18 @@ def oracle_sql() -> dict[str, str]:
             "(16 + octet_length(encode(text)) % 624)::BIGINT AS width, "
             "(16 + (octet_length(encode(text)) * 7) % 464)::BIGINT "
             "AS height FROM documents"),
+        "extract_recursive_zip": (
+            "SELECT 'doc://' || doc_id || '.zip' AS url, "
+            "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
+            "FROM documents UNION ALL "
+            "SELECT 'doc://' || doc_id || '.zip!/doc.txt' AS url, "
+            "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_media_dims": (
+            "SELECT 'doc://' || doc_id || '.png' AS url, "
+            "'image/png' AS mime, "
+            "(16 + doc_id % 640)::BIGINT AS width, "
+            "(16 + (doc_id * 3) % 480)::BIGINT AS height FROM documents"),
         "length_histogram": (
             "SELECT CAST(least(floor(n_chars / 100.0), 9) AS BIGINT) AS "
             "bucket, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1"),
@@ -386,4 +525,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id FROM (SELECT user_id, event_id, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
             "event_id DESC) AS rn FROM events) WHERE rn = 1"),
+        "ngram_profile_topk": (
+            "WITH g AS (SELECT unnest(list_transform("
+            "generate_series(1, greatest(length(norm)-2, 0)), "
+            "i -> substring(norm, i, 3))) AS ngram FROM ("
+            "SELECT regexp_replace(lower(text), '[^a-z]', '_', 'g') "
+            "AS norm FROM documents WHERE lang = 'en')) "
+            "SELECT ngram, COUNT(*)::BIGINT AS n FROM g GROUP BY ngram "
+            "ORDER BY n DESC, ngram ASC LIMIT 30"),
+        "events_sessionize": (
+            "WITH marked AS (SELECT user_id, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER ("
+            "PARTITION BY user_id "
+            "ORDER BY ts, event_id))) > 1800 THEN 1 ELSE 0 END AS "
+            "new_sess FROM events) "
+            "SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions, "
+            "COUNT(*)::BIGINT AS n_events FROM marked GROUP BY user_id"),
+        "docs_rollup": (
+            "SELECT coalesce(lang, 'ALL') AS lang, "
+            "coalesce(source, 'ALL') AS source, "
+            "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS "
+            "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
     }

@@ -43,6 +43,10 @@ def main():
              .config("spark.sql.shuffle.partitions", str(cpus))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+             # byte-balanced fine-grained scan splits (see
+             # tools/scaling_bench.py) — avoids giant-page stragglers
+             .config("spark.sql.files.maxPartitionBytes", "1m")
+             .config("spark.sql.files.openCostInBytes", "64k")
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())

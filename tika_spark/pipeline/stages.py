@@ -30,6 +30,7 @@ from tika_spark.pkg.epub import extract_epub
 from tika_spark.pkg.odf import extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
+from tika_spark.media import extract_media
 from tika_spark.rtf import extract_rtf
 from tika_spark.textparse import extract_text
 from tika_spark.xmlparse import extract_feed, extract_xml
@@ -48,6 +49,11 @@ ROUTE_TABLE = {
     "application/rdf+xml": "xml",
     "text/plain": "txt",
     "application/rtf": "rtf",
+    # metadata-only media rows (E12)
+    "image/png": "media",
+    "image/gif": "media",
+    "image/jpeg": "media",
+    "image/bmp": "media",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
     "application/x-gzip": "pkg",
@@ -74,6 +80,7 @@ _EXTRACTORS = {
     "feed": extract_feed,
     "txt": extract_text,
     "rtf": extract_rtf,
+    "media": extract_media,
     "pkg": extract_package,
     "ooxml": extract_ooxml,
     "odf": extract_odf,
@@ -81,7 +88,7 @@ _EXTRACTORS = {
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
-_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf"})
+_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "media"})
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "

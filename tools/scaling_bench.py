@@ -28,6 +28,12 @@ def session(cpus: int):
             .config("spark.sql.shuffle.partitions", str(cpus))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+            # scan granularity: byte-balanced splits ≥3-4× cores so the
+            # giant-page tail can't serialize one straggler task (the
+            # local-mode analog of sizing Iceberg split size vs executor
+            # count; default 128m bin-packing left 10× byte skew)
+            .config("spark.sql.files.maxPartitionBytes", "1m")
+            .config("spark.sql.files.openCostInBytes", "64k")
             .config("spark.driver.memory", "48g")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
@@ -83,8 +89,8 @@ def main():
         shutil.move(tmp, input_path)
         spark.stop()
 
-    lo = run_level(base, input_path, mode, repeats=3)
-    hi = run_level(base * 4, input_path, mode, repeats=3)
+    lo = run_level(base, input_path, mode, repeats=4)
+    hi = run_level(base * 4, input_path, mode, repeats=4)
     eff = (lo["best_sec"] / hi["best_sec"]) / 4
     print(json.dumps({"mode": mode, "low": lo, "high": hi,
                       "scaling_efficiency": round(eff, 3)}))
