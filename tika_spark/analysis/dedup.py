@@ -33,6 +33,18 @@ from pyspark.sql.types import LongType
 
 from tika_spark.analysis.textstats import fingerprint, tokens, word_shingles
 
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan gave fewer partitions than
+    cores (a small-file artifact: a 2 MB parquet scans as 1 split and
+    would serialize a CPU-heavy projection on one task). No-op at real
+    scale, where inputs already have >= cores partitions."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -75,9 +87,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Output: (id_a, id_b, sim_micro) with id_a < id_b; similarity is an
     exact integer (micro-units) so results hash identically everywhere.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   *[F.col(c) for c in block_cols],
-                   word_shingles(F.col(text_col), k).alias("sh"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), k).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -156,7 +169,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     r = num_perm // bands
     base = with_minhash_signature(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        ensure_parallelism(df.select(F.col(id_col).alias("id"),
+                                     F.col(text_col))),
         text_col, num_perm, k, keep_shingles="sh").drop(text_col)
     bandcols = F.array(*[
         F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * r + j + 1)
@@ -223,8 +237,9 @@ def hash64(s: str) -> int:
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col).alias("id"),
-                     _simhash64(tokens(F.col(text_col))).alias("simhash"))
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        _simhash64(tokens(F.col(text_col))).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",

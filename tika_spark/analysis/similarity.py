@@ -50,10 +50,12 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10,
     window's sort pushdown under AQE).
     Output: (query_id, vec_id, sim_micro, rank).
     """
+    from tika_spark.analysis.dedup import ensure_parallelism
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    b = base.select(F.col(id_col).alias("vec_id"),
-                    _as_double(F.col(vec_col)).alias("bv"))
+    b = ensure_parallelism(base).select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("bv"))
     sim = cosine(F.col("qv"), F.col("bv"))
     scored = (b.crossJoin(F.broadcast(q))
                .select("query_id", "vec_id",
