@@ -218,6 +218,15 @@ def _q_ann_lsh(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # rows-only: approximate path (KMeans coarse quantizer + nprobe)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries_df, k=10, nlist=16, nprobe=4)
+    return out.select("query_id", "vec_id", "sim_micro",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _q_media_meta(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
@@ -386,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_media_dims": _q_extract_media_dims,

@@ -141,6 +141,15 @@ def test_lsh_topk_contains_duplicate(emb_df):
     assert 0 in ids and 100 in ids  # same bucket by construction
 
 
+def test_ivf_topk_recall(emb_df):
+    # exact duplicates land in the same KMeans cell → IVF finds them
+    q = emb_df.filter(F.col("vec_id") == 0)
+    top = similarity.ivf_topk(emb_df, q, k=3, nlist=4, nprobe=1).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and 100 in ids and 11 in ids
+    assert all(r["sim_micro"] == 1_000_000 for r in top)
+
+
 def test_lsh_signature_deterministic(spark, emb_df):
     s1 = emb_df.select(similarity.lsh_signature(
         F.col("embedding"), 8).alias("s")).collect()

@@ -120,7 +120,7 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16,
 
 
 def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_planes: int = 12, probe_bits: int = 1,
+             n_planes: int = 8, probe_bits: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to vectors whose LSH
@@ -128,6 +128,12 @@ def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     (multiprobe ring). Recall is tunable via n_planes/probe_bits; the
     join is an equi-join on bucket id → shuffle bounded by bucket sizes,
     never |base| x |queries|.
+
+    Size ``n_planes`` to the corpus: expected bucket population is
+    |base| / 2^n_planes; with the (1+n_planes)-bucket multiprobe ring
+    the candidate pool is ≈ (1+n_planes)·|base|/2^n_planes — keep that
+    ≳ 10·k for usable recall (n_planes=8 suits 10^3-10^5 vectors;
+    10^9-scale corpora want 16-20 planes + banding like MinHash).
     """
     sig = lsh_signature(F.col(vec_col), dim, n_planes)
     b = base.select(F.col(id_col).alias("vec_id"),
@@ -146,6 +152,76 @@ def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                .select("query_id", "vec_id",
                        F.round(sim * 1_000_000).cast("long")
                        .alias("sim_micro")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def ivf_index(base: DataFrame, nlist: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Coarse quantizer: KMeans centroids + per-vector cluster
+    assignment (the FAISS-IVF structure in DataFrame form).
+
+    Returns (assigned_df with a ``cluster`` column, centers list).
+    Train once, persist ``assigned`` partitioned by cluster — then each
+    query touches nprobe/nlist of the corpus. Centroids are tiny and
+    ride the closure/broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = base.withColumn(
+        "__v", array_to_vector(_as_double(F.col(vec_col))))
+    model = KMeans(k=nlist, seed=7, featuresCol="__v",
+                   predictionCol="cluster").fit(feat)
+    assigned = model.transform(feat).drop("__v")
+    return assigned, [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10,
+             nlist: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """IVF approximate top-k: exact cosine restricted to the nprobe
+    clusters nearest each query vector.
+
+    Scan fraction ≈ nprobe/nlist; unlike hyperplane LSH this exploits
+    the corpus geometry (learned centroids), so recall stays high even
+    when neighbor cosines are weak. All joins are equi-joins on the
+    cluster id (broadcast query side).
+    """
+    spark = base.sparkSession
+    assigned, centers = ivf_index(base, nlist, id_col, vec_col)
+
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cluster int, center array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    # squared L2 distance to each centroid (KMeans metric), keep nprobe
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("center"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"),
+                                                F.asc("cluster"))
+    probes = (q.crossJoin(F.broadcast(centers_df))
+              .withColumn("d2", d2)
+              .withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= nprobe)
+              .select("query_id", "qv", "cluster"))
+
+    b = assigned.select(F.col(id_col).alias("vec_id"), "cluster",
+                        _as_double(F.col(vec_col)).alias("bv"))
+    sim = cosine(F.col("qv"), F.col("bv"))
+    scored = (b.join(F.broadcast(probes), "cluster")
+              .select("query_id", "vec_id",
+                      F.round(sim * 1_000_000).cast("long")
+                      .alias("sim_micro")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
