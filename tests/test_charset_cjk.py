@@ -1,0 +1,40 @@
+"""CJK multibyte charset recognizer tests (C7 widening —
+CharsetRecog_mbcs family semantics)."""
+
+import pytest
+
+from tika_spark.charset import detect_statistical
+
+JP = "データ処理は高速で、スパークの分散処理が有効です。今日は良い天気。"
+KR = "스파크 분산 처리 시스템은 매우 빠르게 동작합니다. 오늘 날씨가 좋다."
+ZH_S = "火花分布式处理系统运行速度非常快。今天这个天气很好。我们说数据批处理窗口还可以。"
+ZH_T = "火花分散式處理系統運行速度非常快。今天這個天氣很好。我們說資料批次處理視窗還可以。"
+
+
+@pytest.mark.parametrize("codec,text", [
+    ("shift_jis", JP), ("euc_jp", JP), ("cp949", KR),
+    ("gb18030", ZH_S), ("big5", ZH_T),
+])
+def test_cjk_detection(codec, text):
+    assert detect_statistical(text.encode(codec)) == codec
+
+
+def test_cjk_utf8_still_wins():
+    assert detect_statistical(JP.encode("utf-8")) == "utf-8"
+    assert detect_statistical(ZH_S.encode("utf-8")) == "utf-8"
+
+
+def test_iso2022_jp_escape():
+    assert detect_statistical(JP.encode("iso2022_jp")) == "iso2022_jp"
+
+
+def test_no_cyrillic_regression():
+    ru = "привет мир как дела сегодня хорошо"
+    assert detect_statistical(ru.encode("koi8-r")) == "koi8-r"
+    assert detect_statistical(ru.encode("cp866")) == "cp866"
+
+
+def test_declared_hint_still_applies():
+    # ambiguous short latin-1 bytes: declared hint must win
+    raw = "café au lait".encode("iso-8859-1")
+    assert detect_statistical(raw, declared="iso-8859-1") == "iso-8859-1"

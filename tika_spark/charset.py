@@ -200,6 +200,65 @@ def _score_cp500(buf: np.ndarray) -> int:
     return 0
 
 
+# CJK multibyte recognizers (CharsetDetector's CharsetRecog_mbcs family,
+# tika-parsers/.../txt/CharsetRecog_mbcs.java): each candidate encoding
+# is validated by strict decode of the prefix, then scored by the
+# density of characters in its expected script ranges. ``prior`` breaks
+# ties among encodings whose byte patterns overlap (gb18030 is a
+# near-superset and must not win on validity alone).
+_KANA = ((0x3040, 0x30FF),)
+_HANGUL = ((0xAC00, 0xD7A3), (0x1100, 0x11FF))
+_CJK = ((0x4E00, 0x9FFF),)
+
+# very common characters found in ONE Han variant but not the other —
+# the cross-decode of gb18030 bytes is often byte-valid big5 (and vice
+# versa), so validity alone cannot separate them
+_SIMPLIFIED = set("们这为说对时会业发经动点现还没见问头语长习")
+_TRADITIONAL = set("們這為說對時會業發經動點現還沒見問頭語長習")
+
+_MBCS_CANDIDATES = (
+    # (codec, prior, gate ranges [>=2 chars required], score ranges,
+    #  distinctive char set)
+    ("shift_jis", 6, _KANA, _KANA + _CJK, None),
+    ("euc_jp", 5, _KANA, _KANA + _CJK, None),
+    ("cp949", 4, _HANGUL, _HANGUL, None),
+    ("big5", 3, _CJK, _CJK, _TRADITIONAL),
+    ("gb18030", 2, _CJK, _CJK, _SIMPLIFIED),
+)
+
+
+def _score_mbcs(raw: bytes, codec: str, prior: int, gate, ranges,
+                distinctive) -> int:
+    if not any(b >= 0x80 for b in raw):
+        return 0
+    try:
+        text = raw.decode(codec)
+    except (UnicodeDecodeError, LookupError) as e:
+        # tolerate only a truncated trailing sequence
+        start = getattr(e, "start", 0)
+        if start < len(raw) - 4:
+            return 0
+        try:
+            text = raw[:start].decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            return 0
+    if not text:
+        return 0
+    gate_hits = sum(1 for ch in text
+                    if any(lo <= ord(ch) <= hi for lo, hi in gate))
+    if gate_hits < 2:
+        return 0
+    script = sum(1 for ch in text
+                 if any(lo <= ord(ch) <= hi for lo, hi in ranges))
+    if script < 4:
+        return 0
+    rate = script / len(text)
+    bonus = 0
+    if distinctive is not None:
+        bonus = 12 * min(sum(1 for ch in text if ch in distinctive), 2)
+    return min(100, 50 + int(rate * 30) + prior + bonus)
+
+
 def detect_statistical(data: bytes, declared: str | None = None) -> str:
     """Best-effort statistical charset detection over <=8000 bytes."""
     raw = data[:CHARSET_PREFIX]
@@ -221,6 +280,10 @@ def detect_statistical(data: bytes, declared: str | None = None) -> str:
     # single-byte Cyrillic heuristics
     scores["cp866"] = _score_sbcs_cyrillic(buf, [(0x80, 0xAF), (0xE0, 0xF1)])
     scores["koi8-r"] = _score_sbcs_cyrillic(buf, [(0xC0, 0xFF)])
+    if scores["utf-8"] < 60:  # only consider CJK MBCS when not UTF-8
+        for codec, prior, gate, ranges, distinctive in _MBCS_CANDIDATES:
+            scores[codec] = _score_mbcs(raw, codec, prior, gate, ranges,
+                                        distinctive)
 
     declared = clean_charset(declared)
     if declared:
