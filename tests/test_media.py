@@ -55,6 +55,41 @@ def test_corrupt_image_is_metadata_only_ok():
     assert "width" not in r["metadata"]
 
 
+def _make_id3v2(title: str, artist: str) -> bytes:
+    def frame(fid, text):
+        body = b"\x03" + text.encode("utf-8")
+        return fid + struct.pack(">I", len(body)) + b"\x00\x00" + body
+    frames = frame(b"TIT2", title) + frame(b"TPE1", artist)
+    n = len(frames)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3\x04\x00\x00" + size + frames + b"\xff\xfb" + b"\x00" * 64
+
+
+def test_mp3_id3v2():
+    from tika_spark.media import extract_media
+    r = extract_media(_make_id3v2("My Song", "The Band"),
+                      mime="audio/mpeg")
+    assert r["title"] == "My Song"
+    assert r["metadata"]["Author"] == ["The Band"]
+
+
+def test_mp3_id3v1():
+    tag = (b"TAG" + b"Old Title".ljust(30, b"\x00")
+           + b"Old Artist".ljust(30, b"\x00")
+           + b"Old Album".ljust(30, b"\x00") + b"1999"
+           + b"\x00" * 31)
+    data = b"\xff\xfb" + b"\x00" * 200 + tag
+    from tika_spark.media import extract_media
+    r = extract_media(data, mime="audio/mpeg")
+    assert r["title"] == "Old Title"
+    assert r["metadata"]["releaseDate"] == ["1999"]
+
+
+def test_detect_mp3():
+    assert detect(_make_id3v2("t", "a")) == "audio/mpeg"
+
+
 def test_through_pipeline(spark):
     from tika_spark.pipeline.job import extract
     df = spark.createDataFrame(

@@ -75,6 +75,56 @@ _BY_MIME = {
     "image/jpeg": _jpeg_dims,
 }
 
+# ---- MP3 ID3 tags (reference: tika-parsers/.../mp3/Mp3Parser.java,
+# ID3v2Frame.java — an in-repo 1643 LoC frame reader; we cover the
+# v1 TAG block and v2 text frames TIT2/TPE1/TALB)
+
+_ID3V2_KEYS = {b"TIT2": "title", b"TPE1": "Author", b"TALB": "album",
+               b"TYER": "releaseDate", b"TDRC": "releaseDate",
+               b"TCON": "genre"}
+
+_V2_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_meta(data: bytes) -> dict[str, list[str]]:
+    meta: dict[str, list[str]] = {}
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = min(_syncsafe(data[6:10]) + 10, len(data))
+        i = 10
+        while i + 10 <= size:
+            fid = data[i:i + 4]
+            if not fid.strip(b"\x00"):
+                break
+            flen = (_syncsafe(data[i + 4:i + 8]) if data[3] >= 4
+                    else int.from_bytes(data[i + 4:i + 8], "big"))
+            if flen <= 0 or i + 10 + flen > len(data):
+                break
+            key = _ID3V2_KEYS.get(fid)
+            if key:
+                body = data[i + 10:i + 10 + flen]
+                enc = _V2_ENCODINGS.get(body[0], "latin-1") if body \
+                    else "latin-1"
+                val = body[1:].decode(enc, "replace").strip("\x00").strip()
+                if val:
+                    meta.setdefault(key, []).append(val)
+            i += 10 + flen
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        tag = data[-128:]
+
+        def fld(lo, hi):
+            return tag[lo:hi].split(b"\x00")[0].decode(
+                "latin-1", "replace").strip()
+        for key, val in (("title", fld(3, 33)), ("Author", fld(33, 63)),
+                         ("album", fld(63, 93)),
+                         ("releaseDate", fld(93, 97))):
+            if val and key not in meta:
+                meta[key] = [val]
+    return meta
+
 
 def extract_media(data: bytes, url: str | None = None,
                   declared_type: str | None = None,
@@ -86,6 +136,7 @@ def extract_media(data: bytes, url: str | None = None,
                                                        "application/"
                                                        "octet-stream"]}
     dims = None
+    title = None
     fn = _BY_MIME.get(mime)
     if fn is not None:
         try:
@@ -95,9 +146,15 @@ def extract_media(data: bytes, url: str | None = None,
     if dims:
         metadata["width"] = [str(dims[0])]
         metadata["height"] = [str(dims[1])]
+    if mime == "audio/mpeg":
+        try:
+            metadata.update(_id3_meta(data))
+            title = metadata.get("title", [None])[0]
+        except Exception:
+            pass
     return {
         "charset": None,
-        "title": None,
+        "title": title,
         "text": "",
         "spans": [],
         "links": [],

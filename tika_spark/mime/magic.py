@@ -62,9 +62,18 @@ MAGIC_RULES: list[MagicRule] = [
     _m("image/gif", 50, Clause(0, 0, b"GIF87a"), Clause(0, 0, b"GIF89a")),
     _m("image/jpeg", 50, Clause(0, 0, b"\xff\xd8\xff")),
     _m("image/bmp", 50, Clause(0, 0, b"BM", mask=None)),
+    _m("audio/mpeg", 50, Clause(0, 0, b"ID3"),
+       Clause(0, 0, b"\xff\xfb"), Clause(0, 0, b"\xff\xfa")),
     _m("application/x-tika-msoffice", 45,
        Clause(0, 0, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")),
     _m("text/html", 40, *[Clause(0, 64, t, ci=True) for t in _HTML_TOKENS]),
+    # mbox before rfc822: "From " (envelope) vs "From:" (header) —
+    # tika-mimetypes.xml mbox/message blocks
+    _m("application/mbox", 40, Clause(0, 0, b"From ")),
+    _m("message/rfc822", 40,
+       Clause(0, 0, b"Relay-Version:"), Clause(0, 0, b"Return-Path:"),
+       Clause(0, 0, b"Received:"), Clause(0, 0, b"Message-ID:"),
+       Clause(0, 0, b"MIME-Version:"), Clause(0, 0, b"From:")),
     # UTF BOMs with no other signature -> text/plain (MimeDetectionTest BOM cases)
     _m("text/plain", 30,
        Clause(0, 0, b"\xef\xbb\xbf"),

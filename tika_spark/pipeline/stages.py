@@ -30,6 +30,7 @@ from tika_spark.pkg.epub import extract_epub
 from tika_spark.pkg.odf import extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
+from tika_spark.mail import extract_mbox, extract_rfc822
 from tika_spark.media import extract_media
 from tika_spark.rtf import extract_rtf
 from tika_spark.textparse import extract_text
@@ -49,11 +50,14 @@ ROUTE_TABLE = {
     "application/rdf+xml": "xml",
     "text/plain": "txt",
     "application/rtf": "rtf",
+    "message/rfc822": "rfc822",
+    "application/mbox": "mbox",
     # metadata-only media rows (E12)
     "image/png": "media",
     "image/gif": "media",
     "image/jpeg": "media",
     "image/bmp": "media",
+    "audio/mpeg": "media",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
     "application/x-gzip": "pkg",
@@ -80,6 +84,8 @@ _EXTRACTORS = {
     "feed": extract_feed,
     "txt": extract_text,
     "rtf": extract_rtf,
+    "rfc822": extract_rfc822,
+    "mbox": extract_mbox,
     "media": extract_media,
     "pkg": extract_package,
     "ooxml": extract_ooxml,
