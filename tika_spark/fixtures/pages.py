@@ -44,6 +44,7 @@ VARIANTS = (
     "html_big_preamble", "html_evil", "xhtml", "html_base_href",
     "html_table_layout", "pdf_simple", "pdf_two_boxes", "txt_utf8",
     "txt_utf16le", "txt_cp866", "xml_dc", "rss", "binary_junk",
+    "zip_archive", "gz_txt", "rtf_doc", "docx_doc", "eml_msg",
 )
 GIANT_EVERY = 997  # row ids divisible by this become giant_html (p99.9 tail)
 
@@ -275,6 +276,83 @@ def _giant_html(i, seed, lang):
     return {"html": html.encode("utf-8"), "text": golden}
 
 
+def _zip_archive(i, seed, lang):
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    inner = _para(i, seed, lang, 2)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, payload in (("readme.txt", inner),
+                              (f"data-{i % 5}.txt", "payload")):
+            info = zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, payload.encode("utf-8"))
+    golden = f"readme.txt\ndata-{i % 5}.txt\n"
+    return {"html": buf.getvalue(), "text": golden, "ext": ".zip"}
+
+
+def _gz_txt(i, seed, lang):
+    import gzip
+    body = _para(i, seed, lang, 3)
+    gz = gzip.compress(body.encode("utf-8"), mtime=0)  # deterministic
+    return {"html": gz, "text": f"note-{i}.txt\n",
+            "url": f"https://site{i % 50}.example/p/note-{i}.txt.gz"}
+
+
+def _rtf_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif o < 128:
+            out.append(ch)
+        else:  # \uN with signed 16-bit param + one replacement char
+            out.append(f"\\u{o - 65536 if o > 32767 else o}?")
+    return "".join(out)
+
+
+def _rtf_doc(i, seed, lang):
+    p1 = _para(i, seed, lang, 2)
+    p2 = _para(i, seed, lang, 1, salt=3)
+    rtf = ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Arial;}}"
+           f"{{\\info{{\\title Doc {i}}}}}"
+           f"{_rtf_escape(p1)}\\par {_rtf_escape(p2)}\\par}}"
+           ).encode("ascii")
+    return {"html": rtf, "text": f"{p1}\n{p2}\n", "ext": ".rtf"}
+
+
+def _docx_doc(i, seed, lang):
+    import io
+    import zipfile
+    p1 = _para(i, seed, lang, 2)
+    p2 = _para(i, seed, lang, 1, salt=4)
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (f'<w:document xmlns:w="{w}"><w:body>'
+           f"<w:p><w:r><w:t>{p1}</w:t></w:r></w:p>"
+           f"<w:p><w:r><w:t>{p2}</w:t></w:r></w:p>"
+           "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, payload in (("[Content_Types].xml", "<Types/>"),
+                              ("word/document.xml", doc)):
+            info = zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, payload.encode("utf-8"))
+    return {"html": buf.getvalue(), "text": f"{p1}\n{p2}\n",
+            "ext": ".docx"}
+
+
+def _eml_msg(i, seed, lang):
+    body = _para(i, seed, lang, 2)
+    subject = f"Message {i}"
+    eml = (f"From: sender-{i % 9}@example.com\r\n"
+           f"To: list@example.com\r\n"
+           f"Subject: {subject}\r\n"
+           f"Message-ID: <{i}@example.com>\r\n"
+           f"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+           f"{body}\n").encode("utf-8")
+    return {"html": eml, "text": f"{subject}\n{body}\n", "ext": ".eml"}
+
+
 _BUILDERS = {
     "html_plain": _html_plain, "html_boiler": _html_boiler,
     "html_meta_charset": _html_meta_charset,
@@ -285,6 +363,8 @@ _BUILDERS = {
     "pdf_two_boxes": _pdf_two_boxes, "txt_utf8": _txt_utf8,
     "txt_utf16le": _txt_utf16le, "txt_cp866": _txt_cp866,
     "xml_dc": _xml_dc, "rss": _rss, "binary_junk": _binary_junk,
+    "zip_archive": _zip_archive, "gz_txt": _gz_txt, "rtf_doc": _rtf_doc,
+    "docx_doc": _docx_doc, "eml_msg": _eml_msg,
     "giant_html": _giant_html,
 }
 
