@@ -134,3 +134,27 @@ class TestRunnerResume:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q", "-x"]))
+
+
+class TestRecursiveRunner:
+    def test_children_survive_group_overwrites(self, spark, tmp_path):
+        # child rows (url = parent!/name) must bucket with their parent,
+        # or a later group's dynamic partition overwrite clobbers them
+        from tika_spark.fixtures.pages import generate_pages_df
+        from tika_spark.pipeline.runner import run
+        inp = str(tmp_path / "pages.parquet")
+        generate_pages_df(spark, 60, partitions=4) \
+            .select("url", "warc_ts", "html").write.parquet(inp)
+        out = str(tmp_path / "out")
+        m = run(spark, inp, out, n_buckets=4, group_size=1,
+                verbose=False, recursive=True)
+        got = spark.read.parquet(out + "/data")
+        assert got.count() == m["rows_processed"]
+        kids = got.filter("depth > 0")
+        assert kids.count() > 0
+        # every child's parent row exists in the same snapshot
+        import pyspark.sql.functions as F
+        parents = (kids.select(F.substring_index("url", "!/", 1)
+                               .alias("url")).distinct())
+        missing = parents.join(got.select("url"), "url", "left_anti")
+        assert missing.count() == 0

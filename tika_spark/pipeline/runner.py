@@ -28,7 +28,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from tika_spark.config import ExtractConfig
-from tika_spark.pipeline.job import extract, lineage_manifest
+from tika_spark.pipeline.job import (extract, extract_recursive,
+                                     lineage_manifest)
 
 
 def _lineage_dir(output: str) -> str:
@@ -57,7 +58,8 @@ def _write_manifest(output: str, bucket: int, payload: dict):
 
 def run(spark: SparkSession, input_path: str, output: str, mode: str = "text",
         n_buckets: int = 16, group_size: int = 4,
-        config: ExtractConfig | None = None, verbose: bool = True) -> dict:
+        config: ExtractConfig | None = None, verbose: bool = True,
+        recursive: bool = False) -> dict:
     """Execute (or resume) the batch extraction. Returns run metrics."""
     pages = spark.read.parquet(input_path)
     pages = pages.withColumn(
@@ -75,9 +77,18 @@ def run(spark: SparkSession, input_path: str, output: str, mode: str = "text",
         # bucket IN (...) prunes at the scan when the source is
         # partitioned by bucket; otherwise it's a pushed-down filter
         subset = pages.filter(F.col("bucket").isin([int(b) for b in group]))
-        extracted = extract(subset, mode=mode, config=config)
+        if recursive:
+            extracted = extract_recursive(subset, mode=mode, config=config)
+        else:
+            # the children binary column never reaches the sink
+            extracted = extract(subset, mode=mode,
+                                config=config).drop("children")
+        # children (url = "parent!/name") bucket by their PARENT url so
+        # they land inside this group's partitions — otherwise a later
+        # group's dynamic overwrite would clobber them
+        root_url = F.substring_index(F.col("url"), "!/", 1)
         with_bucket = extracted.withColumn(
-            "bucket", F.pmod(F.crc32(F.col("url")), F.lit(n_buckets)))
+            "bucket", F.pmod(F.crc32(root_url), F.lit(n_buckets)))
         (with_bucket.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket").parquet(data_dir))
@@ -127,6 +138,9 @@ def main(argv=None):
     p.add_argument("--group-size", type=int, default=4)
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    p.add_argument("--recursive", action="store_true",
+                   help="explode archive/mail members into child rows "
+                        "(embedded-document recursion, depth <= 10)")
     args = p.parse_args(argv)
 
     spark = (SparkSession.builder
@@ -140,7 +154,7 @@ def main(argv=None):
     spark.sparkContext.setLogLevel("WARN")
     try:
         run(spark, args.input, args.output, args.mode,
-            args.buckets, args.group_size)
+            args.buckets, args.group_size, recursive=args.recursive)
     finally:
         spark.stop()
 
