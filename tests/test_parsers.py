@@ -8,7 +8,7 @@ LanguageIdentifierTest round-trips.
 
 import pytest
 
-from tika_spark.fixtures.pdfgen import make_pdf
+from tika_spark.fixtures.pdfgen import make_pdf, make_pdf_objstm
 from tika_spark.language import CERTAINTY_LIMIT, default_model, profile_text
 from tika_spark.language.corpus import PROFILE_LANGUAGES, SEED_TEXT
 from tika_spark.pdf import extract_pdf
@@ -146,6 +146,16 @@ class TestPdf:
         for junk in (b"", b"%PDF-1.4", b"%PDF-1.4 junk", b"\x00" * 100):
             r = extract_pdf(junk)
             assert isinstance(r["text"], str)
+
+    def test_objstm_xref_stream(self):
+        # PDF 1.5 layout: catalog/pages/page/Info inside a compressed
+        # /Type/ObjStm, trailer carried by a /Type/XRef stream dict
+        pdf = make_pdf_objstm(["ObjStm line one", "line two"], title="TS")
+        r = extract_pdf(pdf)
+        assert r["status"] == "ok"
+        assert r["title"] == "TS"
+        assert r["text"] == "ObjStm line one\nline two\n\n"
+        assert r["metadata"]["xmpTPg:NPages"] == ["1"]
 
 
 class TestLanguage:

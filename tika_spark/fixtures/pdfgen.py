@@ -105,3 +105,58 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
     trailer += f" >>\nstartxref\n{xref_pos}\n%%EOF\n"
     out += trailer.encode()
     return bytes(out)
+
+
+def make_pdf_objstm(lines: list[str], *, title: str | None = None) -> bytes:
+    """Build a PDF 1.5-style file: catalog, page tree, page and Info
+    dictionaries packed into a Flate-compressed /Type/ObjStm, with the
+    trailer carried by a /Type/XRef cross-reference stream (no classic
+    ``trailer`` keyword) — the layout modern writers emit and the other
+    half of the extractor's trailer/object discovery surface.
+    """
+    ops = ["BT", "/F1 12 Tf", "1 0 0 1 72 720 Tm"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({_esc(line)}) Tj")
+    ops.append("ET")
+    content = zlib.compress("\n".join(ops).encode("latin-1"))
+
+    # objects 2-5 live inside the ObjStm (obj 1)
+    inner = {
+        2: "<< /Type /Catalog /Pages 3 0 R >>",
+        3: "<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: ("<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            "/Contents 6 0 R >>"),
+    }
+    if title is not None:
+        inner[5] = f"<< /Title ({_esc(title)}) >>"
+    offsets, body = [], ""
+    for num, src in inner.items():
+        offsets.append(f"{num} {len(body)}")
+        body += src + "\n"
+    payload = (" ".join(offsets) + "\n").encode("latin-1")
+    first = len(payload)
+    objstm = zlib.compress(payload + body.encode("latin-1"))
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+
+    def emit(num: int, dict_src: str, stream: bytes | None = None):
+        out.extend(f"{num} 0 obj\n{dict_src}".encode("latin-1"))
+        if stream is not None:
+            out.extend(b"\nstream\n" + stream + b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    emit(1, f"<< /Type /ObjStm /N {len(inner)} /First {first} "
+            f"/Filter /FlateDecode /Length {len(objstm)} >>", objstm)
+    emit(6, f"<< /Length {len(content)} /Filter /FlateDecode >>", content)
+    xref_pos = len(out)
+    trailer = "<< /Type /XRef /Size 8 /Root 2 0 R"
+    if title is not None:
+        trailer += " /Info 5 0 R"
+    # the xref stream payload itself is unused by our scanner; a stub is
+    # enough to keep the file shape honest
+    trailer += " /W [1 2 1] /Length 2 >>"
+    emit(7, trailer, b"\x00\x00")
+    out.extend(f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)

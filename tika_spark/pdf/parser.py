@@ -234,6 +234,7 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
         self._scan_objects()
+        self._expand_object_streams()
         self.trailer = self._find_trailer()
 
     def _scan_objects(self):
@@ -262,8 +263,43 @@ class PdfDocument:
             # later definitions (incremental updates) win
             self.objects[num] = (obj, stream_data)
 
+    def _expand_object_streams(self):
+        """Surface objects stored inside /Type/ObjStm compressed object
+        streams (PDF 1.5+ — where modern writers put catalogs, page
+        dicts and info dicts). Header = N pairs of "objnum offset",
+        bodies start at /First. Top-level definitions win (incremental
+        updates already override during the scan)."""
+        for num, (obj, raw) in list(self.objects.items()):
+            if not (isinstance(obj, dict) and raw is not None
+                    and str(obj.get("Type", "")) == "ObjStm"):
+                continue
+            try:
+                data = self._decode_stream(obj, raw)
+                n = int(self.resolve(obj.get("N")) or 0)
+                first = int(self.resolve(obj.get("First")) or 0)
+                head = _Lexer(data[:first])
+                pairs = []
+                for _ in range(n):
+                    onum = head.parse_object()
+                    off = head.parse_object()
+                    pairs.append((int(onum), int(off)))
+                for onum, off in pairs:
+                    inner = _Lexer(data, first + off).parse_object()
+                    if onum not in self.objects:
+                        self.objects[onum] = (inner, None)
+            except Exception:
+                continue  # a broken ObjStm must not sink the document
+
     def _find_trailer(self) -> dict:
         out: dict = {}
+        # PDF 1.5 cross-reference streams: the trailer dict (Root/Info/
+        # Encrypt) lives in the /Type/XRef stream dictionary instead of
+        # a classic "trailer" keyword. Scan order = file order, so
+        # later (incremental-update) xref streams override earlier ones.
+        for num in sorted(self.objects):
+            obj = self.objects[num][0]
+            if isinstance(obj, dict) and str(obj.get("Type", "")) == "XRef":
+                out.update(obj)
         for m in _TRAILER_RE.finditer(self.data):
             t = _Lexer(self.data, m.end()).parse_object()
             if isinstance(t, dict):
