@@ -275,6 +275,34 @@ def _q_extract_recursive_zip(spark, sf_dir):
                       "text")
 
 
+def _doc_wrap_udf():
+    """Deterministic OLE2 .doc per document row (fixture builder for
+    the E7 binary-Office chain: CFB container + piece-table text)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.olegen import make_doc
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_doc([f"Office doc {i}", f"Body paragraph {i % 7}."],
+                     title=f"T{i}") for i in ids])
+    return wrap
+
+
+def _q_extract_office_doc(spark, sf_dir):
+    """E7/B8: magic → x-tika-msoffice → OLE2 entry-name refinement →
+    Word piece-table text + SummaryInformation title."""
+    wrap = _doc_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".doc"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
 def _png_udf():
     """Deterministic minimal PNG per document (E12 fixture builder)."""
     import struct
@@ -398,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
+        "extract_office_doc": _q_extract_office_doc,
         "extract_media_dims": _q_extract_media_dims,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -523,6 +552,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id || '.zip!/doc.txt' AS url, "
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
+        "extract_office_doc": (
+            "SELECT 'doc://' || doc_id || '.doc' AS url, "
+            "'application/msword' AS mime, 'T' || doc_id AS title, "
+            "'Office doc ' || doc_id || chr(10) || 'Body paragraph ' || "
+            "(doc_id % 7) || '.' || chr(10) AS text FROM documents"),
         "extract_media_dims": (
             "SELECT 'doc://' || doc_id || '.png' AS url, "
             "'image/png' AS mime, "

@@ -1,0 +1,162 @@
+"""OLE2 (CFB) container detection + binary Office extraction tests.
+
+Models the reference contracts: POIFSContainerDetector entry-name
+discrimination, SummaryExtractor metadata mapping, WordExtractor /
+ExcelExtractor / PowerPoint text shapes, OutlookExtractor message
+properties and attachment recursion.
+"""
+
+import pytest
+
+from tika_spark.fixtures.olegen import (make_doc, make_msg, make_ppt,
+                                        make_xls, summary_info, write_cfb)
+from tika_spark.mime.detector import detect
+from tika_spark.ole import CfbFile, extract_ole, refine_ole2
+
+
+class TestCfb:
+    def test_mini_and_big_streams(self):
+        big = bytes(range(256)) * 32          # 8192 B -> regular FAT
+        mini = b"small stream payload"        # < 4096 -> mini stream
+        data = write_cfb([((), "Big", big), ((), "Mini", mini)])
+        cfb = CfbFile(data)
+        assert cfb.stream("Big") == big
+        assert cfb.stream("Mini") == mini
+        assert cfb.top_level_names() == {"Big", "Mini"}
+
+    def test_storage_paths(self):
+        data = write_cfb([((), "top", b"t"), (("Dir",), "inner", b"i")])
+        cfb = CfbFile(data)
+        assert cfb.stream("inner", ("Dir",)) == b"i"
+        assert cfb.stream("inner") is None   # path-qualified lookup
+
+    def test_corrupt_raises_cleanly(self):
+        with pytest.raises(Exception):
+            CfbFile(b"\xd0\xcf\x11\xe0" + b"\x00" * 600)
+
+
+class TestDetection:
+    def test_refine_by_entry_names(self):
+        assert refine_ole2(make_doc(["x"])) == "application/msword"
+        assert refine_ole2(make_xls({"S": [["a"]]})) == \
+            "application/vnd.ms-excel"
+        assert refine_ole2(make_ppt(["x"])) == \
+            "application/vnd.ms-powerpoint"
+        assert refine_ole2(make_msg("s", "b")) == \
+            "application/vnd.ms-outlook"
+
+    def test_unknown_layout_stays_generic(self):
+        blob = write_cfb([((), "Whatever", b"data")])
+        assert refine_ole2(blob) == "application/x-tika-msoffice"
+
+    def test_full_detect_path(self):
+        # magic (D0CF11E0) -> x-tika-msoffice -> OLE2 refinement (B8)
+        assert detect(make_doc(["x"]), "http://a/file.doc") == \
+            "application/msword"
+
+
+class TestWord:
+    def test_paragraphs_one_per_line(self):
+        r = extract_ole(make_doc(["Para one.", "Para two."]),
+                        mime="application/msword")
+        assert r["text"] == "Para one.\nPara two.\n"
+        assert r["status"] == "ok"
+
+    def test_summary_metadata(self):
+        r = extract_ole(make_doc(["x"], title="The Title"),
+                        mime="application/msword")
+        assert r["title"] == "The Title"
+        assert r["metadata"]["title"] == ["The Title"]
+
+    def test_latin1_text(self):
+        r = extract_ole(make_doc(["café déjà vu"]),
+                        mime="application/msword")
+        assert "café déjà vu" in r["text"]
+
+
+class TestExcel:
+    def test_rows_tab_joined(self):
+        xls = make_xls({"Data": [["Name", "Qty"], ["apples", 12],
+                                 ["pears", 3.5]]})
+        r = extract_ole(xls, mime="application/vnd.ms-excel")
+        assert r["text"] == "Data\nName\tQty\napples\t12\npears\t3.5\n"
+
+    def test_two_sheets_in_order(self):
+        xls = make_xls({"First": [["a"]], "Second": [["b"]]})
+        r = extract_ole(xls, mime="application/vnd.ms-excel")
+        assert r["text"] == "First\na\nSecond\nb\n"
+
+
+class TestPpt:
+    def test_text_atoms(self):
+        r = extract_ole(make_ppt(["Title slide", "Body text"]),
+                        mime="application/vnd.ms-powerpoint")
+        assert r["text"] == "Title slide\nBody text\n"
+
+    def test_unicode_atom(self):
+        r = extract_ole(make_ppt(["Ünïcode — slide"]),
+                        mime="application/vnd.ms-powerpoint")
+        assert "Ünïcode — slide" in r["text"]
+
+
+class TestMsg:
+    def test_properties(self):
+        msg = make_msg("Sub", "The body.", sender="Alice")
+        r = extract_ole(msg, mime="application/vnd.ms-outlook")
+        assert r["text"] == "The body.\n"
+        assert r["metadata"]["subject"] == ["Sub"]
+        assert r["metadata"]["Message-From"] == ["Alice"]
+        assert r["title"] == "Sub"
+
+    def test_attachment_children(self):
+        msg = make_msg("s", "b",
+                       attachments=[("inner.txt", b"attached payload")])
+        r = extract_ole(msg, mime="application/vnd.ms-outlook")
+        assert r["children"] == [("inner.txt", b"attached payload")]
+
+
+class TestRobustness:
+    def test_garbage_is_error_row(self):
+        r = extract_ole(b"\xd0\xcf\x11\xe0 garbage", mime="application/msword")
+        assert r["status"] == "error"
+
+    def test_truncated_never_raises(self):
+        full = make_doc(["some text"])
+        for cut in (8, 100, 512, 700, len(full) - 40):
+            r = extract_ole(full[:cut], mime="application/msword")
+            assert isinstance(r["text"], str)
+
+    def test_summary_info_standalone_parse(self):
+        blob = write_cfb([((), "\x05SummaryInformation",
+                           summary_info(title="T", author="A",
+                                        keywords="k1, k2"))])
+        r = extract_ole(blob)
+        assert r["metadata"]["title"] == ["T"]
+        assert r["metadata"]["Author"] == ["A"]
+        assert r["metadata"]["Keywords"] == ["k1, k2"]
+
+
+@pytest.mark.usefixtures("spark")
+class TestPipeline:
+    def test_doc_through_pipeline(self, spark):
+        from tika_spark.pipeline.job import extract
+        df = spark.createDataFrame(
+            [("u://r.doc", make_doc(["Pipeline para"], title="PT"))],
+            "url string, html binary")
+        row = extract(df, mode="text").collect()[0]
+        assert row["mime"] == "application/msword"
+        assert row["text"] == "Pipeline para\n"
+        assert row["title"] == "PT"
+
+    def test_msg_attachment_recursion(self, spark):
+        from tika_spark.pipeline.job import extract_recursive
+        msg = make_msg("s", "b", attachments=[
+            ("page.html", b"<html><body><p>from attachment</p>"
+                          b"</body></html>")])
+        df = spark.createDataFrame([("u://m.msg", msg)],
+                                   "url string, html binary")
+        out = {r["url"]: r for r in
+               extract_recursive(df, mode="text").collect()}
+        assert out["u://m.msg"]["mime"] == "application/vnd.ms-outlook"
+        assert out["u://m.msg!/page.html"]["text"] == "from attachment\n"
+        assert out["u://m.msg!/page.html"]["depth"] == 1

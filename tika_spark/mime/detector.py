@@ -149,6 +149,11 @@ def detect(data: bytes | None, url: str | None = None,
         # directory for OOXML/ODF/EPUB signatures (ZipContainerDetector)
         from tika_spark.pkg.container import refine_container
         mime = refine_container(bytes(data or b""), mime)
+    elif mime == "application/x-tika-msoffice":
+        # OLE2 refinement (B8, POIFSContainerDetector): directory entry
+        # names pick doc/xls/ppt/msg/visio/publisher
+        from tika_spark.ole.parser import refine_ole2
+        mime = refine_ole2(bytes(data or b""))
     return mime
 
 

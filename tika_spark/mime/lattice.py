@@ -45,6 +45,9 @@ _EXPLICIT_SUPER: dict[str, str] = {
     "application/msword": "application/x-tika-msoffice",
     "application/vnd.ms-excel": "application/x-tika-msoffice",
     "application/vnd.ms-powerpoint": "application/x-tika-msoffice",
+    "application/vnd.ms-outlook": "application/x-tika-msoffice",
+    "application/vnd.visio": "application/x-tika-msoffice",
+    "application/x-mspublisher": "application/x-tika-msoffice",
     "application/x-tika-msoffice": "application/octet-stream",
 }
 

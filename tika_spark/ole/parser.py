@@ -1,0 +1,481 @@
+"""OLE2 binary Office extraction (SURVEY.md §2 E7 + B8 OLE2 half).
+
+Container detection mirrors the reference's POIFSContainerDetector
+(tika-parsers/.../microsoft/POIFSContainerDetector.java): the set of
+top-level directory entry names picks the concrete type. Extraction
+mirrors the *output semantics* of the reference's POI-based
+extractors (microsoft/OfficeParser.java:72-85, WordExtractor.java,
+ExcelExtractor.java, SummaryExtractor.java, OutlookExtractor.java),
+re-implemented from the published [MS-DOC]/[MS-XLS]/[MS-PPT]/[MS-OXMSG]
+formats — never from POI's source:
+
+- SummaryInformation / DocumentSummaryInformation property sets →
+  metadata (title, Author, Keywords, created, Last-Modified, counts);
+- Word .doc: piece-table text (CLX in the 0Table/1Table stream,
+  compressed-cp1252 vs utf-16 pieces), field codes stripped, one
+  paragraph per line;
+- Excel .xls: BIFF8 SST + per-sheet cell records, rows TAB-joined,
+  one row per line (the <tr><td> shape through the C5 layout);
+- PowerPoint .ppt: TextCharsAtom/TextBytesAtom runs, one per line;
+- Outlook .msg: subject/from/to/body property substreams, attachments
+  as child rows re-entering the detect->route loop (F1 recursion).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import struct
+
+from tika_spark.config import ExtractConfig
+from tika_spark.html.layout import safe_chars
+from tika_spark.ole.cfb import CfbFile, MAGIC
+
+_DEFAULT = ExtractConfig()
+
+# ------------------------------------------------------------ detection --
+
+_OUTLOOK_RE = re.compile(r"^__(substg1\.0_|properties_version1\.0"
+                         r"|nameid_version1\.0|recip_version1\.0)")
+
+
+def refine_ole2(data: bytes) -> str:
+    """POIFSContainerDetector semantics: entry-name evidence picks the
+    concrete OLE2 type; unknown layouts stay the generic office type."""
+    if not data.startswith(MAGIC):
+        return "application/x-tika-msoffice"
+    try:
+        names = CfbFile(bytes(data)).top_level_names()
+    except Exception:
+        return "application/x-tika-msoffice"
+    if "WordDocument" in names:
+        return "application/msword"
+    if "Workbook" in names or "Book" in names:
+        return "application/vnd.ms-excel"
+    if "PowerPoint Document" in names:
+        return "application/vnd.ms-powerpoint"
+    if "VisioDocument" in names:
+        return "application/vnd.visio"
+    if "Quill" in names:
+        return "application/x-mspublisher"
+    if any(_OUTLOOK_RE.match(n) for n in names):
+        return "application/vnd.ms-outlook"
+    return "application/x-tika-msoffice"
+
+
+# ------------------------------------------- property sets (metadata) --
+
+# PIDSI -> metadata key (SummaryInformation FMTID); names follow the
+# reference's SummaryExtractor key choices
+_PIDSI = {2: "title", 3: "subject", 4: "Author", 5: "Keywords",
+          6: "comments", 7: "template", 8: "Last-Author",
+          9: "Revision-Number", 12: "created", 13: "Last-Modified",
+          14: "Page-Count", 15: "Word-Count", 16: "Character Count",
+          18: "Application-Name"}
+# PIDDSI (DocumentSummaryInformation)
+_PIDDSI = {2: "category", 14: "Manager", 15: "Company",
+           17: "Line-Count", 18: "Paragraph-Count", 19: "Slide-Count"}
+
+_EPOCH_1601 = datetime.datetime(1601, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _parse_property_set(raw: bytes, pidmap: dict[int, str],
+                        metadata: dict[str, list[str]]):
+    if len(raw) < 48:
+        return
+    (n_sets,) = struct.unpack_from("<I", raw, 24)
+    if n_sets < 1:
+        return
+    (sec_off,) = struct.unpack_from("<I", raw, 44)
+    if sec_off + 8 > len(raw):
+        return
+    (_cb, n_props) = struct.unpack_from("<II", raw, sec_off)
+    for i in range(min(n_props, 64)):
+        base = sec_off + 8 + i * 8
+        if base + 8 > len(raw):
+            break
+        pid, off = struct.unpack_from("<II", raw, base)
+        key = pidmap.get(pid)
+        if key is None:
+            continue
+        p = sec_off + off
+        if p + 4 > len(raw):
+            continue
+        (vt,) = struct.unpack_from("<I", raw, p)
+        val = _read_variant(raw, p + 4, vt & 0xFFFF)
+        if val is not None and val != "":
+            metadata.setdefault(key, []).append(val)
+
+
+def _read_variant(raw: bytes, p: int, vt: int) -> str | None:
+    try:
+        if vt == 2:    # VT_I2
+            return str(struct.unpack_from("<h", raw, p)[0])
+        if vt == 3:    # VT_I4
+            return str(struct.unpack_from("<i", raw, p)[0])
+        if vt == 11:   # VT_BOOL
+            return "true" if struct.unpack_from("<H", raw, p)[0] else "false"
+        if vt == 30:   # VT_LPSTR (cp1252, NUL-terminated)
+            (n,) = struct.unpack_from("<I", raw, p)
+            s = raw[p + 4:p + 4 + n].decode("cp1252", "replace")
+            return s.split("\x00", 1)[0]
+        if vt == 31:   # VT_LPWSTR
+            (n,) = struct.unpack_from("<I", raw, p)
+            s = raw[p + 4:p + 4 + 2 * n].decode("utf-16-le", "replace")
+            return s.split("\x00", 1)[0]
+        if vt == 64:   # VT_FILETIME -> ISO-8601 Z (Metadata.java:51-71)
+            (t,) = struct.unpack_from("<Q", raw, p)
+            if t == 0:
+                return None
+            dt = _EPOCH_1601 + datetime.timedelta(microseconds=t // 10)
+            return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    except (struct.error, OverflowError):
+        return None
+    return None
+
+
+def _summary_metadata(cfb: CfbFile, metadata: dict[str, list[str]]):
+    si = cfb.stream("\x05SummaryInformation")
+    if si:
+        _parse_property_set(si, _PIDSI, metadata)
+    dsi = cfb.stream("\x05DocumentSummaryInformation")
+    if dsi:
+        _parse_property_set(dsi, _PIDDSI, metadata)
+
+
+# ----------------------------------------------------------- Word .doc --
+
+# paragraph mark / cell mark / line break / page break -> newline,
+# exactly one line per paragraph (WordExtractor emit shape)
+_DOC_NEWLINES = {0x0D: "\n", 0x07: "\n", 0x0B: "\n", 0x0C: "\n"}
+
+
+def _doc_text(cfb: CfbFile) -> str:
+    word = cfb.stream("WordDocument")
+    if not word or len(word) < 0x200:
+        return ""
+    (w_ident,) = struct.unpack_from("<H", word, 0)
+    if w_ident != 0xA5EC:
+        return ""
+    (flags,) = struct.unpack_from("<H", word, 0x000A)
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    table = cfb.stream(table_name) or cfb.stream("0Table") \
+        or cfb.stream("1Table") or b""
+    (ccp_text,) = struct.unpack_from("<I", word, 0x004C)
+    fc_clx, lcb_clx = struct.unpack_from("<II", word, 0x01A2)
+
+    pieces = _doc_pieces(table[fc_clx:fc_clx + lcb_clx]) if lcb_clx else []
+    if not pieces:
+        return ""
+    chars: list[str] = []
+    remaining = ccp_text
+    for (cp_len, fc, compressed) in pieces:
+        if remaining <= 0:
+            break
+        take = min(cp_len, remaining)
+        if compressed:
+            seg = word[fc:fc + take].decode("cp1252", "replace")
+        else:
+            seg = word[fc:fc + 2 * take].decode("utf-16-le", "replace")
+        chars.append(seg)
+        remaining -= take
+    return _doc_clean("".join(chars))
+
+
+def _doc_pieces(clx: bytes) -> list[tuple[int, int, bool]]:
+    """CLX -> [(cp_len, byte_offset, compressed)]. Prc blocks (clxt=1)
+    are skipped; the Pcdt (clxt=2) holds the PlcPcd piece table."""
+    p = 0
+    while p < len(clx):
+        tag = clx[p]
+        if tag == 1:
+            (cb,) = struct.unpack_from("<H", clx, p + 1)
+            p += 3 + cb
+        elif tag == 2:
+            (lcb,) = struct.unpack_from("<I", clx, p + 1)
+            plc = clx[p + 5:p + 5 + lcb]
+            n = (len(plc) - 4) // 12
+            if n <= 0:
+                return []
+            cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+            out = []
+            for i in range(n):
+                fc_raw, = struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * i + 2)
+                compressed = bool(fc_raw & 0x40000000)
+                fc = fc_raw & 0x3FFFFFFF
+                if compressed:
+                    fc //= 2
+                out.append((cps[i + 1] - cps[i], fc, compressed))
+            return out
+        else:
+            return []
+    return []
+
+
+_FIELD_CODE_RE = re.compile("\x13[^\x14\x15]*[\x14\x15]?")
+_DOC_STRIP_RE = re.compile("[\x00-\x06\x08\x0e-\x1f]")
+
+
+def _doc_clean(s: str) -> str:
+    s = _FIELD_CODE_RE.sub("", s).replace("\x15", "")
+    s = "".join(_DOC_NEWLINES.get(ord(c), c) for c in s
+                if ord(c) not in (0x13, 0x14, 0x15))
+    s = _DOC_STRIP_RE.sub("", s)
+    return s
+
+
+# ---------------------------------------------------------- Excel .xls --
+
+
+def _xls_records(stream: bytes):
+    p = 0
+    while p + 4 <= len(stream):
+        op, ln = struct.unpack_from("<HH", stream, p)
+        yield op, stream[p + 4:p + 4 + ln], p
+        p += 4 + ln
+
+
+def _xls_sst(payload: bytes) -> list[str]:
+    out: list[str] = []
+    try:
+        (_total, unique) = struct.unpack_from("<II", payload, 0)
+        p = 8
+        for _ in range(min(unique, 100_000)):
+            (cch,) = struct.unpack_from("<H", payload, p)
+            grbit = payload[p + 2]
+            p += 3
+            runs = ext = 0
+            if grbit & 0x08:  # rich text
+                (runs,) = struct.unpack_from("<H", payload, p)
+                p += 2
+            if grbit & 0x04:  # phonetic
+                (ext,) = struct.unpack_from("<I", payload, p)
+                p += 4
+            if grbit & 0x01:  # 16-bit chars
+                out.append(payload[p:p + 2 * cch].decode("utf-16-le",
+                                                         "replace"))
+                p += 2 * cch
+            else:
+                out.append(payload[p:p + cch].decode("cp1252", "replace"))
+                p += cch
+            p += 4 * runs + ext
+            if p > len(payload):
+                break
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
+def _rk_value(rk: int) -> str:
+    if rk & 0x02:  # integer
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        val: float = v
+    else:
+        (val,) = struct.unpack("<d", struct.pack("<Q",
+                                                 (rk & 0xFFFFFFFC) << 32))
+    if rk & 0x01:
+        val = val / 100
+    if isinstance(val, float) and val.is_integer():
+        return str(int(val))
+    return str(val)
+
+
+def _xls_text(cfb: CfbFile) -> str:
+    book = cfb.stream("Workbook") or cfb.stream("Book")
+    if not book:
+        return ""
+    sst: list[str] = []
+    sheets: list[tuple[int, str]] = []  # (offset, name)
+    for op, payload, _pos in _xls_records(book):
+        if op == 0x00FC:
+            sst = _xls_sst(payload)
+        elif op == 0x0085 and len(payload) >= 8:
+            (lb_ply,) = struct.unpack_from("<I", payload, 0)
+            cch, grbit = payload[6], payload[7]
+            if grbit & 0x01:
+                name = payload[8:8 + 2 * cch].decode("utf-16-le", "replace")
+            else:
+                name = payload[8:8 + cch].decode("cp1252", "replace")
+            sheets.append((lb_ply, name))
+        elif op == 0x000A and not sheets:
+            break  # EOF of globals with no sheets
+    lines: list[str] = []
+    for lb_ply, name in sheets:
+        cells: dict[tuple[int, int], str] = {}
+        depth = 0
+        for op, payload, _pos in _xls_records(book[lb_ply:]):
+            if op == 0x0809:
+                depth += 1
+            elif op == 0x000A:
+                depth -= 1
+                if depth <= 0:
+                    break
+            elif op == 0x00FD and len(payload) >= 10:
+                row, col, _ixfe, isst = struct.unpack_from("<HHHI",
+                                                           payload, 0)
+                if isst < len(sst):
+                    cells[(row, col)] = sst[isst]
+            elif op == 0x0203 and len(payload) >= 14:
+                row, col = struct.unpack_from("<HH", payload, 0)
+                (v,) = struct.unpack_from("<d", payload, 6)
+                cells[(row, col)] = (str(int(v)) if v.is_integer()
+                                     else str(v))
+            elif op == 0x027E and len(payload) >= 10:
+                row, col = struct.unpack_from("<HH", payload, 0)
+                (rk,) = struct.unpack_from("<I", payload, 6)
+                cells[(row, col)] = _rk_value(rk)
+            elif op == 0x00BD and len(payload) >= 6:
+                row, col0 = struct.unpack_from("<HH", payload, 0)
+                nrk = (len(payload) - 6) // 6
+                for i in range(nrk):
+                    (rk,) = struct.unpack_from("<I", payload, 4 + 6 * i + 2)
+                    cells[(row, col0 + i)] = _rk_value(rk)
+            elif op == 0x0204 and len(payload) >= 9:
+                row, col = struct.unpack_from("<HH", payload, 0)
+                (cch,) = struct.unpack_from("<H", payload, 6)
+                grbit = payload[8]
+                if grbit & 0x01:
+                    cells[(row, col)] = payload[9:9 + 2 * cch].decode(
+                        "utf-16-le", "replace")
+                else:
+                    cells[(row, col)] = payload[9:9 + cch].decode(
+                        "cp1252", "replace")
+        if name:
+            lines.append(name)
+        rows: dict[int, dict[int, str]] = {}
+        for (r, c), v in cells.items():
+            rows.setdefault(r, {})[c] = v
+        for r in sorted(rows):
+            cols = rows[r]
+            lines.append("\t".join(cols[c] for c in sorted(cols)))
+    return ("\n".join(lines) + "\n") if lines else ""
+
+
+# ----------------------------------------------------- PowerPoint .ppt --
+
+
+def _ppt_text(cfb: CfbFile) -> str:
+    doc = cfb.stream("PowerPoint Document")
+    if not doc:
+        return ""
+    lines: list[str] = []
+    p, n = 0, len(doc)
+    while p + 8 <= n:
+        (ver_inst, rec_type, rec_len) = struct.unpack_from("<HHI", doc, p)
+        p += 8
+        if (ver_inst & 0x0F) == 0x0F:
+            continue  # container record: descend (payload is records)
+        if rec_type == 0x0FA0:   # TextCharsAtom (utf-16-le)
+            s = doc[p:p + rec_len].decode("utf-16-le", "replace")
+            lines.append(s.replace("\r", "\n").rstrip("\x00"))
+        elif rec_type == 0x0FA8:  # TextBytesAtom (cp1252)
+            s = doc[p:p + rec_len].decode("cp1252", "replace")
+            lines.append(s.replace("\r", "\n").rstrip("\x00"))
+        p += rec_len
+    return ("\n".join(lines) + "\n") if lines else ""
+
+
+# -------------------------------------------------------- Outlook .msg --
+
+_SUBSTG_RE = re.compile(r"^__substg1\.0_([0-9A-F]{4})([0-9A-F]{4})$")
+_ATTACH_RE = re.compile(r"^__attach_version1\.0_#\d{8}$")
+
+_MSG_PROPS = {"0037": "subject", "0C1A": "Message-From",
+              "0E04": "Message-To", "0E03": "Message-Cc"}
+
+
+def _msg_extract(cfb: CfbFile, metadata: dict[str, list[str]]
+                 ) -> tuple[str, list[tuple[str, bytes]]]:
+    body = ""
+    for e in cfb.entries:
+        if e.kind != 2 or e.path != ():
+            continue
+        m = _SUBSTG_RE.match(e.name)
+        if not m:
+            continue
+        prop, vt = m.group(1), m.group(2)
+        raw = cfb.read(e)
+        if vt == "001F":
+            val = raw.decode("utf-16-le", "replace").rstrip("\x00")
+        elif vt == "001E":
+            val = raw.decode("cp1252", "replace").rstrip("\x00")
+        else:
+            continue
+        if prop == "1000":
+            body = val
+        elif prop in _MSG_PROPS:
+            metadata.setdefault(_MSG_PROPS[prop], []).append(val)
+    children: list[tuple[str, bytes]] = []
+    attach_dirs = sorted({e.path[0] for e in cfb.entries
+                          if e.path and _ATTACH_RE.match(e.path[0])})
+    for d in attach_dirs:
+        fname, payload = None, None
+        for e in cfb.entries:
+            if e.path != (d,) or e.kind != 2:
+                continue
+            m = _SUBSTG_RE.match(e.name)
+            if not m:
+                continue
+            prop, vt = m.group(1), m.group(2)
+            if prop in ("3707", "3704") and vt == "001F" and not fname:
+                fname = cfb.read(e).decode("utf-16-le",
+                                           "replace").rstrip("\x00")
+            elif prop in ("3707", "3704") and vt == "001E" and not fname:
+                fname = cfb.read(e).decode("cp1252",
+                                           "replace").rstrip("\x00")
+            elif prop == "3701" and vt == "0102":
+                payload = cfb.read(e)
+        if payload is not None:
+            children.append((fname or d, payload))
+    return body, children
+
+
+# -------------------------------------------------------------- entry --
+
+
+def extract_ole(data: bytes, url: str | None = None,
+                declared_type: str | None = None,
+                config: ExtractConfig = _DEFAULT,
+                mime: str = "application/x-tika-msoffice") -> dict:
+    """Extract one OLE2 document. Never raises on content."""
+    data = bytes(data or b"")
+    metadata: dict[str, list[str]] = {"Content-Type": [mime]}
+    try:
+        cfb = CfbFile(data)
+    except Exception as e:
+        return {"charset": None, "title": None, "text": "", "spans": [],
+                "links": [], "metadata": metadata, "status": "error",
+                "error": f"ole2: {e!r}"}
+    _summary_metadata(cfb, metadata)
+    children: list[tuple[str, bytes]] = []
+    try:
+        if mime == "application/msword":
+            text = _doc_text(cfb)
+        elif mime == "application/vnd.ms-excel":
+            text = _xls_text(cfb)
+        elif mime == "application/vnd.ms-powerpoint":
+            text = _ppt_text(cfb)
+        elif mime == "application/vnd.ms-outlook":
+            text, children = _msg_extract(cfb, metadata)
+            if text and not text.endswith("\n"):
+                text += "\n"
+        else:
+            text = ""  # metadata-only (visio/publisher/unknown office)
+    except Exception:
+        text = ""
+    text = safe_chars(text)
+    status = "ok" if text or metadata.keys() - {"Content-Type"} else \
+        "metadata_only"
+    limit = max(config.output_min_chars,
+                config.output_ratio * max(1, len(data)))
+    if len(text) > limit:
+        text, status = text[:limit], "output_limit"
+    if config.write_limit and len(text) > config.write_limit:
+        text, status = text[:config.write_limit], "write_limit"
+    title = metadata.get("title", [None])[0] or \
+        metadata.get("subject", [None])[0]
+    return {"charset": None, "title": title, "text": text, "spans": [],
+            "links": [], "metadata": metadata, "status": status,
+            "children": children}

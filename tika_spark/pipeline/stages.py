@@ -32,6 +32,7 @@ from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
 from tika_spark.mail import extract_mbox, extract_rfc822
 from tika_spark.media import extract_media
+from tika_spark.ole.parser import extract_ole
 from tika_spark.rtf import extract_rtf
 from tika_spark.textparse import extract_text
 from tika_spark.xmlparse import extract_feed, extract_xml
@@ -75,6 +76,15 @@ ROUTE_TABLE = {
     "application/vnd.oasis.opendocument.spreadsheet": "odf",
     "application/vnd.oasis.opendocument.presentation": "odf",
     "application/epub+zip": "epub",
+    # OLE2 binary Office (E7) — specific types from the OLE2 container
+    # refinement (B8); the generic supertype catches unknown layouts
+    "application/msword": "ole",
+    "application/vnd.ms-excel": "ole",
+    "application/vnd.ms-powerpoint": "ole",
+    "application/vnd.ms-outlook": "ole",
+    "application/vnd.visio": "ole",
+    "application/x-mspublisher": "ole",
+    "application/x-tika-msoffice": "ole",
 }
 
 _EXTRACTORS = {
@@ -91,10 +101,11 @@ _EXTRACTORS = {
     "ooxml": extract_ooxml,
     "odf": extract_odf,
     "epub": extract_epub,
+    "ole": extract_ole,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
-_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "media"})
+_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "media", "ole"})
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "

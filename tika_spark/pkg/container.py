@@ -10,9 +10,9 @@ the specific type —
   directory identifies the OOXML family;
 - otherwise it stays a plain zip.
 
-OLE2 (doc/xls/ppt) refinement via POIFSContainerDetector is out of the
-web slice; the OLE2 magic maps to ``application/x-tika-msoffice`` and
-routes to a metadata-only status row.
+OLE2 (doc/xls/ppt/msg) refinement lives in
+``tika_spark.ole.parser.refine_ole2`` (POIFSContainerDetector
+semantics over the from-scratch CFB reader).
 
 The probe reads only the in-memory bytes it is given (detection stays
 bounded: callers pass the full payload but zipfile touches the central
