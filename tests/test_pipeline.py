@@ -92,6 +92,33 @@ class TestExtractJob:
             if g is not None:
                 assert row["text"] == g["text_main"], row["url"]
 
+    def test_xhtml_mode(self, spark):
+        rows = [("http://e.com/x.html",
+                 b"<html><head><title>T</title></head><body>"
+                 b"<p>A &amp; B <a href='/r'>l</a></p>"
+                 b"<script>drop()</script></body></html>"),
+                ("http://e.com/x.txt", "plain <text>".encode())]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = {r["url"]: r for r in
+               extract(df, mode="xhtml").collect()}
+        xh = out["http://e.com/x.html"]["text"]
+        assert xh.startswith('<html xmlns="http://www.w3.org/1999/xhtml">')
+        assert "<title>T</title>" in xh
+        assert '<p>A &amp; B <a href="http://e.com/r">l</a></p>' in xh
+        assert "drop()" not in xh           # script subtree discarded
+        tx = out["http://e.com/x.txt"]["text"]
+        assert "<p>plain &lt;text&gt;\n</p>" in tx  # generic wrap
+
+    def test_detect_mode_no_parse(self, spark, pages):
+        out = extract(pages, mode="detect")
+        rows = out.collect()
+        assert all(r["status"] == "detected" for r in rows)
+        assert all(r["text"] == "" and r["lang"] is None for r in rows)
+        # the census matches the parsed run's mime distribution
+        full = extract(pages, mode="text")
+        assert sorted(out.groupBy("mime").count().collect()) == \
+            sorted(full.groupBy("mime").count().collect())
+
     def test_lineage_manifest_sums(self, extracted):
         lin = lineage_manifest(extracted)
         total = lin.agg(F.sum("n_rows")).collect()[0][0]

@@ -45,7 +45,9 @@ class ExtractConfig:
     (reference: tika-core/.../parser/ParseContext.java:23-42)
     """
 
-    mode: str = "text"               # 'text' (-t) | 'text-main' (-T) | 'metadata'
+    # 'text' (-t) | 'text-main' (-T) | 'metadata' (-m) | 'xhtml' (-x)
+    # | 'detect' (-d, type census only — no parse, no language id)
+    mode: str = "text"
     # 0 = unlimited (the CLI -t/-T modes); WRITE_LIMIT mirrors the
     # parseToString facade default for callers who want it
     write_limit: int = 0

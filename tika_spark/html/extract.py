@@ -89,6 +89,10 @@ def extract_html(data: bytes, url: str | None = None,
     if config.mode == "text-main":
         text, spans = bp.main_content(body)
         text = safe_chars(text)
+    elif config.mode == "xhtml":
+        from tika_spark.html.layout import serialize_xhtml
+        text = serialize_xhtml(body, metadata.get("title", [None])[0], base)
+        spans = []
     else:
         text = full_text
 

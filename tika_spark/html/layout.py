@@ -157,6 +157,86 @@ class _Serializer:
                 self.spans.append((span_start, max(span_start, end), mapped))
 
 
+_XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _esc_xml(s: str, attr: bool = False) -> str:
+    out = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return out.replace('"', "&quot;") if attr else out
+
+
+class _XmlSerializer:
+    """Normalized-XHTML serializer (the ``-x`` CLI mode, SURVEY §2 A4;
+    sax/ToXMLContentHandler.java): replays the *mapped* element stream
+    as XML, with the same TAB/NEWLINE layout characters the text
+    projection uses emitted as character data."""
+
+    def __init__(self, base_url: str | None):
+        self.base = base_url
+        self.pieces: list[str] = []
+
+    def walk(self, node):
+        if isinstance(node, str):
+            self.pieces.append(_esc_xml(node))
+            return
+        tag = node.tag
+        if tag in mapper.DISCARD_ELEMENTS:
+            return
+        mapped = mapper.map_safe_element(tag)
+        if mapped is None:
+            for child in node.children:
+                self.walk(child)
+            if tag in ENDLINE:
+                self.pieces.append("\n")
+            return
+        if mapped in INDENT:
+            self.pieces.append("\t")
+        attrs = dict(mapper.safe_attrs(mapped, node.attrs))
+        for k in ("href", "src", "cite", "longdesc"):
+            if k in attrs:
+                attrs[k] = resolve_url(self.base, attrs[k])
+        if mapped == "img" and "alt" not in attrs:
+            attrs["alt"] = node.attrs.get("alt", "")
+        attr_s = "".join(f' {k}="{_esc_xml(v, attr=True)}"'
+                         for k, v in attrs.items())
+        if node.children:
+            self.pieces.append(f"<{mapped}{attr_s}>")
+            for child in node.children:
+                self.walk(child)
+            self.pieces.append(f"</{mapped}>")
+        else:
+            self.pieces.append(f"<{mapped}{attr_s}/>")
+        if mapped in ENDLINE:
+            self.pieces.append("\n")
+
+
+_XHTML_NS = "http://www.w3.org/1999/xhtml"
+
+
+def serialize_xhtml(body: El, title: str | None = None,
+                    base_url: str | None = None) -> str:
+    """Full normalized-XHTML document string for a mapped body tree
+    (lazy-head contract: html > head > title > body,
+    XHTMLContentHandler.java:124-196)."""
+    ser = _XmlSerializer(base_url)
+    for child in body.children:
+        ser.walk(child)
+    return safe_chars(
+        f'<html xmlns="{_XHTML_NS}">\n<head>\n'
+        f"<title>{_esc_xml(title or '')}</title>\n</head>\n"
+        f"<body>{''.join(ser.pieces)}</body>\n</html>")
+
+
+def xhtml_wrap_text(text: str, title: str | None = None) -> str:
+    """Generic xhtml-mode wrapper for non-DOM routes (txt/pdf/office…):
+    the extracted text as one ``<p>`` inside the standard skeleton
+    (the TXTParser single-paragraph shape, txt/TXTParser.java:68-142)."""
+    return safe_chars(
+        f'<html xmlns="{_XHTML_NS}">\n<head>\n'
+        f"<title>{_esc_xml(title or '')}</title>\n</head>\n"
+        f"<body><p>{_esc_xml(text)}</p>\n</body>\n</html>")
+
+
 def serialize_body(body: El, base_url: str | None = None,
                    collect_links: bool = True):
     """Serialize a body subtree.

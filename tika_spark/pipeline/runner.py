@@ -133,7 +133,8 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default="text",
-                   choices=["text", "text-main", "metadata"])
+                   choices=["text", "text-main", "metadata", "xhtml",
+                            "detect"])
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
     p.add_argument("--cpus", type=int,

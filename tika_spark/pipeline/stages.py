@@ -146,6 +146,28 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
     declared = pdf["declared_type"] if "declared_type" in pdf else None
 
     mimes = detect_batch(html, urls, declared)
+
+    if config.mode == "detect":
+        # -d CLI mode (H4): type census only — no parsing, no language
+        # id; the cheap scan path for fleet-wide mime distribution
+        batch_ms = (time.perf_counter() - t0) * 1000.0
+        return pd.DataFrame({
+            "url": urls.values,
+            "warc_ts": (pdf["warc_ts"].values if "warc_ts" in pdf
+                        else [None] * n),
+            "mime": mimes.values,
+            "charset": None, "lang": None, "lang_distance": None,
+            "title": None, "text": "",
+            "spans": [[] for _ in range(n)],
+            "links": [[] for _ in range(n)],
+            "metadata": [{} for _ in range(n)],
+            "status": "detected", "error": None,
+            "children": [[] for _ in range(n)],
+            "n_bytes": html.map(lambda b: len(b) if b is not None
+                                else 0).values,
+            "n_chars": 0, "part_id": part_id, "batch_ms": batch_ms,
+        })
+
     results: list[dict] = [None] * n  # type: ignore[list-item]
     routes = mimes.map(lambda m: route_for_mime(m))
 
@@ -172,6 +194,18 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
     for k in range(n):
         if results[k] is None:
             results[k] = _empty_result()
+
+    if config.mode == "xhtml":
+        # -x CLI mode (A4): non-DOM routes wrap their text in the
+        # standard skeleton; the html route already serialized XML
+        from tika_spark.html.layout import xhtml_wrap_text
+        html_idx = {positions[i] for i in
+                    routes[routes == "html"].index}
+        for k in range(n):
+            if k not in html_idx:
+                r = results[k]
+                r["text"] = xhtml_wrap_text(r["text"], r.get("title"))
+                r["spans"] = []
 
     texts = pd.Series([r["text"] for r in results], index=pdf.index)
 
