@@ -36,6 +36,8 @@ EXT_MAP: dict[str, str] = {
     "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
     "doc": "application/msword", "xls": "application/vnd.ms-excel",
     "ppt": "application/vnd.ms-powerpoint",
+    "msg": "application/vnd.ms-outlook",
+    "chm": "application/vnd.ms-htmlhelp",
     "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",

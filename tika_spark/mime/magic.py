@@ -66,6 +66,10 @@ MAGIC_RULES: list[MagicRule] = [
        Clause(0, 0, b"\xff\xfb"), Clause(0, 0, b"\xff\xfa")),
     _m("application/x-tika-msoffice", 45,
        Clause(0, 0, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")),
+    # CHM help file: "ITSF" + version 3 LE (tika-mimetypes.xml
+    # vnd.ms-htmlhelp block)
+    _m("application/vnd.ms-htmlhelp", 50,
+       Clause(0, 0, b"ITSF\x03\x00\x00\x00")),
     _m("text/html", 40, *[Clause(0, 64, t, ci=True) for t in _HTML_TOKENS]),
     # mbox before rfc822: "From " (envelope) vs "From:" (header) —
     # tika-mimetypes.xml mbox/message blocks

@@ -32,6 +32,7 @@ from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
 from tika_spark.mail import extract_mbox, extract_rfc822
 from tika_spark.media import extract_media
+from tika_spark.chm.parser import extract_chm
 from tika_spark.ole.parser import extract_ole
 from tika_spark.rtf import extract_rtf
 from tika_spark.textparse import extract_text
@@ -78,6 +79,7 @@ ROUTE_TABLE = {
     "application/epub+zip": "epub",
     # OLE2 binary Office (E7) — specific types from the OLE2 container
     # refinement (B8); the generic supertype catches unknown layouts
+    "application/vnd.ms-htmlhelp": "chm",
     "application/msword": "ole",
     "application/vnd.ms-excel": "ole",
     "application/vnd.ms-powerpoint": "ole",
@@ -102,6 +104,7 @@ _EXTRACTORS = {
     "odf": extract_odf,
     "epub": extract_epub,
     "ole": extract_ole,
+    "chm": extract_chm,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
