@@ -98,3 +98,162 @@ def test_through_pipeline(spark):
     assert row["mime"] == "image/png"
     assert row["metadata"]["width"] == ["99"]
     assert row["text"] == ""
+
+
+# ---- TIFF / EXIF ----------------------------------------------------------
+
+def _make_tiff(entries_ascii=None, gps=False, bo="<"):
+    """Minimal TIFF: IFD0 with dims + Make/Model, optional EXIF sub-IFD
+    (DateTimeOriginal) and GPS IFD (lat/lon rationals)."""
+    import struct as st
+    e = "<" if bo == "<" else ">"
+    out = bytearray(b"II*\x00" if bo == "<" else b"MM\x00*")
+    out += st.pack(e + "I", 8)
+
+    blobs = bytearray()          # out-of-line values, appended after IFDs
+    ifd0 = []
+
+    def entry(tag, typ, count, val_bytes):
+        nonlocal blobs
+        if len(val_bytes) <= 4:
+            ifd0.append(st.pack(e + "HHI", tag, typ, count)
+                        + val_bytes.ljust(4, b"\x00"))
+        else:
+            ifd0.append([tag, typ, count, len(blobs)])  # patch later
+            blobs += val_bytes
+
+    entry(256, 3, 1, st.pack(e + "H", 640))
+    entry(257, 3, 1, st.pack(e + "H", 480))
+    make = b"CamCo\x00"
+    entry(271, 2, len(make), make)
+    entry(274, 3, 1, st.pack(e + "H", 6))
+
+    sub_ifds = bytearray()
+    if entries_ascii:
+        dto = entries_ascii.encode() + b"\x00"
+        # EXIF sub-IFD with one ASCII tag 36867
+        entry(34665, 4, 1, st.pack(e + "I", 0xAAAA))  # patched below
+    if gps:
+        entry(34853, 4, 1, st.pack(e + "I", 0xBBBB))
+
+    # layout: header(8) + ifd0 + next(4) + [sub ifds] + blobs
+    n = len(ifd0)
+    ifd0_size = 2 + 12 * n + 4
+    pos_after_ifd0 = 8 + ifd0_size
+
+    sub_offsets = {}
+    p = pos_after_ifd0
+    if entries_ascii:
+        sub_offsets["exif"] = p
+        dto = entries_ascii.encode() + b"\x00"
+        sub = st.pack(e + "H", 1) + st.pack(e + "HHI", 36867, 2, len(dto))
+        if len(dto) <= 4:
+            sub += dto.ljust(4, b"\x00")
+        else:
+            sub += st.pack(e + "I", 0)  # patch after blobs known
+        sub += st.pack(e + "I", 0)
+        sub_ifds += sub
+        p += len(sub)
+        sub_dto_far = len(dto) > 4
+    if gps:
+        sub_offsets["gps"] = p
+        rat = lambda d, m, s: st.pack(e + "II", d, 1) + st.pack(e + "II", m, 1) \
+            + st.pack(e + "II", s, 1)
+        lat_off_pos = None
+        gps_entries = []
+        gps_blob_base = None
+        # build with two rational-seq entries + two refs
+        gps_ifd = bytearray(st.pack(e + "H", 4))
+        # refs fit inline
+        gps_ifd += st.pack(e + "HHI", 1, 2, 2) + b"N\x00\x00\x00"
+        gps_ifd += st.pack(e + "HHI", 2, 5, 3) + st.pack(e + "I", 0)  # patch
+        gps_ifd += st.pack(e + "HHI", 3, 2, 2) + b"W\x00\x00\x00"
+        gps_ifd += st.pack(e + "HHI", 4, 5, 3) + st.pack(e + "I", 0)  # patch
+        gps_ifd += st.pack(e + "I", 0)
+        sub_ifds += gps_ifd
+        p += len(gps_ifd)
+
+    blob_base = p
+    # patch ifd0 out-of-line entries and write it
+    ifd0_raw = bytearray(st.pack(e + "H", n))
+    for item in ifd0:
+        if isinstance(item, bytes):
+            ifd0_raw += item
+        else:
+            tag, typ, count, rel = item
+            ifd0_raw += st.pack(e + "HHI", tag, typ, count) \
+                + st.pack(e + "I", blob_base + rel)
+    ifd0_raw += st.pack(e + "I", 0)
+    # patch sub-IFD pointers inside ifd0_raw
+    raw = bytes(ifd0_raw)
+    if entries_ascii:
+        raw = raw.replace(st.pack(e + "I", 0xAAAA),
+                          st.pack(e + "I", sub_offsets["exif"]))
+    if gps:
+        raw = raw.replace(st.pack(e + "I", 0xBBBB),
+                          st.pack(e + "I", sub_offsets["gps"]))
+    sub_raw = bytes(sub_ifds)
+    if entries_ascii and len(entries_ascii) + 1 > 4:
+        dto = entries_ascii.encode() + b"\x00"
+        sub_raw = sub_raw.replace(
+            st.pack(e + "HHI", 36867, 2, len(dto)) + st.pack(e + "I", 0),
+            st.pack(e + "HHI", 36867, 2, len(dto))
+            + st.pack(e + "I", blob_base + len(blobs)))
+        blobs += dto
+    if gps:
+        lat = st.pack(e + "II", 48, 1) + st.pack(e + "II", 51, 1) \
+            + st.pack(e + "II", 0, 1)
+        lon = st.pack(e + "II", 2, 1) + st.pack(e + "II", 21, 1) \
+            + st.pack(e + "II", 0, 1)
+        sub_raw = sub_raw.replace(
+            st.pack(e + "HHI", 2, 5, 3) + st.pack(e + "I", 0),
+            st.pack(e + "HHI", 2, 5, 3)
+            + st.pack(e + "I", blob_base + len(blobs)))
+        blobs += lat
+        sub_raw = sub_raw.replace(
+            st.pack(e + "HHI", 4, 5, 3) + st.pack(e + "I", 0),
+            st.pack(e + "HHI", 4, 5, 3)
+            + st.pack(e + "I", blob_base + len(blobs)))
+        blobs += lon
+    return bytes(out) + raw + sub_raw + bytes(blobs)
+
+
+def test_tiff_detect_and_dims():
+    t = _make_tiff()
+    assert detect(t, "http://x/a.tif") == "image/tiff"
+    r = extract_media(t, mime="image/tiff")
+    assert r["metadata"]["width"] == ["640"]
+    assert r["metadata"]["height"] == ["480"]
+    assert r["metadata"]["tiff:Make"] == ["CamCo"]
+    assert r["metadata"]["tiff:Orientation"] == ["6"]
+
+
+def test_tiff_exif_and_gps():
+    t = _make_tiff(entries_ascii="2021:05:04 10:20:30", gps=True)
+    r = extract_media(t, mime="image/tiff")
+    assert r["metadata"]["exif:DateTimeOriginal"] == ["2021:05:04 10:20:30"]
+    assert r["metadata"]["geo:lat"] == ["48.850000"]
+    assert r["metadata"]["geo:long"] == ["-2.350000"]
+
+
+def test_tiff_big_endian():
+    t = _make_tiff(bo=">")
+    r = extract_media(t, mime="image/tiff")
+    assert r["metadata"]["width"] == ["640"]
+
+
+def test_jpeg_exif_app1():
+    tiff = _make_tiff()
+    app1 = b"Exif\x00\x00" + tiff
+    seg = struct.pack(">H", len(app1) + 2) + app1
+    sof = b"\xff\xc0" + struct.pack(">HBHH", 8, 8, 480, 640)
+    jpg = b"\xff\xd8" + b"\xff\xe1" + seg + sof + b"\xff\xd9"
+    r = extract_media(jpg, mime="image/jpeg")
+    assert r["metadata"]["tiff:Make"] == ["CamCo"]
+    assert r["metadata"]["width"] == ["640"]
+
+
+def test_tiff_corrupt_never_raises():
+    for junk in (b"II*\x00", b"II*\x00\xff\xff\xff\xff", b"MM\x00*" + b"\x00" * 3):
+        r = extract_media(junk, mime="image/tiff")
+        assert r["status"] == "ok"

@@ -45,6 +45,7 @@ VARIANTS = (
     "html_table_layout", "pdf_simple", "pdf_two_boxes", "txt_utf8",
     "txt_utf16le", "txt_cp866", "xml_dc", "rss", "binary_junk",
     "zip_archive", "gz_txt", "rtf_doc", "docx_doc", "eml_msg",
+    "ole_doc", "ole_xls", "chm_help",
 )
 GIANT_EVERY = 997  # row ids divisible by this become giant_html (p99.9 tail)
 
@@ -353,6 +354,35 @@ def _eml_msg(i, seed, lang):
     return {"html": eml, "text": f"{subject}\n{body}\n", "ext": ".eml"}
 
 
+def _ole_doc(i, seed, lang):
+    from tika_spark.fixtures.olegen import make_doc
+    # cp1252 payload: pin to the ascii-safe english pool
+    p1 = _para(i, seed, "en", 2)
+    p2 = _para(i, seed, "en", 1, salt=5)
+    return {"html": make_doc([p1, p2], title=f"Doc {i}"),
+            "text": f"{p1}\n{p2}\n", "lang": "en", "ext": ".doc"}
+
+
+def _ole_xls(i, seed, lang):
+    from tika_spark.fixtures.olegen import make_xls
+    rows = [["Name", "Val"], [f"row{i % 5}", i], ["total", i * 2]]
+    return {"html": make_xls({"Sheet1": rows}),
+            "text": f"Sheet1\nName\tVal\nrow{i % 5}\t{i}\ntotal\t{i * 2}\n",
+            "lang": "en", "ext": ".xls"}
+
+
+def _chm_help(i, seed, lang):
+    from tika_spark.fixtures.chmgen import make_chm
+    p1 = _para(i, seed, lang, 2)
+    p2 = _para(i, seed, lang, 1, salt=6)
+    pages = {"/a.html": f"<html><body><p>{p1}</p></body></html>"
+             .encode("utf-8"),
+             "/b.html": f"<html><body><p>{p2}</p></body></html>"
+             .encode("utf-8")}
+    return {"html": make_chm(pages, compressed=(i % 2 == 0)),
+            "text": f"{p1}\n{p2}\n", "ext": ".chm"}
+
+
 _BUILDERS = {
     "html_plain": _html_plain, "html_boiler": _html_boiler,
     "html_meta_charset": _html_meta_charset,
@@ -365,6 +395,7 @@ _BUILDERS = {
     "xml_dc": _xml_dc, "rss": _rss, "binary_junk": _binary_junk,
     "zip_archive": _zip_archive, "gz_txt": _gz_txt, "rtf_doc": _rtf_doc,
     "docx_doc": _docx_doc, "eml_msg": _eml_msg,
+    "ole_doc": _ole_doc, "ole_xls": _ole_xls, "chm_help": _chm_help,
     "giant_html": _giant_html,
 }
 

@@ -68,12 +68,158 @@ def _jpeg_dims(data: bytes):
     return None
 
 
+def _tiff_dims(data: bytes):
+    meta = _exif_metadata(data)
+    if "tiff:ImageWidth" in meta and "tiff:ImageLength" in meta:
+        return (int(meta["tiff:ImageWidth"][0]),
+                int(meta["tiff:ImageLength"][0]))
+    return None
+
+
 _BY_MIME = {
     "image/png": _png_dims,
     "image/gif": _gif_dims,
     "image/bmp": _bmp_dims,
     "image/jpeg": _jpeg_dims,
+    "image/tiff": _tiff_dims,
 }
+
+# ---- TIFF / EXIF IFD reader (reference: image/TiffParser.java,
+# jpeg/JpegParser.java over the metadata-extractor library; property
+# names from tika-core metadata/TIFF.java, Geographic.java)
+
+_TIFF_TAGS = {256: "tiff:ImageWidth", 257: "tiff:ImageLength",
+              271: "tiff:Make", 272: "tiff:Model",
+              274: "tiff:Orientation", 282: "tiff:XResolution",
+              283: "tiff:YResolution", 305: "tiff:Software",
+              306: "tiff:DateTime"}
+_EXIF_TAGS = {33434: "exif:ExposureTime", 33437: "exif:FNumber",
+              36867: "exif:DateTimeOriginal", 37386: "exif:FocalLength",
+              34855: "exif:IsoSpeedRatings", 37385: "exif:Flash"}
+_EXIF_IFD_PTR = 34665
+_GPS_IFD_PTR = 34853
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _ifd_entries(data: bytes, base: int, off: int, bo: str,
+                 depth: int = 0) -> dict[int, object]:
+    """One IFD -> {tag: value}; values: int, float, str or (num, den)."""
+    out: dict[int, object] = {}
+    if depth > 4 or base + off + 2 > len(data):
+        return out
+    (n,) = struct.unpack_from(bo + "H", data, base + off)
+    p = base + off + 2
+    for _ in range(min(n, 256)):
+        if p + 12 > len(data):
+            break
+        tag, typ, count = struct.unpack_from(bo + "HHI", data, p)
+        size = _TYPE_SIZE.get(typ, 0) * count
+        if size == 0:
+            p += 12
+            continue
+        if size <= 4:
+            vp = p + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, p + 8)
+            vp = base + voff
+        if vp + size > len(data):
+            p += 12
+            continue
+        if typ == 2:      # ASCII
+            out[tag] = data[vp:vp + count].split(b"\x00", 1)[0].decode(
+                "latin-1", "replace").strip()
+        elif typ == 3:
+            out[tag] = struct.unpack_from(bo + "H", data, vp)[0]
+        elif typ in (4, 9):
+            out[tag] = struct.unpack_from(
+                bo + ("i" if typ == 9 else "I"), data, vp)[0]
+        elif typ in (5, 10):
+            num, den = struct.unpack_from(
+                bo + ("ii" if typ == 10 else "II"), data, vp)
+            out[tag] = (num, den)
+            if count > 1 and vp + 8 * count <= len(data):
+                out[(tag, "seq")] = [struct.unpack_from(
+                    bo + ("ii" if typ == 10 else "II"), data, vp + 8 * i)
+                    for i in range(count)]
+        p += 12
+    return out
+
+
+def _rat_str(v) -> str:
+    if isinstance(v, tuple):
+        num, den = v
+        if den == 0:
+            return str(num)
+        f = num / den
+        return str(int(f)) if f.is_integer() else f"{f:.6g}"
+    return str(v)
+
+
+def _gps_coord(rats, ref: str) -> str | None:
+    try:
+        d = rats[0][0] / (rats[0][1] or 1)
+        m = rats[1][0] / (rats[1][1] or 1)
+        s = rats[2][0] / (rats[2][1] or 1)
+        val = d + m / 60 + s / 3600
+        if ref in ("S", "W"):
+            val = -val
+        return f"{val:.6f}"
+    except (IndexError, TypeError, ZeroDivisionError):
+        return None
+
+
+def _exif_metadata(data: bytes) -> dict[str, list[str]]:
+    """TIFF-header EXIF walk: IFD0 + EXIF sub-IFD + GPS IFD."""
+    meta: dict[str, list[str]] = {}
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return meta
+    try:
+        (ifd0_off,) = struct.unpack_from(bo + "I", data, 4)
+        ifd0 = _ifd_entries(data, 0, ifd0_off, bo)
+        for tag, key in _TIFF_TAGS.items():
+            if tag in ifd0:
+                meta[key] = [_rat_str(ifd0[tag])]
+        if _EXIF_IFD_PTR in ifd0:
+            sub = _ifd_entries(data, 0, int(ifd0[_EXIF_IFD_PTR]), bo, 1)
+            for tag, key in _EXIF_TAGS.items():
+                if tag in sub:
+                    meta[key] = [_rat_str(sub[tag])]
+        if _GPS_IFD_PTR in ifd0:
+            gps = _ifd_entries(data, 0, int(ifd0[_GPS_IFD_PTR]), bo, 1)
+            lat = _gps_coord(gps.get((2, "seq"), []), str(gps.get(1, "")))
+            lon = _gps_coord(gps.get((4, "seq"), []), str(gps.get(3, "")))
+            if lat:
+                meta["geo:lat"] = [lat]
+            if lon:
+                meta["geo:long"] = [lon]
+    except (struct.error, ValueError):
+        pass
+    return meta
+
+
+def _jpeg_exif(data: bytes) -> dict[str, list[str]]:
+    """Find the APP1 "Exif" segment and parse its TIFF payload."""
+    i, n = 2, min(len(data), 262144)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan — no EXIF past here
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        if marker == 0xE1 and data[i + 4:i + 10] == b"Exif\x00\x00":
+            return _exif_metadata(data[i + 10:i + 2 + seg_len])
+        i += 2 + seg_len
+    return {}
 
 # ---- MP3 ID3 tags (reference: tika-parsers/.../mp3/Mp3Parser.java,
 # ID3v2Frame.java — an in-repo 1643 LoC frame reader; we cover the
@@ -146,6 +292,16 @@ def extract_media(data: bytes, url: str | None = None,
     if dims:
         metadata["width"] = [str(dims[0])]
         metadata["height"] = [str(dims[1])]
+    if mime == "image/jpeg":
+        try:
+            metadata.update(_jpeg_exif(data))
+        except Exception:
+            pass
+    elif mime == "image/tiff":
+        try:
+            metadata.update(_exif_metadata(data))
+        except Exception:
+            pass
     if mime == "audio/mpeg":
         try:
             metadata.update(_id3_meta(data))

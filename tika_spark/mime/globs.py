@@ -34,6 +34,7 @@ EXT_MAP: dict[str, str] = {
     "png": "image/png", "gif": "image/gif",
     "jpg": "image/jpeg", "jpeg": "image/jpeg", "bmp": "image/bmp",
     "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
+    "tif": "image/tiff", "tiff": "image/tiff",
     "doc": "application/msword", "xls": "application/vnd.ms-excel",
     "ppt": "application/vnd.ms-powerpoint",
     "msg": "application/vnd.ms-outlook",

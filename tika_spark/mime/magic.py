@@ -62,6 +62,8 @@ MAGIC_RULES: list[MagicRule] = [
     _m("image/gif", 50, Clause(0, 0, b"GIF87a"), Clause(0, 0, b"GIF89a")),
     _m("image/jpeg", 50, Clause(0, 0, b"\xff\xd8\xff")),
     _m("image/bmp", 50, Clause(0, 0, b"BM", mask=None)),
+    _m("image/tiff", 50, Clause(0, 0, b"II*\x00"),
+       Clause(0, 0, b"MM\x00*")),
     _m("audio/mpeg", 50, Clause(0, 0, b"ID3"),
        Clause(0, 0, b"\xff\xfb"), Clause(0, 0, b"\xff\xfa")),
     _m("application/x-tika-msoffice", 45,

@@ -59,6 +59,7 @@ ROUTE_TABLE = {
     "image/gif": "media",
     "image/jpeg": "media",
     "image/bmp": "media",
+    "image/tiff": "media",
     "audio/mpeg": "media",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
