@@ -38,3 +38,40 @@ def test_declared_hint_still_applies():
     # ambiguous short latin-1 bytes: declared hint must win
     raw = "café au lait".encode("iso-8859-1")
     assert detect_statistical(raw, declared="iso-8859-1") == "iso-8859-1"
+
+
+class TestSbcsNgram:
+    """Per-language single-byte recognizers (CharsetRecog_sbcs analog):
+    detection must pick a charset that decodes to the true text."""
+
+    CASES = [
+        ("windows-1251", "Современные технологии обработки данных "
+                         "развиваются быстро и меняют нашу жизнь"),
+        ("iso-8859-5", "Современные технологии обработки данных "
+                       "развиваются быстро"),
+        ("iso-8859-7", "Η επεξεργασία φυσικής γλώσσας είναι σημαντικός "
+                       "τομέας της επιστήμης των υπολογιστών"),
+        ("iso-8859-2", "Przetwarzanie języka naturalnego jest ważną "
+                       "dziedziną współczesnej informatyki"),
+    ]
+
+    def test_text_equal_after_roundtrip(self):
+        from tika_spark.charset import decode, detect_statistical
+        for codec, text in self.CASES:
+            raw = text.encode(codec, "ignore")
+            got = detect_statistical(raw)
+            assert decode(raw, got) == decode(raw, codec), (codec, got)
+
+    def test_thai(self):
+        from tika_spark.charset import detect_statistical
+        from tika_spark.language.corpus import SEED_TEXT
+        raw = SEED_TEXT["th"][:200].encode("tis-620", "ignore")
+        assert detect_statistical(raw) == "tis-620"
+
+    def test_exact_cyrillic_layouts(self):
+        from tika_spark.charset import detect_statistical
+        t = "проверка различных кириллических кодировок в документе"
+        assert detect_statistical(t.encode("windows-1251")) == \
+            "windows-1251"
+        assert detect_statistical(t.encode("koi8-r")) == "koi8-r"
+        assert detect_statistical(t.encode("cp866")) == "cp866"

@@ -174,7 +174,10 @@ def _score_sbcs_cyrillic(buf: np.ndarray, ranges) -> int:
     rate = float(mask.mean())
     has_ascii_space = float((buf == 0x20).mean()) > 0.02
     if rate > 0.85 and has_ascii_space:
-        return 75
+        # below the ngram recognizers' confident range (_score_sbcs_ngram
+        # tops out at 92) so per-language bigram evidence wins when the
+        # blunt byte-range test fires for several Cyrillic layouts
+        return 60
     return 0
 
 
@@ -259,6 +262,68 @@ def _score_mbcs(raw: bytes, codec: str, prior: int, gate, ranges,
     return min(100, 50 + int(rate * 30) + prior + bonus)
 
 
+# --- single-byte per-language ngram recognizers ---------------------------
+# the CharsetRecog_sbcs approach (tika-parsers/.../txt/
+# CharsetRecog_sbcs.java — ~20 per-(charset,language) ngram tables):
+# we derive the tables at first use from the in-repo 27-language seed
+# corpus by encoding it into each candidate charset and collecting the
+# byte bigrams that involve a high byte. Scoring = hit rate of the
+# input's high-byte bigrams against the table.
+
+_SBCS_NGRAM_CODECS = (
+    ("windows-1251", ("ru", "uk", "be")),
+    ("iso-8859-5", ("ru", "uk")),
+    ("koi8-r", ("ru", "be")),
+    ("cp866", ("ru",)),
+    ("iso-8859-7", ("el",)),
+    ("windows-1253", ("el",)),
+    ("iso-8859-2", ("pl", "hu", "sk", "sl")),
+    ("windows-1250", ("pl", "hu", "sk", "sl")),
+    ("tis-620", ("th",)),
+)
+
+_sbcs_model_cache: list[tuple[str, np.ndarray]] | None = None
+
+
+def _sbcs_models() -> list[tuple[str, np.ndarray]]:
+    global _sbcs_model_cache
+    if _sbcs_model_cache is None:
+        from tika_spark.language.corpus import SEED_TEXT
+        models = []
+        for codec, langs in _SBCS_NGRAM_CODECS:
+            grams: set[int] = set()
+            for lang in langs:
+                seed = SEED_TEXT.get(lang, "")
+                text = seed.lower() + " " + seed.upper()
+                try:
+                    enc = text.encode(codec, "ignore")
+                except LookupError:
+                    continue
+                arr = np.frombuffer(enc, np.uint8).astype(np.int32)
+                if len(arr) < 2:
+                    continue
+                hi = arr >= 0x80
+                pairs = (arr[:-1] << 8) | arr[1:]
+                grams.update(pairs[hi[:-1] | hi[1:]].tolist())
+            if grams:
+                models.append((codec, np.array(sorted(grams),
+                                               dtype=np.int32)))
+        _sbcs_model_cache = models
+    return _sbcs_model_cache
+
+
+def _score_sbcs_ngram(buf: np.ndarray, grams: np.ndarray) -> int:
+    hi = buf >= 0x80
+    if len(buf) < 16 or hi.mean() < 0.05:
+        return 0
+    pairs = (buf[:-1].astype(np.int32) << 8) | buf[1:]
+    rel = pairs[hi[:-1] | hi[1:]]
+    if len(rel) < 8:
+        return 0
+    hits = np.isin(rel, grams)
+    return int(92 * float(hits.mean()))
+
+
 def detect_statistical(data: bytes, declared: str | None = None) -> str:
     """Best-effort statistical charset detection over <=8000 bytes."""
     raw = data[:CHARSET_PREFIX]
@@ -284,6 +349,8 @@ def detect_statistical(data: bytes, declared: str | None = None) -> str:
         for codec, prior, gate, ranges, distinctive in _MBCS_CANDIDATES:
             scores[codec] = _score_mbcs(raw, codec, prior, gate, ranges,
                                         distinctive)
+        for codec, grams in _sbcs_models():
+            scores[codec] = _score_sbcs_ngram(buf, grams)
 
     declared = clean_charset(declared)
     if declared:
