@@ -1,0 +1,83 @@
+"""Property-based robustness: no extractor raises on arbitrary bytes.
+
+The reference's fault-isolation contract (fork/ForkParser.java intent,
+§2 H1): a poison document must produce an error/metadata row, never an
+exception that could kill a partition. Every route's extractor is
+driven with unconstrained bytes and with format-magic prefixes spliced
+onto junk so the deep parse paths are reached.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tika_spark.chm.parser import extract_chm
+from tika_spark.html.extract import extract_html
+from tika_spark.mail import extract_mbox, extract_rfc822
+from tika_spark.media import extract_media
+from tika_spark.mime.detector import detect
+from tika_spark.ole.parser import extract_ole
+from tika_spark.pdf import extract_pdf
+from tika_spark.pkg.parser import extract_package
+from tika_spark.rtf import extract_rtf
+from tika_spark.textparse import extract_text
+from tika_spark.xmlparse import extract_feed, extract_xml
+
+_MAGICS = [
+    b"", b"%PDF-1.4\n", b"{\\rtf1", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",
+    b"ITSF\x03\x00\x00\x00", b"PK\x03\x04", b"\x1f\x8b\x08",
+    b"<?xml version='1.0'?>", b"<html>", b"BZh9", b"\x89PNG\r\n\x1a\n",
+    b"II*\x00", b"MM\x00*", b"ID3", b"From ", b"Received:",
+]
+
+_EXTRACTORS = [
+    ("html", extract_html, {}),
+    ("pdf", extract_pdf, {}),
+    ("xml", extract_xml, {}),
+    ("feed", extract_feed, {}),
+    ("txt", extract_text, {}),
+    ("rtf", extract_rtf, {}),
+    ("rfc822", extract_rfc822, {}),
+    ("mbox", extract_mbox, {}),
+]
+
+_payloads = st.tuples(
+    st.sampled_from(_MAGICS),
+    st.binary(min_size=0, max_size=2048),
+).map(lambda t: t[0] + t[1])
+
+
+@pytest.mark.parametrize("name,fn,kw", _EXTRACTORS,
+                         ids=[e[0] for e in _EXTRACTORS])
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(payload=_payloads)
+def test_extractor_never_raises(name, fn, kw, payload):
+    r = fn(payload, "http://fuzz/x", None, **kw)
+    assert isinstance(r, dict)
+    assert isinstance(r["text"], str)
+    assert r["status"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(payload=_payloads)
+def test_mime_aware_extractors_never_raise(payload):
+    from tika_spark.config import ExtractConfig
+    cfg = ExtractConfig()
+    for fn, mime in ((extract_ole, "application/msword"),
+                     (extract_ole, "application/vnd.ms-outlook"),
+                     (extract_media, "image/tiff"),
+                     (extract_media, "image/jpeg"),
+                     (extract_package, "application/zip")):
+        r = fn(payload, "http://fuzz/x", None, cfg, mime=mime)
+        assert isinstance(r["text"], str)
+    r = extract_chm(payload)
+    assert isinstance(r["text"], str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=_payloads, url=st.sampled_from(
+    ["http://a/x.html", "http://a/x.pdf", "http://a/x.doc", None]))
+def test_detect_never_raises(payload, url):
+    mime = detect(payload, url)
+    assert isinstance(mime, str) and "/" in mime

@@ -114,14 +114,19 @@ def extract_package(data: bytes, url: str | None = None,
                 "application/x-bzip2" if data[:3] == b"BZh" else
                 "application/x-tar" if data[257:262] == b"ustar" else
                 "application/zip")
-    if mime == "application/x-gzip":
-        children, truncated = _gzip_child(data, url, budget)
-    elif mime == "application/x-bzip2":
-        children, truncated = _bzip2_child(data, url, budget)
-    elif mime == "application/x-tar":
-        children, truncated = _tar_children(data, budget)
-    else:
-        children, truncated = _zip_children(data, budget)
+    error = None
+    try:
+        if mime == "application/x-gzip":
+            children, truncated = _gzip_child(data, url, budget)
+        elif mime == "application/x-bzip2":
+            children, truncated = _bzip2_child(data, url, budget)
+        elif mime == "application/x-tar":
+            children, truncated = _tar_children(data, budget)
+        else:
+            children, truncated = _zip_children(data, budget)
+    except Exception as e:  # corrupt container -> error row, never raise
+        children, truncated = [], False
+        error = f"pkg: {e!r}"[:1000]
 
     # package-entry frame: one <h1>name per entry → name + NEWLINE
     text = "".join(name + "\n" for name, _ in children)
@@ -137,6 +142,8 @@ def extract_package(data: bytes, url: str | None = None,
         "links": [],
         "metadata": {"Content-Type": [mime],
                      "package-entry-count": [str(len(children))]},
-        "status": "output_limit" if truncated else "ok",
+        "status": ("error" if error else
+                   "output_limit" if truncated else "ok"),
+        "error": error,
         "children": children,
     }
