@@ -216,8 +216,12 @@ _CJK = ((0x4E00, 0x9FFF),)
 # very common characters found in ONE Han variant but not the other —
 # the cross-decode of gb18030 bytes is often byte-valid big5 (and vice
 # versa), so validity alone cannot separate them
-_SIMPLIFIED = set("们这为说对时会业发经动点现还没见问头语长习")
-_TRADITIONAL = set("們這為說對時會業發經動點現還沒見問頭語長習")
+_SIMPLIFIED = np.array(
+    sorted(ord(c) for c in "们这为说对时会业发经动点现还没见问头语长习"),
+    dtype=np.uint32)
+_TRADITIONAL = np.array(
+    sorted(ord(c) for c in "們這為說對時會業發經動點現還沒見問頭語長習"),
+    dtype=np.uint32)
 
 _MBCS_CANDIDATES = (
     # (codec, prior, gate ranges [>=2 chars required], score ranges,
@@ -232,8 +236,8 @@ _MBCS_CANDIDATES = (
 
 def _score_mbcs(raw: bytes, codec: str, prior: int, gate, ranges,
                 distinctive) -> int:
-    if not any(b >= 0x80 for b in raw):
-        return 0
+    # caller gates on the presence of high bytes (hoisted — a per-codec
+    # python byte scan here dominated the ascii fast path)
     try:
         text = raw.decode(codec)
     except (UnicodeDecodeError, LookupError) as e:
@@ -247,18 +251,23 @@ def _score_mbcs(raw: bytes, codec: str, prior: int, gate, ranges,
             return 0
     if not text:
         return 0
-    gate_hits = sum(1 for ch in text
-                    if any(lo <= ord(ch) <= hi for lo, hi in gate))
-    if gate_hits < 2:
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    gate_mask = np.zeros(len(cp), dtype=bool)
+    for lo, hi in gate:
+        gate_mask |= (cp >= lo) & (cp <= hi)
+    if int(gate_mask.sum()) < 2:
         return 0
-    script = sum(1 for ch in text
-                 if any(lo <= ord(ch) <= hi for lo, hi in ranges))
+    script_mask = np.zeros(len(cp), dtype=bool)
+    for lo, hi in ranges:
+        script_mask |= (cp >= lo) & (cp <= hi)
+    script = int(script_mask.sum())
     if script < 4:
         return 0
-    rate = script / len(text)
+    rate = script / len(cp)
     bonus = 0
     if distinctive is not None:
-        bonus = 12 * min(sum(1 for ch in text if ch in distinctive), 2)
+        hits = int(np.isin(cp, distinctive).sum())
+        bonus = 12 * min(hits, 2)
     return min(100, 50 + int(rate * 30) + prior + bonus)
 
 
@@ -312,15 +321,23 @@ def _sbcs_models() -> list[tuple[str, np.ndarray]]:
     return _sbcs_model_cache
 
 
-def _score_sbcs_ngram(buf: np.ndarray, grams: np.ndarray) -> int:
+def _sbcs_rel_bigrams(buf: np.ndarray) -> np.ndarray | None:
+    """High-byte-involving bigrams of the input, computed once per
+    document and scored against every model."""
     hi = buf >= 0x80
-    if len(buf) < 16 or hi.mean() < 0.05:
-        return 0
+    if len(buf) < 16 or float(hi.mean()) < 0.05:
+        return None
     pairs = (buf[:-1].astype(np.int32) << 8) | buf[1:]
     rel = pairs[hi[:-1] | hi[1:]]
-    if len(rel) < 8:
-        return 0
-    hits = np.isin(rel, grams)
+    return rel if len(rel) >= 8 else None
+
+
+def _score_sbcs_ngram(rel: np.ndarray, grams: np.ndarray) -> int:
+    # membership via searchsorted on the pre-sorted model (np.isin
+    # re-sorts per call — measurable at fleet batch rates)
+    idx = np.searchsorted(grams, rel)
+    idx[idx >= len(grams)] = 0
+    hits = grams[idx] == rel
     return int(92 * float(hits.mean()))
 
 
@@ -337,20 +354,25 @@ def detect_statistical(data: bytes, declared: str | None = None) -> str:
         return iso[0]
 
     buf = np.frombuffer(raw, dtype=np.uint8)
+    has_high = bool((buf >= 0x80).any())
     scores: dict[str, int] = {}
     scores["utf-8"] = _score_utf8(buf)
     scores["utf-16-le"] = _score_utf16(buf, little=True)
     scores["utf-16-be"] = _score_utf16(buf, little=False)
     scores["cp500"] = _score_cp500(buf)
-    # single-byte Cyrillic heuristics
-    scores["cp866"] = _score_sbcs_cyrillic(buf, [(0x80, 0xAF), (0xE0, 0xF1)])
-    scores["koi8-r"] = _score_sbcs_cyrillic(buf, [(0xC0, 0xFF)])
-    if scores["utf-8"] < 60:  # only consider CJK MBCS when not UTF-8
+    if has_high:
+        # single-byte Cyrillic heuristics
+        scores["cp866"] = _score_sbcs_cyrillic(buf,
+                                               [(0x80, 0xAF), (0xE0, 0xF1)])
+        scores["koi8-r"] = _score_sbcs_cyrillic(buf, [(0xC0, 0xFF)])
+    if has_high and scores["utf-8"] < 60:  # CJK/sbcs only when not UTF-8
         for codec, prior, gate, ranges, distinctive in _MBCS_CANDIDATES:
             scores[codec] = _score_mbcs(raw, codec, prior, gate, ranges,
                                         distinctive)
-        for codec, grams in _sbcs_models():
-            scores[codec] = _score_sbcs_ngram(buf, grams)
+        rel = _sbcs_rel_bigrams(buf)
+        if rel is not None:
+            for codec, grams in _sbcs_models():
+                scores[codec] = _score_sbcs_ngram(rel, grams)
 
     declared = clean_charset(declared)
     if declared:
