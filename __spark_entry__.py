@@ -373,6 +373,17 @@ def _q_ngram_profile_topk(spark, sf_dir):
             .orderBy(F.desc("n"), F.asc("ngram")).limit(30))
 
 
+def _q_language_profile_build(spark, sf_dir):
+    """G3 LanguageProfilerBuilder as a distributed agg: per-word
+    ``_word_`` 3-gram windows (ProfilingWriter reset semantics) →
+    groupBy → count → rank → top-30. English-only so the letter class
+    is oracle-exact in ascii."""
+    from tika_spark.language.builder import build_profiles
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    return (build_profiles(docs, lang_col=None, top_k=30)
+            .select("ngram", "n", F.col("rank").cast("long").alias("rank")))
+
+
 def _q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): per-user session
     count — the batch form of the session-window op (§2.I), all native
@@ -431,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "ngram_profile_topk": _q_ngram_profile_topk,
+        "language_profile_build": _q_language_profile_build,
         "events_sessionize": _q_events_sessionize,
         "docs_rollup": _q_docs_rollup,
     }
@@ -577,6 +589,18 @@ def oracle_sql() -> dict[str, str]:
             "AS norm FROM documents WHERE lang = 'en')) "
             "SELECT ngram, COUNT(*)::BIGINT AS n FROM g GROUP BY ngram "
             "ORDER BY n DESC, ngram ASC LIMIT 30"),
+        "language_profile_build": (
+            "WITH words AS (SELECT unnest(regexp_split_to_array("
+            "lower(text), '[^a-z]+')) AS w FROM documents "
+            "WHERE lang = 'en'), padded AS ("
+            "SELECT '_' || w || '_' AS p FROM words WHERE w <> ''), "
+            "grams AS (SELECT unnest(list_transform("
+            "generate_series(1, length(p)-2), i -> substring(p, i, 3))) "
+            "AS ngram FROM padded), counted AS ("
+            "SELECT ngram, COUNT(*)::BIGINT AS n FROM grams "
+            "GROUP BY ngram) SELECT ngram, n, rank FROM ("
+            "SELECT ngram, n, row_number() OVER (ORDER BY n DESC, "
+            "ngram ASC)::BIGINT AS rank FROM counted) WHERE rank <= 30"),
         "events_sessionize": (
             "WITH marked AS (SELECT user_id, CASE WHEN lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "

@@ -7,6 +7,7 @@ LanguageIdentifierTest round-trips.
 """
 
 import pytest
+from collections import Counter
 
 from tika_spark.fixtures.pdfgen import make_pdf, make_pdf_objstm
 from tika_spark.language import CERTAINTY_LIMIT, default_model, profile_text
@@ -196,3 +197,31 @@ class TestLanguage:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestProfileBuilder:
+    """G3 corpus profile builder (LanguageProfilerBuilder semantics):
+    the distributed aggregation must equal per-doc profile_text sums."""
+
+    def test_matches_profile_text(self, spark):
+        from tika_spark.language.builder import (build_profiles,
+                                                 profile_to_counter)
+        texts = ["ab cd", "the quick brown fox", "ab ab zz"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = build_profiles(df, lang_col=None, top_k=1000).collect()
+        got = profile_to_counter(rows)
+        want = sum((profile_text(t) for t in texts), Counter())
+        assert got == want
+
+    def test_top_k_cut_and_rank(self, spark):
+        from tika_spark.language.builder import build_profiles
+        df = spark.createDataFrame(
+            [("aaa bbb", "x"), ("aaa ccc", "y")], "text string, lang string")
+        out = build_profiles(df, top_k=2).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert set(by_lang) == {"x", "y"}
+        for lang, rows in by_lang.items():
+            assert [r["rank"] for r in
+                    sorted(rows, key=lambda r: r["rank"])] == [1, 2]
