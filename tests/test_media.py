@@ -257,3 +257,82 @@ def test_tiff_corrupt_never_raises():
     for junk in (b"II*\x00", b"II*\x00\xff\xff\xff\xff", b"MM\x00*" + b"\x00" * 3):
         r = extract_media(junk, mime="image/tiff")
         assert r["status"] == "ok"
+
+
+# ---- TrueType / FLV / Java class (E12 tail) -------------------------------
+
+def _make_ttf(family="Fam Sans", full="Fam Sans Regular"):
+    import struct as st
+    recs = [(1, family), (4, full)]
+    strings = b""
+    name_recs = b""
+    for nid, val in recs:
+        enc = val.encode("utf-16-be")
+        name_recs += st.pack(">HHHHHH", 3, 1, 0x409, nid,
+                             len(enc), len(strings))
+        strings += enc
+    name_table = st.pack(">HHH", 0, len(recs), 6 + 12 * len(recs)) \
+        + name_recs + strings
+    off = 12 + 16
+    head = st.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    rec = b"name" + st.pack(">III", 0, off, len(name_table))
+    return head + rec + name_table
+
+
+def _make_flv(duration=12.5, width=640, height=360):
+    import struct as st
+
+    def amf_str(s):
+        return st.pack(">H", len(s)) + s.encode()
+
+    body = b"\x02" + amf_str("onMetaData") + b"\x08" + st.pack(">I", 3)
+    for k, v in (("duration", duration), ("width", width),
+                 ("height", height)):
+        body += amf_str(k) + b"\x00" + st.pack(">d", float(v))
+    body += st.pack(">H", 0) + b"\x09"
+    tag = b"\x12" + st.pack(">I", len(body))[1:] + b"\x00" * 7 + body
+    return b"FLV\x01\x05" + st.pack(">I", 9) + st.pack(">I", 0) + tag
+
+
+def _make_class(name="com/example/Widget"):
+    import struct as st
+    # cp: 1=utf8 name, 2=class->1
+    cp = b"\x01" + st.pack(">H", len(name)) + name.encode() \
+        + b"\x07" + st.pack(">H", 1)
+    return b"\xca\xfe\xba\xbe" + st.pack(">HH", 0, 52) \
+        + st.pack(">H", 3) + cp + st.pack(">HH", 0x21, 2)
+
+
+def test_ttf_name_table():
+    t = _make_ttf()
+    assert detect(t, "http://x/f.ttf") == "application/x-font-ttf"
+    r = extract_media(t, mime="application/x-font-ttf")
+    assert r["title"] == "Fam Sans Regular"
+    assert r["metadata"]["font-family"] == ["Fam Sans"]
+
+
+def test_flv_metadata():
+    f = _make_flv()
+    assert detect(f, "http://x/v.flv") == "video/x-flv"
+    r = extract_media(f, mime="video/x-flv")
+    assert r["metadata"]["hasVideo"] == ["true"]
+    assert r["metadata"]["hasAudio"] == ["true"]
+    assert r["metadata"]["duration"] == ["12.5"]
+    assert r["metadata"]["width"] == ["640"]
+
+
+def test_java_class():
+    c = _make_class()
+    assert detect(c, None) == "application/java-vm"
+    r = extract_media(c, mime="application/java-vm")
+    assert r["title"] == "com.example.Widget"
+    assert r["metadata"]["version"] == ["52.0"]
+
+
+def test_e12_tail_corrupt_never_raises():
+    for mime in ("application/x-font-ttf", "video/x-flv",
+                 "application/java-vm"):
+        for junk in (b"", b"\x00\x01\x00\x00", b"FLV\x01",
+                     b"\xca\xfe\xba\xbe\x00"):
+            r = extract_media(junk, mime=mime)
+            assert r["status"] == "ok"

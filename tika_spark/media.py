@@ -84,6 +84,140 @@ _BY_MIME = {
     "image/tiff": _tiff_dims,
 }
 
+# ---- TrueType 'name' table (reference: font/TrueTypeParser.java —
+# title = font name via the sfnt name records)
+
+
+def _ttf_meta(data: bytes) -> dict[str, list[str]]:
+    meta: dict[str, list[str]] = {}
+    if len(data) < 12 or data[:4] not in (b"\x00\x01\x00\x00", b"true",
+                                          b"OTTO"):
+        return meta
+    (n_tables,) = struct.unpack_from(">H", data, 4)
+    name_off = name_len = None
+    for i in range(min(n_tables, 64)):
+        p = 12 + 16 * i
+        if p + 16 > len(data):
+            break
+        tag = data[p:p + 4]
+        if tag == b"name":
+            _, name_off, name_len = struct.unpack_from(">III", data, p + 4)
+            break
+    if name_off is None or name_off + 6 > len(data):
+        return meta
+    _fmt, count, str_off = struct.unpack_from(">HHH", data, name_off)
+    storage = name_off + str_off
+    wanted = {1: "font-family", 4: "title"}
+    for i in range(min(count, 128)):
+        p = name_off + 6 + 12 * i
+        if p + 12 > len(data):
+            break
+        plat, _enc, _lang, name_id, ln, off = struct.unpack_from(
+            ">HHHHHH", data, p)
+        key = wanted.get(name_id)
+        if key is None or key in meta:
+            continue
+        raw = data[storage + off:storage + off + ln]
+        val = raw.decode("utf-16-be" if plat in (0, 3) else "latin-1",
+                         "replace").strip()
+        if val:
+            meta[key] = [val]
+    return meta
+
+
+# ---- FLV header + onMetaData AMF0 scan (reference:
+# video/FLVParser.java — hasVideo/hasAudio flags, metadata entries)
+
+
+def _amf0_value(data: bytes, p: int):
+    t = data[p]
+    p += 1
+    if t == 0:    # number
+        return struct.unpack_from(">d", data, p)[0], p + 8
+    if t == 1:    # bool
+        return bool(data[p]), p + 1
+    if t == 2:    # string
+        (ln,) = struct.unpack_from(">H", data, p)
+        return data[p + 2:p + 2 + ln].decode("utf-8", "replace"), p + 2 + ln
+    raise ValueError(f"amf0 type {t}")
+
+
+def _flv_meta(data: bytes) -> dict[str, list[str]]:
+    meta: dict[str, list[str]] = {}
+    if not data.startswith(b"FLV\x01") or len(data) < 20:
+        return meta
+    flags = data[4]
+    meta["hasVideo"] = [str(bool(flags & 0x01)).lower()]
+    meta["hasAudio"] = [str(bool(flags & 0x04)).lower()]
+    # first tag after the 9-byte header + 4-byte prev-tag-size
+    p = 13
+    if p + 11 > len(data) or data[p] != 18:  # script data tag
+        return meta
+    (size,) = struct.unpack(">I", b"\x00" + data[p + 1:p + 4])
+    body = data[p + 11:p + 11 + size]
+    try:
+        name, q = _amf0_value(body, 0)
+        if name != "onMetaData" or q >= len(body) or body[q] != 8:
+            return meta
+        q += 5  # ECMA array marker + approx count
+        while q + 2 < len(body):
+            (ln,) = struct.unpack_from(">H", body, q)
+            if ln == 0:
+                break
+            key = body[q + 2:q + 2 + ln].decode("utf-8", "replace")
+            val, q = _amf0_value(body, q + 2 + ln)
+            if isinstance(val, float) and val.is_integer():
+                val = int(val)
+            meta[key] = [str(val)]
+    except (ValueError, struct.error, IndexError):
+        pass
+    return meta
+
+
+# ---- Java class file (reference: asm/ClassParser.java,
+# XHTMLClassVisitor.java:81 — title = class name)
+
+
+def _class_meta(data: bytes) -> dict[str, list[str]]:
+    meta: dict[str, list[str]] = {}
+    if not data.startswith(b"\xca\xfe\xba\xbe") or len(data) < 12:
+        return meta
+    minor, major, cp_count = struct.unpack_from(">HHH", data, 4)
+    meta["version"] = [f"{major}.{minor}"]
+    utf8: dict[int, str] = {}
+    classes: dict[int, int] = {}
+    p, i = 10, 1
+    try:
+        while i < cp_count and p < len(data):
+            tag = data[p]
+            if tag == 1:
+                (ln,) = struct.unpack_from(">H", data, p + 1)
+                utf8[i] = data[p + 3:p + 3 + ln].decode("utf-8", "replace")
+                p += 3 + ln
+            elif tag == 7:
+                classes[i] = struct.unpack_from(">H", data, p + 1)[0]
+                p += 3
+            elif tag in (8, 16, 19, 20):
+                p += 3
+            elif tag == 15:
+                p += 4
+            elif tag in (3, 4, 9, 10, 11, 12, 17, 18):
+                p += 5
+            elif tag in (5, 6):   # long/double take two pool slots
+                p += 9
+                i += 1
+            else:
+                return meta
+            i += 1
+        _flags, this_cls = struct.unpack_from(">HH", data, p)
+        name = utf8.get(classes.get(this_cls, -1))
+        if name:
+            meta["title"] = [name.replace("/", ".")]
+    except (struct.error, IndexError):
+        pass
+    return meta
+
+
 # ---- TIFF / EXIF IFD reader (reference: image/TiffParser.java,
 # jpeg/JpegParser.java over the metadata-extractor library; property
 # names from tika-core metadata/TIFF.java, Geographic.java)
@@ -305,6 +439,16 @@ def extract_media(data: bytes, url: str | None = None,
     if mime == "audio/mpeg":
         try:
             metadata.update(_id3_meta(data))
+            title = metadata.get("title", [None])[0]
+        except Exception:
+            pass
+    elif mime in ("application/x-font-ttf", "video/x-flv",
+                  "application/java-vm"):
+        fn2 = {"application/x-font-ttf": _ttf_meta,
+               "video/x-flv": _flv_meta,
+               "application/java-vm": _class_meta}[mime]
+        try:
+            metadata.update(fn2(data))
             title = metadata.get("title", [None])[0]
         except Exception:
             pass

@@ -35,6 +35,8 @@ EXT_MAP: dict[str, str] = {
     "jpg": "image/jpeg", "jpeg": "image/jpeg", "bmp": "image/bmp",
     "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
     "tif": "image/tiff", "tiff": "image/tiff",
+    "ttf": "application/x-font-ttf", "flv": "video/x-flv",
+    "class": "application/java-vm",
     "doc": "application/msword", "xls": "application/vnd.ms-excel",
     "ppt": "application/vnd.ms-powerpoint",
     "msg": "application/vnd.ms-outlook",

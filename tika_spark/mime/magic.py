@@ -64,6 +64,10 @@ MAGIC_RULES: list[MagicRule] = [
     _m("image/bmp", 50, Clause(0, 0, b"BM", mask=None)),
     _m("image/tiff", 50, Clause(0, 0, b"II*\x00"),
        Clause(0, 0, b"MM\x00*")),
+    _m("video/x-flv", 50, Clause(0, 0, b"FLV\x01")),
+    _m("application/java-vm", 50, Clause(0, 0, b"\xca\xfe\xba\xbe")),
+    _m("application/x-font-ttf", 50, Clause(0, 0, b"\x00\x01\x00\x00"),
+       Clause(0, 0, b"true\x00"), Clause(0, 0, b"OTTO")),
     _m("audio/mpeg", 50, Clause(0, 0, b"ID3"),
        Clause(0, 0, b"\xff\xfb"), Clause(0, 0, b"\xff\xfa")),
     _m("application/x-tika-msoffice", 45,

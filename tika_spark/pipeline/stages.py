@@ -60,6 +60,9 @@ ROUTE_TABLE = {
     "image/jpeg": "media",
     "image/bmp": "media",
     "image/tiff": "media",
+    "application/x-font-ttf": "media",
+    "video/x-flv": "media",
+    "application/java-vm": "media",
     "audio/mpeg": "media",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
