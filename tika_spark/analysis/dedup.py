@@ -172,6 +172,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         ensure_parallelism(df.select(F.col(id_col).alias("id"),
                                      F.col(text_col))),
         text_col, num_perm, k, keep_shingles="sh").drop(text_col)
+    # the signature+shingle pass feeds two branches (banding, verify
+    # join); persist so it is computed once, not once per branch — at
+    # crawl scale the signature pass dominates (MLlib-style internal
+    # persist; evicted under memory pressure, safe either way)
+    from pyspark import StorageLevel
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     bandcols = F.array(*[
         F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * r + j + 1)
                                 for j in range(r)])
