@@ -42,3 +42,75 @@ def test_stream_ingests_incrementally(spark, tmp_path):
     urls_ok = got2.filter("status in ('ok','no_parser')").count()
     assert urls_ok == 40
     assert os.path.isdir(ckpt)
+
+
+def test_windowed_mime_counts(spark, tmp_path):
+    """Event-time tumbling window + watermark over a page stream."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from tika_spark.streaming.stateful import windowed_mime_counts
+
+    inp = str(tmp_path / "w_in")
+    base = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows = [(f"u{i}", base + dt.timedelta(minutes=i),
+             "text/html" if i % 2 else "application/pdf")
+            for i in range(40)]
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                          "mime string").write.parquet(inp)
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, mime string")
+              .parquet(inp))
+    out = windowed_mime_counts(stream, window="10 minutes",
+                               watermark="5 minutes")
+    q = (out.writeStream.format("memory").queryName("wmc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from wmc").collect()
+    # closed windows only (the last window stays open at the watermark)
+    by = {(r["window_start"].minute, r["mime"]): r["n"] for r in got}
+    assert by[(0, "text/html")] == 5
+    assert by[(0, "application/pdf")] == 5
+    assert by[(10, "text/html")] == 5
+
+
+def test_sessionize_stream_state(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: a gap closes the
+    session within a batch."""
+    import datetime as dt
+
+    from tika_spark.streaming.stateful import sessionize_stream
+
+    inp = str(tmp_path / "s_in")
+    base = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows = []
+    # user a: 3 events tight, then a 2h gap, then 2 events
+    for m in (0, 5, 10):
+        rows.append(("a", base + dt.timedelta(minutes=m)))
+    for m in (130, 135):
+        rows.append(("a", base + dt.timedelta(minutes=m)))
+    # user b: one lone event (stays open in state, not emitted)
+    rows.append(("b", base))
+    spark.createDataFrame(rows, "user_id string, ts timestamp") \
+        .write.parquet(inp)
+    stream = (spark.readStream.schema("user_id string, ts timestamp")
+              .parquet(inp))
+    q = (sessionize_stream(stream, gap="30 minutes")
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess").collect()
+    rows_set = {(r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"]) for r in got}
+    # the gap-closed session MUST be emitted
+    s1 = ("a", base, base + dt.timedelta(minutes=10), 3)
+    assert s1 in rows_set
+    # any further rows are the timeout-flushed open sessions (whether
+    # the 60s processing-time timeout fires before the query drains is
+    # wall-clock dependent) — nothing else may appear
+    allowed = {s1,
+               ("a", base + dt.timedelta(minutes=130),
+                base + dt.timedelta(minutes=135), 2),
+               ("b", base, base, 1)}
+    assert rows_set <= allowed

@@ -1,0 +1,115 @@
+"""Streaming stateful operators over the crawl/event stream.
+
+The reference has no streaming surface (SURVEY.md §2.I); these are the
+Spark-native widenings a continuously-ingesting extraction fleet
+needs, built on Structured Streaming's own state machinery:
+
+- ``windowed_mime_counts``: event-time tumbling-window MIME census
+  with a watermark for late pages — the streaming form of the
+  ``detect_mime_counts`` batch query. Pure built-ins
+  (withWatermark + window + groupBy), so state eviction and late-row
+  handling are the engine's, not ours.
+
+- ``sessionize_stream``: gap-based per-key sessionization via
+  ``applyInPandasWithState`` (GroupState + processing-time timeout) —
+  the custom-stateful-operator pattern: state is (session_start,
+  last_ts, n_events); a session closes when the inactivity gap
+  exceeds ``gap`` or the state times out between batches. Mirrors the
+  batch ``events_sessionize`` query's semantics for in-order data.
+
+Both run identically under ``trigger(availableNow=True)`` for batch
+catch-up — which is what the tests drive.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import (GroupState,
+                                         GroupStateTimeout)
+
+SESSION_SCHEMA = ("user_id string, session_start timestamp, "
+                  "session_end timestamp, n_events long")
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def windowed_mime_counts(pages_stream: DataFrame,
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time window counts by detected mime.
+
+    Input: a streaming DataFrame with (warc_ts timestamp,
+    mime string) — e.g. the detect-mode output of the ingest stream.
+    Late pages beyond the watermark are dropped by the engine; state
+    for closed windows is evicted automatically.
+    """
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "mime")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "mime", "n"))
+
+
+def _make_sessionizer(gap_s: float, timeout_ms: int):
+    def fn(key: tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[Any, Any, Any, int]] = []
+        if state.hasTimedOut:
+            if n:
+                closed.append((user_id, start, last, n))
+            state.remove()
+        else:
+            ts: list[float] = []
+            for b in batches:
+                ts.extend(t.timestamp() for t in b["ts"])
+            for t in sorted(ts):
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_s:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            if n:
+                state.update((int(start), int(last), int(n)))
+                state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                [(u, _dt.datetime.fromtimestamp(s, _dt.timezone.utc)
+                  .replace(tzinfo=None),
+                  _dt.datetime.fromtimestamp(e, _dt.timezone.utc)
+                  .replace(tzinfo=None), c)
+                 for (u, s, e, c) in closed],
+                columns=["user_id", "session_start", "session_end",
+                         "n_events"])
+    return fn
+
+
+def sessionize_stream(events_stream: DataFrame,
+                      gap: str = "30 minutes",
+                      timeout_ms: int = 60_000) -> DataFrame:
+    """Gap-sessionize a stream of (user_id string, ts timestamp).
+
+    Emits one row per CLOSED session (a new event farther than ``gap``
+    after the previous one closes the running session; an idle state
+    timeout flushes the remainder). Custom state via
+    applyInPandasWithState — the engine checkpoints the per-user
+    state tuples with the query.
+    """
+    gap_s = float(pd.Timedelta(gap).total_seconds())
+    return (events_stream
+            .select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_sessionizer(gap_s, timeout_ms),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
