@@ -336,3 +336,12 @@ def test_e12_tail_corrupt_never_raises():
                      b"\xca\xfe\xba\xbe\x00"):
             r = extract_media(junk, mime=mime)
             assert r["status"] == "ok"
+
+
+def test_psd_dims():
+    psd = b"8BPS" + struct.pack(">H", 1) + b"\x00" * 6 \
+        + struct.pack(">H", 3) + struct.pack(">II", 600, 800)
+    assert detect(psd, "http://x/a.psd") == "image/vnd.adobe.photoshop"
+    r = extract_media(psd, mime="image/vnd.adobe.photoshop")
+    assert r["metadata"]["width"] == ["800"]
+    assert r["metadata"]["height"] == ["600"]

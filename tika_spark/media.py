@@ -76,12 +76,21 @@ def _tiff_dims(data: bytes):
     return None
 
 
+def _psd_dims(data: bytes):
+    # PSD header: '8BPS' ver(2) reserved(6) channels(2) H(4) W(4) BE
+    if len(data) >= 22 and data[:4] == b"8BPS":
+        h, w = struct.unpack(">II", data[14:22])
+        return w, h
+    return None
+
+
 _BY_MIME = {
     "image/png": _png_dims,
     "image/gif": _gif_dims,
     "image/bmp": _bmp_dims,
     "image/jpeg": _jpeg_dims,
     "image/tiff": _tiff_dims,
+    "image/vnd.adobe.photoshop": _psd_dims,
 }
 
 # ---- TrueType 'name' table (reference: font/TrueTypeParser.java —

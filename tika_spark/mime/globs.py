@@ -36,6 +36,7 @@ EXT_MAP: dict[str, str] = {
     "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
     "tif": "image/tiff", "tiff": "image/tiff",
     "ttf": "application/x-font-ttf", "flv": "video/x-flv",
+    "psd": "image/vnd.adobe.photoshop",
     "class": "application/java-vm",
     "doc": "application/msword", "xls": "application/vnd.ms-excel",
     "ppt": "application/vnd.ms-powerpoint",

@@ -65,6 +65,7 @@ MAGIC_RULES: list[MagicRule] = [
     _m("image/tiff", 50, Clause(0, 0, b"II*\x00"),
        Clause(0, 0, b"MM\x00*")),
     _m("video/x-flv", 50, Clause(0, 0, b"FLV\x01")),
+    _m("image/vnd.adobe.photoshop", 50, Clause(0, 0, b"8BPS")),
     _m("application/java-vm", 50, Clause(0, 0, b"\xca\xfe\xba\xbe")),
     _m("application/x-font-ttf", 50, Clause(0, 0, b"\x00\x01\x00\x00"),
        Clause(0, 0, b"true\x00"), Clause(0, 0, b"OTTO")),

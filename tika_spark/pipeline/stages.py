@@ -61,6 +61,7 @@ ROUTE_TABLE = {
     "image/bmp": "media",
     "image/tiff": "media",
     "application/x-font-ttf": "media",
+    "image/vnd.adobe.photoshop": "media",
     "video/x-flv": "media",
     "application/java-vm": "media",
     "audio/mpeg": "media",
