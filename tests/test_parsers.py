@@ -225,3 +225,32 @@ class TestProfileBuilder:
         for lang, rows in by_lang.items():
             assert [r["rank"] for r in
                     sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+
+
+class TestPdfToUnicode:
+    def test_cid_text_via_cmap(self):
+        from tika_spark.fixtures.pdfgen import make_pdf_cid
+        pdf = make_pdf_cid(["Héllo Ωmega", "line twö"])
+        r = extract_pdf(pdf)
+        assert r["text"] == "Héllo Ωmega\nline twö\n\n"
+        assert r["status"] == "ok"
+
+    def test_bfrange_incrementing(self):
+        from tika_spark.pdf.parser import parse_tounicode
+        cmap = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                b"1 beginbfrange <0010> <0012> <0041> endbfrange")
+        width, table = parse_tounicode(cmap)
+        assert width == 2
+        assert table[0x10] == "A" and table[0x12] == "C"
+
+    def test_bfrange_array(self):
+        from tika_spark.pdf.parser import parse_tounicode
+        cmap = (b"begincodespacerange <00> <FF> endcodespacerange\n"
+                b"1 beginbfrange <01> <02> [<0058> <0059>] endbfrange")
+        width, table = parse_tounicode(cmap)
+        assert width == 1
+        assert table[1] == "X" and table[2] == "Y"
+
+    def test_font_without_cmap_still_latin1(self):
+        pdf = make_pdf([["plain latin"]])
+        assert "plain latin" in extract_pdf(pdf)["text"]

@@ -107,6 +107,67 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
     return bytes(out)
 
 
+def make_pdf_cid(lines: list[str]) -> bytes:
+    """PDF whose text uses a 2-byte CID-style encoding with a
+    /ToUnicode CMap — the embedded-subset-font shape where a latin-1
+    decode of the show strings yields garbage. One bfchar entry per
+    distinct character, codes assigned from 1."""
+    codes: dict[str, int] = {}
+    for line in lines:
+        for ch in line:
+            codes.setdefault(ch, len(codes) + 1)
+    bfchars = "\n".join(
+        f"<{c:04X}> <{ord(ch):04X}>" for ch, c in codes.items())
+    cmap = ("/CIDInit /ProcSet findresource begin\n"
+            "begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            f"{len(codes)} beginbfchar\n{bfchars}\nendbfchar\n"
+            "end").encode("ascii")
+
+    ops = ["BT", "/F1 12 Tf", "1 0 0 1 72 720 Tm"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        hexs = "".join(f"{codes[ch]:04X}" for ch in line)
+        ops.append(f"<{hexs}> Tj")
+    ops.append("ET")
+    content = "\n".join(ops).encode("ascii")
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    cmap_num = add(b"<< /Length " + str(len(cmap)).encode()
+                   + b" >>\nstream\n" + cmap + b"\nendstream")
+    font_num = add((f"<< /Type /Font /Subtype /Type0 /BaseFont /Sub-F "
+                    f"/ToUnicode {cmap_num} 0 R >>").encode())
+    content_num = add(b"<< /Length " + str(len(content)).encode()
+                      + b" >>\nstream\n" + content + b"\nendstream")
+    page_num = add((f"<< /Type /Page /Parent {len(objects) + 2} 0 R "
+                    f"/MediaBox [0 0 612 792] /Contents {content_num} 0 R "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+                    ).encode())
+    pages_num = add((f"<< /Type /Pages /Kids [{page_num} 0 R] "
+                     f"/Count 1 >>").encode())
+    catalog_num = add((f"<< /Type /Catalog /Pages {pages_num} 0 R >>"
+                       ).encode())
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    n = len(objects) + 1
+    out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n} /Root {catalog_num} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def make_pdf_objstm(lines: list[str], *, title: str | None = None) -> bytes:
     """Build a PDF 1.5-style file: catalog, page tree, page and Info
     dictionaries packed into a Flate-compressed /Type/ObjStm, with the

@@ -19,10 +19,10 @@ Semantics mirrored from the reference's PDF chain:
   error row, never an exception (PDFParser.java:76-99 ignores decrypt
   failures).
 
-Supported filters: FlateDecode, ASCIIHexDecode, none. Fonts are
-assumed to carry a latin-1-compatible single-byte encoding — adequate
-for the synthetic golden corpus; real-crawl coverage would add
-/ToUnicode CMap handling (documented gap).
+Supported filters: FlateDecode, ASCIIHexDecode, none. Text decoding:
+fonts with a /ToUnicode CMap (bfchar/bfrange, 1- or 2-byte codes) are
+decoded through it per the current Tf font; fonts without one fall
+back to a latin-1-compatible single-byte interpretation.
 """
 
 from __future__ import annotations
@@ -380,6 +380,30 @@ class PdfDocument:
         for kid in node.get("Kids", []) or []:
             self._walk_pages(self.resolve(kid), out, depth + 1)
 
+    def page_fonts(self, page: dict
+                   ) -> dict[str, tuple[int, dict[int, str]]]:
+        """Resource name → parsed /ToUnicode CMap for the page's fonts
+        (embedded-font text that a latin-1 decode would garble)."""
+        out: dict[str, tuple[int, dict[int, str]]] = {}
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return out
+        fonts = self.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):
+            return out
+        for name, fref in fonts.items():
+            fd = self.resolve(fref)
+            if not isinstance(fd, dict):
+                continue
+            tu = fd.get("ToUnicode")
+            data = self.stream_of(tu) if isinstance(tu, Ref) else None
+            if data:
+                try:
+                    out[str(name)] = parse_tounicode(data)
+                except Exception:
+                    continue
+        return out
+
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
@@ -391,10 +415,74 @@ class PdfDocument:
         return b"\n".join(parts)
 
 
+# ------------------------------------------------------ ToUnicode CMap --
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CSPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+
+
+def _u16(hexs: bytes) -> str:
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be",
+                                                      "replace")
+
+
+def parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream → (code byte width, code→str).
+
+    Handles bfchar pairs, bfrange with either an incrementing <dst>
+    base or an array of destinations; the codespace range sets the
+    code width (1 or 2 bytes)."""
+    width = 1
+    m = _CSPACE_RE.search(cmap)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    table: dict[int, str] = {}
+    for block in _BFCHAR_RE.findall(cmap):
+        toks = _HEX_RE.findall(block)
+        for i in range(0, len(toks) - 1, 2):
+            table[int(toks[i], 16)] = _u16(toks[i + 1])
+    for block in _BFRANGE_RE.findall(cmap):
+        pos = 0
+        while True:
+            mm = re.match(
+                rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])",
+                block[pos:])
+            if not mm:
+                break
+            lo, hi = int(mm.group(1), 16), int(mm.group(2), 16)
+            if mm.group(4):  # incrementing base
+                base = int(mm.group(4), 16)
+                for k in range(min(hi - lo + 1, 65536)):
+                    table[lo + k] = chr(base + k)
+            else:            # explicit destination array
+                dsts = _HEX_RE.findall(mm.group(5))
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        table[lo + k] = _u16(d)
+            pos += mm.end()
+    return width, table
+
+
+def _decode_with_cmap(s: bytes, width: int, table: dict[int, str]) -> str:
+    out = []
+    step = width
+    for i in range(0, len(s) - step + 1, step):
+        code = int.from_bytes(s[i:i + step], "big")
+        got = table.get(code)
+        out.append(got if got is not None else
+                   (chr(code) if code < 0x110000 else "�"))
+    return "".join(out)
+
+
 # ------------------------------------------------- content interpreter --
 
 
-def _interpret_text(content: bytes) -> str:
+def _interpret_text(content: bytes,
+                    font_cmaps: dict[str, tuple[int, dict[int, str]]]
+                    | None = None) -> str:
     """Run the text-showing subset of the content-stream language.
 
     Line logic (PDFTextStripper-equivalent defaults): a vertical move
@@ -409,6 +497,13 @@ def _interpret_text(content: bytes) -> str:
     leading = 0.0
     last_x: float | None = None
     last_y: float | None = None
+    font_cmaps = font_cmaps or {}
+    cur_cmap: tuple[int, dict[int, str]] | None = None
+
+    def txt(s: PdfString) -> str:
+        if cur_cmap is not None and not s.startswith(b"\xfe\xff"):
+            return _decode_with_cmap(bytes(s), cur_cmap[0], cur_cmap[1])
+        return s.text()
 
     def show(s: str):
         nonlocal last_x, last_y
@@ -449,20 +544,23 @@ def _interpret_text(content: bytes) -> str:
             y -= leading
         elif op == "TL" and stack:
             leading = _f(stack[-1])
+        elif op == "Tf" and len(stack) >= 2:
+            name = next((v for v in stack if isinstance(v, Name)), None)
+            cur_cmap = font_cmaps.get(str(name)) if name else None
         elif op in ("Tj", "'", '\'') and in_text:
             if op != "Tj":
                 y -= leading
             s = next((v for v in reversed(stack)
                       if isinstance(v, PdfString)), None)
             if s is not None:
-                show(s.text())
+                show(txt(s))
         elif op == "TJ" and in_text and stack:
             arr = stack[-1]
             if isinstance(arr, list):
                 parts: list[str] = []
                 for item in arr:
                     if isinstance(item, PdfString):
-                        parts.append(item.text())
+                        parts.append(txt(item))
                     elif isinstance(item, (int, float)) and item < -180:
                         parts.append(" ")  # big kerning gap = word break
                 show("".join(parts))
@@ -525,7 +623,8 @@ def extract_pdf(data: bytes, url: str | None = None,
     for page in pages:
         try:
             content = doc.page_content(page)
-            page_text = _interpret_text(content) if content else ""
+            page_text = _interpret_text(
+                content, doc.page_fonts(page)) if content else ""
         except Exception:
             page_text = ""
         # <div class=page><p>text</p></div> -> text + '\n' (p) + '\n' (div)
