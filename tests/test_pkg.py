@@ -248,3 +248,77 @@ def test_docx_through_pipeline(spark):
     assert row["mime"].endswith("wordprocessingml.document")
     assert row["text"] == "Hello world\nSecond para\n"
     assert row["title"] == "My Doc"
+
+
+# ---- ar / cpio (E6 tail) --------------------------------------------------
+
+def _make_ar(entries):
+    out = bytearray(b"!<arch>\n")
+    for name, body in entries:
+        hdr = f"{name:<16}{'0':<12}{'0':<6}{'0':<6}{'100644':<8}" \
+              f"{len(body):<10}`\n".encode("ascii")
+        out += hdr + body
+        if len(body) & 1:
+            out += b"\n"
+    return bytes(out)
+
+
+def _make_cpio(entries):
+    import struct as st
+    out = bytearray()
+
+    def rec(name, body):
+        nonlocal out
+        hdr = b"070701" + b"0" * 48 \
+            + f"{len(body):08X}".encode() + b"0" * 32 \
+            + f"{len(name) + 1:08X}".encode() + b"0" * 8
+        assert len(hdr) == 110
+        out += hdr + name.encode() + b"\x00"
+        out += b"\x00" * ((-len(out)) % 4)
+        out += body
+        out += b"\x00" * ((-len(out)) % 4)
+
+    for name, body in entries:
+        rec(name, body)
+    rec("TRAILER!!!", b"")
+    return bytes(out)
+
+
+def test_ar_archive():
+    from tika_spark.pkg.parser import extract_package
+    ar = _make_ar([("hello.txt", b"hello ar"), ("b.txt", b"second")])
+    assert detect(ar, None) == "application/x-archive"
+    r = extract_package(ar, mime="application/x-archive")
+    assert [c[0] for c in r["children"]] == ["hello.txt", "b.txt"]
+    assert r["children"][0][1] == b"hello ar"
+
+
+def test_ar_gnu_longnames():
+    from tika_spark.pkg.parser import extract_package
+    long = "a-very-long-member-name-beyond-16.txt"
+    table = (long + "/\n").encode()
+    ar = _make_ar([("//", table), ("/0", b"payload")])
+    r = extract_package(ar, mime="application/x-archive")
+    assert r["children"] == [(long, b"payload")]
+
+
+def test_cpio_newc():
+    from tika_spark.pkg.parser import extract_package
+    cp = _make_cpio([("docs/a.txt", b"cpio body"), ("b.bin", b"\x01\x02")])
+    assert detect(cp, None) == "application/x-cpio"
+    r = extract_package(cp, mime="application/x-cpio")
+    assert [c[0] for c in r["children"]] == ["docs/a.txt", "b.bin"]
+    assert r["children"][0][1] == b"cpio body"
+
+
+def test_ar_cpio_through_recursion(spark):
+    from tika_spark.pipeline.job import extract_recursive
+    ar = _make_ar([("page.html",
+                    b"<html><body><p>ar inner</p></body></html>")])
+    cp = _make_cpio([("note.txt", b"cpio note")])
+    df = spark.createDataFrame([("u://x.a", ar), ("u://y.cpio", cp)],
+                               "url string, html binary")
+    out = {r["url"]: r for r in
+           extract_recursive(df, mode="text").collect()}
+    assert out["u://x.a!/page.html"]["text"] == "ar inner\n"
+    assert out["u://y.cpio!/note.txt"]["text"] == "cpio note\n"

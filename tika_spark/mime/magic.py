@@ -57,6 +57,9 @@ MAGIC_RULES: list[MagicRule] = [
     _m("application/x-bzip2", 45, Clause(0, 0, b"BZh")),
     # POSIX tar: "ustar" magic at offset 257 (tika-mimetypes.xml tar block)
     _m("application/x-tar", 45, Clause(257, 257, b"ustar")),
+    _m("application/x-archive", 45, Clause(0, 0, b"!<arch>\n")),
+    _m("application/x-cpio", 45, Clause(0, 0, b"070701"),
+       Clause(0, 0, b"070702")),
     _m("application/rtf", 50, Clause(0, 0, b"{\\rtf")),
     _m("image/png", 50, Clause(0, 0, b"\x89PNG\r\n\x1a\n")),
     _m("image/gif", 50, Clause(0, 0, b"GIF87a"), Clause(0, 0, b"GIF89a")),

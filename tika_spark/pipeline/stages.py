@@ -70,6 +70,8 @@ ROUTE_TABLE = {
     "application/x-gzip": "pkg",
     "application/x-tar": "pkg",
     "application/x-bzip2": "pkg",
+    "application/x-archive": "pkg",
+    "application/x-cpio": "pkg",
     # zip-based document formats (E8-E10), specific types from the
     # container refinement (B8) — matched before the zip supertype
     "application/vnd.openxmlformats-officedocument"

@@ -90,6 +90,82 @@ def _tar_children(data: bytes, budget: int):
     return out, truncated
 
 
+def _ar_children(data: bytes, budget: int):
+    """Unix ar archives (``!<arch>`` + 60-byte ASCII headers) — the
+    commons-compress ArArchiveInputStream subset (PackageParser ar
+    support). GNU long-name table (``//``) resolved; symbol index
+    (``/``) skipped."""
+    out, used, truncated = [], 0, False
+    longnames = b""
+    p = 8
+    while p + 60 <= len(data):
+        hdr = data[p:p + 60]
+        if hdr[58:60] != b"`\n":
+            break
+        name = hdr[0:16].decode("ascii", "replace").rstrip()
+        try:
+            size = int(hdr[48:58].decode("ascii").strip() or 0)
+        except ValueError:
+            break
+        body = data[p + 60:p + 60 + size]
+        p += 60 + size + (size & 1)  # entries 2-byte aligned
+        if name == "/":
+            continue  # symbol index
+        if name == "//":
+            longnames = body
+            continue
+        if name.startswith("/") and name[1:].isdigit():
+            off = int(name[1:])
+            end = longnames.find(b"\n", off)
+            name = longnames[off:end if end >= 0 else None] \
+                .decode("ascii", "replace").rstrip("/")
+        name = name.rstrip("/")
+        if len(out) >= MAX_PKG_ENTRIES or used >= budget:
+            return out, True
+        cap = budget - used
+        if len(body) > cap:
+            body, truncated = body[:cap], True
+        used += len(body)
+        out.append((name, body))
+    return out, truncated
+
+
+def _cpio_children(data: bytes, budget: int):
+    """cpio "newc"/"crc" ASCII archives (magics 070701/070702) — the
+    commons-compress CpioArchiveInputStream subset."""
+    out, used, truncated = [], 0, False
+    p = 0
+    while p + 110 <= len(data):
+        magic = data[p:p + 6]
+        if magic not in (b"070701", b"070702"):
+            break
+        try:
+            namesize = int(data[p + 94:p + 102], 16)
+            filesize = int(data[p + 54:p + 62], 16)
+        except ValueError:
+            break
+        name_start = p + 110
+        name = data[name_start:name_start + namesize - 1] \
+            .decode("ascii", "replace")
+        body_start = name_start + namesize
+        body_start += (-(body_start)) % 4  # pad to 4
+        body = data[body_start:body_start + filesize]
+        p = body_start + filesize
+        p += (-p) % 4
+        if name == "TRAILER!!!":
+            break
+        if filesize == 0:
+            continue  # directories
+        if len(out) >= MAX_PKG_ENTRIES or used >= budget:
+            return out, True
+        cap = budget - used
+        if len(body) > cap:
+            body, truncated = body[:cap], True
+        used += len(body)
+        out.append((name, body))
+    return out, truncated
+
+
 def _bzip2_child(data: bytes, url: str | None, budget: int):
     d = bz2.BZ2Decompressor()
     payload = d.decompress(data, budget)
@@ -122,6 +198,10 @@ def extract_package(data: bytes, url: str | None = None,
             children, truncated = _bzip2_child(data, url, budget)
         elif mime == "application/x-tar":
             children, truncated = _tar_children(data, budget)
+        elif mime == "application/x-archive":
+            children, truncated = _ar_children(data, budget)
+        elif mime == "application/x-cpio":
+            children, truncated = _cpio_children(data, budget)
         else:
             children, truncated = _zip_children(data, budget)
     except Exception as e:  # corrupt container -> error row, never raise
