@@ -73,6 +73,18 @@ class TestWord:
                         mime="application/msword")
         assert "café déjà vu" in r["text"]
 
+    def test_unicode_piece(self):
+        r = extract_ole(make_doc(["Кириллица текст", "Ünïcode"],
+                                 unicode_piece=True),
+                        mime="application/msword")
+        assert r["text"] == "Кириллица текст\nÜnïcode\n"
+
+    def test_word95_fc_run(self):
+        from tika_spark.fixtures.olegen import make_doc95
+        r = extract_ole(make_doc95(["Old format para one.", "Two."]),
+                        mime="application/msword")
+        assert r["text"] == "Old format para one.\nTwo.\n"
+
 
 class TestExcel:
     def test_rows_tab_joined(self):

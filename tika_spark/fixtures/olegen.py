@@ -247,20 +247,26 @@ def summary_info(**props: str) -> bytes:
 # -------------------------------------------------------------- Word --
 
 
-def make_doc(paragraphs: list[str], *, title: str | None = None) -> bytes:
+def make_doc(paragraphs: list[str], *, title: str | None = None,
+             unicode_piece: bool = False) -> bytes:
     text = "\r".join(paragraphs) + "\r"
-    raw = text.encode("cp1252", "replace")
     fib = bytearray(0x600)
     struct.pack_into("<H", fib, 0, 0xA5EC)       # wIdent
     struct.pack_into("<H", fib, 2, 0x00C1)       # nFib (Word 97)
     struct.pack_into("<H", fib, 0x000A, 0)       # flags: 0Table
     struct.pack_into("<I", fib, 0x004C, len(text))  # ccpText
     text_off = len(fib)
+    if unicode_piece:
+        raw = text.encode("utf-16-le")
+        fc_raw = text_off                       # uncompressed: byte off
+    else:
+        raw = text.encode("cp1252", "replace")
+        fc_raw = 0x40000000 | (text_off * 2)    # compressed: fc/2 coding
     word = bytes(fib) + raw
 
-    # CLX: Pcdt with a single compressed (cp1252) piece
+    # CLX: Pcdt with a single piece
     plc = struct.pack("<II", 0, len(text))
-    pcd = struct.pack("<HIH", 0, 0x40000000 | (text_off * 2), 0)
+    pcd = struct.pack("<HIH", 0, fc_raw, 0)
     pcdt = b"\x02" + struct.pack("<I", len(plc) + len(pcd)) + plc + pcd
     word = bytearray(word)
     struct.pack_into("<II", word, 0x01A2, 0, len(pcdt))  # fcClx, lcbClx
@@ -270,6 +276,18 @@ def make_doc(paragraphs: list[str], *, title: str | None = None) -> bytes:
         streams.append(((), "\x05SummaryInformation",
                         summary_info(title=title)))
     return write_cfb(streams)
+
+
+def make_doc95(paragraphs: list[str]) -> bytes:
+    """Word 6/95-style .doc: nFib < 0x00C1, contiguous cp1252 text at
+    [fcMin, fcMac), no piece table."""
+    text = "\r".join(paragraphs) + "\r"
+    raw = text.encode("cp1252", "replace")
+    fib = bytearray(0x300)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 2, 0x0065)       # nFib (Word 6)
+    struct.pack_into("<II", fib, 0x0018, len(fib), len(fib) + len(raw))
+    return write_cfb([((), "WordDocument", bytes(fib) + raw)])
 
 
 # ------------------------------------------------------------- Excel --

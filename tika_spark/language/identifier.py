@@ -23,6 +23,7 @@ a whole Arrow batch of documents against all profiles at once.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from functools import lru_cache
 
@@ -34,33 +35,23 @@ NGRAM_LENGTH = 3
 PROFILE_CUT = 1000  # top-N ngrams kept per trained profile
 
 
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
 def profile_text(text: str, max_chars: int | None = None) -> Counter:
-    """Count 3-grams with ProfilingWriter semantics."""
+    """Count 3-grams with ProfilingWriter semantics.
+
+    The writer's char-at-a-time state machine (lowercase, non-letter
+    runs collapse to one ``_``, counter resets at separators) is
+    exactly equivalent to: per maximal letter-run ``w``, count the
+    3-gram windows of ``_w_`` — which lets the scan run at C speed
+    (regex findall + Counter.update over slices)."""
     if max_chars:
         text = text[:max_chars]
     counts: Counter = Counter()
-    buf = ["\0", "\0", "_"]
-    n = 1
-    for ch in text.lower():
-        if ch.isalpha():
-            buf[0], buf[1], buf[2] = buf[1], buf[2], ch
-            n += 1
-            if n >= NGRAM_LENGTH:
-                counts["".join(buf)] += 1
-        else:
-            if buf[2] == "_" and n == 1:
-                continue  # separator run: collapse
-            buf[0], buf[1], buf[2] = buf[1], buf[2], "_"
-            n += 1
-            if n >= NGRAM_LENGTH:
-                counts["".join(buf)] += 1
-            n = 1
-    # close(): final separator
-    if buf[2] != "_":
-        buf[0], buf[1], buf[2] = buf[1], buf[2], "_"
-        n += 1
-        if n >= NGRAM_LENGTH:
-            counts["".join(buf)] += 1
+    for w in _WORD_RE.findall(text.lower()):
+        p = "_" + w + "_"
+        counts.update(p[i:i + 3] for i in range(len(p) - 2))
     return counts
 
 

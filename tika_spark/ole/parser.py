@@ -157,7 +157,15 @@ def _doc_text(cfb: CfbFile) -> str:
     (w_ident,) = struct.unpack_from("<H", word, 0)
     if w_ident != 0xA5EC:
         return ""
+    (n_fib,) = struct.unpack_from("<H", word, 0x0002)
     (flags,) = struct.unpack_from("<H", word, 0x000A)
+    if n_fib < 0x00C1:
+        # Word 6/95: no piece table — text is the contiguous cp1252
+        # run at [fcMin, fcMac) in the WordDocument stream
+        fc_min, fc_mac = struct.unpack_from("<II", word, 0x0018)
+        if not fc_min < fc_mac <= len(word):
+            return ""
+        return _doc_clean(word[fc_min:fc_mac].decode("cp1252", "replace"))
     table_name = "1Table" if flags & 0x0200 else "0Table"
     table = cfb.stream(table_name) or cfb.stream("0Table") \
         or cfb.stream("1Table") or b""
