@@ -149,13 +149,16 @@ def _score_utf16(buf: np.ndarray, little: bool) -> int:
         return 0
     hi = buf[1::2] if little else buf[0::2]
     lo = buf[0::2] if little else buf[1::2]
-    vals, counts = np.unique(hi, return_counts=True)
-    top2 = float(np.sort(counts)[-2:].sum()) / len(hi)
-    lo_vals, lo_counts = np.unique(lo, return_counts=True)
-    lo_top2 = float(np.sort(lo_counts)[-2:].sum()) / len(lo)
+    # bincount beats np.unique (no sort) — this runs on every
+    # statistical-tier document
+    hi_counts = np.bincount(hi, minlength=256)
+    top2 = float(np.partition(hi_counts, -2)[-2:].sum()) / len(hi)
+    lo_counts = np.bincount(lo, minlength=256)
+    lo_top2 = float(np.partition(lo_counts, -2)[-2:].sum()) / len(lo)
+    n_lo_vals = int((lo_counts > 0).sum())
     # real UTF-16: high bytes nearly constant, low bytes diverse;
     # a run of one repeated ASCII char concentrates BOTH -> reject
-    if top2 > 0.9 and len(lo_vals) > 4 and lo_top2 < 0.7:
+    if top2 > 0.9 and n_lo_vals > 4 and lo_top2 < 0.7:
         return 80
     return 0
 
