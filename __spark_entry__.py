@@ -303,6 +303,34 @@ def _q_extract_office_doc(spark, sf_dir):
                                               "text")
 
 
+def _chm_wrap_udf():
+    """Deterministic CHM per document row (E11 chain: ITSF directory →
+    entry → HTML chain), raw section-0 storage for byte-stable files."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.chmgen import make_chm
+
+    @pandas_udf(BinaryType())
+    def wrap(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_chm({"/page.html":
+                      ("<html><body><p>" + (t or "")
+                       + "</p></body></html>").encode("utf-8")})
+            for t in texts])
+    return wrap
+
+
+def _q_extract_chm_text(spark, sf_dir):
+    """E11: ITSF/PMGL walk → .html entry through the HTML chain."""
+    wrap = _chm_wrap_udf()
+    pages = _docs(spark, sf_dir).filter(F.col("lang") == "en").select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".chm"))
+        .alias("url"),
+        wrap(F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
 def _png_udf():
     """Deterministic minimal PNG per document (E12 fixture builder)."""
     import struct
@@ -438,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
+        "extract_chm_text": _q_extract_chm_text,
         "extract_media_dims": _q_extract_media_dims,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -569,6 +598,10 @@ def oracle_sql() -> dict[str, str]:
             "'application/msword' AS mime, 'T' || doc_id AS title, "
             "'Office doc ' || doc_id || chr(10) || 'Body paragraph ' || "
             "(doc_id % 7) || '.' || chr(10) AS text FROM documents"),
+        "extract_chm_text": (
+            "SELECT 'doc://' || doc_id || '.chm' AS url, "
+            "'application/vnd.ms-htmlhelp' AS mime, "
+            "text || chr(10) AS text FROM documents WHERE lang = 'en'"),
         "extract_media_dims": (
             "SELECT 'doc://' || doc_id || '.png' AS url, "
             "'image/png' AS mime, "
