@@ -74,6 +74,8 @@ def main():
         thunk()
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    timed("detect_census", lambda: force(
+        extract(pages, mode="detect", repartition=cpus)))
     timed("extract_pages_text", lambda: force(
         extract(pages, mode="text", repartition=cpus)))
     timed("extract_pages_main", lambda: force(
