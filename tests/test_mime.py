@@ -173,3 +173,18 @@ class TestBatch:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_no_glob_specializes_hot_paths():
+    """detect_batch skips the per-row hint loop for url-only rows on
+    the pdf/html hot paths; that is only sound while no glob extension
+    maps to a specialization of those types. Pin it."""
+    from tika_spark.mime import lattice
+    from tika_spark.mime.globs import EXT_MAP
+    for base in ("text/html", "application/pdf"):
+        offending = [
+            (ext, mime) for ext, mime in EXT_MAP.items()
+            if base in list(lattice.supertype_chain(mime))[1:]]
+        assert offending == [], (
+            f"glob now specializes {base}: {offending} — re-enable the "
+            "name-hint loop in detect_batch for these rows")

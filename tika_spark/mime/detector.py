@@ -195,11 +195,14 @@ def detect_batch(html: pd.Series, url: pd.Series | None = None,
     for i in todo_idx:
         out[i] = detect(data[i], urls[i], decl[i])
 
-    # filename/declared hints can still specialize the hot-path answers
-    fast_idx = out.index[(is_pdf | hot_html)]
-    for i in fast_idx:
-        u, d = urls[i], decl[i]
-        if u or d:
-            m = _apply_hint(out[i], globs.match_name(u))
-            out[i] = _apply_hint(m, d)
+    # declared hints can still specialize the hot-path answers; name
+    # hints cannot — no glob extension maps to a specialization of
+    # text/html or application/pdf (invariant pinned by
+    # test_no_glob_specializes_hot_paths), so url-only rows skip the
+    # python loop entirely (the census hot path)
+    if declared is not None and decl.notna().any():
+        fast_idx = out.index[(is_pdf | hot_html) & decl.notna()]
+        for i in fast_idx:
+            m = _apply_hint(out[i], globs.match_name(urls[i]))
+            out[i] = _apply_hint(m, decl[i])
     return out
