@@ -102,6 +102,28 @@ def test_simhash_pairs(docs_df):
     assert got[(1, 2)] == 0  # identical text → identical signature
 
 
+def test_simhash_identical_skew_is_linear(spark):
+    # 10k identical docs share one signature; the naive chunk self-join
+    # would form ~50M candidate pairs. The identical-signature collapse
+    # must emit exactly n-1 star pairs (rep -> member, hamming 0).
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("exactly the same boilerplate text body").alias("text"))
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert len(pairs) == n - 1
+    assert all(p["id_a"] == 0 and p["hamming"] == 0 for p in pairs)
+
+
+def test_simhash_short_doc_pairs_capped(spark):
+    # sub-k-token/empty docs also collapse via identical signatures
+    df = spark.createDataFrame(
+        [(i, "") for i in range(100)] + [(1000, "x y z unique words")],
+        ["doc_id", "text"])
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert len(pairs) == 99
+
+
 def test_simhash_deterministic_hash():
     assert dedup.hash64("spark") == dedup.hash64("spark")
     assert dedup.hash64("spark") != dedup.hash64("sparks")

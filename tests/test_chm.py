@@ -116,6 +116,18 @@ class TestChmContainer:
         e = next(x for x in chm.entries if x.name == "/ch1.htm")
         assert chm.read_entry(e) == PAGES["/ch1.htm"]
 
+    def test_two_frame_reset_interval(self):
+        # real-world LZXC v2 layout: reset_interval = window = 0x10000
+        # (2 frames per reset) with a per-frame ResetTable; payload
+        # spans several frames so intermediate entries exist
+        big = {"/big%d.html" % i:
+               (b"<html><body><p>" + bytes([65 + i]) * 20000
+                + b"</p></body></html>") for i in range(5)}
+        chm = ChmFile(make_chm(big, compressed=True,
+                               reset_interval_frames=2))
+        for e in chm.content_entries():
+            assert chm.read_entry(e) == big[e.name]
+
     def test_detect_magic_and_glob(self):
         chm = make_chm(PAGES)
         assert detect(chm, "http://x/help.chm") == \

@@ -227,6 +227,22 @@ def test_extract_recursive(spark, nested_pages):
     assert "children" not in out[0].asDict()
 
 
+def test_recursive_parses_each_level_once(spark, nested_pages, tmp_path):
+    # Guards the per-level persist: without it, every isEmpty() probe
+    # and the final union re-execute ancestor levels' mapInPandas.
+    # Count parsed rows via the trace_dir batch markers — the total
+    # must equal the number of output rows (each row parsed once).
+    import os
+    from tika_spark.config import ExtractConfig
+    from tika_spark.pipeline.job import extract_recursive
+    trace = str(tmp_path / "trace")
+    os.makedirs(trace)
+    cfg = ExtractConfig(mode="text", trace_dir=trace)
+    out = extract_recursive(nested_pages, config=cfg).collect()
+    parsed = sum(int(f.rsplit("_", 1)[1]) for f in os.listdir(trace))
+    assert parsed == len(out)
+
+
 def test_depth_bound(spark):
     # a chain deeper than max_depth stops expanding, job still succeeds
     payload = b"bottom"

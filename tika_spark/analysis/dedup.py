@@ -249,30 +249,56 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3
-                  ) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole blocking: split the 64-bit signature into 4 × 16-bit
     chunks; any pair within hamming 3 agrees exactly on >=1 chunk, so an
     equi-join per chunk finds all of them — no cross join ever forms.
+
+    Skew guards (the viral/empty-doc case, where millions of documents
+    share one signature and a naive chunk self-join goes quadratic):
+
+    1. **Identical signatures collapse first.** Signatures are grouped;
+       each group emits star pairs (min-id representative → member,
+       hamming 0) — linear in group size and sufficient for dedup
+       connectivity — and only the representative enters the chunk join.
+    2. **max_bucket cap** on each (chunk_idx, chunk) bucket of the
+       remaining *distinct* signatures, same guard as
+       :func:`minhash_lsh_pairs`.
     """
     sigs = simhash(df, id_col, text_col)
-    chunks = sigs.select(
+    groups = (sigs.groupBy("simhash")
+              .agg(F.sort_array(F.collect_list("id")).alias("ids")))
+    # hamming-0 star pairs: rep (lowest id) -> every other member
+    dup_pairs = (groups.filter(F.size("ids") > 1)
+                 .select(F.element_at("ids", 1).alias("id_a"),
+                         F.explode(F.slice(
+                             "ids", 2, F.size("ids") - 1)).alias("id_b"))
+                 .withColumn("hamming", F.lit(0)))
+    reps = groups.select(F.element_at("ids", 1).alias("id"), "simhash")
+    chunks = reps.select(
         "id", "simhash",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(0xFFFF)
             for i in range(4)])).alias("chunk_idx", "chunk"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-                   & (F.col("a.chunk") == F.col("b.chunk"))
-                   & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"),
-                     F.col("a.simhash").alias("sig_a"),
-                     F.col("b.simhash").alias("sig_b"))
-             .distinct())
+    buckets = (chunks.groupBy("chunk_idx", "chunk")
+               .agg(F.slice(F.sort_array(F.collect_list(
+                   F.struct("id", "simhash"))), 1, max_bucket)
+                   .alias("members"))
+               .filter(F.size("members") > 1))
+    cand = (buckets
+            .select(F.explode("members").alias("a"), "members")
+            .select("a", F.explode("members").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (cand.withColumn("hamming", ham)
+    near = (cand.withColumn("hamming", ham.cast("int"))
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+    return dup_pairs.unionByName(near)

@@ -139,9 +139,10 @@ def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     b = base.select(F.col(id_col).alias("vec_id"),
                     _as_double(F.col(vec_col)).alias("bv"),
                     sig.alias("bucket"))
-    probes = [F.col("qsig")] + [
-        F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-    ][: 1 + (n_planes if probe_bits >= 1 else 0)]
+    flips = [F.col("qsig").bitwiseXOR(F.lit(1 << i))
+             for i in range(n_planes)]
+    probes = ([F.col("qsig")] + flips) if probe_bits >= 1 \
+        else [F.col("qsig")]
     q = (queries.select(F.col(id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("qv"),
                         sig.alias("qsig"))

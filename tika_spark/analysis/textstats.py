@@ -89,6 +89,10 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column (native, no UDF).
 
     Building block for n-gram Jaccard dedup and MinHash signatures.
+    Documents with fewer than k tokens yield an **empty** array (not a
+    singleton whole-text shingle) so Jaccard over shingle sets agrees
+    with the standard SQL n-gram formulation: two short docs share no
+    shingles and never pair.
     """
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.size(toks) - k)
@@ -98,7 +102,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
                                   for j in range(k)])
     return F.when(F.size(toks) >= k,
                   F.array_distinct(F.transform(idx, make))
-                  ).otherwise(F.array(F.concat_ws(" ", toks)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 def word_topk(df: DataFrame, k: int = 20, text_col: str = "text",

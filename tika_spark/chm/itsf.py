@@ -156,13 +156,19 @@ class ChmFile:
 
         dec = LzxDecoder(wbits)
         out = bytearray()
+        # ResetTable entries are one per 0x8000-byte *frame*, but the
+        # encoder resets its state only every reset_interval bytes
+        # (frames_per_reset frames).  Walk the table in reset-interval
+        # strides: each stride's compressed span runs from the first
+        # frame's offset to the first frame of the next stride.
         frames_per_reset = max(1, reset_interval // 0x8000)
-        for i, boff in enumerate(block_offsets):
+        for i in range(0, len(block_offsets), frames_per_reset):
             dec.reset()
-            end = (block_offsets[i + 1] if i + 1 < len(block_offsets)
-                   else len(comp))
+            boff = block_offsets[i]
+            j = i + frames_per_reset
+            end = block_offsets[j] if j < len(block_offsets) else len(comp)
             remaining = out_len - len(out)
-            chunk_out = min(frames_per_reset * 0x8000, remaining)
+            chunk_out = min(reset_interval, remaining)
             if chunk_out <= 0:
                 break
             out += dec.decompress(comp[boff:end], chunk_out)

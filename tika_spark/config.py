@@ -58,3 +58,8 @@ class ExtractConfig:
     collect_links: bool = True
     summary_chars: int = 500         # ParserPostProcessor.java:58 first-500 summary
     size_bucket_bounds: tuple = field(default=tuple(SIZE_BUCKET_BOUNDS))
+    # test/diagnostic hook: when set, each process_batch appends a
+    # marker file (one per batch, named <uuid>_<n_rows>) so tests can
+    # assert the parse stage executed exactly once per row (guards the
+    # extract_recursive persist contract)
+    trace_dir: str | None = None

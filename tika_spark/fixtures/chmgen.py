@@ -55,12 +55,17 @@ def lzx_store(data: bytes) -> bytes:
     return head + body
 
 
-def make_chm(entries: dict[str, bytes], *, compressed: bool = False) -> bytes:
+def make_chm(entries: dict[str, bytes], *, compressed: bool = False,
+             reset_interval_frames: int = 1) -> bytes:
     """Build a CHM. ``entries`` maps names ('/page.html') to payloads.
 
     ``compressed=False`` stores everything in raw section 0;
     ``compressed=True`` packs the document payloads into an LZX
     section 1 with ControlData + ResetTable system entries.
+    ``reset_interval_frames`` sets the LZXC reset interval in 0x8000
+    frames (real-world files commonly use 2, i.e. reset_interval ==
+    window == 0x10000, while the ResetTable still carries one entry
+    per frame).
     """
     dir_entries: list[tuple[str, int, int, int]] = []  # name,sec,off,len
     section0 = bytearray()
@@ -75,14 +80,30 @@ def make_chm(entries: dict[str, bytes], *, compressed: bool = False) -> bytes:
             payload = entries[name]
             dir_entries.append((name, 1, len(blob), len(payload)))
             blob += payload
-        comp = lzx_store(bytes(blob))
+        fpr = max(1, reset_interval_frames)
+        interval = fpr * 0x8000
+        # one independent LZX run per reset interval; the reset table
+        # records an offset per *frame*, so intermediate frames inside
+        # a run point at the run start (only multiples of fpr mark the
+        # start of a decodable span)
+        comp = bytearray()
+        frame_offsets: list[int] = []
+        for start in range(0, max(1, len(blob)), interval):
+            run = lzx_store(bytes(blob[start:start + interval]))
+            n_frames = max(
+                1, -(-min(interval, len(blob) - start) // 0x8000))
+            frame_offsets += [len(comp)] * n_frames
+            comp += run
+        comp = bytes(comp)
         # LZXC v2 control data: len, 'LZXC', ver, reset interval,
         # window size, cache size (interval/window in 0x8000 units)
-        control = struct.pack("<I4sIIII", 24, b"LZXC", 2, 1, 2, 0)
+        control = struct.pack("<I4sIIII", 24, b"LZXC", 2, fpr,
+                              max(2, fpr), 0)
         # reset table: ver, n_blocks, entry size, table offset,
         # uncompressed len, compressed len, frame size(0x8000), offsets
-        reset = struct.pack("<IIIIQQQ", 2, 1, 8, 40, len(blob),
-                            len(comp), 0x8000) + struct.pack("<Q", 0)
+        reset = struct.pack("<IIIIQQQ", 2, len(frame_offsets), 8, 40,
+                            len(blob), len(comp), 0x8000)
+        reset += b"".join(struct.pack("<Q", o) for o in frame_offsets)
         sys_entries = [
             ("::DataSpace/Storage/MSCompressed/ControlData", control),
             ("::DataSpace/Storage/MSCompressed/Content", comp),

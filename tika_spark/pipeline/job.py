@@ -106,9 +106,22 @@ def extract_recursive(df: DataFrame, mode: str = "text",
     (only container members), so the extra jobs are cheap. Each level
     re-applies the size-bucket repartitioning so a zip full of giant
     members cannot skew one task.
+
+    Each level is **persisted (MEMORY_AND_DISK) before the fixpoint
+    probe** so the expensive mapInPandas parse runs exactly once per
+    level: without it, every ``isEmpty()`` and the final union write
+    would re-execute all ancestor levels (O(depth^2) re-parsing on
+    nested archives). Persisted levels are released once the output is
+    materialized via ``.unpersist()`` — callers that need the result
+    lazily can keep the returned plan; it reads the cached blocks.
     """
+    from pyspark import StorageLevel
+
+    persisted: list[DataFrame] = []
     out = extract(df, mode=mode, config=config, repartition=repartition)
-    level = out.withColumn("depth", F.lit(0))
+    level = (out.withColumn("depth", F.lit(0))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    persisted.append(level)
     results = level.drop("children")
     for depth in range(1, max_depth + 1):
         frontier = level.filter(F.size("children") > 0)
@@ -121,8 +134,16 @@ def extract_recursive(df: DataFrame, mode: str = "text",
             break
         out = extract(children, mode=mode, config=config,
                       repartition=repartition)
-        level = out.withColumn("depth", F.lit(depth))
+        level = (out.withColumn("depth", F.lit(depth))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        persisted.append(level)
         results = results.unionByName(level.drop("children"))
+    # Materialize the union off the cached levels, then drop the cache:
+    # the localCheckpoint keeps the result available without re-running
+    # any parse stage, and releases executor storage for the parent job.
+    results = results.localCheckpoint(eager=True)
+    for lv in persisted:
+        lv.unpersist()
     return results
 
 

@@ -150,6 +150,12 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
     """Extract one Arrow batch (pandas DataFrame in/out)."""
     t0 = time.perf_counter()
     n = len(pdf)
+    if config.trace_dir:
+        import os
+        import uuid
+        with open(os.path.join(config.trace_dir,
+                               f"{uuid.uuid4().hex}_{n}"), "w"):
+            pass
     html = pdf["html"]
     urls = pdf["url"] if "url" in pdf else pd.Series([None] * n,
                                                      index=pdf.index)
