@@ -87,6 +87,99 @@ def _q_extract_html_text(spark, sf_dir):
     return extract(pages, mode="text").select("url", "title", "text")
 
 
+# Boilerplate skeleton for the text-main (C6) oracle. Chosen so the
+# Boilerpipe classification is data-independent for ANY document text:
+# nav/footer are pure-link blocks (link density 1 -> always boilerplate),
+# intro/outro are >40-word constants (content regardless of neighbors),
+# and the document paragraph sits between them (content whether it has
+# <=16 or >16 words, because its neighbors are both high-word content).
+# simple_block_fusion can only merge equal-density neighbors, and a
+# merged run keeps its density, so the nav/footer merge comparisons stay
+# against the constant intro/outro densities (5.0 vs 12.0, 4.0 vs 11.67).
+_BP_NAV = ('<div><a href="/">Home</a> <a href="/news">News</a> '
+           '<a href="/sport">Sport</a> <a href="/weather">Weather</a> '
+           '<a href="/tv">TV</a></div>')
+_BP_INTRO = (
+    "Editors publish a concise standing preface before every article "
+    "so that readers arriving from the index page understand the "
+    "section scope and the curation policy that selected this piece "
+    "for inclusion in the daily digest distributed across all "
+    "regional editions worldwide every single morning")
+_BP_OUTRO = (
+    "Readers who finished this article can continue onward to the "
+    "archive where earlier digests remain available with identical "
+    "formatting and with the same curation policy applied to every "
+    "regional edition that the desk published during the previous "
+    "twelve calendar months of continuous operation")
+_BP_FOOTER = ('<div><a href="/about">About</a> '
+              '<a href="/contact">Contact</a> <a href="/terms">Terms</a> '
+              '<a href="/privacy">Privacy</a></div>')
+
+
+def _q_extract_main_text(spark, sf_dir):
+    """C6/G5 text-main (-T) oracle: Boilerpipe block classification must
+    strip the nav/footer link blocks and keep intro + document text +
+    outro, byte-exact (BoilerpipeContentHandler.java:246-323 emission;
+    HtmlParserTest.java:392-406 semantics)."""
+    html = F.encode(F.concat(
+        F.lit('<html><head><meta charset="utf-8"/><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>" + _BP_NAV + "<p>" + _BP_INTRO
+              + "</p><p>"),
+        F.col("text"),
+        F.lit("</p><p>" + _BP_OUTRO + "</p>" + _BP_FOOTER
+              + "</body></html>")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    return extract(pages, mode="text-main").select("url", "text")
+
+
+def _pdf_wrap_udf():
+    """Deterministic per-row PDF builder covering three D1-D3 layout
+    variants by doc_id%3: classic xref + Flate content (0), two text
+    boxes in one content stream — the reading-order pin,
+    PDF2XHTML.java:84-98 / PDFParserTest.java:147 (1), and PDF 1.5
+    ObjStm + xref-stream layout (2)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.pdfgen import make_pdf, make_pdf_objstm
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, text in zip(ids, texts):
+            i = int(i)
+            text = text or ""
+            if i % 3 == 0:
+                out.append(make_pdf([[f"Document {i}", text]],
+                                    title=f"Doc {i}"))
+            elif i % 3 == 1:
+                out.append(make_pdf(
+                    [[f"Document {i}", text, f"Column two of {i}",
+                      "The end"]], title=f"Doc {i}", two_columns=True))
+            else:
+                out.append(make_pdf_objstm([f"Document {i}", text],
+                                           title=f"Doc {i}"))
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_pdf_text(spark, sf_dir):
+    """D1-D3 oracle: parse generated PDFs (xref + object streams, Flate,
+    Td/Tj interpretation, two-box reading order, Info title) and emit
+    byte-exact text per url."""
+    wrap = _pdf_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".pdf"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
 def _q_detect_mime_counts(spark, sf_dir):
     out = extract(_pages_mixed(_docs(spark, sf_dir)), mode="text")
     return (out.groupBy("mime").agg(F.count("*").cast("long").alias("n"))
@@ -126,11 +219,24 @@ def _q_extract_links(spark, sf_dir):
 
 
 def _q_language_id(spark, sf_dir):
-    # rows-only: 27-profile 3-gram n-gram model (SURVEY §2.G2) has no
-    # SQL equivalent
-    pages = _docs(spark, sf_dir).select(
+    """G2 oracle: pages whose body is the deterministic seed corpus of
+    the row's ground-truth language must identify exactly (27-profile
+    3-gram model; LanguageIdentifierTest round-trip spirit). zh is
+    excluded to mirror the reference's profile set (no CJK .ngp —
+    3-gram profiles are meaningless for unsegmented text)."""
+    from tika_spark.language.corpus import SEED_TEXT
+    docs = _docs(spark, sf_dir).filter(F.col("lang") != "zh")
+    seed = F.col("lang")
+    for lg in ("de", "en", "es", "fr"):
+        seed = F.when(F.col("lang") == lg, F.lit(SEED_TEXT[lg])) \
+            .otherwise(seed)
+    html = F.encode(F.concat(
+        F.lit('<html><head><meta charset="utf-8"/><title>L</title>'
+              "</head><body><p>"), seed,
+        F.lit("</p></body></html>")), "UTF-8")
+    pages = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        _html_wrap().alias("html"))
+        html.alias("html"))
     out = extract(pages, mode="text")
     return out.select("url", F.col("lang").alias("lang_pred"))
 
@@ -216,6 +322,29 @@ def _q_ann_lsh(spark, sf_dir):
     out = similarity.lsh_topk(emb, queries_df, dim=64, k=10)
     return out.select("query_id", "vec_id", "sim_micro",
                       F.col("rank").cast("long").alias("rank"))
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """Checkable form of the approximate path: recall@10 of the
+    hyperplane-LSH top-k against the exact brute-force top-k, joined in
+    DataFrame land; the oracle pins every query clearing the recall
+    floor (multiprobe ring sized for it)."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries_df, k=10) \
+        .select("query_id", "vec_id")
+    approx = similarity.lsh_topk(emb, queries_df, dim=64, k=10,
+                                 n_planes=6, n_tables=8) \
+        .select(F.col("query_id").alias("qid2"),
+                F.col("vec_id").alias("vid2"))
+    joined = exact.join(
+        approx, (exact.query_id == approx.qid2)
+        & (exact.vec_id == approx.vid2), "left")
+    rec = (joined.groupBy("query_id")
+           .agg(F.sum(F.when(F.col("vid2").isNotNull(), 1).otherwise(0))
+                .alias("n_hit"))
+           .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
+    return rec
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -444,6 +573,8 @@ def _q_docs_rollup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_text": _q_extract_html_text,
+        "extract_main_text": _q_extract_main_text,
+        "extract_pdf_text": _q_extract_pdf_text,
         "detect_mime_counts": _q_detect_mime_counts,
         "extract_charset_meta": _q_extract_charset_meta,
         "extract_links": _q_extract_links,
@@ -462,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
@@ -492,6 +624,25 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_text": (
             "SELECT 'doc://' || doc_id AS url, 'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),
+        "extract_main_text": (
+            "SELECT 'doc://' || doc_id AS url, "
+            f"'{_BP_INTRO}' || chr(10) || text || chr(10) || "
+            f"'{_BP_OUTRO}' || chr(10) AS text FROM documents"),
+        "extract_pdf_text": (
+            "SELECT 'doc://' || doc_id || '.pdf' AS url, "
+            "'application/pdf' AS mime, 'Doc ' || doc_id AS title, "
+            "CASE doc_id % 3 WHEN 1 THEN "
+            "'Document ' || doc_id || chr(10) || text || chr(10) || "
+            "'Column two of ' || doc_id || chr(10) || 'The end' || "
+            "chr(10) || chr(10) ELSE "
+            "'Document ' || doc_id || chr(10) || text || chr(10) || "
+            "chr(10) END AS text FROM documents"),
+        "language_id": (
+            "SELECT 'doc://' || doc_id AS url, lang AS lang_pred "
+            "FROM documents WHERE lang <> 'zh'"),
+        "ann_lsh_recall": (
+            "SELECT vec_id AS query_id, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"),
         "detect_mime_counts": (
             "SELECT CASE doc_id % 4 WHEN 0 THEN 'text/html' "
             "WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'text/plain' "

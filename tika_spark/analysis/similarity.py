@@ -120,39 +120,48 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16,
 
 
 def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_planes: int = 8, probe_bits: int = 1,
+             n_planes: int = 8, probe_bits: int = 1, n_tables: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to vectors whose LSH
-    signature is within ``probe_bits`` bit flips of the query's
-    (multiprobe ring). Recall is tunable via n_planes/probe_bits; the
-    join is an equi-join on bucket id → shuffle bounded by bucket sizes,
+    """Approximate top-k: exact cosine restricted to vectors that share
+    an LSH bucket with the query in at least one of ``n_tables``
+    independent hash tables (the classic L-table construction), each
+    probed with a ``probe_bits`` multiprobe bit-flip ring. The join is
+    an equi-join on (table, bucket) → shuffle bounded by bucket sizes,
     never |base| x |queries|.
 
-    Size ``n_planes`` to the corpus: expected bucket population is
-    |base| / 2^n_planes; with the (1+n_planes)-bucket multiprobe ring
-    the candidate pool is ≈ (1+n_planes)·|base|/2^n_planes — keep that
-    ≳ 10·k for usable recall (n_planes=8 suits 10^3-10^5 vectors;
-    10^9-scale corpora want 16-20 planes + banding like MinHash).
+    Recall ≈ 1-(1-p^n_planes)^(L·(1+probes)) — raise n_tables for
+    recall, n_planes for selectivity. Candidate pool per query is
+    ≈ n_tables·(1+n_planes)·|base|/2^n_planes; keep that ≳ 10·k
+    (defaults suit 10^3-10^5 vectors; 10^9-scale corpora want 16-20
+    planes, more tables, and the same equi-join shape).
     """
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
-    b = base.select(F.col(id_col).alias("vec_id"),
-                    _as_double(F.col(vec_col)).alias("bv"),
-                    sig.alias("bucket"))
+    def sigs(col):
+        return F.array(*[
+            lsh_signature(col, dim, n_planes, seed=7 + 13 * t)
+            for t in range(n_tables)])
+
+    b = (base.select(F.col(id_col).alias("vec_id"),
+                     _as_double(F.col(vec_col)).alias("bv"),
+                     F.posexplode(sigs(F.col(vec_col)))
+                     .alias("table", "bucket")))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"),
+                        F.posexplode(sigs(F.col(vec_col)))
+                        .alias("table", "qsig")))
     flips = [F.col("qsig").bitwiseXOR(F.lit(1 << i))
              for i in range(n_planes)]
     probes = ([F.col("qsig")] + flips) if probe_bits >= 1 \
         else [F.col("qsig")]
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        _as_double(F.col(vec_col)).alias("qv"),
-                        sig.alias("qsig"))
-         .select("query_id", "qv",
-                 F.explode(F.array(*probes)).alias("bucket")))
+    q = q.select("query_id", "qv", "table",
+                 F.explode(F.array(*probes)).alias("bucket"))
+    cand = (b.join(F.broadcast(q), ["table", "bucket"])
+             .select("query_id", "vec_id", "qv", "bv")
+             .dropDuplicates(["query_id", "vec_id"]))
     sim = cosine(F.col("qv"), F.col("bv"))
-    scored = (b.join(F.broadcast(q), "bucket")
-               .select("query_id", "vec_id",
-                       F.round(sim * 1_000_000).cast("long")
-                       .alias("sim_micro")))
+    scored = cand.select("query_id", "vec_id",
+                         F.round(sim * 1_000_000).cast("long")
+                         .alias("sim_micro"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -32,10 +32,15 @@ class MagicRule(NamedTuple):
     mime: str
     priority: int
     clauses: tuple
+    # optional AND-clause (the nested <match> children of
+    # tika-mimetypes.xml): the rule fires only if ANY of ``clauses``
+    # matches AND ``confirm`` (when set) also matches
+    confirm: Clause | None = None
 
 
-def _m(mime: str, priority: int, *clauses: Clause) -> MagicRule:
-    return MagicRule(mime, priority, tuple(clauses))
+def _m(mime: str, priority: int, *clauses: Clause,
+       confirm: Clause | None = None) -> MagicRule:
+    return MagicRule(mime, priority, tuple(clauses), confirm)
 
 
 # HTML tag probes, window 0:64, case-insensitive — mirrors the
