@@ -50,17 +50,28 @@ def _html_wrap(title_prefix: str = "Doc ") -> F.Column:
 
 
 def _pages_mixed(docs: DataFrame) -> DataFrame:
-    """Mixed-format pages: doc_id%4 → html | pdf-stub | txt | xml.
-    Pure column expressions — the 100TB generation path is this same
-    projection over the real crawl table."""
-    k = F.pmod(F.col("doc_id"), F.lit(4))
+    """Mixed-format pages: doc_id%8 → html | pdf-stub | txt | xml |
+    webp | sqlite | mp4 | woff2 (the last four exercise the widened
+    magic table; their payload is the published signature + the doc
+    text as filler). Pure column expressions — the 100TB generation
+    path is this same projection over the real crawl table."""
+    k = F.pmod(F.col("doc_id"), F.lit(8))
+    body = F.encode(F.col("text"), "UTF-8")
     payload = (F.when(k == 0, _html_wrap())
                .when(k == 1, F.encode(
                    F.concat(F.lit("%PDF-1.4\n"), F.col("text")), "UTF-8"))
-               .when(k == 2, F.encode(F.col("text"), "UTF-8"))
-               .otherwise(F.encode(F.concat(
+               .when(k == 2, body)
+               .when(k == 3, F.encode(F.concat(
                    F.lit('<?xml version="1.0"?><doc><t>'), F.col("text"),
-                   F.lit("</t></doc>")), "UTF-8")))
+                   F.lit("</t></doc>")), "UTF-8"))
+               .when(k == 4, F.concat(
+                   F.lit(b"RIFF\x24\x00\x00\x00WEBPVP8 "), body))
+               .when(k == 5, F.concat(
+                   F.lit(b"SQLite format 3\x00"), body))
+               .when(k == 6, F.concat(
+                   F.lit(b"\x00\x00\x00\x20ftypisom\x00\x00\x02\x00"),
+                   body))
+               .otherwise(F.concat(F.lit(b"wOF2\x00\x01\x00\x00"), body)))
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
         payload.alias("html"))
@@ -644,9 +655,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "detect_mime_counts": (
-            "SELECT CASE doc_id % 4 WHEN 0 THEN 'text/html' "
+            "SELECT CASE doc_id % 8 WHEN 0 THEN 'text/html' "
             "WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'text/plain' "
-            "ELSE 'application/xml' END AS mime, "
+            "WHEN 3 THEN 'application/xml' WHEN 4 THEN 'image/webp' "
+            "WHEN 5 THEN 'application/x-sqlite3' "
+            "WHEN 6 THEN 'video/mp4' ELSE 'font/woff2' END AS mime, "
             "COUNT(*)::BIGINT AS n FROM documents GROUP BY 1"),
         "extract_charset_meta": (
             "SELECT 'doc://' || doc_id AS url, CASE doc_id % 2 "

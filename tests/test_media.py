@@ -345,3 +345,28 @@ def test_psd_dims():
     r = extract_media(psd, mime="image/vnd.adobe.photoshop")
     assert r["metadata"]["width"] == ["800"]
     assert r["metadata"]["height"] == ["600"]
+
+
+def test_webp_dims():
+    from tika_spark.media import _webp_dims, extract_media
+    import struct as _s
+    # VP8X extended: canvas 640x480 -> stored as w-1/h-1 24-bit LE
+    vp8x = (b"RIFF" + _s.pack("<I", 30) + b"WEBPVP8X"
+            + _s.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert _webp_dims(vp8x) == (640, 480)
+    # VP8 lossy key frame: 3-byte frame tag + 9D 01 2A + 14-bit dims
+    vp8 = (b"RIFF" + _s.pack("<I", 40) + b"WEBPVP8 "
+           + _s.pack("<I", 20) + b"\x00\x00\x00"
+           + b"\x9d\x01\x2a" + _s.pack("<HH", 320, 240) + b"\x00" * 8)
+    assert _webp_dims(vp8) == (320, 240)
+    r = extract_media(vp8x, mime="image/webp")
+    assert r["metadata"]["width"] == ["640"]
+
+
+def test_ico_dims():
+    from tika_spark.media import _ico_dims
+    ico = b"\x00\x00\x01\x00\x01\x00\x10\x20" + b"\x00" * 16
+    assert _ico_dims(ico) == (16, 32)
+    ico256 = b"\x00\x00\x01\x00\x01\x00\x00\x00" + b"\x00" * 16
+    assert _ico_dims(ico256) == (256, 256)

@@ -37,6 +37,69 @@ class TestMagic:
     def test_xml_decl(self):
         assert magic.match_magic(b"<?xml version='1.0'?><a/>") == "application/xml"
 
+    # widened web-crawl set (VERDICT r1 task 5): each sample is the
+    # format's published signature + filler — none may fall to
+    # octet-stream or a wrong type
+    WIDE = [
+        (b"\x00\x00\x00\x20ftypisom\x00\x00\x02\x00iso2", "video/mp4"),
+        (b"\x00\x00\x00\x20ftypM4A \x00\x00\x02\x00", "audio/mp4"),
+        (b"\x00\x00\x00\x18ftyp3gp4\x00\x00\x02\x00", "video/3gpp"),
+        (b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00", "image/avif"),
+        (b"\x00\x00\x00\x14ftypqt  \x00\x00\x02\x00", "video/quicktime"),
+        (b"\x00\x00\x00\x08moovdata", "video/quicktime"),
+        (b"\x1aE\xdf\xa3\x01\x00\x00\x00\x00\x00\x00\x1f"
+         b"\x42\x86\x81\x01B\x82\x84webm", "video/webm"),
+        (b"\x1aE\xdf\xa3\x01\x00\x00\x00\x00\x00\x00\x23"
+         b"\x42\x86\x81\x01B\x82\x88matroska", "video/x-matroska"),
+        (b"OggS\x00\x02" + b"\x00" * 20 + b"\x01\x01" + b"\x01vorbis",
+         "audio/ogg"),
+        (b"OggS\x00\x02" + b"\x00" * 20 + b"\x01\x01" + b"\x80theora",
+         "video/ogg"),
+        (b"OggS\x00\x02" + b"\x00" * 20 + b"\x01\x01" + b"BBCD\x00",
+         "application/ogg"),
+        (b"RIFF\x24\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x24\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        (b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/x-wav"),
+        (b"fLaC\x00\x00\x00\x22", "audio/x-flac"),
+        (b"MThd\x00\x00\x00\x06", "audio/midi"),
+        (b"wOFF\x00\x01\x00\x00", "font/woff"),
+        (b"wOF2\x00\x01\x00\x00", "font/woff2"),
+        (b"\x00\x00\x01\x00\x01\x00\x10\x10", "image/x-icon"),
+        (b"SQLite format 3\x00\x10\x00", "application/x-sqlite3"),
+        (b"\x00asm\x01\x00\x00\x00", "application/wasm"),
+        (b"7z\xbc\xaf\x27\x1c\x00\x04", "application/x-7z-compressed"),
+        (b"\xfd7zXZ\x00\x00\x04", "application/x-xz"),
+        (b"\x28\xb5\x2f\xfd\x24\x00", "application/zstd"),
+        (b"MZ\x90\x00\x03\x00", "application/x-msdownload"),
+        (b"\x7fELF\x02\x01\x01\x00", "application/x-elf"),
+        (b"PAR1\x15\x04\x19", "application/x-parquet"),
+    ]
+
+    @pytest.mark.parametrize("payload,want", WIDE,
+                             ids=[w for _, w in WIDE])
+    def test_widened_magic(self, payload, want):
+        assert magic.match_magic(payload + b"\x00" * 32) == want
+        assert detector.detect(payload + b"\x00" * 32) == want
+
+    def test_widened_globs(self):
+        cases = {"a.webm": "video/webm", "b.mkv": "video/x-matroska",
+                 "c.ogg": "audio/ogg", "d.m4a": "audio/mp4",
+                 "e.woff2": "font/woff2", "f.ico": "image/x-icon",
+                 "g.sqlite": "application/x-sqlite3",
+                 "h.wasm": "application/wasm",
+                 "i.7z": "application/x-7z-compressed",
+                 "j.zst": "application/zstd",
+                 "k.webp": "image/webp", "l.avif": "image/avif",
+                 "m.exe": "application/x-msdownload",
+                 "n.parquet": "application/x-parquet"}
+        for name, want in cases.items():
+            assert globs.match_name("http://x/" + name) == want, name
+
+    def test_widened_types_have_routes(self):
+        from tika_spark.pipeline.stages import route_for_mime
+        for _, mime in self.WIDE:
+            assert route_for_mime(mime) is not None, mime
+
     def test_xml_utf16_boms(self):
         le = "<?xml version='1.0'?>".encode("utf-16-le")
         assert magic.match_magic(b"\xff\xfe" + le) == "application/xml"

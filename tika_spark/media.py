@@ -84,6 +84,41 @@ def _psd_dims(data: bytes):
     return None
 
 
+def _webp_dims(data: bytes):
+    """WebP: VP8X extended header (24-bit w-1/h-1), else VP8 lossy
+    frame tag, else VP8L lossless 14-bit fields."""
+    if len(data) < 30 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    fourcc = data[12:16]
+    if fourcc == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8 ":
+        # key-frame start code 9D 01 2A, then 14-bit w/h
+        if data[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+            return w, h
+        return None
+    if fourcc == b"VP8L":
+        if data[20:21] != b"\x2f":
+            return None
+        bits = struct.unpack("<I", data[21:25])[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    return None
+
+
+def _ico_dims(data: bytes):
+    """ICO: first directory entry's width/height bytes (0 means 256)."""
+    if len(data) < 8 or data[:4] != b"\x00\x00\x01\x00":
+        return None
+    w, h = data[6], data[7]
+    return (w or 256), (h or 256)
+
+
 _BY_MIME = {
     "image/png": _png_dims,
     "image/gif": _gif_dims,
@@ -91,6 +126,8 @@ _BY_MIME = {
     "image/jpeg": _jpeg_dims,
     "image/tiff": _tiff_dims,
     "image/vnd.adobe.photoshop": _psd_dims,
+    "image/webp": _webp_dims,
+    "image/x-icon": _ico_dims,
 }
 
 # ---- TrueType 'name' table (reference: font/TrueTypeParser.java —

@@ -33,7 +33,7 @@ EXT_MAP: dict[str, str] = {
     "tar": "application/x-tar", "bz2": "application/x-bzip2",
     "png": "image/png", "gif": "image/gif",
     "jpg": "image/jpeg", "jpeg": "image/jpeg", "bmp": "image/bmp",
-    "svg": "image/svg+xml", "ico": "image/vnd.microsoft.icon",
+    "svg": "image/svg+xml", "ico": "image/x-icon",
     "tif": "image/tiff", "tiff": "image/tiff",
     "ttf": "application/x-font-ttf", "flv": "video/x-flv",
     "psd": "image/vnd.adobe.photoshop",
@@ -50,6 +50,27 @@ EXT_MAP: dict[str, str] = {
     "mp3": "audio/mpeg", "mp4": "video/mp4", "wav": "audio/x-wav",
     "eml": "message/rfc822", "mbox": "application/mbox",
     "class": "application/java-vm",
+    # widened web-crawl set (VERDICT r1 task 5)
+    "mp4v": "video/mp4", "mpg4": "video/mp4",
+    "m4a": "audio/mp4", "m4b": "audio/mp4",
+    "3gp": "video/3gpp", "mov": "video/quicktime", "qt": "video/quicktime",
+    "webm": "video/webm", "mkv": "video/x-matroska",
+    "mka": "video/x-matroska",
+    "ogg": "audio/ogg", "oga": "audio/ogg", "spx": "audio/ogg",
+    "ogv": "video/ogg", "ogx": "application/ogg",
+    "webp": "image/webp", "avif": "image/avif", "heic": "image/heic",
+    "avi": "video/x-msvideo", "flac": "audio/x-flac",
+    "mid": "audio/midi", "midi": "audio/midi", "kar": "audio/midi",
+    "rmi": "audio/midi",
+    "woff": "font/woff", "woff2": "font/woff2",
+    "sqlite": "application/x-sqlite3", "sqlite3": "application/x-sqlite3",
+    "wasm": "application/wasm",
+    "7z": "application/x-7z-compressed", "xz": "application/x-xz",
+    "zst": "application/zstd",
+    "exe": "application/x-msdownload", "dll": "application/x-msdownload",
+    "msi": "application/x-msdownload",
+    "so": "application/x-elf",
+    "parquet": "application/x-parquet",
 }
 
 

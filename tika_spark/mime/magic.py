@@ -98,6 +98,66 @@ MAGIC_RULES: list[MagicRule] = [
        Clause(0, 0, b"\xef\xbb\xbf"),
        Clause(0, 0, b"\xff\xfe"),
        Clause(0, 0, b"\xfe\xff")),
+
+    # ---- widened web-crawl set (VERDICT r1 task 5): media containers,
+    # fonts, databases, modern compression. Priorities follow
+    # tika-mimetypes.xml where the reference has the type; types the
+    # 1.0-era table lacks (webm/woff/webp/avif/sqlite/wasm/zstd) use
+    # their registered IANA names.
+
+    # ISO-BMFF "ftyp" brands at offset 4 (specific brand beats the
+    # generic video/quicktime ftyp rule, tika-mimetypes.xml:4107)
+    _m("audio/mp4", 60, Clause(4, 4, b"ftypM4A"), Clause(4, 4, b"ftypM4B")),
+    _m("video/3gpp", 60, Clause(4, 4, b"ftyp3gp")),
+    _m("image/avif", 60, Clause(4, 4, b"ftypavif")),
+    _m("image/heic", 60, Clause(4, 4, b"ftypheic"),
+       Clause(4, 4, b"ftypheix")),
+    _m("video/mp4", 60,
+       Clause(4, 4, b"ftypisom"), Clause(4, 4, b"ftypiso2"),
+       Clause(4, 4, b"ftypmp41"), Clause(4, 4, b"ftypmp42"),
+       Clause(4, 4, b"ftypavc1"), Clause(4, 4, b"ftypdash"),
+       Clause(4, 4, b"ftypMSNV")),
+    # generic ISO-BMFF / classic QuickTime atoms (tika-mimetypes.xml:3405)
+    _m("video/quicktime", 50, Clause(4, 4, b"moov"),
+       Clause(4, 4, b"mdat"), Clause(4, 4, b"ftyp")),
+    # EBML header; DocType string distinguishes WebM from Matroska
+    _m("video/webm", 60, Clause(0, 0, b"\x1aE\xdf\xa3"),
+       confirm=Clause(4, 40, b"webm")),
+    _m("video/x-matroska", 50, Clause(0, 0, b"\x1aE\xdf\xa3")),
+    # Ogg: vorbis/theora first-page probes beat the generic container
+    # (tika-mimetypes.xml:2960 audio/ogg priority 60)
+    _m("audio/ogg", 60, Clause(0, 0, b"OggS"),
+       confirm=Clause(28, 28, b"\x01vorbis")),
+    _m("video/ogg", 60, Clause(0, 0, b"OggS"),
+       confirm=Clause(28, 28, b"\x80theora")),
+    _m("application/ogg", 50, Clause(0, 0, b"OggS")),
+    # RIFF containers (masked four-CC at 8, tika-mimetypes.xml:3165,4215)
+    _m("image/webp", 50,
+       Clause(0, 0, b"RIFF\x00\x00\x00\x00WEBP",
+              mask=b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff")),
+    _m("video/x-msvideo", 50,
+       Clause(0, 0, b"RIFF\x00\x00\x00\x00AVI ",
+              mask=b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff")),
+    _m("audio/x-wav", 20,
+       Clause(0, 0, b"RIFF\x00\x00\x00\x00WAVE",
+              mask=b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff")),
+    _m("audio/x-flac", 50, Clause(0, 0, b"fLaC")),
+    _m("audio/midi", 20, Clause(0, 0, b"MThd")),
+    _m("font/woff", 50, Clause(0, 0, b"wOFF")),
+    _m("font/woff2", 50, Clause(0, 0, b"wOF2")),
+    _m("image/x-icon", 50, Clause(0, 0, b"\x00\x00\x01\x00")),
+    _m("application/x-sqlite3", 50, Clause(0, 0, b"SQLite format 3\x00")),
+    _m("application/wasm", 50, Clause(0, 0, b"\x00asm")),
+    _m("application/x-7z-compressed", 50,
+       Clause(0, 0, b"7z\xbc\xaf\x27\x1c")),
+    _m("application/x-xz", 50, Clause(0, 0, b"\xfd7zXZ\x00")),
+    _m("application/zstd", 50, Clause(0, 0, b"\x28\xb5\x2f\xfd")),
+    # PE/ELF executables (reference routes *.exe by glob only;
+    # the magic closes the no-name gap)
+    _m("application/x-msdownload", 20, Clause(0, 0, b"MZ")),
+    _m("application/x-elf", 20, Clause(0, 0, b"\x7fELF")),
+    # columnar-data files a training pipeline meets on disk
+    _m("application/x-parquet", 50, Clause(0, 0, b"PAR1")),
 ]
 
 # Pre-sort once: priority desc, then longest first-clause pattern desc —
@@ -135,5 +195,8 @@ def match_magic(prefix: bytes) -> str | None:
     for rule in MAGIC_RULES:
         for c in rule.clauses:
             if _clause_matches(prefix, c):
-                return rule.mime
+                if rule.confirm is None or _clause_matches(prefix,
+                                                           rule.confirm):
+                    return rule.mime
+                break  # confirm failed: fall through to later rules
     return None

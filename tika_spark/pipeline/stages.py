@@ -65,6 +65,35 @@ ROUTE_TABLE = {
     "video/x-flv": "media",
     "application/java-vm": "media",
     "audio/mpeg": "media",
+    # widened web set: metadata-only media rows (format named, no body
+    # text — what the reference's parser-less types produce)
+    "video/mp4": "media",
+    "audio/mp4": "media",
+    "video/3gpp": "media",
+    "video/quicktime": "media",
+    "video/webm": "media",
+    "video/x-matroska": "media",
+    "audio/ogg": "media",
+    "video/ogg": "media",
+    "application/ogg": "media",
+    "image/webp": "media",
+    "image/avif": "media",
+    "image/heic": "media",
+    "video/x-msvideo": "media",
+    "audio/x-wav": "media",
+    "audio/x-flac": "media",
+    "audio/midi": "media",
+    "font/woff": "media",
+    "font/woff2": "media",
+    "image/x-icon": "media",
+    "application/x-sqlite3": "media",
+    "application/wasm": "media",
+    "application/x-7z-compressed": "media",
+    "application/x-xz": "media",
+    "application/zstd": "media",
+    "application/x-msdownload": "media",
+    "application/x-elf": "media",
+    "application/x-parquet": "media",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
     "application/x-gzip": "pkg",
