@@ -212,6 +212,45 @@ def _q_extract_charset_meta(spark, sf_dir):
     return extract(pages, mode="text").select("url", "charset")
 
 
+_CS_VARIANTS = [("utf-8", "de"), ("windows-1251", "ru"), ("koi8-r", "ru"),
+                ("iso-8859-7", "el"), ("windows-1256", "ar"),
+                ("windows-1255", "he"), ("windows-1254", "tr"),
+                ("tis-620", "th")]
+
+
+def _charset_wrap_udf():
+    """Meta-tag-free HTML page encoded in doc_id%8's charset — forces
+    the statistical recognizer tier (C7) to decide."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.language.corpus import SEED_TEXT
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            codec, lang = _CS_VARIANTS[int(i) % 8]
+            out.append((
+                "<html><head><title>T</title></head><body><p>"
+                + SEED_TEXT[lang] + "</p></body></html>"
+            ).encode(codec, "ignore"))
+        return pd.Series(out)
+    return wrap
+
+
+def _q_extract_charset_statistical(spark, sf_dir):
+    """C7 oracle: no meta tag, no declared type — the statistical
+    recognizer cascade (BOM/UTF/MBCS/sbcs-ngram tables incl. the
+    widened Arabic/Hebrew/Turkish set) must name the exact charset
+    (CharsetDetector.java:119-136 / CharsetRecog_sbcs.java parity)."""
+    wrap = _charset_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    return extract(pages, mode="text").select("url", "charset")
+
+
 def _q_extract_links(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     extra = F.when(F.pmod("doc_id", F.lit(2)) == 1, F.concat(
@@ -588,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_text": _q_extract_pdf_text,
         "detect_mime_counts": _q_detect_mime_counts,
         "extract_charset_meta": _q_extract_charset_meta,
+        "extract_charset_statistical": _q_extract_charset_statistical,
         "extract_links": _q_extract_links,
         "language_id": _q_language_id,
         "outlinks": _q_outlinks,
@@ -665,6 +705,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id AS url, CASE doc_id % 2 "
             "WHEN 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset "
             "FROM documents WHERE lang = 'en'"),
+        "extract_charset_statistical": (
+            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 8 "
+            "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' "
+            "WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'iso-8859-7' "
+            "WHEN 4 THEN 'windows-1256' WHEN 5 THEN 'windows-1255' "
+            "WHEN 6 THEN 'windows-1254' ELSE 'tis-620' END AS charset "
+            "FROM documents"),
         "extract_links": (
             "SELECT 'doc://' || doc_id AS url, "
             "(2 + doc_id % 2)::BIGINT AS n_links FROM documents"),

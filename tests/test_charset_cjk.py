@@ -75,3 +75,37 @@ class TestSbcsNgram:
             "windows-1251"
         assert detect_statistical(t.encode("koi8-r")) == "koi8-r"
         assert detect_statistical(t.encode("cp866")) == "cp866"
+
+
+class TestWidenedSbcs:
+    """VERDICT r1 task 7: Arabic/Hebrew/Turkish single-byte layouts and
+    Hebrew EBCDIC (CharsetRecog_sbcs.java / IBM424 parity)."""
+
+    import pytest as _pytest
+
+    CASES = [("windows-1256", "ar"), ("iso-8859-6", "ar"),
+             ("windows-1255", "he"), ("windows-1254", "tr"),
+             ("tis-620", "th"), ("cp424", "he")]
+
+    @_pytest.mark.parametrize("codec,lang", CASES,
+                              ids=[c for c, _ in CASES])
+    def test_exact_detection(self, codec, lang):
+        from tika_spark.language.corpus import SEED_TEXT
+        raw = SEED_TEXT[lang].encode(codec, "ignore")
+        assert detect_statistical(raw) == codec
+
+    def test_equivalent_layouts_decode_identically(self):
+        # iso-8859-8/9 share the letter positions of windows-1255/1254;
+        # either answer decodes the text identically
+        from tika_spark.language.corpus import SEED_TEXT
+        for codec, lang in (("iso-8859-8", "he"), ("iso-8859-9", "tr")):
+            raw = SEED_TEXT[lang].encode(codec, "ignore")
+            got = detect_statistical(raw)
+            assert raw.decode(got) == raw.decode(codec)
+
+    def test_profile_languages_unchanged(self):
+        # ar/he/tr seed charset tables only — the 3-gram language model
+        # keeps the reference's 27-profile set
+        from tika_spark.language.corpus import PROFILE_LANGUAGES
+        assert len(PROFILE_LANGUAGES) == 27
+        assert not {"ar", "he", "tr", "zh"} & set(PROFILE_LANGUAGES)

@@ -254,3 +254,53 @@ class TestPdfToUnicode:
     def test_font_without_cmap_still_latin1(self):
         pdf = make_pdf([["plain latin"]])
         assert "plain latin" in extract_pdf(pdf)["text"]
+
+
+class TestPdfFiltersAndDecrypt:
+    """VERDICT r1 task 9: LZW/RunLength/ASCII85 filters and the
+    empty-password RC4 decrypt attempt (PDFParser.java:76-99)."""
+
+    @pytest.mark.parametrize("filt", ["flate", "lzw", "rle", "a85"])
+    def test_filters_end_to_end(self, filt):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        r = extract_pdf(make_pdf([["Filter line one", "two"]],
+                                 compress=filt))
+        assert r["text"] == "Filter line one\ntwo\n\n"
+
+    def test_lzw_spec_vector(self):
+        from tika_spark.pdf.parser import _lzw_decode
+        # the worked example from the PDF spec (7.4.4.2)
+        assert _lzw_decode(b"\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01") \
+            == b"-----A---B"
+
+    def test_rle_repeat_runs(self):
+        from tika_spark.pdf.parser import _rle_decode
+        assert _rle_decode(b"\x02abc\xfeZ\x80") == b"abcZZZ"
+
+    def test_empty_password_decrypt(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["Secret line one", "line two"]],
+                       title="Enc T", author="A", encrypt=True)
+        r = extract_pdf(pdf)
+        assert r["status"] == "ok"
+        assert r["title"] == "Enc T"
+        assert r["metadata"]["Author"] == ["A"]
+        assert r["text"] == "Secret line one\nline two\n\n"
+
+    def test_unsupported_revision_degrades(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["x"]], title="T", encrypt=True)
+        patched = pdf.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+        r = extract_pdf(patched)
+        assert r["status"] == "encrypted"
+        assert r["text"] == ""
+
+    def test_encrypted_compressed_combo(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        r = extract_pdf(make_pdf([["enc lzw"]], compress="lzw",
+                                 encrypt=True))
+        assert r["text"] == "enc lzw\n\n"

@@ -9,28 +9,119 @@ the reference's fixture corpus (testPDF.pdf, testPDFTwoTextBoxes.pdf).
 
 from __future__ import annotations
 
+import hashlib
 import zlib
+
+# ISO 32000 password pad (public spec constant)
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+_FILE_ID = bytes(range(16))  # deterministic /ID
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = ch ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_crypt_material() -> tuple[bytes, bytes, bytes]:
+    """(file_key, O, U) for R2/V1 with empty user+owner passwords."""
+    okey = hashlib.md5(_PAD).digest()[:5]
+    o_val = _rc4(okey, _PAD)
+    p = (-1) & 0xFFFFFFFF
+    key = hashlib.md5(_PAD + o_val + p.to_bytes(4, "little")
+                      + _FILE_ID).digest()[:5]
+    u_val = _rc4(key, _PAD)
+    return key, o_val, u_val
+
+
+def _objkey(key: bytes, num: int) -> bytes:
+    return hashlib.md5(key + num.to_bytes(3, "little")
+                       + b"\x00\x00").digest()[:min(len(key) + 5, 16)]
 
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal valid LZW stream: CLEAR before every literal (the table
+    never grows, codes stay 9-bit) then EOD. Bloated but spec-legal —
+    decoder coverage, not compression."""
+    bits: list[int] = []
+    for b in data:
+        bits.append(256)
+        bits.append(b)
+    bits.append(257)
+    out = bytearray()
+    acc = n = 0
+    for code in bits:
+        acc = (acc << 9) | code
+        n += 9
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Literal-runs-only RunLength encoding (copy chunks of <=128)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 def make_pdf(pages: list[list[str]], *, title: str | None = None,
              author: str | None = None, subject: str | None = None,
              creator: str | None = None, compress: bool = True,
-             two_columns: bool = False) -> bytes:
+             two_columns: bool = False, encrypt: bool = False) -> bytes:
     """Build a PDF. ``pages`` is a list of pages, each a list of lines.
 
     With ``two_columns`` each page's lines are split into a left and a
     right text box emitted as two separate BT/ET blocks (content-stream
     order = left box fully, then right box — the reading-order pin).
+    With ``encrypt`` the file uses the standard security handler (R2,
+    40-bit RC4) with EMPTY user and owner passwords — streams and
+    strings are RC4-encrypted per object, the shape the reference's
+    empty-password attempt (PDFParser.java:76-99) opens transparently.
     """
     objects: list[bytes] = []
+    file_key = o_val = u_val = None
+    if encrypt:
+        file_key, o_val, u_val = _std_crypt_material()
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)  # 1-based object number
+
+    def enc_stream(payload: bytes, num: int) -> bytes:
+        return _rc4(_objkey(file_key, num), payload) if encrypt else payload
+
+    def enc_str(s: str, num: int) -> str:
+        """Literal string in plaintext builds; hex string when encrypted."""
+        if not encrypt:
+            return f"({_esc(s)})"
+        return "<" + _rc4(_objkey(file_key, num),
+                          s.encode("latin-1")).hex().upper() + ">"
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -54,14 +145,25 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
                 ops.append(f"({_esc(line)}) Tj")
         ops.append("ET")
         raw = "\n".join(ops).encode("latin-1")
-        if compress:
-            flate = zlib.compress(raw)
-            body = (b"<< /Length " + str(len(flate)).encode()
-                    + b" /Filter /FlateDecode >>\nstream\n" + flate
-                    + b"\nendstream")
+        num = len(objects) + 1  # number this stream object will get
+        # compress: True -> Flate; False -> raw; or a filter name in
+        # {"lzw", "rle", "a85"} to exercise the other decoders
+        fdecl = b""
+        if compress is True or compress == "flate":
+            payload, fdecl = zlib.compress(raw), b" /Filter /FlateDecode"
+        elif compress == "lzw":
+            payload, fdecl = _lzw_encode(raw), b" /Filter /LZWDecode"
+        elif compress == "rle":
+            payload, fdecl = _rle_encode(raw), b" /Filter /RunLengthDecode"
+        elif compress == "a85":
+            import base64
+            payload = base64.a85encode(raw) + b"~>"
+            fdecl = b" /Filter /ASCII85Decode"
         else:
-            body = (b"<< /Length " + str(len(raw)).encode()
-                    + b" >>\nstream\n" + raw + b"\nendstream")
+            payload = raw
+        payload = enc_stream(payload, num)
+        body = (b"<< /Length " + str(len(payload)).encode() + fdecl
+                + b" >>\nstream\n" + payload + b"\nendstream")
         content_nums.append(add(body))
 
     page_nums = []
@@ -79,13 +181,20 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
     assert pages_num == pages_num_placeholder
     catalog_num = add((f"<< /Type /Catalog /Pages {pages_num} 0 R >>").encode())
 
+    info_candidate = len(objects) + 1  # number Info will get if added
     info_entries = []
     for key, val in (("Title", title), ("Author", author),
                      ("Subject", subject), ("Creator", creator)):
         if val is not None:
-            info_entries.append(f"/{key} ({_esc(val)})")
+            info_entries.append(f"/{key} {enc_str(val, info_candidate)}")
     info_num = add(("<< " + " ".join(info_entries) + " >>").encode()) \
         if info_entries else None
+
+    enc_num = None
+    if encrypt:
+        enc_num = add((f"<< /Filter /Standard /V 1 /R 2 "
+                       f"/O <{o_val.hex().upper()}> "
+                       f"/U <{u_val.hex().upper()}> /P -1 >>").encode())
 
     # assemble with xref
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -102,6 +211,9 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
     trailer = f"trailer\n<< /Size {n} /Root {catalog_num} 0 R"
     if info_num:
         trailer += f" /Info {info_num} 0 R"
+    if enc_num:
+        trailer += (f" /Encrypt {enc_num} 0 R /ID [<{_FILE_ID.hex()}> "
+                    f"<{_FILE_ID.hex()}>]")
     trailer += f" >>\nstartxref\n{xref_pos}\n%%EOF\n"
     out += trailer.encode()
     return bytes(out)

@@ -19,14 +19,24 @@ Semantics mirrored from the reference's PDF chain:
   error row, never an exception (PDFParser.java:76-99 ignores decrypt
   failures).
 
-Supported filters: FlateDecode, ASCIIHexDecode, none. Text decoding:
-fonts with a /ToUnicode CMap (bfchar/bfrange, 1- or 2-byte codes) are
-decoded through it per the current Tf font; fonts without one fall
-back to a latin-1-compatible single-byte interpretation.
+Supported filters: FlateDecode, ASCIIHexDecode, ASCII85Decode,
+RunLengthDecode, LZWDecode, none. Text decoding: fonts with a
+/ToUnicode CMap (bfchar/bfrange, 1- or 2-byte codes) are decoded
+through it per the current Tf font; fonts without one fall back to a
+latin-1-compatible single-byte interpretation.
+
+Encryption: the standard security handler with an EMPTY user password
+(RC4, V<=2 / R<=3) is attempted exactly like the reference
+(PDFParser.java:76-99 tries ``""`` and degrades on failure): the key
+is derived per ISO 32000 algorithms 2/4/5, /U is verified, and
+strings + streams decrypt with the per-object RC4 key. Anything else
+(user-password protected, AES /V 4+) degrades to the metadata-only
+``encrypted`` row.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -34,6 +44,134 @@ from tika_spark.config import ExtractConfig
 from tika_spark.html.layout import safe_chars
 
 _DEFAULT = ExtractConfig()
+
+
+# --------------------------------------------------------- filters
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: <=127 = copy n+1 literal bytes; 129..255 =
+    repeat next byte 257-n times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            if i < len(data):
+                out += bytes([data[i]]) * (257 - n)
+                i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF-style LZW, MSB-first codes, 9->12 bit,
+    early-change=1): clear=256, EOD=257."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: width grows one code before the table fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+# ------------------------------------------------- empty-password RC4
+
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = ch ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_security_key(enc: dict, id0: bytes) -> bytes | None:
+    """ISO 32000 algorithm 2 with the empty user password; returns the
+    file key iff /U verifies (algorithms 4/5), else None."""
+    try:
+        v = int(enc.get("V", 0))
+        r = int(enc.get("R", 2))
+        if str(enc.get("Filter", "Standard")) != "Standard" or v > 2 \
+                or r > 3:
+            return None
+        o = enc.get("O")
+        u = enc.get("U")
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            return None
+        o, u = bytes(o), bytes(u)
+        p = int(enc.get("P", -1)) & 0xFFFFFFFF
+        nbytes = max(5, int(enc.get("Length", 40)) // 8) if v == 2 else 5
+        h = hashlib.md5()
+        h.update(_PW_PAD)
+        h.update(o[:32])
+        h.update(p.to_bytes(4, "little"))
+        h.update(id0)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:nbytes]).digest()
+        key = key[:nbytes]
+        if r == 2:
+            ok = _rc4(key, _PW_PAD) == u[:32]
+        else:
+            chk = hashlib.md5(_PW_PAD + id0).digest()
+            chk = _rc4(key, chk)
+            for step in range(1, 20):
+                chk = _rc4(bytes(b ^ step for b in key), chk)
+            ok = chk == u[:16]
+        return key if ok else None
+    except Exception:
+        return None
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    h = hashlib.md5(file_key + num.to_bytes(3, "little")
+                    + gen.to_bytes(2, "little")).digest()
+    return h[:min(len(file_key) + 5, 16)]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer\b")
@@ -234,8 +372,12 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
         self._scan_objects()
-        self._expand_object_streams()
+        # trailer before ObjStm expansion: an encrypted file's ObjStm
+        # payloads must be RC4-decrypted before their inner objects can
+        # be parsed, and the key needs /Encrypt + /ID from the trailer
         self.trailer = self._find_trailer()
+        self.decrypted = self._try_decrypt()
+        self._expand_object_streams()
 
     def _scan_objects(self):
         d = self.data
@@ -262,6 +404,47 @@ class PdfDocument:
             obj = _Lexer(obj_part).parse_object()
             # later definitions (incremental updates) win
             self.objects[num] = (obj, stream_data)
+
+    def _try_decrypt(self) -> bool:
+        """Empty-password standard-handler decrypt (PDFParser.java:76-99
+        semantics). On success every top-level object's strings and
+        stream bytes are replaced with plaintext and True is returned;
+        on failure the document stays as-is (caller emits the
+        ``encrypted`` status row)."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return False
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return False
+        ids = self.trailer.get("ID")
+        id0 = bytes(ids[0]) if isinstance(ids, list) and ids and \
+            isinstance(ids[0], bytes) else b""
+        key = _std_security_key(enc, id0)
+        if key is None:
+            return False
+        enc_num = enc_ref[0] if isinstance(enc_ref, Ref) else None
+
+        def walk(obj, okey):
+            if isinstance(obj, PdfString):
+                return PdfString(_rc4(okey, bytes(obj)))
+            if isinstance(obj, dict):
+                return {k: walk(v, okey) for k, v in obj.items()}
+            if isinstance(obj, list):
+                return [walk(v, okey) for v in obj]
+            return obj
+        for num, (obj, raw) in list(self.objects.items()):
+            if num == enc_num:
+                continue
+            okey = _object_key(key, num, 0)
+            is_xref = isinstance(obj, dict) and \
+                str(obj.get("Type", "")) == "XRef"
+            new_obj = obj if is_xref else walk(obj, okey)
+            new_raw = raw
+            if raw is not None and not is_xref:  # XRef streams are never
+                new_raw = _rc4(okey, raw)        # encrypted (ISO 32000)
+            self.objects[num] = (new_obj, new_raw)
+        return True
 
     def _expand_object_streams(self):
         """Surface objects stored inside /Type/ObjStm compressed object
@@ -352,6 +535,18 @@ class PdfDocument:
                 if len(hexs) % 2:
                     hexs += b"0"
                 data = bytes.fromhex(hexs.decode("ascii"))
+            elif fname == "ASCII85Decode":
+                try:
+                    import base64
+                    body = data.split(b"~>", 1)[0]
+                    body = re.sub(rb"\s", b"", body)
+                    data = base64.a85decode(body)
+                except Exception:
+                    return b""
+            elif fname == "RunLengthDecode":
+                data = _rle_decode(data)
+            elif fname == "LZWDecode":
+                data = _lzw_decode(data)
             else:
                 return b""  # unsupported filter: skip stream
         return data
@@ -586,8 +781,10 @@ def extract_pdf(data: bytes, url: str | None = None,
                 "links": [], "metadata": metadata, "status": "error",
                 "error": f"pdf: {e!r}"}
 
-    # encrypted? (we do not decrypt; metadata-only row like empty-pw fail)
-    encrypted = isinstance(doc.trailer.get("Encrypt"), (Ref, dict))
+    # encrypted and the empty-password attempt failed -> metadata-only
+    # row (PDFParser.java:76-99: try "" password, degrade on failure)
+    encrypted = isinstance(doc.trailer.get("Encrypt"), (Ref, dict)) \
+        and not doc.decrypted
 
     info = doc.resolve(doc.trailer.get("Info"))
     _INFO_KEYS = {"Title": "title", "Author": "Author", "Subject": "subject",
