@@ -407,12 +407,16 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_media_meta(spark, sf_dir):
+    """Multimodal decode stage over REAL image headers: per-row PNG
+    payloads whose IHDR dimensions the header-parse tier must read
+    back exactly (no deterministic fake on this path)."""
+    png = _png_udf()
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"))
+        png(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("media_type"))
     out = multimodal.decode_media(media)
-    return out.select("id", F.col("n_bytes").cast("long").alias("n_bytes"),
+    return out.select("id", "status",
                       F.col("width").cast("long").alias("width"),
                       F.col("height").cast("long").alias("height"))
 
@@ -792,11 +796,9 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY sim_micro DESC, vec_id ASC) "
             "AS rank FROM scored) WHERE rank <= 10"),
         "media_meta": (
-            "SELECT doc_id AS id, "
-            "octet_length(encode(text))::BIGINT AS n_bytes, "
-            "(16 + octet_length(encode(text)) % 624)::BIGINT AS width, "
-            "(16 + (octet_length(encode(text)) * 7) % 464)::BIGINT "
-            "AS height FROM documents"),
+            "SELECT doc_id AS id, 'ok' AS status, "
+            "(16 + doc_id % 640)::BIGINT AS width, "
+            "(16 + (doc_id * 3) % 480)::BIGINT AS height FROM documents"),
         "extract_recursive_zip": (
             "SELECT 'doc://' || doc_id || '.zip' AS url, "
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "

@@ -181,16 +181,33 @@ def test_lsh_signature_deterministic(spark, emb_df):
 
 
 def test_decode_media_plumbing(spark):
+    import struct
+    import zlib
+    ihdr = struct.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+           + struct.pack(">I", zlib.crc32(chunk)))
     df = spark.createDataFrame(
-        [(1, b"x" * 100, "image/png"), (2, b"y" * 50, "audio/wav"),
-         (3, None, "video/mp4")],
+        [(1, png, "image/png"),              # real header parse
+         (2, b"y" * 50, "audio/wav"),        # no reader -> fake tier
+         (3, None, "video/mp4"),             # empty -> fake tier
+         (4, b"x" * 100, "image/png")],      # corrupt header -> error row
         "id long, payload binary, media_type string")
     out = {r["id"]: r for r in multimodal.decode_media(df).collect()}
-    assert out[1]["width"] == 16 + 100 % 624
-    assert out[1]["duration_ms"] == 0
-    assert out[2]["duration_ms"] == 50       # audio: fake duration
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert out[1]["status"] == "ok"
+    assert out[2]["duration_ms"] == 50       # audio fake: duration = n
     assert out[3]["n_bytes"] == 0 and out[3]["status"] == "ok"
+    assert out[4]["status"] == "error"
     assert multimodal.MEDIA_META_SCHEMA.startswith("id long")
+
+
+def test_mp3_duration_estimate():
+    # MPEG1 Layer III, 128kbps header: FF FB 90 00; 16000 bytes -> 1s
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 15996
+    assert multimodal._mp3_duration_ms(frame) == 1000
+    assert multimodal.header_decode(frame, "audio/mpeg")[
+        "duration_ms"] == 1000
 
 
 def test_real_decode_is_stubbed():

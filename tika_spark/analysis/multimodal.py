@@ -5,16 +5,25 @@ Images/audio/video ride the same pages table as HTML does — an opaque
 ``mapInPandas`` stages exactly like the extraction job (one Arrow pass,
 binary never re-shuffled, errors become status rows).
 
-The actual codec work (PIL/ffmpeg-class decode) is NOT available in
-this environment; ``decode_payload`` is therefore a deterministic fake
-keyed only on payload bytes (documented below), and ``real_decode`` is
-the clearly-marked integration point that raises NotImplementedError.
-Everything Spark-side — schema, batching, partitioning, UDF signature,
-error rows — is real and tested.
+Decode tiers:
+
+1. **Header parse (real).** Image dimensions come from the same
+   from-scratch header readers the media parser uses
+   (tika_spark.media: PNG/GIF/BMP/JPEG/TIFF/PSD/WebP/ICO); MP3
+   duration is estimated from the first MPEG frame header's bitrate.
+   No codec library needed — this tier runs everywhere.
+2. **Full decode (integration point).** Pixel/PCM access
+   (PIL/soundfile/pyav-class work) is NOT available in this
+   container; ``real_decode`` is the clearly-marked hook that raises
+   NotImplementedError until a codec lands.
+3. **Deterministic fake.** Payloads whose type has no header reader
+   (e.g. the synthetic ``image/fake``) fall back to metadata derived
+   from payload length, so tests/oracles can pin values.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,18 +33,58 @@ MEDIA_META_SCHEMA = ("id long, media_type string, n_bytes long, "
                      "width int, height int, duration_ms int, "
                      "status string")
 
+# MPEG1 Layer III bitrate table (kbps), index 1-14 (header bits 12-15)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320)
+
 
 def real_decode(payload: bytes, media_type: str):
     """Integration point for a real codec (PIL.Image.open /
     soundfile / pyav). Not available in this container."""
     raise NotImplementedError(
         "codec libraries are not installed in this environment; "
-        "decode_payload uses the deterministic fake below")
+        "decode_media uses the header-parse tier below")
+
+
+def _mp3_duration_ms(payload: bytes) -> int:
+    """Duration estimate from the first MPEG frame header (CBR
+    assumption): bytes * 8 / bitrate."""
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        i = 10 + size
+    if i + 4 > len(payload):
+        return 0
+    (hdr,) = struct.unpack_from(">I", payload, i)
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return 0
+    bitrate = _MP3_BITRATES[(hdr >> 12) & 0xF] * 1000
+    if not bitrate:
+        return 0
+    return int((len(payload) - i) * 8 * 1000 / bitrate)
+
+
+def header_decode(payload: bytes, media_type: str) -> dict | None:
+    """Tier-1 real header parse; None when the type has no reader."""
+    from tika_spark.media import _BY_MIME
+    fn = _BY_MIME.get(media_type)
+    if fn is not None:
+        dims = fn(payload)
+        if dims is None:
+            raise ValueError(f"corrupt {media_type} header")
+        return {"n_bytes": len(payload), "width": int(dims[0]),
+                "height": int(dims[1]), "duration_ms": 0}
+    if media_type == "audio/mpeg":
+        return {"n_bytes": len(payload), "width": 0, "height": 0,
+                "duration_ms": _mp3_duration_ms(payload)}
+    return None
 
 
 def fake_decode(payload: bytes, media_type: str) -> dict:
-    """Deterministic stand-in for decode: metadata derived purely from
-    payload length + first bytes, so tests/oracles can pin it.
+    """Deterministic stand-in for types without a header reader:
+    metadata derived purely from payload length, so tests/oracles can
+    pin it.
 
     width  = 16 + n % 624        height = 16 + (n * 7) % 464
     duration_ms = n (audio/video) else 0
@@ -48,6 +97,13 @@ def fake_decode(payload: bytes, media_type: str) -> dict:
         "duration_ms": n if media_type.split("/")[0] in
         ("audio", "video") else 0,
     }
+
+
+def decode_payload(payload: bytes, media_type: str) -> dict:
+    meta = header_decode(payload, media_type)
+    if meta is None:
+        meta = fake_decode(payload, media_type)
+    return meta
 
 
 def decode_media(df: DataFrame, id_col: str = "id",
@@ -68,7 +124,7 @@ def decode_media(df: DataFrame, id_col: str = "id",
             for i, payload, mt in zip(pdf[id_col], pdf[payload_col],
                                       pdf[type_col]):
                 try:
-                    meta = fake_decode(bytes(payload or b""), mt or "")
+                    meta = decode_payload(bytes(payload or b""), mt or "")
                     rows.append({"id": i, "media_type": mt,
                                  **meta, "status": "ok"})
                 except Exception:
