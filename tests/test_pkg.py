@@ -338,3 +338,103 @@ def test_ar_cpio_through_recursion(spark):
            extract_recursive(df, mode="text").collect()}
     assert out["u://x.a!/page.html"]["text"] == "ar inner\n"
     assert out["u://y.cpio!/note.txt"]["text"] == "cpio note\n"
+
+
+# ----------------------------------------- E8/E9 widened type family
+
+
+def _ooxml_zip(ct_main: str, main_part: str, payload: bytes) -> bytes:
+    ct = (b'<Types xmlns="http://schemas.openxmlformats.org/package/'
+          b'2006/content-types"><Override PartName="/' +
+          main_part.encode() + b'" ContentType="' + ct_main.encode()
+          + b'"/></Types>')
+    return make_zip({"[Content_Types].xml": ct, main_part: payload})
+
+
+_W_DOC = (b'<w:document xmlns:w="http://schemas.openxmlformats.org/'
+          b'wordprocessingml/2006/main"><w:body>'
+          b"<w:p><w:r><w:t>Template body</w:t></w:r></w:p>"
+          b"</w:body></w:document>")
+
+
+@pytest.mark.parametrize("ct,want", [
+    ("application/vnd.openxmlformats-officedocument.wordprocessingml"
+     ".template.main+xml",
+     "application/vnd.openxmlformats-officedocument.wordprocessingml"
+     ".template"),
+    ("application/vnd.ms-word.document.macroEnabled.main+xml",
+     "application/vnd.ms-word.document.macroenabled.12"),
+    ("application/vnd.ms-word.template.macroEnabledTemplate.main+xml",
+     "application/vnd.ms-word.template.macroenabled.12"),
+])
+def test_ooxml_word_variants_detect_and_parse(ct, want):
+    z = _ooxml_zip(ct, "word/document.xml", _W_DOC)
+    assert detect(z) == want
+    r = extract_ooxml(z, mime=want)
+    assert r["text"] == "Template body\n"
+
+
+def test_ooxml_excel_macro_variant():
+    sheet = (b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+             b'spreadsheetml/2006/main"><sheetData><row>'
+             b'<c t="inlineStr"><is><t>cellval</t></is></c>'
+             b"</row></sheetData></worksheet>")
+    z = make_zip({
+        "[Content_Types].xml":
+            b'<Types><Override PartName="/xl/workbook.xml" ContentType='
+            b'"application/vnd.ms-excel.sheet.macroEnabled.main+xml"/>'
+            b"</Types>",
+        "xl/workbook.xml": b"<workbook/>",
+        "xl/worksheets/sheet1.xml": sheet,
+    })
+    want = "application/vnd.ms-excel.sheet.macroenabled.12"
+    assert detect(z) == want
+    assert extract_ooxml(z, mime=want)["text"] == "cellval\n"
+
+
+def test_ooxml_slideshow_variant():
+    slide = (b'<p:sld xmlns:a="http://schemas.openxmlformats.org/'
+             b'drawingml/2006/main" xmlns:p="x"><a:t>Slide text</a:t>'
+             b"</p:sld>")
+    z = make_zip({
+        "[Content_Types].xml":
+            b'<Types><Override PartName="/ppt/presentation.xml" '
+            b'ContentType="application/vnd.openxmlformats-'
+            b'officedocument.presentationml.slideshow.main+xml"/>'
+            b"</Types>",
+        "ppt/presentation.xml": b"<p/>",
+        "ppt/slides/slide1.xml": slide,
+    })
+    want = ("application/vnd.openxmlformats-officedocument"
+            ".presentationml.slideshow")
+    assert detect(z) == want
+    assert extract_ooxml(z, mime=want)["text"] == "Slide text\n"
+
+
+def test_odf_graphics_and_templates_detect():
+    for t in ("graphics", "text-template", "presentation-template"):
+        mime = "application/vnd.oasis.opendocument." + t
+        z = make_zip({"mimetype": mime.encode(),
+                      "content.xml":
+                      b'<office:document-content xmlns:office='
+                      b'"urn:oasis:names:tc:opendocument:xmlns:office:'
+                      b'1.0" xmlns:text="urn:oasis:names:tc:'
+                      b'opendocument:xmlns:text:1.0"><office:body>'
+                      b"<text:p>odf body</text:p></office:body>"
+                      b"</office:document-content>"})
+        assert detect(z) == mime
+        assert extract_odf(z, mime=mime)["text"] == "odf body\n"
+        from tika_spark.pipeline.stages import route_for_mime
+        assert route_for_mime(mime) == "odf"
+
+
+def test_widened_office_globs():
+    from tika_spark.mime import globs
+    assert globs.match_name("u://a.dotx").endswith(
+        "wordprocessingml.template")
+    assert globs.match_name("u://a.xlsm") == \
+        "application/vnd.ms-excel.sheet.macroenabled.12"
+    assert globs.match_name("u://a.ppsx").endswith(
+        "presentationml.slideshow")
+    assert globs.match_name("u://a.odg") == \
+        "application/vnd.oasis.opendocument.graphics"

@@ -46,6 +46,34 @@ EXT_MAP: dict[str, str] = {
     "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
     "pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+    "odg": "application/vnd.oasis.opendocument.graphics",
+    "odc": "application/vnd.oasis.opendocument.chart",
+    "odf": "application/vnd.oasis.opendocument.formula",
+    "odi": "application/vnd.oasis.opendocument.image",
+    "odm": "application/vnd.oasis.opendocument.text-master",
+    "ott": "application/vnd.oasis.opendocument.text-template",
+    "ots": "application/vnd.oasis.opendocument.spreadsheet-template",
+    "otp": "application/vnd.oasis.opendocument.presentation-template",
+    "otg": "application/vnd.oasis.opendocument.graphics-template",
+    "dotx": "application/vnd.openxmlformats-officedocument"
+            ".wordprocessingml.template",
+    "docm": "application/vnd.ms-word.document.macroenabled.12",
+    "dotm": "application/vnd.ms-word.template.macroenabled.12",
+    "xltx": "application/vnd.openxmlformats-officedocument"
+            ".spreadsheetml.template",
+    "xlsm": "application/vnd.ms-excel.sheet.macroenabled.12",
+    "xltm": "application/vnd.ms-excel.template.macroenabled.12",
+    "xlam": "application/vnd.ms-excel.addin.macroenabled.12",
+    "ppsx": "application/vnd.openxmlformats-officedocument"
+            ".presentationml.slideshow",
+    "potx": "application/vnd.openxmlformats-officedocument"
+            ".presentationml.template",
+    "pptm": "application/vnd.ms-powerpoint.presentation.macroenabled.12",
+    "ppsm": "application/vnd.ms-powerpoint.slideshow.macroenabled.12",
+    "potm": "application/vnd.ms-powerpoint.template.macroenabled.12",
+    "ppam": "application/vnd.ms-powerpoint.addin.macroenabled.12",
     "epub": "application/epub+zip",
     "mp3": "audio/mpeg", "mp4": "video/mp4", "wav": "audio/x-wav",
     "eml": "message/rfc822", "mbox": "application/mbox",

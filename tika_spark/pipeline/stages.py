@@ -103,15 +103,38 @@ ROUTE_TABLE = {
     "application/x-cpio": "pkg",
     # zip-based document formats (E8-E10), specific types from the
     # container refinement (B8) — matched before the zip supertype
-    "application/vnd.openxmlformats-officedocument"
-    ".wordprocessingml.document": "ooxml",
-    "application/vnd.openxmlformats-officedocument"
-    ".spreadsheetml.sheet": "ooxml",
-    "application/vnd.openxmlformats-officedocument"
-    ".presentationml.presentation": "ooxml",
-    "application/vnd.oasis.opendocument.text": "odf",
-    "application/vnd.oasis.opendocument.spreadsheet": "odf",
-    "application/vnd.oasis.opendocument.presentation": "odf",
+    # the full 16-type OOXML family (OOXMLParser.java:44-60)
+    **{t: "ooxml" for t in (
+        "application/vnd.openxmlformats-officedocument."
+        "wordprocessingml.document",
+        "application/vnd.openxmlformats-officedocument."
+        "wordprocessingml.template",
+        "application/vnd.ms-word.document.macroenabled.12",
+        "application/vnd.ms-word.template.macroenabled.12",
+        "application/vnd.openxmlformats-officedocument."
+        "spreadsheetml.sheet",
+        "application/vnd.openxmlformats-officedocument."
+        "spreadsheetml.template",
+        "application/vnd.ms-excel.sheet.macroenabled.12",
+        "application/vnd.ms-excel.template.macroenabled.12",
+        "application/vnd.ms-excel.addin.macroenabled.12",
+        "application/vnd.openxmlformats-officedocument."
+        "presentationml.presentation",
+        "application/vnd.openxmlformats-officedocument."
+        "presentationml.slideshow",
+        "application/vnd.openxmlformats-officedocument."
+        "presentationml.template",
+        "application/vnd.ms-powerpoint.presentation.macroenabled.12",
+        "application/vnd.ms-powerpoint.slideshow.macroenabled.12",
+        "application/vnd.ms-powerpoint.template.macroenabled.12",
+        "application/vnd.ms-powerpoint.addin.macroenabled.12")},
+    # the ODF family (OpenDocumentParser.java:46-79)
+    **{"application/vnd.oasis.opendocument." + t: "odf" for t in (
+        "text", "spreadsheet", "presentation", "graphics", "chart",
+        "formula", "image", "text-master", "text-web",
+        "text-template", "spreadsheet-template",
+        "presentation-template", "graphics-template",
+        "chart-template", "formula-template", "image-template")},
     "application/epub+zip": "epub",
     # OLE2 binary Office (E7) — specific types from the OLE2 container
     # refinement (B8); the generic supertype catches unknown layouts

@@ -6,8 +6,11 @@ says ``application/zip``, look *inside* the central directory to pick
 the specific type —
 
 - a ``mimetype`` entry (ODF / EPUB convention) names the type directly;
-- ``[Content_Types].xml`` plus a ``word/`` / ``xl/`` / ``ppt/`` payload
-  directory identifies the OOXML family;
+- ``[Content_Types].xml`` names the OOXML flavor: its main-part
+  ContentType override distinguishes the full 16-type family
+  (document/template/macro-enabled for word, sheet/template/addin/
+  binary for excel, presentation/slideshow/template/addin for
+  powerpoint — OOXMLParser.java:44-60's SUPPORTED_TYPES);
 - otherwise it stays a plain zip.
 
 OLE2 (doc/xls/ppt/msg) refinement lives in
@@ -22,28 +25,69 @@ directory + the two probe entries, never every member).
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 
-# mimetype-entry values we recognize directly (ODF family + EPUB)
-_MIMETYPE_ENTRY_TYPES = frozenset((
-    "application/epub+zip",
-    "application/vnd.oasis.opendocument.text",
-    "application/vnd.oasis.opendocument.spreadsheet",
-    "application/vnd.oasis.opendocument.presentation",
-    "application/vnd.oasis.opendocument.graphics",
-    "application/vnd.oasis.opendocument.text-template",
-    "application/vnd.oasis.opendocument.spreadsheet-template",
-    "application/vnd.oasis.opendocument.presentation-template",
-))
+# mimetype-entry values we recognize directly (ODF family + EPUB,
+# OpenDocumentParser.java:46-79's supported set)
+_MIMETYPE_ENTRY_TYPES = frozenset(
+    ["application/epub+zip"]
+    + ["application/vnd.oasis.opendocument." + t for t in (
+        "text", "spreadsheet", "presentation", "graphics", "chart",
+        "formula", "image", "text-master", "text-web",
+        "text-template", "spreadsheet-template",
+        "presentation-template", "graphics-template",
+        "chart-template", "formula-template", "image-template")]
+    + ["application/vnd.sun.xml." + t for t in (
+        "writer", "calc", "impress", "draw")])
 
+# OOXML main-part ContentType -> document media type
+# (the full OOXMLParser.java:44-60 family)
+_OOXML = "application/vnd.openxmlformats-officedocument."
+_OOXML_MAIN_PART_TYPES = {
+    _OOXML + "wordprocessingml.document.main+xml":
+        _OOXML + "wordprocessingml.document",
+    _OOXML + "wordprocessingml.template.main+xml":
+        _OOXML + "wordprocessingml.template",
+    "application/vnd.ms-word.document.macroEnabled.main+xml":
+        "application/vnd.ms-word.document.macroenabled.12",
+    "application/vnd.ms-word.template.macroEnabledTemplate.main+xml":
+        "application/vnd.ms-word.template.macroenabled.12",
+    _OOXML + "spreadsheetml.sheet.main+xml":
+        _OOXML + "spreadsheetml.sheet",
+    _OOXML + "spreadsheetml.template.main+xml":
+        _OOXML + "spreadsheetml.template",
+    "application/vnd.ms-excel.sheet.macroEnabled.main+xml":
+        "application/vnd.ms-excel.sheet.macroenabled.12",
+    "application/vnd.ms-excel.template.macroEnabled.main+xml":
+        "application/vnd.ms-excel.template.macroenabled.12",
+    "application/vnd.ms-excel.addin.macroEnabled.main+xml":
+        "application/vnd.ms-excel.addin.macroenabled.12",
+    _OOXML + "presentationml.presentation.main+xml":
+        _OOXML + "presentationml.presentation",
+    _OOXML + "presentationml.slideshow.main+xml":
+        _OOXML + "presentationml.slideshow",
+    _OOXML + "presentationml.template.main+xml":
+        _OOXML + "presentationml.template",
+    "application/vnd.ms-powerpoint.presentation.macroEnabled.main+xml":
+        "application/vnd.ms-powerpoint.presentation.macroenabled.12",
+    "application/vnd.ms-powerpoint.slideshow.macroEnabled.main+xml":
+        "application/vnd.ms-powerpoint.slideshow.macroenabled.12",
+    "application/vnd.ms-powerpoint.template.macroEnabled.main+xml":
+        "application/vnd.ms-powerpoint.template.macroenabled.12",
+    "application/vnd.ms-powerpoint.addin.macroEnabled.main+xml":
+        "application/vnd.ms-powerpoint.addin.macroenabled.12",
+}
+
+# directory-probe fallback when [Content_Types].xml is unreadable
 _OOXML_BY_DIR = (
-    ("word/", "application/vnd.openxmlformats-officedocument"
-              ".wordprocessingml.document"),
-    ("xl/", "application/vnd.openxmlformats-officedocument"
-            ".spreadsheetml.sheet"),
-    ("ppt/", "application/vnd.openxmlformats-officedocument"
-             ".presentationml.presentation"),
+    ("word/", _OOXML + "wordprocessingml.document"),
+    ("xl/", _OOXML + "spreadsheetml.sheet"),
+    ("ppt/", _OOXML + "presentationml.presentation"),
 )
+
+_CT_OVERRIDE_RE = re.compile(
+    rb'ContentType="([^"]+\.main\+xml)"')
 
 
 def refine_container(data: bytes, detected: str) -> str:
@@ -60,6 +104,12 @@ def refine_container(data: bytes, detected: str) -> str:
                 if declared in _MIMETYPE_ENTRY_TYPES:
                     return declared
             if "[Content_Types].xml" in names:
+                raw = zf.read("[Content_Types].xml")[:65536]
+                for m in _CT_OVERRIDE_RE.finditer(raw):
+                    ct = m.group(1).decode("ascii", "replace")
+                    hit = _OOXML_MAIN_PART_TYPES.get(ct)
+                    if hit:
+                        return hit
                 for prefix, mime in _OOXML_BY_DIR:
                     if any(n.startswith(prefix) for n in names):
                         return mime

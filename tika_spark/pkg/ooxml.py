@@ -123,10 +123,14 @@ def extract_ooxml(data: bytes, url: str | None = None,
     data = bytes(data or b"")
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         metadata = _core_metadata(zf)
-        if "wordprocessingml" in mime or "word/document.xml" in \
-                zf.namelist():
+        # family dispatch covers the macro-enabled/template variants
+        # too (vnd.ms-word.* / vnd.ms-excel.* / vnd.ms-powerpoint.*,
+        # OOXMLParser.java:44-60) — same part names, same extraction
+        if "wordprocessingml" in mime or "ms-word" in mime \
+                or "word/document.xml" in zf.namelist():
             text = _docx_text(zf)
-        elif "spreadsheetml" in mime or "xl/workbook.xml" in zf.namelist():
+        elif "spreadsheetml" in mime or "ms-excel" in mime \
+                or "xl/workbook.xml" in zf.namelist():
             text = _xlsx_text(zf)
         else:
             text = _pptx_text(zf)
