@@ -74,6 +74,14 @@ class LanguageIdentifierModel:
                 P[li, self.vocab_index[g]] = c / total
         self.P = P
         self.P_sq = (P * P).sum(axis=1)  # per-language sum of squared freqs
+        # packed int64 keys of the vocab, for the batch path: each gram
+        # is exactly 3 codepoints, and (c0<<42)|(c1<<21)|c2 sorts
+        # identically to the string sort used for vocab above
+        keys = np.frombuffer("".join(vocab).encode("utf-32-le"),
+                             dtype=np.uint32).astype(np.int64).reshape(-1, 3)
+        self.vocab_keys = (keys[:, 0] << 42) | (keys[:, 1] << 21) \
+            | keys[:, 2]
+        self.P_by_key = P.T.copy()  # V x L, rows aligned with vocab_keys
 
     def identify(self, text: str, max_chars: int | None = 50_000
                  ) -> tuple[str, float]:
@@ -112,13 +120,93 @@ class LanguageIdentifierModel:
 
     def identify_batch(self, texts: pd.Series,
                        max_chars: int | None = 50_000) -> pd.DataFrame:
-        """Vectorized batch scoring -> DataFrame(lang, lang_distance)."""
-        langs, dists = [], []
-        for t in texts.fillna(""):
-            lang, d = self.identify(t, max_chars)
-            langs.append(lang)
-            dists.append(d)
-        return pd.DataFrame({"lang": langs, "lang_distance": dists},
+        """Whole-batch scoring: ONE numpy pass over every document's
+        3-grams at once (no per-document numpy calls).
+
+        The batch's padded words are concatenated into a single string
+        (words joined by ``_NUL_``, documents by ``NUL NUL``); a strided
+        view yields every 3-char window, windows containing NUL are
+        dropped — exactly the per-word ``_w_`` windows of
+        ``profile_text``. Distances use the algebraic identity
+        dist^2 = P_sq + sum_all f^2 - 2 * sum_known f*p, evaluated with
+        segment reductions over the doc-sorted (doc, gram) pairs.
+        """
+        n = len(texts)
+        out_lang = np.full(n, "unknown", dtype=object)
+        out_dist = np.ones(n, dtype=np.float64)
+        pieces: list[str] = []
+        starts = np.zeros(n + 1, dtype=np.int64)
+        pos = 0
+        for di, t in enumerate(texts.fillna("")):
+            if max_chars:
+                t = t[:max_chars]
+            words = _WORD_RE.findall(t.lower())
+            piece = ("_" + "_\x00_".join(words) + "_") if words else ""
+            pieces.append(piece)
+            starts[di] = pos
+            pos += len(piece) + 2  # + the doc separator NUL NUL
+        starts[n] = pos
+        big = "\x00\x00".join(pieces)
+        if not big.strip("\x00"):
+            return pd.DataFrame({"lang": out_lang,
+                                 "lang_distance": out_dist},
+                                index=texts.index)
+        codes = np.frombuffer(big.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
+        valid = (c0 != 0) & (c1 != 0) & (c2 != 0)
+        gram_pos = np.nonzero(valid)[0]
+        if not len(gram_pos):
+            return pd.DataFrame({"lang": out_lang,
+                                 "lang_distance": out_dist},
+                                index=texts.index)
+        k = (c0[gram_pos] << 42) | (c1[gram_pos] << 21) | c2[gram_pos]
+        doc = np.searchsorted(starts, gram_pos, side="right") - 1
+
+        # distinct (doc, gram) pairs + multiplicities via one sort
+        order = np.lexsort((k, doc))
+        doc_s, k_s = doc[order], k[order]
+        new = np.empty(len(k_s), dtype=bool)
+        new[0] = True
+        new[1:] = (doc_s[1:] != doc_s[:-1]) | (k_s[1:] != k_s[:-1])
+        bounds = np.nonzero(new)[0]
+        pair_doc = doc_s[bounds]
+        pair_k = k_s[bounds]
+        pair_cnt = np.diff(np.append(bounds, len(k_s))).astype(np.float64)
+
+        totals = np.bincount(doc, minlength=n).astype(np.float64)
+        totals = np.maximum(totals, 1.0)
+        f = pair_cnt / totals[pair_doc]
+        f2_by_doc = np.bincount(pair_doc, weights=f * f, minlength=n)
+
+        idx = np.searchsorted(self.vocab_keys, pair_k)
+        idx[idx >= len(self.vocab_keys)] = 0
+        known = self.vocab_keys[idx] == pair_k
+        L = len(self.languages)
+        S = np.zeros((n, L), dtype=np.float64)
+        if known.any():
+            # one 1-D bincount per language instead of a K x L
+            # intermediate: the small arrays stay cache-resident (the
+            # K x L gather+mul form was memory-bandwidth-bound)
+            kd = pair_doc[known]
+            fk = f[known]
+            ik = idx[known]
+            for li in range(L):
+                S[:, li] = np.bincount(
+                    kd, weights=fk * self.P_by_key[ik, li], minlength=n)
+
+        has_grams = totals > 0
+        d2 = self.P_sq[None, :] + f2_by_doc[:, None] - 2.0 * S
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        best = dist.argmin(axis=1)
+        best_d = dist[np.arange(n), best]
+        scored = has_grams & (np.bincount(pair_doc, minlength=n) > 0)
+        langs_arr = np.array(self.languages, dtype=object)
+        hit = scored & (best_d < 1.0)
+        out_lang[hit] = langs_arr[best[hit]]
+        out_dist[hit] = best_d[hit]
+        out_dist[scored & ~hit] = np.minimum(best_d[scored & ~hit], 1.0)
+        return pd.DataFrame({"lang": out_lang, "lang_distance": out_dist},
                             index=texts.index)
 
 

@@ -146,14 +146,20 @@ def detect(data: bytes | None, url: str | None = None,
 
     if mime == "application/zip":
         # container-aware refinement (B8): peek at the zip central
-        # directory for OOXML/ODF/EPUB signatures (ZipContainerDetector)
+        # directory for OOXML/ODF/EPUB signatures (ZipContainerDetector).
+        # Avoid copying multi-MB archives: pass the payload through
+        # as-is when it is already bytes (zipfile needs the whole
+        # buffer for end-of-file central-directory seeks, but not a
+        # private copy of it).
         from tika_spark.pkg.container import refine_container
-        mime = refine_container(bytes(data or b""), mime)
+        payload = data if isinstance(data, bytes) else bytes(data or b"")
+        mime = refine_container(payload, mime)
     elif mime == "application/x-tika-msoffice":
         # OLE2 refinement (B8, POIFSContainerDetector): directory entry
         # names pick doc/xls/ppt/msg/visio/publisher
         from tika_spark.ole.parser import refine_ole2
-        mime = refine_ole2(bytes(data or b""))
+        payload = data if isinstance(data, bytes) else bytes(data or b"")
+        mime = refine_ole2(payload)
     return mime
 
 
