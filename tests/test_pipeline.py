@@ -185,3 +185,48 @@ class TestRecursiveRunner:
                                .alias("url")).distinct())
         missing = parents.join(got.select("url"), "url", "left_anti")
         assert missing.count() == 0
+
+
+@pytest.mark.usefixtures("spark")
+class TestCliModes:
+    """H4: the -l (language) and -y (XMP) output modes."""
+
+    def _pages(self, spark):
+        from tika_spark.language.corpus import SEED_TEXT
+        html = ("<html><head><title>T1</title>"
+                '<meta name="author" content="A1"/></head><body><p>'
+                + SEED_TEXT["de"] + "</p></body></html>").encode()
+        return spark.createDataFrame([("http://x/a.html", html)],
+                                     "url string, html binary")
+
+    def test_language_mode(self, spark):
+        from tika_spark.pipeline.job import extract
+        row = extract(self._pages(spark), mode="language").collect()[0]
+        assert row["text"] == "de"
+        assert row["lang"] == "de"
+        assert row["spans"] == []
+
+    def test_xmp_mode(self, spark):
+        from tika_spark.pipeline.job import extract
+        row = extract(self._pages(spark), mode="xmp").collect()[0]
+        assert row["text"].startswith("<?xpacket")
+        assert "<tika:title>T1</tika:title>" in row["text"]
+        assert "<tika:author>A1</tika:author>" in row["text"]
+        assert row["text"].endswith('<?xpacket end="w"?>')
+
+    def test_xmp_multivalue_and_escaping(self):
+        from tika_spark.pipeline.stages import xmp_serialize
+        got = xmp_serialize({"k": ["a<b", "c&d"], "1bad key!": ["v"]})
+        assert "<rdf:li>a&lt;b</rdf:li><rdf:li>c&amp;d</rdf:li>" in got
+        assert "<tika:_1bad_key_>v</tika:_1bad_key_>" in got
+
+
+def test_fictionbook_routes_to_xml():
+    from tika_spark.mime.detector import detect
+    from tika_spark.pipeline.stages import route_for_mime
+    fb = (b'<?xml version="1.0"?><FictionBook xmlns="http://www.'
+          b'gribuser.ru/xml/fictionbook/2.0"><body><p>story text</p>'
+          b"</body></FictionBook>")
+    mime = detect(fb)
+    assert mime == "application/x-fictionbook+xml"
+    assert route_for_mime(mime) == "xml"

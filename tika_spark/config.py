@@ -47,6 +47,8 @@ class ExtractConfig:
 
     # 'text' (-t) | 'text-main' (-T) | 'metadata' (-m) | 'xhtml' (-x)
     # | 'detect' (-d, type census only — no parse, no language id)
+    # | 'language' (-l, identified language as the output text)
+    # | 'xmp' (-y, metadata map serialized as an XMP packet)
     mode: str = "text"
     # 0 = unlimited (the CLI -t/-T modes); WRITE_LIMIT mirrors the
     # parseToString facade default for callers who want it

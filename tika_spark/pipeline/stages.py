@@ -50,6 +50,7 @@ ROUTE_TABLE = {
     "application/xml": "xml",
     "image/svg+xml": "xml",
     "application/rdf+xml": "xml",
+    "application/x-fictionbook+xml": "xml",
     "text/plain": "txt",
     "application/rtf": "rtf",
     "message/rfc822": "rfc822",
@@ -184,6 +185,35 @@ EXTRACT_SCHEMA = (
 OUTPUT_COLUMNS = [f.split()[0] for f in EXTRACT_SCHEMA.split(", ")]
 
 
+def xmp_serialize(metadata: dict[str, list[str]]) -> str:
+    """Deterministic minimal XMP packet for the -y CLI mode
+    (TikaCLI.java:147-246's XMP output semantic): one property per
+    metadata key under a tika: namespace, multi-valued keys as
+    rdf:Bag, keys sorted for hash stability."""
+    import re as _re
+    from xml.sax.saxutils import escape
+    parts = ['<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>',
+             '<x:xmpmeta xmlns:x="adobe:ns:meta/">',
+             '<rdf:RDF xmlns:rdf='
+             '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+             '<rdf:Description rdf:about="" '
+             'xmlns:tika="http://tika.apache.org/">']
+    for key in sorted(metadata or {}):
+        vals = [v for v in metadata[key] if v is not None]
+        tag = _re.sub(r"[^\w.-]", "_", str(key)) or "_"
+        if tag[0].isdigit():
+            tag = "_" + tag
+        if len(vals) == 1:
+            parts.append(f"<tika:{tag}>{escape(vals[0])}</tika:{tag}>")
+        elif vals:
+            items = "".join(f"<rdf:li>{escape(v)}</rdf:li>" for v in vals)
+            parts.append(f"<tika:{tag}><rdf:Bag>{items}</rdf:Bag>"
+                         f"</tika:{tag}>")
+    parts.append("</rdf:Description></rdf:RDF></x:xmpmeta>")
+    parts.append('<?xpacket end="w"?>')
+    return "".join(parts)
+
+
 def route_for_mime(mime: str) -> str | None:
     for t in lattice.supertype_chain(mime):
         r = ROUTE_TABLE.get(t)
@@ -274,17 +304,31 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
                 r = results[k]
                 r["text"] = xhtml_wrap_text(r["text"], r.get("title"))
                 r["spans"] = []
+    elif config.mode == "xmp":
+        # -y CLI mode (TikaCLI.java:147-246): the metadata map as an
+        # XMP packet in the text column
+        for k in range(n):
+            r = results[k]
+            r["text"] = xmp_serialize(r.get("metadata", {}))
+            r["spans"] = []
 
     texts = pd.Series([r["text"] for r in results], index=pdf.index)
 
     langs = [None] * n
     dists = [None] * n
-    if config.identify_language:
+    if config.identify_language or config.mode == "language":
         from tika_spark.language import default_model
         model = default_model()
         ident = model.identify_batch(texts)
         langs = ident["lang"].tolist()
         dists = ident["lang_distance"].tolist()
+
+    if config.mode == "language":
+        # -l CLI mode: the identified language IS the output text
+        texts = pd.Series([lg or "unknown" for lg in langs],
+                          index=pdf.index)
+        for r in results:
+            r["spans"] = []
 
     batch_ms = (time.perf_counter() - t0) * 1000.0
     out = pd.DataFrame({
