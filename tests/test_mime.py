@@ -73,6 +73,10 @@ class TestMagic:
         (b"MZ\x90\x00\x03\x00", "application/x-msdownload"),
         (b"\x7fELF\x02\x01\x01\x00", "application/x-elf"),
         (b"PAR1\x15\x04\x19", "application/x-parquet"),
+        (b"AC1015junkheader", "image/vnd.dwg"),
+        (b"CDF\x01\x00\x00\x00", "application/x-netcdf"),
+        (b"\x89HDF\r\n\x1a\n\x00", "application/x-hdf"),
+        (b"\x78\x9f\x3e\x22\x01\x00", "application/vnd.ms-tnef"),
     ]
 
     @pytest.mark.parametrize("payload,want", WIDE,

@@ -15,6 +15,7 @@ from urllib.parse import unquote
 # literal-name tier (freedesktop precedence tier 1)
 NAME_MAP: dict[str, str] = {
     "makefile": "text/x-makefile",
+    "winmail.dat": "application/vnd.ms-tnef",
 }
 
 # suffix tier: extension (lowercase, no dot) -> media type
@@ -99,6 +100,10 @@ EXT_MAP: dict[str, str] = {
     "msi": "application/x-msdownload",
     "so": "application/x-elf",
     "parquet": "application/x-parquet",
+    "dwg": "image/vnd.dwg", "nc": "application/x-netcdf",
+    "cdf": "application/x-netcdf",
+    "hdf": "application/x-hdf", "h5": "application/x-hdf",
+    "hdf5": "application/x-hdf",
 }
 
 

@@ -158,6 +158,18 @@ MAGIC_RULES: list[MagicRule] = [
     _m("application/x-elf", 20, Clause(0, 0, b"\x7fELF")),
     # columnar-data files a training pipeline meets on disk
     _m("application/x-parquet", 50, Clause(0, 0, b"PAR1")),
+    # scientific/CAD/mail-wrapper formats the reference names
+    # (dwg/DWGParser.java, hdf/netcdf parsers, mail TNEF)
+    _m("image/vnd.dwg", 50,
+       Clause(0, 0, b"AC1014"), Clause(0, 0, b"AC1015"),
+       Clause(0, 0, b"AC1018"), Clause(0, 0, b"AC1021"),
+       Clause(0, 0, b"AC1024"), Clause(0, 0, b"AC1012")),
+    _m("application/x-netcdf", 50, Clause(0, 0, b"CDF\x01"),
+       Clause(0, 0, b"CDF\x02")),
+    _m("application/x-hdf", 50, Clause(0, 0, b"\x89HDF\r\n\x1a\n"),
+       Clause(0, 0, b"\x0e\x03\x13\x01")),
+    _m("application/vnd.ms-tnef", 50,
+       Clause(0, 0, b"\x78\x9f\x3e\x22")),
 ]
 
 # Pre-sort once: priority desc, then longest first-clause pattern desc —

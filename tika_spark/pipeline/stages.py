@@ -95,6 +95,10 @@ ROUTE_TABLE = {
     "application/x-msdownload": "media",
     "application/x-elf": "media",
     "application/x-parquet": "media",
+    "image/vnd.dwg": "media",
+    "application/x-netcdf": "media",
+    "application/x-hdf": "media",
+    "application/vnd.ms-tnef": "media",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
     "application/x-gzip": "pkg",
