@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf resolves string hints
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -110,13 +111,49 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
 def lsh_signature(vec: Column, dim: int, n_planes: int = 16,
                   seed: int = 7) -> Column:
     """n_planes-bit sign signature: bit i = (vec . plane_i) > 0.
-    Native fold per plane — per-row projection, no shuffle, no UDF."""
+    Native fold per plane — per-row projection, no shuffle, no UDF.
+
+    NOTE: at more than a handful of planes the unrolled expression tree
+    makes Catalyst analysis/codegen the dominant cost (measured ~5 s of
+    plan time for 8 planes regardless of row count); the batch path
+    ``lsh_signatures_udf`` below computes all tables' signatures with
+    one numpy matmul per Arrow batch and is what :func:`lsh_topk` uses.
+    """
     v = _as_double(vec)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         p = F.array(*[F.lit(x) for x in plane])
         sig = sig + F.when(dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig
+
+
+def lsh_signatures_udf(dim: int, n_planes: int, n_tables: int,
+                       base_seed: int = 7):
+    """Pandas UDF: all ``n_tables`` sign signatures per row via one
+    (batch x dim) @ (dim x tables*planes) float64 matmul — identical
+    math to :func:`lsh_signature` (same hyperplanes, same > 0 test),
+    but constant plan size and Arrow-vectorized execution."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [p for t in range(n_tables)
+         for p in _hyperplanes(dim, n_planes, base_seed + 13 * t)],
+        dtype=np.float64).T  # dim x (tables*planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes) > 0          # batch x (tables*planes)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        out = (bits * weights).sum(axis=2)  # batch x tables
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -136,11 +173,7 @@ def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     (defaults suit 10^3-10^5 vectors; 10^9-scale corpora want 16-20
     planes, more tables, and the same equi-join shape).
     """
-    def sigs(col):
-        return F.array(*[
-            lsh_signature(col, dim, n_planes, seed=7 + 13 * t)
-            for t in range(n_tables)])
-
+    sigs = lsh_signatures_udf(dim, n_planes, n_tables)
     b = (base.select(F.col(id_col).alias("vec_id"),
                      _as_double(F.col(vec_col)).alias("bv"),
                      F.posexplode(sigs(F.col(vec_col)))
