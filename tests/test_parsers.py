@@ -304,3 +304,26 @@ class TestPdfFiltersAndDecrypt:
         r = extract_pdf(make_pdf([["enc lzw"]], compress="lzw",
                                  encrypt=True))
         assert r["text"] == "enc lzw\n\n"
+
+
+class TestPdfAnnotations:
+    """PDF2XHTML.java:181-250: FreeText annotation text follows the
+    page body; Link /A /URI actions surface as links."""
+
+    def test_freetext_and_link(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["Body line"]], freetext=["Note one", "Note two"],
+                       link_uri="http://x.com/a")
+        r = extract_pdf(pdf)
+        assert r["text"] == "Body line\nNote one\nNote two\n\n"
+        assert r["links"] == [("annotation", "http://x.com/a", None, None)]
+
+    def test_encrypted_annotations_decrypt(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        r = extract_pdf(make_pdf([["Body"]], freetext=["Secret note"],
+                                 link_uri="http://e/u", encrypt=True))
+        assert r["status"] == "ok"
+        assert r["text"] == "Body\nSecret note\n\n"
+        assert r["links"][0][1] == "http://e/u"

@@ -93,7 +93,9 @@ def _rle_encode(data: bytes) -> bytes:
 def make_pdf(pages: list[list[str]], *, title: str | None = None,
              author: str | None = None, subject: str | None = None,
              creator: str | None = None, compress: bool = True,
-             two_columns: bool = False, encrypt: bool = False) -> bytes:
+             two_columns: bool = False, encrypt: bool = False,
+             freetext: list[str] | None = None,
+             link_uri: str | None = None) -> bytes:
     """Build a PDF. ``pages`` is a list of pages, each a list of lines.
 
     With ``two_columns`` each page's lines are split into a left and a
@@ -166,12 +168,30 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
                 + b" >>\nstream\n" + payload + b"\nendstream")
         content_nums.append(add(body))
 
+    # annotation objects (FreeText notes + a link) attached to page 1
+    annot_nums: list[int] = []
+    for note in (freetext or []):
+        num = len(objects) + 1
+        annot_nums.append(add(
+            (f"<< /Type /Annot /Subtype /FreeText /Rect [10 10 100 30] "
+             f"/Contents {enc_str(note, num)} >>").encode()))
+    if link_uri is not None:
+        num = len(objects) + 1
+        annot_nums.append(add(
+            (f"<< /Type /Annot /Subtype /Link /Rect [0 0 50 50] "
+             f"/A << /S /URI /URI {enc_str(link_uri, num)} >> >>"
+             ).encode()))
+
     page_nums = []
     pages_num_placeholder = len(objects) + len(pages) + 1
-    for cn in content_nums:
+    for pi, cn in enumerate(content_nums):
+        annots = ""
+        if annot_nums and pi == 0:
+            annots = ("/Annots ["
+                      + " ".join(f"{a} 0 R" for a in annot_nums) + "] ")
         page_nums.append(add(
             (f"<< /Type /Page /Parent {pages_num_placeholder} 0 R "
-             f"/MediaBox [0 0 612 792] /Contents {cn} 0 R "
+             f"/MediaBox [0 0 612 792] /Contents {cn} 0 R {annots}"
              f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
              ).encode()))
 

@@ -609,6 +609,37 @@ class PdfDocument:
                 parts.append(s)
         return b"\n".join(parts)
 
+    def page_annotations(self, page: dict
+                         ) -> tuple[list[str], list[str]]:
+        """(freetext_contents, link_uris) of a page's /Annots
+        (PDF2XHTML.java:181-250: FreeText annotation text is emitted
+        after the page body; Link /A /URI actions become links)."""
+        freetext: list[str] = []
+        uris: list[str] = []
+        annots = self.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            return freetext, uris
+        for aref in annots[:256]:
+            a = self.resolve(aref)
+            if not isinstance(a, dict):
+                continue
+            sub = str(a.get("Subtype", ""))
+            if sub == "FreeText":
+                c = self.resolve(a.get("Contents"))
+                if isinstance(c, PdfString):
+                    val = c.text().strip()
+                    if val:
+                        freetext.append(val)
+            elif sub == "Link":
+                action = self.resolve(a.get("A"))
+                if isinstance(action, dict):
+                    uri = self.resolve(action.get("URI"))
+                    if isinstance(uri, PdfString):
+                        val = uri.text().strip()
+                        if val:
+                            uris.append(val)
+        return freetext, uris
+
 
 # ------------------------------------------------------ ToUnicode CMap --
 
@@ -816,6 +847,7 @@ def extract_pdf(data: bytes, url: str | None = None,
 
     pieces: list[str] = []
     spans: list[tuple[int, int, str]] = []
+    links: list[tuple[str, str, str | None, str | None]] = []
     pos = 0
     for page in pages:
         try:
@@ -824,6 +856,16 @@ def extract_pdf(data: bytes, url: str | None = None,
                 content, doc.page_fonts(page)) if content else ""
         except Exception:
             page_text = ""
+        try:
+            ann_ft, ann_uris = doc.page_annotations(page)
+        except Exception:
+            ann_ft, ann_uris = [], []
+        if ann_ft:
+            # FreeText annotation text follows the page body
+            # (PDF2XHTML.java:181-250)
+            page_text = (page_text + "\n" if page_text else "") \
+                + "\n".join(ann_ft)
+        links.extend(("annotation", u, None, None) for u in ann_uris)
         # <div class=page><p>text</p></div> -> text + '\n' (p) + '\n' (div)
         pieces.append(page_text)
         pieces.append("\n\n")
@@ -838,5 +880,5 @@ def extract_pdf(data: bytes, url: str | None = None,
     if config.write_limit and len(text) > config.write_limit:
         text, status = text[:config.write_limit], "write_limit"
     return {"charset": None, "title": metadata.get("title", [None])[0],
-            "text": text, "spans": spans, "links": [],
+            "text": text, "spans": spans, "links": links,
             "metadata": metadata, "status": status}
