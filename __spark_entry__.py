@@ -6,9 +6,14 @@ table synthesized natively from /root/testdata/sf0.001/documents.
 
 ``queries()`` / ``oracle_sql()`` cover SURVEY.md §2 operators plus the
 training-data pipeline layer (dedup / similarity / text analysis /
-multimodal) with DuckDB-checkable oracles. Non-SQL-expressible ops
-(MinHash LSH, SimHash, hyperplane-LSH ANN, n-gram language ID) are
-rows-only by design and documented as such.
+multimodal) with DuckDB-checkable oracles. Round 2 added oracle rows
+for the hardest byte-parity surfaces: text-main/Boilerpipe
+(extract_main_text), PDF text incl. two-box reading order + ObjStm
+(extract_pdf_text), statistical charset detection
+(extract_charset_statistical), exact language id on seed-corpus pages
+(language_id), and LSH recall vs the exact top-k (ann_lsh_recall).
+Remaining rows-only ops (MinHash LSH pairs, SimHash pairs,
+raw approximate ANN lists) are documented as such.
 
 Numeric conventions for hash-stable comparisons: similarities as
 integer micro-units, all counts cast to long, deterministic tie-breaks
