@@ -519,6 +519,168 @@ def _q_extract_chm_text(spark, sf_dir):
     return extract(pages, mode="text").select("url", "mime", "text")
 
 
+def _q_extract_rtf_text(spark, sf_dir):
+    """E4: RTF group-state tokenizer — \\info title destination +
+    body text + \\par paragraph break (rtf/TextExtractor.java
+    semantics). Page bytes built as a pure column expression (corpus
+    text is ascii-safe, no escaping needed)."""
+    rtf = F.encode(F.concat(
+        F.lit("{\\rtf1\\ansi\\deff0 {\\info{\\title Doc "),
+        F.col("doc_id").cast("string"), F.lit("}}"),
+        F.col("text"), F.lit("\\par}")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".rtf"))
+        .alias("url"), rtf.alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
+def _q_extract_mail_text(spark, sf_dir):
+    """E5: RFC822 — header metadata (Subject→title, From→Author) plus
+    subject-heading + body emission (mail/MailContentHandler.java
+    shape)."""
+    eml = F.encode(F.concat(
+        F.lit("From: Crawl Bot <bot@example.com>\r\nSubject: Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"),
+        F.col("text")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".eml"))
+        .alias("url"), eml.alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
+def _q_extract_feed_text(spark, sf_dir):
+    """E3: RSS 2.0 channel+item walk — title/description heading, one
+    TAB-indented item line per entry, item links collected
+    (feed/FeedParser.java output shape)."""
+    rss = F.encode(F.concat(
+        F.lit("<?xml version='1.0'?><rss version='2.0'><channel>"
+              "<title>Feed "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><description>"), F.col("text"),
+        F.lit("</description><item><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><link>http://example.com/d"),
+        F.col("doc_id").cast("string"),
+        F.lit("</link><description>"), F.col("text"),
+        F.lit("</description></item></channel></rss>")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".rss"))
+        .alias("url"), rss.alias("html"))
+    out = extract(pages, mode="text")
+    return out.select("url", "mime", "title", "text",
+                      F.size("links").cast("long").alias("n_links"))
+
+
+def _office_zip_udf(kind: str):
+    """Deterministic OOXML/ODF/EPUB zip builder per document row
+    (E8-E10 fixture chain: zip magic → container refinement →
+    format-specific XML part extraction)."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def zip_bytes(entries, first_stored=None):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            if first_stored:
+                zf.writestr(first_stored[0], first_stored[1],
+                            compress_type=zipfile.ZIP_STORED)
+            for name, payload in entries.items():
+                zf.writestr(name, payload)
+        return buf.getvalue()
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, text in zip(ids, texts):
+            title = f"Doc {int(i)}".encode()
+            body = (text or "").encode()
+            if kind == "docx":
+                out.append(zip_bytes({
+                    "[Content_Types].xml":
+                        b'<Types xmlns="http://schemas.openxmlformats.'
+                        b'org/package/2006/content-types"><Override '
+                        b'PartName="/word/document.xml" ContentType='
+                        b'"application/vnd.openxmlformats-officedocument'
+                        b'.wordprocessingml.document.main+xml"/></Types>',
+                    "docProps/core.xml":
+                        b'<cp:coreProperties xmlns:cp="http://schemas.'
+                        b'openxmlformats.org/package/2006/metadata/'
+                        b'core-properties" xmlns:dc="http://purl.org/dc/'
+                        b'elements/1.1/"><dc:title>' + title
+                        + b'</dc:title><dc:creator>Crawl Bot'
+                        b'</dc:creator></cp:coreProperties>',
+                    "word/document.xml":
+                        b'<w:document xmlns:w="http://schemas.'
+                        b'openxmlformats.org/wordprocessingml/2006/main">'
+                        b'<w:body><w:p><w:r><w:t>' + body
+                        + b'</w:t></w:r></w:p></w:body></w:document>'}))
+            elif kind == "odt":
+                out.append(zip_bytes({
+                    "meta.xml":
+                        b'<office:document-meta xmlns:office="urn:oasis:'
+                        b'names:tc:opendocument:xmlns:office:1.0" '
+                        b'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                        b'<office:meta><dc:title>' + title
+                        + b'</dc:title></office:meta>'
+                        b'</office:document-meta>',
+                    "content.xml":
+                        b'<office:document-content xmlns:office="urn:'
+                        b'oasis:names:tc:opendocument:xmlns:office:1.0" '
+                        b'xmlns:text="urn:oasis:names:tc:opendocument:'
+                        b'xmlns:text:1.0"><office:body><office:text>'
+                        b'<text:p>' + body + b'</text:p></office:text>'
+                        b'</office:body></office:document-content>'},
+                    first_stored=(
+                        "mimetype",
+                        b"application/vnd.oasis.opendocument.text")))
+            else:  # epub
+                out.append(zip_bytes({
+                    "content.opf":
+                        b'<package xmlns:dc="http://purl.org/dc/'
+                        b'elements/1.1/"><metadata><dc:title>' + title
+                        + b'</dc:title></metadata></package>',
+                    "ch1.xhtml":
+                        b"<html><body><p>" + body
+                        + b"</p></body></html>"},
+                    first_stored=("mimetype",
+                                  b"application/epub+zip")))
+        return pd.Series(out)
+    return wrap
+
+
+def _q_office_zip(kind: str, ext: str):
+    def q(spark, sf_dir):
+        wrap = _office_zip_udf(kind)
+        pages = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("." + ext))
+            .alias("url"),
+            wrap(F.col("doc_id"), F.col("text")).alias("html"))
+        return extract(pages, mode="text").select("url", "mime",
+                                                  "title", "text")
+    return q
+
+
+_q_extract_docx_text = _q_office_zip("docx", "docx")
+_q_extract_odt_text = _q_office_zip("odt", "odt")
+_q_extract_epub_text = _q_office_zip("epub", "epub")
+
+
+def _q_extract_xhtml(spark, sf_dir):
+    """A4: normalized-XHTML sink (lazy-head skeleton, resolved hrefs,
+    XHTMLContentHandler.java:124-196 contract) — byte-exact serialized
+    document per url."""
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        _html_wrap().alias("html"))
+    return extract(pages, mode="xhtml").select("url", "text")
+
+
 def _png_udf():
     """Deterministic minimal PNG per document (E12 fixture builder)."""
     import struct
@@ -659,6 +821,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
         "extract_chm_text": _q_extract_chm_text,
+        "extract_rtf_text": _q_extract_rtf_text,
+        "extract_mail_text": _q_extract_mail_text,
+        "extract_feed_text": _q_extract_feed_text,
+        "extract_docx_text": _q_extract_docx_text,
+        "extract_odt_text": _q_extract_odt_text,
+        "extract_epub_text": _q_extract_epub_text,
+        "extract_xhtml": _q_extract_xhtml,
         "extract_media_dims": _q_extract_media_dims,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -820,6 +989,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id || '.chm' AS url, "
             "'application/vnd.ms-htmlhelp' AS mime, "
             "text || chr(10) AS text FROM documents WHERE lang = 'en'"),
+        "extract_rtf_text": (
+            "SELECT 'doc://' || doc_id || '.rtf' AS url, "
+            "'application/rtf' AS mime, 'Doc ' || doc_id AS title, "
+            "text || chr(10) AS text FROM documents"),
+        "extract_mail_text": (
+            "SELECT 'doc://' || doc_id || '.eml' AS url, "
+            "'message/rfc822' AS mime, 'Doc ' || doc_id AS title, "
+            "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
+            "FROM documents"),
+        "extract_feed_text": (
+            "SELECT 'doc://' || doc_id || '.rss' AS url, "
+            "'application/rss+xml' AS mime, "
+            "'Feed ' || doc_id AS title, "
+            "'Feed ' || doc_id || chr(10) || text || chr(10) || chr(9) "
+            "|| 'Doc ' || doc_id || chr(10) || text || chr(10) || "
+            "chr(10) AS text, CAST(1 AS BIGINT) AS n_links "
+            "FROM documents"),
+        "extract_docx_text": (
+            "SELECT 'doc://' || doc_id || '.docx' AS url, "
+            "'application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.document' AS mime, "
+            "'Doc ' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_odt_text": (
+            "SELECT 'doc://' || doc_id || '.odt' AS url, "
+            "'application/vnd.oasis.opendocument.text' AS mime, "
+            "'Doc ' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_epub_text": (
+            "SELECT 'doc://' || doc_id || '.epub' AS url, "
+            "'application/epub+zip' AS mime, "
+            "'Doc ' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_xhtml": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "'<html xmlns=\"http://www.w3.org/1999/xhtml\">' || chr(10) "
+            "|| '<head>' || chr(10) || '<title>Doc ' || doc_id || "
+            "'</title>' || chr(10) || '</head>' || chr(10) || "
+            "'<body><p>' || text || '</p>' || chr(10) || '</body>' || "
+            "chr(10) || '</html>' AS text FROM documents"),
         "extract_media_dims": (
             "SELECT 'doc://' || doc_id || '.png' AS url, "
             "'image/png' AS mime, "
