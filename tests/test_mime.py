@@ -255,3 +255,87 @@ def test_no_glob_specializes_hot_paths():
         assert offending == [], (
             f"glob now specializes {base}: {offending} — re-enable the "
             "name-hint loop in detect_batch for these rows")
+
+
+def test_widened_signature_table():
+    """Round-2 bulk signature widening: published magic numbers for
+    archives, legacy media, documents, science formats resolve to their
+    named types instead of octet-stream (tika-mimetypes.xml parity)."""
+    from tika_spark.mime.detector import detect
+    cases = [
+        (b"Rar!\x1a\x07\x00" + b"\0" * 32, "application/x-rar-compressed"),
+        (b"Rar!\x1a\x07\x01\x00" + b"\0" * 32,
+         "application/x-rar-compressed"),
+        (b"MSCF\x00\x00\x00\x00" + b"\0" * 32,
+         "application/vnd.ms-cab-compressed"),
+        (b"FWS\x09" + b"\0" * 16, "application/x-shockwave-flash"),
+        (b"%!PS-Adobe-3.0\n", "application/postscript"),
+        (b"AT&TFORM" + b"\0" * 8, "image/vnd.djvu"),
+        (b"\0" * 128 + b"DICM" + b"\0" * 8, "application/dicom"),
+        (b"\x00\x00\x00\x0cjP  \r\n\x87\n", "image/jp2"),
+        (b"\x01\x00\x00\x00" + b"\0" * 36 + b" EMF" + b"\0" * 8,
+         "image/emf"),
+        (b"FORM\x00\x00\x12\x34AIFF", "audio/x-aiff"),
+        (b".snd\x00\x00\x00\x18", "audio/basic"),
+        (b"#!AMR\n\x3c", "audio/amr"),
+        (b"#!AMR-WB\n\x3c", "audio/amr-wb"),
+        (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11" + b"\0" * 8,
+         "video/x-ms-asf"),
+        (b"\x00\x00\x01\xba\x44", "video/mpeg"),
+        (b"\0" * 60 + b"BOOKMOBI" + b"\0" * 8,
+         "application/x-mobipocket-ebook"),
+        (b"\xd4\xc3\xb2\xa1" + b"\0" * 20, "application/vnd.tcpdump.pcap"),
+        (b"SIMPLE  =                    T", "application/fits"),
+        (b"bplist00" + b"\0" * 8, "application/x-plist"),
+        (b"d8:announce35:", "application/x-bittorrent"),
+        (b"-----BEGIN CERTIFICATE-----\n", "application/x-pem-file"),
+        (b"BEGIN:VCALENDAR\r\n", "text/calendar"),
+        (b"BEGIN:VCARD\r\n", "text/x-vcard"),
+        # ISO9660 volume descriptor sits past the old 8 KiB window —
+        # MAGIC_PREFIX now matches MimeTypes.getMinLength() (64 KiB)
+        (b"\0" * 32769 + b"CD001" + b"\0" * 8,
+         "application/x-iso9660-image"),
+        (b"\xed\xab\xee\xdb" + b"\0" * 8, "application/x-rpm"),
+        (b"\xcf\xfa\xed\xfe" + b"\0" * 8, "application/x-mach-o"),
+        (b"WARC/1.0\r\n", "application/warc"),
+    ]
+    for payload, want in cases:
+        assert detect(payload) == want, (want, detect(payload))
+
+
+def test_mp2t_requires_packet_stride():
+    """The single 0x47 sync byte only fires with three more sync bytes
+    at the 188-byte packet stride (multi-clause confirm), so text or
+    binary starting with 'G' is not claimed as MPEG-TS."""
+    from tika_spark.mime.detector import detect
+    ts = bytearray(b"\0" * 752)
+    for off in (0, 188, 376, 564):
+        ts[off] = 0x47
+    assert detect(bytes(ts)) == "video/mp2t"
+    assert detect(b"G" + b"\0" * 600) != "video/mp2t"
+    assert detect(b"Good morning, this is plain text." + b" filler" * 40) \
+        == "text/plain"
+
+
+def test_class_vs_macho_fat_magic():
+    """cafebabe stays Java class (the reference's documented wart);
+    only the 64-bit fat variant cafebabf goes to Mach-O."""
+    from tika_spark.mime.detector import detect
+    assert detect(b"\xca\xfe\xba\xbe\x00\x00\x00\x34") == \
+        "application/java-vm"
+    assert detect(b"\xca\xfe\xba\xbf" + b"\0" * 8) == "application/x-mach-o"
+
+
+def test_glob_table_has_no_duplicate_keys():
+    """EXT_MAP is one big literal — a duplicate key silently drops the
+    earlier mapping, so audit the AST."""
+    import ast
+
+    import tika_spark.mime.globs as G
+    tree = ast.parse(open(G.__file__).read())
+    big = [n for n in ast.walk(tree)
+           if isinstance(n, ast.Dict) and len(n.keys) > 50]
+    assert big, "EXT_MAP literal not found"
+    keys = [k.value for k in big[0].keys if isinstance(k, ast.Constant)]
+    dups = sorted({k for k in keys if keys.count(k) > 1})
+    assert dups == [], f"duplicate glob keys: {dups}"

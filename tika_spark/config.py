@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-MAGIC_PREFIX = 8192
+MAGIC_PREFIX = 65536  # MimeTypes.getMinLength() — covers ISO9660's
+#                       CD001 volume descriptor at offset 32769
 TEXT_SNIFF_PREFIX = 512
 CHARSET_PREFIX = 8000
 META_CHARSET_PREFIX = 8192  # HtmlParser.java:60 — meta-charset regex window

@@ -35,6 +35,47 @@ _EXPLICIT_SUPER: dict[str, str] = {
     "text/x-java-source": "text/plain",
     "application/javascript": "text/plain",
     "application/rtf": "text/plain",
+    # text-payload application/* types (the reference's sub-class-of
+    # text/plain edges): a name/declared hint for these beats the
+    # generic text sniff, and all route to the TXT parser
+    "application/x-yaml": "text/plain",
+    "application/toml": "text/plain",
+    "application/x-sh": "text/plain",
+    "application/x-csh": "text/plain",
+    "application/x-powershell": "text/plain",
+    "application/bat": "text/plain",
+    "application/x-tex": "text/plain",
+    "application/x-latex": "text/plain",
+    "application/x-bibtex-text-file": "text/plain",
+    "application/x-ndjson": "application/json",
+    "application/ld+json": "application/json",
+    "application/geo+json": "application/json",
+    "application/x-subrip": "text/plain",
+    "application/x-cue": "text/plain",
+    "application/vnd.apple.mpegurl": "text/plain",
+    "audio/x-mpegurl": "text/plain",
+    "audio/x-scpls": "text/plain",
+    "text/calendar": "text/plain",
+    "text/x-vcard": "text/plain",
+    "application/x-pem-file": "text/plain",
+    "application/pgp": "text/plain",
+    "application/pgp-signature": "text/plain",
+    "text/turtle": "text/plain",
+    "application/n-triples": "text/plain",
+    # container refinements
+    "application/vnd.google-earth.kmz": "application/zip",
+    "application/vnd.android.package-archive": "application/zip",
+    "application/x-xpinstall": "application/zip",
+    "application/x-chrome-package": "application/zip",
+    "application/x-itunes-ipa": "application/zip",
+    "application/x-tika-java-web-archive": "application/java-archive",
+    "application/x-tika-java-enterprise-archive":
+        "application/java-archive",
+    "application/java-archive": "application/zip",
+    "application/x-cbz": "application/zip",
+    "application/x-debian-package": "application/x-archive",
+    "application/vnd.ms-cab-compressed": "application/octet-stream",
+    "application/vnd.ms-visio.drawing": "application/zip",
     "application/x-gzip": "application/octet-stream",
     "application/gzip": "application/octet-stream",
     "application/epub+zip": "application/zip",

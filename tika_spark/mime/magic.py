@@ -5,8 +5,9 @@ MagicDetector.java:153-206, mime/Magic.java:67-79): each rule is a set
 of (offset-range, pattern, optional mask) clauses; a rule matches if
 any clause matches anywhere in its offset window of the document
 prefix; rules are evaluated in (priority desc, pattern length desc)
-order and the first match wins. Only the first MAGIC_PREFIX (8192)
-bytes are ever inspected (mime/MimeTypes.java:465-469).
+order and the first match wins. Only the first MAGIC_PREFIX (64 KiB,
+MimeTypes.getMinLength()) bytes are ever inspected
+(mime/MimeTypes.java:465-469).
 
 The rule table below is a from-scratch subset of tika-mimetypes.xml
 covering the web-crawl slice (html/xml/pdf/text/feeds/archives/images)
@@ -32,14 +33,16 @@ class MagicRule(NamedTuple):
     mime: str
     priority: int
     clauses: tuple
-    # optional AND-clause (the nested <match> children of
+    # optional AND-clauses (the nested <match> children of
     # tika-mimetypes.xml): the rule fires only if ANY of ``clauses``
-    # matches AND ``confirm`` (when set) also matches
-    confirm: Clause | None = None
+    # matches AND every clause of ``confirm`` (when set) also matches
+    confirm: tuple | None = None
 
 
 def _m(mime: str, priority: int, *clauses: Clause,
-       confirm: Clause | None = None) -> MagicRule:
+       confirm: Clause | tuple | None = None) -> MagicRule:
+    if isinstance(confirm, Clause):
+        confirm = (confirm,)
     return MagicRule(mime, priority, tuple(clauses), confirm)
 
 
@@ -170,6 +173,95 @@ MAGIC_RULES: list[MagicRule] = [
        Clause(0, 0, b"\x0e\x03\x13\x01")),
     _m("application/vnd.ms-tnef", 50,
        Clause(0, 0, b"\x78\x9f\x3e\x22")),
+
+    # ---- bulk signature widening (round 2): archives, legacy media,
+    # documents, science formats. Offsets/bytes are the published
+    # format signatures (same set tika-mimetypes.xml encodes).
+    _m("application/x-rar-compressed", 50,
+       Clause(0, 0, b"Rar!\x1a\x07\x00"),       # RAR 1.5-4.x
+       Clause(0, 0, b"Rar!\x1a\x07\x01\x00")),  # RAR 5+
+    _m("application/vnd.ms-cab-compressed", 50,
+       Clause(0, 0, b"MSCF\x00\x00\x00\x00")),
+    _m("application/x-lzip", 50, Clause(0, 0, b"LZIP")),
+    _m("application/x-lz4", 50, Clause(0, 0, b"\x04\x22\x4d\x18")),
+    _m("application/x-compress", 50, Clause(0, 0, b"\x1f\x9d")),
+    _m("application/x-lha", 40, Clause(2, 2, b"-lh"), ),
+    _m("application/x-arj", 50, Clause(0, 0, b"\x60\xea")),
+    _m("application/x-rpm", 50, Clause(0, 0, b"\xed\xab\xee\xdb")),
+    _m("application/x-iso9660-image", 50,
+       Clause(32769, 32769, b"CD001")),
+    _m("application/x-chrome-package", 50, Clause(0, 0, b"Cr24")),
+    _m("application/x-stuffit", 50, Clause(0, 0, b"StuffIt "),
+       Clause(0, 0, b"SIT!")),
+    _m("application/warc", 50, Clause(0, 0, b"WARC/1.")),
+    _m("application/x-shockwave-flash", 50,
+       Clause(0, 0, b"FWS"), Clause(0, 0, b"CWS"), Clause(0, 0, b"ZWS")),
+    _m("application/postscript", 50, Clause(0, 0, b"%!PS-Adobe-")),
+    _m("image/vnd.djvu", 50, Clause(0, 0, b"AT&TFORM")),
+    _m("application/dicom", 50, Clause(128, 128, b"DICM")),
+    _m("image/jp2", 50,
+       Clause(0, 0, b"\x00\x00\x00\x0cjP  \r\n\x87\n")),
+    _m("image/jxl", 50, Clause(0, 0, b"\xff\x0a"),
+       Clause(0, 0, b"\x00\x00\x00\x0cJXL \r\n\x87\n")),
+    _m("image/wmf", 50, Clause(0, 0, b"\xd7\xcd\xc6\x9a"),
+       Clause(0, 0, b"\x01\x00\x09\x00")),
+    _m("image/emf", 50, Clause(0, 0, b"\x01\x00\x00\x00"),
+       confirm=Clause(40, 40, b" EMF")),
+    _m("image/x-portable-bitmap", 40, Clause(0, 0, b"P1\n"),
+       Clause(0, 0, b"P4")),
+    _m("image/x-portable-graymap", 40, Clause(0, 0, b"P2\n"),
+       Clause(0, 0, b"P5")),
+    _m("image/x-portable-pixmap", 40, Clause(0, 0, b"P3\n"),
+       Clause(0, 0, b"P6")),
+    _m("image/x-xpixmap", 50, Clause(0, 0, b"/* XPM */")),
+    _m("image/icns", 50, Clause(0, 0, b"icns")),
+    _m("audio/x-aiff", 50,
+       Clause(0, 0, b"FORM\x00\x00\x00\x00AIFF",
+              mask=b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff"),
+       Clause(0, 0, b"FORM\x00\x00\x00\x00AIFC",
+              mask=b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff")),
+    _m("audio/basic", 50, Clause(0, 0, b".snd")),
+    _m("audio/amr", 50, Clause(0, 0, b"#!AMR\n")),
+    _m("audio/amr-wb", 60, Clause(0, 0, b"#!AMR-WB\n")),
+    _m("audio/x-musepack", 50, Clause(0, 0, b"MPCK"),
+       Clause(0, 0, b"MP+")),
+    _m("audio/x-ape", 50, Clause(0, 0, b"MAC ")),
+    _m("audio/x-wavpack", 50, Clause(0, 0, b"wvpk")),
+    _m("video/x-ms-asf", 50,
+       Clause(0, 0, b"\x30\x26\xb2\x75\x8e\x66\xcf\x11")),
+    _m("application/vnd.rn-realmedia", 50, Clause(0, 0, b".RMF")),
+    _m("video/mpeg", 50, Clause(0, 0, b"\x00\x00\x01\xba"),
+       Clause(0, 0, b"\x00\x00\x01\xb3")),
+    # MPEG-TS: 0x47 sync byte repeating at the 188-byte packet stride
+    # (four packets checked, as the reference's mp2t block does)
+    _m("video/mp2t", 40, Clause(0, 0, b"\x47"),
+       confirm=(Clause(188, 188, b"\x47"), Clause(376, 376, b"\x47"),
+                Clause(564, 564, b"\x47"))),
+    _m("application/mxf", 50,
+       Clause(0, 0, b"\x06\x0e\x2b\x34\x02\x05\x01\x01")),
+    # PalmDOC/Mobipocket: type/creator four-CCs at offset 60
+    _m("application/x-mobipocket-ebook", 50,
+       Clause(60, 60, b"BOOKMOBI")),
+    _m("application/x-palm-database", 40, Clause(60, 60, b"TEXtREAd")),
+    _m("application/vnd.tcpdump.pcap", 50,
+       Clause(0, 0, b"\xd4\xc3\xb2\xa1"), Clause(0, 0, b"\xa1\xb2\xc3\xd4")),
+    _m("application/x-pcapng", 50, Clause(0, 0, b"\x0a\x0d\x0d\x0a")),
+    _m("application/x-matlab-data", 50, Clause(0, 0, b"MATLAB")),
+    _m("application/fits", 50, Clause(0, 0, b"SIMPLE  =")),
+    _m("application/x-dex", 50, Clause(0, 0, b"dex\n")),
+    _m("application/x-mach-o", 40,
+       Clause(0, 0, b"\xfe\xed\xfa\xce"), Clause(0, 0, b"\xfe\xed\xfa\xcf"),
+       Clause(0, 0, b"\xcf\xfa\xed\xfe"), Clause(0, 0, b"\xca\xfe\xba\xbf")),
+    _m("application/x-plist", 50, Clause(0, 0, b"bplist00")),
+    _m("application/x-bittorrent", 50, Clause(0, 0, b"d8:announce")),
+    _m("application/x-pem-file", 50, Clause(0, 0, b"-----BEGIN ")),
+    _m("application/x-ms-shortcut", 50,
+       Clause(0, 0, b"\x4c\x00\x00\x00\x01\x14\x02\x00")),
+    _m("text/calendar", 50, Clause(0, 0, b"BEGIN:VCALENDAR")),
+    _m("text/x-vcard", 50, Clause(0, 0, b"BEGIN:VCARD")),
+    _m("application/vnd.apple.mpegurl", 40, Clause(0, 0, b"#EXTM3U")),
+    _m("application/x-hwp-v5", 50,
+       Clause(0, 0, b"HWP Document File")),
 ]
 
 # Pre-sort once: priority desc, then longest first-clause pattern desc —
@@ -207,8 +299,9 @@ def match_magic(prefix: bytes) -> str | None:
     for rule in MAGIC_RULES:
         for c in rule.clauses:
             if _clause_matches(prefix, c):
-                if rule.confirm is None or _clause_matches(prefix,
-                                                           rule.confirm):
+                if rule.confirm is None or all(
+                        _clause_matches(prefix, cc)
+                        for cc in rule.confirm):
                     return rule.mime
                 break  # confirm failed: fall through to later rules
     return None
