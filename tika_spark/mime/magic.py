@@ -268,6 +268,21 @@ MAGIC_RULES: list[MagicRule] = [
 # first match wins (Magic.java:67-79 ordering).
 MAGIC_RULES.sort(key=lambda r: (-r.priority, -max(len(c.pattern) for c in r.clauses)))
 
+# First-byte fast-reject index: a rule whose clauses are ALL exact
+# anchored-at-0 prefixes can only match if the document's first byte is
+# one of the clauses' first bytes — one frozenset probe skips ~80% of
+# the table per document, keeping the per-doc scan flat as the rule
+# count grows (the widened table doubled it). Rules with windowed /
+# masked / case-insensitive clauses always run the full check.
+_PREPARED: list[tuple[MagicRule, frozenset | None]] = []
+for _rule in MAGIC_RULES:
+    if all(c.lo == 0 and c.hi == 0 and c.mask is None and not c.ci
+           for c in _rule.clauses):
+        _first = frozenset(c.pattern[0] for c in _rule.clauses)
+    else:
+        _first = None
+    _PREPARED.append((_rule, _first))
+
 
 def _clause_matches(prefix: bytes, c: Clause) -> bool:
     pat = c.pattern
@@ -296,7 +311,10 @@ def match_magic(prefix: bytes) -> str | None:
     if not prefix:
         return None
     prefix = prefix[:MAGIC_PREFIX]
-    for rule in MAGIC_RULES:
+    b0 = prefix[0]
+    for rule, first_bytes in _PREPARED:
+        if first_bytes is not None and b0 not in first_bytes:
+            continue
         for c in rule.clauses:
             if _clause_matches(prefix, c):
                 if rule.confirm is None or all(
