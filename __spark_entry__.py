@@ -349,13 +349,25 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    # rows-only: xxhash64-based permutations have no DuckDB equivalent
+    """MinHash+LSH near-dup pairs, exact-verified by shingle Jaccard.
+    The output is oracle-checkable because the verify join filters
+    candidates to true Jaccard >= threshold: it equals the all-pairs
+    SQL answer whenever banding catches every qualifying pair — which
+    is deterministic for the seeded permutations, and the corpus's
+    qualifying pairs all sit at s >= 0.9 where the s-curve
+    P = 1-(1-s^4)^8 is ~1-2e-4 per pair."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    # rows-only: FNV/simhash bit packing not SQL-expressible
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    """SimHash near-dup pairs at hamming <= 3 — EXACT by pigeonhole:
+    4 x 16-bit chunks mean any pair within hamming 3 shares a chunk,
+    so the blocked equi-join finds every qualifying pair and the
+    DuckDB oracle (FNV-1a + bit-vote signature re-derived in SQL)
+    matches hash-for-hash."""
+    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_dedup_embedding(spark, sf_dir):
@@ -400,6 +412,27 @@ def _q_ann_lsh_recall(spark, sf_dir):
                 .alias("n_hit"))
            .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
     return rec
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Checkable form of the IVF path: recall@10 of the KMeans-coarse-
+    quantizer scan against the exact brute-force top-k (nprobe sized
+    for the floor)."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries_df, k=10) \
+        .select("query_id", "vec_id")
+    approx = similarity.ivf_topk(emb, queries_df, k=10, nlist=16,
+                                 nprobe=8) \
+        .select(F.col("query_id").alias("qid2"),
+                F.col("vec_id").alias("vid2"))
+    joined = exact.join(
+        approx, (exact.query_id == approx.qid2)
+        & (exact.vec_id == approx.vid2), "left")
+    return (joined.groupBy("query_id")
+            .agg(F.sum(F.when(F.col("vid2").isNotNull(), 1).otherwise(0))
+                 .alias("n_hit"))
+            .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -817,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -842,6 +876,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WS = r"'\s+'"
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+# FNV-1a 64 fold for one token, h as HUGEINT (DuckDB ints are checked,
+# so h*p mod 2^64 is decomposed: p = 2^40 + 435, and the xor with a
+# 7-bit char only touches h's low byte)
+_FNV_FOLD = (
+    "(h, c) -> ((h - h % 128 + xor((h % 128)::BIGINT, c::BIGINT)"
+    "::HUGEINT) % 16777216 * 1099511627776 "
+    "+ (h - h % 128 + xor((h % 128)::BIGINT, c::BIGINT)::HUGEINT) * 435)"
+    " % 18446744073709551616::HUGEINT")
+# per-document SimHash signature (token FNV-1a -> per-bit vote -> int64)
+_SIMHASH_SIGS = rf"""
+  toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS
+    tok FROM documents),
+  th AS (
+    SELECT doc_id, list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(string_split_regex(tok, ''),
+                       c -> ord(c)::HUGEINT)),
+      {_FNV_FOLD}) AS h
+    FROM toks),
+  bitvotes AS (
+    SELECT doc_id, b,
+      SUM(CASE WHEN (h // (2 ** b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1
+          END) AS v
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+    GROUP BY doc_id, b),
+  sigs AS (
+    SELECT doc_id,
+      (CASE WHEN usig >= 9223372036854775808::HUGEINT
+            THEN usig - 18446744073709551616::HUGEINT
+            ELSE usig END)::BIGINT AS sig
+    FROM (SELECT doc_id, SUM(CASE WHEN v > 0 THEN (2 ** b)::HUGEINT
+                             ELSE 0::HUGEINT END) AS usig
+          FROM bitvotes GROUP BY doc_id))"""
 _SHINGLES = (
     "list_distinct(list_transform(generate_series(1, len(w)-2), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))")
@@ -870,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id AS url, lang AS lang_pred "
             "FROM documents WHERE lang <> 'zh'"),
         "ann_lsh_recall": (
+            "SELECT vec_id AS query_id, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"),
+        "ann_ivf_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "detect_mime_counts": (
@@ -950,6 +1021,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
             "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
             "* 1000000) AS BIGINT) >= 120000"),
+        "dedup_minhash_lsh": (
+            "WITH s AS (SELECT doc_id, "
+            f"{_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS w "
+            "FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
+            "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
+            "* 1000000) AS BIGINT) AS sim_micro "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
+            "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
+            "* 1000000) AS BIGINT) >= 120000"),
+        "dedup_simhash": (
+            f"WITH {_SIMHASH_SIGS}, "
+            "groups AS (SELECT sig, min(doc_id) AS rep, "
+            "list_sort(list(doc_id)) AS ids FROM sigs GROUP BY sig), "
+            "star AS (SELECT rep AS id_a, m AS id_b, "
+            "0::BIGINT AS hamming FROM "
+            "(SELECT rep, unnest(ids) AS m FROM groups "
+            "WHERE len(ids) > 1) WHERE m <> rep), "
+            "reppairs AS (SELECT a.rep AS id_a, b.rep AS id_b, "
+            "bit_count(xor(a.sig, b.sig))::BIGINT AS hamming "
+            "FROM groups a JOIN groups b ON a.rep < b.rep "
+            "WHERE bit_count(xor(a.sig, b.sig)) <= 3) "
+            "SELECT * FROM star UNION ALL SELECT * FROM reppairs"),
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], "
