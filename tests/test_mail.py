@@ -77,3 +77,101 @@ def test_mbox_through_recursion(spark):
     assert child["mime"] == "message/rfc822"
     assert child["title"] == "Meeting notes"
     assert child["depth"] == 1
+
+
+# ------------------------------------------------------------------ TNEF
+
+
+def make_tnef(subject: str | None = None, body: str | None = None,
+              attachments: list[tuple[str, bytes]] | None = None,
+              long_names: bool = False) -> bytes:
+    """Deterministic TNEF builder (MS-OXTNEF §2.1 layout): signature +
+    key + level-prefixed attribute stream."""
+    import struct
+
+    def attr(level: int, attr_id: int, attr_type: int,
+             payload: bytes) -> bytes:
+        checksum = sum(payload) & 0xFFFF
+        return (bytes([level])
+                + struct.pack("<HH", attr_id, attr_type)
+                + struct.pack("<I", len(payload)) + payload
+                + struct.pack("<H", checksum))
+
+    out = [struct.pack("<IH", 0x223E9F78, 0x1234)]
+    if subject is not None:
+        out.append(attr(1, 0x8004, 0x0001,
+                        subject.encode("cp1252") + b"\x00"))
+    if body is not None:
+        out.append(attr(1, 0x800C, 0x0002,
+                        body.encode("cp1252") + b"\x00"))
+    for name, payload in attachments or []:
+        out.append(attr(2, 0x9002, 0x0006, b"\x00" * 14))  # rend
+        if long_names:
+            # MAPI prop blob: one PT_STRING8 PidTagAttachLongFilename
+            val = name.encode("cp1252") + b"\x00"
+            pad = (-len(val)) % 4
+            blob = (struct.pack("<I", 1)
+                    + struct.pack("<HH", 0x001E, 0x3707)
+                    + struct.pack("<I", len(val)) + val + b"\x00" * pad)
+            out.append(attr(2, 0x9005, 0x0006, blob))
+            out.append(attr(2, 0x8010, 0x0001, b"SHORTN~1.TXT\x00"))
+        else:
+            out.append(attr(2, 0x8010, 0x0001,
+                            name.encode("cp1252") + b"\x00"))
+        out.append(attr(2, 0x800F, 0x0006, payload))
+    return b"".join(out)
+
+
+def test_detect_tnef():
+    t = make_tnef(subject="S")
+    assert detect(t) == "application/vnd.ms-tnef"
+    # binary payload + the literal-name glob -> the hint specializes
+    # octet-stream; a *text* payload named winmail.dat stays text/plain
+    assert detect(b"\x00\x01\x02\x03", "http://h/winmail.dat") == \
+        "application/vnd.ms-tnef"
+    assert detect(b"plain text", "http://h/winmail.dat") == "text/plain"
+
+
+def test_tnef_subject_body_attachments():
+    from tika_spark.mail import extract_tnef
+    t = make_tnef(subject="Quarterly report", body="See attached.",
+                  attachments=[("notes.txt", b"hello tnef"),
+                               ("data.bin", b"\x00\x01\x02")])
+    r = extract_tnef(t)
+    assert r["title"] == "Quarterly report"
+    assert r["text"] == "Quarterly report\nSee attached.\n"
+    assert r["children"] == [("notes.txt", b"hello tnef"),
+                             ("data.bin", b"\x00\x01\x02")]
+    assert r["status"] == "ok"
+
+
+def test_tnef_mapi_long_filename_wins():
+    from tika_spark.mail import extract_tnef
+    t = make_tnef(attachments=[("a long descriptive name.txt",
+                                b"payload")], long_names=True)
+    r = extract_tnef(t)
+    assert r["children"] == [("a long descriptive name.txt",
+                              b"payload")]
+
+
+def test_tnef_garbage_is_error_row():
+    from tika_spark.mail import extract_tnef
+    r = extract_tnef(b"\x00" * 32)
+    assert r["status"] == "error"
+    r2 = extract_tnef(make_tnef(subject="S")[:9])  # truncated attr
+    assert r2["status"] == "ok"   # lenient: stops at truncation
+
+
+def test_tnef_through_recursion(spark):
+    from tika_spark.pipeline.job import extract_recursive
+    t = make_tnef(subject="Wrapped", body="outer body",
+                  attachments=[("inner.txt", b"inner text")])
+    df = spark.createDataFrame([("http://e.com/winmail.dat", t)],
+                               "url string, html binary")
+    rows = {r["url"]: r for r in
+            extract_recursive(df, mode="text").collect()}
+    assert rows["http://e.com/winmail.dat"]["text"] == \
+        "Wrapped\nouter body\n"
+    inner = rows["http://e.com/winmail.dat!/inner.txt"]
+    assert inner["text"] == "inner text\n"
+    assert inner["depth"] == 1

@@ -370,3 +370,105 @@ def test_ico_dims():
     assert _ico_dims(ico) == (16, 32)
     ico256 = b"\x00\x00\x01\x00\x01\x00\x00\x00" + b"\x00" * 16
     assert _ico_dims(ico256) == (256, 256)
+
+
+# -------------------------------------------- round-2 header metadata
+
+
+def test_midi_meta():
+    import struct
+
+    from tika_spark.media import extract_media
+    midi = (b"MThd" + struct.pack(">IHHH", 6, 1, 3, 480)
+            + b"MTrk" + struct.pack(">I", 4) + b"\x00\xff\x2f\x00")
+    r = extract_media(midi, mime="audio/midi")
+    assert r["metadata"]["tracks"] == ["3"]
+    assert r["metadata"]["division-type"] == ["PPQ"]
+    assert r["metadata"]["ticksPerBeat"] == ["480"]
+
+
+def test_aiff_meta():
+    import struct
+
+    from tika_spark.media import extract_media
+    # 44100 Hz as 80-bit extended: exp 16398, mantissa 44100<<48
+    rate80 = struct.pack(">H", 16398) + struct.pack(">Q", 44100 << 48)
+    comm = struct.pack(">HIH", 2, 88200, 16) + rate80
+    aiff = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm)) + b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm)
+    r = extract_media(aiff, mime="audio/x-aiff")
+    m = r["metadata"]
+    assert m["channels"] == ["2"] and m["samplerate"] == ["44100"]
+    assert m["xmpDM:duration"] == ["2.00"]
+
+
+def test_au_and_wav_meta():
+    import struct
+
+    from tika_spark.media import extract_media
+    au = b".snd" + struct.pack(">IIIII", 24, 8, 1, 8000, 1)
+    r = extract_media(au, mime="audio/basic")
+    assert r["metadata"]["samplerate"] == ["8000"]
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 44100 * 4))  # 1 second
+    r2 = extract_media(wav, mime="audio/x-wav")
+    m = r2["metadata"]
+    assert m["channels"] == ["2"] and m["bits"] == ["16"]
+    assert m["xmpDM:duration"] == ["1.00"]
+
+
+def test_flac_and_ogg_meta():
+    from tika_spark.media import extract_media
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | (44100 * 3)
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + b"\x00\x00\x00\x22" + si
+    r = extract_media(flac, mime="audio/x-flac")
+    m = r["metadata"]
+    assert m["samplerate"] == ["44100"] and m["channels"] == ["2"]
+    assert m["bits"] == ["16"] and m["xmpDM:duration"] == ["3.00"]
+
+    ogg = (b"OggS" + b"\x00" * 22 + b"\x01\x1e"
+           + b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2])
+           + (22050).to_bytes(4, "little") + b"\x00" * 12)
+    r2 = extract_media(ogg, mime="audio/ogg")
+    assert r2["metadata"]["channels"] == ["2"]
+    assert r2["metadata"]["samplerate"] == ["22050"]
+
+
+def test_mp4_and_netcdf_and_dwg_meta():
+    import struct
+
+    from tika_spark.media import extract_media
+    mvhd = (b"mvhd" + b"\x00" * 12
+            + struct.pack(">II", 600, 1200) + b"\x00" * 80)
+    mp4 = (b"\x00\x00\x00\x20ftypisom\x00\x00\x02\x00isomiso2"
+           + b"\x00" * 8 + struct.pack(">I", len(mvhd) + 4) + mvhd)
+    r = extract_media(mp4, mime="video/mp4")
+    assert r["metadata"]["major-brand"] == ["isom"]
+    assert r["metadata"]["xmpDM:duration"] == ["2.00"]
+
+    name = b"time"
+    nc = (b"CDF\x01" + struct.pack(">I", 5)
+          + struct.pack(">II", 0x0A, 2)
+          + struct.pack(">I", 4) + name + struct.pack(">I", 0)
+          + struct.pack(">I", 3) + b"lat\x00" + struct.pack(">I", 180))
+    r2 = extract_media(nc, mime="application/x-netcdf")
+    assert r2["metadata"]["numrecs"] == ["5"]
+    assert r2["metadata"]["dimensions"] == ["time=UNLIMITED", "lat=180"]
+
+    r3 = extract_media(b"AC1027" + b"\x00" * 32, mime="image/vnd.dwg")
+    assert r3["metadata"]["dwg-version"] == ["2013"]
+
+
+def test_media_meta_never_raises_on_garbage():
+    from tika_spark.media import _META_BY_MIME, extract_media
+    import random
+    rnd = random.Random(7)
+    for mime in _META_BY_MIME:
+        for n in (0, 3, 17, 64):
+            blob = bytes(rnd.randrange(256) for _ in range(n))
+            r = extract_media(blob, mime=mime)
+            assert r["status"] == "ok"

@@ -134,3 +134,154 @@ def extract_mbox(data: bytes, url: str | None = None,
         "status": "ok",
         "children": children,
     }
+
+
+# ----------------------------------------------------------------- TNEF
+
+# Attribute ids (level-prefixed stream, MS-OXTNEF §2.1; the reference
+# parses these through poi-hsmf TNEFAttribute in
+# tika-parsers/.../mail/... TNEF path). type word << 16 | id word.
+_TNEF_SIGNATURE = 0x223E9F78
+_ATT_SUBJECT = 0x8004
+_ATT_BODY = 0x800C
+_ATT_ATTACH_DATA = 0x800F
+_ATT_ATTACH_TITLE = 0x8010
+_ATT_ATTACH_REND = 0x9002   # starts a new attachment
+_ATT_MSG_PROPS = 0x9003
+_ATT_ATTACHMENT = 0x9005    # MAPI attachment property set
+_PID_ATTACH_LONG_FILENAME = 0x3707
+_PT_STRING8 = 0x001E
+_PT_UNICODE = 0x001F
+
+
+def _mapi_long_filename(blob: bytes) -> str | None:
+    """Pull PidTagAttachLongFilename out of a MAPI property blob
+    (count + [type|id, data] runs, MS-OXTNEF §2.1.3.3)."""
+    try:
+        if len(blob) < 4:
+            return None
+        count = int.from_bytes(blob[:4], "little")
+        pos = 4
+        for _ in range(min(count, 512)):
+            if pos + 4 > len(blob):
+                return None
+            ptype = int.from_bytes(blob[pos:pos + 2], "little")
+            pid = int.from_bytes(blob[pos + 2:pos + 4], "little")
+            pos += 4
+            if ptype & 0x1000:   # multi-valued: count prefix
+                nvals = int.from_bytes(blob[pos:pos + 4], "little")
+                pos += 4
+            else:
+                nvals = 1
+            if ptype in (_PT_STRING8, _PT_UNICODE, 0x0102,
+                         0x101E, 0x101F, 0x1102):
+                for _ in range(nvals):
+                    if pos + 4 > len(blob):
+                        return None
+                    ln = int.from_bytes(blob[pos:pos + 4], "little")
+                    pos += 4
+                    val = blob[pos:pos + ln]
+                    pos += (ln + 3) & ~3   # 4-byte aligned
+                    if pid == _PID_ATTACH_LONG_FILENAME:
+                        if ptype == _PT_UNICODE:
+                            return val.decode("utf-16-le",
+                                              "replace").rstrip("\x00")
+                        return val.decode("cp1252",
+                                          "replace").rstrip("\x00")
+            elif ptype in (0x0002, 0x000B):
+                pos += 4 * nvals
+            elif ptype in (0x0003, 0x0004, 0x000A):
+                pos += 4 * nvals
+            elif ptype in (0x0005, 0x0006, 0x0007, 0x0014, 0x0040):
+                pos += 8 * nvals
+            elif ptype == 0x0048:
+                pos += 16 * nvals
+            else:
+                return None   # unknown fixed size: stop walking
+    except Exception:
+        return None
+    return None
+
+
+def extract_tnef(data: bytes, url: str | None = None,
+                 declared_type: str | None = None,
+                 config: ExtractConfig = _DEFAULT) -> dict:
+    """winmail.dat (TNEF) extraction: walk the level-prefixed attribute
+    stream; message body/subject become text/title, attachments become
+    ``children`` for the F1 recursion (filename from attATTACHTITLE,
+    overridden by the MAPI long filename when present)."""
+    data = bytes(data or b"")
+    metadata: dict[str, list[str]] = {
+        "Content-Type": ["application/vnd.ms-tnef"]}
+    if len(data) < 6 or int.from_bytes(data[:4], "little") != \
+            _TNEF_SIGNATURE:
+        return {"charset": None, "title": None, "text": "", "spans": [],
+                "links": [], "metadata": metadata,
+                "status": "error", "error": "bad TNEF signature",
+                "children": []}
+
+    pos = 6   # signature + attach key
+    subject = None
+    body_parts: list[str] = []
+    children: list[tuple[str, bytes]] = []
+    # per-attachment assembly state
+    cur_data: bytes | None = None
+    cur_title: str | None = None
+    cur_long: str | None = None
+
+    def flush():
+        nonlocal cur_data, cur_title, cur_long
+        if cur_data is not None:
+            name = cur_long or cur_title or \
+                f"attachment-{len(children)}.bin"
+            children.append((name, cur_data))
+        cur_data = cur_title = cur_long = None
+
+    while pos + 9 <= len(data) and len(children) < 1000:
+        level = data[pos]
+        attr_id = int.from_bytes(data[pos + 1:pos + 3], "little")
+        # attr type word at pos+3:pos+5 (unused beyond the id split)
+        length = int.from_bytes(data[pos + 5:pos + 9], "little")
+        pos += 9
+        if length > len(data) - pos:
+            break
+        payload = data[pos:pos + length]
+        pos += length + 2   # + checksum
+        if level == 1:      # message attributes
+            if attr_id == _ATT_SUBJECT:
+                subject = payload.decode("cp1252",
+                                         "replace").rstrip("\x00")
+            elif attr_id == _ATT_BODY:
+                body_parts.append(
+                    payload.decode("cp1252", "replace").rstrip("\x00"))
+        elif level == 2:    # attachment attributes
+            if attr_id == _ATT_ATTACH_REND:
+                flush()
+            elif attr_id == _ATT_ATTACH_DATA:
+                cur_data = payload
+            elif attr_id == _ATT_ATTACH_TITLE:
+                cur_title = payload.decode("cp1252",
+                                           "replace").rstrip("\x00")
+            elif attr_id == _ATT_ATTACHMENT:
+                cur_long = _mapi_long_filename(payload) or cur_long
+    flush()
+
+    if subject:
+        metadata["title"] = [subject]
+        metadata["subject"] = [subject]
+    pieces = []
+    if subject:
+        pieces.append(subject + "\n")
+    for b in body_parts:
+        pieces.append(b if b.endswith("\n") else b + "\n")
+    text = safe_chars("".join(pieces))
+    return {
+        "charset": None,
+        "title": subject,
+        "text": text,
+        "spans": [(0, len(text), "body")] if text else [],
+        "links": [],
+        "metadata": metadata,
+        "status": "ok",
+        "children": children,
+    }

@@ -452,6 +452,196 @@ def _id3_meta(data: bytes) -> dict[str, list[str]]:
     return meta
 
 
+# ---- audio / science / CAD header metadata (round 2: real header
+# parsing for the formats previously surfaced as bare status rows —
+# reference parity: mp3/MidiParser.java, audio/AudioParser.java,
+# dwg/DWGParser.java, netcdf parser metadata surface)
+
+
+def _midi_meta(data: bytes) -> dict[str, list[str]]:
+    """MThd header: format, track count, division (MidiParser.java
+    tracks/division-type semantics)."""
+    if data[:4] != b"MThd" or len(data) < 14:
+        return {}
+    fmt, ntracks, division = struct.unpack(">HHH", data[8:14])
+    meta = {"tracks": [str(ntracks)], "midi-format": [str(fmt)]}
+    if division & 0x8000:   # SMPTE time
+        meta["division-type"] = ["SMPTE"]
+    else:
+        meta["division-type"] = ["PPQ"]
+        meta["ticksPerBeat"] = [str(division)]
+    return meta
+
+
+def _ieee754_extended(b: bytes) -> float:
+    """80-bit extended float (AIFF sample rate field)."""
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    f = mant / (1 << 63) * 2.0 ** (exp - 16383)
+    return -f if b[0] & 0x80 else f
+
+
+def _aiff_meta(data: bytes) -> dict[str, list[str]]:
+    """FORM/AIFF COMM chunk: channels, sample size/rate, duration."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        return {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        clen = int.from_bytes(data[pos + 4:pos + 8], "big")
+        if cid == b"COMM" and clen >= 18:
+            ch, frames, bits = struct.unpack(
+                ">HIH", data[pos + 8:pos + 16])
+            rate = _ieee754_extended(data[pos + 16:pos + 26])
+            meta = {"channels": [str(ch)], "bits": [str(bits)],
+                    "samplerate": [str(int(rate))]}
+            if rate > 0:
+                meta["xmpDM:duration"] = [f"{frames / rate:.2f}"]
+            return meta
+        pos += 8 + clen + (clen & 1)
+    return {}
+
+
+def _au_meta(data: bytes) -> dict[str, list[str]]:
+    """Sun .au header: encoding, sample rate, channels."""
+    if data[:4] != b".snd" or len(data) < 24:
+        return {}
+    _off, _size, enc, rate, ch = struct.unpack(">IIIII", data[4:24])
+    return {"encoding": [str(enc)], "samplerate": [str(rate)],
+            "channels": [str(ch)]}
+
+
+def _wav_meta(data: bytes) -> dict[str, list[str]]:
+    """RIFF/WAVE fmt chunk: channels, rate, bits, duration from the
+    data chunk byte length."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return {}
+    pos, meta, byterate = 12, {}, 0
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and clen >= 16:
+            _fmt, ch, rate, byterate, _ba, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8:pos + 24])
+            meta = {"channels": [str(ch)], "samplerate": [str(rate)],
+                    "bits": [str(bits)]}
+        elif cid == b"data" and byterate:
+            meta["xmpDM:duration"] = [f"{clen / byterate:.2f}"]
+            break
+        pos += 8 + clen + (clen & 1)
+    return meta
+
+
+def _flac_meta(data: bytes) -> dict[str, list[str]]:
+    """fLaC STREAMINFO: sample rate, channels, bits, total samples."""
+    if data[:4] != b"fLaC" or len(data) < 42 or (data[4] & 0x7F) != 0:
+        return {}
+    si = data[8:42]   # STREAMINFO is always first and 34 bytes
+    packed = int.from_bytes(si[10:18], "big")
+    rate = packed >> 44
+    ch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    meta = {"samplerate": [str(rate)], "channels": [str(ch)],
+            "bits": [str(bits)]}
+    if rate and total:
+        meta["xmpDM:duration"] = [f"{total / rate:.2f}"]
+    return meta
+
+
+def _ogg_meta(data: bytes) -> dict[str, list[str]]:
+    """Vorbis identification header on the first Ogg page."""
+    i = data.find(b"\x01vorbis", 0, 4096)
+    if i < 0 or i + 23 > len(data):
+        return {}
+    ch = data[i + 11]
+    rate = int.from_bytes(data[i + 12:i + 16], "little")
+    return {"channels": [str(ch)], "samplerate": [str(rate)],
+            "audioCompressor": ["Vorbis"]}
+
+
+def _mp4_meta(data: bytes) -> dict[str, list[str]]:
+    """ISO-BMFF: major brand from ftyp; duration/timescale from mvhd
+    (top-level box walk, no codec work)."""
+    meta: dict[str, list[str]] = {}
+    if len(data) > 12 and data[4:8] == b"ftyp":
+        meta["major-brand"] = [data[8:12].decode("latin-1").strip()]
+    i = data.find(b"mvhd")
+    if 0 <= i and i + 28 <= len(data):
+        ver = data[i + 4]
+        if ver == 0 and i + 24 <= len(data):
+            ts = int.from_bytes(data[i + 16:i + 20], "big")
+            dur = int.from_bytes(data[i + 20:i + 24], "big")
+        elif ver == 1 and i + 36 <= len(data):
+            ts = int.from_bytes(data[i + 24:i + 28], "big")
+            dur = int.from_bytes(data[i + 28:i + 36], "big")
+        else:
+            return meta
+        if ts:
+            meta["xmpDM:duration"] = [f"{dur / ts:.2f}"]
+    return meta
+
+
+def _netcdf_meta(data: bytes) -> dict[str, list[str]]:
+    """NetCDF classic header: record count + dimension names/sizes
+    (the metadata surface of the reference's netcdf parser)."""
+    if data[:3] != b"CDF" or data[3] not in (1, 2):
+        return {}
+    w = 8 if data[3] == 2 else 4   # offset width (irrelevant here)
+    del w
+    numrecs = int.from_bytes(data[4:8], "big")
+    meta = {"numrecs": [str(numrecs)]}
+    pos = 8
+    tag = int.from_bytes(data[pos:pos + 4], "big")
+    ndims = int.from_bytes(data[pos + 4:pos + 8], "big")
+    pos += 8
+    if tag != 0x0A or ndims > 512:
+        return meta
+    dims = []
+    for _ in range(ndims):
+        nlen = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+        name = data[pos:pos + nlen].decode("utf-8", "replace")
+        pos += (nlen + 3) & ~3
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+        if pos > len(data):
+            break
+        dims.append(f"{name}={size if size else 'UNLIMITED'}")
+    if dims:
+        meta["dimensions"] = dims
+    return meta
+
+
+def _dwg_meta(data: bytes) -> dict[str, list[str]]:
+    """AutoCAD release from the AC10xx signature
+    (DWGParser.java version map)."""
+    versions = {b"AC1012": "R13", b"AC1014": "R14", b"AC1015": "2000",
+                b"AC1018": "2004", b"AC1021": "2007", b"AC1024": "2010",
+                b"AC1027": "2013", b"AC1032": "2018"}
+    v = versions.get(data[:6])
+    return {"dwg-version": [v]} if v else {}
+
+
+_META_BY_MIME = {
+    "audio/midi": _midi_meta,
+    "audio/x-aiff": _aiff_meta,
+    "audio/basic": _au_meta,
+    "audio/x-wav": _wav_meta,
+    "audio/x-flac": _flac_meta,
+    "audio/ogg": _ogg_meta,
+    "video/ogg": _ogg_meta,
+    "application/ogg": _ogg_meta,
+    "video/mp4": _mp4_meta,
+    "audio/mp4": _mp4_meta,
+    "video/quicktime": _mp4_meta,
+    "application/x-netcdf": _netcdf_meta,
+    "image/vnd.dwg": _dwg_meta,
+}
+
+
 def extract_media(data: bytes, url: str | None = None,
                   declared_type: str | None = None,
                   config: ExtractConfig = _DEFAULT,
@@ -496,6 +686,11 @@ def extract_media(data: bytes, url: str | None = None,
         try:
             metadata.update(fn2(data))
             title = metadata.get("title", [None])[0]
+        except Exception:
+            pass
+    elif mime in _META_BY_MIME:
+        try:
+            metadata.update(_META_BY_MIME[mime](data))
         except Exception:
             pass
     return {

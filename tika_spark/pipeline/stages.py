@@ -30,7 +30,7 @@ from tika_spark.pkg.epub import extract_epub
 from tika_spark.pkg.odf import extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
-from tika_spark.mail import extract_mbox, extract_rfc822
+from tika_spark.mail import extract_mbox, extract_rfc822, extract_tnef
 from tika_spark.media import extract_media
 from tika_spark.chm.parser import extract_chm
 from tika_spark.ole.parser import extract_ole
@@ -98,7 +98,9 @@ ROUTE_TABLE = {
     "image/vnd.dwg": "media",
     "application/x-netcdf": "media",
     "application/x-hdf": "media",
-    "application/vnd.ms-tnef": "media",
+    "audio/x-aiff": "media",
+    "audio/basic": "media",
+    "application/vnd.ms-tnef": "tnef",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
     "application/x-gzip": "pkg",
@@ -162,6 +164,7 @@ _EXTRACTORS = {
     "rtf": extract_rtf,
     "rfc822": extract_rfc822,
     "mbox": extract_mbox,
+    "tnef": extract_tnef,
     "media": extract_media,
     "pkg": extract_package,
     "ooxml": extract_ooxml,
