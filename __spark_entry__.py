@@ -11,9 +11,15 @@ for the hardest byte-parity surfaces: text-main/Boilerpipe
 (extract_main_text), PDF text incl. two-box reading order + ObjStm
 (extract_pdf_text), statistical charset detection
 (extract_charset_statistical), exact language id on seed-corpus pages
-(language_id), and LSH recall vs the exact top-k (ann_lsh_recall).
-Remaining rows-only ops (MinHash LSH pairs, SimHash pairs,
-raw approximate ANN lists) are documented as such.
+(language_id), and LSH recall vs the exact top-k (ann_lsh_recall) —
+then widened to every parser surface (RTF, RFC822 mail, RSS feeds,
+DOCX/ODT/EPUB, the XHTML sink) and to the previously rows-only dedup
+ops: dedup_minhash_lsh matches the all-pairs Jaccard SQL (the exact
+verify join makes LSH output deterministic-equal), and dedup_simhash
+at hamming<=3 matches a full FNV-1a+bit-vote signature re-derivation
+in DuckDB (pigeonhole-complete blocking). Only the raw approximate
+ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
+their checkable forms.
 
 Numeric conventions for hash-stable comparisons: similarities as
 integer micro-units, all counts cast to long, deterministic tie-breaks
