@@ -472,3 +472,13 @@ def test_media_meta_never_raises_on_garbage():
             blob = bytes(rnd.randrange(256) for _ in range(n))
             r = extract_media(blob, mime=mime)
             assert r["status"] == "ok"
+
+
+def test_hdf_meta():
+    from tika_spark.media import extract_media
+    r = extract_media(b"\x89HDF\r\n\x1a\n\x00" + b"\x00" * 16,
+                      mime="application/x-hdf")
+    assert r["metadata"]["hdf-version"] == ["5"]
+    r2 = extract_media(b"\x0e\x03\x13\x01" + b"\x00" * 8,
+                       mime="application/x-hdf")
+    assert r2["metadata"]["hdf-version"] == ["4"]

@@ -114,3 +114,37 @@ def test_sessionize_stream_state(spark, tmp_path):
                 base + dt.timedelta(minutes=135), 2),
                ("b", base, base, 1)}
     assert rows_set <= allowed
+
+
+def test_dedup_stream_keeps_first_per_fingerprint(spark, tmp_path):
+    """Streaming exact dedup: engine-managed dropDuplicates state on
+    the text fingerprint, watermark-bounded."""
+    import datetime as dt
+
+    from tika_spark.streaming.stateful import dedup_stream
+
+    inp = str(tmp_path / "d_in")
+    base = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows = [
+        ("u0", base, "alpha beta gamma"),
+        ("u1", base + dt.timedelta(minutes=1), "alpha  beta gamma"),
+        ("u2", base + dt.timedelta(minutes=2), "different text here"),
+        ("u3", base + dt.timedelta(minutes=3), "alpha beta gamma"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string") \
+        .coalesce(1).write.parquet(inp)
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .parquet(inp))
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("ddup").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["url"] for r in spark.sql("select * from ddup").collect()}
+    # u1 normalizes to u0's text (whitespace collapse); u3 is an exact
+    # dup; one of {u0,u1} survives plus u2 (single batch: engine picks
+    # the first row per key within the batch in input order)
+    assert "u2" in got
+    assert len(got) == 2
+    assert got & {"u0", "u1"}

@@ -625,6 +625,17 @@ def _dwg_meta(data: bytes) -> dict[str, list[str]]:
     return {"dwg-version": [v]} if v else {}
 
 
+def _hdf_meta(data: bytes) -> dict[str, list[str]]:
+    """HDF5 superblock version / HDF4 magic (the metadata surface of
+    the reference's hdf parser)."""
+    if data[:8] == b"\x89HDF\r\n\x1a\n" and len(data) > 8:
+        return {"hdf-version": ["5"],
+                "superblock-version": [str(data[8])]}
+    if data[:4] == b"\x0e\x03\x13\x01":
+        return {"hdf-version": ["4"]}
+    return {}
+
+
 _META_BY_MIME = {
     "audio/midi": _midi_meta,
     "audio/x-aiff": _aiff_meta,
@@ -638,6 +649,7 @@ _META_BY_MIME = {
     "audio/mp4": _mp4_meta,
     "video/quicktime": _mp4_meta,
     "application/x-netcdf": _netcdf_meta,
+    "application/x-hdf": _hdf_meta,
     "image/vnd.dwg": _dwg_meta,
 }
 

@@ -113,3 +113,32 @@ def sessionize_stream(events_stream: DataFrame,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# ------------------------------------------------------ streaming dedup
+
+
+def dedup_stream(docs_stream: DataFrame, ts_col: str = "warc_ts",
+                 text_col: str = "text",
+                 late: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per
+    normalized-text fingerprint, continuously.
+
+    Built on the engine's own streaming-dedup state
+    (``dropDuplicates`` on a fingerprint column + event-time
+    watermark): Structured Streaming keeps one state row per distinct
+    fingerprint and evicts it once the watermark passes — so the
+    state is bounded by the duplicate horizon ``late``, not by the
+    total corpus. That is the right 100 TB trade: exact dedup within
+    the re-crawl window, while cross-epoch dedup runs as the batch
+    :func:`tika_spark.analysis.dedup.exact_dedup` over the full
+    Iceberg table.
+
+    Shuffle carries (fingerprint, ts) + the projected row; the text
+    column itself is hashed map-side (xxhash64 + md5 via
+    ``fingerprint``'s column expressions) and never keyed on.
+    """
+    from tika_spark.analysis.textstats import fingerprint
+    fp = fingerprint(docs_stream, text_col)
+    return (fp.withWatermark(ts_col, late)
+              .dropDuplicates(["fp_64", "fp_md5"]))
