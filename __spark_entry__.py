@@ -61,12 +61,13 @@ def _html_wrap(title_prefix: str = "Doc ") -> F.Column:
 
 
 def _pages_mixed(docs: DataFrame) -> DataFrame:
-    """Mixed-format pages: doc_id%8 → html | pdf-stub | txt | xml |
-    webp | sqlite | mp4 | woff2 (the last four exercise the widened
-    magic table; their payload is the published signature + the doc
-    text as filler). Pure column expressions — the 100TB generation
-    path is this same projection over the real crawl table."""
-    k = F.pmod(F.col("doc_id"), F.lit(8))
+    """Mixed-format pages: doc_id%16 → html | pdf-stub | txt | xml |
+    webp | sqlite | mp4 | woff2 | rar | flac | midi | swf | cab |
+    mpeg-ps | pcap | kml (signature-prefix payloads exercising the
+    widened magic table + a root-XML refinement case; filler is the
+    doc text). Pure column expressions — the 100TB generation path is
+    this same projection over the real crawl table."""
+    k = F.pmod(F.col("doc_id"), F.lit(16))
     body = F.encode(F.col("text"), "UTF-8")
     payload = (F.when(k == 0, _html_wrap())
                .when(k == 1, F.encode(
@@ -82,7 +83,26 @@ def _pages_mixed(docs: DataFrame) -> DataFrame:
                .when(k == 6, F.concat(
                    F.lit(b"\x00\x00\x00\x20ftypisom\x00\x00\x02\x00"),
                    body))
-               .otherwise(F.concat(F.lit(b"wOF2\x00\x01\x00\x00"), body)))
+               .when(k == 7, F.concat(F.lit(b"wOF2\x00\x01\x00\x00"),
+                                      body))
+               .when(k == 8, F.concat(F.lit(b"Rar!\x1a\x07\x00"), body))
+               .when(k == 9, F.concat(F.lit(b"fLaC\x00\x00\x00\x22"),
+                                      body))
+               .when(k == 10, F.concat(
+                   F.lit(b"MThd\x00\x00\x00\x06\x00\x01\x00\x02\x01"
+                         b"\xe0"), body))
+               .when(k == 11, F.concat(F.lit(b"FWS\x09"), body))
+               .when(k == 12, F.concat(
+                   F.lit(b"MSCF\x00\x00\x00\x00"), body))
+               .when(k == 13, F.concat(
+                   F.lit(b"\x00\x00\x01\xba\x44"), body))
+               .when(k == 14, F.concat(
+                   F.lit(b"\xd4\xc3\xb2\xa1\x02\x00\x04\x00"), body))
+               .otherwise(F.encode(F.concat(
+                   F.lit('<?xml version="1.0"?><kml xmlns="http://www'
+                         '.opengis.net/kml/2.2"><Placemark><name>'),
+                   F.col("text"),
+                   F.lit("</name></Placemark></kml>")), "UTF-8")))
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
         payload.alias("html"))
@@ -950,11 +970,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "detect_mime_counts": (
-            "SELECT CASE doc_id % 8 WHEN 0 THEN 'text/html' "
+            "SELECT CASE doc_id % 16 WHEN 0 THEN 'text/html' "
             "WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'text/plain' "
             "WHEN 3 THEN 'application/xml' WHEN 4 THEN 'image/webp' "
             "WHEN 5 THEN 'application/x-sqlite3' "
-            "WHEN 6 THEN 'video/mp4' ELSE 'font/woff2' END AS mime, "
+            "WHEN 6 THEN 'video/mp4' WHEN 7 THEN 'font/woff2' "
+            "WHEN 8 THEN 'application/x-rar-compressed' "
+            "WHEN 9 THEN 'audio/x-flac' WHEN 10 THEN 'audio/midi' "
+            "WHEN 11 THEN 'application/x-shockwave-flash' "
+            "WHEN 12 THEN 'application/vnd.ms-cab-compressed' "
+            "WHEN 13 THEN 'video/mpeg' "
+            "WHEN 14 THEN 'application/vnd.tcpdump.pcap' "
+            "ELSE 'application/vnd.google-earth.kml+xml' END AS mime, "
             "COUNT(*)::BIGINT AS n FROM documents GROUP BY 1"),
         "extract_charset_meta": (
             "SELECT 'doc://' || doc_id AS url, CASE doc_id % 2 "

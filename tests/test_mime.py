@@ -339,3 +339,32 @@ def test_glob_table_has_no_duplicate_keys():
     keys = [k.value for k in big[0].keys if isinstance(k, ast.Constant)]
     dups = sorted({k for k in keys if keys.count(k) > 1})
     assert dups == [], f"duplicate glob keys: {dups}"
+
+
+def test_widened_root_xml_rules():
+    """Root-element refinement names the widened +xml family
+    (tika-mimetypes.xml root-XML blocks)."""
+    from tika_spark.mime.detector import detect
+    cases = [
+        (b'<?xml version="1.0"?><kml xmlns="http://www.opengis.net/'
+         b'kml/2.2"><Placemark/></kml>',
+         "application/vnd.google-earth.kml+xml"),
+        (b'<?xml version="1.0"?><gpx version="1.1"><trk/></gpx>',
+         "application/gpx+xml"),
+        (b'<?xml version="1.0"?><opml version="2.0"><head/></opml>',
+         "text/x-opml+xml"),
+        (b'<?xml version="1.0"?><math xmlns="http://www.w3.org/1998/'
+         b'Math/MathML"><mi>x</mi></math>',
+         "application/mathml+xml"),
+        (b'<?xml version="1.0"?><xsl:stylesheet xmlns:xsl="http://www'
+         b'.w3.org/1999/XSL/Transform" version="1.0"/>',
+         "application/xslt+xml"),
+        (b'<?xml version="1.0"?><project xmlns="http://maven.apache.'
+         b'org/POM/4.0.0"><modelVersion>4.0.0</modelVersion></project>',
+         "application/x-maven-pom+xml"),
+        # ant build files share the <project> root but not the POM ns
+        (b'<?xml version="1.0"?><project name="build" default="all"/>',
+         "application/xml"),
+    ]
+    for payload, want in cases:
+        assert detect(payload) == want, (want, detect(payload))

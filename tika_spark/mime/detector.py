@@ -74,7 +74,25 @@ _ROOT_XML_MAP = {
     "svg": "image/svg+xml",
     "rdf": "application/rdf+xml",
     "fictionbook": "application/x-fictionbook+xml",
+    # widened toward the reference's 24 root-XML rules
+    # (tika-mimetypes.xml root-XML blocks)
+    "kml": "application/vnd.google-earth.kml+xml",
+    "gpx": "application/gpx+xml",
+    "opml": "text/x-opml+xml",
+    "math": "application/mathml+xml",
+    "smil": "application/smil+xml",
+    "stylesheet": "application/xslt+xml",      # xsl:stylesheet
+    "definitions": "application/wsdl+xml",     # wsdl:definitions
+    "x3d": "model/x3d+xml",
+    "urlset": "application/xml",               # sitemaps stay generic
+    "plist": "application/x-plist",
+    "wml": "text/vnd.wap.wml",
+    "ttml": "application/ttml+xml",
+    "mods": "application/mods+xml",
+    "mets": "application/mets+xml",
+    "dfxp": "application/ttaf+xml",
 }
+_MAVEN_NS = b"http://maven.apache.org/POM"
 _XHTML_NS = b"http://www.w3.org/1999/xhtml"
 
 
@@ -99,6 +117,8 @@ def refine_xml_root(prefix: bytes) -> str | None:
     local = tag.group(2).decode("ascii", errors="ignore").lower()
     if local == "html" and _XHTML_NS in tag.group(0):
         return "application/xhtml+xml"
+    if local == "project" and _MAVEN_NS in tag.group(0):
+        return "application/x-maven-pom+xml"
     return _ROOT_XML_MAP.get(local)
 
 
