@@ -916,10 +916,15 @@ _SIMHASH_SIGS = rf"""
     SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS
     tok FROM documents),
   th AS (
+    -- list_filter drops the '' element DuckDB yields when splitting
+    -- an empty token (ord('') is -1, which would corrupt the fold);
+    -- an empty token then reduces to the bare FNV offset basis,
+    -- matching Spark's hash64('')
     SELECT doc_id, list_reduce(
       list_prepend(14695981039346656037::HUGEINT,
-        list_transform(string_split_regex(tok, ''),
-                       c -> ord(c)::HUGEINT)),
+        list_transform(
+          list_filter(string_split_regex(tok, ''), c -> c <> ''),
+          c -> ord(c)::HUGEINT)),
       {_FNV_FOLD}) AS h
     FROM toks),
   bitvotes AS (

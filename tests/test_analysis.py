@@ -213,3 +213,40 @@ def test_mp3_duration_estimate():
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"", "image/png")
+
+
+def test_minhash_lsh_catches_every_qualifying_pair_sf001(spark):
+    """Pins the corpus property the dedup_minhash_lsh oracle relies
+    on: at sf0.01 every pair with exact shingle Jaccard >= 0.12 is
+    found by the seeded LSH banding (the corpus's qualifying pairs
+    sit at s >= 0.9 where the s-curve is ~1). If testdata ever gains
+    a mid-band pair that banding misses, this fails loudly here
+    rather than as a driver hash mismatch."""
+    import os
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        import pytest
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.12)
+           .collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = {tuple(r) for r in con.execute(r"""
+        WITH s AS (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, len(w)-2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents))
+        SELECT a.doc_id, b.doc_id FROM s a
+        JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
+          >= 0.12""").fetchall()}
+    assert got == want

@@ -438,3 +438,19 @@ def test_widened_office_globs():
         "presentationml.slideshow")
     assert globs.match_name("u://a.odg") == \
         "application/vnd.oasis.opendocument.graphics"
+
+
+def test_deb_routes_to_ar_handler():
+    """A glob-specialized archive subtype (x-debian-package, jar, kmz)
+    still dispatches to its byte-level handler family via the lattice
+    — the name hint must never derail extraction."""
+    ar = (b"!<arch>\n"
+          + b"debian-binary   0           0     0     100644  4"
+          + b"         `\n2.0\n")
+    assert detect(ar, "http://x/pkg.deb") == \
+        "application/x-debian-package"
+    r = extract_package(ar, "http://x/pkg.deb", None, CFG,
+                        mime="application/x-debian-package")
+    assert r["status"] == "ok"
+    assert [c[0] for c in r["children"]] == ["debian-binary"]
+    assert r["children"][0][1] == b"2.0\n"

@@ -188,10 +188,8 @@ def _mapi_long_filename(blob: bytes) -> str | None:
                                               "replace").rstrip("\x00")
                         return val.decode("cp1252",
                                           "replace").rstrip("\x00")
-            elif ptype in (0x0002, 0x000B):
-                pos += 4 * nvals
-            elif ptype in (0x0003, 0x0004, 0x000A):
-                pos += 4 * nvals
+            elif ptype in (0x0002, 0x000B, 0x0003, 0x0004, 0x000A):
+                pos += 4 * nvals   # 16/32-bit + bool, 4-byte aligned
             elif ptype in (0x0005, 0x0006, 0x0007, 0x0014, 0x0040):
                 pos += 8 * nvals
             elif ptype == 0x0048:
@@ -231,13 +229,15 @@ def extract_tnef(data: bytes, url: str | None = None,
 
     def flush():
         nonlocal cur_data, cur_title, cur_long
-        if cur_data is not None:
+        # cap applies to attachments only — message-level attributes
+        # (body/subject) keep parsing past it
+        if cur_data is not None and len(children) < 1000:
             name = cur_long or cur_title or \
                 f"attachment-{len(children)}.bin"
             children.append((name, cur_data))
         cur_data = cur_title = cur_long = None
 
-    while pos + 9 <= len(data) and len(children) < 1000:
+    while pos + 9 <= len(data):
         level = data[pos]
         attr_id = int.from_bytes(data[pos + 1:pos + 3], "little")
         # attr type word at pos+3:pos+5 (unused beyond the id split)

@@ -589,8 +589,7 @@ def _netcdf_meta(data: bytes) -> dict[str, list[str]]:
     (the metadata surface of the reference's netcdf parser)."""
     if data[:3] != b"CDF" or data[3] not in (1, 2):
         return {}
-    w = 8 if data[3] == 2 else 4   # offset width (irrelevant here)
-    del w
+    # (CDF-2's 64-bit offsets don't change the dim-list layout read here)
     numrecs = int.from_bytes(data[4:8], "big")
     meta = {"numrecs": [str(numrecs)]}
     pos = 8

@@ -3,7 +3,8 @@
 Pipeline per document (re-derived from the reference's detection flow,
 tika-core/.../mime/MimeTypes.java:505-561):
 
-1. magic-byte match over the first 8192 bytes (magic.py);
+1. magic-byte match (magic.py; per-clause window slices, offsets
+   bounded by MAGIC_PREFIX = 64 KiB — no prefix copy);
 2. if the magic answer is XML-ish or HTML-ish, refine by the root
    element QName (XmlRootExtractor.java:39-60 semantics);
 3. if still undecided, text-vs-binary sniff over the first 512 bytes
@@ -26,7 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from tika_spark.config import MAGIC_PREFIX, TEXT_SNIFF_PREFIX
+from tika_spark.config import TEXT_SNIFF_PREFIX
 from tika_spark.mime import globs, lattice, magic
 
 OCTET_STREAM = lattice.OCTET_STREAM
@@ -96,9 +97,13 @@ _MAVEN_NS = b"http://maven.apache.org/POM"
 _XHTML_NS = b"http://www.w3.org/1999/xhtml"
 
 
+_XML_ROOT_PREFIX = 8192  # root-tag scan window (regex + possible
+#                          UTF-16 transcode stay on a small slice)
+
+
 def refine_xml_root(prefix: bytes) -> str | None:
     """Media type from the first start-tag local name, else None."""
-    body = prefix[:MAGIC_PREFIX]
+    body = prefix[:_XML_ROOT_PREFIX]
     for bom in (b"\xef\xbb\xbf",):
         if body.startswith(bom):
             body = body[len(bom):]
@@ -139,7 +144,10 @@ def _apply_hint(current: str, hint: str | None) -> str:
 def detect(data: bytes | None, url: str | None = None,
            declared_type: str | None = None) -> str:
     """Full single-document detection; always returns a media type."""
-    prefix = (data or b"")[:MAGIC_PREFIX]
+    # no prefix copy: match_magic slices per-clause windows lazily and
+    # never reads past MAGIC_PREFIX; the refinement tiers below slice
+    # their own small windows
+    prefix = data or b""
     mime = magic.match_magic(prefix)
 
     if mime in ("application/xml", "text/html", "application/xhtml+xml"):

@@ -282,6 +282,8 @@ for _rule in MAGIC_RULES:
     else:
         _first = None
     _PREPARED.append((_rule, _first))
+    for _c in _rule.clauses + (_rule.confirm or ()):
+        assert _c.hi + len(_c.pattern) <= MAGIC_PREFIX, _rule.mime
 
 
 def _clause_matches(prefix: bytes, c: Clause) -> bool:
@@ -310,7 +312,9 @@ def match_magic(prefix: bytes) -> str | None:
     """
     if not prefix:
         return None
-    prefix = prefix[:MAGIC_PREFIX]
+    # no upfront prefix copy: every clause slices only its own tiny
+    # (lo, hi+len) window, and all rule offsets are < MAGIC_PREFIX by
+    # construction (asserted below at import time)
     b0 = prefix[0]
     for rule, first_bytes in _PREPARED:
         if first_bytes is not None and b0 not in first_bytes:

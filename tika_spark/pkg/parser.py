@@ -177,6 +177,11 @@ def _bzip2_child(data: bytes, url: str | None, budget: int):
     return [(name, payload)], truncated
 
 
+_HANDLER_FAMILIES = frozenset((
+    "application/x-gzip", "application/x-bzip2", "application/x-tar",
+    "application/x-archive", "application/x-cpio", "application/zip"))
+
+
 def extract_package(data: bytes, url: str | None = None,
                     declared_type: str | None = None,
                     config: ExtractConfig = _DEFAULT,
@@ -190,6 +195,15 @@ def extract_package(data: bytes, url: str | None = None,
                 "application/x-bzip2" if data[:3] == b"BZh" else
                 "application/x-tar" if data[257:262] == b"ustar" else
                 "application/zip")
+    elif mime not in _HANDLER_FAMILIES:
+        # archive *subtypes* (x-debian-package -> x-archive, jar/kmz/
+        # apk -> zip) dispatch via their lattice supertype family, so
+        # a glob-specialized name never derails the byte-level handler
+        from tika_spark.mime import lattice
+        for t in lattice.supertype_chain(mime):
+            if t in _HANDLER_FAMILIES:
+                mime = t
+                break
     error = None
     try:
         if mime == "application/x-gzip":

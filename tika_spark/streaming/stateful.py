@@ -124,13 +124,16 @@ def dedup_stream(docs_stream: DataFrame, ts_col: str = "warc_ts",
     """Streaming exact dedup: keep the first-seen document per
     normalized-text fingerprint, continuously.
 
-    Built on the engine's own streaming-dedup state
-    (``dropDuplicates`` on a fingerprint column + event-time
-    watermark): Structured Streaming keeps one state row per distinct
-    fingerprint and evicts it once the watermark passes — so the
-    state is bounded by the duplicate horizon ``late``, not by the
-    total corpus. That is the right 100 TB trade: exact dedup within
-    the re-crawl window, while cross-epoch dedup runs as the batch
+    Built on the engine's own streaming-dedup state:
+    ``dropDuplicatesWithinWatermark`` on the fingerprint columns keeps
+    one state row per distinct fingerprint and **evicts it once the
+    event-time watermark passes** — state is bounded by the duplicate
+    horizon ``late``, not by the total corpus. (Plain
+    ``dropDuplicates`` would never evict: without the event-time
+    column in the subset, every fingerprint ever seen stays in the
+    state store.) Duplicates recurring beyond the horizon re-emit —
+    the right 100 TB trade: exact dedup within the re-crawl window,
+    while cross-epoch dedup runs as the batch
     :func:`tika_spark.analysis.dedup.exact_dedup` over the full
     Iceberg table.
 
@@ -141,4 +144,4 @@ def dedup_stream(docs_stream: DataFrame, ts_col: str = "warc_ts",
     from tika_spark.analysis.textstats import fingerprint
     fp = fingerprint(docs_stream, text_col)
     return (fp.withWatermark(ts_col, late)
-              .dropDuplicates(["fp_64", "fp_md5"]))
+              .dropDuplicatesWithinWatermark(["fp_64", "fp_md5"]))
