@@ -109,3 +109,18 @@ class TestWidenedSbcs:
         from tika_spark.language.corpus import PROFILE_LANGUAGES
         assert len(PROFILE_LANGUAGES) == 27
         assert not {"ar", "he", "tr", "zh"} & set(PROFILE_LANGUAGES)
+
+
+def test_iso2022_cn_and_kr_escapes():
+    """CN designations (GB2312 / CNS 11643) are named iso-2022-cn,
+    not mislabeled as JP; KR keeps its own name; the 7-bit ASCII runs
+    of a CN document survive the decode fallback."""
+    from tika_spark.charset import decode, detect_statistical
+    cn = b"Hello \x1b$)A\x0e;;<a\x0f world"
+    assert detect_statistical(cn) == "iso-2022-cn"
+    assert detect_statistical(b"x\x1b$*Hyz") == "iso-2022-cn"
+    kr = "안녕하세요".encode("iso2022_kr")
+    assert detect_statistical(kr) == "iso2022_kr"
+    # no Python codec for iso-2022-cn: ASCII text still readable
+    assert "Hello" in decode(cn, "iso-2022-cn")
+    assert "world" in decode(cn, "iso-2022-cn")

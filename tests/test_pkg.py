@@ -454,3 +454,39 @@ def test_deb_routes_to_ar_handler():
     assert r["status"] == "ok"
     assert [c[0] for c in r["children"]] == ["debian-binary"]
     assert r["children"][0][1] == b"2.0\n"
+
+
+FLAT_ODT = (
+    b'<?xml version="1.0" encoding="UTF-8"?>'
+    b'<office:document '
+    b'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    b'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    b'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+    b'office:mimetype="application/vnd.oasis.opendocument.text">'
+    b"<office:meta><dc:title>Flat Title</dc:title></office:meta>"
+    b"<office:body><office:text>"
+    b"<text:h>Flat Heading</text:h><text:p>flat body<text:tab/>tabbed"
+    b"</text:p></office:text></office:body></office:document>")
+
+
+def test_flat_odf_detect_and_extract():
+    """Flat (single-XML) ODF: root-element + office:mimetype detection
+    and the shared content walker (FlatOpenDocumentParser parity)."""
+    from tika_spark.pkg.odf import extract_flat_odf
+    assert detect(FLAT_ODT) == \
+        "application/vnd.oasis.opendocument.flat.text"
+    assert detect(b"x", "http://h/a.fods") == "text/plain"  # text sniff wins
+    r = extract_flat_odf(
+        FLAT_ODT, mime="application/vnd.oasis.opendocument.flat.text")
+    assert r["text"] == "Flat Heading\nflat body\ttabbed\n"
+    assert r["title"] == "Flat Title"
+
+
+def test_flat_odf_through_pipeline(spark):
+    from tika_spark.pipeline.job import extract
+    df = spark.createDataFrame([("http://e.com/doc.fodt", FLAT_ODT)],
+                               "url string, html binary")
+    row = extract(df, mode="text").collect()[0]
+    assert row["mime"] == "application/vnd.oasis.opendocument.flat.text"
+    assert row["text"] == "Flat Heading\nflat body\ttabbed\n"
+    assert row["title"] == "Flat Title"

@@ -185,8 +185,18 @@ def _score_sbcs_cyrillic(buf: np.ndarray, ranges) -> int:
 
 
 def _score_iso2022(raw: bytes) -> tuple[str, int] | None:
-    for seq, cs in ((b"\x1b$B", "iso2022_jp"), (b"\x1b$)C", "iso2022_kr"),
-                    (b"\x1b$)A", "iso2022_jp")):
+    """ISO-2022 escape designations (CharsetRecog_2022.java family):
+    KR/CN checked before JP because their SO-designation escapes are
+    longer/more specific. ISO-2022-CN has no Python codec — detection
+    still names it correctly (the 7-bit ASCII runs survive the
+    windows-1252 decode fallback)."""
+    for seq, cs in ((b"\x1b$)C", "iso2022_kr"),
+                    (b"\x1b$)A", "iso-2022-cn"),   # GB2312 designation
+                    (b"\x1b$)G", "iso-2022-cn"),   # CNS 11643 plane 1
+                    (b"\x1b$*H", "iso-2022-cn"),   # CNS 11643 plane 2
+                    (b"\x1b$B", "iso2022_jp"),     # JIS X 0208-1983
+                    (b"\x1b$@", "iso2022_jp"),     # JIS C 6226-1978
+                    (b"\x1b(J", "iso2022_jp")):    # JIS X 0201 roman
         if seq in raw:
             return cs, 100
     return None

@@ -94,6 +94,9 @@ _ROOT_XML_MAP = {
     "dfxp": "application/ttaf+xml",
 }
 _MAVEN_NS = b"http://maven.apache.org/POM"
+_ODF_NS = b"urn:oasis:names:tc:opendocument"
+_ODF_MIMETYPE_RE = re.compile(
+    rb'mimetype="application/vnd\.oasis\.opendocument\.([\w.-]+)"')
 _XHTML_NS = b"http://www.w3.org/1999/xhtml"
 
 
@@ -124,6 +127,11 @@ def refine_xml_root(prefix: bytes) -> str | None:
         return "application/xhtml+xml"
     if local == "project" and _MAVEN_NS in tag.group(0):
         return "application/x-maven-pom+xml"
+    if local == "document" and _ODF_NS in tag.group(0):
+        # flat (single-XML) OpenDocument: subtype from office:mimetype
+        m = _ODF_MIMETYPE_RE.search(tag.group(0))
+        sub = m.group(1).decode("ascii", "ignore") if m else "text"
+        return "application/vnd.oasis.opendocument.flat." + sub
     return _ROOT_XML_MAP.get(local)
 
 

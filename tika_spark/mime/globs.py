@@ -310,6 +310,10 @@ EXT_MAP: dict[str, str] = {
     "numbers": "application/vnd.apple.numbers",
     "key": "application/vnd.apple.keynote",
     "hwp": "application/x-hwp-v5",
+    "fodt": "application/vnd.oasis.opendocument.flat.text",
+    "fods": "application/vnd.oasis.opendocument.flat.spreadsheet",
+    "fodp": "application/vnd.oasis.opendocument.flat.presentation",
+    "fodg": "application/vnd.oasis.opendocument.flat.graphics",
     "sxw": "application/vnd.sun.xml.writer",
     "sxc": "application/vnd.sun.xml.calc",
     "sxi": "application/vnd.sun.xml.impress",

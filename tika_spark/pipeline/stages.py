@@ -27,7 +27,7 @@ from tika_spark.mime import lattice
 from tika_spark.mime.detector import detect_batch
 from tika_spark.pdf.parser import extract_pdf
 from tika_spark.pkg.epub import extract_epub
-from tika_spark.pkg.odf import extract_odf
+from tika_spark.pkg.odf import extract_flat_odf, extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
 from tika_spark.mail import extract_mbox, extract_rfc822, extract_tnef
@@ -142,6 +142,10 @@ ROUTE_TABLE = {
         "text-template", "spreadsheet-template",
         "presentation-template", "graphics-template",
         "chart-template", "formula-template", "image-template")},
+    # flat (single-XML) ODF family (FlatOpenDocumentParser)
+    **{"application/vnd.oasis.opendocument.flat." + t: "flat_odf"
+       for t in ("text", "spreadsheet", "presentation", "graphics",
+                 "chart", "formula", "image")},
     "application/epub+zip": "epub",
     # OLE2 binary Office (E7) — specific types from the OLE2 container
     # refinement (B8); the generic supertype catches unknown layouts
@@ -169,13 +173,14 @@ _EXTRACTORS = {
     "pkg": extract_package,
     "ooxml": extract_ooxml,
     "odf": extract_odf,
+    "flat_odf": extract_flat_odf,
     "epub": extract_epub,
     "ole": extract_ole,
     "chm": extract_chm,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
-_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "media", "ole"})
+_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "flat_odf", "media", "ole"})
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "

@@ -98,3 +98,47 @@ def extract_odf(data: bytes, url: str | None = None,
                                       "opendocument.text"]},
         "status": status,
     }
+
+
+def extract_flat_odf(data: bytes, url: str | None = None,
+                     declared_type: str | None = None,
+                     config: ExtractConfig = _DEFAULT,
+                     mime: str = "") -> dict:
+    """Flat (single-XML) OpenDocument: the whole document is one
+    ``office:document`` element carrying content + meta inline
+    (.fodt/.fods/.fodp — the reference's FlatOpenDocumentParser).
+    Reuses the zip-ODF content walker and metadata tag map."""
+    data = bytes(data or b"")
+    try:
+        root = ET.fromstring(data)
+    except Exception as e:
+        return {"charset": None, "title": None, "text": "", "spans": [],
+                "links": [], "metadata": {"Content-Type": [mime or
+                                          "application/xml"]},
+                "status": "error", "error": f"flat-odf: {e!r}"[:500]}
+    metadata: dict[str, list[str]] = {}
+    for tag, key in ((_DC + "title", "title"),
+                     (_DC + "creator", "Author"),
+                     (_DC + "subject", "subject"),
+                     (_META + "keyword", "Keywords")):
+        for el in root.iter(tag):
+            if el.text:
+                metadata.setdefault(key, []).append(el.text)
+    lines: list[str] = []
+    _walk(root, lines)
+    text = safe_chars("".join(lines))
+    limit = max(config.output_min_chars,
+                config.output_ratio * max(1, len(data)))
+    status = "ok"
+    if len(text) > limit:
+        text, status = text[:limit], "output_limit"
+    return {
+        "charset": None,
+        "title": metadata.get("title", [None])[0],
+        "text": text,
+        "spans": [(0, len(text), "body")] if text else [],
+        "links": [],
+        "metadata": {**metadata, "Content-Type": [
+            mime or "application/vnd.oasis.opendocument.flat.text"]},
+        "status": status,
+    }
