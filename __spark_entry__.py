@@ -396,6 +396,16 @@ def _q_dedup_simhash(spark, sf_dir):
                       F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH pairs → min-label
+    connected components → one representative per cluster, singletons
+    included. Oracle: DuckDB recursive CTE computing min-reachable-id
+    over the exact all-pairs Jaccard graph."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.12)
+    return dedup.dedup_representatives(docs, pairs)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
 
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1084,6 +1095,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM groups a JOIN groups b ON a.rep < b.rep "
             "WHERE bit_count(xor(a.sig, b.sig)) <= 3) "
             "SELECT * FROM star UNION ALL SELECT * FROM reppairs"),
+        "dedup_clusters": (
+            "WITH RECURSIVE s AS (SELECT doc_id, "
+            f"{_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS w "
+            "FROM documents)), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
+            "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+            " >= 0.12), "
+            "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(id, r) AS ("
+            "  SELECT a, a FROM e UNION SELECT a, b FROM e "
+            "  UNION SELECT reach.id, e.b FROM reach "
+            "  JOIN e ON reach.r = e.a), "
+            "comp AS (SELECT id, min(r) AS cluster FROM reach "
+            "GROUP BY id) "
+            "SELECT d.doc_id AS id, "
+            "coalesce(c.cluster, d.doc_id) AS cluster, "
+            "coalesce(c.cluster, d.doc_id) = d.doc_id AS is_rep "
+            "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"),
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], "

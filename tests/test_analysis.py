@@ -250,3 +250,28 @@ def test_minhash_lsh_catches_every_qualifying_pair_sf001(spark):
           / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
           >= 0.12""").fetchall()}
     assert got == want
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain (diameter 3) and a triangle
+    collapse to their min ids; singleton edges keep their own pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # single edge
+        "id_a long, id_b long")
+    got = {(r["id"], r["cluster"])
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
+
+
+def test_dedup_representatives_covers_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r["id"]: (r["cluster"], r["is_rep"])
+            for r in dedup.dedup_representatives(docs, pairs).collect()}
+    assert rows == {0: (0, True), 1: (1, True), 2: (2, True),
+                    3: (1, False), 4: (4, True), 5: (1, False)}

@@ -302,3 +302,65 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
     return dup_pairs.unionByName(near)
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster) with
+    cluster = the component's minimum id. The canonical post-pair
+    dedup step — keep one representative per cluster.
+
+    Min-label propagation: each round every node takes the min label
+    over itself and its neighbors; converges in O(component diameter)
+    rounds. Near-dup graphs are star/clique-shaped (diameter 2-3), so
+    a handful of rounds suffices; ``max_iter`` bounds pathological
+    chains. Per round: one shuffle join + one groupBy — both keyed on
+    ids only (never text), so the shuffle payload is 16 bytes/edge.
+
+    100 TB notes: labels persist per round (MEMORY_AND_DISK) and the
+    previous round unpersists — lineage stays one round deep, the
+    convergence probe (``changed`` count) is the only action per
+    round. Giant components (viral boilerplate) are exactly the
+    buckets the pair generators already cap (``max_bucket``), so the
+    join stays skew-safe.
+    """
+    from pyspark import StorageLevel
+
+    edges = (pairs.select(F.col("id_a").alias("a"),
+                          F.col("id_b").alias("b"))
+             .union(pairs.select(F.col("id_b").alias("a"),
+                                 F.col("id_a").alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(max_iter):
+        # neighbor labels: node a hears b's current label
+        msgs = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+                .select(F.col("a").alias("id"), "label"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (labels.withColumnRenamed("label", "old")
+                   .join(new_labels, "id")
+                   .filter(F.col("old") != F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_representatives(df: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, cluster, is_rep) for EVERY document: paired docs get their
+    component's min id, singletons are their own cluster. The keep-set
+    is ``is_rep``; anti-joining it is the final dedup filter."""
+    comp = connected_components(pairs)
+    out = (df.select(F.col(id_col).alias("id"))
+           .join(comp, "id", "left")
+           .select("id", F.coalesce("cluster", F.col("id"))
+                   .alias("cluster")))
+    return out.withColumn("is_rep", F.col("id") == F.col("cluster"))
