@@ -848,6 +848,23 @@ def _q_events_sessionize(spark, sf_dir):
     return sess
 
 
+def _q_events_asof_profile(spark, sf_dir):
+    """As-of join (§2.I): every 5th event acts as a profile snapshot;
+    each other event picks the latest snapshot at-or-before its ts per
+    user. Spark side is the union+window form (one shuffle, no
+    theta-join explosion); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from tika_spark.analysis.relational import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = (ev.filter(F.pmod("event_id", F.lit(5)) == 0)
+             .select("user_id", "ts", F.col("value").alias("profile")))
+    probes = (ev.filter(F.pmod("event_id", F.lit(5)) != 0)
+              .select("event_id", "user_id", "ts"))
+    out = asof_join(probes, snaps, "user_id", "ts")
+    return out.select(
+        "event_id",
+        F.round(F.col("profile") * 100).cast("long").alias("profile_c"))
+
+
 def _q_docs_rollup(spark, sf_dir):
     """Rollup aggregate over (lang, source) — §2.I grouping-sets
     coverage; NULL group keys coalesced to 'ALL' for hash stability."""
@@ -902,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_media_dims": _q_extract_media_dims,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
+        "events_asof_profile": _q_events_asof_profile,
         "ngram_profile_topk": _q_ngram_profile_topk,
         "language_profile_build": _q_language_profile_build,
         "events_sessionize": _q_events_sessionize,
@@ -1206,6 +1224,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id FROM (SELECT user_id, event_id, "
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
             "event_id DESC) AS rn FROM events) WHERE rn = 1"),
+        "events_asof_profile": (
+            "WITH snaps AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_id % 5 = 0), "
+            "probes AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_id % 5 <> 0) "
+            "SELECT p.event_id, "
+            "CAST(round(s.value * 100) AS BIGINT) AS profile_c "
+            "FROM probes p ASOF LEFT JOIN snaps s "
+            "ON p.user_id = s.user_id AND p.ts >= s.ts"),
         "ngram_profile_topk": (
             "WITH g AS (SELECT unnest(list_transform("
             "generate_series(1, greatest(length(norm)-2, 0)), "

@@ -275,3 +275,36 @@ def test_dedup_representatives_covers_singletons(spark):
             for r in dedup.dedup_representatives(docs, pairs).collect()}
     assert rows == {0: (0, True), 1: (1, True), 2: (2, True),
                     3: (1, False), 4: (4, True), 5: (1, False)}
+
+
+def test_asof_join_semantics(spark):
+    """ASOF <=: latest right row at-or-before each left ts per key;
+    same-instant right rows match; keys with no prior row get NULL;
+    tolerance nulls stale matches."""
+    import datetime as dt
+
+    from tika_spark.analysis.relational import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    right = spark.createDataFrame(
+        [(1, m(0), "a"), (1, m(10), "b"), (2, m(5), "x")],
+        "user_id long, ts timestamp, profile string")
+    left = spark.createDataFrame(
+        [(100, 1, m(4)),    # -> a
+         (101, 1, m(10)),   # same instant -> b
+         (102, 1, m(99)),   # -> b
+         (103, 2, m(4)),    # before any snap -> NULL
+         (104, 3, m(4))],   # unknown key -> NULL
+        "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["profile"]
+           for r in asof_join(left, right, "user_id", "ts").collect()}
+    assert got == {100: "a", 101: "b", 102: "b", 103: None, 104: None}
+
+    tol = {r["event_id"]: r["profile"]
+           for r in asof_join(left, right, "user_id", "ts",
+                              tolerance="30 MINUTE").collect()}
+    assert tol[102] is None      # 89 min stale
+    assert tol[100] == "a"
