@@ -865,6 +865,24 @@ def _q_events_asof_profile(spark, sf_dir):
         F.round(F.col("profile") * 100).cast("long").alias("profile_c"))
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Range join (§2.I): every 20th event opens a 30-minute per-user
+    interval; all of that user's events inside it match. Spark side is
+    the bucketed equi-join (candidates via (user, hour-bucket) keys,
+    then exact filter) — never a BroadcastNestedLoopJoin; oracle is
+    the plain BETWEEN theta-join DuckDB runs natively."""
+    from tika_spark.analysis.relational import range_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = (ev.filter(F.pmod("event_id", F.lit(20)) == 0)
+                 .select(F.col("event_id").alias("interval_id"),
+                         "user_id", F.col("ts").alias("start"),
+                         (F.col("ts") + F.expr("INTERVAL 30 MINUTE"))
+                         .alias("end")))
+    out = range_join(ev.select("event_id", "user_id", "ts"),
+                     intervals, key="user_id")
+    return out.select("interval_id", "event_id")
+
+
 def _q_docs_rollup(spark, sf_dir):
     """Rollup aggregate over (lang, source) — §2.I grouping-sets
     coverage; NULL group keys coalesced to 'ALL' for hash stability."""
@@ -920,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
+        "events_range_join": _q_events_range_join,
         "ngram_profile_topk": _q_ngram_profile_topk,
         "language_profile_build": _q_language_profile_build,
         "events_sessionize": _q_events_sessionize,
@@ -1233,6 +1252,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(s.value * 100) AS BIGINT) AS profile_c "
             "FROM probes p ASOF LEFT JOIN snaps s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"),
+        "events_range_join": (
+            "WITH intervals AS (SELECT event_id AS interval_id, "
+            "user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e "
+            "FROM events WHERE event_id % 20 = 0) "
+            "SELECT i.interval_id, ev.event_id FROM events ev "
+            "JOIN intervals i ON ev.user_id = i.user_id "
+            "AND ev.ts >= i.s AND ev.ts <= i.e"),
         "ngram_profile_topk": (
             "WITH g AS (SELECT unnest(list_transform("
             "generate_series(1, greatest(length(norm)-2, 0)), "

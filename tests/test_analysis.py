@@ -308,3 +308,34 @@ def test_asof_join_semantics(spark):
                               tolerance="30 MINUTE").collect()}
     assert tol[102] is None      # 89 min stale
     assert tol[100] == "a"
+
+
+def test_range_join_bucketed_equi(spark):
+    """Bucketed range join equals the naive theta-join, including
+    intervals spanning multiple buckets and boundary-inclusive ends."""
+    import datetime as dt
+
+    from tika_spark.analysis.relational import range_join
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    events = spark.createDataFrame(
+        [(i, 1 + i % 2, m(7 * i)) for i in range(40)],
+        "event_id long, user_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(100, 1, m(0), m(30)),      # within one hour bucket
+         (101, 2, m(50), m(200)),    # spans 3+ hourly buckets
+         (102, 1, m(500), m(510))],  # empty
+        "interval_id long, user_id long, start timestamp, end timestamp")
+    got = {(r["interval_id"], r["event_id"])
+           for r in range_join(events, intervals, key="user_id")
+           .collect()}
+    want = set()
+    for iid, uid, s, e in [(100, 1, 0, 30), (101, 2, 50, 200),
+                           (102, 1, 500, 510)]:
+        for i in range(40):
+            if 1 + i % 2 == uid and s <= 7 * i <= e:
+                want.add((iid, i))
+    assert got == want and len(got) > 0

@@ -70,3 +70,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
               for c in value_cols],
             "__match_ts")
     return out.drop("__match_ts")
+
+
+def range_join(events: DataFrame, intervals: DataFrame,
+               ts: str = "ts", start: str = "start", end: str = "end",
+               key: str | None = None,
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Interval-containment join: every (event, interval) pair with
+    ``start <= ts <= end`` (optionally also matching ``key``).
+
+    A naive ``ts BETWEEN start AND end`` theta-join has no equi-key,
+    so Spark plans BroadcastNestedLoopJoin — O(|E|x|I|) and undoable
+    at crawl scale. Instead both sides are mapped onto coarse time
+    buckets: events to their containing bucket, intervals exploded to
+    every bucket they overlap (``sequence`` — bounded by interval
+    length / bucket size), then a plain **equi-join on (key, bucket)**
+    + exact range filter. Shuffle keys are (key, bucket) — add the
+    interval key when present so hot buckets split per key; pick
+    ``bucket_seconds`` ≈ median interval length so explosion stays
+    O(1) per interval.
+    """
+    b = F.lit(bucket_seconds)
+    ev = events.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(ts)) / b).cast("long"))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            (F.unix_timestamp(F.col(start)) / b).cast("long"),
+            (F.unix_timestamp(F.col(end)) / b).cast("long"))))
+    keys = ["__bucket"] + ([key] if key else [])
+    out = (ev.join(iv, keys)
+           .filter((F.col(ts) >= F.col(start))
+                   & (F.col(ts) <= F.col(end)))
+           .drop("__bucket"))
+    return out
