@@ -883,6 +883,27 @@ def _q_events_range_join(spark, sf_dir):
     return out.select("interval_id", "event_id")
 
 
+def _q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape (§2.I): hierarchical
+    ROLLUP over (day, hour, event_type) — the multi-resolution
+    materialization a time-series store keeps per chunk. Values are
+    summed as integer cents (per-row cast) so the aggregate is
+    order-independent and hash-stable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = (ev.select(day.alias("day"), hour.alias("hour"),
+                     "event_type", cents.alias("cents"))
+           .rollup("day", "hour", "event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("sum_cents")))
+    return out.select(F.coalesce("day", F.lit("ALL")).alias("day"),
+                      F.coalesce("hour", F.lit("ALL")).alias("hour"),
+                      F.coalesce("event_type", F.lit("ALL"))
+                      .alias("event_type"), "n", "sum_cents")
+
+
 def _q_docs_rollup(spark, sf_dir):
     """Rollup aggregate over (lang, source) — §2.I grouping-sets
     coverage; NULL group keys coalesced to 'ALL' for hash stability."""
@@ -939,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
         "events_range_join": _q_events_range_join,
+        "events_time_rollup": _q_events_time_rollup,
         "ngram_profile_topk": _q_ngram_profile_topk,
         "language_profile_build": _q_language_profile_build,
         "events_sessionize": _q_events_sessionize,
@@ -1259,6 +1281,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT i.interval_id, ev.event_id FROM events ev "
             "JOIN intervals i ON ev.user_id = i.user_id "
             "AND ev.ts >= i.s AND ev.ts <= i.e"),
+        "events_time_rollup": (
+            "SELECT coalesce(day, 'ALL') AS day, "
+            "coalesce(hour, 'ALL') AS hour, "
+            "coalesce(event_type, 'ALL') AS event_type, "
+            "COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sum_cents "
+            "FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "AS day, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') "
+            "AS hour, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "GROUP BY ROLLUP (day, hour, event_type)"),
         "ngram_profile_topk": (
             "WITH g AS (SELECT unnest(list_transform("
             "generate_series(1, greatest(length(norm)-2, 0)), "
