@@ -490,3 +490,51 @@ def test_flat_odf_through_pipeline(spark):
     assert row["mime"] == "application/vnd.oasis.opendocument.flat.text"
     assert row["text"] == "Flat Heading\nflat body\ttabbed\n"
     assert row["title"] == "Flat Title"
+
+
+def make_xps(pages: list[list[str]], title: str | None = None) -> bytes:
+    entries = {
+        "FixedDocSeq.fdseq":
+            b'<FixedDocumentSequence xmlns="http://schemas.microsoft.'
+            b'com/xps/2005/06"><DocumentReference Source="/Documents/'
+            b'1/FixedDoc.fdoc"/></FixedDocumentSequence>',
+    }
+    if title:
+        entries["docProps/core.xml"] = (
+            '<cp:coreProperties xmlns:cp="http://schemas.openxml'
+            'formats.org/package/2006/metadata/core-properties" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            f"<dc:title>{title}</dc:title></cp:coreProperties>"
+        ).encode()
+    for i, runs in enumerate(pages, 1):
+        glyphs = "".join(
+            f'<Glyphs UnicodeString="{r}" OriginX="0" OriginY="{20*j}"'
+            ' FontRenderingEmSize="12" FontUri="/f.odttf"/>'
+            for j, r in enumerate(runs))
+        entries[f"Documents/1/Pages/{i}.fpage"] = (
+            '<FixedPage xmlns="http://schemas.microsoft.com/xps/2005'
+            f'/06" Width="816" Height="1056">{glyphs}</FixedPage>'
+        ).encode()
+    return make_zip(entries)
+
+
+def test_xps_detect_and_extract():
+    """XPS: .fdseq container refinement + Glyphs UnicodeString text in
+    page order; CoreProperties title."""
+    from tika_spark.pkg.xps import extract_xps
+    xps = make_xps([["Page one line", "second run"], ["Page two"]],
+                   title="XpsDoc")
+    assert detect(xps) == "application/vnd.ms-xpsdocument"
+    r = extract_xps(xps)
+    assert r["text"] == "Page one line\nsecond run\nPage two\n"
+    assert r["title"] == "XpsDoc"
+
+
+def test_xps_through_pipeline(spark):
+    from tika_spark.pipeline.job import extract
+    xps = make_xps([["hello xps"]])
+    df = spark.createDataFrame([("http://e.com/d.xps", xps)],
+                               "url string, html binary")
+    row = extract(df, mode="text").collect()[0]
+    assert row["mime"] == "application/vnd.ms-xpsdocument"
+    assert row["text"] == "hello xps\n"

@@ -30,6 +30,7 @@ from tika_spark.pkg.epub import extract_epub
 from tika_spark.pkg.odf import extract_flat_odf, extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
+from tika_spark.pkg.xps import extract_xps
 from tika_spark.mail import extract_mbox, extract_rfc822, extract_tnef
 from tika_spark.media import extract_media
 from tika_spark.chm.parser import extract_chm
@@ -147,6 +148,8 @@ ROUTE_TABLE = {
        for t in ("text", "spreadsheet", "presentation", "graphics",
                  "chart", "formula", "image")},
     "application/epub+zip": "epub",
+    "application/vnd.ms-xpsdocument": "xps",
+    "application/oxps": "xps",
     # OLE2 binary Office (E7) — specific types from the OLE2 container
     # refinement (B8); the generic supertype catches unknown layouts
     "application/vnd.ms-htmlhelp": "chm",
@@ -175,12 +178,13 @@ _EXTRACTORS = {
     "odf": extract_odf,
     "flat_odf": extract_flat_odf,
     "epub": extract_epub,
+    "xps": extract_xps,
     "ole": extract_ole,
     "chm": extract_chm,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
-_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "flat_odf", "media", "ole"})
+_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "flat_odf", "xps", "media", "ole"})
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "

@@ -113,6 +113,12 @@ def refine_container(data: bytes, detected: str) -> str:
                 for prefix, mime in _OOXML_BY_DIR:
                     if any(n.startswith(prefix) for n in names):
                         return mime
+                # XPS/OXPS: a FixedDocumentSequence part marks the
+                # package (no Override needed — extension-mapped)
+                if any(n.endswith(".fdseq") for n in names):
+                    return "application/vnd.ms-xpsdocument"
+            if any(n.endswith(".fdseq") for n in names):
+                return "application/vnd.ms-xpsdocument"
     except Exception:
         pass
     return detected
