@@ -482,3 +482,37 @@ def test_hdf_meta():
     r2 = extract_media(b"\x0e\x03\x13\x01" + b"\x00" * 8,
                        mime="application/x-hdf")
     assert r2["metadata"]["hdf-version"] == ["4"]
+
+
+def test_swf_meta_dimensions():
+    from tika_spark.media import extract_media
+    # RECT nbits=15: [0,11000] x [0,8000] twips = 550x400 px
+    import struct
+    nbits = 15
+    vals = [0, 11000, 0, 8000]
+    bits = nbits
+    width = 5
+    for v in vals:
+        bits = (bits << nbits) | v
+        width += nbits
+    pad = (8 - width % 8) % 8
+    rect = (bits << pad).to_bytes((width + pad) // 8, "big")
+    body = rect + b"\x00\x0c\x01\x00"   # frame rate + count filler
+    swf = b"FWS\x07" + struct.pack("<I", 8 + len(body)) + body
+    r = extract_media(swf, mime="application/x-shockwave-flash")
+    m = r["metadata"]
+    assert m["swf-version"] == ["7"]
+    assert m["width"] == ["550"] and m["height"] == ["400"]
+
+
+def test_abiword_routes_to_xml_text():
+    from tika_spark.config import ExtractConfig
+    from tika_spark.pipeline.stages import process_batch
+    import pandas as pd
+    abw = (b'<?xml version="1.0"?><abiword xmlns="http://www.abisource'
+           b'.com/awml.dtd"><section><p>abi text here</p></section>'
+           b"</abiword>")
+    df = pd.DataFrame({"url": ["doc://a.abw"], "html": [abw]})
+    out = process_batch(df, ExtractConfig(mode="text"), part_id=0)
+    assert out.loc[0, "mime"] == "application/x-abiword"
+    assert "abi text here" in out.loc[0, "text"]

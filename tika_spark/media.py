@@ -624,6 +624,38 @@ def _dwg_meta(data: bytes) -> dict[str, list[str]]:
     return {"dwg-version": [v]} if v else {}
 
 
+def _swf_meta(data: bytes) -> dict[str, list[str]]:
+    """SWF header: version, uncompressed length, stage dimensions from
+    the variable-width RECT (twips/20 = px); FWS plain, CWS zlib."""
+    if len(data) < 9 or data[:3] not in (b"FWS", b"CWS", b"ZWS"):
+        return {}
+    meta = {"swf-version": [str(data[3])],
+            "uncompressed-length":
+                [str(int.from_bytes(data[4:8], "little"))]}
+    body = data[8:]
+    if data[:3] == b"CWS":
+        import zlib
+        try:
+            body = zlib.decompressobj().decompress(data[8:], 64)
+        except Exception:
+            return meta
+    elif data[:3] == b"ZWS":   # LZMA framing — skip dims
+        return meta
+    if len(body) >= 9:
+        nbits = body[0] >> 3
+        bits = int.from_bytes(body[:1 + (5 + 4 * nbits + 7) // 8],
+                              "big")
+        total = len(body[:1 + (5 + 4 * nbits + 7) // 8]) * 8
+
+        def field(i):
+            shift = total - 5 - nbits * (i + 1)
+            return (bits >> shift) & ((1 << nbits) - 1)
+        if nbits:
+            meta["width"] = [str((field(1) - field(0)) // 20)]
+            meta["height"] = [str((field(3) - field(2)) // 20)]
+    return meta
+
+
 def _hdf_meta(data: bytes) -> dict[str, list[str]]:
     """HDF5 superblock version / HDF4 magic (the metadata surface of
     the reference's hdf parser)."""
@@ -650,6 +682,7 @@ _META_BY_MIME = {
     "application/x-netcdf": _netcdf_meta,
     "application/x-hdf": _hdf_meta,
     "image/vnd.dwg": _dwg_meta,
+    "application/x-shockwave-flash": _swf_meta,
 }
 
 

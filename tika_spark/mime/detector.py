@@ -75,6 +75,7 @@ _ROOT_XML_MAP = {
     "svg": "image/svg+xml",
     "rdf": "application/rdf+xml",
     "fictionbook": "application/x-fictionbook+xml",
+    "abiword": "application/x-abiword",
     # widened toward the reference's 24 root-XML rules
     # (tika-mimetypes.xml root-XML blocks)
     "kml": "application/vnd.google-earth.kml+xml",

@@ -101,6 +101,8 @@ ROUTE_TABLE = {
     "application/x-hdf": "media",
     "audio/x-aiff": "media",
     "audio/basic": "media",
+    "application/x-shockwave-flash": "media",
+    "application/x-abiword": "xml",
     "application/vnd.ms-tnef": "tnef",
     # archives (E6) — children explode through extract_recursive (F1)
     "application/zip": "pkg",
