@@ -49,7 +49,8 @@ class TextBlock:
                  "offset_end", "wrapped_words", "wrapped_lines",
                  "is_content", "tag")
 
-    def __init__(self, text, num_words, anchor_words, offset, tag=""):
+    def __init__(self, text, num_words, anchor_words, offset, tag="",
+                 tokens=None):
         # text kept as a piece list so merge_next is O(1): a giant page
         # fusing hundreds of equal-density blocks must not go quadratic
         # on string concatenation (measured 3 s/2000 docs before)
@@ -60,7 +61,10 @@ class TextBlock:
         self.offset_end = offset
         self.tag = tag
         self.is_content = False
-        self._compute_wrap()
+        # callers that already tokenized pass the list in — the wrap
+        # computation must not re-split (the segmenter hot path)
+        self._compute_wrap(tokens if tokens is not None
+                           else self.pieces[0].split())
 
     @property
     def text(self) -> str:
@@ -68,8 +72,7 @@ class TextBlock:
             self.pieces = ["\n".join(self.pieces)]
         return self.pieces[0]
 
-    def _compute_wrap(self):
-        words = self.pieces[0].split()
+    def _compute_wrap(self, words):
         line_len = -1
         lines = 0
         words_cur_line = 0
@@ -117,25 +120,34 @@ class _Segmenter:
         self._block_tag = ""
 
     def _flush(self):
+        if not self._pieces:
+            return  # nothing buffered (consecutive block tags) — skip
+        #           the regex/join work entirely; ~half of all flushes
         text = _WS_RE.sub(" ", "".join(self._pieces)).strip()
-        anchor_text = _WS_RE.sub(" ", "".join(self._anchor_pieces)).strip()
         self._pieces.clear()
-        self._anchor_pieces.clear()
+        if not text:
+            self._anchor_pieces.clear()
+            return
         tokens = text.split()
         # a "word" is a token containing an alphanumeric (boilerpipe's
-        # UnicodeTokenizer word/non-word distinction)
+        # UnicodeTokenizer word/non-word distinction); filter() keeps
+        # the count loop in C
         search = _ALNUM_RE.search
-        num_words = sum(1 for t in tokens if search(t))
+        num_words = len(list(filter(search, tokens)))
         if num_words == 0:
-            if text:
-                # tokens but no words (separators, bullets): consumes an
-                # offset slot without storing a block -> creates the gaps
-                # that keep unrelated regions from proximity-fusing
-                self.offset += 1
+            # tokens but no words (separators, bullets): consumes an
+            # offset slot without storing a block -> creates the gaps
+            # that keep unrelated regions from proximity-fusing
+            self._anchor_pieces.clear()
+            self.offset += 1
             return
-        anchor_words = sum(1 for t in anchor_text.split() if search(t))
+        anchor_text = _WS_RE.sub(" ", "".join(self._anchor_pieces)) \
+            .strip()
+        self._anchor_pieces.clear()
+        anchor_words = len(list(filter(search, anchor_text.split()))) \
+            if anchor_text else 0
         blk = TextBlock(text, num_words, min(anchor_words, num_words),
-                        self.offset, self._block_tag)
+                        self.offset, self._block_tag, tokens=tokens)
         self.blocks.append(blk)
         self.offset += 1
 
