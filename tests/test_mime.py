@@ -368,3 +368,20 @@ def test_widened_root_xml_rules():
     ]
     for payload, want in cases:
         assert detect(payload) == want, (want, detect(payload))
+
+
+def test_glob_long_tail_supplement():
+    """Round-2 long-tail widening: EXT_MAP carries the full registry
+    breadth (951 reference globs; ours >= 1100 incl. curated extras)
+    with curated entries keeping precedence over the generated tier."""
+    from tika_spark.mime.globs import EXT_MAP, match_name
+    assert len(EXT_MAP) >= 1100
+    # generated-tier samples spanning the registry's families
+    assert match_name("x.atomcat") == "application/atomcat+xml"
+    assert match_name("x.hqx") == "application/mac-binhex40"
+    assert match_name("score.ma") == "application/mathematica"
+    assert match_name("README") == "text/plain"          # literal tier
+    assert match_name("a/.htaccess") == "text/plain"
+    # curated precedence survives the merge
+    assert match_name("x.bmp") == "image/bmp"
+    assert match_name("x.otf") == "font/otf"

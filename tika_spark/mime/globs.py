@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from urllib.parse import unquote
 
+from tika_spark.mime.globs_extra import EXTRA_EXT_MAP, EXTRA_NAME_MAP
+
 # literal-name tier (freedesktop precedence tier 1)
 NAME_MAP: dict[str, str] = {
     "makefile": "text/x-makefile",
@@ -382,6 +384,10 @@ EXT_MAP: dict[str, str] = {
     "jmod": "application/zip",
     "luac": "application/x-lua-bytecode",
 }
+
+# long-tail registry supplement; curated entries above take precedence
+EXT_MAP = {**EXTRA_EXT_MAP, **EXT_MAP}
+NAME_MAP = {**EXTRA_NAME_MAP, **NAME_MAP}
 
 
 def resource_name_from_url(url: str | None) -> str | None:
