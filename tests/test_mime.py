@@ -385,3 +385,53 @@ def test_glob_long_tail_supplement():
     # curated precedence survives the merge
     assert match_name("x.bmp") == "image/bmp"
     assert match_name("x.otf") == "font/otf"
+
+
+def test_round2_magic_long_tail():
+    """Remaining reference magic blocks (round-2 widening): legacy
+    office/document/font/audio/science formats resolve by signature
+    (tika-mimetypes.xml parity, blocks not covered by container or
+    root-XML refinement)."""
+    from tika_spark.mime.detector import detect
+    cases = [
+        (b"\0" * 11 + b"must be converted with BinHex 4.0",
+         "application/mac-binhex40"),
+        (b"WordPro\x00" + b"\0" * 8, "application/vnd.lotus-wordpro"),
+        (b"<MIFFile 2015>", "application/vnd.mif"),
+        (b"\0" * 8 + b"\x19\x04\x00\x10" + b"\0" * 8,
+         "application/vnd.symbian.install"),
+        (b"\x80\x01\x88\x13\x00\x00%!PS-AdobeFont-1.0: X",
+         "application/x-font-type1"),
+        (b"%!PS-AdobeFont-1.0: Times", "application/x-font-type1"),
+        (b"StartFontMetrics 4.1\n", "application/x-font-adobe-metric"),
+        (b"#!/bin/bash\necho hi\n", "application/x-sh"),
+        (b"\\documentclass{article}\n", "application/x-tex"),
+        (b"\\input texinfo @c -*-texinfo-*-\n", "application/x-texinfo"),
+        (b"\0" * 257 + b"ustar  \x00" + b"\0" * 100,
+         "application/x-gtar"),
+        (b"\0" * 257 + b"ustar\x0000" + b"\0" * 100, "application/x-tar"),
+        (b"HWP Document File V3.00 \x1a\x01\x02", "application/x-hwp"),
+        (b"ab-lh0-xxxx", "application/x-lharc"),
+        (b"\x00\x01\x00\x00Standard Jet DB", "application/x-msaccess"),
+        (b"PSID\x00\x02", "audio/prs.sid"),
+        (b"\0" * 1080 + b"M.K." + b"\0" * 4, "audio/x-mod"),
+        (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11" + b"\0" * 100
+         + "Windows Media Audio 9".encode("utf-16-le"), "audio/x-ms-wma"),
+        (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11" + b"\0" * 100
+         + "Windows Media Video 9".encode("utf-16-le"), "video/x-ms-wmv"),
+        (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11" + b"\0" * 100,
+         "video/x-ms-asf"),
+        (b".ra\xfd\x00\x03", "audio/x-pn-realaudio"),
+        (b"gimp xcf v011", "image/x-xcf"),
+        (b"diff --git a/x b/x\n", "text/x-diff"),
+        (b'.\\" troff comment\n', "text/troff"),
+        (b"\x8bJNG\r\n\x1a\n", "video/x-jng"),
+        (b"@article{key,\n author={x}}",
+         "application/x-bibtex-text-file"),
+        (b"\xf7\x02\x01\x83\x92\xc0", "application/x-dvi"),
+        (b"[KDE Desktop Entry]\n", "application/x-kdelnk"),
+        (b"\0" * 20 + b"\xdc\xa7\xc4\xfd", "application/x-zoo"),
+        (b"\0" * 12 + b"\x61\x15\x06\x00", "application/x-berkeley-db"),
+    ]
+    for payload, want in cases:
+        assert detect(payload) == want, (want, detect(payload))

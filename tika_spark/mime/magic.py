@@ -262,6 +262,122 @@ MAGIC_RULES: list[MagicRule] = [
     _m("application/vnd.apple.mpegurl", 40, Clause(0, 0, b"#EXTM3U")),
     _m("application/x-hwp-v5", 50,
        Clause(0, 0, b"HWP Document File")),
+
+    # --- round-2 long-tail widening: the remaining reference magic
+    # blocks not covered by container/root-XML refinement
+    # (tika-mimetypes.xml; type list cross-checked block by block) ---
+    _m("application/mac-binhex40", 50,
+       Clause(11, 11, b"must be converted with BinHex")),
+    _m("application/vnd.lotus-wordpro", 50,
+       Clause(0, 0, b"WordPro\x00"), Clause(0, 0, b"WordPro\r\xfb")),
+    _m("application/vnd.mif", 50,
+       Clause(0, 0, b"<MakerFile"), Clause(0, 0, b"<MIFFile"),
+       Clause(0, 0, b"<MakerDictionary"),
+       Clause(0, 0, b"<MakerScreenFont"),
+       Clause(0, 0, b"<MML"), Clause(0, 0, b"<Book"),
+       Clause(0, 0, b"<Maker")),
+    # Symbian SIS: UID3 0x10000419 little-endian at offset 8
+    _m("application/vnd.symbian.install", 50,
+       Clause(8, 8, b"\x19\x04\x00\x10")),
+    _m("application/x-123", 50,
+       Clause(0, 0, b"\x00\x00\x1a\x00"), Clause(0, 0, b"\x00\x00\x02\x00")),
+    _m("application/x-adobe-indesign-interchange", 50,
+       Clause(0, 100, b"<?aid")),
+    # Berkeley DB: btree/hash/queue magics big- or little-endian at 0/12
+    _m("application/x-berkeley-db", 50,
+       Clause(0, 0, b"\x00\x06\x15\x61"),
+       Clause(12, 12, b"\x00\x06\x15\x61"),
+       Clause(12, 12, b"\x61\x15\x06\x00"),
+       Clause(12, 12, b"\x00\x05\x31\x62"),
+       Clause(12, 12, b"\x62\x31\x05\x00"),
+       Clause(12, 12, b"\x00\x04\x22\x53"),
+       Clause(12, 12, b"\x53\x22\x04\x00")),
+    _m("application/x-bibtex-text-file", 50,
+       Clause(0, 0, b"% BibTeX `"),
+       Clause(0, 0, b"% BibTeX standard bibliography "),
+       Clause(73, 73, b"%%%  @BibTeX-style-file{"),
+       Clause(0, 0, b"@article{"), Clause(0, 0, b"@book{"),
+       Clause(0, 0, b"@inbook{"), Clause(0, 0, b"@incollection{"),
+       Clause(0, 0, b"@inproceedings{"), Clause(0, 0, b"@manual{")),
+    _m("application/x-dvi", 50, Clause(0, 0, b"\xf7\x02")),
+    # Emacs byte-code: v18 "\n(" kept for parity (reference wart)
+    _m("application/x-elc", 50,
+       Clause(0, 0, b";ELC\x13\x00\x00\x00"), Clause(0, 0, b"\n(")),
+    # Type1 fonts: PFB binary header (len ignored) and PFA text form
+    _m("application/x-font-type1", 60,
+       Clause(0, 0, b"\x80\x01\x00\x00\x00\x00%!PS-AdobeFont",
+              mask=b"\xff\xff\x00\x00\xff\xff" + b"\xff" * 14),
+       Clause(0, 0, b"%!PS-AdobeFont-1.0")),
+    _m("application/x-font-adobe-metric", 40,
+       Clause(0, 0, b"StartFontMetrics")),
+    _m("application/x-font-printer-metric", 40,
+       Clause(0, 0, b"\x00\x01\x00\x00\x00\x00Copyr",
+              mask=b"\xff\xff\x00\x00\xff\xff\xff\xff\xff\xff\xff")),
+    _m("application/x-foxmail", 50,
+       Clause(0, 0, b"\x10\x10\x10\x10\x10\x10\x10\x11"
+                    b"\x11\x11\x11\x11\x11\x53")),
+    _m("application/x-gnumeric", 50, Clause(39, 39, b"=<gmr:Workbook")),
+    # GNU tar: longer "ustar  \0" beats the 5-byte POSIX clause at the
+    # same priority (rule order is priority desc, pattern length desc)
+    _m("application/x-gtar", 45, Clause(257, 257, b"ustar  \x00")),
+    _m("application/x-hwp", 50, Clause(0, 0, b"HWP Document File V")),
+    _m("application/x-kdelnk", 50,
+       Clause(0, 0, b"[KDE Desktop Entry]"),
+       Clause(0, 0, b"# KDE Config File")),
+    _m("application/x-latex", 50, Clause(0, 0, b"% -*-latex-*-")),
+    _m("application/x-lharc", 50,
+       Clause(2, 2, b"-lh0-"), Clause(2, 2, b"-lh1-"),
+       Clause(2, 2, b"-lz4-"), Clause(2, 2, b"-lz5-")),
+    # Jet/Access: "\x00\x01\x00\x00Stan(dard Jet DB)"
+    _m("application/x-msaccess", 60,
+       Clause(0, 0, b"\x00\x01\x00\x00Stan")),
+    _m("application/x-prt", 50, Clause(8, 8, b"0M3C")),
+    _m("application/x-sc", 50, Clause(38, 38, b"Spreadsheet")),
+    _m("application/x-sh", 50,
+       Clause(0, 0, b"#!/"), Clause(0, 0, b"#! /"),
+       Clause(0, 0, b"#!\t/")),
+    # texinfo before tex: its "\input texinfo" must win over the
+    # shorter "\input" clause (same priority, same 14-byte max-length
+    # sort key -> stable sort keeps this order)
+    _m("application/x-texinfo", 50, Clause(0, 0, b"\\input texinfo")),
+    _m("application/x-tex", 50,
+       Clause(0, 0, b"\\input"), Clause(0, 0, b"\\section"),
+       Clause(0, 0, b"\\setlength"), Clause(0, 0, b"\\documentstyle"),
+       Clause(0, 0, b"\\chapter"), Clause(0, 0, b"\\documentclass"),
+       Clause(0, 0, b"\\relax"), Clause(0, 0, b"\\contentsline")),
+    _m("application/x-zoo", 50, Clause(20, 20, b"\xdc\xa7\xc4\xfd")),
+    _m("audio/prs.sid", 50, Clause(0, 0, b"PSID")),
+    _m("audio/x-mod", 50,
+       Clause(0, 0, b"Extended Module:"), Clause(21, 21, b"BMOD2STM"),
+       Clause(1080, 1080, b"M.K."), Clause(1080, 1080, b"M!K!"),
+       Clause(1080, 1080, b"FLT4"), Clause(1080, 1080, b"FLT8"),
+       Clause(1080, 1080, b"4CHN"), Clause(1080, 1080, b"6CHN"),
+       Clause(1080, 1080, b"8CHN"), Clause(1080, 1080, b"CD81"),
+       Clause(1080, 1080, b"OKTA")),
+    # ASF subtype refinement: UTF-16LE stream-name probe in the header
+    _m("audio/x-ms-wma", 50,
+       Clause(0, 8192, "Windows Media Audio".encode("utf-16-le"))),
+    _m("video/x-ms-wmv", 60,
+       Clause(0, 8192, "Windows Media Video".encode("utf-16-le"))),
+    _m("audio/x-pn-realaudio", 50, Clause(0, 0, b".ra\xfd")),
+    _m("image/cgm", 50, Clause(0, 0, b"BEGMF")),
+    _m("image/x-niff", 50, Clause(0, 0, b"IIN1")),
+    _m("image/x-xcf", 50, Clause(0, 0, b"gimp xcf ")),
+    _m("message/news", 50,
+       Clause(0, 0, b"Path:"), Clause(0, 0, b"Xref:"),
+       Clause(0, 0, b"Article")),
+    _m("text/troff", 50,
+       Clause(0, 0, b'.\\"'), Clause(0, 0, b"'\\\""),
+       Clause(0, 0, b"'.\\\""), Clause(0, 0, b'\\"'),
+       Clause(0, 0, b"'''")),
+    _m("text/x-diff", 50,
+       Clause(0, 0, b"diff "), Clause(0, 0, b"*** "),
+       Clause(0, 0, b"Only in "),
+       Clause(0, 0, b"Common subdirectories: "),
+       Clause(0, 0, b"Index:")),
+    _m("video/x-jng", 50, Clause(0, 0, b"\x8bJNG")),
+    _m("video/x-mng", 50, Clause(0, 0, b"\x8aMNG")),
+    _m("video/x-sgi-movie", 50, Clause(0, 0, b"MOVI")),
 ]
 
 # Pre-sort once: priority desc, then longest first-clause pattern desc —
