@@ -246,7 +246,8 @@ def _q_extract_charset_meta(spark, sf_dir):
 _CS_VARIANTS = [("utf-8", "de"), ("windows-1251", "ru"), ("koi8-r", "ru"),
                 ("iso-8859-7", "el"), ("windows-1256", "ar"),
                 ("windows-1255", "he"), ("windows-1254", "tr"),
-                ("tis-620", "th")]
+                ("tis-620", "th"), ("iso-8859-1", "fr"),
+                ("iso-8859-2", "pl")]
 
 
 def _charset_wrap_udf():
@@ -261,7 +262,7 @@ def _charset_wrap_udf():
     def wrap(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            codec, lang = _CS_VARIANTS[int(i) % 8]
+            codec, lang = _CS_VARIANTS[int(i) % 10]
             out.append((
                 "<html><head><title>T</title></head><body><p>"
                 + SEED_TEXT[lang] + "</p></body></html>"
@@ -1063,11 +1064,12 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset "
             "FROM documents WHERE lang = 'en'"),
         "extract_charset_statistical": (
-            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 8 "
+            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 10 "
             "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' "
             "WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'iso-8859-7' "
             "WHEN 4 THEN 'windows-1256' WHEN 5 THEN 'windows-1255' "
-            "WHEN 6 THEN 'windows-1254' ELSE 'tis-620' END AS charset "
+            "WHEN 6 THEN 'windows-1254' WHEN 7 THEN 'tis-620' "
+            "WHEN 8 THEN 'iso-8859-1' ELSE 'iso-8859-2' END AS charset "
             "FROM documents"),
         "extract_links": (
             "SELECT 'doc://' || doc_id AS url, "

@@ -124,3 +124,20 @@ def test_iso2022_cn_and_kr_escapes():
     # no Python codec for iso-2022-cn: ASCII text still readable
     assert "Hello" in decode(cn, "iso-2022-cn")
     assert "world" in decode(cn, "iso-2022-cn")
+
+
+def test_latin_family_statistical():
+    """CharsetRecog_sbcs 8859-1/8859-2 family: sparse-accent western
+    text pins its charset from accent-adjacent bigrams (no density
+    floor). Ambiguous byte-compatible pairs resolve deterministically
+    to the first-registered codec (iso- before windows-)."""
+    from tika_spark.charset import detect_statistical
+    from tika_spark.language.corpus import SEED_TEXT
+    for codec, lang in [("iso-8859-1", "fr"), ("iso-8859-1", "de"),
+                        ("iso-8859-1", "es"), ("iso-8859-1", "pt"),
+                        ("iso-8859-1", "da"), ("iso-8859-1", "sv"),
+                        ("iso-8859-2", "pl")]:
+        raw = ("<html><head><title>T</title></head><body><p>"
+               + SEED_TEXT[lang] + "</p></body></html>").encode(
+                   codec, "ignore")
+        assert detect_statistical(raw) == codec, (codec, lang)

@@ -344,6 +344,14 @@ _SBCS_NGRAM_CODECS = (
     ("iso-8859-8", ("he",)),
     ("windows-1254", ("tr",)),
     ("iso-8859-9", ("tr",)),
+    # western-European Latin-1 family (CharsetRecog_sbcs.java's ten
+    # 8859_1_xx per-language models): accented-letter bigrams trained
+    # from the same seed corpus; ascii-only (en) text carries no
+    # high-byte bigrams and falls through to the default, as intended
+    ("iso-8859-1", ("de", "fr", "es", "pt", "it", "nl", "da", "no",
+                    "sv")),
+    ("windows-1252", ("de", "fr", "es", "pt", "it", "nl", "da", "no",
+                      "sv")),
 )
 
 _sbcs_model_cache: list[tuple[str, np.ndarray]] | None = None
@@ -380,7 +388,10 @@ def _sbcs_rel_bigrams(buf: np.ndarray) -> np.ndarray | None:
     """High-byte-involving bigrams of the input, computed once per
     document and scored against every model."""
     hi = buf >= 0x80
-    if len(buf) < 16 or float(hi.mean()) < 0.05:
+    # no density floor: western Latin-1 text is legitimately sparse in
+    # accents (2-3% high bytes) yet its accent-adjacent bigrams still
+    # pin the charset — 8 scorable bigrams is evidence enough
+    if len(buf) < 16 or not hi.any():
         return None
     pairs = (buf[:-1].astype(np.int32) << 8) | buf[1:]
     rel = pairs[hi[:-1] | hi[1:]]
