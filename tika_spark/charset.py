@@ -184,6 +184,28 @@ def _score_sbcs_cyrillic(buf: np.ndarray, ranges) -> int:
     return 0
 
 
+# windows-1252's C1-range punctuation (smart quotes, dashes, ellipsis,
+# dagger, euro, trademark...): bytes 0x80-0x9F that are *letters* in no
+# ISO-8859 layout but common typographic marks in 125x text
+_CP1252_PUNCT = np.array(
+    [0x80, 0x82, 0x84, 0x85, 0x86, 0x87, 0x89, 0x8B, 0x91, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x99, 0x9B], dtype=np.uint8)
+
+
+def _score_cp1252_punct(buf: np.ndarray) -> int:
+    """Mostly-ASCII text whose high bytes are all windows-1252 smart
+    punctuation: the classic latin-1-vs-1252 tell (ICU resolves the
+    whole 8859-1 family to windows-1252 when C1 marks appear)."""
+    high = buf[buf >= 0x80]
+    if len(high) < 2:
+        return 0
+    punct = np.isin(high, _CP1252_PUNCT)
+    accents = (high >= 0xC0)   # latin letters allowed alongside
+    if bool((punct | accents).all()) and punct.any():
+        return 65
+    return 0
+
+
 def _score_iso2022(raw: bytes) -> tuple[str, int] | None:
     """ISO-2022 escape designations (CharsetRecog_2022.java family):
     KR/CN checked before JP because their SO-designation escapes are
@@ -440,6 +462,8 @@ def detect_statistical(data: bytes, declared: str | None = None) -> str:
         if rel is not None:
             for codec, grams in _sbcs_models():
                 scores[codec] = _score_sbcs_ngram(rel, grams)
+        scores["windows-1252"] = max(scores.get("windows-1252", 0),
+                                     _score_cp1252_punct(buf))
 
     declared = clean_charset(declared)
     if declared:

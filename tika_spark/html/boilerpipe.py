@@ -123,12 +123,15 @@ class _Segmenter:
         if not self._pieces:
             return  # nothing buffered (consecutive block tags) — skip
         #           the regex/join work entirely; ~half of all flushes
-        text = _WS_RE.sub(" ", "".join(self._pieces)).strip()
+        # str.split() splits/strips on the same Unicode whitespace set
+        # re's \s matches, so one split replaces sub+strip+re-split —
+        # no regex in the hot path
+        tokens = "".join(self._pieces).split()
         self._pieces.clear()
-        if not text:
+        if not tokens:
             self._anchor_pieces.clear()
             return
-        tokens = text.split()
+        text = " ".join(tokens)
         # a "word" is a token containing an alphanumeric (boilerpipe's
         # UnicodeTokenizer word/non-word distinction); filter() keeps
         # the count loop in C
@@ -141,11 +144,9 @@ class _Segmenter:
             self._anchor_pieces.clear()
             self.offset += 1
             return
-        anchor_text = _WS_RE.sub(" ", "".join(self._anchor_pieces)) \
-            .strip()
+        atoks = "".join(self._anchor_pieces).split()
         self._anchor_pieces.clear()
-        anchor_words = len(list(filter(search, anchor_text.split()))) \
-            if anchor_text else 0
+        anchor_words = len(list(filter(search, atoks))) if atoks else 0
         blk = TextBlock(text, num_words, min(anchor_words, num_words),
                         self.offset, self._block_tag, tokens=tokens)
         self.blocks.append(blk)
