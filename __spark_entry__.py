@@ -788,6 +788,197 @@ def _q_extract_media_dims(spark, sf_dir):
                       height.cast("long").alias("height"))
 
 
+def _q_extract_txt(spark, sf_dir):
+    """E1 oracle: text/plain route — UTF-8 BOM detected then stripped,
+    whole body in one block with the trailing block newline
+    (txt/TXTParser.java:68-142 semantics)."""
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".txt"))
+        .alias("url"),
+        F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(F.col("text"), "UTF-8"))
+        .alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "charset",
+                                              "text")
+
+
+def _q_extract_xml_dc(spark, sf_dir):
+    """E2 oracle: generic XML itertext + Dublin Core dc:title mapping
+    (xml/XMLParser.java:37-82, DcXMLParser.java:30-55). en docs only
+    (ascii-safe, no markup chars in the corpus words)."""
+    xml = F.encode(F.concat(
+        F.lit('<?xml version="1.0"?><doc xmlns:dc='
+              '"http://purl.org/dc/elements/1.1/"><dc:title>T'),
+        F.col("doc_id").cast("string"),
+        F.lit("</dc:title><body>"), F.col("text"),
+        F.lit("</body></doc>")), "UTF-8")
+    pages = _docs(spark, sf_dir).filter(F.col("lang") == "en").select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".xml"))
+        .alias("url"), xml.alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
+def _q_extract_output_guard(spark, sf_dir):
+    """F4 oracle: WriteOutContentHandler write limit — a 160k-char body
+    truncates at exactly 100 000 chars with status='write_limit'
+    (sax/WriteOutContentHandler.java:125; Tika.java:64-66 default)."""
+    from tika_spark.config import ExtractConfig
+    body = F.repeat(F.concat(F.lit("w"),
+                             F.pmod("doc_id", F.lit(10)).cast("string"),
+                             F.lit(" ")), 40000)
+    html = F.encode(F.concat(F.lit("<html><body><p>"), body,
+                             F.lit("</p></body></html>")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    cfg = ExtractConfig(mode="text", write_limit=100_000)
+    out = extract(pages, mode="text", config=cfg)
+    return out.select("url", "status",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "text")
+
+
+def _xps_wrap_udf():
+    """Deterministic single-page XPS package per row (zip of fdseq +
+    CoreProperties + one FixedPage with one Glyphs run)."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                d = (1980, 1, 1, 0, 0, 0)
+                zf.writestr(zipfile.ZipInfo("FixedDocSeq.fdseq", d),
+                            "<FixedDocumentSequence/>")
+                zf.writestr(
+                    zipfile.ZipInfo("docProps/core.xml", d),
+                    '<cp:coreProperties xmlns:cp="http://schemas.'
+                    'openxmlformats.org/package/2006/metadata/'
+                    'core-properties" xmlns:dc="http://purl.org/dc/'
+                    f'elements/1.1/"><dc:title>X{i}</dc:title>'
+                    '</cp:coreProperties>')
+                zf.writestr(
+                    zipfile.ZipInfo("Documents/1/Pages/1.fpage", d),
+                    '<FixedPage xmlns="http://schemas.microsoft.com/'
+                    f'xps/2005/06"><Glyphs UnicodeString="{t}"/>'
+                    '</FixedPage>')
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_xps_text(spark, sf_dir):
+    """XPS route oracle: fdseq container refinement → page-ordered
+    Glyphs text + CoreProperties title (en, non-empty docs — plain
+    ascii words need no attribute escaping)."""
+    wrap = _xps_wrap_udf()
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.length("text") > 0))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".xps"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
+def _wav_wrap_udf():
+    """Deterministic RIFF/WAVE per row: fmt chunk fields derived from
+    doc_id, data chunk sized for an exact integer duration."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            ch = 1 + i % 2
+            rate = 8000 * (1 + i % 3)
+            bits = 16
+            byterate = rate * ch * bits // 8
+            secs = 1 + i % 5
+            nbytes = byterate * secs
+            hdr = (b"RIFF" + struct.pack("<I", 36 + nbytes) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                           byterate, ch * bits // 8,
+                                           bits)
+                   + b"data" + struct.pack("<I", nbytes))
+            # data chunk truncated (header-only parse): declared size
+            # drives duration, as with real streaming header sniffs
+            out.append(hdr + b"\0" * 64)
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_media_audio_meta(spark, sf_dir):
+    """E12 audio-header oracle: WAV fmt/data chunks → channels, sample
+    rate, duration (audio/AudioParser.java header semantics)."""
+    wrap = _wav_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".wav"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html")).drop("doc_id")
+    out = extract(pages, mode="text")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md, "channels")[0].cast("long").alias("channels"),
+        F.element_at(md, "samplerate")[0].cast("long")
+        .alias("samplerate"),
+        F.element_at(md, "xmpDM:duration")[0].alias("duration"))
+
+
+def _tar_wrap_udf():
+    """Deterministic one-member tar per document (E6 tar chain)."""
+    import io
+    import tarfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            buf = io.BytesIO()
+            data = (t or "").encode("utf-8")
+            with tarfile.open(fileobj=buf, mode="w",
+                              format=tarfile.USTAR_FORMAT) as tf:
+                ti = tarfile.TarInfo("doc.txt")
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_recursive_tar(spark, sf_dir):
+    """E6/F1: ustar magic at 257 → tar member explode → text/plain
+    child rows (pkg/PackageParser.java tar chain)."""
+    wrap = _tar_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".tar"))
+        .alias("url"),
+        wrap(F.col("text")).alias("html"))
+    out = extract_recursive(pages, mode="text")
+    return out.select("url", F.col("depth").cast("long").alias("depth"),
+                      "text")
+
+
 def _q_length_histogram(spark, sf_dir):
     b = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
     return (_docs(spark, sf_dir).select(b.alias("bucket"))
@@ -957,6 +1148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_epub_text": _q_extract_epub_text,
         "extract_xhtml": _q_extract_xhtml,
         "extract_media_dims": _q_extract_media_dims,
+        "extract_txt": _q_extract_txt,
+        "extract_xml_dc": _q_extract_xml_dc,
+        "extract_output_guard": _q_extract_output_guard,
+        "extract_xps_text": _q_extract_xps_text,
+        "media_audio_meta": _q_media_audio_meta,
+        "extract_recursive_tar": _q_extract_recursive_tar,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -1260,6 +1457,38 @@ def oracle_sql() -> dict[str, str]:
             "'image/png' AS mime, "
             "(16 + doc_id % 640)::BIGINT AS width, "
             "(16 + (doc_id * 3) % 480)::BIGINT AS height FROM documents"),
+        "extract_txt": (
+            "SELECT 'doc://' || doc_id || '.txt' AS url, "
+            "'text/plain' AS mime, 'utf-8' AS charset, "
+            "text || chr(10) AS text FROM documents"),
+        "extract_xml_dc": (
+            "SELECT 'doc://' || doc_id || '.xml' AS url, "
+            "'application/xml' AS mime, 'T' || doc_id AS title, "
+            "'T' || doc_id || text || chr(10) AS text "
+            "FROM documents WHERE lang = 'en'"),
+        "extract_output_guard": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "'write_limit' AS status, 100000::BIGINT AS n_chars, "
+            "substring(repeat('w' || (doc_id % 10) || ' ', 40000), "
+            "1, 100000) AS text FROM documents"),
+        "extract_xps_text": (
+            "SELECT 'doc://' || doc_id || '.xps' AS url, "
+            "'application/vnd.ms-xpsdocument' AS mime, "
+            "'X' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents WHERE lang = 'en' AND length(text) > 0"),
+        "media_audio_meta": (
+            "SELECT 'doc://' || doc_id || '.wav' AS url, "
+            "'audio/x-wav' AS mime, "
+            "(1 + doc_id % 2)::BIGINT AS channels, "
+            "(8000 * (1 + doc_id % 3))::BIGINT AS samplerate, "
+            "(1 + doc_id % 5) || '.00' AS duration FROM documents"),
+        "extract_recursive_tar": (
+            "SELECT 'doc://' || doc_id || '.tar' AS url, "
+            "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
+            "FROM documents UNION ALL "
+            "SELECT 'doc://' || doc_id || '.tar!/doc.txt' AS url, "
+            "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
+            "FROM documents"),
         "length_histogram": (
             "SELECT CAST(least(floor(n_chars / 100.0), 9) AS BIGINT) AS "
             "bucket, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1"),
