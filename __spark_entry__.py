@@ -979,6 +979,72 @@ def _q_extract_recursive_tar(spark, sf_dir):
                       "text")
 
 
+def _stream_dir(sf_dir, table):
+    """The parquet file-stream source requires a *directory*; stage a
+    one-symlink directory under /tmp pointing at the table file (the
+    snapshot itself is never copied)."""
+    import os
+
+    d = os.path.join("/tmp", "tika_spark_stream",
+                     sf_dir.strip("/").replace("/", "_"), table)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def _q_streaming_event_census(spark, sf_dir):
+    """Structured-Streaming oracle: watermarked tumbling-window census
+    over the events table replayed as a stream (availableNow), memory
+    sink in append mode. Emitted set = windows whose end the final
+    watermark (max ts - 30 min) passed — deterministic for a static
+    snapshot, so the batch-SQL oracle reproduces it exactly."""
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(_stream_dir(sf_dir, "events"))
+              .select(F.col("ts").alias("warc_ts"),
+                      F.col("event_type").alias("mime")))
+    from tika_spark.streaming.stateful import windowed_mime_counts
+    out = windowed_mime_counts(stream, window="1 hour",
+                               watermark="30 minutes")
+    name = "stream_census_oracle"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return (spark.table(name)
+            .select("window_start",
+                    F.col("mime").alias("event_type"), "n"))
+
+
+def _q_streaming_dedup_fp(spark, sf_dir):
+    """Streaming exact dedup oracle: dropDuplicatesWithinWatermark on
+    the text fingerprint over a replayed documents stream. Which row
+    survives per fingerprint is engine-order-dependent, so the query
+    emits only the fingerprint set — deterministically the DISTINCT
+    normalized-text md5s."""
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .parquet(_stream_dir(sf_dir, "documents"))
+              .select(
+                  "text",
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.make_interval(secs=F.col("doc_id")))
+                  .alias("warc_ts")))
+    from tika_spark.streaming.stateful import dedup_stream
+    out = dedup_stream(stream).select("fp_md5")
+    name = "stream_dedup_oracle"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select("fp_md5").distinct()
+
+
 def _q_length_histogram(spark, sf_dir):
     b = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
     return (_docs(spark, sf_dir).select(b.alias("bucket"))
@@ -1154,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xps_text": _q_extract_xps_text,
         "media_audio_meta": _q_media_audio_meta,
         "extract_recursive_tar": _q_extract_recursive_tar,
+        "streaming_event_census": _q_streaming_event_census,
+        "streaming_dedup_fp": _q_streaming_dedup_fp,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -1489,6 +1557,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id || '.tar!/doc.txt' AS url, "
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
+        "streaming_event_census": (
+            "SELECT window_start, event_type, COUNT(*)::BIGINT AS n "
+            "FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) "
+            "AS window_start, event_type FROM events) "
+            "WHERE window_start + INTERVAL 1 HOUR <= "
+            "(SELECT max(ts) - INTERVAL 30 MINUTE FROM events) "
+            "GROUP BY window_start, event_type"),
+        "streaming_dedup_fp": (
+            "SELECT DISTINCT md5(regexp_replace(trim(text), '\\s+', "
+            "' ', 'g')) AS fp_md5 FROM documents"),
         "length_histogram": (
             "SELECT CAST(least(floor(n_chars / 100.0), 9) AS BIGINT) AS "
             "bucket, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1"),
