@@ -214,6 +214,16 @@ class TestCliModes:
         assert "<tika:author>A1</tika:author>" in row["text"]
         assert row["text"].endswith('<?xpacket end="w"?>')
 
+    def test_json_mode(self, spark):
+        import json
+
+        from tika_spark.pipeline.job import extract
+        row = extract(self._pages(spark), mode="json").collect()[0]
+        md = json.loads(row["text"])
+        assert md["title"] == "T1"
+        assert md["author"] == "A1"
+        assert row["spans"] == []
+
     def test_xmp_multivalue_and_escaping(self):
         from tika_spark.pipeline.stages import xmp_serialize
         got = xmp_serialize({"k": ["a<b", "c&d"], "1bad key!": ["v"]})

@@ -329,6 +329,19 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
             r = results[k]
             r["text"] = xmp_serialize(r.get("metadata", {}))
             r["spans"] = []
+    elif config.mode == "json":
+        # -j CLI mode (TikaCLI.java:147-246 JsonMetadata): the metadata
+        # map serialized as one sorted-key JSON object per document;
+        # single-value lists collapse to scalars, as the reference's
+        # Metadata#get/isMultiValued split does
+        import json as _json
+        for k in range(n):
+            r = results[k]
+            md = {key: (vs[0] if len(vs) == 1 else vs)
+                  for key, vs in sorted(r.get("metadata", {}).items())}
+            r["text"] = _json.dumps(md, ensure_ascii=False,
+                                    sort_keys=True)
+            r["spans"] = []
 
     texts = pd.Series([r["text"] for r in results], index=pdf.index)
 
