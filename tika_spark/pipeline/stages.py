@@ -139,12 +139,20 @@ ROUTE_TABLE = {
         "application/vnd.ms-powerpoint.template.macroenabled.12",
         "application/vnd.ms-powerpoint.addin.macroenabled.12")},
     # the ODF family (OpenDocumentParser.java:46-79)
-    **{"application/vnd.oasis.opendocument." + t: "odf" for t in (
-        "text", "spreadsheet", "presentation", "graphics", "chart",
-        "formula", "image", "text-master", "text-web",
-        "text-template", "spreadsheet-template",
-        "presentation-template", "graphics-template",
-        "chart-template", "formula-template", "image-template")},
+    **{pfx + t: "odf"
+       for t in ("text", "spreadsheet", "presentation", "graphics",
+                 "chart", "formula", "image", "text-master",
+                 "text-web", "text-template", "spreadsheet-template",
+                 "presentation-template", "graphics-template",
+                 "chart-template", "formula-template",
+                 "image-template")
+       # the x-vnd.* experimental aliases are in the reference's
+       # supported set too (OpenDocumentParser.java:64-78)
+       for pfx in ("application/vnd.oasis.opendocument.",
+                   "application/x-vnd.oasis.opendocument.")},
+    # OpenOffice.org 1.x (zip + content.xml, same chain;
+    # OpenDocumentParser.java:47)
+    "application/vnd.sun.xml.writer": "odf",
     # flat (single-XML) ODF family (FlatOpenDocumentParser)
     **{"application/vnd.oasis.opendocument.flat." + t: "flat_odf"
        for t in ("text", "spreadsheet", "presentation", "graphics",
