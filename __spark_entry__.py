@@ -1045,6 +1045,26 @@ def _q_streaming_dedup_fp(spark, sf_dir):
     return spark.table(name).select("fp_md5").distinct()
 
 
+def _q_docs_cap_per_source(spark, sf_dir):
+    """Crawl-curation per-host cap: at most 10 docs per source, ranked
+    by n_chars desc then doc_id (deterministic total order); one
+    hash-partition window, no global sort."""
+    from tika_spark.analysis.textstats import cap_per_group
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return (cap_per_group(docs, "source", 10)
+            .select("doc_id", "source"))
+
+
+def _q_docs_stratified_sample(spark, sf_dir):
+    """Deterministic quota sampling by language: md5-keyed uniform
+    draw (reproducible across retries/resumes, unlike rand()), rate
+    per stratum, shuffle-free filter."""
+    from tika_spark.analysis.textstats import stratified_sample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    return stratified_sample(docs, "lang", rates, default_rate=0.1)
+
+
 def _q_length_histogram(spark, sf_dir):
     b = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
     return (_docs(spark, sf_dir).select(b.alias("bucket"))
@@ -1222,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
+        "docs_cap_per_source": _q_docs_cap_per_source,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -1567,6 +1589,15 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_fp": (
             "SELECT DISTINCT md5(regexp_replace(trim(text), '\\s+', "
             "' ', 'g')) AS fp_md5 FROM documents"),
+        "docs_cap_per_source": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars "
+            "DESC, doc_id) AS rank FROM documents) WHERE rank <= 10"),
+        "docs_stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT "
+            "/ 4294967296.0) < (CASE lang WHEN 'en' THEN 0.5 "
+            "WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25 ELSE 0.1 END)"),
         "length_histogram": (
             "SELECT CAST(least(floor(n_chars / 100.0), 9) AS BIGINT) AS "
             "bucket, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1"),

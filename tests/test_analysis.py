@@ -339,3 +339,35 @@ def test_range_join_bucketed_equi(spark):
             if 1 + i % 2 == uid and s <= 7 * i <= e:
                 want.add((iid, i))
     assert got == want and len(got) > 0
+
+
+def test_cap_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from tika_spark.analysis.textstats import cap_per_group
+    rows = [(i, f"h{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, n_chars long")
+    got = cap_per_group(df, "source", 5)
+    assert got.count() == 15
+    per = {r["source"]: r["n"] for r in
+           got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(per.values()) == {5}
+    # ranked by n_chars desc -> the lowest doc_ids survive
+    kept = {r["doc_id"] for r in got.filter("source='h0'").collect()}
+    assert kept == {0, 3, 6, 9, 12}
+
+
+def test_stratified_sample_deterministic(spark):
+    from tika_spark.analysis.textstats import stratified_sample
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r["doc_id"] for r in
+         stratified_sample(df, "lang", {"en": 0.5, "de": 0.2}).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df, "lang", {"en": 0.5, "de": 0.2}).collect()}
+    assert a == b and 0 < len(a) < 200
+    # rate monotonicity: a higher rate is a superset of a lower one
+    c = {r["doc_id"] for r in
+         stratified_sample(df, "lang", {"en": 0.9, "de": 0.5}).collect()}
+    assert a <= c

@@ -139,3 +139,51 @@ def summary(df: DataFrame, text_col: str = "text",
             n: int = 500) -> DataFrame:
     """First-n-chars summary (ParserPostProcessor.java:62-64)."""
     return df.withColumn("summary", F.substring(F.col(text_col), 1, n))
+
+
+def cap_per_group(df: DataFrame, group_col: str, k: int,
+                  order_by: list | None = None) -> DataFrame:
+    """Per-group document cap — the crawl-curation "at most k pages
+    per host" rule (no reference counterpart; standard training-data
+    curation over Common-Crawl-style tables).
+
+    Deterministic: rows ranked inside each group by ``order_by``
+    (default: descending n_chars, then doc_id for a total order) and
+    rows ranked > k dropped.
+
+    Scale: one hash-partition shuffle on ``group_col`` + a window
+    row_number — no global sort. Hosts are high-cardinality on a real
+    crawl so the shuffle is well-spread; a pathological single-host
+    skew is bounded by AQE skew-join splitting or a pre-filter on
+    approx counts (count-min over hosts) before the exact window.
+    """
+    from pyspark.sql import Window
+    order = order_by or [F.desc("n_chars"), F.asc("doc_id")]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .drop("rank"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict, key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling — language/domain quota
+    sampling for training-data mixes.
+
+    Instead of rand() (irreproducible across retries — a correctness
+    hazard for resumable 100 TB jobs), the sampling decision is a pure
+    function of the row key: the first 8 hex digits of md5(key) as a
+    uniform draw in [0, 1). A row survives iff draw < rate[stratum].
+
+    Scale: zero shuffles — a narrow filter the optimizer pushes to the
+    scan; rates broadcast in the plan as a literal CASE.
+    """
+    draw = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
+                               1, 8), 16, 10).cast("double")
+            / F.lit(float(0x100000000)))
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum,
+                      F.lit(float(r))).otherwise(rate)
+    return df.filter(draw < rate)
