@@ -327,3 +327,67 @@ class TestPdfAnnotations:
         assert r["status"] == "ok"
         assert r["text"] == "Body\nSecret note\n\n"
         assert r["links"][0][1] == "http://e/u"
+
+
+class TestPrt:
+    """E12 PRT (CADKEY) text extraction — note entries and view names
+    (prt/PRTParser.java:40-260 scan semantics)."""
+
+    @staticmethod
+    def _prt(notes=("This is the note text",), views=("TopView",),
+             date=b"202401151230", desc=b"Drawing of a widget"):
+        hdr = b"\x00" * 30 + date
+        descb = desc + b"\x00" * (500 - len(desc))
+        body = bytearray(b"\x10\x20\x30")
+        for t in notes:
+            body += b"\x33" * 5 + b"\xe3\x3f" + bytes(range(10)) + b"\x1f"
+            raw = t.encode("cp437") + b"\x00"
+            body += len(raw).to_bytes(2, "little") + raw
+        for t in views:
+            body += b"\x00" * 5 + b"\xe0\x3f"
+            raw = t.encode("cp437") + b"\x00"
+            body += len(raw).to_bytes(2, "little") + raw
+        return hdr + descb + bytes(body)
+
+    def _run(self, data):
+        import pandas as pd
+
+        from tika_spark.pipeline.stages import ExtractConfig, \
+            process_batch
+        pdf = pd.DataFrame({"url": ["doc://d.prt"],
+                            "warc_ts": [pd.Timestamp("2020-01-01")],
+                            "html": [data]})
+        return process_batch(pdf, ExtractConfig(mode="text"), 0).iloc[0]
+
+    def test_notes_views_metadata(self):
+        r = self._run(self._prt())
+        assert r.mime == "application/x-prt"
+        assert r.text == "This is the note text\nTopView\n"
+        md = dict(r.metadata)
+        assert md["Creation-Date"] == ["2024-01-15T12:30:00"]
+        assert md["description"] == ["Drawing of a widget"]
+
+    def test_sanity_guards(self):
+        # unterminated text run -> dropped, not emitted
+        data = self._prt()
+        bad = data.replace(b"TopView\x00", b"TopViewX")
+        r = self._run(bad)
+        assert "TopView" not in r.text
+        # insane length claim -> ignored
+        from tika_spark.prt import extract_prt
+        hdr = b"\x00" * 542
+        run = (b"\x00" * 5 + b"\xe0\x3f"
+               + (0x4000).to_bytes(2, "little") + b"A" * 64)
+        got = extract_prt(hdr + run)
+        assert got["text"] == ""
+
+    def test_cp437_phi_fixup(self):
+        # byte 0xED is phi in CP437; the documented fixup renders it
+        # as the diameter O-slash sign
+        hdr = b"\x00" * 542
+        raw = b"Diameter \xed 5mm\x00"
+        run = (b"\x33" * 5 + b"\xe3\x3f" + bytes(range(10)) + b"\x1f"
+               + len(raw).to_bytes(2, "little") + raw)
+        from tika_spark.prt import extract_prt
+        got = extract_prt(hdr + run)
+        assert "Diameter Ø 5mm" in got["text"]

@@ -26,6 +26,7 @@ from tika_spark.html.extract import extract_html
 from tika_spark.mime import lattice
 from tika_spark.mime.detector import detect_batch
 from tika_spark.pdf.parser import extract_pdf
+from tika_spark.prt import extract_prt
 from tika_spark.pkg.epub import extract_epub
 from tika_spark.pkg.odf import extract_flat_odf, extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
@@ -170,6 +171,8 @@ ROUTE_TABLE = {
     "application/vnd.visio": "ole",
     "application/x-mspublisher": "ole",
     "application/x-tika-msoffice": "ole",
+    # CADKEY PRT note/view text (prt/PRTParser.java)
+    "application/x-prt": "prt",
 }
 
 _EXTRACTORS = {
@@ -191,6 +194,7 @@ _EXTRACTORS = {
     "xps": extract_xps,
     "ole": extract_ole,
     "chm": extract_chm,
+    "prt": extract_prt,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
