@@ -178,11 +178,13 @@ def _q_extract_main_text(spark, sf_dir):
 
 
 def _pdf_wrap_udf():
-    """Deterministic per-row PDF builder covering three D1-D3 layout
-    variants by doc_id%3: classic xref + Flate content (0), two text
+    """Deterministic per-row PDF builder covering four D1-D3 layout
+    variants by doc_id%4: classic xref + Flate content (0), two text
     boxes in one content stream — the reading-order pin,
-    PDF2XHTML.java:84-98 / PDFParserTest.java:147 (1), and PDF 1.5
-    ObjStm + xref-stream layout (2)."""
+    PDF2XHTML.java:84-98 / PDFParserTest.java:147 (1), PDF 1.5
+    ObjStm + xref-stream layout (2), and an RC4 standard-security
+    encrypted file opened with the empty user password —
+    PDFParser.java:76-99 decrypt semantics (3)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -194,16 +196,19 @@ def _pdf_wrap_udf():
         for i, text in zip(ids, texts):
             i = int(i)
             text = text or ""
-            if i % 3 == 0:
-                out.append(make_pdf([[f"Document {i}", text]],
-                                    title=f"Doc {i}"))
-            elif i % 3 == 1:
+            if i % 4 == 1:
                 out.append(make_pdf(
                     [[f"Document {i}", text, f"Column two of {i}",
                       "The end"]], title=f"Doc {i}", two_columns=True))
-            else:
+            elif i % 4 == 2:
                 out.append(make_pdf_objstm([f"Document {i}", text],
                                            title=f"Doc {i}"))
+            elif i % 4 == 3:
+                out.append(make_pdf([[f"Document {i}", text]],
+                                    title=f"Doc {i}", encrypt=True))
+            else:
+                out.append(make_pdf([[f"Document {i}", text]],
+                                    title=f"Doc {i}"))
         return pd.Series(out)
 
     return wrap
@@ -1317,7 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf_text": (
             "SELECT 'doc://' || doc_id || '.pdf' AS url, "
             "'application/pdf' AS mime, 'Doc ' || doc_id AS title, "
-            "CASE doc_id % 3 WHEN 1 THEN "
+            "CASE doc_id % 4 WHEN 1 THEN "
             "'Document ' || doc_id || chr(10) || text || chr(10) || "
             "'Column two of ' || doc_id || chr(10) || 'The end' || "
             "chr(10) || chr(10) ELSE "
