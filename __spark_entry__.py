@@ -1050,6 +1050,17 @@ def _q_streaming_dedup_fp(spark, sf_dir):
     return spark.table(name).select("fp_md5").distinct()
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer count (GPT-2-style ASCII pattern) — the
+    subword-budget estimate; RE2-safe pattern shared verbatim with the
+    oracle."""
+    from tika_spark.analysis.textstats import bpe_token_count
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    bpe_token_count(F.col("text")).cast("long")
+                    .alias("n_bpe_tokens")))
+
+
 def _q_docs_cap_per_source(spark, sf_dir):
     """Crawl-curation per-host cap: at most 10 docs per source, ranked
     by n_chars desc then doc_id (deterministic total order); one
@@ -1247,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
+        "token_count_bpe": _q_token_count_bpe,
         "docs_cap_per_source": _q_docs_cap_per_source,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "length_histogram": _q_length_histogram,
@@ -1594,6 +1606,14 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_fp": (
             "SELECT DISTINCT md5(regexp_replace(trim(text), '\\s+', "
             "' ', 'g')) AS fp_md5 FROM documents"),
+        # pattern shared with the Spark side; single quotes doubled
+        # for SQL embedding
+        "token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, '"
+            + __import__("tika_spark.analysis.textstats",
+                         fromlist=["BPE_TOKEN_PATTERN"])
+            .BPE_TOKEN_PATTERN.replace("'", "''")
+            + "'))::BIGINT AS n_bpe_tokens FROM documents"),
         "docs_cap_per_source": (
             "SELECT doc_id, source FROM (SELECT doc_id, source, "
             "row_number() OVER (PARTITION BY source ORDER BY n_chars "

@@ -371,3 +371,17 @@ def test_stratified_sample_deterministic(spark):
     c = {r["doc_id"] for r in
          stratified_sample(df, "lang", {"en": 0.9, "de": 0.5}).collect()}
     assert a <= c
+
+
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from tika_spark.analysis.textstats import bpe_token_count
+    df = spark.createDataFrame(
+        [("It's a test, with 42 numbers!",), ("",), (None,)],
+        "text string")
+    got = [r[0] for r in
+           df.select(bpe_token_count(F.col("text"))).collect()]
+    # It|'s| a| test|,| with| 42| numbers|!
+    assert got[0] == 9
+    assert got[1] == 0

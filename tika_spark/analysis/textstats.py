@@ -187,3 +187,22 @@ def stratified_sample(df: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == stratum,
                       F.lit(float(r))).otherwise(rate)
     return df.filter(draw < rate)
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII form: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. Kept to
+# RE2-compatible syntax (no lookaround) so the same pattern runs in
+# Spark (Java regex) and the DuckDB oracle byte-for-byte.
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization (whitespace attaches to the following
+    token, contractions split) — the subword-budget estimator a
+    training-data pipeline runs before the real tokenizer."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
