@@ -627,23 +627,35 @@ def _q_extract_mail_text(spark, sf_dir):
 
 
 def _q_extract_feed_text(spark, sf_dir):
-    """E3: RSS 2.0 channel+item walk — title/description heading, one
-    TAB-indented item line per entry, item links collected
-    (feed/FeedParser.java output shape)."""
-    rss = F.encode(F.concat(
+    """E3: feed walk, both syndication formats — RSS 2.0
+    channel+item on even doc_ids, Atom 1.0 feed+entry on odd — with
+    identical emit shape (title/description heading, one TAB-indented
+    item line per entry, item links; feed/FeedParser.java ROME
+    normalization)."""
+    did = F.col("doc_id").cast("string")
+    rss = F.concat(
         F.lit("<?xml version='1.0'?><rss version='2.0'><channel>"
-              "<title>Feed "),
-        F.col("doc_id").cast("string"),
+              "<title>Feed "), did,
         F.lit("</title><description>"), F.col("text"),
-        F.lit("</description><item><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</title><link>http://example.com/d"),
-        F.col("doc_id").cast("string"),
+        F.lit("</description><item><title>Doc "), did,
+        F.lit("</title><link>http://example.com/d"), did,
         F.lit("</link><description>"), F.col("text"),
-        F.lit("</description></item></channel></rss>")), "UTF-8")
+        F.lit("</description></item></channel></rss>"))
+    atom = F.concat(
+        F.lit("<?xml version='1.0'?><feed "
+              "xmlns='http://www.w3.org/2005/Atom'><title>Feed "), did,
+        F.lit("</title><subtitle>"), F.col("text"),
+        F.lit("</subtitle><entry><title>Doc "), did,
+        F.lit("</title><link href='http://example.com/d"), did,
+        F.lit("'/><summary>"), F.col("text"),
+        F.lit("</summary></entry></feed>"))
+    even = F.pmod("doc_id", F.lit(2)) == 0
     pages = _docs(spark, sf_dir).select(
-        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".rss"))
-        .alias("url"), rss.alias("html"))
+        F.concat(F.lit("doc://"), F.col("doc_id"),
+                 F.when(even, F.lit(".rss")).otherwise(F.lit(".atom")))
+        .alias("url"),
+        F.encode(F.when(even, rss).otherwise(atom), "UTF-8")
+        .alias("html"))
     out = extract(pages, mode="text")
     return out.select("url", "mime", "title", "text",
                       F.size("links").cast("long").alias("n_links"))
@@ -1529,8 +1541,10 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
             "FROM documents"),
         "extract_feed_text": (
-            "SELECT 'doc://' || doc_id || '.rss' AS url, "
-            "'application/rss+xml' AS mime, "
+            "SELECT 'doc://' || doc_id || (CASE doc_id % 2 WHEN 0 "
+            "THEN '.rss' ELSE '.atom' END) AS url, "
+            "(CASE doc_id % 2 WHEN 0 THEN 'application/rss+xml' "
+            "ELSE 'application/atom+xml' END) AS mime, "
             "'Feed ' || doc_id AS title, "
             "'Feed ' || doc_id || chr(10) || text || chr(10) || chr(9) "
             "|| 'Doc ' || doc_id || chr(10) || text || chr(10) || "
