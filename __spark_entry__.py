@@ -626,6 +626,31 @@ def _q_extract_mail_text(spark, sf_dir):
                                               "text")
 
 
+def _q_extract_mbox_recursive(spark, sf_dir):
+    """E5 mbox + F1: each archive row carries two ``From ``-delimited
+    messages; the parent row lists the member names, each message
+    explodes into a child row parsed through the RFC822 chain
+    (mbox/MboxParser.java:251 splitting)."""
+    did = F.col("doc_id").cast("string")
+    msg = (
+        F.lit("From bot@example.com Thu Jan  1 00:00:00 2024\r\n"
+              "From: Crawl Bot <bot@example.com>\r\nSubject: Doc "),
+        did, F.lit(" part 0\r\nContent-Type: text/plain; "
+                   "charset=utf-8\r\n\r\n"), F.col("text"),
+        F.lit("\r\nFrom bot@example.com Thu Jan  1 00:01:00 2024\r\n"
+              "From: Crawl Bot <bot@example.com>\r\nSubject: Doc "),
+        did, F.lit(" part 1\r\nContent-Type: text/plain; "
+                   "charset=utf-8\r\n\r\n"), F.col("text"))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".mbox"))
+        .alias("url"),
+        F.encode(F.concat(*msg), "UTF-8").alias("html"),
+        F.lit("application/mbox").alias("declared_type"))
+    out = extract_recursive(pages, mode="text")
+    return out.select("url", F.col("depth").cast("long").alias("depth"),
+                      "text")
+
+
 def _q_extract_feed_text(spark, sf_dir):
     """E3: feed walk, both syndication formats — RSS 2.0
     channel+item on even doc_ids, Atom 1.0 feed+entry on odd — with
@@ -1256,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chm_text": _q_extract_chm_text,
         "extract_rtf_text": _q_extract_rtf_text,
         "extract_mail_text": _q_extract_mail_text,
+        "extract_mbox_recursive": _q_extract_mbox_recursive,
         "extract_feed_text": _q_extract_feed_text,
         "extract_docx_text": _q_extract_docx_text,
         "extract_odt_text": _q_extract_odt_text,
@@ -1540,6 +1566,17 @@ def oracle_sql() -> dict[str, str]:
             "'message/rfc822' AS mime, 'Doc ' || doc_id AS title, "
             "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
             "FROM documents"),
+        "extract_mbox_recursive": (
+            "SELECT 'doc://' || doc_id || '.mbox' AS url, "
+            "CAST(0 AS BIGINT) AS depth, "
+            "'msg-0.eml' || chr(10) || 'msg-1.eml' || chr(10) AS text "
+            "FROM documents UNION ALL "
+            "SELECT 'doc://' || doc_id || '.mbox!/msg-' || part "
+            "|| '.eml' AS url, CAST(1 AS BIGINT) AS depth, "
+            "'Doc ' || doc_id || ' part ' || part || chr(10) || "
+            "(CASE WHEN text = '' THEN '' ELSE text || chr(10) END) "
+            "AS text FROM documents, (SELECT 0 AS part UNION ALL "
+            "SELECT 1) parts"),
         "extract_feed_text": (
             "SELECT 'doc://' || doc_id || (CASE doc_id % 2 WHEN 0 "
             "THEN '.rss' ELSE '.atom' END) AS url, "

@@ -73,9 +73,11 @@ def _part_text(part, config: ExtractConfig) -> str:
         return extract_html(payload, None, None, config)["text"]
     charset = part.get_content_charset() or "utf-8"
     try:
-        return payload.decode(charset, "replace")
+        text = payload.decode(charset, "replace")
     except LookupError:
-        return payload.decode("utf-8", "replace")
+        text = payload.decode("utf-8", "replace")
+    # mime4j hands the handler decoded *lines*; CRLF normalizes to \n
+    return text.replace("\r\n", "\n")
 
 
 def extract_rfc822(data: bytes, url: str | None = None,
