@@ -55,6 +55,10 @@ _SYMBOLS = {
 }
 
 _CTRL_WORD = re.compile(rb"([a-zA-Z]+)(-?\d+)? ?")
+# a run of ordinary content bytes (no group delimiters, control
+# prefix, or raw newlines) — consumed in one C-level match instead of
+# byte-at-a-time appends (the tokenizer's hot path)
+_PLAIN_RUN = re.compile(rb"[^\\{}\r\n]+")
 _HYPERLINK = re.compile(r'HYPERLINK\s+"?([^"\s]+)"?')
 
 
@@ -216,8 +220,9 @@ def extract_rtf(data: bytes, url: str | None = None,
         elif b in (0x0D, 0x0A):
             i += 1  # raw CR/LF in RTF source is not content
         else:
-            pending.append(b)
-            i += 1
+            m = _PLAIN_RUN.match(data, i)
+            pending += m.group()
+            i = m.end()
 
     flush()
     if link_target:
