@@ -19,6 +19,8 @@ from tika_spark.mime.detector import detect
 from tika_spark.ole.parser import extract_ole
 from tika_spark.pdf import extract_pdf
 from tika_spark.pkg.parser import extract_package
+from tika_spark.pkg.xps import extract_xps
+from tika_spark.prt import extract_prt
 from tika_spark.rtf import extract_rtf
 from tika_spark.textparse import extract_text
 from tika_spark.xmlparse import extract_feed, extract_xml
@@ -28,6 +30,10 @@ _MAGICS = [
     b"ITSF\x03\x00\x00\x00", b"PK\x03\x04", b"\x1f\x8b\x08",
     b"<?xml version='1.0'?>", b"<html>", b"BZh9", b"\x89PNG\r\n\x1a\n",
     b"II*\x00", b"MM\x00*", b"ID3", b"From ", b"Received:",
+    # round-2 widened surfaces
+    b"\x00" * 8 + b"0M3C", b"RIFF\x24\x00\x00\x00WAVE",
+    b"\x33" * 5 + b"\xe3\x3f", b"#!/bin/sh\n",
+    b"\\input texinfo ", b"\x30\x26\xb2\x75\x8e\x66\xcf\x11",
 ]
 
 _EXTRACTORS = [
@@ -39,6 +45,7 @@ _EXTRACTORS = [
     ("rtf", extract_rtf, {}),
     ("rfc822", extract_rfc822, {}),
     ("mbox", extract_mbox, {}),
+    ("prt", extract_prt, {}),
 ]
 
 _payloads = st.tuples(
@@ -72,6 +79,8 @@ def test_mime_aware_extractors_never_raise(payload):
         r = fn(payload, "http://fuzz/x", None, cfg, mime=mime)
         assert isinstance(r["text"], str)
     r = extract_chm(payload)
+    assert isinstance(r["text"], str)
+    r = extract_xps(payload, "http://fuzz/x", None, cfg, mime="application/oxps")
     assert isinstance(r["text"], str)
 
 
