@@ -1087,6 +1087,30 @@ def _q_streaming_dedup_fp(spark, sf_dir):
     return spark.table(name).select("fp_md5").distinct()
 
 
+def _q_streaming_sessionize(spark, sf_dir):
+    """applyInPandasWithState oracle: gap sessionization over the
+    replayed events stream with NoTimeout — only gap-closed sessions
+    emit, a pure function of the static snapshot, so the batch window
+    SQL reproduces it exactly (each user's final open session never
+    appears)."""
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .parquet(_stream_dir(sf_dir, "events"))
+              .select(F.col("user_id").cast("string").alias("user_id"),
+                      "ts"))
+    from tika_spark.streaming.stateful import sessionize_stream
+    out = sessionize_stream(stream, gap="10 minutes", timeout_ms=None)
+    name = "stream_sessionize_oracle"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return (spark.table(name)
+            .select("user_id", "session_start", "session_end",
+                    F.col("n_events").cast("long").alias("n_events")))
+
+
 def _q_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenizer count (GPT-2-style ASCII pattern) — the
     subword-budget estimate; RE2-safe pattern shared verbatim with the
@@ -1296,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
+        "streaming_sessionize": _q_streaming_sessionize,
         "token_count_bpe": _q_token_count_bpe,
         "docs_cap_per_source": _q_docs_cap_per_source,
         "docs_stratified_sample": _q_docs_stratified_sample,
@@ -1657,6 +1682,20 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_fp": (
             "SELECT DISTINCT md5(regexp_replace(trim(text), '\\s+', "
             "' ', 'g')) AS fp_md5 FROM documents"),
+        "streaming_sessionize": (
+            "WITH d AS (SELECT user_id::VARCHAR AS user_id, ts, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts) > INTERVAL 10 MINUTE THEN 1 ELSE 0 END "
+            "AS brk FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY "
+            "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM d), "
+            "g AS (SELECT user_id, sid, min(ts) AS session_start, "
+            "max(ts) AS session_end, COUNT(*)::BIGINT AS n_events "
+            "FROM s GROUP BY user_id, sid) "
+            "SELECT user_id, session_start, session_end, n_events "
+            "FROM g WHERE sid < (SELECT max(sid) FROM g g2 "
+            "WHERE g2.user_id = g.user_id)"),
         # pattern shared with the Spark side; single quotes doubled
         # for SQL embedding
         "token_count_bpe": (

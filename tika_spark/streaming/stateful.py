@@ -60,6 +60,8 @@ def _make_sessionizer(gap_s: float, timeout_ms: int):
            state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         start, last, n = state.get if state.exists else (None, None, 0)
+        if start is not None:
+            start, last = start / 1e6, last / 1e6
         closed: list[tuple[Any, Any, Any, int]] = []
         if state.hasTimedOut:
             if n:
@@ -78,8 +80,12 @@ def _make_sessionizer(gap_s: float, timeout_ms: int):
                 else:
                     last, n = t, n + 1
             if n:
-                state.update((int(start), int(last), int(n)))
-                state.setTimeoutDuration(timeout_ms)
+                # store microseconds: whole-second truncation would
+                # shift cross-batch session bounds vs event time
+                state.update((int(round(start * 1e6)),
+                              int(round(last * 1e6)), int(n)))
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 [(u, _dt.datetime.fromtimestamp(s, _dt.timezone.utc)
@@ -94,7 +100,7 @@ def _make_sessionizer(gap_s: float, timeout_ms: int):
 
 def sessionize_stream(events_stream: DataFrame,
                       gap: str = "30 minutes",
-                      timeout_ms: int = 60_000) -> DataFrame:
+                      timeout_ms: int | None = 60_000) -> DataFrame:
     """Gap-sessionize a stream of (user_id string, ts timestamp).
 
     Emits one row per CLOSED session (a new event farther than ``gap``
@@ -102,8 +108,15 @@ def sessionize_stream(events_stream: DataFrame,
     timeout flushes the remainder). Custom state via
     applyInPandasWithState — the engine checkpoints the per-user
     state tuples with the query.
+
+    ``timeout_ms=None`` disables the idle flush (NoTimeout): only
+    gap-closed sessions ever emit. For a replayed static snapshot that
+    makes the output a pure function of the data — the deterministic
+    configuration the correctness oracle runs.
     """
     gap_s = float(pd.Timedelta(gap).total_seconds())
+    conf = (GroupStateTimeout.NoTimeout if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout)
     return (events_stream
             .select("user_id", "ts")
             .groupBy("user_id")
@@ -112,7 +125,7 @@ def sessionize_stream(events_stream: DataFrame,
                 outputStructType=SESSION_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=conf))
 
 
 # ------------------------------------------------------ streaming dedup
