@@ -651,6 +651,57 @@ def _q_extract_mbox_recursive(spark, sf_dir):
                       "text")
 
 
+def _iwork_wrap_udf():
+    """Deterministic single-page Pages '09 package per row (zip of
+    buildVersionHistory.plist + index.xml with publication-info and
+    one sf:p paragraph)."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            xml = (
+                '<?xml version="1.0"?><sl:document xmlns:sl='
+                '"http://developer.apple.com/namespaces/sl" xmlns:sf='
+                '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+                '"http://developer.apple.com/namespaces/sfa">'
+                '<sl:publication-info><sf:title>'
+                f'<sl:string sfa:string="P{i}"/></sf:title>'
+                '</sl:publication-info>'
+                f'<sf:page-start/><sf:p>{t}</sf:p></sl:document>')
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                d = (1980, 1, 1, 0, 0, 0)
+                zf.writestr(
+                    zipfile.ZipInfo("buildVersionHistory.plist", d),
+                    "<plist/>")
+                zf.writestr(zipfile.ZipInfo("index.xml", d), xml)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_iwork_pages(spark, sf_dir):
+    """iWork oracle: zip container refinement names vnd.apple.pages
+    from the root QName; Pages handler emits publication-info title +
+    per-page paragraph text (IWorkPackageParser + PagesContentHandler
+    parity; en docs — plain ascii, no XML escaping needed)."""
+    wrap = _iwork_wrap_udf()
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".pages"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
 def _q_extract_feed_text(spark, sf_dir):
     """E3: feed walk, both syndication formats — RSS 2.0
     channel+item on even doc_ids, Atom 1.0 feed+entry on odd — with
@@ -1305,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chm_text": _q_extract_chm_text,
         "extract_rtf_text": _q_extract_rtf_text,
         "extract_mail_text": _q_extract_mail_text,
+        "extract_iwork_pages": _q_extract_iwork_pages,
         "extract_mbox_recursive": _q_extract_mbox_recursive,
         "extract_feed_text": _q_extract_feed_text,
         "extract_docx_text": _q_extract_docx_text,
@@ -1591,6 +1643,11 @@ def oracle_sql() -> dict[str, str]:
             "'message/rfc822' AS mime, 'Doc ' || doc_id AS title, "
             "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
             "FROM documents"),
+        "extract_iwork_pages": (
+            "SELECT 'doc://' || doc_id || '.pages' AS url, "
+            "'application/vnd.apple.pages' AS mime, "
+            "'P' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents WHERE lang = 'en'"),
         "extract_mbox_recursive": (
             "SELECT 'doc://' || doc_id || '.mbox' AS url, "
             "CAST(0 AS BIGINT) AS depth, "

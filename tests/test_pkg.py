@@ -538,3 +538,97 @@ def test_xps_through_pipeline(spark):
     row = extract(df, mode="text").collect()[0]
     assert row["mime"] == "application/vnd.ms-xpsdocument"
     assert row["text"] == "hello xps\n"
+
+
+class TestIWork:
+    """iWork package family (iwork/IWorkPackageParser.java + the three
+    content handlers): root-QName type detection, per-format text."""
+
+    @staticmethod
+    def _zip(entries):
+        import io
+        import zipfile
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for n, b in entries.items():
+                zf.writestr(zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0)), b)
+        return buf.getvalue()
+
+    def _run(self, name, payload):
+        import pandas as pd
+
+        from tika_spark.pipeline.stages import ExtractConfig, \
+            process_batch
+        pdf = pd.DataFrame({"url": [name],
+                            "warc_ts": [pd.Timestamp("2020-01-01")],
+                            "html": [payload]})
+        return process_batch(pdf, ExtractConfig(mode="text"), 0).iloc[0]
+
+    def test_pages(self):
+        xml = ('<?xml version="1.0"?><sl:document xmlns:sl='
+               '"http://developer.apple.com/namespaces/sl" xmlns:sf='
+               '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+               '"http://developer.apple.com/namespaces/sfa">'
+               '<sl:publication-info><sf:title>'
+               '<sl:string sfa:string="My Pages Doc"/></sf:title>'
+               '<sf:authors><sl:string sfa:string="Writer"/>'
+               '</sf:authors></sl:publication-info>'
+               '<sf:page-start/><sf:p>First paragraph text.</sf:p>'
+               '<sf:p>Second one.</sf:p></sl:document>')
+        r = self._run("a.pages", self._zip(
+            {"buildVersionHistory.plist": "<plist/>",
+             "index.xml": xml}))
+        assert r.mime == "application/vnd.apple.pages"
+        assert r.title == "My Pages Doc"
+        assert r.text == "First paragraph text.\nSecond one.\n"
+        md = dict(r.metadata)
+        assert md["Author"] == ["Writer"]
+        assert md["xmpTP:NPages"] == ["1"]
+
+    def test_numbers_table(self):
+        xml = ('<?xml version="1.0"?><ls:document xmlns:ls='
+               '"http://developer.apple.com/namespaces/ls" xmlns:sf='
+               '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+               '"http://developer.apple.com/namespaces/sfa">'
+               '<ls:workspace ls:workspace-name="Sheet1">'
+               '<sf:text><sf:p>Cell note</sf:p></sf:text>'
+               '<sf:tabular-model><sf:grid sf:numcols="2"/>'
+               '<sf:ct sfa:s="a1"/><sf:ct sfa:s="b1"/>'
+               '<sf:n sf:v="3"/><sf:n sf:v="4"/></sf:tabular-model>'
+               '</ls:workspace></ls:document>')
+        r = self._run("b.numbers", self._zip(
+            {"buildVersionHistory.plist": "<plist/>",
+             "index.xml": xml}))
+        assert r.mime == "application/vnd.apple.numbers"
+        assert r.text == "Cell note\na1\tb1\n3\t4\n"
+        assert dict(r.metadata)["sheetNames"] == ["Sheet1"]
+
+    def test_keynote(self):
+        xml = ('<?xml version="1.0"?><key:presentation xmlns:key='
+               '"http://developer.apple.com/namespaces/keynote2" '
+               'xmlns:sf="http://developer.apple.com/namespaces/sf" '
+               'xmlns:sfa="http://developer.apple.com/namespaces/sfa">'
+               '<key:metadata><key:title>'
+               '<key:string sfa:string="Deck"/></key:title>'
+               '</key:metadata><key:size sfa:w="1024" sfa:h="768"/>'
+               '<key:slide><key:title-placeholder><sf:text-body>'
+               'Slide One Title</sf:text-body></key:title-placeholder>'
+               '<key:body-placeholder><sf:text-body>Body text line'
+               '</sf:text-body></key:body-placeholder></key:slide>'
+               '</key:presentation>')
+        r = self._run("c.key", self._zip(
+            {"buildVersionHistory.plist": "<plist/>",
+             "index.apxl": xml}))
+        assert r.mime == "application/vnd.apple.keynote"
+        assert r.title == "Deck"
+        assert r.text == "Slide One Title\nBody text line\n"
+        md = dict(r.metadata)
+        assert md["slide-count"] == ["1"]
+        assert md["slides-width"] == ["1024"]
+
+    def test_unknown_root_is_generic_iwork(self):
+        r = self._run("d.pages", self._zip(
+            {"buildVersionHistory.plist": "<plist/>",
+             "index.xml": "<unknown/>"}))
+        assert r.mime == "application/vnd.apple.iwork"
+        assert r.status == "no_parser"

@@ -28,6 +28,7 @@ from tika_spark.mime.detector import detect_batch
 from tika_spark.pdf.parser import extract_pdf
 from tika_spark.prt import extract_prt
 from tika_spark.pkg.epub import extract_epub
+from tika_spark.pkg.iwork import extract_iwork
 from tika_spark.pkg.odf import extract_flat_odf, extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
@@ -159,6 +160,11 @@ ROUTE_TABLE = {
        for t in ("text", "spreadsheet", "presentation", "graphics",
                  "chart", "formula", "image")},
     "application/epub+zip": "epub",
+    # iWork family (iwork/IWorkPackageParser.java)
+    "application/vnd.apple.iwork": "iwork",
+    "application/vnd.apple.pages": "iwork",
+    "application/vnd.apple.numbers": "iwork",
+    "application/vnd.apple.keynote": "iwork",
     "application/vnd.ms-xpsdocument": "xps",
     "application/oxps": "xps",
     # OLE2 binary Office (E7) — specific types from the OLE2 container
@@ -195,10 +201,11 @@ _EXTRACTORS = {
     "ole": extract_ole,
     "chm": extract_chm,
     "prt": extract_prt,
+    "iwork": extract_iwork,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
-_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "flat_odf", "xps", "media", "ole"})
+_MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "flat_odf", "xps", "media", "ole", "iwork"})
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "

@@ -119,6 +119,14 @@ def refine_container(data: bytes, detected: str) -> str:
                     return "application/vnd.ms-xpsdocument"
             if any(n.endswith(".fdseq") for n in names):
                 return "application/vnd.ms-xpsdocument"
+            # iWork packages: buildVersionHistory.plist + a content
+            # entry whose root QName names the format
+            # (IWorkPackageParser.java:64-133)
+            if "buildVersionHistory.plist" in names:
+                from tika_spark.pkg.iwork import detect_iwork
+                hit = detect_iwork(data)
+                if hit:
+                    return hit
     except Exception:
         pass
     return detected
