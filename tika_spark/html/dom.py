@@ -77,11 +77,15 @@ class _TreeBuilder(HTMLParser):
         return [e.tag for e in self.stack[1:]]
 
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
-        attr_map = {}
-        for k, v in attrs:
-            if k and k not in attr_map:
-                attr_map[k.lower()] = v if v is not None else ""
+        # html.parser delivers tag and attribute names already
+        # lowercased; duplicate attrs keep the first value
+        if attrs:
+            attr_map = {}
+            for k, v in attrs:
+                if k and k not in attr_map:
+                    attr_map[k] = v if v is not None else ""
+        else:
+            attr_map = {}
         closers = _IMPLIED_CLOSE.get(tag)
         if closers:
             while len(self.stack) > 1 and self._top().tag in closers:
@@ -102,12 +106,10 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        tag = tag.lower()
-        attr_map = {k.lower(): (v if v is not None else "") for k, v in attrs}
+        attr_map = {k: (v if v is not None else "") for k, v in attrs}
         self._top().children.append(El(tag, attr_map))
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
         if tag in VOID_ELEMENTS:
             return
         for i in range(len(self.stack) - 1, 0, -1):
