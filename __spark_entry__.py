@@ -626,6 +626,57 @@ def _q_extract_mail_text(spark, sf_dir):
                                               "text")
 
 
+def _iwork_numbers_wrap_udf():
+    """Deterministic Numbers package per row: one workspace with a
+    text note and a 2-column table derived from doc_id."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            xml = (
+                '<?xml version="1.0"?><ls:document xmlns:ls='
+                '"http://developer.apple.com/namespaces/ls" xmlns:sf='
+                '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+                '"http://developer.apple.com/namespaces/sfa">'
+                f'<ls:workspace ls:workspace-name="Sheet{i}">'
+                f'<sf:text><sf:p>Note {i}</sf:p></sf:text>'
+                '<sf:tabular-model><sf:grid sf:numcols="2"/>'
+                f'<sf:ct sfa:s="r{i}c0"/><sf:ct sfa:s="r{i}c1"/>'
+                f'<sf:n sf:v="{i}"/><sf:n sf:v="{i * 2}"/>'
+                '</sf:tabular-model></ls:workspace></ls:document>')
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                d = (1980, 1, 1, 0, 0, 0)
+                zf.writestr(
+                    zipfile.ZipInfo("buildVersionHistory.plist", d),
+                    "<plist/>")
+                zf.writestr(zipfile.ZipInfo("index.xml", d), xml)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_iwork_numbers(spark, sf_dir):
+    """iWork Numbers oracle: workspace text + numcols-driven table
+    rows (NumbersContentHandler parity)."""
+    wrap = _iwork_numbers_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".numbers"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="text")
+    sheet = F.element_at(F.col("metadata"), "sheetNames")[0]
+    return out.select("url", "mime", sheet.alias("sheet"), "text")
+
+
 def _q_extract_mbox_recursive(spark, sf_dir):
     """E5 mbox + F1: each archive row carries two ``From ``-delimited
     messages; the parent row lists the member names, each message
@@ -1357,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_rtf_text": _q_extract_rtf_text,
         "extract_mail_text": _q_extract_mail_text,
         "extract_iwork_pages": _q_extract_iwork_pages,
+        "extract_iwork_numbers": _q_extract_iwork_numbers,
         "extract_mbox_recursive": _q_extract_mbox_recursive,
         "extract_feed_text": _q_extract_feed_text,
         "extract_docx_text": _q_extract_docx_text,
@@ -1648,6 +1700,14 @@ def oracle_sql() -> dict[str, str]:
             "'application/vnd.apple.pages' AS mime, "
             "'P' || doc_id AS title, text || chr(10) AS text "
             "FROM documents WHERE lang = 'en'"),
+        "extract_iwork_numbers": (
+            "SELECT 'doc://' || doc_id || '.numbers' AS url, "
+            "'application/vnd.apple.numbers' AS mime, "
+            "'Sheet' || doc_id AS sheet, "
+            "'Note ' || doc_id || chr(10) || "
+            "'r' || doc_id || 'c0' || chr(9) || 'r' || doc_id || 'c1' "
+            "|| chr(10) || doc_id || chr(9) || (doc_id * 2) || chr(10) "
+            "AS text FROM documents"),
         "extract_mbox_recursive": (
             "SELECT 'doc://' || doc_id || '.mbox' AS url, "
             "CAST(0 AS BIGINT) AS depth, "
