@@ -1213,6 +1213,15 @@ def _q_streaming_sessionize(spark, sf_dir):
                     F.col("n_events").cast("long").alias("n_events")))
 
 
+def _q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: window-min over
+    md5-prefix shingle hashes, full windows only — the MOSS scheme as
+    pure window SQL on both engines."""
+    from tika_spark.analysis.textstats import winnow_fingerprints
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return winnow_fingerprints(docs)
+
+
 def _q_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenizer count (GPT-2-style ASCII pattern) — the
     subword-budget estimate; RE2-safe pattern shared verbatim with the
@@ -1424,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
+        "fingerprint_winnow": _q_fingerprint_winnow,
         "streaming_sessionize": _q_streaming_sessionize,
         "token_count_bpe": _q_token_count_bpe,
         "docs_cap_per_source": _q_docs_cap_per_source,
@@ -1799,6 +1809,22 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_fp": (
             "SELECT DISTINCT md5(regexp_replace(trim(text), '\\s+', "
             "' ', 'g')) AS fp_md5 FROM documents"),
+        "fingerprint_winnow": (
+            "WITH t AS (SELECT doc_id, " + _TOKS + " AS w "
+            "FROM documents), "
+            "s AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(w)-2)) AS pos, "
+            "unnest(list_transform(generate_series(1, len(w)-2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh "
+            "FROM t WHERE len(w) >= 3), "
+            "h AS (SELECT doc_id, pos, ('0x' || substring(md5(sh), 1, "
+            "8))::BIGINT AS hv FROM s), "
+            "win AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id "
+            "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) "
+            "AS fp, count(*) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win "
+            "FROM h) "
+            "SELECT DISTINCT doc_id, fp FROM win WHERE n_in_win = 4"),
         "streaming_sessionize": (
             "WITH d AS (SELECT user_id::VARCHAR AS user_id, ts, "
             "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "

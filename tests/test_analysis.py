@@ -385,3 +385,21 @@ def test_bpe_token_count(spark):
     # It|'s| a| test|,| with| 42| numbers|!
     assert got[0] == 9
     assert got[1] == 0
+
+
+def test_winnow_fingerprints(spark):
+    from tika_spark.analysis.textstats import winnow_fingerprints
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = base.replace("epsilon", "EPSILON")  # one local edit
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, "too short")],
+        "doc_id long, text string")
+    got = winnow_fingerprints(df)
+    by = {i: {r["fp"] for r in rows} for i, rows in
+          ((i, got.filter(F.col("doc_id") == i).collect())
+           for i in (1, 2, 3, 4))}
+    assert by[1] == by[2] and by[1]          # identical docs agree
+    # a single-word edit perturbs some but not all fingerprints
+    assert by[1] & by[3]
+    assert by[1] != by[3]
+    assert by[4] == set()                     # < k+w-1 tokens -> none

@@ -206,3 +206,50 @@ def bpe_tokens(col: Column) -> Column:
 
 def bpe_token_count(col: Column) -> Column:
     return F.size(bpe_tokens(col))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS): hash every positional k-word shingle, slide a w-wide window
+    over the hash sequence, keep each window's minimum — a rolling
+    fingerprint set that is robust to local edits and guarantees any
+    shared run of >= w+k-1 words produces a shared fingerprint.
+
+    All native SQL: positional shingles via transform over an index
+    sequence, a 32-bit md5-prefix hash (the same cross-engine hash the
+    sampling operator uses), window-min per document. Only full
+    windows select (standard winnowing); docs shorter than k+w-1
+    tokens contribute nothing.
+
+    Scale: one shuffle on ``id_col`` for the window; fingerprints are
+    8-byte ints — the text never shuffles. Downstream near-dup
+    candidate generation is a groupBy(fp) equi-join, same shape as the
+    MinHash band join.
+    """
+    from pyspark.sql import Window
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= k,
+        F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def shingle(i):
+        return F.concat_ws(" ", *[
+            F.element_at(toks, (i + j + 1).cast("int"))
+            for j in range(k)])
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(idx, shingle)).alias("pos", "sh"))
+    h = (F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
+         .cast("long"))
+    frame = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(0, w - 1))
+    winnowed = (sh.withColumn("h", h)
+                .withColumn("fp", F.min("h").over(frame))
+                .withColumn("n_in_win", F.count("*").over(frame))
+                .filter(F.col("n_in_win") == w)
+                .select(id_col, "fp").distinct())
+    return winnowed
