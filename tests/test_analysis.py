@@ -389,8 +389,11 @@ def test_bpe_token_count(spark):
 
 def test_winnow_fingerprints(spark):
     from tika_spark.analysis.textstats import winnow_fingerprints
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    edited = base.replace("epsilon", "EPSILON")  # one local edit
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    edited = base.replace("kappa", "KAPPA")  # one local edit
+    # either side of the edit keeps a shared run >= w+k-1 = 6 words,
+    # so the winnowing guarantee forces a shared fingerprint
     df = spark.createDataFrame(
         [(1, base), (2, base), (3, edited), (4, "too short")],
         "doc_id long, text string")
