@@ -391,9 +391,11 @@ def test_winnow_fingerprints(spark):
     from tika_spark.analysis.textstats import winnow_fingerprints
     base = ("alpha beta gamma delta epsilon zeta eta theta iota "
             "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
-    edited = base.replace("kappa", "KAPPA")  # one local edit
-    # either side of the edit keeps a shared run >= w+k-1 = 6 words,
-    # so the winnowing guarantee forces a shared fingerprint
+    # rewrite a 6-word middle run: some window then consists solely of
+    # changed shingles (its min must change), while either side keeps
+    # a shared run >= w+k-1 = 6 words (a fingerprint must be shared)
+    edited = base.replace("iota kappa lambda mu nu xi",
+                          "one two three four five six")
     df = spark.createDataFrame(
         [(1, base), (2, base), (3, edited), (4, "too short")],
         "doc_id long, text string")
