@@ -677,6 +677,60 @@ def _q_extract_iwork_numbers(spark, sf_dir):
     return out.select("url", "mime", sheet.alias("sheet"), "text")
 
 
+def _iwork_key_wrap_udf():
+    """Deterministic Keynote package per row: metadata title, one
+    slide with title + body placeholders."""
+    import io
+    import zipfile
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            xml = (
+                '<?xml version="1.0"?><key:presentation xmlns:key='
+                '"http://developer.apple.com/namespaces/keynote2" '
+                'xmlns:sf="http://developer.apple.com/namespaces/sf" '
+                'xmlns:sfa="http://developer.apple.com/namespaces/'
+                'sfa"><key:metadata><key:title>'
+                f'<key:string sfa:string="K{i}"/></key:title>'
+                '</key:metadata>'
+                '<key:slide><key:title-placeholder><sf:text-body>'
+                f'Slide {i}</sf:text-body></key:title-placeholder>'
+                '<key:body-placeholder><sf:text-body>'
+                f'{t}</sf:text-body></key:body-placeholder>'
+                '</key:slide></key:presentation>')
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                d = (1980, 1, 1, 0, 0, 0)
+                zf.writestr(
+                    zipfile.ZipInfo("buildVersionHistory.plist", d),
+                    "<plist/>")
+                zf.writestr(zipfile.ZipInfo("index.apxl", d), xml)
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_iwork_keynote(spark, sf_dir):
+    """iWork Keynote oracle: slide title placeholder + body text,
+    metadata title (KeynoteContentHandler parity; en docs, non-empty
+    body so the placeholder paragraph always emits)."""
+    wrap = _iwork_key_wrap_udf()
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.length("text") > 0))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".key"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
 def _q_extract_mbox_recursive(spark, sf_dir):
     """E5 mbox + F1: each archive row carries two ``From ``-delimited
     messages; the parent row lists the member names, each message
@@ -1418,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mail_text": _q_extract_mail_text,
         "extract_iwork_pages": _q_extract_iwork_pages,
         "extract_iwork_numbers": _q_extract_iwork_numbers,
+        "extract_iwork_keynote": _q_extract_iwork_keynote,
         "extract_mbox_recursive": _q_extract_mbox_recursive,
         "extract_feed_text": _q_extract_feed_text,
         "extract_docx_text": _q_extract_docx_text,
@@ -1718,6 +1773,12 @@ def oracle_sql() -> dict[str, str]:
             "'r' || doc_id || 'c0' || chr(9) || 'r' || doc_id || 'c1' "
             "|| chr(10) || doc_id || chr(9) || (doc_id * 2) || chr(10) "
             "AS text FROM documents"),
+        "extract_iwork_keynote": (
+            "SELECT 'doc://' || doc_id || '.key' AS url, "
+            "'application/vnd.apple.keynote' AS mime, "
+            "'K' || doc_id AS title, "
+            "'Slide ' || doc_id || chr(10) || text || chr(10) AS text "
+            "FROM documents WHERE lang = 'en' AND length(text) > 0"),
         "extract_mbox_recursive": (
             "SELECT 'doc://' || doc_id || '.mbox' AS url, "
             "CAST(0 AS BIGINT) AS depth, "
