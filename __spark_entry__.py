@@ -227,6 +227,40 @@ def _q_extract_pdf_text(spark, sf_dir):
                                               "text")
 
 
+_GLOB_EXTS = [
+    # spread across the widened 1138-extension table: curated web set,
+    # office, ebooks, long-tail generated tier
+    ("html", "text/html"), ("pdf", "application/pdf"),
+    ("docx", "application/vnd.openxmlformats-officedocument."
+             "wordprocessingml.document"),
+    ("odt", "application/vnd.oasis.opendocument.text"),
+    ("epub", "application/epub+zip"), ("chm", "application/vnd.ms-htmlhelp"),
+    ("woff2", "font/woff2"), ("webp", "image/webp"),
+    ("mkv", "video/x-matroska"), ("fb2", "application/x-fictionbook+xml"),
+    ("pages", "application/vnd.apple.pages"),
+    ("hqx", "application/mac-binhex40"),
+    ("atomcat", "application/atomcat+xml"),
+    ("ma", "application/mathematica"), ("wasm", "application/wasm"),
+    ("sqlite", "application/x-sqlite3"),
+]
+
+
+def _q_detect_by_name(spark, sf_dir):
+    """B5 oracle over the widened glob table: URL-only detection (no
+    payload) resolves the extension through the 1138-entry suffix tier
+    incl. the generated long tail (Patterns.java precedence)."""
+    n = len(_GLOB_EXTS)
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e, _ in _GLOB_EXTS]),
+        (F.pmod("doc_id", F.lit(n)) + 1).cast("int"))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h/d"), F.col("doc_id"), F.lit("."), ext)
+        .alias("url"),
+        F.lit(None).cast("binary").alias("html"))
+    out = extract(pages, mode="detect")
+    return out.select("url", "mime")
+
+
 def _q_detect_mime_counts(spark, sf_dir):
     out = extract(_pages_mixed(_docs(spark, sf_dir)), mode="text")
     return (out.groupBy("mime").agg(F.count("*").cast("long").alias("n"))
@@ -1441,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_text": _q_extract_html_text,
         "extract_main_text": _q_extract_main_text,
         "extract_pdf_text": _q_extract_pdf_text,
+        "detect_by_name": _q_detect_by_name,
         "detect_mime_counts": _q_detect_mime_counts,
         "extract_charset_meta": _q_extract_charset_meta,
         "extract_charset_statistical": _q_extract_charset_statistical,
@@ -1581,6 +1616,29 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
+        "detect_by_name": (
+            "WITH m AS (SELECT * FROM (VALUES "
+            "(0, 'html', 'text/html'), "
+            "(1, 'pdf', 'application/pdf'), "
+            "(2, 'docx', 'application/vnd.openxmlformats-"
+            "officedocument.wordprocessingml.document'), "
+            "(3, 'odt', 'application/vnd.oasis.opendocument.text'), "
+            "(4, 'epub', 'application/epub+zip'), "
+            "(5, 'chm', 'application/vnd.ms-htmlhelp'), "
+            "(6, 'woff2', 'font/woff2'), "
+            "(7, 'webp', 'image/webp'), "
+            "(8, 'mkv', 'video/x-matroska'), "
+            "(9, 'fb2', 'application/x-fictionbook+xml'), "
+            "(10, 'pages', 'application/vnd.apple.pages'), "
+            "(11, 'hqx', 'application/mac-binhex40'), "
+            "(12, 'atomcat', 'application/atomcat+xml'), "
+            "(13, 'ma', 'application/mathematica'), "
+            "(14, 'wasm', 'application/wasm'), "
+            "(15, 'sqlite', 'application/x-sqlite3')"
+            ") AS t(k, ext, mime)) "
+            "SELECT 'http://h/d' || doc_id || '.' || m.ext AS url, "
+            "m.mime AS mime FROM documents "
+            "JOIN m ON m.k = doc_id % 16"),
         "detect_mime_counts": (
             "SELECT CASE doc_id % 16 WHEN 0 THEN 'text/html' "
             "WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'text/plain' "
