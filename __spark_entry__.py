@@ -261,6 +261,49 @@ def _q_detect_by_name(spark, sf_dir):
     return out.select("url", "mime")
 
 
+_MAGIC_WIDE = [
+    (b"PSID\x00\x02" + b"\x00" * 8, "audio/prs.sid"),
+    (b"[KDE Desktop Entry]\nName=x\n", "application/x-kdelnk"),
+    (b"diff --git a/x b/x\n", "text/x-diff"),
+    (b"\\input texinfo @c manual\n", "application/x-texinfo"),
+    (b"gimp xcf v011\x00", "image/x-xcf"),
+    (b"ab-lh0-xxxxyyyy", "application/x-lharc"),
+    (b"\x00" * 11 + b"must be converted with BinHex 4.0",
+     "application/mac-binhex40"),
+    (b"WordPro\x00" + b"\x00" * 8, "application/vnd.lotus-wordpro"),
+    (b"<MIFFile 2015> # FrameMaker", "application/vnd.mif"),
+    (b"\x00" * 8 + b"\x19\x04\x00\x10" + b"\x00" * 8,
+     "application/vnd.symbian.install"),
+    (b"%!PS-AdobeFont-1.0: Times", "application/x-font-type1"),
+    (b"StartFontMetrics 4.1\n", "application/x-font-adobe-metric"),
+    (b"\x00\x01\x00\x00Standard Jet DB", "application/x-msaccess"),
+    (b".ra\xfd\x00\x03\x00", "audio/x-pn-realaudio"),
+    (b"\x8bJNG\r\n\x1a\n", "video/x-jng"),
+    (b"MOVI\x00\x00\x12\x34", "video/x-sgi-movie"),
+    (b"\xf7\x02\x01\x83\x92\xc0", "application/x-dvi"),
+    (b"\x00" * 20 + b"\xdc\xa7\xc4\xfd", "application/x-zoo"),
+    (b"#!/bin/sh\necho hi\n", "application/x-sh"),
+    (b"\x30\x26\xb2\x75\x8e\x66\xcf\x11" + b"\x00" * 24
+     + "Windows Media Video 9".encode("utf-16-le"),
+     "video/x-ms-wmv"),
+]
+
+
+def _q_detect_magic_wide(spark, sf_dir):
+    """B2 oracle over the round-2 magic widening: 20 signature-prefix
+    payloads on extension-less urls (glob tier can't help) must
+    resolve by magic alone (tika-mimetypes.xml block parity)."""
+    n = len(_MAGIC_WIDE)
+    payload = F.element_at(
+        F.array(*[F.lit(p) for p, _ in _MAGIC_WIDE]),
+        (F.pmod("doc_id", F.lit(n)) + 1).cast("int"))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        payload.alias("html"))
+    out = extract(pages, mode="detect")
+    return out.select("url", "mime")
+
+
 def _q_detect_mime_counts(spark, sf_dir):
     out = extract(_pages_mixed(_docs(spark, sf_dir)), mode="text")
     return (out.groupBy("mime").agg(F.count("*").cast("long").alias("n"))
@@ -1476,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": _q_extract_main_text,
         "extract_pdf_text": _q_extract_pdf_text,
         "detect_by_name": _q_detect_by_name,
+        "detect_magic_wide": _q_detect_magic_wide,
         "detect_mime_counts": _q_detect_mime_counts,
         "extract_charset_meta": _q_extract_charset_meta,
         "extract_charset_statistical": _q_extract_charset_statistical,
@@ -1639,6 +1683,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'http://h/d' || doc_id || '.' || m.ext AS url, "
             "m.mime AS mime FROM documents "
             "JOIN m ON m.k = doc_id % 16"),
+        "detect_magic_wide": (
+            "WITH m AS (SELECT * FROM (VALUES "
+            "(0, 'audio/prs.sid'), (1, 'application/x-kdelnk'), "
+            "(2, 'text/x-diff'), (3, 'application/x-texinfo'), "
+            "(4, 'image/x-xcf'), (5, 'application/x-lharc'), "
+            "(6, 'application/mac-binhex40'), "
+            "(7, 'application/vnd.lotus-wordpro'), "
+            "(8, 'application/vnd.mif'), "
+            "(9, 'application/vnd.symbian.install'), "
+            "(10, 'application/x-font-type1'), "
+            "(11, 'application/x-font-adobe-metric'), "
+            "(12, 'application/x-msaccess'), "
+            "(13, 'audio/x-pn-realaudio'), (14, 'video/x-jng'), "
+            "(15, 'video/x-sgi-movie'), (16, 'application/x-dvi'), "
+            "(17, 'application/x-zoo'), (18, 'application/x-sh'), "
+            "(19, 'video/x-ms-wmv')) AS t(k, mime)) "
+            "SELECT 'doc://' || doc_id AS url, m.mime AS mime "
+            "FROM documents JOIN m ON m.k = doc_id % 20"),
         "detect_mime_counts": (
             "SELECT CASE doc_id % 16 WHEN 0 THEN 'text/html' "
             "WHEN 1 THEN 'application/pdf' WHEN 2 THEN 'text/plain' "
