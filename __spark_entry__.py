@@ -189,16 +189,19 @@ def _q_extract_main_text(spark, sf_dir):
 
 def _pdf_wrap_udf():
     """Deterministic per-row PDF builder covering four D1-D3 layout
-    variants by doc_id%4: classic xref + Flate content (0), two text
+    variants by doc_id%5: classic xref + Flate content (0), two text
     boxes in one content stream — the reading-order pin,
     PDF2XHTML.java:84-98 / PDFParserTest.java:147 (1), PDF 1.5
-    ObjStm + xref-stream layout (2), and an RC4 standard-security
+    ObjStm + xref-stream layout (2), an RC4 standard-security
     encrypted file opened with the empty user password —
-    PDFParser.java:76-99 decrypt semantics (3)."""
+    PDFParser.java:76-99 decrypt semantics (3), and a 2-byte
+    CID-encoded font resolved through its /ToUnicode CMap (4;
+    untitled, like real embedded-subset files)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    from tika_spark.fixtures.pdfgen import make_pdf, make_pdf_objstm
+    from tika_spark.fixtures.pdfgen import (make_pdf, make_pdf_cid,
+                                            make_pdf_objstm)
 
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
@@ -206,16 +209,18 @@ def _pdf_wrap_udf():
         for i, text in zip(ids, texts):
             i = int(i)
             text = text or ""
-            if i % 4 == 1:
+            if i % 5 == 1:
                 out.append(make_pdf(
                     [[f"Document {i}", text, f"Column two of {i}",
                       "The end"]], title=f"Doc {i}", two_columns=True))
-            elif i % 4 == 2:
+            elif i % 5 == 2:
                 out.append(make_pdf_objstm([f"Document {i}", text],
                                            title=f"Doc {i}"))
-            elif i % 4 == 3:
+            elif i % 5 == 3:
                 out.append(make_pdf([[f"Document {i}", text]],
                                     title=f"Doc {i}", encrypt=True))
+            elif i % 5 == 4:
+                out.append(make_pdf_cid([f"Document {i}", text]))
             else:
                 out.append(make_pdf([[f"Document {i}", text]],
                                     title=f"Doc {i}"))
@@ -1654,8 +1659,10 @@ def oracle_sql() -> dict[str, str]:
             f"'{_BP_OUTRO}' || chr(10) AS text FROM documents"),
         "extract_pdf_text": (
             "SELECT 'doc://' || doc_id || '.pdf' AS url, "
-            "'application/pdf' AS mime, 'Doc ' || doc_id AS title, "
-            "CASE doc_id % 4 WHEN 1 THEN "
+            "'application/pdf' AS mime, "
+            "CASE WHEN doc_id % 5 = 4 THEN NULL "
+            "ELSE 'Doc ' || doc_id END AS title, "
+            "CASE doc_id % 5 WHEN 1 THEN "
             "'Document ' || doc_id || chr(10) || text || chr(10) || "
             "'Column two of ' || doc_id || chr(10) || 'The end' || "
             "chr(10) || chr(10) ELSE "
