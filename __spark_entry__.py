@@ -999,6 +999,55 @@ def _office_zip_udf(kind: str):
                     first_stored=(
                         "mimetype",
                         b"application/vnd.oasis.opendocument.text")))
+            elif kind == "xlsx":
+                out.append(zip_bytes({
+                    "[Content_Types].xml":
+                        b'<Types xmlns="http://schemas.openxmlformats.'
+                        b'org/package/2006/content-types"><Override '
+                        b'PartName="/xl/workbook.xml" ContentType='
+                        b'"application/vnd.openxmlformats-officedocument'
+                        b'.spreadsheetml.sheet.main+xml"/></Types>',
+                    "docProps/core.xml":
+                        b'<cp:coreProperties xmlns:cp="http://schemas.'
+                        b'openxmlformats.org/package/2006/metadata/'
+                        b'core-properties" xmlns:dc="http://purl.org/dc/'
+                        b'elements/1.1/"><dc:title>' + title
+                        + b'</dc:title></cp:coreProperties>',
+                    "xl/sharedStrings.xml":
+                        b'<sst xmlns="http://schemas.openxmlformats.'
+                        b'org/spreadsheetml/2006/main"><si><t>' + title
+                        + b'</t></si><si><t>' + body
+                        + b'</t></si></sst>',
+                    "xl/worksheets/sheet1.xml":
+                        b'<worksheet xmlns="http://schemas.'
+                        b'openxmlformats.org/spreadsheetml/2006/main">'
+                        b'<sheetData><row><c t="s"><v>0</v></c>'
+                        b'<c t="s"><v>1</v></c></row><row><c><v>'
+                        + str(int(i)).encode() + b'</v></c></row>'
+                        b'</sheetData></worksheet>'}))
+            elif kind == "pptx":
+                out.append(zip_bytes({
+                    "[Content_Types].xml":
+                        b'<Types xmlns="http://schemas.openxmlformats.'
+                        b'org/package/2006/content-types"><Override '
+                        b'PartName="/ppt/presentation.xml" ContentType='
+                        b'"application/vnd.openxmlformats-officedocument'
+                        b'.presentationml.presentation.main+xml"/>'
+                        b'</Types>',
+                    "docProps/core.xml":
+                        b'<cp:coreProperties xmlns:cp="http://schemas.'
+                        b'openxmlformats.org/package/2006/metadata/'
+                        b'core-properties" xmlns:dc="http://purl.org/dc/'
+                        b'elements/1.1/"><dc:title>' + title
+                        + b'</dc:title></cp:coreProperties>',
+                    "ppt/slides/slide1.xml":
+                        b'<p:sld xmlns:a="http://schemas.openxmlformats'
+                        b'.org/drawingml/2006/main" xmlns:p="http://'
+                        b'schemas.openxmlformats.org/presentationml/'
+                        b'2006/main"><p:cSld><p:spTree><p:sp><p:txBody>'
+                        b'<a:p><a:r><a:t>' + body + b'</a:t></a:r>'
+                        b'</a:p></p:txBody></p:sp></p:spTree></p:cSld>'
+                        b'</p:sld>'}))
             else:  # epub
                 out.append(zip_bytes({
                     "content.opf":
@@ -1029,6 +1078,20 @@ def _q_office_zip(kind: str, ext: str):
 _q_extract_docx_text = _q_office_zip("docx", "docx")
 _q_extract_odt_text = _q_office_zip("odt", "odt")
 _q_extract_epub_text = _q_office_zip("epub", "epub")
+_q_extract_xlsx_text = _q_office_zip("xlsx", "xlsx")
+
+
+def _q_extract_pptx_text(spark, sf_dir):
+    """E8 pptx: slide-run text through the OOXML chain (non-empty
+    docs — an empty slide run has no deterministic paragraph)."""
+    wrap = _office_zip_udf("pptx")
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".pptx"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
 
 
 def _q_extract_xhtml(spark, sf_dir):
@@ -1570,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mbox_recursive": _q_extract_mbox_recursive,
         "extract_feed_text": _q_extract_feed_text,
         "extract_docx_text": _q_extract_docx_text,
+        "extract_xlsx_text": _q_extract_xlsx_text,
+        "extract_pptx_text": _q_extract_pptx_text,
         "extract_odt_text": _q_extract_odt_text,
         "extract_epub_text": _q_extract_epub_text,
         "extract_xhtml": _q_extract_xhtml,
@@ -1943,6 +2008,20 @@ def oracle_sql() -> dict[str, str]:
             "wordprocessingml.document' AS mime, "
             "'Doc ' || doc_id AS title, text || chr(10) AS text "
             "FROM documents"),
+        "extract_xlsx_text": (
+            "SELECT 'doc://' || doc_id || '.xlsx' AS url, "
+            "'application/vnd.openxmlformats-officedocument."
+            "spreadsheetml.sheet' AS mime, "
+            "'Doc ' || doc_id AS title, "
+            "'Doc ' || doc_id || chr(9) || text || chr(10) || doc_id "
+            "|| chr(10) AS text FROM documents"),
+        "extract_pptx_text": (
+            "SELECT 'doc://' || doc_id || '.pptx' AS url, "
+            "'application/vnd.openxmlformats-officedocument."
+            "presentationml.presentation' AS mime, "
+            "'Doc ' || doc_id AS title, "
+            "text || chr(10) AS text FROM documents "
+            "WHERE length(text) > 0"),
         "extract_odt_text": (
             "SELECT 'doc://' || doc_id || '.odt' AS url, "
             "'application/vnd.oasis.opendocument.text' AS mime, "
