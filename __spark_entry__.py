@@ -1094,6 +1094,51 @@ def _q_extract_pptx_text(spark, sf_dir):
                                               "text")
 
 
+def _ole_wrap_udf(kind: str):
+    """Deterministic OLE2 .xls / .ppt / .msg per row (E7 CFB chain:
+    BIFF8 SST+cells, PowerPoint text atoms, Outlook property
+    streams)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.olegen import make_msg, make_ppt, make_xls
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i, t = int(i), t or ""
+            if kind == "xls":
+                out.append(make_xls(
+                    {"Sheet1": [[f"Doc {i}", t], [i]]},
+                    title=f"T{i}"))
+            elif kind == "ppt":
+                out.append(make_ppt([f"Doc {i}", t], title=f"T{i}"))
+            else:
+                out.append(make_msg(f"Doc {i}", t))
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_ole_kind(kind: str, ext: str):
+    def q(spark, sf_dir):
+        wrap = _ole_wrap_udf(kind)
+        docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+        pages = docs.select(
+            F.concat(F.lit("doc://"), F.col("doc_id"),
+                     F.lit("." + ext)).alias("url"),
+            wrap(F.col("doc_id"), F.col("text")).alias("html"))
+        return extract(pages, mode="text").select("url", "mime",
+                                                  "title", "text")
+    return q
+
+
+_q_extract_xls_text = _q_ole_kind("xls", "xls")
+_q_extract_ppt_text = _q_ole_kind("ppt", "ppt")
+_q_extract_msg_text = _q_ole_kind("msg", "msg")
+
+
 def _q_extract_xhtml(spark, sf_dir):
     """A4: normalized-XHTML sink (lazy-head skeleton, resolved hrefs,
     XHTMLContentHandler.java:124-196 contract) — byte-exact serialized
@@ -1624,6 +1669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
+        "extract_xls_text": _q_extract_xls_text,
+        "extract_ppt_text": _q_extract_ppt_text,
+        "extract_msg_text": _q_extract_msg_text,
         "extract_chm_text": _q_extract_chm_text,
         "extract_rtf_text": _q_extract_rtf_text,
         "extract_mail_text": _q_extract_mail_text,
@@ -1949,6 +1997,24 @@ def oracle_sql() -> dict[str, str]:
             "'application/msword' AS mime, 'T' || doc_id AS title, "
             "'Office doc ' || doc_id || chr(10) || 'Body paragraph ' || "
             "(doc_id % 7) || '.' || chr(10) AS text FROM documents"),
+        "extract_xls_text": (
+            "SELECT 'doc://' || doc_id || '.xls' AS url, "
+            "'application/vnd.ms-excel' AS mime, "
+            "'T' || doc_id AS title, "
+            "'Sheet1' || chr(10) || 'Doc ' || doc_id || chr(9) || text "
+            "|| chr(10) || doc_id || chr(10) AS text "
+            "FROM documents WHERE length(text) > 0"),
+        "extract_ppt_text": (
+            "SELECT 'doc://' || doc_id || '.ppt' AS url, "
+            "'application/vnd.ms-powerpoint' AS mime, "
+            "'T' || doc_id AS title, "
+            "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
+            "FROM documents WHERE length(text) > 0"),
+        "extract_msg_text": (
+            "SELECT 'doc://' || doc_id || '.msg' AS url, "
+            "'application/vnd.ms-outlook' AS mime, "
+            "'Doc ' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents WHERE length(text) > 0"),
         "extract_chm_text": (
             "SELECT 'doc://' || doc_id || '.chm' AS url, "
             "'application/vnd.ms-htmlhelp' AS mime, "
