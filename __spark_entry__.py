@@ -1139,6 +1139,54 @@ _q_extract_ppt_text = _q_ole_kind("ppt", "ppt")
 _q_extract_msg_text = _q_ole_kind("msg", "msg")
 
 
+def _doc95_wrap_udf():
+    """Word 95 (pre-piece-table) .doc per row (E7 legacy layout)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.olegen import make_doc95
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_doc95([f"Doc {int(i)}", t or ""])
+            for i, t in zip(ids, texts)])
+    return wrap
+
+
+def _q_extract_doc95_text(spark, sf_dir):
+    """E7 legacy: Word 6/95 layout (no CLX piece table — contiguous
+    cp1252 text run) through the same OLE chain."""
+    wrap = _doc95_wrap_udf()
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.length("text") > 0))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".doc"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
+def _q_extract_fodt_text(spark, sf_dir):
+    """Flat (single-XML) ODF route: office:mimetype root attribute
+    refinement, text:p paragraphs (FlatOpenDocumentParser parity)."""
+    xml = F.encode(F.concat(
+        F.lit('<?xml version="1.0"?><office:document xmlns:office='
+              '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+              'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:'
+              'text:1.0" office:mimetype='
+              '"application/vnd.oasis.opendocument.text">'
+              '<office:body><office:text><text:p>'),
+        F.col("text"),
+        F.lit("</text:p></office:text></office:body>"
+              "</office:document>")), "UTF-8")
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".fodt"))
+        .alias("url"), xml.alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
 def _q_extract_xhtml(spark, sf_dir):
     """A4: normalized-XHTML sink (lazy-head skeleton, resolved hrefs,
     XHTMLContentHandler.java:124-196 contract) — byte-exact serialized
@@ -1672,6 +1720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xls_text": _q_extract_xls_text,
         "extract_ppt_text": _q_extract_ppt_text,
         "extract_msg_text": _q_extract_msg_text,
+        "extract_doc95_text": _q_extract_doc95_text,
+        "extract_fodt_text": _q_extract_fodt_text,
         "extract_chm_text": _q_extract_chm_text,
         "extract_rtf_text": _q_extract_rtf_text,
         "extract_mail_text": _q_extract_mail_text,
@@ -2015,6 +2065,16 @@ def oracle_sql() -> dict[str, str]:
             "'application/vnd.ms-outlook' AS mime, "
             "'Doc ' || doc_id AS title, text || chr(10) AS text "
             "FROM documents WHERE length(text) > 0"),
+        "extract_doc95_text": (
+            "SELECT 'doc://' || doc_id || '.doc' AS url, "
+            "'application/msword' AS mime, "
+            "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
+            "FROM documents WHERE lang = 'en' AND length(text) > 0"),
+        "extract_fodt_text": (
+            "SELECT 'doc://' || doc_id || '.fodt' AS url, "
+            "'application/vnd.oasis.opendocument.flat.text' AS mime, "
+            "text || chr(10) AS text FROM documents "
+            "WHERE lang = 'en'"),
         "extract_chm_text": (
             "SELECT 'doc://' || doc_id || '.chm' AS url, "
             "'application/vnd.ms-htmlhelp' AS mime, "
