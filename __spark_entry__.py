@@ -1234,6 +1234,52 @@ def _q_extract_media_dims(spark, sf_dir):
                       height.cast("long").alias("height"))
 
 
+def _swf_wrap_udf():
+    """Uncompressed SWF header per row: version 9, 16-bit RECT fields
+    in twips derived from doc_id."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = (100 + i % 800) * 20     # twips
+            h = (100 + (i * 7) % 600) * 20
+            nbits = 16
+            bits = 0
+            for v in (0, w, 0, h):
+                bits = (bits << nbits) | v
+            total = 5 + 4 * nbits
+            pad = (8 - total % 8) % 8
+            rect = ((nbits << (total - 5 + pad)) | (bits << pad)) \
+                .to_bytes((total + pad) // 8, "big")
+            body = rect + b"\x00" * 8
+            hdr = b"FWS\x09" + (8 + len(body)).to_bytes(4, "little")
+            out.append(hdr + body)
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_media_swf_meta(spark, sf_dir):
+    """E12 SWF oracle: version + variable-width RECT stage dimensions
+    (twips/20) read from the header."""
+    wrap = _swf_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".swf"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="text")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md, "swf-version")[0].cast("long").alias("version"),
+        F.element_at(md, "width")[0].cast("long").alias("width"),
+        F.element_at(md, "height")[0].cast("long").alias("height"))
+
+
 def _q_extract_txt(spark, sf_dir):
     """E1 oracle: text/plain route — UTF-8 BOM detected then stripped,
     whole body in one block with the trailing block newline
@@ -1742,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_output_guard": _q_extract_output_guard,
         "extract_xps_text": _q_extract_xps_text,
         "media_audio_meta": _q_media_audio_meta,
+        "media_swf_meta": _q_media_swf_meta,
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
@@ -2195,6 +2242,13 @@ def oracle_sql() -> dict[str, str]:
             "(1 + doc_id % 2)::BIGINT AS channels, "
             "(8000 * (1 + doc_id % 3))::BIGINT AS samplerate, "
             "(1 + doc_id % 5) || '.00' AS duration FROM documents"),
+        "media_swf_meta": (
+            "SELECT 'doc://' || doc_id || '.swf' AS url, "
+            "'application/x-shockwave-flash' AS mime, "
+            "9::BIGINT AS version, "
+            "(100 + doc_id % 800)::BIGINT AS width, "
+            "(100 + (doc_id * 7) % 600)::BIGINT AS height "
+            "FROM documents"),
         "extract_recursive_tar": (
             "SELECT 'doc://' || doc_id || '.tar' AS url, "
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
