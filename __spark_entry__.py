@@ -1280,6 +1280,51 @@ def _q_media_swf_meta(spark, sf_dir):
         F.element_at(md, "height")[0].cast("long").alias("height"))
 
 
+def _mp3_wrap_udf():
+    """ID3v2.3-tagged MP3 stub per row: TIT2/TPE1/TALB text frames
+    (syncsafe tag size) ahead of an MPEG frame sync."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        def frame(fid, text):
+            payload = b"\x00" + text.encode("latin-1")
+            return (fid + len(payload).to_bytes(4, "big")
+                    + b"\x00\x00" + payload)
+
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = (frame(b"TIT2", f"Song {i}")
+                      + frame(b"TPE1", f"Artist {i % 20}")
+                      + frame(b"TALB", f"Album {i % 7}"))
+            n = len(frames)
+            size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+            out.append(b"ID3\x03\x00\x00" + size + frames
+                       + b"\xff\xfb\x90\x00" + b"\x00" * 32)
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_media_id3_meta(spark, sf_dir):
+    """E12 MP3 oracle: ID3v2.3 text frames (Mp3Parser/ID3v2Frame
+    semantics) → title/Author/album metadata."""
+    wrap = _mp3_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".mp3"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="text")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime", "title",
+        F.element_at(md, "Author")[0].alias("artist"),
+        F.element_at(md, "album")[0].alias("album"))
+
+
 def _q_extract_txt(spark, sf_dir):
     """E1 oracle: text/plain route — UTF-8 BOM detected then stripped,
     whole body in one block with the trailing block newline
@@ -1789,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xps_text": _q_extract_xps_text,
         "media_audio_meta": _q_media_audio_meta,
         "media_swf_meta": _q_media_swf_meta,
+        "media_id3_meta": _q_media_id3_meta,
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
@@ -2249,6 +2295,11 @@ def oracle_sql() -> dict[str, str]:
             "(100 + doc_id % 800)::BIGINT AS width, "
             "(100 + (doc_id * 7) % 600)::BIGINT AS height "
             "FROM documents"),
+        "media_id3_meta": (
+            "SELECT 'doc://' || doc_id || '.mp3' AS url, "
+            "'audio/mpeg' AS mime, 'Song ' || doc_id AS title, "
+            "'Artist ' || (doc_id % 20) AS artist, "
+            "'Album ' || (doc_id % 7) AS album FROM documents"),
         "extract_recursive_tar": (
             "SELECT 'doc://' || doc_id || '.tar' AS url, "
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
