@@ -1325,6 +1325,72 @@ def _q_media_id3_meta(spark, sf_dir):
         F.element_at(md, "album")[0].alias("album"))
 
 
+def _tiff_gps_wrap_udf():
+    """Little-endian TIFF per row: IFD0 (dims + GPSInfo pointer) and a
+    GPS IFD with DMS rationals derived from doc_id."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        def entry(tag, typ, count, value_or_off):
+            return struct.pack("<HHII", tag, typ, count, value_or_off)
+
+        out = []
+        for i in ids:
+            i = int(i)
+            width, height = 32 + i % 500, 32 + (i * 3) % 400
+            latd, latm = i % 90, i % 60
+            lond, lonm = i % 180, (i * 3) % 60
+            lat_ref = b"N\x00" if i % 2 == 0 else b"S\x00"
+            lon_ref = b"E\x00" if i % 3 == 0 else b"W\x00"
+            # IFD0 @8: 3 entries + next ptr
+            gps_off = 8 + 2 + 3 * 12 + 4          # = 50
+            gps_n = 4
+            data_off = gps_off + 2 + gps_n * 12 + 4
+            lat_rats = struct.pack("<IIIIII", latd, 1, latm, 1, 0, 1)
+            lon_rats = struct.pack("<IIIIII", lond, 1, lonm, 1, 0, 1)
+            ifd0 = struct.pack("<H", 3) \
+                + entry(256, 3, 1, width) \
+                + entry(257, 3, 1, height) \
+                + entry(34853, 4, 1, gps_off) \
+                + struct.pack("<I", 0)
+            gps = struct.pack("<H", gps_n) \
+                + entry(1, 2, 2,
+                        int.from_bytes(lat_ref + b"\x00\x00",
+                                       "little")) \
+                + entry(2, 5, 3, data_off) \
+                + entry(3, 2, 2,
+                        int.from_bytes(lon_ref + b"\x00\x00",
+                                       "little")) \
+                + entry(4, 5, 3, data_off + 24) \
+                + struct.pack("<I", 0)
+            out.append(b"II*\x00" + struct.pack("<I", 8) + ifd0
+                       + gps + lat_rats + lon_rats)
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_media_exif_gps(spark, sf_dir):
+    """E12 TIFF/EXIF oracle: IFD walk with GPS sub-IFD — DMS rationals
+    to signed decimal geo:lat/geo:long (ImageMetadataExtractor GPS
+    semantics)."""
+    wrap = _tiff_gps_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".tif"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="text")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md, "geo:lat")[0].alias("lat"),
+        F.element_at(md, "geo:long")[0].alias("lon"))
+
+
 def _q_extract_txt(spark, sf_dir):
     """E1 oracle: text/plain route — UTF-8 BOM detected then stripped,
     whole body in one block with the trailing block newline
@@ -1835,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_meta": _q_media_audio_meta,
         "media_swf_meta": _q_media_swf_meta,
         "media_id3_meta": _q_media_id3_meta,
+        "media_exif_gps": _q_media_exif_gps,
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
@@ -2300,6 +2367,14 @@ def oracle_sql() -> dict[str, str]:
             "'audio/mpeg' AS mime, 'Song ' || doc_id AS title, "
             "'Artist ' || (doc_id % 20) AS artist, "
             "'Album ' || (doc_id % 7) AS album FROM documents"),
+        "media_exif_gps": (
+            "SELECT 'doc://' || doc_id || '.tif' AS url, "
+            "'image/tiff' AS mime, "
+            "printf('%.6f', (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 "
+            "END) * ((doc_id % 90) + (doc_id % 60) / 60.0)) AS lat, "
+            "printf('%.6f', (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 "
+            "END) * ((doc_id % 180) + ((doc_id * 3) % 60) / 60.0)) "
+            "AS lon FROM documents"),
         "extract_recursive_tar": (
             "SELECT 'doc://' || doc_id || '.tar' AS url, "
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
