@@ -223,12 +223,16 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     windows select (standard winnowing); docs shorter than k+w-1
     tokens contribute nothing.
 
-    Scale: one shuffle on ``id_col`` for the window; fingerprints are
+    Scale: ZERO shuffles before the final distinct — the whole
+    winnowing computation (shingle, hash, sliding window-min, dedup)
+    is one per-row array expression, so the plan is scan → project →
+    explode → distinct. The alternative posexplode+window formulation
+    would shuffle every shingle of every document on ``id_col``; at
+    crawl scale that is the corpus token count. Fingerprints are
     8-byte ints — the text never shuffles. Downstream near-dup
-    candidate generation is a groupBy(fp) equi-join, same shape as the
-    MinHash band join.
+    candidate generation is a groupBy(fp) equi-join, same shape as
+    the MinHash band join.
     """
-    from pyspark.sql import Window
     toks = tokens(F.col(text_col))
     idx = F.when(
         F.size(toks) >= k,
@@ -240,16 +244,19 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             F.element_at(toks, (i + j + 1).cast("int"))
             for j in range(k)])
 
-    sh = df.select(
-        F.col(id_col),
-        F.posexplode(F.transform(idx, shingle)).alias("pos", "sh"))
-    h = (F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
-         .cast("long"))
-    frame = (Window.partitionBy(id_col).orderBy("pos")
-             .rowsBetween(0, w - 1))
-    winnowed = (sh.withColumn("h", h)
-                .withColumn("fp", F.min("h").over(frame))
-                .withColumn("n_in_win", F.count("*").over(frame))
-                .filter(F.col("n_in_win") == w)
-                .select(id_col, "fp").distinct())
-    return winnowed
+    hashes = F.transform(
+        idx, lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 8),
+                              16, 10).cast("long"))
+    # stage the hash array so Catalyst doesn't re-derive the shingles
+    # per window (the MinHash CollapseProject lesson)
+    staged = df.select(F.col(id_col), hashes.alias("hs"))
+    n = F.size(F.col("hs"))
+    windows = F.when(
+        n >= w,
+        F.sequence(F.lit(1), n - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.array_distinct(F.transform(
+        windows,
+        lambda j: F.array_min(F.slice(F.col("hs"), j, w))))
+    return (staged.select(F.col(id_col), F.explode(fps).alias("fp"))
+            .distinct())
