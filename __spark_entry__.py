@@ -1395,6 +1395,87 @@ def _q_media_exif_gps(spark, sf_dir):
         F.element_at(md, "geo:long")[0].alias("lon"))
 
 
+def _binmeta_wrap_udf():
+    """doc_id%3 → TTF (name table) | FLV (onMetaData AMF0) | Java
+    class file — the remaining E12 binary-metadata surfaces."""
+    import struct as st
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def ttf(family, full):
+        recs = [(1, family), (4, full)]
+        strings = b""
+        name_recs = b""
+        for nid, val in recs:
+            enc = val.encode("utf-16-be")
+            name_recs += st.pack(">HHHHHH", 3, 1, 0x409, nid,
+                                 len(enc), len(strings))
+            strings += enc
+        name_table = st.pack(">HHH", 0, len(recs),
+                             6 + 12 * len(recs)) + name_recs + strings
+        head = st.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+        rec = b"name" + st.pack(">III", 0, 12 + 16, len(name_table))
+        return head + rec + name_table
+
+    def flv(duration, width, height):
+        def amf_str(s):
+            return st.pack(">H", len(s)) + s.encode()
+        body = (b"\x02" + amf_str("onMetaData") + b"\x08"
+                + st.pack(">I", 3))
+        for k, v in (("duration", duration), ("width", width),
+                     ("height", height)):
+            body += amf_str(k) + b"\x00" + st.pack(">d", float(v))
+        body += st.pack(">H", 0) + b"\x09"
+        tag = (b"\x12" + st.pack(">I", len(body))[1:] + b"\x00" * 7
+               + body)
+        return (b"FLV\x01\x05" + st.pack(">I", 9) + st.pack(">I", 0)
+                + tag)
+
+    def jclass(name):
+        cp = (b"\x01" + st.pack(">H", len(name)) + name.encode()
+              + b"\x07" + st.pack(">H", 1))
+        return (b"\xca\xfe\xba\xbe" + st.pack(">HH", 0, 52)
+                + st.pack(">H", 3) + cp + st.pack(">HH", 0x21, 2))
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                out.append(ttf(f"Fam {i}", f"Fam {i} Regular"))
+            elif i % 3 == 1:
+                out.append(flv(float(10 + i % 50), 320 + i % 320,
+                               240 + i % 240))
+            else:
+                out.append(jclass(f"com/example/Widget{i}"))
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_media_binmeta(spark, sf_dir):
+    """E12 oracle for the remaining binary-metadata parsers: TrueType
+    name records (full name → title), FLV onMetaData (duration/width),
+    Java class files (class name → title)."""
+    wrap = _binmeta_wrap_udf()
+    ext = F.element_at(F.array(F.lit("ttf"), F.lit("flv"),
+                               F.lit("class")),
+                       (F.pmod("doc_id", F.lit(3)) + 1).cast("int"))
+    pages = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("."), ext)
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html")).drop("doc_id")
+    out = extract(pages, mode="text")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime", "title",
+        F.element_at(md, "width")[0].cast("long").alias("width"),
+        F.element_at(md, "duration")[0].alias("duration"))
+
+
 def _q_extract_txt(spark, sf_dir):
     """E1 oracle: text/plain route — UTF-8 BOM detected then stripped,
     whole body in one block with the trailing block newline
@@ -1906,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_swf_meta": _q_media_swf_meta,
         "media_id3_meta": _q_media_id3_meta,
         "media_exif_gps": _q_media_exif_gps,
+        "media_binmeta": _q_media_binmeta,
         "extract_recursive_tar": _q_extract_recursive_tar,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
@@ -2379,6 +2461,19 @@ def oracle_sql() -> dict[str, str]:
             "printf('%.6f', (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 "
             "END) * ((doc_id % 180) + ((doc_id * 3) % 60) / 60.0)) "
             "AS lon FROM documents"),
+        "media_binmeta": (
+            "SELECT 'doc://' || doc_id || (CASE doc_id % 3 WHEN 0 "
+            "THEN '.ttf' WHEN 1 THEN '.flv' ELSE '.class' END) AS "
+            "url, CASE doc_id % 3 WHEN 0 THEN "
+            "'application/x-font-ttf' WHEN 1 THEN 'video/x-flv' "
+            "ELSE 'application/java-vm' END AS mime, "
+            "CASE doc_id % 3 WHEN 0 THEN 'Fam ' || doc_id || "
+            "' Regular' WHEN 2 THEN 'com.example.Widget' || doc_id "
+            "END AS title, "
+            "CASE WHEN doc_id % 3 = 1 THEN (320 + doc_id % 320) "
+            "END::BIGINT AS width, "
+            "CASE WHEN doc_id % 3 = 1 THEN (10 + doc_id % 50)"
+            "::VARCHAR END AS duration FROM documents"),
         "extract_recursive_tar": (
             "SELECT 'doc://' || doc_id || '.tar' AS url, "
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
