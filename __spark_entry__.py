@@ -903,6 +903,72 @@ def _q_extract_iwork_pages(spark, sf_dir):
                                               "text")
 
 
+def _archive_wrap_udf():
+    """doc_id%4 → gzip | bz2 | ar | cpio single-member archive of the
+    document text (E6's remaining container formats)."""
+    import bz2 as _bz2
+    import gzip as _gzip
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def ar_bytes(name, data):
+        hdr = (f"{name:<16.16}{0:<12}{0:<6}{0:<6}{'100644':<8}"
+               f"{len(data):<10}").encode() + b"\x60\x0a"
+        return (b"!<arch>\n" + hdr + data
+                + (b"\n" if len(data) % 2 else b""))
+
+    def cpio_bytes(name, data):
+        def rec(nm, d):
+            hdr = (b"070701"
+                   + (f"{0:08X}{0o100644:08X}{0:08X}{0:08X}{1:08X}"
+                      f"{0:08X}{len(d):08X}{0:08X}{0:08X}{0:08X}"
+                      f"{0:08X}{len(nm) + 1:08X}{0:08X}").encode())
+            body = hdr + nm.encode() + b"\x00"
+            body += b"\x00" * ((4 - len(body) % 4) % 4)
+            body += d
+            body += b"\x00" * ((4 - len(d) % 4) % 4)
+            return body
+        return rec(name, data) + rec("TRAILER!!!", b"")
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            data = (t or "").encode("utf-8")
+            if i % 4 == 0:
+                out.append(_gzip.compress(data, mtime=0))
+            elif i % 4 == 1:
+                out.append(_bz2.compress(data))
+            elif i % 4 == 2:
+                out.append(ar_bytes("doc.txt", data))
+            else:
+                out.append(cpio_bytes("doc.txt", data))
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_recursive_archives(spark, sf_dir):
+    """E6/F1 over the remaining archive formats: gzip and bz2 member
+    names derive from the stripped resource name; ar and cpio carry
+    their entry names; every member re-enters the pipeline as a
+    depth-1 text/plain child."""
+    wrap = _archive_wrap_udf()
+    ext = F.element_at(
+        F.array(F.lit("gz"), F.lit("bz2"), F.lit("ar"),
+                F.lit("cpio")),
+        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("."), ext)
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    out = extract_recursive(pages, mode="text")
+    return out.select("url", F.col("depth").cast("long").alias("depth"),
+                      "text")
+
+
 def _q_extract_feed_text(spark, sf_dir):
     """E3: feed walk, both syndication formats — RSS 2.0
     channel+item on even doc_ids, Atom 1.0 feed+entry on odd — with
@@ -1989,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif_gps": _q_media_exif_gps,
         "media_binmeta": _q_media_binmeta,
         "extract_recursive_tar": _q_extract_recursive_tar,
+        "extract_recursive_archives": _q_extract_recursive_archives,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
         "fingerprint_winnow": _q_fingerprint_winnow,
@@ -2481,6 +2548,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id || '.tar!/doc.txt' AS url, "
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
+        "extract_recursive_archives": (
+            "WITH f AS (SELECT doc_id, text, CASE doc_id % 4 "
+            "WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2' WHEN 2 THEN 'ar' "
+            "ELSE 'cpio' END AS ext, CASE WHEN doc_id % 4 < 2 "
+            "THEN doc_id::VARCHAR ELSE 'doc.txt' END AS member "
+            "FROM documents) "
+            "SELECT 'doc://' || doc_id || '.' || ext AS url, "
+            "CAST(0 AS BIGINT) AS depth, member || chr(10) AS text "
+            "FROM f UNION ALL "
+            "SELECT 'doc://' || doc_id || '.' || ext || '!/' || "
+            "member AS url, CAST(1 AS BIGINT) AS depth, "
+            "text || chr(10) AS text FROM f"),
         "streaming_event_census": (
             "SELECT window_start, event_type, COUNT(*)::BIGINT AS n "
             "FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) "
