@@ -969,6 +969,31 @@ def _q_extract_recursive_archives(spark, sf_dir):
                       "text")
 
 
+def _q_extract_xml_routes(spark, sf_dir):
+    """Root-XML refinement routes: AbiWord (even doc_ids) and
+    FictionBook (odd) resolve from the root element and extract
+    through the generic XML chain (en docs, ascii-safe)."""
+    did = F.col("doc_id")
+    even = F.pmod("doc_id", F.lit(2)) == 0
+    abw = F.concat(
+        F.lit('<?xml version="1.0"?><abiword xmlns='
+              '"http://www.abisource.com/awml.dtd"><section><p>'),
+        F.col("text"), F.lit("</p></section></abiword>"))
+    fb2 = F.concat(
+        F.lit('<?xml version="1.0"?><FictionBook xmlns='
+              '"http://www.gribuser.ru/xml/fictionbook/2.0"><body>'
+              "<p>"),
+        F.col("text"), F.lit("</p></body></FictionBook>"))
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), did,
+                 F.when(even, F.lit(".abw")).otherwise(F.lit(".fb2")))
+        .alias("url"),
+        F.encode(F.when(even, abw).otherwise(fb2), "UTF-8")
+        .alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
 def _q_extract_feed_text(spark, sf_dir):
     """E3: feed walk, both syndication formats — RSS 2.0
     channel+item on even doc_ids, Atom 1.0 feed+entry on odd — with
@@ -2056,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_binmeta": _q_media_binmeta,
         "extract_recursive_tar": _q_extract_recursive_tar,
         "extract_recursive_archives": _q_extract_recursive_archives,
+        "extract_xml_routes": _q_extract_xml_routes,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
         "fingerprint_winnow": _q_fingerprint_winnow,
@@ -2560,6 +2586,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'doc://' || doc_id || '.' || ext || '!/' || "
             "member AS url, CAST(1 AS BIGINT) AS depth, "
             "text || chr(10) AS text FROM f"),
+        "extract_xml_routes": (
+            "SELECT 'doc://' || doc_id || (CASE doc_id % 2 WHEN 0 "
+            "THEN '.abw' ELSE '.fb2' END) AS url, "
+            "CASE doc_id % 2 WHEN 0 THEN 'application/x-abiword' "
+            "ELSE 'application/x-fictionbook+xml' END AS mime, "
+            "text || chr(10) AS text FROM documents "
+            "WHERE lang = 'en'"),
         "streaming_event_census": (
             "SELECT window_start, event_type, COUNT(*)::BIGINT AS n "
             "FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) "
