@@ -969,6 +969,51 @@ def _q_extract_recursive_archives(spark, sf_dir):
                       "text")
 
 
+def _tnef_wrap_udf():
+    """TNEF (winmail.dat) per row: signature + key + level-prefixed
+    subject/body attributes (MS-OXTNEF layout)."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def attr(level, attr_id, attr_type, payload):
+        checksum = sum(payload) & 0xFFFF
+        return (bytes([level]) + struct.pack("<HH", attr_id, attr_type)
+                + struct.pack("<I", len(payload)) + payload
+                + struct.pack("<H", checksum))
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            parts = [struct.pack("<IH", 0x223E9F78, 0x1234),
+                     attr(1, 0x8004, 0x0001,
+                          f"Doc {i}".encode("cp1252") + b"\x00"),
+                     attr(1, 0x800C, 0x0002,
+                          (t or "").encode("cp1252", "replace")
+                          + b"\x00")]
+            out.append(b"".join(parts))
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_tnef_text(spark, sf_dir):
+    """E5 TNEF oracle: attribute-stream walk — subject heading + body
+    (cp1252; en docs are ascii-safe)."""
+    wrap = _tnef_wrap_udf()
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.length("text") > 0))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".dat"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
 def _q_extract_xml_routes(spark, sf_dir):
     """Root-XML refinement routes: AbiWord (even doc_ids) and
     FictionBook (odd) resolve from the root element and extract
@@ -2082,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_tar": _q_extract_recursive_tar,
         "extract_recursive_archives": _q_extract_recursive_archives,
         "extract_xml_routes": _q_extract_xml_routes,
+        "extract_tnef_text": _q_extract_tnef_text,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
         "fingerprint_winnow": _q_fingerprint_winnow,
@@ -2593,6 +2639,12 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'application/x-fictionbook+xml' END AS mime, "
             "text || chr(10) AS text FROM documents "
             "WHERE lang = 'en'"),
+        "extract_tnef_text": (
+            "SELECT 'doc://' || doc_id || '.dat' AS url, "
+            "'application/vnd.ms-tnef' AS mime, "
+            "'Doc ' || doc_id AS title, "
+            "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
+            "FROM documents WHERE lang = 'en' AND length(text) > 0"),
         "streaming_event_census": (
             "SELECT window_start, event_type, COUNT(*)::BIGINT AS n "
             "FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) "
