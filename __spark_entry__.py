@@ -21,7 +21,7 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 76 queries / 74 oracle rows: the TXT and
+Late round 2 pushed to 80 queries / 78 oracle rows: the TXT and
 XML+DublinCore routes, the F4 write-limit guard, XPS, WAV audio
 metadata, tar and mbox recursion, the iWork family
 (Pages/Numbers/Keynote), URL-only glob detection and the widened
@@ -32,8 +32,10 @@ curation layer: per-source caps, md5-keyed stratified sampling,
 BPE-ish token counts, and winnowing rolling-hash fingerprints
 (shuffle-free array-expression form). The final push added every
 remaining parser surface as an oracle row: xlsx/pptx, OLE2
-xls/ppt/.msg, Word 95, flat ODF, SWF stage dims, ID3v2 tags, and
-TIFF/EXIF GPS coordinates.
+xls/ppt/.msg, Word 95, flat ODF, SWF stage dims, ID3v2 tags,
+TIFF/EXIF GPS coordinates, TTF/FLV/Java-class metadata, the
+gzip/bz2/ar/cpio recursion chains, AbiWord/FictionBook root-XML
+routes, and TNEF.
 
 Numeric conventions for hash-stable comparisons: similarities as
 integer micro-units, all counts cast to long, deterministic tie-breaks
