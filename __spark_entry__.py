@@ -1016,6 +1016,33 @@ def _q_extract_tnef_text(spark, sf_dir):
                                               "text")
 
 
+def _q_extract_spans(spark, sf_dir):
+    """A3/C5 span offsets oracle: the per-block [start, end) offsets
+    into the emitted text (the north rule's "text+spans" contract) —
+    two paragraphs whose boundaries are computable in SQL from the
+    fixture shape."""
+    html = F.encode(F.concat(
+        F.lit('<html><head><meta charset="utf-8"/><title>T</title>'
+              "</head><body><p>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</p><p>"), F.col("text"),
+        F.lit("</p></body></html>")), "UTF-8")
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("lang") == "en") & (F.length("text") > 0))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    out = extract(pages, mode="text")
+    sp = F.col("spans")
+    return out.select(
+        "url", F.size(sp).cast("long").alias("n_spans"),
+        sp[0]["start"].cast("long").alias("s1_start"),
+        sp[0]["end"].cast("long").alias("s1_end"),
+        sp[0]["kind"].alias("s1_kind"),
+        sp[1]["start"].cast("long").alias("s2_start"),
+        sp[1]["end"].cast("long").alias("s2_end"))
+
+
 def _q_extract_xml_routes(spark, sf_dir):
     """Root-XML refinement routes: AbiWord (even doc_ids) and
     FictionBook (odd) resolve from the root element and extract
@@ -2130,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_recursive_archives": _q_extract_recursive_archives,
         "extract_xml_routes": _q_extract_xml_routes,
         "extract_tnef_text": _q_extract_tnef_text,
+        "extract_spans": _q_extract_spans,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
         "fingerprint_winnow": _q_fingerprint_winnow,
@@ -2647,6 +2675,15 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id AS title, "
             "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
             "FROM documents WHERE lang = 'en' AND length(text) > 0"),
+        "extract_spans": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "2::BIGINT AS n_spans, 0::BIGINT AS s1_start, "
+            "length('Doc ' || doc_id)::BIGINT AS s1_end, "
+            "'p' AS s1_kind, "
+            "(length('Doc ' || doc_id) + 1)::BIGINT AS s2_start, "
+            "(length('Doc ' || doc_id) + 1 + length(text))::BIGINT "
+            "AS s2_end FROM documents "
+            "WHERE lang = 'en' AND length(text) > 0"),
         "streaming_event_census": (
             "SELECT window_start, event_type, COUNT(*)::BIGINT AS n "
             "FROM (SELECT time_bucket(INTERVAL 1 HOUR, ts) "
