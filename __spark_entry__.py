@@ -1016,6 +1016,23 @@ def _q_extract_tnef_text(spark, sf_dir):
                                               "text")
 
 
+def _q_extract_unknown_fallback(spark, sf_dir):
+    """E13 oracle: a payload matching no magic rule on an
+    extension-less url falls through the whole lattice to
+    octet-stream and produces the EmptyParser-style no_parser status
+    row (never a failure) with empty text."""
+    payload = F.concat(
+        F.lit(b"\xde\xad\xbe\xef\x99\x88\x77\x66"),
+        F.encode(F.col("doc_id").cast("string"), "UTF-8"),
+        F.lit(b"\xfe\xfe\xfe\xfe\x01\x02\x03\x04\x05\x06\x07\x08"
+              b"\x90\x91\x92\x93\x94\x95\x96\x97"))
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        payload.alias("html"))
+    out = extract(pages, mode="text")
+    return out.select("url", "mime", "status", "text")
+
+
 def _q_extract_spans(spark, sf_dir):
     """A3/C5 span offsets oracle: the per-block [start, end) offsets
     into the emitted text (the north rule's "text+spans" contract) —
@@ -2158,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xml_routes": _q_extract_xml_routes,
         "extract_tnef_text": _q_extract_tnef_text,
         "extract_spans": _q_extract_spans,
+        "extract_unknown_fallback": _q_extract_unknown_fallback,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
         "fingerprint_winnow": _q_fingerprint_winnow,
@@ -2675,6 +2693,10 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id AS title, "
             "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
             "FROM documents WHERE lang = 'en' AND length(text) > 0"),
+        "extract_unknown_fallback": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "'application/octet-stream' AS mime, "
+            "'no_parser' AS status, '' AS text FROM documents"),
         "extract_spans": (
             "SELECT 'doc://' || doc_id AS url, "
             "2::BIGINT AS n_spans, 0::BIGINT AS s1_start, "
