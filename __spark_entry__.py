@@ -906,10 +906,11 @@ def _q_extract_iwork_pages(spark, sf_dir):
 
 
 def _archive_wrap_udf():
-    """doc_id%4 → gzip | bz2 | ar | cpio single-member archive of the
-    document text (E6's remaining container formats)."""
+    """doc_id%5 → gzip | bz2 | ar | cpio | xz single-member archive of
+    the document text (E6's remaining container formats)."""
     import bz2 as _bz2
     import gzip as _gzip
+    import lzma as _lzma
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
@@ -939,29 +940,31 @@ def _archive_wrap_udf():
         for i, t in zip(ids, texts):
             i = int(i)
             data = (t or "").encode("utf-8")
-            if i % 4 == 0:
+            if i % 5 == 0:
                 out.append(_gzip.compress(data, mtime=0))
-            elif i % 4 == 1:
+            elif i % 5 == 1:
                 out.append(_bz2.compress(data))
-            elif i % 4 == 2:
+            elif i % 5 == 2:
                 out.append(ar_bytes("doc.txt", data))
-            else:
+            elif i % 5 == 3:
                 out.append(cpio_bytes("doc.txt", data))
+            else:
+                out.append(_lzma.compress(data))
         return pd.Series(out)
 
     return wrap
 
 
 def _q_extract_recursive_archives(spark, sf_dir):
-    """E6/F1 over the remaining archive formats: gzip and bz2 member
-    names derive from the stripped resource name; ar and cpio carry
-    their entry names; every member re-enters the pipeline as a
+    """E6/F1 over the remaining archive formats: gzip, bz2, and xz
+    member names derive from the stripped resource name; ar and cpio
+    carry their entry names; every member re-enters the pipeline as a
     depth-1 text/plain child."""
     wrap = _archive_wrap_udf()
     ext = F.element_at(
         F.array(F.lit("gz"), F.lit("bz2"), F.lit("ar"),
-                F.lit("cpio")),
-        (F.pmod("doc_id", F.lit(4)) + 1).cast("int"))
+                F.lit("cpio"), F.lit("xz")),
+        (F.pmod("doc_id", F.lit(5)) + 1).cast("int"))
     pages = _docs(spark, sf_dir).select(
         F.concat(F.lit("doc://"), F.col("doc_id"), F.lit("."), ext)
         .alias("url"),
@@ -2669,10 +2672,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
         "extract_recursive_archives": (
-            "WITH f AS (SELECT doc_id, text, CASE doc_id % 4 "
+            "WITH f AS (SELECT doc_id, text, CASE doc_id % 5 "
             "WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2' WHEN 2 THEN 'ar' "
-            "ELSE 'cpio' END AS ext, CASE WHEN doc_id % 4 < 2 "
-            "THEN doc_id::VARCHAR ELSE 'doc.txt' END AS member "
+            "WHEN 3 THEN 'cpio' ELSE 'xz' END AS ext, "
+            "CASE WHEN doc_id % 5 IN (2, 3) THEN 'doc.txt' "
+            "ELSE doc_id::VARCHAR END AS member "
             "FROM documents) "
             "SELECT 'doc://' || doc_id || '.' || ext AS url, "
             "CAST(0 AS BIGINT) AS depth, member || chr(10) AS text "

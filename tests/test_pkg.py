@@ -340,6 +340,43 @@ def test_ar_cpio_through_recursion(spark):
     assert out["u://y.cpio!/note.txt"]["text"] == "cpio note\n"
 
 
+def test_xz_package_names_child_from_url():
+    import lzma
+    from tika_spark.pkg.parser import extract_package
+    xz = lzma.compress(b"xz payload text")
+    assert detect(xz, None) == "application/x-xz"
+    r = extract_package(xz, "http://e.com/file.txt.xz", None, CFG)
+    assert r["children"] == [("file.txt", b"xz payload text")]
+    # legacy .lzma container (FORMAT_ALONE) through the same route
+    lz = lzma.compress(b"alone body", format=lzma.FORMAT_ALONE)
+    r2 = extract_package(lz, "http://e.com/old.lzma", None, CFG,
+                         mime="application/x-lzma")
+    assert r2["children"] == [("old", b"alone body")]
+    # .txz keeps the inner tar extension so recursion re-detects tar
+    r3 = extract_package(xz, "http://e.com/bundle.txz", None, CFG)
+    assert r3["children"][0][0] == "bundle.tar"
+
+
+def test_xz_bomb_guard():
+    import lzma
+    from tika_spark.pkg.parser import extract_package
+    bomb = lzma.compress(b"\0" * 50_000_000)
+    r = extract_package(bomb, None, None, CFG)
+    total = sum(len(d) for _, d in r["children"])
+    assert total <= max(1_000_000, 100 * len(bomb))
+
+
+def test_xz_through_recursion(spark):
+    import lzma
+    from tika_spark.pipeline.job import extract_recursive
+    xz = lzma.compress(b"<html><body><p>xz inner</p></body></html>")
+    df = spark.createDataFrame([("u://p.html.xz", xz)],
+                               "url string, html binary")
+    out = {r["url"]: r for r in
+           extract_recursive(df, mode="text").collect()}
+    assert out["u://p.html.xz!/p.html"]["text"] == "xz inner\n"
+
+
 # ----------------------------------------- E8/E9 widened type family
 
 

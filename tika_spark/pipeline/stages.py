@@ -93,7 +93,10 @@ ROUTE_TABLE = {
     "application/x-sqlite3": "media",
     "application/wasm": "media",
     "application/x-7z-compressed": "media",
-    "application/x-xz": "media",
+    # xz/lzma single-stream members decompress for real (stdlib lzma)
+    # and re-enter recursion like gzip/bzip2 (PackageParser xz route)
+    "application/x-xz": "pkg",
+    "application/x-lzma": "pkg",
     "application/zstd": "media",
     "application/x-msdownload": "media",
     "application/x-elf": "media",

@@ -1,4 +1,5 @@
-"""Archive parsers: zip, gzip, tar, bzip2 (SURVEY.md §2 E6).
+"""Archive parsers: zip, gzip, tar, bzip2, xz/lzma, ar, cpio
+(SURVEY.md §2 E6).
 
 Reimplements the semantics of the reference's PackageParser/
 PackageExtractor (tika-parsers/.../pkg/PackageParser.java:40-62,
@@ -26,6 +27,7 @@ from __future__ import annotations
 
 import bz2
 import io
+import lzma
 import tarfile
 import zipfile
 import zlib
@@ -177,9 +179,32 @@ def _bzip2_child(data: bytes, url: str | None, budget: int):
     return [(name, payload)], truncated
 
 
+def _xz_child(data: bytes, url: str | None, budget: int):
+    """xz / legacy-lzma single-stream member (FORMAT_AUTO covers both;
+    the commons-compress XZCompressorInputStream surface). Budget-capped
+    streaming like the gzip/bzip2 members."""
+    d = lzma.LZMADecompressor()
+    payload = d.decompress(data, budget)
+    truncated = not d.eof
+    name = "xz-entry"
+    if url:
+        base = url.rstrip("/").rsplit("/", 1)[-1]
+        low = base.lower()
+        if low.endswith(".xz") or low.endswith(".lz"):
+            name = base[: base.rfind(".")]
+        elif low.endswith(".lzma"):
+            name = base[:-5]
+        elif low.endswith(".txz") or low.endswith(".tlz"):
+            name = base[:-4] + ".tar"
+        else:
+            name = base
+    return [(name, payload)], truncated
+
+
 _HANDLER_FAMILIES = frozenset((
     "application/x-gzip", "application/x-bzip2", "application/x-tar",
-    "application/x-archive", "application/x-cpio", "application/zip"))
+    "application/x-archive", "application/x-cpio", "application/zip",
+    "application/x-xz", "application/x-lzma"))
 
 
 def extract_package(data: bytes, url: str | None = None,
@@ -193,6 +218,7 @@ def extract_package(data: bytes, url: str | None = None,
     if mime is None:
         mime = ("application/x-gzip" if data[:2] == b"\x1f\x8b" else
                 "application/x-bzip2" if data[:3] == b"BZh" else
+                "application/x-xz" if data[:6] == b"\xfd7zXZ\x00" else
                 "application/x-tar" if data[257:262] == b"ustar" else
                 "application/zip")
     elif mime not in _HANDLER_FAMILIES:
@@ -216,6 +242,8 @@ def extract_package(data: bytes, url: str | None = None,
             children, truncated = _ar_children(data, budget)
         elif mime == "application/x-cpio":
             children, truncated = _cpio_children(data, budget)
+        elif mime in ("application/x-xz", "application/x-lzma"):
+            children, truncated = _xz_child(data, url, budget)
         else:
             children, truncated = _zip_children(data, budget)
     except Exception as e:  # corrupt container -> error row, never raise
