@@ -21,7 +21,7 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 80 queries / 78 oracle rows: the TXT and
+Late round 2 pushed to 83 queries / 81 oracle rows (Visio/Publisher text chains included): the TXT and
 XML+DublinCore routes, the F4 write-limit guard, XPS, WAV audio
 metadata, tar and mbox recursion, the iWork family
 (Pages/Numbers/Keynote), URL-only glob detection and the widened
@@ -1356,6 +1356,45 @@ def _q_extract_doc95_text(spark, sf_dir):
     return extract(pages, mode="text").select("url", "mime", "text")
 
 
+def _visio_pub_wrap_udf():
+    """doc_id%2 → Visio .vsd (HDGF pointer tree + LZSS chunk stream,
+    compressed for half the rows) | Publisher .pub (Quill CONTENTS
+    TEXT bits). Two stories per document: a ``Doc {id}`` heading and
+    the document text."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.olegen import make_pub, make_visio
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i, t = int(i), t or ""
+            if i % 2 == 0:
+                out.append(make_visio([f"Doc {i}", t], title=f"T{i}",
+                                      compress=(i % 4 == 0)))
+            else:
+                out.append(make_pub([f"Doc {i}", t], title=f"T{i}"))
+        return pd.Series(out)
+
+    return wrap
+
+
+def _q_extract_visio_pub(spark, sf_dir):
+    """E7 Visio/Publisher text chains (OfficeParser.java:197-218):
+    every story is one <p> — Visio emits story+LF per story, Publisher
+    emits the TEXT-bit accumulation wrapped in a single <p>."""
+    wrap = _visio_pub_wrap_udf()
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    ext = F.when(F.col("doc_id") % 2 == 0, ".vsd").otherwise(".pub")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), ext).alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "title",
+                                              "text")
+
+
 def _q_extract_fodt_text(spark, sf_dir):
     """Flat (single-XML) ODF route: office:mimetype root attribute
     refinement, text:p paragraphs (FlatOpenDocumentParser parity)."""
@@ -2146,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
         "extract_ppt_text": _q_extract_ppt_text,
+        "extract_visio_pub": _q_extract_visio_pub,
         "extract_msg_text": _q_extract_msg_text,
         "extract_doc95_text": _q_extract_doc95_text,
         "extract_fodt_text": _q_extract_fodt_text,
@@ -2495,6 +2535,16 @@ def oracle_sql() -> dict[str, str]:
             "'application/vnd.ms-powerpoint' AS mime, "
             "'T' || doc_id AS title, "
             "'Doc ' || doc_id || chr(10) || text || chr(10) AS text "
+            "FROM documents WHERE length(text) > 0"),
+        "extract_visio_pub": (
+            "SELECT 'doc://' || doc_id || "
+            "CASE doc_id % 2 WHEN 0 THEN '.vsd' ELSE '.pub' END "
+            "AS url, "
+            "CASE doc_id % 2 WHEN 0 THEN 'application/vnd.visio' "
+            "ELSE 'application/x-mspublisher' END AS mime, "
+            "'T' || doc_id AS title, "
+            "'Doc ' || doc_id || chr(10) || text || chr(10) || "
+            "CASE doc_id % 2 WHEN 0 THEN '' ELSE chr(10) END AS text "
             "FROM documents WHERE length(text) > 0"),
         "extract_msg_text": (
             "SELECT 'doc://' || doc_id || '.msg' AS url, "

@@ -172,3 +172,75 @@ class TestPipeline:
         assert out["u://m.msg"]["mime"] == "application/vnd.ms-outlook"
         assert out["u://m.msg!/page.html"]["text"] == "from attachment\n"
         assert out["u://m.msg!/page.html"]["depth"] == 1
+
+
+# ------------------------------------------- Visio / Publisher text --
+
+
+class TestVisioPublisher:
+    def test_pub_text_bits(self):
+        from tika_spark.fixtures.olegen import make_pub
+        pub = make_pub(["0123456789", "abcdef"], author="A",
+                       title="Bulletin")
+        assert refine_ole2(pub) == "application/x-mspublisher"
+        assert detect(pub, None) == "application/x-mspublisher"
+        r = extract_ole(pub, mime="application/x-mspublisher")
+        # PublisherTextExtractor: each TEXT bit + "\n", then the <p>
+        # wrap adds one more (OfficeParser.java:197-200)
+        assert r["text"] == "0123456789\nabcdef\n\n"
+        assert r["metadata"]["Author"] == ["A"]
+        assert r["title"] == "Bulletin"
+
+    def test_pub_cr_normalized(self):
+        from tika_spark.fixtures.olegen import make_pub
+        r = extract_ole(make_pub(["line1\rline2"]),
+                        mime="application/x-mspublisher")
+        assert r["text"] == "line1\nline2\n\n"
+
+    @pytest.mark.parametrize("compress", [True, False])
+    @pytest.mark.parametrize("version", [6, 11])
+    def test_visio_stories(self, compress, version):
+        from tika_spark.fixtures.olegen import make_visio
+        vsd = make_visio(["First story\n", "Second one\n"],
+                         author="Hogwarts", compress=compress,
+                         version=version)
+        assert refine_ole2(vsd) == "application/vnd.visio"
+        r = extract_ole(vsd, mime="application/vnd.visio")
+        # each story becomes one <p> (OfficeParser.java:212-218)
+        assert r["text"] == "First story\n\nSecond one\n\n"
+        assert r["metadata"]["Author"] == ["Hogwarts"]
+
+    def test_visio_lzw_roundtrip_long(self):
+        # > 1 flag-group and > ring-buffer payload through the real
+        # decompressor
+        from tika_spark.fixtures.olegen import make_visio
+        story = "x" * 5000 + " end of story"
+        r = extract_ole(make_visio([story]),
+                        mime="application/vnd.visio")
+        assert r["text"] == story + "\n"
+
+    def test_visio_corrupt_stream_is_quiet(self):
+        from tika_spark.ole.visio import visio_text_stories
+        assert visio_text_stories(b"junk") == []
+        doc = b"Visio (TM) Drawing\r\n" + b"\x00" * 100
+        assert visio_text_stories(doc) == []
+
+    def test_reference_corpus_files(self):
+        import os
+        base = ("/root/reference/tika-parsers/src/test/resources/"
+                "test-documents")
+        vsd_p = os.path.join(base, "testVISIO.vsd")
+        pub_p = os.path.join(base, "testPUBLISHER.pub")
+        if not (os.path.exists(vsd_p) and os.path.exists(pub_p)):
+            pytest.skip("reference corpus not available")
+        vsd = open(vsd_p, "rb").read()
+        r = extract_ole(vsd, mime=refine_ole2(vsd))
+        # VisioParserTest.java:39-46 expectations
+        assert "Some random text, on a page" in r["text"]
+        assert r["metadata"]["Author"] == ["Hogwarts"]
+        pub = open(pub_p, "rb").read()
+        r = extract_ole(pub, mime=refine_ole2(pub))
+        # PublisherParserTest.java:41-48 expectations
+        assert "0123456789" in r["text"]
+        assert "abcdef" in r["text"]
+        assert r["metadata"]["Author"] == ["Nick Burch"]

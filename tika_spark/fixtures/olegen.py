@@ -393,3 +393,100 @@ def make_msg(subject: str, body: str, *, sender: str | None = None,
         streams.append(((d,), "__substg1.0_3704001F", ustr(name)))
         streams.append(((d,), "__substg1.0_37010102", payload))
     return write_cfb(streams)
+
+
+# ---------------------------------------------------------- Publisher --
+
+
+def make_pub(stories: list[str], *, author: str | None = None,
+             title: str | None = None) -> bytes:
+    """Publisher: Quill/QuillSub/CONTENTS with one TEXT bit per story
+    (the layout _pub_text reads: CHNKINK signature, 24-byte bit
+    descriptors from 0x20, utf-16-le payloads)."""
+    header = bytearray(b"CHNKINK ") + b"\x00" * (512 - 8)
+    payloads = b""
+    base = 512
+    for i, story in enumerate(stories[:20]):
+        raw = story.encode("utf-16-le")
+        off = 0x20 + i * 24
+        header[off:off + 2] = b"\x18\x00"
+        header[off + 2:off + 6] = b"TEXT"
+        struct.pack_into("<HHH", header, off + 6, 0, 0, 0)
+        header[off + 12:off + 16] = b"TEXT"
+        struct.pack_into("<II", header, off + 16, base + len(payloads),
+                         len(raw))
+        payloads += raw
+    streams = [(("Quill", "QuillSub"), "CONTENTS",
+                bytes(header) + payloads)]
+    props = {k: v for k, v in (("author", author), ("title", title))
+             if v is not None}
+    if props:
+        streams.append(((), "\x05SummaryInformation",
+                        summary_info(**props)))
+    return write_cfb(streams)
+
+
+# -------------------------------------------------------------- Visio --
+
+
+def lzw_compress_literal(data: bytes) -> bytes:
+    """Valid Visio-LZSS stream using literals only (flag byte 0xFF +
+    8 literal bytes per group) — exercises the real decompressor."""
+    out = bytearray()
+    for i in range(0, len(data), 8):
+        grp = data[i:i + 8]
+        out.append(0xFF if len(grp) == 8 else (1 << len(grp)) - 1)
+        out += grp
+    return bytes(out)
+
+
+def make_visio(stories: list[str], *, author: str | None = None,
+               title: str | None = None, compress: bool = True,
+               version: int = 11) -> bytes:
+    """Minimal VSD: VisioDocument header + trailer pointer to one
+    pointer stream that points to one chunk stream holding a 0x0E
+    text chunk per story (the layout visio.py walks)."""
+    chunks = bytearray()
+    # 27-byte list header: marker, child count, empty list body
+    chunks += b"\xff\xff\xff\xff" + struct.pack("<II", len(stories), 0)
+    chunks += b"\x00" * (27 - len(chunks))
+    for i, story in enumerate(stories):
+        if version >= 11:
+            raw = story.encode("utf-16-le")
+        else:
+            raw = story.encode("cp1252", "replace")
+        chunks += struct.pack("<IIII", 0x0E, i, 0, 8 + len(raw))
+        chunks += struct.pack("<HB", 2, 0x50)
+        chunks += b"\x00" * 8 + raw
+    chunk_blob = bytes(chunks)
+
+    doc = bytearray(b"Visio (TM) Drawing\r\n")
+    doc += b"\x00" * (0x1A - len(doc))
+    doc += struct.pack("<H", version)
+    doc += b"\x00" * (0x24 - len(doc))
+    # trailer pointer at 0x24 (18 bytes) + pad to a data area
+    data_at = 0x40
+    if compress:
+        body = lzw_compress_literal(b"\x00" * 4 + chunk_blob)
+        fmt_chunks = 0xD6
+    else:
+        body = chunk_blob
+        fmt_chunks = 0xD4
+    # pointer stream (uncompressed): table offset 8, count 1, pad,
+    # then one 18-byte pointer to the chunk stream
+    ptr_at = data_at + len(body)
+    ptr_stream = struct.pack("<II", 8, 0) + struct.pack("<II", 1, 0)
+    ptr_stream += struct.pack("<IIIIH", 0x15, 0, data_at, len(body),
+                              fmt_chunks)
+    doc += struct.pack("<IIIIH", 0x14, 0, ptr_at, len(ptr_stream), 0x54)
+    doc += b"\x00" * (data_at - len(doc))
+    doc += body + ptr_stream
+    struct.pack_into("<I", doc, 0x1C, len(doc))
+
+    streams = [((), "VisioDocument", bytes(doc))]
+    props = {k: v for k, v in (("author", author), ("title", title))
+             if v is not None}
+    if props:
+        streams.append(((), "\x05SummaryInformation",
+                        summary_info(**props)))
+    return write_cfb(streams)

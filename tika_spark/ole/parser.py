@@ -30,6 +30,7 @@ import struct
 from tika_spark.config import ExtractConfig
 from tika_spark.html.layout import safe_chars
 from tika_spark.ole.cfb import CfbFile, MAGIC
+from tika_spark.ole.visio import extract_visio_text as _visio_text
 
 _DEFAULT = ExtractConfig()
 
@@ -385,6 +386,42 @@ def _ppt_text(cfb: CfbFile) -> str:
     return ("\n".join(lines) + "\n") if lines else ""
 
 
+# ------------------------------------------------------ Publisher .pub --
+
+
+def _pub_text(cfb: CfbFile) -> str:
+    """Publisher text: the Quill/QuillSub/CONTENTS stream's TEXT bits.
+
+    Mirrors the output semantics of the reference's
+    PublisherTextExtractor path (microsoft/OfficeParser.java:197-200),
+    re-implemented from the Quill stream layout: an 8-byte
+    ``CHNKINK\\x20`` signature, then up to 20 bit descriptors of 24
+    bytes each starting at 0x20 — marker ``18 00``, a 4-char owner tag,
+    three u16 options, a 4-char bit type, and u32 payload (offset,
+    length). ``TEXT`` bits hold utf-16-le story text; each story's
+    CRs become LFs and stories are newline-joined, matching the
+    reference's per-bit ``text + "\\n"`` accumulation.
+    """
+    contents = cfb.stream("CONTENTS", ("Quill", "QuillSub"))
+    if not contents or contents[:8] != b"CHNKINK ":
+        return ""
+    out: list[str] = []
+    for i in range(20):
+        off = 0x20 + i * 24
+        if off + 24 > len(contents):
+            break
+        if contents[off] != 0x18 or contents[off + 1] != 0x00:
+            continue
+        bit_type = contents[off + 12:off + 16]
+        start, length = struct.unpack_from("<II", contents, off + 16)
+        if bit_type != b"TEXT":
+            continue
+        raw = contents[start:start + length]
+        s = raw[: len(raw) // 2 * 2].decode("utf-16-le", "replace")
+        out.append(s.replace("\r", "\n"))
+    return ("\n".join(out) + "\n") if out else ""
+
+
 # -------------------------------------------------------- Outlook .msg --
 
 _SUBSTG_RE = re.compile(r"^__substg1\.0_([0-9A-F]{4})([0-9A-F]{4})$")
@@ -469,8 +506,14 @@ def extract_ole(data: bytes, url: str | None = None,
             text, children = _msg_extract(cfb, metadata)
             if text and not text.endswith("\n"):
                 text += "\n"
+        elif mime == "application/x-mspublisher":
+            text = _pub_text(cfb)
+            if text:
+                text += "\n"  # the <p> wrap (OfficeParser.java:200)
+        elif mime == "application/vnd.visio":
+            text = _visio_text(cfb)
         else:
-            text = ""  # metadata-only (visio/publisher/unknown office)
+            text = ""  # metadata-only (unknown office layouts)
     except Exception:
         text = ""
     text = safe_chars(text)
