@@ -21,7 +21,7 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 83 queries / 81 oracle rows (Visio/Publisher text chains included): the TXT and
+Late round 2 pushed to 89 queries / 87 oracle rows (Visio/Publisher text chains and the six-query curation pack — repetition, paragraph dedup, URL canonicalization, host rollup, PII scrub, contamination — included): the TXT and
 XML+DublinCore routes, the F4 write-limit guard, XPS, WAV audio
 metadata, tar and mbox recursion, the iWork family
 (Pages/Numbers/Keynote), URL-only glob detection and the widened
@@ -2021,6 +2021,104 @@ def _q_docs_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "lang", rates, default_rate=0.1)
 
 
+def _q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line char mass + top
+    bigram stats) over text with deterministic injected repetition
+    (first-40-chars line repeated twice), per-row sorted-array
+    run-length expressions — zero shuffle, zero UDFs."""
+    from tika_spark.analysis.curation import repetition_features
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat("text", F.lit("\n"), F.substring("text", 1, 40),
+                 F.lit("\n"), F.substring("text", 1, 40))
+        .alias("text"))
+    return repetition_features(docs).select(
+        "doc_id", "n_lines", "n_uniq_lines", "dup_line_chars",
+        "top_2gram", "top_2gram_n", "top_2gram_chars")
+
+
+def _q_docs_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus paragraph dedup: shared boilerplate lines
+    (an injected cookie banner on every doc + a footer shared by
+    doc_id%7 cohorts) are dropped; per-doc line order is preserved.
+    Shuffles 8-byte paragraph hashes, not documents."""
+    from tika_spark.analysis.curation import paragraph_dedup
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("COOKIE CONSENT BANNER\n"), "text",
+                 F.lit("\nFOOTER "), F.col("doc_id") % 7)
+        .alias("text"))
+    return paragraph_dedup(docs).select(
+        "doc_id", "n_paras", "n_shared", "text_clean")
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """Crawl-frontier URL canonicalization: fragment strip, tracking
+    params (utm_*/fbclid), case-folded authority, default-port strip
+    — four deterministic dirty-URL shapes per doc_id%4."""
+    from tika_spark.analysis.curation import canonical_url, url_host
+    m = F.col("doc_id") % 4
+    k = (F.col("doc_id") % 20).cast("string")
+    i = F.col("doc_id").cast("string")
+    dirty = (F.when(m == 0, F.concat(
+                F.lit("HTTP://WWW.SITE"), k, F.lit(".Example.COM:80/P"),
+                i, F.lit("?utm_source=x&id="), i,
+                F.lit("&utm_campaign=y#sec")))
+             .when(m == 1, F.concat(
+                F.lit("https://Blog.Example"), k, F.lit(".ORG:443/post/"),
+                i, F.lit("#top")))
+             .when(m == 2, F.concat(
+                F.lit("https://shop.example"), k, F.lit(".net/i?fbclid=f"),
+                i))
+             .otherwise(F.concat(
+                F.lit("http://news.example"), k, F.lit(".com:8080/a/"),
+                i, F.lit("?id=1&utm_medium=z&x=2"))))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", dirty.alias("dirty"))
+            .select("doc_id",
+                    canonical_url(F.col("dirty")).alias("canon_url"))
+            .withColumn("host", url_host(F.col("canon_url"))))
+
+
+def _q_host_rollup(spark, sf_dir):
+    """Per-host corpus stats over the canonical URLs (domain-quality /
+    politeness aggregate): one partial-aggregatable groupBy."""
+    from tika_spark.analysis.curation import host_rollup
+    with_urls = _q_url_canonicalize(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+    return (host_rollup(with_urls, url_col="canon_url")
+            .select("host", "n_docs", "total_chars"))
+
+
+def _q_docs_pii_scrub(spark, sf_dir):
+    """FineWeb-style PII pass: emails + IPv4 literals (deterministic
+    injected tail) become placeholder tokens; removal counts kept."""
+    from tika_spark.analysis.curation import pii_scrub
+    i = F.col("doc_id").cast("string")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat("text", F.lit(" Contact user"), i, F.lit("@mail"),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".org or 203.0."),
+                 (F.col("doc_id") % 100).cast("string"), F.lit("."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(" end.")).alias("text"))
+    return pii_scrub(docs).select("doc_id", "n_emails", "n_ipv4",
+                                  "text_scrubbed")
+
+
+def _q_docs_contamination(spark, sf_dir):
+    """Benchmark-decontamination scan: distinct word 3-grams of each
+    corpus doc (doc_id%10 != 0) probed against the broadcast benchmark
+    gram set (doc_id%10 == 0 docs); counts per doc."""
+    from tika_spark.analysis.curation import contamination_check
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_check(corpus, bench, k=3).select(
+        "doc_id", "n_grams", "n_hit")
+
+
 def _q_length_histogram(spark, sf_dir):
     b = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
     return (_docs(spark, sf_dir).select(b.alias("bucket"))
@@ -2226,6 +2324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "docs_cap_per_source": _q_docs_cap_per_source,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_repetition": _q_docs_repetition,
+        "docs_paragraph_dedup": _q_docs_paragraph_dedup,
+        "url_canonicalize": _q_url_canonicalize,
+        "host_rollup": _q_host_rollup,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_contamination": _q_docs_contamination,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -2817,6 +2921,94 @@ def oracle_sql() -> dict[str, str]:
             "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT "
             "/ 4294967296.0) < (CASE lang WHEN 'en' THEN 0.5 "
             "WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25 ELSE 0.1 END)"),
+        "docs_repetition": (
+            "WITH t AS (SELECT doc_id, text || chr(10) || "
+            "substr(text, 1, 40) || chr(10) || substr(text, 1, 40) "
+            "AS tx FROM documents), "
+            "L AS (SELECT doc_id, unnest(list_filter("
+            "string_split(tx, chr(10)), x -> x <> '')) AS line FROM t), "
+            "lc AS (SELECT doc_id, line, count(*) AS c FROM L "
+            "GROUP BY 1, 2), "
+            "ls AS (SELECT doc_id, sum(c)::BIGINT AS n_lines, "
+            "count(*)::BIGINT AS n_uniq_lines, "
+            "sum(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END)"
+            "::BIGINT AS dup_line_chars FROM lc GROUP BY 1), "
+            "w AS (SELECT doc_id, regexp_split_to_array(trim(tx), "
+            "'\\s+') AS w FROM t), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1])) AS g FROM w), "
+            "gc AS (SELECT doc_id, g, count(*) AS c FROM g "
+            "GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, g, c, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn "
+            "FROM gc) "
+            "SELECT ls.doc_id, n_lines, n_uniq_lines, dup_line_chars, "
+            "top.g AS top_2gram, top.c::BIGINT AS top_2gram_n, "
+            "(top.c * length(top.g))::BIGINT AS top_2gram_chars "
+            "FROM ls JOIN top ON ls.doc_id = top.doc_id "
+            "AND top.rn = 1"),
+        "docs_paragraph_dedup": (
+            "WITH t AS (SELECT doc_id, 'COOKIE CONSENT BANNER' || "
+            "chr(10) || text || chr(10) || 'FOOTER ' || (doc_id % 7) "
+            "AS tx FROM documents), "
+            "p AS (SELECT doc_id, unnest(generate_series(1, len(l))) "
+            "AS pos, unnest(l) AS para FROM (SELECT doc_id, "
+            "list_filter(string_split(tx, chr(10)), x -> x <> '') "
+            "AS l FROM t)), "
+            "c AS (SELECT para, count(DISTINCT doc_id) AS nd FROM p "
+            "GROUP BY 1) "
+            "SELECT p.doc_id, count(*)::BIGINT AS n_paras, "
+            "sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_shared, "
+            "coalesce(string_agg(CASE WHEN c.nd = 1 THEN p.para END, "
+            "chr(10) ORDER BY p.pos), '') AS text_clean "
+            "FROM p JOIN c USING (para) GROUP BY p.doc_id"),
+        "url_canonicalize": (
+            "SELECT doc_id, CASE doc_id % 4 "
+            "WHEN 0 THEN 'http://www.site' || (doc_id % 20) || "
+            "'.example.com/P' || doc_id || '?id=' || doc_id "
+            "WHEN 1 THEN 'https://blog.example' || (doc_id % 20) || "
+            "'.org/post/' || doc_id "
+            "WHEN 2 THEN 'https://shop.example' || (doc_id % 20) || "
+            "'.net/i' "
+            "ELSE 'http://news.example' || (doc_id % 20) || "
+            "'.com:8080/a/' || doc_id || '?id=1&x=2' END AS canon_url, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN 'www.site' || (doc_id % 20) || '.example.com' "
+            "WHEN 1 THEN 'blog.example' || (doc_id % 20) || '.org' "
+            "WHEN 2 THEN 'shop.example' || (doc_id % 20) || '.net' "
+            "ELSE 'news.example' || (doc_id % 20) || '.com' END "
+            "AS host FROM documents"),
+        "host_rollup": (
+            "WITH h AS (SELECT doc_id, n_chars, CASE doc_id % 4 "
+            "WHEN 0 THEN 'www.site' || (doc_id % 20) || '.example.com' "
+            "WHEN 1 THEN 'blog.example' || (doc_id % 20) || '.org' "
+            "WHEN 2 THEN 'shop.example' || (doc_id % 20) || '.net' "
+            "ELSE 'news.example' || (doc_id % 20) || '.com' END "
+            "AS host FROM documents) "
+            "SELECT host, count(*)::BIGINT AS n_docs, "
+            "sum(n_chars)::BIGINT AS total_chars FROM h GROUP BY 1"),
+        "docs_pii_scrub": (
+            "SELECT doc_id, 1::BIGINT AS n_emails, "
+            "1::BIGINT AS n_ipv4, "
+            "text || ' Contact <EMAIL> or <IP> end.' AS text_scrubbed "
+            "FROM documents"),
+        "docs_contamination": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array("
+            "trim(text), '\\s+') AS w FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, len(w) - 2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh "
+            "FROM w), "
+            "b AS (SELECT DISTINCT unnest(sh) AS g FROM s "
+            "WHERE doc_id % 10 = 0), "
+            "d AS (SELECT doc_id, unnest(sh) AS g FROM s "
+            "WHERE doc_id % 10 <> 0) "
+            "SELECT d.doc_id, count(*)::BIGINT AS n_grams, "
+            "sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_hit FROM d LEFT JOIN b ON d.g = b.g "
+            "GROUP BY d.doc_id"),
         "length_histogram": (
             "SELECT CAST(least(floor(n_chars / 100.0), 9) AS BIGINT) AS "
             "bucket, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1"),

@@ -1,0 +1,149 @@
+"""Web-corpus curation operators: repetition signals, paragraph-level
+corpus dedup, URL canonicalization, PII scrub, contamination check.
+
+Semantics pinned against the published Gopher/C4/CCNet recipe shapes;
+plan-shape tests assert the documented scale contracts (repetition is
+shuffle-free; the contamination probe broadcasts the benchmark side).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tika_spark.analysis.curation import (canonical_url,
+                                          contamination_check,
+                                          host_rollup,
+                                          paragraph_dedup, pii_scrub,
+                                          repetition_features,
+                                          url_host)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, "a b\nc d\na b\n\nx y x y x y"),
+         (1, "solo line"),
+         (2, "a b\nzz")],
+        "doc_id long, text string")
+
+
+class TestRepetition:
+    def test_features(self, spark, docs):
+        r = {x["doc_id"]: x for x in
+             repetition_features(docs).collect()}
+        assert r[0]["n_lines"] == 4 and r[0]["n_uniq_lines"] == 3
+        # "a b" twice -> 6 duplicated chars
+        assert r[0]["dup_line_chars"] == 6
+        # grams: "x y" x3, "y x" x2, ...
+        assert r[0]["top_2gram"] == "x y"
+        assert r[0]["top_2gram_n"] == 3
+        assert r[0]["top_2gram_chars"] == 9
+        assert r[1]["dup_line_chars"] == 0
+        assert r[1]["top_2gram"] == "solo line"
+
+    def test_tie_breaks_to_smallest_gram(self, spark):
+        df = spark.createDataFrame([(0, "b c b c a a a b")],
+                                   "doc_id long, text string")
+        row = repetition_features(df).first()
+        # "b c" x2, "a a" x2 -> smallest gram wins
+        assert row["top_2gram"] == "a a" and row["top_2gram_n"] == 2
+
+    def test_shuffle_free_plan(self, spark, docs):
+        plan = repetition_features(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestParagraphDedup:
+    def test_shared_paragraphs_dropped(self, spark, docs):
+        r = {x["doc_id"]: x for x in paragraph_dedup(docs).collect()}
+        # "a b" occurs in docs 0 and 2 -> dropped everywhere
+        assert r[0]["text_clean"] == "c d\nx y x y x y"
+        assert r[0]["n_paras"] == 4 and r[0]["n_shared"] == 2
+        assert r[2]["text_clean"] == "zz" and r[2]["n_shared"] == 1
+        assert r[1]["text_clean"] == "solo line"
+
+    def test_order_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(0, "z last\nm mid\na first"), (1, "unrelated")],
+            "doc_id long, text string")
+        r = paragraph_dedup(df).filter("doc_id = 0").first()
+        assert r["text_clean"] == "z last\nm mid\na first"
+
+    def test_all_shared_yields_empty(self, spark):
+        df = spark.createDataFrame([(0, "same"), (1, "same")],
+                                   "doc_id long, text string")
+        for row in paragraph_dedup(df).collect():
+            assert row["text_clean"] == "" and row["n_shared"] == 1
+
+
+class TestUrls:
+    CASES = [
+        ("HTTP://WWW.Ex.COM:80/Path?utm_source=a&id=5&utm_x=b#f",
+         "http://www.ex.com/Path?id=5", "www.ex.com"),
+        ("https://Site.ORG:443/", "https://site.org/", "site.org"),
+        ("https://h.net/p?a=1&fbclid=zz", "https://h.net/p?a=1",
+         "h.net"),
+        ("http://plain.com:8080/x?gclid=1", "http://plain.com:8080/x",
+         "plain.com"),
+        ("https://a.b/p?utm_only=1", "https://a.b/p", "a.b"),
+    ]
+
+    def test_canonicalization(self, spark):
+        df = spark.createDataFrame([(u,) for u, _, _ in self.CASES],
+                                   "url string")
+        got = df.select(
+            canonical_url(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h")).collect()
+        for (u, want_c, want_h), row in zip(self.CASES, got):
+            assert row["c"] == want_c, u
+            assert row["h"] == want_h, u
+
+    def test_host_rollup(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.com/1", 10), ("https://A.COM:443/2", 20),
+             ("http://b.org/", 5)], "url string, n_chars long")
+        r = {x["host"]: x for x in host_rollup(df).collect()}
+        assert r["a.com"]["n_docs"] == 2
+        assert r["a.com"]["total_chars"] == 30
+        assert r["b.org"]["n_docs"] == 1
+
+
+class TestPii:
+    def test_scrub_and_count(self, spark):
+        df = spark.createDataFrame(
+            [(0, "write a.b-c%d@mail.example.org or ping 10.0.255.7"),
+             (1, "version 1.2.3.4000 is not an ip, nor x@y")],
+            "doc_id long, text string")
+        r = {x["doc_id"]: x for x in pii_scrub(df).collect()}
+        assert r[0]["text_scrubbed"] == "write <EMAIL> or ping <IP>"
+        assert r[0]["n_emails"] == 1 and r[0]["n_ipv4"] == 1
+        # 1.2.3.4000 has no digit boundary; x@y has no dotted TLD
+        assert r[1]["n_emails"] == 0 and r[1]["n_ipv4"] == 0
+        assert r[1]["text_scrubbed"] == r[1]["text"] if hasattr(
+            r[1], "text") else True
+
+
+class TestContamination:
+    def test_counts(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "one two three four five")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(0, "one two three four nine"),
+             (1, "no overlap here at all")],
+            "doc_id long, text string")
+        r = {x["doc_id"]: x for x in
+             contamination_check(docs, bench, k=3).collect()}
+        # doc0 3-grams: {one two three, two three four, three four nine}
+        assert r[0]["n_grams"] == 3 and r[0]["n_hit"] == 2
+        assert r[1]["n_grams"] == 3 and r[1]["n_hit"] == 0
+
+    def test_broadcast_plan(self, spark):
+        bench = spark.createDataFrame([(100, "a b c d")],
+                                      "doc_id long, text string")
+        docs = spark.createDataFrame([(0, "a b c e")],
+                                     "doc_id long, text string")
+        plan = contamination_check(docs, bench)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" \
+            in plan

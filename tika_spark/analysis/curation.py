@@ -1,0 +1,256 @@
+"""Web-corpus curation operators — repetition signals, paragraph-level
+corpus dedup, URL canonicalization, PII scrubbing, benchmark
+contamination checks.
+
+These are the filters a Common-Crawl-scale training-data pipeline runs
+after extraction (the Gopher/C4/CCNet-published recipe), expressed as
+native Spark SQL so the whole pack stays inside whole-stage codegen —
+no Python UDFs anywhere in this module.
+
+Scale notes (100 TB):
+- ``repetition_features`` is a pure per-row projection (zero shuffle).
+  The duplicate-line and top-bigram statistics are computed with
+  sorted-array run-length expressions — O(n log n) per document, no
+  explode, no per-doc groupBy.
+- ``paragraph_dedup`` shuffles (hash64, position) pairs plus one copy
+  of each paragraph's text for reassembly — never the full document
+  twice. The counting groupBy is partial-aggregatable (map-side
+  combine on 8-byte keys); the membership join is on the 8-byte hash.
+- ``contamination_check`` broadcasts the benchmark n-gram set (a
+  benchmark suite is ~10^5-10^6 grams — megabytes), so the corpus
+  side is a map-only semi-join probe.
+- ``canonical_url`` / ``pii_scrub`` are regexp projections (per-row,
+  codegen'd, shuffle-free).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from tika_spark.analysis.textstats import tokens, word_shingles
+
+# ----------------------------------------------------- repetition --
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda x: x != F.lit(""))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text"
+                        ) -> DataFrame:
+    """Gopher-style repetition signals, exact-integer columns:
+
+    n_lines            non-empty lines
+    n_uniq_lines       distinct non-empty lines
+    dup_line_chars     chars in lines whose text occurs >= 2x in the
+                       doc (all occurrences counted — the numerator of
+                       Gopher's duplicate-line-character fraction)
+    top_2gram          most frequent token bigram (ties: smallest)
+    top_2gram_n        its occurrence count
+    top_2gram_chars    count * chars(bigram) (numerator of the
+                       top-n-gram character fraction)
+
+    Implementation: sort the line/bigram arrays once, then run-length
+    expressions over adjacent equal elements — per-row, shuffle-free.
+    """
+    text = F.col(text_col)
+    out = df.withColumn("_lines", F.sort_array(_nonempty_lines(text)))
+    out = out.withColumn("n_lines",
+                         F.size("_lines").cast("long"))
+    out = out.withColumn("n_uniq_lines",
+                         F.size(F.array_distinct("_lines"))
+                         .cast("long"))
+    # char mass of elements equal to a neighbour in the sorted array
+    out = out.withColumn("dup_line_chars", F.expr(
+        "aggregate(transform(_lines, (e, i) -> CASE WHEN "
+        "(i > 0 AND element_at(_lines, i) = e) OR "
+        "(i < size(_lines) - 1 AND element_at(_lines, i + 2) = e) "
+        "THEN length(e) ELSE 0 END), 0L, (acc, x) -> acc + x)"))
+    toks = tokens(text)
+    out = out.withColumn("_grams", F.sort_array(F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b))))
+    # longest run in the sorted bigram array; first (= smallest) on ties
+    out = out.withColumn("_top", F.expr(
+        "aggregate(_grams, "
+        "struct(cast('' as string) AS prev, 0L AS run, "
+        "       0L AS best_n, cast('' as string) AS best_g), "
+        "(s, g) -> CASE WHEN g = s.prev "
+        "  THEN CASE WHEN s.run + 1L > s.best_n "
+        "    THEN struct(g AS prev, s.run + 1L AS run, "
+        "                s.run + 1L AS best_n, g AS best_g) "
+        "    ELSE struct(g AS prev, s.run + 1L AS run, "
+        "                s.best_n AS best_n, s.best_g AS best_g) END "
+        "  ELSE CASE WHEN 1L > s.best_n "
+        "    THEN struct(g AS prev, 1L AS run, 1L AS best_n, "
+        "                g AS best_g) "
+        "    ELSE struct(g AS prev, 1L AS run, s.best_n AS best_n, "
+        "                s.best_g AS best_g) END END)"))
+    out = (out
+           .withColumn("top_2gram", F.col("_top.best_g"))
+           .withColumn("top_2gram_n", F.col("_top.best_n"))
+           .withColumn("top_2gram_chars",
+                       (F.col("_top.best_n") *
+                        F.length("_top.best_g")).cast("long"))
+           .drop("_lines", "_grams", "_top"))
+    return out
+
+
+# ------------------------------------------- paragraph-level dedup --
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style corpus-level paragraph dedup.
+
+    Splits each document into non-empty lines ("paragraphs"), counts
+    how many documents each paragraph appears in across the whole
+    corpus, and rebuilds the text keeping only paragraphs unique to a
+    single document. Emits, per document:
+
+    n_paras     paragraphs before dedup
+    n_shared    paragraphs that also occur in some other document
+    text_clean  the surviving paragraphs, original order, LF-joined
+
+    Shuffle profile: the count groupBy moves (hash64, doc-distinct)
+    8-byte keys with map-side combine; the membership join is
+    hash-to-hash; paragraph text travels exactly once into the
+    reassembly groupBy. (xxhash64 collisions would merge unrelated
+    paragraphs; at 2^64 that is negligible against corpus sizes.)
+    """
+    paras = (df
+             .select(F.col(id_col),
+                     F.posexplode(_nonempty_lines(F.col(text_col)))
+                     .alias("pos", "para"))
+             .withColumn("h", F.xxhash64("para")))
+    # docs-per-paragraph (count each doc once even on repeats inside it)
+    counts = (paras.select(id_col, "h").distinct()
+              .groupBy("h").agg(F.count("*").alias("n_docs")))
+    joined = paras.join(counts, "h")
+    return (joined
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_paras"),
+                 F.sum((F.col("n_docs") > 1).cast("long"))
+                 .alias("n_shared"),
+                 F.concat_ws("\n", F.transform(
+                     F.array_sort(F.collect_list(F.when(
+                         F.col("n_docs") == 1,
+                         F.struct("pos", "para")))),
+                     lambda s: s["para"])).alias("text_clean")))
+
+
+# --------------------------------------------- URL canonicalization --
+
+_TRACKING = "(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|mc_eid)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Crawl-frontier URL canonicalization:
+
+    - drop the fragment,
+    - drop tracking query params (utm_*, fbclid, gclid, ...),
+    - lowercase scheme and host,
+    - strip default ports (:80 for http, :443 for https),
+    - collapse the artifacts ("?&", "&&", trailing "?"/"&").
+
+    Pure regexp chain — stays in codegen, no UDF.
+    """
+    u = F.regexp_replace(col, "#.*$", "")
+    u = F.regexp_replace(u, "([?&])" + _TRACKING + "=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, "&&+", "&")
+    u = F.regexp_replace(u, "[?&]$", "")
+    # lowercase scheme://host[:port] (authority only, never the path)
+    head = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://"
+                                       "[^/?#]*)", 1))
+    tail = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*",
+                            "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80(?=[/?#]|$)", "$1")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443(?=[/?#]|$)", "$1")
+    return u
+
+
+def url_host(col: Column) -> Column:
+    """Registered host of a canonical URL (port stripped, lowercase)."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, "^[A-Za-z][A-Za-z0-9+.-]*://"
+                                      "([^/?#]*)", 1)),
+        ":[0-9]+$", "")
+
+
+def host_rollup(df: DataFrame, url_col: str = "url",
+                chars_col: str = "n_chars") -> DataFrame:
+    """Per-host corpus stats (the crawl-politeness / domain-quality
+    aggregate): doc count + total chars. One partial-aggregatable
+    groupBy on the host string."""
+    return (df
+            .withColumn("host", url_host(F.col(url_col)))
+            .groupBy("host")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(chars_col).cast("long").alias("total_chars")))
+
+
+# ------------------------------------------------------ PII scrub --
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}" \
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4 literals with placeholder tokens and
+    count what was removed (the FineWeb-style PII pass):
+
+    n_emails, n_ipv4   occurrences removed
+    text_scrubbed      text with <EMAIL> / <IP> placeholders
+    """
+    text = F.col(text_col)
+    return (df
+            .withColumn("n_emails",
+                        F.regexp_count(text, F.lit(_EMAIL))
+                        .cast("long"))
+            .withColumn("n_ipv4",
+                        F.regexp_count(text, F.lit(_IPV4)).cast("long"))
+            .withColumn("text_scrubbed", F.regexp_replace(
+                F.regexp_replace(text, _EMAIL, "<EMAIL>"),
+                _IPV4, "<IP>")))
+
+
+# ------------------------------------------- contamination checks --
+
+
+def contamination_check(df: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8
+                        ) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, how
+    many of its distinct word k-grams appear in the benchmark set
+    (the n-gram-overlap decontamination step of every published LLM
+    data pipeline; k=8 is the GPT-3/PaLM convention).
+
+    Emits per document: n_grams (distinct k-grams), n_hit (grams also
+    in the benchmark). The benchmark gram set is ``broadcast`` — the
+    corpus side stays a map-only probe; grams are compared as xxhash64
+    (8 bytes), never as strings.
+    """
+    def grams(frame, idc):
+        return (frame.select(
+            F.col(idc),
+            F.explode(F.array_distinct(
+                word_shingles(F.col(text_col), k))).alias("g"))
+            .select(idc, F.xxhash64("g").alias("h")))
+
+    bench_grams = F.broadcast(
+        grams(bench, id_col).select("h").distinct())
+    doc_grams = grams(df, id_col)
+    hits = (doc_grams.join(bench_grams, "h", "left_semi")
+            .groupBy(id_col).agg(F.count("*").cast("long")
+                                 .alias("n_hit")))
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"))
+    return (totals.join(hits, id_col, "left")
+            .withColumn("n_hit", F.coalesce("n_hit", F.lit(0))
+                        .cast("long")))
