@@ -21,7 +21,11 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 89 queries / 87 oracle rows (Visio/Publisher text chains and the six-query curation pack — repetition, paragraph dedup, URL canonicalization, host rollup, PII scrub, contamination — included): the TXT and
+Late round 2 pushed to 90 queries / 88 oracle rows (ann_pq_recall —
+product-quantization ADC shortlist + exact re-rank — joining the
+checkable ANN forms; Visio/Publisher text chains; and the six-query
+curation pack — repetition, paragraph dedup, URL canonicalization,
+host rollup, PII scrub, contamination): the TXT and
 XML+DublinCore routes, the F4 write-limit guard, XPS, WAV audio
 metadata, tar and mbox recursion, the iWork family
 (Pages/Numbers/Keynote), URL-only glob detection and the widened
@@ -564,6 +568,30 @@ def _q_ann_ivf_recall(spark, sf_dir):
         .select("query_id", "vec_id")
     approx = similarity.ivf_topk(emb, queries_df, k=10, nlist=16,
                                  nprobe=8) \
+        .select(F.col("query_id").alias("qid2"),
+                F.col("vec_id").alias("vid2"))
+    joined = exact.join(
+        approx, (exact.query_id == approx.qid2)
+        & (exact.vec_id == approx.vid2), "left")
+    return (joined.groupBy("query_id")
+            .agg(F.sum(F.when(F.col("vid2").isNotNull(), 1).otherwise(0))
+                 .alias("n_hit"))
+            .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
+
+
+def _q_ann_pq_recall(spark, sf_dir):
+    """Checkable form of the product-quantization path: recall@10 of
+    the PQ asymmetric-distance shortlist + exact re-rank against the
+    brute-force top-k (m=8 subspaces, 16 centroids each, shortlist
+    6k — the FAISS-PQ retrieve-then-rerank shape where the index is
+    m bytes/vector and full embeddings are touched only for the
+    shortlist)."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries_df, k=10) \
+        .select("query_id", "vec_id")
+    approx = similarity.pq_topk(emb, queries_df, k=10, m=8, ks=16,
+                                refine=6) \
         .select(F.col("query_id").alias("qid2"),
                 F.col("vec_id").alias("vid2"))
     joined = exact.join(
@@ -2278,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_pq_recall": _q_ann_pq_recall,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -2418,6 +2447,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "ann_ivf_recall": (
+            "SELECT vec_id AS query_id, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"),
+        "ann_pq_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "detect_by_name": (

@@ -172,6 +172,30 @@ def test_ivf_topk_recall(emb_df):
     assert all(r["sim_micro"] == 1_000_000 for r in top)
 
 
+def test_pq_topk_finds_exact_duplicates(emb_df):
+    # exact duplicates encode to identical PQ codes → identical ADC
+    # scores → all three land in the shortlist; the exact re-rank then
+    # pins rank order and sim_micro == 1.0 for each
+    q = emb_df.filter(F.col("vec_id") == 0)
+    top = similarity.pq_topk(emb_df, q, k=3, m=4, ks=4, refine=4).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids == [0, 11, 100]
+    assert all(r["sim_micro"] == 1_000_000 for r in top)
+
+
+def test_pq_index_code_shape(emb_df):
+    codes, books = similarity.pq_index(emb_df, m=4, ks=4)
+    rows = codes.collect()
+    assert len(rows) == emb_df.count()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 4 for r in rows for c in r["codes"])
+    # duplicates share codes
+    by_id = {r["vec_id"]: r["codes"] for r in rows}
+    assert by_id[0] == by_id[100] == by_id[11]
+    assert len(books) == 4 and all(len(b) <= 4 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)  # 8/4 dims each
+
+
 def test_lsh_signature_deterministic(spark, emb_df):
     s1 = emb_df.select(similarity.lsh_signature(
         F.col("embedding"), 8).alias("s")).collect()

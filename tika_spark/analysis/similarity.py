@@ -269,3 +269,128 @@ def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10,
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+# ------------------------------------------------- product quantization --
+
+
+def pq_index(base: DataFrame, m: int = 4, ks: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product quantizer (FAISS-PQ structure in DataFrame form):
+    L2-normalize, split each d-dim vector into ``m`` contiguous
+    subvectors, run KMeans(``ks``) per subspace, and encode every
+    vector as ``m`` small codes.
+
+    Returns ``(codes_df, codebooks)`` where ``codes_df`` carries
+    ``(id, codes array<int>)`` — m bytes of index per vector instead
+    of 4·d — and ``codebooks[j][c]`` is the c-th centroid of subspace
+    j. At 10^9 vectors the codes table is ~m GB and the codebooks a
+    few hundred KB (broadcast); the full embeddings are only touched
+    by the final re-rank shortlist.
+
+    Training is m sequential MLlib fits over column slices — index
+    build is a one-off, amortized like any index. seed is fixed so
+    rebuilds are reproducible.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(base.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    norm = F.sqrt(F.aggregate(
+        _as_double(F.col(vec_col)),
+        F.lit(0.0), lambda acc, x: acc + x * x))
+    feat = base.withColumn(
+        "__n", F.transform(_as_double(F.col(vec_col)),
+                           lambda x: x / norm))
+    for j in range(m):
+        feat = feat.withColumn(
+            f"__s{j}", array_to_vector(F.slice("__n", j * sub + 1, sub)))
+    models = []
+    for j in range(m):
+        models.append(KMeans(k=ks, seed=7 + j, featuresCol=f"__s{j}",
+                             predictionCol=f"__c{j}").fit(feat))
+        feat = models[j].transform(feat)
+    codes = feat.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("codes"))
+    books = [[list(map(float, c)) for c in mod.clusterCenters()]
+             for mod in models]
+    return codes, books
+
+
+def pq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 4, ks: int = 16, refine: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance + exact re-rank.
+
+    1. Per query, a (m × ks) inner-product lookup table against the
+       codebooks (tiny; built with one broadcast join, collected into
+       a nested array column).
+    2. ADC score per base vector = sum over subspaces of
+       ``tab[j][code_j]`` — an array-expression over the m-byte codes,
+       never the full embedding.
+    3. Shortlist of ``k·refine`` by ADC, then exact cosine re-rank on
+       the shortlist only (the retrieve-then-rerank shape; the wide
+       embedding column is joined for shortlist rows alone).
+    """
+    spark = base.sparkSession
+    codes, books = pq_index(base, m, ks, id_col, vec_col)
+
+    book_rows = [(j, c, books[j][c]) for j in range(m)
+                 for c in range(len(books[j]))]
+    books_df = spark.createDataFrame(
+        book_rows, "j int, c int, centroid array<double>")
+
+    qnorm = F.sqrt(F.aggregate(
+        _as_double(F.col(vec_col)), F.lit(0.0),
+        lambda acc, x: acc + x * x))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(_as_double(F.col(vec_col)),
+                                   lambda x: x / qnorm).alias("qn"))
+    sub = F.slice("qn", F.col("j") * (F.size("qn") / m).cast("int")
+                  + 1, (F.size("qn") / m).cast("int"))
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    # nested (m x ks) table per query, ordered by (j, c)
+    qtab = (q.crossJoin(F.broadcast(books_df))
+            .withColumn("d", dot)
+            .groupBy("query_id", "j")
+            .agg(F.array_sort(F.collect_list(F.struct("c", "d")))
+                 .alias("row"))
+            .groupBy("query_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "row"))),
+                lambda s: F.transform(s["row"], lambda e: e["d"]))
+                .alias("tab")))
+
+    adc = F.expr(
+        "aggregate(sequence(0, size(codes) - 1), cast(0.0 as double), "
+        "(acc, j) -> acc + tab[j][codes[j]])")  # [] is 0-based in SQL
+    shortlist = (codes.crossJoin(F.broadcast(qtab))
+                 .withColumn("adc", adc))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc(id_col))
+    shortlist = (shortlist.withColumn("rr", F.row_number().over(w))
+                 .filter(F.col("rr") <= k * refine)
+                 .select("query_id", id_col))
+
+    b = base.select(F.col(id_col),
+                    _as_double(F.col(vec_col)).alias("bv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+    sim = cosine(F.col("qv"), F.col("bv"))
+    scored = (shortlist.join(b, id_col).join(F.broadcast(qv),
+                                             "query_id")
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      F.round(sim * 1_000_000).cast("long")
+                      .alias("sim_micro")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
+                                                F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w2))
+                  .filter(F.col("rank") <= k))
