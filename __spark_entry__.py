@@ -21,11 +21,12 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 90 queries / 88 oracle rows (ann_pq_recall —
+Late round 2 pushed to 92 queries / 90 oracle rows (ann_pq_recall —
 product-quantization ADC shortlist + exact re-rank — joining the
-checkable ANN forms; Visio/Publisher text chains; and the six-query
-curation pack — repetition, paragraph dedup, URL canonicalization,
-host rollup, PII scrub, contamination): the TXT and
+checkable ANN forms; Visio/Publisher text chains; and the
+eight-query curation pack — repetition, paragraph dedup, URL
+canonicalization, host rollup, PII scrub, contamination, incremental
+snapshot-delta dedup, NFC text normalization): the TXT and
 XML+DublinCore routes, the F4 write-limit guard, XPS, WAV audio
 metadata, tar and mbox recursion, the iWork family
 (Pages/Numbers/Keynote), URL-only glob detection and the widened
@@ -2147,6 +2148,34 @@ def _q_docs_contamination(spark, sf_dir):
         "doc_id", "n_grams", "n_hit")
 
 
+def _q_docs_snapshot_delta(spark, sf_dir):
+    """Incremental crawl-snapshot dedup: even-id docs play the prior
+    corpus (fingerprint index only — 8/16-byte keys, no old text is
+    read), the full table plays snapshot N+1. Survivors are odd-id
+    docs whose text duplicates no even doc, lowest id per duplicate
+    group within the snapshot."""
+    from tika_spark.analysis.curation import snapshot_delta_dedup
+    from tika_spark.analysis.textstats import fingerprint
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = fingerprint(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .select("fp_64", "fp_md5")
+    return (snapshot_delta_dedup(docs, seen)
+            .select("doc_id", "fp_md5"))
+
+
+def _q_docs_normalize(spark, sf_dir):
+    """Unicode/whitespace normalization over deterministically dirtied
+    text (NFD combining accent, CRLF runs, BEL control, tab/space
+    runs): NFC via an Arrow-batch UDF behind an ASCII fast-path, then
+    a codegen'd regexp chain. Oracle replays the identical chain on
+    DuckDB's nfc_normalize."""
+    from tika_spark.analysis.curation import normalize_text
+    raw = F.concat(F.lit("  Heading e\u0301\r\n\r\n\r\n\tbody:\x07 "),
+                   F.col("text"), F.lit(" \r\n tail  "))
+    docs = _docs(spark, sf_dir).select("doc_id", raw.alias("raw"))
+    return normalize_text(docs, "raw").select("doc_id", "text_norm")
+
+
 def _q_length_histogram(spark, sf_dir):
     b = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("long")
     return (_docs(spark, sf_dir).select(b.alias("bucket"))
@@ -2359,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rollup": _q_host_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_contamination": _q_docs_contamination,
+        "docs_snapshot_delta": _q_docs_snapshot_delta,
+        "docs_normalize": _q_docs_normalize,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -3041,6 +3072,28 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
             "AS n_hit FROM d LEFT JOIN b ON d.g = b.g "
             "GROUP BY d.doc_id"),
+        "docs_snapshot_delta": (
+            "WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(text), "
+            "'\\s+', ' ', 'g')) AS fp_md5 FROM documents), "
+            "fresh AS (SELECT * FROM fp WHERE fp_md5 NOT IN "
+            "(SELECT fp_md5 FROM fp WHERE doc_id % 2 = 0)) "
+            "SELECT doc_id, fp_md5 FROM (SELECT doc_id, fp_md5, "
+            "row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) "
+            "AS rn FROM fresh) WHERE rn = 1"),
+        "docs_normalize": (
+            "SELECT doc_id, regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(nfc_normalize("
+            "'  Heading e' || chr(769) || chr(13) || chr(10) || "
+            "chr(13) || chr(10) || chr(13) || chr(10) || chr(9) || "
+            "'body:' || chr(7) || ' ' || text || ' ' || chr(13) || "
+            "chr(10) || ' tail  '), "
+            r"'\r\n?', chr(10), 'g'), "
+            r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), "
+            r"'[ \t]+', ' ', 'g'), "
+            r"' ?\n ?', chr(10), 'g'), "
+            r"'\n{3,}', chr(10) || chr(10), 'g'), "
+            r"'^\s+|\s+$', '', 'g') AS text_norm FROM documents"),
         "length_histogram": (
             "SELECT CAST(least(floor(n_chars / 100.0), 9) AS BIGINT) AS "
             "bucket, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1"),

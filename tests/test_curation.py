@@ -11,10 +11,12 @@ import pytest
 
 from tika_spark.analysis.curation import (canonical_url,
                                           contamination_check,
-                                          host_rollup,
+                                          host_rollup, normalize_text,
                                           paragraph_dedup, pii_scrub,
                                           repetition_features,
+                                          snapshot_delta_dedup,
                                           url_host)
+from tika_spark.analysis.textstats import fingerprint
 
 
 @pytest.fixture()
@@ -147,3 +149,51 @@ class TestContamination:
             .queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" \
             in plan
+
+
+class TestSnapshotDelta:
+    def test_delta_semantics(self, spark):
+        old = spark.createDataFrame(
+            [(0, "seen before"), (2, "also seen")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, "seen before"),      # dup of prior corpus -> dropped
+             (11, "brand new"),
+             (12, "brand new"),        # in-snapshot dup -> lowest id wins
+             (13, "another fresh")],
+            "doc_id long, text string")
+        seen = fingerprint(old).select("fp_64", "fp_md5")
+        got = sorted(r["doc_id"] for r in
+                     snapshot_delta_dedup(new, seen).collect())
+        assert got == [11, 13]
+
+    def test_join_carries_fingerprints_only(self, spark):
+        old = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "b")], "doc_id long, text string")
+        seen = fingerprint(old).select("fp_64", "fp_md5")
+        plan = snapshot_delta_dedup(new, seen)._jdf \
+            .queryExecution().executedPlan().toString()
+        # the anti-join is on fingerprint columns, never the text
+        assert "LeftAnti" in plan
+
+
+class TestNormalizeText:
+    def test_normalization_chain(self, spark):
+        df = spark.createDataFrame(
+            [(0, "  Héllo\r\n\r\n\r\n\r\nwor\x07ld\t\tnow  "),
+             (1, None),
+             (2, "plain ascii text")],
+            "doc_id long, text string")
+        r = {x["doc_id"]: x["text_norm"]
+             for x in normalize_text(df).collect()}
+        # NFD e+acute composes to é; CRLF runs collapse to one blank
+        # line; BEL stripped; tab run -> one space; outer trim
+        assert r[0] == "Héllo\n\nwor ld now".replace("wor ld",
+                                                          "world")
+        assert r[1] is None
+        assert r[2] == "plain ascii text"
+
+    def test_spaces_around_newlines(self, spark):
+        df = spark.createDataFrame([(0, "a \n b\n  c")],
+                                   "doc_id long, text string")
+        assert normalize_text(df).first()["text_norm"] == "a\nb\nc"

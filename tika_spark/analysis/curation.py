@@ -21,14 +21,19 @@ Scale notes (100 TB):
   side is a map-only semi-join probe.
 - ``canonical_url`` / ``pii_scrub`` are regexp projections (per-row,
   codegen'd, shuffle-free).
+- ``snapshot_delta_dedup`` joins fingerprints only (8/16-byte keys) —
+  the recurring-crawl path that never re-reads old text.
+- ``normalize_text`` is a regexp chain with a single Arrow-batch NFC
+  hop gated behind an ASCII fast-path.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
-from tika_spark.analysis.textstats import tokens, word_shingles
+from tika_spark.analysis.textstats import fingerprint, tokens, word_shingles
 
 # ----------------------------------------------------- repetition --
 
@@ -217,6 +222,85 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("text_scrubbed", F.regexp_replace(
                 F.regexp_replace(text, _EMAIL, "<EMAIL>"),
                 _IPV4, "<IP>")))
+
+
+# -------------------------------------- incremental snapshot dedup --
+
+
+def snapshot_delta_dedup(new_df: DataFrame, seen: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Incremental crawl-snapshot dedup: which documents of snapshot
+    N+1 are genuinely new against the accumulated corpus.
+
+    ``seen`` is the prior corpus's fingerprint index — one row per
+    already-kept document carrying (fp_64, fp_md5) as produced by
+    :func:`tika_spark.analysis.textstats.fingerprint`. This is how a
+    recurring crawl dedups without ever re-scanning old text: the
+    index is ~24 bytes/doc (16 TB at 10^12 docs, vs the 100 TB+
+    corpus), stored bucketed by fp_64 so the anti-join needs no
+    index-side shuffle. Two passes, both on fingerprint keys only:
+
+    1. drop snapshot rows whose fingerprint already exists in ``seen``
+       (left_anti join — no text ever shuffles),
+    2. exact-dedup within the snapshot itself (lowest id wins, same
+       window as :func:`tika_spark.analysis.dedup.exact_dedup`).
+
+    Emits (id, fp_md5, fp_64) for the survivors — exactly the rows to
+    append to the index before snapshot N+2.
+    """
+    fp = fingerprint(new_df.select(id_col, text_col), text_col)
+    fresh = fp.join(seen.select("fp_64", "fp_md5"),
+                    ["fp_64", "fp_md5"], "left_anti")
+    w = Window.partitionBy("fp_64", "fp_md5").orderBy(F.asc(id_col))
+    return (fresh.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .select(id_col, "fp_md5", "fp_64"))
+
+
+# ------------------------------------------- text normalization --
+
+# C0 controls except TAB/LF, plus DEL — removed outright
+_CTRL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode + whitespace normalization — the pre-tokenization
+    cleanup pass between extraction and dedup/tokenize (composed
+    NFC so 'e'+COMBINING ACUTE and 'é' fingerprint identically):
+
+    - NFC composition,
+    - CRLF / CR → LF,
+    - C0 control chars (except TAB and LF) and DEL removed,
+    - TAB and space runs → a single space,
+    - spaces trimmed around newlines,
+    - 3+ consecutive newlines → 2 (one blank line),
+    - leading/trailing whitespace trimmed.
+
+    Emits ``text_norm`` alongside the input columns.
+
+    Scale: everything except NFC is a codegen'd regexp chain. NFC
+    needs Python (no JVM-side normalizer in Spark SQL), but runs as a
+    vectorized Arrow batch UDF behind an ASCII ``rlike`` fast-path —
+    NFC is the identity on ASCII, so the overwhelmingly-ASCII web
+    corpus never leaves the JVM and only genuinely non-ASCII rows pay
+    the Python hop.
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    text = F.col(text_col)
+    t = F.when(text.rlike("^[\\x00-\\x7f]*$"), text).otherwise(_nfc(text))
+    t = F.regexp_replace(t, "\r\n?", "\n")
+    t = F.regexp_replace(t, _CTRL, "")
+    t = F.regexp_replace(t, "[ \t]+", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    t = F.regexp_replace(t, "\n{3,}", "\n\n")
+    t = F.regexp_replace(t, "^\\s+|\\s+$", "")
+    return df.withColumn("text_norm", t)
 
 
 # ------------------------------------------- contamination checks --
