@@ -21,7 +21,9 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 92 queries / 90 oracle rows (ann_pq_recall —
+Late round 2 pushed to 93 queries / 91 oracle rows (extract_warc_pages
+— raw Common-Crawl .warc.gz built and stream-parsed distributed, then
+through the full extraction chain; ann_pq_recall —
 product-quantization ADC shortlist + exact re-rank — joining the
 checkable ANN forms; Visio/Publisher text chains; and the
 eight-query curation pack — repetition, paragraph dedup, URL
@@ -2148,6 +2150,49 @@ def _q_docs_contamination(spark, sf_dir):
         "doc_id", "n_grams", "n_hit")
 
 
+def _q_extract_warc_pages(spark, sf_dir):
+    """End-to-end Common-Crawl shape: documents wrapped into
+    multi-record .warc.gz blobs (one gzip member per response record,
+    the CC framing), stream-parsed back into pages by the
+    sources.warc reader, then through the full extraction chain. Each
+    Arrow batch becomes one multi-record archive, so member chaining
+    and the HTTP-envelope strip are both exercised distributed."""
+    from pyspark.sql.types import BinaryType
+    from tika_spark.sources.warc import warc_pages
+
+    def build(batches):
+        from tika_spark.fixtures import warcgen
+        for pdf in batches:
+            recs = [(f"doc://{i}", "2026-01-17T08:30:00Z",
+                     ("<html><head><meta charset=\"utf-8\"/>"
+                      f"<title>Doc {i}</title></head><body><p>{t}"
+                      "</p></body></html>").encode("utf-8"))
+                    for i, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame({"blob": [warcgen.warc_gz(recs)]})
+
+    blobs = (_docs(spark, sf_dir).select("doc_id", "text")
+             .mapInPandas(build, "blob binary"))
+
+    def parse(batches):
+        for pdf in batches:
+            rows = [(p["url"], p["warc_date"], p["html"])
+                    for b in pdf["blob"]
+                    for p in warc_pages(bytes(b))
+                    if p["status"] == "ok"]
+            out = pd.DataFrame(rows,
+                               columns=["url", "warc_date", "html"])
+            out["warc_ts"] = pd.to_datetime(
+                out["warc_date"], format="ISO8601", utc=True
+            ).dt.tz_localize(None)
+            yield out[["url", "warc_ts", "html"]]
+    pages = blobs.mapInPandas(
+        parse, "url string, warc_ts timestamp, html binary")
+    # warc_ts rides through the extraction stage (no rejoin — the
+    # parse stage runs once)
+    return (extract(pages, mode="text")
+            .select("url", "warc_ts", "title", "text"))
+
+
 def _q_docs_snapshot_delta(spark, sf_dir):
     """Incremental crawl-snapshot dedup: even-id docs play the prior
     corpus (fingerprint index only — 8/16-byte keys, no old text is
@@ -2390,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _q_docs_contamination,
         "docs_snapshot_delta": _q_docs_snapshot_delta,
         "docs_normalize": _q_docs_normalize,
+        "extract_warc_pages": _q_extract_warc_pages,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -3072,6 +3118,11 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
             "AS n_hit FROM d LEFT JOIN b ON d.g = b.g "
             "GROUP BY d.doc_id"),
+        "extract_warc_pages": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "TIMESTAMP '2026-01-17 08:30:00' AS warc_ts, "
+            "'Doc ' || doc_id AS title, "
+            "text || chr(10) AS text FROM documents"),
         "docs_snapshot_delta": (
             "WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(text), "
             "'\\s+', ' ', 'g')) AS fp_md5 FROM documents), "

@@ -1,0 +1,84 @@
+"""WARC ingestion: gzip-member framing, record grammar, HTTP envelope
+strip, fault isolation, and the binaryFile → mapInPandas reader."""
+
+import gzip
+
+from tika_spark.fixtures import warcgen
+from tika_spark.sources import warc
+
+
+def _gz(records):
+    return warcgen.warc_gz(records)
+
+
+class TestWarcParse:
+    def test_roundtrip_multi_member(self):
+        blob = _gz([("http://a.example/1", "2026-01-17T08:30:00Z",
+                     b"<html>one</html>"),
+                    ("http://a.example/2", "2026-01-17T08:30:01Z",
+                     b"<html>two</html>")])
+        pages = list(warc.warc_pages(blob))
+        assert [p["url"] for p in pages] == ["http://a.example/1",
+                                             "http://a.example/2"]
+        assert pages[0]["html"] == b"<html>one</html>"
+        assert pages[1]["warc_date"] == "2026-01-17T08:30:01Z"
+        assert all(p["status"] == "ok" for p in pages)
+
+    def test_non_response_records_skipped(self):
+        blob = (warcgen.gzip_member(warcgen.warc_record(
+                    "urn:x", "2026-01-01T00:00:00Z", b"crawlinfo",
+                    rec_type="warcinfo"))
+                + warcgen.gzip_member(warcgen.warc_record(
+                    "http://b/", "2026-01-01T00:00:00Z", b"GET / HTTP",
+                    rec_type="request"))
+                + warcgen.gzip_member(warcgen.warc_record(
+                    "http://b/", "2026-01-01T00:00:00Z", b"<p>hi</p>")))
+        pages = list(warc.warc_pages(blob))
+        assert len(pages) == 1
+        assert pages[0]["html"] == b"<p>hi</p>"
+
+    def test_malformed_member_isolated(self):
+        good = warcgen.gzip_member(warcgen.warc_record(
+            "http://ok/", "2026-01-01T00:00:00Z", b"<p>ok</p>"))
+        junk = gzip.compress(b"NOT A WARC RECORD")
+        pages = list(warc.warc_pages(junk + good))
+        assert pages[0]["status"] == "warc_malformed_member"
+        assert pages[1]["url"] == "http://ok/"
+        assert pages[1]["status"] == "ok"
+
+    def test_truncated_trailing_member_dropped(self):
+        good = warcgen.gzip_member(warcgen.warc_record(
+            "http://ok/", "2026-01-01T00:00:00Z", b"<p>ok</p>"))
+        blob = good + good[: len(good) // 2]
+        pages = list(warc.warc_pages(blob))
+        assert len(pages) == 1 and pages[0]["status"] == "ok"
+
+    def test_binary_body_passthrough(self):
+        payload = bytes(range(256))
+        blob = _gz([("http://img/", "2026-01-01T00:00:00Z", payload)])
+        (page,) = warc.warc_pages(blob)
+        assert page["html"] == payload
+
+    def test_http_envelope_required_for_strip(self):
+        # a content block that isn't HTTP comes back whole
+        assert warc.http_body(b"plain bytes") == b"plain bytes"
+        assert warc.http_body(
+            b"HTTP/1.1 200 OK\r\nX: y\r\n\r\nBODY") == b"BODY"
+
+
+class TestReadWarc:
+    def test_read_warc_files(self, spark, tmp_path):
+        for i in range(3):
+            records = [(f"http://f{i}.example/p{j}",
+                        f"2026-01-17T08:30:0{j}Z",
+                        f"<html>doc {i}-{j}</html>".encode())
+                       for j in range(4)]
+            (tmp_path / f"part-{i}.warc.gz").write_bytes(_gz(records))
+        df = warc.read_warc(spark, str(tmp_path / "*.warc.gz"))
+        rows = df.collect()
+        assert len(rows) == 12
+        assert all(r["status"] == "ok" for r in rows)
+        by_url = {r["url"]: r for r in rows}
+        r = by_url["http://f1.example/p2"]
+        assert bytes(r["html"]) == b"<html>doc 1-2</html>"
+        assert r["warc_ts"].isoformat() == "2026-01-17T08:30:02"

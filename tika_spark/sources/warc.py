@@ -1,0 +1,143 @@
+"""WARC ingestion — the Common-Crawl entry format, as a Spark source.
+
+This is the step upstream of everything else in this repo: turning raw
+crawl archives into the ``(url, warc_ts, html)`` pages table the
+extraction job consumes. The reference ingests per-stream (its
+``Fetcher`` SPI hands each captured stream to ``AutoDetectParser``);
+here the whole crawl is one DataFrame job:
+
+    pages = read_warc(spark, "s3://crawl/segments/*.warc.gz")
+    out   = tika_spark.extract(pages, mode="text-main")
+
+Format notes (WARC 1.0 / ISO 28500, Common-Crawl layout): a
+``.warc.gz`` is a concatenation of independently-gzipped members, one
+record per member. A record is ``WARC/1.0 CRLF`` + headers + CRLFCRLF
++ ``Content-Length`` bytes of content + CRLFCRLF. ``response``
+records hold an HTTP/1.1 envelope; the page body follows the HTTP
+headers' first CRLFCRLF.
+
+Scale (100 TB): one CC crawl is ~90k files x ~1 GB — file-granular
+parallelism is ample, so ingest is ``binaryFile`` scan →
+``mapInPandas`` over whole files. Each file is decompressed
+member-by-member in a single streaming pass (``zlib`` with
+``unused_data`` chaining — bounded by one record in memory, never the
+inflated file). Malformed members/records become ``status`` rows
+instead of poisoning the file (H1 fault isolation, same philosophy as
+the extraction stages). The emitted binary column feeds the job's
+size-bucketed write directly, so page bytes shuffle zero times
+between the archive and the parser.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = ("url string, warc_date string, warc_ts timestamp, "
+                "html binary, status string")
+
+_MAX_HEADER = 64 * 1024  # bound a malformed record's header scan
+
+
+def iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members one member at a
+    time (the CC per-record framing). Stops at the first undecodable
+    byte run — everything before it is still yielded."""
+    pos = 0
+    while pos < len(data):
+        dec = zlib.decompressobj(wbits=31)
+        try:
+            chunk = dec.decompress(data[pos:])
+        except zlib.error:
+            return
+        if not dec.eof:          # truncated trailing member
+            return
+        yield chunk
+        consumed = len(data) - pos - len(dec.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def parse_record(raw: bytes) -> dict | None:
+    """One plain WARC record → {type, url, date, body} (content block
+    only, HTTP envelope not yet stripped). None if the member is not
+    a WARC record."""
+    if not raw.startswith(b"WARC/"):
+        return None
+    head_end = raw.find(b"\r\n\r\n", 0, _MAX_HEADER)
+    if head_end < 0:
+        return None
+    headers: dict[str, str] = {}
+    for line in raw[:head_end].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        if _:
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        length = len(raw) - head_end - 4  # tolerate: member-framed anyway
+    body = raw[head_end + 4:head_end + 4 + length]
+    return {"type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "content_type": headers.get("content-type", ""),
+            "body": body}
+
+
+def http_body(content: bytes) -> bytes:
+    """Strip the HTTP/1.1 envelope of a response record's content
+    block (body starts after the first CRLFCRLF; a content block that
+    does not look like HTTP is returned whole)."""
+    if not content.startswith(b"HTTP/"):
+        return content
+    sep = content.find(b"\r\n\r\n", 0, _MAX_HEADER)
+    return content if sep < 0 else content[sep + 4:]
+
+
+def warc_pages(data: bytes) -> Iterator[dict]:
+    """All response-record pages of one ``.warc.gz`` blob. Non-response
+    records (warcinfo, request, metadata) are skipped silently — they
+    are expected structure, not faults; members that fail to parse as
+    WARC yield a status row."""
+    for member in iter_gzip_members(data):
+        rec = parse_record(member)
+        if rec is None:
+            yield {"url": "", "warc_date": "", "html": None,
+                   "status": "warc_malformed_member"}
+            continue
+        if rec["type"] != "response":
+            continue
+        yield {"url": rec["url"], "warc_date": rec["date"],
+               "html": http_body(rec["body"]), "status": "ok"}
+
+
+def _blobs_to_pages(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            rows.extend(warc_pages(bytes(blob or b"")))
+        out = pd.DataFrame(
+            rows, columns=["url", "warc_date", "html", "status"])
+        out["warc_ts"] = pd.to_datetime(
+            out["warc_date"], format="ISO8601", errors="coerce", utc=True
+        ).dt.tz_localize(None)
+        yield out[["url", "warc_date", "warc_ts", "html", "status"]]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """``.warc.gz`` files → pages DataFrame
+    ``(url, warc_date, warc_ts, html, status)``.
+
+    ``binaryFile`` gives one row per file; parallelism = file count
+    (ample for CC's ~90k files/crawl). The per-file parse streams
+    gzip members, so peak memory is one record, not one file.
+    """
+    blobs = (spark.read.format("binaryFile").load(path)
+             .select("content"))
+    return blobs.mapInPandas(_blobs_to_pages, PAGES_SCHEMA)
