@@ -82,3 +82,24 @@ class TestReadWarc:
         r = by_url["http://f1.example/p2"]
         assert bytes(r["html"]) == b"<html>doc 1-2</html>"
         assert r["warc_ts"].isoformat() == "2026-01-17T08:30:02"
+
+    def test_stream_warc_available_now(self, spark, tmp_path):
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        for i in range(2):
+            (drop / f"crawl-{i}.warc.gz").write_bytes(_gz(
+                [(f"http://s{i}.example/", "2026-01-17T09:00:00Z",
+                  f"<p>stream {i}</p>".encode())]))
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        q = (warc.stream_warc(spark, str(drop), max_files_per_trigger=1)
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ck))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(str(out)).collect()
+        assert sorted(r["url"] for r in rows) == [
+            "http://s0.example/", "http://s1.example/"]
+        assert all(bytes(r["html"]).startswith(b"<p>stream")
+                   for r in rows)

@@ -141,3 +141,26 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     blobs = (spark.read.format("binaryFile").load(path)
              .select("content"))
     return blobs.mapInPandas(_blobs_to_pages, PAGES_SCHEMA)
+
+
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def stream_warc(spark: SparkSession, path: str,
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming variant of :func:`read_warc` for a live crawl drop
+    directory: each newly-arrived ``.warc.gz`` becomes pages rows on
+    the next trigger. Compose with ``writeStream`` (or
+    ``streaming.ingest`` for the exactly-once foreachBatch extract).
+
+    ``max_files_per_trigger`` bounds per-batch work (1 GB files →
+    keep it near the executor count so a trigger is one wave).
+    """
+    reader = spark.readStream.format("binaryFile") \
+        .schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    blobs = reader.load(path).select("content")
+    return blobs.mapInPandas(_blobs_to_pages, PAGES_SCHEMA)
