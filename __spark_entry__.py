@@ -21,8 +21,9 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 93 queries / 91 oracle rows (extract_warc_pages
-— raw Common-Crawl .warc.gz built and stream-parsed distributed, then
+Late round 2 pushed to 94 queries / 92 oracle rows
+(extract_warc_pages + export_wet_roundtrip — raw Common-Crawl
+.warc.gz/.wet.gz built and stream-parsed distributed, the WARC side
 through the full extraction chain; ann_pq_recall —
 product-quantization ADC shortlist + exact re-rank — joining the
 checkable ANN forms; Visio/Publisher text chains; and the
@@ -2193,6 +2194,25 @@ def _q_extract_warc_pages(spark, sf_dir):
             .select("url", "warc_ts", "title", "text"))
 
 
+def _q_export_wet_roundtrip(spark, sf_dir):
+    """CC-shaped text egress: documents → WET blobs (WARC conversion
+    records, one gzip member each, one blob per Arrow batch) →
+    stream-parsed back. Pins that the sink's records carry the exact
+    text and that member framing survives multi-doc batches."""
+    from tika_spark.sources.warc import to_wet, wet_texts
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    blobs = to_wet(docs)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = [(p["url"], p["text"])
+                    for b in pdf["blob"] for p in wet_texts(bytes(b))
+                    if p["status"] == "ok"]
+            yield pd.DataFrame(rows, columns=["url", "text"])
+    return blobs.mapInPandas(parse, "url string, text string")
+
+
 def _q_docs_snapshot_delta(spark, sf_dir):
     """Incremental crawl-snapshot dedup: even-id docs play the prior
     corpus (fingerprint index only — 8/16-byte keys, no old text is
@@ -2436,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_snapshot_delta": _q_docs_snapshot_delta,
         "docs_normalize": _q_docs_normalize,
         "extract_warc_pages": _q_extract_warc_pages,
+        "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -3118,6 +3139,8 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
             "AS n_hit FROM d LEFT JOIN b ON d.g = b.g "
             "GROUP BY d.doc_id"),
+        "export_wet_roundtrip": (
+            "SELECT 'doc://' || doc_id AS url, text FROM documents"),
         "extract_warc_pages": (
             "SELECT 'doc://' || doc_id AS url, "
             "TIMESTAMP '2026-01-17 08:30:00' AS warc_ts, "

@@ -103,3 +103,28 @@ class TestReadWarc:
             "http://s0.example/", "http://s1.example/"]
         assert all(bytes(r["html"]).startswith(b"<p>stream")
                    for r in rows)
+
+
+class TestWet:
+    def test_wet_roundtrip_distributed(self, spark):
+        df = spark.createDataFrame(
+            [(f"doc://{i}", f"text {i} é") for i in range(40)],
+            "url string, text string").repartition(4)
+        blobs = warc.to_wet(df).collect()
+        assert 1 <= len(blobs) <= 4
+        rows = [r for b in blobs for r in warc.wet_texts(bytes(b["blob"]))]
+        assert sorted(r["url"] for r in rows) == sorted(
+            f"doc://{i}" for i in range(40))
+        by_url = {r["url"]: r["text"] for r in rows}
+        assert by_url["doc://7"] == "text 7 é"
+
+    def test_wet_records_are_conversion_type(self):
+        blob = b"".join(warc.gzip_member(warc.build_record(
+            "doc://0", "1970-01-01T00:00:00Z", b"hello",
+            rec_type="conversion")) for _ in range(1))
+        (member,) = warc.iter_gzip_members(blob)
+        rec = warc.parse_record(member)
+        assert rec["type"] == "conversion"
+        assert rec["content_type"] == "text/plain"
+        # response parser skips conversion records
+        assert list(warc.warc_pages(blob)) == []

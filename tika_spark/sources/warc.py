@@ -34,12 +34,63 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_SCHEMA = ("url string, warc_date string, warc_ts timestamp, "
                 "html binary, status string")
 
 _MAX_HEADER = 64 * 1024  # bound a malformed record's header scan
+_CRLF = b"\r\n"
+
+
+# ------------------------------------------------- record builders --
+# (shared by the WET sink below and the fixtures.warcgen builder)
+
+
+def build_record(url: str, date_iso: str, payload: bytes,
+                 rec_type: str = "response",
+                 http_content_type: str = "text/html; charset=utf-8",
+                 record_id: str | None = None) -> bytes:
+    """One plain (uncompressed) WARC record per the ISO 28500 grammar.
+
+    ``response`` records wrap the payload in an HTTP/1.1 envelope like
+    a crawl capture; ``conversion`` records (the WET layout) carry
+    text/plain bare; anything else carries the payload bare as
+    octet-stream. Ends with the grammar's CRLFCRLF separator.
+    """
+    if rec_type == "response":
+        body = (b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: " + http_content_type.encode("ascii")
+                + _CRLF
+                + b"Content-Length: " + str(len(payload)).encode("ascii")
+                + _CRLF + _CRLF + payload)
+        content_type = b"application/http; msgtype=response"
+    else:
+        body = payload
+        content_type = (b"text/plain" if rec_type == "conversion"
+                        else b"application/octet-stream")
+    rid = record_id or f"<urn:uuid:{abs(hash(url)) % 10**12:012d}>"
+    head = (b"WARC/1.0" + _CRLF
+            + b"WARC-Type: " + rec_type.encode("ascii") + _CRLF
+            + b"WARC-Record-ID: " + rid.encode("ascii") + _CRLF
+            + b"WARC-Date: " + date_iso.encode("ascii") + _CRLF
+            + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+            + b"Content-Type: " + content_type + _CRLF
+            + b"Content-Length: " + str(len(body)).encode("ascii")
+            + _CRLF + _CRLF)
+    return head + body + _CRLF + _CRLF
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record, one gzip member, mtime pinned so identical inputs
+    are byte-identical archives."""
+    import gzip
+    import io
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
 
 
 def iter_gzip_members(data: bytes) -> Iterator[bytes]:
@@ -128,6 +179,46 @@ def _blobs_to_pages(batches: Iterator[pd.DataFrame]
             out["warc_date"], format="ISO8601", errors="coerce", utc=True
         ).dt.tz_localize(None)
         yield out[["url", "warc_date", "warc_ts", "html", "status"]]
+
+
+def to_wet(df: DataFrame, url_col: str = "url",
+           text_col: str = "text",
+           date_iso: str = "1970-01-01T00:00:00Z") -> DataFrame:
+    """Extraction output → WET blobs (the Common-Crawl extracted-text
+    egress: WARC ``conversion`` records, UTF-8 text/plain, one gzip
+    member per record). One blob per Arrow batch, so a downstream
+    binary-file sink writes CC-shaped ``.warc.wet.gz`` shards whose
+    size follows the batch size — no driver collect, no reshuffle of
+    the text column beyond what the caller already arranged."""
+    cols = df.select(F.col(url_col).alias("u"),
+                     F.col(text_col).alias("t"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blob = b"".join(
+                gzip_member(build_record(
+                    u or "", date_iso, (t or "").encode("utf-8"),
+                    rec_type="conversion"))
+                for u, t in zip(pdf["u"], pdf["t"]))
+            yield pd.DataFrame({"blob": [blob]})
+
+    return cols.mapInPandas(build, "blob binary")
+
+
+def wet_texts(data: bytes) -> Iterator[dict]:
+    """Parse a WET blob back into ``{url, warc_date, text, status}``
+    rows (conversion records; UTF-8 with replacement on decode)."""
+    for member in iter_gzip_members(data):
+        rec = parse_record(member)
+        if rec is None:
+            yield {"url": "", "warc_date": "", "text": "",
+                   "status": "warc_malformed_member"}
+            continue
+        if rec["type"] != "conversion":
+            continue
+        yield {"url": rec["url"], "warc_date": rec["date"],
+               "text": rec["body"].decode("utf-8", "replace"),
+               "status": "ok"}
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
