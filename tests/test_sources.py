@@ -59,6 +59,15 @@ class TestWarcParse:
         (page,) = warc.warc_pages(blob)
         assert page["html"] == payload
 
+    def test_declared_type_lifted_from_http(self):
+        blob = warcgen.gzip_member(warcgen.warc_record(
+            "http://x/", "2026-01-01T00:00:00Z", b"%PDF-1.4 data",
+            http_content_type="application/pdf"))
+        (page,) = warc.warc_pages(blob)
+        # the server's Content-Type rides along as the detection hint
+        assert page["declared_type"] == "application/pdf"
+        assert page["html"] == b"%PDF-1.4 data"
+
     def test_http_envelope_required_for_strip(self):
         # a content block that isn't HTTP comes back whole
         assert warc.http_body(b"plain bytes") == b"plain bytes"

@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_SCHEMA = ("url string, warc_date string, warc_ts timestamp, "
-                "html binary, status string")
+                "html binary, declared_type string, status string")
 
 _MAX_HEADER = 64 * 1024  # bound a malformed record's header scan
 _CRLF = b"\r\n"
@@ -144,10 +144,27 @@ def http_body(content: bytes) -> bytes:
     """Strip the HTTP/1.1 envelope of a response record's content
     block (body starts after the first CRLFCRLF; a content block that
     does not look like HTTP is returned whole)."""
+    return http_parts(content)[1]
+
+
+def http_parts(content: bytes) -> tuple[str | None, bytes]:
+    """(content_type, body) of an HTTP/1.1 response block. The
+    Content-Type header is the crawl server's declared type — the
+    same detection *hint* the reference lifts into Metadata
+    (``TikaInputStream``/HttpHeaders); it seeds, never overrides, the
+    magic-byte detector downstream."""
     if not content.startswith(b"HTTP/"):
-        return content
+        return None, content
     sep = content.find(b"\r\n\r\n", 0, _MAX_HEADER)
-    return content if sep < 0 else content[sep + 4:]
+    if sep < 0:
+        return None, content
+    ctype = None
+    for line in content[:sep].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        if _ and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+            break
+    return ctype, content[sep + 4:]
 
 
 def warc_pages(data: bytes) -> Iterator[dict]:
@@ -159,12 +176,14 @@ def warc_pages(data: bytes) -> Iterator[dict]:
         rec = parse_record(member)
         if rec is None:
             yield {"url": "", "warc_date": "", "html": None,
+                   "declared_type": None,
                    "status": "warc_malformed_member"}
             continue
         if rec["type"] != "response":
             continue
+        ctype, body = http_parts(rec["body"])
         yield {"url": rec["url"], "warc_date": rec["date"],
-               "html": http_body(rec["body"]), "status": "ok"}
+               "html": body, "declared_type": ctype, "status": "ok"}
 
 
 def _blobs_to_pages(batches: Iterator[pd.DataFrame]
@@ -174,11 +193,13 @@ def _blobs_to_pages(batches: Iterator[pd.DataFrame]
         for blob in pdf["content"]:
             rows.extend(warc_pages(bytes(blob or b"")))
         out = pd.DataFrame(
-            rows, columns=["url", "warc_date", "html", "status"])
+            rows, columns=["url", "warc_date", "html",
+                           "declared_type", "status"])
         out["warc_ts"] = pd.to_datetime(
             out["warc_date"], format="ISO8601", errors="coerce", utc=True
         ).dt.tz_localize(None)
-        yield out[["url", "warc_date", "warc_ts", "html", "status"]]
+        yield out[["url", "warc_date", "warc_ts", "html",
+                   "declared_type", "status"]]
 
 
 def to_wet(df: DataFrame, url_col: str = "url",
