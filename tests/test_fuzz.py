@@ -90,3 +90,27 @@ def test_mime_aware_extractors_never_raise(payload):
 def test_detect_never_raises(payload, url):
     mime = detect(payload, url)
     assert isinstance(mime, str) and "/" in mime
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=_payloads)
+def test_warc_parsers_never_raise(payload):
+    # the ingest layer honors the same fault-isolation contract as
+    # the extractors: arbitrary bytes yield rows (possibly status
+    # rows), never an exception that could kill a file's partition
+    from tika_spark.sources.warc import warc_pages, wet_texts
+    for row in warc_pages(payload):
+        assert row["status"]
+    for row in wet_texts(payload):
+        assert row["status"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.binary(max_size=200))
+def test_warc_gzip_prefixed_junk(junk):
+    # a valid gzip member holding junk, then trailing garbage
+    import gzip as _gzip
+    from tika_spark.sources.warc import warc_pages
+    blob = _gzip.compress(b"WARC/1.0\r\n" + junk) + junk
+    for row in warc_pages(blob):
+        assert "status" in row
