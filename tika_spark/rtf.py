@@ -121,10 +121,15 @@ def extract_rtf(data: bytes, url: str | None = None,
             pending.clear()
             emit(s)
 
+    # flushing is LAZY: pending bytes ride across group pushes and
+    # formatting-only control words (\b, \fs24, \pard — the vast
+    # majority) and decode in one run at the next point where order
+    # or state actually matters: an emit, a charset/destination
+    # change, or a group pop (which restores charset). This coalesces
+    # the per-run decodes the eager scheme did per control word.
     while i < n:
         b = data[i]
         if b == 0x7B:  # {
-            flush()
             stack.append(st)
             st = _Group(st.charset, st.uc_skip, st.ignorable, st.dest)
             i += 1
@@ -162,6 +167,7 @@ def extract_rtf(data: bytes, url: str | None = None,
                 emit(_SYMBOLS[chr(nxt)])
                 i += 2
             elif nxt == 0x2A:  # \* ignorable destination
+                flush()
                 st.ignorable = True
                 i += 2
             else:
@@ -172,37 +178,45 @@ def extract_rtf(data: bytes, url: str | None = None,
                 word = m.group(1).decode("ascii")
                 param = int(m.group(2)) if m.group(2) else None
                 i = m.end()
-                flush()
                 if word in ("par", "line", "row", "sect", "page"):
+                    flush()
                     emit("\n")
                 elif word == "tab" or word == "cell":
+                    flush()
                     emit("\t")
                 elif word in _SYMBOLS:
+                    flush()
                     emit(_SYMBOLS[word])
                 elif word == "u" and param is not None:
+                    flush()
                     # the uc-skip applies only to the *replacement*
                     # text after \uN, never to the \uN char itself
                     unicode_skip = 0
                     sink(chr(param if param >= 0 else param + 65536))
                     unicode_skip = st.uc_skip
                 elif word == "uc" and param is not None:
+                    flush()
                     st.uc_skip = param
                 elif word == "ansicpg" and param:
                     import codecs
+                    flush()
                     try:
                         codecs.lookup(f"cp{param}")
                         st.charset = f"cp{param}"
                     except LookupError:
                         pass
                 elif word == "f" and param is not None:
+                    flush()
                     cur_font = param
                     if st.dest != "fonttbl" and param in fonts:
                         st.charset = fonts[param]
                 elif word == "fcharset" and param is not None:
+                    flush()
                     cs = _CHARSET_BY_FCHARSET.get(param)
                     if cs:
                         fonts[cur_font] = cs
                 elif word in _IGNORE_DESTS or word == "fldinst":
+                    flush()
                     st.ignorable = True
                     st.dest = word
                     if word == "fldinst":
@@ -210,12 +224,15 @@ def extract_rtf(data: bytes, url: str | None = None,
                         st.dest = "fldinst"
                 elif word in ("title", "author", "subject", "keywords",
                               "doccomm"):
+                    flush()
                     st.dest = word
                     st.ignorable = True
                     info_buf = []
                 elif word == "info":
+                    flush()
                     st.dest = "info"
                 elif word == "bin" and param:
+                    flush()
                     i += param  # raw bytes, skip
         elif b in (0x0D, 0x0A):
             i += 1  # raw CR/LF in RTF source is not content
