@@ -21,8 +21,9 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 94 queries / 92 oracle rows
-(extract_warc_pages + export_wet_roundtrip — raw Common-Crawl
+Late round 2 pushed to 95 queries / 93 oracle rows
+(docs_dsir — DSIR-style hashed-ngram importance reweighting;
+extract_warc_pages + export_wet_roundtrip — raw Common-Crawl
 .warc.gz/.wet.gz built and stream-parsed distributed, the WARC side
 through the full extraction chain; ann_pq_recall —
 product-quantization ADC shortlist + exact re-rank — joining the
@@ -2194,6 +2195,18 @@ def _q_extract_warc_pages(spark, sf_dir):
             .select("url", "warc_ts", "title", "text"))
 
 
+def _q_docs_dsir(spark, sf_dir):
+    """DSIR-style importance reweighting: doc_id%10==0 docs play the
+    target distribution, the rest are the raw pool scored by hashed
+    unigram+bigram log-probability ratios (md5-bucket hashing shared
+    verbatim with the oracle; scores in exact micro-units)."""
+    from tika_spark.analysis.curation import dsir_scores
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    return dsir_scores(raw, target).select("doc_id", "dsir_micro")
+
+
 def _q_export_wet_roundtrip(spark, sf_dir):
     """CC-shaped text egress: documents → WET blobs (WARC conversion
     records, one gzip member each, one blob per Arrow batch) →
@@ -2455,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _q_docs_contamination,
         "docs_snapshot_delta": _q_docs_snapshot_delta,
         "docs_normalize": _q_docs_normalize,
+        "docs_dsir": _q_docs_dsir,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3139,6 +3153,27 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
             "AS n_hit FROM d LEFT JOIN b ON d.g = b.g "
             "GROUP BY d.doc_id"),
+        "docs_dsir": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+            r"'\s+') AS w FROM documents), "
+            "g AS (SELECT doc_id, unnest(w || list_transform("
+            "generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))"
+            " AS g FROM w), "
+            "b AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT "
+            "% 8192 AS b FROM g), "
+            "t AS (SELECT b, count(*) AS ct FROM b WHERE doc_id % 10 = 0 "
+            "GROUP BY 1), "
+            "r AS (SELECT b, count(*) AS cr FROM b WHERE doc_id % 10 <> 0 "
+            "GROUP BY 1), "
+            "tot AS (SELECT (SELECT count(*) FROM b WHERE doc_id % 10 = 0)"
+            " AS nt, (SELECT count(*) FROM b WHERE doc_id % 10 <> 0) AS nr), "
+            "ratio AS (SELECT coalesce(t.b, r.b) AS b, "
+            "ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + 8192)) - "
+            "ln((coalesce(cr, 0) + 1)::DOUBLE / (nr + 8192)) AS lw "
+            "FROM t FULL JOIN r ON t.b = r.b CROSS JOIN tot) "
+            "SELECT doc_id, CAST(round(sum(lw) * 1000000) AS BIGINT) AS "
+            "dsir_micro FROM b JOIN ratio USING (b) "
+            "WHERE doc_id % 10 <> 0 GROUP BY doc_id"),
         "export_wet_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text FROM documents"),
         "extract_warc_pages": (

@@ -197,3 +197,29 @@ class TestNormalizeText:
         df = spark.createDataFrame([(0, "a \n b\n  c")],
                                    "doc_id long, text string")
         assert normalize_text(df).first()["text_norm"] == "a\nb\nc"
+
+
+class TestDsir:
+    def test_target_like_docs_score_higher(self, spark):
+        target = spark.createDataFrame(
+            [(100 + i, "science research method experiment data")
+             for i in range(5)],
+            "doc_id long, text string")
+        raw = spark.createDataFrame(
+            [(0, "science research method experiment data"),
+             (1, "science research and some other words"),
+             (2, "buy cheap pills online casino bonus now")],
+            "doc_id long, text string")
+        from tika_spark.analysis.curation import dsir_scores
+        r = {x["doc_id"]: x["dsir_micro"]
+             for x in dsir_scores(raw, target).collect()}
+        # exact target text > partial overlap > no overlap
+        assert r[0] > r[1] > r[2]
+
+    def test_broadcast_ratio_plan(self, spark):
+        df = spark.createDataFrame([(0, "a b c")],
+                                   "doc_id long, text string")
+        from tika_spark.analysis.curation import dsir_scores
+        plan = dsir_scores(df, df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

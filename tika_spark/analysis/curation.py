@@ -303,6 +303,71 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("text_norm", t)
 
 
+# --------------------------------------- importance reweighting --
+
+
+def hashed_grams(col: Column) -> Column:
+    """Unigrams + word bigrams of a text column (the DSIR feature
+    set), as one array — native, no UDF."""
+    toks = tokens(col)
+    k = F.greatest(F.size(toks) - 1, F.lit(0))
+    bis = F.zip_with(F.slice(toks, 1, k), F.slice(toks, 2, k),
+                     lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.concat(toks, bis)
+
+
+def _gram_bucket(g: Column, buckets: int) -> Column:
+    # md5-prefix hashing so the oracle can replay it exactly:
+    # conv(hex, 16, 10) here == ('0x' || hex)::BIGINT in DuckDB
+    return F.conv(F.substring(F.md5(g), 1, 8), 16, 10) \
+        .cast("long") % buckets
+
+
+def dsir_scores(raw: DataFrame, target: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                buckets: int = 8192) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is,
+
+        log w(x) = sum over gram occurrences g of
+                   log p_target[bucket(g)] - log p_raw[bucket(g)]
+
+    with Laplace-smoothed bucket probabilities fit on the two corpora.
+    Downstream selection is then a threshold or Gumbel top-k over
+    ``dsir_micro`` (micro-units, exact integers so results hash
+    identically everywhere).
+
+    Scale: the fit is two partial-aggregatable groupBys over 8-byte
+    bucket keys; the log-ratio table is ``buckets`` rows (KBs —
+    broadcast); scoring is a map-only broadcast join + one groupBy on
+    the doc id. Raw text shuffles zero times; the two count() actions
+    are one-off fit scalars, amortized like any index build.
+    """
+    def gram_buckets(df):
+        return (df.select(
+            F.col(id_col),
+            F.explode(hashed_grams(F.col(text_col))).alias("g"))
+            .select(id_col, _gram_bucket(F.col("g"), buckets)
+                    .alias("b")))
+
+    gt, gr = gram_buckets(target), gram_buckets(raw)
+    n_t, n_r = gt.count(), gr.count()
+    ct = gt.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = gr.groupBy("b").agg(F.count("*").alias("cr"))
+    ratio = (ct.join(cr, "b", "full")
+             .select("b",
+                     (F.log((F.coalesce("ct", F.lit(0)) + 1)
+                            / F.lit(float(n_t + buckets)))
+                      - F.log((F.coalesce("cr", F.lit(0)) + 1)
+                              / F.lit(float(n_r + buckets))))
+                     .alias("lw")))
+    return (gr.join(F.broadcast(ratio), "b")
+            .groupBy(id_col)
+            .agg(F.round(F.sum("lw") * 1_000_000).cast("long")
+                 .alias("dsir_micro")))
+
+
 # ------------------------------------------- contamination checks --
 
 
