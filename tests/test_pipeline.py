@@ -73,6 +73,21 @@ class TestExtractJob:
         diff = (a.select(cols).exceptAll(b.select(cols))).count()
         assert diff == 0
 
+    def test_exchange_budget_of_the_job(self, spark, pages, tmp_path):
+        # the 100 TB contract: on a pre-bucketed parquet table the job
+        # is scan -> mapInPandas -> sink with NO shuffle of the binary
+        # column (repartition=0); the explicit skew path shuffles
+        # exactly once (BENCH/BASELINE.md scan-granularity finding)
+        pages.write.parquet(str(tmp_path / "pages"))
+        stored = spark.read.parquet(str(tmp_path / "pages"))
+        plan = extract(stored, mode="text", repartition=0)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+        plan4 = extract(stored, mode="text", repartition=4)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert plan4.count("Exchange") == 1
+
     def test_poison_rows_survive(self, spark):
         import datetime
         rows = [("u://1", datetime.datetime(2026, 1, 1), None),
