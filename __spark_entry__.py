@@ -2159,20 +2159,20 @@ def _q_extract_warc_pages(spark, sf_dir):
     sources.warc reader, then through the full extraction chain. Each
     Arrow batch becomes one multi-record archive, so member chaining
     and the HTTP-envelope strip are both exercised distributed."""
-    from pyspark.sql.types import BinaryType
     from tika_spark.sources.warc import warc_pages
 
     def build(batches):
+        # html bytes are built natively by _html_wrap (one canonical
+        # page shape for the whole contract); the UDF only frames
+        # them into WARC records
         from tika_spark.fixtures import warcgen
         for pdf in batches:
-            recs = [(f"doc://{i}", "2026-01-17T08:30:00Z",
-                     ("<html><head><meta charset=\"utf-8\"/>"
-                      f"<title>Doc {i}</title></head><body><p>{t}"
-                      "</p></body></html>").encode("utf-8"))
-                    for i, t in zip(pdf["doc_id"], pdf["text"])]
+            recs = [(f"doc://{i}", "2026-01-17T08:30:00Z", bytes(h))
+                    for i, h in zip(pdf["doc_id"], pdf["html"])]
             yield pd.DataFrame({"blob": [warcgen.warc_gz(recs)]})
 
-    blobs = (_docs(spark, sf_dir).select("doc_id", "text")
+    blobs = (_docs(spark, sf_dir)
+             .select("doc_id", _html_wrap().alias("html"))
              .mapInPandas(build, "blob binary"))
 
     def parse(batches):

@@ -8,11 +8,14 @@
 
 Unlike ``python -m tika_spark.pipeline.runner`` (which builds its own
 local[N] session), this script uses whatever session spark-submit
-provides — cluster master, executor sizing, and Iceberg/S3 catalogs
-all come from submit-time conf. Input can be a parquet/Iceberg pages
-table or raw Common-Crawl ``.warc.gz`` globs (--format warc), and the
-checkpoint/lineage resume semantics are runner.run's: re-running after
-a failure processes only the pending buckets.
+provides — cluster master, executor sizing, and S3 filesystem conf
+all come from submit-time conf. Input is a parquet pages table
+(runner.run reads with ``spark.read.parquet``; an Iceberg table must
+be exported/read through its catalog first, not pointed at by
+directory — raw data files include stale snapshots) or raw
+Common-Crawl ``.warc.gz`` globs (--format warc). Checkpoint/lineage
+resume semantics are runner.run's: re-running after a failure
+processes only the pending buckets.
 """
 
 from __future__ import annotations
@@ -47,12 +50,16 @@ def main(argv=None):
 
     input_path = args.input
     if args.format == "warc":
-        # materialize the pages table once (ingest is file-granular;
-        # the write buckets by size so extraction never reshuffles)
+        # materialize the pages table once (ingest is file-granular);
+        # sorting by size bucket inside each task makes the staged
+        # files size-homogeneous, so the extraction read gets
+        # byte-balanced splits without a further shuffle
+        from tika_spark.pipeline.job import with_size_bucket
         from tika_spark.sources.warc import read_warc
         staged = args.output.rstrip("/") + ".pages"
-        read_warc(spark, args.input).write \
-            .mode("overwrite").parquet(staged)
+        (with_size_bucket(read_warc(spark, args.input))
+         .sortWithinPartitions("size_bucket").drop("size_bucket")
+         .write.mode("overwrite").parquet(staged))
         input_path = staged
 
     run(spark, input_path, args.output, args.mode,

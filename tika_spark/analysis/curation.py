@@ -280,11 +280,17 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     Emits ``text_norm`` alongside the input columns.
 
     Scale: everything except NFC is a codegen'd regexp chain. NFC
-    needs Python (no JVM-side normalizer in Spark SQL), but runs as a
-    vectorized Arrow batch UDF behind an ASCII ``rlike`` fast-path —
-    NFC is the identity on ASCII, so the overwhelmingly-ASCII web
-    corpus never leaves the JVM and only genuinely non-ASCII rows pay
-    the Python hop.
+    needs Python (no JVM-side normalizer in Spark SQL), so the input
+    is **filter-split**: the ASCII rows (NFC is the identity there —
+    the overwhelming majority of a web corpus) take a pure-JVM leg,
+    and only the non-ASCII leg pays the Arrow→Python hop, unioned
+    back after. A ``when(ascii, text).otherwise(nfc(text))``
+    formulation would NOT achieve this: Spark's ExtractPythonUDFs
+    rule hoists the UDF below the projection and evaluates it for
+    every row, with the CASE merely choosing which result to keep —
+    the split is the only way to keep ASCII rows out of Python. Cost:
+    the (column-pruned) text column is scanned once per leg, which
+    beats Arrow-transferring 100% of it.
     """
     @F.pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:
@@ -293,14 +299,18 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
                      else unicodedata.normalize("NFC", t))
 
     text = F.col(text_col)
-    t = F.when(text.rlike("^[\\x00-\\x7f]*$"), text).otherwise(_nfc(text))
+    is_ascii = text.isNull() | text.rlike("^[\\x00-\\x7f]*$")
+    jvm_leg = df.filter(is_ascii).withColumn("__nfc", text)
+    py_leg = df.filter(~is_ascii).withColumn("__nfc", _nfc(text))
+    out = jvm_leg.unionByName(py_leg)
+    t = F.col("__nfc")
     t = F.regexp_replace(t, "\r\n?", "\n")
     t = F.regexp_replace(t, _CTRL, "")
     t = F.regexp_replace(t, "[ \t]+", " ")
     t = F.regexp_replace(t, " ?\n ?", "\n")
     t = F.regexp_replace(t, "\n{3,}", "\n\n")
     t = F.regexp_replace(t, "^\\s+|\\s+$", "")
-    return df.withColumn("text_norm", t)
+    return out.withColumn("text_norm", t).drop("__nfc")
 
 
 # --------------------------------------- importance reweighting --
@@ -341,9 +351,13 @@ def dsir_scores(raw: DataFrame, target: DataFrame,
     Scale: the fit is two partial-aggregatable groupBys over 8-byte
     bucket keys; the log-ratio table is ``buckets`` rows (KBs —
     broadcast); scoring is a map-only broadcast join + one groupBy on
-    the doc id. Raw text shuffles zero times; the two count() actions
-    are one-off fit scalars, amortized like any index build.
+    the doc id. Each corpus's grams are exploded exactly once for the
+    fit (the corpus totals come from summing the tiny persisted
+    bucket tables, not from separate count() passes) plus once more
+    on the raw side for scoring. Raw text shuffles zero times.
     """
+    from pyspark import StorageLevel
+
     def gram_buckets(df):
         return (df.select(
             F.col(id_col),
@@ -352,9 +366,12 @@ def dsir_scores(raw: DataFrame, target: DataFrame,
                     .alias("b")))
 
     gt, gr = gram_buckets(target), gram_buckets(raw)
-    n_t, n_r = gt.count(), gr.count()
-    ct = gt.groupBy("b").agg(F.count("*").alias("ct"))
-    cr = gr.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = gt.groupBy("b").agg(F.count("*").alias("ct")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cr = gr.groupBy("b").agg(F.count("*").alias("cr")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    n_t = ct.agg(F.sum("ct")).first()[0] or 0
+    n_r = cr.agg(F.sum("cr")).first()[0] or 0
     ratio = (ct.join(cr, "b", "full")
              .select("b",
                      (F.log((F.coalesce("ct", F.lit(0)) + 1)

@@ -324,9 +324,15 @@ def pq_index(base: DataFrame, m: int = 4, ks: int = 16,
 
 def pq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 4, ks: int = 16, refine: int = 4,
-            id_col: str = "vec_id", vec_col: str = "embedding"
-            ) -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            index=None) -> DataFrame:
     """PQ approximate top-k with asymmetric distance + exact re-rank.
+
+    Pass ``index`` = a prebuilt ``pq_index(...)`` result to amortize
+    the KMeans training across query batches — without it every call
+    retrains the quantizer, which dominates the query cost the ADC
+    shortlist exists to avoid. The no-index default is a convenience
+    for one-shot use.
 
     1. Per query, a (m × ks) inner-product lookup table against the
        codebooks (tiny; built with one broadcast join, collected into
@@ -339,7 +345,8 @@ def pq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
        embedding column is joined for shortlist rows alone).
     """
     spark = base.sparkSession
-    codes, books = pq_index(base, m, ks, id_col, vec_col)
+    codes, books = index if index is not None \
+        else pq_index(base, m, ks, id_col, vec_col)
 
     book_rows = [(j, c, books[j][c]) for j in range(m)
                  for c in range(len(books[j]))]

@@ -30,6 +30,7 @@ between the archive and the parser.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from collections.abc import Iterator
 
@@ -70,7 +71,11 @@ def build_record(url: str, date_iso: str, payload: bytes,
         body = payload
         content_type = (b"text/plain" if rec_type == "conversion"
                         else b"application/octet-stream")
-    rid = record_id or f"<urn:uuid:{abs(hash(url)) % 10**12:012d}>"
+    # content-derived id: str hash() is salted per-process
+    # (PYTHONHASHSEED), which would break the byte-identical-archive
+    # guarantee across runs/executors
+    rid = record_id or \
+        f"<urn:uuid:{hashlib.md5(url.encode('utf-8')).hexdigest()[:12]}>"
     head = (b"WARC/1.0" + _CRLF
             + b"WARC-Type: " + rec_type.encode("ascii") + _CRLF
             + b"WARC-Record-ID: " + rid.encode("ascii") + _CRLF
@@ -93,21 +98,37 @@ def gzip_member(record: bytes) -> bytes:
     return buf.getvalue()
 
 
+_INFLATE_CHUNK = 1 << 20
+
+
 def iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members one member at a
     time (the CC per-record framing). Stops at the first undecodable
-    byte run — everything before it is still yielded."""
-    pos = 0
-    while pos < len(data):
+    byte run — everything before it is still yielded.
+
+    The input is walked through a ``memoryview`` in bounded chunks —
+    zero-copy slices, O(filesize) total work. (Feeding
+    ``data[pos:]`` per member would re-copy the remaining tail for
+    every one of a CC file's ~50k members: O(members × filesize) in
+    memcpy.)
+    """
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         dec = zlib.decompressobj(wbits=31)
+        out = []
+        p = pos
         try:
-            chunk = dec.decompress(data[pos:])
+            while p < n and not dec.eof:
+                chunk = view[p:p + _INFLATE_CHUNK]
+                out.append(dec.decompress(chunk))
+                p += len(chunk)
         except zlib.error:
             return
         if not dec.eof:          # truncated trailing member
             return
-        yield chunk
-        consumed = len(data) - pos - len(dec.unused_data)
+        yield b"".join(out)
+        consumed = (p - len(dec.unused_data)) - pos
         if consumed <= 0:
             return
         pos += consumed
