@@ -21,8 +21,12 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 95 queries / 93 oracle rows
-(docs_dsir — DSIR-style hashed-ngram importance reweighting;
+Late round 2 pushed to 97 queries / 95 oracle rows
+(docs_substring_dedup — exact duplicated-substring spans, Lee et al.
+2022 at k-token shingle granularity with gaps-and-islands merging;
+docs_pack_sequences — greedy next-fit packing into fixed-token
+training chunks, recursive-CTE oracle;
+docs_dsir — DSIR-style hashed-ngram importance reweighting;
 extract_warc_pages + export_wet_roundtrip — raw Common-Crawl
 .warc.gz/.wet.gz built and stream-parsed distributed, the WARC side
 through the full extraction chain; ann_pq_recall —
@@ -2152,6 +2156,37 @@ def _q_docs_contamination(spark, sf_dir):
         "doc_id", "n_grams", "n_hit")
 
 
+_SHARED_SNIPPET = ("breaking news wire syndicated weather advisory "
+                   "issued for the metro region tonight details follow")
+
+
+def _q_docs_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 at 5-token
+    shingle granularity): doc_id%3==0 docs carry an injected shared
+    14-token wire-copy tail, which must come back as merged duplicated
+    spans; the join back touches only duplicated-shingle positions and
+    the text never shuffles."""
+    from tika_spark.analysis.dedup import substring_dup_spans
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat("text", F.lit(" " + _SHARED_SNIPPET)))
+        .otherwise(F.col("text")).alias("text"))
+    return substring_dup_spans(docs, k=5).select(
+        "doc_id", "n_toks", "n_dup_spans", "dup_tokens")
+
+
+def _q_docs_pack_sequences(spark, sf_dir):
+    """Greedy next-fit sequence packing: documents fold into
+    200-token training chunks per source shard in doc_id order — the
+    context-window assembly step after curation. One shuffle on
+    source; only (source, id, n_tok) rows move."""
+    from tika_spark.analysis.curation import pack_sequences
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "text")
+    return pack_sequences(docs, budget=200).select(
+        "source", "doc_id", "n_tok", "chunk")
+
+
 def _q_extract_warc_pages(spark, sf_dir):
     """End-to-end Common-Crawl shape: documents wrapped into
     multi-record .warc.gz blobs (one gzip member per response record,
@@ -2469,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_snapshot_delta": _q_docs_snapshot_delta,
         "docs_normalize": _q_docs_normalize,
         "docs_dsir": _q_docs_dsir,
+        "docs_substring_dedup": _q_docs_substring_dedup,
+        "docs_pack_sequences": _q_docs_pack_sequences,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3108,6 +3145,50 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(CASE WHEN c.nd = 1 THEN p.para END, "
             "chr(10) ORDER BY p.pos), '') AS text_clean "
             "FROM p JOIN c USING (para) GROUP BY p.doc_id"),
+        "docs_substring_dedup": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' "
+            + _SHARED_SNIPPET + "' ELSE text END), '\\s+') AS w "
+            "FROM documents), "
+            "s AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(w)-4)) - 1 AS pos, "
+            "unnest(list_transform(generate_series(1, len(w)-4), "
+            "i -> array_to_string(w[i:i+4], ' '))) AS sh "
+            "FROM t WHERE len(w) >= 5), "
+            "h AS (SELECT doc_id, pos, ('0x' || substring(md5(sh), 1, "
+            "15))::BIGINT AS hv FROM s), "
+            "dup AS (SELECT hv FROM (SELECT DISTINCT doc_id, hv "
+            "FROM h) GROUP BY hv HAVING count(*) >= 2), "
+            "d AS (SELECT doc_id, pos FROM h JOIN dup USING (hv)), "
+            "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) < 5 THEN 0 ELSE 1 END "
+            "AS brk FROM d), "
+            "i AS (SELECT doc_id, pos, sum(coalesce(brk, 1)) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS isl FROM b), "
+            "sp AS (SELECT doc_id, isl, min(pos) AS st, max(pos) + 5 "
+            "AS en FROM i GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans, "
+            "sum(en - st)::BIGINT AS dup_tokens FROM sp GROUP BY 1) "
+            "SELECT t.doc_id, len(w)::BIGINT AS n_toks, "
+            "coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans, "
+            "coalesce(dup_tokens, 0)::BIGINT AS dup_tokens "
+            "FROM t LEFT JOIN agg USING (doc_id)"),
+        "docs_pack_sequences": (
+            "WITH RECURSIVE t AS (SELECT source, doc_id, "
+            f"len({_TOKS})::BIGINT AS n_tok, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id) "
+            "AS rn FROM documents), "
+            "r AS ("
+            "SELECT source, doc_id, n_tok, rn, 1::BIGINT AS chunk, "
+            "n_tok AS acc FROM t WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT t.source, t.doc_id, t.n_tok, t.rn, "
+            "CASE WHEN r.acc + t.n_tok <= 200 THEN r.chunk "
+            "ELSE r.chunk + 1 END AS chunk, "
+            "CASE WHEN r.acc + t.n_tok <= 200 THEN r.acc + t.n_tok "
+            "ELSE t.n_tok END AS acc "
+            "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
+            "SELECT source, doc_id, n_tok, chunk FROM r"),
         "url_canonicalize": (
             "SELECT doc_id, CASE doc_id % 4 "
             "WHEN 0 THEN 'http://www.site' || (doc_id % 20) || "

@@ -223,3 +223,100 @@ class TestDsir:
         plan = dsir_scores(df, df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestPackSequences:
+    """Greedy next-fit packing into fixed-token training chunks."""
+
+    def test_next_fit(self, spark):
+        from tika_spark.analysis.curation import pack_sequences
+        df = spark.createDataFrame(
+            [("s1", 1, "a b c"), ("s1", 2, "d e f g"),
+             ("s1", 3, "h i"), ("s1", 4, " ".join(["w"] * 12)),
+             ("s2", 5, "x"), ("s2", 6, "y z")],
+            "source string, doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               pack_sequences(df, budget=8).collect()}
+        # s1: 3+4=7 fits; 2 overflows -> chunk 2; 12 > budget -> own chunk
+        assert [out[i]["chunk"] for i in (1, 2, 3, 4)] == [1, 1, 2, 3]
+        # groups pack independently
+        assert [out[i]["chunk"] for i in (5, 6)] == [1, 1]
+        assert out[4]["n_tok"] == 12
+
+    def test_oversized_doc_alone(self, spark):
+        from tika_spark.analysis.curation import pack_sequences
+        df = spark.createDataFrame(
+            [("s", 1, " ".join(["w"] * 100)),
+             ("s", 2, "a b"), ("s", 3, " ".join(["v"] * 99))],
+            "source string, doc_id long, text string")
+        out = {r["doc_id"]: r["chunk"] for r in
+               pack_sequences(df, budget=10).collect()}
+        assert out == {1: 1, 2: 2, 3: 3}
+
+    def test_partitioning_invariant(self, spark):
+        """Chunk ids depend on (group, doc_id) order only, not on the
+        physical layout the rows arrive in."""
+        from tika_spark.analysis.curation import pack_sequences
+        rows = [("g%d" % (i % 3), i, " ".join(["t"] * (1 + i % 7)))
+                for i in range(60)]
+        df1 = spark.createDataFrame(
+            rows, "source string, doc_id long, text string")
+        df2 = df1.repartition(7, "doc_id")
+        a = sorted(map(tuple, pack_sequences(df1, budget=12).collect()))
+        b = sorted(map(tuple, pack_sequences(df2, budget=12).collect()))
+        assert a == b
+
+
+class TestSubstringDedup:
+    """Exact duplicated-substring spans (Lee et al. 2022 shape)."""
+
+    def test_shared_run_merges_into_one_span(self, spark):
+        from tika_spark.analysis.dedup import substring_dup_spans
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"),
+             (2, "x y c d e f g h q r"),
+             (3, "unrelated words entirely here nothing shared now")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               substring_dup_spans(df, k=3).collect()}
+        # shared run "c d e f g h" = 4 overlapping shingles -> 1 span, 6 toks
+        for i in (1, 2):
+            assert out[i]["n_dup_spans"] == 1
+            assert out[i]["dup_tokens"] == 6
+        assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+
+    def test_short_docs_and_disjoint_spans(self, spark):
+        from tika_spark.analysis.dedup import substring_dup_spans
+        df = spark.createDataFrame(
+            [(1, "p q r GAP1 s t u"), (2, "p q r GAP2 s t u"),
+             (3, "tiny")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               substring_dup_spans(df, k=3).collect()}
+        # "p q r" and "s t u" duplicated, separated by unique GAPx
+        for i in (1, 2):
+            assert out[i]["n_dup_spans"] == 2
+            assert out[i]["dup_tokens"] == 6
+        # < k tokens: zero shingles, still a row
+        assert out[3]["n_toks"] == 1 and out[3]["n_dup_spans"] == 0
+
+    def test_identical_docs_fully_covered(self, spark):
+        from tika_spark.analysis.dedup import substring_dup_spans
+        text = " ".join("tok%d" % i for i in range(20))
+        df = spark.createDataFrame(
+            [(i, text) for i in range(5)], "doc_id long, text string")
+        out = substring_dup_spans(df, k=5).collect()
+        for r in out:
+            assert r["n_dup_spans"] == 1
+            assert r["dup_tokens"] == 20 == r["n_toks"]
+
+    def test_hot_shingle_no_pair_blowup(self, spark):
+        """A shingle shared by every doc marks one span per doc --
+        row count stays linear in docs (no pair set is formed)."""
+        from tika_spark.analysis.dedup import substring_dup_spans
+        df = spark.createDataFrame(
+            [(i, "COMMON HEAD LINE tail%d unique%d" % (i, i))
+             for i in range(200)], "doc_id long, text string")
+        out = substring_dup_spans(df, k=3)
+        assert out.count() == 200
+        assert out.filter(F.col("n_dup_spans") == 1).count() == 200

@@ -420,3 +420,55 @@ def contamination_check(df: DataFrame, bench: DataFrame,
     return (totals.join(hits, id_col, "left")
             .withColumn("n_hit", F.coalesce("n_hit", F.lit(0))
                         .cast("long")))
+
+
+# --------------------------------------------- sequence packing --
+
+
+def pack_sequences(df: DataFrame, group_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   budget: int = 2048) -> DataFrame:
+    """Greedy next-fit packing of documents into fixed-token training
+    chunks — the step that turns a curated corpus into context-window
+    sized examples. Documents are taken in ``id_col`` order within
+    each ``group_col`` shard; a document that would overflow the
+    running chunk starts the next one (a document longer than
+    ``budget`` occupies a chunk alone). Emits one row per document:
+
+      group, doc_id, n_tok, chunk   (chunk is 1-based per group)
+
+    Packing is inherently a sequential scan (the chunk id of doc i
+    depends on every token count before it), so this is the module's
+    one ``applyInPandas`` stage: one shuffle on ``group_col``, then a
+    linear numpy pass per group. Determinism: the (group, doc_id)
+    sort makes output independent of partitioning/retries.
+
+    Scale: groups are the packing shards (in production: one shard per
+    input file / crawl segment, ~10^4-10^6 docs each), so no group
+    outgrows an executor; a skewed mega-group is sub-sharded upstream
+    by packing within (group, hash(id) % S) instead — packing quality
+    is unaffected because chunk locality is per-shard anyway. Only
+    (group, id, n_tok) rows shuffle — the text never moves.
+    """
+    counts = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        chunks = []
+        chunk, acc = 0, budget  # force a new chunk on the first doc
+        for nt in pdf["n_tok"]:
+            if acc + nt <= budget:
+                acc += nt
+            else:
+                chunk += 1
+                acc = nt
+            chunks.append(chunk)
+        pdf["chunk"] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    return (counts.groupBy("grp").applyInPandas(
+        pack, schema="grp string, id long, n_tok long, chunk long")
+        .select(F.col("grp").alias(group_col), F.col("id").alias(id_col),
+                "n_tok", "chunk"))

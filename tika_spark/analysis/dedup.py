@@ -364,3 +364,94 @@ def dedup_representatives(df: DataFrame, pairs: DataFrame,
            .select("id", F.coalesce("cluster", F.col("id"))
                    .alias("cluster")))
     return out.withColumn("is_rep", F.col("id") == F.col("cluster"))
+
+
+# --------------------------------------------- exact substring spans
+
+
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Exact duplicated-substring detection at k-token granularity
+    (the scalable formulation of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": their suffix-array
+    pass finds verbatim runs shared across documents; at cluster scale
+    the standard approximation is positional k-token shingles, which
+    finds every shared run of >= k tokens).
+
+    Per document emits
+
+      n_toks       whitespace token count
+      n_dup_spans  maximal merged spans of duplicated shingles
+      dup_tokens   token positions covered by those spans
+
+    Pipeline (all native SQL, no UDFs):
+
+      1. positional k-token shingles per doc, hashed to 60-bit ints
+         (md5 prefix -- the cross-engine hash the sampling/winnowing
+         operators already use);
+      2. corpus-wide duplicated-shingle set: hashes seen in >=
+         ``min_docs`` distinct docs (distinct -> groupBy, 8-byte keys
+         with map-side combine);
+      3. join back on hash, keep duplicated positions only;
+      4. per-doc span merge: sort_array(collect_list(pos)) + one
+         ``aggregate`` fold -- overlapping/adjacent shingle windows
+         [p, p+k) coalesce into maximal spans (gaps-and-islands as a
+         per-row array expression, no window function).
+
+    Scale: the shingle explode is corpus-token-count sized -- inherent
+    to substring dedup (the suffix array costs the same) -- but every
+    shuffled row is (id, pos, hash64): the text itself never moves.
+    The duplicated-hash side of step 3's join is typically tiny (viral
+    boilerplate) and broadcastable; positions collected per doc in
+    step 4 are bounded by the doc's own token count. A hot shingle
+    shared by millions of docs costs those docs one extra span each --
+    no quadratic pair set is ever formed (unlike pair-generating
+    dedup, this operator marks spans in place).
+    """
+    toks = tokens(F.col(text_col))
+    base = (df.select(F.col(id_col), toks.alias("w"))
+            .withColumn("n_toks", F.size("w")))
+
+    idx = F.when(F.col("n_toks") >= k,
+                 F.sequence(F.lit(0), F.col("n_toks") - k)
+                 ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
+            1, 15), 16, 10).cast("long"))
+    # stage the hash array (the MinHash CollapseProject lesson: one
+    # expensive projection, referenced once)
+    staged = base.select(id_col, "n_toks", hashes.alias("hs"))
+    sh = staged.select(id_col, F.posexplode("hs").alias("pos", "h"))
+
+    dup_h = (sh.select(id_col, "h").distinct()
+             .groupBy("h").agg(F.count("*").alias("n_docs"))
+             .filter(F.col("n_docs") >= min_docs)
+             .select("h"))
+
+    merged = (sh.join(dup_h, "h")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    # fold sorted positions into (n spans, covered tokens, open end)
+    spans = F.aggregate(
+        F.col("ps"),
+        F.struct(F.lit(0).alias("n"), F.lit(0).alias("cov"),
+                 F.lit(-1).alias("e")),
+        lambda st, p: F.struct(
+            (st["n"] + F.when(p >= st["e"], 1).otherwise(0)).alias("n"),
+            (st["cov"] + F.when(p >= st["e"], F.lit(k))
+             .otherwise(p + k - st["e"])).alias("cov"),
+            (p + k).alias("e")))
+
+    return (staged.select(id_col, "n_toks")
+            .join(merged.select(
+                id_col, spans["n"].alias("n_dup_spans"),
+                spans["cov"].alias("dup_tokens")), id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_toks").cast("long").alias("n_toks"),
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                    .alias("n_dup_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens")))
