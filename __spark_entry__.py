@@ -21,11 +21,13 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 97 queries / 95 oracle rows
+Late round 2 pushed to 98 queries / 96 oracle rows
 (docs_substring_dedup — exact duplicated-substring spans, Lee et al.
 2022 at k-token shingle granularity with gaps-and-islands merging;
 docs_pack_sequences — greedy next-fit packing into fixed-token
-training chunks, recursive-CTE oracle;
+training chunks, recursive-CTE oracle; semdedup_prune — SemDeDup
+semantic embedding dedup, hash-exact via the deterministic argmax
+coarse quantizer (KMeans quantizer is the production path);
 docs_dsir — DSIR-style hashed-ngram importance reweighting;
 extract_warc_pages + export_wet_roundtrip — raw Common-Crawl
 .warc.gz/.wet.gz built and stream-parsed distributed, the WARC side
@@ -586,6 +588,19 @@ def _q_ann_ivf_recall(spark, sf_dir):
             .agg(F.sum(F.when(F.col("vid2").isNotNull(), 1).otherwise(0))
                  .alias("n_hit"))
             .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
+
+
+def _q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic prune, hash-exact
+    checkable end-to-end: the deterministic argmax coarse quantizer
+    buckets vectors on their dominant component, within-cluster
+    cosine>=0.4 dup groups keep only the min-id representative. The
+    production path swaps in the KMeans quantizer (quantizer=
+    'kmeans'), same prune machinery."""
+    emb = _emb(spark, sf_dir)
+    return similarity.semdedup(emb, threshold=0.4,
+                               quantizer="argmax").select(
+        "id", F.col("cluster").cast("long").alias("cluster"), "keep")
 
 
 def _q_ann_pq_recall(spark, sf_dir):
@@ -2449,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "ann_pq_recall": _q_ann_pq_recall,
+        "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -2598,6 +2614,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
+        "semdedup_prune": (
+            "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "c AS (SELECT id, list_position(v, list_max(v))::BIGINT "
+            "AS cluster, v FROM v), "
+            "p AS (SELECT DISTINCT b.id AS id FROM c a JOIN c b "
+            "ON a.cluster = b.cluster AND a.id < b.id "
+            "WHERE round(list_cosine_similarity(a.v, b.v) * 1000000) "
+            ">= 400000) "
+            "SELECT id, cluster, id NOT IN (SELECT id FROM p) AS keep "
+            "FROM c"),
         "ann_pq_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),

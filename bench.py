@@ -113,6 +113,8 @@ def main():
         dedup.minhash_lsh_pairs(docs, threshold=0.12)))
     timed("dedup_simhash", lambda: force(
         dedup.simhash_pairs(docs, max_hamming=3)))
+    timed("dedup_substring", lambda: force(
+        dedup.substring_dup_spans(docs, k=8)))
     timed("ann_topk", lambda: force(similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=10)))
     timed("ann_lsh_topk", lambda: force(similarity.lsh_topk(

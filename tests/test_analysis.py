@@ -432,3 +432,53 @@ def test_winnow_fingerprints(spark):
     assert by[1] & by[3]
     assert by[1] != by[3]
     assert by[4] == set()                     # < k+w-1 tokens -> none
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+def test_semdedup_kmeans_prunes_within_cluster(spark):
+    """Two tight semantic groups + one outlier: each group keeps its
+    min-id member, the outlier survives (Abbas et al. 2023 shape)."""
+    rows = []
+    for i in range(4):          # group A: near-identical around e0
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(4, 8):       # group B: near-identical around e1
+        rows.append((i, [0.0, 1.0, 0.01 * (i - 4), 0.0]))
+    rows.append((8, [0.0, 0.0, 0.0, 1.0]))  # outlier
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r["keep"] for r in
+           similarity.semdedup(df, threshold=0.95, nlist=3).collect()}
+    assert out[0] and out[4] and out[8]          # representatives
+    assert not any(out[i] for i in (1, 2, 3, 5, 6, 7))
+
+
+def test_semdedup_argmax_matches_bruteforce_within_cluster(spark):
+    """The argmax quantizer path: same-dominant-component dups prune;
+    vectors dominating different components never compare."""
+    df = spark.createDataFrame(
+        [(1, [9.0, 1.0]), (2, [9.0, 1.0]),     # same cluster, identical
+         (3, [1.0, 9.0]), (4, [1.0, 9.0])],    # other cluster
+        "vec_id long, embedding array<double>")
+    out = {r["id"]: (r["cluster"], r["keep"]) for r in
+           similarity.semdedup(df, threshold=0.99,
+                               quantizer="argmax").collect()}
+    assert out[1] == (1, True) and out[2] == (1, False)
+    assert out[3] == (2, True) and out[4] == (2, False)
+
+
+def test_semdedup_max_cluster_caps_skew(spark):
+    """A single hot cluster sub-shards at max_cluster: the job stays
+    linear per shard and every row still gets a keep verdict."""
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    out = similarity.semdedup(df, threshold=0.99, quantizer="argmax",
+                              max_cluster=50)
+    rows = out.collect()
+    assert len(rows) == 300
+    kept = [r["id"] for r in rows if r["keep"]]
+    # one representative per sub-shard (ceil(300/50)=6 shards), not 1,
+    # and crucially not 300: the cap bounds work, the prune still ran
+    assert 1 <= len(kept) <= 6

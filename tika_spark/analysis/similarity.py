@@ -401,3 +401,75 @@ def pq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
                                                 F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w2))
                   .filter(F.col("rank") <= k))
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+def semdedup(base: DataFrame, threshold: float = 0.6, nlist: int = 16,
+             max_cluster: int = 10_000, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             quantizer: str = "kmeans") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    dedup that catches *semantic* duplicates exact/MinHash text dedup
+    misses. Coarse-cluster the embeddings, compare pairs only within
+    a cluster, and drop every vector that has an above-threshold
+    cosine neighbor with a smaller id (the paper keeps one
+    representative per semantic-dup group; we pick min-id for
+    determinism where it uses distance-to-centroid).
+
+    Emits (id, cluster, keep) for every vector.
+
+    ``quantizer``: "kmeans" reuses the IVF coarse quantizer (the
+    paper's choice — learned geometry, best recall); "argmax" buckets
+    on the dominant embedding component — a training-free spherical
+    quantizer that is fully deterministic and SQL-expressible, so the
+    whole prune path is cross-engine checkable (the driver oracle
+    uses it). Recall is quantizer-bounded either way: only same-
+    cluster pairs are compared.
+
+    Scale: the quadratic step is confined to clusters — cost
+    sum(c_i^2) with c_i ~= n/nlist; the paper's design point is
+    ~100k clusters over 10^8 docs (c ~= 1k). ``max_cluster``
+    sub-shards any skewed cluster deterministically (hash(id) mod
+    ceil(size/cap)) so one mega-cluster can never go quadratic —
+    same trade as LSH banding: pairs across sub-shards are missed,
+    boundedly, instead of the job dying. Cluster sizes are a tiny
+    aggregate; the pair join is an equi-join on (cluster, shard).
+    """
+    if quantizer == "argmax":
+        vd = _as_double(F.col(vec_col))
+        v = base.select(
+            F.col(id_col).alias("id"),
+            F.array_position(vd, F.array_max(vd)).cast("int")
+            .alias("cluster"),
+            vd.alias("v"))
+    else:
+        assigned, _ = ivf_index(base, nlist, id_col, vec_col)
+        v = assigned.select(F.col(id_col).alias("id"), "cluster",
+                            _as_double(F.col(vec_col)).alias("v"))
+
+    sizes = v.groupBy("cluster").agg(F.count("*").alias("c_size"))
+    n_shards = F.greatest(
+        F.lit(1), F.ceil(F.col("c_size") / max_cluster)).cast("int")
+    v = (v.join(F.broadcast(sizes), "cluster")
+         .withColumn("shard",
+                     F.pmod(F.xxhash64("id"), n_shards).cast("int"))
+         .drop("c_size"))
+
+    a = v.select("cluster", "shard", F.col("id").alias("id_a"),
+                 F.col("v").alias("va"))
+    b = v.select("cluster", "shard", F.col("id").alias("id_b"),
+                 F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    drops = (a.join(b, ["cluster", "shard"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.round(sim * 1_000_000).cast("long")
+                     >= int(threshold * 1_000_000))
+             .select(F.col("id_b").alias("id")).distinct())
+
+    return (v.select("id", "cluster")
+            .join(drops.withColumn("_drop", F.lit(True)), "id", "left")
+            .select("id", "cluster",
+                    F.col("_drop").isNull().alias("keep")))
