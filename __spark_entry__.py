@@ -2202,6 +2202,20 @@ def _q_docs_pack_sequences(spark, sf_dir):
         "source", "doc_id", "n_tok", "chunk")
 
 
+def _q_docs_token_budget(spark, sf_dir):
+    """Global greedy token-budget selection ("best 15k tokens of the
+    corpus" by n_chars score): the scalable two-phase prefix sum —
+    range partition, per-partition subtotals, broadcast offsets,
+    parallel per-partition windows — instead of the single-task
+    global-window formulation the oracle runs."""
+    from tika_spark.analysis.curation import select_token_budget
+    docs = _docs(spark, sf_dir)
+    return select_token_budget(docs, budget=15000,
+                               score_col="n_chars").select(
+        "id", F.col("score").cast("long").alias("score"),
+        "n_tok", "cum_tok")
+
+
 def _q_extract_warc_pages(spark, sf_dir):
     """End-to-end Common-Crawl shape: documents wrapped into
     multi-record .warc.gz blobs (one gzip member per response record,
@@ -2522,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir": _q_docs_dsir,
         "docs_substring_dedup": _q_docs_substring_dedup,
         "docs_pack_sequences": _q_docs_pack_sequences,
+        "docs_token_budget": _q_docs_token_budget,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3216,6 +3231,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE t.n_tok END AS acc "
             "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
             "SELECT source, doc_id, n_tok, chunk FROM r"),
+        "docs_token_budget": (
+            "WITH t AS (SELECT doc_id AS id, n_chars::BIGINT AS score, "
+            f"len({_TOKS})::BIGINT AS n_tok FROM documents), "
+            "c AS (SELECT id, score, n_tok, sum(n_tok) OVER "
+            "(ORDER BY score DESC, id) AS cum_tok FROM t) "
+            "SELECT id, score, n_tok, cum_tok FROM c "
+            "WHERE cum_tok <= 15000"),
         "url_canonicalize": (
             "SELECT doc_id, CASE doc_id % 4 "
             "WHEN 0 THEN 'http://www.site' || (doc_id % 20) || "

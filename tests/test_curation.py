@@ -320,3 +320,43 @@ class TestSubstringDedup:
         out = substring_dup_spans(df, k=3)
         assert out.count() == 200
         assert out.filter(F.col("n_dup_spans") == 1).count() == 200
+
+
+class TestTokenBudget:
+    """Scalable global prefix-sum selection under a token budget."""
+
+    def test_matches_naive_global_window(self, spark):
+        from pyspark.sql import Window
+        from tika_spark.analysis.curation import select_token_budget
+        from tika_spark.analysis.textstats import tokens
+        rows = [(i, (i * 37) % 100, "w " * (1 + (i * 13) % 30))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, q long, text string")
+        fast = select_token_budget(df, budget=500, score_col="q",
+                                   partitions=8)
+        w = (Window.orderBy(F.desc("score"), F.asc("id"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        naive = (df.select(F.col("doc_id").alias("id"),
+                           F.col("q").alias("score"),
+                           F.size(tokens(F.col("text"))).cast("long")
+                           .alias("n_tok"))
+                 .withColumn("cum_tok", F.sum("n_tok").over(w))
+                 .filter(F.col("cum_tok") <= 500))
+        assert sorted(map(tuple, fast.collect())) == \
+            sorted(map(tuple, naive.collect()))
+
+    def test_no_single_task_window(self, spark):
+        """The plan must not contain a global (empty-partition-spec)
+        window — the whole point of the two-phase prefix sum."""
+        from tika_spark.analysis.curation import select_token_budget
+        df = spark.createDataFrame(
+            [(i, i % 7, "a b c") for i in range(50)],
+            "doc_id long, q long, text string")
+        out = select_token_budget(df, budget=100, score_col="q",
+                                  partitions=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        for m in re.finditer(r"Window .*partitionBy=\[\]", plan):
+            raise AssertionError("global window found: " + m.group(0))
+        assert "pid" in plan  # per-partition windows are keyed

@@ -472,3 +472,67 @@ def pack_sequences(df: DataFrame, group_col: str = "source",
         pack, schema="grp string, id long, n_tok long, chunk long")
         .select(F.col("grp").alias(group_col), F.col("id").alias(id_col),
                 "n_tok", "chunk"))
+
+
+# ------------------------------------------- token-budget selection --
+
+
+def select_token_budget(df: DataFrame, budget: int, score_col: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        partitions: int | None = None) -> DataFrame:
+    """Global greedy corpus selection under a token budget: take
+    documents in (score desc, id asc) order while the running token
+    total stays within ``budget`` — "the best N tokens of the crawl",
+    the selection step after quality scoring/DSIR. A document is
+    selected iff the cumulative token count through it is <= budget.
+
+    The textbook formulation is one global window
+    (``sum(n_tok) OVER (ORDER BY score DESC)``) — which Spark executes
+    as a SINGLE task at any scale. This is the scalable two-phase
+    prefix sum instead:
+
+      1. range-repartition on the order key (parallel sort; each
+         partition holds a contiguous score range),
+      2. per-partition token subtotals — a P-row aggregate collected
+         to the driver,
+      3. exclusive prefix offsets broadcast back (join on pid),
+      4. per-partition cumulative windows (partitionBy pid → P
+         parallel windows); global cumsum = offset + local cumsum.
+
+    Emits (id, score, n_tok, cum_tok) for the selected documents.
+
+    The post-repartition projection is persisted before the subtotal
+    action: ``spark_partition_id`` must denote the same physical rows
+    in step 2 and step 4 (AQE may otherwise re-coalesce shuffle
+    partitions differently per action). Only (id, score, n_tok) rows
+    ever move — the text never shuffles.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    d = (df.select(F.col(id_col).alias("id"),
+                   F.col(score_col).alias("score"),
+                   F.size(tokens(F.col(text_col))).cast("long")
+                   .alias("n_tok"))
+         .repartitionByRange(n_part, F.desc("score"), F.asc("id"))
+         .withColumn("pid", F.spark_partition_id())
+         .persist(StorageLevel.MEMORY_AND_DISK))
+
+    subtotals = {r["pid"]: r["s"] for r in
+                 d.groupBy("pid").agg(F.sum("n_tok").alias("s"))
+                 .collect()}
+    running, offsets = 0, []
+    for pid in sorted(subtotals):
+        offsets.append((pid, running))
+        running += subtotals[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+
+    w = (Window.partitionBy("pid")
+         .orderBy(F.desc("score"), F.asc("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(off_df), "pid")
+            .withColumn("cum_tok", F.col("off") + F.sum("n_tok").over(w))
+            .filter(F.col("cum_tok") <= budget)
+            .select("id", "score", "n_tok", "cum_tok"))

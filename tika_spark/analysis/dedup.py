@@ -387,9 +387,12 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
 
     Pipeline (all native SQL, no UDFs):
 
-      1. positional k-token shingles per doc, hashed to 60-bit ints
-         (md5 prefix -- the cross-engine hash the sampling/winnowing
-         operators already use);
+      1. positional k-token shingles per doc (higher-order transform
+         builds only the shingle *strings* -- HOF lambdas are
+         interpreted, so the md5 + base-16 conv hash to 60-bit ints
+         happens AFTER the explode, in a whole-stage-codegen'd
+         projection; keeping them inside the lambda measured ~2x
+         slower per core);
       2. corpus-wide duplicated-shingle set: hashes seen in >=
          ``min_docs`` distinct docs (distinct -> groupBy, 8-byte keys
          with map-side combine);
@@ -410,21 +413,28 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     dedup, this operator marks spans in place).
     """
     toks = tokens(F.col(text_col))
-    base = (df.select(F.col(id_col), toks.alias("w"))
+    base = (ensure_parallelism(df.select(F.col(id_col), text_col))
+            .select(F.col(id_col), toks.alias("w"))
             .withColumn("n_toks", F.size("w")))
 
     idx = F.when(F.col("n_toks") >= k,
                  F.sequence(F.lit(0), F.col("n_toks") - k)
                  ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(
-        idx,
-        lambda i: F.conv(F.substring(
-            F.md5(F.concat_ws(" ", F.slice(F.col("w"), i + 1, k))),
-            1, 15), 16, 10).cast("long"))
-    # stage the hash array (the MinHash CollapseProject lesson: one
-    # expensive projection, referenced once)
-    staged = base.select(id_col, "n_toks", hashes.alias("hs"))
-    sh = staged.select(id_col, F.posexplode("hs").alias("pos", "h"))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)))
+    # stage the shingle array (the MinHash CollapseProject lesson);
+    # hash post-explode so md5/conv run codegen'd, not in the lambda
+    staged = base.select(id_col, "n_toks", shingles.alias("ss"))
+    sh = (staged.select(id_col, F.posexplode("ss").alias("pos", "s"))
+          .select(id_col, "pos",
+                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                  .cast("long").alias("h")))
+    # sh feeds two branches (duplicated-hash census, join-back);
+    # persist so the tokenize+shingle+hash pass runs once, not twice —
+    # (id, pos, h) rows, token-count scale, MEMORY_AND_DISK spill
+    # (same MLlib-style internal persist as minhash_lsh_pairs)
+    from pyspark import StorageLevel
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
 
     dup_h = (sh.select(id_col, "h").distinct()
              .groupBy("h").agg(F.count("*").alias("n_docs"))
