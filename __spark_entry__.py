@@ -21,8 +21,12 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 98 queries / 96 oracle rows
-(docs_substring_dedup — exact duplicated-substring spans, Lee et al.
+Late round 2 pushed to 100 queries / 98 oracle rows
+(docs_token_budget — global greedy token-budget selection via the
+scalable two-phase prefix sum, no single-task window; bm25_search —
+Okapi BM25 corpus relevance, one stats row broadcast, map-only
+scoring, exact micro-units;
+docs_substring_dedup — exact duplicated-substring spans, Lee et al.
 2022 at k-token shingle granularity with gaps-and-islands merging;
 docs_pack_sequences — greedy next-fit packing into fixed-token
 training chunks, recursive-CTE oracle; semdedup_prune — SemDeDup
@@ -2202,6 +2206,15 @@ def _q_docs_pack_sequences(spark, sf_dir):
         "source", "doc_id", "n_tok", "chunk")
 
 
+def _q_bm25_search(spark, sf_dir):
+    """Okapi BM25 corpus relevance scores for the query "hash join
+    spark" — the retrieval scorer used to mine domain-relevant
+    subsets out of a crawl. One scan, one scalar stats row broadcast
+    back, map-only scoring; micro-rounded longs compare exactly."""
+    from tika_spark.analysis.textstats import bm25_scores
+    return bm25_scores(_docs(spark, sf_dir), "hash join spark")
+
+
 def _q_docs_token_budget(spark, sf_dir):
     """Global greedy token-budget selection ("best 15k tokens of the
     corpus" by n_chars score): the scalable two-phase prefix sum —
@@ -2537,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dedup": _q_docs_substring_dedup,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_token_budget": _q_docs_token_budget,
+        "bm25_search": _q_bm25_search,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3231,6 +3245,31 @@ def oracle_sql() -> dict[str, str]:
             "ELSE t.n_tok END AS acc "
             "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
             "SELECT source, doc_id, n_tok, chunk FROM r"),
+        "bm25_search": (
+            "WITH d AS (SELECT doc_id AS id, "
+            f"len({_TOKS})::DOUBLE AS dl, "
+            "len(list_filter(list_transform(regexp_split_to_array("
+            "trim(text), '\\s+'), y -> lower(y)), x -> x = 'hash'"
+            "))::DOUBLE AS tf0, "
+            "len(list_filter(list_transform(regexp_split_to_array("
+            "trim(text), '\\s+'), y -> lower(y)), x -> x = 'join'"
+            "))::DOUBLE AS tf1, "
+            "len(list_filter(list_transform(regexp_split_to_array("
+            "trim(text), '\\s+'), y -> lower(y)), x -> x = 'spark'"
+            "))::DOUBLE AS tf2 FROM documents), "
+            "s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, "
+            "sum((tf0 > 0)::INT)::DOUBLE AS df0, "
+            "sum((tf1 > 0)::INT)::DOUBLE AS df1, "
+            "sum((tf2 > 0)::INT)::DOUBLE AS df2 FROM d) "
+            "SELECT id, round(("
+            "ln((n-df0+0.5)/(df0+0.5)+1.0) * "
+            "(tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))) + "
+            "ln((n-df1+0.5)/(df1+0.5)+1.0) * "
+            "(tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))) + "
+            "ln((n-df2+0.5)/(df2+0.5)+1.0) * "
+            "(tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)))"
+            ") * 1000000)::BIGINT AS score_micro "
+            "FROM d, s WHERE tf0 + tf1 + tf2 > 0"),
         "docs_token_budget": (
             "WITH t AS (SELECT doc_id AS id, n_chars::BIGINT AS score, "
             f"len({_TOKS})::BIGINT AS n_tok FROM documents), "

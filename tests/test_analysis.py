@@ -482,3 +482,37 @@ def test_semdedup_max_cluster_caps_skew(spark):
     # one representative per sub-shard (ceil(300/50)=6 shards), not 1,
     # and crucially not 300: the cap bounds work, the prune still ran
     assert 1 <= len(kept) <= 6
+
+
+# ------------------------------------------------------------ BM25
+
+
+def test_bm25_scores_pinned(spark):
+    """Okapi BM25 against hand-computed values (k1=1.2, b=0.75)."""
+    import math
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog dog"), (3, "bird")],
+        "doc_id long, text string")
+    out = {r["id"]: r["score_micro"] for r in
+           textstats.bm25_scores(df, "cat").collect()}
+    # N=3, df(cat)=1, avgdl=(3+4+1)/3; doc1: tf=2, dl=3
+    n, dfc, avgdl = 3.0, 1.0, 8.0 / 3.0
+    idf = math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+    tf, dl = 2.0, 3.0
+    s1 = idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    assert out == {1: round(s1 * 1_000_000)}
+
+
+def test_bm25_multi_term_and_case(spark):
+    """Multi-term queries sum per-term scores; matching is
+    case-insensitive; repeated query terms count once."""
+    df = spark.createDataFrame(
+        [(1, "Alpha beta"), (2, "beta beta"), (3, "gamma")],
+        "doc_id long, text string")
+    one = {r["id"]: r["score_micro"] for r in
+           textstats.bm25_scores(df, "ALPHA alpha").collect()}
+    assert set(one) == {1}
+    both = {r["id"]: r["score_micro"] for r in
+            textstats.bm25_scores(df, "alpha beta").collect()}
+    assert set(both) == {1, 2}
+    assert both[1] > one[1]  # the beta term adds score

@@ -260,3 +260,65 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         lambda j: F.array_min(F.slice(F.col("hs"), j, w))))
     return (staged.select(F.col(id_col), F.explode(fps).alias("fp"))
             .distinct())
+
+
+def bm25_scores(df: DataFrame, query: str, k1: float = 1.2,
+                b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Corpus BM25 relevance scores for a query string (Robertson /
+    Sparck Jones probabilistic relevance, the Okapi BM25 form) — the
+    retrieval scorer a curation pipeline uses to mine domain-relevant
+    subsets ("pages about X") out of a crawl.
+
+      idf_t  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+      s(d)   = sum_t idf_t * tf / (tf + k1*(1 - b + b*dl/avgdl))
+               * (k1 + 1)
+
+    Emits (id, score_micro) for documents matching >= 1 query term.
+
+    Plan shape: per-doc term frequencies are per-row array
+    expressions over the handful of query terms (no explode of the
+    corpus vocabulary); the corpus statistics (N, avgdl, one df per
+    query term) are ONE partial-aggregatable agg row, broadcast back
+    by a cross join; scoring is then a map-only projection. Nothing
+    but the stats row ever shuffles — at 100 TB this is one scan +
+    one scalar-sized exchange. Scores are micro-rounded longs so the
+    cross-engine oracle compares exactly.
+    """
+    terms = []
+    for t in query.lower().split():
+        if t and t not in terms:
+            terms.append(t)
+    low = F.transform(tokens(F.col(text_col)), F.lower)
+
+    def tf_of(term):
+        # one-arg lambda: a second parameter would be read by
+        # F.filter as the element INDEX, not a closure slot
+        return F.size(F.filter(low, lambda x: x == F.lit(term)))
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.size(low).cast("double").alias("dl"),
+        *[tf_of(t).cast("double").alias(f"tf_{i}")
+          for i, t in enumerate(terms)])
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("double"))
+          .alias(f"df_{i}") for i in range(len(terms))])
+
+    scored = d.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5)) + F.lit(1.0))
+        score = score + idf * (F.col(f"tf_{i}") * F.lit(k1 + 1.0)
+                               / (F.col(f"tf_{i}") + norm))
+    return (scored
+            .filter(sum((F.col(f"tf_{i}") > 0).cast("int")
+                        for i in range(len(terms))) > 0)
+            .select("id", F.round(score * 1_000_000).cast("long")
+                    .alias("score_micro")))
