@@ -21,11 +21,13 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 100 queries / 98 oracle rows
+Late round 2 pushed to 101 queries / 99 oracle rows
 (docs_token_budget — global greedy token-budget selection via the
 scalable two-phase prefix sum, no single-task window; bm25_search —
 Okapi BM25 corpus relevance, one stats row broadcast, map-only
-scoring, exact micro-units;
+scoring, exact micro-units; docs_lm_perplexity — CCNet-style bigram
+LM perplexity filter, per-bigram micro-nat rounding keeps the
+distributed sum order-independent;
 docs_substring_dedup — exact duplicated-substring spans, Lee et al.
 2022 at k-token shingle granularity with gaps-and-islands merging;
 docs_pack_sequences — greedy next-fit packing into fixed-token
@@ -2206,6 +2208,16 @@ def _q_docs_pack_sequences(spark, sf_dir):
         "source", "doc_id", "n_tok", "chunk")
 
 
+def _q_docs_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter: a bigram add-alpha LM trained
+    distributed on the corpus scores each document's token sequence;
+    per-bigram micro-nat rounding before the sum keeps the distributed
+    aggregation order-independent and hash-exact."""
+    from tika_spark.analysis.curation import lm_perplexity
+    return lm_perplexity(_docs(spark, sf_dir)).select(
+        "id", "n_bigrams", "nll_micro")
+
+
 def _q_bm25_search(spark, sf_dir):
     """Okapi BM25 corpus relevance scores for the query "hash join
     spark" — the retrieval scorer used to mine domain-relevant
@@ -2551,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_token_budget": _q_docs_token_budget,
         "bm25_search": _q_bm25_search,
+        "docs_lm_perplexity": _q_docs_lm_perplexity,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3245,6 +3258,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE t.n_tok END AS acc "
             "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
             "SELECT source, doc_id, n_tok, chunk FROM r"),
+        "docs_lm_perplexity": (
+            "WITH t AS (SELECT doc_id AS id, "
+            "regexp_split_to_array(lower(trim(text)), '\\s+') AS w "
+            "FROM documents), "
+            "bg AS (SELECT id, w[i] AS w1, w[i+1] AS w2 FROM t, "
+            "unnest(generate_series(1, len(w)-1)) AS u(i) "
+            "WHERE len(w) >= 2), "
+            "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg "
+            "GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT w) AS v FROM "
+            "(SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)), "
+            "s AS (SELECT id, round(-ln((c2.c2 + 0.5) / "
+            "(c1.c1 + 0.5*v.v)) * 1000000)::BIGINT AS nll "
+            "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v), "
+            "a AS (SELECT id, count(*)::BIGINT AS n_bigrams, "
+            "sum(nll)::BIGINT AS nll_micro FROM s GROUP BY 1) "
+            "SELECT t.id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams, "
+            "coalesce(nll_micro, 0)::BIGINT AS nll_micro "
+            "FROM t LEFT JOIN a USING (id)"),
         "bm25_search": (
             "WITH d AS (SELECT doc_id AS id, "
             f"len({_TOKS})::DOUBLE AS dl, "

@@ -360,3 +360,35 @@ class TestTokenBudget:
         for m in re.finditer(r"Window .*partitionBy=\[\]", plan):
             raise AssertionError("global window found: " + m.group(0))
         assert "pid" in plan  # per-partition windows are keyed
+
+
+class TestLmPerplexity:
+    """Bigram add-alpha LM perplexity scoring (CCNet filter analog)."""
+
+    def test_pinned_probabilities(self, spark):
+        import math
+        from tika_spark.analysis.curation import lm_perplexity
+        # corpus: "a b" x2 and "a c" -> c(a b)=2, c(a c)=1,
+        # c_prefix(a)=3, V={a,b,c}=3, alpha=0.5
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in lm_perplexity(df).collect()}
+        p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+        p_ac = (1 + 0.5) / (3 + 0.5 * 3)
+        assert out[1]["nll_micro"] == round(-math.log(p_ab) * 1e6)
+        assert out[3]["nll_micro"] == round(-math.log(p_ac) * 1e6)
+        assert out[1]["nll_micro"] < out[3]["nll_micro"]  # rarer = worse
+        # sub-2-token docs: zero bigrams, still a row
+        assert out[4]["n_bigrams"] == 0 and out[4]["nll_micro"] == 0
+
+    def test_word_salad_scores_worse(self, spark):
+        from tika_spark.analysis.curation import lm_perplexity
+        common = [(i, "the quick brown fox jumps over the lazy dog")
+                  for i in range(20)]
+        salad = [(100, "dog the over fox quick lazy jumps brown the")]
+        df = spark.createDataFrame(
+            common + salad, "doc_id long, text string")
+        out = {r["id"]: r["nll_micro"] / max(r["n_bigrams"], 1)
+               for r in lm_perplexity(df).collect()}
+        assert out[100] > out[0]  # scrambled order is improbable

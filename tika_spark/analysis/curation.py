@@ -536,3 +536,72 @@ def select_token_budget(df: DataFrame, budget: int, score_col: str,
             .withColumn("cum_tok", F.col("off") + F.sum("n_tok").over(w))
             .filter(F.col("cum_tok") <= budget)
             .select("id", "score", "n_tok", "cum_tok"))
+
+
+# --------------------------------------------- LM perplexity filter --
+
+
+def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  alpha: float = 0.5) -> DataFrame:
+    """CCNet-style language-model perplexity scoring (Wenzek et al.
+    2020 filter corpora with a KenLM; this is the in-sandbox analog —
+    a bigram LM with add-alpha smoothing, trained distributed on the
+    corpus itself): documents whose token sequences the corpus LM
+    finds improbable (mojibake, word salad, boilerplate soup) score a
+    high negative log-likelihood and get filtered.
+
+      P(w2|w1) = (c(w1 w2) + alpha) / (c_prefix(w1) + alpha*V)
+      nll(doc) = sum over bigrams of -ln P   (micro-nats)
+
+    Emits (id, n_bigrams, nll_micro); callers threshold
+    nll_micro / n_bigrams.
+
+    Determinism at scale: each bigram's -ln P is rounded to integer
+    micro-nats BEFORE the per-document sum — integer addition is
+    order-independent, so the distributed aggregation hashes
+    identically on every run/engine (a double sum would depend on
+    join output order).
+
+    Shuffle profile: one explode of corpus bigrams; two count
+    groupBys over (bigram) / (prefix token) string keys with map-side
+    combine; two hash joins back on those keys; one per-doc sum.
+    Token-count-scale shuffles — inherent to corpus LM training; the
+    count tables are vocabulary-sized, never broadcast.
+    """
+    low = F.transform(tokens(F.col(text_col)), F.lower)
+    n = F.size(low)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)
+                 ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(low, (i + 1).cast("int")).alias("w1"),
+            F.element_at(low, (i + 2).cast("int")).alias("w2")))
+    base = df.select(F.col(id_col).alias("id"), pairs.alias("bg"))
+    bg = (base.select("id", F.explode("bg").alias("p"))
+          .select("id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    # bg feeds four consumers (two count tables, vocab, scoring join)
+    from pyspark import StorageLevel
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    c_bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c_pre = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (bg.select(F.col("w1").alias("w"))
+         .union(bg.select(F.col("w2").alias("w")))
+         .distinct().count())
+
+    scored = (bg.join(c_bi, ["w1", "w2"]).join(c_pre, "w1")
+              .select("id", F.round(-F.log(
+                  (F.col("c2") + F.lit(alpha))
+                  / (F.col("c1") + F.lit(alpha * v)))
+                  * 1_000_000).cast("long").alias("nll")))
+    agg = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("nll").alias("nll_micro"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("nll_micro", F.lit(0)).cast("long")
+                    .alias("nll_micro")))
