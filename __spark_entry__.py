@@ -21,7 +21,7 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 101 queries / 99 oracle rows
+Late round 2 pushed to 102 queries / 100 oracle rows
 (docs_token_budget — global greedy token-budget selection via the
 scalable two-phase prefix sum, no single-task window; bm25_search —
 Okapi BM25 corpus relevance, one stats row broadcast, map-only
@@ -2208,6 +2208,15 @@ def _q_docs_pack_sequences(spark, sf_dir):
         "source", "doc_id", "n_tok", "chunk")
 
 
+def _q_docs_mixture_weights(spark, sf_dir):
+    """Gopher/PaLM temperature data-mixing: per-source sampling
+    weights proportional to token_share^0.7, micro-integer
+    normalization (order-independent). One groupBy over 20 sources."""
+    from tika_spark.analysis.curation import mixture_weights
+    return mixture_weights(_docs(spark, sf_dir), tau=0.7).select(
+        "source", "n_docs", "n_tokens", "share_micro", "weight_micro")
+
+
 def _q_docs_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter: a bigram add-alpha LM trained
     distributed on the corpus scores each document's token sequence;
@@ -2564,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": _q_docs_token_budget,
         "bm25_search": _q_bm25_search,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
+        "docs_mixture_weights": _q_docs_mixture_weights,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3258,6 +3268,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE t.n_tok END AS acc "
             "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
             "SELECT source, doc_id, n_tok, chunk FROM r"),
+        "docs_mixture_weights": (
+            "WITH g AS (SELECT source, count(*)::BIGINT AS n_docs, "
+            f"sum(len({_TOKS}))::BIGINT AS n_tokens "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT sum(n_tokens)::DOUBLE AS t_all FROM g), "
+            "s AS (SELECT source, n_docs, n_tokens, "
+            "round(n_tokens / t_all * 1000000)::BIGINT AS share_micro, "
+            "round(pow(n_tokens / t_all, 0.7) * 1000000)::BIGINT "
+            "AS s_tau FROM g, t), "
+            "z AS (SELECT sum(s_tau)::DOUBLE AS z FROM s) "
+            "SELECT source, n_docs, n_tokens, share_micro, "
+            "round(s_tau / z * 1000000)::BIGINT AS weight_micro "
+            "FROM s, z"),
         "docs_lm_perplexity": (
             "WITH t AS (SELECT doc_id AS id, "
             "regexp_split_to_array(lower(trim(text)), '\\s+') AS w "

@@ -392,3 +392,33 @@ class TestLmPerplexity:
         out = {r["id"]: r["nll_micro"] / max(r["n_bigrams"], 1)
                for r in lm_perplexity(df).collect()}
         assert out[100] > out[0]  # scrambled order is improbable
+
+
+class TestMixtureWeights:
+    """Temperature data-mixing weights (token_share^tau)."""
+
+    def test_tau_upweights_small_sources(self, spark):
+        from tika_spark.analysis.curation import mixture_weights
+        df = spark.createDataFrame(
+            [("big", i, "w " * 90) for i in range(9)]
+            + [("small", 100, "w " * 90)],
+            "source string, doc_id long, text string")
+        w = {r["source"]: r for r in
+             mixture_weights(df, tau=0.5).collect()}
+        # natural shares 0.9 / 0.1 -> sqrt-scaled ~0.75 / 0.25
+        assert w["big"]["share_micro"] == 900000
+        assert w["small"]["share_micro"] == 100000
+        assert w["small"]["weight_micro"] > 100000  # upweighted
+        assert w["big"]["weight_micro"] < 900000    # downweighted
+        total = w["big"]["weight_micro"] + w["small"]["weight_micro"]
+        assert abs(total - 1_000_000) <= 2  # micro-rounding slack
+
+    def test_tau_one_is_natural(self, spark):
+        from tika_spark.analysis.curation import mixture_weights
+        df = spark.createDataFrame(
+            [("a", 1, "x y z"), ("b", 2, "x"), ("b", 3, "x x")],
+            "source string, doc_id long, text string")
+        w = {r["source"]: r for r in
+             mixture_weights(df, tau=1.0).collect()}
+        assert w["a"]["weight_micro"] == w["a"]["share_micro"] == 500000
+        assert w["b"]["n_tokens"] == 3

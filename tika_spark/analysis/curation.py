@@ -605,3 +605,49 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
                     .alias("n_bigrams"),
                     F.coalesce("nll_micro", F.lit(0)).cast("long")
                     .alias("nll_micro")))
+
+
+# ----------------------------------------------- mixture weights --
+
+
+def mixture_weights(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text",
+                    tau: float = 0.7) -> DataFrame:
+    """Temperature-scaled data-mixing weights (the Gopher/PaLM
+    recipe): per source-group sampling weight proportional to its
+    token share raised to ``tau`` — tau < 1 upweights small
+    high-quality sources against the web-crawl mass, tau = 1 is
+    natural sampling. Emits per group:
+
+      n_docs, n_tokens, share_micro (natural token share),
+      weight_micro (temperature-scaled, sums to ~1e6)
+
+    Exactness: the scaled shares are rounded to integer micro-units
+    BEFORE normalization, and the normalizer is their integer sum —
+    no cross-engine float-summation-order hazard (pow/division are
+    reproducible IEEE one-liners; only sums are order-sensitive).
+
+    Scale: one partial-aggregatable groupBy to group-count rows, then
+    a broadcast of the group-sized table onto itself — group counts
+    are mixture-table sized (10s-1000s of rows), trivially
+    broadcastable.
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long")
+        .alias("n_tokens"))
+    tot = g.agg(F.sum("n_tokens").alias("t_all"))
+    scaled = (g.crossJoin(F.broadcast(tot))
+              .withColumn("share_micro",
+                          F.round(F.col("n_tokens") / F.col("t_all")
+                                  * 1_000_000).cast("long"))
+              .withColumn("s_tau",
+                          F.round(F.pow(F.col("n_tokens")
+                                        / F.col("t_all"), F.lit(tau))
+                                  * 1_000_000).cast("long")))
+    norm = scaled.agg(F.sum("s_tau").alias("z"))
+    return (scaled.crossJoin(F.broadcast(norm))
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    "n_tokens", "share_micro",
+                    F.round(F.col("s_tau") / F.col("z") * 1_000_000)
+                    .cast("long").alias("weight_micro")))
