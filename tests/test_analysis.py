@@ -516,3 +516,8 @@ def test_bm25_multi_term_and_case(spark):
             textstats.bm25_scores(df, "alpha beta").collect()}
     assert set(both) == {1, 2}
     assert both[1] > one[1]  # the beta term adds score
+
+
+def test_bm25_empty_query_matches_nothing(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert textstats.bm25_scores(df, "   ").count() == 0

@@ -289,6 +289,10 @@ def bm25_scores(df: DataFrame, query: str, k1: float = 1.2,
     for t in query.lower().split():
         if t and t not in terms:
             terms.append(t)
+    if not terms:  # empty query matches nothing
+        return (df.select(F.col(id_col).alias("id"),
+                          F.lit(0).cast("long").alias("score_micro"))
+                .filter(F.lit(False)))
     low = F.transform(tokens(F.col(text_col)), F.lower)
 
     def tf_of(term):
