@@ -521,3 +521,78 @@ def test_bm25_multi_term_and_case(spark):
 def test_bm25_empty_query_matches_nothing(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert textstats.bm25_scores(df, "   ").count() == 0
+
+
+def test_substring_spans_match_bruteforce_reference(spark):
+    """Randomized corpus (seeded): the distributed operator agrees
+    with a direct per-doc Python computation of duplicated-span
+    merging."""
+    import random
+    rng = random.Random(42)
+    vocab = ["w%d" % i for i in range(12)]  # tiny vocab -> collisions
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 15)))
+             for i in range(120)}
+    k = 3
+
+    def shingles(t):
+        toks = t.split()
+        return [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    docs_of = {}
+    for i, t in texts.items():
+        for s in shingles(t):
+            docs_of.setdefault(s, set()).add(i)
+    expected = {}
+    for i, t in texts.items():
+        toks = t.split()
+        pos = [p for p, s in enumerate(shingles(t))
+               if len(docs_of[s]) >= 2]
+        n_spans = cov = 0
+        end = -1
+        for p in pos:
+            if p >= end:
+                n_spans += 1
+                cov += k
+            else:
+                cov += p + k - end
+            end = p + k
+        expected[i] = (len(toks) if t.split() else len(t.split()),
+                       n_spans, cov)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()],
+        "doc_id long, text string").repartition(7)
+    got = {r["doc_id"]: (r["n_toks"], r["n_dup_spans"], r["dup_tokens"])
+           for r in dedup.substring_dup_spans(df, k=k).collect()}
+    for i in texts:
+        n_toks = len(texts[i].split())
+        # empty text tokenizes to one '' token in Spark's split(trim)
+        want_toks = max(n_toks, 1)
+        assert got[i] == (want_toks, expected[i][1], expected[i][2]), i
+
+
+def test_pack_sequences_matches_reference(spark):
+    import random
+    from tika_spark.analysis.curation import pack_sequences
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 4), i, "t " * rng.randint(1, 30))
+            for i in range(150)]
+    budget = 40
+    expected = {}
+    for gname in {r[0] for r in rows}:
+        chunk, acc = 0, budget
+        for _, i, t in sorted((r for r in rows if r[0] == gname),
+                              key=lambda r: r[1]):
+            nt = len(t.split())
+            if acc + nt <= budget:
+                acc += nt
+            else:
+                chunk += 1
+                acc = nt
+            expected[i] = chunk
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, text string").repartition(9)
+    got = {r["doc_id"]: r["chunk"] for r in
+           pack_sequences(df, budget=budget).collect()}
+    assert got == expected
