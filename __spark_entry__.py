@@ -21,7 +21,7 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 102 queries / 100 oracle rows
+Late round 2 pushed to 103 queries / 101 oracle rows
 (docs_token_budget — global greedy token-budget selection via the
 scalable two-phase prefix sum, no single-task window; bm25_search —
 Okapi BM25 corpus relevance, one stats row broadcast, map-only
@@ -2208,6 +2208,16 @@ def _q_docs_pack_sequences(spark, sf_dir):
         "source", "doc_id", "n_tok", "chunk")
 
 
+def _q_docs_split_long(spark, sf_dir):
+    """Long-document splitting into overlapping 32-token context
+    chunks (stride 24): the complement of sequence packing. Pure
+    per-row array expressions — zero exchanges added to the plan."""
+    from tika_spark.analysis.curation import split_long_docs
+    return split_long_docs(_docs(spark, sf_dir), max_tokens=32,
+                           overlap=8).select(
+        "id", "chunk_idx", "n_tok", "chunk_text")
+
+
 def _q_docs_mixture_weights(spark, sf_dir):
     """Gopher/PaLM temperature data-mixing: per-source sampling
     weights proportional to token_share^0.7, micro-integer
@@ -2574,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_mixture_weights": _q_docs_mixture_weights,
+        "docs_split_long": _q_docs_split_long,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3268,6 +3279,17 @@ def oracle_sql() -> dict[str, str]:
             "ELSE t.n_tok END AS acc "
             "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
             "SELECT source, doc_id, n_tok, chunk FROM r"),
+        "docs_split_long": (
+            "WITH t AS (SELECT doc_id AS id, "
+            f"{_TOKS} AS w FROM documents), "
+            "c AS (SELECT id, w, CASE WHEN len(w) <= 32 THEN 1 "
+            "ELSE ceil((len(w) - 8)::DOUBLE / 24)::INT END AS nc "
+            "FROM t) "
+            "SELECT id, (i - 1)::BIGINT AS chunk_idx, "
+            "least(len(w) - (i-1)*24, 32)::BIGINT AS n_tok, "
+            "array_to_string(w[(i-1)*24 + 1 : (i-1)*24 + 32], ' ') "
+            "AS chunk_text "
+            "FROM c, unnest(generate_series(1, nc)) AS u(i)"),
         "docs_mixture_weights": (
             "WITH g AS (SELECT source, count(*)::BIGINT AS n_docs, "
             f"sum(len({_TOKS}))::BIGINT AS n_tokens "

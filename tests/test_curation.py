@@ -422,3 +422,38 @@ class TestMixtureWeights:
              mixture_weights(df, tau=1.0).collect()}
         assert w["a"]["weight_micro"] == w["a"]["share_micro"] == 500000
         assert w["b"]["n_tokens"] == 3
+
+
+class TestSplitLongDocs:
+    def test_window_boundaries_and_overlap(self, spark):
+        from tika_spark.analysis.curation import split_long_docs
+        text = " ".join("t%d" % i for i in range(25))
+        df = spark.createDataFrame(
+            [(1, text), (2, "a b c")], "doc_id long, text string")
+        out = sorted(split_long_docs(df, max_tokens=10, overlap=2)
+                     .collect(), key=lambda r: (r["id"], r["chunk_idx"]))
+        one = [r for r in out if r["id"] == 1]
+        # stride 8: starts 0, 8, 16 -> sizes 10, 10, 9
+        assert [r["n_tok"] for r in one] == [10, 10, 9]
+        assert one[1]["chunk_text"].split()[:2] == ["t8", "t9"]
+        # every token index covered, consecutive chunks overlap by 2
+        assert one[2]["chunk_text"].split()[-1] == "t24"
+        short = [r for r in out if r["id"] == 2]
+        assert len(short) == 1 and short[0]["n_tok"] == 3
+
+    def test_exact_limit_single_chunk(self, spark):
+        from tika_spark.analysis.curation import split_long_docs
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 11))],
+            "doc_id long, text string")
+        out = split_long_docs(df, max_tokens=10, overlap=2)
+        counts = {r[0]: 0 for r in [(1,), (2,)]}
+        for r in out.collect():
+            counts[r["id"]] += 1
+        assert counts == {1: 1, 2: 2}
+
+    def test_bad_overlap_rejected(self, spark):
+        from tika_spark.analysis.curation import split_long_docs
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            split_long_docs(df, max_tokens=8, overlap=8)

@@ -651,3 +651,45 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
                     "n_tokens", "share_micro",
                     F.round(F.col("s_tau") / F.col("z") * 1_000_000)
                     .cast("long").alias("weight_micro")))
+
+
+# ------------------------------------------------- long-doc split --
+
+
+def split_long_docs(df: DataFrame, max_tokens: int = 2048,
+                    overlap: int = 128, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents over the context limit into overlapping
+    token-window chunks — the complement of ``pack_sequences``
+    (packing folds short docs together; this cuts long docs down).
+    Chunk i starts at token i*(max_tokens-overlap); the final chunk
+    is whatever remains (>= 1 token). Docs within the limit pass
+    through as their own single chunk. Emits
+    (id, chunk_idx, n_tok, chunk_text).
+
+    Pure per-row array expressions (sequence -> slice -> concat_ws):
+    zero shuffle, stays in the scan stage — at 100 TB this adds no
+    exchange to the curation plan, only output rows.
+    """
+    stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than max_tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= max_tokens, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(overlap)) / F.lit(stride))
+                .cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.least(n - i * stride, F.lit(max_tokens)).cast("long")
+            .alias("n_tok"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, max_tokens))
+            .alias("chunk_text")))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(chunks).alias("c"))
+            .select("id", F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.col("c.n_tok").alias("n_tok"),
+                    F.col("c.chunk_text").alias("chunk_text")))
