@@ -21,8 +21,12 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 103 queries / 101 oracle rows
-(docs_token_budget — global greedy token-budget selection via the
+Late round 2 pushed to 104 queries / 102 oracle rows
+(pipeline_extract_curate — the extraction chain composed with token
+counts, fingerprints, and exact-dedup representative election in ONE
+plan, oracle replaying the curation SQL over the known extraction
+output;
+docs_token_budget — global greedy token-budget selection via the
 scalable two-phase prefix sum, no single-task window; bm25_search —
 Okapi BM25 corpus relevance, one stats row broadcast, map-only
 scoring, exact micro-units; docs_lm_perplexity — CCNet-style bigram
@@ -2208,6 +2212,37 @@ def _q_docs_pack_sequences(spark, sf_dir):
         "source", "doc_id", "n_tok", "chunk")
 
 
+def _q_pipeline_extract_curate(spark, sf_dir):
+    """End-to-end crawl-to-corpus composition in ONE plan: HTML pages
+    (doc_id%3==0 rows carry one of 7 duplicated bodies) go through the
+    full detect→parse→serialize extraction chain, then straight into
+    the curation layer — token counts, md5 fingerprints, exact-dedup
+    representative election — without materializing in between. The
+    oracle replays the curation SQL over the known extraction output
+    (extracted text = body text + trailing newline), so the compose
+    seam itself is what the hash checks."""
+    from tika_spark.analysis.textstats import fingerprint, token_count
+    from tika_spark.pipeline.job import extract
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("duplicated wire copy group "),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        _html_wrap().alias("html"))
+    from pyspark.sql import Window
+    extracted = extract(pages, mode="text").select("url", "text")
+    curated = fingerprint(
+        extracted.withColumn("n_tokens", token_count(F.col("text"))))
+    w = Window.partitionBy("fp_64", "fp_md5").orderBy(F.asc("url"))
+    return (curated.withColumn(
+        "is_rep", F.row_number().over(w) == 1)
+        .select("url", F.col("n_tokens").cast("long").alias("n_tokens"),
+                "fp_md5", "is_rep"))
+
+
 def _q_docs_split_long(spark, sf_dir):
     """Long-document splitting into overlapping 32-token context
     chunks (stride 24): the complement of sequence packing. Pure
@@ -2585,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
+        "pipeline_extract_curate": _q_pipeline_extract_curate,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
@@ -3279,6 +3315,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE t.n_tok END AS acc "
             "FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1) "
             "SELECT source, doc_id, n_tok, chunk FROM r"),
+        "pipeline_extract_curate": (
+            "WITH e AS (SELECT 'doc://' || doc_id AS url, "
+            "(CASE WHEN doc_id % 3 = 0 THEN "
+            "'duplicated wire copy group ' || (doc_id % 7) "
+            "ELSE text END) || chr(10) AS text FROM documents), "
+            "c AS (SELECT url, "
+            "len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT "
+            "AS n_tokens, "
+            "md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+            "AS fp_md5 FROM e) "
+            "SELECT url, n_tokens, fp_md5, "
+            "row_number() OVER (PARTITION BY fp_md5 ORDER BY url) = 1 "
+            "AS is_rep FROM c"),
         "docs_split_long": (
             "WITH t AS (SELECT doc_id AS id, "
             f"{_TOKS} AS w FROM documents), "
