@@ -141,3 +141,13 @@ def test_latin_family_statistical():
                + SEED_TEXT[lang] + "</p></body></html>").encode(
                    codec, "ignore")
         assert detect_statistical(raw) == codec, (codec, lang)
+
+
+def test_czech_romanian_8859_2():
+    """CharsetRecog_8859_2_cs / _ro parity: Czech and Romanian
+    high-byte bigrams recognize the central-European layout."""
+    from tika_spark.language.corpus import SEED_TEXT
+    for lang in ("cs", "ro"):
+        sample = SEED_TEXT[lang][:600]
+        got = detect_statistical(sample.encode("iso-8859-2", "ignore"))
+        assert got in ("iso-8859-2", "windows-1250"), (lang, got)

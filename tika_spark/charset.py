@@ -355,8 +355,8 @@ _SBCS_NGRAM_CODECS = (
     ("cp866", ("ru",)),
     ("iso-8859-7", ("el",)),
     ("windows-1253", ("el",)),
-    ("iso-8859-2", ("pl", "hu", "sk", "sl")),
-    ("windows-1250", ("pl", "hu", "sk", "sl")),
+    ("iso-8859-2", ("pl", "hu", "sk", "sl", "cs", "ro")),
+    ("windows-1250", ("pl", "hu", "sk", "sl", "cs", "ro")),
     ("tis-620", ("th",)),
     # widened toward CharsetRecog_sbcs.java's 20 recognizers
     # (VERDICT r1 task 7): Arabic, Hebrew, Turkish layouts
