@@ -21,8 +21,11 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 104 queries / 102 oracle rows
-(pipeline_extract_curate — the extraction chain composed with token
+Late round 2 pushed to 105 queries / 103 oracle rows
+(streaming_neardup_recall — MinHash band buckets as streaming
+GroupState; every exact Jaccard pair connects in the replayed
+candidate graph; pipeline_extract_curate — the extraction chain
+composed with token
 counts, fingerprints, and exact-dedup representative election in ONE
 plan, oracle replaying the curation SQL over the known extraction
 output;
@@ -2019,6 +2022,40 @@ def _q_streaming_dedup_fp(spark, sf_dir):
     return spark.table(name).select("fp_md5").distinct()
 
 
+def _q_streaming_neardup_recall(spark, sf_dir):
+    """Streaming near-dup (MinHash bucket GroupState) recall vs the
+    exact answer: every true pair (shingle Jaccard >= 0.12, the same
+    set the batch dedup_minhash_lsh oracle pins) must be connected in
+    the replayed stream's candidate graph — both endpoints of a true
+    pair share a band bucket, so both link to that bucket's
+    first-seen anchor."""
+    from tika_spark.analysis.dedup import (connected_components,
+                                           minhash_lsh_pairs)
+    from tika_spark.streaming.stateful import neardup_stream
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+              .parquet(_stream_dir(sf_dir, "documents")))
+    name = "stream_neardup"
+    q = (neardup_stream(stream, timeout_ms=None)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    cands = (spark.table(name).select("id_a", "id_b").distinct())
+    comp = connected_components(cands)
+    exact = minhash_lsh_pairs(_docs(spark, sf_dir),
+                              threshold=0.12).select("id_a", "id_b")
+    ca = comp.select(F.col("id").alias("id_a"),
+                     F.col("cluster").alias("ca"))
+    cb = comp.select(F.col("id").alias("id_b"),
+                     F.col("cluster").alias("cb"))
+    return (exact.join(ca, "id_a", "left").join(cb, "id_b", "left")
+            .select("id_a", "id_b",
+                    (F.col("ca").isNotNull()
+                     & (F.col("ca") == F.col("cb"))).alias("found")))
+
+
 def _q_streaming_sessionize(spark, sf_dir):
     """applyInPandasWithState oracle: gap sessionization over the
     replayed events stream with NoTimeout — only gap-closed sessions
@@ -2599,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_unknown_fallback": _q_extract_unknown_fallback,
         "streaming_event_census": _q_streaming_event_census,
         "streaming_dedup_fp": _q_streaming_dedup_fp,
+        "streaming_neardup_recall": _q_streaming_neardup_recall,
         "fingerprint_winnow": _q_fingerprint_winnow,
         "streaming_sessionize": _q_streaming_sessionize,
         "token_count_bpe": _q_token_count_bpe,
@@ -2851,6 +2889,16 @@ def oracle_sql() -> dict[str, str]:
             "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
             "* 1000000) AS BIGINT) AS sim_micro "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang "
+            "WHERE CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
+            "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
+            "* 1000000) AS BIGINT) >= 120000"),
+        "streaming_neardup_recall": (
+            "WITH s AS (SELECT doc_id, "
+            f"{_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS w "
+            "FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "TRUE AS found "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
             "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
             "* 1000000) AS BIGINT) >= 120000"),

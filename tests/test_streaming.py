@@ -148,3 +148,91 @@ def test_dedup_stream_keeps_first_per_fingerprint(spark, tmp_path):
     assert "u2" in got
     assert len(got) == 2
     assert got & {"u0", "u1"}
+
+
+def test_neardup_stream_covers_batch_candidates(spark, tmp_path):
+    """Streaming MinHash bucket state finds every candidate pair the
+    batch banded-LSH generator finds on the same static corpus
+    (identical signatures + band hashes => identical buckets)."""
+    import pyspark.sql.functions as F
+    from tika_spark.analysis.dedup import minhash_lsh_pairs
+    from tika_spark.streaming.stateful import neardup_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    import random
+    rng = random.Random(3)
+    rows = []
+    for i in range(6):  # three near-identical docs + three distinct
+        if i < 3:
+            rows.append((i, base + " variant"))
+        else:
+            words = ["tok%d_%d" % (i, rng.randint(0, 10**6))
+                     for _ in range(20)]
+            rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "nd_in")
+    df.write.parquet(inp)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(inp))
+    out = neardup_stream(stream, timeout_ms=None)
+    name = "nd_stream"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.table(name).select("id_a", "id_b").collect()}
+
+    batch = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert batch  # the three variants do pair up
+
+    def components(pairs, nodes=6):
+        parent = list(range(nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        return {frozenset(i for i in range(nodes)
+                          if find(i) == find(r))
+                for r in range(nodes) if find(r) == r}
+
+    # the streaming candidates are star-shaped per bucket (anchor =
+    # first-seen), so pairwise sets differ — the dup CLUSTERS must
+    # agree with the batch generator's
+    assert components(got) == components(batch)
+    # distinct docs never pair with the variants or each other
+    assert got <= {(a, b) for a in range(3) for b in range(3) if a < b}
+
+
+def test_neardup_stream_bucket_cap(spark, tmp_path):
+    """max_bucket stops emission: 50 identical docs emit at most
+    max_bucket pairs per band bucket, not 49 per bucket."""
+    from tika_spark.streaming.stateful import neardup_stream
+    df = spark.createDataFrame(
+        [(i, "same words everywhere again and again repeated")
+         for i in range(50)], "doc_id long, text string")
+    inp = str(tmp_path / "cap_in")
+    df.write.parquet(inp)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(inp))
+    out = neardup_stream(stream, max_bucket=5, timeout_ms=None)
+    name = "nd_cap"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    rows = spark.table(name).collect()
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault((r["band"], r["bhash"]), 0)
+        per_bucket[(r["band"], r["bhash"])] += 1
+    assert per_bucket and all(v <= 5 for v in per_bucket.values())
+    # all pairs anchor on the bucket representative (doc 0)
+    assert {r["id_a"] for r in rows} == {0}

@@ -151,6 +151,19 @@ def with_minhash_signature(df: DataFrame, text_col: str,
     return out if keep_shingles else out.drop(sh_col)
 
 
+def band_hashes(num_perm: int, bands: int,
+                sig_col: str = "sig") -> Column:
+    """Banded-LSH bucket hashes of a MinHash signature column: one
+    xxhash64 per ``bands`` slice of ``num_perm // bands`` rows. Shared
+    by the batch pair generator and the streaming bucket state so both
+    land identical documents in identical buckets."""
+    r = num_perm // bands
+    return F.array(*[
+        F.xxhash64(F.lit(bi), *[F.element_at(sig_col, bi * r + j + 1)
+                                for j in range(r)])
+        for bi in range(bands)])
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       num_perm: int = 32, bands: int = 8,
@@ -167,7 +180,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
          (viral-content skew guard), distinct (small)
       4. verify join back to shingle sets for candidate ids only
     """
-    r = num_perm // bands
     base = with_minhash_signature(
         ensure_parallelism(df.select(F.col(id_col).alias("id"),
                                      F.col(text_col))),
@@ -178,12 +190,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # persist; evicted under memory pressure, safe either way)
     from pyspark import StorageLevel
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    bandcols = F.array(*[
-        F.xxhash64(F.lit(bi), *[F.element_at("sig", bi * r + j + 1)
-                                for j in range(r)])
-        for bi in range(bands)])
-    buckets = (base.select("id", F.posexplode(bandcols)
-                           .alias("band", "bhash")))
+    buckets = (base.select("id", F.posexplode(
+        band_hashes(num_perm, bands)).alias("band", "bhash")))
     grouped = (buckets.groupBy("band", "bhash")
                .agg(F.slice(F.sort_array(F.collect_list("id")), 1,
                             max_bucket).alias("ids"))

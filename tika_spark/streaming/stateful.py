@@ -158,3 +158,100 @@ def dedup_stream(docs_stream: DataFrame, ts_col: str = "warc_ts",
     fp = fingerprint(docs_stream, text_col)
     return (fp.withWatermark(ts_col, late)
               .dropDuplicatesWithinWatermark(["fp_64", "fp_md5"]))
+
+
+# -------------------------------------------- streaming near-dup
+
+
+_BUCKET_STATE = "first_id long, n_seen int"
+_CAND_SCHEMA = "id_a long, id_b long, band int, bhash long"
+
+
+def _make_bucket_stater(max_bucket: int, timeout_ms: int | None):
+    def stater(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        band, bhash = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "band": pd.Series(dtype="int32"),
+                 "bhash": pd.Series(dtype="int64")})
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["id"])
+        # deterministic under replay: process this batch's arrivals
+        # in id order (streams deliver per-batch, not per-row, order)
+        ids.sort()
+        if state.exists:
+            first, n_seen = state.get
+        else:
+            first, n_seen = ids[0], 0
+        out_a, out_b = [], []
+        for i in ids:
+            if i == first:
+                continue
+            if n_seen >= max_bucket:
+                break  # viral-bucket cap: stop emitting, keep state
+            out_a.append(min(first, i))
+            out_b.append(max(first, i))
+            n_seen += 1
+        state.update((first, n_seen))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                            "band": [band] * len(out_a),
+                            "bhash": [bhash] * len(out_a)})
+    return stater
+
+
+def neardup_stream(docs_stream: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3,
+                   num_perm: int = 32, bands: int = 8,
+                   max_bucket: int = 1000,
+                   timeout_ms: int | None = 3_600_000) -> DataFrame:
+    """Streaming near-duplicate candidates: the batch MinHash banded
+    LSH (analysis.dedup) as continuous bucket state.
+
+    Each arriving document computes its MinHash signature map-side
+    (the identical projection the batch operator uses, so batch and
+    stream land documents in identical buckets), explodes into
+    (band, bhash) bucket keys, and probes per-bucket GroupState
+    holding (first-seen id, emit count): a document landing in a
+    non-empty bucket emits a candidate pair against the bucket's
+    representative. Downstream verifies candidates exactly (the batch
+    verify join in a foreachBatch, or offline).
+
+    Scale contract mirrors the batch operator: state is one tuple per
+    distinct bucket (evicted after ``timeout_ms`` idle — the
+    duplicate horizon), emissions per bucket capped at ``max_bucket``
+    (viral-boilerplate guard), and only (band, bhash, id) ever
+    shuffles. Distinct pairs may repeat across bands — dedup
+    downstream, as the batch `.distinct()` does.
+
+    Determinism: within one micro-batch a bucket's arrivals are
+    processed in id order, so an availableNow replay of a static
+    snapshot emits a pure function of the data (the configuration the
+    recall check runs).
+    """
+    from tika_spark.analysis.dedup import (band_hashes,
+                                           with_minhash_signature)
+    sig = with_minhash_signature(
+        docs_stream.select(F.col(id_col).alias("id"),
+                           F.col(text_col)),
+        text_col, num_perm, k).drop(text_col)
+    buckets = sig.select(
+        "id", F.posexplode(band_hashes(num_perm, bands))
+        .alias("band", "bhash"))
+    conf = (GroupStateTimeout.NoTimeout if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout)
+    return (buckets
+            .groupBy("band", "bhash")
+            .applyInPandasWithState(
+                _make_bucket_stater(max_bucket, timeout_ms),
+                outputStructType=_CAND_SCHEMA,
+                stateStructType=_BUCKET_STATE,
+                outputMode="append",
+                timeoutConf=conf))
