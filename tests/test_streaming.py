@@ -236,3 +236,53 @@ def test_neardup_stream_bucket_cap(spark, tmp_path):
     assert per_bucket and all(v <= 5 for v in per_bucket.values())
     # all pairs anchor on the bucket representative (doc 0)
     assert {r["id_a"] for r in rows} == {0}
+
+
+def test_curate_stream_incremental_dedup(spark, tmp_path):
+    """The incremental crawl-to-corpus pipeline: batch 2's re-crawled
+    pages (same body text, new urls) are dropped by the persistent
+    fingerprint index; genuinely new pages are admitted and scrubbed."""
+    import pandas as pd
+    from tika_spark.streaming.ingest import curate_stream
+
+    inp = str(tmp_path / "c_in")
+    out = str(tmp_path / "c_out")
+    idx = str(tmp_path / "c_idx")
+    ckpt = str(tmp_path / "c_ckpt")
+
+    def page(i, body):
+        html = ("<html><head><title>P%d</title></head><body><p>%s"
+                "</p></body></html>" % (i, body)).encode()
+        return {"url": "http://s/%d" % i,
+                "warc_ts": pd.Timestamp("2026-01-17"), "html": html}
+
+    def drain():
+        q = curate_stream(spark, inp, out, idx, ckpt,
+                          trigger_available_now=True)
+        q.awaitTermination(180)
+        q.stop()
+
+    # batch 1: three distinct pages, one with an email address
+    b1 = pd.DataFrame([page(0, "alpha body text"),
+                       (page(1, "beta body reach me at a@b.org")),
+                       page(2, "gamma body text")])
+    spark.createDataFrame(b1).coalesce(1).write.mode("append") \
+        .parquet(inp)
+    drain()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 3
+    scrub = got1.filter("url = 'http://s/1'").first()
+    assert "<EMAIL>" in scrub["text"] and "a@b.org" not in scrub["text"]
+
+    # batch 2: a re-crawl of page 0's body under a new url + one new
+    b2 = pd.DataFrame([page(10, "alpha body text"),
+                       page(11, "delta fresh page")])
+    spark.createDataFrame(b2).coalesce(1).write.mode("append") \
+        .parquet(inp)
+    drain()
+    got2 = spark.read.parquet(out)
+    urls = {r["url"] for r in got2.select("url").collect()}
+    assert urls == {"http://s/0", "http://s/1", "http://s/2",
+                    "http://s/11"}  # 10 deduped against the index
+    # the index accumulated exactly the admitted fingerprints
+    assert spark.read.parquet(idx).count() == 4

@@ -54,3 +54,76 @@ def extract_stream(spark: SparkSession, input_dir: str, output_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curate_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                  index_dir: str, checkpoint_dir: str,
+                  mode: str = "text",
+                  schema: str = ("url string, warc_ts timestamp, "
+                                 "html binary"),
+                  max_files_per_trigger: int = 16,
+                  config: ExtractConfig | None = None,
+                  trigger_available_now: bool = False):
+    """The incremental crawl-to-corpus pipeline in one streaming
+    query: extract → PII scrub → exact dedup against everything ever
+    admitted → append. Per micro-batch (foreachBatch):
+
+      1. the identical batch ``extract()`` job (one code path);
+      2. FineWeb-style PII scrub over the extracted text;
+      3. fingerprint, then ``snapshot_delta_dedup`` against the
+         persistent fingerprint index at ``index_dir`` — documents
+         whose normalized text ever appeared in ANY prior batch (or
+         earlier in this one) are dropped;
+      4. survivors append to ``output_dir``; their fingerprints
+         append to the index.
+
+    The index holds (fp_64, fp_md5) only — 24 bytes per admitted doc,
+    ~24 GB per 10^9 docs: broadcast- or shuffle-joinable forever,
+    which is why recurring crawls never re-read old text (the same
+    contract as the batch ``snapshot_delta_dedup``). Exactly-once:
+    the streaming checkpoint tracks file offsets; a replayed batch
+    re-runs steps 1-3 against the same index state it saw, and the
+    delta-dedup makes the re-append idempotent at the corpus level
+    (same fingerprints drop out).
+    """
+    import os
+
+    from tika_spark.analysis.curation import (pii_scrub,
+                                              snapshot_delta_dedup)
+
+    pages = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .parquet(input_dir))
+
+    def process(batch_df, batch_id: int):
+        out = extract(batch_df, mode=mode, config=config)
+        scrubbed = (pii_scrub(out.filter(F.col("status") == "ok"),
+                              text_col="text")
+                    .drop("text")
+                    .withColumnRenamed("text_scrubbed", "text"))
+        if os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)):
+            seen = spark.read.parquet(index_dir) \
+                .select("fp_64", "fp_md5")
+        else:
+            seen = spark.createDataFrame(
+                [], "fp_64 long, fp_md5 string")
+        # survivors: (url, fp_64, fp_md5) — new against the whole
+        # admitted corpus AND first-per-fingerprint within the batch
+        fresh = snapshot_delta_dedup(scrubbed, seen, id_col="url",
+                                     text_col="text").persist()
+        try:
+            kept = scrubbed.join(fresh.select("url"), "url")
+            (kept.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(output_dir))
+            (fresh.select("fp_64", "fp_md5")
+                  .write.mode("append").parquet(index_dir))
+        finally:
+            fresh.unpersist()
+
+    writer = (pages.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
