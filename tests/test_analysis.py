@@ -596,3 +596,24 @@ def test_pack_sequences_matches_reference(spark):
     got = {r["doc_id"]: r["chunk"] for r in
            pack_sequences(df, budget=budget).collect()}
     assert got == expected
+
+
+def test_curation_cli_runner(spark, tmp_path):
+    """The corpus-layer batch driver writes one parquet dir per op."""
+    import argparse
+
+    from tika_spark.analysis.runner import run
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "some words here %d" % (i % 5))
+         for i in range(20)],
+        "doc_id long, source string, text string").write.parquet(inp)
+    args = argparse.Namespace(threshold=0.5, k=3, budget=16)
+    out = str(tmp_path / "out")
+    written = run(spark, inp, out, ["dedup-exact", "pack", "mixture"],
+                  args)
+    assert set(written) == {"dedup-exact", "pack", "mixture"}
+    assert spark.read.parquet(written["dedup-exact"]).count() == 5
+    assert spark.read.parquet(written["pack"]).count() == 20
+    assert spark.read.parquet(written["mixture"]).count() == 2

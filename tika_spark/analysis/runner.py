@@ -1,0 +1,137 @@
+"""Corpus-layer batch driver: the curation/dedup operators as a
+spark-submit entry point (the corpus-side sibling of
+``tika_spark.pipeline.runner``, H4).
+
+    python -m tika_spark.analysis.runner \
+        --input /data/docs.parquet --output /data/out \
+        --op dedup-exact [--op quality ...] [--cpus 8] \
+        [--budget 2048] [--threshold 0.5]
+
+Each ``--op`` runs one operator over the input documents table
+(columns ``doc_id, text[, source, lang]``) and writes one parquet
+directory ``<output>/<op>/``. Ops compose by running in sequence over
+the same input snapshot — the operators themselves are pure
+DataFrame transforms, so chaining happens in library code (see
+``streaming.ingest.curate_stream`` for the composed incremental
+form); this driver is the offline, one-op-at-a-time surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _ops(args):
+    """op name → (docs DataFrame) -> DataFrame."""
+    from tika_spark.analysis import curation, dedup, similarity, textstats
+
+    def exact(d):
+        return dedup.exact_dedup(d)
+
+    def minhash(d):
+        return dedup.minhash_lsh_pairs(d, threshold=args.threshold)
+
+    def simhash(d):
+        return dedup.simhash_pairs(d)
+
+    def substring(d):
+        return dedup.substring_dup_spans(d, k=args.k)
+
+    def clusters(d):
+        pairs = dedup.minhash_lsh_pairs(d, threshold=args.threshold)
+        return dedup.dedup_representatives(d, pairs)
+
+    def quality(d):
+        return textstats.fingerprint(textstats.quality_features(d))
+
+    def repetition(d):
+        return curation.repetition_features(d)
+
+    def paragraph(d):
+        return curation.paragraph_dedup(d)
+
+    def pii(d):
+        return curation.pii_scrub(d)
+
+    def normalize(d):
+        return curation.normalize_text(d)
+
+    def perplexity(d):
+        return curation.lm_perplexity(d)
+
+    def pack(d):
+        return curation.pack_sequences(d, budget=args.budget)
+
+    def split(d):
+        return curation.split_long_docs(d, max_tokens=args.budget)
+
+    def mixture(d):
+        return curation.mixture_weights(d)
+
+    def winnow(d):
+        return textstats.winnow_fingerprints(d)
+
+    return {
+        "dedup-exact": exact, "dedup-minhash": minhash,
+        "dedup-simhash": simhash, "dedup-substring": substring,
+        "dedup-clusters": clusters, "quality": quality,
+        "repetition": repetition, "paragraph-dedup": paragraph,
+        "pii-scrub": pii, "normalize": normalize,
+        "perplexity": perplexity, "pack": pack, "split": split,
+        "mixture": mixture, "winnow": winnow,
+    }
+
+
+def run(spark: SparkSession, input_path: str, output: str,
+        ops: list[str], args) -> dict:
+    docs: DataFrame = spark.read.parquet(input_path)
+    table = _ops(args)
+    written = {}
+    for op in ops:
+        out = table[op](docs)
+        dest = os.path.join(output, op.replace("-", "_"))
+        out.write.mode("overwrite").parquet(dest)
+        written[op] = dest
+    return written
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--op", action="append", required=True,
+                   dest="ops", choices=sorted(_ops(
+                       argparse.Namespace(threshold=0.5, k=8,
+                                          budget=2048)).keys()))
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="near-dup Jaccard threshold")
+    p.add_argument("--k", type=int, default=8,
+                   help="shingle size (dedup-substring)")
+    p.add_argument("--budget", type=int, default=2048,
+                   help="token budget (pack / split)")
+    p.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = p.parse_args(argv)
+
+    spark = (SparkSession.builder
+             .master(f"local[{args.cpus}]")
+             .appName("tika-spark-curate")
+             .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        written = run(spark, args.input, args.output, args.ops, args)
+        for op, dest in written.items():
+            n = spark.read.parquet(dest).count()
+            print(f"[curate] {op}: {n} rows -> {dest}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
