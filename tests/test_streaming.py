@@ -286,3 +286,45 @@ def test_curate_stream_incremental_dedup(spark, tmp_path):
                     "http://s/11"}  # 10 deduped against the index
     # the index accumulated exactly the admitted fingerprints
     assert spark.read.parquet(idx).count() == 4
+
+
+def test_curate_stream_replay_idempotent(spark, tmp_path):
+    """Replaying a batch (checkpoint lost) rewrites its own hive
+    partitions with identical content — no duplicate admission, no
+    self-dedup data loss (the replay excludes its own index rows)."""
+    import shutil
+
+    import pandas as pd
+    from tika_spark.streaming.ingest import curate_stream
+
+    inp = str(tmp_path / "r_in")
+    out = str(tmp_path / "r_out")
+    idx = str(tmp_path / "r_idx")
+    ckpt = str(tmp_path / "r_ckpt")
+    html = ("<html><head><title>T</title></head><body><p>stable body"
+            "</p></body></html>").encode()
+    pdf = pd.DataFrame(
+        [{"url": "http://r/%d" % i,
+          "warc_ts": pd.Timestamp("2026-01-17"),
+          "html": html if i == 0 else html.replace(b"stable",
+                                                   b"other%d" % i)}
+         for i in range(4)])
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(inp)
+
+    def drain():
+        q = curate_stream(spark, inp, out, idx, ckpt,
+                          trigger_available_now=True)
+        q.awaitTermination(180)
+        q.stop()
+
+    drain()
+    first = sorted(r["url"] for r in
+                   spark.read.parquet(out).select("url").collect())
+    assert len(first) == 4
+    # lose the checkpoint → the same files replay as a fresh batch 0
+    shutil.rmtree(ckpt)
+    drain()
+    again = sorted(r["url"] for r in
+                   spark.read.parquet(out).select("url").collect())
+    assert again == first                      # no duplicates
+    assert spark.read.parquet(idx).count() == 4  # no double index rows

@@ -624,8 +624,13 @@ def mixture_weights(df: DataFrame, group_col: str = "source",
 
     Exactness: the scaled shares are rounded to integer micro-units
     BEFORE normalization, and the normalizer is their integer sum —
-    no cross-engine float-summation-order hazard (pow/division are
-    reproducible IEEE one-liners; only sums are order-sensitive).
+    no cross-engine float-summation-order hazard (sums are the
+    order-sensitive operation; division is IEEE-exact). Caveat: pow
+    itself is only guaranteed to 1 ulp, so a share^tau landing within
+    1 ulp of an x.5 micro boundary could in principle round
+    differently across engines — latent and input-dependent, pinned
+    by the oracle for the observed corpus (same hazard class as the
+    ln() in bm25/lm_perplexity).
 
     Scale: one partial-aggregatable groupBy to group-count rows, then
     a broadcast of the group-sized table onto itself — group counts

@@ -67,7 +67,8 @@ def _ops(args):
         return curation.pack_sequences(d, budget=args.budget)
 
     def split(d):
-        return curation.split_long_docs(d, max_tokens=args.budget)
+        return curation.split_long_docs(d, max_tokens=args.budget,
+                                        overlap=args.overlap)
 
     def mixture(d):
         return curation.mixture_weights(d)
@@ -106,13 +107,18 @@ def main(argv=None):
     p.add_argument("--op", action="append", required=True,
                    dest="ops", choices=sorted(_ops(
                        argparse.Namespace(threshold=0.5, k=8,
-                                          budget=2048)).keys()))
+                                          budget=2048,
+                                          overlap=128)).keys()))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold")
     p.add_argument("--k", type=int, default=8,
                    help="shingle size (dedup-substring)")
     p.add_argument("--budget", type=int, default=2048,
-                   help="token budget (pack / split)")
+                   help="token budget (pack / split; split requires "
+                        "budget > overlap)")
+    p.add_argument("--overlap", type=int, default=128,
+                   help="split chunk overlap in tokens "
+                        "(must be < budget)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

@@ -80,11 +80,16 @@ def curate_stream(spark: SparkSession, input_dir: str, output_dir: str,
     The index holds (fp_64, fp_md5) only — 24 bytes per admitted doc,
     ~24 GB per 10^9 docs: broadcast- or shuffle-joinable forever,
     which is why recurring crawls never re-read old text (the same
-    contract as the batch ``snapshot_delta_dedup``). Exactly-once:
-    the streaming checkpoint tracks file offsets; a replayed batch
-    re-runs steps 1-3 against the same index state it saw, and the
-    delta-dedup makes the re-append idempotent at the corpus level
-    (same fingerprints drop out).
+    contract as the batch ``snapshot_delta_dedup``).
+
+    Exactly-once: the streaming checkpoint tracks file offsets, and
+    BOTH sinks write per-batch hive partitions
+    (``.../batch_id=N/``, mode overwrite), so a replayed batch
+    rewrites its own two directories with identical content instead
+    of appending twice. The dedup for batch N reads the index
+    EXCLUDING partition N — a replay therefore sees exactly the index
+    state the original attempt saw, whether the crash hit before,
+    between, or after the two writes.
     """
     import os
 
@@ -97,29 +102,40 @@ def curate_stream(spark: SparkSession, input_dir: str, output_dir: str,
 
     def process(batch_df, batch_id: int):
         out = extract(batch_df, mode=mode, config=config)
+        # persist the extraction output: it feeds both the dedup
+        # (via fingerprints) and the kept-rows join — without the
+        # cache the Python extract stage would run twice per batch
         scrubbed = (pii_scrub(out.filter(F.col("status") == "ok"),
                               text_col="text")
                     .drop("text")
-                    .withColumnRenamed("text_scrubbed", "text"))
-        if os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)):
-            seen = spark.read.parquet(index_dir) \
-                .select("fp_64", "fp_md5")
-        else:
-            seen = spark.createDataFrame(
-                [], "fp_64 long, fp_md5 string")
-        # survivors: (url, fp_64, fp_md5) — new against the whole
-        # admitted corpus AND first-per-fingerprint within the batch
-        fresh = snapshot_delta_dedup(scrubbed, seen, id_col="url",
-                                     text_col="text").persist()
+                    .withColumnRenamed("text_scrubbed", "text")
+                    .persist())
         try:
+            if os.path.isdir(index_dir) and any(
+                    not e.startswith((".", "_"))
+                    for e in os.listdir(index_dir)):
+                # exclude this batch's own partition: a replayed
+                # batch must see the index as the original attempt
+                # did, or it would dedup against itself
+                seen = (spark.read.parquet(index_dir)
+                        .filter(F.col("batch_id") != batch_id)
+                        .select("fp_64", "fp_md5"))
+            else:
+                seen = spark.createDataFrame(
+                    [], "fp_64 long, fp_md5 string")
+            # survivors: (url, fp_64, fp_md5) — new against the whole
+            # admitted corpus AND first-per-fingerprint in the batch
+            fresh = snapshot_delta_dedup(scrubbed, seen, id_col="url",
+                                         text_col="text").persist()
             kept = scrubbed.join(fresh.select("url"), "url")
-            (kept.withColumn("batch_id", F.lit(batch_id))
-                 .write.mode("append").parquet(output_dir))
+            kept.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"batch_id={batch_id}"))
             (fresh.select("fp_64", "fp_md5")
-                  .write.mode("append").parquet(index_dir))
-        finally:
+                  .write.mode("overwrite").parquet(
+                      os.path.join(index_dir, f"batch_id={batch_id}")))
             fresh.unpersist()
+        finally:
+            scrubbed.unpersist()
 
     writer = (pages.writeStream
               .foreachBatch(process)
