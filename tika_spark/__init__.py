@@ -14,7 +14,8 @@ Catalyst-optimizable DataFrame code.
 Public API:
     extract(df, mode=...)          -- the staged extraction job
     tika_spark.pipeline.runner     -- checkpoint/resume batch driver
-    tika_spark.ops                 -- training-data ops (dedup, ANN, text stats)
+    tika_spark.analysis            -- corpus ops (dedup, ANN, curation)
+    tika_spark.analysis.runner     -- corpus-op batch driver
 """
 
 __version__ = "0.1.0"
