@@ -21,8 +21,9 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Late round 2 pushed to 105 queries / 103 oracle rows
-(streaming_neardup_recall — MinHash band buckets as streaming
+Late round 2 pushed to 106 queries / 104 oracle rows
+(docs_c4_rules — the composed C4 line/page cleaning filter;
+streaming_neardup_recall — MinHash band buckets as streaming
 GroupState; every exact Jaccard pair connects in the replayed
 candidate graph; pipeline_extract_curate — the extraction chain
 composed with token
@@ -2280,6 +2281,33 @@ def _q_pipeline_extract_curate(spark, sf_dir):
                 "fp_md5", "is_rep"))
 
 
+def _q_docs_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020): deterministic
+    line-structured pages — 2..5 proper sentences by doc_id%4, the
+    punctuation-free word-soup body (always line-filtered), a code
+    line with '{' on doc_id%5==0 — through the composed line/page
+    filter at min_sentences=3."""
+    from tika_spark.analysis.curation import c4_rules
+    i = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+
+    def sent(n):
+        return F.concat(F.lit(f"Generated sentence number {n} "
+                              "for doc "), i, F.lit("."))
+    m4 = F.col("doc_id") % 4
+    text2 = F.concat(
+        sent(1), nl, sent(2), nl,
+        F.when(m4 >= 1, F.concat(sent(3), nl)).otherwise(F.lit("")),
+        F.when(m4 >= 2, F.concat(sent(4), nl)).otherwise(F.lit("")),
+        F.when(m4 >= 3, F.concat(sent(5), nl)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("if (x) { return; }\n")).otherwise(F.lit("")),
+        F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", text2.alias("text"))
+    return c4_rules(docs, min_sentences=3).select(
+        "id", "n_lines", "n_kept", "n_sentences", "keep", "text_clean")
+
+
 def _q_docs_split_long(spark, sf_dir):
     """Long-document splitting into overlapping 32-token context
     chunks (stride 24): the complement of sequence packing. Pure
@@ -2658,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
+        "docs_c4_rules": _q_docs_c4_rules,
         "pipeline_extract_curate": _q_pipeline_extract_curate,
         "extract_warc_pages": _q_extract_warc_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
@@ -3376,6 +3405,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, n_tokens, fp_md5, "
             "row_number() OVER (PARTITION BY fp_md5 ORDER BY url) = 1 "
             "AS is_rep FROM c"),
+        "docs_c4_rules": (
+            "WITH t AS (SELECT doc_id AS id, "
+            "'Generated sentence number 1 for doc ' || doc_id || '.' "
+            "|| chr(10) || "
+            "'Generated sentence number 2 for doc ' || doc_id || '.' "
+            "|| chr(10) || "
+            "CASE WHEN doc_id % 4 >= 1 THEN "
+            "'Generated sentence number 3 for doc ' || doc_id || '.' "
+            "|| chr(10) ELSE '' END || "
+            "CASE WHEN doc_id % 4 >= 2 THEN "
+            "'Generated sentence number 4 for doc ' || doc_id || '.' "
+            "|| chr(10) ELSE '' END || "
+            "CASE WHEN doc_id % 4 >= 3 THEN "
+            "'Generated sentence number 5 for doc ' || doc_id || '.' "
+            "|| chr(10) ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'if (x) { return; }' || chr(10) ELSE '' END || text "
+            "AS tx FROM documents), "
+            "l AS (SELECT id, tx, "
+            "list_filter(list_transform(string_split(tx, chr(10)), "
+            "x -> trim(x)), x -> x <> '') AS lines FROM t), "
+            "k AS (SELECT id, tx, lines, list_filter(lines, x -> "
+            "regexp_matches(x, '[.!?\"”]$') AND "
+            "len(regexp_split_to_array(x, '\\s+')) >= 3 AND NOT "
+            "contains(lower(x), 'javascript')) AS kept FROM l), "
+            "c AS (SELECT id, tx, lines, kept, "
+            "array_to_string(kept, chr(10)) AS text_clean FROM k) "
+            "SELECT id, len(lines)::BIGINT AS n_lines, "
+            "len(kept)::BIGINT AS n_kept, "
+            "length(regexp_replace(text_clean, '[^.!?]', '', 'g'))"
+            "::BIGINT AS n_sentences, "
+            "(length(regexp_replace(text_clean, '[^.!?]', '', 'g')) "
+            ">= 3 AND NOT contains(lower(tx), 'lorem ipsum') "
+            "AND NOT contains(tx, '{')) AS keep, text_clean FROM c"),
         "docs_split_long": (
             "WITH t AS (SELECT doc_id AS id, "
             f"{_TOKS} AS w FROM documents), "

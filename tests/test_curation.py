@@ -457,3 +457,43 @@ class TestSplitLongDocs:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             split_long_docs(df, max_tokens=8, overlap=8)
+
+
+class TestC4Rules:
+    """C4 line/page cleaning rules (Raffel et al. 2020 §2.2)."""
+
+    def test_line_and_page_rules(self, spark):
+        from tika_spark.analysis.curation import c4_rules
+        df = spark.createDataFrame([
+            (1, "Good sentence number one.\nAnother full sentence "
+                "here!\nIs this a question?\nShort.\nuse javascript "
+                "now please.\nA fifth proper sentence stands here."),
+            (2, "Lorem ipsum dolor sit amet.\nMore text follows "
+                "here.\nAnd a third sentence too.\nPlus the fourth "
+                "one now."),
+            (3, "function() { return 1; }\nA real sentence here.\n"
+                "Another proper sentence follows.\nAnd one more "
+                "rounds it out."),
+            (4, "no punctuation lines at all\njust fragments"),
+        ], "doc_id long, text string")
+        out = {r["id"]: r for r in
+               c4_rules(df, min_sentences=3).collect()}
+        # doc 1: "Short." (<3 words) and the javascript line drop;
+        # 4 sentences survive -> keep
+        assert out[1]["n_kept"] == 4 and out[1]["keep"]
+        assert "javascript" not in out[1]["text_clean"]
+        assert "Short." not in out[1]["text_clean"]
+        # doc 2: enough sentences, but lorem ipsum kills the page
+        assert out[2]["n_sentences"] >= 3 and not out[2]["keep"]
+        # doc 3: '{' anywhere on the page kills it
+        assert not out[3]["keep"]
+        # doc 4: nothing survives the line filter
+        assert out[4]["n_kept"] == 0 and not out[4]["keep"]
+
+    def test_shuffle_free(self, spark):
+        from tika_spark.analysis.curation import c4_rules
+        df = spark.createDataFrame([(1, "A sentence right here.")],
+                                   "doc_id long, text string")
+        plan = c4_rules(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

@@ -698,3 +698,54 @@ def split_long_docs(df: DataFrame, max_tokens: int = 2048,
             .select("id", F.col("c.chunk_idx").alias("chunk_idx"),
                     F.col("c.n_tok").alias("n_tok"),
                     F.col("c.chunk_text").alias("chunk_text")))
+
+
+# ------------------------------------------------- C4 quality rules --
+
+
+def c4_rules(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text",
+             min_sentences: int = 5) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning..." §2.2) as one composed decision
+    operator — the line/page filter applied to Common Crawl before
+    T5 training:
+
+      line kept iff it ends in terminal punctuation (. ! ? or a
+      closing quote), has >= 3 words, and does not mention
+      "javascript";
+      page kept iff the surviving text has >= ``min_sentences``
+      sentences, no "lorem ipsum", and no "{".
+
+    Emits (id, n_lines, n_kept, n_sentences, keep, text_clean) —
+    per-rule observability plus the final verdict, so reweighting /
+    auditing can see WHY a page dropped. (C4's bad-words list is a
+    deliberate omission — we ship no wordlist; slot a broadcast set
+    into the line predicate where needed.)
+
+    Pure per-row array/regexp expressions — zero shuffle, whole plan
+    stays in the scan stage at any corpus size.
+    """
+    lines = F.filter(F.transform(F.split(F.col(text_col), "\n"),
+                                 F.trim),
+                     lambda l: l != "")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"”]$')
+        & (F.size(F.split(l, r"\s+")) >= 3)
+        & ~F.lower(l).contains("javascript"))
+    out = (df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("_t"),
+                     lines.alias("_lines"), kept.alias("_kept"))
+           .withColumn("text_clean", F.concat_ws("\n", F.col("_kept")))
+           .withColumn("n_sentences",
+                       F.length(F.regexp_replace("text_clean",
+                                                 "[^.!?]", ""))))
+    keep = ((F.col("n_sentences") >= min_sentences)
+            & ~F.lower(F.col("_t")).contains("lorem ipsum")
+            & ~F.col("_t").contains("{"))
+    return out.select(
+        "id", F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        keep.alias("keep"), "text_clean")

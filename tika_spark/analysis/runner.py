@@ -73,6 +73,9 @@ def _ops(args):
     def mixture(d):
         return curation.mixture_weights(d)
 
+    def c4(d):
+        return curation.c4_rules(d)
+
     def winnow(d):
         return textstats.winnow_fingerprints(d)
 
@@ -83,7 +86,7 @@ def _ops(args):
         "repetition": repetition, "paragraph-dedup": paragraph,
         "pii-scrub": pii, "normalize": normalize,
         "perplexity": perplexity, "pack": pack, "split": split,
-        "mixture": mixture, "winnow": winnow,
+        "mixture": mixture, "winnow": winnow, "c4": c4,
     }
 
 
