@@ -669,3 +669,76 @@ class TestIWork:
              "index.xml": "<unknown/>"}))
         assert r.mime == "application/vnd.apple.iwork"
         assert r.status == "no_parser"
+
+
+class TestIWorkHardening:
+    """Round-2 review fixes: menu-choices scoping, partial-row flush,
+    zip-bomb cap, XPS page-cap observability."""
+
+    def _zip(self, entries, compress=zipfile.ZIP_DEFLATED):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", compress) as zf:
+            for n, b in entries.items():
+                zf.writestr(n, b)
+        return buf.getvalue()
+
+    def test_numbers_menu_choices_inside_table(self):
+        from tika_spark.pkg.iwork import extract_iwork
+        xml = ('<?xml version="1.0"?><ls:document xmlns:ls='
+               '"http://developer.apple.com/namespaces/ls" xmlns:sf='
+               '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+               '"http://developer.apple.com/namespaces/sfa">'
+               '<ls:workspace ls:workspace-name="S">'
+               '<sf:tabular-model><sf:grid sf:numcols="2"/>'
+               '<sf:menu-choices><sf:t sfa:ID="m1">'
+               '<sf:ct sfa:s="Choice"/></sf:t></sf:menu-choices>'
+               '<sf:ct sfa:s="a"/><sf:proxied-cell-ref sfa:IDREF="m1"/>'
+               '</sf:tabular-model></ls:workspace></ls:document>')
+        r = extract_iwork(self._zip(
+            {"buildVersionHistory.plist": "<plist/>",
+             "index.xml": xml}))
+        # the menu string resolves the proxied cell and is NOT a
+        # phantom first cell
+        assert r["text"] == "a\tChoice\n"
+
+    def test_pages_attachment_partial_row_flushed(self):
+        from tika_spark.pkg.iwork import extract_iwork
+        xml = ('<?xml version="1.0"?><sl:document xmlns:sl='
+               '"http://developer.apple.com/namespaces/sl" xmlns:sf='
+               '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+               '"http://developer.apple.com/namespaces/sfa">'
+               '<sf:page-start/>'
+               '<sf:attachment sfa:ID="t1" sf:kind="tabular-attachment">'
+               '<sf:ct sfa:s="c1"/><sf:ct sfa:s="c2"/>'
+               '<sf:ct sfa:s="c3"/><sf:ct sfa:s="c4"/></sf:attachment>'
+               '<sf:attachment-ref sfa:IDREF="t1"/></sl:document>')
+        r = extract_iwork(self._zip(
+            {"buildVersionHistory.plist": "<plist/>",
+             "index.xml": xml}))
+        assert r["text"] == "c1\tc2\tc3\nc4\n"  # c4 not dropped
+
+    def test_iwork_zip_bomb_capped(self):
+        from tika_spark.pkg.iwork import extract_iwork
+        big = "<sf:p>" + ("x " * 2_000_000) + "</sf:p>"
+        xml = ('<?xml version="1.0"?><sl:document xmlns:sl='
+               '"http://developer.apple.com/namespaces/sl" xmlns:sf='
+               '"http://developer.apple.com/namespaces/sf" xmlns:sfa='
+               '"http://developer.apple.com/namespaces/sfa">'
+               '<sf:page-start/>' + big + '</sl:document>')
+        blob = self._zip({"buildVersionHistory.plist": "<plist/>",
+                          "index.xml": xml})
+        assert len(blob) < 100_000  # it really is a bomb
+        r = extract_iwork(blob)
+        assert r["status"] == "output_limit"
+        assert len(r["text"]) <= 1_000_000
+
+    def test_xps_page_cap_flips_status(self):
+        from tika_spark.pkg.xps import extract_xps
+        page = ('<FixedPage xmlns="x"><Glyphs UnicodeString="pg"/>'
+                '</FixedPage>')
+        entries = {"Documents/1/Pages/%d.fpage" % i: page
+                   for i in range(1, 1002)}
+        r = extract_xps(self._zip(entries))
+        assert r["status"] == "output_limit"
+        # within the cap the text is still extracted
+        assert r["text"].startswith("pg\n")

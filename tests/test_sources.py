@@ -46,12 +46,15 @@ class TestWarcParse:
         assert pages[1]["url"] == "http://ok/"
         assert pages[1]["status"] == "ok"
 
-    def test_truncated_trailing_member_dropped(self):
+    def test_truncated_trailing_member_surfaces_status(self):
         good = warcgen.gzip_member(warcgen.warc_record(
             "http://ok/", "2026-01-01T00:00:00Z", b"<p>ok</p>"))
         blob = good + good[: len(good) // 2]
         pages = list(warc.warc_pages(blob))
-        assert len(pages) == 1 and pages[0]["status"] == "ok"
+        # the good record survives; the truncated tail is observable
+        # as one malformed-member row (fault isolation, not silence)
+        assert [p["status"] for p in pages] == \
+            ["ok", "warc_malformed_member"]
 
     def test_binary_body_passthrough(self):
         payload = bytes(range(256))
@@ -137,3 +140,55 @@ class TestWet:
         assert rec["content_type"] == "text/plain"
         # response parser skips conversion records
         assert list(warc.warc_pages(blob)) == []
+
+
+class TestWarcHardening:
+    """Round-2 review fixes: corrupt-member resync, bomb caps,
+    header-injection and framing edge cases."""
+
+    def test_corrupt_member_resyncs(self):
+        from tika_spark.sources import warc
+        good1 = warc.gzip_member(warc.build_record(
+            "http://a/", "2026-01-01T00:00:00Z", b"<html>one</html>"))
+        good2 = warc.gzip_member(warc.build_record(
+            "http://b/", "2026-01-01T00:00:00Z", b"<html>two</html>"))
+        blob = good1 + b"\x00garbage bytes here\x00" + good2
+        pages = list(warc.warc_pages(blob))
+        urls = [p["url"] for p in pages if p["status"] == "ok"]
+        assert urls == ["http://a/", "http://b/"]  # b survives the gap
+        assert sum(p["status"] == "warc_malformed_member"
+                   for p in pages) == 1
+
+    def test_missing_content_length_strips_separator(self):
+        from tika_spark.sources import warc
+        rec = warc.build_record("http://a/", "2026-01-01T00:00:00Z",
+                                b"BODYBYTES", rec_type="conversion")
+        # garble the content-length header value
+        rec = rec.replace(b"Content-Length: 9", b"Content-Length: x", 1)
+        parsed = warc.parse_record(rec)
+        assert parsed["body"] == b"BODYBYTES"  # no trailing CRLFCRLF
+
+    def test_header_injection_sanitized(self):
+        from tika_spark.sources import warc
+        rec = warc.build_record(
+            "http://evil/\r\nWARC-Type: response",
+            "2026-01-01T00:00:00Z", b"T", rec_type="conversion")
+        parsed = warc.parse_record(rec)
+        assert parsed["type"] == "conversion"  # injection neutralized
+        assert "\r" not in parsed["url"]
+
+    def test_record_ids_unique_per_capture(self):
+        from tika_spark.sources import warc
+
+        def rid(url, date):
+            rec = warc.build_record(url, date, b"x",
+                                    rec_type="conversion")
+            head = rec.split(b"\r\n\r\n")[0]
+            for line in head.split(b"\r\n"):
+                if line.startswith(b"WARC-Record-ID:"):
+                    return line
+            raise AssertionError("no id")
+        a = rid("http://s/", "2026-01-01T00:00:00Z")
+        b = rid("http://s/", "2026-02-01T00:00:00Z")
+        assert a != b                       # same url, two captures
+        assert a == rid("http://s/", "2026-01-01T00:00:00Z")  # stable

@@ -204,6 +204,9 @@ class _PagesHandler(_Handler):
             self.in_text = False
             self._close_para()
         elif q == "sf:attachment":
+            # flush a trailing partial row (< 3 cells) before closing
+            if self.active_table is not None and self.active_row:
+                self.tables[self.active_table].append(self.active_row)
             self.active_table = None
             self.active_row = []
 
@@ -231,6 +234,7 @@ class _NumbersHandler(_Handler):
         self.row: list[str] = []
         self.menu: dict[str, str] = {}
         self.menu_id: str | None = None
+        self.in_menu = False
 
     def _cell(self, value: str | None):
         if self.col >= self.ncols > 0:
@@ -267,6 +271,7 @@ class _NumbersHandler(_Handler):
             self.row = []
         if q == "sf:menu-choices":
             self.menu = {}
+            self.in_menu = True
         if self.in_table and q == "sf:grid":
             try:
                 self.ncols = int(attrs.get("sf:numcols", "-1"))
@@ -274,8 +279,13 @@ class _NumbersHandler(_Handler):
                 self.ncols = -1
         if q == "sf:t":
             self.menu_id = attrs.get("sfa:ID")
-        if self.menu_id is not None and q == "sf:ct" and not self.in_table:
-            self.menu[self.menu_id] = attrs.get("sfa:s") or ""
+        # menu-choices strings populate the proxied-cell map wherever
+        # they appear — Numbers nests them INSIDE sf:tabular-model, so
+        # they must never be emitted as grid cells
+        if self.in_menu:
+            if self.menu_id is not None and q == "sf:ct":
+                self.menu[self.menu_id] = attrs.get("sfa:s") or ""
+            return
         if self.in_table:
             if q == "sf:ct":
                 self._cell(attrs.get("sfa:s"))
@@ -297,6 +307,8 @@ class _NumbersHandler(_Handler):
         if self.in_meta and q == self.meta_q:
             self.meta_q = None
             self.meta_key = None
+        if q == "sf:menu-choices":
+            self.in_menu = False
         if q == "sf:tabular-model" and self.in_table:
             self.in_table = False
             if self.row:
@@ -452,6 +464,13 @@ def extract_iwork(data: bytes, url: str | None = None,
         status = "error"
     metadata["Content-Type"] = [mime or "application/vnd.apple.iwork"]
     title = metadata.get("title", [None])[0]
+    # zip-bomb guard (SecureContentHandler ratio semantics, same as
+    # the odf/epub/ooxml siblings): output chars bounded by
+    # max(min_chars, ratio * compressed size)
+    limit = int(max(config.output_min_chars,
+                    config.output_ratio * max(1, len(data))))
+    if len(text) > limit:
+        text, status = text[:limit], "output_limit"
     if config.write_limit and len(text) > config.write_limit:
         text, status = text[:config.write_limit], "write_limit"
     return {

@@ -58,6 +58,7 @@ def extract_xps(data: bytes, url: str | None = None,
             pages = sorted((n for n in names
                             if n.lower().endswith(".fpage")),
                            key=_page_key)
+            truncated = len(pages) > 1000
             for n in pages[:1000]:
                 try:
                     root = ET.fromstring(zf.read(n))
@@ -75,7 +76,9 @@ def extract_xps(data: bytes, url: str | None = None,
     text = safe_chars("".join(lines))
     limit = max(config.output_min_chars,
                 config.output_ratio * max(1, len(data)))
-    status = "ok"
+    # the 1000-page cap must be observable, not a silent 'ok' (same
+    # contract as pkg/parser.py's MAX_PKG_ENTRIES)
+    status = "output_limit" if truncated else "ok"
     if len(text) > limit:
         text, status = text[:limit], "output_limit"
     return {

@@ -71,14 +71,22 @@ def build_record(url: str, date_iso: str, payload: bytes,
         body = payload
         content_type = (b"text/plain" if rec_type == "conversion"
                         else b"application/octet-stream")
+    # header values must not contain CR/LF (a crafted url column
+    # could otherwise inject/override WARC headers in the egress)
+    def _hv(s: str) -> str:
+        return s.replace("\r", "").replace("\n", "")
+    url, date_iso = _hv(url), _hv(date_iso)
     # content-derived id: str hash() is salted per-process
     # (PYTHONHASHSEED), which would break the byte-identical-archive
-    # guarantee across runs/executors
-    rid = record_id or \
-        f"<urn:uuid:{hashlib.md5(url.encode('utf-8')).hexdigest()[:12]}>"
+    # guarantee across runs/executors; the date is mixed in so the
+    # same url at two capture times gets distinct (WARC-required
+    # globally unique) ids while staying deterministic
+    rid = record_id or "<urn:uuid:{}>".format(
+        hashlib.md5((url + "\n" + date_iso).encode("utf-8"))
+        .hexdigest()[:16])
     head = (b"WARC/1.0" + _CRLF
             + b"WARC-Type: " + rec_type.encode("ascii") + _CRLF
-            + b"WARC-Record-ID: " + rid.encode("ascii") + _CRLF
+            + b"WARC-Record-ID: " + _hv(rid).encode("ascii") + _CRLF
             + b"WARC-Date: " + date_iso.encode("ascii") + _CRLF
             + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
             + b"Content-Type: " + content_type + _CRLF
@@ -99,12 +107,20 @@ def gzip_member(record: bytes) -> bytes:
 
 
 _INFLATE_CHUNK = 1 << 20
+_MAX_MEMBER = 256 << 20    # per-member inflate cap (gzip-bomb guard)
+_GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def iter_gzip_members(data: bytes) -> Iterator[bytes]:
+def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
     """Decompress a concatenation of gzip members one member at a
-    time (the CC per-record framing). Stops at the first undecodable
-    byte run — everything before it is still yielded.
+    time (the CC per-record framing).
+
+    Fault isolation: a corrupt/truncated/oversized member does NOT
+    discard the rest of the file — the scanner yields ``None`` once
+    per corrupt gap (callers surface it as a status row) and resyncs
+    at the next gzip magic. Per-member inflated size is capped at
+    ``_MAX_MEMBER`` (zip-bomb guard, same philosophy as the output
+    guards): an over-cap member counts as corrupt.
 
     The input is walked through a ``memoryview`` in bounded chunks —
     zero-copy slices, O(filesize) total work. (Feeding
@@ -114,19 +130,35 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """
     view = memoryview(data)
     pos, n = 0, len(data)
+    in_gap = False  # collapse a run of resync failures to one None
     while pos < n:
         dec = zlib.decompressobj(wbits=31)
-        out = []
+        out: list[bytes] = []
+        total = 0
         p = pos
+        failed = False
         try:
             while p < n and not dec.eof:
                 chunk = view[p:p + _INFLATE_CHUNK]
-                out.append(dec.decompress(chunk))
+                piece = dec.decompress(chunk, _MAX_MEMBER - total)
+                out.append(piece)
+                total += len(piece)
+                if dec.unconsumed_tail:   # inflate cap exceeded
+                    failed = True
+                    break
                 p += len(chunk)
         except zlib.error:
-            return
-        if not dec.eof:          # truncated trailing member
-            return
+            failed = True
+        if failed or not dec.eof:
+            if not in_gap:
+                in_gap = True
+                yield None
+            nxt = data.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        in_gap = False
         yield b"".join(out)
         consumed = (p - len(dec.unused_data)) - pos
         if consumed <= 0:
@@ -151,9 +183,14 @@ def parse_record(raw: bytes) -> dict | None:
                 v.strip().decode("latin-1")
     try:
         length = int(headers.get("content-length", ""))
+        body = raw[head_end + 4:head_end + 4 + length]
     except ValueError:
-        length = len(raw) - head_end - 4  # tolerate: member-framed anyway
-    body = raw[head_end + 4:head_end + 4 + length]
+        # tolerate a missing/garbled Content-Length: member framing
+        # bounds the record, but the grammar's trailing CRLFCRLF
+        # separator must not leak into the body
+        body = raw[head_end + 4:]
+        if body.endswith(b"\r\n\r\n"):
+            body = body[:-4]
     return {"type": headers.get("warc-type", ""),
             "url": headers.get("warc-target-uri", ""),
             "date": headers.get("warc-date", ""),
@@ -194,7 +231,7 @@ def warc_pages(data: bytes) -> Iterator[dict]:
     are expected structure, not faults; members that fail to parse as
     WARC yield a status row."""
     for member in iter_gzip_members(data):
-        rec = parse_record(member)
+        rec = parse_record(member) if member is not None else None
         if rec is None:
             yield {"url": "", "warc_date": "", "html": None,
                    "declared_type": None,
@@ -207,20 +244,36 @@ def warc_pages(data: bytes) -> Iterator[dict]:
                "html": body, "declared_type": ctype, "status": "ok"}
 
 
+_PAGES_PER_CHUNK = 1024
+
+
+def _pages_frame(rows: list[dict]) -> pd.DataFrame:
+    out = pd.DataFrame(
+        rows, columns=["url", "warc_date", "html",
+                       "declared_type", "status"])
+    # tz-aware UTC: Arrow then stores the true instant regardless of
+    # spark.sql.session.timeZone (naive values would be reinterpreted
+    # in the session zone on non-UTC clusters)
+    out["warc_ts"] = pd.to_datetime(
+        out["warc_date"], format="ISO8601", errors="coerce", utc=True)
+    return out[["url", "warc_date", "warc_ts", "html",
+                "declared_type", "status"]]
+
+
 def _blobs_to_pages(batches: Iterator[pd.DataFrame]
                     ) -> Iterator[pd.DataFrame]:
+    # yield in bounded chunks: peak memory is _PAGES_PER_CHUNK pages,
+    # not the whole inflated file (a 1 GB CC archive inflates ~4-5x)
+    rows: list[dict] = []
     for pdf in batches:
-        rows = []
         for blob in pdf["content"]:
-            rows.extend(warc_pages(bytes(blob or b"")))
-        out = pd.DataFrame(
-            rows, columns=["url", "warc_date", "html",
-                           "declared_type", "status"])
-        out["warc_ts"] = pd.to_datetime(
-            out["warc_date"], format="ISO8601", errors="coerce", utc=True
-        ).dt.tz_localize(None)
-        yield out[["url", "warc_date", "warc_ts", "html",
-                   "declared_type", "status"]]
+            for page in warc_pages(bytes(blob or b"")):
+                rows.append(page)
+                if len(rows) >= _PAGES_PER_CHUNK:
+                    yield _pages_frame(rows)
+                    rows = []
+    if rows:
+        yield _pages_frame(rows)
 
 
 def to_wet(df: DataFrame, url_col: str = "url",
@@ -251,7 +304,7 @@ def wet_texts(data: bytes) -> Iterator[dict]:
     """Parse a WET blob back into ``{url, warc_date, text, status}``
     rows (conversion records; UTF-8 with replacement on decode)."""
     for member in iter_gzip_members(data):
-        rec = parse_record(member)
+        rec = parse_record(member) if member is not None else None
         if rec is None:
             yield {"url": "", "warc_date": "", "text": "",
                    "status": "warc_malformed_member"}
@@ -269,7 +322,11 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     ``binaryFile`` gives one row per file; parallelism = file count
     (ample for CC's ~90k files/crawl). The per-file parse streams
-    gzip members, so peak memory is one record, not one file.
+    gzip members and yields output in ``_PAGES_PER_CHUNK``-page
+    frames, so peak memory is one bounded chunk of inflated pages
+    (plus the compressed blob binaryFile already materialized), never
+    the whole inflated file; a single member inflates at most
+    ``_MAX_MEMBER`` bytes (bomb guard).
     """
     blobs = (spark.read.format("binaryFile").load(path)
              .select("content"))
