@@ -165,3 +165,86 @@ class TestPipeline:
         assert row["mime"] == "application/vnd.ms-htmlhelp"
         assert row["text"] == "Chapter one text\nWelcome page\n"
         assert row["title"] == "Index"
+
+
+class TestLzxFraming:
+    """Round-2 review fixes: frame realignment, 1-16-bit uncompressed
+    padding, absolute-position E8 (mspack/lzxd semantics)."""
+
+    def test_frame_boundary_realigns_bitstream(self):
+        # a verbatim block spanning the 0x8000 output boundary: the
+        # encoder pads to 16 bits at the frame boundary (here 11 bits)
+        frame = 0x8000
+        tail = 64
+        syms = [(i * 7) % 251 for i in range(frame + tail)]
+        n_main = 256 + (_SLOTS_BY_WBITS[16] << 3)
+        w = _BitWriter()
+        w.write(0, 1)
+        w.write(1, 3)
+        w.write((frame + tail) >> 16, 8)
+        w.write((frame + tail) & 0xFFFF, 16)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for _ in range(256):
+            w.write(1, 1)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for i in range(256, n_main):
+            w.write(1 if i == 257 else 0, 1)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for _ in range(249):
+            w.write(0, 1)
+        for s in syms[:frame]:
+            w.write(s, 9)
+        pad = (16 - w.n % 16) % 16
+        assert pad == 11  # the boundary really is mid-word
+        w.write(0, pad)   # encoder-side frame padding
+        for s in syms[frame:]:
+            w.write(s, 9)
+        out = LzxDecoder(16).decompress(w.bytes(), frame + tail)
+        assert list(out) == syms
+
+    def test_uncompressed_block_on_aligned_boundary_skips_16(self):
+        # 16 verbatim literals land the next block header such that
+        # the uncompressed block's byte-alignment point is exactly on
+        # a 16-bit boundary -> the encoder writes 16 padding bits
+        n_main = 256 + (_SLOTS_BY_WBITS[16] << 3)
+        w = _BitWriter()
+        w.write(0, 1)
+        w.write(1, 3)
+        w.write(0, 8)
+        w.write(16, 16)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for _ in range(256):
+            w.write(1, 1)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for i in range(256, n_main):
+            w.write(1 if i == 257 else 0, 1)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for _ in range(249):
+            w.write(0, 1)
+        for s in range(16):
+            w.write(s, 9)
+        raw = bytes(range(100, 140))
+        w.write(3, 3)                    # uncompressed block
+        w.write(0, 8)
+        w.write(len(raw), 16)
+        assert w.n % 16 == 0             # exactly on the boundary
+        w.write(0, 16)                   # mandatory 16-bit padding
+        stream = (w.bytes() + struct.pack("<III", 1, 1, 1) + raw)
+        out = LzxDecoder(16).decompress(stream, 16 + len(raw))
+        assert out == bytes(range(16)) + raw
+
+    def test_e8_uses_absolute_positions(self):
+        from tika_spark.chm.lzx import _e8_untranslate
+        rel = 0x1234
+        cur = 0x8000 + 3                 # E8 at abs offset 3 of the
+        abs_off = rel + cur              # SECOND reset interval
+        data = (b"\x00" * 3 + b"\xe8" + struct.pack("<i", abs_off)
+                + b"\x00" * 20)
+        out = _e8_untranslate(data, 0x100000, abs_base=0x8000)
+        assert struct.unpack_from("<i", out, 4)[0] == rel

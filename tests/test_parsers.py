@@ -391,3 +391,92 @@ class TestPrt:
         from tika_spark.prt import extract_prt
         got = extract_prt(hdr + run)
         assert "Diameter Ø 5mm" in got["text"]
+
+
+class TestPdfHardening:
+    """Round-2 review fixes: the '\"' operator, indirect /Contents
+    array, indirect /Kids, inherited /Resources, span clamping,
+    stream-payload phantom objects."""
+
+    @staticmethod
+    def _raw_pdf(objects: dict[int, bytes]) -> bytes:
+        parts = [b"%PDF-1.4\n"]
+        for num, body in sorted(objects.items()):
+            parts.append(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+        parts.append(b"trailer << /Root 1 0 R >>\n%%EOF")
+        return b"".join(parts)
+
+    def test_quote_operator_shows_text(self):
+        from tika_spark.pdf.parser import _interpret_text
+        t = _interpret_text(
+            b"BT 1 2 Td (first) Tj 0 -14 Td (aw) (ac) (quoted) \" ET",
+            {})
+        assert "first" in t and "quoted" in t
+
+    def test_indirect_contents_array(self):
+        from tika_spark.pdf.parser import PdfDocument
+        pdf = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"[5 0 R]",
+            5: b"<< /Length 24 >>\nstream\nBT 1 2 Td (InArr) Tj ET\nendstream",
+        })
+        doc = PdfDocument(pdf)
+        (page,) = doc.pages()
+        assert b"InArr" in doc.page_content(page)
+
+    def test_indirect_kids_array(self):
+        from tika_spark.pdf.parser import PdfDocument
+        pdf = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids 6 0 R /Count 2 >>",
+            6: b"[3 0 R 4 0 R]",
+            3: b"<< /Type /Page /Parent 2 0 R >>",
+            4: b"<< /Type /Page /Parent 2 0 R >>",
+        })
+        assert len(PdfDocument(pdf).pages()) == 2
+
+    def test_inherited_resources_reach_tounicode(self):
+        from tika_spark.pdf.parser import PdfDocument
+        # Resources (with a Font) live on the Pages node, not the page
+        pdf = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+               b"/Resources << /Font << /F1 7 0 R >> >> >>",
+            3: b"<< /Type /Page /Parent 2 0 R >>",
+            7: b"<< /Type /Font /ToUnicode 8 0 R >>",
+            8: b"<< /Length 124 >>\nstream\nbegincmap\n"
+               b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+               b"1 beginbfchar\n<41> <0042>\nendbfchar\nendcmap"
+               b"\nendstream",
+        })
+        doc = PdfDocument(pdf)
+        (page,) = doc.pages()
+        assert "F1" in doc.page_fonts(page)
+
+    def test_stream_payload_cannot_shadow_objects(self):
+        from tika_spark.pdf.parser import PdfDocument
+        # a stream whose PAYLOAD contains '3 0 obj ... endobj'
+        payload = b"decoy 3 0 obj << /Type /Fake >> endobj decoy"
+        pdf = self._raw_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+            5: b"<< /Length %d >>\nstream\n" % len(payload)
+               + payload + b"\nendstream",
+        })
+        doc = PdfDocument(pdf)
+        (page,) = doc.pages()   # object 3 is still the real page
+        assert str(page.get("Type")) == "Page"
+        assert doc.page_content(page) == payload
+
+    def test_spans_clamped_after_write_limit(self):
+        from tika_spark.config import ExtractConfig
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf(["A much longer page text here"], title="T")
+        r = extract_pdf(pdf, config=ExtractConfig(mode="text",
+                                                  write_limit=5))
+        assert r["status"] == "write_limit" and len(r["text"]) == 5
+        for s, e, _ in r["spans"]:
+            assert s < len(r["text"]) and e <= len(r["text"])

@@ -171,7 +171,8 @@ class ChmFile:
             chunk_out = min(reset_interval, remaining)
             if chunk_out <= 0:
                 break
-            out += dec.decompress(comp[boff:end], chunk_out)
+            out += dec.decompress(comp[boff:end], chunk_out,
+                                  abs_base=len(out))
         return bytes(out[:out_len])
 
     def read_entry(self, e: ChmEntry) -> bytes:

@@ -167,57 +167,102 @@ class LzxDecoder:
         self.header_read = False
         self.intel_filesize = 0
 
-    def decompress(self, data: bytes, out_len: int) -> bytes:
-        """Decompress one compressed run to exactly ``out_len`` bytes."""
+    def decompress(self, data: bytes, out_len: int,
+                   abs_base: int = 0) -> bytes:
+        """Decompress one compressed run to exactly ``out_len`` bytes.
+
+        ``abs_base`` is the run's absolute offset in the whole
+        uncompressed section (a multiple of the 32 KiB frame size for
+        reset-interval runs): the bitstream realigns to a 16-bit
+        boundary at every *absolute* frame boundary, and the Intel E8
+        untranslation uses absolute positions.
+
+        Blocks may span frame boundaries, so block state (type,
+        remaining size, trees) persists across the per-frame loop —
+        the mspack/lzxd decode structure.
+        """
         bits = _Bits(data)
         out = bytearray()
         if not self.header_read:
             if bits.read(1):
                 self.intel_filesize = (bits.read(16) << 16) | bits.read(16)
             self.header_read = True
+        btype = 0
+        block_togo = 0
+        main = lengths = aligned = None
+        raw_p = -1  # byte cursor while inside an uncompressed block
         while len(out) < out_len:
-            btype = bits.read(3)
-            size = (bits.read(8) << 16) | bits.read(16)
-            if size == 0:
-                raise LzxError("zero-size block")
-            togo = min(size, out_len - len(out))
-            if btype == 3:
-                self._uncompressed_block(bits, out, togo)
-            elif btype in (1, 2):
-                aligned = None
-                if btype == 2:
-                    aligned = _Huff([bits.read(3)
-                                     for _ in range(_ALIGNED_SYMS)])
-                _read_lengths(bits, self.main_lens, 0, _NUM_CHARS)
-                _read_lengths(bits, self.main_lens, _NUM_CHARS,
-                              self.main_elements)
-                main = _Huff(self.main_lens)
-                _read_lengths(bits, self.length_lens, 0, _SECONDARY_LENS)
-                lengths = _Huff(self.length_lens)
-                self._coded_block(bits, out, togo, main, lengths, aligned)
-            else:
-                raise LzxError(f"bad block type {btype}")
+            frame_room = _FRAME - ((abs_base + len(out)) % _FRAME)
+            frame_end = min(len(out) + frame_room, out_len)
+            while len(out) < frame_end:
+                if block_togo == 0:
+                    btype = bits.read(3)
+                    size = (bits.read(8) << 16) | bits.read(16)
+                    if size == 0:
+                        raise LzxError("zero-size block")
+                    block_togo = size
+                    if btype == 3:
+                        raw_p = self._enter_uncompressed(bits)
+                    elif btype in (1, 2):
+                        aligned = None
+                        if btype == 2:
+                            aligned = _Huff([bits.read(3)
+                                             for _ in range(_ALIGNED_SYMS)])
+                        _read_lengths(bits, self.main_lens, 0, _NUM_CHARS)
+                        _read_lengths(bits, self.main_lens, _NUM_CHARS,
+                                      self.main_elements)
+                        main = _Huff(self.main_lens)
+                        _read_lengths(bits, self.length_lens, 0,
+                                      _SECONDARY_LENS)
+                        lengths = _Huff(self.length_lens)
+                    else:
+                        raise LzxError(f"bad block type {btype}")
+                run = min(block_togo, frame_end - len(out))
+                if btype == 3:
+                    if raw_p + run > len(bits.data):
+                        raise LzxError("truncated uncompressed data")
+                    out += bits.data[raw_p:raw_p + run]
+                    raw_p += run
+                else:
+                    self._coded_block(bits, out, run, main, lengths,
+                                      aligned)
+                block_togo -= run
+                if btype == 3 and block_togo == 0:
+                    # block sizes are even-padded in the byte stream
+                    if raw_p & 1:
+                        raw_p += 1
+                    # re-seat the bit reader after the raw region
+                    bits.pos, bits.buf, bits.n = raw_p, 0, 0
+                    raw_p = -1
+            # frame-boundary 16-bit realignment of the bitstream
+            # (LZXC frames are independently byte-addressable; no-op
+            # while inside an uncompressed block's raw byte region)
+            if len(out) < out_len and raw_p < 0:
+                bits.align16()
         result = bytes(out[:out_len])
         if self.intel_filesize:
-            result = _e8_untranslate(result, self.intel_filesize)
+            result = _e8_untranslate(result, self.intel_filesize,
+                                     abs_base)
         return result
 
-    def _uncompressed_block(self, bits: _Bits, out: bytearray, togo: int):
-        bits.align16()
+    def _enter_uncompressed(self, bits: _Bits) -> int:
+        """Align into an uncompressed block and read R0-R2; returns
+        the byte cursor of the raw data region.
+
+        Alignment consumes 1-16 bits (not 0-15): a stream already on
+        a 16-bit boundary skips one full padding word — the
+        mspack/lzxd ENSURE(16)/unget semantics.
+        """
+        if bits.n % 16 == 0:
+            bits.read(16)
+        else:
+            bits.align16()
         p = bits.byte_align_pos()
         data = bits.data
         if p + 12 > len(data):
             raise LzxError("truncated uncompressed block")
         self.R = list(struct.unpack_from("<III", data, p))
-        p += 12
-        if p + togo > len(data):
-            raise LzxError("truncated uncompressed data")
-        out += data[p:p + togo]
-        p += togo
-        if togo & 1:
-            p += 1  # pad byte to 16-bit boundary
-        # re-seat the bit reader after the raw region
-        bits.pos, bits.buf, bits.n = p, 0, 0
+        return p + 12
 
     def _coded_block(self, bits: _Bits, out: bytearray, togo: int,
                      main: _Huff, lengths: _Huff, aligned: _Huff | None):
@@ -261,9 +306,13 @@ class LzxDecoder:
                 produced += 1
 
 
-def _e8_untranslate(data: bytes, filesize: int) -> bytes:
+def _e8_untranslate(data: bytes, filesize: int,
+                    abs_base: int = 0) -> bytes:
     """Reverse the Intel E8 call-offset translation (per 32 KiB frame,
-    skipping the last 10 bytes of each frame region)."""
+    skipping the last 10 bytes of each frame region). Positions are
+    ABSOLUTE in the uncompressed section (``abs_base`` + local index)
+    — frame-relative positions would decode wrong call targets in
+    every frame after the first."""
     if len(data) < 10:
         return data
     out = bytearray(data)
@@ -273,7 +322,7 @@ def _e8_untranslate(data: bytes, filesize: int) -> bytes:
         i = pos
         while i < frame_end:
             if out[i] == 0xE8:
-                cur = i - pos
+                cur = abs_base + i
                 (abs_off,) = struct.unpack_from("<i", out, i + 1)
                 if -cur <= abs_off < filesize:
                     rel = abs_off - cur if abs_off >= 0 \

@@ -371,6 +371,7 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.objects: dict[int, tuple[dict | object, bytes | None]] = {}
+        self.gens: dict[int, int] = {}
         self._scan_objects()
         # trailer before ObjStm expansion: an encrypted file's ObjStm
         # payloads must be RC4-decrypted before their inner objects can
@@ -380,30 +381,60 @@ class PdfDocument:
         self._expand_object_streams()
 
     def _scan_objects(self):
+        """Sequential object scan. Two hostile-input rules:
+
+        - a match starting inside a previous object's extent is a
+          byte pattern in stream payload, not a real object — skipped
+          (otherwise a crafted stream could shadow a real object,
+          'later definitions win');
+        - when an object's /Length is a literal int, the stream body
+          is taken as exactly that many bytes, so b'endobj'/b'endstream'
+          byte sequences inside the payload cannot truncate it.
+        """
         d = self.data
+        skip_until = 0
         for m in _OBJ_RE.finditer(d):
+            if m.start() < skip_until:
+                continue
             num = int(m.group(1))
+            gen = int(m.group(2)) if m.lastindex and m.lastindex >= 2 \
+                else 0
             body_start = m.end()
             end = d.find(b"endobj", body_start)
-            if end < 0:
-                end = len(d)
-            segment = d[body_start:end]
+            sm = re.compile(rb"stream\r?\n").search(
+                d, body_start, end if end >= 0 else len(d))
             stream_data = None
-            sm = re.search(rb"stream\r?\n", segment)
             if sm:
-                obj_part = segment[:sm.start()]
+                obj_part = d[body_start:sm.start()]
+                obj = _Lexer(obj_part).parse_object()
                 s_start = sm.end()
-                s_end = segment.rfind(b"endstream")
-                stream_data = segment[s_start: s_end if s_end >= 0 else None]
-                if stream_data.endswith(b"\r\n"):
-                    stream_data = stream_data[:-2]
-                elif stream_data.endswith(b"\n"):
-                    stream_data = stream_data[:-1]
+                length = obj.get("Length") if isinstance(obj, dict) \
+                    else None
+                s_end = -1
+                if isinstance(length, int) and \
+                        0 <= length <= len(d) - s_start:
+                    es = d.find(b"endstream", s_start + length)
+                    if 0 <= es - (s_start + length) <= 4:
+                        stream_data = d[s_start:s_start + length]
+                        s_end = es
+                if stream_data is None:   # Length indirect/absent/bad
+                    es = d.find(b"endstream", s_start)
+                    stream_data = d[s_start: es if es >= 0 else None]
+                    if stream_data.endswith(b"\r\n"):
+                        stream_data = stream_data[:-2]
+                    elif stream_data.endswith(b"\n"):
+                        stream_data = stream_data[:-1]
+                    s_end = es
+                end = d.find(b"endobj",
+                             s_end if s_end >= 0 else s_start)
             else:
-                obj_part = segment
-            obj = _Lexer(obj_part).parse_object()
+                obj = _Lexer(
+                    d[body_start: end if end >= 0 else len(d)]
+                ).parse_object()
+            skip_until = end + 6 if end >= 0 else len(d)
             # later definitions (incremental updates) win
             self.objects[num] = (obj, stream_data)
+            self.gens[num] = gen
 
     def _try_decrypt(self) -> bool:
         """Empty-password standard-handler decrypt (PDFParser.java:76-99
@@ -436,7 +467,10 @@ class PdfDocument:
         for num, (obj, raw) in list(self.objects.items()):
             if num == enc_num:
                 continue
-            okey = _object_key(key, num, 0)
+            # ISO 32000 7.6.2: the per-object key hashes the object's
+            # GENERATION, not always 0 (incremental updates re-save
+            # objects at gen > 0)
+            okey = _object_key(key, num, self.gens.get(num, 0))
             is_xref = isinstance(obj, dict) and \
                 str(obj.get("Type", "")) == "XRef"
             new_obj = obj if is_xref else walk(obj, okey)
@@ -572,7 +606,8 @@ class PdfDocument:
         if ntype == "Page":
             out.append(node)
             return
-        for kid in node.get("Kids", []) or []:
+        kids = self.resolve(node.get("Kids"))  # /Kids may be indirect
+        for kid in (kids if isinstance(kids, list) else []):
             self._walk_pages(self.resolve(kid), out, depth + 1)
 
     def page_fonts(self, page: dict
@@ -580,7 +615,14 @@ class PdfDocument:
         """Resource name → parsed /ToUnicode CMap for the page's fonts
         (embedded-font text that a latin-1 decode would garble)."""
         out: dict[str, tuple[int, dict[int, str]]] = {}
-        res = self.resolve(page.get("Resources"))
+        # /Resources is an inheritable page attribute (ISO 32000
+        # 7.7.3.4): walk the /Parent chain when absent on the page
+        node, res, depth = page, None, 0
+        while isinstance(node, dict) and depth <= 32:
+            res = self.resolve(node.get("Resources"))
+            if isinstance(res, dict):
+                break
+            node, depth = self.resolve(node.get("Parent")), depth + 1
         if not isinstance(res, dict):
             return out
         fonts = self.resolve(res.get("Font"))
@@ -601,6 +643,10 @@ class PdfDocument:
 
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
+        if isinstance(contents, Ref) and self.stream_of(contents) is None:
+            # indirect ref to an ARRAY of stream refs (no stream at
+            # that object): resolve to reach the array
+            contents = self.resolve(contents)
         refs = contents if isinstance(contents, list) else [contents]
         parts = []
         for r in refs:
@@ -773,7 +819,7 @@ def _interpret_text(content: bytes,
         elif op == "Tf" and len(stack) >= 2:
             name = next((v for v in stack if isinstance(v, Name)), None)
             cur_cmap = font_cmaps.get(str(name)) if name else None
-        elif op in ("Tj", "'", '\'') and in_text:
+        elif op in ("Tj", "'", '"') and in_text:
             if op != "Tj":
                 y -= leading
             s = next((v for v in reversed(stack)
@@ -879,6 +925,11 @@ def extract_pdf(data: bytes, url: str | None = None,
         text, status = text[:limit], "output_limit"
     if config.write_limit and len(text) > config.write_limit:
         text, status = text[:config.write_limit], "write_limit"
+    if status != "ok":
+        # spans must never point past the truncated text (same
+        # contract as chm/parser.py)
+        spans = [(s, min(e, len(text)), k)
+                 for s, e, k in spans if s < len(text)]
     return {"charset": None, "title": metadata.get("title", [None])[0],
             "text": text, "spans": spans, "links": links,
             "metadata": metadata, "status": status}
