@@ -112,6 +112,9 @@ def make_tnef(subject: str | None = None, body: str | None = None,
             pad = (-len(val)) % 4
             blob = (struct.pack("<I", 1)
                     + struct.pack("<HH", 0x001E, 0x3707)
+                    # string/binary types always carry the value-count
+                    # dword, even single-valued (MS-OXTNEF)
+                    + struct.pack("<I", 1)
                     + struct.pack("<I", len(val)) + val + b"\x00" * pad)
             out.append(attr(2, 0x9005, 0x0006, blob))
             out.append(attr(2, 0x8010, 0x0001, b"SHORTN~1.TXT\x00"))

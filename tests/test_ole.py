@@ -244,3 +244,68 @@ class TestVisioPublisher:
         assert "0123456789" in r["text"]
         assert "abcdef" in r["text"]
         assert r["metadata"]["Author"] == ["Nick Burch"]
+
+
+class TestSstContinuation:
+    """SST spanning CONTINUE records ([MS-XLS] continuation rules)."""
+
+    @staticmethod
+    def _entry(s, high=False):
+        import struct
+        grbit = 1 if high else 0
+        enc = s.encode("utf-16-le") if high else s.encode("cp1252")
+        return struct.pack("<HB", len(s), grbit) + enc
+
+    def test_string_splits_across_continue(self):
+        import struct
+
+        from tika_spark.ole.parser import _xls_sst
+        # string 2 = 'abcdef', split after 'abc' (compressed chars);
+        # the continuation segment restarts with a fresh grbit byte
+        seg1 = (struct.pack("<II", 3, 3)
+                + self._entry("first")
+                + struct.pack("<HB", 6, 0) + b"abc")
+        seg2 = (b"\x00" + b"def"          # grbit 0 + remaining chars
+                + self._entry("tail"))
+        assert _xls_sst([seg1, seg2]) == ["first", "abcdef", "tail"]
+
+    def test_split_switches_to_wide_chars(self):
+        import struct
+
+        from tika_spark.ole.parser import _xls_sst
+        # remaining chars continue in utf-16 (grbit flips to 1)
+        seg1 = (struct.pack("<II", 1, 1)
+                + struct.pack("<HB", 5, 0) + b"ab")
+        seg2 = b"\x01" + "cdé".encode("utf-16-le")
+        assert _xls_sst([seg1, seg2]) == ["abcdé"]
+
+    def test_header_split_without_grbit(self):
+        import struct
+
+        from tika_spark.ole.parser import _xls_sst
+        # the cch/grbit header itself may split with NO extra byte
+        whole = struct.pack("<II", 1, 1) + self._entry("hello")
+        seg1, seg2 = whole[:9], whole[9:]  # split inside the header
+        assert _xls_sst([seg1, seg2]) == ["hello"]
+
+
+def test_tnef_named_property_prefix_skipped():
+    """A named MAPI property (pid >= 0x8000) before the long-filename
+    prop must not desync the walk (GUID + kind prefix)."""
+    import struct
+
+    from tika_spark.mail import _mapi_long_filename
+    val = b"real name.txt\x00"
+    pad = (-len(val)) % 4
+    named_val = b"x\x00\x00\x00"
+    blob = (struct.pack("<I", 2)
+            # named PT_STRING8 prop, pid 0x8123, kind 0 (by GUID id)
+            + struct.pack("<HH", 0x001E, 0x8123)
+            + b"\x11" * 16 + struct.pack("<I", 0)
+            + struct.pack("<I", 1)
+            + struct.pack("<I", len(named_val)) + named_val
+            # then the real PidTagAttachLongFilename
+            + struct.pack("<HH", 0x001E, 0x3707)
+            + struct.pack("<I", 1)
+            + struct.pack("<I", len(val)) + val + b"\x00" * pad)
+    assert _mapi_long_filename(blob) == "real name.txt"

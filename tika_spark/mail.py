@@ -108,6 +108,14 @@ def extract_rfc822(data: bytes, url: str | None = None,
             continue
         filename = part.get_filename()
         if filename:
+            if "=?" in filename:  # RFC 2047 encoded-word filenames
+                try:
+                    filename = "".join(
+                        c.decode(e or "ascii", "replace")
+                        if isinstance(c, bytes) else c
+                        for c, e in email.header.decode_header(filename))
+                except Exception:
+                    pass
             children.append((filename, _decoded_payload(part)))
             continue
         if part.get_content_maintype() == "text":
@@ -121,6 +129,8 @@ def extract_rfc822(data: bytes, url: str | None = None,
     status = "ok"
     if len(text) > limit:
         text, status = text[:limit], "output_limit"
+    if config.write_limit and len(text) > config.write_limit:
+        text, status = text[:config.write_limit], "write_limit"
     return {
         "charset": None,
         "title": subject,
@@ -196,7 +206,22 @@ def _mapi_long_filename(blob: bytes) -> str | None:
             ptype = int.from_bytes(blob[pos:pos + 2], "little")
             pid = int.from_bytes(blob[pos + 2:pos + 4], "little")
             pos += 4
-            if ptype & 0x1000:   # multi-valued: count prefix
+            if pid >= 0x8000:
+                # named property: GUID + kind (+ name when kind=1)
+                # precede the value (MS-OXTNEF 2.1.3.3.4)
+                if pos + 20 > len(blob):
+                    return None
+                (kind,) = (int.from_bytes(blob[pos + 16:pos + 20],
+                                          "little"),)
+                pos += 20
+                if kind == 1:
+                    nlen = int.from_bytes(blob[pos:pos + 4], "little")
+                    pos += 4 + ((nlen + 3) & ~3)
+            # string/binary values ALWAYS carry the value-count dword,
+            # even single-valued (MS-OXTNEF: these types are encoded
+            # like their multi-valued forms)
+            if ptype & 0x1000 or ptype in (_PT_STRING8, _PT_UNICODE,
+                                           0x0102):
                 nvals = int.from_bytes(blob[pos:pos + 4], "little")
                 pos += 4
             else:
@@ -303,6 +328,13 @@ def extract_tnef(data: bytes, url: str | None = None,
     for b in body_parts:
         pieces.append(b if b.endswith("\n") else b + "\n")
     text = safe_chars("".join(pieces))
+    status = "ok"
+    limit = max(config.output_min_chars,
+                config.output_ratio * max(1, len(data)))
+    if len(text) > limit:
+        text, status = text[:limit], "output_limit"
+    if config.write_limit and len(text) > config.write_limit:
+        text, status = text[:config.write_limit], "write_limit"
     return {
         "charset": None,
         "title": subject,
@@ -310,6 +342,6 @@ def extract_tnef(data: bytes, url: str | None = None,
         "spans": [(0, len(text), "body")] if text else [],
         "links": [],
         "metadata": metadata,
-        "status": "ok",
+        "status": status,
         "children": children,
     }

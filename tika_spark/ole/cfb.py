@@ -16,6 +16,7 @@ zip-bomb-guard intent, sax/SecureContentHandler.java:65-80).
 from __future__ import annotations
 
 import struct
+import sys as _sys
 
 MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
@@ -86,12 +87,18 @@ class CfbFile:
             slots.extend(vals[:-1])
             nxt = vals[-1]
             seen += 1
-        fat: list[int] = []
-        per = self.sec // 4
+        # array('I'), not a list of boxed ints: the FAT of a 100 MB
+        # file is ~800 KB of u32s — a Python list would hold ~28
+        # bytes/entry and this loads on BOTH the detect (refine_ole2)
+        # and extract passes of every OLE2 document
+        import array
+        fat = array.array("I")
         for s in slots[:self.n_fat]:
             if s in (_ENDOFCHAIN, _FREESECT):
                 continue
-            fat.extend(struct.unpack(f"<{per}I", self._sector(s)))
+            fat.frombytes(self._sector(s))
+        if _sys.byteorder == "big":  # CFB is little-endian on disk
+            fat.byteswap()
         return fat
 
     def _read_chain(self, start: int) -> bytes:
@@ -146,7 +153,10 @@ class CfbFile:
         if kind in (1, 2):
             self.entries.append(Entry(name, kind, start, size, clsid, path))
         if kind == 1 and child != _FREESECT:
-            self._walk(child, path + (name,), set())
+            # share `seen`: each directory index is visited at most
+            # once globally, so cross-storage cycles (A's tree ->
+            # B's tree -> A) terminate instead of recursing unbounded
+            self._walk(child, path + (name,), seen)
         self._walk(right, path, seen)
 
     # ------------------------------------------------------------ access --

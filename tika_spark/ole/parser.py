@@ -91,6 +91,30 @@ def _parse_property_set(raw: bytes, pidmap: dict[int, str],
     if sec_off + 8 > len(raw):
         return
     (_cb, n_props) = struct.unpack_from("<II", raw, sec_off)
+    # pass 1: the codepage property (PID 1) governs VT_LPSTR decoding
+    # (the POI property-set reader honors it; hardcoding cp1252 would
+    # garble e.g. Shift-JIS metadata)
+    codec = "cp1252"
+    for i in range(min(n_props, 64)):
+        base = sec_off + 8 + i * 8
+        if base + 8 > len(raw):
+            break
+        pid, off = struct.unpack_from("<II", raw, base)
+        p = sec_off + off
+        if pid == 1 and p + 8 <= len(raw):
+            (vt,) = struct.unpack_from("<I", raw, p)
+            if vt & 0xFFFF == 2:
+                (cp,) = struct.unpack_from("<h", raw, p + 4)
+                cp = cp & 0xFFFF
+                if cp == 65001:
+                    codec = "utf-8"
+                elif cp and cp != 1252:
+                    try:
+                        b"".decode(f"cp{cp}")
+                        codec = f"cp{cp}"
+                    except LookupError:
+                        pass
+            break
     for i in range(min(n_props, 64)):
         base = sec_off + 8 + i * 8
         if base + 8 > len(raw):
@@ -103,12 +127,13 @@ def _parse_property_set(raw: bytes, pidmap: dict[int, str],
         if p + 4 > len(raw):
             continue
         (vt,) = struct.unpack_from("<I", raw, p)
-        val = _read_variant(raw, p + 4, vt & 0xFFFF)
+        val = _read_variant(raw, p + 4, vt & 0xFFFF, codec)
         if val is not None and val != "":
             metadata.setdefault(key, []).append(val)
 
 
-def _read_variant(raw: bytes, p: int, vt: int) -> str | None:
+def _read_variant(raw: bytes, p: int, vt: int,
+                  codec: str = "cp1252") -> str | None:
     try:
         if vt == 2:    # VT_I2
             return str(struct.unpack_from("<h", raw, p)[0])
@@ -116,9 +141,9 @@ def _read_variant(raw: bytes, p: int, vt: int) -> str | None:
             return str(struct.unpack_from("<i", raw, p)[0])
         if vt == 11:   # VT_BOOL
             return "true" if struct.unpack_from("<H", raw, p)[0] else "false"
-        if vt == 30:   # VT_LPSTR (cp1252, NUL-terminated)
+        if vt == 30:   # VT_LPSTR (codepage property, NUL-terminated)
             (n,) = struct.unpack_from("<I", raw, p)
-            s = raw[p + 4:p + 4 + n].decode("cp1252", "replace")
+            s = raw[p + 4:p + 4 + n].decode(codec, "replace")
             return s.split("\x00", 1)[0]
         if vt == 31:   # VT_LPWSTR
             (n,) = struct.unpack_from("<I", raw, p)
@@ -236,40 +261,79 @@ def _doc_clean(s: str) -> str:
 # ---------------------------------------------------------- Excel .xls --
 
 
-def _xls_records(stream: bytes):
-    p = 0
+def _xls_records(stream: bytes, start: int = 0):
+    p = start
     while p + 4 <= len(stream):
         op, ln = struct.unpack_from("<HH", stream, p)
         yield op, stream[p + 4:p + 4 + ln], p
         p += 4 + ln
 
 
-def _xls_sst(payload: bytes) -> list[str]:
+def _xls_sst(segments: list[bytes]) -> list[str]:
+    """Shared-string table across the SST record payload plus its
+    CONTINUE (0x003C) payloads — a normal workbook's SST spans many
+    records (8224-byte record cap).
+
+    Continuation rule ([MS-XLS] XLUnicodeRichExtendedString): when
+    CHARACTER data splits at a record boundary, the next segment
+    begins with a fresh fHighByte option byte for the remaining
+    characters; header/run/phonetic bytes split without it.
+    """
     out: list[str] = []
+    segs = [s for s in segments if s]
+    if not segs:
+        return out
+    i, p = 0, 0
+
+    def need(n: int) -> bytes:
+        nonlocal i, p
+        parts = bytearray()
+        while n:
+            while i < len(segs) and p >= len(segs[i]):
+                i += 1
+                p = 0
+            if i >= len(segs):
+                raise IndexError("sst truncated")
+            take = min(n, len(segs[i]) - p)
+            parts += segs[i][p:p + take]
+            p += take
+            n -= take
+        return bytes(parts)
+
     try:
-        (_total, unique) = struct.unpack_from("<II", payload, 0)
-        p = 8
+        _total, unique = struct.unpack("<II", need(8))
         for _ in range(min(unique, 100_000)):
-            (cch,) = struct.unpack_from("<H", payload, p)
-            grbit = payload[p + 2]
-            p += 3
+            (cch,) = struct.unpack("<H", need(2))
+            grbit = need(1)[0]
             runs = ext = 0
             if grbit & 0x08:  # rich text
-                (runs,) = struct.unpack_from("<H", payload, p)
-                p += 2
+                (runs,) = struct.unpack("<H", need(2))
             if grbit & 0x04:  # phonetic
-                (ext,) = struct.unpack_from("<I", payload, p)
-                p += 4
-            if grbit & 0x01:  # 16-bit chars
-                out.append(payload[p:p + 2 * cch].decode("utf-16-le",
-                                                         "replace"))
-                p += 2 * cch
-            else:
-                out.append(payload[p:p + cch].decode("cp1252", "replace"))
-                p += cch
-            p += 4 * runs + ext
-            if p > len(payload):
-                break
+                (ext,) = struct.unpack("<I", need(4))
+            high = grbit & 0x01
+            chars: list[str] = []
+            left = cch
+            while left:
+                while i < len(segs) and p >= len(segs[i]):
+                    i += 1
+                    p = 0
+                    if i < len(segs) and segs[i]:
+                        high = segs[i][0] & 0x01  # continuation grbit
+                        p = 1
+                if i >= len(segs):
+                    raise IndexError("sst chars truncated")
+                width = 2 if high else 1
+                avail = (len(segs[i]) - p) // width
+                if avail <= 0:
+                    raise IndexError("sst odd split")
+                take = min(left, avail)
+                raw = segs[i][p:p + take * width]
+                chars.append(raw.decode(
+                    "utf-16-le" if high else "cp1252", "replace"))
+                p += take * width
+                left -= take
+            out.append("".join(chars))
+            need(4 * runs + ext)  # skip formatting runs + phonetic
     except (struct.error, IndexError):
         pass
     return out
@@ -295,12 +359,19 @@ def _xls_text(cfb: CfbFile) -> str:
     book = cfb.stream("Workbook") or cfb.stream("Book")
     if not book:
         return ""
-    sst: list[str] = []
+    sst_segs: list[bytes] = []
+    collecting_sst = False
     sheets: list[tuple[int, str]] = []  # (offset, name)
     for op, payload, _pos in _xls_records(book):
         if op == 0x00FC:
-            sst = _xls_sst(payload)
-        elif op == 0x0085 and len(payload) >= 8:
+            sst_segs = [payload]
+            collecting_sst = True
+            continue
+        if collecting_sst and op == 0x003C:  # CONTINUE
+            sst_segs.append(payload)
+            continue
+        collecting_sst = False
+        if op == 0x0085 and len(payload) >= 8:
             (lb_ply,) = struct.unpack_from("<I", payload, 0)
             cch, grbit = payload[6], payload[7]
             if grbit & 0x01:
@@ -308,13 +379,14 @@ def _xls_text(cfb: CfbFile) -> str:
             else:
                 name = payload[8:8 + cch].decode("cp1252", "replace")
             sheets.append((lb_ply, name))
-        elif op == 0x000A and not sheets:
-            break  # EOF of globals with no sheets
+        elif op == 0x000A:
+            break  # EOF of the globals substream (sheets follow)
+    sst = _xls_sst(sst_segs)
     lines: list[str] = []
     for lb_ply, name in sheets:
         cells: dict[tuple[int, int], str] = {}
         depth = 0
-        for op, payload, _pos in _xls_records(book[lb_ply:]):
+        for op, payload, _pos in _xls_records(book, lb_ply):
             if op == 0x0809:
                 depth += 1
             elif op == 0x000A:
@@ -456,7 +528,8 @@ def _msg_extract(cfb: CfbFile, metadata: dict[str, list[str]]
     attach_dirs = sorted({e.path[0] for e in cfb.entries
                           if e.path and _ATTACH_RE.match(e.path[0])})
     for d in attach_dirs:
-        fname, payload = None, None
+        names: dict[str, str] = {}  # prop id -> decoded name
+        payload = None
         for e in cfb.entries:
             if e.path != (d,) or e.kind != 2:
                 continue
@@ -464,15 +537,18 @@ def _msg_extract(cfb: CfbFile, metadata: dict[str, list[str]]
             if not m:
                 continue
             prop, vt = m.group(1), m.group(2)
-            if prop in ("3707", "3704") and vt == "001F" and not fname:
-                fname = cfb.read(e).decode("utf-16-le",
-                                           "replace").rstrip("\x00")
-            elif prop in ("3707", "3704") and vt == "001E" and not fname:
-                fname = cfb.read(e).decode("cp1252",
-                                           "replace").rstrip("\x00")
+            if prop in ("3707", "3704") and vt == "001F":
+                names[prop] = cfb.read(e).decode(
+                    "utf-16-le", "replace").rstrip("\x00")
+            elif prop in ("3707", "3704") and vt == "001E":
+                names[prop] = cfb.read(e).decode(
+                    "cp1252", "replace").rstrip("\x00")
             elif prop == "3701" and vt == "0102":
                 payload = cfb.read(e)
         if payload is not None:
+            # PidTagAttachLongFilename (3707) beats the 8.3 short
+            # name (3704) — OutlookExtractor's preference
+            fname = names.get("3707") or names.get("3704")
             children.append((fname or d, payload))
     return body, children
 
@@ -517,8 +593,9 @@ def extract_ole(data: bytes, url: str | None = None,
     except Exception:
         text = ""
     text = safe_chars(text)
-    status = "ok" if text or metadata.keys() - {"Content-Type"} else \
-        "metadata_only"
+    # no text extracted => metadata_only, whatever metadata holds
+    # (the chm/parser.py convention; metadata-only is about TEXT)
+    status = "ok" if text else "metadata_only"
     limit = max(config.output_min_chars,
                 config.output_ratio * max(1, len(data)))
     if len(text) > limit:
