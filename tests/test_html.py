@@ -241,3 +241,52 @@ class TestDomRecovery:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestDomRecoveryHardening:
+    """Round-2 review fixes: p-closing before implied closes,
+    self-closing syntax parity, nested-anchor text, wrap counting."""
+
+    @staticmethod
+    def _tree(html):
+        from tika_spark.html.dom import build_dom
+
+        def fmt(el):
+            kids = "".join(fmt(c) for c in el.children
+                           if hasattr(c, "tag"))
+            return f"<{el.tag}>{kids}</{el.tag}>"
+        return fmt(build_dom(html))
+
+    def test_li_closes_p_then_sibling_li(self):
+        assert self._tree("<ul><li><p>one<li>two</ul>") == \
+            "<#root><ul><li><p></p></li><li></li></ul></#root>"
+
+    def test_td_closes_p_then_sibling_td(self):
+        assert self._tree("<table><tr><td><p>x<td>y</table>") == \
+            "<#root><table><tr><td><p></p></td><td></td></tr>" \
+            "</table></#root>"
+
+    def test_selfclosing_matches_plain_syntax(self):
+        from tika_spark.html.dom import build_dom
+        a = build_dom('<img src="a" src="b">')
+        b = build_dom('<img src="a" src="b"/>')
+        assert a.children[0].attrs == b.children[0].attrs == \
+            {"src": "a"}  # first duplicate wins in both syntaxes
+
+    def test_nested_anchor_text_propagates(self):
+        from tika_spark.config import ExtractConfig
+        from tika_spark.html.extract import extract_html
+        r = extract_html(
+            b'<html><body><a href="http://x/">Hello '
+            b'<a href="http://y/">World</a></a></body></html>',
+            config=ExtractConfig(mode="text"))
+        by_uri = {u: t for _, u, _, t in r["links"]}
+        assert by_uri["http://y/"] == "World"
+        assert by_uri["http://x/"] == "Hello World"
+
+    def test_wrap_ignores_separator_tokens(self):
+        from tika_spark.html.boilerpipe import TextBlock
+        text = "word " + "* " * 50
+        b = TextBlock(text, num_words=1, anchor_words=0, offset=0,
+                      tokens=text.split())
+        assert b.wrapped_words >= 0 and b.text_density >= 0.0

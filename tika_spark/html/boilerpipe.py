@@ -12,10 +12,14 @@ DefaultExtractor pipeline):
 2. per block: text density (words per 80-column wrapped line, trailing
    partial line excluded) and link density (anchor words / words);
 3. SimpleBlockFusion — merge consecutive blocks of equal text density;
-4. BlockProximityFusion(max distance 1) — merge blocks not separated
-   by an empty block;
-5. DensityRulesClassifier — the published decision tree over
-   (prev, curr, next) densities marks each block CONTENT/BOILERPLATE.
+4. NumWordsRulesClassifier — the published word-count decision tree
+   over (prev, curr, next) marks each block CONTENT/BOILERPLATE.
+
+``block_proximity_fusion`` and ``density_rules_classify`` implement
+the other two published pipeline pieces (the DefaultExtractor
+variant) as composable building blocks; the default pipeline
+(:func:`classify_blocks`) deliberately classifies un-fused blocks —
+see its docstring.
 
 The text-main output mirrors BoilerpipeContentHandler's emission: one
 paragraph per content block, newline-terminated.
@@ -77,6 +81,11 @@ class TextBlock:
         lines = 0
         words_cur_line = 0
         for w in words:
+            # only WORD tokens advance the counters (the published
+            # flushBlock skips non-word tokens) — counting separators
+            # here would let num_words - words_cur_line go negative
+            if not _ALNUM_RE.search(w):
+                continue
             words_cur_line += 1
             line_len += len(w) + 1
             if line_len > _MAX_LINE:
@@ -268,15 +277,18 @@ def num_words_rules_classify(blocks: list[TextBlock]) -> None:
 
 
 def classify_blocks(body: El) -> list[TextBlock]:
-    """Default extractor pipeline over a body DOM.
+    """Default pipeline over a body DOM: segment → SimpleBlockFusion →
+    NumWordsRulesClassifier.
 
-    Deviation from boilerpipe's DefaultExtractor noted: proximity
-    fusion here runs AFTER classification and only over content blocks
-    (as in ArticleExtractor) — pre-classification distance-1 fusion
-    would collapse adjacent paragraphs and nav regions into one block
-    and dilute link density; classifying first keeps per-paragraph
-    granularity, which is also what the reference's pinned test
-    contract exercises (HtmlParserTest.java:392-406).
+    Deviation from boilerpipe's DefaultExtractor noted: no
+    pre-classification BlockProximityFusion — distance-1 fusion
+    before classifying would collapse adjacent paragraphs and nav
+    regions into one block and dilute link density; classifying
+    un-fused blocks keeps per-paragraph granularity, which is also
+    what the reference's pinned test contract exercises
+    (HtmlParserTest.java:392-406). Callers wanting the full
+    DefaultExtractor shape can compose ``block_proximity_fusion`` /
+    ``density_rules_classify`` themselves.
     """
     blocks = segment_blocks(body)
     blocks = simple_block_fusion(blocks)

@@ -31,7 +31,9 @@ VOID_ELEMENTS = frozenset(
 # starting one of these closes an open <p>
 _P_CLOSERS = frozenset(
     "p div ul ol dl li table blockquote pre h1 h2 h3 h4 h5 h6 address form "
-    "hr fieldset section article aside nav header footer".split())
+    "hr fieldset section article aside nav header footer "
+    # table/list internals can never nest inside an open <p> either
+    "td th tr thead tbody dd dt".split())
 
 # tag -> set of open tags it implicitly closes (innermost-first)
 _IMPLIED_CLOSE = {
@@ -73,9 +75,6 @@ class _TreeBuilder(HTMLParser):
     def _top(self) -> El:
         return self.stack[-1]
 
-    def _open_tags(self):
-        return [e.tag for e in self.stack[1:]]
-
     def handle_starttag(self, tag, attrs):
         # html.parser delivers tag and attribute names already
         # lowercased; duplicate attrs keep the first value
@@ -86,10 +85,6 @@ class _TreeBuilder(HTMLParser):
                     attr_map[k] = v if v is not None else ""
         else:
             attr_map = {}
-        closers = _IMPLIED_CLOSE.get(tag)
-        if closers:
-            while len(self.stack) > 1 and self._top().tag in closers:
-                self.stack.pop()
         if tag in _P_CLOSERS:
             # close an open <p> that has no intervening structural ancestor
             for i in range(len(self.stack) - 1, 0, -1):
@@ -100,14 +95,23 @@ class _TreeBuilder(HTMLParser):
                 if t not in ("a", "b", "i", "em", "strong", "span", "font",
                              "small", "big", "u", "s", "sub", "sup"):
                     break
+        # implied closes run AFTER the p-closer: '<li><p>one<li>' must
+        # first close the p, then see the previous li on top
+        closers = _IMPLIED_CLOSE.get(tag)
+        if closers:
+            while len(self.stack) > 1 and self._top().tag in closers:
+                self.stack.pop()
         node = El(tag, attr_map)
         self._top().children.append(node)
         if tag not in VOID_ELEMENTS and len(self.stack) < MAX_XML_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        attr_map = {k: (v if v is not None else "") for k, v in attrs}
-        self._top().children.append(El(tag, attr_map))
+        # delegate so self-closing syntax gets the same recovery rules
+        # and first-wins attribute dedup as '<tag>' + '</tag>'
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_ELEMENTS:
+            self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:

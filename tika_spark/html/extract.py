@@ -83,18 +83,24 @@ def extract_html(data: bytes, url: str | None = None,
     metadata: dict[str, list[str]] = {"Content-Encoding": [charset]}
     base = _process_head(head, url, metadata)
 
-    full_text, spans, links = serialize_body(
-        body, base, collect_links=config.collect_links)
-
+    links: list = []
     if config.mode == "text-main":
+        # the full-body serialization's text/spans would be discarded
+        # here — only run it when the caller wants the links side-
+        # product (it is the dominant per-doc cost after the parse)
+        if config.collect_links:
+            _, _, links = serialize_body(body, base, collect_links=True)
         text, spans = bp.main_content(body)
         text = safe_chars(text)
     elif config.mode == "xhtml":
         from tika_spark.html.layout import serialize_xhtml
+        if config.collect_links:
+            _, _, links = serialize_body(body, base, collect_links=True)
         text = serialize_xhtml(body, metadata.get("title", [None])[0], base)
         spans = []
     else:
-        text = full_text
+        text, spans, links = serialize_body(
+            body, base, collect_links=config.collect_links)
 
     status = "ok"
     # zip/HTML-bomb guard: output <= max(1MB, 100x input bytes)

@@ -134,7 +134,7 @@ class _Serializer:
             a = self._anchor_stack.pop()
             txt = "".join(a["text"])
             if self._anchor_stack:       # nested anchors: propagate text
-                self._anchor_stack[-1]["text"].append("")
+                self._anchor_stack[-1]["text"].append(txt)
             self.links.append(Link("a", a["href"], a["title"], txt, a["rel"]))
         elif mapped == "img":
             src = attrs.get("src")
@@ -155,9 +155,6 @@ class _Serializer:
             end = self.pos - (1 if mapped in ENDLINE else 0)
             if end > span_start:
                 self.spans.append((span_start, max(span_start, end), mapped))
-
-
-_XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
 
 
 def _esc_xml(s: str, attr: bool = False) -> str:
