@@ -742,3 +742,23 @@ class TestIWorkHardening:
         assert r["status"] == "output_limit"
         # within the cap the text is still extracted
         assert r["text"].startswith("pg\n")
+
+
+def test_zip_bad_member_keeps_good_ones():
+    """A corrupt member must not discard already-extracted entries."""
+    import io
+    import zipfile
+
+    from tika_spark.pkg.parser import extract_package
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("good1.txt", b"one")
+        zf.writestr("bad.txt", b"will corrupt")
+        zf.writestr("good2.txt", b"two")
+    blob = bytearray(buf.getvalue())
+    # corrupt bad.txt's stored data (flip bytes after its header)
+    idx = bytes(blob).find(b"will corrupt")
+    blob[idx:idx + 4] = b"XXXX"  # CRC mismatch on read
+    r = extract_package(bytes(blob))
+    names = [n for n, _ in r["children"]]
+    assert "good1.txt" in names and "good2.txt" in names

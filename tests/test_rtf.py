@@ -97,3 +97,41 @@ def test_through_pipeline(spark):
     row = extract(df, mode="text").collect()[0]
     assert row["mime"] == "application/rtf"
     assert row["text"] == "From Spark\n"
+
+
+class TestRtfHardening:
+    """Round-2 review fixes: hostile constructs and spec edges."""
+
+    def test_negative_bin_terminates(self):
+        r = extract_rtf(rb"{\rtf1 AAA\bin-9\bin-9 done}")
+        assert r["status"] == "ok" and "done" in r["text"]
+
+    def test_out_of_range_unicode_dropped_not_fatal(self):
+        r = extract_rtf(b"{\\rtf1 keep \\u1114112? this}")
+        assert r["status"] == "ok"
+        assert "keep" in r["text"] and "this" in r["text"]
+
+    def test_info_group_is_metadata_not_text(self):
+        r = extract_rtf(
+            b"{\\rtf1{\\info{\\doccomm a note}{\\operator Jane}}Hello}")
+        assert r["text"] == "Hello\n"
+        assert r["metadata"]["comments"] == ["a note"]
+
+    def test_every_hyperlink_field_collected(self):
+        r = extract_rtf(
+            b"{\\rtf1 {\\field{\\*\\fldinst HYPERLINK \"http://a/\"}"
+            b"{\\fldrslt A}} and {\\field{\\*\\fldinst HYPERLINK "
+            b"\"http://b/\"}{\\fldrslt B}}}")
+        assert [u for _, u, _, _ in r["links"]] == \
+            ["http://a/", "http://b/"]
+
+    def test_backslash_crlf_is_par(self):
+        r = extract_rtf(b"{\\rtf1 one\\\r\ntwo}")
+        assert r["text"] == "one\ntwo\n"
+
+    def test_control_word_output_not_uc_skipped(self):
+        # \uc1荤 with the fallback char omitted: the \par must
+        # still produce its newline (control output is unskippable)
+        r = extract_rtf(b"{\\rtf1\\uc1 a\\u8364\\par b}")
+        assert "\n" in r["text"].rstrip("\n") or \
+            r["text"].count("\n") >= 2

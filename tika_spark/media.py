@@ -49,7 +49,9 @@ def _bmp_dims(data: bytes):
 
 
 def _jpeg_dims(data: bytes):
-    i, n = 2, min(len(data), 65536)
+    # same scan bound as _jpeg_exif: camera JPEGs commonly carry
+    # >64 KB of APPn (EXIF + ICC) before the SOF marker
+    i, n = 2, min(len(data), 262144)
     while i + 4 <= n:
         if data[i] != 0xFF:
             i += 1
@@ -697,23 +699,30 @@ def extract_media(data: bytes, url: str | None = None,
                                                        "octet-stream"]}
     dims = None
     title = None
-    fn = _BY_MIME.get(mime)
-    if fn is not None:
+    if mime == "image/tiff":
+        # one EXIF IFD walk serves both the metadata and the dims
+        # (going through _BY_MIME's _tiff_dims would walk it twice)
         try:
-            dims = fn(data)
+            exif = _exif_metadata(data)
+            metadata.update(exif)
+            if "tiff:ImageWidth" in exif and "tiff:ImageLength" in exif:
+                dims = (int(exif["tiff:ImageWidth"][0]),
+                        int(exif["tiff:ImageLength"][0]))
         except Exception:
-            dims = None
+            pass
+    else:
+        fn = _BY_MIME.get(mime)
+        if fn is not None:
+            try:
+                dims = fn(data)
+            except Exception:
+                dims = None
     if dims:
         metadata["width"] = [str(dims[0])]
         metadata["height"] = [str(dims[1])]
     if mime == "image/jpeg":
         try:
             metadata.update(_jpeg_exif(data))
-        except Exception:
-            pass
-    elif mime == "image/tiff":
-        try:
-            metadata.update(_exif_metadata(data))
         except Exception:
             pass
     if mime == "audio/mpeg":

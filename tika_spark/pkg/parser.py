@@ -52,8 +52,14 @@ def _zip_children(data: bytes, budget: int):
             if len(out) >= MAX_PKG_ENTRIES or used >= budget:
                 return out, True
             cap = budget - used
-            with zf.open(info) as f:
-                payload = f.read(cap + 1)
+            try:
+                with zf.open(info) as f:
+                    payload = f.read(cap + 1)
+            except Exception:
+                # one encrypted/CRC-corrupt member must not discard
+                # the members already extracted (H1 fault isolation;
+                # the reference streams entries out as they parse)
+                continue
             if len(payload) > cap:
                 payload, truncated = payload[:cap], True
             used += len(payload)
@@ -75,20 +81,28 @@ def _gzip_child(data: bytes, url: str | None, budget: int):
 def _tar_children(data: bytes, budget: int):
     out, used, truncated = [], 0, False
     with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
-        for member in tf:
-            if not member.isfile():
-                continue
-            if len(out) >= MAX_PKG_ENTRIES or used >= budget:
-                return out, True
-            f = tf.extractfile(member)
-            if f is None:
-                continue
-            cap = budget - used
-            payload = f.read(cap + 1)
-            if len(payload) > cap:
-                payload, truncated = payload[:cap], True
-            used += len(payload)
-            out.append((member.name, payload))
+        try:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                if len(out) >= MAX_PKG_ENTRIES or used >= budget:
+                    return out, True
+                cap = budget - used
+                try:
+                    f = tf.extractfile(member)
+                    if f is None:
+                        continue
+                    payload = f.read(cap + 1)
+                except Exception:
+                    continue  # keep members already extracted (H1)
+                if len(payload) > cap:
+                    payload, truncated = payload[:cap], True
+                used += len(payload)
+                out.append((member.name, payload))
+        except Exception:
+            # a corrupt header mid-archive ends the walk but keeps
+            # everything extracted before it
+            return out, True
     return out, truncated
 
 

@@ -86,7 +86,6 @@ def extract_rtf(data: bytes, url: str | None = None,
     cur_font = -1
     pending = bytearray()     # bytes awaiting charset decode
     info_buf: list[str] | None = None
-    link_target: str | None = None
     i, n = 0, len(data)
     unicode_skip = 0          # chars to skip after \uN
 
@@ -136,14 +135,16 @@ def extract_rtf(data: bytes, url: str | None = None,
         elif b == 0x7D:  # }
             flush()
             if info_buf is not None:
-                if st.dest in ("title", "author", "subject", "keywords"):
-                    key = "Author" if st.dest == "author" else st.dest
+                if st.dest in ("title", "author", "subject",
+                               "keywords", "doccomm"):
+                    key = {"author": "Author",
+                           "doccomm": "comments"}.get(st.dest, st.dest)
                     metadata[key] = ["".join(info_buf)]
                     info_buf = None
                 elif st.dest == "fldinst":
                     m = _HYPERLINK.search("".join(info_buf))
-                    if m:
-                        link_target = m.group(1)
+                    if m:  # every field, not just the last one
+                        links.append(("a", m.group(1), "", ""))
                     info_buf = None
             if stack:
                 st = stack.pop()
@@ -166,6 +167,13 @@ def extract_rtf(data: bytes, url: str | None = None,
                 flush()
                 emit(_SYMBOLS[chr(nxt)])
                 i += 2
+            elif nxt in (0x0D, 0x0A):  # \<CRLF> == \par (spec)
+                flush()
+                unicode_skip = 0
+                sink("\n")
+                i += 2
+                if nxt == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
             elif nxt == 0x2A:  # \* ignorable destination
                 flush()
                 st.ignorable = True
@@ -180,19 +188,24 @@ def extract_rtf(data: bytes, url: str | None = None,
                 i = m.end()
                 if word in ("par", "line", "row", "sect", "page"):
                     flush()
-                    emit("\n")
-                elif word == "tab" or word == "cell":
+                    unicode_skip = 0  # a control word ends any \uN
+                    sink("\n")       # fallback; its output is never
+                elif word == "tab" or word == "cell":  # skippable
                     flush()
-                    emit("\t")
+                    unicode_skip = 0
+                    sink("\t")
                 elif word in _SYMBOLS:
                     flush()
-                    emit(_SYMBOLS[word])
+                    unicode_skip = 0
+                    sink(_SYMBOLS[word])
                 elif word == "u" and param is not None:
                     flush()
                     # the uc-skip applies only to the *replacement*
                     # text after \uN, never to the \uN char itself
                     unicode_skip = 0
-                    sink(chr(param if param >= 0 else param + 65536))
+                    cp = param if param >= 0 else param + 65536
+                    if 0 <= cp <= 0x10FFFF:  # malformed \uN: drop,
+                        sink(chr(cp))        # never error the doc
                     unicode_skip = st.uc_skip
                 elif word == "uc" and param is not None:
                     flush()
@@ -231,7 +244,10 @@ def extract_rtf(data: bytes, url: str | None = None,
                 elif word == "info":
                     flush()
                     st.dest = "info"
-                elif word == "bin" and param:
+                    st.ignorable = True  # info fields are metadata
+                elif word == "bin" and param and param > 0:
+                    # positive params only: a negative \bin would
+                    # rewind the cursor into an infinite loop
                     flush()
                     i += param  # raw bytes, skip
         elif b in (0x0D, 0x0A):
@@ -242,8 +258,6 @@ def extract_rtf(data: bytes, url: str | None = None,
             i = m.end()
 
     flush()
-    if link_target:
-        links.append(("a", link_target, "", ""))
 
     text = safe_chars("".join(out))
     if text and not text.endswith("\n"):
