@@ -205,6 +205,49 @@ class TestLzxFraming:
         out = LzxDecoder(16).decompress(w.bytes(), frame + tail)
         assert list(out) == syms
 
+    def test_match_spanning_frame_boundary_keeps_overshoot(self):
+        # regression (round-3 advice): a match whose copy crosses the
+        # 32 KiB frame boundary must be emitted IN FULL — the encoder
+        # pads/realigns after the match completes, and the overshoot
+        # is credited against the block (mspack lzxd this_run<0).
+        # Truncating at the boundary leaves the next frame decoding
+        # the following symbol with the match tail missing.
+        frame = 0x8000
+        tail = 32
+        lits = [(i * 11) % 251 for i in range(frame - 2)]
+        tail_syms = [(i * 13) % 251 for i in range(tail)]
+        out_len = frame + 1 + tail
+        n_main = 256 + (_SLOTS_BY_WBITS[16] << 3)
+        w = _BitWriter()
+        w.write(0, 1)
+        w.write(1, 3)
+        w.write(out_len >> 16, 8)
+        w.write(out_len & 0xFFFF, 16)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for _ in range(256):
+            w.write(1, 1)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for i in range(256, n_main):
+            w.write(1 if i == 257 else 0, 1)
+        for i in range(20):
+            w.write(1 if i in (0, 8) else 0, 4)
+        for _ in range(249):
+            w.write(0, 1)
+        for s in lits:
+            w.write(s, 9)
+        # element 257: slot 0 (R0=1), length_header 1 -> match_len 3
+        # starting 2 bytes before the boundary: 1-byte overshoot
+        w.write(256, 9)
+        pad = (16 - w.n % 16) % 16
+        w.write(0, pad)     # encoder frame padding AFTER the match
+        for s in tail_syms:
+            w.write(s, 9)
+        out = LzxDecoder(16).decompress(w.bytes(), out_len)
+        expect = bytes(lits) + bytes([lits[-1]]) * 3 + bytes(tail_syms)
+        assert out == expect
+
     def test_uncompressed_block_on_aligned_boundary_skips_16(self):
         # 16 verbatim literals land the next block header such that
         # the uncompressed block's byte-alignment point is exactly on

@@ -253,6 +253,18 @@ class TestPackSequences:
                pack_sequences(df, budget=10).collect()}
         assert out == {1: 1, 2: 2, 3: 3}
 
+    def test_string_doc_id_and_long_group(self, spark):
+        # regression (round-3 advice): the applyInPandas schema was
+        # hardcoded 'grp string, id long' — any corpus with a string
+        # doc_id or non-string group failed at runtime
+        from tika_spark.analysis.curation import pack_sequences
+        df = spark.createDataFrame(
+            [(7, "a", "x y z"), (7, "b", "p q r s"), (7, "c", "m n")],
+            "source long, doc_id string, text string")
+        out = {r["doc_id"]: r["chunk"] for r in
+               pack_sequences(df, budget=8).collect()}
+        assert out == {"a": 1, "b": 1, "c": 2}
+
     def test_partitioning_invariant(self, spark):
         """Chunk ids depend on (group, doc_id) order only, not on the
         physical layout the rows arrive in."""

@@ -74,6 +74,27 @@ def test_mp3_id3v2():
     assert r["metadata"]["Author"] == ["The Band"]
 
 
+def _make_id3v22(title: str, artist: str) -> bytes:
+    # v2.2: 6-byte frame headers — 3-byte IDs, 3-byte BE sizes
+    def frame(fid, text):
+        body = b"\x00" + text.encode("latin-1")
+        return fid + len(body).to_bytes(3, "big") + body
+    frames = frame(b"TT2", title) + frame(b"TP1", artist)
+    n = len(frames)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3\x02\x00\x00" + size + frames + b"\xff\xfb" + b"\x00" * 64
+
+
+def test_mp3_id3v22_three_byte_frames():
+    # regression: v2.2 frames parsed with the 10-byte v2.3 layout read
+    # garbage IDs and returned {} with status=parsed
+    from tika_spark.media import extract_media
+    r = extract_media(_make_id3v22("Old Song", "Duo"), mime="audio/mpeg")
+    assert r["title"] == "Old Song"
+    assert r["metadata"]["Author"] == ["Duo"]
+
+
 def test_mp3_id3v1():
     tag = (b"TAG" + b"Old Title".ljust(30, b"\x00")
            + b"Old Artist".ljust(30, b"\x00")
@@ -216,6 +237,20 @@ def _make_tiff(entries_ascii=None, gps=False, bo="<"):
             + st.pack(e + "I", blob_base + len(blobs)))
         blobs += lon
     return bytes(out) + raw + sub_raw + bytes(blobs)
+
+
+def test_tiff_dims_survive_exif_walk_failure(monkeypatch):
+    # regression: when the full EXIF IFD walk raises, the dims-only
+    # first-IFD scan must still produce width/height
+    import tika_spark.media as M
+
+    def boom(data):
+        raise IndexError("corrupt sub-IFD")
+
+    monkeypatch.setattr(M, "_exif_metadata", boom)
+    r = M.extract_media(_make_tiff(), mime="image/tiff")
+    assert r["metadata"]["width"] == ["640"]
+    assert r["metadata"]["height"] == ["480"]
 
 
 def test_tiff_detect_and_dims():

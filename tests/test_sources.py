@@ -177,6 +177,28 @@ class TestWarcHardening:
         assert parsed["type"] == "conversion"  # injection neutralized
         assert "\r" not in parsed["url"]
 
+    def test_bomb_cap_holds_on_exact_boundary(self, monkeypatch):
+        # regression (round-3 advice): a member whose inflated size
+        # lands EXACTLY on the cap at a chunk boundary used to call
+        # decompress(chunk, max_length=0), which zlib treats as
+        # UNLIMITED — the guard silently turned off at its own edge
+        payload = b"\x00" * (1 << 20)
+        member = gzip.compress(payload)
+        chunk_sz = 64
+        monkeypatch.setattr(warc, "_INFLATE_CHUNK", chunk_sz)
+        # find an output total that falls exactly on a chunk boundary
+        import zlib
+        dec = zlib.decompressobj(wbits=31)
+        totals, t = [], 0
+        for p in range(0, len(member), chunk_sz):
+            t += len(dec.decompress(member[p:p + chunk_sz]))
+            totals.append(t)
+        cap = next(x for x in totals if 0 < x < len(payload))
+        monkeypatch.setattr(warc, "_MAX_MEMBER", cap)
+        got = list(warc.iter_gzip_members(member))
+        assert None in got                      # surfaced as corrupt
+        assert all(m is None or len(m) <= cap for m in got)
+
     def test_record_ids_unique_per_capture(self):
         from tika_spark.sources import warc
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import LongType, StructField, StructType
 
 from tika_spark.analysis.textstats import fingerprint, tokens, word_shingles
 
@@ -453,6 +454,11 @@ def pack_sequences(df: DataFrame, group_col: str = "source",
     counts = df.select(
         F.col(group_col).alias("grp"), F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"))
+    # derive the grp/id field types from the input — hardcoding
+    # "grp string, id long" would break any corpus with a string
+    # doc_id or a non-string group column
+    out_schema = StructType(list(counts.schema.fields)
+                            + [StructField("chunk", LongType())])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -468,8 +474,7 @@ def pack_sequences(df: DataFrame, group_col: str = "source",
         pdf["chunk"] = pd.Series(chunks, dtype="int64")
         return pdf
 
-    return (counts.groupBy("grp").applyInPandas(
-        pack, schema="grp string, id long, n_tok long, chunk long")
+    return (counts.groupBy("grp").applyInPandas(pack, schema=out_schema)
         .select(F.col("grp").alias(group_col), F.col("id").alias(id_col),
                 "n_tok", "chunk"))
 

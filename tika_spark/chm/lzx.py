@@ -223,10 +223,20 @@ class LzxDecoder:
                         raise LzxError("truncated uncompressed data")
                     out += bits.data[raw_p:raw_p + run]
                     raw_p += run
+                    block_togo -= run
                 else:
-                    self._coded_block(bits, out, run, main, lengths,
-                                      aligned)
-                block_togo -= run
+                    # a match may overshoot the frame boundary: the
+                    # full match MUST be emitted (the bitstream has no
+                    # second copy of the tail) and the overshoot is
+                    # credited against the block — the mspack/lzxd
+                    # this_run<0 accounting. The frame loop re-derives
+                    # frame_room from len(out), so an overshoot simply
+                    # shortens the next frame's run.
+                    produced = self._coded_block(bits, out, run, main,
+                                                 lengths, aligned)
+                    if produced > block_togo:
+                        raise LzxError("match overruns block")
+                    block_togo -= produced
                 if btype == 3 and block_togo == 0:
                     # block sizes are even-padded in the byte stream
                     if raw_p & 1:
@@ -265,7 +275,16 @@ class LzxDecoder:
         return p + 12
 
     def _coded_block(self, bits: _Bits, out: bytearray, togo: int,
-                     main: _Huff, lengths: _Huff, aligned: _Huff | None):
+                     main: _Huff, lengths: _Huff,
+                     aligned: _Huff | None) -> int:
+        """Decode symbols until at least ``togo`` bytes are produced.
+
+        Returns the ACTUAL byte count, which may exceed ``togo`` when
+        the final match spans the frame boundary: a match is one
+        symbol, so it must be copied in full — truncating it would
+        leave the next frame iteration decoding the following symbol
+        with the match tail missing, corrupting the rest of the reset
+        interval (mspack lzxd.c keeps the same overshoot credit)."""
         R = self.R
         produced = 0
         while produced < togo:
@@ -301,9 +320,10 @@ class LzxDecoder:
                 R[2], R[1], R[0] = R[1], R[0], offset
             if offset <= 0 or offset > len(out):
                 raise LzxError("match offset outside window")
-            for _ in range(min(match_len, togo - produced)):
+            for _ in range(match_len):
                 out.append(out[-offset])
-                produced += 1
+            produced += match_len
+        return produced
 
 
 def _e8_untranslate(data: bytes, filesize: int,

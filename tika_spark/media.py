@@ -75,7 +75,42 @@ def _tiff_dims(data: bytes):
     if "tiff:ImageWidth" in meta and "tiff:ImageLength" in meta:
         return (int(meta["tiff:ImageWidth"][0]),
                 int(meta["tiff:ImageLength"][0]))
-    return None
+    return _tiff_dims_raw(data)
+
+
+def _tiff_dims_raw(data: bytes):
+    """Dims-only first-IFD scan, independent of the full EXIF walk:
+    reads tags 0x0100/0x0101 (SHORT/LONG inline values) entry by
+    entry, so a malformed sub-IFD / rational / GPS block elsewhere in
+    the file cannot cost the dimensions."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    w = h = None
+    try:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        for k in range(min(n, 512)):
+            e = off + 2 + 12 * k
+            tag, typ = struct.unpack_from(bo + "HH", data, e)
+            if tag not in (0x0100, 0x0101):
+                continue
+            if typ == 3:      # SHORT
+                (v,) = struct.unpack_from(bo + "H", data, e + 8)
+            elif typ == 4:    # LONG
+                (v,) = struct.unpack_from(bo + "I", data, e + 8)
+            else:
+                continue
+            if tag == 0x0100:
+                w = v
+            else:
+                h = v
+    except struct.error:
+        pass
+    return (w, h) if w and h else None
 
 
 def _psd_dims(data: bytes):
@@ -411,6 +446,11 @@ _ID3V2_KEYS = {b"TIT2": "title", b"TPE1": "Author", b"TALB": "album",
                b"TYER": "releaseDate", b"TDRC": "releaseDate",
                b"TCON": "genre"}
 
+# ID3v2.2 frames: 3-byte IDs + 3-byte big-endian sizes
+# (reference: mp3/ID3v22Handler.java / ID3v2Frame.java readers)
+_ID3V22_KEYS = {b"TT2": "title", b"TP1": "Author", b"TAL": "album",
+                b"TYE": "releaseDate", b"TCO": "genre"}
+
 _V2_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
 
 
@@ -421,25 +461,36 @@ def _syncsafe(b: bytes) -> int:
 def _id3_meta(data: bytes) -> dict[str, list[str]]:
     meta: dict[str, list[str]] = {}
     if data[:3] == b"ID3" and len(data) >= 10:
+        ver = data[3]
         size = min(_syncsafe(data[6:10]) + 10, len(data))
         i = 10
-        while i + 10 <= size:
-            fid = data[i:i + 4]
+        # v2.2 frames are 6-byte headers (3-byte ID, 3-byte BE size);
+        # v2.3/2.4 are 10-byte (4-byte ID, 4-byte size — syncsafe
+        # from v2.4 on). Parsing a v2.2 tag with the 10-byte layout
+        # reads garbage IDs and yields silently-empty metadata.
+        hdr = 6 if ver == 2 else 10
+        while i + hdr <= size:
+            if ver == 2:
+                fid = data[i:i + 3]
+                flen = int.from_bytes(data[i + 3:i + 6], "big")
+                key = _ID3V22_KEYS.get(fid)
+            else:
+                fid = data[i:i + 4]
+                flen = (_syncsafe(data[i + 4:i + 8]) if ver >= 4
+                        else int.from_bytes(data[i + 4:i + 8], "big"))
+                key = _ID3V2_KEYS.get(fid)
             if not fid.strip(b"\x00"):
                 break
-            flen = (_syncsafe(data[i + 4:i + 8]) if data[3] >= 4
-                    else int.from_bytes(data[i + 4:i + 8], "big"))
-            if flen <= 0 or i + 10 + flen > len(data):
+            if flen <= 0 or i + hdr + flen > len(data):
                 break
-            key = _ID3V2_KEYS.get(fid)
             if key:
-                body = data[i + 10:i + 10 + flen]
+                body = data[i + hdr:i + hdr + flen]
                 enc = _V2_ENCODINGS.get(body[0], "latin-1") if body \
                     else "latin-1"
                 val = body[1:].decode(enc, "replace").strip("\x00").strip()
                 if val:
                     meta.setdefault(key, []).append(val)
-            i += 10 + flen
+            i += hdr + flen
     if len(data) >= 128 and data[-128:-125] == b"TAG":
         tag = data[-128:]
 
@@ -710,6 +761,13 @@ def extract_media(data: bytes, url: str | None = None,
                         int(exif["tiff:ImageLength"][0]))
         except Exception:
             pass
+        if dims is None:
+            # the full IFD walk can fail (or lack the dimension tags)
+            # on files the dims-only header scan still handles
+            try:
+                dims = _tiff_dims_raw(data)
+            except Exception:
+                dims = None
     else:
         fn = _BY_MIME.get(mime)
         if fn is not None:

@@ -139,6 +139,14 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
         failed = False
         try:
             while p < n and not dec.eof:
+                if total >= _MAX_MEMBER:
+                    # at-cap with input left: zlib treats
+                    # max_length=0 as UNLIMITED, so never call
+                    # decompress with an exhausted budget — a member
+                    # that lands exactly on the cap and still has
+                    # bytes to inflate is over-cap by definition
+                    failed = True
+                    break
                 chunk = view[p:p + _INFLATE_CHUNK]
                 piece = dec.decompress(chunk, _MAX_MEMBER - total)
                 out.append(piece)

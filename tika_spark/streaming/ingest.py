@@ -111,16 +111,23 @@ def curate_stream(spark: SparkSession, input_dir: str, output_dir: str,
                     .withColumnRenamed("text_scrubbed", "text")
                     .persist())
         try:
-            if os.path.isdir(index_dir) and any(
-                    not e.startswith((".", "_"))
-                    for e in os.listdir(index_dir)):
+            # probe the index through Spark, not the local os module:
+            # with an HDFS/S3 index_dir a local isdir() always says
+            # "empty", silently disabling cross-batch dedup
+            try:
                 # exclude this batch's own partition: a replayed
                 # batch must see the index as the original attempt
                 # did, or it would dedup against itself
                 seen = (spark.read.parquet(index_dir)
                         .filter(F.col("batch_id") != batch_id)
                         .select("fp_64", "fp_md5"))
-            else:
+                seen.schema  # force analysis so a missing path
+                # surfaces here, not inside the join
+            except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+                if "PATH_NOT_FOUND" not in str(exc) \
+                        and "Path does not exist" not in str(exc) \
+                        and "Unable to infer schema" not in str(exc):
+                    raise
                 seen = spark.createDataFrame(
                     [], "fp_64 long, fp_md5 string")
             # survivors: (url, fp_64, fp_md5) — new against the whole
