@@ -1230,11 +1230,50 @@ def _office_zip_udf(kind: str):
                         b'elements/1.1/"><dc:title>' + title
                         + b'</dc:title><dc:creator>Crawl Bot'
                         b'</dc:creator></cp:coreProperties>',
+                    "word/_rels/document.xml.rels":
+                        b'<Relationships xmlns="http://schemas.'
+                        b'openxmlformats.org/package/2006/relationships">'
+                        b'<Relationship Id="rId1" Type="t" '
+                        b'Target="header1.xml"/>'
+                        b'<Relationship Id="rId2" Type="t" '
+                        b'Target="footer1.xml"/></Relationships>',
+                    "word/header1.xml":
+                        b'<w:hdr xmlns:w="http://schemas.openxml'
+                        b'formats.org/wordprocessingml/2006/main">'
+                        b'<w:p><w:r><w:t>Header ' + title
+                        + b'</w:t></w:r></w:p></w:hdr>',
+                    "word/footer1.xml":
+                        b'<w:ftr xmlns:w="http://schemas.openxml'
+                        b'formats.org/wordprocessingml/2006/main">'
+                        b'<w:p><w:r><w:t>Footer ' + title
+                        + b'</w:t></w:r></w:p></w:ftr>',
+                    "word/footnotes.xml":
+                        b'<w:footnotes xmlns:w="http://schemas.openxml'
+                        b'formats.org/wordprocessingml/2006/main">'
+                        b'<w:footnote w:id="1"><w:p><w:r><w:t>Footnote'
+                        b' for ' + title
+                        + b'</w:t></w:r></w:p></w:footnote>'
+                        b'</w:footnotes>',
+                    "word/comments.xml":
+                        b'<w:comments xmlns:w="http://schemas.openxml'
+                        b'formats.org/wordprocessingml/2006/main">'
+                        b'<w:comment w:id="0" w:author="Rev"><w:p>'
+                        b'<w:r><w:t>Check ' + title
+                        + b'</w:t></w:r></w:p></w:comment>'
+                        b'</w:comments>',
                     "word/document.xml":
                         b'<w:document xmlns:w="http://schemas.'
-                        b'openxmlformats.org/wordprocessingml/2006/main">'
-                        b'<w:body><w:p><w:r><w:t>' + body
-                        + b'</w:t></w:r></w:p></w:body></w:document>'}))
+                        b'openxmlformats.org/wordprocessingml/2006/main"'
+                        b' xmlns:r="http://schemas.openxmlformats.org/'
+                        b'officeDocument/2006/relationships">'
+                        b'<w:body><w:p><w:commentRangeStart w:id="0"/>'
+                        b'<w:r><w:t>' + body
+                        + b'</w:t></w:r><w:r><w:footnoteReference '
+                        b'w:id="1"/></w:r></w:p><w:sectPr>'
+                        b'<w:headerReference w:type="default" '
+                        b'r:id="rId1"/><w:footerReference '
+                        b'w:type="default" r:id="rId2"/></w:sectPr>'
+                        b'</w:body></w:document>'}))
             elif kind == "odt":
                 out.append(zip_bytes({
                     "meta.xml":
@@ -3103,10 +3142,16 @@ def oracle_sql() -> dict[str, str]:
             "chr(10) AS text, CAST(1 AS BIGINT) AS n_links "
             "FROM documents"),
         "extract_docx_text": (
+            # XWPFWordExtractorDecorator emit order: header lines,
+            # body paragraph + comment + footnote text, footer lines
             "SELECT 'doc://' || doc_id || '.docx' AS url, "
             "'application/vnd.openxmlformats-officedocument."
             "wordprocessingml.document' AS mime, "
-            "'Doc ' || doc_id AS title, text || chr(10) AS text "
+            "'Doc ' || doc_id AS title, "
+            "'Header Doc ' || doc_id || chr(10) || text || chr(9) || "
+            "'Comment by Rev: Check Doc ' || doc_id || "
+            "'[1: Footnote for Doc ' || doc_id || '] ' || chr(10) || "
+            "'Footer Doc ' || doc_id || chr(10) AS text "
             "FROM documents"),
         "extract_xlsx_text": (
             "SELECT 'doc://' || doc_id || '.xlsx' AS url, "

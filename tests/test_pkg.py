@@ -157,6 +157,100 @@ def test_docx_extract():
     assert r["metadata"]["Author"] == ["Ada"]
 
 
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_R_NS = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+         "relationships")
+_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+DOCX_FULL = make_zip({
+    "[Content_Types].xml": b"<Types/>",
+    "word/_rels/document.xml.rels":
+        (f'<Relationships xmlns="{_REL_NS}">'
+         '<Relationship Id="rId1" Type="t" Target="header1.xml"/>'
+         '<Relationship Id="rId2" Type="t" Target="footer1.xml"/>'
+         '<Relationship Id="rId3" Type="t" Target="header2.xml"/>'
+         "</Relationships>").encode(),
+    "word/header1.xml":
+        (f'<w:hdr xmlns:w="{_W_NS}"><w:p><w:r><w:t>Default header'
+         "</w:t></w:r></w:p></w:hdr>").encode(),
+    "word/header2.xml":
+        (f'<w:hdr xmlns:w="{_W_NS}"><w:p><w:r><w:t>First-page header'
+         "</w:t></w:r></w:p></w:hdr>").encode(),
+    "word/footer1.xml":
+        (f'<w:ftr xmlns:w="{_W_NS}"><w:p><w:r><w:t>Page footer'
+         "</w:t></w:r></w:p></w:ftr>").encode(),
+    "word/footnotes.xml":
+        (f'<w:footnotes xmlns:w="{_W_NS}">'
+         '<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>SEP'
+         "</w:t></w:r></w:p></w:footnote>"
+         '<w:footnote w:id="1"><w:p><w:r><w:t>a footnote</w:t></w:r>'
+         "</w:p></w:footnote></w:footnotes>").encode(),
+    "word/endnotes.xml":
+        (f'<w:endnotes xmlns:w="{_W_NS}">'
+         '<w:endnote w:id="2"><w:p><w:r><w:t>an endnote</w:t></w:r>'
+         "</w:p></w:endnote></w:endnotes>").encode(),
+    "word/comments.xml":
+        (f'<w:comments xmlns:w="{_W_NS}">'
+         '<w:comment w:id="0" w:author="Rev"><w:p><w:r><w:t>check this'
+         "</w:t></w:r></w:p></w:comment></w:comments>").encode(),
+    "word/document.xml":
+        (f'<w:document xmlns:w="{_W_NS}" xmlns:r="{_R_NS}"><w:body>'
+         '<w:p><w:commentRangeStart w:id="0"/><w:r><w:t>Body one'
+         '</w:t></w:r><w:r><w:footnoteReference w:id="1"/></w:r>'
+         "</w:p>"
+         '<w:p><w:r><w:t>Body two</w:t></w:r>'
+         '<w:r><w:endnoteReference w:id="2"/></w:r></w:p>'
+         "<w:sectPr>"
+         '<w:headerReference w:type="default" r:id="rId1"/>'
+         '<w:headerReference w:type="first" r:id="rId3"/>'
+         '<w:footerReference w:type="default" r:id="rId2"/>'
+         "</w:sectPr></w:body></w:document>").encode(),
+})
+
+
+def test_docx_subdocument_parts():
+    """Headers before body, comments + footnotes/endnotes appended to
+    their paragraph, footers after body — the reference's
+    XWPFWordExtractorDecorator emit order (first/even/default)."""
+    r = extract_ooxml(DOCX_FULL, mime="application/vnd.openxmlformats-"
+                      "officedocument.wordprocessingml.document")
+    assert r["text"] == (
+        "First-page header\n"
+        "Default header\n"
+        "Body one\tComment by Rev: check this[1: a footnote] \n"
+        "Body two[2: an endnote] \n"
+        "Page footer\n")
+    assert r["status"] == "ok"
+
+
+def test_docx_mid_document_section_header():
+    """A paragraph carrying its own w:sectPr emits that section's
+    headers before it and footers after it."""
+    docx = make_zip({
+        "[Content_Types].xml": b"<Types/>",
+        "word/_rels/document.xml.rels":
+            (f'<Relationships xmlns="{_REL_NS}">'
+             '<Relationship Id="rId9" Type="t" Target="header9.xml"/>'
+             "</Relationships>").encode(),
+        "word/header9.xml":
+            (f'<w:hdr xmlns:w="{_W_NS}"><w:p><w:r><w:t>Sect-1 header'
+             "</w:t></w:r></w:p></w:hdr>").encode(),
+        "word/document.xml":
+            (f'<w:document xmlns:w="{_W_NS}" xmlns:r="{_R_NS}">'
+             "<w:body>"
+             "<w:p><w:pPr><w:sectPr>"
+             '<w:headerReference w:type="default" r:id="rId9"/>'
+             "</w:sectPr></w:pPr><w:r><w:t>Last para of sect 1"
+             "</w:t></w:r></w:p>"
+             "<w:p><w:r><w:t>Sect 2 text</w:t></w:r></w:p>"
+             "</w:body></w:document>").encode(),
+    })
+    r = extract_ooxml(docx, mime="application/vnd.openxmlformats-"
+                      "officedocument.wordprocessingml.document")
+    assert r["text"] == ("Sect-1 header\nLast para of sect 1\n"
+                         "Sect 2 text\n")
+
+
 def test_xlsx_extract():
     xlsx = make_zip({
         "[Content_Types].xml": b"<Types/>",

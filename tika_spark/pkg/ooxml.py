@@ -8,7 +8,10 @@ part names, without POI:
 
 - docx: ``word/document.xml`` — each ``w:p`` paragraph's ``w:t`` runs
   joined, one paragraph per line (POI XWPFWordExtractor shape); tab
-  elements ``w:tab`` → TAB.
+  elements ``w:tab`` → TAB. Sub-document parts follow
+  XWPFWordExtractorDecorator.java's emit order: section headers
+  before the body, per-paragraph comments + footnotes/endnotes
+  appended to the paragraph, section footers after the body.
 - xlsx: ``xl/sharedStrings.xml`` + ``xl/worksheets/sheet*.xml`` —
   rows as TAB-separated cells, one row per line (the reference's
   Excel emit shape: <tr><td> through the C5 TAB/NEWLINE layout,
@@ -38,6 +41,9 @@ _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _DC = "{http://purl.org/dc/elements/1.1/}"
 _CP = ("{http://schemas.openxmlformats.org/package/2006/metadata/"
        "core-properties}")
+_R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+      "relationships}")
+_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
 def _core_metadata(zf: zipfile.ZipFile) -> dict[str, list[str]]:
@@ -55,19 +61,134 @@ def _core_metadata(zf: zipfile.ZipFile) -> dict[str, list[str]]:
     return meta
 
 
+def _docx_rels(zf: zipfile.ZipFile) -> dict[str, str]:
+    """rId → zip part name, from ``word/_rels/document.xml.rels``
+    (targets are relative to ``word/``)."""
+    rels: dict[str, str] = {}
+    try:
+        root = ET.fromstring(zf.read("word/_rels/document.xml.rels"))
+    except Exception:
+        return rels
+    for rel in root.iter(_REL + "Relationship"):
+        rid, tgt = rel.get("Id"), rel.get("Target")
+        if rid and tgt:
+            rels[rid] = tgt.lstrip("/") if tgt.startswith("/") \
+                else "word/" + tgt
+    return rels
+
+
+def _docx_notes(zf: zipfile.ZipFile, part: str, tag: str) \
+        -> dict[str, str]:
+    """``word/footnotes.xml`` / ``word/endnotes.xml``: note id →
+    text. Separator/continuation stub notes are skipped. A note's
+    paragraphs are concatenated with no separator — POI's
+    XWPFParagraph footnote collector never clears its ``first`` flag,
+    so multi-paragraph notes join bare; replicated for parity."""
+    notes: dict[str, str] = {}
+    try:
+        root = ET.fromstring(zf.read(part))
+    except Exception:
+        return notes
+    for note in root.iter(_W + tag):
+        if note.get(_W + "type") in ("separator",
+                                     "continuationSeparator"):
+            continue
+        nid = note.get(_W + "id")
+        if nid is not None:
+            notes[nid] = "".join(
+                t.text for t in note.iter(_W + "t") if t.text)
+    return notes
+
+
+def _docx_comments(zf: zipfile.ZipFile) -> dict[str, tuple[str, str]]:
+    """``word/comments.xml``: comment id → (author, text)."""
+    comments: dict[str, tuple[str, str]] = {}
+    try:
+        root = ET.fromstring(zf.read("word/comments.xml"))
+    except Exception:
+        return comments
+    for c in root.iter(_W + "comment"):
+        cid = c.get(_W + "id")
+        if cid is not None:
+            comments[cid] = (c.get(_W + "author") or "",
+                             "".join(t.text for t in c.iter(_W + "t")
+                                     if t.text))
+    return comments
+
+
 def _docx_text(zf: zipfile.ZipFile) -> str:
+    """Body + sub-document parts in the reference's emit order
+    (microsoft/ooxml/XWPFWordExtractorDecorator.java buildXHTML):
+    section headers (first/even/default page) before the body, then
+    body paragraphs — each carrying its comment text
+    (XWPFCommentsDecorator shape ``\\tComment by A: t``) and its
+    footnote/endnote text (POI getFootnoteText shape ``[id: text] ``)
+    — then the section footers; a paragraph with its own ``w:sectPr``
+    additionally emits that section's headers before it and footers
+    after it (extractParagraph's mid-document section handling)."""
     root = ET.fromstring(zf.read("word/document.xml"))
-    lines = []
-    for p in root.iter(_W + "p"):
-        parts = []
+    rels = _docx_rels(zf)
+    footnotes = _docx_notes(zf, "word/footnotes.xml", "footnote")
+    endnotes = _docx_notes(zf, "word/endnotes.xml", "endnote")
+    comments = _docx_comments(zf)
+    lines: list[str] = []
+
+    def para_line(p) -> str:
+        parts: list[str] = []
+        comment_txt: list[str] = []
+        note_txt: list[str] = []
         for node in p.iter():
-            if node.tag == _W + "t" and node.text:
+            tag = node.tag
+            if tag == _W + "t" and node.text:
                 parts.append(node.text)
-            elif node.tag == _W + "tab":
+            elif tag == _W + "tab":
                 parts.append("\t")
-            elif node.tag == _W + "br":
+            elif tag == _W + "br":
                 parts.append("\n")
-        lines.append("".join(parts))
+            elif tag == _W + "commentRangeStart":
+                c = comments.get(node.get(_W + "id"))
+                if c and c[1]:
+                    comment_txt.append("\tComment by %s: %s" % c)
+            elif tag == _W + "footnoteReference":
+                note = footnotes.get(node.get(_W + "id"))
+                if note is not None:
+                    note_txt.append(
+                        "[%s: %s] " % (node.get(_W + "id"), note))
+            elif tag == _W + "endnoteReference":
+                note = endnotes.get(node.get(_W + "id"))
+                if note is not None:
+                    note_txt.append(
+                        "[%s: %s] " % (node.get(_W + "id"), note))
+        return "".join(parts) + "".join(comment_txt) + "".join(note_txt)
+
+    def emit_hf(sect, kind: str):
+        # POI XWPFHeaderFooterPolicy emit order: first, even, default
+        refs = {ref.get(_W + "type") or "default": ref.get(_R + "id")
+                for ref in sect.findall(_W + kind)}
+        for page in ("first", "even", "default"):
+            part = rels.get(refs.get(page) or "")
+            if not part:
+                continue
+            try:
+                hroot = ET.fromstring(zf.read(part))
+            except Exception:
+                continue
+            for p in hroot.iter(_W + "p"):
+                lines.append(para_line(p))
+
+    body = root.find(_W + "body")
+    body_sect = body.find(_W + "sectPr") if body is not None else None
+    if body_sect is not None:
+        emit_hf(body_sect, "headerReference")
+    for p in root.iter(_W + "p"):
+        p_sect = p.find(_W + "pPr/" + _W + "sectPr")
+        if p_sect is not None:
+            emit_hf(p_sect, "headerReference")
+        lines.append(para_line(p))
+        if p_sect is not None:
+            emit_hf(p_sect, "footerReference")
+    if body_sect is not None:
+        emit_hf(body_sect, "footerReference")
     return "".join(line + "\n" for line in lines)
 
 
