@@ -223,15 +223,16 @@ def _q_extract_main_text(spark, sf_dir):
 
 
 def _pdf_wrap_udf():
-    """Deterministic per-row PDF builder covering four D1-D3 layout
-    variants by doc_id%5: classic xref + Flate content (0), two text
+    """Deterministic per-row PDF builder covering six D1-D3 layout
+    variants by doc_id%6: classic xref + Flate content (0), two text
     boxes in one content stream — the reading-order pin,
     PDF2XHTML.java:84-98 / PDFParserTest.java:147 (1), PDF 1.5
     ObjStm + xref-stream layout (2), an RC4 standard-security
     encrypted file opened with the empty user password —
-    PDFParser.java:76-99 decrypt semantics (3), and a 2-byte
+    PDFParser.java:76-99 decrypt semantics (3), a 2-byte
     CID-encoded font resolved through its /ToUnicode CMap (4;
-    untitled, like real embedded-subset files)."""
+    untitled, like real embedded-subset files), and a V4/R4 /AESV2
+    AES-128 encrypted file, same empty-password degrade chain (5)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -244,18 +245,21 @@ def _pdf_wrap_udf():
         for i, text in zip(ids, texts):
             i = int(i)
             text = text or ""
-            if i % 5 == 1:
+            if i % 6 == 1:
                 out.append(make_pdf(
                     [[f"Document {i}", text, f"Column two of {i}",
                       "The end"]], title=f"Doc {i}", two_columns=True))
-            elif i % 5 == 2:
+            elif i % 6 == 2:
                 out.append(make_pdf_objstm([f"Document {i}", text],
                                            title=f"Doc {i}"))
-            elif i % 5 == 3:
+            elif i % 6 == 3:
                 out.append(make_pdf([[f"Document {i}", text]],
                                     title=f"Doc {i}", encrypt=True))
-            elif i % 5 == 4:
+            elif i % 6 == 4:
                 out.append(make_pdf_cid([f"Document {i}", text]))
+            elif i % 6 == 5:
+                out.append(make_pdf([[f"Document {i}", text]],
+                                    title=f"Doc {i}", encrypt="aes"))
             else:
                 out.append(make_pdf([[f"Document {i}", text]],
                                     title=f"Doc {i}"))
@@ -2802,9 +2806,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_pdf_text": (
             "SELECT 'doc://' || doc_id || '.pdf' AS url, "
             "'application/pdf' AS mime, "
-            "CASE WHEN doc_id % 5 = 4 THEN NULL "
+            "CASE WHEN doc_id % 6 = 4 THEN NULL "
             "ELSE 'Doc ' || doc_id END AS title, "
-            "CASE doc_id % 5 WHEN 1 THEN "
+            "CASE doc_id % 6 WHEN 1 THEN "
             "'Document ' || doc_id || chr(10) || text || chr(10) || "
             "'Column two of ' || doc_id || chr(10) || 'The end' || "
             "chr(10) || chr(10) ELSE "

@@ -305,6 +305,56 @@ class TestPdfFiltersAndDecrypt:
                                  encrypt=True))
         assert r["text"] == "enc lzw\n\n"
 
+    def test_aes_block_cipher_fips_vector(self):
+        # FIPS-197 appendix C.1 known-answer test
+        from tika_spark.pdf.aes import (_decrypt_block, _encrypt_block,
+                                        _expand_key)
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        rks = _expand_key(key)
+        ct = _encrypt_block(pt, rks)
+        assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+        assert _decrypt_block(ct, rks) == pt
+
+    def test_aes_empty_password_decrypt(self):
+        # V4/R4 /AESV2 crypt filter with empty passwords — the shape
+        # PDFBox opens for the reference (PDFParser.java:76-99)
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["AES secret one", "line two"]],
+                       title="Aes T", author="B", encrypt="aes")
+        r = extract_pdf(pdf)
+        assert r["status"] == "ok"
+        assert r["title"] == "Aes T"
+        assert r["metadata"]["Author"] == ["B"]
+        assert r["text"] == "AES secret one\nline two\n\n"
+
+    def test_aes_encrypted_compressed_combo(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        r = extract_pdf(make_pdf([["aes flate"]], compress="flate",
+                                 encrypt="aes"))
+        assert r["text"] == "aes flate\n\n"
+
+    def test_aes_annotations_decrypt(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        r = extract_pdf(make_pdf([["Body"]], freetext=["Aes note"],
+                                 link_uri="http://e/a", encrypt="aes"))
+        assert r["status"] == "ok"
+        assert r["text"] == "Body\nAes note\n\n"
+        assert r["links"][0][1] == "http://e/a"
+
+    def test_unsupported_cfm_degrades(self):
+        # AESV3 at V4 is not a thing we decrypt — metadata-only row
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["x"]], title="T", encrypt="aes")
+        patched = pdf.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+        r = extract_pdf(patched)
+        assert r["status"] == "encrypted"
+        assert r["text"] == ""
+
 
 class TestPdfAnnotations:
     """PDF2XHTML.java:181-250: FreeText annotation text follows the

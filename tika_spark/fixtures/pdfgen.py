@@ -48,9 +48,38 @@ def _std_crypt_material() -> tuple[bytes, bytes, bytes]:
     return key, o_val, u_val
 
 
-def _objkey(key: bytes, num: int) -> bytes:
-    return hashlib.md5(key + num.to_bytes(3, "little")
-                       + b"\x00\x00").digest()[:min(len(key) + 5, 16)]
+def _std_crypt_material_r4() -> tuple[bytes, bytes, bytes]:
+    """(file_key, O, U) for V4/R4 AES-128 with empty passwords
+    (ISO 32000 algorithms 3, 2 and 5 at 128-bit key length)."""
+    okey = hashlib.md5(_PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    o_val = _rc4(okey, _PAD)
+    for step in range(1, 20):
+        o_val = _rc4(bytes(b ^ step for b in okey), o_val)
+    p = (-1) & 0xFFFFFFFF
+    key = hashlib.md5(_PAD + o_val + p.to_bytes(4, "little")
+                      + _FILE_ID).digest()
+    for _ in range(50):
+        key = hashlib.md5(key).digest()
+    u_val = _rc4(key, hashlib.md5(_PAD + _FILE_ID).digest())
+    for step in range(1, 20):
+        u_val = _rc4(bytes(b ^ step for b in key), u_val)
+    return key, o_val, u_val + b"\x00" * 16
+
+
+def _objkey(key: bytes, num: int, aes: bool = False) -> bytes:
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + b"\x00\x00"
+        + (b"sAlT" if aes else b"")).digest()[:min(len(key) + 5, 16)]
+
+
+def _aes_enc(key: bytes, num: int, payload: bytes) -> bytes:
+    """Deterministic /AESV2 object encryption: IV derived from the
+    object number so identical inputs build identical fixtures."""
+    from tika_spark.pdf.aes import cbc_encrypt
+    iv = hashlib.md5(b"fixture-iv" + num.to_bytes(4, "big")).digest()
+    return cbc_encrypt(_objkey(key, num, aes=True), iv, payload)
 
 
 def _esc(s: str) -> str:
@@ -93,7 +122,7 @@ def _rle_encode(data: bytes) -> bytes:
 def make_pdf(pages: list[list[str]], *, title: str | None = None,
              author: str | None = None, subject: str | None = None,
              creator: str | None = None, compress: bool = True,
-             two_columns: bool = False, encrypt: bool = False,
+             two_columns: bool = False, encrypt: bool | str = False,
              freetext: list[str] | None = None,
              link_uri: str | None = None) -> bytes:
     """Build a PDF. ``pages`` is a list of pages, each a list of lines.
@@ -101,14 +130,19 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
     With ``two_columns`` each page's lines are split into a left and a
     right text box emitted as two separate BT/ET blocks (content-stream
     order = left box fully, then right box — the reading-order pin).
-    With ``encrypt`` the file uses the standard security handler (R2,
-    40-bit RC4) with EMPTY user and owner passwords — streams and
-    strings are RC4-encrypted per object, the shape the reference's
+    With ``encrypt=True`` the file uses the standard security handler
+    (R2, 40-bit RC4) with EMPTY user and owner passwords — streams
+    and strings are encrypted per object, the shape the reference's
     empty-password attempt (PDFParser.java:76-99) opens transparently.
+    ``encrypt="aes"`` builds the V4/R4 /AESV2 crypt-filter variant
+    (AES-128-CBC) instead.
     """
     objects: list[bytes] = []
+    aes = encrypt == "aes"
     file_key = o_val = u_val = None
-    if encrypt:
+    if aes:
+        file_key, o_val, u_val = _std_crypt_material_r4()
+    elif encrypt:
         file_key, o_val, u_val = _std_crypt_material()
 
     def add(body: bytes) -> int:
@@ -116,14 +150,18 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
         return len(objects)  # 1-based object number
 
     def enc_stream(payload: bytes, num: int) -> bytes:
+        if aes:
+            return _aes_enc(file_key, num, payload)
         return _rc4(_objkey(file_key, num), payload) if encrypt else payload
 
     def enc_str(s: str, num: int) -> str:
         """Literal string in plaintext builds; hex string when encrypted."""
         if not encrypt:
             return f"({_esc(s)})"
-        return "<" + _rc4(_objkey(file_key, num),
-                          s.encode("latin-1")).hex().upper() + ">"
+        raw = s.encode("latin-1")
+        ct = _aes_enc(file_key, num, raw) if aes \
+            else _rc4(_objkey(file_key, num), raw)
+        return "<" + ct.hex().upper() + ">"
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -211,7 +249,14 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
         if info_entries else None
 
     enc_num = None
-    if encrypt:
+    if aes:
+        enc_num = add((f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                       f"/CF << /StdCF << /CFM /AESV2 /AuthEvent "
+                       f"/DocOpen /Length 16 >> >> "
+                       f"/StmF /StdCF /StrF /StdCF "
+                       f"/O <{o_val.hex().upper()}> "
+                       f"/U <{u_val.hex().upper()}> /P -1 >>").encode())
+    elif encrypt:
         enc_num = add((f"<< /Filter /Standard /V 1 /R 2 "
                        f"/O <{o_val.hex().upper()}> "
                        f"/U <{u_val.hex().upper()}> /P -1 >>").encode())

@@ -26,12 +26,13 @@ through it per the current Tf font; fonts without one fall back to a
 latin-1-compatible single-byte interpretation.
 
 Encryption: the standard security handler with an EMPTY user password
-(RC4, V<=2 / R<=3) is attempted exactly like the reference
-(PDFParser.java:76-99 tries ``""`` and degrades on failure): the key
-is derived per ISO 32000 algorithms 2/4/5, /U is verified, and
-strings + streams decrypt with the per-object RC4 key. Anything else
-(user-password protected, AES /V 4+) degrades to the metadata-only
-``encrypted`` row.
+is attempted exactly like the reference (PDFParser.java:76-99 tries
+``""`` and degrades on failure): the key is derived per ISO 32000
+algorithms 2/4/5, /U is verified, and strings + streams decrypt with
+the per-object key. Covered: RC4 V<=2 / R<=3, and V4/R4 crypt
+filters — /V2 (RC4) and /AESV2 (AES-128-CBC, from-scratch cipher in
+tika_spark.pdf.aes). Anything else (user-password protected, AES-256
+/V5) degrades to the metadata-only ``encrypted`` row.
 """
 
 from __future__ import annotations
@@ -131,12 +132,14 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 def _std_security_key(enc: dict, id0: bytes) -> bytes | None:
     """ISO 32000 algorithm 2 with the empty user password; returns the
-    file key iff /U verifies (algorithms 4/5), else None."""
+    file key iff /U verifies (algorithms 4/5), else None. Covers
+    V1/V2 (RC4, R2/R3) and V4/R4 (crypt filters — the AES-128 /AESV2
+    shape PDFBox opens for the reference, pdf/PDFParser.java:76-99)."""
     try:
         v = int(enc.get("V", 0))
         r = int(enc.get("R", 2))
-        if str(enc.get("Filter", "Standard")) != "Standard" or v > 2 \
-                or r > 3:
+        if str(enc.get("Filter", "Standard")) != "Standard" or v > 4 \
+                or r > 4 or v == 3:
             return None
         o = enc.get("O")
         u = enc.get("U")
@@ -144,12 +147,16 @@ def _std_security_key(enc: dict, id0: bytes) -> bytes | None:
             return None
         o, u = bytes(o), bytes(u)
         p = int(enc.get("P", -1)) & 0xFFFFFFFF
-        nbytes = max(5, int(enc.get("Length", 40)) // 8) if v == 2 else 5
+        nbytes = 5 if v == 1 else max(
+            5, min(16, int(enc.get("Length", 128 if v == 4 else 40))
+                   // 8))
         h = hashlib.md5()
         h.update(_PW_PAD)
         h.update(o[:32])
         h.update(p.to_bytes(4, "little"))
         h.update(id0)
+        if r >= 4 and enc.get("EncryptMetadata") is False:
+            h.update(b"\xff\xff\xff\xff")
         key = h.digest()
         if r >= 3:
             for _ in range(50):
@@ -168,9 +175,42 @@ def _std_security_key(enc: dict, id0: bytes) -> bytes | None:
         return None
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+def _crypt_ciphers(enc: dict, resolve) -> tuple[str, str] | None:
+    """(stream_cipher, string_cipher) for the document: 'rc4' | 'aes'
+    | 'id'. V<4 is bare RC4; V4 routes through /CF named crypt
+    filters selected by /StmF and /StrF (ISO 32000 7.6.5) — /V2 is
+    RC4, /AESV2 is AES-128-CBC, /Identity passes through. Returns
+    None for an unsupported filter method (e.g. /AESV3 at V4)."""
+    if int(enc.get("V", 0)) < 4:
+        return ("rc4", "rc4")
+    cf = resolve(enc.get("CF"))
+
+    def one(sel) -> str | None:
+        name = str(sel or "Identity")
+        if name == "Identity":
+            return "id"
+        f = resolve(cf.get(name)) if isinstance(cf, dict) else None
+        cfm = str((f or {}).get("CFM", "None"))
+        if cfm == "AESV2":
+            return "aes"
+        if cfm == "V2":
+            return "rc4"
+        return None
+
+    stm = one(enc.get("StmF"))
+    strf = one(enc.get("StrF"))
+    if stm is None or strf is None:
+        return None
+    return (stm, strf)
+
+
+def _object_key(file_key: bytes, num: int, gen: int,
+                aes: bool = False) -> bytes:
+    """Per-object key (ISO 32000 7.6.2 algorithm 1); /AESV2 appends
+    the spec's 'sAlT' constant to the hash input."""
     h = hashlib.md5(file_key + num.to_bytes(3, "little")
-                    + gen.to_bytes(2, "little")).digest()
+                    + gen.to_bytes(2, "little")
+                    + (b"sAlT" if aes else b"")).digest()
     return h[:min(len(file_key) + 5, 16)]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
@@ -454,15 +494,27 @@ class PdfDocument:
         key = _std_security_key(enc, id0)
         if key is None:
             return False
+        ciphers = _crypt_ciphers(enc, self.resolve)
+        if ciphers is None:
+            return False     # unsupported crypt filter method
+        stm_cipher, str_cipher = ciphers
         enc_num = enc_ref[0] if isinstance(enc_ref, Ref) else None
 
-        def walk(obj, okey):
+        def apply(cipher: str, okeys, data: bytes) -> bytes:
+            if cipher == "aes":
+                from tika_spark.pdf.aes import cbc_decrypt
+                return cbc_decrypt(okeys[1], data)
+            if cipher == "rc4":
+                return _rc4(okeys[0], data)
+            return data      # Identity
+
+        def walk(obj, okeys):
             if isinstance(obj, PdfString):
-                return PdfString(_rc4(okey, bytes(obj)))
+                return PdfString(apply(str_cipher, okeys, bytes(obj)))
             if isinstance(obj, dict):
-                return {k: walk(v, okey) for k, v in obj.items()}
+                return {k: walk(v, okeys) for k, v in obj.items()}
             if isinstance(obj, list):
-                return [walk(v, okey) for v in obj]
+                return [walk(v, okeys) for v in obj]
             return obj
         for num, (obj, raw) in list(self.objects.items()):
             if num == enc_num:
@@ -470,13 +522,15 @@ class PdfDocument:
             # ISO 32000 7.6.2: the per-object key hashes the object's
             # GENERATION, not always 0 (incremental updates re-save
             # objects at gen > 0)
-            okey = _object_key(key, num, self.gens.get(num, 0))
+            gen = self.gens.get(num, 0)
+            okeys = (_object_key(key, num, gen),
+                     _object_key(key, num, gen, aes=True))
             is_xref = isinstance(obj, dict) and \
                 str(obj.get("Type", "")) == "XRef"
-            new_obj = obj if is_xref else walk(obj, okey)
+            new_obj = obj if is_xref else walk(obj, okeys)
             new_raw = raw
             if raw is not None and not is_xref:  # XRef streams are never
-                new_raw = _rc4(okey, raw)        # encrypted (ISO 32000)
+                new_raw = apply(stm_cipher, okeys, raw)  # encrypted
             self.objects[num] = (new_obj, new_raw)
         return True
 
