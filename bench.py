@@ -32,6 +32,19 @@ def force(df) -> int:
     return 0
 
 
+def _probe() -> float:
+    """Fixed single-thread CPU work (~50 ms idle). Wall time rises
+    under co-tenant load, so recording it beside every query makes a
+    noise-contaminated bench artifact self-diagnosing: the r02 driver
+    bench recorded 5x walls that were pure host noise, and best-of-2
+    could not defend against a spike outlasting both runs."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(1_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 4)
+
+
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,22 +79,34 @@ def main():
     pages = generate_pages_df(spark, n_pages).cache()
     pages.count()  # materialize input outside the timed region
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     queries = {}
     cold = {}
+    probes = {}
     t_all = time.perf_counter()
 
     def timed(name, thunk):
-        # two executions per query: the first pays codegen/JIT compile
-        # and any host-noise spike; the min is the steady-state cost —
-        # the number that projects to a long-running 100 TB job, where
-        # one-off compile time amortizes to zero. Both are reported.
-        t0 = time.perf_counter()
-        thunk()
-        t1 = time.perf_counter()
-        thunk()
-        t2 = time.perf_counter()
-        cold[name] = round(t1 - t0, 3)
-        queries[name] = round(min(t1 - t0, t2 - t1), 3)
+        # min-of-N (default 3) per query: the first run pays
+        # codegen/JIT compile; the min is the steady-state cost — the
+        # number that projects to a long-running 100 TB job, where
+        # one-off compile time amortizes to zero. If the spread is
+        # >3x (a co-tenant spike), one extra run is taken, and a CPU
+        # noise probe brackets every query so a contaminated artifact
+        # reads as noise, not as a code regression.
+        probes[name] = [_probe()]
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(time.perf_counter() - t0)
+            time.sleep(0.2)  # let a transient spike decay between runs
+        if max(runs) > 3 * min(runs):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(time.perf_counter() - t0)
+        probes[name].append(_probe())
+        cold[name] = round(runs[0], 3)
+        queries[name] = round(min(runs), 3)
 
     timed("detect_census", lambda: force(
         extract(pages, mode="detect", repartition=cpus)))
@@ -133,6 +158,11 @@ def main():
         "value": total, "unit": "sec", "queries": queries, "sf": sf,
         "cpus": cpus, "n_pages": n_pages, "n_docs": n_docs,
         "elapsed_sec": elapsed, "cold_queries": cold,
+        "bench_repeats": repeats,
+        # per-query [before, after] wall of a fixed ~50 ms CPU probe:
+        # values well above idle mean the query numbers were taken
+        # under co-tenant load (see BENCH/BASELINE.md)
+        "noise_probe": probes,
         "extract_docs_per_sec": round(n_pages / extract_sec, 1),
     }))
     spark.stop()

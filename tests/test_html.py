@@ -290,3 +290,94 @@ class TestDomRecoveryHardening:
         b = TextBlock(text, num_words=1, anchor_words=0, offset=0,
                       tokens=text.split())
         assert b.wrapped_words >= 0 and b.text_density >= 0.0
+
+
+class TestTagSoupParityGoldens:
+    """Adversarial quirk corpus ported from the reference's HTML test
+    strategy (html/HtmlParserTest.java + TagSoup repair semantics):
+    bogon containment, unclosed tables, implied tbody, script
+    payloads, broken framesets. These pin the repair behavior of
+    html/dom.py against checked-in goldens — the SURVEY §7.4 risk was
+    that only synthetic fixtures probed it."""
+
+    def test_unclosed_cells_stay_separated(self):
+        # HtmlParserTest.testWhitespaceBetweenTableCells (TIKA-59
+        # family): 'a' and 'b' must not fuse, even with the optional
+        # </td></tr></table> all omitted
+        assert body_text("<table><tr><td>a<td>b</table>after") == \
+            "\ta\tb\n\nafter"
+
+    def test_unclosed_table_does_not_swallow_tail(self):
+        assert body_text("<table><tr><td>cell</table>tail") == \
+            "\tcell\n\ntail"
+
+    def test_implied_tbody_is_transparent(self):
+        with_tbody = body_text(
+            "<table><tbody><tr><td>x</td></tr></tbody></table>")
+        without = body_text("<table><tr><td>x</td></tr></table>")
+        assert with_tbody == without == "\tx\n\n"
+
+    def test_script_in_html_comment_dropped(self):
+        # the classic <script><!-- ... //--></script> hiding idiom
+        got = body_text('<p>keep</p><script><!--\n'
+                        'document.write("evil")\n//--></script>')
+        assert got == "keep\n"
+        assert "evil" not in got
+
+    def test_script_with_lt_does_not_swallow_document(self):
+        assert body_text("<script>if (a<b) x();</script><p>kept</p>") \
+            == "kept\n"
+
+    def test_bogon_does_not_contain_following_content(self):
+        # TagSoup bogon handling: an unknown element must not swallow
+        # the rest of the document
+        assert body_text("<foo><p>inside</p></foo>outside") == \
+            "inside\noutside"
+
+    def test_nested_bogons_text_kept(self):
+        assert body_text("<blah><blah>deep</blah></blah>") == "deep"
+
+    def test_broken_frameset_in_body(self):
+        # HtmlParserTest.testBrokenFrameset: frameset inside body must
+        # not crash; frame is in the INDENT set (TAB emitted, like the
+        # reference's XHTMLContentHandler), no other body text
+        assert body_text('<body><frameset><frame src="f.html"/>'
+                         "</frameset></body>") == "\t"
+
+    def test_frame_src_resolved_in_xhtml(self):
+        # HtmlParserTest.testFrameSrcExtraction /
+        # testBrokenFrameset: the XHTML projection carries the frame
+        # with its src resolved against <base>
+        r = extract_html(
+            b'<html><head><base href="http://domain.com/"/></head>'
+            b'<body><frameset><frame src="frame.html"/></frameset>'
+            b"</body></html>", config=ExtractConfig(mode="xhtml"))
+        assert '<frame src="http://domain.com/frame.html"/>' in r["text"]
+
+    def test_block_inside_cell(self):
+        assert body_text(
+            "<table><tr><td><p>para</p></td></tr></table>") == \
+            "\tpara\n\n\n"
+
+    def test_formatting_across_block_boundary(self):
+        # <b> left open across an implied-close <p>: text must survive
+        assert body_text("<b>x<p>bold para</p>") == "xbold para\n"
+
+    def test_stray_table_end_inside_list(self):
+        assert body_text("<ul><li>one</table><li>two</ul>") == \
+            "\tone\n\ttwo\n\n"
+
+    def test_cdata_marker_text(self):
+        # TagSoup treats CDATA sections as markup noise in HTML; the
+        # surrounding text must survive untouched
+        assert body_text("<p>a<![CDATA[ raw ]]>b</p>") == "ab\n"
+
+    def test_unquoted_attributes(self):
+        r = extract_html(b'<html><body><a href=foo.html title=x>link'
+                         b"</a></body></html>", url="http://h/page",
+                         config=ExtractConfig(mode="text"))
+        assert r["text"].strip() == "link"
+        assert [u for _, u, _, _ in r["links"]] == ["http://h/foo.html"]
+
+    def test_nested_p_implies_close(self):
+        assert body_text("<p>one<p>two") == "one\ntwo\n"

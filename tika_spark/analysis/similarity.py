@@ -46,22 +46,59 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10,
                      ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
-    queries is expected small → broadcast; the scan over base is then
-    shuffle-free (map-side join + per-query partial top-k via the
-    window's sort pushdown under AQE).
-    Output: (query_id, vec_id, sim_micro, rank).
+    The query set is small by contract (ANN queries): it is collected
+    once (O(|queries|·dim) driver memory — the same envelope as the
+    broadcast it replaces) and shipped in the UDF closure; each Arrow
+    batch of the base scan then scores ALL queries with one float64
+    ``(batch × dim) @ (dim × nq)`` matmul. This replaces the previous
+    ``aggregate(zip_with(...))`` expression chain, which Spark
+    evaluates INTERPRETED (no codegen for higher-order-function
+    lambdas — the same finding that motivated
+    :func:`lsh_signatures_udf`); as the exact-verify building block
+    this is the hot inner loop of any large re-rank. Micro-unit
+    rounding (HALF_UP, matching Spark's ``F.round``) keeps the output
+    hash-identical to the HOF/DuckDB oracle twin.
+
+    The scan stays shuffle-free up to the per-query top-k window
+    (posexplode → k·nq rows per partition max after AQE's partial
+    window sort). Output: (query_id, vec_id, sim_micro, rank).
     """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
     from tika_spark.analysis.dedup import ensure_parallelism
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("qv"))
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows],
+                  dtype=np.float64).T              # dim × nq
+    qn = np.sqrt((qm * qm).sum(axis=0))            # nq
+
+    @pandas_udf(ArrayType(LongType()))
+    def sims(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = m @ qm                              # batch × nq
+        bn = np.sqrt((m * m).sum(axis=1))          # batch
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (dots / np.outer(bn, qn)) * 1e6
+        # HALF_UP like Spark's round(): away from zero on ties
+        micro = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+        out = []
+        for row, xrow in zip(micro, x):
+            out.append([int(v) if np.isfinite(xv) else None
+                        for v, xv in zip(row, xrow)])
+        return pd.Series(out)
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
     b = ensure_parallelism(base).select(
         F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("bv"))
-    sim = cosine(F.col("qv"), F.col("bv"))
-    scored = (b.crossJoin(F.broadcast(q))
-               .select("query_id", "vec_id",
-                       F.round(sim * 1_000_000).cast("long")
-                       .alias("sim_micro")))
+        F.posexplode(sims(F.col(vec_col))).alias("qidx", "sim_micro"))
+    scored = b.select(
+        F.element_at(qid_arr, F.col("qidx") + 1).alias("query_id"),
+        "vec_id", "sim_micro")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
