@@ -177,6 +177,46 @@ class TestWarcHardening:
         assert parsed["type"] == "conversion"  # injection neutralized
         assert "\r" not in parsed["url"]
 
+    def test_stream_scanner_matches_blob_scanner(self):
+        # the read(n)-based scanner and the whole-blob wrapper must
+        # agree member-for-member, including corrupt gaps
+        import io
+        good = warc.gzip_member(warc.build_record(
+            "http://a/", "2026-01-01T00:00:00Z", b"<p>one</p>"))
+        blob = (good + b"\x00junk\x00"
+                + warc.gzip_member(warc.build_record(
+                    "http://b/", "2026-01-01T00:00:00Z", b"<p>2</p>"))
+                + good[: len(good) // 2])
+        a = list(warc.iter_gzip_members(blob))
+        b = list(warc.iter_gzip_members_from(io.BytesIO(blob).read))
+        assert a == b
+        assert sum(m is None for m in a) == 2
+
+    def test_streaming_memory_envelope(self, monkeypatch):
+        # O(largest member), never O(file): iterate a ~40 MB-inflated
+        # multi-member stream and require the scanner's peak python
+        # allocations to stay far below the inflated total
+        import io
+        import tracemalloc
+        body = (b"<html><body>" + b"lorem ipsum dolor " * 11000
+                + b"</body></html>")            # ~200 KB per member
+        member = warc.gzip_member(warc.build_record(
+            "http://m/", "2026-01-01T00:00:00Z", body))
+        blob = member * 200                      # ~40 MB inflated
+        inflated_total = 200 * (len(body) + 512)
+        reader = io.BytesIO(blob)
+        tracemalloc.start()
+        tracemalloc.reset_peak()
+        n_pages = 0
+        for page in warc.warc_pages_from(reader.read):
+            assert page["status"] == "ok"
+            n_pages += 1
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert n_pages == 200
+        assert peak < inflated_total / 4, \
+            f"peak {peak} vs inflated {inflated_total}"
+
     def test_bomb_cap_holds_on_exact_boundary(self, monkeypatch):
         # regression (round-3 advice): a member whose inflated size
         # lands EXACTLY on the cap at a chunk boundary used to call

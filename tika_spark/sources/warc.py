@@ -17,15 +17,18 @@ records hold an HTTP/1.1 envelope; the page body follows the HTTP
 headers' first CRLFCRLF.
 
 Scale (100 TB): one CC crawl is ~90k files x ~1 GB — file-granular
-parallelism is ample, so ingest is ``binaryFile`` scan →
-``mapInPandas`` over whole files. Each file is decompressed
-member-by-member in a single streaming pass (``zlib`` with
-``unused_data`` chaining — bounded by one record in memory, never the
-inflated file). Malformed members/records become ``status`` rows
-instead of poisoning the file (H1 fault isolation, same philosophy as
-the extraction stages). The emitted binary column feeds the job's
-size-bucketed write directly, so page bytes shuffle zero times
-between the archive and the parser.
+parallelism is ample, so ingest is a ``binaryFile`` PATH listing →
+``mapInPandas`` that opens each file via ``pyarrow.fs`` and streams
+it. Each file is decompressed member-by-member in a single streaming
+pass (``zlib`` with ``unused_data`` chaining), so peak task memory is
+O(largest member) — one input chunk + one inflating record + one
+output frame — never the compressed blob and never the inflated file
+(the whole-blob shape would cost file_bytes + largest member per
+task on 1 GB segments). Malformed members/records become ``status``
+rows instead of poisoning the file (H1 fault isolation, same
+philosophy as the extraction stages). The emitted binary column feeds
+the job's size-bucketed write directly, so page bytes shuffle zero
+times between the archive and the parser.
 """
 
 from __future__ import annotations
@@ -111,9 +114,16 @@ _MAX_MEMBER = 256 << 20    # per-member inflate cap (gzip-bomb guard)
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
+# compressed bytes of the CURRENT member retained for corrupt-member
+# resync; CC members are ~100 KB-1 MB compressed, so this never binds
+# in practice — a pathological member larger than the retention simply
+# resyncs from the current stream position instead of its own start
+_RESYNC_RETAIN = 64 << 20
+
+
+def iter_gzip_members_from(read) -> Iterator[bytes | None]:
     """Decompress a concatenation of gzip members one member at a
-    time (the CC per-record framing).
+    time (the CC per-record framing) from a ``read(n)`` callable.
 
     Fault isolation: a corrupt/truncated/oversized member does NOT
     discard the rest of the file — the scanner yields ``None`` once
@@ -122,23 +132,37 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
     ``_MAX_MEMBER`` (zip-bomb guard, same philosophy as the output
     guards): an over-cap member counts as corrupt.
 
-    The input is walked through a ``memoryview`` in bounded chunks —
-    zero-copy slices, O(filesize) total work. (Feeding
-    ``data[pos:]`` per member would re-copy the remaining tail for
-    every one of a CC file's ~50k members: O(members × filesize) in
-    memcpy.)
+    Memory envelope (the 100 TB contract): at any instant the scanner
+    holds one input chunk, the inflating member's OUTPUT
+    (<= ``_MAX_MEMBER``), and the current member's compressed bytes
+    up to ``_RESYNC_RETAIN`` — i.e. O(largest member), NEVER O(file).
+    A 1 GB Common-Crawl segment therefore streams through a task in
+    ~single-megabyte working memory instead of needing the whole blob
+    materialized.
     """
-    view = memoryview(data)
-    pos, n = 0, len(data)
+    buf = b""           # compressed bytes not yet fed to the inflater
+    eof_in = False
+
+    def fill() -> bool:
+        nonlocal buf, eof_in
+        if eof_in:
+            return False
+        chunk = read(_INFLATE_CHUNK)
+        if not chunk:
+            eof_in = True
+            return False
+        buf += bytes(chunk)
+        return True
+
     in_gap = False  # collapse a run of resync failures to one None
-    while pos < n:
+    while buf or fill():
         dec = zlib.decompressobj(wbits=31)
         out: list[bytes] = []
         total = 0
-        p = pos
+        fed = bytearray()   # this member's compressed bytes (resync)
         failed = False
         try:
-            while p < n and not dec.eof:
+            while not dec.eof:
                 if total >= _MAX_MEMBER:
                     # at-cap with input left: zlib treats
                     # max_length=0 as UNLIMITED, so never call
@@ -147,31 +171,58 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
                     # bytes to inflate is over-cap by definition
                     failed = True
                     break
-                chunk = view[p:p + _INFLATE_CHUNK]
+                if not buf and not fill():
+                    break       # truncated trailing member
+                chunk, buf = buf, b""
+                if len(fed) < _RESYNC_RETAIN:
+                    fed += chunk
                 piece = dec.decompress(chunk, _MAX_MEMBER - total)
                 out.append(piece)
                 total += len(piece)
                 if dec.unconsumed_tail:   # inflate cap exceeded
                     failed = True
                     break
-                p += len(chunk)
         except zlib.error:
             failed = True
-        if failed or not dec.eof:
-            if not in_gap:
-                in_gap = True
-                yield None
-            nxt = data.find(_GZ_MAGIC, pos + 1)
-            if nxt < 0:
-                return
-            pos = nxt
+        if not failed and dec.eof:
+            in_gap = False
+            yield b"".join(out)
+            buf = dec.unused_data + buf
             continue
-        in_gap = False
-        yield b"".join(out)
-        consumed = (p - len(dec.unused_data)) - pos
-        if consumed <= 0:
-            return
-        pos += consumed
+        if not in_gap:
+            in_gap = True
+            yield None
+        # resync: scan for the next gzip magic from one byte into the
+        # failed member's retained compressed bytes, reading further
+        # chunks as needed (only the last 2 bytes are kept between
+        # reads — the magic may span a chunk boundary)
+        scan = bytes(fed[1:]) + buf
+        buf = b""
+        while True:
+            idx = scan.find(_GZ_MAGIC)
+            if idx >= 0:
+                buf = scan[idx:]
+                break
+            scan = scan[-2:]
+            chunk = read(_INFLATE_CHUNK)
+            if not chunk:
+                return
+            scan += bytes(chunk)
+
+
+def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
+    """Whole-blob convenience wrapper over
+    :func:`iter_gzip_members_from` (zero-copy memoryview chunks)."""
+    view = memoryview(data)
+    pos = 0
+
+    def read(n: int):
+        nonlocal pos
+        chunk = view[pos:pos + n]
+        pos += len(chunk)
+        return chunk
+
+    return iter_gzip_members_from(read)
 
 
 def parse_record(raw: bytes) -> dict | None:
@@ -233,12 +284,12 @@ def http_parts(content: bytes) -> tuple[str | None, bytes]:
     return ctype, content[sep + 4:]
 
 
-def warc_pages(data: bytes) -> Iterator[dict]:
-    """All response-record pages of one ``.warc.gz`` blob. Non-response
-    records (warcinfo, request, metadata) are skipped silently — they
-    are expected structure, not faults; members that fail to parse as
-    WARC yield a status row."""
-    for member in iter_gzip_members(data):
+def _members_to_pages(members: Iterator[bytes | None]) -> Iterator[dict]:
+    """Gzip members → response-record page rows. Non-response records
+    (warcinfo, request, metadata) are skipped silently — they are
+    expected structure, not faults; members that fail to parse as WARC
+    yield a status row."""
+    for member in members:
         rec = parse_record(member) if member is not None else None
         if rec is None:
             yield {"url": "", "warc_date": "", "html": None,
@@ -250,6 +301,17 @@ def warc_pages(data: bytes) -> Iterator[dict]:
         ctype, body = http_parts(rec["body"])
         yield {"url": rec["url"], "warc_date": rec["date"],
                "html": body, "declared_type": ctype, "status": "ok"}
+
+
+def warc_pages(data: bytes) -> Iterator[dict]:
+    """All response-record pages of one ``.warc.gz`` blob."""
+    return _members_to_pages(iter_gzip_members(data))
+
+
+def warc_pages_from(read) -> Iterator[dict]:
+    """All response-record pages from a ``read(n)`` callable —
+    O(largest member) memory, never O(file)."""
+    return _members_to_pages(iter_gzip_members_from(read))
 
 
 _PAGES_PER_CHUNK = 1024
@@ -268,20 +330,6 @@ def _pages_frame(rows: list[dict]) -> pd.DataFrame:
                 "declared_type", "status"]]
 
 
-def _blobs_to_pages(batches: Iterator[pd.DataFrame]
-                    ) -> Iterator[pd.DataFrame]:
-    # yield in bounded chunks: peak memory is _PAGES_PER_CHUNK pages,
-    # not the whole inflated file (a 1 GB CC archive inflates ~4-5x)
-    rows: list[dict] = []
-    for pdf in batches:
-        for blob in pdf["content"]:
-            for page in warc_pages(bytes(blob or b"")):
-                rows.append(page)
-                if len(rows) >= _PAGES_PER_CHUNK:
-                    yield _pages_frame(rows)
-                    rows = []
-    if rows:
-        yield _pages_frame(rows)
 
 
 def to_wet(df: DataFrame, url_col: str = "url",
@@ -324,21 +372,71 @@ def wet_texts(data: bytes) -> Iterator[dict]:
                "status": "ok"}
 
 
+def _open_stream(path: str):
+    """Open a binaryFile ``path`` value as a pyarrow input stream.
+    Handles Hadoop-style ``file:/x`` URIs plus anything
+    ``pyarrow.fs.FileSystem.from_uri`` resolves (hdfs://, s3://)."""
+    # compression=None: pyarrow would otherwise auto-inflate by the
+    # .gz extension — the member scanner needs the RAW bytes (it owns
+    # the per-member framing, bomb cap, and corrupt-member resync)
+    from pyarrow import fs as pafs
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return pafs.LocalFileSystem().open_input_stream(
+            local, compression=None)
+    if "://" not in path:
+        return pafs.LocalFileSystem().open_input_stream(
+            path, compression=None)
+    filesystem, p = pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_stream(p, compression=None)
+
+
+def _paths_to_pages(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+    """Stream each file through the bounded member scanner: peak task
+    memory is one input chunk + one inflating member + one
+    ``_PAGES_PER_CHUNK`` output frame — never the compressed blob and
+    never the inflated file. (The previous shape materialized the
+    whole ``content`` column per file: a 1 GB CC segment cost
+    file_bytes + largest member per task; this one costs megabytes.)
+    """
+    rows: list[dict] = []
+    for pdf in batches:
+        for path in pdf["path"]:
+            try:
+                stream = _open_stream(str(path))
+            except Exception:
+                rows.append({"url": str(path), "warc_date": "",
+                             "html": None, "declared_type": None,
+                             "status": "warc_open_failed"})
+                continue
+            with stream as f:
+                for page in warc_pages_from(f.read):
+                    rows.append(page)
+                    if len(rows) >= _PAGES_PER_CHUNK:
+                        yield _pages_frame(rows)
+                        rows = []
+    if rows:
+        yield _pages_frame(rows)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """``.warc.gz`` files → pages DataFrame
     ``(url, warc_date, warc_ts, html, status)``.
 
-    ``binaryFile`` gives one row per file; parallelism = file count
-    (ample for CC's ~90k files/crawl). The per-file parse streams
-    gzip members and yields output in ``_PAGES_PER_CHUNK``-page
-    frames, so peak memory is one bounded chunk of inflated pages
-    (plus the compressed blob binaryFile already materialized), never
-    the whole inflated file; a single member inflates at most
-    ``_MAX_MEMBER`` bytes (bomb guard).
+    ``binaryFile`` lists one row per file but only the ``path``
+    column is selected, so the datasource never loads file contents
+    into Spark rows (binary-file column pruning); each task opens its
+    files via pyarrow.fs and streams gzip members with the
+    O(largest-member) envelope of :func:`iter_gzip_members_from`.
+    Parallelism = file count (ample for CC's ~90k files/crawl);
+    output leaves in ``_PAGES_PER_CHUNK``-page frames.
     """
-    blobs = (spark.read.format("binaryFile").load(path)
-             .select("content"))
-    return blobs.mapInPandas(_blobs_to_pages, PAGES_SCHEMA)
+    paths = (spark.read.format("binaryFile").load(path)
+             .select("path"))
+    return paths.mapInPandas(_paths_to_pages, PAGES_SCHEMA)
 
 
 _BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
@@ -360,5 +458,5 @@ def stream_warc(spark: SparkSession, path: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
-    blobs = reader.load(path).select("content")
-    return blobs.mapInPandas(_blobs_to_pages, PAGES_SCHEMA)
+    paths = reader.load(path).select("path")
+    return paths.mapInPandas(_paths_to_pages, PAGES_SCHEMA)
