@@ -383,26 +383,49 @@ _CS_VARIANTS = [("utf-8", "de"), ("windows-1251", "ru"), ("koi8-r", "ru"),
                 ("iso-8859-7", "el"), ("windows-1256", "ar"),
                 ("windows-1255", "he"), ("windows-1254", "tr"),
                 ("tis-620", "th"), ("iso-8859-1", "fr"),
-                ("iso-8859-2", "pl")]
+                ("iso-8859-2", "pl"),
+                # ISO-2022 escape-designation tier (CharsetRecog_2022):
+                # CN decodes through the in-repo RFC 1922 state decoder
+                ("iso-2022-cn", "zh"), ("iso2022_kr", "ko")]
+
+_ZH_GB = "中文测试 数据处理 系统设计 网络爬虫 文本抽取"
+_KO = "안녕하세요 데이터 처리 시스템 설계 문서 추출"
 
 
 def _charset_wrap_udf():
-    """Meta-tag-free HTML page encoded in doc_id%8's charset — forces
+    """Meta-tag-free HTML page encoded in doc_id%12's charset — forces
     the statistical recognizer tier (C7) to decide."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     from tika_spark.language.corpus import SEED_TEXT
 
+    def iso2022cn(s: str) -> bytes:
+        # GB2312 designation + SO, EUC bytes masked to 7-bit (RFC 1922)
+        runs = []
+        for word in s.split(" "):
+            euc = word.encode("gb2312")
+            runs.append(b"\x0e" + bytes(b & 0x7F for b in euc) + b"\x0f")
+        return b"\x1b$)A" + b" ".join(runs)
+
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            codec, lang = _CS_VARIANTS[int(i) % 10]
-            out.append((
-                "<html><head><title>T</title></head><body><p>"
-                + SEED_TEXT[lang] + "</p></body></html>"
-            ).encode(codec, "ignore"))
+            codec, lang = _CS_VARIANTS[int(i) % 12]
+            if codec == "iso-2022-cn":
+                out.append(b"<html><head><title>T</title></head>"
+                           b"<body><p>" + iso2022cn(_ZH_GB)
+                           + b"</p></body></html>")
+            elif codec == "iso2022_kr":
+                out.append(("<html><head><title>T</title></head>"
+                            "<body><p>" + _KO + "</p></body></html>"
+                            ).encode("iso2022_kr"))
+            else:
+                out.append((
+                    "<html><head><title>T</title></head><body><p>"
+                    + SEED_TEXT[lang] + "</p></body></html>"
+                ).encode(codec, "ignore"))
         return pd.Series(out)
     return wrap
 
@@ -2897,13 +2920,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset "
             "FROM documents WHERE lang = 'en'"),
         "extract_charset_statistical": (
-            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 10 "
+            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 12 "
             "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' "
             "WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'iso-8859-7' "
             "WHEN 4 THEN 'windows-1256' WHEN 5 THEN 'windows-1255' "
             "WHEN 6 THEN 'windows-1254' WHEN 7 THEN 'tis-620' "
-            "WHEN 8 THEN 'iso-8859-1' ELSE 'iso-8859-2' END AS charset "
-            "FROM documents"),
+            "WHEN 8 THEN 'iso-8859-1' WHEN 9 THEN 'iso-8859-2' "
+            "WHEN 10 THEN 'iso-2022-cn' ELSE 'iso2022_kr' END "
+            "AS charset FROM documents"),
         "extract_links": (
             "SELECT 'doc://' || doc_id AS url, "
             "(2 + doc_id % 2)::BIGINT AS n_links FROM documents"),

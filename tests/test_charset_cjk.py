@@ -113,17 +113,34 @@ class TestWidenedSbcs:
 
 def test_iso2022_cn_and_kr_escapes():
     """CN designations (GB2312 / CNS 11643) are named iso-2022-cn,
-    not mislabeled as JP; KR keeps its own name; the 7-bit ASCII runs
-    of a CN document survive the decode fallback."""
+    not mislabeled as JP; KR keeps its own name."""
     from tika_spark.charset import decode, detect_statistical
     cn = b"Hello \x1b$)A\x0e;;<a\x0f world"
     assert detect_statistical(cn) == "iso-2022-cn"
     assert detect_statistical(b"x\x1b$*Hyz") == "iso-2022-cn"
     kr = "안녕하세요".encode("iso2022_kr")
     assert detect_statistical(kr) == "iso2022_kr"
-    # no Python codec for iso-2022-cn: ASCII text still readable
-    assert "Hello" in decode(cn, "iso-2022-cn")
-    assert "world" in decode(cn, "iso-2022-cn")
+    assert decode(kr, "iso2022_kr") == "안녕하세요"
+
+
+def test_iso2022_cn_decodes_gb2312_runs():
+    """Round-3: the RFC 1922 state decoder turns SO-shifted GB2312
+    pairs into the real characters (previously the cp1252 fallback
+    garbled every shifted run)."""
+    from tika_spark.charset import decode
+    # "hello 中文 world": 中 = GB 0x563p pair (EUC D6D0 -> 7-bit 'VP'),
+    # 文 = EUC CEC4 -> 7-bit 'ND'
+    cn = b"hello \x1b$)A\x0eVPND\x0f world"
+    assert decode(cn, "iso-2022-cn") == "hello 中文 world"
+    # CNS plane-1 designation: structure honored, chars degrade to
+    # U+FFFD (no stdlib CNS codec), ASCII runs intact
+    cns = b"a\x1b$)G\x0e!!\x0fb"
+    out = decode(cns, "iso-2022-cn")
+    assert out.startswith("a") and out.endswith("b") and "�" in out
+    # SS2 single-shift consumes its pair
+    assert decode(b"p\x1b$*H\x1bN!!q", "iso-2022-cn") == "p�q"
+    # unknown escape does not derail the scan
+    assert decode(b"x\x1b(Zy", "iso-2022-cn").endswith("y")
 
 
 def test_latin_family_statistical():

@@ -209,9 +209,9 @@ def _score_cp1252_punct(buf: np.ndarray) -> int:
 def _score_iso2022(raw: bytes) -> tuple[str, int] | None:
     """ISO-2022 escape designations (CharsetRecog_2022.java family):
     KR/CN checked before JP because their SO-designation escapes are
-    longer/more specific. ISO-2022-CN has no Python codec — detection
-    still names it correctly (the 7-bit ASCII runs survive the
-    windows-1252 decode fallback)."""
+    longer/more specific. ISO-2022-CN has no Python codec — decode
+    routes through the in-repo RFC 1922 state decoder
+    (:func:`_decode_iso2022_cn`)."""
     for seq, cs in ((b"\x1b$)C", "iso2022_kr"),
                     (b"\x1b$)A", "iso-2022-cn"),   # GB2312 designation
                     (b"\x1b$)G", "iso-2022-cn"),   # CNS 11643 plane 1
@@ -505,8 +505,63 @@ def html_charset(data: bytes, declared_type: str | None = None,
     return got or default
 
 
+def _decode_iso2022_cn(data: bytes) -> str:
+    """RFC 1922 ISO-2022-CN state decoder (Python ships no codec; the
+    reference decodes it through ICU, txt/CharsetRecog_2022.java names
+    it). SO/SI shift between ASCII (G0) and the designated G1 set;
+    GB2312 pairs decode through the stdlib EUC-CN codec by setting the
+    high bits. CNS 11643 designations (planes 1/2) are recognized
+    structurally but decode to U+FFFD — no stdlib codec carries CNS,
+    and real-world ISO-2022-CN mail/news is overwhelmingly
+    GB2312-designated."""
+    out: list[str] = []
+    g1 = None
+    shifted = False
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == 0x1B:
+            head4 = data[i:i + 4]
+            if head4 == b"\x1b$)A":
+                g1, i = "gb", i + 4
+                continue
+            if head4 == b"\x1b$)G":
+                g1, i = "cns1", i + 4
+                continue
+            if head4 == b"\x1b$*H":
+                i += 4          # G2 designation (CNS plane 2)
+                continue
+            if data[i:i + 2] == b"\x1bN":   # SS2: one G2 pair
+                out.append("�")
+                i += 4
+                continue
+            i += 1              # unknown escape: drop the ESC byte
+            continue
+        if b == 0x0E:
+            shifted, i = True, i + 1
+            continue
+        if b == 0x0F:
+            shifted, i = False, i + 1
+            continue
+        if shifted and 0x21 <= b <= 0x7E and i + 1 < n \
+                and 0x21 <= data[i + 1] <= 0x7E:
+            if g1 == "gb":
+                out.append(bytes((b | 0x80, data[i + 1] | 0x80))
+                           .decode("gb2312", "replace"))
+            else:
+                out.append("�")
+            i += 2
+            continue
+        out.append(chr(b) if b < 0x80 else "�")
+        i += 1
+    return "".join(out)
+
+
 def decode(data: bytes, charset: str) -> str:
-    """Decode with replacement, stripping a leading BOM if present."""
+    """Decode with replacement, stripping a leading BOM if present.
+    Detect-only names with no Python codec route to the in-repo state
+    decoders (ISO-2022-CN) instead of silently falling back to the
+    cp1252 default, which garbled every shifted run."""
     bom = bom_charset(data)
     if bom:
         for b, cs in _BOMS:
@@ -516,6 +571,8 @@ def decode(data: bytes, charset: str) -> str:
                 break
         if bom.startswith("utf-") and not charset.startswith("utf"):
             charset = bom
+    if charset.replace("_", "-").lower() == "iso-2022-cn":
+        return _decode_iso2022_cn(data)
     try:
         return data.decode(charset, errors="replace")
     except LookupError:
