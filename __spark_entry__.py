@@ -1334,6 +1334,32 @@ def _office_zip_udf(kind: str):
                         b'core-properties" xmlns:dc="http://purl.org/dc/'
                         b'elements/1.1/"><dc:title>' + title
                         + b'</dc:title></cp:coreProperties>',
+                    "xl/workbook.xml":
+                        b'<workbook xmlns="http://schemas.openxml'
+                        b'formats.org/spreadsheetml/2006/main" '
+                        b'xmlns:r="http://schemas.openxmlformats.org/'
+                        b'officeDocument/2006/relationships"><sheets>'
+                        b'<sheet name="Data" sheetId="1" r:id="rId1"/>'
+                        b'</sheets></workbook>',
+                    "xl/_rels/workbook.xml.rels":
+                        b'<Relationships xmlns="http://schemas.openxml'
+                        b'formats.org/package/2006/relationships">'
+                        b'<Relationship Id="rId1" Type="t" '
+                        b'Target="worksheets/sheet1.xml"/>'
+                        b'</Relationships>',
+                    "xl/worksheets/_rels/sheet1.xml.rels":
+                        b'<Relationships xmlns="http://schemas.openxml'
+                        b'formats.org/package/2006/relationships">'
+                        b'<Relationship Id="rId7" Type="t" '
+                        b'Target="../comments1.xml"/></Relationships>',
+                    "xl/comments1.xml":
+                        b'<comments xmlns="http://schemas.openxml'
+                        b'formats.org/spreadsheetml/2006/main">'
+                        b'<authors><author>QA</author></authors>'
+                        b'<commentList><comment ref="A2" authorId="0">'
+                        b'<text><r><t>verify ' + title
+                        + b'</t></r></text></comment></commentList>'
+                        b'</comments>',
                     "xl/sharedStrings.xml":
                         b'<sst xmlns="http://schemas.openxmlformats.'
                         b'org/spreadsheetml/2006/main"><si><t>' + title
@@ -1342,10 +1368,14 @@ def _office_zip_udf(kind: str):
                     "xl/worksheets/sheet1.xml":
                         b'<worksheet xmlns="http://schemas.'
                         b'openxmlformats.org/spreadsheetml/2006/main">'
-                        b'<sheetData><row><c t="s"><v>0</v></c>'
-                        b'<c t="s"><v>1</v></c></row><row><c><v>'
+                        b'<sheetData><row><c r="A1" t="s"><v>0</v></c>'
+                        b'<c r="B1" t="s"><v>1</v></c></row>'
+                        b'<row><c r="A2"><v>'
                         + str(int(i)).encode() + b'</v></c></row>'
-                        b'</sheetData></worksheet>'}))
+                        b'</sheetData><headerFooter><oddHeader>&amp;C'
+                        + title + b' header</oddHeader><oddFooter>'
+                        b'&amp;C' + title + b' footer</oddFooter>'
+                        b'</headerFooter></worksheet>'}))
             elif kind == "pptx":
                 out.append(zip_bytes({
                     "[Content_Types].xml":
@@ -1368,7 +1398,28 @@ def _office_zip_udf(kind: str):
                         b'2006/main"><p:cSld><p:spTree><p:sp><p:txBody>'
                         b'<a:p><a:r><a:t>' + body + b'</a:t></a:r>'
                         b'</a:p></p:txBody></p:sp></p:spTree></p:cSld>'
-                        b'</p:sld>'}))
+                        b'</p:sld>',
+                    "ppt/slides/_rels/slide1.xml.rels":
+                        b'<Relationships xmlns="http://schemas.openxml'
+                        b'formats.org/package/2006/relationships">'
+                        b'<Relationship Id="rId2" Type="t" '
+                        b'Target="../notesSlides/notesSlide1.xml"/>'
+                        b'<Relationship Id="rId3" Type="t" '
+                        b'Target="../comments/comment1.xml"/>'
+                        b'</Relationships>',
+                    "ppt/notesSlides/notesSlide1.xml":
+                        b'<p:notes xmlns:a="http://schemas.openxml'
+                        b'formats.org/drawingml/2006/main" xmlns:p='
+                        b'"http://schemas.openxmlformats.org/'
+                        b'presentationml/2006/main"><p:cSld><p:spTree>'
+                        b'<p:sp><p:txBody><a:p><a:r><a:t>Notes for '
+                        + title + b'</a:t></a:r></a:p></p:txBody>'
+                        b'</p:sp></p:spTree></p:cSld></p:notes>',
+                    "ppt/comments/comment1.xml":
+                        b'<p:cmLst xmlns:p="http://schemas.openxml'
+                        b'formats.org/presentationml/2006/main">'
+                        b'<p:cm authorId="0"><p:text>Comment on '
+                        + title + b'</p:text></p:cm></p:cmLst>'}))
             else:  # epub
                 out.append(zip_bytes({
                     "content.opf":
@@ -3182,18 +3233,28 @@ def oracle_sql() -> dict[str, str]:
             "'Footer Doc ' || doc_id || chr(10) AS text "
             "FROM documents"),
         "extract_xlsx_text": (
+            # XSSFExcelExtractorDecorator order: sheet name, rows
+            # (comment after its cell), headers, footers
             "SELECT 'doc://' || doc_id || '.xlsx' AS url, "
             "'application/vnd.openxmlformats-officedocument."
             "spreadsheetml.sheet' AS mime, "
             "'Doc ' || doc_id AS title, "
+            "'Data' || chr(10) || "
             "'Doc ' || doc_id || chr(9) || text || chr(10) || doc_id "
-            "|| chr(10) AS text FROM documents"),
+            "|| chr(10) || 'QA: verify Doc ' || doc_id || chr(10) || "
+            "'Doc ' || doc_id || ' header' || chr(10) || "
+            "'Doc ' || doc_id || ' footer' || chr(10) "
+            "AS text FROM documents"),
         "extract_pptx_text": (
+            # XSLFPowerPointExtractorDecorator order: shapes,
+            # comments, notes shapes
             "SELECT 'doc://' || doc_id || '.pptx' AS url, "
             "'application/vnd.openxmlformats-officedocument."
             "presentationml.presentation' AS mime, "
             "'Doc ' || doc_id AS title, "
-            "text || chr(10) AS text FROM documents "
+            "text || chr(10) || 'Comment on Doc ' || doc_id || "
+            "chr(10) || 'Notes for Doc ' || doc_id || chr(10) "
+            "AS text FROM documents "
             "WHERE length(text) > 0"),
         "extract_odt_text": (
             "SELECT 'doc://' || doc_id || '.odt' AS url, "

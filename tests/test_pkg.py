@@ -271,6 +271,86 @@ def test_xlsx_extract():
     assert r["text"] == "name\tqty\n7\t9\n"
 
 
+_S_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_P_NS = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def test_xlsx_sheet_names_headers_comments():
+    """XSSFExcelExtractorDecorator emit order: sheet name heading,
+    rows, stripped header/footer lines; cell comments follow their
+    cell as NEWLINE + 'author: text'."""
+    xlsx = make_zip({
+        "[Content_Types].xml": b"<Types/>",
+        "xl/workbook.xml":
+            (f'<workbook xmlns="{_S_NS}" xmlns:r="{_R_NS}"><sheets>'
+             '<sheet name="Budget" sheetId="1" r:id="rId1"/>'
+             "</sheets></workbook>").encode(),
+        "xl/_rels/workbook.xml.rels":
+            (f'<Relationships xmlns="{_REL_NS}">'
+             '<Relationship Id="rId1" Type="t" '
+             'Target="worksheets/sheet1.xml"/></Relationships>').encode(),
+        "xl/worksheets/_rels/sheet1.xml.rels":
+            (f'<Relationships xmlns="{_REL_NS}">'
+             '<Relationship Id="rId7" Type="t" '
+             'Target="../comments1.xml"/></Relationships>').encode(),
+        "xl/comments1.xml":
+            (f'<comments xmlns="{_S_NS}"><authors><author>Ana</author>'
+             '</authors><commentList><comment ref="B1" authorId="0">'
+             "<text><r><t>check me</t></r></text></comment>"
+             "</commentList></comments>").encode(),
+        "xl/worksheets/sheet1.xml":
+            (f'<worksheet xmlns="{_S_NS}"><sheetData>'
+             '<row><c r="A1"><v>1</v></c><c r="B1"><v>2</v></c></row>'
+             "</sheetData><headerFooter>"
+             "<oddHeader>&amp;LQ1&amp;CReport&amp;R&amp;P</oddHeader>"
+             "<oddFooter>&amp;Cpage foot</oddFooter>"
+             "</headerFooter></worksheet>").encode(),
+    })
+    r = extract_ooxml(xlsx, mime="application/vnd.openxmlformats-"
+                      "officedocument.spreadsheetml.sheet")
+    assert r["text"] == ("Budget\n"
+                         "1\t2\nAna: check me\n"
+                         "Q1 Report\n"
+                         "page foot\n")
+
+
+def test_pptx_notes_and_comments():
+    """XSLFPowerPointExtractorDecorator order: slide shapes, slide
+    comments, notes-slide shapes."""
+    pptx = make_zip({
+        "[Content_Types].xml":
+            b'<Types xmlns="http://schemas.openxmlformats.org/package/'
+            b'2006/content-types"><Override PartName='
+            b'"/ppt/presentation.xml" ContentType="application/vnd.'
+            b'openxmlformats-officedocument.presentationml.'
+            b'presentation.main+xml"/></Types>',
+        "ppt/slides/slide1.xml":
+            (f'<p:sld xmlns:p="{_P_NS}" xmlns:a="{_A_NS}">'
+             "<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r>"
+             "<a:t>Slide body</a:t></a:r></a:p></p:txBody></p:sp>"
+             "</p:spTree></p:cSld></p:sld>").encode(),
+        "ppt/slides/_rels/slide1.xml.rels":
+            (f'<Relationships xmlns="{_REL_NS}">'
+             '<Relationship Id="rId2" Type="t" '
+             'Target="../notesSlides/notesSlide1.xml"/>'
+             '<Relationship Id="rId3" Type="t" '
+             'Target="../comments/comment1.xml"/>'
+             "</Relationships>").encode(),
+        "ppt/notesSlides/notesSlide1.xml":
+            (f'<p:notes xmlns:p="{_P_NS}" xmlns:a="{_A_NS}">'
+             "<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r>"
+             "<a:t>Speaker notes</a:t></a:r></a:p></p:txBody></p:sp>"
+             "</p:spTree></p:cSld></p:notes>").encode(),
+        "ppt/comments/comment1.xml":
+            (f'<p:cmLst xmlns:p="{_P_NS}"><p:cm authorId="0">'
+             "<p:text>A remark</p:text></p:cm></p:cmLst>").encode(),
+    })
+    r = extract_ooxml(pptx, mime="application/vnd.openxmlformats-"
+                      "officedocument.presentationml.presentation")
+    assert r["text"] == "Slide body\nA remark\nSpeaker notes\n"
+
+
 def test_odt_extract():
     r = extract_odf(ODT, mime="application/vnd.oasis.opendocument.text")
     assert r["text"] == "Heading\nBody one\ttabbed\n"

@@ -62,19 +62,8 @@ def _core_metadata(zf: zipfile.ZipFile) -> dict[str, list[str]]:
 
 
 def _docx_rels(zf: zipfile.ZipFile) -> dict[str, str]:
-    """rId → zip part name, from ``word/_rels/document.xml.rels``
-    (targets are relative to ``word/``)."""
-    rels: dict[str, str] = {}
-    try:
-        root = ET.fromstring(zf.read("word/_rels/document.xml.rels"))
-    except Exception:
-        return rels
-    for rel in root.iter(_REL + "Relationship"):
-        rid, tgt = rel.get("Id"), rel.get("Target")
-        if rid and tgt:
-            rels[rid] = tgt.lstrip("/") if tgt.startswith("/") \
-                else "word/" + tgt
-    return rels
+    """rId → zip part name, from ``word/_rels/document.xml.rels``."""
+    return _part_rels(zf, "word/document.xml")
 
 
 def _docx_notes(zf: zipfile.ZipFile, part: str, tag: str) \
@@ -192,7 +181,129 @@ def _docx_text(zf: zipfile.ZipFile) -> str:
     return "".join(line + "\n" for line in lines)
 
 
+def _part_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """rId → zip part name for any package part (targets resolved
+    relative to the part's directory; ``..`` segments collapsed)."""
+    d, _, base = part.rpartition("/")
+    rels_name = (d + "/" if d else "") + "_rels/" + base + ".rels"
+    rels: dict[str, str] = {}
+    try:
+        root = ET.fromstring(zf.read(rels_name))
+    except Exception:
+        return rels
+    for rel in root.iter(_REL + "Relationship"):
+        rid, tgt = rel.get("Id"), rel.get("Target")
+        if not (rid and tgt):
+            continue
+        if tgt.startswith("/"):
+            rels[rid] = tgt.lstrip("/")
+            continue
+        segs = (d.split("/") if d else []) + tgt.split("/")
+        out: list[str] = []
+        for s in segs:
+            if s == "..":
+                if out:
+                    out.pop()
+            elif s not in (".", ""):
+                out.append(s)
+        rels[rid] = "/".join(out)
+    return rels
+
+
+def _hf_text(code: str) -> str:
+    """Excel header/footer markup → display text: &L/&C/&R section
+    split, font (&\"..\"), size (&NN) and field (&P &D &T...) codes
+    stripped, sections joined left + center + right (the POI
+    ExcelExtractor._extractHeaderFooter shape the reference routes
+    through, XSSFExcelExtractorDecorator.java:141-147)."""
+    buf = {"L": [], "C": [], "R": []}
+    cur = "C"
+    i, n = 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch == "&" and i + 1 < n:
+            nxt = code[i + 1]
+            if nxt.upper() in ("L", "C", "R"):
+                cur = nxt.upper()
+                i += 2
+                continue
+            if nxt == '"':
+                j = code.find('"', i + 2)
+                i = j + 1 if j >= 0 else n
+                continue
+            if nxt.isdigit():
+                j = i + 1
+                while j < n and code[j].isdigit():
+                    j += 1
+                i = j
+                continue
+            if nxt == "&":
+                buf[cur].append("&")
+                i += 2
+                continue
+            i += 2          # single-letter field code (&P &D &T ...)
+            continue
+        buf[cur].append(ch)
+        i += 1
+    left, center, right = ("".join(buf[k]) for k in ("L", "C", "R"))
+    text = center
+    if left:
+        text = left + " " + text
+    if right:
+        text = text + " " + right
+    return text.strip()
+
+
+def _xlsx_sheets(zf: zipfile.ZipFile) -> list[tuple[str | None, str]]:
+    """(sheet_name, part) in workbook order when xl/workbook.xml
+    declares sheets; numeric part order with no names otherwise."""
+    try:
+        root = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = _part_rels(zf, "xl/workbook.xml")
+        sheets = []
+        for sh in root.iter(_S + "sheet"):
+            part = rels.get(sh.get(_R + "id") or "")
+            if part and part in zf.namelist():
+                sheets.append((sh.get("name"), part))
+        if sheets:
+            return sheets
+    except Exception:
+        pass
+    return [(None, n) for n in sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))]
+
+
+def _xlsx_comments(zf: zipfile.ZipFile, sheet_part: str) \
+        -> dict[str, tuple[str, str]]:
+    """cell ref → (author, text) from the sheet's comments part."""
+    out: dict[str, tuple[str, str]] = {}
+    for part in _part_rels(zf, sheet_part).values():
+        if "comments" not in part.rsplit("/", 1)[-1]:
+            continue
+        try:
+            root = ET.fromstring(zf.read(part))
+        except Exception:
+            continue
+        authors = [a.text or "" for a in root.iter(_S + "author")]
+        for c in root.iter(_S + "comment"):
+            ref = c.get("ref")
+            if not ref:
+                continue
+            ai = int(c.get("authorId") or 0)
+            author = authors[ai] if ai < len(authors) else ""
+            out[ref] = (author, "".join(
+                t.text or "" for t in c.iter(_S + "t")))
+    return out
+
+
 def _xlsx_text(zf: zipfile.ZipFile) -> str:
+    """Sheet name heading, rows as TAB-joined cells, then the sheet's
+    stripped headers and footers — XSSFExcelExtractorDecorator.java
+    buildXHTML order (h1 name → table → headers → footers); a cell
+    comment follows its cell as NEWLINE + 'author: text'
+    (SheetTextAsHTML.cell)."""
     shared: list[str] = []
     try:
         sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
@@ -200,13 +311,12 @@ def _xlsx_text(zf: zipfile.ZipFile) -> str:
             shared.append("".join(t.text or "" for t in si.iter(_S + "t")))
     except KeyError:
         pass
-    sheets = sorted(
-        (n for n in zf.namelist()
-         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
-        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
     out = []
-    for name in sheets:
-        root = ET.fromstring(zf.read(name))
+    for sheet_name, part in _xlsx_sheets(zf):
+        root = ET.fromstring(zf.read(part))
+        comments = _xlsx_comments(zf, part)
+        if sheet_name:
+            out.append(sheet_name + "\n")
         for row in root.iter(_S + "row"):
             cells = []
             for c in row.iter(_S + "c"):
@@ -218,22 +328,66 @@ def _xlsx_text(zf: zipfile.ZipFile) -> str:
                 elif c.get("t") == "inlineStr":
                     raw = "".join(t.text or ""
                                   for t in c.iter(_S + "t"))
+                note = comments.get(c.get("r") or "")
+                if note:
+                    raw += "\n%s: %s" % note
                 cells.append(raw)
             out.append("\t".join(cells) + "\n")
+        headers, footers = [], []
+        for hf in root.iter(_S + "headerFooter"):
+            for el in hf:
+                tag = el.tag.rsplit("}", 1)[-1]
+                txt = _hf_text(el.text or "")
+                if not txt:
+                    continue
+                if tag.endswith("Header"):
+                    headers.append(txt)
+                elif tag.endswith("Footer"):
+                    footers.append(txt)
+        out.extend(h + "\n" for h in headers)
+        out.extend(f + "\n" for f in footers)
     return "".join(out)
 
 
 def _pptx_text(zf: zipfile.ZipFile) -> str:
+    """Per slide: shape text, then slide comments, then the notes
+    slide's shape text — XSLFPowerPointExtractorDecorator.java
+    buildXHTML order (shapes → comments → notes). Comments and notes
+    parts resolve through each slide's relationships."""
     slides = sorted(
         (n for n in zf.namelist()
          if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
         key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+    _P = ("{http://schemas.openxmlformats.org/presentationml/2006/"
+          "main}")
     out = []
     for name in slides:
         root = ET.fromstring(zf.read(name))
         for t in root.iter(_A + "t"):
             if t.text:
                 out.append(t.text + "\n")
+        rels = _part_rels(zf, name)
+        notes_parts = [p for p in rels.values()
+                       if "/notesSlides/" in p and p in zf.namelist()]
+        comment_parts = [p for p in rels.values()
+                         if "/comments/" in p and p in zf.namelist()]
+        for part in comment_parts:
+            try:
+                croot = ET.fromstring(zf.read(part))
+            except Exception:
+                continue
+            for cm in croot.iter(_P + "cm"):
+                txt = "".join(t.text or "" for t in cm.iter(_P + "text"))
+                if txt:
+                    out.append(txt + "\n")
+        for part in notes_parts:
+            try:
+                nroot = ET.fromstring(zf.read(part))
+            except Exception:
+                continue
+            for t in nroot.iter(_A + "t"):
+                if t.text:
+                    out.append(t.text + "\n")
     return "".join(out)
 
 
