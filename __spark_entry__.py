@@ -739,9 +739,14 @@ def _doc_wrap_udf():
 
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
+        # full FIB subrange layout: header story, body, footnote,
+        # comment, endnote, footer story (WordExtractor.java order)
         return pd.Series([
             make_doc([f"Office doc {i}", f"Body paragraph {i % 7}."],
-                     title=f"T{i}") for i in ids])
+                     title=f"T{i}", header=f"Hdr {i}",
+                     footer=f"Ftr {i}", footnotes=[f"Note {i}"],
+                     comments=[f"Cmt {i}"], endnotes=[f"End {i}"])
+            for i in ids])
     return wrap
 
 
@@ -3125,10 +3130,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
         "extract_office_doc": (
+            # WordExtractor.java emit order: header, body, footnotes,
+            # comments, endnotes, footer
             "SELECT 'doc://' || doc_id || '.doc' AS url, "
             "'application/msword' AS mime, 'T' || doc_id AS title, "
+            "'Hdr ' || doc_id || chr(10) || "
             "'Office doc ' || doc_id || chr(10) || 'Body paragraph ' || "
-            "(doc_id % 7) || '.' || chr(10) AS text FROM documents"),
+            "(doc_id % 7) || '.' || chr(10) || "
+            "'Note ' || doc_id || chr(10) || 'Cmt ' || doc_id || "
+            "chr(10) || 'End ' || doc_id || chr(10) || "
+            "'Ftr ' || doc_id || chr(10) AS text FROM documents"),
         "extract_xls_text": (
             "SELECT 'doc://' || doc_id || '.xls' AS url, "
             "'application/vnd.ms-excel' AS mime, "

@@ -85,6 +85,25 @@ class TestWord:
                         mime="application/msword")
         assert r["text"] == "Old format para one.\nTwo.\n"
 
+    def test_subranges_header_notes_footer(self):
+        """FIB subranges in the reference's WordExtractor.java:85-113
+        emit order: header stories, body, footnotes, comments,
+        endnotes, footer stories (PlcfHdd story split)."""
+        r = extract_ole(make_doc(
+            ["Body one", "Body two"], header="Page header",
+            footer="Page footer", footnotes=["a footnote"],
+            comments=["a comment"], endnotes=["an endnote"]),
+            mime="application/msword")
+        assert r["text"] == ("Page header\nBody one\nBody two\n"
+                             "a footnote\na comment\nan endnote\n"
+                             "Page footer\n")
+
+    def test_subranges_unicode_piece(self):
+        r = extract_ole(make_doc(["Тело"], header="Шапка",
+                                 unicode_piece=True),
+                        mime="application/msword")
+        assert r["text"] == "Шапка\nТело\n"
+
 
 class TestExcel:
     def test_rows_tab_joined(self):

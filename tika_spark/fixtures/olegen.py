@@ -248,13 +248,30 @@ def summary_info(**props: str) -> bytes:
 
 
 def make_doc(paragraphs: list[str], *, title: str | None = None,
-             unicode_piece: bool = False) -> bytes:
-    text = "\r".join(paragraphs) + "\r"
+             unicode_piece: bool = False,
+             header: str | None = None, footer: str | None = None,
+             footnotes: list[str] | None = None,
+             comments: list[str] | None = None,
+             endnotes: list[str] | None = None) -> bytes:
+    """Word-97 .doc with the full FIB subrange layout: main text,
+    footnotes, header/footer stories (PlcfHdd: 6 separator stories,
+    then the per-section even/odd/first sextet — header in the odd
+    header story, footer in the odd footer story), comments, and
+    endnotes, all covered by a single piece."""
+    main = "\r".join(paragraphs) + "\r"
+    ftn = "".join(p + "\r" for p in (footnotes or []))
+    hdr = (header + "\r") if header else ""
+    ftr = (footer + "\r") if footer else ""
+    hdd = hdr + ftr
+    atn = "".join(p + "\r" for p in (comments or []))
+    edn = "".join(p + "\r" for p in (endnotes or []))
+    text = main + ftn + hdd + atn + edn
     fib = bytearray(0x600)
     struct.pack_into("<H", fib, 0, 0xA5EC)       # wIdent
     struct.pack_into("<H", fib, 2, 0x00C1)       # nFib (Word 97)
     struct.pack_into("<H", fib, 0x000A, 0)       # flags: 0Table
-    struct.pack_into("<I", fib, 0x004C, len(text))  # ccpText
+    struct.pack_into("<6I", fib, 0x004C, len(main), len(ftn), len(hdd),
+                     0, len(atn), len(edn))      # ccpText..ccpEdn
     text_off = len(fib)
     if unicode_piece:
         raw = text.encode("utf-16-le")
@@ -264,14 +281,25 @@ def make_doc(paragraphs: list[str], *, title: str | None = None,
         fc_raw = 0x40000000 | (text_off * 2)    # compressed: fc/2 coding
     word = bytes(fib) + raw
 
-    # CLX: Pcdt with a single piece
+    # CLX: Pcdt with a single piece over every subrange
     plc = struct.pack("<II", 0, len(text))
     pcd = struct.pack("<HIH", 0, fc_raw, 0)
     pcdt = b"\x02" + struct.pack("<I", len(plc) + len(pcd)) + plc + pcd
+    table = bytearray(pcdt)
     word = bytearray(word)
     struct.pack_into("<II", word, 0x01A2, 0, len(pcdt))  # fcClx, lcbClx
+    if hdd:
+        # PlcfHdd: 13 CPs = 6 separator stories + even/odd header,
+        # even/odd footer, first header/footer (all CPs relative to
+        # the hdd subrange)
+        lh, lf = len(hdr), len(hdd)
+        cps = [0] * 8 + [lh, lh, lf, lf, lf]
+        plcfhdd = struct.pack(f"<{len(cps)}i", *cps)
+        struct.pack_into("<II", word, 0x00F2, len(table), len(plcfhdd))
+        table += plcfhdd
 
-    streams = [((), "WordDocument", bytes(word)), ((), "0Table", pcdt)]
+    streams = [((), "WordDocument", bytes(word)),
+               ((), "0Table", bytes(table))]
     if title is not None:
         streams.append(((), "\x05SummaryInformation",
                         summary_info(title=title)))

@@ -195,25 +195,86 @@ def _doc_text(cfb: CfbFile) -> str:
     table_name = "1Table" if flags & 0x0200 else "0Table"
     table = cfb.stream(table_name) or cfb.stream("0Table") \
         or cfb.stream("1Table") or b""
-    (ccp_text,) = struct.unpack_from("<I", word, 0x004C)
+    # FIB fibRgLw97: the text stream is partitioned into subranges
+    # (MS-DOC 2.5.1) — main, footnotes, headers/footers, macros,
+    # comments, endnotes — in that CP order
+    (ccp_text, ccp_ftn, ccp_hdd, ccp_mcr, ccp_atn,
+     ccp_edn) = struct.unpack_from("<6I", word, 0x004C)
     fc_clx, lcb_clx = struct.unpack_from("<II", word, 0x01A2)
 
     pieces = _doc_pieces(table[fc_clx:fc_clx + lcb_clx]) if lcb_clx else []
     if not pieces:
         return ""
     chars: list[str] = []
-    remaining = ccp_text
     for (cp_len, fc, compressed) in pieces:
-        if remaining <= 0:
-            break
-        take = min(cp_len, remaining)
         if compressed:
-            seg = word[fc:fc + take].decode("cp1252", "replace")
+            seg = word[fc:fc + cp_len].decode("cp1252", "replace")
         else:
-            seg = word[fc:fc + 2 * take].decode("utf-16-le", "replace")
+            seg = word[fc:fc + 2 * cp_len].decode("utf-16-le", "replace")
         chars.append(seg)
-        remaining -= take
-    return _doc_clean("".join(chars))
+    stream = "".join(chars)
+    pos = 0
+    main = stream[pos:pos + ccp_text]
+    pos += ccp_text
+    ftn = stream[pos:pos + ccp_ftn]
+    pos += ccp_ftn
+    hdd = stream[pos:pos + ccp_hdd]
+    pos += ccp_hdd + ccp_mcr
+    atn = stream[pos:pos + ccp_atn]
+    pos += ccp_atn
+    edn = stream[pos:pos + ccp_edn]
+    headers, footers = _doc_header_stories(word, table, hdd)
+    # reference emit order (microsoft/WordExtractor.java:85-113):
+    # header text, body paragraphs, footnotes, comments, endnotes,
+    # footer text
+    out = [headers, _doc_clean(main)]
+    for aux in (ftn, atn, edn):
+        cleaned = _doc_clean(aux)
+        if cleaned:
+            out.append(cleaned if cleaned.endswith("\n")
+                       else cleaned + "\n")
+    out.append(footers)
+    return "".join(out)
+
+
+def _doc_header_stories(word: bytes, table: bytes,
+                        hdd: str) -> tuple[str, str]:
+    """Split the header/footer subrange into stories via PlcfHdd
+    (FIB fibRgFcLcb97[11], fc at 0x00F2): stories 0-5 are the
+    footnote/endnote separators, then per section even/odd header,
+    even/odd footer, first header/footer — the POI HeaderStories
+    layout the reference routes through (WordExtractor
+    getHeaderText/getFooterText). Returns (headers, footers) for the
+    first section, each story \\r→newline-normalized with one
+    trailing newline, concatenated first/even/odd."""
+    if not hdd:
+        return "", ""
+    try:
+        fc, lcb = struct.unpack_from("<II", word, 0x00F2)
+    except struct.error:
+        return "", ""
+    if not lcb or fc + lcb > len(table):
+        return "", ""
+    plc = table[fc:fc + lcb]
+    n = len(plc) // 4
+    if n < 2:
+        return "", ""
+    cps = struct.unpack_from(f"<{n}i", plc, 0)
+
+    def story(i: int) -> str:
+        if i + 1 >= n:
+            return ""
+        a, b = cps[i], cps[i + 1]
+        if not 0 <= a <= b <= len(hdd):
+            return ""
+        txt = _doc_clean(hdd[a:b])
+        if txt and not txt.endswith("\n"):
+            txt += "\n"
+        return txt
+
+    headers = story(10) + story(6) + story(7)   # first, even, odd
+    footers = story(11) + story(8) + story(9)
+    return headers, footers
 
 
 def _doc_pieces(clx: bytes) -> list[tuple[int, int, bool]]:
