@@ -21,6 +21,14 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
+Round 3: 107 queries / 105 oracle rows. Widened fixtures+oracles for
+the sub-document parity work (docx headers/footers/footnotes/
+comments, xlsx sheet names/headers/footers/cell comments, pptx
+notes/comments, .doc FIB subranges, a sixth AES-128-encrypted PDF
+variant, ISO-2022-CN/KR statistical-charset variants) and added
+ann_ivfpq_recall — the IVF-PQ composite (coarse probe bounds the ADC
+scan, exact re-rank on the shortlist only).
+
 Late round 2 pushed to 106 queries / 104 oracle rows
 (docs_c4_rules — the composed C4 line/page cleaning filter;
 streaming_neardup_recall — MinHash band buckets as streaming
@@ -657,6 +665,28 @@ def _q_ann_pq_recall(spark, sf_dir):
         .select("query_id", "vec_id")
     approx = similarity.pq_topk(emb, queries_df, k=10, m=8, ks=16,
                                 refine=6) \
+        .select(F.col("query_id").alias("qid2"),
+                F.col("vec_id").alias("vid2"))
+    joined = exact.join(
+        approx, (exact.query_id == approx.qid2)
+        & (exact.vec_id == approx.vid2), "left")
+    return (joined.groupBy("query_id")
+            .agg(F.sum(F.when(F.col("vid2").isNotNull(), 1).otherwise(0))
+                 .alias("n_hit"))
+            .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
+
+
+def _q_ann_ivfpq_recall(spark, sf_dir):
+    """Checkable form of the IVF-PQ composite (the FAISS IVF+PQ
+    retrieve-then-rerank architecture): recall@10 against brute force
+    with an 8/16-cluster probe bounding the ADC scan and the exact
+    re-rank touching shortlist rows only."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries_df, k=10) \
+        .select("query_id", "vec_id")
+    approx = similarity.ivfpq_topk(emb, queries_df, k=10, nlist=16,
+                                   nprobe=8, m=8, ks=16, refine=6) \
         .select(F.col("query_id").alias("qid2"),
                 F.col("vec_id").alias("vid2"))
     joined = exact.join(
@@ -2744,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "ann_pq_recall": _q_ann_pq_recall,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
         "extract_recursive_zip": _q_extract_recursive_zip,
@@ -2914,6 +2945,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, cluster, id NOT IN (SELECT id FROM p) AS keep "
             "FROM c"),
         "ann_pq_recall": (
+            "SELECT vec_id AS query_id, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"),
+        "ann_ivfpq_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "detect_by_name": (

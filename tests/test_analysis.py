@@ -183,6 +183,30 @@ def test_pq_topk_finds_exact_duplicates(emb_df):
     assert all(r["sim_micro"] == 1_000_000 for r in top)
 
 
+def test_ivfpq_topk_finds_exact_duplicates(emb_df):
+    # IVF probe keeps the duplicates' cluster; identical PQ codes give
+    # identical ADC; the exact re-rank pins order and sim_micro
+    q = emb_df.filter(F.col("vec_id") == 0)
+    top = similarity.ivfpq_topk(emb_df, q, k=3, nlist=4, nprobe=2,
+                                m=4, ks=4, refine=4).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids == [0, 11, 100]
+    assert all(r["sim_micro"] == 1_000_000 for r in top)
+
+
+def test_ivfpq_prebuilt_index_reused(emb_df):
+    # passing (ivf, pq) indexes skips retraining and yields the same
+    # result as the self-training path
+    q = emb_df.filter(F.col("vec_id") == 0)
+    ivf = similarity.ivf_index(emb_df, nlist=4)
+    pq = similarity.pq_index(emb_df, m=4, ks=4)
+    a = similarity.ivfpq_topk(emb_df, q, k=3, nlist=4, nprobe=2,
+                              m=4, ks=4, index=(ivf, pq)).collect()
+    b = similarity.ivfpq_topk(emb_df, q, k=3, nlist=4, nprobe=2,
+                              m=4, ks=4, refine=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_pq_index_code_shape(emb_df):
     codes, books = similarity.pq_index(emb_df, m=4, ks=4)
     rows = codes.collect()

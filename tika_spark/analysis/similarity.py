@@ -359,6 +359,68 @@ def pq_index(base: DataFrame, m: int = 4, ks: int = 16,
     return codes, books
 
 
+def _pq_query_tables(queries: DataFrame, books, m: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, tab) — per-query (m × ks) inner-product lookup
+    table against the PQ codebooks (tiny; one broadcast join)."""
+    spark = queries.sparkSession
+    book_rows = [(j, c, books[j][c]) for j in range(m)
+                 for c in range(len(books[j]))]
+    books_df = spark.createDataFrame(
+        book_rows, "j int, c int, centroid array<double>")
+    qnorm = F.sqrt(F.aggregate(
+        _as_double(F.col(vec_col)), F.lit(0.0),
+        lambda acc, x: acc + x * x))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(_as_double(F.col(vec_col)),
+                                   lambda x: x / qnorm).alias("qn"))
+    sub = F.slice("qn", F.col("j") * (F.size("qn") / m).cast("int")
+                  + 1, (F.size("qn") / m).cast("int"))
+    dot = F.aggregate(
+        F.zip_with(sub, F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (q.crossJoin(F.broadcast(books_df))
+            .withColumn("d", dot)
+            .groupBy("query_id", "j")
+            .agg(F.array_sort(F.collect_list(F.struct("c", "d")))
+                 .alias("row"))
+            .groupBy("query_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "row"))),
+                lambda s: F.transform(s["row"], lambda e: e["d"]))
+                .alias("tab")))
+
+
+def _adc() -> Column:
+    """Asymmetric-distance score: sum over subspaces of the query
+    table entry at each code (built lazily — F.expr needs an active
+    SparkContext, so this cannot be a module-level constant)."""
+    return F.expr(
+        "aggregate(sequence(0, size(codes) - 1), cast(0.0 as double), "
+        "(acc, j) -> acc + tab[j][codes[j]])")  # [] is 0-based in SQL
+
+
+def _exact_rerank(shortlist: DataFrame, base: DataFrame,
+                  queries: DataFrame, k: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Exact cosine over (query_id, id) shortlist rows only — the
+    wide embedding column is joined for the shortlist alone."""
+    b = base.select(F.col(id_col),
+                    _as_double(F.col(vec_col)).alias("bv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("qv"))
+    sim = cosine(F.col("qv"), F.col("bv"))
+    scored = (shortlist.join(b, id_col).join(F.broadcast(qv),
+                                             "query_id")
+              .select("query_id", F.col(id_col).alias("vec_id"),
+                      F.round(sim * 1_000_000).cast("long")
+                      .alias("sim_micro")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def pq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 4, ks: int = 16, refine: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -381,63 +443,78 @@ def pq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
        the shortlist only (the retrieve-then-rerank shape; the wide
        embedding column is joined for shortlist rows alone).
     """
-    spark = base.sparkSession
     codes, books = index if index is not None \
         else pq_index(base, m, ks, id_col, vec_col)
-
-    book_rows = [(j, c, books[j][c]) for j in range(m)
-                 for c in range(len(books[j]))]
-    books_df = spark.createDataFrame(
-        book_rows, "j int, c int, centroid array<double>")
-
-    qnorm = F.sqrt(F.aggregate(
-        _as_double(F.col(vec_col)), F.lit(0.0),
-        lambda acc, x: acc + x * x))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.transform(_as_double(F.col(vec_col)),
-                                   lambda x: x / qnorm).alias("qn"))
-    sub = F.slice("qn", F.col("j") * (F.size("qn") / m).cast("int")
-                  + 1, (F.size("qn") / m).cast("int"))
-    dot = F.aggregate(
-        F.zip_with(sub, F.col("centroid"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v)
-    # nested (m x ks) table per query, ordered by (j, c)
-    qtab = (q.crossJoin(F.broadcast(books_df))
-            .withColumn("d", dot)
-            .groupBy("query_id", "j")
-            .agg(F.array_sort(F.collect_list(F.struct("c", "d")))
-                 .alias("row"))
-            .groupBy("query_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "row"))),
-                lambda s: F.transform(s["row"], lambda e: e["d"]))
-                .alias("tab")))
-
-    adc = F.expr(
-        "aggregate(sequence(0, size(codes) - 1), cast(0.0 as double), "
-        "(acc, j) -> acc + tab[j][codes[j]])")  # [] is 0-based in SQL
+    qtab = _pq_query_tables(queries, books, m, id_col, vec_col)
     shortlist = (codes.crossJoin(F.broadcast(qtab))
-                 .withColumn("adc", adc))
+                 .withColumn("adc", _adc()))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc(id_col))
     shortlist = (shortlist.withColumn("rr", F.row_number().over(w))
                  .filter(F.col("rr") <= k * refine)
                  .select("query_id", id_col))
+    return _exact_rerank(shortlist, base, queries, k, id_col, vec_col)
 
-    b = base.select(F.col(id_col),
-                    _as_double(F.col(vec_col)).alias("bv"))
-    qv = queries.select(F.col(id_col).alias("query_id"),
-                        _as_double(F.col(vec_col)).alias("qv"))
-    sim = cosine(F.col("qv"), F.col("bv"))
-    scored = (shortlist.join(b, id_col).join(F.broadcast(qv),
-                                             "query_id")
-              .select("query_id", F.col(id_col).alias("vec_id"),
-                      F.round(sim * 1_000_000).cast("long")
-                      .alias("sim_micro")))
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
-                                                F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w2))
-                  .filter(F.col("rank") <= k))
+
+def ivfpq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
+               nlist: int = 16, nprobe: int = 4, m: int = 4,
+               ks: int = 16, refine: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               index=None) -> DataFrame:
+    """IVF-PQ composite — the FAISS IVF+PQ retrieve-then-rerank
+    architecture in DataFrame form (non-residual variant: the codes
+    quantize the normalized vectors themselves, not the centroid
+    residuals):
+
+    1. coarse probe: each query scans only its ``nprobe`` nearest of
+       ``nlist`` learned clusters (scan fraction ≈ nprobe/nlist),
+    2. ADC: asymmetric-distance scores over the m-byte PQ codes of
+       the probed clusters pick a ``k·refine`` shortlist,
+    3. exact cosine re-rank touches the wide embedding column for
+       shortlist rows only.
+
+    Pass ``index`` = (ivf_index(...) result, pq_index(...) result) to
+    amortize training. Scale: at 10^9+ vectors the codes table is
+    ~m bytes/vector partitioned by cluster, queries/codebooks
+    broadcast, and every join is an equi-join on the cluster id — the
+    full embeddings shuffle only for shortlist rows.
+    """
+    spark = base.sparkSession
+    if index is not None:
+        (assigned, centers), (codes, books) = index
+    else:
+        assigned, centers = ivf_index(base, nlist, id_col, vec_col)
+        codes, books = pq_index(base, m, ks, id_col, vec_col)
+
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cluster int, center array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("center"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"),
+                                                F.asc("cluster"))
+    probes = (q.crossJoin(F.broadcast(centers_df))
+              .withColumn("d2", d2)
+              .withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= nprobe)
+              .select("query_id", "cluster"))
+
+    coded = codes.join(
+        assigned.select(F.col(id_col), "cluster"), id_col)
+    qtab = _pq_query_tables(queries, books, m, id_col, vec_col)
+    cand = (coded.join(F.broadcast(probes), "cluster")
+            .join(F.broadcast(qtab), "query_id")
+            .withColumn("adc", _adc()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc(id_col))
+    shortlist = (cand.withColumn("rr", F.row_number().over(w))
+                 .filter(F.col("rr") <= k * refine)
+                 .select("query_id", id_col))
+    return _exact_rerank(shortlist, base, queries, k, id_col, vec_col)
 
 
 # ------------------------------------------------------------ SemDeDup
