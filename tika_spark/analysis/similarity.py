@@ -105,6 +105,41 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def pair_cosine_micro(a: Column, b: Column) -> Column:
+    """Row-wise exact cosine in integer micro-units, Arrow-batched.
+
+    Spark evaluates higher-order-function lambdas INTERPRETED (no
+    codegen), so the ``aggregate(zip_with(...))`` form of
+    :func:`cosine` is the slow path on every candidate-scoring loop —
+    LSH/IVF bucket scans and the retrieve-then-rerank shortlists are
+    the hot inner loops at 10^9+ vectors. This UDF scores a whole
+    Arrow batch of (vec, vec) rows with vectorized numpy ops and the
+    same HALF_UP micro-unit rounding as ``F.round(sim * 1e6)``; the
+    HOF form stays as the SQL-expressible oracle twin
+    (:func:`cosine_pairs`)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def f(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if not len(xs):
+            return pd.Series([], dtype="object")
+        mx = np.array([np.asarray(v, dtype=np.float64) for v in xs])
+        my = np.array([np.asarray(v, dtype=np.float64) for v in ys])
+        dots = (mx * my).sum(axis=1)
+        nx = np.sqrt((mx * mx).sum(axis=1))
+        ny = np.sqrt((my * my).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = dots / (nx * ny) * 1e6
+        micro = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+        return pd.Series(
+            [int(v) if np.isfinite(xv) else None
+             for v, xv in zip(micro, x)], dtype="object")
+
+    return f(a, b)
+
+
 def cosine_pairs(df: DataFrame, threshold: float = 0.4,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> DataFrame:
@@ -228,9 +263,8 @@ def lsh_topk(base: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     cand = (b.join(F.broadcast(q), ["table", "bucket"])
              .select("query_id", "vec_id", "qv", "bv")
              .dropDuplicates(["query_id", "vec_id"]))
-    sim = cosine(F.col("qv"), F.col("bv"))
     scored = cand.select("query_id", "vec_id",
-                         F.round(sim * 1_000_000).cast("long")
+                         pair_cosine_micro(F.col("qv"), F.col("bv"))
                          .alias("sim_micro"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
                                                F.asc("vec_id"))
@@ -297,10 +331,9 @@ def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10,
 
     b = assigned.select(F.col(id_col).alias("vec_id"), "cluster",
                         _as_double(F.col(vec_col)).alias("bv"))
-    sim = cosine(F.col("qv"), F.col("bv"))
     scored = (b.join(F.broadcast(probes), "cluster")
               .select("query_id", "vec_id",
-                      F.round(sim * 1_000_000).cast("long")
+                      pair_cosine_micro(F.col("qv"), F.col("bv"))
                       .alias("sim_micro")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
                                                F.asc("vec_id"))
@@ -409,11 +442,10 @@ def _exact_rerank(shortlist: DataFrame, base: DataFrame,
                     _as_double(F.col(vec_col)).alias("bv"))
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _as_double(F.col(vec_col)).alias("qv"))
-    sim = cosine(F.col("qv"), F.col("bv"))
     scored = (shortlist.join(b, id_col).join(F.broadcast(qv),
                                              "query_id")
               .select("query_id", F.col(id_col).alias("vec_id"),
-                      F.round(sim * 1_000_000).cast("long")
+                      pair_cosine_micro(F.col("qv"), F.col("bv"))
                       .alias("sim_micro")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"),
                                                F.asc("vec_id"))
@@ -576,10 +608,12 @@ def semdedup(base: DataFrame, threshold: float = 0.6, nlist: int = 16,
                  F.col("v").alias("va"))
     b = v.select("cluster", "shard", F.col("id").alias("id_b"),
                  F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    # Arrow-batched pair cosine: the intra-cluster pair scan IS the
+    # hot quadratic loop — interpreted HOF lambdas here would cost
+    # ~10x at the paper's 100k-cluster design point
     drops = (a.join(b, ["cluster", "shard"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .filter(F.round(sim * 1_000_000).cast("long")
+             .filter(pair_cosine_micro(F.col("va"), F.col("vb"))
                      >= int(threshold * 1_000_000))
              .select(F.col("id_b").alias("id")).distinct())
 
