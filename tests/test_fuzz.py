@@ -114,3 +114,49 @@ def test_warc_gzip_prefixed_junk(junk):
     blob = _gzip.compress(b"WARC/1.0\r\n" + junk) + junk
     for row in warc_pages(blob):
         assert "status" in row
+
+
+@settings(max_examples=80, deadline=None)
+@given(key=st.binary(min_size=16, max_size=16),
+       iv=st.binary(min_size=16, max_size=16),
+       msg=st.binary(min_size=0, max_size=300))
+def test_aes_cbc_roundtrip(key, iv, msg):
+    # from-scratch FIPS-197 cipher: decrypt(encrypt(x)) == x for any
+    # key/iv/message length (PKCS#5 padding both directions)
+    from tika_spark.pdf.aes import cbc_decrypt, cbc_encrypt
+    assert cbc_decrypt(key, cbc_encrypt(key, iv, msg)) == msg
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_aes_cbc_decrypt_never_raises(data):
+    # parser-facing direction: arbitrary ciphertext bytes (wrong
+    # padding, truncated blocks) degrade, never raise
+    from tika_spark.pdf.aes import cbc_decrypt
+    out = cbc_decrypt(b"0123456789abcdef", data)
+    assert isinstance(out, bytes)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_iso2022_cn_decoder_never_raises(data):
+    from tika_spark.charset import _decode_iso2022_cn
+    out = _decode_iso2022_cn(data)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=st.text(max_size=60))
+def test_iso2022_cn_ascii_passthrough(text):
+    # pure-ASCII text with no escapes decodes to itself
+    from tika_spark.charset import _decode_iso2022_cn
+    raw = text.encode("ascii", "ignore")
+    raw = bytes(b for b in raw if b not in (0x0E, 0x0F, 0x1B))
+    assert _decode_iso2022_cn(raw) == raw.decode("ascii")
+
+
+@settings(max_examples=60, deadline=None)
+@given(code=st.text(max_size=80))
+def test_excel_header_footer_strip_never_raises(code):
+    from tika_spark.pkg.ooxml import _hf_text
+    assert isinstance(_hf_text(code), str)
