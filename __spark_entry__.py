@@ -21,7 +21,10 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 107 queries / 105 oracle rows. Widened fixtures+oracles for
+Round 3: 108 queries / 106 oracle rows. media_pixel_stats runs the
+from-scratch PNG pixel decoder (analysis/pixels.py — zlib + numpy
+unfiltering, all five row filters) over real IDAT payloads with
+exactly-predictable channel means. Widened fixtures+oracles for
 the sub-document parity work (docx headers/footers/footnotes/
 comments, xlsx sheet names/headers/footers/cell comments, pptx
 notes/comments, .doc FIB subranges, a sixth AES-128-encrypted PDF
@@ -696,6 +699,50 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
             .agg(F.sum(F.when(F.col("vid2").isNotNull(), 1).otherwise(0))
                  .alias("n_hit"))
             .select("query_id", (F.col("n_hit") >= 5).alias("recall_ok")))
+
+
+def _png_pixels_wrap_udf():
+    """Solid-color RGB PNG per document row (real IDAT payload for
+    the full-decode tier — dimensions and color derived from doc_id
+    so every downstream statistic is exactly predictable)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    import numpy as np
+
+    from tika_spark.analysis.pixels import png_bytes
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 4 + i % 13, 3 + (i * 5) % 7
+            color = (i % 256, (i * 3) % 256, (i * 7) % 256)
+            out.append(png_bytes(
+                np.full((h, w, 3), color, dtype=np.uint8)))
+        return pd.Series(out)
+    return wrap
+
+
+def _q_media_pixel_stats(spark, sf_dir):
+    """Full image decode, distributed: from-scratch PNG unfiltering
+    (analysis/pixels.py) over real IDAT payloads; solid-color
+    fixtures make the per-channel micro-unit means exactly
+    predictable, so the pixel path is hash-checkable end to end."""
+    from tika_spark.analysis.pixels import image_pixel_stats
+    wrap = _png_pixels_wrap_udf()
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("media_type"))
+    out = image_pixel_stats(media)
+    return out.select(
+        "id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.element_at("mean_micro", 1).alias("mean_r"),
+        F.element_at("mean_micro", 2).alias("mean_g"),
+        F.element_at("mean_micro", 3).alias("mean_b"))
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -2777,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
+        "media_pixel_stats": _q_media_pixel_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
@@ -2950,6 +2998,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
+        "media_pixel_stats": (
+            "SELECT doc_id AS id, "
+            "(4 + doc_id % 13)::BIGINT AS width, "
+            "(3 + (doc_id * 5) % 7)::BIGINT AS height, "
+            "(doc_id % 256) * 1000000 AS mean_r, "
+            "((doc_id * 3) % 256) * 1000000 AS mean_g, "
+            "((doc_id * 7) % 256) * 1000000 AS mean_b "
+            "FROM documents"),
         "detect_by_name": (
             "WITH m AS (SELECT * FROM (VALUES "
             "(0, 'html', 'text/html'), "

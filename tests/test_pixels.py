@@ -1,0 +1,146 @@
+"""Real PNG pixel decode (analysis/pixels.py): unfiltering against
+all five row filters, palette expansion, exact channel stats,
+deterministic resize, and the Spark full-decode operator."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tika_spark.analysis.pixels import (channel_means_micro, decode_png,
+                                        image_pixel_stats, png_bytes,
+                                        resize_image)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _encode_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Spec-side encoder applying a chosen filter per row — exercises
+    the decoder's Sub/Up/Average/Paeth reconstruction paths, which
+    the product encoder (filter 0 only) never emits."""
+    h, w, c = arr.shape
+    a = arr.astype(np.int64)
+    rows = []
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, f in zip(range(h), filters):
+        cur = a[y].reshape(-1)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur.copy()
+            filt[c:] = (cur[c:] - cur[:-c]) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = cur.copy()
+            for x in range(w * c):
+                left = cur[x - c] if x >= c else 0
+                filt[x] = (cur[x] - (left + prev[x]) // 2) % 256
+        else:
+            filt = cur.copy()
+            for x in range(w * c):
+                aa = cur[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                p = aa + b - cc
+                pa, pb, pc = abs(p - aa), abs(p - b), abs(p - cc)
+                pr = aa if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else cc)
+                filt[x] = (cur[x] - pr) % 256
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c],
+                       0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (4, 4, 1), (8, 3, 4),
+                                   (2, 2, 2)])
+def test_roundtrip_all_color_types(shape):
+    arr = np.random.default_rng(1).integers(0, 256, size=shape,
+                                            dtype=np.uint8)
+    assert np.array_equal(decode_png(png_bytes(arr)), arr)
+
+
+def test_all_five_filters_reconstruct():
+    arr = np.random.default_rng(2).integers(0, 256, size=(5, 6, 3),
+                                            dtype=np.uint8)
+    blob = _encode_with_filters(arr, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(blob), arr)
+
+
+def test_palette_expands_to_rgb():
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 5, 1), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 3, 0,
+                                          0, 0))
+            + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(blob), pal[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("blob", [
+    b"not a png", b"\x89PNG\r\n\x1a\n",
+    b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,
+])
+def test_corrupt_raises_value_error(blob):
+    with pytest.raises((ValueError, Exception)):
+        decode_png(blob)
+
+
+def test_interlaced_and_16bit_rejected():
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16))
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr_i))
+
+
+def test_channel_means_exact():
+    solid = np.full((6, 4, 3), (10, 200, 33), dtype=np.uint8)
+    assert channel_means_micro(solid) == [10_000_000, 200_000_000,
+                                          33_000_000]
+
+
+def test_resize_block_average_and_nearest():
+    big = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert resize_image(big, 4, 4).shape == (4, 4, 3)
+    assert resize_image(big, 3, 5).shape == (3, 5, 3)
+    # block average of a solid image is the same solid
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert np.all(resize_image(solid, 2, 2) == 77)
+
+
+def test_real_decode_hook_png(spark):
+    from tika_spark.analysis.multimodal import real_decode
+    arr = np.full((3, 2, 3), (1, 2, 3), dtype=np.uint8)
+    assert np.array_equal(real_decode(png_bytes(arr), "image/png"), arr)
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8junk", "image/jpeg")
+
+
+def test_image_pixel_stats_operator(spark):
+    arrs = {1: np.full((3, 4, 3), (5, 6, 7), dtype=np.uint8),
+            2: np.full((2, 2, 3), (250, 0, 128), dtype=np.uint8)}
+    rows = [(i, png_bytes(a), "image/png") for i, a in arrs.items()]
+    rows.append((3, b"corrupt", "image/png"))
+    rows.append((4, b"\x00\x01", "image/jpeg"))
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, media_type string")
+    out = {r["id"]: r for r in image_pixel_stats(df).collect()}
+    assert out[1]["width"] == 4 and out[1]["height"] == 3
+    assert out[1]["mean_micro"] == [5_000_000, 6_000_000, 7_000_000]
+    assert out[2]["mean_micro"] == [250_000_000, 0, 128_000_000]
+    assert out[3]["status"] == "error"
+    assert out[4]["status"] == "unsupported"

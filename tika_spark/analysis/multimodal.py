@@ -12,10 +12,13 @@ Decode tiers:
    (tika_spark.media: PNG/GIF/BMP/JPEG/TIFF/PSD/WebP/ICO); MP3
    duration is estimated from the first MPEG frame header's bitrate.
    No codec library needed — this tier runs everywhere.
-2. **Full decode (integration point).** Pixel/PCM access
-   (PIL/soundfile/pyav-class work) is NOT available in this
-   container; ``real_decode`` is the clearly-marked hook that raises
-   NotImplementedError until a codec lands.
+2. **Full decode.** PNG decodes for REAL — pure zlib + numpy
+   unfiltering in :mod:`tika_spark.analysis.pixels` (all five row
+   filters, palette expansion), with exact micro-unit channel stats
+   and deterministic resize on top. Other codecs (JPEG entropy
+   decode, audio PCM, video frames) need libraries this container
+   lacks; for those ``real_decode`` remains the clearly-marked hook
+   that raises NotImplementedError until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
    (e.g. the synthetic ``image/fake``) fall back to metadata derived
    from payload length, so tests/oracles can pin values.
@@ -39,11 +42,17 @@ _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
 
 
 def real_decode(payload: bytes, media_type: str):
-    """Integration point for a real codec (PIL.Image.open /
-    soundfile / pyav). Not available in this container."""
+    """Full pixel/PCM decode. PNG is handled by the from-scratch
+    decoder (tika_spark.analysis.pixels — zlib + numpy unfiltering);
+    everything else is the integration point for a codec library
+    (PIL.Image.open / soundfile / pyav) not present in this
+    container."""
+    if media_type == "image/png":
+        from tika_spark.analysis.pixels import decode_png
+        return decode_png(payload)
     raise NotImplementedError(
-        "codec libraries are not installed in this environment; "
-        "decode_media uses the header-parse tier below")
+        "codec libraries for non-PNG media are not installed in this "
+        "environment; decode_media uses the header-parse tier below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:
