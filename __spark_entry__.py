@@ -21,10 +21,12 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 108 queries / 106 oracle rows. media_pixel_stats runs the
+Round 3: 109 queries / 107 oracle rows. media_pixel_stats runs the
 from-scratch PNG pixel decoder (analysis/pixels.py — zlib + numpy
 unfiltering, all five row filters) over real IDAT payloads with
-exactly-predictable channel means. Widened fixtures+oracles for
+exactly-predictable channel means; media_pcm_stats decodes RIFF/WAVE
+PCM16 samples (analysis/pcm.py) with exact integer-sum RMS/peak
+stats. Widened fixtures+oracles for
 the sub-document parity work (docx headers/footers/footnotes/
 comments, xlsx sheet names/headers/footers/cell comments, pptx
 notes/comments, .doc FIB subranges, a sixth AES-128-encrypted PDF
@@ -743,6 +745,48 @@ def _q_media_pixel_stats(spark, sf_dir):
         F.element_at("mean_micro", 1).alias("mean_r"),
         F.element_at("mean_micro", 2).alias("mean_g"),
         F.element_at("mean_micro", 3).alias("mean_b"))
+
+
+def _pcm_wav_wrap_udf():
+    """Square-wave PCM16 mono WAV per document row: amplitude pinned
+    ODD (A = 1001 + 2·(id%10000)) so A·1e6/32768 never lands on a
+    rounding boundary — RMS and peak of an alternating ±A signal are
+    exactly A/full-scale, making the decode stats hash-checkable."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    import numpy as np
+
+    from tika_spark.analysis.pcm import wav_bytes
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            amp = 1001 + 2 * (i % 10000)
+            frames = 800 + 2 * (i % 50)
+            wave = np.tile(np.array([amp, -amp], dtype=np.int16),
+                           frames // 2)
+            out.append(wav_bytes(wave, 8000))
+        return pd.Series(out)
+    return wrap
+
+
+def _q_media_pcm_stats(spark, sf_dir):
+    """Full audio decode, distributed: RIFF/WAVE PCM16 samples
+    through analysis/pcm.py with exact integer-sum statistics."""
+    from tika_spark.analysis.pcm import audio_pcm_stats
+    wrap = _pcm_wav_wrap_udf()
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/wav").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -2825,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
         "media_pixel_stats": _q_media_pixel_stats,
+        "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
@@ -3006,6 +3051,16 @@ def oracle_sql() -> dict[str, str]:
             "((doc_id * 3) % 256) * 1000000 AS mean_g, "
             "((doc_id * 7) % 256) * 1000000 AS mean_b "
             "FROM documents"),
+        "media_pcm_stats": (
+            "SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "
+            "CAST(8000 AS BIGINT) AS sample_rate, "
+            "(800 + 2 * (doc_id % 50))::BIGINT AS n_samples, "
+            "((800 + 2 * (doc_id % 50)) * 1000 // 8000)::BIGINT "
+            "AS duration_ms, "
+            "floor((1001 + 2 * (doc_id % 10000)) * 1000000.0 / 32768 "
+            "+ 0.5)::BIGINT AS rms_micro, "
+            "floor((1001 + 2 * (doc_id % 10000)) * 1000000.0 / 32768 "
+            "+ 0.5)::BIGINT AS peak_micro FROM documents"),
         "detect_by_name": (
             "WITH m AS (SELECT * FROM (VALUES "
             "(0, 'html', 'text/html'), "

@@ -144,3 +144,73 @@ def test_image_pixel_stats_operator(spark):
     assert out[2]["mean_micro"] == [250_000_000, 0, 128_000_000]
     assert out[3]["status"] == "error"
     assert out[4]["status"] == "unsupported"
+
+
+# --------------------------------------------------- WAV PCM decode --
+
+
+def test_wav_roundtrip_mono_stereo():
+    from tika_spark.analysis.pcm import decode_wav, wav_bytes
+    mono = np.array([100, -100, 2000, -32768, 32767], dtype=np.int16)
+    arr, rate = decode_wav(wav_bytes(mono, 16000))
+    assert rate == 16000 and arr.shape == (5, 1)
+    assert np.array_equal(arr[:, 0], mono.astype(np.int32))
+    stereo = np.array([[1, -1], [300, -300]], dtype=np.int16)
+    arr2, _ = decode_wav(wav_bytes(stereo, 8000))
+    assert np.array_equal(arr2, stereo.astype(np.int32))
+
+
+def test_wav_8bit_rebased():
+    from tika_spark.analysis.pcm import decode_wav
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = bytes([128, 255, 0, 128])           # 0, +127, -128, 0
+    blob = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+            + struct.pack("<I", len(fmt)) + fmt + b"data"
+            + struct.pack("<I", len(body)) + body)
+    arr, rate = decode_wav(blob)
+    assert list(arr[:, 0]) == [0, 127, -128, 0]
+
+
+def test_wav_rejects_non_pcm():
+    from tika_spark.analysis.pcm import decode_wav
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float fmt
+    blob = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<I", len(fmt)) + fmt + b"data"
+            + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav(blob)
+    with pytest.raises(ValueError):
+        decode_wav(b"garbage")
+
+
+def test_pcm_stats_square_wave_exact():
+    from tika_spark.analysis.pcm import pcm_stats
+    amp = 12345
+    wave = np.tile(np.array([[amp], [-amp]], dtype=np.int32), (400, 1))
+    s = pcm_stats(wave, 8000)
+    assert s["n_samples"] == 800 and s["duration_ms"] == 100
+    expect = int(np.floor(amp * 1_000_000 / 32768 + 0.5))
+    assert s["rms_micro"] == s["peak_micro"] == expect
+
+
+def test_audio_pcm_stats_operator(spark):
+    from tika_spark.analysis.pcm import audio_pcm_stats, wav_bytes
+    wave = np.tile(np.array([5000, -5000], dtype=np.int16), 100)
+    rows = [(1, wav_bytes(wave, 8000), "audio/wav"),
+            (2, b"corrupt", "audio/wav"),
+            (3, b"\x00", "audio/mpeg")]
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, media_type string")
+    out = {r["id"]: r for r in audio_pcm_stats(df).collect()}
+    assert out[1]["status"] == "ok" and out[1]["n_samples"] == 200
+    assert out[1]["rms_micro"] == out[1]["peak_micro"]
+    assert out[2]["status"] == "error"
+    assert out[3]["status"] == "unsupported"
+
+
+def test_real_decode_hook_wav():
+    from tika_spark.analysis.multimodal import real_decode
+    from tika_spark.analysis.pcm import wav_bytes
+    wave = np.array([1, 2, 3], dtype=np.int16)
+    arr, rate = real_decode(wav_bytes(wave, 8000), "audio/wav")
+    assert rate == 8000 and arr.shape == (3, 1)

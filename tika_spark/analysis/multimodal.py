@@ -50,9 +50,13 @@ def real_decode(payload: bytes, media_type: str):
     if media_type == "image/png":
         from tika_spark.analysis.pixels import decode_png
         return decode_png(payload)
+    if media_type in ("audio/wav", "audio/x-wav", "audio/vnd.wave"):
+        from tika_spark.analysis.pcm import decode_wav
+        return decode_wav(payload)
     raise NotImplementedError(
-        "codec libraries for non-PNG media are not installed in this "
-        "environment; decode_media uses the header-parse tier below")
+        "codec libraries for compressed media (JPEG/MP3/video) are "
+        "not installed in this environment; decode_media uses the "
+        "header-parse tier below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:
