@@ -704,15 +704,16 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
 
 
 def _png_pixels_wrap_udf():
-    """Solid-color RGB PNG per document row (real IDAT payload for
-    the full-decode tier — dimensions and color derived from doc_id
-    so every downstream statistic is exactly predictable)."""
+    """Solid-color RGB image per document row — PNG (real IDAT) for
+    even ids, GIF (real LZW stream + palette) for odd — dimensions
+    and color derived from doc_id so every downstream statistic is
+    exactly predictable regardless of codec."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     import numpy as np
 
-    from tika_spark.analysis.pixels import png_bytes
+    from tika_spark.analysis.pixels import gif_bytes, png_bytes
 
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
@@ -721,8 +722,13 @@ def _png_pixels_wrap_udf():
             i = int(i)
             w, h = 4 + i % 13, 3 + (i * 5) % 7
             color = (i % 256, (i * 3) % 256, (i * 7) % 256)
-            out.append(png_bytes(
-                np.full((h, w, 3), color, dtype=np.uint8)))
+            if i % 2 == 0:
+                out.append(png_bytes(
+                    np.full((h, w, 3), color, dtype=np.uint8)))
+            else:
+                out.append(gif_bytes(
+                    np.zeros((h, w), dtype=np.uint8),
+                    np.array([color], dtype=np.uint8)))
         return pd.Series(out)
     return wrap
 
@@ -737,7 +743,8 @@ def _q_media_pixel_stats(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
         wrap(F.col("doc_id")).alias("payload"),
-        F.lit("image/png").alias("media_type"))
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image/png"))
+        .otherwise(F.lit("image/gif")).alias("media_type"))
     out = image_pixel_stats(media)
     return out.select(
         "id", F.col("width").cast("long").alias("width"),

@@ -214,3 +214,108 @@ def test_real_decode_hook_wav():
     wave = np.array([1, 2, 3], dtype=np.int16)
     arr, rate = real_decode(wav_bytes(wave, 8000), "audio/wav")
     assert rate == 8000 and arr.shape == (3, 1)
+
+
+# -------------------------------------------------- GIF LZW decode --
+
+
+def test_gif_roundtrip():
+    from tika_spark.analysis.pixels import decode_gif, gif_bytes
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(9, 11), dtype=np.uint8)
+    out = decode_gif(gif_bytes(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_real_lzw_dictionary_growth():
+    # a properly LZW-compressed stream (dictionary growth + width
+    # bumps), not the clear-every-symbol fixture form
+    from tika_spark.analysis.pixels import decode_gif
+
+    def lzw(min_code, seq):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        acc = n = 0
+        out = bytearray()
+
+        def put(code):
+            nonlocal acc, n
+            acc |= code << n
+            n += width
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        put(clear)
+        cur = b""
+        for b in seq:
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+                continue
+            put(table[cur])
+            if next_code < 4096:
+                table[nxt] = next_code
+                next_code += 1
+                if next_code > (1 << width) and width < 12:
+                    width += 1
+            cur = bytes([b])
+        put(table[cur])
+        put(end)
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    h, w = 16, 16
+    idx = (np.add.outer(np.arange(h), np.arange(w)) % 4).astype(np.uint8)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    body = lzw(2, idx.reshape(-1))
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HHB", w, h, 0x80 | 1) + b"\x00\x00"
+    blob += pal.tobytes()
+    blob += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00\x02"
+    for i in range(0, len(body), 255):
+        c = body[i:i + 255]
+        blob.append(len(c))
+        blob += c
+    blob += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(blob)), pal[idx])
+
+
+def test_gif_interlaced():
+    from tika_spark.analysis.pixels import decode_gif, gif_bytes
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(10, 5), dtype=np.uint8)
+    blob = bytearray(gif_bytes(idx, pal))
+    # flip the interlace flag and reorder rows into pass order
+    passes = [(0, 8), (4, 8), (2, 4), (1, 2)]
+    order = [y for start, step in passes for y in range(start, 10, step)]
+    blob2 = bytearray(gif_bytes(idx[order], pal))
+    # set interlace bit in the image descriptor of blob2
+    desc = blob2.find(b"\x2c")
+    blob2[desc + 9] |= 0x40
+    assert np.array_equal(decode_gif(bytes(blob2)), pal[idx])
+
+
+def test_gif_corrupt_raises():
+    from tika_spark.analysis.pixels import decode_gif
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")
+
+
+def test_image_pixel_stats_gif(spark):
+    from tika_spark.analysis.pixels import gif_bytes, image_pixel_stats
+    pal = np.array([[9, 90, 200]], dtype=np.uint8)
+    blob = gif_bytes(np.zeros((3, 5), dtype=np.uint8), pal)
+    df = spark.createDataFrame([(1, blob, "image/gif")],
+                               "id long, payload binary, media_type string")
+    (row,) = image_pixel_stats(df).collect()
+    assert row["status"] == "ok" and row["width"] == 5
+    assert row["mean_micro"] == [9_000_000, 90_000_000, 200_000_000]

@@ -1,12 +1,19 @@
-"""Real pixel decode for the multimodal tier: PNG, pure zlib + numpy.
+"""Real pixel decode for the multimodal tier: PNG + GIF, pure numpy.
 
 Upgrades the multimodal ``real_decode`` integration point from a stub
-to a working decoder for the web's most common lossless format (no
-codec library needed — PNG is DEFLATE + per-row prediction filters,
-RFC 2083): 8-bit grayscale / gray+alpha / RGB / RGBA / palette,
-non-interlaced. Everything else (JPEG/video/audio PCM) remains behind
-the clearly-marked NotImplementedError hook in
-:mod:`tika_spark.analysis.multimodal`.
+to working decoders for the web's common lossless formats (no codec
+library needed):
+
+- **PNG** (RFC 2083 — DEFLATE + per-row prediction filters): 8-bit
+  grayscale / gray+alpha / RGB / RGBA / palette, all five row
+  filters, non-interlaced.
+- **GIF** (87a/89a): from-scratch GIF-variant LZW (LSB-first
+  packing, CLEAR/EOI, 12-bit cap), global/local color tables,
+  interlaced row reordering.
+
+JPEG entropy decode and video remain behind the clearly-marked
+NotImplementedError hook in :mod:`tika_spark.analysis.multimodal`;
+WAV PCM decodes for real in :mod:`tika_spark.analysis.pcm`.
 
 On top of the decoder sit the training-pipeline image ops:
 per-channel statistics in exact micro-units (integer pixel sums are
@@ -129,6 +136,165 @@ def decode_png(data: bytes) -> np.ndarray:
     return arr
 
 
+def _gif_lzw_decode(min_code: int, data: bytes) -> bytes:
+    """GIF-variant LZW (LSB-first packing, CLEAR/EOI codes, 12-bit
+    cap, width grows when the next code would overflow)."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):     # KwKwK
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace start/step
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF → uint8 RGB array of shape (h, w, 3) — first image block,
+    global or local color table, interlacing supported. From-scratch
+    LZW (the GIF variant differs from the PDF LZWDecode filter this
+    repo already ships: LSB-first packing and explicit CLEAR/EOI)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:                # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:              # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB",
+                                                        data, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                                    offset=pos).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("no color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, b"".join(chunks)),
+                dtype=np.uint8)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF image data")
+            idx = idx[:iw * ih].reshape(ih, iw)
+            if iflags & 0x40:            # interlaced: reorder rows
+                deint = np.zeros_like(idx)
+                src = 0
+                for start, step in _GIF_PASSES:
+                    for y in range(start, ih, step):
+                        deint[y] = idx[src]
+                        src += 1
+                idx = deint
+            if int(idx.max()) >= len(pal):
+                raise ValueError("palette index out of range")
+            return pal[idx]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("no image block")
+
+
+def gif_bytes(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Indexed (h, w) array + (n, 3) palette → GIF89a bytes.
+    Encoder emits CLEAR before every pixel code (table never grows —
+    bloated but spec-legal, like the PDF fixture LZW writer), so the
+    output is trivially byte-stable."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[:len(pal)] = pal
+    clear = 1 << bits
+    end = clear + 1
+    width = bits + 1
+    acc = nbits = 0
+    body = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.reshape(-1):
+        put(clear)
+        put(int(v))
+    put(end)
+    if nbits:
+        body.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHB", w, h, 0x80 | (bits - 1)) + b"\x00\x00"
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(bits)
+    for i in range(0, len(body), 255):
+        chunk = body[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def png_bytes(arr: np.ndarray) -> bytes:
     """uint8 (h, w[, c]) array → PNG bytes (filter 0 rows, one IDAT).
     The deterministic fixture/sink counterpart of :func:`decode_png`
@@ -193,9 +359,11 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                 row = {"id": i, "width": 0, "height": 0,
                        "n_channels": 0, "mean_micro": [],
                        "status": "unsupported"}
-                if (mt or "") == "image/png":
+                decoder = {"image/png": decode_png,
+                           "image/gif": decode_gif}.get(mt or "")
+                if decoder is not None:
                     try:
-                        arr = decode_png(bytes(payload or b""))
+                        arr = decoder(bytes(payload or b""))
                         row.update(width=arr.shape[1],
                                    height=arr.shape[0],
                                    n_channels=arr.shape[2],
