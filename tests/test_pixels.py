@@ -319,3 +319,51 @@ def test_image_pixel_stats_gif(spark):
     (row,) = image_pixel_stats(df).collect()
     assert row["status"] == "ok" and row["width"] == 5
     assert row["mean_micro"] == [9_000_000, 90_000_000, 200_000_000]
+
+
+# ------------------------------------------------------ BMP decode --
+
+
+def _bmp_bytes(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """24-bit uncompressed BMP writer (test-side)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = arr[:, :, [2, 1, 0]].reshape(h, w * 3)  # RGB→BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = rows.tobytes()
+    bih = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                      1, 24, 0, len(body), 0, 0, 0, 0)
+    bfh = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return bfh + bih + body
+
+
+def test_bmp_roundtrip_bottom_up_and_top_down():
+    from tika_spark.analysis.pixels import decode_bmp
+    arr = np.random.default_rng(7).integers(0, 256, size=(5, 3, 3),
+                                            dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_bmp_bytes(arr)), arr)
+    assert np.array_equal(decode_bmp(_bmp_bytes(arr, top_down=True)),
+                          arr)
+
+
+def test_bmp_rejects_compressed():
+    from tika_spark.analysis.pixels import decode_bmp
+    blob = bytearray(_bmp_bytes(np.zeros((2, 2, 3), dtype=np.uint8)))
+    struct.pack_into("<I", blob, 30, 1)   # biCompression = RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMshort")
+
+
+def test_bmp_through_operator(spark):
+    from tika_spark.analysis.pixels import image_pixel_stats
+    solid = np.full((4, 6, 3), (1, 128, 255), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes(solid), "image/bmp")],
+        "id long, payload binary, media_type string")
+    (row,) = image_pixel_stats(df).collect()
+    assert row["status"] == "ok"
+    assert row["mean_micro"] == [1_000_000, 128_000_000, 255_000_000]

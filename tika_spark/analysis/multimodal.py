@@ -53,6 +53,9 @@ def real_decode(payload: bytes, media_type: str):
     if media_type == "image/gif":
         from tika_spark.analysis.pixels import decode_gif
         return decode_gif(payload)
+    if media_type in ("image/bmp", "image/x-ms-bmp"):
+        from tika_spark.analysis.pixels import decode_bmp
+        return decode_bmp(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/vnd.wave"):
         from tika_spark.analysis.pcm import decode_wav
         return decode_wav(payload)

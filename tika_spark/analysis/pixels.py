@@ -295,6 +295,43 @@ def gif_bytes(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed BMP → uint8 RGB array of shape (h, w, 3).
+
+    BITMAPINFOHEADER, biCompression 0, bit depths 8 (palette), 24,
+    32 (alpha dropped); rows bottom-up (top-down for negative
+    height), stride padded to 4 bytes — the classic DIB layout."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bits, comp = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or comp != 0 or bits not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP (bits={bits} comp={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("bad dimensions")
+    stride = (w * bits // 8 + 3) & ~3
+    if off + stride * h > len(data):
+        raise ValueError("truncated pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bits == 8:
+        n_pal = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(data, dtype=np.uint8, count=4 * n_pal,
+                            offset=14 + hdr_size).reshape(-1, 4)
+        idx = rows[:, :w]
+        if int(idx.max()) >= n_pal:
+            raise ValueError("palette index out of range")
+        return pal[idx][:, :, [2, 1, 0]].copy()   # BGRA → RGB
+    step = bits // 8
+    px = rows[:, :w * step].reshape(h, w, step)
+    return px[:, :, [2, 1, 0]].copy()             # BGR(A) → RGB
+
+
 def png_bytes(arr: np.ndarray) -> bytes:
     """uint8 (h, w[, c]) array → PNG bytes (filter 0 rows, one IDAT).
     The deterministic fixture/sink counterpart of :func:`decode_png`
@@ -360,7 +397,9 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                        "n_channels": 0, "mean_micro": [],
                        "status": "unsupported"}
                 decoder = {"image/png": decode_png,
-                           "image/gif": decode_gif}.get(mt or "")
+                           "image/gif": decode_gif,
+                           "image/bmp": decode_bmp,
+                           "image/x-ms-bmp": decode_bmp}.get(mt or "")
                 if decoder is not None:
                     try:
                         arr = decoder(bytes(payload or b""))
