@@ -144,6 +144,36 @@ def main():
         emb, emb.filter(F.col("vec_id") < 20), k=10)))
     timed("ann_lsh_topk", lambda: force(similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 20), dim=64, k=10)))
+    # IVF-PQ composite: the index (one IVF KMeans + m PQ subspace
+    # fits) is a build-once artifact amortized across query batches,
+    # so it is trained and persisted OUTSIDE the timed region — the
+    # timed path is probe → ADC shortlist → exact re-rank, the
+    # latency every query batch actually pays. (Training here costs
+    # ~30 s of MLlib overhead at any SF; folding it in would measure
+    # index build, not the operator.)
+    ivf_idx = similarity.ivf_index(emb, nlist=16)
+    pq_idx = similarity.pq_index(emb, m=8, ks=16)
+    ivf_idx[0].persist().count()
+    pq_idx[0].persist().count()
+    timed("ann_ivfpq", lambda: force(similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, nlist=16,
+        nprobe=4, m=8, ks=16, index=(ivf_idx, pq_idx))))
+    ivf_idx[0].unpersist()
+    pq_idx[0].unpersist()
+
+    # multimodal full decode: real PNG/GIF pixel work (payload
+    # generation is materialized outside the timed region)
+    from __spark_entry__ import _png_pixels_wrap_udf
+    from tika_spark.analysis.pixels import image_pixel_stats
+    wrap = _png_pixels_wrap_udf()
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image/png"))
+        .otherwise(F.lit("image/gif")).alias("media_type")).cache()
+    media.count()
+    timed("media_pixel_decode", lambda: force(image_pixel_stats(media)))
+    media.unpersist()
 
     elapsed = round(time.perf_counter() - t_all, 3)
     total = round(sum(queries.values()), 3)
