@@ -2841,9 +2841,41 @@ def _q_docs_rollup(spark, sf_dir):
                       "n_docs", "sum_chars")
 
 
+def _q_extract_checkpointed(spark, sf_dir):
+    """O12 checkpoint/resume manifest oracle (pipeline/checkpoint.py):
+    a checkpointed extraction run "crashed" after one wave and then
+    resumed must commit every bucket exactly once — no bucket skipped,
+    no row duplicated by the dynamic-partition-overwrite retry. The
+    per-bucket row counts depend only on the deterministic md5-prefix
+    bucket assignment, which the DuckDB oracle replays in pure SQL
+    (ascii-arithmetic hex parse — DuckDB has no hex→int cast).
+    Reference analog: tika-batch's FileResourceCrawler re-queues
+    unconsumed resources; here the manifest IS the completion record."""
+    import tempfile
+
+    from tika_spark.pipeline import checkpoint as ck
+    pages = _pages_mixed(_docs(spark, sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="tika_ckpt_")
+
+    def bucket_fn(col):
+        return F.pmod(
+            F.ascii(F.substring(F.md5(col), 1, 1)) * 16
+            + F.ascii(F.substring(F.md5(col), 2, 1)),
+            F.lit(8)).cast("int")
+
+    ck.run_checkpointed(pages, out_dir, n_buckets=8, wave_size=3,
+                        max_waves=1, bucket_fn=bucket_fn)  # interrupted
+    ck.run_checkpointed(pages, out_dir, n_buckets=8, wave_size=3,
+                        bucket_fn=bucket_fn)               # resume
+    return (ck.manifest(spark, out_dir)
+            .select(F.col("ckpt_bucket").cast("int").alias("ckpt_bucket"),
+                    F.col("n_rows").cast("long").alias("n_rows")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_text": _q_extract_html_text,
+        "extract_checkpointed": _q_extract_checkpointed,
         "extract_main_text": _q_extract_main_text,
         "extract_pdf_text": _q_extract_pdf_text,
         "detect_by_name": _q_detect_by_name,
@@ -3006,6 +3038,11 @@ _STOP = "('the','a','an','of','and','to','in','is','it','on')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_checkpointed": (
+            "SELECT CAST((ascii(substr(md5('doc://' || doc_id), 1, 1)) "
+            "* 16 + ascii(substr(md5('doc://' || doc_id), 2, 1))) % 8 "
+            "AS INT) AS ckpt_bucket, count(*) AS n_rows "
+            "FROM documents GROUP BY 1"),
         "extract_html_text": (
             "SELECT 'doc://' || doc_id AS url, 'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),

@@ -258,9 +258,13 @@ def test_mp3_duration_estimate():
         "duration_ms"] == 1000
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_real_decode_tiers():
+    # Formats with a from-scratch decoder reject garbage loudly...
+    with pytest.raises(ValueError):
         multimodal.real_decode(b"", "image/png")
+    # ...while compressed codecs remain an explicit integration hook.
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"", "image/jpeg")
 
 
 def test_minhash_lsh_catches_every_qualifying_pair_sf001(spark):

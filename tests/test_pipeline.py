@@ -15,7 +15,8 @@ import pytest
 from tika_spark.config import ExtractConfig
 from tika_spark.fixtures.pages import generate_pages_df, generate_pages_pandas
 from tika_spark.pipeline.job import extract, lineage_manifest
-from tika_spark.pipeline.runner import done_buckets, run
+from tika_spark.pipeline.checkpoint import done_buckets
+from tika_spark.pipeline.runner import run
 
 N_ROWS = 240
 
@@ -156,14 +157,12 @@ class TestRunnerResume:
         out_a = str(tmp_path / "run_full")
         m1 = run(spark, inp, out_a, n_buckets=4, group_size=2, verbose=False)
         assert m1["rows_processed"] == 120
-        assert done_buckets(out_a) == {0, 1, 2, 3}
+        assert done_buckets(spark, out_a) == {0, 1, 2, 3}
 
-        # simulate a kill after the first group: drop manifests + data
-        # for buckets 2,3, then resume
+        # simulate a kill after the first group, then resume
         out_b = str(tmp_path / "run_killed")
-        run(spark, inp, out_b, n_buckets=4, group_size=2, verbose=False)
-        for b in (2, 3):
-            os.remove(os.path.join(out_b, "_lineage", f"bucket-{b}.json"))
+        run(spark, inp, out_b, n_buckets=4, group_size=2, verbose=False,
+            max_groups=1)
         m2 = run(spark, inp, out_b, n_buckets=4, group_size=2, verbose=False)
         assert m2["buckets_resumed_from"] == 2  # skipped the done ones
 

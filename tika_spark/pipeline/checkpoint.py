@@ -1,0 +1,197 @@
+"""Checkpointed, idempotently-resumable extraction runs (O12).
+
+The reference processes one document per call and leans on the caller
+to re-drive failures (tika-app's batch mode re-queues failed files;
+tika-batch/FileResourceCrawler re-crawls un-consumed resources). At
+10^12-document scale the analog is a *manifest-committed* run: the
+crawl table is carved into deterministic URL-hash bucket ranges, each
+wave of buckets is extracted and written as its own output partition,
+and a manifest row per bucket is committed only AFTER that bucket's
+data lands. A driver that dies mid-run resumes by diffing the manifest
+against the bucket universe — completed buckets are never re-parsed,
+half-written buckets are overwritten (dynamic partition overwrite), so
+the resume is idempotent and the output never holds duplicate rows.
+
+Scale design:
+
+- **Bucket assignment is a pure column expression** over the URL
+  (md5-prefix → int), so it is engine-portable, stable across runs,
+  and — when the lakehouse table is partitioned/bucketed by the same
+  expression, the recommended Iceberg layout — the per-wave filter
+  becomes partition PRUNING at the scan instead of a row filter.
+- **Commit granularity is the wave** (``wave_size`` buckets). Larger
+  waves amortize job-launch overhead; smaller waves bound the work
+  lost to a crash. The input is re-scanned once per wave, which at
+  crawl scale is partition-pruned I/O, not a full pass.
+- **The manifest is data, not driver state.** One parquet row per
+  completed bucket (rows/errors/chars/bytes + wall time), appended
+  after the wave's data write and probed through Spark's file-system
+  layer — NOT ``os.path`` — so HDFS/S3-style ``out_dir`` URIs resume
+  correctly. Any driver anywhere can pick the run up; nothing lives
+  in memory.
+- **No binary in the output.** The persisted schema is the extract()
+  output minus ``children`` — page bytes cross into Python once inside
+  extract() and are never written back.
+- **Embedded-document recursion buckets children with their parent.**
+  A child row (url = ``parent!/name``) is written into the PARENT
+  url's bucket partition; otherwise a later wave's dynamic overwrite
+  of the child's own hash bucket would clobber rows committed earlier.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+from tika_spark.config import ExtractConfig
+from tika_spark.pipeline.job import extract, extract_recursive
+
+BUCKET_COL = "ckpt_bucket"
+
+MANIFEST_SCHEMA = ("ckpt_bucket int, n_rows long, n_err long, "
+                   "n_bytes long, n_chars long, wall_ms double")
+
+
+def md5_bucket_fn(n_buckets: int) -> Callable[[Column], Column]:
+    """Deterministic bucket id from the first 8 hex chars of md5(col).
+
+    Content-independent (a page's bytes may differ between snapshots;
+    its bucket must not) and uniform. ``conv`` parses the hex prefix
+    JVM-side — no Python involved.
+    """
+    def fn(col: Column) -> Column:
+        return F.pmod(F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+                      .cast("long"), F.lit(n_buckets)).cast("int")
+    return fn
+
+
+def manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed-bucket manifest (empty DataFrame when none).
+
+    Probed through Spark (NOT ``os.path``) so object-store URIs work —
+    a local-only probe would silently read as empty and re-run the
+    whole table.
+    """
+    try:
+        return spark.read.parquet(f"{out_dir}/manifest")
+    except AnalysisException:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Bucket ids already committed (empty set on a fresh out_dir)."""
+    return {r[0] for r in
+            manifest(spark, out_dir).select(BUCKET_COL).collect()}
+
+
+def load_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read back the committed extraction output (all buckets)."""
+    return spark.read.parquet(f"{out_dir}/data")
+
+
+def run_checkpointed(pages: DataFrame, out_dir: str,
+                     n_buckets: int = 64, wave_size: int = 16,
+                     mode: str = "text",
+                     config: ExtractConfig | None = None,
+                     repartition: int | None = None,
+                     max_waves: int | None = None,
+                     bucket_fn: Callable[[Column], Column] | None = None,
+                     recursive: bool = False,
+                     verbose: bool = False) -> dict:
+    """Run (or resume) a checkpointed extraction over ``pages``.
+
+    Reads the manifest, processes only missing buckets in waves of
+    ``wave_size``, writes each wave's output under
+    ``out_dir/data/ckpt_bucket=<b>/`` with dynamic partition overwrite
+    (a retried half-written bucket is replaced, never duplicated),
+    then commits the wave's manifest rows. ``max_waves`` bounds this
+    invocation (time-boxed operation / crash simulation in tests);
+    the next call continues where it stopped.
+
+    ``bucket_fn`` maps a URL column to its int bucket id (default:
+    md5-prefix). ``recursive`` explodes archive/mail members into
+    child rows via :func:`extract_recursive`; children are bucketed by
+    their parent url (see module docstring).
+
+    Returns a summary dict: buckets already committed, buckets
+    processed now, waves run, rows written, wall seconds, docs/sec.
+    """
+    spark = pages.sparkSession
+    if bucket_fn is None:
+        bucket_fn = md5_bucket_fn(n_buckets)
+
+    done = done_buckets(spark, out_dir)
+    todo = sorted(set(range(n_buckets)) - done)
+    waves = [todo[i:i + wave_size]
+             for i in range(0, len(todo), wave_size)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    t_start = time.time()
+    rows_written = 0
+    for wave in waves:
+        t0 = time.time()
+        ids = [int(b) for b in wave]
+        wave_pages = pages.filter(
+            bucket_fn(F.col("url")).isin(ids))
+        if recursive:
+            out = extract_recursive(wave_pages, mode=mode, config=config,
+                                    repartition=repartition)
+        else:
+            out = extract(wave_pages, mode=mode, config=config,
+                          repartition=repartition).drop("children")
+        # children (url = "parent!/name") bucket by their PARENT url
+        root_url = F.substring_index(F.col("url"), "!/", 1)
+        out = out.withColumn(BUCKET_COL, bucket_fn(root_url))
+        # data first ...
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(f"{out_dir}/data"))
+        # ... manifest commit second: a crash between the two writes
+        # leaves the bucket un-manifested and it is simply redone.
+        # Stats come from the written snapshot, so the manifest
+        # reflects durable state, not in-flight counts.
+        committed = spark.read.parquet(f"{out_dir}/data").filter(
+            F.col(BUCKET_COL).isin(ids))
+        stats = {r[BUCKET_COL]: r for r in
+                 (committed.groupBy(BUCKET_COL)
+                  .agg(F.count("*").alias("n_rows"),
+                       F.sum(F.when(F.col("status") == "error",
+                                    1).otherwise(0)).alias("n_err"),
+                       F.sum("n_bytes").alias("n_bytes"),
+                       F.sum("n_chars").alias("n_chars"))
+                  .collect())}
+        wall_ms = (time.time() - t0) * 1000
+        # a wave bucket with zero input rows still needs a manifest
+        # row, or every future resume would re-scan it forever
+        rows = [(b,
+                 int(stats[b]["n_rows"]) if b in stats else 0,
+                 int(stats[b]["n_err"]) if b in stats else 0,
+                 int(stats[b]["n_bytes"]) if b in stats else 0,
+                 int(stats[b]["n_chars"]) if b in stats else 0,
+                 wall_ms)
+                for b in ids]
+        rows_written += sum(r[1] for r in rows)
+        (spark.createDataFrame(rows, MANIFEST_SCHEMA)
+         .coalesce(1).write.mode("append")
+         .parquet(f"{out_dir}/manifest"))
+        if verbose:
+            print(f"[checkpoint] buckets {ids} done in {wall_ms:.0f} ms")
+
+    wall = time.time() - t_start
+    n_processed = sum(len(w) for w in waves)
+    return {"buckets_total": n_buckets,
+            "buckets_done_before": len(done),
+            "buckets_resumed_from": len(done),
+            "buckets_processed": n_processed,
+            "waves": len(waves),
+            "rows_processed": rows_written,
+            "rows_written": rows_written,
+            "wall_sec": wall,
+            "docs_per_sec": rows_written / wall if wall > 0 else None,
+            "complete": len(done) + n_processed == n_buckets}
