@@ -704,15 +704,19 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
 
 
 def _png_pixels_wrap_udf():
-    """Solid-color RGB image per document row — PNG (real IDAT) for
-    even ids, GIF (real LZW stream + palette) for odd — dimensions
-    and color derived from doc_id so every downstream statistic is
-    exactly predictable regardless of codec."""
+    """Solid-color image per document row — PNG (real IDAT) for
+    id%3==0, GIF (real LZW stream + palette) for id%3==1, baseline
+    JPEG (real Huffman entropy coding, solid gray) for id%3==2 —
+    dimensions and color derived from doc_id so every downstream
+    statistic is exactly predictable regardless of codec. The JPEG
+    gray value reconstructs to the DC-quantization closed form
+    (jpegcodec.solid_gray_decoded_value) the oracle replays in SQL."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     import numpy as np
 
+    from tika_spark.analysis.jpegcodec import jpeg_bytes
     from tika_spark.analysis.pixels import gif_bytes, png_bytes
 
     @pandas_udf(BinaryType())
@@ -722,36 +726,45 @@ def _png_pixels_wrap_udf():
             i = int(i)
             w, h = 4 + i % 13, 3 + (i * 5) % 7
             color = (i % 256, (i * 3) % 256, (i * 7) % 256)
-            if i % 2 == 0:
+            if i % 3 == 0:
                 out.append(png_bytes(
                     np.full((h, w, 3), color, dtype=np.uint8)))
-            else:
+            elif i % 3 == 1:
                 out.append(gif_bytes(
                     np.zeros((h, w), dtype=np.uint8),
                     np.array([color], dtype=np.uint8)))
+            else:
+                out.append(jpeg_bytes(
+                    np.full((h, w, 1), i % 256, dtype=np.uint8),
+                    quality=50))
         return pd.Series(out)
     return wrap
 
 
 def _q_media_pixel_stats(spark, sf_dir):
-    """Full image decode, distributed: from-scratch PNG unfiltering
-    (analysis/pixels.py) over real IDAT payloads; solid-color
-    fixtures make the per-channel micro-unit means exactly
-    predictable, so the pixel path is hash-checkable end to end."""
+    """Full image decode, distributed: from-scratch PNG unfiltering,
+    GIF LZW, and baseline-JPEG Huffman+IDCT (analysis/pixels.py,
+    analysis/jpegcodec.py) over real compressed payloads;
+    solid-color fixtures make the per-channel micro-unit means
+    exactly predictable — for JPEG via the DC-quantization closed
+    form — so the pixel path is hash-checkable end to end."""
     from tika_spark.analysis.pixels import image_pixel_stats
     wrap = _png_pixels_wrap_udf()
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
         wrap(F.col("doc_id")).alias("payload"),
-        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image/png"))
-        .otherwise(F.lit("image/gif")).alias("media_type"))
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("image/png"))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("image/gif"))
+        .otherwise(F.lit("image/jpeg")).alias("media_type"))
     out = image_pixel_stats(media)
     return out.select(
         "id", F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
-        F.element_at("mean_micro", 1).alias("mean_r"),
-        F.element_at("mean_micro", 2).alias("mean_g"),
-        F.element_at("mean_micro", 3).alias("mean_b"))
+        # F.get is NULL-safe out of bounds (grayscale JPEG rows have
+        # a single channel) where ANSI element_at would throw
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"))
 
 
 def _pcm_wav_wrap_udf():
@@ -3088,12 +3101,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "media_pixel_stats": (
+            # JPEG rows (id%3=2) are solid gray v=id%256 at quality
+            # 50 (Q_DC=16): decoded pixel = 128 ± 2*((8*|v-128|+8)//16)
+            # clamped to 255 — jpegcodec.solid_gray_decoded_value.
             "SELECT doc_id AS id, "
             "(4 + doc_id % 13)::BIGINT AS width, "
             "(3 + (doc_id * 5) % 7)::BIGINT AS height, "
-            "(doc_id % 256) * 1000000 AS mean_r, "
-            "((doc_id * 3) % 256) * 1000000 AS mean_g, "
-            "((doc_id * 7) % 256) * 1000000 AS mean_b "
+            "CASE WHEN doc_id % 3 = 2 THEN LEAST(255, "
+            "CASE WHEN doc_id % 256 >= 128 "
+            "THEN 128 + 2 * ((8 * (doc_id % 256 - 128) + 8) // 16) "
+            "ELSE 128 - 2 * ((8 * (128 - doc_id % 256) + 8) // 16) "
+            "END) * 1000000 "
+            "ELSE (doc_id % 256) * 1000000 END AS mean_r, "
+            "CASE WHEN doc_id % 3 = 2 THEN NULL "
+            "ELSE ((doc_id * 3) % 256) * 1000000 END AS mean_g, "
+            "CASE WHEN doc_id % 3 = 2 THEN NULL "
+            "ELSE ((doc_id * 7) % 256) * 1000000 END AS mean_b "
             "FROM documents"),
         "media_pcm_stats": (
             "SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "

@@ -262,9 +262,11 @@ def test_real_decode_tiers():
     # Formats with a from-scratch decoder reject garbage loudly...
     with pytest.raises(ValueError):
         multimodal.real_decode(b"", "image/png")
-    # ...while compressed codecs remain an explicit integration hook.
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.real_decode(b"", "image/jpeg")
+    # ...while uncovered codecs remain an explicit integration hook.
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"", "video/mp4")
 
 
 def test_minhash_lsh_catches_every_qualifying_pair_sf001(spark):

@@ -126,8 +126,10 @@ def test_real_decode_hook_png(spark):
     from tika_spark.analysis.multimodal import real_decode
     arr = np.full((3, 2, 3), (1, 2, 3), dtype=np.uint8)
     assert np.array_equal(real_decode(png_bytes(arr), "image/png"), arr)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):       # decoded for real, bad data
         real_decode(b"\xff\xd8junk", "image/jpeg")
+    with pytest.raises(NotImplementedError):   # codec hook remains
+        real_decode(b"\x00\x00\x01\xba", "video/mpeg")
 
 
 def test_image_pixel_stats_operator(spark):
@@ -135,7 +137,7 @@ def test_image_pixel_stats_operator(spark):
             2: np.full((2, 2, 3), (250, 0, 128), dtype=np.uint8)}
     rows = [(i, png_bytes(a), "image/png") for i, a in arrs.items()]
     rows.append((3, b"corrupt", "image/png"))
-    rows.append((4, b"\x00\x01", "image/jpeg"))
+    rows.append((4, b"\x00\x01", "image/tiff"))
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     out = {r["id"]: r for r in image_pixel_stats(df).collect()}
@@ -367,3 +369,85 @@ def test_bmp_through_operator(spark):
     (row,) = image_pixel_stats(df).collect()
     assert row["status"] == "ok"
     assert row["mean_micro"] == [1_000_000, 128_000_000, 255_000_000]
+
+
+# ----------------------------------------------------------- baseline JPEG
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else 99.0
+
+
+def test_jpeg_solid_gray_closed_form():
+    from tika_spark.analysis.jpegcodec import (decode_jpeg, jpeg_bytes,
+                                               solid_gray_decoded_value)
+    for v in (0, 7, 100, 127, 128, 129, 200, 254, 255):
+        img = np.full((16, 24, 1), v, np.uint8)
+        dec = decode_jpeg(jpeg_bytes(img))
+        assert dec.shape == (16, 24, 1)
+        assert set(np.unique(dec)) == {solid_gray_decoded_value(v)}
+
+
+def test_jpeg_roundtrip_psnr():
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)[:, :, None]
+    assert _psnr(gray, decode_jpeg(jpeg_bytes(gray, quality=90))) > 28
+    rgb = np.stack([(yy * 4) % 256, (xx * 4) % 256,
+                    ((yy + xx) * 2) % 256], 2).astype(np.uint8)
+    d444 = decode_jpeg(jpeg_bytes(rgb, quality=90, subsample="444"))
+    d420 = decode_jpeg(jpeg_bytes(rgb, quality=90, subsample="420"))
+    assert d444.shape == rgb.shape and d420.shape == rgb.shape
+    assert _psnr(rgb, d444) > 30
+    assert _psnr(rgb, d420) > 22
+    smooth = (128 + 90 * np.sin(yy / 9.0)
+              * np.cos(xx / 11.0)).astype(np.uint8)[:, :, None]
+    assert _psnr(smooth, decode_jpeg(jpeg_bytes(smooth, quality=50))) > 32
+
+
+def test_jpeg_restart_markers_equal_plain():
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack([(yy * 9) % 256, (xx * 5) % 256,
+                    ((yy * xx) % 256)], 2).astype(np.uint8)
+    with_rst = jpeg_bytes(rgb, quality=75, restart=2)
+    plain = jpeg_bytes(rgb, quality=75)
+    assert b"\xff\xdd" in with_rst and b"\xff\xdd" not in plain
+    assert np.array_equal(decode_jpeg(with_rst), decode_jpeg(plain))
+
+
+def test_jpeg_odd_dimensions_and_determinism():
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(37, 51, 3), dtype=np.uint8)
+    enc = jpeg_bytes(img, quality=85, subsample="420")
+    a, b = decode_jpeg(enc), decode_jpeg(enc)
+    assert a.shape == (37, 51, 3)
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_rejects_garbage_truncation_progressive():
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    good = jpeg_bytes(np.full((8, 8, 1), 90, np.uint8))
+    for bad in (b"", b"\x89PNG", b"\xff\xd8\x00\x00", good[:40]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_through_operator(spark):
+    from tika_spark.analysis.jpegcodec import jpeg_bytes
+    from tika_spark.analysis.pixels import image_pixel_stats
+    solid = np.full((8, 16, 1), 200, np.uint8)
+    df = spark.createDataFrame(
+        [(1, jpeg_bytes(solid), "image/jpeg")],
+        "id long, payload binary, media_type string")
+    (row,) = image_pixel_stats(df).collect()
+    assert row["status"] == "ok"
+    assert row["n_channels"] == 1
+    # 200 → dc=576, qdc=36, rec=576, pixel = 576/8+128 = 200 exactly
+    assert row["mean_micro"] == [200_000_000]

@@ -12,11 +12,13 @@ Decode tiers:
    (tika_spark.media: PNG/GIF/BMP/JPEG/TIFF/PSD/WebP/ICO); MP3
    duration is estimated from the first MPEG frame header's bitrate.
    No codec library needed — this tier runs everywhere.
-2. **Full decode.** PNG decodes for REAL — pure zlib + numpy
-   unfiltering in :mod:`tika_spark.analysis.pixels` (all five row
-   filters, palette expansion), with exact micro-unit channel stats
-   and deterministic resize on top. Other codecs (JPEG entropy
-   decode, audio PCM, video frames) need libraries this container
+2. **Full decode.** PNG/GIF/BMP and baseline JPEG decode for REAL —
+   pure zlib/LZW/Huffman + numpy in
+   :mod:`tika_spark.analysis.pixels` and
+   :mod:`tika_spark.analysis.jpegcodec`, WAV PCM in
+   :mod:`tika_spark.analysis.pcm` — with exact micro-unit channel
+   stats and deterministic resize on top. Remaining codecs (MP3
+   PCM synthesis, video frames) need libraries this container
    lacks; for those ``real_decode`` remains the clearly-marked hook
    that raises NotImplementedError until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
@@ -56,13 +58,16 @@ def real_decode(payload: bytes, media_type: str):
     if media_type in ("image/bmp", "image/x-ms-bmp"):
         from tika_spark.analysis.pixels import decode_bmp
         return decode_bmp(payload)
+    if media_type in ("image/jpeg", "image/jpg"):
+        from tika_spark.analysis.jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/vnd.wave"):
         from tika_spark.analysis.pcm import decode_wav
         return decode_wav(payload)
     raise NotImplementedError(
-        "codec libraries for compressed media (JPEG/MP3/video) are "
-        "not installed in this environment; decode_media uses the "
-        "header-parse tier below")
+        "codec libraries for compressed media (MP3 PCM/video frames) "
+        "are not installed in this environment; decode_media uses "
+        "the header-parse tier below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:

@@ -396,10 +396,12 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                 row = {"id": i, "width": 0, "height": 0,
                        "n_channels": 0, "mean_micro": [],
                        "status": "unsupported"}
+                from tika_spark.analysis.jpegcodec import decode_jpeg
                 decoder = {"image/png": decode_png,
                            "image/gif": decode_gif,
                            "image/bmp": decode_bmp,
-                           "image/x-ms-bmp": decode_bmp}.get(mt or "")
+                           "image/x-ms-bmp": decode_bmp,
+                           "image/jpeg": decode_jpeg}.get(mt or "")
                 if decoder is not None:
                     try:
                         arr = decoder(bytes(payload or b""))
