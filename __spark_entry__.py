@@ -2854,6 +2854,32 @@ def _q_docs_rollup(spark, sf_dir):
                       "n_docs", "sum_chars")
 
 
+def _q_media_video_frames(spark, sf_dir):
+    """Video-column frame sampling: MJPEG AVI demux (analysis/video.py)
+    + per-frame baseline-JPEG decode, one output row per sampled frame
+    (indices 0,2,4,…). Solid-gray fixture frames make every decoded
+    mean the DC-quantization closed form the DuckDB oracle replays in
+    SQL. Reference's video coverage is metadata-only (FLVParser.java);
+    frame decode is the training-pipeline extension."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats, video_fixture
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([video_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_extract_checkpointed(spark, sf_dir):
     """O12 checkpoint/resume manifest oracle (pipeline/checkpoint.py):
     a checkpointed extraction run "crashed" after one wave and then
@@ -2921,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
         "media_pixel_stats": _q_media_pixel_stats,
+        "media_video_frames": _q_media_video_frames,
         "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -3118,6 +3145,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 2 THEN NULL "
             "ELSE ((doc_id * 7) % 256) * 1000000 END AS mean_b "
             "FROM documents"),
+        "media_video_frames": (
+            # fixture: n = 3 + id%4 solid-gray MJPEG frames, sampled
+            # every 2; per-frame v = (id*11 + 17*idx) % 256 decodes to
+            # the same DC closed form as media_pixel_stats
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "(doc_id * 11 + 17 * frame_idx) % 256 AS v, "
+            "3 + doc_id % 4 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 5)) AS frame_idx) s "
+            "WHERE frame_idx % 2 = 0 AND frame_idx < 3 + doc_id % 4) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS frame_idx, "
+            "CAST(n AS INT) AS n_frames, "
+            "(16 + doc_id % 8)::BIGINT AS width, "
+            "CAST(8 AS BIGINT) AS height, "
+            "LEAST(255, CASE WHEN v >= 128 "
+            "THEN 128 + 2 * ((8 * (v - 128) + 8) // 16) "
+            "ELSE 128 - 2 * ((8 * (128 - v) + 8) // 16) END) "
+            "* 1000000 AS mean_gray FROM f"),
         "media_pcm_stats": (
             "SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "
             "CAST(8000 AS BIGINT) AS sample_rate, "
