@@ -244,8 +244,11 @@ def _pdf_wrap_udf():
     encrypted file opened with the empty user password —
     PDFParser.java:76-99 decrypt semantics (3), a 2-byte
     CID-encoded font resolved through its /ToUnicode CMap (4;
-    untitled, like real embedded-subset files), and a V4/R4 /AESV2
-    AES-128 encrypted file, same empty-password degrade chain (5)."""
+    untitled, like real embedded-subset files), and an AES-encrypted
+    file, same empty-password degrade chain (5) — alternating V4/R4
+    /AESV2 AES-128 and V5/R6 /AESV3 AES-256 (ISO 32000-2 Algorithm
+    2.A/2.B) by doc_id%12; the extracted text is cipher-independent
+    so the oracle is unchanged."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
@@ -271,8 +274,9 @@ def _pdf_wrap_udf():
             elif i % 6 == 4:
                 out.append(make_pdf_cid([f"Document {i}", text]))
             elif i % 6 == 5:
-                out.append(make_pdf([[f"Document {i}", text]],
-                                    title=f"Doc {i}", encrypt="aes"))
+                out.append(make_pdf(
+                    [[f"Document {i}", text]], title=f"Doc {i}",
+                    encrypt="aes" if i % 12 == 5 else "aes256"))
             else:
                 out.append(make_pdf([[f"Document {i}", text]],
                                     title=f"Doc {i}"))

@@ -345,6 +345,50 @@ class TestPdfFiltersAndDecrypt:
         assert r["text"] == "Body\nAes note\n\n"
         assert r["links"][0][1] == "http://e/a"
 
+    def test_aes256_block_cipher_fips_vector(self):
+        # FIPS-197 appendix C.3 known-answer test (256-bit key)
+        from tika_spark.pdf.aes import (_decrypt_block, _encrypt_block,
+                                        _expand_key)
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                            "101112131415161718191a1b1c1d1e1f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        rks = _expand_key(key)
+        ct = _encrypt_block(pt, rks)
+        assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+        assert _decrypt_block(ct, rks) == pt
+
+    def test_aes256_empty_password_decrypt(self):
+        # V5/R6 /AESV3 (ISO 32000-2 Algorithm 2.A/2.B) with the empty
+        # user password: /U validates, /UE unwraps the 32-byte file
+        # key, objects decrypt with the file key directly
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["AES256 secret", "line two"]],
+                       title="A256 T", author="C", encrypt="aes256")
+        assert b"/AESV3" in pdf and b"AES256 secret" not in pdf
+        r = extract_pdf(pdf)
+        assert r["status"] == "ok"
+        assert r["title"] == "A256 T"
+        assert r["metadata"]["Author"] == ["C"]
+        assert r["text"] == "AES256 secret\nline two\n\n"
+
+    def test_aes256_wrong_validation_hash_degrades(self):
+        # flip a /U validation-hash byte: the empty-password attempt
+        # must fail closed into the metadata-only encrypted row
+        from tika_spark.fixtures.pdfgen import (_std_crypt_material_r6,
+                                                make_pdf)
+        from tika_spark.pdf.parser import extract_pdf
+        pdf = make_pdf([["x"]], title="T", encrypt="aes256")
+        _, u_val, _, _ = _std_crypt_material_r6()
+        good = u_val.hex().upper().encode()
+        bad = bytearray(good)
+        bad[0:2] = b"00" if good[0:2] != b"00" else b"11"
+        patched = pdf.replace(good, bytes(bad))
+        assert patched != pdf
+        r = extract_pdf(patched)
+        assert r["status"] == "encrypted"
+        assert r["text"] == ""
+
     def test_unsupported_cfm_degrades(self):
         # AESV3 at V4 is not a thing we decrypt — metadata-only row
         from tika_spark.fixtures.pdfgen import make_pdf

@@ -68,6 +68,27 @@ def _std_crypt_material_r4() -> tuple[bytes, bytes, bytes]:
     return key, o_val, u_val + b"\x00" * 16
 
 
+def _std_crypt_material_r6() -> tuple[bytes, bytes, bytes, bytes]:
+    """(file_key, U, UE, O48) for V5/R6 AES-256 with an empty user
+    password (ISO 32000-2 Algorithm 8/9 shapes; deterministic salts
+    so identical inputs build identical fixtures)."""
+    from tika_spark.pdf.aes import cbc_encrypt_raw
+    from tika_spark.pdf.parser import _hash_2b
+    file_key = hashlib.sha256(b"fixture-aes256-file-key").digest()
+    vsalt = hashlib.sha256(b"fixture-vsalt").digest()[:8]
+    ksalt = hashlib.sha256(b"fixture-ksalt").digest()[:8]
+    u_val = _hash_2b(b"", vsalt) + vsalt + ksalt
+    ue_val = cbc_encrypt_raw(_hash_2b(b"", ksalt), b"\x00" * 16,
+                             file_key)
+    # owner entries: valid 48-byte shape (empty owner password hashed
+    # over U per Algorithm 9); the empty-user-password parser path
+    # never reads them, but real files carry them
+    ovsalt = hashlib.sha256(b"fixture-ovsalt").digest()[:8]
+    oksalt = hashlib.sha256(b"fixture-oksalt").digest()[:8]
+    o_val = _hash_2b(b"", ovsalt, u_val) + ovsalt + oksalt
+    return file_key, u_val, ue_val, o_val
+
+
 def _objkey(key: bytes, num: int, aes: bool = False) -> bytes:
     return hashlib.md5(
         key + num.to_bytes(3, "little") + b"\x00\x00"
@@ -135,13 +156,17 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
     and strings are encrypted per object, the shape the reference's
     empty-password attempt (PDFParser.java:76-99) opens transparently.
     ``encrypt="aes"`` builds the V4/R4 /AESV2 crypt-filter variant
-    (AES-128-CBC) instead.
+    (AES-128-CBC); ``encrypt="aes256"`` the V5/R6 /AESV3 variant
+    (AES-256-CBC, file key used directly per object).
     """
     objects: list[bytes] = []
     aes = encrypt == "aes"
-    file_key = o_val = u_val = None
+    aes256 = encrypt == "aes256"
+    file_key = o_val = u_val = ue_val = None
     if aes:
         file_key, o_val, u_val = _std_crypt_material_r4()
+    elif aes256:
+        file_key, u_val, ue_val, o_val = _std_crypt_material_r6()
     elif encrypt:
         file_key, o_val, u_val = _std_crypt_material()
 
@@ -149,9 +174,16 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
         objects.append(body)
         return len(objects)  # 1-based object number
 
+    def _aes256_enc(num: int, payload: bytes) -> bytes:
+        from tika_spark.pdf.aes import cbc_encrypt
+        iv = hashlib.md5(b"fixture-iv" + num.to_bytes(4, "big")).digest()
+        return cbc_encrypt(file_key, iv, payload)
+
     def enc_stream(payload: bytes, num: int) -> bytes:
         if aes:
             return _aes_enc(file_key, num, payload)
+        if aes256:
+            return _aes256_enc(num, payload)
         return _rc4(_objkey(file_key, num), payload) if encrypt else payload
 
     def enc_str(s: str, num: int) -> str:
@@ -159,8 +191,12 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
         if not encrypt:
             return f"({_esc(s)})"
         raw = s.encode("latin-1")
-        ct = _aes_enc(file_key, num, raw) if aes \
-            else _rc4(_objkey(file_key, num), raw)
+        if aes:
+            ct = _aes_enc(file_key, num, raw)
+        elif aes256:
+            ct = _aes256_enc(num, raw)
+        else:
+            ct = _rc4(_objkey(file_key, num), raw)
         return "<" + ct.hex().upper() + ">"
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
@@ -249,7 +285,24 @@ def make_pdf(pages: list[list[str]], *, title: str | None = None,
         if info_entries else None
 
     enc_num = None
-    if aes:
+    if aes256:
+        from tika_spark.pdf.aes import cbc_encrypt_raw
+        # /Perms: 16 bytes, P + 'T' + 'adb' padding, AES-256-ECB with
+        # the file key (ECB == raw CBC with a zero IV for one block)
+        perms = ((-1 & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+                 + b"T" + b"adb" + b"fix!")
+        perms_ct = cbc_encrypt_raw(file_key, b"\x00" * 16, perms)
+        enc_num = add((f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                       f"/CF << /StdCF << /CFM /AESV3 /AuthEvent "
+                       f"/DocOpen /Length 32 >> >> "
+                       f"/StmF /StdCF /StrF /StdCF "
+                       f"/O <{o_val.hex().upper()}> "
+                       f"/U <{u_val.hex().upper()}> "
+                       f"/OE <{'00' * 32}> "
+                       f"/UE <{ue_val.hex().upper()}> "
+                       f"/Perms <{perms_ct.hex().upper()}> "
+                       f"/P -1 >>").encode())
+    elif aes:
         enc_num = add((f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                        f"/CF << /StdCF << /CFM /AESV2 /AuthEvent "
                        f"/DocOpen /Length 16 >> >> "

@@ -1,4 +1,4 @@
-"""AES-128 (FIPS-197) block cipher + CBC mode, from scratch.
+"""AES-128/256 (FIPS-197) block cipher + CBC mode, from scratch.
 
 Used by the PDF standard security handler's /AESV2 crypt filter
 (ISO 32000-1 7.6.2: per-object key with the 'sAlT' suffix, 16-byte
@@ -70,23 +70,29 @@ _INV_SHIFT = [4 * ((c - r) % 4) + r for c in range(4) for r in range(4)]
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """128-bit key schedule: 11 round keys of 16 bytes."""
-    if len(key) != 16:
-        raise ValueError("AES-128 needs a 16-byte key")
-    w = [list(key[i * 4:(i + 1) * 4]) for i in range(4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule for 128/192/256-bit keys: Nr+1 round
+    keys of 16 bytes (Nr = Nk + 6)."""
+    nk = len(key) // 4
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES needs a 16/24/32-byte key")
+    nr = nk + 6
+    w = [list(key[i * 4:(i + 1) * 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_SBOX[b] for b in t[1:] + t[:1]]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return [bytes(b for word in w[r * 4:(r + 1) * 4] for b in word)
-            for r in range(11)]
+            for r in range(nr + 1)]
 
 
 def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    nr = len(rks) - 1
     s = [b ^ k for b, k in zip(block, rks[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[b] for b in s]
         s = [s[i] for i in _SHIFT]
         t = []
@@ -99,12 +105,13 @@ def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
         s = [b ^ k for b, k in zip(t, rks[rnd])]
     s = [_SBOX[b] for b in s]
     s = [s[i] for i in _SHIFT]
-    return bytes(b ^ k for b, k in zip(s, rks[10]))
+    return bytes(b ^ k for b, k in zip(s, rks[nr]))
 
 
 def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
-    s = [b ^ k for b, k in zip(block, rks[10])]
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    s = [b ^ k for b, k in zip(block, rks[nr])]
+    for rnd in range(nr - 1, 0, -1):
         s = [s[i] for i in _INV_SHIFT]
         s = [_INV_SBOX[b] for b in s]
         s = [b ^ k for b, k in zip(s, rks[rnd])]
@@ -139,6 +146,36 @@ def cbc_decrypt(key: bytes, data: bytes) -> bytes:
     pad = out[-1] if out else 0
     if 1 <= pad <= 16 and len(out) >= pad:
         del out[-pad:]
+    return bytes(out)
+
+
+def cbc_encrypt_raw(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """CBC encrypt with NO padding and NO IV prefix (multiple of 16
+    required) — the shape ISO 32000-2 Algorithm 2.B's inner AES-128
+    step and the /UE /OE key wrapping use."""
+    if len(plaintext) % 16:
+        raise ValueError("raw CBC needs a 16-byte multiple")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(plaintext), 16):
+        prev = _encrypt_block(
+            bytes(a ^ b for a, b in zip(plaintext[i:i + 16], prev)), rks)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt with NO padding strip and NO IV prefix — /UE /OE
+    file-key unwrapping (zero IV, exactly 32 bytes)."""
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data) - len(data) % 16, 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in
+                     zip(_decrypt_block(blk, rks), prev))
+        prev = blk
     return bytes(out)
 
 

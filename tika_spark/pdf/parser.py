@@ -29,10 +29,12 @@ Encryption: the standard security handler with an EMPTY user password
 is attempted exactly like the reference (PDFParser.java:76-99 tries
 ``""`` and degrades on failure): the key is derived per ISO 32000
 algorithms 2/4/5, /U is verified, and strings + streams decrypt with
-the per-object key. Covered: RC4 V<=2 / R<=3, and V4/R4 crypt
-filters — /V2 (RC4) and /AESV2 (AES-128-CBC, from-scratch cipher in
-tika_spark.pdf.aes). Anything else (user-password protected, AES-256
-/V5) degrades to the metadata-only ``encrypted`` row.
+the per-object key. Covered: RC4 V<=2 / R<=3, V4/R4 crypt filters —
+/V2 (RC4) and /AESV2 (AES-128-CBC, from-scratch cipher in
+tika_spark.pdf.aes) — and V5/R5-R6 /AESV3 (AES-256-CBC, ISO 32000-2
+Algorithm 2.A/2.B password hashing, /UE file-key unwrap, file key
+used directly per object). Anything else (user-password protected,
+public-key handlers) degrades to the metadata-only ``encrypted`` row.
 """
 
 from __future__ import annotations
@@ -130,17 +132,64 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash): SHA-256 seed,
+    then rounds of AES-128-CBC over (pwd||K||udata)x64 with a
+    SHA-256/384/512 pick by the first-16-byte sum mod 3; stop after
+    >= 64 rounds once E's last byte <= rounds - 32."""
+    from tika_spark.pdf.aes import cbc_encrypt_raw
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = cbc_encrypt_raw(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[mod](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _std_security_key_v5(enc: dict) -> bytes | None:
+    """ISO 32000-2 Algorithm 2.A with the empty USER password
+    (R5 legacy single-SHA-256 and R6): verify the /U validation hash,
+    then unwrap the 32-byte file key from /UE with AES-256-CBC
+    (intermediate key from the key salt, zero IV, no padding)."""
+    from tika_spark.pdf.aes import cbc_decrypt_raw
+    r = int(enc.get("R", 6))
+    u = enc.get("U")
+    ue = enc.get("UE")
+    if not isinstance(u, bytes) or not isinstance(ue, bytes) \
+            or len(u) < 48 or len(ue) < 32:
+        return None
+    u = bytes(u)
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 5:
+        chk = hashlib.sha256(vsalt).digest()
+    else:
+        chk = _hash_2b(b"", vsalt)
+    if chk != u[:32]:
+        return None
+    inter = hashlib.sha256(ksalt).digest() if r == 5 \
+        else _hash_2b(b"", ksalt)
+    return cbc_decrypt_raw(inter, b"\x00" * 16, bytes(ue)[:32])
+
+
 def _std_security_key(enc: dict, id0: bytes) -> bytes | None:
     """ISO 32000 algorithm 2 with the empty user password; returns the
     file key iff /U verifies (algorithms 4/5), else None. Covers
-    V1/V2 (RC4, R2/R3) and V4/R4 (crypt filters — the AES-128 /AESV2
-    shape PDFBox opens for the reference, pdf/PDFParser.java:76-99)."""
+    V1/V2 (RC4, R2/R3), V4/R4 (crypt filters — the AES-128 /AESV2
+    shape PDFBox opens for the reference, pdf/PDFParser.java:76-99),
+    and V5/R5-R6 (AES-256 /AESV3, ISO 32000-2 Algorithm 2.A/2.B)."""
     try:
         v = int(enc.get("V", 0))
         r = int(enc.get("R", 2))
-        if str(enc.get("Filter", "Standard")) != "Standard" or v > 4 \
-                or r > 4 or v == 3:
+        if str(enc.get("Filter", "Standard")) != "Standard" \
+                or v > 5 or r > 6 or v == 3:
             return None
+        if v == 5:
+            return _std_security_key_v5(enc) if r in (5, 6) else None
         o = enc.get("O")
         u = enc.get("U")
         if not isinstance(o, bytes) or not isinstance(u, bytes):
@@ -177,11 +226,13 @@ def _std_security_key(enc: dict, id0: bytes) -> bytes | None:
 
 def _crypt_ciphers(enc: dict, resolve) -> tuple[str, str] | None:
     """(stream_cipher, string_cipher) for the document: 'rc4' | 'aes'
-    | 'id'. V<4 is bare RC4; V4 routes through /CF named crypt
+    | 'id'. V<4 is bare RC4; V4/V5 route through /CF named crypt
     filters selected by /StmF and /StrF (ISO 32000 7.6.5) — /V2 is
-    RC4, /AESV2 is AES-128-CBC, /Identity passes through. Returns
-    None for an unsupported filter method (e.g. /AESV3 at V4)."""
-    if int(enc.get("V", 0)) < 4:
+    RC4, /AESV2 is AES-128-CBC, /AESV3 (V5 only) is AES-256-CBC,
+    /Identity passes through. Returns None for an unsupported or
+    misplaced filter method (e.g. /AESV3 at V4)."""
+    v = int(enc.get("V", 0))
+    if v < 4:
         return ("rc4", "rc4")
     cf = resolve(enc.get("CF"))
 
@@ -191,7 +242,9 @@ def _crypt_ciphers(enc: dict, resolve) -> tuple[str, str] | None:
             return "id"
         f = resolve(cf.get(name)) if isinstance(cf, dict) else None
         cfm = str((f or {}).get("CFM", "None"))
-        if cfm == "AESV2":
+        if cfm == "AESV2" and v == 4:
+            return "aes"
+        if cfm == "AESV3" and v == 5:
             return "aes"
         if cfm == "V2":
             return "rc4"
@@ -521,10 +574,14 @@ class PdfDocument:
                 continue
             # ISO 32000 7.6.2: the per-object key hashes the object's
             # GENERATION, not always 0 (incremental updates re-save
-            # objects at gen > 0)
+            # objects at gen > 0). V5/AES-256 uses the 32-byte file
+            # key directly for every object (ISO 32000-2 7.6.3.3).
             gen = self.gens.get(num, 0)
-            okeys = (_object_key(key, num, gen),
-                     _object_key(key, num, gen, aes=True))
+            if len(key) == 32:
+                okeys = (key, key)
+            else:
+                okeys = (_object_key(key, num, gen),
+                         _object_key(key, num, gen, aes=True))
             is_xref = isinstance(obj, dict) and \
                 str(obj.get("Type", "")) == "XRef"
             new_obj = obj if is_xref else walk(obj, okeys)
