@@ -21,12 +21,18 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 109 queries / 107 oracle rows. media_pixel_stats runs the
-from-scratch PNG pixel decoder (analysis/pixels.py — zlib + numpy
-unfiltering, all five row filters) over real IDAT payloads with
-exactly-predictable channel means; media_pcm_stats decodes RIFF/WAVE
-PCM16 samples (analysis/pcm.py) with exact integer-sum RMS/peak
-stats. Widened fixtures+oracles for
+Round 3: 111 queries / 109 oracle rows. media_pixel_stats runs the
+from-scratch pixel decoders (analysis/pixels.py PNG/GIF/TIFF,
+analysis/jpegcodec.py baseline JPEG — the lossy path hash-exact via
+the DC-quantization closed form) over real compressed payloads with
+exactly-predictable channel means; media_video_frames demuxes MJPEG
+AVI and decodes sampled frames (analysis/video.py); media_pcm_stats
+decodes RIFF/WAVE PCM16 samples (analysis/pcm.py) with exact
+integer-sum RMS/peak stats; extract_checkpointed pins the
+interrupted-then-resumed manifest of the checkpointed batch run
+(pipeline/checkpoint.py) against pure-SQL bucket counts; the
+extract_pdf_text encrypted variant alternates AES-128 (V4/R4) and
+AES-256 (V5/R6) files. Widened fixtures+oracles for
 the sub-document parity work (docx headers/footers/footnotes/
 comments, xlsx sheet names/headers/footers/cell comments, pptx
 notes/comments, .doc FIB subranges, a sixth AES-128-encrypted PDF
@@ -709,19 +715,21 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
 
 def _png_pixels_wrap_udf():
     """Solid-color image per document row — PNG (real IDAT) for
-    id%3==0, GIF (real LZW stream + palette) for id%3==1, baseline
-    JPEG (real Huffman entropy coding, solid gray) for id%3==2 —
-    dimensions and color derived from doc_id so every downstream
-    statistic is exactly predictable regardless of codec. The JPEG
-    gray value reconstructs to the DC-quantization closed form
-    (jpegcodec.solid_gray_decoded_value) the oracle replays in SQL."""
+    id%4==0, GIF (real LZW stream + palette) for id%4==1, baseline
+    JPEG (real Huffman entropy coding, solid gray) for id%4==2,
+    TIFF (real TIFF-variant LZW + Predictor-2 differencing) for
+    id%4==3 — dimensions and color derived from doc_id so every
+    downstream statistic is exactly predictable regardless of codec.
+    The JPEG gray value reconstructs to the DC-quantization closed
+    form (jpegcodec.solid_gray_decoded_value) the oracle replays in
+    SQL; the lossless codecs reproduce the color exactly."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     import numpy as np
 
     from tika_spark.analysis.jpegcodec import jpeg_bytes
-    from tika_spark.analysis.pixels import gif_bytes, png_bytes
+    from tika_spark.analysis.pixels import gif_bytes, png_bytes, tiff_bytes
 
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
@@ -730,17 +738,21 @@ def _png_pixels_wrap_udf():
             i = int(i)
             w, h = 4 + i % 13, 3 + (i * 5) % 7
             color = (i % 256, (i * 3) % 256, (i * 7) % 256)
-            if i % 3 == 0:
+            if i % 4 == 0:
                 out.append(png_bytes(
                     np.full((h, w, 3), color, dtype=np.uint8)))
-            elif i % 3 == 1:
+            elif i % 4 == 1:
                 out.append(gif_bytes(
                     np.zeros((h, w), dtype=np.uint8),
                     np.array([color], dtype=np.uint8)))
-            else:
+            elif i % 4 == 2:
                 out.append(jpeg_bytes(
                     np.full((h, w, 1), i % 256, dtype=np.uint8),
                     quality=50))
+            else:
+                out.append(tiff_bytes(
+                    np.full((h, w, 3), color, dtype=np.uint8),
+                    compression=5, predictor=2))
         return pd.Series(out)
     return wrap
 
@@ -757,9 +769,10 @@ def _q_media_pixel_stats(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
         wrap(F.col("doc_id")).alias("payload"),
-        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("image/png"))
-        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("image/gif"))
-        .otherwise(F.lit("image/jpeg")).alias("media_type"))
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("image/png"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit("image/gif"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit("image/jpeg"))
+        .otherwise(F.lit("image/tiff")).alias("media_type"))
     out = image_pixel_stats(media)
     return out.select(
         "id", F.col("width").cast("long").alias("width"),
@@ -3132,21 +3145,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
         "media_pixel_stats": (
-            # JPEG rows (id%3=2) are solid gray v=id%256 at quality
+            # JPEG rows (id%4=2) are solid gray v=id%256 at quality
             # 50 (Q_DC=16): decoded pixel = 128 ± 2*((8*|v-128|+8)//16)
             # clamped to 255 — jpegcodec.solid_gray_decoded_value.
+            # PNG/GIF/TIFF rows are lossless: exact color.
             "SELECT doc_id AS id, "
             "(4 + doc_id % 13)::BIGINT AS width, "
             "(3 + (doc_id * 5) % 7)::BIGINT AS height, "
-            "CASE WHEN doc_id % 3 = 2 THEN LEAST(255, "
+            "CASE WHEN doc_id % 4 = 2 THEN LEAST(255, "
             "CASE WHEN doc_id % 256 >= 128 "
             "THEN 128 + 2 * ((8 * (doc_id % 256 - 128) + 8) // 16) "
             "ELSE 128 - 2 * ((8 * (128 - doc_id % 256) + 8) // 16) "
             "END) * 1000000 "
             "ELSE (doc_id % 256) * 1000000 END AS mean_r, "
-            "CASE WHEN doc_id % 3 = 2 THEN NULL "
+            "CASE WHEN doc_id % 4 = 2 THEN NULL "
             "ELSE ((doc_id * 3) % 256) * 1000000 END AS mean_g, "
-            "CASE WHEN doc_id % 3 = 2 THEN NULL "
+            "CASE WHEN doc_id % 4 = 2 THEN NULL "
             "ELSE ((doc_id * 7) % 256) * 1000000 END AS mean_b "
             "FROM documents"),
         "media_video_frames": (

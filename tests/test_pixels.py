@@ -137,7 +137,7 @@ def test_image_pixel_stats_operator(spark):
             2: np.full((2, 2, 3), (250, 0, 128), dtype=np.uint8)}
     rows = [(i, png_bytes(a), "image/png") for i, a in arrs.items()]
     rows.append((3, b"corrupt", "image/png"))
-    rows.append((4, b"\x00\x01", "image/tiff"))
+    rows.append((4, b"\x00\x01", "image/webp"))
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     out = {r["id"]: r for r in image_pixel_stats(df).collect()}
@@ -451,3 +451,48 @@ def test_jpeg_through_operator(spark):
     assert row["n_channels"] == 1
     # 200 → dc=576, qdc=36, rec=576, pixel = 576/8+128 = 200 exactly
     assert row["mean_micro"] == [200_000_000]
+
+
+# ------------------------------------------------------------------ TIFF
+
+def test_tiff_roundtrip_matrix():
+    from tika_spark.analysis.pixels import decode_tiff, tiff_bytes
+    rng = np.random.default_rng(5)
+    for shape in ((7, 9, 1), (12, 5, 3)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for comp in (1, 5, 32773):          # none / LZW / PackBits
+            for bo in ("<", ">"):
+                for rps in (None, 4):
+                    got = decode_tiff(tiff_bytes(
+                        arr, compression=comp, byte_order=bo,
+                        rows_per_strip=rps))
+                    assert np.array_equal(got, arr), (shape, comp,
+                                                      bo, rps)
+        got = decode_tiff(tiff_bytes(arr, compression=5, predictor=2,
+                                     rows_per_strip=6))
+        assert np.array_equal(got, arr)
+
+
+def test_tiff_rejects_garbage():
+    from tika_spark.analysis.pixels import decode_tiff, tiff_bytes
+    for bad in (b"", b"II\x2a\x00", b"MM\x00\x2b\x00\x00\x00\x08",
+                b"\x89PNG"):
+        with pytest.raises(ValueError):
+            decode_tiff(bad)
+    # truncated strip data
+    good = tiff_bytes(np.full((6, 6, 3), 9, np.uint8))
+    with pytest.raises(ValueError):
+        decode_tiff(good[:20])
+
+
+def test_tiff_through_operator(spark):
+    from tika_spark.analysis.pixels import (image_pixel_stats,
+                                            tiff_bytes)
+    solid = np.full((4, 6, 3), (1, 128, 255), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, tiff_bytes(solid, compression=5, predictor=2),
+          "image/tiff")],
+        "id long, payload binary, media_type string")
+    (row,) = image_pixel_stats(df).collect()
+    assert row["status"] == "ok"
+    assert row["mean_micro"] == [1_000_000, 128_000_000, 255_000_000]

@@ -332,6 +332,280 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return px[:, :, [2, 1, 0]].copy()             # BGR(A) → RGB
 
 
+def _tiff_lzw_decode(data: bytes, limit: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing,
+    ClearCode 256 / EOI 257, EARLY-CHANGE code widening (the width
+    bumps one code before the table fills — the difference from GIF's
+    LZW). ``limit`` caps output (strip byte size)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for b in data:
+        acc = (acc << 8) | b
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out[:limit])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if len(out) >= limit:
+                return bytes(out[:limit])
+            prev = entry
+            # early change: widen when the NEXT append would need it
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out[:limit])
+
+
+def _packbits_decode(data: bytes, limit: int) -> bytes:
+    """TIFF PackBits (RLE): n in 0..127 → copy n+1 literals; n in
+    129..255 → repeat next byte 257-n times; 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < limit:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                break
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out[:limit])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF → uint8 array (h, w, channels).
+
+    Both byte orders; 8-bit gray/RGB and palette (16-bit ColorMap
+    scaled to 8); strips (any RowsPerStrip); Compression 1 (none),
+    5 (LZW, with Predictor 2 horizontal differencing) and 32773
+    (PackBits); chunky planar config only. Anything else raises
+    ValueError — callers surface a status row."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF")
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated IFD")
+    (n_tags,) = struct.unpack_from(bo + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    for t in range(n_tags):
+        p = ifd_off + 2 + 12 * t
+        if p + 12 > len(data):
+            raise ValueError("truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, p)
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * cnt
+        vp = p + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", data, p + 8)[0]
+        if vp + total > len(data):
+            continue
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt,
+                                            data, vp))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"missing required tag {exc}") from exc
+    bits = tags.get(258, [8])
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if any(b != 8 for b in bits) or planar != 1 or spp not in (1, 3) \
+            or not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("unsupported TIFF layout")
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rps, h - si * rps)
+        need = nrows * row_bytes
+        strip = data[off:off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated strip")
+        if comp == 1:
+            if len(strip) < need:
+                raise ValueError("short strip")
+            raw += strip[:need]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, need)
+        elif comp == 32773:
+            raw += _packbits_decode(strip, need)
+        else:
+            raise ValueError(f"unsupported compression {comp}")
+    if len(raw) < h * row_bytes:
+        raise ValueError("missing pixel data")
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8,
+                        count=h * row_bytes).reshape(h, w, spp)
+    if predictor == 2:
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(
+            np.uint8).reshape(h, w, spp)
+    if photo == 0:                      # WhiteIsZero → invert
+        arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+    if photo == 3:                      # palette
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("missing ColorMap")
+        pal = (np.array(cmap[:3 * 256], dtype=np.uint32)
+               .reshape(3, 256).T >> 8).astype(np.uint8)
+        arr = pal[arr[:, :, 0]]
+    return np.ascontiguousarray(arr)
+
+
+def tiff_bytes(arr: np.ndarray, compression: int = 1,
+               byte_order: str = "<", predictor: int = 1,
+               rows_per_strip: int | None = None) -> bytes:
+    """Fixture writer: 8-bit gray/RGB TIFF with Compression 1/5/32773
+    and optional Predictor 2 (LZW only), strip layout."""
+    h, w, c = arr.shape
+    bo = byte_order
+    rps = rows_per_strip or h
+    px = arr
+    if predictor == 2:
+        first = px[:, :1, :].astype(np.int16)
+        diffs = np.diff(px.astype(np.int16), axis=1)
+        px = np.concatenate([first, diffs], axis=1).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        body = px[y0:y0 + rps].tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(body))
+        elif compression == 32773:
+            strips.append(_packbits_encode(body))
+        else:
+            strips.append(body)
+    # layout: header(8) | strip data | IFD
+    data_off = 8
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if pos & 1:
+        pos += 1
+    ifd_off = pos
+
+    entries = []
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 3, [w])
+    entry(257, 3, [h])
+    entry(258, 3, [8] * c)
+    entry(259, 3, [compression])
+    entry(262, 3, [2 if c == 3 else 1])
+    entry(273, 4, offs)
+    entry(277, 3, [c])
+    entry(278, 3, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor == 2:
+        entry(284, 3, [1])
+        entry(317, 3, [predictor])
+    entries.sort()
+    _SZ = {3: 2, 4: 4}
+    # overflow values go after the IFD
+    tail_off = ifd_off + 2 + 12 * len(entries) + 4
+    tail = bytearray()
+    ifd = bytearray(struct.pack(bo + "H", len(entries)))
+    for tag, typ, vals in entries:
+        total = _SZ[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack(bo + str(len(vals)) + fmt, *vals)
+        if total <= 4:
+            val = packed + b"\x00" * (4 - total)
+        else:
+            val = struct.pack(bo + "I", tail_off + len(tail))
+            tail += packed
+        ifd += struct.pack(bo + "HHI", tag, typ, len(vals)) + val
+    ifd += struct.pack(bo + "I", 0)    # next-IFD pointer
+    out = bytearray(struct.pack(bo + "2sHI", b"II" if bo == "<"
+                                else b"MM", 42, ifd_off))
+    for s in strips:
+        out += s
+    if len(out) & 1:
+        out += b"\x00"
+    out += ifd + tail
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF LZW: CLEAR, all literals, EOI — no table growth
+    beyond the literal range, but EARLY-CHANGE width accounting is
+    exercised because the decoder's table still grows per symbol.
+    Spec-legal and deterministic (decoder coverage, not compression)."""
+    codes = [256] + list(data) + [257]
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+    table_len = 258
+    for i, code in enumerate(codes):
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if code == 256:
+            table_len = 258
+            width = 9
+        elif code != 257 and i > 0:
+            # decoder appends one table entry per symbol after the
+            # first; mirror its early-change width bumps
+            if codes[i - 1] not in (256,):
+                table_len += 1
+            if table_len + 1 >= (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Literal-runs-only PackBits (chunks of <=128)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
 def png_bytes(arr: np.ndarray) -> bytes:
     """uint8 (h, w[, c]) array → PNG bytes (filter 0 rows, one IDAT).
     The deterministic fixture/sink counterpart of :func:`decode_png`
@@ -401,7 +675,8 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                            "image/gif": decode_gif,
                            "image/bmp": decode_bmp,
                            "image/x-ms-bmp": decode_bmp,
-                           "image/jpeg": decode_jpeg}.get(mt or "")
+                           "image/jpeg": decode_jpeg,
+                           "image/tiff": decode_tiff}.get(mt or "")
                 if decoder is not None:
                     try:
                         arr = decoder(bytes(payload or b""))
