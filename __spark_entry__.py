@@ -785,27 +785,36 @@ def _q_media_pixel_stats(spark, sf_dir):
 
 
 def _pcm_wav_wrap_udf():
-    """Square-wave PCM16 mono WAV per document row: amplitude pinned
-    ODD (A = 1001 + 2·(id%10000)) so A·1e6/32768 never lands on a
-    rounding boundary — RMS and peak of an alternating ±A signal are
-    exactly A/full-scale, making the decode stats hash-checkable."""
+    """Mono WAV per document row. Even ids: square-wave PCM16 with
+    amplitude pinned ODD (A = 1001 + 2·(id%10000)) so A·1e6/32768
+    never lands on a rounding boundary — RMS and peak of an
+    alternating ±A signal are exactly A/full-scale. Odd ids: G.711
+    μ-law (format tag 7) holding one constant code c = id%256 — the
+    expanded linear magnitude has the closed form
+    ((c̄%16)·8 + 132)·2^((c̄//16)%8) − 132 with c̄ = 255−c, which the
+    oracle replays in SQL. Both make the decode stats
+    hash-checkable."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     import numpy as np
 
-    from tika_spark.analysis.pcm import wav_bytes
+    from tika_spark.analysis.pcm import wav_bytes, wav_bytes_g711
 
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
             i = int(i)
-            amp = 1001 + 2 * (i % 10000)
             frames = 800 + 2 * (i % 50)
-            wave = np.tile(np.array([amp, -amp], dtype=np.int16),
-                           frames // 2)
-            out.append(wav_bytes(wave, 8000))
+            if i % 2 == 0:
+                amp = 1001 + 2 * (i % 10000)
+                wave = np.tile(np.array([amp, -amp], dtype=np.int16),
+                               frames // 2)
+                out.append(wav_bytes(wave, 8000))
+            else:
+                codes = np.full(frames, i % 256, dtype=np.uint8)
+                out.append(wav_bytes_g711(codes, 8000, law="ulaw"))
         return pd.Series(out)
     return wrap
 
@@ -3181,15 +3190,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 128 - 2 * ((8 * (128 - v) + 8) // 16) END) "
             "* 1000000 AS mean_gray FROM f"),
         "media_pcm_stats": (
-            "SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "
+            # odd ids: constant μ-law code c=id%256; linear magnitude
+            # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c
+            "WITH g AS (SELECT doc_id, 255 - doc_id % 256 AS u "
+            "FROM documents), m AS (SELECT doc_id, "
+            "((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 "
+            "AS mag FROM g) "
+            "SELECT d.doc_id AS id, CAST(1 AS BIGINT) AS n_channels, "
             "CAST(8000 AS BIGINT) AS sample_rate, "
-            "(800 + 2 * (doc_id % 50))::BIGINT AS n_samples, "
-            "((800 + 2 * (doc_id % 50)) * 1000 // 8000)::BIGINT "
+            "(800 + 2 * (d.doc_id % 50))::BIGINT AS n_samples, "
+            "((800 + 2 * (d.doc_id % 50)) * 1000 // 8000)::BIGINT "
             "AS duration_ms, "
-            "floor((1001 + 2 * (doc_id % 10000)) * 1000000.0 / 32768 "
-            "+ 0.5)::BIGINT AS rms_micro, "
-            "floor((1001 + 2 * (doc_id % 10000)) * 1000000.0 / 32768 "
-            "+ 0.5)::BIGINT AS peak_micro FROM documents"),
+            "CASE WHEN d.doc_id % 2 = 1 THEN "
+            "floor(m.mag * 1000000.0 / 32768 + 0.5)::BIGINT ELSE "
+            "floor((1001 + 2 * (d.doc_id % 10000)) * 1000000.0 / 32768 "
+            "+ 0.5)::BIGINT END AS rms_micro, "
+            "CASE WHEN d.doc_id % 2 = 1 THEN "
+            "floor(m.mag * 1000000.0 / 32768 + 0.5)::BIGINT ELSE "
+            "floor((1001 + 2 * (d.doc_id % 10000)) * 1000000.0 / 32768 "
+            "+ 0.5)::BIGINT END AS peak_micro "
+            "FROM documents d JOIN m ON m.doc_id = d.doc_id"),
         "detect_by_name": (
             "WITH m AS (SELECT * FROM (VALUES "
             "(0, 'html', 'text/html'), "

@@ -149,3 +149,100 @@ def test_custom_bucket_expression(spark, tmp_path):
     chk = (got.withColumn("want", bucket_fn(F.col("url")))
            .filter(F.col("ckpt_bucket") != F.col("want")))
     assert chk.count() == 0
+
+
+def test_materialized_bucket_column_partition_prunes(spark, tmp_path):
+    """A pages table written partitioned by a materialized
+    ckpt_bucket column lets each wave's filter reach the scan as a
+    partition filter (no per-row md5), and the run commits exactly
+    the same rows as the expression path."""
+    pages = _pages(spark, 60)
+    src = str(tmp_path / "pages_bucketed")
+    (pages.withColumn("ckpt_bucket",
+                      ck.md5_bucket_fn(8)(F.col("url")))
+     .write.partitionBy("ckpt_bucket").parquet(src))
+    bucketed = spark.read.parquet(src)
+
+    # the wave filter must be a partition filter on the scan
+    wave = bucketed.filter(F.col("ckpt_bucket").isin([0, 1, 2]))
+    plan = wave._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ckpt_bucket" in plan
+
+    out = str(tmp_path / "ckpt")
+    s = ck.run_checkpointed(bucketed, out, n_buckets=8, wave_size=3)
+    assert s["complete"] and s["rows_written"] == 60
+    got = ck.load_extracted(spark, out)
+    assert got.count() == 60
+    assert got.select("url").distinct().count() == 60
+    # bucket assignment in the output matches the expression form
+    chk = (got.withColumn("want", ck.md5_bucket_fn(8)(F.col("url")))
+           .filter(F.col("ckpt_bucket") != F.col("want")))
+    assert chk.count() == 0
+
+
+_RETRY_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, __REPO__)
+from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from tika_spark.pipeline.job import extract
+
+# local[N, maxFailures] enables task retry, which plain local[N]
+# (maxFailures=1) does not — needs its own SparkContext, hence the
+# subprocess.
+s = (SparkSession.builder.master("local[2, 2]")
+     .appName("retry-test")
+     .config("spark.sql.shuffle.partitions", "2")
+     .config("spark.ui.enabled", "false").getOrCreate())
+s.sparkContext.setLogLevel("ERROR")
+marker_dir = sys.argv[1]
+pages = s.range(24).select(
+    F.concat(F.lit("http://t/p"), F.col("id")).alias("url"),
+    F.encode(F.concat(F.lit("<html><body><p>b"),
+                      F.col("id").cast("string"),
+                      F.lit("</p></body></html>")), "UTF-8")
+    .alias("html")).repartition(2)
+
+def fail_once(batches):
+    from pyspark import TaskContext
+    pid = TaskContext.get().partitionId()
+    rows = list(batches)          # do the work, THEN die
+    marker = os.path.join(marker_dir, "p%d" % pid)
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError("injected failure after work")
+    for r in rows:
+        yield r
+
+flaky = pages.mapInPandas(fail_once, schema=pages.schema)
+got = {(r["url"], r["text"]) for r in
+       extract(flaky, mode="text", repartition=0)
+       .select("url", "text").collect()}
+want = {(r["url"], r["text"]) for r in
+        extract(pages, mode="text").select("url", "text").collect()}
+assert got == want and len(got) == 24, (len(got), len(want))
+assert len(os.listdir(marker_dir)) == 2, os.listdir(marker_dir)
+s.stop()
+print("RETRY-OK")
+"""
+
+
+def test_extraction_idempotent_under_task_retry(tmp_path):
+    """Spark-level fault injection: a task that dies AFTER the parse
+    stage ran (first attempt per partition) is retried by the
+    scheduler, and the retried run produces exactly the one-shot
+    output — the pure-per-row extraction contract that makes
+    bucket-level resume (and speculative execution) safe. Runs in a
+    subprocess because local[2,2] needs its own SparkContext."""
+    import subprocess
+    import sys
+
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _RETRY_SCRIPT.replace("__REPO__", repr(repo)), marker_dir],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "RETRY-OK" in proc.stdout

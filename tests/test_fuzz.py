@@ -7,6 +7,8 @@ driven with unconstrained bytes and with format-magic prefixes spliced
 onto junk so the deep parse paths are reached.
 """
 
+import struct
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -160,3 +162,70 @@ def test_iso2022_cn_ascii_passthrough(text):
 def test_excel_header_footer_strip_never_raises(code):
     from tika_spark.pkg.ooxml import _hf_text
     assert isinstance(_hf_text(code), str)
+
+
+# ------------------------------------------- round-3 decoder fuzzing --
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_jpeg_decoder_raises_cleanly(data):
+    # arbitrary bytes: ValueError (or a decode), never a crash/hang
+    from tika_spark.analysis.jpegcodec import decode_jpeg
+    try:
+        decode_jpeg(b"\xff\xd8" + data)
+    except (ValueError, struct.error, IndexError):
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=400),
+       flip=st.integers(min_value=0, max_value=399),
+       val=st.integers(min_value=0, max_value=255))
+def test_jpeg_mutations_contained(cut, flip, val):
+    import numpy as np
+
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    good = bytearray(jpeg_bytes(np.full((8, 16, 1), 77, np.uint8)))
+    mutated = bytes(good[:cut]) if cut < len(good) else bytes(good)
+    try:
+        decode_jpeg(mutated)
+    except (ValueError, struct.error, IndexError):
+        pass
+    good[flip % len(good)] = val
+    try:
+        decode_jpeg(bytes(good))
+    except (ValueError, struct.error, IndexError):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_tiff_decoder_raises_cleanly(data):
+    from tika_spark.analysis.pixels import decode_tiff
+    for prefix in (b"II\x2a\x00", b"MM\x00\x2a"):
+        try:
+            decode_tiff(prefix + data)
+        except (ValueError, struct.error, IndexError):
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_avi_demux_raises_cleanly(data):
+    from tika_spark.analysis.video import avi_frames
+    try:
+        frames = avi_frames(b"RIFF\xff\xff\x00\x00AVI " + data)
+        assert isinstance(frames, list)
+    except (ValueError, struct.error):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_g711_wav_decode_raises_cleanly(data):
+    from tika_spark.analysis.pcm import decode_wav
+    try:
+        arr, rate = decode_wav(b"RIFF\xff\xff\x00\x00WAVE" + data)
+        assert rate >= 1
+    except (ValueError, struct.error):
+        pass

@@ -496,3 +496,51 @@ def test_tiff_through_operator(spark):
     (row,) = image_pixel_stats(df).collect()
     assert row["status"] == "ok"
     assert row["mean_micro"] == [1_000_000, 128_000_000, 255_000_000]
+
+
+# -------------------------------------------------------- G.711 WAV --
+
+def test_g711_known_values_and_symmetry():
+    from tika_spark.analysis.pcm import _alaw_table, _ulaw_table
+    u, a = _ulaw_table(), _alaw_table()
+    # classic anchors: μ-law 0xFF/0x7F are ±0 and 0x00/0x80 the
+    # ∓32124 extremes; A-law 0xD5 is the +8 near-silence, 0xAA the
+    # +32256 max
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert a[0xD5] == 8 and a[0xAA] == 32256
+    # sign bit in the raw code flips the sign exactly
+    for t in (u, a):
+        for c in range(256):
+            assert t[c ^ 0x80] == -t[c]
+
+
+def test_g711_wav_decode_roundtrip():
+    import numpy as np
+
+    from tika_spark.analysis.pcm import (_alaw_table, _ulaw_table,
+                                         decode_wav, wav_bytes_g711)
+    codes = np.arange(256, dtype=np.uint8)
+    for law, table in (("ulaw", _ulaw_table()), ("alaw", _alaw_table())):
+        arr, rate = decode_wav(wav_bytes_g711(codes, 8000, law=law))
+        assert rate == 8000 and arr.shape == (256, 1)
+        assert np.array_equal(arr[:, 0], table[codes])
+    # stereo interleave preserved
+    arr2, _ = decode_wav(wav_bytes_g711(codes[:8], 8000, law="ulaw",
+                                        channels=2))
+    assert arr2.shape == (4, 2)
+
+
+def test_g711_through_operator(spark):
+    import numpy as np
+
+    from tika_spark.analysis.pcm import (audio_pcm_stats,
+                                         wav_bytes_g711)
+    codes = np.full(800, 0xFF, dtype=np.uint8)  # μ-law digital zero
+    df = spark.createDataFrame(
+        [(1, wav_bytes_g711(codes, 8000), "audio/wav")],
+        "id long, payload binary, media_type string")
+    (row,) = audio_pcm_stats(df).collect()
+    assert row["status"] == "ok"
+    assert row["rms_micro"] == 0 and row["peak_micro"] == 0
+    assert row["duration_ms"] == 100

@@ -275,9 +275,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("short SOS header")
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next((x for x in frame["comps"]
+                             if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"scan component {cs} not in SOF")
                 scan.append((comp, tt >> 4, tt & 15))
             return _decode_scan(data, pos + 2 + seglen, frame, scan,
                                 qt, huff_dc, huff_ac, restart)

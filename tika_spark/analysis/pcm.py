@@ -4,7 +4,9 @@ RIFF/WAVE PCM needs no codec library — the container is a chunk list
 and the samples are raw little-endian integers — so, like PNG in
 :mod:`tika_spark.analysis.pixels`, the ``real_decode`` hook can be a
 working decoder instead of a stub for the most common uncompressed
-audio format. Compressed codecs (MP3/AAC/Opus) stay behind the
+audio format. The G.711 companded telephony formats (μ-law format 7,
+A-law format 6) also decode for real through the classic 256-entry
+expansion tables. Perceptual codecs (MP3/AAC/Opus) stay behind the
 NotImplementedError hook.
 
 Stats are exact micro-units over the normalized [-1, 1) signal:
@@ -31,12 +33,44 @@ PCM_STATS_SCHEMA = ("id long, n_channels int, sample_rate int, "
                     "peak_micro long, status string")
 
 
+def _ulaw_table() -> np.ndarray:
+    """G.711 μ-law code → 16-bit linear (the classic public-domain
+    CCITT reference decode: complement, bias 0x84, segment shift)."""
+    out = np.zeros(256, dtype=np.int32)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law code → 16-bit linear (XOR 0x55, segment expand)."""
+    out = np.zeros(256, dtype=np.int32)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[code] = t if (a & 0x80) else -t
+    return out
+
+
+_G711 = {7: _ulaw_table(), 6: _alaw_table()}
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV → (int samples array of shape (n, channels), sample_rate).
 
-    PCM format 1 only, 8-bit unsigned (rebased to signed) or 16-bit
-    signed little-endian. Raises ValueError otherwise — callers
-    surface a status row.
+    PCM format 1 (8-bit unsigned rebased, 16-bit signed LE) plus the
+    G.711 companded formats — 6 (A-law) and 7 (μ-law), expanded to
+    16-bit linear through the classic decode tables. Raises
+    ValueError otherwise — callers surface a status row.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -57,8 +91,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     (audio_fmt, channels, rate, _brate, _align,
      bits) = struct.unpack_from("<HHIIHH", fmt, 0)
-    if audio_fmt != 1 or channels < 1 or rate < 1:
+    if audio_fmt not in (1, 6, 7) or channels < 1 or rate < 1:
         raise ValueError(f"unsupported WAV (fmt={audio_fmt})")
+    if audio_fmt in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 needs 8-bit codes, got {bits}")
+        codes = np.frombuffer(
+            samples[:len(samples) // channels * channels],
+            dtype=np.uint8)
+        arr = _G711[audio_fmt][codes]
+        return arr.reshape(-1, channels), int(rate)
     if bits == 16:
         arr = np.frombuffer(
             samples[:len(samples) // (2 * channels) * 2 * channels],
@@ -111,6 +153,19 @@ def wav_bytes(samples: np.ndarray, rate: int) -> bytes:
     payload = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
                + b"data" + struct.pack("<I", len(body)) + body)
     return b"RIFF" + struct.pack("<I", 4 + len(payload) - 4) + payload
+
+
+def wav_bytes_g711(codes: np.ndarray, rate: int,
+                   law: str = "ulaw", channels: int = 1) -> bytes:
+    """uint8 G.711 code array → WAV bytes with format tag 7 (μ-law)
+    or 6 (A-law) — fixture/decoder-coverage counterpart."""
+    body = np.asarray(codes, dtype=np.uint8).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                      rate * channels, channels, 8)
+    payload = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(payload) + 4) + payload
 
 
 def audio_pcm_stats(df: DataFrame, id_col: str = "id",

@@ -117,6 +117,14 @@ def run_checkpointed(pages: DataFrame, out_dir: str,
     child rows via :func:`extract_recursive`; children are bucketed by
     their parent url (see module docstring).
 
+    If ``pages`` already carries a ``ckpt_bucket`` column (a table
+    written partitioned by it — the recommended layout), the wave
+    filter uses the column and the scan partition-prunes. The
+    materialized values MUST equal ``bucket_fn(url)`` (produce the
+    column with :func:`md5_bucket_fn`): the output/manifest side
+    recomputes the bucket through ``bucket_fn``, so a divergent
+    column would commit buckets the input filter never selected.
+
     Returns a summary dict: buckets already committed, buckets
     processed now, waves run, rows written, wall seconds, docs/sec.
     """
@@ -133,11 +141,21 @@ def run_checkpointed(pages: DataFrame, out_dir: str,
 
     t_start = time.time()
     rows_written = 0
+    # When the input table materializes the bucket column (the
+    # recommended layout: write the crawl table partitioned/bucketed
+    # by ckpt_bucket), filter on the COLUMN — Catalyst pushes it to
+    # the scan as a partition filter and each wave reads only its own
+    # partitions. Otherwise the bucket is computed per row (a cheap
+    # md5 over the url, still evaluated before the parse stage).
+    has_col = BUCKET_COL in pages.columns
     for wave in waves:
         t0 = time.time()
         ids = [int(b) for b in wave]
         wave_pages = pages.filter(
-            bucket_fn(F.col("url")).isin(ids))
+            F.col(BUCKET_COL).isin(ids) if has_col
+            else bucket_fn(F.col("url")).isin(ids))
+        if has_col:
+            wave_pages = wave_pages.drop(BUCKET_COL)
         if recursive:
             out = extract_recursive(wave_pages, mode=mode, config=config,
                                     repartition=repartition)
