@@ -2880,6 +2880,27 @@ def _q_docs_rollup(spark, sf_dir):
                       "n_docs", "sum_chars")
 
 
+def _q_extract_main_justext(spark, sf_dir):
+    """jusText block classification (html/justext.py — Pomikálek
+    2011), the second main-content scorer beside Boilerpipe: nav and
+    copyright blocks are bad, the document paragraph classifies by
+    (char length, stopword density) with bad neighbours on both
+    sides, so the kept text is empty unless length > 200 and
+    stopword density >= 0.32 — a decision function the DuckDB oracle
+    replays in SQL over the same tokenization."""
+    html = F.encode(F.concat(
+        F.lit('<html><body><div><a href="/h">Home</a> '
+              '<a href="/n">News</a> <a href="/c">Contact</a></div><p>'),
+        F.col("text"),
+        F.lit("</p><p>\xa9 2026 Example Corp all rights reserved</p>"
+              "</body></html>")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    return (extract(pages, mode="text-main-justext")
+            .select("url", "text"))
+
+
 def _q_media_video_frames(spark, sf_dir):
     """Video-column frame sampling: MJPEG AVI demux (analysis/video.py)
     + per-frame baseline-JPEG decode, one output row per sampled frame
@@ -2942,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_text": _q_extract_html_text,
         "extract_checkpointed": _q_extract_checkpointed,
         "extract_main_text": _q_extract_main_text,
+        "extract_main_justext": _q_extract_main_justext,
         "extract_pdf_text": _q_extract_pdf_text,
         "detect_by_name": _q_detect_by_name,
         "detect_magic_wide": _q_detect_magic_wide,
@@ -3112,6 +3134,21 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_text": (
             "SELECT 'doc://' || doc_id AS url, 'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),
+        "extract_main_justext": (
+            "WITH w AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS words FROM documents), "
+            "s AS (SELECT doc_id, text, length(text) AS n_chars, "
+            "len(words) AS n_words, len(list_filter(words, x -> x IN "
+            + "(" + ", ".join(
+                f"'{w}'" for w in sorted(__import__(
+                    "tika_spark.html.justext",
+                    fromlist=["STOPLIST_EN"]).STOPLIST_EN))
+            + "))) AS sw FROM w) "
+            "SELECT 'doc://' || doc_id AS url, "
+            "CASE WHEN n_chars > 200 AND n_words > 0 "
+            "AND sw * 1.0 / n_words >= 0.32 "
+            "THEN text || chr(10) ELSE '' END AS text FROM s"),
         "extract_main_text": (
             "SELECT 'doc://' || doc_id AS url, "
             f"'{_BP_INTRO}' || chr(10) || text || chr(10) || "

@@ -381,3 +381,81 @@ class TestTagSoupParityGoldens:
 
     def test_nested_p_implies_close(self):
         assert body_text("<p>one<p>two") == "one\ntwo\n"
+
+
+class TestJustext:
+    """jusText classification (html/justext.py, Pomikálek 2011)."""
+
+    def _blocks(self, *specs):
+        from tika_spark.html.boilerpipe import TextBlock
+        out = []
+        for text, anchor in specs:
+            words = text.split()
+            out.append(TextBlock(text, len(words), anchor, 0,
+                                 tokens=words))
+        return out
+
+    def test_context_free_classes(self):
+        from tika_spark.html import justext as jt
+        good = ("the of and a to in is it on that as for was with be "
+                "by at this have from or an are not but had his they "
+                "which she you we her all their were when who will "
+                "would there what so if no out up into them then its")
+        (b_nav, b_good, b_short, b_low,
+         b_copy) = self._blocks(
+            ("Home News Contact", 3),
+            (good, 0),
+            ("tiny note", 0),
+            ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau", 0),
+            ("\xa9 2026 Example Corp", 0))
+        assert jt.classify_context_free(b_nav) == "bad"
+        assert jt.classify_context_free(b_good) == "good"
+        assert jt.classify_context_free(b_short) == "short"
+        assert jt.classify_context_free(b_low) == "bad"
+        assert jt.classify_context_free(b_copy) == "bad"
+
+    def test_revision_rules(self):
+        from tika_spark.html.justext import revise_classification as rev
+        # short surrounded by good -> good; by bad -> bad
+        assert rev(["good", "short", "good"])[1] == "good"
+        assert rev(["bad", "short", "bad"])[1] == "bad"
+        # neargood with any good neighbour -> good, else bad
+        assert rev(["good", "neargood", "bad"])[1] == "good"
+        assert rev(["bad", "neargood", "bad"])[1] == "bad"
+        # the neargood rescue rule fires only in MIXED {good,bad}
+        # neighbourhoods where the bad side has a nearer neargood
+        assert rev(["good", "short", "neargood", "bad"])[1] == "good"
+        assert rev(["good", "short", "bad"])[1] == "bad"      # no rescue
+        assert rev(["bad", "short", "neargood", "bad"])[1] == "bad"
+        # a PRECEDING neargood cannot rescue: in-order revision has
+        # already resolved it to bad by the time the short looks
+        assert rev(["neargood", "short", "bad"])[1] == "bad"
+        assert rev(["short"])[0] == "bad"  # document edge counts bad
+        # in-order mutation: an upgraded neargood feeds the next one
+        assert rev(["good", "neargood", "neargood"]) == \
+            ["good", "good", "good"]
+
+    def test_mode_end_to_end(self):
+        from tika_spark.config import ExtractConfig
+        from tika_spark.html.extract import extract_html
+        para = ("It was the best of times and it was the worst of "
+                "times and we had everything before us and we had "
+                "nothing before us and all of us were going direct "
+                "to heaven and all of us were going direct the other "
+                "way in that season of light")
+        html = ("<html><body>"
+                '<div><a href="/a">Home</a> <a href="/b">News</a></div>'
+                f"<p>{para}</p>"
+                "<p>Short middle note here</p>"
+                f"<p>{para} again with more of the same words</p>"
+                "<p>\xa9 2026 Example Corp</p>"
+                "</body></html>").encode()
+        r = extract_html(html,
+                         config=ExtractConfig(mode="text-main-justext"))
+        lines = r["text"].splitlines()
+        assert lines[0] == para
+        assert lines[1] == "Short middle note here"   # good-sandwich
+        assert lines[2].startswith(para)
+        assert len(lines) == 3                        # nav+© stripped
+        assert r["spans"][1][2] == 4                  # words in span

@@ -84,13 +84,17 @@ def extract_html(data: bytes, url: str | None = None,
     base = _process_head(head, url, metadata)
 
     links: list = []
-    if config.mode == "text-main":
+    if config.mode in ("text-main", "text-main-justext"):
         # the full-body serialization's text/spans would be discarded
         # here — only run it when the caller wants the links side-
         # product (it is the dominant per-doc cost after the parse)
         if config.collect_links:
             _, _, links = serialize_body(body, base, collect_links=True)
-        text, spans = bp.main_content(body)
+        if config.mode == "text-main-justext":
+            from tika_spark.html.justext import main_content_justext
+            text, spans = main_content_justext(body)
+        else:
+            text, spans = bp.main_content(body)
         text = safe_chars(text)
     elif config.mode == "xhtml":
         from tika_spark.html.layout import serialize_xhtml

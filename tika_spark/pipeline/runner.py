@@ -49,8 +49,9 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default="text",
-                   choices=["text", "text-main", "metadata", "xhtml",
-                            "detect", "language", "xmp", "json"])
+                   choices=["text", "text-main", "text-main-justext",
+                            "metadata", "xhtml", "detect", "language",
+                            "xmp", "json"])
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
     p.add_argument("--cpus", type=int,
