@@ -3210,9 +3210,10 @@ def oracle_sql() -> dict[str, str]:
             "ELSE ((doc_id * 7) % 256) * 1000000 END AS mean_b "
             "FROM documents"),
         "media_video_frames": (
-            # fixture: n = 3 + id%4 solid-gray MJPEG frames, sampled
-            # every 2; per-frame v = (id*11 + 17*idx) % 256 decodes to
-            # the same DC closed form as media_pixel_stats
+            # fixture: n = 3 + id%4 solid-gray frames, sampled every
+            # 2; per-frame v = (id*11 + 17*idx) % 256. Even ids are
+            # MJPEG AVI (JPEG DC closed form); odd ids are animated
+            # GIF (lossless: mean = v exactly).
             "WITH f AS (SELECT doc_id, frame_idx, "
             "(doc_id * 11 + 17 * frame_idx) % 256 AS v, "
             "3 + doc_id % 4 AS n FROM documents CROSS JOIN "
@@ -3222,10 +3223,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n AS INT) AS n_frames, "
             "(16 + doc_id % 8)::BIGINT AS width, "
             "CAST(8 AS BIGINT) AS height, "
+            "CASE WHEN doc_id % 2 = 1 THEN v * 1000000 ELSE "
             "LEAST(255, CASE WHEN v >= 128 "
             "THEN 128 + 2 * ((8 * (v - 128) + 8) // 16) "
             "ELSE 128 - 2 * ((8 * (128 - v) + 8) // 16) END) "
-            "* 1000000 AS mean_gray FROM f"),
+            "* 1000000 END AS mean_gray FROM f"),
         "media_pcm_stats": (
             # odd ids: constant μ-law code c=id%256; linear magnitude
             # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c

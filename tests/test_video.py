@@ -17,14 +17,21 @@ def test_avi_roundtrip():
 
 
 def test_fixture_closed_form():
-    for d in (0, 1, 5, 7, 13):
-        fs = avi_frames(video_fixture(d))
+    from tika_spark.analysis.video import _demux
+    for d in (0, 1, 2, 5, 7, 13):
+        kind, fs = _demux(video_fixture(d))
         assert len(fs) == 3 + d % 4
         for idx, fb in enumerate(fs):
-            arr = decode_jpeg(fb)
             v = (d * 11 + 17 * idx) % 256
-            assert set(np.unique(arr)) == {solid_gray_decoded_value(v)}
-            assert arr.shape == (8, 16 + d % 8, 1)
+            if kind == "jpeg":          # even ids: MJPEG AVI
+                arr = decode_jpeg(fb)
+                want = solid_gray_decoded_value(v)
+                assert arr.shape == (8, 16 + d % 8, 1)
+            else:                       # odd ids: animated GIF
+                arr = fb
+                want = v                # lossless composite
+                assert arr.shape == (8, 16 + d % 8, 3)
+            assert set(np.unique(arr)) == {want}
 
 
 def test_avi_rejects_garbage_and_truncation():
@@ -68,3 +75,36 @@ def test_corrupt_single_frame_is_isolated(spark):
            sample_frame_stats(df, every=1).collect()}
     assert out[0]["status"] == "ok" and out[2]["status"] == "ok"
     assert out[1]["status"] == "error"
+
+
+def test_animated_gif_through_operator(spark):
+    import numpy as np
+
+    from tika_spark.analysis.pixels import gif_anim_bytes
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frames = [np.full((6, 10), v, np.uint8) for v in (3, 99, 250)]
+    df = spark.createDataFrame(
+        [(1, gif_anim_bytes(frames, pal))], "id long, payload binary")
+    out = sorted(sample_frame_stats(df, every=1).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    assert all(r["status"] == "ok" and r["n_frames"] == 3 for r in out)
+    assert [r["mean_micro"][0] // 1_000_000 for r in out] == [3, 99, 250]
+
+
+def test_gif_disposal_and_transparency():
+    import numpy as np
+
+    from tika_spark.analysis.pixels import gif_anim_bytes, gif_frames
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    f1 = np.full((4, 4), 10, np.uint8)
+    f2 = np.full((4, 4), 20, np.uint8)
+    f2[0, 0] = 255                     # transparent index
+    # disposal 1 (leave): transparent pixel shows the previous frame
+    o = gif_frames(gif_anim_bytes([f1, f2], pal, disposal=1,
+                                  transparent=255))
+    assert o[1][0, 0, 0] == 10 and o[1][1, 1, 0] == 20
+    # disposal 2 (restore background): transparent pixel shows bg 0
+    o2 = gif_frames(gif_anim_bytes([f1, f2], pal, disposal=2,
+                                   transparent=255))
+    assert o2[1][0, 0, 0] == 0

@@ -249,6 +249,116 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("no image block")
 
 
+def _gif_image_block(data: bytes, pos: int, gct):
+    """Decode one image descriptor at ``pos`` → (ix, iy, rgb_region,
+    idx_region, new_pos)."""
+    ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    pal = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 7)
+        pal = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("no color table")
+    min_code = data[pos]
+    pos += 1
+    chunks = []
+    while pos < len(data) and data[pos]:
+        ln = data[pos]
+        chunks.append(data[pos + 1:pos + 1 + ln])
+        pos += 1 + ln
+    pos += 1                             # data terminator
+    idx = np.frombuffer(_gif_lzw_decode(min_code, b"".join(chunks)),
+                        dtype=np.uint8)
+    if len(idx) < iw * ih:
+        raise ValueError("truncated GIF image data")
+    idx = idx[:iw * ih].reshape(ih, iw)
+    if iflags & 0x40:
+        deint = np.zeros_like(idx)
+        src = 0
+        for start, step in _GIF_PASSES:
+            for y in range(start, ih, step):
+                deint[y] = idx[src]
+                src += 1
+        idx = deint
+    if int(idx.max()) >= len(pal):
+        raise ValueError("palette index out of range")
+    return ix, iy, pal[idx], idx, pos
+
+
+def gif_frames(data: bytes, max_frames: int = 10_000
+               ) -> list[np.ndarray]:
+    """Animated GIF → list of COMPOSITED uint8 RGB canvases, one per
+    frame, honoring the GIF89a graphics-control extension: disposal
+    none/leave (0/1), restore-background (2), restore-previous (3)
+    and the transparent index (transparent pixels keep the canvas).
+    A single-image GIF yields one frame identical to decode_gif."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, bg = struct.unpack_from("<HHBB", data, 6)
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        raise ValueError("bad dimensions")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) \
+        else np.zeros(3, dtype=np.uint8)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent = -1
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            p = pos + 2
+            if label == 0xF9 and p < len(data) and data[p] >= 4:
+                gflags = data[p + 1]
+                disposal = (gflags >> 2) & 7
+                transparent = data[p + 4] if gflags & 1 else -1
+            while p < len(data) and data[p]:
+                p += 1 + data[p]
+            pos = p + 1
+        elif block == 0x2C:
+            ix, iy, rgb, idx, pos = _gif_image_block(data, pos, gct)
+            ih, iw = idx.shape
+            y1, x1 = min(iy + ih, h), min(ix + iw, w)
+            if y1 <= iy or x1 <= ix:
+                continue
+            region = canvas[iy:y1, ix:x1]
+            snapshot = canvas.copy() if disposal == 3 else None
+            sub_rgb = rgb[:y1 - iy, :x1 - ix]
+            sub_idx = idx[:y1 - iy, :x1 - ix]
+            if transparent >= 0:
+                opaque = sub_idx != transparent
+                region[opaque] = sub_rgb[opaque]
+            else:
+                region[:] = sub_rgb
+            frames.append(canvas.copy())
+            if len(frames) >= max_frames:
+                break
+            if disposal == 2:
+                canvas[iy:y1, ix:x1] = bg_rgb
+            elif disposal == 3:
+                canvas = snapshot
+            disposal = 0
+            transparent = -1
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image block")
+    return frames
+
+
 def gif_bytes(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Indexed (h, w) array + (n, 3) palette → GIF89a bytes.
     Encoder emits CLEAR before every pixel code (table never grows —
@@ -292,6 +402,61 @@ def gif_bytes(indices: np.ndarray, palette: np.ndarray) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_anim_bytes(frames: list[np.ndarray], palette: np.ndarray,
+                   disposal: int = 1, transparent: int | None = None
+                   ) -> bytes:
+    """Animated GIF89a from full-frame index arrays (same bloated
+    CLEAR-per-pixel LZW as gif_bytes): one graphics-control extension
+    + image descriptor per frame."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = np.asarray(frames[0]).shape
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHB", w, h, 0x80 | (bits - 1)) + b"\x00\x00"
+    out += pal_full.tobytes()
+    clear = 1 << bits
+    end = clear + 1
+    width = bits + 1
+    for fr in frames:
+        idx = np.asarray(fr, dtype=np.uint8)
+        gflags = (disposal & 7) << 2
+        tidx = 0
+        if transparent is not None:
+            gflags |= 1
+            tidx = transparent
+        out += b"\x21\xf9\x04" + bytes((gflags, 0, 0, tidx)) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(bits)
+        acc = nbits = 0
+        body = bytearray()
+
+        def put(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        for v in idx.reshape(-1):
+            put(clear)
+            put(int(v))
+        put(end)
+        if nbits:
+            body.append(acc & 0xFF)
+        for i in range(0, len(body), 255):
+            chunk = body[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

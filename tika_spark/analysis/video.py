@@ -115,13 +115,27 @@ def avi_frames(data: bytes) -> list[bytes]:
 
 # -------------------------------------------------------------- operator
 
+def _demux(payload: bytes):
+    """(kind, frames): 'jpeg' + compressed frames for MJPEG AVI,
+    'raw' + composited RGB arrays for animated GIF."""
+    if payload[:4] == b"RIFF":
+        return "jpeg", avi_frames(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from tika_spark.analysis.pixels import gif_frames
+        return "raw", gif_frames(payload)
+    raise ValueError("not a supported video container")
+
+
 def sample_frame_stats(df: DataFrame, every: int = 2,
                        id_col: str = "id",
                        payload_col: str = "payload") -> DataFrame:
-    """mapInPandas frame-sampling stage: (id, avi payload) → one row
-    per sampled frame (indices 0, every, 2*every, …) with decoded
-    dimensions and exact per-channel micro-unit means. Corrupt
-    containers or frames yield status rows, never task failures."""
+    """mapInPandas frame-sampling stage: (id, payload) → one row per
+    sampled frame (indices 0, every, 2*every, …) with decoded
+    dimensions and exact per-channel micro-unit means. Containers:
+    MJPEG AVI (frames decoded through the from-scratch baseline JPEG
+    decoder) and animated GIF (frames composited per the GIF89a
+    disposal rules). Corrupt containers or frames yield status rows,
+    never task failures."""
     from tika_spark.analysis.jpegcodec import decode_jpeg
     from tika_spark.analysis.pixels import channel_means_micro
 
@@ -132,7 +146,7 @@ def sample_frame_stats(df: DataFrame, every: int = 2,
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    frames = avi_frames(bytes(payload or b""))
+                    kind, frames = _demux(bytes(payload or b""))
                 except Exception:
                     rows.append({"id": i, "frame_idx": -1,
                                  "n_frames": 0, "width": 0,
@@ -145,7 +159,8 @@ def sample_frame_stats(df: DataFrame, every: int = 2,
                            "width": 0, "height": 0, "mean_micro": [],
                            "status": "error"}
                     try:
-                        arr = decode_jpeg(frames[idx])
+                        arr = decode_jpeg(frames[idx]) \
+                            if kind == "jpeg" else frames[idx]
                         row.update(width=arr.shape[1],
                                    height=arr.shape[0],
                                    mean_micro=channel_means_micro(arr),
@@ -161,15 +176,21 @@ def sample_frame_stats(df: DataFrame, every: int = 2,
 
 
 def video_fixture(doc_id: int) -> bytes:
-    """Deterministic MJPEG AVI per document row: 3 + doc_id%4 solid
-    gray frames (v = (doc_id*11 + 17*frame) % 256, quality 50) at
-    (16 + doc_id%8) × 8 — every downstream frame statistic has the
-    DC-quantization closed form the oracle replays in SQL."""
-    from tika_spark.analysis.jpegcodec import jpeg_bytes
+    """Deterministic video per document row: 3 + doc_id%4 solid gray
+    frames (v = (doc_id*11 + 17*frame) % 256) at (16 + doc_id%8) × 8.
+    Even ids: MJPEG AVI at quality 50 — frame means follow the JPEG
+    DC-quantization closed form. Odd ids: animated GIF over a
+    grayscale identity palette — frame means are exactly v
+    (lossless). Both SQL-replayable by the oracle."""
     n = 3 + doc_id % 4
     w, h = 16 + doc_id % 8, 8
-    frames = [jpeg_bytes(np.full((h, w, 1),
-                                 (doc_id * 11 + 17 * f) % 256,
-                                 dtype=np.uint8), quality=50)
-              for f in range(n)]
-    return avi_mjpeg_bytes(frames, w, h)
+    vals = [(doc_id * 11 + 17 * f) % 256 for f in range(n)]
+    if doc_id % 2 == 0:
+        from tika_spark.analysis.jpegcodec import jpeg_bytes
+        frames = [jpeg_bytes(np.full((h, w, 1), v, dtype=np.uint8),
+                             quality=50) for v in vals]
+        return avi_mjpeg_bytes(frames, w, h)
+    from tika_spark.analysis.pixels import gif_anim_bytes
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    return gif_anim_bytes(
+        [np.full((h, w), v, dtype=np.uint8) for v in vals], pal)
