@@ -254,3 +254,27 @@ def test_fictionbook_routes_to_xml():
     mime = detect(fb)
     assert mime == "application/x-fictionbook+xml"
     assert route_for_mime(mime) == "xml"
+
+
+class TestRunnerInputFormats:
+    def test_files_input_directory(self, spark, tmp_path):
+        """tika-app's batch-a-directory analog: --input-format files
+        extracts every file under a directory, url = file path."""
+        import os
+
+        from tika_spark.pipeline.runner import run
+        d = tmp_path / "docs" / "sub"
+        os.makedirs(d)
+        (tmp_path / "docs" / "a.html").write_bytes(
+            b"<html><head><title>T</title></head>"
+            b"<body><p>hello html</p></body></html>")
+        (d / "b.txt").write_bytes(b"plain body text")
+        out = str(tmp_path / "out")
+        m = run(spark, str(tmp_path / "docs"), out, n_buckets=2,
+                group_size=2, verbose=False, input_format="files")
+        assert m["rows_processed"] == 2
+        got = {os.path.basename(r["url"]): r for r in
+               spark.read.parquet(out + "/data").collect()}
+        assert got["a.html"]["mime"] == "text/html"
+        assert "hello html" in got["a.html"]["text"]
+        assert got["b.txt"]["text"].startswith("plain body text")

@@ -29,12 +29,31 @@ from tika_spark.config import ExtractConfig
 from tika_spark.pipeline.checkpoint import run_checkpointed
 
 
+def _read_pages(spark: SparkSession, input_path: str,
+                input_format: str):
+    """Pages DataFrame (url, html, ...) from any of the three ingest
+    shapes: a pages parquet table, a directory of raw files
+    (tika-app's batch-a-directory analog — one row per file,
+    url = path), or Common-Crawl .warc.gz segments."""
+    if input_format == "files":
+        from pyspark.sql import functions as F
+        return (spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true").load(input_path)
+                .select(F.col("path").alias("url"),
+                        F.col("content").alias("html")))
+    if input_format == "warc":
+        from tika_spark.sources.warc import read_warc
+        return read_warc(spark, input_path)
+    return spark.read.parquet(input_path)
+
+
 def run(spark: SparkSession, input_path: str, output: str, mode: str = "text",
         n_buckets: int = 16, group_size: int = 4,
         config: ExtractConfig | None = None, verbose: bool = True,
-        recursive: bool = False, max_groups: int | None = None) -> dict:
+        recursive: bool = False, max_groups: int | None = None,
+        input_format: str = "parquet") -> dict:
     """Execute (or resume) the batch extraction. Returns run metrics."""
-    pages = spark.read.parquet(input_path)
+    pages = _read_pages(spark, input_path, input_format)
     metrics = run_checkpointed(pages, output, n_buckets=n_buckets,
                                wave_size=group_size, mode=mode,
                                config=config, recursive=recursive,
@@ -59,6 +78,10 @@ def main(argv=None):
     p.add_argument("--recursive", action="store_true",
                    help="explode archive/mail members into child rows "
                         "(embedded-document recursion, depth <= 10)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "files", "warc"],
+                   help="pages parquet table | directory of raw "
+                        "files (url = path) | .warc.gz segments")
     args = p.parse_args(argv)
 
     spark = (SparkSession.builder
@@ -72,7 +95,8 @@ def main(argv=None):
     spark.sparkContext.setLogLevel("WARN")
     try:
         run(spark, args.input, args.output, args.mode,
-            args.buckets, args.group_size, recursive=args.recursive)
+            args.buckets, args.group_size, recursive=args.recursive,
+            input_format=args.input_format)
     finally:
         spark.stop()
 
