@@ -544,3 +544,52 @@ def test_g711_through_operator(spark):
     assert row["status"] == "ok"
     assert row["rms_micro"] == 0 and row["peak_micro"] == 0
     assert row["duration_ms"] == 100
+
+
+def test_decompression_bomb_guard():
+    """A crafted huge-dimension header must be rejected BEFORE any
+    canvas allocation, in every decoder (MAX_PIXELS product cap)."""
+    import struct as st
+
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    from tika_spark.analysis.pixels import (MAX_PIXELS, decode_bmp,
+                                            decode_png, decode_tiff,
+                                            gif_frames, png_bytes,
+                                            tiff_bytes)
+    assert 16384 * 16384 * 16 > MAX_PIXELS
+
+    # PNG: patch IHDR dims
+    png = bytearray(png_bytes(np.zeros((2, 2, 3), np.uint8)))
+    st.pack_into(">II", png, 16, 60000, 60000)
+    with pytest.raises(ValueError, match="too large|bad dim|CRC|IDAT"):
+        decode_png(bytes(png))
+
+    # JPEG: patch SOF dims
+    jpg = bytearray(jpeg_bytes(np.zeros((8, 8, 1), np.uint8)))
+    i = jpg.find(b"\xff\xc0")
+    st.pack_into(">HH", jpg, i + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpeg(bytes(jpg))
+
+    # TIFF: patch width/height tags via writer on small data then tags
+    tif = tiff_bytes(np.zeros((2, 2, 3), np.uint8))
+    big = tif.replace(st.pack("<HHIHH", 256, 3, 1, 2, 0),
+                      st.pack("<HHIHH", 256, 3, 1, 60000, 0)) \
+             .replace(st.pack("<HHIHH", 257, 3, 1, 2, 0),
+                      st.pack("<HHIHH", 257, 3, 1, 60000, 0))
+    with pytest.raises(ValueError):
+        decode_tiff(big)
+
+    # BMP: patch header dims
+    bmp = bytearray(b"BM" + b"\x00" * 60)
+    st.pack_into("<I", bmp, 10, 54)
+    st.pack_into("<Iii", bmp, 14, 40, 60000, 60000)
+    st.pack_into("<HHI", bmp, 26, 1, 24, 0)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bmp))
+
+    # GIF: huge logical screen
+    gif = bytearray(b"GIF89a" + st.pack("<HHBB", 60000, 60000, 0, 0)
+                    + b"\x00" + b"\x3b")
+    with pytest.raises(ValueError):
+        gif_frames(bytes(gif))

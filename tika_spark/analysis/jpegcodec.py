@@ -292,8 +292,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
     h, w = frame["h"], frame["w"]
-    if not h or not w:
-        raise ValueError("empty frame")
+    from tika_spark.analysis.pixels import check_dims
+    check_dims(w, h)   # decompression-bomb guard (shared MAX_PIXELS)
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:

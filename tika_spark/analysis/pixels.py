@@ -42,6 +42,20 @@ from pyspark.sql import DataFrame
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# decompression-bomb guard shared by every pixel decoder: per-axis
+# bounds alone admit a 65k x 65k header whose canvas allocation OOMs
+# the executor before one compressed byte is inflated (the image
+# analog of the HTML output-ratio guard, SecureContentHandler.java)
+MAX_PIXELS = 1 << 26    # 67 MP ≈ 200 MB as RGB uint8
+
+
+def check_dims(w: int, h: int) -> None:
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("bad dimensions")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"image too large ({w}x{h} > {MAX_PIXELS}px)")
+
+
 PIXEL_STATS_SCHEMA = ("id long, width int, height int, n_channels int, "
                       "mean_micro array<long>, status string")
 
@@ -83,8 +97,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG (depth={depth} color={color} "
             f"interlace={interlace})")
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
-        raise ValueError("bad dimensions")
+    check_dims(w, h)
     channels = _CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
@@ -136,7 +149,8 @@ def decode_png(data: bytes) -> np.ndarray:
     return arr
 
 
-def _gif_lzw_decode(min_code: int, data: bytes) -> bytes:
+def _gif_lzw_decode(min_code: int, data: bytes,
+                    limit: int = MAX_PIXELS) -> bytes:
     """GIF-variant LZW (LSB-first packing, CLEAR/EOI codes, 12-bit
     cap, width grows when the next code would overflow)."""
     clear = 1 << min_code
@@ -160,6 +174,8 @@ def _gif_lzw_decode(min_code: int, data: bytes) -> bytes:
                 continue
             if code == end:
                 return bytes(out)
+            if len(out) >= limit:
+                return bytes(out[:limit])
             if prev is None:
                 if code >= len(table):
                     raise ValueError("bad first LZW code")
@@ -226,7 +242,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                 chunks.append(data[pos + 1:pos + 1 + ln])
                 pos += 1 + ln
             idx = np.frombuffer(
-                _gif_lzw_decode(min_code, b"".join(chunks)),
+                _gif_lzw_decode(min_code, b"".join(chunks), iw * ih),
                 dtype=np.uint8)
             if len(idx) < iw * ih:
                 raise ValueError("truncated GIF image data")
@@ -270,7 +286,7 @@ def _gif_image_block(data: bytes, pos: int, gct):
         chunks.append(data[pos + 1:pos + 1 + ln])
         pos += 1 + ln
     pos += 1                             # data terminator
-    idx = np.frombuffer(_gif_lzw_decode(min_code, b"".join(chunks)),
+    idx = np.frombuffer(_gif_lzw_decode(min_code, b"".join(chunks), iw * ih),
                         dtype=np.uint8)
     if len(idx) < iw * ih:
         raise ValueError("truncated GIF image data")
@@ -298,8 +314,7 @@ def gif_frames(data: bytes, max_frames: int = 10_000
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, bg = struct.unpack_from("<HHBB", data, 6)
-    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
-        raise ValueError("bad dimensions")
+    check_dims(w, h)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -475,8 +490,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bits={bits} comp={comp})")
     top_down = h < 0
     h = abs(h)
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
-        raise ValueError("bad dimensions")
+    check_dims(w, h)
     stride = (w * bits // 8 + 3) & ~3
     if off + stride * h > len(data):
         raise ValueError("truncated pixel data")
@@ -613,9 +627,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     rps = tags.get(278, [h])[0] or h
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
-    if any(b != 8 for b in bits) or planar != 1 or spp not in (1, 3) \
-            or not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+    if any(b != 8 for b in bits) or planar != 1 or spp not in (1, 3):
         raise ValueError("unsupported TIFF layout")
+    check_dims(w, h)
     row_bytes = w * spp
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
