@@ -593,3 +593,40 @@ def test_decompression_bomb_guard():
                     + b"\x00" + b"\x3b")
     with pytest.raises(ValueError):
         gif_frames(bytes(gif))
+
+
+# ------------------------------------------------------------------- ICO
+
+def test_ico_roundtrip_dib_and_png():
+    from tika_spark.analysis.pixels import decode_ico, ico_bytes
+    rgb = np.random.default_rng(9).integers(0, 256, (7, 5, 3),
+                                            np.uint8)
+    out = decode_ico(ico_bytes(rgb))            # 32-bit DIB + mask
+    assert out.shape == (7, 5, 4)
+    assert np.array_equal(out[:, :, :3], rgb)
+    assert np.all(out[:, :, 3] == 255)
+    out2 = decode_ico(ico_bytes(rgb, as_png=True))  # embedded PNG
+    assert np.array_equal(out2[:, :, :3], rgb)
+    rgba = np.dstack([rgb, np.full((7, 5), 7, np.uint8)])
+    assert np.array_equal(decode_ico(ico_bytes(rgba)), rgba)
+
+
+def test_ico_rejects_garbage():
+    from tika_spark.analysis.pixels import decode_ico
+    for bad in (b"", b"\x00\x00\x01\x00", b"\x00\x00\x03\x00\x01\x00",
+                b"\x89PNG"):
+        with pytest.raises(ValueError):
+            decode_ico(bad)
+
+
+def test_ico_through_operator(spark):
+    from tika_spark.analysis.pixels import (ico_bytes,
+                                            image_pixel_stats)
+    solid = np.full((4, 6, 3), (9, 90, 200), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, ico_bytes(solid), "image/x-icon")],
+        "id long, payload binary, media_type string")
+    (row,) = image_pixel_stats(df).collect()
+    assert row["status"] == "ok" and row["n_channels"] == 4
+    assert row["mean_micro"] == [9_000_000, 90_000_000, 200_000_000,
+                                 255_000_000]

@@ -64,6 +64,9 @@ def real_decode(payload: bytes, media_type: str):
     if media_type == "image/tiff":
         from tika_spark.analysis.pixels import decode_tiff
         return decode_tiff(payload)
+    if media_type in ("image/x-icon", "image/vnd.microsoft.icon"):
+        from tika_spark.analysis.pixels import decode_ico
+        return decode_ico(payload)
     if media_type in ("audio/wav", "audio/x-wav", "audio/vnd.wave"):
         from tika_spark.analysis.pcm import decode_wav
         return decode_wav(payload)

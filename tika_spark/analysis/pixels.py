@@ -785,6 +785,103 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def decode_ico(data: bytes, index: int = 0) -> np.ndarray:
+    """ICO/CUR → uint8 RGBA array (h, w, 4) for one directory entry.
+
+    Entries are either embedded PNG (Vista+) — delegated to
+    decode_png — or a headerless DIB: BITMAPINFOHEADER with DOUBLED
+    height covering the XOR pixel block plus a 1-bit AND transparency
+    mask; 8-bit palette, 24-bit and 32-bit XOR data supported. The
+    AND mask (or the 32-bit alpha byte) becomes the alpha channel."""
+    if len(data) < 6 or data[:4] not in (b"\x00\x00\x01\x00",
+                                         b"\x00\x00\x02\x00"):
+        raise ValueError("not an ICO/CUR")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if not 0 <= index < count:
+        raise ValueError("no such icon entry")
+    e = 6 + 16 * index
+    if e + 16 > len(data):
+        raise ValueError("truncated icon directory")
+    size, off = struct.unpack_from("<II", data, e + 8)
+    blob = data[off:off + size]
+    if blob[:8] == _SIG:
+        png = decode_png(blob)
+        if png.shape[2] == 4:
+            return png
+        rgba = np.full(png.shape[:2] + (4,), 255, dtype=np.uint8)
+        rgba[:, :, :png.shape[2]] = png if png.shape[2] == 3 \
+            else np.repeat(png, 3, axis=2)
+        return rgba
+    if len(blob) < 40:
+        raise ValueError("truncated DIB")
+    hdr, w, h2 = struct.unpack_from("<Iii", blob, 0)
+    planes, bits = struct.unpack_from("<HH", blob, 12)
+    comp = struct.unpack_from("<I", blob, 16)[0]
+    h = abs(h2) // 2
+    if hdr < 40 or comp != 0 or bits not in (8, 24, 32):
+        raise ValueError(f"unsupported ICO DIB (bits={bits})")
+    check_dims(w, h)
+    pos = hdr
+    pal = None
+    if bits == 8:
+        n_pal = struct.unpack_from("<I", blob, 32)[0] or 256
+        pal = np.frombuffer(blob, dtype=np.uint8, count=4 * n_pal,
+                            offset=pos).reshape(-1, 4)
+        pos += 4 * n_pal
+    stride = (w * bits // 8 + 3) & ~3
+    if pos + stride * h > len(blob):
+        raise ValueError("truncated XOR data")
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h,
+                         offset=pos).reshape(h, stride)[::-1]
+    pos += stride * h
+    if bits == 8:
+        idx = rows[:, :w]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[idx][:, :, [2, 1, 0]]
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+    elif bits == 24:
+        rgb = rows[:, :w * 3].reshape(h, w, 3)[:, :, [2, 1, 0]]
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+    else:
+        px = rows[:, :w * 4].reshape(h, w, 4)
+        rgb = px[:, :, [2, 1, 0]]
+        alpha = px[:, :, 3].copy()
+    # 1-bit AND mask (present even for 32-bit icons): set bit = fully
+    # transparent, unless the 32-bit alpha channel is in use
+    mask_stride = ((w + 31) // 32) * 4
+    if pos + mask_stride * h <= len(blob) and \
+            (bits != 32 or int(alpha.max()) == 0):
+        mrows = np.frombuffer(
+            blob, dtype=np.uint8, count=mask_stride * h,
+            offset=pos).reshape(h, mask_stride)[::-1]
+        mbits = np.unpackbits(mrows, axis=1)[:, :w]
+        alpha = np.where(mbits == 1, 0, 255).astype(np.uint8)
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    out[:, :, :3] = rgb
+    out[:, :, 3] = alpha
+    return out
+
+
+def ico_bytes(arr: np.ndarray, as_png: bool = False) -> bytes:
+    """Fixture writer: one-entry ICO holding either an embedded PNG
+    or a 32-bit DIB (XOR block + all-opaque AND mask)."""
+    h, w, c = arr.shape
+    if as_png:
+        img = png_bytes(arr if c == 3 else arr[:, :, :3])
+    else:
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        rgba[:, :, :3] = arr[:, :, [2, 1, 0]][:, :, :3]  # BGR
+        rgba[:, :, 3] = arr[:, :, 3] if c == 4 else 255
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                          w * h * 4, 0, 0, 0, 0)
+        mask_stride = ((w + 31) // 32) * 4
+        img = hdr + rgba[::-1].tobytes() + b"\x00" * (mask_stride * h)
+    entry = struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
+                        len(img), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + img
+
+
 def png_bytes(arr: np.ndarray) -> bytes:
     """uint8 (h, w[, c]) array → PNG bytes (filter 0 rows, one IDAT).
     The deterministic fixture/sink counterpart of :func:`decode_png`
@@ -855,7 +952,10 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                            "image/bmp": decode_bmp,
                            "image/x-ms-bmp": decode_bmp,
                            "image/jpeg": decode_jpeg,
-                           "image/tiff": decode_tiff}.get(mt or "")
+                           "image/tiff": decode_tiff,
+                           "image/x-icon": decode_ico,
+                           "image/vnd.microsoft.icon": decode_ico,
+                           }.get(mt or "")
                 if decoder is not None:
                     try:
                         arr = decoder(bytes(payload or b""))
