@@ -551,3 +551,62 @@ def test_abiword_routes_to_xml_text():
     out = process_batch(df, ExtractConfig(mode="text"), part_id=0)
     assert out.loc[0, "mime"] == "application/x-abiword"
     assert "abi text here" in out.loc[0, "text"]
+
+
+class TestXmp:
+    """APP1/iTXt XMP packets (reference: JpegParser's JempBox path)."""
+
+    XMP = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/">'
+           b'<rdf:RDF xmlns:rdf='
+           b'"http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+           b'<rdf:Description'
+           b' xmlns:dc="http://purl.org/dc/elements/1.1/"'
+           b' xmlns:xmp="http://ns.adobe.com/xap/1.0/">'
+           b'<dc:title><rdf:Alt><rdf:li xml:lang="x-default">My Title'
+           b'</rdf:li></rdf:Alt></dc:title>'
+           b'<dc:creator><rdf:Seq><rdf:li>Jane Doe</rdf:li></rdf:Seq>'
+           b'</dc:creator>'
+           b'<dc:subject><rdf:Bag><rdf:li>cats</rdf:li>'
+           b'<rdf:li>dogs</rdf:li></rdf:Bag></dc:subject>'
+           b'<xmp:CreatorTool>TestTool 1.0</xmp:CreatorTool>'
+           b'</rdf:Description></rdf:RDF></x:xmpmeta>')
+
+    def test_jpeg_app1_xmp(self):
+        import struct
+
+        import numpy as np
+
+        from tika_spark.analysis.jpegcodec import jpeg_bytes
+        from tika_spark.media import extract_media
+        jpg = jpeg_bytes(np.full((8, 8, 1), 100, np.uint8))
+        seg = b"http://ns.adobe.com/xap/1.0/\x00" + self.XMP
+        app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+        m = extract_media(jpg[:2] + app1 + jpg[2:], mime="image/jpeg")
+        md = m["metadata"]
+        assert md["title"] == ["My Title"]
+        assert md["Author"] == ["Jane Doe"]
+        assert md["subject"] == ["cats", "dogs"]
+        assert md["xmp:CreatorTool"] == ["TestTool 1.0"]
+        assert md["width"] == ["8"]        # dims still parsed
+
+    def test_png_itxt_xmp(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from tika_spark.analysis.pixels import png_bytes
+        from tika_spark.media import extract_media
+        png = png_bytes(np.zeros((2, 2, 3), np.uint8))
+        body = b"XML:com.adobe.xmp\x00\x00\x00\x00\x00" + self.XMP
+        chunk = (struct.pack(">I", len(body)) + b"iTXt" + body
+                 + struct.pack(">I", zlib.crc32(b"iTXt" + body)))
+        blob = png[:33] + chunk + png[33:]   # after sig+IHDR
+        m = extract_media(blob, mime="image/png")
+        assert m["metadata"]["title"] == ["My Title"]
+        assert m["metadata"]["Author"] == ["Jane Doe"]
+
+    def test_malformed_xmp_is_ignored(self):
+        from tika_spark.media import _parse_xmp
+        assert _parse_xmp(b"<broken <xml") == {}
+        assert _parse_xmp(b"") == {}

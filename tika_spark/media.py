@@ -10,9 +10,10 @@ peeks bounded to the first few KB, no codec libraries:
 - BMP: BITMAPINFOHEADER (little-endian at offset 18)
 - JPEG: first SOFn segment's height/width (segment walk)
 
-Deeper EXIF/XMP extraction is the integration point a codec-equipped
-deployment would fill in (see tika_spark.analysis.multimodal for the
-decode plumbing contract).
+EXIF (TIFF IFD walk, both byte orders, GPS sub-IFD) and XMP (APP1
+RDF packets in JPEG, iTXt XML:com.adobe.xmp in PNG — the reference's
+JempBox path) are parsed in-repo; full pixel decode lives in
+tika_spark.analysis.pixels / jpegcodec.
 """
 
 from __future__ import annotations
@@ -438,6 +439,92 @@ def _jpeg_exif(data: bytes) -> dict[str, list[str]]:
         i += 2 + seg_len
     return {}
 
+_XMP_SIG = b"http://ns.adobe.com/xap/1.0/\x00"
+
+# XMP property → metadata key (the JempBox set the reference maps in
+# image/xmp handling: dc core + xmp:CreatorTool/CreateDate)
+_XMP_DC = {"title": "title", "creator": "Author",
+           "description": "description", "subject": "subject",
+           "rights": "rights"}
+
+
+def _parse_xmp(packet: bytes) -> dict[str, list[str]]:
+    """Dublin Core + xmp: basics out of an RDF/XML packet (lenient:
+    any parse failure yields {}). rdf:Alt/Seq/Bag li values are
+    flattened in document order."""
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(packet.decode("utf-8", "replace"))
+    except ET.ParseError:
+        return {}
+    out: dict[str, list[str]] = {}
+    _DC = "{http://purl.org/dc/elements/1.1/}"
+    _XMP = "{http://ns.adobe.com/xap/1.0/}"
+    _LI = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}li"
+    for el in root.iter():
+        tag = el.tag
+        if tag.startswith(_DC) and tag[len(_DC):] in _XMP_DC:
+            key = _XMP_DC[tag[len(_DC):]]
+            vals = [li.text.strip() for li in el.iter(_LI)
+                    if li.text and li.text.strip()]
+            if not vals and el.text and el.text.strip():
+                vals = [el.text.strip()]
+            if vals:
+                out.setdefault(key, []).extend(
+                    v for v in vals if v not in out.get(key, []))
+        elif tag == _XMP + "CreatorTool" and el.text:
+            out["xmp:CreatorTool"] = [el.text.strip()]
+        elif tag == _XMP + "CreateDate" and el.text:
+            out["xmp:CreateDate"] = [el.text.strip()]
+    return out
+
+
+def _jpeg_xmp(data: bytes) -> dict[str, list[str]]:
+    """Find the APP1 XMP segment (the JempBox path of the reference's
+    JpegParser) and parse its RDF packet."""
+    i, n = 2, min(len(data), 262144)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        if marker == 0xE1 and data[i + 4:i + 4 + len(_XMP_SIG)] \
+                == _XMP_SIG:
+            return _parse_xmp(data[i + 4 + len(_XMP_SIG):
+                                   i + 2 + seg_len])
+        i += 2 + seg_len
+    return {}
+
+
+def _png_xmp(data: bytes) -> dict[str, list[str]]:
+    """XMP from a PNG iTXt chunk keyed "XML:com.adobe.xmp"."""
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        if ctype == b"iTXt":
+            body = data[pos + 8:pos + 8 + ln]
+            if body.startswith(b"XML:com.adobe.xmp\x00"):
+                # keyword NUL | compflag(1) method(1) | lang NUL |
+                # translated-keyword NUL | text
+                rest = body[len(b"XML:com.adobe.xmp\x00"):]
+                if len(rest) > 2 and rest[0] == 0:  # uncompressed
+                    parts = rest[2:].split(b"\x00", 2)
+                    if len(parts) == 3:
+                        return _parse_xmp(parts[2])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    return {}
+
+
 # ---- MP3 ID3 tags (reference: tika-parsers/.../mp3/Mp3Parser.java,
 # ID3v2Frame.java — an in-repo 1643 LoC frame reader; we cover the
 # v1 TAG block and v2 text frames TIT2/TPE1/TALB)
@@ -781,6 +868,15 @@ def extract_media(data: bytes, url: str | None = None,
     if mime == "image/jpeg":
         try:
             metadata.update(_jpeg_exif(data))
+        except Exception:
+            pass
+        try:
+            metadata.update(_jpeg_xmp(data))
+        except Exception:
+            pass
+    elif mime == "image/png":
+        try:
+            metadata.update(_png_xmp(data))
         except Exception:
             pass
     if mime == "audio/mpeg":
