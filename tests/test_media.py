@@ -610,3 +610,51 @@ class TestXmp:
         from tika_spark.media import _parse_xmp
         assert _parse_xmp(b"<broken <xml") == {}
         assert _parse_xmp(b"") == {}
+
+
+class TestMidiText:
+    """MTrk meta-event text (reference: audio/MidiParser.java emits
+    track names / lyrics as body content, incl. karaoke .kar)."""
+
+    @staticmethod
+    def _varlen(v):
+        out = bytearray([v & 0x7F])
+        v >>= 7
+        while v:
+            out.insert(0, 0x80 | (v & 0x7F))
+            v >>= 7
+        return bytes(out)
+
+    def _midi(self, events):
+        import struct
+        track = b"".join(events) + b"\x00\xff\x2f\x00"
+        return (b"MThd" + struct.pack(">IHHH", 6, 1, 1, 480)
+                + b"MTrk" + struct.pack(">I", len(track)) + track)
+
+    def _meta(self, t, body):
+        return b"\x00\xff" + bytes([t]) + self._varlen(len(body)) + body
+
+    def test_track_name_lyrics_and_running_status(self):
+        from tika_spark.media import extract_media
+        midi = self._midi([
+            self._meta(3, b"My Song"),
+            self._meta(5, b"La la "),
+            b"\x00\x90\x40\x40",      # note on
+            b"\x00\x40\x40",          # running-status note
+            self._meta(5, b"dee da"),
+            self._meta(2, b"(c) 2026"),
+        ])
+        r = extract_media(midi, mime="audio/midi")
+        assert r["title"] == "My Song"
+        assert r["text"] == "La la dee da"   # raw lyric spacing kept
+        assert r["metadata"]["copyright"] == ["(c) 2026"]
+        assert r["metadata"]["tracks"] == ["1"]
+
+    def test_header_only_fixture_shape_unchanged(self):
+        import struct
+
+        from tika_spark.media import extract_media
+        blob = (b"MThd" + struct.pack(">IHHH", 6, 1, 2, 480)
+                + b"not a track")
+        r = extract_media(blob, mime="audio/midi")
+        assert r["text"] == "" and r["metadata"]["tracks"] == ["2"]

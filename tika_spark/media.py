@@ -613,6 +613,77 @@ def _midi_meta(data: bytes) -> dict[str, list[str]]:
     return meta
 
 
+_MIDI_META_TEXT = {1: "text", 2: "copyright", 3: "trackName",
+                   4: "instrument", 5: "lyrics"}
+
+
+def _midi_text(data: bytes) -> tuple[dict[str, list[str]], str]:
+    """Walk MTrk event streams and collect the FF 01-05 meta-event
+    text (text/copyright/track-name/instrument/lyrics) — the
+    reference's MidiParser emits these as body text (karaoke .kar
+    lyrics included). Handles running status and variable-length
+    deltas; any malformed track stops that track, never raises."""
+    meta: dict[str, list[str]] = {}
+    lyric_parts: list[str] = []
+    pos = 14
+    n = len(data)
+
+    def varlen(p):
+        v = 0
+        while p < n:
+            b = data[p]
+            p += 1
+            v = (v << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        return v, p
+
+    while pos + 8 <= n:
+        if data[pos:pos + 4] != b"MTrk":
+            break
+        (tlen,) = struct.unpack_from(">I", data, pos + 4)
+        p = pos + 8
+        end = min(p + tlen, n)
+        status = 0
+        try:
+            while p < end:
+                _, p = varlen(p)
+                if p >= end:
+                    break
+                b0 = data[p]
+                if b0 >= 0x80:
+                    status = b0
+                    p += 1
+                if status == 0xFF:
+                    mtype = data[p]
+                    ln, p2 = varlen(p + 1)
+                    body = data[p2:p2 + ln]
+                    p = p2 + ln
+                    key = _MIDI_META_TEXT.get(mtype)
+                    if key:
+                        raw_val = body.decode("latin-1", "replace")
+                        val = raw_val.strip()
+                        if val:
+                            if key in ("lyrics", "text"):
+                                # keep the raw spacing: karaoke lyric
+                                # events carry inter-word whitespace
+                                lyric_parts.append(raw_val)
+                            meta.setdefault(key, []).append(val)
+                    if mtype == 0x2F:     # end of track
+                        break
+                elif status in (0xF0, 0xF7):
+                    ln, p2 = varlen(p)
+                    p = p2 + ln
+                elif 0x80 <= status <= 0xEF:
+                    p += 1 if (status & 0xF0) in (0xC0, 0xD0) else 2
+                else:
+                    break                 # lost sync
+        except (IndexError, struct.error):
+            pass
+        pos += 8 + tlen
+    return meta, "".join(lyric_parts)
+
+
 def _ieee754_extended(b: bytes) -> float:
     """80-bit extended float (AIFF sample rate field)."""
     exp = ((b[0] & 0x7F) << 8) | b[1]
@@ -900,10 +971,20 @@ def extract_media(data: bytes, url: str | None = None,
             metadata.update(_META_BY_MIME[mime](data))
         except Exception:
             pass
+    text = ""
+    if mime == "audio/midi" and data[:4] == b"MThd":
+        # MidiParser.java emits meta-event text as body content
+        try:
+            mmeta, text = _midi_text(data)
+            metadata.update(mmeta)
+            if title is None and "trackName" in mmeta:
+                title = mmeta["trackName"][0]
+        except Exception:
+            pass
     return {
         "charset": None,
         "title": title,
-        "text": "",
+        "text": text,
         "spans": [],
         "links": [],
         "metadata": metadata,
