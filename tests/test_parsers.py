@@ -574,3 +574,23 @@ class TestPdfHardening:
         assert r["status"] == "write_limit" and len(r["text"]) == 5
         for s, e, _ in r["spans"]:
             assert s < len(r["text"]) and e <= len(r["text"])
+
+
+def test_fictionbook_skips_binary_blobs():
+    """E12/xml: FB2 base64 <binary> payloads (cover art — megabytes
+    in real files) must never reach the text, and book-title is the
+    document title (xml/FictionBookParser.java semantics)."""
+    from tika_spark.xmlparse import extract_xml
+    fb2 = (b'<?xml version="1.0"?>'
+           b'<FictionBook xmlns='
+           b'"http://www.gribuser.ru/xml/fictionbook/2.0">'
+           b'<description><title-info>'
+           b'<book-title>The Book</book-title>'
+           b'</title-info></description>'
+           b'<body><section><p>Chapter text here.</p></section></body>'
+           b'<binary id="c.jpg" content-type="image/jpeg">'
+           b'aGVsbG8gYmFzZTY0IGp1bms=</binary></FictionBook>')
+    r = extract_xml(fb2)
+    assert "Chapter text here." in r["text"]
+    assert "aGVsbG8" not in r["text"]
+    assert r["title"] == "The Book"

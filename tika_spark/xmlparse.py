@@ -66,12 +66,25 @@ def extract_xml(data: bytes, url: str | None = None,
         return _error_result(charset, "malformed xml")
 
     metadata: dict[str, list[str]] = {"Content-Type": ["application/xml"]}
+    _, root_local = _local(root.tag)
+    # FictionBook: base64 <binary> blobs (cover art, embedded images —
+    # megabytes in real .fb2 files) must never reach the text, and
+    # <book-title> is the document title (xml/FictionBookParser.java
+    # skips binary; TIKA's fb2 type maps book-title → dc:title)
+    fb2 = root_local == "FictionBook"
     for el in root.iter():
         ns, local = _local(el.tag)
         if ns == _DC_NS and local in _DC_KEYS and el.text and el.text.strip():
             key = "title" if local == "title" else f"dc:{local}"
             metadata.setdefault(key, []).append(el.text.strip())
+        elif fb2 and local == "book-title" and el.text and el.text.strip():
+            metadata.setdefault("title", []).append(el.text.strip())
 
+    if fb2:
+        for parent in root.iter():
+            for child in list(parent):
+                if _local(child.tag)[1] == "binary":
+                    parent.remove(child)
     pieces = [t for t in root.itertext()]
     text = safe_chars("".join(pieces))
     status = "ok"
