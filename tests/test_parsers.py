@@ -594,3 +594,19 @@ def test_fictionbook_skips_binary_blobs():
     assert "Chapter text here." in r["text"]
     assert "aGVsbG8" not in r["text"]
     assert r["title"] == "The Book"
+
+
+def test_svg_strips_style_script_metadata():
+    """SVG via the XML route: CSS/JS/RDF subtrees are not document
+    text (same discard set as the HTML chain); title and text
+    elements survive."""
+    from tika_spark.xmlparse import extract_xml
+    svg = (b'<?xml version="1.0"?>'
+           b'<svg xmlns="http://www.w3.org/2000/svg">'
+           b'<style>.a{fill:red}</style><script>alert(1)</script>'
+           b'<title>Logo</title><text>Visible label</text>'
+           b'<metadata>rdf junk</metadata></svg>')
+    r = extract_xml(svg)
+    assert "fill:red" not in r["text"] and "alert" not in r["text"]
+    assert "rdf junk" not in r["text"]
+    assert "Logo" in r["text"] and "Visible label" in r["text"]

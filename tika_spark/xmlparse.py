@@ -80,10 +80,15 @@ def extract_xml(data: bytes, url: str | None = None,
         elif fb2 and local == "book-title" and el.text and el.text.strip():
             metadata.setdefault("title", []).append(el.text.strip())
 
-    if fb2:
+    # non-content subtrees by root vocabulary: FB2 base64 binaries;
+    # SVG style/script/metadata (CSS, JS and RDF are not document
+    # text — the HTML chain discards the same subtrees)
+    drop = {"binary"} if fb2 else \
+        {"style", "script", "metadata"} if root_local == "svg" else None
+    if drop:
         for parent in root.iter():
             for child in list(parent):
-                if _local(child.tag)[1] == "binary":
+                if _local(child.tag)[1] in drop:
                     parent.remove(child)
     pieces = [t for t in root.itertext()]
     text = safe_chars("".join(pieces))
