@@ -785,20 +785,23 @@ def _q_media_pixel_stats(spark, sf_dir):
 
 
 def _pcm_wav_wrap_udf():
-    """Mono WAV per document row. Even ids: square-wave PCM16 with
+    """Mono audio per document row. Even ids: a square wave with
     amplitude pinned ODD (A = 1001 + 2·(id%10000)) so A·1e6/32768
     never lands on a rounding boundary — RMS and peak of an
-    alternating ±A signal are exactly A/full-scale. Odd ids: G.711
-    μ-law (format tag 7) holding one constant code c = id%256 — the
-    expanded linear magnitude has the closed form
+    alternating ±A signal are exactly A/full-scale; carried as WAV
+    PCM16 for id%4==0 and as FLAC (real fixed-order-2 prediction +
+    Rice residuals, STREAMINFO-MD5 self-verified) for id%4==2 — the
+    lossless codec leaves the oracle formula untouched. Odd ids:
+    G.711 μ-law (format tag 7) holding one constant code c = id%256 —
+    the expanded linear magnitude has the closed form
     ((c̄%16)·8 + 132)·2^((c̄//16)%8) − 132 with c̄ = 255−c, which the
-    oracle replays in SQL. Both make the decode stats
-    hash-checkable."""
+    oracle replays in SQL."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     import numpy as np
 
+    from tika_spark.analysis.flac import flac_bytes
     from tika_spark.analysis.pcm import wav_bytes, wav_bytes_g711
 
     @pandas_udf(BinaryType())
@@ -811,7 +814,11 @@ def _pcm_wav_wrap_udf():
                 amp = 1001 + 2 * (i % 10000)
                 wave = np.tile(np.array([amp, -amp], dtype=np.int16),
                                frames // 2)
-                out.append(wav_bytes(wave, 8000))
+                if i % 4 == 0:
+                    out.append(wav_bytes(wave, 8000))
+                else:
+                    out.append(flac_bytes(wave, 8000, mode="fixed2",
+                                          rice_param=13))
             else:
                 codes = np.full(frames, i % 256, dtype=np.uint8)
                 out.append(wav_bytes_g711(codes, 8000, law="ulaw"))
@@ -827,7 +834,8 @@ def _q_media_pcm_stats(spark, sf_dir):
     media = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("id"),
         wrap(F.col("doc_id")).alias("payload"),
-        F.lit("audio/wav").alias("media_type"))
+        F.when(F.pmod("doc_id", F.lit(4)) == 2, F.lit("audio/flac"))
+        .otherwise(F.lit("audio/wav")).alias("media_type"))
     out = audio_pcm_stats(media)
     return out.select(
         "id", F.col("n_channels").cast("long").alias("n_channels"),

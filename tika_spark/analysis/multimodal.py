@@ -70,6 +70,9 @@ def real_decode(payload: bytes, media_type: str):
     if media_type in ("audio/wav", "audio/x-wav", "audio/vnd.wave"):
         from tika_spark.analysis.pcm import decode_wav
         return decode_wav(payload)
+    if media_type in ("audio/flac", "audio/x-flac"):
+        from tika_spark.analysis.flac import decode_flac
+        return decode_flac(payload)
     raise NotImplementedError(
         "codec libraries for compressed media (MP3 PCM/video frames) "
         "are not installed in this environment; decode_media uses "

@@ -184,10 +184,19 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
                        "n_samples": 0, "duration_ms": 0,
                        "rms_micro": 0, "peak_micro": 0,
                        "status": "unsupported"}
-                if (mt or "") in ("audio/wav", "audio/x-wav",
-                                  "audio/vnd.wave"):
+                mt = mt or ""
+                if mt in ("audio/wav", "audio/x-wav",
+                          "audio/vnd.wave", "audio/flac",
+                          "audio/x-flac"):
                     try:
-                        arr, rate = decode_wav(bytes(payload or b""))
+                        if mt.endswith("flac"):
+                            from tika_spark.analysis.flac import \
+                                decode_flac
+                            arr, rate = decode_flac(
+                                bytes(payload or b""))
+                        else:
+                            arr, rate = decode_wav(
+                                bytes(payload or b""))
                         row.update(n_channels=arr.shape[1],
                                    sample_rate=rate,
                                    **pcm_stats(arr, rate),
