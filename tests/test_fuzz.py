@@ -229,3 +229,45 @@ def test_g711_wav_decode_raises_cleanly(data):
         assert rate >= 1
     except (ValueError, struct.error):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_flac_decoder_raises_cleanly(data):
+    from tika_spark.analysis.flac import decode_flac
+    try:
+        decode_flac(b"fLaC" + data)
+    except (ValueError, struct.error, IndexError):
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(cut=st.integers(min_value=0, max_value=2000),
+       flip=st.integers(min_value=0, max_value=1999),
+       val=st.integers(min_value=0, max_value=255))
+def test_flac_mutations_contained(cut, flip, val):
+    import numpy as np
+
+    from tika_spark.analysis.flac import decode_flac, flac_bytes
+    good = bytearray(flac_bytes(
+        (900 * np.sin(np.arange(300) / 7.0)).astype(np.int16),
+        8000, mode="fixed2", rice_param=6))
+    try:
+        decode_flac(bytes(good[:cut]))
+    except (ValueError, struct.error, IndexError):
+        pass
+    good[flip % len(good)] = val
+    try:
+        decode_flac(bytes(good))
+    except (ValueError, struct.error, IndexError):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_ico_decoder_raises_cleanly(data):
+    from tika_spark.analysis.pixels import decode_ico
+    try:
+        decode_ico(b"\x00\x00\x01\x00" + data)
+    except (ValueError, struct.error, IndexError):
+        pass

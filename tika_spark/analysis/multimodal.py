@@ -12,15 +12,19 @@ Decode tiers:
    (tika_spark.media: PNG/GIF/BMP/JPEG/TIFF/PSD/WebP/ICO); MP3
    duration is estimated from the first MPEG frame header's bitrate.
    No codec library needed — this tier runs everywhere.
-2. **Full decode.** PNG/GIF/BMP and baseline JPEG decode for REAL —
-   pure zlib/LZW/Huffman + numpy in
-   :mod:`tika_spark.analysis.pixels` and
-   :mod:`tika_spark.analysis.jpegcodec`, WAV PCM in
-   :mod:`tika_spark.analysis.pcm` — with exact micro-unit channel
-   stats and deterministic resize on top. Remaining codecs (MP3
-   PCM synthesis, video frames) need libraries this container
-   lacks; for those ``real_decode`` remains the clearly-marked hook
-   that raises NotImplementedError until a codec lands.
+2. **Full decode.** Images decode for REAL — PNG / GIF (incl.
+   animated compositing) / BMP / TIFF / ICO in
+   :mod:`tika_spark.analysis.pixels` and baseline JPEG in
+   :mod:`tika_spark.analysis.jpegcodec`; audio as WAV PCM + G.711
+   μ-law/A-law in :mod:`tika_spark.analysis.pcm` and FLAC
+   (STREAMINFO-MD5 self-verified) in
+   :mod:`tika_spark.analysis.flac`; video frames via MJPEG-AVI demux
+   and animated-GIF sampling in :mod:`tika_spark.analysis.video` —
+   all pure Python+numpy, with exact micro-unit stats and
+   deterministic resize on top. Remaining codecs (perceptual audio,
+   inter-frame video) need libraries this container lacks; for those
+   ``real_decode`` remains the clearly-marked hook that raises
+   NotImplementedError until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
    (e.g. the synthetic ``image/fake``) fall back to metadata derived
    from payload length, so tests/oracles can pin values.
