@@ -161,19 +161,40 @@ def main():
     ivf_idx[0].unpersist()
     pq_idx[0].unpersist()
 
-    # multimodal full decode: real PNG/GIF pixel work (payload
-    # generation is materialized outside the timed region)
+    # multimodal full decode: real PNG/GIF/JPEG/TIFF pixel work
+    # (payload generation is materialized outside the timed region)
     from __spark_entry__ import _png_pixels_wrap_udf
     from tika_spark.analysis.pixels import image_pixel_stats
     wrap = _png_pixels_wrap_udf()
     media = docs.select(
         F.col("doc_id").alias("id"),
         wrap(F.col("doc_id")).alias("payload"),
-        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("image/png"))
-        .otherwise(F.lit("image/gif")).alias("media_type")).cache()
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("image/png"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit("image/gif"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit("image/jpeg"))
+        .otherwise(F.lit("image/tiff")).alias("media_type")).cache()
     media.count()
     timed("media_pixel_decode", lambda: force(image_pixel_stats(media)))
     media.unpersist()
+
+    # video frame sampling: MJPEG-AVI demux + JPEG decode / animated
+    # GIF compositing, one row per sampled frame
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats, video_fixture
+
+    @pandas_udf(BinaryType())
+    def vwrap(ids):
+        import pandas as _pd
+        return _pd.Series([video_fixture(int(i)) for i in ids])
+
+    videos = docs.select(F.col("doc_id").alias("id"),
+                         vwrap(F.col("doc_id")).alias("payload")).cache()
+    videos.count()
+    timed("media_video_frames", lambda: force(
+        sample_frame_stats(videos, every=2)))
+    videos.unpersist()
 
     elapsed = round(time.perf_counter() - t_all, 3)
     total = round(sum(queries.values()), 3)

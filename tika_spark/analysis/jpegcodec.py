@@ -355,8 +355,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
         dez = np.zeros((by, bx, 64))
         dez[:, :, ZIGZAG] = coeff
         blocks = dez.reshape(by, bx, 8, 8)
-        spatial = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C,
-                            optimize=True)
+        # batched IDCT as two broadcast matmuls (C^T X C) — einsum's
+        # per-call path planning dominated on small images
+        spatial = _C.T @ blocks @ _C
         img = (spatial.transpose(0, 2, 1, 3)
                .reshape(by * 8, bx * 8)) + 128.0
         # upsample by replication to full MCU-grid resolution

@@ -168,7 +168,11 @@ def _gif_lzw_decode(min_code: int, data: bytes,
             acc >>= width
             nbits -= width
             if code == clear:
-                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                # truncate instead of rebuilding: a stream of
+                # per-symbol CLEARs (our own bloated fixture encoder,
+                # but also legal in the wild) must stay O(1) per
+                # reset, not O(table) (measured 40x on GIF frames)
+                del table[clear + 2:]
                 width = min_code + 1
                 prev = None
                 continue
