@@ -71,3 +71,38 @@ def test_flac_through_operator(spark):
     assert ok["rms_micro"] == want and ok["peak_micro"] == want
     assert ok["duration_ms"] == 100
     assert out[2]["status"] == "error"
+
+
+# --------------------------------------------------- AU / AIFF PCM --
+
+def test_au_roundtrip_and_mulaw():
+    from tika_spark.analysis.pcm import (_ulaw_table, au_bytes,
+                                         decode_au)
+    a = np.array([100, -32768, 32767, 0], np.int16)
+    dec, rate = decode_au(au_bytes(a, 16000))
+    assert rate == 16000
+    assert np.array_equal(dec[:, 0], a.astype(np.int32))
+    # encoding 1: mu-law codes through the G.711 table
+    import struct as st
+    codes = bytes(range(8))
+    blob = (b".snd" + st.pack(">IIIII", 24, len(codes), 1, 8000, 1)
+            + codes)
+    dec2, _ = decode_au(blob)
+    assert np.array_equal(dec2[:, 0], _ulaw_table()[list(range(8))])
+
+
+def test_aiff_roundtrip():
+    from tika_spark.analysis.pcm import aiff_bytes, decode_aiff
+    a = np.array([[5, -5], [700, -700], [32767, -32768]], np.int16)
+    dec, rate = decode_aiff(aiff_bytes(a, 44100))
+    assert rate == 44100
+    assert np.array_equal(dec, a.astype(np.int32))
+
+
+def test_au_aiff_reject_garbage():
+    from tika_spark.analysis.pcm import decode_aiff, decode_au
+    for bad in (b"", b".snd", b"FORM1234AIFX"):
+        with pytest.raises(ValueError):
+            decode_au(bad)
+        with pytest.raises(ValueError):
+            decode_aiff(bad)

@@ -77,6 +77,12 @@ def real_decode(payload: bytes, media_type: str):
     if media_type in ("audio/flac", "audio/x-flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)
+    if media_type == "audio/basic":
+        from tika_spark.analysis.pcm import decode_au
+        return decode_au(payload)
+    if media_type == "audio/x-aiff":
+        from tika_spark.analysis.pcm import decode_aiff
+        return decode_aiff(payload)
     raise NotImplementedError(
         "codec libraries for compressed media (MP3 PCM/video frames) "
         "are not installed in this environment; decode_media uses "

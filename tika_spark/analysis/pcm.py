@@ -155,6 +155,87 @@ def wav_bytes(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(payload) - 4) + payload
 
 
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au (audio/basic) → (int samples (n, ch), rate).
+
+    Encodings: 1 (G.711 μ-law — reuses the expansion table), 2
+    (8-bit linear), 3 (16-bit big-endian linear)."""
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError("not an AU file")
+    off, size, enc, rate, channels = struct.unpack_from(">IIIII", data, 4)
+    if channels < 1 or rate < 1 or off < 24:
+        raise ValueError("bad AU header")
+    body = data[off:off + size if size != 0xFFFFFFFF else len(data)]
+    if enc == 1:
+        arr = _G711[7][np.frombuffer(body, dtype=np.uint8)]
+    elif enc == 2:
+        arr = np.frombuffer(body, dtype=np.int8).astype(np.int32) * 256
+    elif enc == 3:
+        arr = np.frombuffer(body[:len(body) // 2 * 2],
+                            dtype=">i2").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    arr = arr[:len(arr) // channels * channels]
+    return arr.reshape(-1, channels), int(rate)
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF → (int samples (n, ch), rate): COMM (channels, bits,
+    80-bit extended sample rate) + SSND big-endian PCM16."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + ln]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + ln + (ln & 1)
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("missing COMM/SSND chunk")
+    channels, _nframes, bits = struct.unpack_from(">HIH", comm, 0)
+    from tika_spark.media import _ieee754_extended
+    rate = int(round(_ieee754_extended(comm[8:18])))
+    if bits != 16 or channels < 1 or rate < 1:
+        raise ValueError(f"unsupported AIFF ({bits}-bit)")
+    (data_off,) = struct.unpack_from(">I", ssnd, 0)
+    pcm = ssnd[8 + data_off:]
+    arr = np.frombuffer(pcm[:len(pcm) // (2 * channels) * 2 * channels],
+                        dtype=">i2").astype(np.int32)
+    return arr.reshape(-1, channels), rate
+
+
+def au_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 array → big-endian .au (encoding 3) fixture bytes."""
+    a = np.asarray(samples, dtype=">i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    body = a.tobytes()
+    return (b".snd" + struct.pack(">IIIII", 24, len(body), 3, rate,
+                                  a.shape[1]) + body)
+
+
+def aiff_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 array → AIFF fixture bytes (COMM + SSND, PCM16 BE)."""
+    a = np.asarray(samples, dtype=">i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, channels = a.shape
+    # 80-bit extended sample rate
+    exp = 16383 + 30
+    mant = rate << (63 - 30)
+    ext = struct.pack(">HQ", exp, mant)
+    comm = struct.pack(">HIH", channels, n, 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + a.tobytes()
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def wav_bytes_g711(codes: np.ndarray, rate: int,
                    law: str = "ulaw", channels: int = 1) -> bytes:
     """uint8 G.711 code array → WAV bytes with format tag 7 (μ-law)
@@ -187,12 +268,19 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
                 mt = mt or ""
                 if mt in ("audio/wav", "audio/x-wav",
                           "audio/vnd.wave", "audio/flac",
-                          "audio/x-flac"):
+                          "audio/x-flac", "audio/basic",
+                          "audio/x-aiff"):
                     try:
                         if mt.endswith("flac"):
                             from tika_spark.analysis.flac import \
                                 decode_flac
                             arr, rate = decode_flac(
+                                bytes(payload or b""))
+                        elif mt == "audio/basic":
+                            arr, rate = decode_au(
+                                bytes(payload or b""))
+                        elif mt == "audio/x-aiff":
+                            arr, rate = decode_aiff(
                                 bytes(payload or b""))
                         else:
                             arr, rate = decode_wav(
