@@ -630,3 +630,72 @@ def test_ico_through_operator(spark):
     assert row["status"] == "ok" and row["n_channels"] == 4
     assert row["mean_micro"] == [9_000_000, 90_000_000, 200_000_000,
                                  255_000_000]
+
+
+def test_tiff_palette_photometric():
+    """Photometric 3 (palette): 16-bit ColorMap scaled to 8-bit,
+    hand-built fixture (the writer only emits gray/RGB)."""
+    import struct as st
+
+    from tika_spark.analysis.pixels import decode_tiff
+    w = h = 2
+    idx = bytes([0, 1, 2, 3])
+    cmap = []
+    pal8 = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (250, 0, 128)]
+    for c in range(3):                       # plane-major R*256,G,B
+        vals = [pal8[i][c] << 8 for i in range(4)] + [0] * 252
+        cmap.extend(vals)
+    entries = []
+    data_off = 8
+    cmap_off = None
+
+    def entry(tag, typ, cnt, value_or_off):
+        entries.append(st.pack("<HHI", tag, typ, cnt)
+                       + st.pack("<I", value_or_off))
+
+    # layout: header | idx(4) | cmap(1536) | IFD
+    cmap_off = data_off + len(idx)
+    ifd_off = cmap_off + 2 * len(cmap)
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 3)                      # palette
+    entry(273, 4, 1, data_off)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, h)
+    entry(279, 4, 1, len(idx))
+    entry(320, 3, len(cmap), cmap_off)
+    blob = (st.pack("<2sHI", b"II", 42, ifd_off) + idx
+            + st.pack("<768H", *cmap)
+            + st.pack("<H", len(entries)) + b"".join(entries)
+            + st.pack("<I", 0))
+    got = decode_tiff(blob)
+    assert got.shape == (2, 2, 3)
+    want = np.array(pal8, np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(got, want)
+
+
+def test_ico_8bit_palette_entry():
+    """8-bit ICO DIB: BGRA palette + index XOR block + AND mask."""
+    import struct as st
+
+    from tika_spark.analysis.pixels import decode_ico
+    w = h = 2
+    pal = [(1, 2, 3, 0), (200, 100, 50, 0)]   # BGRA
+    idx_rows = [bytes([0, 1]) + b"\x00\x00",  # stride padded to 4
+                bytes([1, 0]) + b"\x00\x00"]
+    hdr = st.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 8, 0, 0, 0, 0,
+                  2, 0)
+    dib = (hdr + b"".join(bytes(p) for p in pal)
+           + idx_rows[1] + idx_rows[0]        # bottom-up
+           + b"\x00" * 8)                     # AND mask: opaque
+    entry = st.pack("<BBBBHHII", w, h, 2, 0, 1, 8, len(dib), 22)
+    blob = b"\x00\x00\x01\x00\x01\x00" + entry + dib
+    got = decode_ico(blob)
+    assert got.shape == (2, 2, 4)
+    # palette is BGR: entry 0 -> RGB (3,2,1), entry 1 -> (50,100,200)
+    assert tuple(got[0, 0, :3]) == (3, 2, 1)
+    assert tuple(got[0, 1, :3]) == (50, 100, 200)
+    assert tuple(got[1, 0, :3]) == (50, 100, 200)
+    assert np.all(got[:, :, 3] == 255)
