@@ -21,16 +21,19 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 111 queries / 109 oracle rows. media_pixel_stats runs the
+Round 3: 112 queries / 110 oracle rows. media_pixel_stats runs the
 from-scratch pixel decoders (analysis/pixels.py PNG/GIF/TIFF,
 analysis/jpegcodec.py baseline JPEG — the lossy path hash-exact via
 the DC-quantization closed form) over real compressed payloads with
 exactly-predictable channel means; media_video_frames demuxes MJPEG
-AVI and decodes sampled frames (analysis/video.py); media_pcm_stats
-decodes RIFF/WAVE PCM16 samples (analysis/pcm.py) with exact
-integer-sum RMS/peak stats; extract_checkpointed pins the
-interrupted-then-resumed manifest of the checkpointed batch run
-(pipeline/checkpoint.py) against pure-SQL bucket counts; the
+AVI / animated GIF and decodes sampled frames (analysis/video.py);
+media_pcm_stats decodes WAV PCM16, G.711 μ-law (closed-form SQL
+expansion), and FLAC (analysis/flac.py — fixed-prediction + Rice,
+STREAMINFO-MD5 self-verified) with exact integer-sum RMS/peak
+stats; extract_checkpointed pins the interrupted-then-resumed
+manifest of the checkpointed batch run (pipeline/checkpoint.py)
+against pure-SQL bucket counts; extract_main_justext replays the
+jusText decision function (html/justext.py) in SQL; the
 extract_pdf_text encrypted variant alternates AES-128 (V4/R4) and
 AES-256 (V5/R6) files. Widened fixtures+oracles for
 the sub-document parity work (docx headers/footers/footnotes/
