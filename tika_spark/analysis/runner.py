@@ -79,6 +79,20 @@ def _ops(args):
     def winnow(d):
         return textstats.winnow_fingerprints(d)
 
+    # media ops: input is a media table (id, payload[, media_type]),
+    # not the documents table — decode runs mapInPandas per row
+    def pixel_stats(d):
+        from tika_spark.analysis.pixels import image_pixel_stats
+        return image_pixel_stats(d)
+
+    def pcm_stats(d):
+        from tika_spark.analysis.pcm import audio_pcm_stats
+        return audio_pcm_stats(d)
+
+    def video_frames(d):
+        from tika_spark.analysis.video import sample_frame_stats
+        return sample_frame_stats(d, every=args.every)
+
     return {
         "dedup-exact": exact, "dedup-minhash": minhash,
         "dedup-simhash": simhash, "dedup-substring": substring,
@@ -87,6 +101,8 @@ def _ops(args):
         "pii-scrub": pii, "normalize": normalize,
         "perplexity": perplexity, "pack": pack, "split": split,
         "mixture": mixture, "winnow": winnow, "c4": c4,
+        "pixel-stats": pixel_stats, "pcm-stats": pcm_stats,
+        "video-frames": video_frames,
     }
 
 
@@ -110,8 +126,8 @@ def main(argv=None):
     p.add_argument("--op", action="append", required=True,
                    dest="ops", choices=sorted(_ops(
                        argparse.Namespace(threshold=0.5, k=8,
-                                          budget=2048,
-                                          overlap=128)).keys()))
+                                          budget=2048, overlap=128,
+                                          every=2)).keys()))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold")
     p.add_argument("--k", type=int, default=8,
@@ -122,6 +138,8 @@ def main(argv=None):
     p.add_argument("--overlap", type=int, default=128,
                    help="split chunk overlap in tokens "
                         "(must be < budget)")
+    p.add_argument("--every", type=int, default=2,
+                   help="sample every Nth frame (video-frames)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
