@@ -271,3 +271,32 @@ def test_ico_decoder_raises_cleanly(data):
         decode_ico(b"\x00\x00\x01\x00" + data)
     except (ValueError, struct.error, IndexError):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=st.text(max_size=120), anchor=st.integers(0, 40))
+def test_justext_classify_never_raises(text, anchor):
+    from tika_spark.html.boilerpipe import TextBlock
+    from tika_spark.html.justext import classify_context_free
+    words = text.split()
+    b = TextBlock(text, len(words), min(anchor, len(words)), 0,
+                  tokens=words)
+    assert classify_context_free(b) in ("good", "bad", "short",
+                                        "neargood")
+
+
+@settings(max_examples=60, deadline=None)
+@given(classes=st.lists(st.sampled_from(
+    ["good", "bad", "short", "neargood"]), max_size=12))
+def test_justext_revision_total_and_definite(classes):
+    from tika_spark.html.justext import revise_classification
+    out = revise_classification(classes)
+    assert len(out) == len(classes)
+    assert all(c in ("good", "bad") for c in out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_xmp_parser_never_raises(data):
+    from tika_spark.media import _parse_xmp
+    assert isinstance(_parse_xmp(data), dict)
