@@ -2938,6 +2938,73 @@ def _q_media_video_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _gradient_png_wrap_udf():
+    """9×8 grayscale-gradient PNG per doc: pixel v(x,y) =
+    (doc_id*7 + 11x + 3y) % 256 in all three channels, so the dHash
+    resize is the identity and every gradient-sign bit is a pure
+    modular comparison the oracle replays in SQL."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    import numpy as np
+
+    from tika_spark.analysis.pixels import png_bytes
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        xs = np.arange(9)[None, :]
+        ys = np.arange(8)[:, None]
+        for i in ids:
+            v = ((int(i) * 7 + 11 * xs + 3 * ys) % 256).astype(np.uint8)
+            out.append(png_bytes(np.repeat(v[:, :, None], 3, axis=2)))
+        return pd.Series(out)
+    return wrap
+
+
+_DHASH_SQL = (
+    "SELECT doc_id, SUM(CASE WHEN "
+    "(doc_id * 7 + 11 * (x + 1) + 3 * y) % 256 > "
+    "(doc_id * 7 + 11 * x + 3 * y) % 256 THEN "
+    "CASE WHEN y * 8 + x = 63 THEN -9223372036854775808 "
+    "ELSE (1::BIGINT << (y * 8 + x)) END ELSE 0 END)::BIGINT AS h "
+    "FROM documents CROSS JOIN "
+    "(SELECT unnest(generate_series(0, 7)) AS x) sx CROSS JOIN "
+    "(SELECT unnest(generate_series(0, 7)) AS y) sy GROUP BY doc_id")
+
+
+def _q_image_dhash(spark, sf_dir):
+    """64-bit perceptual dHash (analysis/imagehash.py) over real PNG
+    payloads: decode → deterministic 9×8 luma resize → gradient-sign
+    bits. The gradient fixture makes every bit a modular comparison
+    the DuckDB oracle computes directly."""
+    from tika_spark.analysis.imagehash import image_dhash
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        _gradient_png_wrap_udf()(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("media_type"))
+    out = image_dhash(media)
+    return out.select("id", "dhash",
+                      F.col("width").cast("long").alias("width"),
+                      F.col("height").cast("long").alias("height"))
+
+
+def _q_image_dhash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs: banded Hamming self-join over the
+    dHashes (8 byte-bands; pigeonhole-complete for distance < 8),
+    exact bit_count(xor) on candidates only — the image-side sibling
+    of dedup_simhash. Oracle = all-pairs Hamming in SQL (the verify
+    twin; banding is the scale path). max_bucket is set above the
+    corpus size so the completeness guarantee is exact here."""
+    from tika_spark.analysis.imagehash import dhash_pairs, image_dhash
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        _gradient_png_wrap_udf()(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("media_type"))
+    hashes = image_dhash(media).filter(F.col("status") == "ok")
+    return dhash_pairs(hashes, max_dist=7, max_bucket=1_000_000)
+
+
 def _q_extract_checkpointed(spark, sf_dir):
     """O12 checkpoint/resume manifest oracle (pipeline/checkpoint.py):
     a checkpointed extraction run "crashed" after one wave and then
@@ -3007,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_video_frames": _q_media_video_frames,
+        "image_dhash": _q_image_dhash,
+        "image_dhash_pairs": _q_image_dhash_pairs,
         "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -3239,6 +3308,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN 128 + 2 * ((8 * (v - 128) + 8) // 16) "
             "ELSE 128 - 2 * ((8 * (128 - v) + 8) // 16) END) "
             "* 1000000 END AS mean_gray FROM f"),
+        "image_dhash": (
+            "WITH h AS (" + _DHASH_SQL + ") "
+            "SELECT doc_id AS id, h AS dhash, CAST(9 AS BIGINT) AS "
+            "width, CAST(8 AS BIGINT) AS height FROM h"),
+        "image_dhash_pairs": (
+            "WITH h AS (" + _DHASH_SQL + ") "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming "
+            "FROM h a JOIN h b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.h, b.h)) <= 7"),
         "media_pcm_stats": (
             # odd ids: constant μ-law code c=id%256; linear magnitude
             # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c

@@ -1,0 +1,129 @@
+"""Perceptual image hashing + image near-duplicate pairs.
+
+The image-side sibling of the text dedup family (analysis/dedup.py):
+a 64-bit difference hash (dHash) per image — decode, deterministic
+resize to 9×8 luma, one bit per horizontal gradient sign — and a
+banded Hamming self-join that finds near-duplicate images without an
+all-pairs comparison.
+
+dHash is the standard perceptual-hash baseline (robust to rescaling
+and recompression, cheap to compute); the gradient-sign bits are
+pure integer comparisons over the block-average resize, so the hash
+is exactly reproducible across engines — the oracle replays it in
+SQL for fixtures whose resized luma is a closed form.
+
+Scale design (100 TB image corpus):
+
+- hashing is map-only (`mapInPandas`, binary in, 8-byte hash out);
+- the near-dup join follows the SimHash recipe: split the 64-bit
+  hash into 8 byte-bands; by pigeonhole, any pair within Hamming
+  distance < 8 shares at least one exact band → equi-join on
+  (band_idx, band_value) produces the candidate set, exact
+  ``bit_count(xor)`` verifies candidates only. ``max_bucket`` caps
+  degenerate bands (e.g. millions of flat images hash to 0) exactly
+  like the SimHash operator's cap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+DHASH_SCHEMA = "id long, dhash long, width int, height int, status string"
+
+
+def dhash_bits(arr: np.ndarray) -> int:
+    """64-bit dHash of a decoded (h, w, c) uint8 image: block-average
+    resize to 9 columns × 8 rows of luma (integer mean over channels),
+    bit (y*8 + x) set iff luma[y, x+1] > luma[y, x]."""
+    from tika_spark.analysis.pixels import resize_image
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    luma = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+    small = resize_image(luma[:, :, None].astype(np.uint8), 8, 9)[:, :, 0]
+    bits = small[:, 1:] > small[:, :-1]          # (8, 8)
+    weights = (1 << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+    h = int((bits.astype(np.uint64) * weights).sum())
+    return h - (1 << 64) if h >= 1 << 63 else h  # signed long
+
+
+def image_dhash(df: DataFrame, id_col: str = "id",
+                payload_col: str = "payload",
+                type_col: str = "media_type") -> DataFrame:
+    """mapInPandas: (id, payload, type) → 64-bit perceptual hash via
+    the real decoders; corrupt/unsupported rows become status rows."""
+    from tika_spark.analysis.jpegcodec import decode_jpeg
+    from tika_spark.analysis.pixels import (decode_bmp, decode_gif,
+                                            decode_ico, decode_png,
+                                            decode_tiff)
+    slim = df.select(id_col, payload_col, type_col)
+    decoders = {"image/png": decode_png, "image/gif": decode_gif,
+                "image/bmp": decode_bmp, "image/x-ms-bmp": decode_bmp,
+                "image/jpeg": decode_jpeg, "image/tiff": decode_tiff,
+                "image/x-icon": decode_ico}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload, mt in zip(pdf[id_col], pdf[payload_col],
+                                      pdf[type_col]):
+                row = {"id": i, "dhash": 0, "width": 0, "height": 0,
+                       "status": "unsupported"}
+                dec = decoders.get(mt or "")
+                if dec is not None:
+                    try:
+                        arr = dec(bytes(payload or b""))
+                        row.update(dhash=dhash_bits(arr),
+                                   width=arr.shape[1],
+                                   height=arr.shape[0], status="ok")
+                    except Exception:
+                        row["status"] = "error"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["id", "dhash", "width",
+                                              "height", "status"])
+
+    return slim.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_pairs(hashes: DataFrame, max_dist: int = 7,
+                id_col: str = "id", hash_col: str = "dhash",
+                max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over banded
+    64-bit hashes: 8 byte-bands → pigeonhole guarantees every pair
+    with distance < 8 shares a band; exact ``bit_count(xor)`` runs on
+    candidates only. ``max_dist`` must stay < 8 for the guarantee.
+    Degenerate bands are capped at ``max_bucket`` rows (cap events
+    mean that band's bucket was sampled, as in the SimHash op)."""
+    if not 0 <= max_dist < 8:
+        raise ValueError("banding guarantees distances < 8 only")
+    h = hashes.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).alias("dhash"))
+    bands = h.select(
+        "id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("dhash", b * 8)
+                     .bitwiseAND(F.lit(255)).alias("val"))
+            for b in range(8)])).alias("bv"))
+    bands = bands.select("id", "dhash", F.col("bv.band").alias("band"),
+                         F.col("bv.val").alias("val"))
+    w = F.row_number().over(
+        Window.partitionBy("band", "val").orderBy("id"))
+    capped = bands.withColumn("rn", w).filter(F.col("rn") <= max_bucket)
+    a = capped.select(F.col("band"), F.col("val"),
+                      F.col("id").alias("id_a"),
+                      F.col("dhash").alias("h_a"))
+    b = capped.select(F.col("band"), F.col("val"),
+                      F.col("id").alias("id_b"),
+                      F.col("dhash").alias("h_b"))
+    cand = (a.join(b, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", dist.cast("int"))
+            .filter(F.col("hamming") <= max_dist)
+            .select("id_a", "id_b", "hamming"))
