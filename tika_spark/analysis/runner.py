@@ -93,6 +93,16 @@ def _ops(args):
         from tika_spark.analysis.video import sample_frame_stats
         return sample_frame_stats(d, every=args.every)
 
+    def image_dhash_op(d):
+        from tika_spark.analysis.imagehash import image_dhash
+        return image_dhash(d)
+
+    def image_dhash_pairs_op(d):
+        from tika_spark.analysis.imagehash import (dhash_pairs,
+                                                   image_dhash)
+        hashes = image_dhash(d).filter(F.col("status") == "ok")
+        return dhash_pairs(hashes, max_dist=args.hamming)
+
     return {
         "dedup-exact": exact, "dedup-minhash": minhash,
         "dedup-simhash": simhash, "dedup-substring": substring,
@@ -103,6 +113,8 @@ def _ops(args):
         "mixture": mixture, "winnow": winnow, "c4": c4,
         "pixel-stats": pixel_stats, "pcm-stats": pcm_stats,
         "video-frames": video_frames,
+        "image-dhash": image_dhash_op,
+        "image-dhash-pairs": image_dhash_pairs_op,
     }
 
 
@@ -127,7 +139,7 @@ def main(argv=None):
                    dest="ops", choices=sorted(_ops(
                        argparse.Namespace(threshold=0.5, k=8,
                                           budget=2048, overlap=128,
-                                          every=2)).keys()))
+                                          every=2, hamming=7)).keys()))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold")
     p.add_argument("--k", type=int, default=8,
@@ -140,6 +152,9 @@ def main(argv=None):
                         "(must be < budget)")
     p.add_argument("--every", type=int, default=2,
                    help="sample every Nth frame (video-frames)")
+    p.add_argument("--hamming", type=int, default=7,
+                   help="max Hamming distance (image-dhash-pairs, "
+                        "< 8 for banding completeness)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
