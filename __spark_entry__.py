@@ -2973,6 +2973,18 @@ _DHASH_SQL = (
     "(SELECT unnest(generate_series(0, 7)) AS y) sy GROUP BY doc_id")
 
 
+def _q_docs_hash_embed(spark, sf_dir):
+    """Model-free hashing-trick embeddings (textstats.hash_embed):
+    signed random projection of character 3-grams, one md5 per gram,
+    dimension sign = digest-byte parity, exact integer sums. The
+    DuckDB oracle recomputes the identical md5 parities from the hex
+    digest, so every embedding coordinate is hash-exact — the
+    generator that feeds the ANN/SemDeDup family when a corpus
+    arrives without vectors."""
+    from tika_spark.analysis import textstats
+    return textstats.hash_embed(_docs(spark, sf_dir), dim=8)
+
+
 def _q_image_dhash(spark, sf_dir):
     """64-bit perceptual dHash (analysis/imagehash.py) over real PNG
     payloads: decode → deterministic 9×8 luma resize → gradient-sign
@@ -3076,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": _q_media_video_frames,
         "image_dhash": _q_image_dhash,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "docs_hash_embed": _q_docs_hash_embed,
         "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -3308,6 +3321,17 @@ def oracle_sql() -> dict[str, str]:
             "THEN 128 + 2 * ((8 * (v - 128) + 8) // 16) "
             "ELSE 128 - 2 * ((8 * (128 - v) + 8) // 16) END) "
             "* 1000000 END AS mean_gray FROM f"),
+        "docs_hash_embed": (
+            # digest byte j's low bit == parity of hex char 2j+2
+            "WITH pos AS (SELECT unnest(generate_series(1, 2000)) "
+            "AS p), "
+            "g AS (SELECT doc_id, substr(text, p, 3) AS gram "
+            "FROM documents, pos WHERE p <= length(text) - 2), "
+            "dims AS (SELECT unnest(generate_series(0, 7)) AS j) "
+            "SELECT doc_id AS id, CAST(j AS INT) AS dim, "
+            "SUM(CASE WHEN substr(md5(gram), 2 * j + 2, 1) IN "
+            "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)"
+            "::BIGINT AS val FROM g, dims GROUP BY doc_id, j"),
         "image_dhash": (
             "WITH h AS (" + _DHASH_SQL + ") "
             "SELECT doc_id AS id, h AS dhash, CAST(9 AS BIGINT) AS "

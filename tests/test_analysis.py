@@ -647,3 +647,33 @@ def test_curation_cli_runner(spark, tmp_path):
     assert spark.read.parquet(written["dedup-exact"]).count() == 5
     assert spark.read.parquet(written["pack"]).count() == 20
     assert spark.read.parquet(written["mixture"]).count() == 2
+
+
+def test_hash_embed_deterministic_and_additive(spark):
+    """hash_embed: deterministic, order-independent, and empty/short
+    text yields the zero vector."""
+    from tika_spark.analysis.textstats import hash_embed
+    rows = [(1, "hello world"), (2, "hello world"), (3, ""), (4, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hash_embed(df, dim=4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], {})[r["dim"]] = r["val"]
+    assert by[1] == by[2]                      # identical text
+    assert set(by[1].keys()) == {0, 1, 2, 3}
+    assert all(v == 0 for v in by[3].values())  # no 3-grams
+    assert all(v == 0 for v in by[4].values())
+    # each coordinate is a signed count bounded by the gram count
+    n_grams = len("hello world") - 2
+    assert all(abs(v) <= n_grams for v in by[1].values())
+    assert any(v != 0 for v in by[1].values())
+
+
+def test_hash_embed_dim_bounds(spark):
+    from tika_spark.analysis.textstats import hash_embed
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_embed(df, dim=17)
+    with _pt.raises(ValueError):
+        hash_embed(df, dim=0)

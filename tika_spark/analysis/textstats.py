@@ -16,6 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -326,3 +327,50 @@ def bm25_scores(df: DataFrame, query: str, k1: float = 1.2,
                         for i in range(len(terms))) > 0)
             .select("id", F.round(score * 1_000_000).cast("long")
                     .alias("score_micro")))
+
+
+def hash_embed(df: DataFrame, dim: int = 16, n: int = 3,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Model-free text embeddings by the hashing trick (signed
+    random projection of character n-gram counts): one md5 per
+    n-gram, dimension j's sign = parity of digest byte j, embedding
+    = integer sign-sums. Output one row per (id, dim) with the exact
+    integer value, so the result is hash-checkable cross-engine (the
+    oracle recomputes the same md5 parities in SQL).
+
+    This is the embedding GENERATOR for corpora that arrive without
+    vectors: deterministic, vocabulary-free, map-only (no shuffle
+    before the per-doc aggregation), and the output feeds the
+    existing ANN / SemDeDup operators. Signed n-gram hashing
+    approximates n-gram-profile cosine (the feature space of G1's
+    language profiles) at fixed dimensionality — the standard
+    hashing-trick construction (Weinberger et al. 2009, feature
+    hashing; SimHash's signed-sum is the 1-bit special case).
+    ``dim`` <= 16 keeps one digest per gram."""
+    if not 1 <= dim <= 16:
+        raise ValueError("dim must be 1..16 (one md5 digest)")
+    import hashlib
+    from collections.abc import Iterator
+
+    slim = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dims, vals = [], [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                text = text or ""
+                acc = [0] * dim
+                for p in range(len(text) - n + 1):
+                    dg = hashlib.md5(
+                        text[p:p + n].encode("utf-8")).digest()
+                    for j in range(dim):
+                        acc[j] += 1 if dg[j] & 1 else -1
+                for j in range(dim):
+                    ids.append(i)
+                    dims.append(j)
+                    vals.append(acc[j])
+            yield pd.DataFrame({"id": ids, "dim": dims, "val": vals})
+
+    return slim.mapInPandas(run, schema="id long, dim int, val long")
