@@ -2985,6 +2985,38 @@ def _q_docs_hash_embed(spark, sf_dir):
     return textstats.hash_embed(_docs(spark, sf_dir), dim=8)
 
 
+def _q_docs_embed_neardup(spark, sf_dir):
+    """Composed no-vectors near-dup pipeline: hash_embed the raw text
+    (8-dim signed n-gram projection), then pair documents whose
+    hashed-embedding cosine >= 0.9. Dot products and norms stay
+    INTEGER (exact, order-independent) and the single float step is
+    dot/sqrt(na*nb) — one conversion, one sqrt, one divide — so both
+    engines round identically. The all-pairs form IS the oracle twin;
+    at scale the same embeddings feed SemDeDup/LSH."""
+    from tika_spark.analysis import textstats
+    e = textstats.hash_embed(_docs(spark, sf_dir), dim=8)
+    n = (e.groupBy("id")
+         .agg(F.sum(F.col("val") * F.col("val")).alias("nrm2")))
+    a = e.alias("a")
+    b = e.alias("b")
+    dots = (a.join(b, (F.col("a.dim") == F.col("b.dim"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.sum(F.col("a.val") * F.col("b.val")).alias("dot")))
+    na = n.select(F.col("id").alias("id_a"),
+                  F.col("nrm2").alias("na2"))
+    nb = n.select(F.col("id").alias("id_b"),
+                  F.col("nrm2").alias("nb2"))
+    x = (F.col("dot") / F.sqrt((F.col("na2") * F.col("nb2"))
+                               .cast("double")) * 1_000_000)
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+            .withColumn("sim_micro", F.round(x).cast("long"))
+            .filter(F.col("sim_micro") >= 900_000)
+            .select("id_a", "id_b", "sim_micro"))
+
+
 def _q_image_dhash(spark, sf_dir):
     """64-bit perceptual dHash (analysis/imagehash.py) over real PNG
     payloads: decode → deterministic 9×8 luma resize → gradient-sign
@@ -3089,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _q_image_dhash,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "docs_hash_embed": _q_docs_hash_embed,
+        "docs_embed_neardup": _q_docs_embed_neardup,
         "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_office_doc": _q_extract_office_doc,
@@ -3332,6 +3365,28 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CASE WHEN substr(md5(gram), 2 * j + 2, 1) IN "
             "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)"
             "::BIGINT AS val FROM g, dims GROUP BY doc_id, j"),
+        "docs_embed_neardup": (
+            "WITH pos AS (SELECT unnest(generate_series(1, 2000)) "
+            "AS p), "
+            "g AS (SELECT doc_id, substr(text, p, 3) AS gram "
+            "FROM documents, pos WHERE p <= length(text) - 2), "
+            "dims AS (SELECT unnest(generate_series(0, 7)) AS j), "
+            "e AS (SELECT doc_id AS id, j, "
+            "SUM(CASE WHEN substr(md5(gram), 2 * j + 2, 1) IN "
+            "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)"
+            "::BIGINT AS val FROM g, dims GROUP BY doc_id, j), "
+            "n AS (SELECT id, SUM(val * val)::BIGINT AS nrm2 "
+            "FROM e GROUP BY id), "
+            "d AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "SUM(a.val * b.val)::BIGINT AS dot FROM e a JOIN e b "
+            "ON a.j = b.j AND a.id < b.id GROUP BY a.id, b.id), "
+            "s AS (SELECT id_a, id_b, "
+            "round(dot / sqrt((na.nrm2 * nb.nrm2)::DOUBLE) "
+            "* 1000000)::BIGINT AS sim_micro FROM d "
+            "JOIN n na ON na.id = d.id_a JOIN n nb ON nb.id = d.id_b "
+            "WHERE na.nrm2 > 0 AND nb.nrm2 > 0) "
+            "SELECT id_a, id_b, sim_micro FROM s "
+            "WHERE sim_micro >= 900000"),
         "image_dhash": (
             "WITH h AS (" + _DHASH_SQL + ") "
             "SELECT doc_id AS id, h AS dhash, CAST(9 AS BIGINT) AS "
