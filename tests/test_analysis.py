@@ -270,11 +270,14 @@ def test_real_decode_tiers():
 
 
 def test_minhash_lsh_catches_every_qualifying_pair_sf001(spark):
-    """Pins the corpus property the dedup_minhash_lsh oracle relies
-    on: at sf0.01 every pair with exact shingle Jaccard >= 0.12 is
-    found by the seeded LSH banding (the corpus's qualifying pairs
-    sit at s >= 0.9 where the s-curve is ~1). If testdata ever gains
-    a mid-band pair that banding misses, this fails loudly here
+    """Pins the sf0.01 corpus property: every pair with exact shingle
+    Jaccard >= 0.12 is found by the seeded LSH banding (this corpus's
+    qualifying pairs sit at s >= 0.9 where the s-curve is ~1). This
+    holds by CORPUS LUCK, not by construction — the sf0.1 corpus has
+    two pairs at s = 0.125/0.136 with capture probability ~0.2%,
+    which is why the driver oracle (dedup_minhash_lsh) pins the
+    deterministic-capture regime at threshold 0.5 instead. If sf0.01
+    testdata ever gains a mid-band pair, this fails loudly here
     rather than as a driver hash mismatch."""
     import os
 
