@@ -21,7 +21,15 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 112 queries / 110 oracle rows. media_pixel_stats runs the
+Round 3: 116 queries / 114 oracle rows — all 114 hash-exact at
+sf0.01, and a 10x-scale sweep at sf0.1 is green end-to-end after
+moving the MinHash oracles into the deterministic-capture regime and
+scaling the PQ shortlists with the corpus (BENCH/BASELINE.md).
+image_dhash / image_dhash_pairs add perceptual image near-dup
+(banded Hamming, pigeonhole-complete < 8); docs_hash_embed /
+docs_embed_neardup generate hashing-trick embeddings from raw text
+and gate near-dup pairs on exact integer cosine. media_pixel_stats
+runs the
 from-scratch pixel decoders (analysis/pixels.py PNG/GIF/TIFF,
 analysis/jpegcodec.py baseline JPEG — the lossy path hash-exact via
 the DC-quantization closed form) over real compressed payloads with
