@@ -21,7 +21,7 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 116 queries / 114 oracle rows — all 114 hash-exact at
+Round 3: 117 queries / 115 oracle rows — all 114 hash-exact at
 sf0.01, and a 10x-scale sweep at sf0.1 is green end-to-end after
 moving the MinHash oracles into the deterministic-capture regime and
 scaling the PQ shortlists with the corpus (BENCH/BASELINE.md).
@@ -891,6 +891,54 @@ def _q_media_meta(spark, sf_dir):
     return out.select("id", "status",
                       F.col("width").cast("long").alias("width"),
                       F.col("height").cast("long").alias("height"))
+
+
+def _q_media_xmp_meta(spark, sf_dir):
+    """E12 XMP path end-to-end: per-row JPEGs carrying a real APP1
+    XMP packet (dc:title + dc:creator in rdf:Alt/Seq lists); the
+    media parser must surface both through the JempBox-equivalent
+    packet walk (media.py:_jpeg_xmp/_parse_xmp), alongside the
+    header-tier dimensions."""
+    import struct as _st
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    import numpy as np
+
+    from tika_spark.analysis.jpegcodec import jpeg_bytes
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, langs: pd.Series) -> pd.Series:
+        base = jpeg_bytes(np.full((8, 8, 1), 90, np.uint8))
+        out = []
+        for i, lang in zip(ids, langs):
+            xmp = (
+                '<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF '
+                'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+                '<rdf:Description '
+                'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                f'<dc:title><rdf:Alt><rdf:li>Doc {int(i)}</rdf:li>'
+                "</rdf:Alt></dc:title>"
+                f"<dc:creator><rdf:Seq><rdf:li>{lang}</rdf:li>"
+                "</rdf:Seq></dc:creator>"
+                "</rdf:Description></rdf:RDF></x:xmpmeta>"
+            ).encode()
+            seg = b"http://ns.adobe.com/xap/1.0/\x00" + xmp
+            app1 = b"\xff\xe1" + _st.pack(">H", len(seg) + 2) + seg
+            out.append(base[:2] + app1 + base[2:])
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        wrap(F.col("doc_id"), F.col("lang")).alias("html"))
+    out = extract(pages, mode="metadata")
+    md = F.col("metadata")
+    return out.select(
+        "url", F.col("mime"),
+        F.element_at(md["title"], 1).alias("title"),
+        F.element_at(md["Author"], 1).alias("author"),
+        F.element_at(md["width"], 1).alias("width"))
 
 
 def _zip_wrap_udf():
@@ -3140,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
+        "media_xmp_meta": _q_media_xmp_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_video_frames": _q_media_video_frames,
         "image_dhash": _q_image_dhash,
@@ -3421,6 +3470,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming "
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.h, b.h)) <= 7"),
+        "media_xmp_meta": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "'image/jpeg' AS mime, "
+            "'Doc ' || doc_id AS title, lang AS author, "
+            "'8' AS width FROM documents"),
         "media_pcm_stats": (
             # odd ids: constant μ-law code c=id%256; linear magnitude
             # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c
