@@ -978,6 +978,41 @@ def _q_extract_recursive_zip(spark, sf_dir):
                       "text")
 
 
+def _sevenz_wrap_udf():
+    """Deterministic 7z per document row (E6 family: pkg/sevenz.py),
+    cycling codecs by doc_id so copy/LZMA1/LZMA2 and the encoded
+    header all flow through the driver gate."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.sevenzgen import make_7z
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        codecs = ("copy", "lzma1", "lzma2")
+        out = []
+        for i, t in zip(ids, texts):
+            out.append(make_7z(
+                [("doc.txt", (t or "").encode("utf-8"))],
+                codec=codecs[int(i) % 3],
+                encoded_header=bool(int(i) % 2)))
+        return pd.Series(out)
+    return wrap
+
+
+def _q_extract_sevenz_recursive(spark, sf_dir):
+    """E6 7z + F1 recursion: parent row carries the entry-name text,
+    the exploded child row the member's parsed text."""
+    wrap = _sevenz_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".7z"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    out = extract_recursive(pages, mode="text")
+    return out.select("url", F.col("depth").cast("long").alias("depth"),
+                      "text")
+
+
 def _doc_wrap_udf():
     """Deterministic OLE2 .doc per document row (fixture builder for
     the E7 binary-Office chain: CFB container + piece-table text)."""
@@ -3197,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_embed_neardup": _q_docs_embed_neardup,
         "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
+        "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
         "extract_ppt_text": _q_extract_ppt_text,
@@ -3707,6 +3743,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
             "FROM documents UNION ALL "
             "SELECT 'doc://' || doc_id || '.zip!/doc.txt' AS url, "
+            "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_sevenz_recursive": (
+            "SELECT 'doc://' || doc_id || '.7z' AS url, "
+            "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
+            "FROM documents UNION ALL "
+            "SELECT 'doc://' || doc_id || '.7z!/doc.txt' AS url, "
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
         "extract_office_doc": (

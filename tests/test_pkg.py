@@ -936,3 +936,91 @@ def test_zip_bad_member_keeps_good_ones():
     r = extract_package(bytes(blob))
     names = [n for n, _ in r["children"]]
     assert "good1.txt" in names and "good2.txt" in names
+
+
+# ------------------------------------------------------------- 7z --
+
+
+class Test7z:
+    """pkg/sevenz.py: from-scratch 7z container walk (the reference's
+    commons-compress SevenZFile route, PackageParser.java:40-62)."""
+
+    FILES = [("a.txt", b"hello seven zip" * 40),
+             ("dir/b.html", b"<p>inner</p>"),
+             ("empty.txt", b""),
+             ("bin.dat", bytes(range(256)) * 8)]
+
+    def test_roundtrip_all_codecs(self):
+        from tika_spark.fixtures.sevenzgen import make_7z
+        from tika_spark.pkg.sevenz import sevenz_children
+        for codec in ("copy", "lzma1", "lzma2", "bzip2", "deflate"):
+            for solid in (False, True):
+                blob = make_7z(self.FILES, codec=codec, solid=solid)
+                kids, trunc = sevenz_children(blob, 10 ** 8)
+                assert not trunc
+                assert dict(kids) == dict(self.FILES), (codec, solid)
+
+    def test_encoded_header(self):
+        from tika_spark.fixtures.sevenzgen import make_7z
+        from tika_spark.pkg.sevenz import sevenz_children
+        blob = make_7z(self.FILES, codec="lzma2", solid=True,
+                       encoded_header=True)
+        kids, _ = sevenz_children(blob, 10 ** 8)
+        assert dict(kids) == dict(self.FILES)
+
+    def test_bcj_lzma_bind_pair_chain(self):
+        from tika_spark.fixtures.sevenzgen import make_7z
+        from tika_spark.pkg.sevenz import sevenz_children
+        payload = b"\x31\xc0\xe8\x10\x00\x00\x00\x90" * 300
+        blob = make_7z([("prog.bin", payload)], codec="bcj-lzma1",
+                       encoded_header=True)
+        kids, _ = sevenz_children(blob, 10 ** 8)
+        assert dict(kids) == {"prog.bin": payload}
+
+    def test_budget_truncation(self):
+        from tika_spark.fixtures.sevenzgen import make_7z
+        from tika_spark.pkg.sevenz import sevenz_children
+        blob = make_7z(self.FILES, codec="lzma2", solid=True)
+        kids, trunc = sevenz_children(blob, 64)
+        assert trunc
+        assert sum(len(p) for _, p in kids) <= 64
+
+    def test_corrupt_raises(self):
+        import pytest as _pytest
+
+        from tika_spark.pkg.sevenz import SevenZError, sevenz_children
+        # truncated start header
+        with _pytest.raises(SevenZError):
+            sevenz_children(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 10, 10 ** 6)
+        # header offset past the end of the blob
+        bad = (b"7z\xbc\xaf\x27\x1c\x00\x04" + b"\x00" * 4
+               + (10 ** 6).to_bytes(8, "little")
+               + (64).to_bytes(8, "little") + b"\x00" * 4)
+        with _pytest.raises(SevenZError):
+            sevenz_children(bad, 10 ** 6)
+
+    def test_extract_package_route(self):
+        from tika_spark.fixtures.sevenzgen import make_7z
+        from tika_spark.mime.detector import detect
+        from tika_spark.pkg.parser import extract_package
+        blob = make_7z([("x.txt", b"inner"), ("y.txt", b"more")])
+        assert detect(blob, "a.7z") == "application/x-7z-compressed"
+        r = extract_package(blob)
+        assert r["status"] == "ok"
+        assert r["text"] == "x.txt\ny.txt\n"
+        assert dict(r["children"]) == {"x.txt": b"inner",
+                                       "y.txt": b"more"}
+
+    def test_unsupported_codec_isolates_folder(self):
+        """A folder with an unknown codec drops only its members."""
+        from tika_spark.fixtures.sevenzgen import make_7z
+        from tika_spark.pkg.sevenz import sevenz_children
+        blob = bytearray(make_7z([("k.txt", b"keep me")], codec="lzma2",
+                                 encoded_header=False))
+        # clobber the LZMA2 codec id (0x21) in the header to a bogus
+        # id: kFolder(0x0B) nFolders=1 ext=0 nCoders=1 flags=0x21 id
+        idx = bytes(blob).rfind(b"\x0b\x01\x00\x01\x21\x21")
+        assert idx > 0
+        blob[idx + 5] = 0x7E
+        kids, _ = sevenz_children(bytes(blob), 10 ** 8)
+        assert dict(kids) == {"k.txt": b""}  # folder dropped, row kept

@@ -92,7 +92,9 @@ ROUTE_TABLE = {
     "image/x-icon": "media",
     "application/x-sqlite3": "media",
     "application/wasm": "media",
-    "application/x-7z-compressed": "media",
+    # 7z: real container walk (pkg/sevenz.py), children re-enter
+    # recursion like zip/tar (PackageParser 7z route)
+    "application/x-7z-compressed": "pkg",
     # xz/lzma single-stream members decompress for real (stdlib lzma)
     # and re-enter recursion like gzip/bzip2 (PackageParser xz route)
     "application/x-xz": "pkg",

@@ -218,7 +218,8 @@ def _xz_child(data: bytes, url: str | None, budget: int):
 _HANDLER_FAMILIES = frozenset((
     "application/x-gzip", "application/x-bzip2", "application/x-tar",
     "application/x-archive", "application/x-cpio", "application/zip",
-    "application/x-xz", "application/x-lzma"))
+    "application/x-xz", "application/x-lzma",
+    "application/x-7z-compressed"))
 
 
 def extract_package(data: bytes, url: str | None = None,
@@ -233,6 +234,8 @@ def extract_package(data: bytes, url: str | None = None,
         mime = ("application/x-gzip" if data[:2] == b"\x1f\x8b" else
                 "application/x-bzip2" if data[:3] == b"BZh" else
                 "application/x-xz" if data[:6] == b"\xfd7zXZ\x00" else
+                "application/x-7z-compressed"
+                if data[:6] == b"7z\xbc\xaf\x27\x1c" else
                 "application/x-tar" if data[257:262] == b"ustar" else
                 "application/zip")
     elif mime not in _HANDLER_FAMILIES:
@@ -258,6 +261,10 @@ def extract_package(data: bytes, url: str | None = None,
             children, truncated = _cpio_children(data, budget)
         elif mime in ("application/x-xz", "application/x-lzma"):
             children, truncated = _xz_child(data, url, budget)
+        elif mime == "application/x-7z-compressed":
+            from tika_spark.pkg.sevenz import sevenz_children
+            children, truncated = sevenz_children(
+                data, budget, max_entries=MAX_PKG_ENTRIES)
         else:
             children, truncated = _zip_children(data, budget)
     except Exception as e:  # corrupt container -> error row, never raise
