@@ -1013,6 +1013,61 @@ def _q_extract_sevenz_recursive(spark, sf_dir):
                       "text")
 
 
+def _sqlite_wrap_udf():
+    """Deterministic SQLite database per document row (E12 family:
+    dbparse.py — the reference's jdbc/SQLite3Parser table walk)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.dbgen import make_sqlite
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_sqlite([("docs", ["id INTEGER", "body TEXT"],
+                          [(int(i), t or "")])])
+            for i, t in zip(ids, texts)])
+    return wrap
+
+
+def _q_extract_sqlite_text(spark, sf_dir):
+    """SQLite route: magic detect → table walk → name + header + rows
+    as TAB-joined lines."""
+    wrap = _sqlite_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".sqlite"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
+def _dbf_wrap_udf():
+    """Deterministic dBase III .dbf per document row (dbf/DBFReader
+    semantics: fixed-width records, trimmed cells)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.fixtures.dbgen import make_dbf
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            make_dbf([("ID", "N", 8), ("BODY", "C", 40)],
+                     [(int(i), (t or "")[:40])])
+            for i, t in zip(ids, texts)])
+    return wrap
+
+
+def _q_extract_dbf_text(spark, sf_dir):
+    """DBF route (glob-detected): header row + one trimmed record."""
+    wrap = _dbf_wrap_udf()
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".dbf"))
+        .alias("url"),
+        wrap(F.col("doc_id"), F.col("text")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
 def _doc_wrap_udf():
     """Deterministic OLE2 .doc per document row (fixture builder for
     the E7 binary-Office chain: CFB container + piece-table text)."""
@@ -3233,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pcm_stats": _q_media_pcm_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
+        "extract_sqlite_text": _q_extract_sqlite_text,
+        "extract_dbf_text": _q_extract_dbf_text,
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
         "extract_ppt_text": _q_extract_ppt_text,
@@ -3751,6 +3808,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents UNION ALL "
             "SELECT 'doc://' || doc_id || '.7z!/doc.txt' AS url, "
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_sqlite_text": (
+            "SELECT 'doc://' || doc_id || '.sqlite' AS url, "
+            "'application/x-sqlite3' AS mime, "
+            "'docs' || chr(10) || 'id' || chr(9) || 'body' || chr(10) "
+            "|| doc_id || chr(9) || text || chr(10) AS text "
+            "FROM documents"),
+        "extract_dbf_text": (
+            "SELECT 'doc://' || doc_id || '.dbf' AS url, "
+            "'application/x-dbf' AS mime, "
+            "'ID' || chr(9) || 'BODY' || chr(10) || doc_id || chr(9) "
+            "|| trim(substr(text, 1, 40)) || chr(10) AS text "
             "FROM documents"),
         "extract_office_doc": (
             # WordExtractor.java emit order: header, body, footnotes,

@@ -22,6 +22,7 @@ import time
 import pandas as pd
 
 from tika_spark.config import ExtractConfig
+from tika_spark.dbparse import extract_dbf, extract_sqlite
 from tika_spark.html.extract import extract_html
 from tika_spark.mime import lattice
 from tika_spark.mime.detector import detect_batch
@@ -90,7 +91,10 @@ ROUTE_TABLE = {
     "font/woff": "media",
     "font/woff2": "media",
     "image/x-icon": "media",
-    "application/x-sqlite3": "media",
+    # SQLite: real table walk (dbparse.py), BLOB cells re-enter
+    # recursion as children (jdbc/SQLite3Parser route)
+    "application/x-sqlite3": "sqlite",
+    "application/x-dbf": "dbf",
     "application/wasm": "media",
     # 7z: real container walk (pkg/sevenz.py), children re-enter
     # recursion like zip/tar (PackageParser 7z route)
@@ -207,6 +211,8 @@ _EXTRACTORS = {
     "chm": extract_chm,
     "prt": extract_prt,
     "iwork": extract_iwork,
+    "sqlite": extract_sqlite,
+    "dbf": extract_dbf,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
