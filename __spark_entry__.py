@@ -3242,6 +3242,121 @@ def _q_extract_checkpointed(spark, sf_dir):
                     F.col("n_rows").cast("long").alias("n_rows")))
 
 
+# ------------------------------------------------------- web-graph family
+
+
+def _graph_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic link-graph fixture: page on host h{doc_id%7} with
+    two absolute anchors whose targets/texts are pure doc_id formulas,
+    so DuckDB can replay the edge set without parsing HTML."""
+    m1 = F.pmod(F.col("doc_id") * 3 + 1, F.lit(50))
+    m2 = F.pmod(F.col("doc_id") * 5 + 2, F.lit(50))
+    html = F.encode(F.concat(
+        F.lit('<html><head><meta charset="utf-8"/><title>G</title>'
+              "</head><body><p>"), F.col("text"),
+        F.lit(' <a href="http://h'), F.pmod(m1, F.lit(7)).cast("string"),
+        F.lit(".ex/d"), m1.cast("string"), F.lit('">a'),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit("-"), m1.cast("string"), F.lit("</a>"),
+        F.lit(' <a href="http://h'), F.pmod(m2, F.lit(7)).cast("string"),
+        F.lit(".ex/d"), m2.cast("string"), F.lit('">b'),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.lit("-"), m2.cast("string"), F.lit("</a></p></body></html>")),
+        "UTF-8")
+    return docs.select(
+        F.concat(F.lit("http://h"),
+                 F.pmod("doc_id", F.lit(7)).cast("string"),
+                 F.lit(".ex/d"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        html.alias("html"))
+
+
+def _graph_edges(spark, sf_dir) -> DataFrame:
+    from tika_spark.analysis import webgraph
+    out = extract(_graph_pages(_docs(spark, sf_dir)), mode="text")
+    return webgraph.link_edges(out)
+
+
+# the oracle-side edge replay (src/dst hosts + full dst urls + anchors)
+_GRAPH_EDGE_SQL = (
+    "SELECT 'h' || (doc_id % 7) || '.ex' AS src_host, "
+    "'h' || (((doc_id*3+1) % 50) % 7) || '.ex' AS dst_host, "
+    "'http://h' || (((doc_id*3+1) % 50) % 7) || '.ex/d' "
+    "|| ((doc_id*3+1) % 50) AS dst, "
+    "'a' || (doc_id % 5) || '-' || ((doc_id*3+1) % 50) AS anchor "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT 'h' || (doc_id % 7) || '.ex', "
+    "'h' || (((doc_id*5+2) % 50) % 7) || '.ex', "
+    "'http://h' || (((doc_id*5+2) % 50) % 7) || '.ex/d' "
+    "|| ((doc_id*5+2) % 50), "
+    "'b' || (doc_id % 3) || '-' || ((doc_id*5+2) % 50) "
+    "FROM documents")
+
+
+def _q_graph_host_degrees(spark, sf_dir):
+    """Weighted host-graph in/out degrees off the C8 link column —
+    the crawl-frontier quality feature."""
+    from tika_spark.analysis import webgraph
+    hg = webgraph.host_graph(_graph_edges(spark, sf_dir))
+    return webgraph.degree_stats(hg)
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """3-iteration integer-micro PageRank over the fixture host graph
+    (analysis/webgraph.py) — bit-exact vs the unrolled SQL replay."""
+    from tika_spark.analysis import webgraph
+    hg = webgraph.host_graph(_graph_edges(spark, sf_dir))
+    return webgraph.pagerank(hg, iterations=3)
+
+
+def _q_graph_anchor_text(spark, sf_dir):
+    """Per-target anchor roll-up: in-link count + first-2 sorted
+    distinct anchors."""
+    from tika_spark.analysis import webgraph
+    return webgraph.anchor_summary(_graph_edges(spark, sf_dir), k=2)
+
+
+def _pagerank_oracle_sql(iterations: int = 3,
+                         damping: int = 850_000) -> str:
+    """Unrolled integer-micro PageRank replay (same floor-division
+    schedule as webgraph.pagerank; DuckDB ``//`` == Spark ``div``)."""
+    scale = 1_000_000
+    sql = [
+        "WITH e AS (" + _GRAPH_EDGE_SQL + "), ",
+        "hg AS (SELECT src_host AS src, dst_host AS dst, "
+        "COUNT(*)::BIGINT AS w FROM e GROUP BY 1, 2), ",
+        "nodes AS (SELECT DISTINCT src AS host FROM hg "
+        "UNION SELECT DISTINCT dst FROM hg), ",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes), ",
+        "deg AS (SELECT nodes.host, COALESCE(o.ow, 0)::BIGINT AS out_w "
+        "FROM nodes LEFT JOIN (SELECT src, SUM(w) AS ow FROM hg "
+        "GROUP BY src) o ON nodes.host = o.src), ",
+        f"r0 AS (SELECT host, ({scale}::BIGINT // (SELECT n FROM nn)) "
+        "AS rank FROM nodes), ",
+    ]
+    for i in range(iterations):
+        p, c = f"r{i}", f"r{i + 1}"
+        sql.append(
+            f"{c} AS (SELECT nodes.host, "
+            f"(({scale} - {damping})::BIGINT // (SELECT n FROM nn)) "
+            f"+ ({damping}::BIGINT * (SELECT COALESCE(SUM(r.rank), 0) "
+            f"FROM {p} r JOIN deg ON r.host = deg.host "
+            f"AND deg.out_w = 0) // ({scale}::BIGINT * "
+            "(SELECT n FROM nn))) "
+            "+ COALESCE(m.in_mass, 0) AS rank "
+            "FROM nodes LEFT JOIN ("
+            f"SELECT hg.dst AS host, SUM({damping}::BIGINT * r.rank "
+            f"* hg.w // ({scale}::BIGINT * deg.out_w)) AS in_mass "
+            f"FROM hg JOIN {p} r ON hg.src = r.host "
+            "JOIN deg ON deg.host = hg.src WHERE deg.out_w > 0 "
+            "GROUP BY hg.dst) m ON nodes.host = m.host), ")
+    joined = "".join(sql)
+    assert joined.endswith("), ")
+    return (joined[:-2]
+            + f" SELECT host, rank::BIGINT AS rank_micro FROM r{iterations}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_text": _q_extract_html_text,
@@ -3364,6 +3479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_profile_build": _q_language_profile_build,
         "events_sessionize": _q_events_sessionize,
         "docs_rollup": _q_docs_rollup,
+        "graph_host_degrees": _q_graph_host_degrees,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_anchor_text": _q_graph_anchor_text,
     }
 
 
@@ -4514,4 +4632,24 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(source, 'ALL') AS source, "
             "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS "
             "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
+        "graph_host_degrees": (
+            "WITH e AS (" + _GRAPH_EDGE_SQL + "), "
+            "hg AS (SELECT src_host, dst_host, COUNT(*)::BIGINT AS w "
+            "FROM e GROUP BY 1, 2), "
+            "o AS (SELECT src_host AS host, SUM(w) AS ow FROM hg "
+            "GROUP BY 1), "
+            "i AS (SELECT dst_host AS host, SUM(w) AS iw FROM hg "
+            "GROUP BY 1) "
+            "SELECT COALESCE(o.host, i.host) AS host, "
+            "COALESCE(ow, 0)::BIGINT AS out_weight, "
+            "COALESCE(iw, 0)::BIGINT AS in_weight "
+            "FROM o FULL OUTER JOIN i ON o.host = i.host"),
+        "graph_pagerank": _pagerank_oracle_sql(iterations=3),
+        "graph_anchor_text": (
+            "WITH e AS (" + _GRAPH_EDGE_SQL + ") "
+            "SELECT dst, COUNT(*)::BIGINT AS n_inlinks, "
+            "array_to_string(list_sort(array_agg(DISTINCT anchor))"
+            "[1:2], '|') AS anchors "
+            "FROM e WHERE anchor IS NOT NULL AND anchor <> '' "
+            "GROUP BY dst"),
     }

@@ -1,0 +1,172 @@
+"""Web-graph curation operators: host graph, PageRank, anchor text.
+
+No reference counterpart (SURVEY.md §2.I widening) — these are the
+link-graph half of a web-corpus curation stack: Common-Crawl-style
+pipelines rank hosts by centrality to pick crawl budgets and to
+feature-ize document quality (the public CC webgraph releases publish
+exactly these host-level ranks), and anchor-text aggregation builds
+the retrieval-style "what the web calls this page" signal used for
+query-document training pairs.
+
+Everything here is built-in DataFrame ops — explode, groupBy, equi-
+joins — over the `links` column the extraction chain (C8) already
+emits; text never moves, only (src, dst, anchor) rows.
+
+Determinism contract (cross-engine hash-exact): PageRank runs in
+integer micro-units (BIGINT) with floor division at every step, so
+the distributed sum order cannot perturb a single bit and a SQL
+oracle can replay the iterations exactly.
+
+Scale notes (100 TB corpus, ~10^8 hosts):
+- `link_edges` is map-only off the extraction output (one explode).
+- `host_graph` shuffles 2-host rows once (groupBy pair) — edge rows
+  are ~30 bytes; anchor text stays behind on the doc-level edge set.
+- `pagerank` per iteration: one equi-join ranks⋈edges on src (ranks
+  is the small side at host granularity — broadcastable up to ~10^8
+  hosts × 16 B), one groupBy dst. The dangling-mass scalar folds in
+  via a one-row crossJoin (no driver collect). Ranks are persisted
+  per iteration and the previous iteration unpersisted, so lineage
+  stays O(1) per step; for >20 iterations localCheckpoint() the
+  ranks every ~10 steps to truncate the plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SCALE = 1_000_000  # integer micro-units for all rank arithmetic
+
+
+def host_of(col: F.Column) -> F.Column:
+    """Authority component of an absolute URL ('' when relative)."""
+    return F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+
+def link_edges(extracted: DataFrame, kinds: tuple[str, ...] = ("a",),
+               url_col: str = "url") -> DataFrame:
+    """Explode the C8 `links` column into (src, dst, anchor) rows.
+
+    ``kinds`` filters the link kind recorded by the HTML chain
+    ('a' hrefs by default; 'img' srcs carry alt text as anchor).
+    Map-only: stays in the extraction output's stage.
+    """
+    return (extracted
+            .select(F.col(url_col).alias("src"),
+                    F.explode("links").alias("lk"))
+            .filter(F.col("lk.kind").isin(*kinds))
+            .select("src", F.col("lk.uri").alias("dst"),
+                    F.col("lk.text").alias("anchor")))
+
+
+def host_graph(edges: DataFrame, keep_self_loops: bool = True) -> DataFrame:
+    """Collapse a URL edge set to the weighted host graph
+    (src_host, dst_host, weight). Edges whose endpoint has no
+    authority (relative dst never resolved) are dropped."""
+    hg = edges.select(host_of(F.col("src")).alias("src_host"),
+                      host_of(F.col("dst")).alias("dst_host"))
+    hg = hg.filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if not keep_self_loops:
+        hg = hg.filter(F.col("src_host") != F.col("dst_host"))
+    return (hg.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("weight")))
+
+
+def degree_stats(hgraph: DataFrame) -> DataFrame:
+    """Per-host weighted out/in degree from a host graph — the
+    cheapest crawl-frontier quality features. One shuffle per side,
+    full outer merge on host."""
+    out_d = (hgraph.groupBy(F.col("src_host").alias("host"))
+             .agg(F.sum("weight").alias("out_weight")))
+    in_d = (hgraph.groupBy(F.col("dst_host").alias("host"))
+            .agg(F.sum("weight").alias("in_weight")))
+    return (out_d.join(in_d, "host", "full_outer")
+            .select("host",
+                    F.coalesce("out_weight", F.lit(0)).cast("long")
+                    .alias("out_weight"),
+                    F.coalesce("in_weight", F.lit(0)).cast("long")
+                    .alias("in_weight")))
+
+
+def pagerank(hgraph: DataFrame, iterations: int = 3,
+             damping_micro: int = 850_000) -> DataFrame:
+    """Weighted PageRank over a host graph in exact integer micro-units.
+
+    Per iteration, with N = |nodes| and all ``/`` meaning BIGINT floor
+    division:
+
+        contrib(e)  = damping * rank(src) * weight(e)
+                      / (SCALE * out_weight(src))
+        dangling    = Σ rank(n) over nodes with out_weight = 0
+        rank'(n)    = (SCALE - damping) / N
+                      + damping * dangling / (SCALE * N)
+                      + Σ contrib over in-edges of n
+
+    Floor-division rounding loses ≤1 micro-unit per term — the usual
+    float formulation differs only below 1e-5 — and buys bit-exact
+    reproducibility across engines, partitionings, and retries.
+
+    Returns (host, rank_micro). Total mass ≈ SCALE (minus rounding).
+    """
+    nodes = (hgraph.select(F.col("src_host").alias("host"))
+             .union(hgraph.select("dst_host"))
+             .distinct().persist())
+    n = nodes.count()  # one O(hosts) job for the scalar N
+    if n == 0:
+        nodes.unpersist()
+        return hgraph.sparkSession.createDataFrame(
+            [], "host string, rank_micro long")
+    out_w = (hgraph.groupBy(F.col("src_host").alias("host"))
+             .agg(F.sum("weight").alias("out_weight")))
+    deg = nodes.join(out_w, "host", "left").select(
+        "host", F.coalesce("out_weight", F.lit(0)).alias("out_weight")
+    ).persist()
+
+    base = (SCALE - damping_micro) // n
+    ranks = deg.select("host", F.lit(SCALE // n).cast("long")
+                       .alias("rank_micro")).persist()
+    for _ in range(iterations):
+        r = ranks.join(deg, "host")
+        # one-row dangling-mass scalar folded back via crossJoin —
+        # never a driver-side collect
+        dang = (r.filter(F.col("out_weight") == 0)
+                .agg(F.coalesce(F.sum("rank_micro"), F.lit(0))
+                     .alias("dangling")))
+        contribs = (hgraph
+                    .join(r.filter(F.col("out_weight") > 0),
+                          hgraph.src_host == r.host)
+                    .select(F.col("dst_host").alias("host"),
+                            F.expr(f"{damping_micro}L * rank_micro * weight"
+                                   f" div ({SCALE}L * out_weight)")
+                            .alias("c"))
+                    .groupBy("host").agg(F.sum("c").alias("in_mass")))
+        nxt = (nodes.join(contribs, "host", "left").crossJoin(dang)
+               .select("host",
+                       (F.lit(base)
+                        + F.expr(f"{damping_micro}L * dangling"
+                                 f" div ({SCALE}L * {n})")
+                        + F.coalesce("in_mass", F.lit(0)))
+                       .cast("long").alias("rank_micro"))
+               .persist())
+        nxt.count()       # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = nxt
+    nodes.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+def anchor_summary(edges: DataFrame, k: int = 2) -> DataFrame:
+    """Per-target anchor-text roll-up: in-link count plus the first
+    ``k`` distinct anchors in lexicographic order (deterministic under
+    any partitioning — collect_set is unordered, so sort then slice).
+
+    One shuffle on dst; only (dst, anchor) strings move.
+    """
+    return (edges
+            .filter(F.col("anchor").isNotNull() & (F.col("anchor") != ""))
+            .groupBy(F.col("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+                 F.concat_ws(
+                     "|", F.slice(F.array_sort(F.collect_set("anchor")),
+                                  1, k)).alias("anchors")))
