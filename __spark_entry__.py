@@ -3242,6 +3242,28 @@ def _q_extract_checkpointed(spark, sf_dir):
                     F.col("n_rows").cast("long").alias("n_rows")))
 
 
+def _q_extract_markdown(spark, sf_dir):
+    """Markdown sink (mode='markdown', html/markdown.py): headings,
+    lists, links, GFM tables, fenced code, blockquotes — the oracle
+    replays the normative serialization rules as one concat."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.encode(F.concat(
+        F.lit('<html><head><meta charset="utf-8"/><title>M</title>'
+              "</head><body><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><ul><li>alpha</li><li><a href="http://ex.com/'), did,
+        F.lit('">go '), did,
+        F.lit("</a></li></ul><table><tr><th>k</th><th>v</th></tr>"
+              "<tr><td>id</td><td>"), did,
+        F.lit("</td></tr></table><pre>code "), did,
+        F.lit("</pre><blockquote><p>quoted words</p></blockquote>"
+              "</body></html>")), "UTF-8")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), did).alias("url"), html.alias("html"))
+    return extract(pages, mode="markdown").select("url", "text")
+
+
 # ------------------------------------------------------- web-graph family
 
 
@@ -3479,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_profile_build": _q_language_profile_build,
         "events_sessionize": _q_events_sessionize,
         "docs_rollup": _q_docs_rollup,
+        "extract_markdown": _q_extract_markdown,
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
@@ -4632,6 +4655,10 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(source, 'ALL') AS source, "
             "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS "
             "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
+        "extract_markdown": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "'# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) || '- alpha' || chr(10) || '- [go ' || doc_id || '](http://ex.com/' || doc_id || ')' || chr(10) || chr(10) || '| k | v |' || chr(10) || '| --- | --- |' || chr(10) || '| id | ' || doc_id || ' |' || chr(10) || chr(10) || '```' || chr(10) || 'code ' || doc_id || chr(10) || '```' || chr(10) || chr(10) || '> quoted words' || chr(10) AS text "
+            "FROM documents"),
         "graph_host_degrees": (
             "WITH e AS (" + _GRAPH_EDGE_SQL + "), "
             "hg AS (SELECT src_host, dst_host, COUNT(*)::BIGINT AS w "

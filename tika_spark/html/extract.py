@@ -102,6 +102,12 @@ def extract_html(data: bytes, url: str | None = None,
             _, _, links = serialize_body(body, base, collect_links=True)
         text = serialize_xhtml(body, metadata.get("title", [None])[0], base)
         spans = []
+    elif config.mode == "markdown":
+        from tika_spark.html.markdown import serialize_markdown
+        if config.collect_links:
+            _, _, links = serialize_body(body, base, collect_links=True)
+        text = serialize_markdown(body, base)
+        spans = []
     else:
         text, spans, links = serialize_body(
             body, base, collect_links=config.collect_links)

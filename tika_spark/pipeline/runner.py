@@ -70,7 +70,7 @@ def main(argv=None):
     p.add_argument("--mode", default="text",
                    choices=["text", "text-main", "text-main-justext",
                             "metadata", "xhtml", "detect", "language",
-                            "xmp", "json"])
+                            "xmp", "json", "markdown"])
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--group-size", type=int, default=4)
     p.add_argument("--cpus", type=int,
