@@ -110,7 +110,7 @@ import pandas as pd  # needed at module scope: pandas_udf resolves the
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from tika_spark.analysis import dedup, multimodal, similarity, textstats
+from tika_spark.analysis import (classifier, dedup, multimodal, similarity, textstats)
 from tika_spark.pipeline.job import extract, extract_recursive
 
 # ----------------------------------------------------------------- helpers
@@ -3242,6 +3242,25 @@ def _q_extract_checkpointed(spark, sf_dir):
                     F.col("n_rows").cast("long").alias("n_rows")))
 
 
+_QC_FEATS = ["n_tokens", "n_stopwords", "n_digit", "max_token_len"]
+
+
+def _q_docs_quality_classifier(spark, sf_dir):
+    """Distributed-trained quality classifier (analysis/classifier.py):
+    3-epoch integer batch perceptron over the quality features, label =
+    'is English' — bit-exact vs the unrolled-epoch SQL replay. In
+    production the ±1 labels come from a curated seed sample; the
+    training machinery is what this query pins."""
+    docs = _docs(spark, sf_dir)
+    feats = (textstats.quality_features(docs)
+             .select("doc_id", *_QC_FEATS,
+                     F.when(F.col("lang") == "en", 1).otherwise(-1)
+                     .cast("long").alias("y"))
+             .persist())
+    w = classifier.perceptron_train(feats, _QC_FEATS, epochs=3)
+    return classifier.perceptron_scores(feats, w, _QC_FEATS)
+
+
 def _q_extract_markdown(spark, sf_dir):
     """Markdown sink (mode='markdown', html/markdown.py): headings,
     lists, links, GFM tables, fenced code, blockquotes — the oracle
@@ -3502,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "docs_rollup": _q_docs_rollup,
         "extract_markdown": _q_extract_markdown,
+        "docs_quality_classifier": _q_docs_quality_classifier,
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
@@ -4655,6 +4675,17 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(source, 'ALL') AS source, "
             "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS "
             "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
+        "docs_quality_classifier": classifier.perceptron_oracle_sql(
+            {"n_tokens": f"len({_TOKS})",
+             "n_stopwords":
+                 f"len(list_filter({_TOKS}, x -> x IN {_STOP}))",
+             "n_digit":
+                 "length(regexp_replace(text, '[^0-9]', '', 'g'))",
+             "max_token_len":
+                 f"coalesce(list_max(list_transform({_TOKS}, "
+                 "x -> length(x))), 0)"},
+            "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
+            "SELECT * FROM documents", epochs=3),
         "extract_markdown": (
             "SELECT 'doc://' || doc_id AS url, "
             "'# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) || '- alpha' || chr(10) || '- [go ' || doc_id || '](http://ex.com/' || doc_id || ')' || chr(10) || chr(10) || '| k | v |' || chr(10) || '| --- | --- |' || chr(10) || '| id | ' || doc_id || ' |' || chr(10) || chr(10) || '```' || chr(10) || 'code ' || doc_id || chr(10) || '```' || chr(10) || chr(10) || '> quoted words' || chr(10) AS text "
