@@ -3245,6 +3245,14 @@ def _q_extract_checkpointed(spark, sf_dir):
 _QC_FEATS = ["n_tokens", "n_stopwords", "n_digit", "max_token_len"]
 
 
+def _q_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE merge training (analysis/bpe.py): 4 merges
+    learned over the documents corpus, bit-exact vs the unrolled
+    pair-count/argmax/fold SQL replay."""
+    from tika_spark.analysis import bpe
+    return bpe.bpe_train(_docs(spark, sf_dir), num_merges=4)
+
+
 def _q_docs_quality_classifier(spark, sf_dir):
     """Distributed-trained quality classifier (analysis/classifier.py):
     3-epoch integer batch perceptron over the quality features, label =
@@ -3522,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rollup": _q_docs_rollup,
         "extract_markdown": _q_extract_markdown,
         "docs_quality_classifier": _q_docs_quality_classifier,
+        "bpe_train_merges": _q_bpe_train_merges,
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
@@ -3575,6 +3584,12 @@ _SHINGLES = (
     "list_distinct(list_transform(generate_series(1, len(w)-2), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))")
 _STOP = "('the','a','an','of','and','to','in','is','it','on')"
+
+
+
+def __bpe_oracle() -> str:
+    from tika_spark.analysis import bpe
+    return bpe.bpe_oracle_sql("SELECT text FROM documents", num_merges=4)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4675,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(source, 'ALL') AS source, "
             "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS "
             "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
+        "bpe_train_merges": __bpe_oracle(),
         "docs_quality_classifier": classifier.perceptron_oracle_sql(
             {"n_tokens": f"len({_TOKS})",
              "n_stopwords":
