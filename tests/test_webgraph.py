@@ -83,6 +83,16 @@ class TestPageRank:
         # floor division loses <= a few micro per node per iteration
         assert SCALE - 100 <= total <= SCALE
 
+    def test_many_iterations_lineage_truncated(self, spark):
+        # regression: without per-iteration localCheckpoint the plan
+        # grows ~3^k and the driver OOMs generating it around k≈8
+        hg = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 2), ("c", "a", 1)],
+            "src_host string, dst_host string, weight long")
+        r = webgraph.pagerank(hg, iterations=15)
+        total = r.agg(F.sum("rank_micro")).collect()[0][0]
+        assert SCALE - 200 <= total <= SCALE
+
     def test_empty_graph(self, spark):
         hg = spark.createDataFrame(
             [], "src_host string, dst_host string, weight long")

@@ -103,6 +103,34 @@ def _ops(args):
         hashes = image_dhash(d).filter(F.col("status") == "ok")
         return dhash_pairs(hashes, max_dist=args.hamming)
 
+    def bpe_merges(d):
+        from tika_spark.analysis.bpe import bpe_train
+        return bpe_train(d, num_merges=args.merges)
+
+    def quality_clf(d):
+        # label column must exist on the input (±1 seed labels);
+        # output is the per-doc margin/prediction table
+        from tika_spark.analysis.classifier import (perceptron_scores,
+                                                    perceptron_train)
+        from tika_spark.analysis.textstats import quality_features
+        feat_cols = ["n_tokens", "n_stopwords", "n_digit",
+                     "max_token_len"]
+        feats = (quality_features(d)
+                 .select("doc_id", *feat_cols, "y").persist())
+        w = perceptron_train(feats, feat_cols, epochs=args.epochs)
+        return perceptron_scores(feats, w, feat_cols)
+
+    # webgraph ops: input is an extraction output table carrying the
+    # `links` column (url, links), not the documents table
+    def pagerank_op(d):
+        from tika_spark.analysis import webgraph
+        hg = webgraph.host_graph(webgraph.link_edges(d))
+        return webgraph.pagerank(hg, iterations=args.iterations)
+
+    def anchors_op(d):
+        from tika_spark.analysis import webgraph
+        return webgraph.anchor_summary(webgraph.link_edges(d))
+
     return {
         "dedup-exact": exact, "dedup-minhash": minhash,
         "dedup-simhash": simhash, "dedup-substring": substring,
@@ -115,6 +143,8 @@ def _ops(args):
         "video-frames": video_frames,
         "image-dhash": image_dhash_op,
         "image-dhash-pairs": image_dhash_pairs_op,
+        "bpe-merges": bpe_merges, "quality-classifier": quality_clf,
+        "pagerank": pagerank_op, "anchor-text": anchors_op,
     }
 
 
@@ -139,7 +169,9 @@ def main(argv=None):
                    dest="ops", choices=sorted(_ops(
                        argparse.Namespace(threshold=0.5, k=8,
                                           budget=2048, overlap=128,
-                                          every=2, hamming=7)).keys()))
+                                          every=2, hamming=7,
+                                          merges=64, epochs=3,
+                                          iterations=10)).keys()))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold")
     p.add_argument("--k", type=int, default=8,
@@ -155,6 +187,12 @@ def main(argv=None):
     p.add_argument("--hamming", type=int, default=7,
                    help="max Hamming distance (image-dhash-pairs, "
                         "< 8 for banding completeness)")
+    p.add_argument("--merges", type=int, default=64,
+                   help="BPE merges to learn (bpe-merges)")
+    p.add_argument("--epochs", type=int, default=3,
+                   help="perceptron epochs (quality-classifier)")
+    p.add_argument("--iterations", type=int, default=10,
+                   help="PageRank iterations (pagerank)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

@@ -24,10 +24,11 @@ Scale notes (100 TB corpus, ~10^8 hosts):
 - `pagerank` per iteration: one equi-join ranks⋈edges on src (ranks
   is the small side at host granularity — broadcastable up to ~10^8
   hosts × 16 B), one groupBy dst. The dangling-mass scalar folds in
-  via a one-row crossJoin (no driver collect). Ranks are persisted
-  per iteration and the previous iteration unpersisted, so lineage
-  stays O(1) per step; for >20 iterations localCheckpoint() the
-  ranks every ~10 steps to truncate the plan.
+  via a one-row crossJoin (no driver collect). Each iteration ends
+  in an eager `localCheckpoint()`: the rank plan references itself
+  three times per step, so lineage must be TRUNCATED (not just
+  cached) or the plan tree grows ~3^k — the standard iterative-
+  algorithm discipline on Spark.
 """
 
 from __future__ import annotations
@@ -146,9 +147,13 @@ def pagerank(hgraph: DataFrame, iterations: int = 3,
                         + F.expr(f"{damping_micro}L * dangling"
                                  f" div ({SCALE}L * {n})")
                         + F.coalesce("in_mass", F.lit(0)))
-                       .cast("long").alias("rank_micro"))
-               .persist())
-        nxt.count()       # materialize before dropping the parent
+                       .cast("long").alias("rank_micro")))
+        # eager localCheckpoint: materializes the iteration AND
+        # truncates lineage — the rank plan references itself three
+        # times per iteration (contribs, dangling, next), so without
+        # truncation the plan tree grows ~3^k and the driver dies
+        # compiling/printing it long before data is a problem
+        nxt = nxt.localCheckpoint(eager=True)
         ranks.unpersist()
         ranks = nxt
     nodes.unpersist()
