@@ -3366,6 +3366,27 @@ def _q_graph_anchor_text(spark, sf_dir):
     return webgraph.anchor_summary(_graph_edges(spark, sf_dir), k=2)
 
 
+def _q_graph_crawl_priority(spark, sf_dir):
+    """Composed crawl-budget priority: host PageRank joined with the
+    per-host stored-document rollup; priority = rank per already-held
+    doc (all BIGINT — div floor both engines). The operator chain a
+    real frontier scheduler runs: extract → link graph → centrality →
+    join against the corpus inventory."""
+    from tika_spark.analysis import webgraph
+    hg = webgraph.host_graph(_graph_edges(spark, sf_dir))
+    pr = webgraph.pagerank(hg, iterations=3)
+    inv = (_docs(spark, sf_dir)
+           .groupBy(F.concat(F.lit("h"),
+                             F.pmod("doc_id", F.lit(7)).cast("string"),
+                             F.lit(".ex")).alias("host"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars")))
+    return (pr.join(inv, "host")
+            .select("host", "rank_micro", "n_docs", "sum_chars",
+                    F.expr("rank_micro div n_docs").cast("long")
+                    .alias("priority_micro")))
+
+
 def _pagerank_oracle_sql(iterations: int = 3,
                          damping: int = 850_000) -> str:
     """Unrolled integer-micro PageRank replay (same floor-division
@@ -3534,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
+        "graph_crawl_priority": _q_graph_crawl_priority,
     }
 
 
@@ -4719,6 +4741,16 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(iw, 0)::BIGINT AS in_weight "
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
+        "graph_crawl_priority": (
+            "WITH pr AS (SELECT * FROM ("
+            + _pagerank_oracle_sql(iterations=3) + ") s), "
+            "inv AS (SELECT 'h' || (doc_id % 7) || '.ex' AS host, "
+            "COUNT(*)::BIGINT AS n_docs, "
+            "SUM(length(text))::BIGINT AS sum_chars "
+            "FROM documents GROUP BY 1) "
+            "SELECT pr.host, rank_micro, n_docs, sum_chars, "
+            "(rank_micro // n_docs)::BIGINT AS priority_micro "
+            "FROM pr JOIN inv ON pr.host = inv.host"),
         "graph_anchor_text": (
             "WITH e AS (" + _GRAPH_EDGE_SQL + ") "
             "SELECT dst, COUNT(*)::BIGINT AS n_inlinks, "
