@@ -87,28 +87,27 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     best_rows = []
     cur = words
     for rank in range(1, num_merges + 1):
+        # eager localCheckpoint everywhere state carries across
+        # iterations: each step's lineage references the previous
+        # step's twice (pair counts + fold), so without truncation
+        # the plan tree compounds ~2^k (same discipline as
+        # webgraph.pagerank)
         best = (_adjacent_pairs(cur)
                 .orderBy(F.desc("pair_count"), F.asc("left"),
                          F.asc("right"))
                 .limit(1)
                 .withColumn("rank", F.lit(rank).cast("long"))
-                .persist())
+                .localCheckpoint(eager=True))
         if best.count() == 0:   # vocabulary fully merged
-            best.unpersist()
             break
         best_rows.append(best)
-        nxt = (cur.crossJoin(F.broadcast(
+        cur = (cur.crossJoin(F.broadcast(
                    best.select(F.col("left").alias("_ml"),
                                F.col("right").alias("_mr"))))
                .withColumn("syms", _merge_fold(F.col("_ml"),
                                                F.col("_mr")))
-               .select("syms", "cnt").persist())
-        nxt.count()
-        if cur is not words:
-            cur.unpersist()
-        cur = nxt
-    if cur is not words:
-        cur.unpersist()
+               .select("syms", "cnt")
+               .localCheckpoint(eager=True))
     words.unpersist()
     if not best_rows:
         return spark.createDataFrame(
