@@ -64,7 +64,12 @@ def perceptron_train(features: DataFrame, feature_cols: list[str],
             *[(F.col(w) + F.col(f"d_{c}")).cast("long").alias(w)
               for w, c in zip(wcols, feature_cols)],
             (F.col("b") + F.col("d_b")).cast("long").alias("b"),
-            F.col("mis_n").alias("n_mis")))
+            F.col("mis_n").alias("n_mis"))
+            # truncate lineage: each epoch's weights reference the
+            # previous epoch's twice (margin filter + update), so the
+            # plan tree compounds ~2^epochs without an eager
+            # localCheckpoint (the one-row state makes this free)
+            .localCheckpoint(eager=True))
     return weights
 
 
