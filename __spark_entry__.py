@@ -3366,6 +3366,16 @@ def _q_graph_anchor_text(spark, sf_dir):
     return webgraph.anchor_summary(_graph_edges(spark, sf_dir), k=2)
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_docs_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment (textstats.assign_splits):
+    integer 32-bit md5 bands, zero-shuffle, retry-stable."""
+    return (textstats.assign_splits(_docs(spark, sf_dir), _SPLITS)
+            .select("doc_id", "split"))
+
+
 def _q_graph_crawl_priority(spark, sf_dir):
     """Composed crawl-budget priority: host PageRank joined with the
     per-host stored-document rollup; priority = rank per already-held
@@ -3556,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
         "graph_crawl_priority": _q_graph_crawl_priority,
+        "docs_assign_splits": _q_docs_assign_splits,
     }
 
 
@@ -3607,6 +3618,17 @@ _SHINGLES = (
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))")
 _STOP = "('the','a','an','of','and','to','in','is','it','on')"
 
+
+
+
+def __splits_oracle() -> str:
+    cases = " ".join(
+        f"WHEN d < {t} THEN '{name}'"
+        for name, t in textstats.split_thresholds(_SPLITS))
+    return ("SELECT doc_id, CASE " + cases + " ELSE 'unassigned' END "
+            "AS split FROM (SELECT doc_id, ('0x' || "
+            "substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS d "
+            "FROM documents)")
 
 
 def __bpe_oracle() -> str:
@@ -4741,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(iw, 0)::BIGINT AS in_weight "
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
+        "docs_assign_splits": __splits_oracle(),
         "graph_crawl_priority": (
             "WITH pr AS (SELECT * FROM ("
             + _pagerank_oracle_sql(iterations=3) + ") s), "

@@ -430,6 +430,47 @@ def test_stratified_sample_deterministic(spark):
     assert a <= c
 
 
+def test_assign_splits_bands(spark):
+    import hashlib
+
+    from tika_spark.analysis.textstats import (assign_splits,
+                                               split_thresholds)
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split
+           for r in assign_splits(df, fr).collect()}
+    # pure function of md5(key): replay in python
+    bands = split_thresholds(fr)
+    for i in range(300):
+        d = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        exp = next((n for n, t in bands if d < t), "unassigned")
+        assert got[i] == exp
+    # deterministic across calls; roughly proportional
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 200 < n_train < 290
+    assert got == {r.doc_id: r.split
+                   for r in assign_splits(df, fr).collect()}
+
+
+def test_assign_splits_salt_rerolls(spark):
+    from tika_spark.analysis.textstats import assign_splits
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    fr = {"train": 0.5, "test": 0.5}
+    a = {r.doc_id: r.split for r in assign_splits(df, fr).collect()}
+    b = {r.doc_id: r.split
+         for r in assign_splits(df, fr, salt="v2").collect()}
+    assert a != b        # a salt change re-rolls assignments
+    assert set(a.values()) == {"train", "test"}
+
+
+def test_assign_splits_partial_fractions(spark):
+    from tika_spark.analysis.textstats import assign_splits
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    got = assign_splits(df, {"train": 0.2})
+    vals = {r.split for r in got.collect()}
+    assert vals == {"train", "unassigned"}
+
+
 def test_bpe_token_count(spark):
     from pyspark.sql import functions as F
 

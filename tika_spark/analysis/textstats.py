@@ -190,6 +190,48 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(draw < rate)
 
 
+def assign_splits(df: DataFrame, fractions: dict[str, float],
+                  key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment — the corpus-
+    finalization step before packing/export.
+
+    The split is a pure function of md5(key || salt): the first 8 hex
+    digits as a 32-bit draw, compared against INTEGER cumulative
+    thresholds floor(cum_fraction × 2^32) in the given band order —
+    exact and engine-independent (no float comparison), reproducible
+    across retries/partitionings, and re-rollable by changing
+    ``salt``. Rows beyond the bands (fractions summing < 1) get
+    'unassigned'.
+
+    Scale: zero shuffles — a narrow per-row projection in the scan
+    stage; downstream per-split reads filter on the column
+    (partition the written table by it).
+    """
+    draw = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long")
+    expr = None
+    for name, thresh in split_thresholds(fractions):
+        cond = draw < F.lit(thresh)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = (F.lit("unassigned") if expr is None
+            else expr.otherwise(F.lit("unassigned")))
+    return df.withColumn("split", expr)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """The integer 32-bit band thresholds `assign_splits` compares
+    against — exported so an oracle/replay can embed the IDENTICAL
+    literals (float cumulation happens exactly once, here)."""
+    cum = 0.0
+    out = []
+    for name, frac in fractions.items():
+        cum += frac
+        out.append((name, min(int(cum * 0x100000000), 0x100000000)))
+    return out
+
+
 # GPT-2-style pre-tokenizer pattern, ASCII form: contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs. Kept to
 # RE2-compatible syntax (no lookaround) so the same pattern runs in
