@@ -3376,6 +3376,14 @@ def _q_docs_assign_splits(spark, sf_dir):
             .select("doc_id", "split"))
 
 
+def _q_docs_shuffle_order(spark, sf_dir):
+    """Deterministic corpus shuffle (curation.shuffle_order): global
+    md5-keyed training order, retry-stable."""
+    from tika_spark.analysis import curation
+    return (curation.shuffle_order(_docs(spark, sf_dir))
+            .select("doc_id", "shuffle_rank"))
+
+
 def _q_graph_crawl_priority(spark, sf_dir):
     """Composed crawl-budget priority: host PageRank joined with the
     per-host stored-document rollup; priority = rank per already-held
@@ -3567,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anchor_text": _q_graph_anchor_text,
         "graph_crawl_priority": _q_graph_crawl_priority,
         "docs_assign_splits": _q_docs_assign_splits,
+        "docs_shuffle_order": _q_docs_shuffle_order,
     }
 
 
@@ -4764,6 +4773,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "docs_shuffle_order": (
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+            "md5(doc_id::VARCHAR), doc_id)::BIGINT AS shuffle_rank "
+            "FROM documents"),
         "graph_crawl_priority": (
             "WITH pr AS (SELECT * FROM ("
             + _pagerank_oracle_sql(iterations=3) + ") s), "

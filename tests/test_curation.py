@@ -509,3 +509,24 @@ class TestC4Rules:
         plan = c4_rules(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_shuffle_order_deterministic_and_uniform(spark):
+    import hashlib
+
+    from tika_spark.analysis.curation import shuffle_order
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.shuffle_rank
+           for r in shuffle_order(df).collect()}
+    # replay: rank = position in md5-sorted key order
+    order = sorted(range(100),
+                   key=lambda i: (hashlib.md5(str(i).encode())
+                                  .hexdigest(), i))
+    exp = {i: pos + 1 for pos, i in enumerate(order)}
+    assert got == exp
+    # salt re-rolls the order
+    got2 = {r.doc_id: r.shuffle_rank
+            for r in shuffle_order(df, salt="epoch2").collect()}
+    assert got2 != got
+    assert sorted(got2.values()) == list(range(1, 101))

@@ -754,3 +754,33 @@ def c4_rules(df: DataFrame, id_col: str = "doc_id",
         F.size("_kept").cast("long").alias("n_kept"),
         F.col("n_sentences").cast("long").alias("n_sentences"),
         keep.alias("keep"), "text_clean")
+
+
+# --------------------------------------------- training-order shuffle --
+
+
+def shuffle_order(df: DataFrame, key_col: str = "doc_id",
+                  salt: str = "") -> DataFrame:
+    """Deterministic global shuffle order for training export — the
+    step that serializes a curated corpus so no source/crawl-segment
+    run of similar documents survives into the token stream.
+
+    The order key is md5(key || salt): uniform, reproducible across
+    retries (never rand()), re-rollable per epoch by changing
+    ``salt``. Adds ``shuffle_rank`` (1-based dense position).
+
+    Scale: one global sort — Spark range-partitions by sampled md5
+    quantiles, so it parallelizes like any TB-scale ORDER BY write;
+    in practice the rank is computed once per corpus export and the
+    writer consumes `orderBy(shuffle_key)` directly (`sortWithinPartitions`
+    + range partitioning), never a single-task window. The
+    row_number here runs over a range-partitioned sort with the same
+    plan shape as the token-budget prefix sum.
+    """
+    keyed = df.withColumn(
+        "_sk", F.md5(F.concat(F.col(key_col).cast("string"),
+                              F.lit(salt))))
+    w = Window.orderBy("_sk", F.col(key_col))
+    return (keyed.withColumn("shuffle_rank",
+                             F.row_number().over(w).cast("long"))
+            .drop("_sk"))
