@@ -3376,6 +3376,24 @@ def _q_docs_assign_splits(spark, sf_dir):
             .select("doc_id", "split"))
 
 
+def _q_html_tables(spark, sf_dir):
+    """HTML table mining (analysis/tables.py): per-page grids as
+    structured rows; cells pipe-joined for the hash compare."""
+    from tika_spark.analysis.tables import html_tables
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.encode(F.concat(
+        F.lit("<html><body><h1>T</h1><table><tr><th>k</th><th>v</th>"
+              "</tr><tr><td>id</td><td>"), did,
+        F.lit("</td></tr><tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr></table></body></html>")), "UTF-8")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), did).alias("url"), html.alias("html"))
+    out = html_tables(pages)
+    return out.select("url", "table_idx", "row_idx", "n_cols",
+                      F.concat_ws("|", "cells").alias("cells_joined"))
+
+
 def _q_docs_shuffle_order(spark, sf_dir):
     """Deterministic corpus shuffle (curation.shuffle_order): global
     md5-keyed training order, retry-stable."""
@@ -3576,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_crawl_priority": _q_graph_crawl_priority,
         "docs_assign_splits": _q_docs_assign_splits,
         "docs_shuffle_order": _q_docs_shuffle_order,
+        "html_tables": _q_html_tables,
     }
 
 
@@ -4773,6 +4792,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "html_tables": (
+            "SELECT 'doc://' || doc_id AS url, 1::BIGINT AS table_idx, "
+            "r.row_idx, 2::BIGINT AS n_cols, "
+            "CASE r.row_idx WHEN 1 THEN 'k|v' "
+            "WHEN 2 THEN 'id|' || doc_id "
+            "ELSE 'lang|' || lang END AS cells_joined "
+            "FROM documents, "
+            "(VALUES (1::BIGINT), (2::BIGINT), (3::BIGINT)) "
+            "r(row_idx)"),
         "docs_shuffle_order": (
             "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
             "md5(doc_id::VARCHAR), doc_id)::BIGINT AS shuffle_rank "

@@ -120,6 +120,11 @@ def _ops(args):
         w = perceptron_train(feats, feat_cols, epochs=args.epochs)
         return perceptron_scores(feats, w, feat_cols)
 
+    # html-tables op: input is a raw pages table (url, html)
+    def tables_op(d):
+        from tika_spark.analysis.tables import html_tables
+        return html_tables(d)
+
     # webgraph ops: input is an extraction output table carrying the
     # `links` column (url, links), not the documents table
     def pagerank_op(d):
@@ -145,6 +150,7 @@ def _ops(args):
         "image-dhash-pairs": image_dhash_pairs_op,
         "bpe-merges": bpe_merges, "quality-classifier": quality_clf,
         "pagerank": pagerank_op, "anchor-text": anchors_op,
+        "html-tables": tables_op,
     }
 
 
