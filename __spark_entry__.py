@@ -3376,6 +3376,25 @@ def _q_docs_assign_splits(spark, sf_dir):
             .select("doc_id", "split"))
 
 
+_ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
+
+
+def _q_frontier_robots(spark, sf_dir):
+    """robots.txt frontier filtering (sources/robots.py): per-host
+    rules broadcast against the candidate URL set; longest match
+    wins, Allow beats Disallow on ties."""
+    from tika_spark.sources.robots import frontier_filter, robots_rules
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(F.concat(
+        F.lit("http://h"), F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(".ex/d"), F.pmod("doc_id", F.lit(20)).cast("string"))
+        .alias("url"))
+    hosts = (urls.select(F.regexp_extract("url", r"^http://([^/]+)", 1)
+                         .alias("host")).distinct()
+             .withColumn("robots_txt", F.lit(_ROBOTS_FIXTURE)))
+    return frontier_filter(urls, robots_rules(hosts))
+
+
 def _q_html_tables(spark, sf_dir):
     """HTML table mining (analysis/tables.py): per-page grids as
     structured rows; cells pipe-joined for the hash compare."""
@@ -3595,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_assign_splits": _q_docs_assign_splits,
         "docs_shuffle_order": _q_docs_shuffle_order,
         "html_tables": _q_html_tables,
+        "frontier_robots": _q_frontier_robots,
     }
 
 
@@ -4792,6 +4812,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "frontier_robots": (
+            "SELECT DISTINCT 'http://h' || (doc_id % 7) || '.ex/d' "
+            "|| (doc_id % 20) AS url, "
+            "(NOT ((doc_id % 20)::VARCHAR LIKE '1%') "
+            "OR (doc_id % 20)::VARCHAR LIKE '12%') AS fetch_allowed "
+            "FROM documents"),
         "html_tables": (
             "SELECT 'doc://' || doc_id AS url, 1::BIGINT AS table_idx, "
             "r.row_idx, 2::BIGINT AS n_cols, "

@@ -1,0 +1,99 @@
+"""robots.txt parsing + frontier filtering
+(tika_spark/sources/robots.py)."""
+
+import pytest
+
+from tika_spark.sources.robots import (frontier_filter, parse_robots,
+                                       pattern_regex, robots_rules)
+
+ROBOTS = """# site policy
+User-agent: BadBot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp/
+Allow:
+"""
+
+
+class TestParse:
+    def test_star_group_rules(self):
+        rules = parse_robots(ROBOTS, agent="mybot")
+        assert rules == [("/private", False), ("/private/ok", True),
+                         ("/tmp/", False)]
+
+    def test_specific_agent_beats_star(self):
+        assert parse_robots(ROBOTS, agent="BadBot/1.0") == [("/", False)]
+
+    def test_multi_agent_group(self):
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots(txt, "b") == [("/x", False)]
+        assert parse_robots(txt, "c") == []
+
+    def test_empty_disallow_means_allow_all(self):
+        assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+    def test_rules_before_agent_ignored(self):
+        assert parse_robots("Disallow: /x\nUser-agent: *\n"
+                            "Disallow: /y\n") == [("/y", False)]
+
+    def test_garbage_lines_skipped(self):
+        assert parse_robots("ran:dom\nnoise\nUser-agent: *\n"
+                            "Disallow: /a\n") == [("/a", False)]
+
+
+class TestPatternRegex:
+    def test_prefix(self):
+        import re
+        rx = pattern_regex("/private")
+        assert re.search(rx, "/private/page")
+        assert not re.search(rx, "/pub/private")
+
+    def test_wildcard_and_anchor(self):
+        import re
+        assert re.search(pattern_regex("/*.pdf$"), "/docs/x.pdf")
+        assert not re.search(pattern_regex("/*.pdf$"), "/docs/x.pdfx")
+        assert re.search(pattern_regex("/a*b"), "/aXXXb/tail")
+
+
+class TestFrontier:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from pyspark.sql import SparkSession
+        s = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+        yield s
+
+    def test_longest_match_allow_wins(self, spark):
+        hosts = spark.createDataFrame([("a.ex", ROBOTS)],
+                                      "host string, robots_txt string")
+        rules = robots_rules(hosts)
+        urls = spark.createDataFrame(
+            [("http://a.ex/private/x",),      # disallow /private
+             ("http://a.ex/private/ok/y",),   # allow /private/ok (longer)
+             ("http://a.ex/tmp/z",),          # disallow /tmp/
+             ("http://a.ex/public",),         # no rule -> allow
+             ("http://other.ex/q",)],         # no rules host -> allow
+            "url string")
+        got = {r.url: r.fetch_allowed
+               for r in frontier_filter(urls, rules).collect()}
+        assert got == {
+            "http://a.ex/private/x": False,
+            "http://a.ex/private/ok/y": True,
+            "http://a.ex/tmp/z": False,
+            "http://a.ex/public": True,
+            "http://other.ex/q": True,
+        }
+
+    def test_root_url_and_slash_disallow(self, spark):
+        hosts = spark.createDataFrame(
+            [("b.ex", "User-agent: *\nDisallow: /\n")],
+            "host string, robots_txt string")
+        urls = spark.createDataFrame(
+            [("http://b.ex",), ("http://b.ex/any",)], "url string")
+        got = {r.url: r.fetch_allowed
+               for r in frontier_filter(
+                   urls, robots_rules(hosts)).collect()}
+        assert got == {"http://b.ex": False, "http://b.ex/any": False}

@@ -1,0 +1,148 @@
+"""robots.txt parsing and crawl-frontier filtering.
+
+No reference counterpart (SURVEY §2.I widening): the ingest side of
+a web-scale pipeline must honor per-host exclusion rules before
+fetching; at frontier scale (10^10 candidate URLs) that is a
+DataFrame join problem, not a per-URL library call.
+
+Parsing follows the original robots exclusion protocol with RFC 9309
+group semantics: consecutive ``User-agent:`` lines open a group that
+the following Allow/Disallow rules belong to; the group chosen for
+an agent is the most specific matching one (exact token beats ``*``);
+an empty ``Disallow:`` means allow-all. Patterns support the RFC's
+``*`` wildcard and ``$`` end anchor (translated to an anchored regex
+once at parse time); rule precedence is longest-pattern-first with
+Allow winning ties — the de-facto standard (RFC 9309 §2.2.2).
+
+Scale: `frontier_filter` broadcasts the rules table (hosts × rules —
+tiny next to the frontier), equi-joins on host, and picks the most
+specific matching rule per URL with one max_by aggregation (no
+window over the frontier). URLs on hosts with no rules pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd  # module scope: pandas_udf resolves the string
+#                      type hints of nested UDFs via __globals__
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tika_spark.analysis.webgraph import host_of
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """[(path_pattern, allowed), ...] for the best-matching group.
+
+    Group selection: longest user-agent token that is a
+    case-insensitive substring of ``agent`` (or equals ``*``); the
+    generic ``*`` group is the fallback.
+    """
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_rules = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules and agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(val.lower())
+            in_rules = False
+        elif key in ("allow", "disallow"):
+            if not agents:
+                continue    # rules before any user-agent line: ignored
+            in_rules = True
+            if key == "disallow" and val == "":
+                continue    # empty Disallow = no restriction
+            if val:
+                rules.append((val, key == "allow"))
+    if agents:
+        groups.append((agents, rules))
+
+    agent_l = agent.lower()
+    best: tuple[int, list[tuple[str, bool]]] | None = None
+    for ags, rs in groups:
+        for a in ags:
+            if a == "*":
+                score = 0
+            elif a and a in agent_l:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rs)
+    return best[1] if best else []
+
+
+def pattern_regex(pattern: str) -> str:
+    """Anchored regex for a robots path pattern (* wildcard, $ end)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def robots_rules(pages: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt",
+                 agent: str = "*") -> DataFrame:
+    """(host, robots.txt) → exploded (host, pattern, pattern_len,
+    regex, allowed) rules for ``agent``. One small pandas-UDF parse
+    per host row — the rules table, not the frontier."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pattern:string,allowed:boolean>>")
+    def parse(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            [{"pattern": p, "allowed": a}
+             for p, a in parse_robots(t or "", agent)]
+            for t in texts])
+
+    rx = F.udf(pattern_regex, "string")
+    return (pages
+            .select(F.col(host_col).alias("host"),
+                    F.explode(parse(F.col(text_col))).alias("r"))
+            .select("host", F.col("r.pattern").alias("pattern"),
+                    F.length("r.pattern").cast("long")
+                    .alias("pattern_len"),
+                    F.col("r.allowed").alias("allowed"))
+            .withColumn("regex", rx(F.col("pattern"))))
+
+
+def frontier_filter(urls: DataFrame, rules: DataFrame,
+                    url_col: str = "url") -> DataFrame:
+    """Per-URL fetch decision: broadcast-join rules on host, keep
+    matching rules, take the most specific (longest pattern, Allow
+    wins ties) via one max_by agg. Adds ``fetch_allowed``."""
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$",
+            1), F.lit("")),
+        F.lit("/"))
+    u = urls.select(F.col(url_col).alias("url"),
+                    host_of(F.col(url_col)).alias("host"),
+                    path.alias("path"))
+    joined = (u.join(F.broadcast(rules), "host", "left")
+              .withColumn("m", F.col("pattern").isNotNull()
+                          & F.regexp_like(F.col("path"),
+                                          F.col("regex"))))
+    # specificity key: (pattern_len, allowed) — max_by gives the
+    # longest match, Allow beating Disallow on equal length
+    verdict = (joined
+               .groupBy("url")
+               .agg(F.max_by(
+                   F.col("allowed"),
+                   F.when(F.col("m"),
+                          F.col("pattern_len") * 2
+                          + F.col("allowed").cast("long")))
+                   .alias("best_allowed")))
+    return verdict.select(
+        "url", F.coalesce("best_allowed", F.lit(True))
+        .alias("fetch_allowed"))
