@@ -3379,6 +3379,28 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+def _q_sitemap_entries(spark, sf_dir):
+    """Sitemap urlset parsing (sources/sitemap.py): per-doc sitemap
+    XML exploded into frontier rows with exact micro priorities."""
+    from tika_spark.sources.sitemap import sitemap_entries
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    xml = F.encode(F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.'
+              'sitemaps.org/schemas/sitemap/0.9"><url><loc>'
+              "http://s.ex/p"), did,
+        F.lit("</loc><lastmod>2026-01-0"),
+        (F.pmod("doc_id", F.lit(9)) + 1).cast("string"),
+        F.lit("</lastmod><priority>0."),
+        F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.lit("</priority></url><url><loc>http://s.ex/q"), did,
+        F.lit("</loc></url></urlset>")), "UTF-8")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), did, F.lit("/sitemap.xml"))
+        .alias("url"), xml.alias("html"))
+    return sitemap_entries(pages)
+
+
 def _q_frontier_robots(spark, sf_dir):
     """robots.txt frontier filtering (sources/robots.py): per-host
     rules broadcast against the candidate URL set; longest match
@@ -3615,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_order": _q_docs_shuffle_order,
         "html_tables": _q_html_tables,
         "frontier_robots": _q_frontier_robots,
+        "sitemap_entries": _q_sitemap_entries,
     }
 
 
@@ -4812,6 +4835,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "sitemap_entries": (
+            "SELECT 'doc://' || doc_id || '/sitemap.xml' AS source_url, "
+            "CASE r.i WHEN 1 THEN 'http://s.ex/p' || doc_id "
+            "ELSE 'http://s.ex/q' || doc_id END AS loc, "
+            "CASE r.i WHEN 1 THEN '2026-01-0' || ((doc_id % 9) + 1) "
+            "END AS lastmod, NULL::VARCHAR AS changefreq, "
+            "CASE r.i WHEN 1 THEN (doc_id % 10) * 100000 "
+            "ELSE 500000 END::BIGINT AS priority_micro, "
+            "FALSE AS is_index FROM documents, "
+            "(VALUES (1), (2)) r(i)"),
         "frontier_robots": (
             "SELECT DISTINCT 'http://h' || (doc_id % 7) || '.ex/d' "
             "|| (doc_id % 20) AS url, "
