@@ -3379,6 +3379,20 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+def _q_wet_cdx_index(spark, sf_dir):
+    """WET export → CDX index composition (sources/cdx.py): the
+    random-access layer over the text egress. Offsets/lengths are
+    pytest-pinned (gzip framing isn't SQL); the oracle replays the
+    SURT keys and payload sha256."""
+    from tika_spark.sources.cdx import cdx_index
+    from tika_spark.sources.warc import to_wet
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://www.ex.com/d"),
+                 F.col("doc_id").cast("string")).alias("url"), "text")
+    shards = to_wet(docs).withColumn("shard", F.lit("s0"))
+    return cdx_index(shards).select("urlkey", "url", "digest")
+
+
 def _q_sitemap_entries(spark, sf_dir):
     """Sitemap urlset parsing (sources/sitemap.py): per-doc sitemap
     XML exploded into frontier rows with exact micro priorities."""
@@ -3638,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "frontier_robots": _q_frontier_robots,
         "sitemap_entries": _q_sitemap_entries,
+        "wet_cdx_index": _q_wet_cdx_index,
     }
 
 
@@ -4835,6 +4850,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "wet_cdx_index": (
+            "SELECT 'com,ex)/d' || doc_id AS urlkey, "
+            "'http://www.ex.com/d' || doc_id AS url, "
+            "sha256(text) AS digest FROM documents"),
         "sitemap_entries": (
             "SELECT 'doc://' || doc_id || '/sitemap.xml' AS source_url, "
             "CASE r.i WHEN 1 THEN 'http://s.ex/p' || doc_id "

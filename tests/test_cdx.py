@@ -1,0 +1,96 @@
+"""CDX indexing (tika_spark/sources/cdx.py): offsets, SURT keys,
+range-read roundtrip."""
+
+import gzip
+import hashlib
+
+import pytest
+
+from tika_spark.sources.cdx import (cdx_records, iter_members_with_offsets,
+                                    surt_key)
+from tika_spark.sources.warc import build_record, gzip_member, parse_record
+
+
+class TestSurt:
+    def test_basic(self):
+        assert surt_key("http://www.Ex.com/a/b?q=1") == "com,ex)/a/b?q=1"
+
+    def test_no_www_no_path(self):
+        assert surt_key("https://sub.site.org") == "org,site,sub)/"
+
+    def test_port_dropped_query_kept(self):
+        assert surt_key("http://a.ex:8080/p") == "ex,a)/p"
+
+
+def _shard(urls_texts):
+    return b"".join(
+        gzip_member(build_record(u, "2026-01-01T00:00:00Z",
+                                 t.encode(), rec_type="conversion"))
+        for u, t in urls_texts)
+
+
+class TestOffsets:
+    def test_members_reconstruct(self):
+        shard = _shard([("http://a.ex/1", "one"),
+                        ("http://a.ex/2", "two two")])
+        members = list(iter_members_with_offsets(shard))
+        assert len(members) == 2
+        # offsets tile the shard exactly
+        assert members[0][0] == 0
+        assert members[1][0] == members[0][1]
+        assert members[1][0] + members[1][1] == len(shard)
+        # range-read roundtrip: slice + gunzip = the member
+        for off, clen, inflated in members:
+            assert gzip.decompress(shard[off:off + clen]) == inflated
+
+    def test_corrupt_gap_resync(self):
+        good = _shard([("http://a.ex/1", "one")])
+        shard = good + b"\x00garbage\x00" + _shard(
+            [("http://a.ex/2", "two")])
+        rows = cdx_records(shard)
+        assert [r["url"] for r in rows] == ["http://a.ex/1",
+                                           "http://a.ex/2"]
+        # the second record's offset still range-reads correctly
+        r2 = rows[1]
+        member = gzip.decompress(
+            shard[r2["offset"]:r2["offset"] + r2["clength"]])
+        assert parse_record(member)["url"] == "http://a.ex/2"
+
+
+class TestRecords:
+    def test_digest_and_fields(self):
+        shard = _shard([("http://www.b.ex/p", "payload text")])
+        (r,) = cdx_records(shard)
+        assert r["urlkey"] == "ex,b)/p"
+        assert r["rec_type"] == "conversion"
+        assert r["digest"] == hashlib.sha256(b"payload text").hexdigest()
+
+    def test_response_envelope_stripped(self):
+        rec = build_record("http://c.ex/r", "2026-01-01T00:00:00Z",
+                           b"<html>hi</html>", rec_type="response")
+        (r,) = cdx_records(gzip_member(rec))
+        assert r["digest"] == hashlib.sha256(b"<html>hi</html>").hexdigest()
+
+
+class TestDataFrameOp:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from pyspark.sql import SparkSession
+        s = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+        yield s
+
+    def test_index_shards(self, spark):
+        from tika_spark.sources.cdx import cdx_index
+        shards = spark.createDataFrame(
+            [(f"shard{j}", bytearray(_shard(
+                [(f"http://a.ex/{j}/{i}", f"t{j}{i}")
+                 for i in range(5)])))
+             for j in range(3)],
+            "shard string, blob binary")
+        out = cdx_index(shards)
+        assert out.count() == 15
+        r = out.filter("shard = 'shard1' AND url = 'http://a.ex/1/0'") \
+            .collect()[0]
+        assert r.offset == 0 and r.clength > 0
+        assert r.urlkey == "ex,a)/1/0"

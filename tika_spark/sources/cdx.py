@@ -1,0 +1,159 @@
+"""CDX indexing of WARC/WET shards: per-record (urlkey, offset,
+length, digest) rows.
+
+No reference counterpart (SURVEY §2.I widening) — the Common-Crawl
+access layer: a CDX index is what makes a petabyte of .warc.gz
+random-accessible (fetch = HTTP range read of [offset, offset+length)
+then gunzip one member). CC publishes exactly this index beside every
+crawl; pywb/OpenWayback consume it.
+
+- ``urlkey`` is a SURT key (pywb convention, simplified): scheme
+  dropped, host lowercased with a leading ``www.`` stripped and its
+  labels reversed comma-joined, then ``)/`` + path and raw query —
+  e.g. ``http://www.Ex.com/a/b?q=1`` → ``com,ex)/a/b?q=1``. (Full
+  pywb canonicalization also sorts/strips query params; that layer
+  is deliberately omitted and documented.)
+- ``offset``/``clength`` frame the gzip member inside the shard —
+  found by actually inflating member-at-a-time (zlib ``unused_data``
+  marks the boundary), with resync-at-next-magic on corrupt gaps,
+  the same fault posture as the WARC reader.
+- ``digest`` is the hex sha256 of the record's payload (HTTP
+  envelope stripped for ``response`` records; ``conversion``/WET
+  bodies digest as-is) — CC uses sha1-b32; sha256 keeps the whole
+  repo on one hash family and is what the SQL oracle can replay.
+
+Scale: one mapInPandas over shard blobs; emitted rows are index
+strings only — the payloads never leave the stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+from urllib.parse import urlsplit
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_MAX_MEMBER = 256 << 20     # same per-member inflate cap as warc.py
+
+
+def surt_key(url: str) -> str:
+    """Simplified SURT canonical key (see module docstring)."""
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url.lower()
+    host = (parts.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split("."))) if host else ""
+    path = parts.path or "/"
+    q = f"?{parts.query}" if parts.query else ""
+    return f"{key}){path}{q}"
+
+
+def iter_members_with_offsets(
+        data: bytes) -> Iterator[tuple[int, int, bytes | None]]:
+    """(offset, compressed_length, inflated_bytes | None) per gzip
+    member; ``None`` payload for a corrupt/oversized gap (resyncs at
+    the next gzip magic)."""
+    view = memoryview(data)
+    pos = 0
+    n = len(view)
+    while pos < n:
+        if not (view[pos] == 0x1F and pos + 1 < n
+                and view[pos + 1] == 0x8B):
+            # corrupt gap: scan to the next magic
+            nxt = bytes(view[pos:]).find(b"\x1f\x8b", 1)
+            gap_end = n if nxt < 0 else pos + nxt
+            yield (pos, gap_end - pos, None)
+            pos = gap_end
+            continue
+        d = zlib.decompressobj(31)
+        out = bytearray()
+        p = pos
+        ok = True
+        try:
+            while not d.eof and p < n:
+                chunk = view[p:p + (1 << 20)]
+                p += len(chunk)
+                out += d.decompress(chunk, _MAX_MEMBER - len(out))
+                while d.unconsumed_tail and len(out) < _MAX_MEMBER:
+                    out += d.decompress(d.unconsumed_tail,
+                                        _MAX_MEMBER - len(out))
+                if (d.unconsumed_tail or
+                        (not d.eof and len(out) >= _MAX_MEMBER)):
+                    ok = False          # over-cap member
+                    break
+            if not d.eof:
+                ok = False              # truncated member
+        except zlib.error:
+            ok = False
+        if ok:
+            clen = (p - pos) - len(d.unused_data)
+            yield (pos, clen, bytes(out))
+            pos += clen
+        else:
+            nxt = bytes(view[pos + 2:]).find(b"\x1f\x8b")
+            gap_end = n if nxt < 0 else pos + 2 + nxt
+            yield (pos, gap_end - pos, None)
+            pos = gap_end
+
+
+def _payload_of(rec: dict) -> bytes:
+    body = rec["body"]
+    if rec["type"] == "response" and body[:5] == b"HTTP/":
+        sep = body.find(b"\r\n\r\n")
+        if sep >= 0:
+            body = body[sep + 4:]
+    return body
+
+
+def cdx_records(data: bytes) -> list[dict]:
+    """CDX rows for one shard blob."""
+    from tika_spark.sources.warc import parse_record
+    out = []
+    for offset, clen, member in iter_members_with_offsets(data):
+        if member is None:
+            continue
+        rec = parse_record(member)
+        if rec is None or not rec.get("url"):
+            continue
+        payload = _payload_of(rec)
+        out.append({
+            "urlkey": surt_key(rec["url"]), "url": rec["url"],
+            "rec_type": rec["type"], "warc_date": rec["date"],
+            "offset": offset, "clength": clen,
+            "digest": hashlib.sha256(payload).hexdigest(),
+        })
+    return out
+
+
+CDX_SCHEMA = ("shard string, urlkey string, url string, "
+              "rec_type string, warc_date string, offset long, "
+              "clength long, digest string")
+
+
+def cdx_index(shards: DataFrame, shard_col: str = "shard",
+              blob_col: str = "blob") -> DataFrame:
+    """Index every shard blob: one row per readable WARC record."""
+    slim = shards.select(shard_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "urlkey", "url", "rec_type", "warc_date",
+                "offset", "clength", "digest"]
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf[shard_col], pdf[blob_col]):
+                try:
+                    recs = cdx_records(bytes(blob or b""))
+                except Exception:
+                    continue    # poison shard: zero rows
+                for r in recs:
+                    rows.append({"shard": shard, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slim.mapInPandas(run, schema=CDX_SCHEMA)
