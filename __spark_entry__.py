@@ -3379,6 +3379,40 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+def _q_cdx_fetch_roundtrip(spark, sf_dir):
+    """Archive random-access roundtrip: export WET shards to files,
+    CDX-index them, range-fetch every record back by (path, offset,
+    clength), decode — must reproduce the corpus text exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from tika_spark.sources.cdx import cdx_fetch, cdx_index
+    from tika_spark.sources.warc import to_wet
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://www.ex.com/d"),
+                 F.col("doc_id").cast("string")).alias("url"), "text")
+    out_dir = tempfile.mkdtemp(prefix="tika_cdx_")
+
+    def save(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                p = os.path.join(out_dir,
+                                 uuid.uuid4().hex + ".warc.wet.gz")
+                with open(p, "wb") as f:
+                    f.write(blob)
+                rows.append({"path": p, "blob": blob})
+            yield pd.DataFrame(rows, columns=["path", "blob"])
+
+    shards = to_wet(docs).mapInPandas(save, "path string, blob binary")
+    idx = (cdx_index(shards, shard_col="path")
+           .withColumnRenamed("shard", "path"))
+    fetched = cdx_fetch(idx)
+    return fetched.select(
+        "url", F.decode(F.col("payload"), "UTF-8").alias("text"))
+
+
 def _q_wet_cdx_index(spark, sf_dir):
     """WET export → CDX index composition (sources/cdx.py): the
     random-access layer over the text egress. Offsets/lengths are
@@ -3653,6 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_robots": _q_frontier_robots,
         "sitemap_entries": _q_sitemap_entries,
         "wet_cdx_index": _q_wet_cdx_index,
+        "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
     }
 
 
@@ -4850,6 +4885,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "cdx_fetch_roundtrip": (
+            "SELECT 'http://www.ex.com/d' || doc_id AS url, text "
+            "FROM documents"),
         "wet_cdx_index": (
             "SELECT 'com,ex)/d' || doc_id AS urlkey, "
             "'http://www.ex.com/d' || doc_id AS url, "

@@ -94,3 +94,48 @@ class TestDataFrameOp:
             .collect()[0]
         assert r.offset == 0 and r.clength > 0
         assert r.urlkey == "ex,a)/1/0"
+
+
+class TestFetch:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from pyspark.sql import SparkSession
+        s = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+        yield s
+
+    def test_index_then_range_fetch_roundtrip(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from tika_spark.sources.cdx import cdx_fetch, cdx_index
+        base = tmp_path_factory.mktemp("shards")
+        paths = []
+        for j in range(3):
+            p = base / f"shard{j}.warc.wet.gz"
+            p.write_bytes(_shard([(f"http://a.ex/{j}/{i}", f"text {j}-{i}")
+                                  for i in range(4)]))
+            paths.append(str(p))
+        shards = spark.createDataFrame(
+            [(p, bytearray(open(p, "rb").read())) for p in paths],
+            "shard string, blob binary")
+        idx = cdx_index(shards).withColumnRenamed("shard", "path")
+        # fetch a subset: every record of shard1 + one of shard2
+        wanted = idx.filter(
+            "path LIKE '%shard1%' OR url = 'http://a.ex/2/3'")
+        got = cdx_fetch(wanted).collect()
+        assert len(got) == 5
+        assert all(r.status == "ok" for r in got)
+        by_url = {r.url: bytes(r.payload).decode() for r in got}
+        assert by_url["http://a.ex/1/2"] == "text 1-2"
+        assert by_url["http://a.ex/2/3"] == "text 2-3"
+
+    def test_bad_offset_is_status_row(self, spark, tmp_path_factory):
+        from tika_spark.sources.cdx import cdx_fetch
+        base = tmp_path_factory.mktemp("bad")
+        p = base / "s.gz"
+        p.write_bytes(_shard([("http://a.ex/x", "hello")]))
+        idx = spark.createDataFrame(
+            [(str(p), 3, 10), (str(base / "missing.gz"), 0, 5)],
+            "path string, offset long, clength long")
+        got = cdx_fetch(idx).collect()
+        assert [r.status for r in got] == ["fetch_error", "fetch_error"]

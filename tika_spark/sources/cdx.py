@@ -157,3 +157,76 @@ def cdx_index(shards: DataFrame, shard_col: str = "shard",
             yield pd.DataFrame(rows, columns=cols)
 
     return slim.mapInPandas(run, schema=CDX_SCHEMA)
+
+
+def _open_file(path: str):
+    """Random-access (seekable) pyarrow file for any FS scheme."""
+    from pyarrow import fs as pafs
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return pafs.LocalFileSystem().open_input_file(local)
+    if "://" not in path:
+        return pafs.LocalFileSystem().open_input_file(path)
+    filesystem, p = pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_file(p)
+
+
+FETCH_SCHEMA = ("path string, url string, rec_type string, "
+                "payload binary, status string")
+
+
+def cdx_fetch(index: DataFrame, path_col: str = "path",
+              offset_col: str = "offset",
+              clength_col: str = "clength") -> DataFrame:
+    """Range-fetch the records a CDX index points at: per row, open
+    the shard, seek to ``offset``, read ``clength`` bytes, gunzip the
+    one member, parse — the petabyte-archive random-access pattern
+    (an HTTP Range read against s3/hdfs in production; pyarrow's
+    seekable file here).
+
+    Efficiency at scale: rows are grouped per (partition, path) so a
+    shard opens once per task; sort/repartition the index by path
+    upstream to maximize that reuse. Only the requested byte ranges
+    are ever read — a 1 GB shard costs what its fetched members cost.
+    Failure posture: a bad offset/corrupt member yields a status row
+    (`fetch_error`), never a task failure (H1)."""
+    import gzip as _gzip
+
+    from tika_spark.sources.warc import parse_record
+    slim = index.select(path_col, offset_col, clength_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "url", "rec_type", "payload", "status"]
+        for pdf in batches:
+            rows = []
+            order = pdf.sort_values(path_col)
+            open_path, f = None, None
+            for path, off, clen in zip(order[path_col],
+                                       order[offset_col],
+                                       order[clength_col]):
+                row = {"path": path, "url": "", "rec_type": "",
+                       "payload": None, "status": "fetch_error"}
+                try:
+                    if path != open_path:
+                        if f is not None:
+                            f.close()
+                        f = _open_file(str(path))
+                        open_path = path
+                    f.seek(int(off))
+                    member = _gzip.decompress(f.read(int(clen)))
+                    rec = parse_record(member)
+                    if rec is not None:
+                        row.update(url=rec["url"],
+                                   rec_type=rec["type"],
+                                   payload=_payload_of(rec),
+                                   status="ok")
+                except Exception:
+                    open_path, f = None, None
+                rows.append(row)
+            if f is not None:
+                f.close()
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slim.mapInPandas(run, schema=FETCH_SCHEMA)
