@@ -107,3 +107,54 @@ def spark_session():
     s = (SparkSession.builder.master("local[2]")
          .config("spark.sql.shuffle.partitions", "2").getOrCreate())
     yield s
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=4096))
+def test_cdx_scanner_never_raises(data):
+    from tika_spark.sources.cdx import cdx_records, iter_members_with_offsets
+    members = list(iter_members_with_offsets(data))
+    # offsets+lengths always tile the input exactly
+    pos = 0
+    for off, clen, _ in members:
+        assert off == pos and clen >= 0
+        pos = off + clen
+    assert pos == len(data)
+    assert isinstance(cdx_records(data), list)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=2048))
+def test_cdx_scanner_with_valid_prefix(data):
+    import gzip as _g
+
+    from tika_spark.sources.cdx import iter_members_with_offsets
+    good = _g.compress(b"WARC/1.0\r\n\r\npayload")
+    members = list(iter_members_with_offsets(good + data))
+    assert members[0][2] is not None  # the valid member survives
+
+
+@settings(**_SETTINGS)
+@given(st.text(max_size=1000))
+def test_robots_parser_never_raises(text):
+    from tika_spark.sources.robots import parse_robots, pattern_regex
+    import re
+    for pattern, allowed in parse_robots(text, agent="fuzzbot"):
+        assert isinstance(allowed, bool)
+        re.compile(pattern_regex(pattern))  # always a valid regex
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=2048))
+def test_sitemap_parser_never_raises(data):
+    from tika_spark.sources.sitemap import parse_sitemap
+    for prefix in (b"", b"<urlset>", b"<sitemapindex><sitemap>"):
+        out = parse_sitemap(prefix + data)
+        assert isinstance(out, list)
+
+
+@settings(**_SETTINGS)
+@given(st.text(alphabet="abc.:/?#@%[]www.123-", max_size=120))
+def test_surt_key_never_raises(url):
+    from tika_spark.sources.cdx import surt_key
+    assert isinstance(surt_key(url), str)
