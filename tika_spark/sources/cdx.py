@@ -230,3 +230,40 @@ def cdx_fetch(index: DataFrame, path_col: str = "path",
             yield pd.DataFrame(rows, columns=cols)
 
     return slim.mapInPandas(run, schema=FETCH_SCHEMA)
+
+
+def main(argv=None):
+    """CLI: index a directory of .warc[.wet].gz shards to parquet.
+
+        python -m tika_spark.sources.cdx --input <dir> --output <dir>
+    """
+    import argparse
+    import os
+
+    from pyspark.sql import SparkSession
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--glob", default="*.gz")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args(argv)
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .appName("tika-spark-cdx")
+             .config("spark.sql.shuffle.partitions", str(args.cpus))
+             .getOrCreate())
+    try:
+        shards = (spark.read.format("binaryFile")
+                  .option("pathGlobFilter", args.glob).load(args.input)
+                  .select(F.col("path").alias("shard"),
+                          F.col("content").alias("blob")))
+        out = cdx_index(shards)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"[cdx] {n} records -> {args.output}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
