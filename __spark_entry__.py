@@ -3379,6 +3379,20 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+def _q_docs_remove_dup_spans(spark, sf_dir):
+    """Span-removal application of substring dedup (scrub-all policy):
+    the injected wire-copy tail must vanish from every doc_id%3==0
+    document, bit-exact against the SQL rebuild."""
+    from tika_spark.analysis.dedup import remove_dup_spans
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat("text", F.lit(" " + _SHARED_SNIPPET)))
+        .otherwise(F.col("text")).alias("text"))
+    return remove_dup_spans(docs, k=5).select(
+        "doc_id", "n_toks", "n_removed_tokens", "text_dedup")
+
+
 def _q_cdx_fetch_roundtrip(spark, sf_dir):
     """Archive random-access roundtrip: export WET shards to files,
     CDX-index them, range-fetch every record back by (path, offset,
@@ -3688,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "wet_cdx_index": _q_wet_cdx_index,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
+        "docs_remove_dup_spans": _q_docs_remove_dup_spans,
     }
 
 
@@ -4885,6 +4900,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "docs_remove_dup_spans": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' "
+            + _SHARED_SNIPPET + "' ELSE text END), '\\s+') AS w "
+            "FROM documents), "
+            "s AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(w)-4)) - 1 AS pos, "
+            "unnest(list_transform(generate_series(1, len(w)-4), "
+            "i -> array_to_string(w[i:i+4], ' '))) AS sh "
+            "FROM t WHERE len(w) >= 5), "
+            "h AS (SELECT doc_id, pos, ('0x' || substring(md5(sh), 1, "
+            "15))::BIGINT AS hv FROM s), "
+            "dup AS (SELECT hv FROM (SELECT DISTINCT doc_id, hv "
+            "FROM h) GROUP BY hv HAVING count(*) >= 2), "
+            "d AS (SELECT doc_id, pos FROM h JOIN dup USING (hv)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + u.i AS ti "
+            "FROM d, UNNEST(generate_series(0, 4)) u(i)), "
+            "tok AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(w))) - 1 AS ti, "
+            "unnest(w) AS tk FROM t), "
+            "keep AS (SELECT tok.doc_id, tok.ti, tok.tk FROM tok "
+            "LEFT JOIN cov ON tok.doc_id = cov.doc_id "
+            "AND tok.ti = cov.ti WHERE cov.ti IS NULL), "
+            "nrem AS (SELECT doc_id, count(*)::BIGINT AS n FROM cov "
+            "GROUP BY 1), "
+            "txt AS (SELECT doc_id, coalesce(string_agg(tk, ' ' "
+            "ORDER BY ti), '') AS text_dedup FROM keep GROUP BY 1) "
+            "SELECT t.doc_id, len(w)::BIGINT AS n_toks, "
+            "coalesce(nrem.n, 0)::BIGINT AS n_removed_tokens, "
+            "coalesce(txt.text_dedup, '') AS text_dedup FROM t "
+            "LEFT JOIN nrem USING (doc_id) "
+            "LEFT JOIN txt USING (doc_id)"),
         "cdx_fetch_roundtrip": (
             "SELECT 'http://www.ex.com/d' || doc_id AS url, text "
             "FROM documents"),

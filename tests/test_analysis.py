@@ -721,3 +721,43 @@ def test_hash_embed_dim_bounds(spark):
         hash_embed(df, dim=17)
     with _pt.raises(ValueError):
         hash_embed(df, dim=0)
+
+
+def test_remove_dup_spans_scrubs_shared_runs(spark):
+    from tika_spark.analysis.dedup import remove_dup_spans
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    rows = [(0, f"unique zero head {shared} unique zero tail"),
+            (1, f"{shared} one distinct ending of words"),
+            (2, "entirely distinct third document with plenty words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_dup_spans(df, k=8, min_docs=2).collect()}
+    assert got[0].text_dedup == "unique zero head unique zero tail"
+    assert got[1].text_dedup == "one distinct ending of words"
+    assert got[2].text_dedup == rows[2][1]
+    assert got[0].n_removed_tokens == 8
+    assert got[2].n_removed_tokens == 0
+
+
+def test_remove_dup_spans_overlapping_windows_merge(spark):
+    from tika_spark.analysis.dedup import remove_dup_spans
+    # 10 shared tokens -> three overlapping 8-shingles, one 10-token
+    # covered range (not 24)
+    shared = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, f"{shared} xx"), (1, f"yy {shared}")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_dup_spans(df, k=8, min_docs=2).collect()}
+    assert got[0].n_removed_tokens == 10
+    assert got[0].text_dedup == "xx"
+    assert got[1].text_dedup == "yy"
+
+
+def test_remove_dup_spans_short_docs_passthrough(spark):
+    from tika_spark.analysis.dedup import remove_dup_spans
+    df = spark.createDataFrame([(0, "too short"), (1, "too short")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.text_dedup
+           for r in remove_dup_spans(df, k=8).collect()}
+    assert got == {0: "too short", 1: "too short"}

@@ -473,3 +473,72 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                     .alias("n_dup_spans"),
                     F.coalesce("dup_tokens", F.lit(0)).cast("long")
                     .alias("dup_tokens")))
+
+
+def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8,
+                     min_docs: int = 2) -> DataFrame:
+    """The application half of :func:`substring_dup_spans`: rewrite
+    each document with every duplicated k-token span REMOVED.
+
+    Policy: scrub-all — every occurrence of corpus-duplicated
+    material goes (boilerplate/licence blocks vanish everywhere).
+    Lee et al. 2022 keep one occurrence per cluster; that policy
+    needs a global first-occurrence election (one more groupBy on
+    span hash) and is intentionally not this operator — scrub-all is
+    what C4-style cleaning uses for viral boilerplate.
+
+    Emits (id, n_toks, n_removed_tokens, text_dedup). Identical
+    shingle/hash/census machinery as the detection op (same hashes,
+    same ``min_docs``); the rebuild is per-row array expressions:
+    covered = ∪ [p, p+k) over duplicated shingle positions, kept
+    tokens re-joined with single spaces (the operator's output is
+    whitespace-normalized by construction — downstream of the same
+    tokenization the whole curation layer uses).
+
+    Scale: one extra join against the (tiny, broadcastable)
+    duplicated-hash set and one groupBy collecting DUPLICATED
+    positions per doc (bounded by the doc's own token count); the
+    token arrays stay per-row — text shuffles only as the final
+    output column, once.
+    """
+    toks = tokens(F.col(text_col))
+    base = (ensure_parallelism(df.select(F.col(id_col), text_col))
+            .select(F.col(id_col), toks.alias("w"))
+            .withColumn("n_toks", F.size("w")))
+    idx = F.when(F.col("n_toks") >= k,
+                 F.sequence(F.lit(0), F.col("n_toks") - k)
+                 ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)))
+    staged = base.select(id_col, "w", "n_toks", shingles.alias("ss"))
+    sh = (staged.select(id_col, F.posexplode("ss").alias("pos", "s"))
+          .select(id_col, "pos",
+                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                  .cast("long").alias("h")))
+    from pyspark import StorageLevel
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_h = (sh.select(id_col, "h").distinct()
+             .groupBy("h").agg(F.count("*").alias("n_docs"))
+             .filter(F.col("n_docs") >= min_docs)
+             .select("h"))
+    dup_pos = (sh.join(dup_h, "h")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    out = staged.join(dup_pos, id_col, "left")
+    covered = F.when(
+        F.col("ps").isNotNull(),
+        F.array_distinct(F.flatten(F.transform(
+            "ps", lambda p: F.sequence(p, p + k - 1))))
+    ).otherwise(F.array().cast("array<int>"))
+    out = out.withColumn("_cov", covered)
+    kept = F.filter(
+        F.transform("w", lambda t, i: F.struct(t.alias("t"),
+                                               i.alias("i"))),
+        lambda s: ~F.array_contains(F.col("_cov"), s["i"]))
+    return out.select(
+        F.col(id_col),
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.size("_cov").cast("long").alias("n_removed_tokens"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+        .alias("text_dedup"))

@@ -41,6 +41,9 @@ def _ops(args):
     def substring(d):
         return dedup.substring_dup_spans(d, k=args.k)
 
+    def remove_spans(d):
+        return dedup.remove_dup_spans(d, k=args.k)
+
     def clusters(d):
         pairs = dedup.minhash_lsh_pairs(d, threshold=args.threshold)
         return dedup.dedup_representatives(d, pairs)
@@ -139,6 +142,7 @@ def _ops(args):
     return {
         "dedup-exact": exact, "dedup-minhash": minhash,
         "dedup-simhash": simhash, "dedup-substring": substring,
+        "dedup-remove-spans": remove_spans,
         "dedup-clusters": clusters, "quality": quality,
         "repetition": repetition, "paragraph-dedup": paragraph,
         "pii-scrub": pii, "normalize": normalize,
