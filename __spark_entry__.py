@@ -3379,6 +3379,25 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+def _q_url_features(spark, sf_dir):
+    """URL structural quality features (curation.url_features):
+    zero-shuffle regexp projections over a deterministic URL mix."""
+    from tika_spark.analysis import curation
+    did = F.col("doc_id").cast("string")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://s"), F.pmod("doc_id", F.lit(4))
+                 .cast("string"),
+                 F.lit(".n"), F.pmod("doc_id", F.lit(10)).cast("string"),
+                 F.lit(".ex.com/a/p"), did,
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.concat(F.lit("?id="), did))
+                 .otherwise(F.lit(""))).alias("url"))
+    return curation.url_features(urls).select(
+        "doc_id", "url_host", "n_subdomains", "n_digits_host",
+        "path_depth", "url_len", "has_query")
+
+
 def _q_docs_remove_dup_spans(spark, sf_dir):
     """Span-removal application of substring dedup (scrub-all policy):
     the injected wire-copy tail must vanish from every doc_id%3==0
@@ -3703,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_cdx_index": _q_wet_cdx_index,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
         "docs_remove_dup_spans": _q_docs_remove_dup_spans,
+        "url_features": _q_url_features,
     }
 
 
@@ -4900,6 +4920,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
         "docs_assign_splits": __splits_oracle(),
+        "url_features": (
+            "SELECT doc_id, "
+            "'s' || (doc_id % 4) || '.n' || (doc_id % 10) || '.ex.com' "
+            "AS url_host, 3::BIGINT AS n_subdomains, "
+            "(CASE WHEN (doc_id % 4) = (doc_id % 10) "
+            "THEN length((doc_id % 4)::VARCHAR) * 2 "
+            "ELSE length((doc_id % 4)::VARCHAR) "
+            "+ length((doc_id % 10)::VARCHAR) END)::BIGINT "
+            "AS n_digits_host, 2::BIGINT AS path_depth, "
+            "length('http://s' || (doc_id % 4) || '.n' || (doc_id % 10) "
+            "|| '.ex.com/a/p' || doc_id "
+            "|| CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id "
+            "ELSE '' END)::BIGINT AS url_len, "
+            "doc_id % 2 = 0 AS has_query FROM documents"),
         "docs_remove_dup_spans": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
             "CASE WHEN doc_id % 3 = 0 THEN text || ' "

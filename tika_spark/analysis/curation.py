@@ -784,3 +784,43 @@ def shuffle_order(df: DataFrame, key_col: str = "doc_id",
     return (keyed.withColumn("shuffle_rank",
                              F.row_number().over(w).cast("long"))
             .drop("_sk"))
+
+
+# ------------------------------------------------- URL features --
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL structural quality signals — the URL-side filters web
+    corpora apply before ever fetching (spam hosts run deep
+    subdomains, digit-heavy hosts, long tracking-parameter tails).
+
+    Adds (all exact integers/flags, zero shuffle — pure regexp
+    projections that ride in the scan stage):
+
+      url_host        authority (lowercased)
+      n_subdomains    dot count of the host
+      n_digits_host   digit chars in the host
+      path_depth      '/' count of the path component
+      url_len         full URL length
+      has_query       '?' present
+    """
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    return (df
+            .withColumn("url_host", host)
+            .withColumn("n_subdomains",
+                        (F.length("url_host") - F.length(
+                            F.replace(F.col("url_host"), F.lit("."),
+                                      F.lit("")))).cast("long"))
+            .withColumn("n_digits_host", F.length(
+                F.regexp_replace("url_host", "[^0-9]", ""))
+                .cast("long"))
+            .withColumn("path_depth",
+                        (F.length(path) - F.length(
+                            F.regexp_replace(path, "/", "")))
+                        .cast("long"))
+            .withColumn("url_len", F.length(url).cast("long"))
+            .withColumn("has_query", url.contains("?")))
