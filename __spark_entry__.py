@@ -3379,6 +3379,20 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+def _q_docs_remove_dup_keepfirst(spark, sf_dir):
+    """Keep-one span dedup (Lee et al. 2022 election): the globally
+    first occurrence of each duplicated shingle survives; SQL replays
+    the election with the same (doc_id, pos) total order."""
+    from tika_spark.analysis.dedup import remove_dup_spans
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat("text", F.lit(" " + _SHARED_SNIPPET)))
+        .otherwise(F.col("text")).alias("text"))
+    return remove_dup_spans(docs, k=5, keep_first=True).select(
+        "doc_id", "n_toks", "n_removed_tokens", "text_dedup")
+
+
 def _q_url_features(spark, sf_dir):
     """URL structural quality features (curation.url_features):
     zero-shuffle regexp projections over a deterministic URL mix."""
@@ -3723,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
         "docs_remove_dup_spans": _q_docs_remove_dup_spans,
         "url_features": _q_url_features,
+        "docs_remove_dup_keepfirst": _q_docs_remove_dup_keepfirst,
     }
 
 
@@ -4934,6 +4949,40 @@ def oracle_sql() -> dict[str, str]:
             "|| CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id "
             "ELSE '' END)::BIGINT AS url_len, "
             "doc_id % 2 = 0 AS has_query FROM documents"),
+        "docs_remove_dup_keepfirst": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
+            "CASE WHEN doc_id % 3 = 0 THEN text || ' "
+            + _SHARED_SNIPPET + "' ELSE text END), '\\s+') AS w "
+            "FROM documents), "
+            "s AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(w)-4)) - 1 AS pos, "
+            "unnest(list_transform(generate_series(1, len(w)-4), "
+            "i -> array_to_string(w[i:i+4], ' '))) AS sh "
+            "FROM t WHERE len(w) >= 5), "
+            "h AS (SELECT doc_id, pos, ('0x' || substring(md5(sh), 1, "
+            "15))::BIGINT AS hv FROM s), "
+            "dup AS (SELECT hv FROM (SELECT DISTINCT doc_id, hv "
+            "FROM h) GROUP BY hv HAVING count(*) >= 2), "
+            "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, "
+            "row_number() OVER (PARTITION BY hv ORDER BY doc_id, pos) "
+            "AS rn FROM h JOIN dup USING (hv)) WHERE rn > 1), "
+            "cov AS (SELECT DISTINCT doc_id, pos + u.i AS ti "
+            "FROM d, UNNEST(generate_series(0, 4)) u(i)), "
+            "tok AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(w))) - 1 AS ti, "
+            "unnest(w) AS tk FROM t), "
+            "keep AS (SELECT tok.doc_id, tok.ti, tok.tk FROM tok "
+            "LEFT JOIN cov ON tok.doc_id = cov.doc_id "
+            "AND tok.ti = cov.ti WHERE cov.ti IS NULL), "
+            "nrem AS (SELECT doc_id, count(*)::BIGINT AS n FROM cov "
+            "GROUP BY 1), "
+            "txt AS (SELECT doc_id, coalesce(string_agg(tk, ' ' "
+            "ORDER BY ti), '') AS text_dedup FROM keep GROUP BY 1) "
+            "SELECT t.doc_id, len(w)::BIGINT AS n_toks, "
+            "coalesce(nrem.n, 0)::BIGINT AS n_removed_tokens, "
+            "coalesce(txt.text_dedup, '') AS text_dedup FROM t "
+            "LEFT JOIN nrem USING (doc_id) "
+            "LEFT JOIN txt USING (doc_id)"),
         "docs_remove_dup_spans": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
             "CASE WHEN doc_id % 3 = 0 THEN text || ' "

@@ -761,3 +761,20 @@ def test_remove_dup_spans_short_docs_passthrough(spark):
     got = {r.doc_id: r.text_dedup
            for r in remove_dup_spans(df, k=8).collect()}
     assert got == {0: "too short", 1: "too short"}
+
+
+def test_remove_dup_spans_keep_first_election(spark):
+    from tika_spark.analysis.dedup import remove_dup_spans
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, f"{shared} zero unique ending words"),
+            (1, f"one head words {shared}"),
+            (2, f"two other head {shared}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_dup_spans(df, k=8, min_docs=2,
+                            keep_first=True).collect()}
+    # doc 0 holds the globally first occurrence -> untouched
+    assert got[0].text_dedup == rows[0][1]
+    assert got[0].n_removed_tokens == 0
+    assert got[1].text_dedup == "one head words"
+    assert got[2].text_dedup == "two other head"

@@ -477,21 +477,26 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
 
 def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 8,
-                     min_docs: int = 2) -> DataFrame:
+                     min_docs: int = 2,
+                     keep_first: bool = False) -> DataFrame:
     """The application half of :func:`substring_dup_spans`: rewrite
-    each document with every duplicated k-token span REMOVED.
+    each document with duplicated k-token spans REMOVED.
 
-    Policy: scrub-all — every occurrence of corpus-duplicated
-    material goes (boilerplate/licence blocks vanish everywhere).
-    Lee et al. 2022 keep one occurrence per cluster; that policy
-    needs a global first-occurrence election (one more groupBy on
-    span hash) and is intentionally not this operator — scrub-all is
-    what C4-style cleaning uses for viral boilerplate.
+    Policies:
+    - scrub-all (default): every occurrence of corpus-duplicated
+      material goes (boilerplate/licence blocks vanish everywhere)
+      — the C4-style viral-boilerplate treatment;
+    - ``keep_first=True``: Lee et al. 2022's keep-one — per
+      duplicated shingle hash, the globally first occurrence
+      (min ``(id, pos)``, a total deterministic order) survives and
+      every other occurrence is scrubbed. The election is a window
+      over DUPLICATED shingle rows only (boilerplate-sized, not
+      corpus-sized).
 
     Emits (id, n_toks, n_removed_tokens, text_dedup). Identical
     shingle/hash/census machinery as the detection op (same hashes,
     same ``min_docs``); the rebuild is per-row array expressions:
-    covered = ∪ [p, p+k) over duplicated shingle positions, kept
+    covered = ∪ [p, p+k) over scrubbed shingle positions, kept
     tokens re-joined with single spaces (the operator's output is
     whitespace-normalized by construction — downstream of the same
     tokenization the whole curation layer uses).
@@ -522,7 +527,15 @@ def remove_dup_spans(df: DataFrame, id_col: str = "doc_id",
              .groupBy("h").agg(F.count("*").alias("n_docs"))
              .filter(F.col("n_docs") >= min_docs)
              .select("h"))
-    dup_pos = (sh.join(dup_h, "h")
+    dup_rows = sh.join(dup_h, "h")
+    if keep_first:
+        from pyspark.sql import Window
+        w = (Window.partitionBy("h")
+             .orderBy(F.asc(id_col), F.asc("pos")))
+        dup_rows = (dup_rows
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") > 1).drop("_rn"))
+    dup_pos = (dup_rows
                .groupBy(id_col)
                .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
     out = staged.join(dup_pos, id_col, "left")
