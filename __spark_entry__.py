@@ -21,8 +21,24 @@ in DuckDB (pigeonhole-complete blocking). Only the raw approximate
 ANN lists remain rows-only, with ann_lsh_recall/ann_ivf_recall as
 their checkable forms.
 
-Round 3: 117 queries / 115 oracle rows — all 114 hash-exact at
-sf0.01, and a 10x-scale sweep at sf0.1 is green end-to-end after
+Round 3 closes at 137 queries / 135 oracle rows — every oracle
+hash-exact at sf0.01 (full-sweep artifact: tools/check_oracles.py,
+failures 0) with 10x sf0.1 spot-sweeps green. The late-round pack:
+extract_sqlite_text / extract_dbf_text (structured-database
+parsers), extract_markdown (the Markdown sink), graph_host_degrees /
+graph_pagerank / graph_anchor_text / graph_crawl_priority (the
+web-graph family — integer-micro PageRank unrolled in SQL),
+docs_quality_classifier (distributed integer batch perceptron,
+epochs replayed as SQL CTEs), bpe_train_merges (distributed BPE —
+pair-count/argmax/list_reduce fold replay), docs_assign_splits /
+docs_shuffle_order (corpus finalization), html_tables (structured
+table mining), frontier_robots / sitemap_entries (crawl-side
+politeness + discovery), wet_cdx_index / cdx_fetch_roundtrip (the
+archive access layer: export → index → range-fetch → decode
+reproduces the corpus byte-exactly), docs_remove_dup_spans /
+docs_remove_dup_keepfirst (span-dedup application, scrub-all and
+Lee-et-al keep-one election), and url_features. Mid-round 3 reached
+117 queries — all hash-exact at sf0.01, and a 10x-scale sweep at sf0.1 is green end-to-end after
 moving the MinHash oracles into the deterministic-capture regime and
 scaling the PQ shortlists with the corpus (BENCH/BASELINE.md).
 image_dhash / image_dhash_pairs add perceptual image near-dup
