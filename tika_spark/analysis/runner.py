@@ -42,7 +42,16 @@ def _ops(args):
         return dedup.substring_dup_spans(d, k=args.k)
 
     def remove_spans(d):
-        return dedup.remove_dup_spans(d, k=args.k)
+        return dedup.remove_dup_spans(d, k=args.k,
+                                      keep_first=args.keep_first)
+
+    def splits(d):
+        return textstats.assign_splits(
+            d, {"train": args.train_frac, "val": args.val_frac,
+                "test": args.test_frac}, salt=args.salt)
+
+    def shuffle(d):
+        return curation.shuffle_order(d, salt=args.salt)
 
     def clusters(d):
         pairs = dedup.minhash_lsh_pairs(d, threshold=args.threshold)
@@ -153,6 +162,7 @@ def _ops(args):
         "image-dhash": image_dhash_op,
         "image-dhash-pairs": image_dhash_pairs_op,
         "bpe-merges": bpe_merges, "quality-classifier": quality_clf,
+        "assign-splits": splits, "shuffle-order": shuffle,
         "pagerank": pagerank_op, "anchor-text": anchors_op,
         "html-tables": tables_op,
     }
@@ -181,7 +191,12 @@ def main(argv=None):
                                           budget=2048, overlap=128,
                                           every=2, hamming=7,
                                           merges=64, epochs=3,
-                                          iterations=10)).keys()))
+                                          iterations=10,
+                                          keep_first=False,
+                                          train_frac=0.9,
+                                          val_frac=0.05,
+                                          test_frac=0.05,
+                                          salt="")).keys()))
     p.add_argument("--threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold")
     p.add_argument("--k", type=int, default=8,
@@ -197,6 +212,14 @@ def main(argv=None):
     p.add_argument("--hamming", type=int, default=7,
                    help="max Hamming distance (image-dhash-pairs, "
                         "< 8 for banding completeness)")
+    p.add_argument("--keep-first", action="store_true",
+                   help="span dedup keeps the first occurrence "
+                        "(dedup-remove-spans)")
+    p.add_argument("--train-frac", type=float, default=0.9)
+    p.add_argument("--val-frac", type=float, default=0.05)
+    p.add_argument("--test-frac", type=float, default=0.05)
+    p.add_argument("--salt", default="",
+                   help="re-roll key for splits / shuffle order")
     p.add_argument("--merges", type=int, default=64,
                    help="BPE merges to learn (bpe-merges)")
     p.add_argument("--epochs", type=int, default=3,
