@@ -103,3 +103,25 @@ class TestPipelineMode:
         r = extract_html(b"<html><body></body></html>",
                          config=ExtractConfig(mode="markdown"))
         assert r["text"] == ""
+
+
+class TestRealisticMixGolden:
+    def test_markdown_over_generator_pages_pinned(self):
+        """Determinism golden over the realistic 25-variant page mix:
+        any serializer behavior change must consciously re-pin this."""
+        import hashlib
+
+        from pyspark.sql import SparkSession
+
+        from tika_spark import extract
+        from tika_spark.fixtures.pages import generate_pages_df
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .getOrCreate())
+        out = extract(generate_pages_df(spark, 120), mode="markdown")
+        rows = sorted((r.url, r.text or "")
+                      for r in out.select("url", "text").collect())
+        h = hashlib.md5("\x1e".join(u + "\x1f" + t
+                                    for u, t in rows).encode()).hexdigest()
+        assert h == "7d2d17d93ceca772f41e970162f2021b"
+        assert out.filter("mime = 'text/html'").count() == 40
