@@ -3395,6 +3395,40 @@ def _q_docs_assign_splits(spark, sf_dir):
 _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 
 
+_BLOOM_M, _BLOOM_K = 1 << 20, 5
+
+
+def _q_bloom_build(spark, sf_dir):
+    """Frontier Bloom filter, relational form (analysis/bloom.py):
+    distinct set-bit indexes of the seen-URL set — bit derivation
+    exactly replayed in SQL."""
+    from tika_spark.analysis import bloom
+    seen = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://f.ex/d"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    return bloom.build_bits(seen, m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
+def _q_bloom_probe(spark, sf_dir):
+    """Bloom membership probe: even doc_ids are in the filter, odd
+    probes use unseen URLs (false positives, if any, are the SAME
+    deterministic ones in both engines)."""
+    from tika_spark.analysis import bloom
+    docs = _docs(spark, sf_dir)
+    seen = docs.select(
+        F.concat(F.lit("http://f.ex/d"), F.col("doc_id").cast("string"))
+        .alias("url"))
+    bits = bloom.build_bits(seen, m_bits=_BLOOM_M, k=_BLOOM_K)
+    probe = docs.select(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("http://f.ex/d"),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("http://g.ex/u"),
+                            F.col("doc_id").cast("string")))
+        .alias("url"))
+    return bloom.probe_bits(probe, bits, m_bits=_BLOOM_M, k=_BLOOM_K)
+
+
 def _q_docs_remove_dup_keepfirst(spark, sf_dir):
     """Keep-one span dedup (Lee et al. 2022 election): the globally
     first occurrence of each duplicated shingle survives; SQL replays
@@ -3754,6 +3788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_remove_dup_spans": _q_docs_remove_dup_spans,
         "url_features": _q_url_features,
         "docs_remove_dup_keepfirst": _q_docs_remove_dup_keepfirst,
+        "bloom_build": _q_bloom_build,
+        "bloom_probe": _q_bloom_probe,
     }
 
 
@@ -4965,6 +5001,21 @@ def oracle_sql() -> dict[str, str]:
             "|| CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id "
             "ELSE '' END)::BIGINT AS url_len, "
             "doc_id % 2 = 0 AS has_query FROM documents"),
+        "bloom_build": (
+            "SELECT bit_index FROM (SELECT DISTINCT (('0x' || substring(md5('http://f.ex/d' || doc_id || '#' || t.i), 1, 8))::BIGINT % 1048576) AS bit_index FROM documents, (VALUES (0), (1), (2), (3), (4)) t(i))"),
+        "bloom_probe": (
+            "WITH bits AS (SELECT DISTINCT (('0x' || substring(md5('http://f.ex/d' || doc_id || '#' || t.i), 1, 8))::BIGINT % 1048576) AS bit_index FROM documents, (VALUES (0), (1), (2), (3), (4)) t(i)), "
+            "probe AS (SELECT CASE WHEN doc_id % 2 = 0 "
+            "THEN 'http://f.ex/d' || doc_id "
+            "ELSE 'http://g.ex/u' || doc_id END AS url "
+            "FROM documents), "
+            "pb AS (SELECT url, (('0x' || substring(md5(url || '#' "
+            "|| t.i), 1, 8))::BIGINT % 1048576) AS b FROM probe, "
+            "(VALUES (0), (1), (2), (3), (4)) t(i)), "
+            "hits AS (SELECT url, count(*) AS n FROM pb "
+            "JOIN bits ON pb.b = bits.bit_index GROUP BY url) "
+            "SELECT probe.url, coalesce(n, 0) = 5 AS maybe_seen "
+            "FROM probe LEFT JOIN hits USING (url)"),
         "docs_remove_dup_keepfirst": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(trim("
             "CASE WHEN doc_id % 3 = 0 THEN text || ' "
