@@ -3398,6 +3398,21 @@ _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 _BLOOM_M, _BLOOM_K = 1 << 20, 5
 
 
+def _q_cms_host_counts(spark, sf_dir):
+    """Count-Min sketch (analysis/bloom.py): host-frequency sketch
+    built over the corpus, point-queried for every host plus one
+    unseen key — counters and estimates replay exactly in SQL."""
+    from tika_spark.analysis.bloom import cms_build, cms_query
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string"),
+                 F.lit(".ex")).alias("host"))
+    sk = cms_build(docs, "host")
+    probe = (docs.distinct()
+             .unionByName(spark.createDataFrame([("unseen.ex",)],
+                                                "host string")))
+    return cms_query(probe, sk, "host")
+
+
 def _q_bloom_build(spark, sf_dir):
     """Frontier Bloom filter, relational form (analysis/bloom.py):
     distinct set-bit indexes of the seen-URL set — bit derivation
@@ -3790,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_remove_dup_keepfirst": _q_docs_remove_dup_keepfirst,
         "bloom_build": _q_bloom_build,
         "bloom_probe": _q_bloom_probe,
+        "cms_host_counts": _q_cms_host_counts,
     }
 
 
@@ -5001,6 +5017,22 @@ def oracle_sql() -> dict[str, str]:
             "|| CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id "
             "ELSE '' END)::BIGINT AS url_len, "
             "doc_id % 2 = 0 AS has_query FROM documents"),
+        "cms_host_counts": (
+            "WITH keys AS (SELECT 'h' || (doc_id % 7) || '.ex' AS key "
+            "FROM documents), "
+            "sk AS (SELECT t.r AS rw, (('0x' || substring(md5(key "
+            "|| '@' || t.r), 1, 8))::BIGINT % 16384) AS bucket, "
+            "count(*)::BIGINT AS cnt FROM keys, "
+            "(VALUES (0), (1), (2), (3)) t(r) GROUP BY 1, 2), "
+            "probe AS (SELECT DISTINCT key FROM keys "
+            "UNION ALL SELECT 'unseen.ex'), "
+            "pb AS (SELECT key, t.r AS rw, (('0x' || substring(md5("
+            "key || '@' || t.r), 1, 8))::BIGINT % 16384) AS bucket "
+            "FROM probe, (VALUES (0), (1), (2), (3)) t(r)) "
+            "SELECT pb.key AS host, "
+            "min(coalesce(sk.cnt, 0))::BIGINT AS est_count FROM pb "
+            "LEFT JOIN sk ON pb.rw = sk.rw AND pb.bucket = sk.bucket "
+            "GROUP BY pb.key"),
         "bloom_build": (
             "SELECT bit_index FROM (SELECT DISTINCT (('0x' || substring(md5('http://f.ex/d' || doc_id || '#' || t.i), 1, 8))::BIGINT % 1048576) AS bit_index FROM documents, (VALUES (0), (1), (2), (3), (4)) t(i))"),
         "bloom_probe": (

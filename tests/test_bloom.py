@@ -72,3 +72,49 @@ class TestBitmap:
         bm = np.frombuffer(bloom.to_bitmap(bits, m_bits=M),
                            dtype=np.uint8)
         assert int(np.unpackbits(bm).sum()) == bits.count()
+
+
+class TestCountMin:
+    def test_never_undercounts_and_exact_when_sparse(self, spark):
+        import pyspark.sql.functions as F
+
+        from tika_spark.analysis.bloom import cms_build, cms_query
+        # word frequencies: word w{i} appears i+1 times
+        rows = [(f"w{i}",) for i in range(30) for _ in range(i + 1)]
+        df = spark.createDataFrame(rows, "word string")
+        sk = cms_build(df, "word")
+        keys = spark.createDataFrame([(f"w{i}",) for i in range(30)],
+                                     "word string")
+        got = {r.word: r.est_count
+               for r in cms_query(keys, sk, "word").collect()}
+        for i in range(30):
+            assert got[f"w{i}"] >= i + 1       # CMS never undercounts
+        # 30 keys in 4x16384 counters: collisions vanishingly unlikely
+        assert got == {f"w{i}": i + 1 for i in range(30)}
+
+    def test_unseen_key_zero(self, spark):
+        from tika_spark.analysis.bloom import cms_build, cms_query
+        df = spark.createDataFrame([("a",), ("a",)], "k string")
+        sk = cms_build(df, "k")
+        got = cms_query(spark.createDataFrame([("zzz",)], "k string"),
+                        sk, "k").collect()[0]
+        assert got.est_count == 0
+
+    def test_weighted_build(self, spark):
+        from tika_spark.analysis.bloom import cms_build, cms_query
+        df = spark.createDataFrame([("h1", 10), ("h1", 5), ("h2", 1)],
+                                   "host string, n long")
+        sk = cms_build(df, "host", weight_col="n")
+        got = {r.host: r.est_count for r in cms_query(
+            spark.createDataFrame([("h1",), ("h2",)], "host string"),
+            sk, "host").collect()}
+        assert got == {"h1": 15, "h2": 1}
+
+    def test_partitioning_invariance(self, spark):
+        from tika_spark.analysis.bloom import cms_build
+        rows = [(f"k{i % 7}",) for i in range(100)]
+        a = spark.createDataFrame(rows, "k string")
+        sa = sorted(map(tuple, cms_build(a, "k").collect()))
+        sb = sorted(map(tuple,
+                        cms_build(a.repartition(9), "k").collect()))
+        assert sa == sb

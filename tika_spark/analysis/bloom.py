@@ -122,3 +122,59 @@ def probe_bitmap(df: DataFrame, bitmap: bytes, key_col: str = "url",
         return pd.Series(out)
 
     return df.withColumn("maybe_seen", probe(F.col(key_col)))
+
+
+# ---------------------------------------------- count-min sketch --
+
+
+def _cms_bucket(key: F.Column, row: int, width: int) -> F.Column:
+    return F.pmod(F.conv(F.substring(
+        F.md5(F.concat(key, F.lit(f"@{row}"))), 1, 8), 16, 10)
+        .cast("long"), F.lit(width))
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 1 << 14,
+              depth: int = 4,
+              weight_col: str | None = None) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) in relational
+    form: (row, bucket, cnt) counters — the bounded-memory frequency
+    structure for heavy-hitter tracking when the exact groupBy's
+    key cardinality (10^10 URLs/hosts) exceeds memory budgets.
+
+    Same determinism contract as the Bloom filter: bucket =
+    md5(key || '@row') mod width, integer counts — a SQL replay
+    builds the identical sketch. depth×width counters total
+    (e.g. 4×16384 = 64k rows) regardless of key cardinality; the
+    build is one explode + groupBy with map-side combine.
+    """
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    rows = [df.select(F.lit(r).alias("row"),
+                      _cms_bucket(F.col(key_col), r, width)
+                      .alias("bucket"), w.alias("w"))
+            for r in range(depth)]
+    union = rows[0]
+    for other in rows[1:]:
+        union = union.unionByName(other)
+    return (union.groupBy("row", "bucket")
+            .agg(F.sum("w").cast("long").alias("cnt")))
+
+
+def cms_query(df: DataFrame, sketch: DataFrame, key_col: str,
+              width: int = 1 << 14, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates: est = min over rows of the key's
+    counter (never under-counts; over-counts bounded by eN/width with
+    probability 1-(1/2)^depth). The sketch side broadcasts."""
+    probes = [df.select(F.col(key_col).alias("key"),
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(key_col), r, width)
+                        .alias("bucket"))
+              for r in range(depth)]
+    union = probes[0]
+    for other in probes[1:]:
+        union = union.unionByName(other)
+    est = (union.join(F.broadcast(sketch), ["row", "bucket"], "left")
+           .groupBy("key")
+           .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
+                .alias("est_count")))
+    return est.select(F.col("key").alias(key_col), "est_count")
