@@ -3398,6 +3398,14 @@ _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 _BLOOM_M, _BLOOM_K = 1 << 20, 5
 
 
+def _q_docs_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1,
+    curation.gopher_rules): integer cross-multiplied decisions,
+    per-rule observability, zero shuffles."""
+    from tika_spark.analysis.curation import gopher_rules
+    return gopher_rules(_docs(spark, sf_dir), min_words=30)
+
+
 def _q_cms_host_counts(spark, sf_dir):
     """Count-Min sketch (analysis/bloom.py): host-frequency sketch
     built over the corpus, point-queried for every host plus one
@@ -3806,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_build": _q_bloom_build,
         "bloom_probe": _q_bloom_probe,
         "cms_host_counts": _q_cms_host_counts,
+        "docs_gopher_rules": _q_docs_gopher_rules,
     }
 
 
@@ -5017,6 +5026,37 @@ def oracle_sql() -> dict[str, str]:
             "|| CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id "
             "ELSE '' END)::BIGINT AS url_len, "
             "doc_id % 2 = 0 AS has_query FROM documents"),
+        "docs_gopher_rules": (
+            "WITH t AS (SELECT doc_id, text, "
+            f"{_TOKS} AS w, ".replace("{_TOKS}", _TOKS) +
+            "string_split(text, chr(10)) AS ln FROM documents), "
+            "m AS (SELECT doc_id, len(w) AS nw, "
+            "list_sum(list_transform(w, x -> length(x))) AS sl, "
+            "len(ln) AS nl, "
+            "len(list_filter(ln, x -> starts_with(x, '\u2022') "
+            "OR starts_with(x, '- ') OR starts_with(x, '* '))) "
+            "AS nb, "
+            "len(list_filter(ln, x -> ends_with(x, '...') "
+            "OR ends_with(x, '\u2026'))) AS ne, "
+            "len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) "
+            "AS na, "
+            "(length(text) - length(replace(text, '#', ''))) "
+            "+ len(string_split_regex(text, '\\.\\.\\.')) - 1 "
+            "+ len(string_split(text, '\u2026')) - 1 AS ns, "
+            f"len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) AS nst "
+            "FROM t) "
+            "SELECT doc_id, nw::BIGINT AS n_words, "
+            "nw >= 30 AND nw <= 100000 AS r_word_count, "
+            "sl >= 3 * nw AND sl <= 10 * nw AS r_mean_word_len, "
+            "10 * ns <= nw AS r_symbol_ratio, "
+            "10 * nb <= nl AS r_bullet_lines, "
+            "10 * ne <= 3 * nl AS r_ellipsis_lines, "
+            "5 * na >= 4 * nw AS r_alpha_words, "
+            "nst >= 2 AS r_stopwords, "
+            "(nw >= 30 AND nw <= 100000) AND (sl >= 3 * nw AND "
+            "sl <= 10 * nw) AND (10 * ns <= nw) AND (10 * nb <= nl) "
+            "AND (10 * ne <= 3 * nl) AND (5 * na >= 4 * nw) "
+            "AND (nst >= 2) AS keep FROM m"),
         "cms_host_counts": (
             "WITH keys AS (SELECT 'h' || (doc_id % 7) || '.ex' AS key "
             "FROM documents), "

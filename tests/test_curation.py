@@ -530,3 +530,40 @@ def test_shuffle_order_deterministic_and_uniform(spark):
             for r in shuffle_order(df, salt="epoch2").collect()}
     assert got2 != got
     assert sorted(got2.values()) == list(range(1, 101))
+
+
+def test_gopher_rules_decisions(spark):
+    from tika_spark.analysis.curation import gopher_rules
+    good = ("the results have shown that careful data curation with "
+            "balanced filtering rules can be combined to keep corpus "
+            "quality high and to preserve document diversity across "
+            "many sources of web text while holding total size down "
+            "and the pipeline remains fully reproducible end to end")
+    rows = [
+        (0, good),                                     # passes all
+        (1, "too short to keep"),                      # word count
+        (2, good + " ##### " * 10),                    # symbol ratio
+        (3, "\n".join("- bullet item here" for _ in range(10))),
+        (4, good.replace("the", "zzz").replace("to", "qqq")
+            .replace("and", "www").replace("that", "rrr")
+            .replace("have", "sss").replace("of", "ttt")
+            .replace("with", "uuu").replace("be ", "vvv ")),  # stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=30).collect()}
+    assert got[0].keep is True
+    assert got[1].keep is False and got[1].r_word_count is False
+    assert got[2].r_symbol_ratio is False
+    assert got[3].r_bullet_lines is False
+    assert got[4].r_stopwords is False
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    from tika_spark.analysis.curation import gopher_rules
+    df = spark.createDataFrame(
+        [(0, " ".join(["a"] * 60)),                   # mean 1 < 3
+         (1, " ".join(["superlongwordhere"] * 60))],  # mean 17 > 10
+        "doc_id long, text string")
+    got = {r.doc_id: r.r_mean_word_len
+           for r in gopher_rules(df).collect()}
+    assert got == {0: False, 1: False}

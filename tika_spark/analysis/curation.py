@@ -824,3 +824,69 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
                         .cast("long"))
             .withColumn("url_len", F.length(url).cast("long"))
             .withColumn("has_query", url.contains("?")))
+
+
+# ------------------------------------------------- Gopher rules --
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have",
+                 "with")
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000
+                 ) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, A1.1) as one
+    shuffle-free decision operator — the named sibling of `c4_rules`:
+
+      r_word_count     min_words <= words <= max_words
+      r_mean_word_len  3 <= mean word length <= 10
+      r_symbol_ratio   (# + ellipsis occurrences) / words <= 0.1
+      r_bullet_lines   <= 90% of lines may NOT start with a bullet
+                       (i.e. bullet lines <= 10%)
+      r_ellipsis_lines lines ending in an ellipsis <= 30%
+      r_alpha_words    >= 80% of words contain a letter
+      r_stopwords      >= 2 distinct stop words present
+
+    All comparisons are integer cross-multiplications (no float
+    ratios), so the keep decision replays bit-exactly in SQL. Every
+    rule is a per-row array expression over one tokenization + one
+    line split — zero exchanges, rides in the scan stage, with
+    per-rule observability for corpus tuning.
+    """
+    text = F.col(text_col)
+    w = tokens(text)
+    n_words = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0),
+                          lambda acc, x: acc + F.length(x))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("- ")
+        | ln.startswith("* ")))
+    n_ell = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_sym = (F.length(text) - F.length(F.replace(text, F.lit("#"),
+                                                 F.lit("")))) \
+        + F.size(F.split(text, r"\.\.\.")) - 1 \
+        + F.size(F.split(text, "…")) - 1
+    n_stops = F.size(F.array_intersect(
+        w, F.array(*[F.lit(s) for s in _GOPHER_STOPS])))
+    out = (df.select(F.col(id_col), text)
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("r_word_count",
+                       (n_words >= min_words) & (n_words <= max_words))
+           .withColumn("r_mean_word_len",
+                       (sum_len >= 3 * n_words)
+                       & (sum_len <= 10 * n_words))
+           .withColumn("r_symbol_ratio", 10 * n_sym <= n_words)
+           .withColumn("r_bullet_lines", 10 * n_bullet <= n_lines)
+           .withColumn("r_ellipsis_lines", 10 * n_ell <= 3 * n_lines)
+           .withColumn("r_alpha_words", 5 * n_alpha >= 4 * n_words)
+           .withColumn("r_stopwords", n_stops >= 2))
+    keep = (F.col("r_word_count") & F.col("r_mean_word_len")
+            & F.col("r_symbol_ratio") & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
+            & F.col("r_stopwords"))
+    return out.withColumn("keep", keep).drop(text_col)

@@ -88,6 +88,9 @@ def _ops(args):
     def c4(d):
         return curation.c4_rules(d)
 
+    def gopher(d):
+        return curation.gopher_rules(d)
+
     def winnow(d):
         return textstats.winnow_fingerprints(d)
 
@@ -157,6 +160,7 @@ def _ops(args):
         "pii-scrub": pii, "normalize": normalize,
         "perplexity": perplexity, "pack": pack, "split": split,
         "mixture": mixture, "winnow": winnow, "c4": c4,
+        "gopher": gopher,
         "pixel-stats": pixel_stats, "pcm-stats": pcm_stats,
         "video-frames": video_frames,
         "image-dhash": image_dhash_op,
