@@ -3398,6 +3398,19 @@ _ROBOTS_FIXTURE = "User-agent: *\nDisallow: /d1\nAllow: /d12\n"
 _BLOOM_M, _BLOOM_K = 1 << 20, 5
 
 
+def _q_docs_paragraph_intra(spark, sf_dir):
+    """Intra-document paragraph dedup (curation.dedup_paragraphs_intra):
+    doc_id%4==0 docs carry their own text twice, newline-joined — the
+    repeat must vanish per row, zero shuffles."""
+    from tika_spark.analysis.curation import dedup_paragraphs_intra
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat("text", F.lit("\n"), "text", F.lit("\ntail")))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup_paragraphs_intra(docs)
+
+
 def _q_docs_gopher_rules(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021 A1.1,
     curation.gopher_rules): integer cross-multiplied decisions,
@@ -3815,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": _q_bloom_probe,
         "cms_host_counts": _q_cms_host_counts,
         "docs_gopher_rules": _q_docs_gopher_rules,
+        "docs_paragraph_intra": _q_docs_paragraph_intra,
     }
 
 
@@ -5026,6 +5040,14 @@ def oracle_sql() -> dict[str, str]:
             "|| CASE WHEN doc_id % 2 = 0 THEN '?id=' || doc_id "
             "ELSE '' END)::BIGINT AS url_len, "
             "doc_id % 2 = 0 AS has_query FROM documents"),
+        "docs_paragraph_intra": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END::BIGINT "
+            "AS n_paragraphs, "
+            "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::BIGINT "
+            "AS n_removed, "
+            "CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || 'tail' "
+            "ELSE text END AS text_dedup FROM documents"),
         "docs_gopher_rules": (
             "WITH t AS (SELECT doc_id, text, "
             f"{_TOKS} AS w, ".replace("{_TOKS}", _TOKS) +

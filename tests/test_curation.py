@@ -567,3 +567,16 @@ def test_gopher_mean_word_length_bounds(spark):
     got = {r.doc_id: r.r_mean_word_len
            for r in gopher_rules(df).collect()}
     assert got == {0: False, 1: False}
+
+
+def test_dedup_paragraphs_intra(spark):
+    from tika_spark.analysis.curation import dedup_paragraphs_intra
+    df = spark.createDataFrame(
+        [(0, "intro\nbanner\nbody\nbanner\noutro"),
+         (1, "a\na\na\nb"), (2, "solo")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_paragraphs, r.n_removed, r.text_dedup)
+           for r in dedup_paragraphs_intra(df).collect()}
+    assert got[0] == (5, 1, "intro\nbanner\nbody\noutro")
+    assert got[1] == (4, 2, "a\nb")
+    assert got[2] == (1, 0, "solo")

@@ -890,3 +890,30 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
             & F.col("r_ellipsis_lines") & F.col("r_alpha_words")
             & F.col("r_stopwords"))
     return out.withColumn("keep", keep).drop(text_col)
+
+
+# -------------------------------------- intra-doc paragraph dedup --
+
+
+def dedup_paragraphs_intra(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sep: str = "\n") -> DataFrame:
+    """Remove repeated paragraphs WITHIN each document (scraped pages
+    often repeat the same block — cookie banners, share footers —
+    several times in one body). Corpus-wide paragraph dedup is
+    `paragraph_dedup`; this is its per-document complement and needs
+    no shuffle at all: keep a paragraph iff its position is the FIRST
+    occurrence of that exact string in the document.
+
+    Emits (id, n_paragraphs, n_removed, text_dedup). Pure per-row
+    array expressions (split → indexed filter on array_position →
+    rejoin) — rides in the scan stage at any corpus size.
+    """
+    paras = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        paras, lambda p, i: F.array_position(paras, p) - 1 == i)
+    return (df.select(
+        F.col(id_col),
+        F.size(paras).cast("long").alias("n_paragraphs"),
+        (F.size(paras) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, sep).alias("text_dedup")))
