@@ -91,6 +91,9 @@ def _ops(args):
     def gopher(d):
         return curation.gopher_rules(d)
 
+    def para_intra(d):
+        return curation.dedup_paragraphs_intra(d)
+
     def winnow(d):
         return textstats.winnow_fingerprints(d)
 
@@ -160,7 +163,7 @@ def _ops(args):
         "pii-scrub": pii, "normalize": normalize,
         "perplexity": perplexity, "pack": pack, "split": split,
         "mixture": mixture, "winnow": winnow, "c4": c4,
-        "gopher": gopher,
+        "gopher": gopher, "paragraph-intra": para_intra,
         "pixel-stats": pixel_stats, "pcm-stats": pcm_stats,
         "video-frames": video_frames,
         "image-dhash": image_dhash_op,
