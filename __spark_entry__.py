@@ -5071,12 +5071,12 @@ def oracle_sql() -> dict[str, str]:
             "nw >= 30 AND nw <= 100000 AS r_word_count, "
             "sl >= 3 * nw AND sl <= 10 * nw AS r_mean_word_len, "
             "10 * ns <= nw AS r_symbol_ratio, "
-            "10 * nb <= nl AS r_bullet_lines, "
+            "10 * nb <= 9 * nl AS r_bullet_lines, "
             "10 * ne <= 3 * nl AS r_ellipsis_lines, "
             "5 * na >= 4 * nw AS r_alpha_words, "
             "nst >= 2 AS r_stopwords, "
             "(nw >= 30 AND nw <= 100000) AND (sl >= 3 * nw AND "
-            "sl <= 10 * nw) AND (10 * ns <= nw) AND (10 * nb <= nl) "
+            "sl <= 10 * nw) AND (10 * ns <= nw) AND (10 * nb <= 9 * nl) "
             "AND (10 * ne <= 3 * nl) AND (5 * na >= 4 * nw) "
             "AND (nst >= 2) AS keep FROM m"),
         "cms_host_counts": (

@@ -67,3 +67,45 @@ class TestCompact:
         assert out.count() == 700
         assert sorted(r.tag for r in out.select("tag").distinct()
                       .collect()) == [f"t{i}" for i in range(7)]
+
+
+class TestRecover:
+    """compact()'s two-rename swap window: path can vanish between
+    rename(path->__old) and rename(__compacting->path)."""
+
+    def _sum_v(self, spark, d):
+        return spark.read.parquet(d).selectExpr("sum(v)").collect()[0][0]
+
+    def test_crash_between_renames_installs_rewrite(self, spark):
+        import shutil
+        d = os.path.join(tempfile.mkdtemp(prefix="cmp_"), "t")
+        _write_fragmented(spark, d, n_rows=500, n_files=10)
+        want = self._sum_v(spark, d)
+        # simulate: rewrite finished+verified in __compacting, original
+        # moved to __old, crash before the final rename
+        shutil.copytree(d, d + "__compacting")
+        os.rename(d, d + "__old")
+        assert not os.path.exists(d)
+        assert cp.recover(spark, d) == "installed_rewrite"
+        assert os.path.exists(d)
+        assert not os.path.exists(d + "__old")
+        assert self._sum_v(spark, d) == want
+
+    def test_crash_after_first_rename_only_restores_old(self, spark):
+        d = os.path.join(tempfile.mkdtemp(prefix="cmp_"), "t")
+        _write_fragmented(spark, d, n_rows=500, n_files=10)
+        want = self._sum_v(spark, d)
+        os.rename(d, d + "__old")
+        assert cp.recover(spark, d) == "restored_old"
+        assert self._sum_v(spark, d) == want
+
+    def test_recover_noop_and_compact_self_heals(self, spark):
+        d = os.path.join(tempfile.mkdtemp(prefix="cmp_"), "t")
+        _write_fragmented(spark, d, n_rows=500, n_files=10)
+        assert cp.recover(spark, d) == "ok"
+        assert cp.recover(spark, d + "_nonexistent") == "missing"
+        # a crashed swap heals transparently on the next compact()
+        os.rename(d, d + "__old")
+        stats = cp.compact(spark, d, target_bytes=10**9)
+        assert stats["compacted"] and stats["after_files"] == 1
+        assert spark.read.parquet(d).count() == 500

@@ -548,6 +548,10 @@ def test_gopher_rules_decisions(spark):
             .replace("and", "www").replace("that", "rrr")
             .replace("have", "sss").replace("of", "ttt")
             .replace("with", "uuu").replace("be ", "vvv ")),  # stops
+        # ordinary list-bearing page: 5 of 10 lines are bullets —
+        # Gopher A1.1 only removes when MORE than 90% are bullets
+        (5, "\n".join(("- item on the list here" if i % 2 else
+                       "prose line " + good) for i in range(10))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in gopher_rules(df, min_words=30).collect()}
@@ -556,6 +560,7 @@ def test_gopher_rules_decisions(spark):
     assert got[2].r_symbol_ratio is False
     assert got[3].r_bullet_lines is False
     assert got[4].r_stopwords is False
+    assert got[5].r_bullet_lines is True
 
 
 def test_gopher_mean_word_length_bounds(spark):

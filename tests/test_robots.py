@@ -39,6 +39,22 @@ class TestParse:
         assert parse_robots("Disallow: /x\nUser-agent: *\n"
                             "Disallow: /y\n") == [("/y", False)]
 
+    def test_same_agent_groups_merge(self):
+        # RFC 9309 §2.2.1: two separate 'User-agent: *' groups both
+        # apply — rules merge across groups at winning specificity
+        txt = ("User-agent: *\nDisallow: /a\n\n"
+               "User-agent: other\nDisallow: /z\n\n"
+               "User-agent: *\nDisallow: /b\nAllow: /b/ok\n")
+        assert parse_robots(txt, "mybot") == [
+            ("/a", False), ("/b", False), ("/b/ok", True)]
+
+    def test_specific_groups_merge_not_star(self):
+        txt = ("User-agent: bot\nDisallow: /a\n\n"
+               "User-agent: *\nDisallow: /s\n\n"
+               "User-agent: bot\nAllow: /a/ok\n")
+        assert parse_robots(txt, "MyBot/2") == [
+            ("/a", False), ("/a/ok", True)]
+
     def test_garbage_lines_skipped(self):
         assert parse_robots("ran:dom\nnoise\nUser-agent: *\n"
                             "Disallow: /a\n") == [("/a", False)]

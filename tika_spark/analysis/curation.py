@@ -842,8 +842,9 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
       r_word_count     min_words <= words <= max_words
       r_mean_word_len  3 <= mean word length <= 10
       r_symbol_ratio   (# + ellipsis occurrences) / words <= 0.1
-      r_bullet_lines   <= 90% of lines may NOT start with a bullet
-                       (i.e. bullet lines <= 10%)
+      r_bullet_lines   bullet-started lines <= 90% (Rae et al. 2021
+                       A1.1 removes docs where MORE than 90% of
+                       lines start with a bullet)
       r_ellipsis_lines lines ending in an ellipsis <= 30%
       r_alpha_words    >= 80% of words contain a letter
       r_stopwords      >= 2 distinct stop words present
@@ -881,7 +882,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
                        (sum_len >= 3 * n_words)
                        & (sum_len <= 10 * n_words))
            .withColumn("r_symbol_ratio", 10 * n_sym <= n_words)
-           .withColumn("r_bullet_lines", 10 * n_bullet <= n_lines)
+           .withColumn("r_bullet_lines", 10 * n_bullet <= 9 * n_lines)
            .withColumn("r_ellipsis_lines", 10 * n_ell <= 3 * n_lines)
            .withColumn("r_alpha_words", 5 * n_alpha >= 4 * n_words)
            .withColumn("r_stopwords", n_stops >= 2))

@@ -104,6 +104,11 @@ def page_tables(html: bytes) -> list[tuple[int, int, list[str]]]:
                             out.append((t_idx, row_idx, cells))
                     elif c.tag in ("thead", "tbody", "tfoot"):
                         rows_of(c)
+                    else:
+                        # caption/colgroup/a stray div directly under
+                        # <table> can still wrap a nested table —
+                        # collect it so it gets its own table_idx
+                        nested.extend(_find_tables(c))
             rows_of(node)
             for sub in nested:
                 visit(sub)

@@ -11,9 +11,16 @@ Semantics:
   (works for file://, hdfs://, s3a:// alike — never the local ``os``
   module, the same lesson as streaming/ingest.py's index probe);
 - the rewrite lands in ``<dir>__compacting`` first and swaps in with
-  two renames (old → ``<dir>__old`` → delete), so a reader never
-  sees a half-written directory; a crash mid-swap leaves either the
-  original or the finished rewrite plus a stale temp dir to sweep;
+  two renames (path → ``<dir>__old``, then tmp → path). The swap is
+  NOT atomic: a crash between the two renames leaves NO directory at
+  the table path (both ``__old`` — the original — and
+  ``__compacting`` — the verified rewrite — still exist), and a
+  concurrent reader during that instant sees a missing path. That
+  window is recoverable, not silent: ``recover()`` (called at the
+  top of every ``compact()``) re-installs the verified rewrite if
+  present, else restores the original, so the table reappears on the
+  next compaction attempt — or on an explicit ``recover()`` call
+  from a startup hook;
 - row order is not preserved (parquet directories are unordered
   sets); row COUNT is verified before the swap and the rewrite is
   abandoned on mismatch.
@@ -53,13 +60,50 @@ def dir_stats(spark: SparkSession, path: str) -> dict:
     return {"n_files": n_files, "total_bytes": total}
 
 
+def recover(spark: SparkSession, path: str) -> str:
+    """Heal a crash that hit compact()'s two-rename window.
+
+    States and actions (tmp = ``<path>__compacting`` is only ever a
+    COMPLETE, row-count-verified rewrite by the time the swap runs):
+
+    - path exists → nothing to do ("ok"); stale tmp/old are swept.
+    - path missing, tmp exists → install tmp ("installed_rewrite").
+    - path missing, only old exists → restore old ("restored_old").
+    - none exist → "missing" (table never existed here).
+    """
+    fs, hpath, jvm = _fs_for(spark, path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/")
+                                          + "__compacting")
+    p_old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if fs.exists(hpath):
+        # a leftover tmp here is an *unverified* aborted rewrite
+        # (verification failure leaves it for inspection) — sweep old
+        # only, which is always a superseded original
+        if fs.exists(p_old):
+            fs.delete(p_old, True)
+        return "ok"
+    if fs.exists(p_tmp):
+        if not fs.rename(p_tmp, hpath):
+            raise RuntimeError(f"recover: cannot install {p_tmp}")
+        if fs.exists(p_old):
+            fs.delete(p_old, True)
+        return "installed_rewrite"
+    if fs.exists(p_old):
+        if not fs.rename(p_old, hpath):
+            raise RuntimeError(f"recover: cannot restore {p_old}")
+        return "restored_old"
+    return "missing"
+
+
 def compact(spark: SparkSession, path: str,
             target_bytes: int = 256 * 1024 * 1024,
             partition_cols: list[str] | None = None) -> dict:
     """Rewrite ``path`` into ceil(total/target) files (per hive
     partition when ``partition_cols`` given). Returns before/after
     stats. No-op (stats only) when already at or under the target
-    file count."""
+    file count. Starts by healing any crashed prior swap (see
+    ``recover``)."""
+    recover(spark, path)
     before = dir_stats(spark, path)
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
     if before["n_files"] <= n_out:

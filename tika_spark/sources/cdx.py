@@ -223,6 +223,11 @@ def cdx_fetch(index: DataFrame, path_col: str = "path",
                                    payload=_payload_of(rec),
                                    status="ok")
                 except Exception:
+                    if f is not None:
+                        try:  # don't leak the fd (or the object-store
+                            f.close()  # connection behind it)
+                        except Exception:
+                            pass
                     open_path, f = None, None
                 rows.append(row)
             if f is not None:

@@ -33,11 +33,14 @@ from tika_spark.analysis.webgraph import host_of
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """[(path_pattern, allowed), ...] for the best-matching group.
+    """[(path_pattern, allowed), ...] for the best-matching groups.
 
     Group selection: longest user-agent token that is a
     case-insensitive substring of ``agent`` (or equals ``*``); the
-    generic ``*`` group is the fallback.
+    generic ``*`` group is the fallback. Per RFC 9309 §2.2.1 rules
+    are MERGED across every group that achieves the winning
+    specificity — a robots.txt with two separate ``User-agent: *``
+    groups contributes both groups' rules.
     """
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     agents: list[str] = []
@@ -68,18 +71,30 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
         groups.append((agents, rules))
 
     agent_l = agent.lower()
-    best: tuple[int, list[tuple[str, bool]]] | None = None
-    for ags, rs in groups:
+
+    def group_score(ags: list[str]) -> int | None:
+        score: int | None = None
         for a in ags:
             if a == "*":
-                score = 0
+                s = 0
             elif a and a in agent_l:
-                score = len(a)
+                s = len(a)
             else:
                 continue
-            if best is None or score > best[0]:
-                best = (score, rs)
-    return best[1] if best else []
+            if score is None or s > score:
+                score = s
+        return score
+
+    scored = [(s, rs) for ags, rs in groups
+              if (s := group_score(ags)) is not None]
+    if not scored:
+        return []
+    win = max(s for s, _ in scored)
+    merged: list[tuple[str, bool]] = []
+    for s, rs in scored:
+        if s == win:
+            merged.extend(rs)
+    return merged
 
 
 def pattern_regex(pattern: str) -> str:
@@ -98,22 +113,22 @@ def robots_rules(pages: DataFrame, host_col: str = "host",
     per host row — the rules table, not the frontier."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<struct<pattern:string,allowed:boolean>>")
+    @pandas_udf(
+        "array<struct<pattern:string,allowed:boolean,regex:string>>")
     def parse(texts: pd.Series) -> pd.Series:
         return pd.Series([
-            [{"pattern": p, "allowed": a}
+            [{"pattern": p, "allowed": a, "regex": pattern_regex(p)}
              for p, a in parse_robots(t or "", agent)]
             for t in texts])
 
-    rx = F.udf(pattern_regex, "string")
     return (pages
             .select(F.col(host_col).alias("host"),
                     F.explode(parse(F.col(text_col))).alias("r"))
             .select("host", F.col("r.pattern").alias("pattern"),
                     F.length("r.pattern").cast("long")
                     .alias("pattern_len"),
-                    F.col("r.allowed").alias("allowed"))
-            .withColumn("regex", rx(F.col("pattern"))))
+                    F.col("r.allowed").alias("allowed"),
+                    F.col("r.regex").alias("regex")))
 
 
 def frontier_filter(urls: DataFrame, rules: DataFrame,
