@@ -148,6 +148,36 @@ def test_brute_force_topk_self_first(emb_df):
     assert all(r["sim_micro"] == 1_000_000 for r in top)
 
 
+def test_brute_force_topk_query_cap(emb_df, monkeypatch):
+    # the query side is collected to the driver: an oversized query
+    # set must be an explicit ValueError, not a silent OOM path
+    monkeypatch.setattr(similarity, "MAX_BRUTE_QUERIES", 5)
+    with pytest.raises(ValueError, match="MAX_BRUTE_QUERIES"):
+        similarity.brute_force_topk(emb_df, emb_df, k=3)
+    # at the cap exactly, still fine
+    monkeypatch.setattr(similarity, "MAX_BRUTE_QUERIES", 21)
+    assert similarity.brute_force_topk(
+        emb_df, emb_df, k=1).count() == 21
+
+
+def test_coarse_probes_matches_l2_argsort(emb_df):
+    import numpy as np
+    centers = [[float(j % 3) for j in range(8)],
+               [float(-(j % 2)) for j in range(8)],
+               [0.5] * 8, [5.0] * 8]
+    got = {r.query_id: [] for r in emb_df.select("vec_id")
+           .withColumnRenamed("vec_id", "query_id").collect()}
+    rows = similarity._coarse_probes(emb_df, centers, nprobe=2)
+    for r in rows.collect():
+        got[r.query_id].append(r.cluster)
+    cm = np.asarray(centers)
+    for r in emb_df.collect():
+        q = np.asarray(r.embedding, dtype=np.float64)
+        d2 = ((q[None, :] - cm) ** 2).sum(axis=1)
+        want = list(np.argsort(d2, kind="stable")[:2])
+        assert got[r.vec_id] == want, r.vec_id
+
+
 def test_cosine_pairs_finds_duplicate(emb_df):
     pairs = similarity.cosine_pairs(emb_df, threshold=0.999).collect()
     got = {(p["id_a"], p["id_b"]) for p in pairs}

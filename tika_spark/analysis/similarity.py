@@ -41,6 +41,12 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+# brute_force_topk collects its query side: hard-cap it so an
+# oversized query set is an explicit error, not a driver OOM.
+# 100k queries × 1k dims × 8 B ≈ 0.8 GB — the top of the sane range.
+MAX_BRUTE_QUERIES = 100_000
+
+
 def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding"
                      ) -> DataFrame:
@@ -69,7 +75,16 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10,
 
     from tika_spark.analysis.dedup import ensure_parallelism
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col) \
+        .limit(MAX_BRUTE_QUERIES + 1).collect()
+    if len(qrows) > MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds MAX_BRUTE_QUERIES="
+            f"{MAX_BRUTE_QUERIES} rows; it is collected to the driver "
+            "and shipped in the UDF closure, so a large query set "
+            "means a driver OOM, not a slow job. Shard the queries "
+            "(e.g. df.randomSplit) or use an ANN operator "
+            "(lsh_topk/ivf_topk/ivfpq_topk) for big query sets.")
     qids = [r[0] for r in qrows]
     qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows],
                   dtype=np.float64).T              # dim × nq
@@ -296,6 +311,44 @@ def ivf_index(base: DataFrame, nlist: int = 16,
     return assigned, [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def _coarse_probes(queries: DataFrame, centers: list, nprobe: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """(query_id, cluster) rows: each query's ``nprobe`` nearest
+    centroids by squared L2 (the KMeans metric), ties on cluster id.
+
+    One Arrow-batched matmul per query batch —
+    ``d2 = |q|^2 + |c|^2 - 2 q@C^T`` over the whole centroid matrix —
+    instead of the interpreted ``aggregate(zip_with(...))`` HOF over a
+    query×nlist cross join. At FAISS-scale nlist (65k) the HOF form
+    is the known interpreted hotspot; this form is O(batch×nlist)
+    flops in BLAS and stays flat. Centroids ride the UDF closure
+    (nlist×dim floats — tiny next to any executor heap)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cm = np.asarray(centers, dtype=np.float64)        # nlist × dim
+    cn2 = (cm * cm).sum(axis=1)                       # nlist
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        q = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (q * q).sum(axis=1)[:, None] + cn2[None, :] \
+            - 2.0 * (q @ cm.T)                        # batch × nlist
+        # stable sort over d2 with clusters in index order ==
+        # (d2 asc, cluster asc) tie-break
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in idx])
+
+    return (queries
+            .select(F.col(id_col).alias("query_id"),
+                    F.explode(probe(_as_double(F.col(vec_col))))
+                    .alias("cluster")))
+
+
 def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10,
              nlist: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding"
@@ -308,26 +361,14 @@ def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10,
     when neighbor cosines are weak. All joins are equi-joins on the
     cluster id (broadcast query side).
     """
-    spark = base.sparkSession
     assigned, centers = ivf_index(base, nlist, id_col, vec_col)
 
-    centers_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "cluster int, center array<double>")
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("qv"))
-    # squared L2 distance to each centroid (KMeans metric), keep nprobe
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("center"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"),
-                                                F.asc("cluster"))
-    probes = (q.crossJoin(F.broadcast(centers_df))
-              .withColumn("d2", d2)
-              .withColumn("pr", F.row_number().over(wq))
-              .filter(F.col("pr") <= nprobe)
-              .select("query_id", "qv", "cluster"))
+    # nprobe nearest centroids per query, Arrow-matmul (see helper);
+    # re-attach qv for the bucket-scan scoring below
+    probes = (_coarse_probes(queries, centers, nprobe, id_col, vec_col)
+              .join(q, "query_id"))
 
     b = assigned.select(F.col(id_col).alias("vec_id"), "cluster",
                         _as_double(F.col(vec_col)).alias("bv"))
@@ -511,29 +552,14 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
     broadcast, and every join is an equi-join on the cluster id — the
     full embeddings shuffle only for shortlist rows.
     """
-    spark = base.sparkSession
     if index is not None:
         (assigned, centers), (codes, books) = index
     else:
         assigned, centers = ivf_index(base, nlist, id_col, vec_col)
         codes, books = pq_index(base, m, ks, id_col, vec_col)
 
-    centers_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "cluster int, center array<double>")
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("qv"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("center"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"),
-                                                F.asc("cluster"))
-    probes = (q.crossJoin(F.broadcast(centers_df))
-              .withColumn("d2", d2)
-              .withColumn("pr", F.row_number().over(wq))
-              .filter(F.col("pr") <= nprobe)
-              .select("query_id", "cluster"))
+    # nprobe nearest centroids per query, Arrow-matmul (see helper)
+    probes = _coarse_probes(queries, centers, nprobe, id_col, vec_col)
 
     coded = codes.join(
         assigned.select(F.col(id_col), "cluster"), id_col)
