@@ -54,7 +54,12 @@ AVI / animated GIF and decodes sampled frames (analysis/video.py);
 media_pcm_stats decodes WAV PCM16, G.711 μ-law (closed-form SQL
 expansion), and FLAC (analysis/flac.py — fixed-prediction + Rice,
 STREAMINFO-MD5 self-verified) with exact integer-sum RMS/peak
-stats; extract_checkpointed pins the interrupted-then-resumed
+stats; media_mp3_stats runs genuinely Huffman-coded MPEG-1 Layer
+III frames through the from-scratch full decode chain
+(analysis/mp3codec.py — side info, scalefactors, count1 Huffman,
+requantize, IMDCT, polyphase synthesis), closed-form because zero
+spectra stay exactly zero through the linear filterbank while
+frame structure (rate/channels/sample count) must be read right; extract_checkpointed pins the interrupted-then-resumed
 manifest of the checkpointed batch run (pipeline/checkpoint.py)
 against pure-SQL bucket counts; extract_main_justext replays the
 jusText decision function (html/justext.py) in SQL; the
@@ -878,6 +883,52 @@ def _q_media_pcm_stats(spark, sf_dir):
         wrap(F.col("doc_id")).alias("payload"),
         F.when(F.pmod("doc_id", F.lit(4)) == 2, F.lit("audio/flac"))
         .otherwise(F.lit("audio/wav")).alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
+def _q_media_mp3_stats(spark, sf_dir):
+    """From-scratch MPEG-1 Layer III full decode, distributed
+    (analysis/mp3codec.py): each row is a genuine multi-frame MP3 —
+    varying frame count, mono/stereo, bitrate, scalefac_compress,
+    nonzero scalefactors, and real count1 Huffman codes — whose
+    spectra are all zero, so the closed-form oracle is exact
+    (silence survives the linear filterbank bit-exactly) while the
+    decoder must still parse headers/side info, Huffman-decode the
+    count1 run, and run requantize→IMDCT→synthesis end to end."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.mp3codec import (BITRATES_L3,
+                                                  mp3_bytes)
+        out = []
+        for i in ids:
+            i = int(i)
+            n_frames = 1 + i % 4
+            nch = 1 + i % 2
+            z = np.zeros(576, dtype=np.int64)
+            frame = [[z] * nch, [z] * nch]
+            out.append(mp3_bytes(
+                [frame] * n_frames,
+                mode="mono" if nch == 1 else "stereo",
+                bitrate=BITRATES_L3[1 + i % 14],
+                count1_zeros=16 + i % 5,
+                scalefac_compress=5 + i % 11,
+                scalefactors=[1] * 21))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/mpeg").alias("media_type"))
     out = audio_pcm_stats(media)
     return out.select(
         "id", F.col("n_channels").cast("long").alias("n_channels"),
@@ -3729,6 +3780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_embed": _q_docs_hash_embed,
         "docs_embed_neardup": _q_docs_embed_neardup,
         "media_pcm_stats": _q_media_pcm_stats,
+        "media_mp3_stats": _q_media_mp3_stats,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
@@ -4050,6 +4102,17 @@ def oracle_sql() -> dict[str, str]:
             "'image/jpeg' AS mime, "
             "'Doc ' || doc_id AS title, lang AS author, "
             "'8' AS width FROM documents"),
+        "media_mp3_stats": (
+            # silent multi-frame Layer III: structure closed-form,
+            # samples exactly zero through the linear filterbank
+            "SELECT doc_id AS id, "
+            "(1 + doc_id % 2)::BIGINT AS n_channels, "
+            "44100::BIGINT AS sample_rate, "
+            "((1 + doc_id % 4) * 1152)::BIGINT AS n_samples, "
+            "((1 + doc_id % 4) * 1152 * 1000 // 44100)::BIGINT "
+            "AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
         "media_pcm_stats": (
             # odd ids: constant μ-law code c=id%256; linear magnitude
             # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c

@@ -83,10 +83,14 @@ def real_decode(payload: bytes, media_type: str):
     if media_type == "audio/x-aiff":
         from tika_spark.analysis.pcm import decode_aiff
         return decode_aiff(payload)
+    if media_type in ("audio/mpeg", "audio/mp3"):
+        from tika_spark.analysis.mp3codec import decode_mp3
+        return decode_mp3(payload)
     raise NotImplementedError(
-        "codec libraries for compressed media (MP3 PCM/video frames) "
-        "are not installed in this environment; decode_media uses "
-        "the header-parse tier below")
+        "codec libraries for the remaining compressed media "
+        "(AAC/Opus samples, inter-frame video) are not installed in "
+        "this environment; decode_media uses the header-parse tier "
+        "below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:

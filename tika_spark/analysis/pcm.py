@@ -6,7 +6,9 @@ and the samples are raw little-endian integers — so, like PNG in
 working decoder instead of a stub for the most common uncompressed
 audio format. The G.711 companded telephony formats (μ-law format 7,
 A-law format 6) also decode for real through the classic 256-entry
-expansion tables. Perceptual codecs (MP3/AAC/Opus) stay behind the
+expansion tables. MP3 decodes for real through the from-scratch
+Layer III decoder (:mod:`tika_spark.analysis.mp3codec`); the
+remaining perceptual codecs (AAC/Opus) stay behind the
 NotImplementedError hook.
 
 Stats are exact micro-units over the normalized [-1, 1) signal:
@@ -269,9 +271,15 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
                 if mt in ("audio/wav", "audio/x-wav",
                           "audio/vnd.wave", "audio/flac",
                           "audio/x-flac", "audio/basic",
-                          "audio/x-aiff"):
+                          "audio/x-aiff", "audio/mpeg",
+                          "audio/mp3"):
                     try:
-                        if mt.endswith("flac"):
+                        if mt in ("audio/mpeg", "audio/mp3"):
+                            from tika_spark.analysis.mp3codec import \
+                                decode_mp3
+                            arr, rate = decode_mp3(
+                                bytes(payload or b""))
+                        elif mt.endswith("flac"):
                             from tika_spark.analysis.flac import \
                                 decode_flac
                             arr, rate = decode_flac(
