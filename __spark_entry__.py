@@ -762,8 +762,9 @@ def _q_ann_ivfpq_recall(spark, sf_dir):
 
 def _png_pixels_wrap_udf():
     """Solid-color image per document row — PNG (real IDAT) for
-    id%4==0, GIF (real LZW stream + palette) for id%4==1, baseline
-    JPEG (real Huffman entropy coding, solid gray) for id%4==2,
+    id%4==0, GIF (real LZW stream + palette) for id%4==1, JPEG
+    (real Huffman entropy coding, solid gray — baseline for id%8==2,
+    progressive SOF2 scan script for id%8==6) for id%4==2,
     TIFF (real TIFF-variant LZW + Predictor-2 differencing) for
     id%4==3 — dimensions and color derived from doc_id so every
     downstream statistic is exactly predictable regardless of codec.
@@ -793,9 +794,11 @@ def _png_pixels_wrap_udf():
                     np.zeros((h, w), dtype=np.uint8),
                     np.array([color], dtype=np.uint8)))
             elif i % 4 == 2:
+                # alternate baseline / progressive (SOF2) layouts:
+                # same quantized coefficients, same closed form
                 out.append(jpeg_bytes(
                     np.full((h, w, 1), i % 256, dtype=np.uint8),
-                    quality=50))
+                    quality=50, progressive=(i % 8 == 6)))
             else:
                 out.append(tiff_bytes(
                     np.full((h, w, 3), color, dtype=np.uint8),

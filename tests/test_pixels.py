@@ -200,14 +200,16 @@ def test_audio_pcm_stats_operator(spark):
     wave = np.tile(np.array([5000, -5000], dtype=np.int16), 100)
     rows = [(1, wav_bytes(wave, 8000), "audio/wav"),
             (2, b"corrupt", "audio/wav"),
-            (3, b"\x00", "audio/mpeg")]
+            (3, b"\x00", "audio/mpeg"),    # mp3 routed now: bad=error
+            (4, b"\x00", "audio/aac")]
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     out = {r["id"]: r for r in audio_pcm_stats(df).collect()}
     assert out[1]["status"] == "ok" and out[1]["n_samples"] == 200
     assert out[1]["rms_micro"] == out[1]["peak_micro"]
     assert out[2]["status"] == "error"
-    assert out[3]["status"] == "unsupported"
+    assert out[3]["status"] == "error"
+    assert out[4]["status"] == "unsupported"
 
 
 def test_real_decode_hook_wav():
@@ -426,17 +428,61 @@ def test_jpeg_odd_dimensions_and_determinism():
     assert np.array_equal(a, b)
 
 
-def test_jpeg_rejects_garbage_truncation_progressive():
+def test_jpeg_rejects_garbage_truncation_lossless():
     from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
     good = jpeg_bytes(np.full((8, 8, 1), 90, np.uint8))
     for bad in (b"", b"\x89PNG", b"\xff\xd8\x00\x00", good[:40]):
         with pytest.raises(ValueError):
             decode_jpeg(bad)
-    prog = bytearray(good)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # SOF2: progressive
+    loss = bytearray(good)
+    i = loss.find(b"\xff\xc0")
+    loss[i + 1] = 0xC3  # SOF3: lossless — still unsupported
     with pytest.raises(ValueError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(loss))
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    rng = np.random.default_rng(7)
+    for shape, sub in [((17, 9, 1), "444"), ((16, 16, 3), "444"),
+                       ((18, 22, 3), "420")]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(jpeg_bytes(arr, quality=60, subsample=sub))
+        pb = jpeg_bytes(arr, quality=60, subsample=sub,
+                        progressive=True)
+        assert b"\xff\xc2" in pb      # really SOF2
+        assert np.array_equal(base, decode_jpeg(pb))
+
+
+def test_jpeg_progressive_eob_runs_and_refinement():
+    from tika_spark.analysis.jpegcodec import decode_jpeg, jpeg_bytes
+    rng = np.random.default_rng(3)
+    # sparse impulses → long EOB runs, ZRL-in-refinement, correction
+    # bits over multi-block spans
+    arr = np.full((48, 64, 1), 128, np.uint8)
+    for _ in range(5):
+        arr[rng.integers(0, 48), rng.integers(0, 64), 0] = \
+            rng.integers(0, 256)
+    b = decode_jpeg(jpeg_bytes(arr, quality=30))
+    p = decode_jpeg(jpeg_bytes(arr, quality=30, progressive=True))
+    assert np.array_equal(b, p)
+    # gradients at extreme qualities
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)[:, :, None]
+    for q in (5, 95):
+        assert np.array_equal(
+            decode_jpeg(jpeg_bytes(grad, quality=q)),
+            decode_jpeg(jpeg_bytes(grad, quality=q,
+                                   progressive=True)))
+
+
+def test_jpeg_progressive_solid_gray_closed_form():
+    from tika_spark.analysis.jpegcodec import (
+        decode_jpeg, jpeg_bytes, solid_gray_decoded_value)
+    for v in (0, 7, 90, 128, 200, 255):
+        img = decode_jpeg(jpeg_bytes(np.full((24, 40, 1), v, np.uint8),
+                                     quality=50, progressive=True))
+        assert img.min() == img.max() == solid_gray_decoded_value(v)
 
 
 def test_jpeg_through_operator(spark):

@@ -1,20 +1,33 @@
-"""Baseline JPEG codec, from scratch (pure Python + numpy).
+"""Baseline + progressive JPEG codec, from scratch (pure Python +
+numpy).
 
-Decoder for baseline sequential DCT JPEG (SOF0): marker parse, DQT /
-DHT / DRI / SOS, Huffman entropy decode with 0xFF00 byte-stuffing and
-restart markers, dequantize + dezigzag, batched matrix IDCT, chroma
-upsampling by sample replication, JFIF YCbCr→RGB. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise ValueError — callers
-surface a status row (the H1 fault-isolation contract).
+Decoder for baseline sequential (SOF0/1) AND progressive (SOF2) DCT
+JPEG: marker parse, DQT / DHT / DRI / SOS, Huffman entropy decode
+with 0xFF00 byte-stuffing and restart markers, and for progressive
+the full ITU T.81 Annex G scan machinery — interleaved DC first /
+refinement scans (point transform, two's-complement bit OR), per-
+component spectral-selection AC scans with EOB-run decoding, and
+successive-approximation AC refinement (correction bits with the
+zero-history run semantics). Coefficients accumulate across scans
+and reconstruct once at EOI: dequantize + dezigzag, batched matrix
+IDCT, chroma upsampling by sample replication, JFIF YCbCr→RGB.
+Arithmetic coding, hierarchical, lossless, and 12-bit precision
+raise ValueError — callers surface a status row (the H1
+fault-isolation contract).
 
 Encoder for test fixtures and the multimodal oracle path: ITU T.81
 Annex K quantization tables scaled by the usual 5000/q | 200-2q
 quality formula, the Annex K "typical" Huffman tables, 4:4:4 or 4:2:0
-subsampling, optional restart intervals. Integer round-half-away DC
-quantization keeps the solid-gray reconstruction a CLOSED FORM the
-DuckDB oracle can replay in SQL (see _q_media_pixel_stats): for a
-constant gray v at quality 50 (Q_DC = 16), the decoded image is the
-constant ``128 + 2*round_half_away((v-128)/2)``.
+subsampling, optional restart intervals, and ``progressive=True``
+emitting a DC-first/DC-refine + per-component AC-first(Al=1)/
+AC-refine(Al=0) scan script over the SAME quantized coefficients as
+the baseline path — so baseline and progressive encodings of one
+image decode bit-identically, and the solid-gray closed form below
+holds for both. Integer round-half-away DC quantization keeps the
+solid-gray reconstruction a CLOSED FORM the DuckDB oracle can
+replay in SQL (see _q_media_pixel_stats): for a constant gray v at
+quality 50 (Q_DC = 16), the decoded image is the constant
+``128 + 2*round_half_away((v-128)/2)``.
 
 Reference parity: the reference's jpeg handling is metadata-only
 (tika-parsers image/ImageParser.java + JpegParser.java delegate pixel
@@ -219,6 +232,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huff] = {}
     restart = 0
     frame = None
+    prog = None
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -255,7 +269,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("short DHT")
                 (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -264,10 +278,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError("only baseline sequential and "
+                             "progressive JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -275,7 +291,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
-            if len(seg) < 1 + 2 * ns:
+            if len(seg) < 4 + 2 * ns:
                 raise ValueError("short SOS header")
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -284,9 +300,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if comp is None:
                     raise ValueError(f"scan component {cs} not in SOF")
                 scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(data, pos + 2 + seglen, frame, scan,
-                                qt, huff_dc, huff_ac, restart)
+            if not frame["progressive"]:
+                return _decode_scan(data, pos + 2 + seglen, frame,
+                                    scan, qt, huff_dc, huff_ac,
+                                    restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgState(frame)
+            end = _decode_prog_scan(
+                data, pos + 2 + seglen, frame, scan, prog,
+                huff_dc, huff_ac, restart, ss, se,
+                ahal >> 4, ahal & 15)
+            pos = end
+            continue
         pos += 2 + seglen
+    if prog is not None:
+        return _reconstruct_prog(frame, prog, qt)
     raise ValueError("no scan data")
 
 
@@ -381,6 +411,241 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+# ------------------------------------------------- progressive decode
+
+class _ProgState:
+    """Accumulated QUANTIZED coefficients (zigzag order) for every
+    frame component, MCU-grid padded, plus per-scan EOB-run state."""
+
+    def __init__(self, frame):
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        h, w = frame["h"], frame["w"]
+        from tika_spark.analysis.pixels import check_dims
+        check_dims(w, h)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.planes = {}
+        self.nblocks = {}        # true (non-padded) block dims
+        for c in comps:
+            self.planes[c["id"]] = np.zeros(
+                (self.mcuy * c["v"], self.mcux * c["h"], 64),
+                dtype=np.int32)
+            cw = -(-w * c["h"] // self.hmax)
+            ch = -(-h * c["v"] // self.vmax)
+            self.nblocks[c["id"]] = (-(-ch // 8), -(-cw // 8))
+
+
+def _find_next_marker(data: bytes, p: int) -> int:
+    """First position of a real (non-stuffed, non-RST) marker."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 \
+                and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _refine_nonzero(br, block, k, se, p1, m1):
+    """Correction-bit pass over already-nonzero coefficients in
+    [k, se] — the EOB-run portion of an AC refinement scan."""
+    while k <= se:
+        if block[k]:
+            if br.bit():
+                if block[k] > 0 and not (block[k] & p1):
+                    block[k] += p1
+                elif block[k] < 0 and not (block[k] & p1):
+                    block[k] += m1
+        k += 1
+
+
+def _decode_prog_scan(data, pos, frame, scan, prog, huff_dc,
+                      huff_ac, restart, ss, se, ah, al):
+    """One progressive scan (T.81 Annex G): mutates prog.planes,
+    returns the stream position after the entropy data."""
+    br = _BitReader(data, pos)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if not dc_scan and len(scan) != 1:
+        raise ValueError("AC progressive scans are single-component")
+    if not dc_scan and ss > se or se > 63:
+        raise ValueError("bad spectral selection")
+
+    state = {"eobrun": 0}
+    pred = [0] * len(scan)
+
+    def decode_dc_first(ci, block):
+        td = scan[ci][1]
+        dch = huff_dc.get(td)
+        if dch is None:
+            raise ValueError("missing table")
+        t = dch.decode(br)
+        pred[ci] += _extend(br.receive(t), t)
+        block[0] = pred[ci] << al
+
+    def decode_dc_refine(block):
+        if br.bit():
+            block[0] |= (1 << al)
+
+    def decode_ac_first(block):
+        ach = huff_ac.get(scan[0][2])
+        if ach is None:
+            raise ValueError("missing table")
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = ach.decode(br)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.receive(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            block[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def decode_ac_refine(block):
+        ach = huff_ac.get(scan[0][2])
+        if ach is None:
+            raise ValueError("missing table")
+        p1, m1 = 1 << al, -1 << al
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            _refine_nonzero(br, block, ss, se, p1, m1)
+            return
+        k = ss
+        while k <= se:
+            rs = ach.decode(br)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    _refine_nonzero(br, block, k, se, p1, m1)
+                    return
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                if block[k]:
+                    if br.bit():
+                        if block[k] > 0 and not (block[k] & p1):
+                            block[k] += p1
+                        elif block[k] < 0 and not (block[k] & p1):
+                            block[k] += m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+
+    def unit(ci, block):
+        if dc_scan:
+            if ah == 0:
+                decode_dc_first(ci, block)
+            else:
+                decode_dc_refine(block)
+        else:
+            if ah == 0:
+                decode_ac_first(block)
+            else:
+                decode_ac_refine(block)
+
+    interleaved = len(scan) > 1
+    n_restart = 0
+
+    def do_restart():
+        nonlocal n_restart
+        n = br.align_to_marker()
+        if n != (n_restart & 7):
+            raise ValueError("restart marker out of sequence")
+        n_restart += 1
+        pred[:] = [0] * len(scan)
+        state["eobrun"] = 0
+
+    if interleaved or dc_scan and len(scan) == len(frame["comps"]):
+        # MCU order over all scan components (DC scans)
+        unit_index = 0
+        for my in range(prog.mcuy):
+            for mx in range(prog.mcux):
+                if restart and unit_index \
+                        and unit_index % restart == 0:
+                    do_restart()
+                for ci, (comp, _, _) in enumerate(scan):
+                    plane = prog.planes[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit(ci, plane[my * comp["v"] + by,
+                                           mx * comp["h"] + bx])
+                unit_index += 1
+    else:
+        comp = scan[0][0]
+        plane = prog.planes[comp["id"]]
+        bh, bw2 = prog.nblocks[comp["id"]]
+        unit_index = 0
+        for by in range(bh):
+            for bx in range(bw2):
+                if restart and unit_index \
+                        and unit_index % restart == 0:
+                    do_restart()
+                unit(0, plane[by, bx])
+                unit_index += 1
+    return _find_next_marker(data, br.pos)
+
+
+def _reconstruct_prog(frame, prog, qt):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    out_ch = []
+    for comp in comps:
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        coeff = prog.planes[comp["id"]] * q[None, None, :]
+        by, bx = coeff.shape[0], coeff.shape[1]
+        dez = np.zeros((by, bx, 64))
+        dez[:, :, ZIGZAG] = coeff
+        blocks = dez.reshape(by, bx, 8, 8)
+        spatial = _C.T @ blocks @ _C
+        img = (spatial.transpose(0, 2, 1, 3)
+               .reshape(by * 8, bx * 8)) + 128.0
+        ry = prog.vmax // comp["v"]
+        rx = prog.hmax // comp["h"]
+        if (prog.vmax % comp["v"]) or (prog.hmax % comp["h"]):
+            raise ValueError("non-integer sampling ratio")
+        if ry > 1 or rx > 1:
+            img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+        out_ch.append(img[:h, :w])
+    if len(out_ch) == 1:
+        y = np.clip(np.rint(out_ch[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_ch) != 3:
+        raise ValueError(f"unsupported component count {len(out_ch)}")
+    y, cb, cr = out_ch[0], out_ch[1] - 128.0, out_ch[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 # ------------------------------------------------------------------ encoder
 
 class _BitWriter:
@@ -437,15 +702,229 @@ def _quantize_dc(dc: int, q: int) -> int:
     return (dc + q // 2) // q if dc >= 0 else -((-dc + q // 2) // q)
 
 
+def _quantize_block(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """8×8 spatial block (centered) → zigzag-ordered quantized
+    coefficients; the one quantizer both entropy layouts share, so
+    baseline and progressive encodings decode bit-identically."""
+    coef = _C @ block @ _C.T
+    dc = int(np.rint(coef[0, 0]))
+    zz = np.rint(coef.reshape(64)
+                 / q.astype(np.float64)).astype(np.int64)
+    zz = zz[ZIGZAG]
+    zz[0] = _quantize_dc(dc, int(q[0]))
+    return zz
+
+
+# ------------------------------------------------ progressive encode
+
+# progressive AC scans need EOBn symbols (0x10..0xE0) that the Annex
+# K sequential tables lack; ship one near-complete canonical table
+# over all 256 run/size symbols (254 at 8 bits, 2 at 9 — Kraft < 1).
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
+
+
+def _emit_refine_seg(bw, act, seg, flush_eob, run1_sign=None):
+    """Emit one refinement segment: ``seg`` is the positional event
+    list since the last code ('z' = zero-history slot, int = a
+    pending correction bit), mirroring the decoder's advance order
+    exactly (ZRL consumes 16 zero-history slots, correction bits
+    ride along positionally)."""
+    i = 0
+    zeros = seg.count("z")
+    while zeros > 15:
+        flush_eob()
+        code, ln = act[0xF0]
+        bw.write(code, ln)
+        zcnt = 0
+        while i < len(seg):
+            e = seg[i]
+            i += 1
+            if e == "z":
+                zcnt += 1
+                if zcnt == 16:
+                    break
+            else:
+                bw.write(e, 1)
+        zeros -= 16
+    flush_eob()
+    code, ln = act[(zeros << 4) | 1]
+    bw.write(code, ln)
+    bw.write(run1_sign, 1)
+    for e in seg[i:]:
+        if e != "z":
+            bw.write(e, 1)
+
+
+def _encode_prog_scans(out, bw_cls, zzs, samp, nc, mcux, mcuy,
+                       nblocks, seg_writer):
+    """Write the 2 + 2·nc progressive scans (DC first Al=1, DC
+    refine, per-component AC first Al=1 then AC refine Al=0)."""
+    dc_tab = [_encode_tables(DC_LUM_BITS, DC_LUM_VALS),
+              _encode_tables(DC_CHR_BITS, DC_CHR_VALS)]
+    act = _encode_tables(PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos(comps_td_ta, ss, se, ah, al):
+        body = bytes([len(comps_td_ta)])
+        for cid, td, ta in comps_td_ta:
+            body += bytes((cid, (td << 4) | ta))
+        body += bytes((ss, se, (ah << 4) | al))
+        seg_writer(0xDA, body)
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
+        0, 0, 0, 1)
+    bw = bw_cls()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                tab = dc_tab[0 if ci == 0 else 1]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(zzs[ci][my * sv + by,
+                                        mx * sh + bx, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s, bits_v = _magnitude(diff)
+                        code, ln = tab[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(bits_v, s)
+    bw.flush()
+    out.extend(bw.out)
+
+    # ---- scan 2: DC refinement, Al=0 (raw bits, no Huffman)
+    sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, 1, 0)
+    bw = bw_cls()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(zzs[ci][my * sv + by,
+                                             mx * sh + bx, 0]) & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+    # ---- per component: AC first (Al=1) then AC refinement (Al=0)
+    for ci in range(nc):
+        bh, bw2 = nblocks[ci]
+        blocks = [zzs[ci][by, bx] for by in range(bh)
+                  for bx in range(bw2)]
+
+        # AC first, Ss=1 Se=63 Ah=0 Al=1
+        sos([(ci + 1, 0, 0)], 1, 63, 0, 1)
+        bw = bw_cls()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = act[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for zz in blocks:
+            band = [(abs(int(zz[k])) >> 1) * (1 if zz[k] >= 0 else -1)
+                    for k in range(1, 64)]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = act[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s, bits_v = _magnitude(v)
+                code, ln = act[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(bits_v, s)
+                run = 0
+            if nz[-1] < 62:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        out.extend(bw.out)
+
+        # AC refinement, Ss=1 Se=63 Ah=1 Al=0
+        sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = bw_cls()
+        eobrun = 0
+        bebuf: list[int] = []
+
+        def flush_eob2():
+            nonlocal eobrun, bebuf
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = act[n << 4]
+                bw.write(code, ln)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+                for b in bebuf:
+                    bw.write(b, 1)
+                bebuf = []
+
+        for zz in blocks:
+            t = [abs(int(zz[k])) for k in range(1, 64)]
+            newly = [i for i, a in enumerate(t) if a == 1]
+            last_new = newly[-1] if newly else -1
+            seg: list = []
+            for i in range(last_new + 1):
+                if t[i] == 0:
+                    seg.append("z")
+                elif t[i] >= 2:
+                    seg.append(t[i] & 1)
+                else:
+                    _emit_refine_seg(
+                        bw, act, seg, flush_eob2,
+                        run1_sign=1 if zz[1 + i] > 0 else 0)
+                    seg = []
+            tail_bits = [t[i] & 1 for i in range(last_new + 1, 63)
+                         if t[i] >= 2]
+            if last_new < 62:
+                eobrun += 1
+                bebuf.extend(tail_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob2()
+        flush_eob2()
+        bw.flush()
+        out.extend(bw.out)
+
+
 def jpeg_bytes(arr: np.ndarray, quality: int = 50,
-               subsample: str = "444", restart: int = 0) -> bytes:
+               subsample: str = "444", restart: int = 0,
+               progressive: bool = False) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as baseline JPEG.
 
     Grayscale input emits one component; color input is taken as RGB,
     converted to YCbCr. ``subsample`` '420' averages chroma 2x2
     (color only). ``restart`` > 0 emits DRI + RSTn every that many
-    MCUs (exercises the decoder's restart path).
+    MCUs (exercises the decoder's restart path). ``progressive``
+    emits SOF2 with a DC-first/refine + per-component
+    AC-first/refine scan script over the same quantized coefficients
+    (decodes bit-identically to the baseline encoding).
     """
+    if progressive and restart:
+        raise ValueError("restart intervals unsupported in the "
+                         "progressive scan script")
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError("need (h, w, 1|3) uint8")
@@ -507,14 +986,45 @@ def jpeg_bytes(arr: np.ndarray, quality: int = 50,
     for ci in range(nc):
         sh, sv = samp[ci]
         sof += bytes((ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1))
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
     seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
-    seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    if progressive:
+        seg(0xC4, bytes([0x10]) + bytes(PROG_AC_BITS)
+            + bytes(PROG_AC_VALS))
+    else:
+        seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS)
+            + bytes(AC_LUM_VALS))
     if nc == 3:
         seg(0xC4, bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_CHR_VALS))
-        seg(0xC4, bytes([0x11]) + bytes(AC_CHR_BITS) + bytes(AC_CHR_VALS))
+        if not progressive:
+            seg(0xC4, bytes([0x11]) + bytes(AC_CHR_BITS)
+                + bytes(AC_CHR_VALS))
     if restart:
         seg(0xDD, struct.pack(">H", restart))
+
+    if progressive:
+        # quantize every MCU-grid block once (identical arithmetic
+        # to the baseline loop), then write the scan script
+        zzs = []
+        nblocks = []
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            rows, cols = mcuy * sv, mcux * sh
+            z = np.zeros((rows, cols, 64), dtype=np.int64)
+            q = qlum if ci == 0 else qchr
+            for by in range(rows):
+                for bx in range(cols):
+                    block = comp_planes[ci][by * 8:by * 8 + 8,
+                                            bx * 8:bx * 8 + 8] - 128.0
+                    z[by, bx] = _quantize_block(block, q)
+            zzs.append(z)
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            nblocks.append((-(-ch // 8), -(-cw // 8)))
+        _encode_prog_scans(out, _BitWriter, zzs, samp, nc,
+                           mcux, mcuy, nblocks, seg)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes((ci + 1, 0x00 if ci == 0 else 0x11))
