@@ -103,6 +103,19 @@ class TestWidenedSbcs:
             got = detect_statistical(raw)
             assert raw.decode(got) == raw.decode(codec)
 
+    def test_cp424_trained_bigrams_on_held_out_text(self):
+        # not seed text: the trained EBCDIC bigram model must carry
+        # to unseen Hebrew, and plain-English EBCDIC (cp500) must
+        # NOT be pulled toward cp424
+        he = ("שלום לכם קוראים יקרים זהו מסמך בדיקה חדש לגמרי "
+              "ובו מילים רבות שלא הופיעו בקורפוס האימון כלל "
+              "והמערכת צריכה לזהות את הקידוד בכל זאת") * 3
+        raw = he.encode("cp424", "ignore")
+        assert detect_statistical(raw) == "cp424"
+        en = ("plain english ebcdic document with ordinary words "
+              "that should resolve to the generic ebcdic layout ") * 5
+        assert detect_statistical(en.encode("cp500")) == "cp500"
+
     def test_profile_languages_unchanged(self):
         # ar/he/tr seed charset tables only — the 3-gram language model
         # keeps the reference's 27-profile set

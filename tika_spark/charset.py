@@ -240,17 +240,56 @@ def _score_cp500(buf: np.ndarray) -> int:
 
 # EBCDIC script variants (the reference's IBM424/IBM420 recognizers,
 # CharsetDetector.java:483-545 family): all share the EBCDIC shape
-# (space 0x40, sparse <0x40 region), distinguished by decoding and
-# checking which script the letters land in. IBM420 is skipped when the
-# Python codec set lacks it (guarded at table build).
-_EBCDIC_SCRIPTS = (
-    ("cp424", (0x05D0, 0x05EA)),   # Hebrew EBCDIC
-    ("cp420", (0x0621, 0x064A)),   # Arabic EBCDIC
-)
+# (space 0x40, sparse <0x40 region). IBM424 (Hebrew EBCDIC) now
+# carries a genuine trained byte-bigram model like the other sbcs
+# recognizers — seed corpus encoded into cp424, scored by bigram hit
+# rate — replacing the decoded-script-rate approximation (VERDICT r3
+# task 7). IBM420 (Arabic EBCDIC) remains an explicit drop: Python
+# ships no cp420 codec and the IBM420 byte↔Arabic mapping is spec
+# table data we will not reproduce from memory; without a decoder a
+# detection hit would be a dead end (nothing downstream could decode
+# the bytes), so the structural EBCDIC score (cp500) is the honest
+# answer for such input.
+_EBCDIC_NGRAM_CODECS = (("cp424", ("he",)),)
+
+_ebcdic_model_cache: list[tuple[str, np.ndarray]] | None = None
+
+
+def _ebcdic_models() -> list[tuple[str, np.ndarray]]:
+    """Byte-bigram tables for EBCDIC script variants, trained from
+    the in-repo seed corpus exactly like :func:`_sbcs_models` — but
+    gated on the EBCDIC letter region (>= 0x41, space 0x40 rides
+    along in letter-space transitions) instead of the ASCII high
+    half, which EBCDIC Hebrew (0x41-0x71) never reaches."""
+    global _ebcdic_model_cache
+    if _ebcdic_model_cache is None:
+        from tika_spark.language.corpus import SEED_TEXT
+        models = []
+        for codec, langs in _EBCDIC_NGRAM_CODECS:
+            grams: set[int] = set()
+            for lang in langs:
+                seed = SEED_TEXT.get(lang, "")
+                try:
+                    enc = (seed + " ").encode(codec, "ignore")
+                except LookupError:
+                    continue
+                arr = np.frombuffer(enc, np.uint8).astype(np.int32)
+                if len(arr) < 2:
+                    continue
+                letter = arr >= 0x41
+                pairs = (arr[:-1] << 8) | arr[1:]
+                grams.update(
+                    pairs[letter[:-1] | letter[1:]].tolist())
+            if grams:
+                models.append((codec, np.array(sorted(grams),
+                                               dtype=np.int32)))
+        _ebcdic_model_cache = models
+    return _ebcdic_model_cache
 
 
 def _score_ebcdic_script(raw: bytes, buf: np.ndarray) -> dict[str, int]:
-    """Score cp424/cp420 by decoding and measuring script letter rate."""
+    """Trained bigram score for EBCDIC script variants, behind the
+    structural EBCDIC gate (space 0x40, near-empty control region)."""
     out: dict[str, int] = {}
     if len(buf) < 32:
         return out
@@ -258,17 +297,15 @@ def _score_ebcdic_script(raw: bytes, buf: np.ndarray) -> dict[str, int]:
     low_ascii = float((buf < 0x40).mean())
     if space_rate <= 0.05 or low_ascii >= 0.1:
         return out
-    for codec, (lo, hi) in _EBCDIC_SCRIPTS:
-        try:
-            text = raw.decode(codec)
-        except (UnicodeDecodeError, LookupError):
-            continue
-        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-        if not len(cp):
-            continue
-        rate = float(((cp >= lo) & (cp <= hi)).mean())
-        if rate > 0.4:
-            out[codec] = 90  # script hit beats the generic cp500 score
+    letter = buf >= 0x41
+    pairs = (buf[:-1].astype(np.int32) << 8) | buf[1:]
+    rel = pairs[letter[:-1] | letter[1:]]
+    if len(rel) < 8:
+        return out
+    for codec, grams in _ebcdic_models():
+        score = _score_sbcs_ngram(rel, grams)
+        if score >= 50:
+            out[codec] = score
     return out
 
 
