@@ -20,6 +20,7 @@ implied html/head/body structure would.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 from tika_spark.config import MAX_XML_DEPTH
@@ -133,11 +134,22 @@ class _TreeBuilder(HTMLParser):
     # comments, PIs, declarations: dropped (not part of the event stream)
 
 
+# '<![' openers whose keyword the stdlib tokenizer does not know
+# (anything but a real CDATA section) make _markupbase raise mid-
+# stream, and the catch-all below would then TRUNCATE the document —
+# silent text loss found by the fuzz-diff corpus
+# (tests/test_html_fuzz_diff.py). Per the HTML spec these are bogus
+# comments; demoting '<![' to '<!' routes them through the
+# tokenizer's bogus-comment path (consumed to the next '>') without
+# losing the tail of the page.
+_BAD_MARKED_SECTION = re.compile(r"<!\[(?![Cc][Dd][Aa][Tt][Aa]\[)")
+
+
 def build_dom(text: str) -> El:
     """Parse (possibly broken) HTML text into a tree; never raises."""
     builder = _TreeBuilder()
     try:
-        builder.feed(text)
+        builder.feed(_BAD_MARKED_SECTION.sub("<!", text))
         builder.close()
     except Exception:
         # tokenizer blew up mid-stream: keep whatever tree we have
