@@ -177,6 +177,39 @@ def main():
     timed("media_pixel_decode", lambda: force(image_pixel_stats(media)))
     media.unpersist()
 
+    # audio full decode: from-scratch MP3 Layer III (header/side
+    # info/Huffman/requantize/IMDCT/synthesis per row; new r4)
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+    from pyspark.sql.types import BinaryType as _Bin
+
+    @_pudf(_Bin())
+    def mp3wrap(ids):
+        import numpy as _np
+        import pandas as _pd
+
+        from tika_spark.analysis.mp3codec import mp3_bytes
+        out = []
+        z = _np.zeros(576, dtype=_np.int64)
+        for i in ids:
+            i = int(i)
+            nch = 1 + i % 2
+            frame = [[z] * nch, [z] * nch]
+            out.append(mp3_bytes([frame] * (1 + i % 4),
+                                 mode="mono" if nch == 1 else "stereo",
+                                 count1_zeros=16 + i % 5,
+                                 scalefac_compress=5 + i % 11,
+                                 scalefactors=[1] * 21))
+        return _pd.Series(out)
+
+    audio = docs.select(F.col("doc_id").alias("id"),
+                        mp3wrap(F.col("doc_id")).alias("payload"),
+                        F.lit("audio/mpeg").alias("media_type")).cache()
+    audio.count()
+    timed("media_mp3_decode", lambda: force(audio_pcm_stats(audio)))
+    audio.unpersist()
+
     # video frame sampling: MJPEG-AVI demux + JPEG decode / animated
     # GIF compositing, one row per sampled frame
     from pyspark.sql.functions import pandas_udf

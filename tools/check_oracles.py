@@ -37,8 +37,15 @@ def _norm(v) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -68,21 +75,39 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error {e!r:.300}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark error {e!r:.300}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only check)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None,
+                             "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e!r:.300}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False,
+                             "spark_rows": len(sdf),
+                             "oracle_rows": None,
+                             "err": f"oracle error {e!r:.300}"}
             failures += 1
             continue
         ok_rows = len(sdf) == len(odf)
         ok_schema = sorted(sdf.columns) == sorted(odf.columns)
         ok_hash = value_hash(sdf) == value_hash(odf)
         status = "OK   " if (ok_rows and ok_schema and ok_hash) else "FAIL "
+        results[name] = {"rows_match": ok_rows,
+                         "schema_match": ok_schema,
+                         "hash_match": ok_hash,
+                         "spark_rows": len(sdf),
+                         "oracle_rows": len(odf), "err": None}
         if not (ok_rows and ok_schema and ok_hash):
             failures += 1
         print(f"{status} {name}: rows {len(sdf)}/{len(odf)} "
@@ -102,6 +127,12 @@ def main():
                 print("      spark :", s.iloc[i].to_dict())
                 print("      oracle:", o.iloc[i].to_dict())
     print("failures:", failures)
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "failures": failures, "results": results},
+                      f, indent=1)
     sys.exit(1 if failures else 0)
 
 
