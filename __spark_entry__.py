@@ -925,7 +925,8 @@ def _q_media_mp3_stats(spark, sf_dir):
                 bitrate=BITRATES_L3[1 + i % 14],
                 count1_zeros=16 + i % 5,
                 scalefac_compress=5 + i % 11,
-                scalefactors=[1] * 21))
+                scalefactors=[1] * 21,
+                scfsi=(1, 0, 1, 0) if i % 3 == 0 else (0,) * 4))
         return pd.Series(out)
 
     media = _docs(spark, sf_dir).select(

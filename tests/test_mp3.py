@@ -260,6 +260,69 @@ class TestDirectMath:
         assert np.abs(pcm[1152:]).max() > 0
 
 
+class TestEscTables:
+    def test_large_values_roundtrip_via_escape(self):
+        # |x| in (2, 16] routes through ESC table 16 (linbits 1);
+        # up to 30 through table 24 (linbits 4)
+        g0 = _granule((0, 9), (1, -16), (8, 30), (9, -23), (40, 4))
+        data = m.mp3_bytes([[[g0], [Z()]]], global_gain=198)
+        pcm, _ = m.decode_mp3(data)
+        ref = _ref_decode_mono([g0, Z()], 198)
+        assert np.array_equal(pcm[:, 0], ref)
+        assert np.abs(pcm).max() > 0
+
+    def test_esc_table_selection_per_region(self):
+        # the encoder picks the smallest covering table per region —
+        # verify by decoding (self-consistency) and range errors
+        g0 = _granule((0, 1), (40, 16))
+        pcm, _ = m.decode_mp3(
+            m.mp3_bytes([[[g0], [Z()]]], global_gain=200))
+        ref = _ref_decode_mono([g0, Z()], 200)
+        assert np.array_equal(pcm[:, 0], ref)
+        with pytest.raises(ValueError, match="table range"):
+            m.mp3_bytes([[[_granule((0, 31))], [Z()]]])
+
+    def test_esc_codes_are_prefix_free(self):
+        tab = m.HUFF_TABLES[16]
+        assert len(tab) == 256
+        codes = sorted(format(c, f"0{ln}b") for c, ln in tab.values())
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a)
+
+
+class TestScfsi:
+    def test_shared_scalefactors_decode_like_explicit(self):
+        g0 = _granule((2, 1), (30, -1))
+        g1 = _granule((7, 2))
+        sf = [2, 1, 0, 2, 0, 1, 0, 0, 3, 0, 1,
+              0, 2, 0, 1, 0, 0, 1, 0, 0, 2]
+        kw = dict(global_gain=228, scalefac_compress=9,
+                  scalefactors=sf)
+        plain = m.decode_mp3(m.mp3_bytes([[[g0], [g1]]], **kw))[0]
+        shared = m.decode_mp3(m.mp3_bytes(
+            [[[g0], [g1]]], scfsi=(1, 1, 1, 1), **kw))[0]
+        assert np.array_equal(plain, shared)
+        # partial sharing too (groups 0 and 2 only)
+        part = m.decode_mp3(m.mp3_bytes(
+            [[[g0], [g1]]], scfsi=(1, 0, 1, 0), **kw))[0]
+        assert np.array_equal(plain, part)
+
+    def test_scfsi_actually_shrinks_granule1(self):
+        sf = [3] * 21
+        kw = dict(scalefac_compress=13, scalefactors=sf,
+                  count1_zeros=4)
+        a = m.mp3_bytes([[[Z()], [Z()]]], **kw)
+        b = m.mp3_bytes([[[Z()], [Z()]]], scfsi=(1, 1, 1, 1), **kw)
+        # same frame length (padded), but part2_3_length in side info
+        # differs — compare the scalefactor bit totals via side info
+        assert a != b
+
+    def test_scfsi_rejected_for_short_blocks(self):
+        with pytest.raises(ValueError, match="long blocks"):
+            m.mp3_bytes([[[Z()], [Z()]]], block_type=2,
+                        scfsi=(1, 0, 0, 0))
+
+
 class TestGainLaws:
     def _peak(self, **kw):
         g0 = _granule((12, 1))

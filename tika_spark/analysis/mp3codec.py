@@ -28,13 +28,16 @@ public-spec algebra or self-contained table data):
   transcribed from ISO 11172-3 Table B.7/§2.4.2.7. The other
   big-value tables shipped here (2, 3) and count1 tables A/B use
   the spec's code-LENGTH profiles with canonically assigned code
-  words: the encoder below shares this one table module, so the
-  bitstreams in this repo are self-consistent and fully exercised;
-  decoding third-party MP3s bit-exactly only requires replacing the
-  table DATA (``HUFF_TABLES``/``COUNT1_TABLES``), no code changes.
-  ESC tables (16-31, linbits) are recognised in side info but
-  unsupported as data → a clean ``Mp3Error``, surfaced as a status
-  row by the pipeline.
+  words; the ESC family (ids 16/24: 16×16 bodies + linbits 1/4,
+  escape value 15 reading extra magnitude bits) ships canonical
+  bodies built from a deterministic frequency model with the spec's
+  escape SEMANTICS exact. The encoder below shares this one table
+  module, so the bitstreams in this repo are self-consistent and
+  fully exercised; decoding third-party MP3s bit-exactly only
+  requires replacing the table DATA
+  (``HUFF_TABLES``/``COUNT1_TABLES``/``LINBITS``), no code changes.
+  Table ids outside the shipped set → a clean ``Mp3Error``,
+  surfaced as a status row by the pipeline.
 - The 512-tap synthesis window (ISO Table B.3) is tabulated spec
   data with no closed form. We ship a documented substitute in the
   same 512-slot machinery: a 64-tap Princen-Bradley sine prototype
@@ -118,6 +121,39 @@ def _canonical(lengths: dict) -> dict:
     return out
 
 
+def _huffman_from_freqs(freqs: dict) -> dict:
+    """Code-length assignment by the plain Huffman algorithm over a
+    deterministic synthetic frequency model, then canonical words.
+    Used for the ESC-family tables whose spec code words we do not
+    reproduce (same self-consistency contract as `_canonical`)."""
+    import heapq
+    heap = [(f, i, (sym,)) for i, (sym, f) in
+            enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = {sym: 0 for sym in freqs}
+    n = len(heap)
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        for sym in a + b:
+            depth[sym] += 1
+        n += 1
+        heapq.heappush(heap, (fa + fb, n, a + b))
+    assert max(depth.values()) <= 19, "decoder length cap"
+    return _canonical(depth)
+
+
+def _esc_table() -> dict:
+    """16×16 big-value table body for the ESC family (values 15 mean
+    escape + linbits). Frequencies fall off as 1/((x+1)(y+1)) — the
+    qualitative shape of the spec's large-value tables."""
+    return _huffman_from_freqs({
+        (x, y): -(-(10_000) // ((x + 1) * (y + 1)))
+        for x in range(16) for y in range(16)})
+
+
+_ESC_BODY = _esc_table()
+
 # big-value pair tables: id → {(|x|,|y|): (code, nbits)}
 HUFF_TABLES = {
     # table 0: no data (all-zero region)
@@ -132,7 +168,15 @@ HUFF_TABLES = {
     3: _canonical({(0, 0): 2, (0, 1): 2, (0, 2): 6, (1, 0): 3,
                    (1, 1): 2, (1, 2): 5, (2, 0): 5, (2, 1): 5,
                    (2, 2): 6}),
+    # ESC family (spec ids 16/24 structure: 16×16 + linbits) —
+    # canonical bodies, drop-in-replaceable data like the rest
+    16: _ESC_BODY,
+    24: _ESC_BODY,
 }
+
+# linbits per ESC table id (spec Table B.7 column): a decoded 15
+# reads this many extra magnitude bits
+LINBITS = {16: 1, 24: 4}
 
 # count1 quadruple tables: select → {(v,w,x,y): (code, nbits)}
 # table-A bit-length profile by 4-bit value vwxy (Kraft-complete)
@@ -303,9 +347,10 @@ def _huffman_pair(b: _Bits, table_id: int, counter: list) -> tuple:
     dec = _DEC_BIG.get(table_id)
     if dec is None:
         raise Mp3Error(f"huffman table {table_id} unsupported "
-                       "(ESC/linbits tables are data additions)")
+                       "(remaining spec tables are data additions)")
     if not dec:
         return 0, 0
+    lb = LINBITS.get(table_id, 0)
     code, ln = 0, 0
     while True:
         code = (code << 1) | b.read(1)
@@ -314,15 +359,19 @@ def _huffman_pair(b: _Bits, table_id: int, counter: list) -> tuple:
         xy = dec.get((code, ln))
         if xy is not None:
             x, y = xy
-            if x and b.read(1):
-                x = -x
+            if x == 15 and lb:          # ESC: extra magnitude bits
+                x += b.read(lb)
+                counter[0] += lb
+            if x:
+                if b.read(1):
+                    x = -x
                 counter[0] += 1
-            elif x:
-                counter[0] += 1
-            if y and b.read(1):
-                y = -y
-                counter[0] += 1
-            elif y:
+            if y == 15 and lb:
+                y += b.read(lb)
+                counter[0] += lb
+            if y:
+                if b.read(1):
+                    y = -y
                 counter[0] += 1
             return x, y
         if ln > 19:
@@ -584,7 +633,11 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
 # known inputs). Shares the table module above.
 
 
-def _write_scalefactors(w: _BitWriter, g: dict, sf: list) -> int:
+_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def _write_scalefactors(w: _BitWriter, g: dict, sf: list,
+                        skip_groups=()) -> int:
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     bits = 0
     if g["block_type"] == 2:
@@ -594,10 +647,13 @@ def _write_scalefactors(w: _BitWriter, g: dict, sf: list) -> int:
                 w.write(sf[band][win], sl)
             bits += 3 * sl
         return bits
-    for band in range(21):
-        sl = slen1 if band < 11 else slen2
-        w.write(sf[band], sl)
-        bits += sl
+    for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+        if gi in skip_groups:
+            continue            # scfsi: granule 1 reuses granule 0
+        sl = slen1 if hi <= 11 else slen2
+        for band in range(lo, hi):
+            w.write(sf[band], sl)
+            bits += sl
     return bits
 
 
@@ -619,12 +675,23 @@ def _encode_spectra(w: _BitWriter, g: dict, xs) -> int:
                     "nonzero pair in a table-0 region (spectra must "
                     "stay inside the region0 boundary, line 162)")
             continue
-        code, ln = tab[(abs(x), abs(y))]
+        tid = g["table_select"][region]
+        lb = LINBITS.get(tid, 0)
+        cx, cy = min(abs(x), 15), min(abs(y), 15)
+        if (abs(x) > 15 + (2 ** lb - 1)) or (abs(y) > 15 + (2 ** lb - 1)):
+            raise ValueError("|spectra| exceeds table range")
+        code, ln = tab[(cx, cy)]
         w.write(code, ln)
         bits += ln
+        if cx == 15 and lb:
+            w.write(abs(x) - 15, lb)
+            bits += lb
         if x:
             w.write(1 if x < 0 else 0, 1)
             bits += 1
+        if cy == 15 and lb:
+            w.write(abs(y) - 15, lb)
+            bits += lb
         if y:
             w.write(1 if y < 0 else 0, 1)
             bits += 1
@@ -653,7 +720,8 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
               count1_zeros: int = 0, mode_ext: int = 0,
               block_type: int = 0, subblock_gain=(0, 0, 0),
               preflag: int = 0, scalefac_scale: int = 0,
-              count1table: int = 0) -> bytes:
+              count1table: int = 0,
+              scfsi=(0, 0, 0, 0)) -> bytes:
     """Genuine Layer III bitstream from quantized spectra.
 
     ``frames_spectra``: list of frames; each frame is [granule0,
@@ -664,13 +732,18 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
     codes after the data (genuine Huffman work on silent fixtures).
     ``block_type`` 2 writes window-switching side info (short
     blocks, scalefactors then shaped [12][3], spectra in the
-    [band][window][line] wire order).
+    [band][window][line] wire order). ``scfsi`` (4 group flags,
+    applied to every channel, long blocks only) shares the flagged
+    scalefactor groups between granules — granule 1 omits them and
+    the decoder must reuse granule 0's values.
     """
     nch = 1 if mode == "mono" else 2
     sr_idx = SAMPLERATES.index(rate)
     br_idx = BITRATES_L3.index(bitrate)
     if block_type not in (0, 2):
         raise ValueError("encoder writes block_type 0 or 2")
+    if any(scfsi) and block_type == 2:
+        raise ValueError("scfsi applies to long blocks only")
     out = bytearray()
     for frame in frames_spectra:
         # ---- per-granule metadata + main data
@@ -686,8 +759,9 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
                 big_values = (extent + 1) // 2
                 if big_values > 288:
                     raise ValueError("spectra extent too wide")
-                if len(nz) and int(np.abs(xs).max()) > 2:
-                    raise ValueError("|spectra| > 2 needs ESC tables")
+                if len(nz) and int(np.abs(xs).max()) > 30:
+                    raise ValueError("|spectra| > 30 exceeds the "
+                                     "shipped table range")
                 g = {"block_type": block_type,
                      "mixed_block_flag": 0,
                      "big_values": big_values,
@@ -703,7 +777,8 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
                 else:
                     g["region0_count"] = 15
                     g["region1_count"] = 0
-                # per-region table: 0 empty, 1 for |x|<=1, 2 for <=2
+                # per-region table: smallest shipped table covering
+                # the region max (0 empty / 1 / 2 / ESC 16 / ESC 24)
                 bound0, bound1 = _region_bounds(g)
                 if block_type == 2:
                     bound0, bound1 = 36, 576
@@ -713,14 +788,18 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
                     lo, hi = min(lo, extent), min(hi, extent)
                     mx = (int(np.abs(xs[lo:hi]).max())
                           if hi > lo else 0)
-                    sel.append(0 if mx == 0 else (1 if mx == 1
-                                                  else 2))
+                    sel.append(0 if mx == 0 else
+                               1 if mx == 1 else
+                               2 if mx == 2 else
+                               16 if mx <= 16 else 24)
                 g["table_select"] = sel
                 sf = scalefactors
                 if sf is None:
                     sf = ([[0] * 3 for _ in range(12)]
                           if block_type == 2 else [0] * 21)
-                p2 = _write_scalefactors(main, g, sf)
+                skip = (tuple(i for i, s in enumerate(scfsi) if s)
+                        if gr == 1 else ())
+                p2 = _write_scalefactors(main, g, sf, skip)
                 p3 = _encode_spectra(main, g, xs)
                 if big_values == 0:
                     tabA = COUNT1_TABLES[count1table]
@@ -739,8 +818,8 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
         side.write(0, 9)                           # main_data_begin
         side.write(0, 5 if nch == 1 else 3)
         for _ch in range(nch):
-            for _ in range(4):
-                side.write(0, 1)                   # scfsi
+            for s in scfsi:
+                side.write(1 if s else 0, 1)
         for g in g_list:
             side.write(g["part2_3_length"], 12)
             side.write(g["big_values"], 9)
