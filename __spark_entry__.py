@@ -940,6 +940,56 @@ def _q_media_mp3_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_audio_features(spark, sf_dir):
+    """Post-decode audio feature extraction (analysis/pcm.py
+    audio_features): integer-robust spectral features over decoded
+    samples. Fixture rows carry a 2048-sample sine of k cycles
+    (k odd, amplitude 12000, explicitly odd-symmetric so the sample
+    sum is exactly 0) as WAV or FLAC (lossless twins), or a silent
+    2-frame MP3 — closed forms: zero_crossings = 2k-1 (the 2k-th
+    zero of the sine falls past the last sample), peak FFT bin = k,
+    peak_hz = k*16000//2048, sum_amp = 0."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_features
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.flac import flac_bytes
+        from tika_spark.analysis.mp3codec import mp3_bytes
+        from tika_spark.analysis.pcm import wav_bytes
+        out = []
+        n = 2048
+        for i in ids:
+            i = int(i)
+            if i % 7 == 0:
+                z = np.zeros(576, dtype=np.int64)
+                out.append(mp3_bytes([[[z], [z]]] * 2,
+                                     count1_zeros=8))
+                continue
+            k = 3 + 2 * (i % 40)
+            half = np.rint(12000.0 * np.sin(
+                2 * np.pi * k * (np.arange(n // 2) + 0.5) / n))
+            x = np.empty(n, dtype=np.int16)
+            x[:n // 2] = half
+            x[n // 2:] = -half[::-1]    # exact odd symmetry
+            out.append(flac_bytes(x, 16000) if i % 2
+                       else wav_bytes(x, 16000))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("audio/mpeg"))
+        .when(F.pmod("doc_id", F.lit(2)) == 1, F.lit("audio/flac"))
+        .otherwise(F.lit("audio/wav")).alias("media_type"))
+    return audio_features(media).select(
+        "id", "n_samples", "zero_crossings", "peak_bin", "peak_hz",
+        "sum_amp")
+
+
 def _q_ann_ivf(spark, sf_dir):
     # rows-only: approximate path (KMeans coarse quantizer + nprobe)
     emb = _emb(spark, sf_dir)
@@ -3785,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_embed_neardup": _q_docs_embed_neardup,
         "media_pcm_stats": _q_media_pcm_stats,
         "media_mp3_stats": _q_media_mp3_stats,
+        "media_audio_features": _q_media_audio_features,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
@@ -4106,6 +4157,23 @@ def oracle_sql() -> dict[str, str]:
             "'image/jpeg' AS mime, "
             "'Doc ' || doc_id AS title, lang AS author, "
             "'8' AS width FROM documents"),
+        "media_audio_features": (
+            # sine fixtures: k odd cycles over 2048 samples →
+            # 2k-1 strict sign changes (last zero beyond the final
+            # sample), FFT peak at bin k, exact-zero sample sum by
+            # construction; MP3 rows are silent
+            "SELECT doc_id AS id, "
+            "CASE WHEN doc_id % 7 = 0 THEN 2304 ELSE 2048 "
+            "END::BIGINT AS n_samples, "
+            "CASE WHEN doc_id % 7 = 0 THEN 0 "
+            "ELSE 2 * (3 + 2 * (doc_id % 40)) - 1 "
+            "END::BIGINT AS zero_crossings, "
+            "CASE WHEN doc_id % 7 = 0 THEN 0 "
+            "ELSE 3 + 2 * (doc_id % 40) END::BIGINT AS peak_bin, "
+            "CASE WHEN doc_id % 7 = 0 THEN 0 "
+            "ELSE (3 + 2 * (doc_id % 40)) * 16000 // 2048 "
+            "END::BIGINT AS peak_hz, "
+            "0::BIGINT AS sum_amp FROM documents"),
         "media_mp3_stats": (
             # silent multi-frame Layer III: structure closed-form,
             # samples exactly zero through the linear filterbank

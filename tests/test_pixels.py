@@ -745,3 +745,36 @@ def test_ico_8bit_palette_entry():
     assert tuple(got[0, 1, :3]) == (50, 100, 200)
     assert tuple(got[1, 0, :3]) == (50, 100, 200)
     assert np.all(got[:, :, 3] == 255)
+
+
+def test_audio_features_operator(spark):
+    import numpy as np
+
+    from tika_spark.analysis.pcm import audio_features, wav_bytes
+
+    def sine(k, n=2048, amp=12000):
+        half = np.rint(amp * np.sin(
+            2 * np.pi * k * (np.arange(n // 2) + 0.5) / n))
+        x = np.empty(n, dtype=np.int16)
+        x[:n // 2] = half
+        x[n // 2:] = -half[::-1]
+        return x
+
+    rows = [(1, wav_bytes(sine(5), 16000), "audio/wav"),
+            (2, wav_bytes(sine(41), 16000), "audio/wav"),
+            (3, wav_bytes(np.full(100, 7, np.int16), 8000),
+             "audio/wav"),                    # DC offset, no crossings
+            (4, b"corrupt", "audio/flac"),
+            (5, b"\x00", "audio/ogg")]
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, media_type string")
+    got = {r.id: r for r in audio_features(df).collect()}
+    assert got[1].status == "ok"
+    assert got[1].zero_crossings == 9 and got[1].peak_bin == 5
+    assert got[1].peak_hz == 5 * 16000 // 2048
+    assert got[1].sum_amp == 0
+    assert got[2].zero_crossings == 81 and got[2].peak_bin == 41
+    assert got[3].zero_crossings == 0 and got[3].peak_bin == 0
+    assert got[3].sum_amp == 700
+    assert got[4].status == "error"
+    assert got[5].status == "unsupported"

@@ -268,31 +268,10 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
                        "rms_micro": 0, "peak_micro": 0,
                        "status": "unsupported"}
                 mt = mt or ""
-                if mt in ("audio/wav", "audio/x-wav",
-                          "audio/vnd.wave", "audio/flac",
-                          "audio/x-flac", "audio/basic",
-                          "audio/x-aiff", "audio/mpeg",
-                          "audio/mp3"):
+                if mt in AUDIO_TYPES:
                     try:
-                        if mt in ("audio/mpeg", "audio/mp3"):
-                            from tika_spark.analysis.mp3codec import \
-                                decode_mp3
-                            arr, rate = decode_mp3(
-                                bytes(payload or b""))
-                        elif mt.endswith("flac"):
-                            from tika_spark.analysis.flac import \
-                                decode_flac
-                            arr, rate = decode_flac(
-                                bytes(payload or b""))
-                        elif mt == "audio/basic":
-                            arr, rate = decode_au(
-                                bytes(payload or b""))
-                        elif mt == "audio/x-aiff":
-                            arr, rate = decode_aiff(
-                                bytes(payload or b""))
-                        else:
-                            arr, rate = decode_wav(
-                                bytes(payload or b""))
+                        arr, rate = decode_audio(
+                            bytes(payload or b""), mt)
                         row.update(n_channels=arr.shape[1],
                                    sample_rate=rate,
                                    **pcm_stats(arr, rate),
@@ -303,3 +282,91 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
             yield pd.DataFrame(rows)
 
     return slim.mapInPandas(run, schema=PCM_STATS_SCHEMA)
+
+
+AUDIO_TYPES = frozenset({
+    "audio/wav", "audio/x-wav", "audio/vnd.wave", "audio/flac",
+    "audio/x-flac", "audio/basic", "audio/x-aiff", "audio/mpeg",
+    "audio/mp3"})
+
+
+def decode_audio(payload: bytes, media_type: str
+                 ) -> tuple[np.ndarray, int]:
+    """Route a payload to its decoder: (int16 [n, ch], rate)."""
+    if media_type in ("audio/mpeg", "audio/mp3"):
+        from tika_spark.analysis.mp3codec import decode_mp3
+        return decode_mp3(payload)
+    if media_type.endswith("flac"):
+        from tika_spark.analysis.flac import decode_flac
+        return decode_flac(payload)
+    if media_type == "audio/basic":
+        return decode_au(payload)
+    if media_type == "audio/x-aiff":
+        return decode_aiff(payload)
+    return decode_wav(payload)
+
+
+FEATURES_SCHEMA = ("id long, n_samples long, zero_crossings long, "
+                   "peak_bin long, peak_hz long, sum_amp long, "
+                   "status string")
+
+
+def audio_features(df: DataFrame, id_col: str = "id",
+                   payload_col: str = "payload",
+                   type_col: str = "media_type",
+                   max_fft: int = 1 << 18) -> DataFrame:
+    """Decode + integer-robust audio features, distributed — the
+    feature-extraction stage a training-data pipeline runs after
+    decode (language/music/noise gating, tone detection, corpus
+    dedup keys):
+
+      zero_crossings  strict sign changes of channel 0 (exact
+                      integer — k whole sine cycles give 2k-1: the
+                      2k-th zero falls past the last sample)
+      peak_bin        argmax |rfft| bin of channel 0 (first
+                      ``max_fft`` samples) — the dominant-frequency
+                      bin; integer-robust because argmax only needs
+                      the peak to beat the leakage floor, not any
+                      particular float value cross-engine
+      peak_hz         peak_bin · rate // n_fft
+      sum_amp         exact integer sample sum (odd-symmetric
+                      signals — any whole number of sine periods —
+                      sum to exactly 0; a DC offset shows directly)
+
+    Same scale contract as :func:`audio_pcm_stats`: per-row work in
+    mapInPandas, no shuffle, corrupt payloads become status rows.
+    """
+    slim = df.select(id_col, payload_col, type_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload, mt in zip(pdf[id_col], pdf[payload_col],
+                                      pdf[type_col]):
+                row = {"id": i, "n_samples": 0, "zero_crossings": 0,
+                       "peak_bin": 0, "peak_hz": 0, "sum_amp": 0,
+                       "status": "unsupported"}
+                mt = mt or ""
+                if mt in AUDIO_TYPES:
+                    try:
+                        arr, rate = decode_audio(
+                            bytes(payload or b""), mt)
+                        x = arr[:, 0].astype(np.int64)
+                        s = np.sign(x)
+                        nz = s[s != 0]
+                        zc = int((nz[:-1] * nz[1:] < 0).sum()) \
+                            if len(nz) > 1 else 0
+                        head = x[:max_fft].astype(np.float64)
+                        pk = (int(np.argmax(np.abs(
+                            np.fft.rfft(head)))) if len(head) else 0)
+                        row.update(
+                            n_samples=int(arr.shape[0]),
+                            zero_crossings=zc, peak_bin=pk,
+                            peak_hz=pk * rate // max(len(head), 1),
+                            sum_amp=int(x.sum()), status="ok")
+                    except Exception:
+                        row["status"] = "error"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return slim.mapInPandas(run, schema=FEATURES_SCHEMA)
