@@ -940,6 +940,34 @@ def _q_media_mp3_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_video_rle_frames(spark, sf_dir):
+    """INTER-frame video decode (analysis/video.py decode_rle8): the
+    MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
+    the previous frame through, so frame 2's pixels depend on the
+    whole composition chain — closed forms in video_rle_fixture's
+    docstring. Closes the documented inter-frame hook with a real
+    codec (runs, absolute mode, deltas all exercised)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import (sample_frame_stats,
+                                           video_rle_fixture)
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([video_rle_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_audio_features(spark, sf_dir):
     """Post-decode audio feature extraction (analysis/pcm.py
     audio_features): integer-robust spectral features over decoded
@@ -3836,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pcm_stats": _q_media_pcm_stats,
         "media_mp3_stats": _q_media_mp3_stats,
         "media_audio_features": _q_media_audio_features,
+        "media_video_rle_frames": _q_media_video_rle_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
@@ -4157,6 +4186,20 @@ def oracle_sql() -> dict[str, str]:
             "'image/jpeg' AS mime, "
             "'Doc ' || doc_id AS title, lang AS author, "
             "'8' AS width FROM documents"),
+        "media_video_rle_frames": (
+            # video_rle_fixture closed forms: frame 0 solid v0;
+            # frame 1 mean (v0+v1)/2 (EOB skip = inter-frame);
+            # frame 2 moves 4 px from v1 to v2 via delta+absolute
+            "WITH p AS (SELECT doc_id, 16 + doc_id % 8 AS w, "
+            "doc_id % 256 AS v0, (doc_id * 7 + 31) % 256 AS v1, "
+            "(doc_id * 13 + 5) % 256 AS v2 FROM documents) "
+            "SELECT doc_id AS id, CAST(f.frame_idx AS INT) "
+            "AS frame_idx, CAST(3 AS INT) AS n_frames, "
+            "w::BIGINT AS width, CAST(8 AS BIGINT) AS height, "
+            "CASE f.frame_idx WHEN 0 THEN v0 * 1000000 "
+            "ELSE ((4 * w * (v0 + v1) - 4 * v1 + 4 * v2) * 1000000 "
+            "+ 4 * w) // (8 * w) END AS mean_gray "
+            "FROM p, (VALUES (0), (2)) f(frame_idx)"),
         "media_audio_features": (
             # sine fixtures: k odd cycles over 2048 samples →
             # 2k-1 strict sign changes (last zero beyond the final

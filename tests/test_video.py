@@ -108,3 +108,84 @@ def test_gif_disposal_and_transparency():
     o2 = gif_frames(gif_anim_bytes([f1, f2], pal, disposal=2,
                                    transparent=255))
     assert o2[1][0, 0, 0] == 0
+
+
+class TestRle8:
+    """MS-RLE8 inter-frame codec (decode_rle8 + AVI MRLE demux)."""
+
+    def test_keyframe_runs_and_eob(self):
+        from tika_spark.analysis.video import decode_rle8
+        data = bytes((4, 9, 0, 0, 4, 7, 0, 0, 0, 1))
+        out = decode_rle8(data, 4, 2)
+        # bottom-up: first encoded row is the bottom one
+        assert out[1].tolist() == [9] * 4
+        assert out[0].tolist() == [7] * 4
+
+    def test_skips_show_previous_frame(self):
+        import numpy as np
+
+        from tika_spark.analysis.video import decode_rle8
+        prev = np.full((2, 4), 5, dtype=np.uint8)
+        # EOL skips the whole bottom row; top row becomes 8
+        data = bytes((0, 0, 4, 8, 0, 0, 0, 1))
+        out = decode_rle8(data, 4, 2, prev)
+        assert out[1].tolist() == [5] * 4      # inter-frame
+        assert out[0].tolist() == [8] * 4
+
+    def test_delta_and_absolute_mode(self):
+        import numpy as np
+
+        from tika_spark.analysis.video import decode_rle8
+        prev = np.zeros((3, 8), dtype=np.uint8)
+        # move to x=2,y=1 then write 3 literal pixels (odd n: padded)
+        data = bytes((0, 2, 2, 1, 0, 3, 11, 12, 13, 0, 0, 1))
+        out = decode_rle8(data, 8, 3, prev)
+        assert out[1, 2:5].tolist() == [11, 12, 13]
+        assert out.sum() == 36                 # everything else kept
+
+    def test_overrun_and_truncation_raise(self):
+        import numpy as np
+
+        from tika_spark.analysis.video import decode_rle8
+        with pytest.raises(ValueError, match="overrun"):
+            decode_rle8(bytes((9, 1, 0, 1)), 4, 2)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_rle8(bytes((2, 1)), 4, 2)
+
+    def test_demux_composites_chain(self):
+        from tika_spark.analysis.pixels import channel_means_micro
+        from tika_spark.analysis.video import _demux, video_rle_fixture
+        for i in (0, 5, 13, 200):
+            w = 16 + i % 8
+            v0, v1, v2 = i % 256, (i * 7 + 31) % 256, (i * 13 + 5) % 256
+            kind, frames = _demux(video_rle_fixture(i))
+            assert kind == "raw" and len(frames) == 3
+            s1 = 4 * w * (v0 + v1)
+            s2 = s1 - 4 * v1 + 4 * v2
+            assert channel_means_micro(frames[0])[0] == v0 * 1_000_000
+            assert channel_means_micro(frames[1])[0] == \
+                (s1 * 1_000_000 + 4 * w) // (8 * w)
+            assert channel_means_micro(frames[2])[0] == \
+                (s2 * 1_000_000 + 4 * w) // (8 * w)
+
+    def test_operator_samples_rle(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        from tika_spark.analysis.video import (sample_frame_stats,
+                                               video_rle_fixture)
+
+        @pandas_udf(BinaryType())
+        def wrap(ids: pd.Series) -> pd.Series:
+            return pd.Series([video_rle_fixture(int(i)) for i in ids])
+
+        df = spark.range(4).select(F.col("id"),
+                                   wrap(F.col("id")).alias("payload"))
+        got = sample_frame_stats(df, every=2).collect()
+        assert len(got) == 8                   # frames 0 and 2 per id
+        by = {(r.id, r.frame_idx): r for r in got}
+        assert by[(3, 0)].status == "ok"
+        assert by[(3, 0)].mean_micro[0] == 3 * 1_000_000
+        assert by[(3, 2)].n_frames == 3

@@ -10,8 +10,12 @@ row per sampled frame, errors as status rows (H1 fault isolation).
 MJPEG (Motion JPEG) is the one mainstream video codec whose frames
 are plain JPEG images, so the full pipeline — container demux, frame
 selection, pixel decode, per-frame stats — runs with zero external
-codec libraries. Inter-frame codecs (H.264 etc.) remain the
-documented ``NotImplementedError`` hook in multimodal.real_decode.
+codec libraries. The MS-RLE8 codec (:func:`decode_rle8`) adds a
+real INTER-frame path: its skip escapes show the previous frame
+through, so frames compose across the chain exactly like the GIF
+disposal rules. Transform-coded inter-frame codecs (H.264 etc.)
+remain the documented ``NotImplementedError`` hook in
+multimodal.real_decode.
 
 Scale design: frame sampling is per-row work (no shuffle); the
 binary column crosses into Python once; sampled-frame stats rows are
@@ -113,13 +117,144 @@ def avi_frames(data: bytes) -> list[bytes]:
     return out
 
 
+# --------------------------------------------- MS-RLE8 (inter-frame)
+
+def decode_rle8(data: bytes, width: int, height: int,
+                prev: np.ndarray | None = None) -> np.ndarray:
+    """Decode one BI_RLE8 frame onto the previous frame's pixels.
+
+    The Microsoft RLE8 bitmap codec (biCompression=1; the 'MRLE'
+    AVI handler) is genuinely INTER-frame inside AVI: every pixel
+    the escapes skip — end-of-line (00 00), the delta cursor move
+    (00 02 dx dy), and an early end-of-bitmap (00 01) — shows the
+    PREVIOUS frame through, so delta frames encode only what
+    changed. Rows are bottom-up 8-bit palette indices; absolute mode
+    (00 n, n>=3) carries literal pixels word-padded.
+
+    ``prev`` is the composited previous frame's (h, w) index array
+    (None → zeros keyframe canvas). Returns the new (h, w) array;
+    raises ValueError on cursor overruns or truncated streams.
+    """
+    cur = (prev.copy() if prev is not None
+           else np.zeros((height, width), dtype=np.uint8))
+    if cur.shape != (height, width):
+        raise ValueError("previous-frame shape mismatch")
+    x, y = 0, 0                       # y counts rows from the BOTTOM
+    i = 0
+    while True:
+        if i + 2 > len(data):
+            raise ValueError("truncated RLE8 stream (no EOB)")
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:                     # encoded run
+            if y >= height or x + c > width:
+                raise ValueError("RLE8 run overruns the bitmap")
+            cur[height - 1 - y, x:x + c] = v
+            x += c
+        elif v == 0:                  # end of line
+            x, y = 0, y + 1
+        elif v == 1:                  # end of bitmap
+            return cur
+        elif v == 2:                  # delta cursor move
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE8 delta overruns the bitmap")
+        else:                         # absolute mode: v literal pixels
+            n = v
+            if i + n > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= height or x + n > width:
+                raise ValueError("RLE8 absolute run overruns")
+            cur[height - 1 - y, x:x + n] = np.frombuffer(
+                data, np.uint8, n, i)
+            x += n
+            i += n + (n & 1)          # word alignment
+
+
+def avi_rle8_bytes(frames_rle: list[bytes], width: int, height: int,
+                   palette: np.ndarray, fps: int = 25) -> bytes:
+    """Fixture builder: AVI RIFF around raw RLE8 frame payloads —
+    'MRLE' stream handler, BITMAPINFOHEADER biCompression=1, 8 bpp,
+    256-entry BGRX palette in strf."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    n = len(frames_rle)
+    max_bytes = max((len(f) for f in frames_rle), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // max(fps, 1),
+        max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MRLE", 0, 0, 0, 0,
+        1, fps, 0, n, max_bytes, 0xFFFFFFFF, 0, 0, 0, width, height)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("palette must be (256, 3)")
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, 0] = pal[:, 2]           # B
+    quads[:, 1] = pal[:, 1]           # G
+    quads[:, 2] = pal[:, 0]           # R
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8,
+                       1, width * height, 0, 0, 256, 0) \
+        + quads.tobytes()
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f)
+                                 for f in frames_rle))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_strf(data: bytes):
+    """(biCompression, width, height, palette|None) from the first
+    video strf chunk, or None when absent/unparseable."""
+    pos = data.find(b"strf")
+    if pos < 0 or pos + 8 > len(data):
+        return None
+    (size,) = struct.unpack_from("<I", data, pos + 4)
+    body = data[pos + 8:pos + 8 + size]
+    if len(body) < 40:
+        return None
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", body, 0)
+    (comp,) = struct.unpack_from("<I", body, 16)
+    pal = None
+    if bpp == 8 and len(body) >= 40 + 256 * 4:
+        quads = np.frombuffer(body, np.uint8, 256 * 4, 40)
+        quads = quads.reshape(256, 4)
+        pal = np.stack([quads[:, 2], quads[:, 1], quads[:, 0]],
+                       axis=1)       # BGRX → RGB
+    return comp, w, abs(h), pal
+
+
 # -------------------------------------------------------------- operator
 
 def _demux(payload: bytes):
     """(kind, frames): 'jpeg' + compressed frames for MJPEG AVI,
-    'raw' + composited RGB arrays for animated GIF."""
+    'raw' + composited RGB arrays for RLE8 AVI and animated GIF."""
     if payload[:4] == b"RIFF":
-        return "jpeg", avi_frames(payload)
+        strf = _avi_strf(payload)
+        frames = avi_frames(payload)
+        if strf is not None and strf[0] == 1:      # BI_RLE8
+            comp, w, h, pal = strf
+            if pal is None:
+                raise ValueError("RLE8 stream without a palette")
+            out = []
+            prev = None
+            for f in frames:
+                prev = decode_rle8(f, w, h, prev)
+                out.append(pal[prev])              # composited RGB
+            return "raw", out
+        return "jpeg", frames
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from tika_spark.analysis.pixels import gif_frames
         return "raw", gif_frames(payload)
@@ -173,6 +308,35 @@ def sample_frame_stats(df: DataFrame, every: int = 2,
                 "mean_micro", "status"])
 
     return slim.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def video_rle_fixture(doc_id: int) -> bytes:
+    """Deterministic inter-frame RLE8 AVI per document row, built to
+    a closed form the oracle replays in SQL. Grayscale identity
+    palette; w = 16 + doc_id%8, h = 8; v0/v1/v2 derived from doc_id:
+
+      frame 0  keyframe: every row an encoded run of v0 → mean v0
+      frame 1  delta: bottom 4 rows re-run as v1, EOB skips the top
+               4 (previous frame shows through) → mean (v0+v1)/2
+      frame 2  delta escape (dx=2, dy=1) then a 4-pixel absolute run
+               of v2 over v1 pixels → mean shifts by 4(v2-v1)/(8w)
+
+    Exercises every RLE8 construct: runs, EOL, EOB-skip, cursor
+    delta, absolute mode (word-padded even n)."""
+    w, h = 16 + doc_id % 8, 8
+    v0 = doc_id % 256
+    v1 = (doc_id * 7 + 31) % 256
+    v2 = (doc_id * 13 + 5) % 256
+    key = b"".join(bytes((w, v0, 0, 0)) for _ in range(h)) \
+        + bytes((0, 1))
+    half = b"".join(bytes((w, v1, 0, 0)) for _ in range(4)) \
+        + bytes((0, 1))
+    delta = bytes((0, 2, 2, 1,        # move to x=2, row 1 from bottom
+                   0, 4, v2, v2, v2, v2,   # absolute, n even: no pad
+                   0, 1))
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3,
+                    axis=1)
+    return avi_rle8_bytes([key, half, delta], w, h, pal)
 
 
 def video_fixture(doc_id: int) -> bytes:
