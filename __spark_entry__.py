@@ -3328,6 +3328,81 @@ def _q_docs_embed_neardup(spark, sf_dir):
             .select("id_a", "id_b", "sim_micro"))
 
 
+def _q_image_phash(spark, sf_dir):
+    """DCT perceptual hash (analysis/imagehash.py phash_bits): the
+    integer fixed-point 2-D DCT + median threshold replayed
+    bit-exactly by the oracle, which inlines the SAME rounded
+    cosine table (PHASH_COS) into SQL. Fixture: 32×32 grayscale
+    gradient PNGs g[m,n] = (3m + 7n + id) % 256 — structured enough
+    that all 63 non-DC coefficients are exercised. The 64-bit hash
+    is emitted as two 32-bit halves (BIGINT-safe on both engines)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.imagehash import image_phash
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.pixels import png_bytes
+        out = []
+        m = np.arange(32)[:, None]
+        n = np.arange(32)[None, :]
+        for i in ids:
+            g = ((3 * m + 7 * n + int(i)) % 256).astype(np.uint8)
+            out.append(png_bytes(g[:, :, None]))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/png").alias("media_type"))
+    out = image_phash(media)
+    return out.select(
+        "id",
+        F.shiftrightunsigned("phash", 32).alias("phash_hi"),
+        F.col("phash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("phash_lo"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"))
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of phash_bits with the exact integer cosine
+    table inlined — the same 2-stage integer matmul, the same
+    sorted-index-31 median, the same strict-greater bit rule."""
+    from tika_spark.analysis.imagehash import PHASH_COS
+    cos_rows = ", ".join(
+        f"({k}, {m}, {int(PHASH_COS[k, m])})"
+        for k in range(8) for m in range(32))
+    return (
+        "WITH cosb(k, m, c) AS (VALUES " + cos_rows + "), "
+        "grid AS (SELECT unnest(generate_series(0, 31)) AS i), "
+        "px AS (SELECT doc_id, r.i AS m, q.i AS n, "
+        "(3 * r.i + 7 * q.i + doc_id) % 256 AS g "
+        "FROM documents, grid r, grid q), "
+        "rowt AS (SELECT px.doc_id, ck.k, px.n, "
+        "SUM(ck.c * px.g)::BIGINT AS r FROM px "
+        "JOIN cosb ck ON ck.m = px.m GROUP BY 1, 2, 3), "
+        "coef AS (SELECT rowt.doc_id, rowt.k, cl.k AS l, "
+        "SUM(cl.c * rowt.r)::BIGINT AS d FROM rowt "
+        "JOIN cosb cl ON cl.m = rowt.n GROUP BY 1, 2, 3), "
+        "nd AS (SELECT doc_id, k, l, d FROM coef "
+        "WHERE NOT (k = 0 AND l = 0)), "
+        "med AS (SELECT doc_id, d AS md FROM "
+        "(SELECT doc_id, d, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY d) AS rn FROM nd) "
+        "WHERE rn = 32) "
+        "SELECT nd.doc_id AS id, "
+        "SUM(CASE WHEN nd.d > med.md AND 8 * k + l >= 32 "
+        "THEN (1::BIGINT << (8 * k + l - 32)) ELSE 0 END)::BIGINT "
+        "AS phash_hi, "
+        "SUM(CASE WHEN nd.d > med.md AND 8 * k + l < 32 "
+        "THEN (1::BIGINT << (8 * k + l)) ELSE 0 END)::BIGINT "
+        "AS phash_lo, "
+        "32::BIGINT AS width, 32::BIGINT AS height "
+        "FROM nd JOIN med USING (doc_id) GROUP BY nd.doc_id")
+
+
 def _q_image_dhash(spark, sf_dir):
     """64-bit perceptual dHash (analysis/imagehash.py) over real PNG
     payloads: decode → deterministic 9×8 luma resize → gradient-sign
@@ -3858,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_stats": _q_media_pixel_stats,
         "media_video_frames": _q_media_video_frames,
         "image_dhash": _q_image_dhash,
+        "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "docs_hash_embed": _q_docs_hash_embed,
         "docs_embed_neardup": _q_docs_embed_neardup,
@@ -4171,6 +4247,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE na.nrm2 > 0 AND nb.nrm2 > 0) "
             "SELECT id_a, id_b, sim_micro FROM s "
             "WHERE sim_micro >= 900000"),
+        "image_phash": _phash_oracle_sql(),
         "image_dhash": (
             "WITH h AS (" + _DHASH_SQL + ") "
             "SELECT doc_id AS id, h AS dhash, CAST(9 AS BIGINT) AS "

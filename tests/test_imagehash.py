@@ -75,3 +75,60 @@ def test_dhash_pairs_rejects_unguaranteed_distance(spark):
     df = spark.createDataFrame([(1, 0)], "id long, dhash long")
     with pytest.raises(ValueError):
         dhash_pairs(df, max_dist=8)
+
+
+class TestPhash:
+    def _img(self, seed=0, h=64, w=64):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(60, 196, size=(8, 8), dtype=np.uint8)
+        # smooth structured image: upscale a coarse pattern
+        return np.repeat(np.repeat(base, h // 8, 0), w // 8, 1)[
+            :, :, None]
+
+    def test_rescale_invariance(self):
+        from tika_spark.analysis.imagehash import phash_bits
+        a = self._img(1, 64, 64)
+        b = np.repeat(np.repeat(a[:, :, 0], 2, 0), 2, 1)[:, :, None]
+        assert phash_bits(a) == phash_bits(b)   # exact: same 32×32
+
+    def test_jpeg_recompression_is_near(self):
+        from tika_spark.analysis.imagehash import phash_bits
+        from tika_spark.analysis.jpegcodec import decode_jpeg, \
+            jpeg_bytes
+        a = self._img(2)
+        jp = decode_jpeg(jpeg_bytes(a, quality=75))
+        d = bin(phash_bits(a) ^ phash_bits(jp)).count("1")
+        assert d <= 6, d                        # perceptually close
+        # and a different image is far
+        c = self._img(9)
+        far = bin(phash_bits(a) ^ phash_bits(c)).count("1")
+        assert far > 12, far
+
+    def test_dc_bit_always_zero(self):
+        from tika_spark.analysis.imagehash import phash_bits
+        for seed in range(5):
+            assert phash_bits(self._img(seed)) & 1 == 0
+
+    def test_phash_pairs_reuses_banded_join(self, spark):
+        from tika_spark.analysis.imagehash import (dhash_pairs,
+                                                   image_phash,
+                                                   phash_bits)
+        from tika_spark.analysis.pixels import png_bytes
+        a = self._img(3)
+        b = a.copy()
+        b[:4, :4, 0] ^= 8                       # tiny perturbation
+        c = self._img(7)
+        rows = [(1, png_bytes(a), "image/png"),
+                (2, png_bytes(b), "image/png"),
+                (3, png_bytes(c), "image/png"),
+                (4, b"bad", "image/png")]
+        df = spark.createDataFrame(
+            rows, "id long, payload binary, media_type string")
+        hashes = image_phash(df)
+        got = {r.id: r for r in hashes.collect()}
+        assert got[1].status == "ok" and got[4].status == "error"
+        assert got[1].phash == phash_bits(a)
+        pairs = dhash_pairs(hashes.filter("status = 'ok'"),
+                            max_dist=7, hash_col="phash").collect()
+        ids = {(p.id_a, p.id_b) for p in pairs}
+        assert (1, 2) in ids and (1, 3) not in ids

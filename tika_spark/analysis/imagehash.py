@@ -51,6 +51,88 @@ def dhash_bits(arr: np.ndarray) -> int:
     return h - (1 << 64) if h >= 1 << 63 else h  # signed long
 
 
+# pHash integer DCT basis: c[k][m] = round(cos(π(2m+1)k/64)·2^20).
+# Fixed-point ONCE at table build, then pure int64 arithmetic — the
+# oracle inlines this exact table into SQL, so the 2-D DCT, the
+# median order statistic, and every bit decision replay bit-exactly
+# cross-engine (the repo's integer-micro-unit discipline applied to
+# a transform that is normally float-only).
+PHASH_SCALE = 1 << 20
+PHASH_COS = np.rint(np.cos(
+    np.pi * (2 * np.arange(32)[None, :] + 1)
+    * np.arange(8)[:, None] / 64.0) * PHASH_SCALE).astype(np.int64)
+
+PHASH_SCHEMA = "id long, phash long, width int, height int, status string"
+
+
+def phash_bits(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a decoded (h, w, c) uint8 image.
+
+    Block-average resize to 32×32 luma → integer 8×32 DCT basis
+    applied on both axes (``C @ X @ C.T``, the 8×8 low-frequency
+    block directly) → threshold the 63 non-DC coefficients at their
+    median (sorted index 31); bit (8k+l) set iff coefficient (k,l)
+    is strictly above the median, DC bit always 0. Robust to
+    rescaling/recompression like classic pHash, but exactly
+    reproducible on any engine."""
+    from tika_spark.analysis.pixels import resize_image
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    luma = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+    small = resize_image(luma[:, :, None].astype(np.uint8),
+                         32, 32)[:, :, 0].astype(np.int64)
+    d = PHASH_COS @ small @ PHASH_COS.T          # 8×8 int64
+    vals = d.reshape(64)[1:]
+    med = int(np.sort(vals)[31])
+    h = 0
+    for k in range(8):
+        for line in range(8):
+            if (k or line) and int(d[k, line]) > med:
+                h |= 1 << (8 * k + line)
+    return h - (1 << 64) if h >= 1 << 63 else h  # signed long
+
+
+def image_phash(df: DataFrame, id_col: str = "id",
+                payload_col: str = "payload",
+                type_col: str = "media_type") -> DataFrame:
+    """mapInPandas: (id, payload, type) → 64-bit DCT perceptual hash
+    via the real decoders; corrupt/unsupported rows become status
+    rows. Near-dup pairs: feed the output to :func:`dhash_pairs`
+    with ``hash_col='phash'`` (the banded Hamming join is hash-
+    agnostic)."""
+    from tika_spark.analysis.jpegcodec import decode_jpeg
+    from tika_spark.analysis.pixels import (decode_bmp, decode_gif,
+                                            decode_ico, decode_png,
+                                            decode_tiff)
+    slim = df.select(id_col, payload_col, type_col)
+    decoders = {"image/png": decode_png, "image/gif": decode_gif,
+                "image/bmp": decode_bmp, "image/x-ms-bmp": decode_bmp,
+                "image/jpeg": decode_jpeg, "image/tiff": decode_tiff,
+                "image/x-icon": decode_ico}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload, mt in zip(pdf[id_col], pdf[payload_col],
+                                      pdf[type_col]):
+                row = {"id": i, "phash": 0, "width": 0, "height": 0,
+                       "status": "unsupported"}
+                dec = decoders.get(mt or "")
+                if dec is not None:
+                    try:
+                        arr = dec(bytes(payload or b""))
+                        row.update(phash=phash_bits(arr),
+                                   width=arr.shape[1],
+                                   height=arr.shape[0], status="ok")
+                    except Exception:
+                        row["status"] = "error"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["id", "phash", "width",
+                                              "height", "status"])
+
+    return slim.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 def image_dhash(df: DataFrame, id_col: str = "id",
                 payload_col: str = "payload",
                 type_col: str = "media_type") -> DataFrame:
