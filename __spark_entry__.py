@@ -3477,6 +3477,20 @@ def _q_bpe_train_merges(spark, sf_dir):
     return bpe.bpe_train(_docs(spark, sf_dir), num_merges=4)
 
 
+_BPE_ENCODE_MERGES = [("e", "r"), ("t", "h"), ("th", "e")]
+
+
+def _q_docs_bpe_encode(spark, sf_dir):
+    """The APPLY half of BPE (analysis/bpe.py bpe_encode_docs):
+    per-document token counts under a fixed merge list that includes
+    a CHAINED merge (('th','e') consumes ('t','h')'s output, so rank
+    order is load-bearing). Encoding runs on the distinct vocabulary
+    and broadcast-joins back — the corpus never enters the fold."""
+    from tika_spark.analysis import bpe
+    return bpe.bpe_encode_docs(_docs(spark, sf_dir),
+                               _BPE_ENCODE_MERGES)
+
+
 def _q_docs_quality_classifier(spark, sf_dir):
     """Distributed-trained quality classifier (analysis/classifier.py):
     3-epoch integer batch perceptron over the quality features, label =
@@ -4022,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markdown": _q_extract_markdown,
         "docs_quality_classifier": _q_docs_quality_classifier,
         "bpe_train_merges": _q_bpe_train_merges,
+        "docs_bpe_encode": _q_docs_bpe_encode,
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
@@ -4108,6 +4123,12 @@ def __splits_oracle() -> str:
 def __bpe_oracle() -> str:
     from tika_spark.analysis import bpe
     return bpe.bpe_oracle_sql("SELECT text FROM documents", num_merges=4)
+
+
+def __bpe_encode_oracle() -> str:
+    from tika_spark.analysis import bpe
+    return bpe.bpe_encode_oracle_sql(
+        "SELECT doc_id, text FROM documents", _BPE_ENCODE_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5252,6 +5273,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS "
             "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
         "bpe_train_merges": __bpe_oracle(),
+        "docs_bpe_encode": __bpe_encode_oracle(),
         "docs_quality_classifier": classifier.perceptron_oracle_sql(
             {"n_tokens": f"len({_TOKS})",
              "n_stopwords":

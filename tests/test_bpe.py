@@ -98,3 +98,48 @@ class TestSegment:
         assert out["low"] == ["low"]
         assert out["lowest"] == ["low", "est"]
         assert out["newest"] == ["n", "e", "w", "est"]
+
+
+class TestEncodeDocs:
+    def test_chained_merges_and_counts(self, spark):
+        from tika_spark.analysis.bpe import bpe_encode_docs
+        merges = [("e", "r"), ("t", "h"), ("th", "e")]
+        df = spark.createDataFrame(
+            [(1, "the other"),        # the→1; other: o,th,er→3
+             (2, "thee herder"),      # thee: the,e→2; herder: h,er,d,er→4
+             (3, ""),                 # no tokens at all
+             (4, "xyz")],             # nothing merges: 3 chars
+            "doc_id long, text string")
+        got = {r.id: r for r in bpe_encode_docs(df, merges).collect()}
+        assert (got[1].n_words, got[1].n_tokens) == (2, 4)
+        assert (got[2].n_words, got[2].n_tokens) == (2, 6)
+        assert (got[3].n_words, got[3].n_tokens) == (0, 0)
+        assert (got[4].n_words, got[4].n_tokens) == (1, 3)
+
+    def test_rank_order_is_load_bearing(self, spark):
+        from tika_spark.analysis.bpe import bpe_encode_docs
+        df = spark.createDataFrame([(1, "the")],
+                                   "doc_id long, text string")
+        # ('th','e') before ('t','h') can never fire: 'th' does not
+        # exist yet, so 'the' stays 3 symbols minus the t+h merge
+        fwd = bpe_encode_docs(df, [("t", "h"), ("th", "e")]).collect()
+        rev = bpe_encode_docs(df, [("th", "e"), ("t", "h")]).collect()
+        assert fwd[0].n_tokens == 1
+        assert rev[0].n_tokens == 2
+
+    def test_matches_training_segmentation(self, spark):
+        from tika_spark.analysis.bpe import (bpe_encode_docs,
+                                             bpe_train, word_counts,
+                                             bpe_segment_words)
+        df = spark.createDataFrame(
+            [(i, "banana bandana ban " * 3) for i in range(4)],
+            "doc_id long, text string")
+        merges = [(r.left, r.right) for r in
+                  bpe_train(df, num_merges=3)
+                  .orderBy("rank").collect()]
+        enc = {r.id: r.n_tokens
+               for r in bpe_encode_docs(df, merges).collect()}
+        seg = {r.word: len(r.bpe_syms) for r in bpe_segment_words(
+            word_counts(df), merges).collect()}
+        want = 3 * (seg["banana"] + seg["bandana"] + seg["ban"])
+        assert all(v == want for v in enc.values())

@@ -130,6 +130,77 @@ def bpe_segment_words(words: DataFrame,
     return out.withColumnRenamed("syms", "bpe_syms")
 
 
+def bpe_encode_docs(df: DataFrame, merges: list[tuple[str, str]],
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> DataFrame:
+    """Per-document BPE token counts under a trained merge list —
+    the APPLY half of the BPE story (token budgeting, context-length
+    packing, per-source token accounting all need encoded counts,
+    not whitespace words).
+
+    Scale design: the fold chain never runs over the corpus. Words
+    explode once, the DISTINCT vocabulary (Zipf-bounded: ~10^6-10^7
+    rows regardless of corpus size) is segmented via the same
+    JVM-side fold as training, and the per-word token counts
+    broadcast-join back onto the exploded words — the corpus-sized
+    stages are one explode, one broadcast join, one groupBy on the
+    doc id. Emits (id, n_words, n_tokens); a document whose text
+    has no tokens keeps a row with zeros.
+    """
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.explode(tokens(F.col(text_col)))
+                       .alias("word"))
+             .filter(F.col("word") != ""))
+    vocab = words.select("word").distinct()
+    seg = (bpe_segment_words(vocab, merges)
+           .select("word", F.size("bpe_syms").cast("long")
+                   .alias("n_toks")))
+    per_doc = (words.join(F.broadcast(seg), "word")
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum("n_toks").alias("n_tokens")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select("id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens")))
+
+
+def bpe_encode_oracle_sql(source_sql: str,
+                          merges: list[tuple[str, str]],
+                          id_col: str = "doc_id",
+                          toks_expr: str =
+                          r"regexp_split_to_array(trim(text), '\s+')"
+                          ) -> str:
+    """DuckDB replay of ``bpe_encode_docs``: the same greedy fold
+    per merge in rank order (list_reduce twin of ``_merge_fold``),
+    nested once per merge, token count = segments of the final
+    fold."""
+    nl = "chr(10)"
+    expr = "regexp_split_to_array(w, '')"
+    for a, b in merges:
+        la, lb = a.replace("'", "''"), b.replace("'", "''")
+        expr = (f"string_split(list_reduce({expr}, (acc, x) -> "
+                f"CASE WHEN (acc = '{la}' OR right(acc, "
+                f"length('{la}')+1) = {nl} || '{la}') "
+                f"AND x = '{lb}' THEN acc || x "
+                f"ELSE acc || {nl} || x END), {nl})")
+    return (
+        f"WITH toks AS (SELECT {id_col} AS id, unnest({toks_expr}) "
+        f"AS w FROM ({source_sql})), "
+        f"seg AS (SELECT id, len({expr})::BIGINT AS n_toks "
+        "FROM toks WHERE w <> ''), "
+        "agg AS (SELECT id, COUNT(*)::BIGINT AS n_words, "
+        "SUM(n_toks)::BIGINT AS n_tokens FROM seg GROUP BY id) "
+        f"SELECT s.{id_col} AS id, "
+        "COALESCE(a.n_words, 0)::BIGINT AS n_words, "
+        "COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens "
+        f"FROM ({source_sql}) s LEFT JOIN agg a "
+        f"ON a.id = s.{id_col}")
+
+
 def bpe_oracle_sql(source_sql: str, num_merges: int = 4,
                    toks_expr: str =
                    r"regexp_split_to_array(trim(text), '\s+')") -> str:
