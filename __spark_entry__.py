@@ -3477,6 +3477,16 @@ def _q_bpe_train_merges(spark, sf_dir):
     return bpe.bpe_train(_docs(spark, sf_dir), num_merges=4)
 
 
+def _q_docs_chunk_overlap(spark, sf_dir):
+    """Overlapping word-window chunking (curation.chunk_documents):
+    chunk i = words [16i, 16i+24) (24-word chunks, 8-word overlap),
+    the retrieval/pretraining sharding stage — pure per-row array
+    expressions, row explosion only at emit."""
+    from tika_spark.analysis.curation import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk_words=24,
+                           overlap_words=8)
+
+
 _BPE_ENCODE_MERGES = [("e", "r"), ("t", "h"), ("th", "e")]
 
 
@@ -4037,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": _q_docs_quality_classifier,
         "bpe_train_merges": _q_bpe_train_merges,
         "docs_bpe_encode": _q_docs_bpe_encode,
+        "docs_chunk_overlap": _q_docs_chunk_overlap,
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
         "graph_anchor_text": _q_graph_anchor_text,
@@ -5274,6 +5285,20 @@ def oracle_sql() -> dict[str, str]:
             "sum_chars FROM documents GROUP BY ROLLUP (lang, source)"),
         "bpe_train_merges": __bpe_oracle(),
         "docs_bpe_encode": __bpe_encode_oracle(),
+        "docs_chunk_overlap": (
+            # chunk i = words [16i, 16i+24); starts while 16i < n
+            "WITH t AS (SELECT doc_id, list_filter("
+            r"regexp_split_to_array(trim(text), '\s+'), "
+            "x -> x <> '') AS w FROM documents), "
+            "m AS (SELECT doc_id, w, len(w) AS n, "
+            "CAST(ceil(len(w) / 16.0) AS BIGINT) AS nc FROM t "
+            "WHERE len(w) > 0), "
+            "c AS (SELECT doc_id, nc, u.i AS chunk_idx, "
+            "w[u.i * 16 + 1 : least(u.i * 16 + 24, n)] AS cw "
+            "FROM m, UNNEST(generate_series(0, nc - 1)) AS u(i)) "
+            "SELECT doc_id AS id, chunk_idx, nc AS n_chunks, "
+            "len(cw)::BIGINT AS n_chunk_words, "
+            "array_to_string(cw, ' ') AS chunk_text FROM c"),
         "docs_quality_classifier": classifier.perceptron_oracle_sql(
             {"n_tokens": f"len({_TOKS})",
              "n_stopwords":

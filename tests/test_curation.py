@@ -585,3 +585,49 @@ def test_dedup_paragraphs_intra(spark):
     assert got[0] == (5, 1, "intro\nbanner\nbody\noutro")
     assert got[1] == (4, 2, "a\nb")
     assert got[2] == (1, 0, "solo")
+
+
+class TestChunkDocuments:
+    def test_overlap_and_tail(self, spark):
+        from tika_spark.analysis.curation import chunk_documents
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")],
+                                   "doc_id long, text string")
+        got = chunk_documents(df, chunk_words=8,
+                              overlap_words=4).collect()
+        by = {(r.id, r.chunk_idx): r for r in got}
+        # doc 1: starts 0,4,8 → 3 chunks
+        assert by[(1, 0)].n_chunks == 3
+        assert by[(1, 0)].chunk_text.split() == \
+            [f"w{i}" for i in range(8)]
+        assert by[(1, 1)].chunk_text.split() == \
+            [f"w{i}" for i in range(4, 10)]
+        assert by[(1, 2)].chunk_text == "w8 w9"
+        assert by[(1, 2)].n_chunk_words == 2
+        # doc 2: one short chunk; doc 3 (empty): no rows
+        assert by[(2, 0)].n_chunks == 1
+        assert (3, 0) not in by
+        assert len(got) == 4
+
+    def test_coverage_and_continuity(self, spark):
+        from tika_spark.analysis.curation import chunk_documents
+        words = " ".join(f"t{i:03d}" for i in range(100))
+        df = spark.createDataFrame([(1, words)],
+                                   "doc_id long, text string")
+        rows = sorted(chunk_documents(df, 30, 10).collect(),
+                      key=lambda r: r.chunk_idx)
+        seen = []
+        for r in rows:
+            ws = r.chunk_text.split()
+            if seen:        # each chunk repeats the last 10 words
+                assert ws[:10] == seen[-10:]
+            seen.extend(ws[10:] if seen else ws)
+        assert seen == [f"t{i:03d}" for i in range(100)]
+
+    def test_invalid_overlap_raises(self, spark):
+        from tika_spark.analysis.curation import chunk_documents
+        df = spark.createDataFrame([(1, "x")],
+                                   "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="overlap"):
+            chunk_documents(df, 8, 8)

@@ -918,3 +918,49 @@ def dedup_paragraphs_intra(df: DataFrame, id_col: str = "doc_id",
         F.size(paras).cast("long").alias("n_paragraphs"),
         (F.size(paras) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, sep).alias("text_dedup")))
+
+
+# --------------------------------------------- overlapping chunking --
+
+
+def chunk_documents(df: DataFrame, chunk_words: int = 256,
+                    overlap_words: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    retrieval/pretraining chunking stage (embedding-index shards,
+    fixed-context windows with continuity overlap). Chunk i covers
+    words [i*step, i*step + chunk_words) with step = chunk_words -
+    overlap_words; starts run while they are < n_words, so the tail
+    chunk may be short but no chunk is ever empty and every word is
+    covered at least once.
+
+    Pure per-row array expressions (sequence -> transform(slice) ->
+    posexplode): zero Python, zero shuffle — rides in the scan stage
+    at any corpus size, exactly like the paragraph/intra-dedup ops.
+    Emits (id, chunk_idx, n_chunks, n_chunk_words, chunk_text);
+    documents with no tokens emit no rows (count them upstream).
+    """
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap must be smaller than the chunk")
+    step = chunk_words - overlap_words
+    w = tokens(F.col(text_col))
+    n = F.size(F.filter(w, lambda x: x != ""))
+    w = F.filter(w, lambda x: x != "")
+    n_chunks = F.ceil(n / F.lit(step)).cast("int")
+    # guard: sequence(0, -1) DESCENDS in Spark, so an empty document
+    # must short-circuit to an empty chunk list (→ zero rows)
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * step + 1, chunk_words), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(chunks).alias("chunk_idx",
+                                                 "chunk_text"),
+                      n_chunks.alias("n_chunks"))
+            .select("id",
+                    F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.col("n_chunks").cast("long").alias("n_chunks"),
+                    F.size(F.split("chunk_text", " ")).cast("long")
+                    .alias("n_chunk_words"),
+                    "chunk_text"))
