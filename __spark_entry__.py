@@ -968,6 +968,47 @@ def _q_media_video_rle_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_apng_frames(spark, sf_dir):
+    """APNG (animated PNG) frame compositing (pixels.apng_frames):
+    acTL/fcTL/fdAT parse, per-frame sub-rectangle zlib+unfilter,
+    disposal/blend composition. Fixture: frame 0 solid v0 full
+    canvas; frame 1 paints a 24-px rect v1 with dispose=PREVIOUS
+    (so its change reverts); frame 2 paints a 6-px rect v2 —
+    sampled frames 0 and 2 have closed-form means that PROVE the
+    dispose-previous semantics (frame 2's mean must not contain
+    v1)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.pixels import apng_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 12 + i % 6, 8
+            v0, v1, v2 = i % 256, (i * 5 + 19) % 256, (i * 3 + 7) % 256
+            out.append(apng_bytes(
+                [(np.full((h, w), v0, np.uint8), 0, 0, 0, 0),
+                 (np.full((4, 6), v1, np.uint8), 2, 2, 2, 0),
+                 (np.full((2, 3), v2, np.uint8), 0, 0, 0, 0)],
+                w, h))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_audio_features(spark, sf_dir):
     """Post-decode audio feature extraction (analysis/pcm.py
     audio_features): integer-robust spectral features over decoded
@@ -3965,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp3_stats": _q_media_mp3_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
+        "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
@@ -4295,6 +4337,19 @@ def oracle_sql() -> dict[str, str]:
             "'image/jpeg' AS mime, "
             "'Doc ' || doc_id AS title, lang AS author, "
             "'8' AS width FROM documents"),
+        "media_apng_frames": (
+            # frame 0: solid v0; frame 2: 6-px rect v2 over the v0
+            # canvas (frame 1's v1 rect REVERTED by dispose=previous)
+            "WITH p AS (SELECT doc_id, 12 + doc_id % 6 AS w, "
+            "doc_id % 256 AS v0, (doc_id * 3 + 7) % 256 AS v2 "
+            "FROM documents) "
+            "SELECT doc_id AS id, CAST(f.frame_idx AS INT) "
+            "AS frame_idx, CAST(3 AS INT) AS n_frames, "
+            "w::BIGINT AS width, CAST(8 AS BIGINT) AS height, "
+            "CASE f.frame_idx WHEN 0 THEN v0 * 1000000 "
+            "ELSE ((v0 * (8 * w - 6) + v2 * 6) * 1000000 "
+            "+ (8 * w) // 2) // (8 * w) END AS mean_gray "
+            "FROM p, (VALUES (0), (2)) f(frame_idx)"),
         "media_video_rle_frames": (
             # video_rle_fixture closed forms: frame 0 solid v0;
             # frame 1 mean (v0+v1)/2 (EOB skip = inter-frame);

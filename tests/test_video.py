@@ -189,3 +189,126 @@ class TestRle8:
         assert by[(3, 0)].status == "ok"
         assert by[(3, 0)].mean_micro[0] == 3 * 1_000_000
         assert by[(3, 2)].n_frames == 3
+
+
+class TestApng:
+    """Animated-PNG frame compositing (pixels.apng_frames)."""
+
+    def _mk(self, frames, w=12, h=8, color=0):
+        from tika_spark.analysis.pixels import apng_bytes
+        return apng_bytes(frames, w, h, color=color)
+
+    def test_dispose_previous_reverts(self):
+        import numpy as np
+
+        from tika_spark.analysis.pixels import apng_frames
+        data = self._mk([
+            (np.full((8, 12), 100, np.uint8), 0, 0, 0, 0),
+            (np.full((4, 6), 200, np.uint8), 2, 2, 2, 0),  # previous
+            (np.full((2, 3), 50, np.uint8), 0, 0, 0, 0)])
+        f = apng_frames(data)
+        assert len(f) == 3
+        assert f[1][3, 3].tolist() == [200] * 3
+        assert f[2][3, 3].tolist() == [100] * 3   # v1 reverted
+        assert f[2][0, 0].tolist() == [50] * 3
+
+    def test_dispose_background_clears(self):
+        import numpy as np
+
+        from tika_spark.analysis.pixels import apng_frames
+        data = self._mk([
+            (np.full((8, 12), 9, np.uint8), 0, 0, 1, 0),  # background
+            (np.full((1, 1), 200, np.uint8), 0, 0, 0, 0)])
+        f = apng_frames(data)
+        assert f[1][5, 5].tolist() == [0] * 3     # cleared
+        assert f[1][0, 0].tolist() == [200] * 3
+
+    def test_blend_over_alpha(self):
+        import numpy as np
+
+        from tika_spark.analysis.pixels import apng_frames
+        # grayscale+alpha sub-frame at alpha 128 over a 100 canvas;
+        # apng_bytes is color-locked to 0/2, so craft the
+        # color-type-4 (gray+alpha) stream by hand
+        import struct
+        import zlib as _z
+        ga = np.zeros((2, 2, 2), np.uint8)
+        ga[:, :, 0] = 200
+        ga[:, :, 1] = 128
+        f0 = np.zeros((8, 12, 2), np.uint8)
+        f0[:, :, 0] = 100
+        f0[:, :, 1] = 255
+        frames = [(f0, 0, 0, 0, 0), (ga, 0, 0, 0, 1)]
+
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", _z.crc32(ctype + body)))
+
+        out = bytearray(b"\x89PNG\r\n\x1a\n")
+        out += chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 8, 8, 4,
+                                          0, 0, 0))
+        out += chunk(b"acTL", struct.pack(">II", 2, 0))
+        seq = 0
+        for i, (arr, x, y, dis, bl) in enumerate(frames):
+            fh, fw = arr.shape[:2]
+            out += chunk(b"fcTL", struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, x, y, 1, 10, dis, bl))
+            seq += 1
+            rows = b"".join(b"\x00" + arr[r].tobytes()
+                            for r in range(fh))
+            payload = _z.compress(rows)
+            if i == 0:
+                out += chunk(b"IDAT", payload)
+            else:
+                out += chunk(b"fdAT", struct.pack(">I", seq) + payload)
+                seq += 1
+        out += chunk(b"IEND", b"")
+        f = apng_frames(bytes(out))
+        # (200*128 + 100*127 + 127) // 255 = 150
+        assert f[1][0, 0].tolist() == [150] * 3
+        assert f[1][5, 5].tolist() == [100] * 3
+
+    def test_still_png_is_not_video(self):
+        import numpy as np
+
+        from tika_spark.analysis.pixels import apng_frames, png_bytes
+        with pytest.raises(ValueError, match="acTL"):
+            apng_frames(png_bytes(np.zeros((3, 3, 3), np.uint8)))
+
+    def test_frame_outside_canvas_raises(self):
+        import numpy as np
+
+        from tika_spark.analysis.pixels import apng_frames
+        data = self._mk([
+            (np.full((8, 12), 1, np.uint8), 0, 0, 0, 0),
+            (np.full((4, 6), 2, np.uint8), 10, 6, 0, 0)])
+        with pytest.raises(ValueError, match="outside"):
+            apng_frames(data)
+
+    def test_demux_routes_apng(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        from tika_spark.analysis.pixels import apng_bytes
+        from tika_spark.analysis.video import sample_frame_stats
+
+        @pandas_udf(BinaryType())
+        def wrap(ids: pd.Series) -> pd.Series:
+            out = []
+            for i in ids:
+                v = int(i) % 256
+                out.append(apng_bytes(
+                    [(np.full((8, 12), v, np.uint8), 0, 0, 0, 0),
+                     (np.full((8, 12), 255 - v, np.uint8),
+                      0, 0, 0, 0)], 12, 8))
+            return pd.Series(out)
+
+        df = spark.range(3).select(F.col("id"),
+                                   wrap(F.col("id")).alias("payload"))
+        got = {(r.id, r.frame_idx): r
+               for r in sample_frame_stats(df, every=1).collect()}
+        assert got[(2, 0)].mean_micro[0] == 2_000_000
+        assert got[(2, 1)].mean_micro[0] == 253_000_000

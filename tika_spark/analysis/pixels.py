@@ -60,6 +60,52 @@ PIXEL_STATS_SCHEMA = ("id long, width int, height int, n_channels int, "
                       "mean_micro array<long>, status string")
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int
+                  ) -> np.ndarray:
+    """Reconstruct (h, w, channels) from a decompressed PNG scanline
+    stream (filter byte + stride bytes per row) — shared by whole-
+    image IDAT decoding and per-frame APNG fdAT decoding."""
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT size mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:          # Up
+            rec = (row + prev) % 256
+        elif f == 1:          # Sub: per-lane prefix sum
+            rec = row.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
+        elif f == 3:          # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:          # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → uint8 array of shape (h, w, channels).
 
@@ -100,45 +146,7 @@ def decode_png(data: bytes) -> np.ndarray:
     check_dims(w, h)
     channels = _CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("IDAT size mismatch")
-    bpp = channels
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                            offset=y * (stride + 1) + 1).astype(np.int64)
-        if f == 0:
-            rec = row
-        elif f == 2:          # Up
-            rec = (row + prev) % 256
-        elif f == 1:          # Sub: per-lane prefix sum
-            rec = row.copy()
-            for lane in range(bpp):
-                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) % 256
-        elif f == 3:          # Average
-            rec = row.copy()
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
-        elif f == 4:          # Paeth
-            rec = row.copy()
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else \
-                    (b if pb <= pc else c)
-                rec[x] = (rec[x] + pr) % 256
-        else:
-            raise ValueError(f"bad filter {f}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-    arr = out.reshape(h, w, channels)
+    arr = _png_unfilter(raw, w, h, channels)
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette image without PLTE")
@@ -147,6 +155,177 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("palette index out of range")
         arr = pal[arr[:, :, 0]]
     return arr
+
+
+def apng_frames(data: bytes, max_frames: int = 10_000
+                ) -> list[np.ndarray]:
+    """Composited RGB frames of an animated PNG (APNG).
+
+    Parses the acTL/fcTL/fdAT animation chunks: each frame is a
+    sub-rectangle with its own zlib scanline stream (IDAT for the
+    first frame when its fcTL precedes IDAT; fdAT with a 4-byte
+    sequence prefix afterwards), composed per the spec's disposal
+    (0 none, 1 background, 2 previous) and blend (0 source, 1 over)
+    operators — the PNG sibling of the GIF89a/RLE8 inter-frame
+    compositors. Alpha-over blending is deterministic integer
+    arithmetic: out = (fg·a + bg·(255-a) + 127) // 255.
+
+    Raises ValueError for a non-animated PNG (no acTL) — a still
+    image is not a video payload.
+    """
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    actl = None
+    # ordered animation stream: ('fctl', fields) / ('data', bytes)
+    stream: list[tuple] = []
+    first_fctl_seen = False
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"acTL":
+            actl = struct.unpack_from(">II", body, 0)
+        elif ctype == b"fcTL":
+            f = struct.unpack_from(">IIIIIHHBB", body, 0)
+            stream.append(("fctl", f))
+            first_fctl_seen = True
+        elif ctype == b"IDAT":
+            if first_fctl_seen:
+                stream.append(("data", body))
+            # else: default image outside the animation — skipped
+        elif ctype == b"fdAT":
+            stream.append(("data", body[4:]))   # drop sequence no.
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or actl is None:
+        raise ValueError("not an animated PNG (no acTL)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if depth != 8 or comp or filt or interlace or color not in _CHANNELS:
+        raise ValueError("unsupported APNG header")
+    check_dims(w, h)
+    channels = _CHANNELS[color]
+    pal = None
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette APNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+
+    def to_rgba(sub: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(rgb int64, alpha int64) of a decoded sub-image."""
+        if color == 3:
+            if int(sub.max()) >= len(pal):
+                raise ValueError("palette index out of range")
+            rgb = pal[sub[:, :, 0]].astype(np.int64)
+            a = np.full(sub.shape[:2], 255, dtype=np.int64)
+        elif color == 0:
+            rgb = np.repeat(sub, 3, axis=2).astype(np.int64)
+            a = np.full(sub.shape[:2], 255, dtype=np.int64)
+        elif color == 4:
+            rgb = np.repeat(sub[:, :, :1], 3, axis=2).astype(np.int64)
+            a = sub[:, :, 1].astype(np.int64)
+        elif color == 2:
+            rgb = sub.astype(np.int64)
+            a = np.full(sub.shape[:2], 255, dtype=np.int64)
+        else:                                   # 6: RGBA
+            rgb = sub[:, :, :3].astype(np.int64)
+            a = sub[:, :, 3].astype(np.int64)
+        return rgb, a
+
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    fctl = None
+    bufs: list[bytes] = []
+
+    def flush():
+        nonlocal canvas
+        if fctl is None:
+            return
+        (_seq, fw, fh, fx, fy, _dn, _dd, dispose, blend) = fctl
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("APNG frame outside the canvas")
+        raw = zlib.decompress(b"".join(bufs))
+        sub = _png_unfilter(raw, fw, fh, channels)
+        rgb, a = to_rgba(sub)
+        before = canvas.copy()
+        region = canvas[fy:fy + fh, fx:fx + fw].astype(np.int64)
+        if blend == 1:                          # OVER
+            al = a[:, :, None]
+            region = (rgb * al + region * (255 - al) + 127) // 255
+        else:                                   # SOURCE
+            region = rgb
+        canvas[fy:fy + fh, fx:fx + fw] = np.clip(
+            region, 0, 255).astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose == 1:                        # background → clear
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+        elif dispose == 2:                      # previous → revert
+            canvas = before
+        if len(out) > max_frames:
+            raise ValueError("too many APNG frames")
+
+    for kind, item in stream:
+        if kind == "fctl":
+            flush()
+            fctl, bufs = item, []
+        else:
+            bufs.append(item)
+    flush()
+    if not out:
+        raise ValueError("animated PNG with no frames")
+    return out
+
+
+def apng_bytes(frames: list[tuple], width: int, height: int,
+               color: int = 0) -> bytes:
+    """Fixture builder: APNG from [(array, x, y, dispose, blend)]
+    sub-images (8-bit, color type 0 grayscale or 2 RGB). The first
+    frame's pixels ride in IDAT (its fcTL precedes IDAT), the rest
+    in sequence-numbered fdAT chunks — the spec layout real encoders
+    emit."""
+    channels = {0: 1, 2: 3}[color]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    def scanlines(arr: np.ndarray) -> bytes:
+        fh, fw = arr.shape[:2]
+        rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(fh))
+        return zlib.compress(rows)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = bytearray(_SIG)
+    out += chunk(b"IHDR", ihdr)
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (arr, x, y, dispose, blend) in enumerate(frames):
+        arr = np.asarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] != channels:
+            raise ValueError("frame channels do not match color type")
+        fh, fw = arr.shape[:2]
+        fctl = struct.pack(">IIIIIHHBB", seq, fw, fh, x, y,
+                           1, 10, dispose, blend)
+        out += chunk(b"fcTL", fctl)
+        seq += 1
+        payload = scanlines(arr)
+        if i == 0:
+            out += chunk(b"IDAT", payload)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + payload)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def _gif_lzw_decode(min_code: int, data: bytes,

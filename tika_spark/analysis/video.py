@@ -258,6 +258,9 @@ def _demux(payload: bytes):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from tika_spark.analysis.pixels import gif_frames
         return "raw", gif_frames(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from tika_spark.analysis.pixels import apng_frames
+        return "raw", apng_frames(payload)   # raises if not animated
     raise ValueError("not a supported video container")
 
 
