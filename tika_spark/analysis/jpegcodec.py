@@ -377,10 +377,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
                                    mx * comp["h"] + bx] = blk
             mcu_index += 1
 
-    # batched dezigzag + IDCT per component, then upsample + stack
+    return _reconstruct([c for c, _, _ in scan], planes,
+                        hmax, vmax, h, w)
+
+
+def _reconstruct(comps, planes_dequant, hmax, vmax, h, w):
+    """Dequantized zigzag coefficient planes → decoded image:
+    batched dezigzag + IDCT per component, replication upsample,
+    JFIF YCbCr→RGB. Shared by the baseline and progressive paths."""
     out_ch = []
-    for ci, (comp, _, _) in enumerate(scan):
-        coeff = planes[ci]
+    for ci, comp in enumerate(comps):
+        coeff = planes_dequant[ci]
         by, bx = coeff.shape[0], coeff.shape[1]
         dez = np.zeros((by, bx, 64))
         dez[:, :, ZIGZAG] = coeff
@@ -612,38 +619,14 @@ def _decode_prog_scan(data, pos, frame, scan, prog, huff_dc,
 
 def _reconstruct_prog(frame, prog, qt):
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    out_ch = []
+    planes = []
     for comp in comps:
         q = qt.get(comp["tq"])
         if q is None:
             raise ValueError("missing quantization table")
-        coeff = prog.planes[comp["id"]] * q[None, None, :]
-        by, bx = coeff.shape[0], coeff.shape[1]
-        dez = np.zeros((by, bx, 64))
-        dez[:, :, ZIGZAG] = coeff
-        blocks = dez.reshape(by, bx, 8, 8)
-        spatial = _C.T @ blocks @ _C
-        img = (spatial.transpose(0, 2, 1, 3)
-               .reshape(by * 8, bx * 8)) + 128.0
-        ry = prog.vmax // comp["v"]
-        rx = prog.hmax // comp["h"]
-        if (prog.vmax % comp["v"]) or (prog.hmax % comp["h"]):
-            raise ValueError("non-integer sampling ratio")
-        if ry > 1 or rx > 1:
-            img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
-        out_ch.append(img[:h, :w])
-    if len(out_ch) == 1:
-        y = np.clip(np.rint(out_ch[0]), 0, 255).astype(np.uint8)
-        return y[:, :, None]
-    if len(out_ch) != 3:
-        raise ValueError(f"unsupported component count {len(out_ch)}")
-    y, cb, cr = out_ch[0], out_ch[1] - 128.0, out_ch[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        planes.append(prog.planes[comp["id"]] * q[None, None, :])
+    return _reconstruct(comps, planes, prog.hmax, prog.vmax,
+                        frame["h"], frame["w"])
 
 
 # ------------------------------------------------------------------ encoder
