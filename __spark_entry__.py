@@ -1168,6 +1168,50 @@ def _q_extract_recursive_zip(spark, sf_dir):
                       "text")
 
 
+def _q_extract_pdf_images(spark, sf_dir):
+    """PDF embedded-image extraction (pdf/parser.py page_images →
+    children → F1 recursion): each row is a PDF carrying one
+    DCTDecode JPEG (solid gray, the DC closed form) and one
+    FlateDecode DeviceGray raster; the exploded child rows re-enter
+    detect → route and land in the media parser, whose header
+    dimensions the oracle predicts. The reference's
+    embedded-image-as-embedded-document route (PDFBox
+    ExtractImages / PDF2XHTML), composed with the pixel tier."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from tika_spark.analysis.jpegcodec import jpeg_bytes
+        from tika_spark.fixtures.pdfgen import make_pdf_images
+        out = []
+        for i in ids:
+            i = int(i)
+            jw, jh = 4 + i % 9, 3 + i % 5
+            gw, gh = 5 + i % 7, 2 + i % 4
+            jp = jpeg_bytes(np.full((jh, jw, 1), i % 256, np.uint8),
+                            quality=50)
+            gr = np.full((gh, gw), (i * 3) % 256, np.uint8)
+            out.append(make_pdf_images([f"pdf {i} with images"],
+                                       jpeg=jp, gray=gr))
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".pdf"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract_recursive(pages, mode="metadata")
+    kids = out.filter(F.col("depth") == 1)
+    return kids.select(
+        F.col("url"),
+        F.element_at(F.col("metadata")["Content-Type"], 1)
+        .alias("mime"),
+        F.element_at(F.col("metadata")["width"], 1).alias("width"),
+        F.element_at(F.col("metadata")["height"], 1).alias("height"))
+
+
 def _sevenz_wrap_udf():
     """Deterministic 7z per document row (E6 family: pkg/sevenz.py),
     cycling codecs by doc_id so copy/LZMA1/LZMA2 and the encoded
@@ -4008,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
+        "extract_pdf_images": _q_extract_pdf_images,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
         "extract_dbf_text": _q_extract_dbf_text,
@@ -4619,6 +4664,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, 'ok' AS status, "
             "(16 + doc_id % 640)::BIGINT AS width, "
             "(16 + (doc_id * 3) % 480)::BIGINT AS height FROM documents"),
+        "extract_pdf_images": (
+            # two embedded images per PDF: the DCTDecode JPEG and
+            # the FlateDecode gray raster, child urls parent!/name
+            "SELECT 'doc://' || doc_id || '.pdf!/Im0.jpg' AS url, "
+            "'image/jpeg' AS mime, "
+            "(4 + doc_id % 9)::VARCHAR AS width, "
+            "(3 + doc_id % 5)::VARCHAR AS height FROM documents "
+            "UNION ALL "
+            "SELECT 'doc://' || doc_id || '.pdf!/Im1.png', "
+            "'image/png', (5 + doc_id % 7)::VARCHAR, "
+            "(2 + doc_id % 4)::VARCHAR FROM documents"),
         "extract_recursive_zip": (
             "SELECT 'doc://' || doc_id || '.zip' AS url, "
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "

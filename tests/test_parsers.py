@@ -610,3 +610,54 @@ def test_svg_strips_style_script_metadata():
     assert "fill:red" not in r["text"] and "alert" not in r["text"]
     assert "rdf junk" not in r["text"]
     assert "Logo" in r["text"] and "Visible label" in r["text"]
+
+
+class TestPdfEmbeddedImages:
+    """pdf/parser.py page_images: the PDFBox embedded-image route."""
+
+    def _pdf(self, **kw):
+        from tika_spark.fixtures.pdfgen import make_pdf_images
+        return make_pdf_images(["text body"], **kw)
+
+    def test_dct_jpeg_surfaces_verbatim(self):
+        import numpy as np
+
+        from tika_spark.analysis.jpegcodec import jpeg_bytes
+        from tika_spark.pdf.parser import extract_pdf
+        jp = jpeg_bytes(np.full((6, 10, 1), 77, np.uint8))
+        r = extract_pdf(self._pdf(jpeg=jp))
+        kids = dict(r["children"])
+        assert kids["Im0.jpg"] == jp
+        assert r["text"].startswith("text body")
+
+    def test_flate_gray_rewraps_lossless_png(self):
+        import numpy as np
+
+        from tika_spark.analysis.pixels import decode_png
+        from tika_spark.pdf.parser import extract_pdf
+        gr = (np.arange(40, dtype=np.uint8).reshape(5, 8) * 6) % 256
+        r = extract_pdf(self._pdf(gray=gr))
+        arr = decode_png(dict(r["children"])["Im1.png"])
+        assert np.array_equal(arr[:, :, 0], gr)
+
+    def test_pdf_without_images_has_no_children(self):
+        from tika_spark.fixtures.pdfgen import make_pdf
+        from tika_spark.pdf.parser import extract_pdf
+        r = extract_pdf(make_pdf([["just text"]]))
+        assert r.get("children", []) == []
+
+    def test_corrupt_image_stream_never_fails_the_page(self):
+        import numpy as np
+
+        from tika_spark.analysis.jpegcodec import jpeg_bytes
+        from tika_spark.pdf.parser import extract_pdf
+        jp = jpeg_bytes(np.full((4, 4, 1), 9, np.uint8))
+        pdf = bytearray(self._pdf(jpeg=jp))
+        # corrupt the image stream's zlib-free JPEG payload region:
+        # truncating bytes inside the stream must degrade to a
+        # smaller/absent child, not an error row
+        i = pdf.find(jp)
+        pdf[i:i + 4] = b"\x00\x00\x00\x00"
+        r = extract_pdf(bytes(pdf))
+        assert r["status"] == "ok"
+        assert r["text"].startswith("text body")

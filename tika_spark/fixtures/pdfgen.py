@@ -451,3 +451,89 @@ def make_pdf_objstm(lines: list[str], *, title: str | None = None) -> bytes:
     emit(7, trailer, b"\x00\x00")
     out.extend(f"startxref\n{xref_pos}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def make_pdf_images(lines: list[str], jpeg: bytes | None = None,
+                    gray=None) -> bytes:
+    """One-page PDF with embedded /XObject raster images: ``jpeg``
+    rides verbatim as a DCTDecode stream (the dominant real-world
+    shape); ``gray`` (h, w) uint8 re-compresses as FlateDecode
+    DeviceGray. The content stream paints both (Do operators) after
+    the text, matching what real generators emit."""
+    import zlib as _z
+
+    import numpy as _np
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    xob = []
+    draw = []
+    if jpeg is not None:
+        # dimensions from the SOF header for honest /Width /Height
+        w = h = 8
+        i = 2
+        while i + 9 < len(jpeg):
+            if jpeg[i] == 0xFF and jpeg[i + 1] in (0xC0, 0xC2):
+                h = int.from_bytes(jpeg[i + 5:i + 7], "big")
+                w = int.from_bytes(jpeg[i + 7:i + 9], "big")
+                break
+            i += 1
+        n = add((f"<< /Type /XObject /Subtype /Image /Width {w} "
+                 f"/Height {h} /ColorSpace /DeviceRGB "
+                 f"/BitsPerComponent 8 /Filter /DCTDecode "
+                 f"/Length {len(jpeg)} >>").encode()
+                + b"\nstream\n" + jpeg + b"\nendstream")
+        xob.append(f"/Im0 {n} 0 R")
+        draw += ["q", f"{w} 0 0 {h} 72 500 cm", "/Im0 Do", "Q"]
+    if gray is not None:
+        arr = _np.asarray(gray, dtype=_np.uint8)
+        h, w = arr.shape[:2]
+        comp = _z.compress(arr.tobytes())
+        n = add((f"<< /Type /XObject /Subtype /Image /Width {w} "
+                 f"/Height {h} /ColorSpace /DeviceGray "
+                 f"/BitsPerComponent 8 /Filter /FlateDecode "
+                 f"/Length {len(comp)} >>").encode()
+                + b"\nstream\n" + comp + b"\nendstream")
+        xob.append(f"/Im1 {n} 0 R")
+        draw += ["q", f"{w} 0 0 {h} 300 500 cm", "/Im1 Do", "Q"]
+
+    ops = ["BT", "/F1 12 Tf", "1 0 0 1 72 720 Tm"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({_esc(line)}) Tj")
+    ops.append("ET")
+    ops.extend(draw)
+    content = "\n".join(ops).encode("latin-1")
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Helvetica >>")
+    content_num = add(b"<< /Length " + str(len(content)).encode()
+                      + b" >>\nstream\n" + content + b"\nendstream")
+    page_num = add((f"<< /Type /Page /Parent {len(objects) + 2} 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Contents {content_num} 0 R "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> "
+                    f"/XObject << {' '.join(xob)} >> >> >>").encode())
+    pages_num = add((f"<< /Type /Pages /Kids [{page_num} 0 R] "
+                     f"/Count 1 >>").encode())
+    catalog_num = add((f"<< /Type /Catalog /Pages {pages_num} 0 R >>"
+                       ).encode())
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    n = len(objects) + 1
+    out += f"xref\n0 {n}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n} /Root {catalog_num} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n").encode()
+    return bytes(out)

@@ -752,6 +752,75 @@ class PdfDocument:
                     continue
         return out
 
+    def page_images(self, page: dict, max_images: int = 32
+                    ) -> list[tuple[str, bytes]]:
+        """Embedded raster images of a page: [(suggested_name,
+        payload)] from the /Resources /XObject dict's /Image
+        entries (the PDFBox route the reference takes —
+        `ExtractImages`/PDF2XHTML embedded-doc emission: every image
+        becomes an embedded document).
+
+        DCTDecode images surface as the embedded JPEG VERBATIM
+        (any preceding filters applied); 8-bit DeviceGray/DeviceRGB
+        raster streams re-wrap losslessly as PNG through the in-repo
+        encoder. Other colorspaces/filters are skipped — embedded
+        images must never fail the page.
+        """
+        out: list[tuple[str, bytes]] = []
+        res = self.resolve(page.get("Resources"))
+        xo = self.resolve(res.get("XObject")) \
+            if isinstance(res, dict) else None
+        if not isinstance(xo, dict):
+            return out
+        for name in sorted(xo, key=str):
+            if len(out) >= max_images:
+                break
+            ref = xo[name]
+            if not isinstance(ref, Ref):
+                continue
+            got = self.objects.get(ref[0])
+            if not got:
+                continue
+            obj, raw = got
+            if not isinstance(obj, dict) or raw is None:
+                continue
+            if str(self.resolve(obj.get("Subtype"))) != "Image":
+                continue
+            try:
+                filters = obj.get("Filter")
+                if isinstance(filters, (Name, str)) and \
+                        not isinstance(filters, list):
+                    filters = [filters]
+                filters = [str(self.resolve(f))
+                           for f in (filters or [])]
+                if filters and filters[-1] == "DCTDecode":
+                    data = self._decode_stream(
+                        {"Filter": filters[:-1]}, raw)
+                    if data:
+                        out.append((f"{name}.jpg", data))
+                    continue
+                data = self._decode_stream(obj, raw)
+                if not data:
+                    continue
+                w = int(self.resolve(obj.get("Width")) or 0)
+                h = int(self.resolve(obj.get("Height")) or 0)
+                bpc = int(self.resolve(
+                    obj.get("BitsPerComponent")) or 0)
+                cs = str(self.resolve(obj.get("ColorSpace")))
+                ch = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+                if bpc != 8 or ch is None or w <= 0 or h <= 0 \
+                        or len(data) < w * h * ch:
+                    continue
+                import numpy as np
+
+                from tika_spark.analysis.pixels import png_bytes
+                arr = np.frombuffer(
+                    data, np.uint8, w * h * ch).reshape(h, w, ch)
+                out.append((f"{name}.png", png_bytes(arr)))
+            except Exception:
+                continue
+        return out
+
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
         if isinstance(contents, Ref) and self.stream_of(contents) is None:
@@ -1005,6 +1074,7 @@ def extract_pdf(data: bytes, url: str | None = None,
     pieces: list[str] = []
     spans: list[tuple[int, int, str]] = []
     links: list[tuple[str, str, str | None, str | None]] = []
+    children: list[tuple[str, bytes]] = []
     pos = 0
     for page in pages:
         try:
@@ -1023,6 +1093,11 @@ def extract_pdf(data: bytes, url: str | None = None,
             page_text = (page_text + "\n" if page_text else "") \
                 + "\n".join(ann_ft)
         links.extend(("annotation", u, None, None) for u in ann_uris)
+        if len(children) < 64:     # doc-level embedded-image budget
+            try:
+                children.extend(doc.page_images(page))
+            except Exception:
+                pass
         # <div class=page><p>text</p></div> -> text + '\n' (p) + '\n' (div)
         pieces.append(page_text)
         pieces.append("\n\n")
@@ -1043,4 +1118,5 @@ def extract_pdf(data: bytes, url: str | None = None,
                  for s, e, k in spans if s < len(text)]
     return {"charset": None, "title": metadata.get("title", [None])[0],
             "text": text, "spans": spans, "links": links,
-            "metadata": metadata, "status": status}
+            "metadata": metadata, "status": status,
+            "children": children[:64]}
