@@ -70,8 +70,15 @@ def main():
     from tika_spark.fixtures.pages import generate_pages_df
     from tika_spark.pipeline.job import extract, lineage_manifest
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    # documents.parquet is a single small file → ONE scan partition;
+    # without an explicit spread every docs-derived mapInPandas stage
+    # (pixel/mp3/video decode) would run on one core and the bench
+    # would measure partitioning, not the codecs (found via the r4
+    # media_mp3_decode artifact: 35.9 s single-core vs ~2 s spread)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(cpus).cache())
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .repartition(cpus).cache())
     n_docs = docs.count()
     emb.count()
 

@@ -524,23 +524,36 @@ def _imdct_granule(x: np.ndarray, block_type: int,
     return out
 
 
+# window coefficients rearranged by V-lag: _DM[m] holds the slice of
+# SYNTH_WINDOW that multiplies V_{t-m} (even lags feed U positions
+# 0-31, odd lags 32-63 — the spec's U-buffer indexing flattened)
+_DM = np.zeros((16, 64))
+for _i in range(8):
+    _DM[2 * _i, :32] = SYNTH_WINDOW[_i * 64:_i * 64 + 32]
+    _DM[2 * _i + 1, 32:] = SYNTH_WINDOW[_i * 64 + 32:_i * 64 + 64]
+
+
 class _Synth:
-    """32-band polyphase synthesis: per time step, 32 subband
-    samples → matrixing V(64) → 16-deep FIFO → U/W window sum →
-    32 PCM samples (ISO §2.4.3.2 structure verbatim)."""
+    """32-band polyphase synthesis: matrixing V(64) per time step,
+    16-deep V history, windowed U/W sum → 32 PCM samples (ISO
+    §2.4.3.2 semantics). Vectorized per GRANULE: all 18 steps'
+    matrixing is one matmul and the FIFO/window sum one
+    sliding-window einsum over the V-lag axis — the per-step
+    np.roll loop was the decode hotspot at corpus rates."""
 
     def __init__(self):
-        self.fifo = np.zeros((16, 64))
+        self.hist = np.zeros((15, 64))     # V_{t-15} … V_{t-1}
 
-    def step(self, s: np.ndarray) -> np.ndarray:
-        self.fifo = np.roll(self.fifo, 1, axis=0)
-        self.fifo[0] = _N_MAT @ s
-        u = np.zeros(512)
-        for i in range(8):
-            u[i * 64:i * 64 + 32] = self.fifo[i * 2][:32]
-            u[i * 64 + 32:i * 64 + 64] = self.fifo[i * 2 + 1][32:]
-        w = u * SYNTH_WINDOW
-        return w.reshape(16, 32).sum(axis=0)
+    def run(self, s: np.ndarray) -> np.ndarray:
+        """(18, 32) subband samples → (576,) PCM floats."""
+        from numpy.lib.stride_tricks import sliding_window_view
+        v_new = s @ _N_MAT.T               # (18, 64)
+        vext = np.vstack([self.hist, v_new])
+        win = sliding_window_view(vext, 16, axis=0)   # (18, 64, 16)
+        # win[k, c, 15-m] = V_{t0+k-m}[c]; sum over lags m
+        contrib = np.einsum("kcm,mc->kc", win[:, :, ::-1], _DM)
+        self.hist = vext[-15:].copy()
+        return (contrib[:, :32] + contrib[:, 32:]).reshape(-1)
 
 
 def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
@@ -616,9 +629,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                 if g["block_type"] != 2:
                     x = _alias_reduce(x)
                 t = _imdct_granule(x, g["block_type"], overlap[ch])
-                for step in range(18):
-                    block[32 * step:32 * (step + 1), ch] = \
-                        synth[ch].step(t[step])
+                block[:, ch] = synth[ch].run(t)
             pcm.append(block)
     out = np.concatenate(pcm, axis=0)
     out = np.clip(np.rint(out * 32768.0), -32768, 32767)
