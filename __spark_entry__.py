@@ -59,7 +59,19 @@ III frames through the from-scratch full decode chain
 (analysis/mp3codec.py — side info, scalefactors, count1 Huffman,
 requantize, IMDCT, polyphase synthesis), closed-form because zero
 spectra stay exactly zero through the linear filterbank while
-frame structure (rate/channels/sample count) must be read right; extract_checkpointed pins the interrupted-then-resumed
+frame structure (rate/channels/sample count) must be read right;
+the round-4 closing pack adds media_audio_features (post-decode
+zero-crossings / dominant-FFT-bin / exact sample sum over
+odd-symmetric sine fixtures), media_video_rle_frames (MS-RLE8, a
+real inter-frame codec whose skip escapes show the previous frame
+through), media_apng_frames (APNG dispose/blend composition — the
+oracle means prove dispose-previous reverts), image_phash (DCT
+perceptual hash with the integer cosine table inlined into SQL),
+docs_bpe_encode (BPE APPLY over the distinct vocabulary with a
+chained-merge fold replay), docs_chunk_overlap (overlapping
+word-window sharding), and extract_pdf_images (PDF /XObject images
+surfaced as recursion children, child detection + header dims
+pinned); extract_checkpointed pins the interrupted-then-resumed
 manifest of the checkpointed batch run (pipeline/checkpoint.py)
 against pure-SQL bucket counts; extract_main_justext replays the
 jusText decision function (html/justext.py) in SQL; the
