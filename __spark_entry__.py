@@ -952,6 +952,64 @@ def _q_media_mp3_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_aac_stats(spark, sf_dir):
+    """From-scratch ADTS AAC-LC full decode, distributed
+    (analysis/aaccodec.py): each row is a genuine multi-frame ADTS
+    stream — varying frame count, SCE/CPE channel elements, sample
+    rate, window sequence (incl. EIGHT_SHORT grouped spectra and
+    KBD window shape), spectral codebook, M/S stereo masks and TNS
+    filters — whose quantized spectra are all zero, so the
+    closed-form oracle is exact (silence survives dequant → TNS →
+    IMDCT → overlap-add bit-exactly) while the decoder must still
+    parse ADTS headers, section/scalefactor data, Huffman spectra
+    and every tool in the chain. Nonzero-spectrum bit-exactness is
+    pinned by tests/test_aac.py against plain-loop references."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.aaccodec import (EIGHT_SHORT,
+                                                  aac_bytes)
+        out = []
+        for i in ids:
+            i = int(i)
+            n_frames = 1 + i % 3
+            nch = 1 + i % 2
+            ws = i % 4
+            if ws == EIGHT_SHORT:
+                spec = [np.zeros(128, dtype=np.int64)] * 8
+            else:
+                spec = np.zeros(1024, dtype=np.int64)
+            tns = None
+            if ws == 0 and i % 5 == 0:       # long windows only
+                tns = [[(49, 2, 0, 0, 1, [1, 2])]]
+            out.append(aac_bytes(
+                [[spec] * nch] * n_frames,
+                rate_index=3 + i % 2,
+                window_sequence=ws,
+                window_shape=1 if i % 3 == 0 else 0,
+                codebook=1 + i % 4,
+                global_gain=100 + i % 20,
+                ms_mask_present=2 if (nch == 2 and i % 3 == 0)
+                else 0,
+                tns_filters=tns))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/x-aac").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_video_rle_frames(spark, sf_dir):
     """INTER-frame video decode (analysis/video.py decode_rle8): the
     MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
@@ -4060,6 +4118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_embed_neardup": _q_docs_embed_neardup,
         "media_pcm_stats": _q_media_pcm_stats,
         "media_mp3_stats": _q_media_mp3_stats,
+        "media_aac_stats": _q_media_aac_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_apng_frames": _q_media_apng_frames,
@@ -4447,6 +4506,19 @@ def oracle_sql() -> dict[str, str]:
             "((1 + doc_id % 4) * 1152)::BIGINT AS n_samples, "
             "((1 + doc_id % 4) * 1152 * 1000 // 44100)::BIGINT "
             "AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
+        "media_aac_stats": (
+            # silent multi-frame ADTS AAC-LC: structure closed-form,
+            # samples exactly zero through the linear tool chain
+            "SELECT doc_id AS id, "
+            "(1 + doc_id % 2)::BIGINT AS n_channels, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END)"
+            "::BIGINT AS sample_rate, "
+            "((1 + doc_id % 3) * 1024)::BIGINT AS n_samples, "
+            "((1 + doc_id % 3) * 1024 * 1000 // "
+            "(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END))"
+            "::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),
         "media_pcm_stats": (

@@ -86,11 +86,14 @@ def real_decode(payload: bytes, media_type: str):
     if media_type in ("audio/mpeg", "audio/mp3"):
         from tika_spark.analysis.mp3codec import decode_mp3
         return decode_mp3(payload)
+    if media_type in ("audio/x-aac", "audio/aac"):
+        from tika_spark.analysis.aaccodec import decode_aac
+        return decode_aac(payload)
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(AAC/Opus samples, inter-frame video) are not installed in "
-        "this environment; decode_media uses the header-parse tier "
-        "below")
+        "(Opus/Vorbis samples, motion-compensated video) are not "
+        "installed in this environment; decode_media uses the "
+        "header-parse tier below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:

@@ -7,8 +7,9 @@ working decoder instead of a stub for the most common uncompressed
 audio format. The G.711 companded telephony formats (μ-law format 7,
 A-law format 6) also decode for real through the classic 256-entry
 expansion tables. MP3 decodes for real through the from-scratch
-Layer III decoder (:mod:`tika_spark.analysis.mp3codec`); the
-remaining perceptual codecs (AAC/Opus) stay behind the
+Layer III decoder (:mod:`tika_spark.analysis.mp3codec`), and ADTS
+AAC-LC through :mod:`tika_spark.analysis.aaccodec`; the remaining
+perceptual codecs (Opus/Vorbis) stay behind the
 NotImplementedError hook.
 
 Stats are exact micro-units over the normalized [-1, 1) signal:
@@ -287,7 +288,7 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
 AUDIO_TYPES = frozenset({
     "audio/wav", "audio/x-wav", "audio/vnd.wave", "audio/flac",
     "audio/x-flac", "audio/basic", "audio/x-aiff", "audio/mpeg",
-    "audio/mp3"})
+    "audio/mp3", "audio/x-aac", "audio/aac"})
 
 
 def decode_audio(payload: bytes, media_type: str
@@ -296,6 +297,9 @@ def decode_audio(payload: bytes, media_type: str
     if media_type in ("audio/mpeg", "audio/mp3"):
         from tika_spark.analysis.mp3codec import decode_mp3
         return decode_mp3(payload)
+    if media_type in ("audio/x-aac", "audio/aac"):
+        from tika_spark.analysis.aaccodec import decode_aac
+        return decode_aac(payload)
     if media_type.endswith("flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)

@@ -878,7 +878,37 @@ def _hdf_meta(data: bytes) -> dict[str, list[str]]:
     return {}
 
 
+def _adts_meta(data: bytes) -> dict[str, list[str]]:
+    """ADTS AAC: sample rate, channels, frame count → duration
+    (1024 samples per raw data block)."""
+    from tika_spark.analysis.aaccodec import parse_adts_header
+    pos = 0
+    first = None
+    n_blocks = 0
+    while pos + 7 <= len(data):
+        hdr = parse_adts_header(data, pos)
+        if hdr is None:
+            if first is None:
+                pos += 1
+                continue
+            break
+        if first is None:
+            first = hdr
+        n_blocks += hdr["n_blocks"]
+        pos += hdr["frame_length"]
+    if first is None:
+        return {}
+    meta = {"samplerate": [str(first["rate"])],
+            "channels": [str(first["channel_config"])]}
+    if n_blocks:
+        meta["xmpDM:duration"] = [
+            f"{n_blocks * 1024 / first['rate']:.2f}"]
+    return meta
+
+
 _META_BY_MIME = {
+    "audio/x-aac": _adts_meta,
+    "audio/aac": _adts_meta,
     "audio/midi": _midi_meta,
     "audio/x-aiff": _aiff_meta,
     "audio/basic": _au_meta,

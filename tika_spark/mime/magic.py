@@ -82,6 +82,9 @@ MAGIC_RULES: list[MagicRule] = [
        Clause(0, 0, b"true\x00"), Clause(0, 0, b"OTTO")),
     _m("audio/mpeg", 50, Clause(0, 0, b"ID3"),
        Clause(0, 0, b"\xff\xfb"), Clause(0, 0, b"\xff\xfa")),
+    # ADTS AAC: 0xFFF sync with layer bits 00 (masked — MP3 frames
+    # have layer 01, so \xff\xfa/\xfb never land here)
+    _m("audio/x-aac", 50, Clause(0, 0, b"\xff\xf0", mask=b"\xff\xf6")),
     _m("application/x-tika-msoffice", 45,
        Clause(0, 0, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1")),
     # CHM help file: "ITSF" + version 3 LE (tika-mimetypes.xml

@@ -70,6 +70,7 @@ ROUTE_TABLE = {
     "video/x-flv": "media",
     "application/java-vm": "media",
     "audio/mpeg": "media",
+    "audio/x-aac": "media",
     # widened web set: metadata-only media rows (format named, no body
     # text — what the reference's parser-less types produce)
     "video/mp4": "media",
