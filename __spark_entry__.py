@@ -1038,6 +1038,36 @@ def _q_media_video_rle_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_msvc_frames(spark, sf_dir):
+    """MS Video 1 (CRAM) inter-frame decode (analysis/video.py
+    decode_msvc) at BOTH pixel depths: even rows 8-bpp palettized,
+    odd rows 16-bpp RGB555. Frame 1 skips half the blocks (previous
+    frame shows through) and frame 2 paints one 8-color block then
+    skips the rest, so the sampled frame-2 mean proves the whole
+    composition chain — closed forms in video_msvc_fixture's
+    docstring. Exercises 1-color, 2-color, 8-color quadrant pairs
+    and multi-block skip codes."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import (sample_frame_stats,
+                                           video_msvc_fixture)
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([video_msvc_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_apng_frames(spark, sf_dir):
     """APNG (animated PNG) frame compositing (pixels.apng_frames):
     acTL/fcTL/fdAT parse, per-frame sub-rectangle zlib+unfilter,
@@ -4121,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_aac_stats": _q_media_aac_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
+        "media_msvc_frames": _q_media_msvc_frames,
         "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_pdf_images": _q_extract_pdf_images,
@@ -4480,6 +4511,34 @@ def oracle_sql() -> dict[str, str]:
             "ELSE ((4 * w * (v0 + v1) - 4 * v1 + 4 * v2) * 1000000 "
             "+ 4 * w) // (8 * w) END AS mean_gray "
             "FROM p, (VALUES (0), (2)) f(frame_idx)"),
+        "media_msvc_frames": (
+            # video_msvc_fixture closed forms; E(v) = 8v + v//4 is
+            # the RGB555 5→8-bit expand; frame 2 composes onto the
+            # skip-half frame 1 (sum1) minus block 0's old 16·e0
+            # plus the 8-color block's 2·Σq
+            "WITH p AS (SELECT doc_id, 16 + 4 * (doc_id % 3) AS w, "
+            "CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 "
+            "ELSE 8 * (2 + doc_id % 30) + (2 + doc_id % 30) // 4 "
+            "END AS e0, "
+            "CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 + 31) % 128 "
+            "ELSE 8 * ((doc_id * 3 + 7) % 32) "
+            "+ ((doc_id * 3 + 7) % 32) // 4 END AS e1, "
+            "CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13 + 5) % 256 "
+            "ELSE 8 * ((doc_id * 11 + 5) % 32) "
+            "+ ((doc_id * 11 + 5) % 32) // 4 END AS e2, "
+            "CASE WHEN doc_id % 2 = 0 "
+            "THEN 8 * (128 + 4 * (doc_id % 28)) + 28 "
+            "ELSE 264 * (doc_id % 7) + 228 END AS sq "
+            "FROM documents), "
+            "q AS (SELECT *, 16 * e0 * (w // 4) "
+            "+ 8 * (e1 + e2) * (w // 2 - w // 4) AS sum1 FROM p) "
+            "SELECT doc_id AS id, CAST(f.frame_idx AS INT) "
+            "AS frame_idx, CAST(3 AS INT) AS n_frames, "
+            "w::BIGINT AS width, CAST(8 AS BIGINT) AS height, "
+            "CASE f.frame_idx WHEN 0 THEN e0 * 1000000 "
+            "ELSE ((sum1 - 16 * e0 + 2 * sq) * 1000000 + 4 * w) "
+            "// (8 * w) END AS mean_gray "
+            "FROM q, (VALUES (0), (2)) f(frame_idx)"),
         "media_audio_features": (
             # sine fixtures: k odd cycles over 2048 samples →
             # 2k-1 strict sign changes (last zero beyond the final

@@ -312,3 +312,120 @@ class TestApng:
                for r in sample_frame_stats(df, every=1).collect()}
         assert got[(2, 0)].mean_micro[0] == 2_000_000
         assert got[(2, 1)].mean_micro[0] == 253_000_000
+
+
+class TestMsvc:
+    """MS Video 1 (CRAM) inter-frame codec at 8 and 16 bpp."""
+
+    def test_single_bit_lands_bottom_left(self):
+        import struct
+
+        import numpy as np
+
+        from tika_spark.analysis.video import decode_msvc
+        # 8x8 = 4 blocks; block 0 gets mask bit 0 only → exactly the
+        # bottom-left pixel of the frame takes color0, the other 15
+        # take color1; remaining blocks 1-color 0
+        data = struct.pack("<H", 1) + bytes((7, 9)) \
+            + bytes((0, 0x88)) * 3
+        out = decode_msvc(data, 8, 8, 8)
+        assert out[7, 0] == 7                 # bit 0 = bottom-left
+        blk = out[4:8, 0:4]
+        assert int((blk == 9).sum()) == 15
+        assert not out[0:4].any() and not out[4:8, 4:8].any()
+
+    def test_bit15_is_unreachable(self):
+        # mask words are < 0x8000 by construction: the top-right
+        # pixel of a 2-color block (bit 15) always takes color1
+        import struct
+
+        from tika_spark.analysis.video import decode_msvc
+        data = struct.pack("<H", 0x7FFF) + bytes((7, 9)) \
+            + bytes((0, 0x88)) * 3
+        out = decode_msvc(data, 8, 8, 8)
+        assert out[4, 3] == 9                 # bit 15: forced color1
+        assert int((out[4:8, 0:4] == 7).sum()) == 15
+
+    def test_skip_code_shows_previous(self):
+        import numpy as np
+
+        from tika_spark.analysis.video import decode_msvc
+        prev = np.full((8, 8), 42, dtype=np.uint8)
+        # skip 3 blocks starting at block 0, then 1-color 9
+        data = bytes((3, 0x84)) + bytes((9, 0x88))
+        out = decode_msvc(data, 8, 8, 8, prev)
+        assert (out[4:8] == 42).all()         # bottom block row
+        assert (out[0:4, 0:4] == 42).all()
+        assert (out[0:4, 4:8] == 9).all()     # block 3 = top-right
+
+    def test_eight_color_quadrants(self):
+        import struct
+
+        from tika_spark.analysis.video import decode_msvc
+        # one 4x4 frame, mask 0 → every pixel takes color1 of its
+        # quadrant pair; q0 carries the 0x80 flag
+        data = struct.pack("<H", 0) + bytes((0x80, 1, 2, 3, 4, 5, 6, 7))
+        out = decode_msvc(data, 4, 4, 8)
+        assert out[3, 0] == 1 and out[3, 2] == 3   # bottom-l/r pairs
+        assert out[1, 0] == 5 and out[1, 2] == 7   # top-l/r pairs
+
+    def test_16bpp_one_color_and_expand(self):
+        import struct
+
+        from tika_spark.analysis.video import (decode_msvc,
+                                               rgb555_expand)
+        word = 0x8000 | (5 << 10) | (20 << 5) | 31
+        out = decode_msvc(struct.pack("<H", word), 4, 4, 16)
+        rgb = rgb555_expand(out)
+        assert rgb[0, 0].tolist() == [41, 165, 255]  # (c<<3)|(c>>2)
+
+    def test_truncation_and_overrun_raise(self):
+        import struct
+
+        import pytest
+
+        from tika_spark.analysis.video import decode_msvc
+        with pytest.raises(ValueError):
+            decode_msvc(b"\x55", 4, 4, 8)             # short word
+        with pytest.raises(ValueError):
+            decode_msvc(struct.pack("<H", 0x55), 4, 4, 8)  # no colors
+        with pytest.raises(ValueError):
+            decode_msvc(bytes((9, 0x84)), 8, 8, 8)    # skip overrun
+        with pytest.raises(ValueError):
+            decode_msvc(b"", 6, 4, 8)                 # bad width
+
+    def test_demux_composites_chain(self):
+        from tika_spark.analysis.pixels import channel_means_micro
+        from tika_spark.analysis.video import (_demux,
+                                               video_msvc_fixture)
+        for doc_id in (0, 1, 2, 3):
+            kind, frames = _demux(video_msvc_fixture(doc_id))
+            assert kind == "raw" and len(frames) == 3
+            m = [channel_means_micro(f) for f in frames]
+            assert m[0][0] == m[0][1] == m[0][2]  # gray fixtures
+            assert m[1][0] != m[0][0]             # composition moved
+
+    def test_operator_samples_msvc(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BinaryType
+
+        from tika_spark.analysis.video import (sample_frame_stats,
+                                               video_msvc_fixture)
+
+        @pandas_udf(BinaryType())
+        def wrap(ids: pd.Series) -> pd.Series:
+            return pd.Series([video_msvc_fixture(int(i))
+                              for i in ids])
+
+        df = spark.range(4).select(
+            F.col("id"), wrap(F.col("id")).alias("payload"))
+        got = {(r.id, r.frame_idx): r
+               for r in sample_frame_stats(df, every=2).collect()}
+        assert got[(0, 0)].mean_micro[0] == 0       # v0 = 0
+        assert got[(2, 0)].mean_micro[0] == 2_000_000
+        # odd id 1: 16 bpp, a0 = 3 → E(3) = 24
+        assert got[(1, 0)].mean_micro[0] == 24_000_000
+        for k in got.values():
+            assert k.status == "ok" and k.n_frames == 3

@@ -10,10 +10,12 @@ row per sampled frame, errors as status rows (H1 fault isolation).
 MJPEG (Motion JPEG) is the one mainstream video codec whose frames
 are plain JPEG images, so the full pipeline — container demux, frame
 selection, pixel decode, per-frame stats — runs with zero external
-codec libraries. The MS-RLE8 codec (:func:`decode_rle8`) adds a
-real INTER-frame path: its skip escapes show the previous frame
-through, so frames compose across the chain exactly like the GIF
-disposal rules. Transform-coded inter-frame codecs (H.264 etc.)
+codec libraries. Two codecs add real INTER-frame paths: MS-RLE8
+(:func:`decode_rle8`), whose skip escapes show the previous frame
+through, and MS Video 1 / CRAM (:func:`decode_msvc`, 8 and 16 bpp),
+whose multi-block skip codes do the same over 4×4 vector-quantized
+blocks — frames compose across the chain exactly like the GIF
+disposal rules. Motion-compensated transform codecs (H.264 etc.)
 remain the documented ``NotImplementedError`` hook in
 multimodal.real_decode.
 
@@ -215,9 +217,182 @@ def avi_rle8_bytes(frames_rle: list[bytes], width: int, height: int,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+# ------------------------------------------- MS Video 1 (inter-frame)
+
+_MSVC_FOURCCS = (struct.unpack("<I", b"CRAM")[0],
+                 struct.unpack("<I", b"MSVC")[0],
+                 struct.unpack("<I", b"WHAM")[0])
+
+
+def decode_msvc(data: bytes, width: int, height: int, bpp: int,
+                prev: np.ndarray | None = None) -> np.ndarray:
+    """Decode one MS Video 1 ('CRAM'/'MSVC') frame onto the
+    previous frame's pixels.
+
+    The codec tiles the frame into 4×4 blocks ordered left→right
+    starting from the BOTTOM block row (BMP heritage). Each block
+    starts with a little-endian code word (b_lo, b_hi):
+
+      * ``(b_hi & 0xFC) == 0x84`` — skip code: this block and the
+        next ``(word − 0x8400) − 1`` blocks keep the previous
+        frame's pixels (the genuinely inter-frame path);
+      * ``b_hi < 0x80`` — the word is a 15-bit pixel mask (bit 0 =
+        bottom-left pixel, rows bottom-up, columns left→right;
+        bit 15 is unreachable by construction — a real quirk of the
+        format). Two colors follow (bytes at 8 bpp, RGB555 words at
+        16 bpp). If color 0 carries the high flag bit
+        (0x80 / 0x8000) the block is 8-color: three more color
+        PAIRS follow and each 2×2 quadrant uses its own pair
+        (order: bottom-left, bottom-right, top-left, top-right);
+        otherwise 2-color for the whole block. Mask bit 1 selects
+        color 0 of the pair, bit 0 selects color 1;
+      * otherwise — 1-color block: at 8 bpp the color is ``b_lo``;
+        at 16 bpp the code word itself is the color (high bit set).
+
+    At 8 bpp the canvas holds palette indices (h, w) uint8; at
+    16 bpp raw RGB555 words (h, w) uint16 (bit 15 of stored colors
+    rides along as in the on-disk format; :func:`rgb555_expand`
+    masks it). Returns the composited canvas; raises ValueError on
+    truncation, bad dimensions, or stream overrun.
+
+    Semantics follow the public format description (MSDN
+    "Video 1 Compression"; Multimedia Wiki "Microsoft Video 1") —
+    implementation from scratch."""
+    if width % 4 or height % 4:
+        raise ValueError("MS Video 1 needs multiple-of-4 dimensions")
+    if bpp not in (8, 16):
+        raise ValueError("MS Video 1 is 8 or 16 bpp")
+    dt = np.uint8 if bpp == 8 else np.uint16
+    cur = (prev.copy() if prev is not None
+           else np.zeros((height, width), dtype=dt))
+    if cur.shape != (height, width) or cur.dtype != dt:
+        raise ValueError("previous-frame shape mismatch")
+    bw, bh = width // 4, height // 4
+    n_blocks = bw * bh
+    # bit i of a mask → (row-from-bottom, col) inside the block
+    yy, xx = np.divmod(np.arange(16), 4)
+    i = 0
+    skip = 0
+    for b in range(n_blocks):
+        if skip:
+            skip -= 1
+            continue
+        if i + 2 > len(data):
+            raise ValueError("truncated MS Video 1 stream")
+        lo, hi = data[i], data[i + 1]
+        i += 2
+        if (hi & 0xFC) == 0x84:
+            skip = ((hi - 0x84) << 8 | lo) - 1
+            if skip < 0 or b + skip >= n_blocks:
+                raise ValueError("MS Video 1 skip overruns")
+            continue
+        by, bx = divmod(b, bw)
+        rows = height - 1 - (4 * by + yy)      # bottom-up placement
+        cols = 4 * bx + xx
+        if hi < 0x80:                          # 2- or 8-color
+            mask = hi << 8 | lo
+            if bpp == 8:
+                if i + 2 > len(data):
+                    raise ValueError("truncated MS Video 1 colors")
+                c0, c1 = data[i], data[i + 1]
+                i += 2
+                eight = bool(c0 & 0x80)
+                colors = [c0, c1]
+                if eight:
+                    if i + 6 > len(data):
+                        raise ValueError(
+                            "truncated MS Video 1 8-color block")
+                    colors += list(data[i:i + 6])
+                    i += 6
+            else:
+                if i + 4 > len(data):
+                    raise ValueError("truncated MS Video 1 colors")
+                c0, c1 = struct.unpack_from("<HH", data, i)
+                i += 4
+                eight = bool(c0 & 0x8000)
+                colors = [c0, c1]
+                if eight:
+                    if i + 12 > len(data):
+                        raise ValueError(
+                            "truncated MS Video 1 8-color block")
+                    colors += list(
+                        struct.unpack_from("<6H", data, i))
+                    i += 12
+            colors = np.asarray(colors, dtype=dt)
+            bits = (mask >> np.arange(16)) & 1
+            if eight:
+                # quadrant pair: (row-from-bottom ≥ 2)*4 + (col ≥ 2)*2
+                pair = ((yy & 2) << 1) + (xx & 2)
+                idx = pair + (1 - bits)
+            else:
+                idx = 1 - bits
+            cur[rows, cols] = colors[idx]
+        else:                                  # 1-color
+            cur[rows, cols] = lo if bpp == 8 else (hi << 8 | lo)
+    return cur
+
+
+def rgb555_expand(canvas: np.ndarray) -> np.ndarray:
+    """(h, w) uint16 RGB555 → (h, w, 3) uint8 RGB via the exact
+    5→8-bit replication expand c8 = (c5 << 3) | (c5 >> 2); bit 15
+    (the 8-color flag riding on stored colors) is masked off."""
+    v = canvas.astype(np.uint16) & 0x7FFF
+    out = np.empty(canvas.shape + (3,), dtype=np.uint8)
+    for ch, shift in enumerate((10, 5, 0)):
+        c5 = (v >> shift) & 0x1F
+        out[..., ch] = ((c5 << 3) | (c5 >> 2)).astype(np.uint8)
+    return out
+
+
+def avi_msvc_bytes(frames_cram: list[bytes], width: int, height: int,
+                   bpp: int = 8, palette: np.ndarray | None = None,
+                   fps: int = 25) -> bytes:
+    """Fixture builder: AVI RIFF around raw MS Video 1 frame
+    payloads — 'CRAM' stream handler and biCompression, 8 bpp
+    (256-entry BGRX palette in strf) or 16 bpp RGB555."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    n = len(frames_cram)
+    max_bytes = max((len(f) for f in frames_cram), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // max(fps, 1),
+        max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"CRAM", 0, 0, 0, 0,
+        1, fps, 0, n, max_bytes, 0xFFFFFFFF, 0, 0, 0, width, height)
+    pal_bytes = b""
+    n_colors = 0
+    if bpp == 8:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.shape != (256, 3):
+            raise ValueError("palette must be (256, 3)")
+        quads = np.zeros((256, 4), dtype=np.uint8)
+        quads[:, 0] = pal[:, 2]
+        quads[:, 1] = pal[:, 1]
+        quads[:, 2] = pal[:, 0]
+        pal_bytes = quads.tobytes()
+        n_colors = 256
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, bpp,
+                       b"CRAM", width * height * bpp // 8, 0, 0,
+                       n_colors, 0) + pal_bytes
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f)
+                                 for f in frames_cram))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _avi_strf(data: bytes):
-    """(biCompression, width, height, palette|None) from the first
-    video strf chunk, or None when absent/unparseable."""
+    """(biCompression, width, height, bpp, palette|None) from the
+    first video strf chunk, or None when absent/unparseable."""
     pos = data.find(b"strf")
     if pos < 0 or pos + 8 > len(data):
         return None
@@ -233,7 +408,7 @@ def _avi_strf(data: bytes):
         quads = quads.reshape(256, 4)
         pal = np.stack([quads[:, 2], quads[:, 1], quads[:, 0]],
                        axis=1)       # BGRX → RGB
-    return comp, w, abs(h), pal
+    return comp, w, abs(h), bpp, pal
 
 
 # -------------------------------------------------------------- operator
@@ -245,7 +420,7 @@ def _demux(payload: bytes):
         strf = _avi_strf(payload)
         frames = avi_frames(payload)
         if strf is not None and strf[0] == 1:      # BI_RLE8
-            comp, w, h, pal = strf
+            comp, w, h, bpp, pal = strf
             if pal is None:
                 raise ValueError("RLE8 stream without a palette")
             out = []
@@ -253,6 +428,17 @@ def _demux(payload: bytes):
             for f in frames:
                 prev = decode_rle8(f, w, h, prev)
                 out.append(pal[prev])              # composited RGB
+            return "raw", out
+        if strf is not None and strf[0] in _MSVC_FOURCCS:
+            comp, w, h, bpp, pal = strf
+            if bpp == 8 and pal is None:
+                raise ValueError("8-bpp CRAM stream without a palette")
+            out = []
+            prev = None
+            for f in frames:
+                prev = decode_msvc(f, w, h, bpp, prev)
+                out.append(pal[prev] if bpp == 8
+                           else rgb555_expand(prev))
             return "raw", out
         return "jpeg", frames
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -340,6 +526,57 @@ def video_rle_fixture(doc_id: int) -> bytes:
     pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3,
                     axis=1)
     return avi_rle8_bytes([key, half, delta], w, h, pal)
+
+
+def video_msvc_fixture(doc_id: int) -> bytes:
+    """Deterministic inter-frame MS Video 1 AVI per document row,
+    built to a closed form the oracle replays in SQL. Even ids:
+    8 bpp over a grayscale identity palette; odd ids: 16 bpp RGB555
+    gray words (5-bit v expands to E(v) = 8v + v//4). With
+    w = 16 + 4·(doc_id%3), h = 8, nb = w/2 blocks, S = w/4:
+
+      frame 0  every block 1-color v0 → mean exactly v0 (or E(a0))
+      frame 1  skip code over the first S blocks (previous frame
+               shows through), remaining nb−S blocks 2-color with
+               mask 0x5555 (8 px each color)
+      frame 2  block 0 becomes an 8-color block (mask 0x5555 → two
+               pixels of each of q0..q7), then one skip code covers
+               the other nb−1 blocks — so its mean PROVES the
+               frame-1 composition persisted
+
+    Exercises every MS Video 1 construct: 1-color, 2-color,
+    8-color quadrant pairs, and multi-block skip codes at both
+    pixel depths."""
+    w, h = 16 + 4 * (doc_id % 3), 8
+    nb, s = w // 2, w // 4
+    if doc_id % 2 == 0:                    # 8 bpp, palettized
+        v0 = doc_id % 256
+        v1 = (doc_id * 7 + 31) % 128       # color0 of a pair: bit7
+        v3 = 128 + 4 * (doc_id % 28)       # clear; q0 needs bit7 SET
+        v2 = (doc_id * 13 + 5) % 256
+        f0 = bytes((v0, 0x88)) * nb
+        f1 = bytes((s & 0xFF, 0x84)) \
+            + bytes((0x55, 0x55, v1, v2)) * (nb - s)
+        f2 = bytes((0x55, 0x55)) + bytes(range(v3, v3 + 8)) \
+            + bytes(((nb - 1) & 0xFF, 0x84))
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3,
+                        axis=1)
+        return avi_msvc_bytes([f0, f1, f2], w, h, bpp=8, palette=pal)
+    a0 = 2 + doc_id % 30                   # 1-color word must dodge
+    a1 = (doc_id * 3 + 7) % 32             # the 0x84xx skip range
+    a2 = (doc_id * 11 + 5) % 32            # (only v=1 collides)
+    a3 = 4 * (doc_id % 7)                  # q0..q7 = a3..a3+7 ≤ 31
+
+    def gray(v: int, flag: int = 0) -> bytes:
+        return struct.pack("<H", flag | (v << 10) | (v << 5) | v)
+
+    f0 = gray(a0, 0x8000) * nb
+    f1 = bytes((s & 0xFF, 0x84)) \
+        + (bytes((0x55, 0x55)) + gray(a1) + gray(a2)) * (nb - s)
+    f2 = bytes((0x55, 0x55)) + gray(a3, 0x8000) \
+        + b"".join(gray(a3 + k) for k in range(1, 8)) \
+        + bytes(((nb - 1) & 0xFF, 0x84))
+    return avi_msvc_bytes([f0, f1, f2], w, h, bpp=16)
 
 
 def video_fixture(doc_id: int) -> bytes:
