@@ -201,7 +201,8 @@ def test_audio_pcm_stats_operator(spark):
     rows = [(1, wav_bytes(wave, 8000), "audio/wav"),
             (2, b"corrupt", "audio/wav"),
             (3, b"\x00", "audio/mpeg"),    # mp3 routed now: bad=error
-            (4, b"\x00", "audio/aac")]
+            (4, b"\x00", "audio/aac"),     # aac routed now: bad=error
+            (5, b"\x00", "audio/opus")]
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     out = {r["id"]: r for r in audio_pcm_stats(df).collect()}
@@ -209,7 +210,8 @@ def test_audio_pcm_stats_operator(spark):
     assert out[1]["rms_micro"] == out[1]["peak_micro"]
     assert out[2]["status"] == "error"
     assert out[3]["status"] == "error"
-    assert out[4]["status"] == "unsupported"
+    assert out[4]["status"] == "error"
+    assert out[5]["status"] == "unsupported"
 
 
 def test_real_decode_hook_wav():
