@@ -1068,6 +1068,38 @@ def _q_media_msvc_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_mpeg1_frames(spark, sf_dir):
+    """Motion-compensated MPEG-1 video decode (analysis/mpegvideo.py
+    decode_mpeg1): a real ISO/IEC 11172-2 I/P elementary stream per
+    row — intra DCT macroblocks with predicted DC, a P-picture
+    composing forward full-pel motion (+2 / -2), a skipped
+    macroblock, and a second P-picture with an intra refresh plus
+    differential vectors over the COMPOSED frame 1, so the sampled
+    frame-2 mean proves the whole motion-compensation chain.
+    Chroma stays flat 128 (YCbCr output), pinning the 4:2:0 path.
+    Closed forms in mpeg1_fixture's docstring."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.mpegvideo import mpeg1_fixture
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([mpeg1_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_y"),
+        F.get("mean_micro", 1).alias("mean_cb"))
+
+
 def _q_media_apng_frames(spark, sf_dir):
     """APNG (animated PNG) frame compositing (pixels.apng_frames):
     acTL/fcTL/fdAT parse, per-frame sub-rectangle zlib+unfilter,
@@ -4152,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_msvc_frames": _q_media_msvc_frames,
+        "media_mpeg1_frames": _q_media_mpeg1_frames,
         "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_pdf_images": _q_extract_pdf_images,
@@ -4539,6 +4572,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE ((sum1 - 16 * e0 + 2 * sq) * 1000000 + 4 * w) "
             "// (8 * w) END AS mean_gray "
             "FROM q, (VALUES (0), (2)) f(frame_idx)"),
+        "media_mpeg1_frames": (
+            # mpeg1_fixture closed forms: frame 0 three flat intra
+            # MBs; frame 2 = intra v3 | all-v1 (MC over composed
+            # frame 1) | 3·v1 + 13·v2 columns; chroma flat 128
+            "WITH p AS (SELECT doc_id, 16 + doc_id % 224 AS v0, "
+            "16 + (doc_id * 7 + 31) % 224 AS v1, "
+            "16 + (doc_id * 13 + 5) % 224 AS v2, "
+            "16 + (doc_id * 11 + 3) % 224 AS v3 FROM documents) "
+            "SELECT doc_id AS id, CAST(f.frame_idx AS INT) "
+            "AS frame_idx, CAST(3 AS INT) AS n_frames, "
+            "CAST(48 AS BIGINT) AS width, CAST(16 AS BIGINT) "
+            "AS height, "
+            "CASE f.frame_idx WHEN 0 "
+            "THEN (256 * (v0 + v1 + v2) * 1000000 + 384) // 768 "
+            "ELSE (16 * (16 * v3 + 19 * v1 + 13 * v2) * 1000000 "
+            "+ 384) // 768 END AS mean_y, "
+            "128000000 AS mean_cb "
+            "FROM p, (VALUES (0), (2)) f(frame_idx)"),
         "media_audio_features": (
             # sine fixtures: k odd cycles over 2048 samples →
             # 2k-1 strict sign changes (last zero beyond the final

@@ -1,0 +1,712 @@
+"""From-scratch MPEG-1 video (ISO/IEC 11172-2) I/P-frame decoder.
+
+Closes the documented motion-compensated-video hook with a real
+transform codec: sequence/GOP/picture/slice/macroblock/block layer
+parsing, intra DCT blocks (predicted DC + run/level AC), forward
+motion compensation with full- and half-pel interpolation,
+differential motion-vector reconstruction with the spec's modular
+wraparound, skipped-macroblock copy, and quantizer-scale updates.
+B-pictures (bidirectional references) raise a clean ValueError and
+remain the documented hook — a P-only "low delay" stream is common
+in practice and every motion-compensation mechanism is exercised.
+
+Provenance: written from the public ISO/IEC 11172-2 specification
+structure (widely documented — see also the MPEG-1 overview
+literature). The Annex B Huffman tables are reproduced here from
+well-known public data; the entries the fixture encoder emits
+(address increments 1..15 + escape, motion codes |m| <= 3, DC size
+codes, run/level escape coding, EOB) are the thoroughly
+cross-checked core, and :func:`mpeg1_bytes` restricts itself to
+them, so encoder/decoder self-consistency plus the spec's layer
+structure carries correctness end to end (the same discipline as
+analysis/mp3codec.py and analysis/aaccodec.py). Reference parity
+note: the reference's video coverage is metadata-only
+(video/FLVParser.java, mp4/MP4Parser.java) — sample decode is the
+pipeline extension, not a port.
+
+Output frames are (h, w, 3) uint8 in YCbCr (Y, Cb, Cr) with the
+4:2:0 chroma replicated 2x2 — channel statistics downstream are
+taken in the coded color space to stay bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tika_spark.analysis.flac import _Bits, _BitWriter
+from tika_spark.analysis.jpegcodec import _C, ZIGZAG
+
+
+class MpegError(ValueError):
+    pass
+
+
+PIC_I, PIC_P, PIC_B = 1, 2, 3
+
+# ---------------------------------------------------------- VLC data
+# Annex B Table B.1: macroblock_address_increment. Keys are bitstring
+# codes; the 1..15 region plus MACROBLOCK_ESCAPE is the verified core
+# the fixture encoder uses.
+MBA_VLC: dict[str, int] = {
+    "1": 1, "011": 2, "010": 3, "0011": 4, "0010": 5,
+    "00011": 6, "00010": 7, "0000111": 8, "0000110": 9,
+    "00001011": 10, "00001010": 11, "00001001": 12, "00001000": 13,
+    "00000111": 14, "00000110": 15,
+    "0000010111": 16, "0000010110": 17, "0000010101": 18,
+    "0000010100": 19, "0000010011": 20, "0000010010": 21,
+    "00000100011": 22, "00000100010": 23, "00000100001": 24,
+    "00000100000": 25, "00000011111": 26, "00000011110": 27,
+    "00000011101": 28, "00000011100": 29, "00000011011": 30,
+    "00000011010": 31, "00000011001": 32, "00000011000": 33,
+}
+MBA_ESCAPE = "00000001000"           # adds 33, then read another code
+MBA_STUFFING = "00000001111"         # discarded
+_MBA_FULL: dict[str, object] = {**MBA_VLC, MBA_ESCAPE: "esc",
+                                MBA_STUFFING: "stuff"}
+
+# Table B.4 motion_code shares B.1's code structure: magnitude m maps
+# to the B.1 pair (2m, 2m+1) with the trailing bit as the sign
+# (0 = positive). Deriving it keeps one verified table as the source.
+MOTION_VLC: dict[str, int] = {"1": 0}
+for _code, _v in MBA_VLC.items():
+    if _v >= 2:
+        MOTION_VLC[_code] = (_v // 2) if _v % 2 else -(_v // 2)
+
+# Table B.2a/B.2b macroblock_type → (quant, motion_fwd, pattern, intra)
+MB_TYPE_I = {"1": (0, 0, 0, 1), "01": (1, 0, 0, 1)}
+MB_TYPE_P = {
+    "1": (0, 1, 1, 0), "01": (0, 0, 1, 0), "001": (0, 1, 0, 0),
+    "00011": (0, 0, 0, 1), "00010": (1, 1, 1, 0),
+    "00001": (1, 0, 1, 0), "000001": (1, 0, 0, 1),
+}
+
+# Table B.3 coded_block_pattern (cbp bit 32 = luma block 0 … bit 1 =
+# Cr). Fixtures only emit {60, 4, 8, 16, 32}; the long tail is
+# best-effort public data.
+CBP_VLC: dict[str, int] = {
+    "111": 60, "1101": 4, "1100": 8, "1011": 16, "1010": 32,
+    "10011": 12, "10010": 48, "10001": 20, "10000": 40,
+    "01111": 28, "01110": 44, "01101": 52, "01100": 56,
+    "01011": 1, "01010": 61, "01001": 2, "01000": 62,
+    "001111": 24, "001110": 36, "001101": 3, "001100": 63,
+    "0010111": 5, "0010110": 9, "0010101": 17, "0010100": 33,
+    "0010011": 6, "0010010": 10, "0010001": 18, "0010000": 34,
+    "00011111": 7, "00011110": 11, "00011101": 19, "00011100": 35,
+    "00011011": 13, "00011010": 49, "00011001": 21, "00011000": 41,
+    "00010111": 14, "00010110": 50, "00010101": 22, "00010100": 42,
+    "00010011": 15, "00010010": 51, "00010001": 23, "00010000": 43,
+    "00001111": 25, "00001110": 37, "00001101": 26, "00001100": 38,
+    "00001011": 29, "00001010": 45, "00001001": 53, "00001000": 57,
+    "00000111": 30, "00000110": 46, "00000101": 54, "00000100": 58,
+    "000000111": 31, "000000110": 47, "000000101": 55,
+    "000000100": 59,
+}
+
+# Tables B.5a/B.5b: dct_dc_size
+DC_LUMA_VLC = {"100": 0, "00": 1, "01": 2, "101": 3, "110": 4,
+               "1110": 5, "11110": 6, "111110": 7, "1111110": 8}
+DC_CHROMA_VLC = {"00": 0, "01": 1, "10": 2, "110": 3, "1110": 4,
+                 "11110": 5, "111110": 6, "1111110": 7,
+                 "11111110": 8}
+
+# Table B.5c dct_coeff run/level core (sign bit follows each code;
+# '1' is run 0 level 1 only for the FIRST coefficient of a block,
+# '11' thereafter). Escape coding covers everything else.
+DCT_VLC = {
+    "11": (0, 1), "011": (1, 1), "0100": (0, 2), "0101": (2, 1),
+    "00101": (0, 3), "00111": (3, 1), "00110": (4, 1),
+    "000110": (1, 2), "000111": (5, 1), "000101": (6, 1),
+    "000100": (7, 1),
+    "0000110": (0, 4), "0000100": (2, 2), "0000111": (8, 1),
+    "0000101": (9, 1),
+}
+DCT_EOB = "10"
+DCT_ESCAPE = "000001"
+
+# Default intra quantizer matrix (spec §2.4.3.3.1, raster order).
+# Fixture streams always LOAD explicit matrices, so oracle
+# correctness never rides on this constant.
+DEFAULT_INTRA_Q = np.array([
+    8, 16, 19, 22, 26, 27, 29, 34,
+    16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69,
+    27, 29, 35, 38, 46, 56, 69, 83], dtype=np.int64)
+DEFAULT_NONINTRA_Q = np.full(64, 16, dtype=np.int64)
+
+
+def _read_vlc(bits: _Bits, table: dict[str, object], what: str,
+              max_len: int = 12):
+    code = ""
+    for _ in range(max_len):
+        code += "1" if bits.read(1) else "0"
+        v = table.get(code)
+        if v is not None:
+            return v, code
+    raise MpegError(f"bad {what} VLC: {code!r}")
+
+
+# ------------------------------------------------------ block decode
+
+def _idct(block: np.ndarray) -> np.ndarray:
+    """Spec-accuracy 8x8 inverse DCT, rounded to integers. The
+    orthonormal basis _C satisfies a(u)·a(v) = C(u)·C(v)/4, so the
+    two-sided orthonormal transform IS the MPEG IDCT
+    s(y,x) = 1/4 ΣΣ C(u)C(v) F(u,v) cos·cos with no extra scale;
+    a DC-only block F[0,0] = 8·QDC comes out flat at exactly QDC."""
+    return np.rint(
+        _C.T @ block.astype(np.float64) @ _C).astype(np.int64)
+
+
+def _decode_block(bits: _Bits, intra: bool, comp: int,
+                  dc_pred: list[int], qscale: int,
+                  intra_q: np.ndarray, ninter_q: np.ndarray
+                  ) -> np.ndarray:
+    """One 8x8 block → dequantized coefficient array (raster order).
+    ``comp``: 0 luma, 1 Cb, 2 Cr (for DC prediction bookkeeping)."""
+    coeff = np.zeros(64, dtype=np.int64)
+    idx = 0
+    if intra:
+        table = DC_LUMA_VLC if comp == 0 else DC_CHROMA_VLC
+        size, _ = _read_vlc(bits, table, "dct_dc_size")
+        diff = 0
+        if size:
+            v = bits.read(size)
+            diff = v if v >> (size - 1) else v - ((1 << size) - 1)
+        dc_pred[comp] += diff
+        coeff[0] = dc_pred[comp] * 8
+        idx = 1
+        first = False
+    else:
+        first = True
+    while True:
+        if first:
+            # first coefficient: '1' = run 0 / level 1 (sign follows),
+            # EOB cannot appear
+            if bits.read(1):
+                run, level = 0, 1
+            else:
+                code = "0"
+                for _ in range(11):
+                    code += "1" if bits.read(1) else "0"
+                    if code == DCT_ESCAPE:
+                        run, level = None, None
+                        break
+                    rl = DCT_VLC.get(code)
+                    if rl is not None:
+                        run, level = rl
+                        break
+                else:
+                    raise MpegError(f"bad dct_coeff VLC: {code!r}")
+            first = False
+        else:
+            code = ""
+            run = level = 0
+            for _ in range(12):
+                code += "1" if bits.read(1) else "0"
+                if code == DCT_EOB:
+                    run = -1
+                    break
+                if code == DCT_ESCAPE:
+                    run, level = None, None
+                    break
+                rl = DCT_VLC.get(code)
+                if rl is not None:
+                    run, level = rl
+                    break
+            else:
+                raise MpegError(f"bad dct_coeff VLC: {code!r}")
+            if run == -1:
+                break                            # end of block
+        if run is None:                          # escape: fixed bits
+            run = bits.read(6)
+            lv = bits.read(8)
+            if lv == 0:
+                level = bits.read(8)             # +128..+255
+            elif lv == 128:
+                level = bits.read(8) - 256       # -256..-129
+            else:
+                level = lv - 256 if lv > 128 else lv
+        else:
+            if bits.read(1):
+                level = -level
+        idx += run
+        if idx > 63:
+            raise MpegError("dct run past end of block")
+        zz = int(ZIGZAG[idx])
+        if intra:
+            f = (2 * level * qscale * int(intra_q[zz])) // 16
+        else:
+            s = 1 if level > 0 else -1
+            f = ((2 * level + s) * qscale * int(ninter_q[zz]))
+            f = int(np.sign(f)) * (abs(f) // 32)
+        if f and f % 2 == 0:                     # mismatch control
+            f += -1 if f > 0 else 1
+        coeff[zz] = max(-2048, min(2047, f))
+        idx += 1
+        if intra and idx > 63:
+            # intra blocks end with EOB too
+            code = ""
+            for _ in range(2):
+                code += "1" if bits.read(1) else "0"
+            if code != DCT_EOB:
+                raise MpegError("missing EOB after full block")
+            break
+        if not intra and idx > 63:
+            code = ""
+            for _ in range(2):
+                code += "1" if bits.read(1) else "0"
+            if code != DCT_EOB:
+                raise MpegError("missing EOB after full block")
+            break
+    return coeff.reshape(8, 8)
+
+
+# --------------------------------------------------------- motion
+
+def _recon_mv(pred: int, code: int, resid: int, f: int) -> int:
+    """Differential motion-vector reconstruction with the spec's
+    [-16f, 16f-1] modular wraparound (§2.4.4.2)."""
+    if f == 1 or code == 0:
+        delta = code
+    else:
+        delta = (1 if code > 0 else -1) * ((abs(code) - 1) * f
+                                           + resid + 1)
+    v = pred + delta
+    rng = 32 * f
+    if v < -16 * f:
+        v += rng
+    elif v >= 16 * f:
+        v -= rng
+    return v
+
+
+def _mc_predict(ref: np.ndarray, x: int, y: int, w: int, h: int,
+                dx: int, dy: int) -> np.ndarray:
+    """(h, w) prediction block from ``ref`` at (x, y) displaced by
+    the half-pel vector (dx, dy); half positions use the spec's
+    +1 / +2 rounding averages."""
+    ix, iy = dx >> 1, dy >> 1
+    hx, hy = dx & 1, dy & 1
+    x0, y0 = x + ix, y + iy
+    need_w, need_h = w + (1 if hx else 0), h + (1 if hy else 0)
+    if (x0 < 0 or y0 < 0 or x0 + need_w > ref.shape[1]
+            or y0 + need_h > ref.shape[0]):
+        raise MpegError("motion vector points outside the frame")
+    a = ref[y0:y0 + need_h, x0:x0 + need_w].astype(np.int32)
+    if hx and hy:
+        p = (a[:-1, :-1] + a[:-1, 1:] + a[1:, :-1] + a[1:, 1:] + 2) \
+            >> 2
+    elif hx:
+        p = (a[:, :-1] + a[:, 1:] + 1) >> 1
+    elif hy:
+        p = (a[:-1, :] + a[1:, :] + 1) >> 1
+    else:
+        p = a
+    return p
+
+
+# --------------------------------------------------------- decoder
+
+def _find_start_codes(data: bytes) -> list[tuple[int, int]]:
+    """[(code_byte, payload_offset)] for every 00 00 01 xx."""
+    out = []
+    pos = 0
+    while True:
+        pos = data.find(b"\x00\x00\x01", pos)
+        if pos < 0 or pos + 3 >= len(data):
+            return out
+        out.append((data[pos + 3], pos + 4))
+        pos += 4
+
+
+def decode_mpeg1(data: bytes, max_frames: int = 0
+                 ) -> tuple[list[np.ndarray], dict]:
+    """MPEG-1 video elementary stream → (frames, meta).
+
+    Frames are (h, w, 3) uint8 YCbCr (2x2-replicated chroma), in
+    coded order (I/P only, so coded order == display order). ``meta``
+    carries width/height/picture types. Raises MpegError on
+    B-pictures, unsupported constructs, or corrupt streams."""
+    codes = _find_start_codes(data)
+    if not codes or codes[0][0] != 0xB3:
+        raise MpegError("no MPEG-1 sequence header")
+    seq = _Bits(data, codes[0][1])
+    width = seq.read(12)
+    height = seq.read(12)
+    seq.read(4)                                  # aspect
+    seq.read(4)                                  # frame rate code
+    seq.read(18)                                 # bitrate
+    if not seq.read(1):
+        raise MpegError("sequence header marker bit")
+    seq.read(10)                                 # vbv buffer size
+    seq.read(1)                                  # constrained flag
+    intra_q = DEFAULT_INTRA_Q
+    ninter_q = DEFAULT_NONINTRA_Q
+    if seq.read(1):                              # load_intra_quant
+        m = np.array([seq.read(8) for _ in range(64)], dtype=np.int64)
+        intra_q = np.zeros(64, dtype=np.int64)
+        intra_q[ZIGZAG] = m                      # stream is zigzag
+    if seq.read(1):                              # load_non_intra
+        m = np.array([seq.read(8) for _ in range(64)], dtype=np.int64)
+        ninter_q = np.zeros(64, dtype=np.int64)
+        ninter_q[ZIGZAG] = m
+    if width <= 0 or height <= 0:
+        raise MpegError("bad dimensions")
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    cw, ch = mb_w * 8, mb_h * 8
+    Y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    Cb = np.full((ch, cw), 128, dtype=np.uint8)
+    Cr = np.full((ch, cw), 128, dtype=np.uint8)
+    ref: tuple | None = None
+    frames: list[np.ndarray] = []
+    types: list[int] = []
+
+    i = 1
+    while i < len(codes):
+        code, off = codes[i]
+        if code != 0x00:                         # picture start only
+            i += 1
+            continue
+        bits = _Bits(data, off)
+        bits.read(10)                            # temporal reference
+        ptype = bits.read(3)
+        bits.read(16)                            # vbv delay
+        if ptype == PIC_B:
+            raise MpegError("B-pictures are the documented hook")
+        if ptype not in (PIC_I, PIC_P):
+            raise MpegError(f"unsupported picture type {ptype}")
+        full_pel = fwd_f = 0
+        if ptype == PIC_P:
+            if ref is None:
+                raise MpegError("P-picture before any reference")
+            full_pel = bits.read(1)
+            fwd_f = bits.read(3)
+            if not 1 <= fwd_f <= 7:
+                raise MpegError("bad forward_f_code")
+        while bits.read(1):                      # extra picture info
+            bits.read(8)
+        newY, newCb, newCr = Y.copy(), Cb.copy(), Cr.copy()
+        if ptype == PIC_P:
+            refY, refCb, refCr = ref
+            newY, newCb, newCr = (refY.copy(), refCb.copy(),
+                                  refCr.copy())
+        # slices follow until the next non-slice start code
+        j = i + 1
+        decoded_any = False
+        while j < len(codes) and 0x01 <= codes[j][0] <= 0xAF:
+            srow = codes[j][0] - 1
+            sb = _Bits(data, codes[j][1])
+            qscale = sb.read(5)
+            if not 1 <= qscale <= 31:
+                raise MpegError("bad quantizer_scale")
+            while sb.read(1):
+                sb.read(8)                       # extra slice info
+            mb_addr = srow * mb_w - 1
+            pmv = [0, 0]                         # half-pel units
+            dc_pred = [128, 128, 128]
+            f = 1 << (fwd_f - 1) if fwd_f else 1
+            end_addr = mb_h * mb_w - 1
+            while mb_addr < end_addr:
+                inc = 0
+                while True:
+                    v, _c = _read_vlc(
+                        sb, _MBA_FULL,
+                        "macroblock_address_increment")
+                    if v == "stuff":
+                        continue
+                    if v == "esc":
+                        inc += 33
+                        continue
+                    inc += v
+                    break
+                # skipped macroblocks: P copies co-located, resets
+                for _ in range(inc - 1):
+                    mb_addr += 1
+                    if ptype != PIC_P:
+                        raise MpegError("skipped MB in I-picture")
+                    pmv = [0, 0]
+                    dc_pred = [128, 128, 128]
+                mb_addr += 1
+                if mb_addr >= mb_h * mb_w:
+                    raise MpegError("macroblock address overrun")
+                my, mx = divmod(mb_addr, mb_w)
+                table = MB_TYPE_I if ptype == PIC_I else MB_TYPE_P
+                (quant, mf, pattern, intra), _ = _read_vlc(
+                    sb, table, "macroblock_type")
+                if quant:
+                    qscale = sb.read(5)
+                    if not 1 <= qscale <= 31:
+                        raise MpegError("bad quantizer_scale")
+                mvx = mvy = 0
+                if mf:
+                    codeh, _ = _read_vlc(sb, MOTION_VLC,
+                                         "motion_code")
+                    rh = sb.read(fwd_f - 1) if fwd_f > 1 and codeh \
+                        else 0
+                    codev, _ = _read_vlc(sb, MOTION_VLC,
+                                         "motion_code")
+                    rv = sb.read(fwd_f - 1) if fwd_f > 1 and codev \
+                        else 0
+                    pmv[0] = _recon_mv(pmv[0], codeh, rh, f)
+                    pmv[1] = _recon_mv(pmv[1], codev, rv, f)
+                    mvx, mvy = pmv[0], pmv[1]
+                    if full_pel:
+                        mvx, mvy = mvx * 2, mvy * 2
+                elif ptype == PIC_P and not intra:
+                    pmv = [0, 0]                 # no-MC P macroblock
+                if intra:
+                    pmv = [0, 0]
+                else:
+                    dc_pred = [128, 128, 128]
+                cbp = 0
+                if pattern:
+                    cbp, _ = _read_vlc(sb, CBP_VLC,
+                                       "coded_block_pattern")
+                elif intra:
+                    cbp = 63
+                # --- prediction
+                py = px = None
+                if ptype == PIC_P and not intra:
+                    predY = _mc_predict(refY, mx * 16, my * 16,
+                                        16, 16, mvx, mvy)
+                    cvx = mvx // 2 if mvx >= 0 else -((-mvx) // 2)
+                    cvy = mvy // 2 if mvy >= 0 else -((-mvy) // 2)
+                    predCb = _mc_predict(refCb, mx * 8, my * 8,
+                                         8, 8, cvx, cvy)
+                    predCr = _mc_predict(refCr, mx * 8, my * 8,
+                                         8, 8, cvx, cvy)
+                else:
+                    predY = np.zeros((16, 16), dtype=np.int32)
+                    predCb = np.zeros((8, 8), dtype=np.int32)
+                    predCr = np.zeros((8, 8), dtype=np.int32)
+                # --- blocks
+                planes = [(newY, predY, 0)] * 4 + \
+                    [(newCb, predCb, 1), (newCr, predCr, 2)]
+                for b in range(6):
+                    plane, pred, comp = planes[b]
+                    if b < 4:
+                        by, bx = (b // 2) * 8, (b % 2) * 8
+                        dst_y = my * 16 + by
+                        dst_x = mx * 16 + bx
+                        p = pred[by:by + 8, bx:bx + 8]
+                    else:
+                        dst_y, dst_x = my * 8, mx * 8
+                        p = pred
+                    if cbp & (32 >> b):
+                        coeff = _decode_block(
+                            sb, intra, comp, dc_pred, qscale,
+                            intra_q, ninter_q)
+                        spatial = _idct(coeff)
+                    else:
+                        if intra:
+                            raise MpegError("intra blocks are "
+                                            "always coded")
+                        spatial = 0
+                    out = np.clip(p + spatial, 0, 255) \
+                        .astype(np.uint8)
+                    plane[dst_y:dst_y + 8, dst_x:dst_x + 8] = out
+                decoded_any = True
+            j += 1
+        if not decoded_any:
+            raise MpegError("picture without slices")
+        Y, Cb, Cr = newY, newCb, newCr
+        ref = (Y, Cb, Cr)
+        frame = np.empty((height, width, 3), dtype=np.uint8)
+        frame[..., 0] = Y[:height, :width]
+        up_cb = np.repeat(np.repeat(Cb, 2, 0), 2, 1)
+        up_cr = np.repeat(np.repeat(Cr, 2, 0), 2, 1)
+        frame[..., 1] = up_cb[:height, :width]
+        frame[..., 2] = up_cr[:height, :width]
+        frames.append(frame)
+        types.append(ptype)
+        if max_frames and len(frames) >= max_frames:
+            break
+        i = j
+    if not frames:
+        raise MpegError("no pictures decoded")
+    return frames, {"width": width, "height": height,
+                    "picture_types": types}
+
+
+# --------------------------------------------------------- encoder
+
+_MBA_ENC = {v: k for k, v in MBA_VLC.items()}
+_MOTION_ENC = {v: k for k, v in MOTION_VLC.items()}
+_DC_LUMA_ENC = {v: k for k, v in DC_LUMA_VLC.items()}
+_DC_CHROMA_ENC = {v: k for k, v in DC_CHROMA_VLC.items()}
+
+
+def _wbits(w: _BitWriter, code: str):
+    for c in code:
+        w.write(1 if c == "1" else 0, 1)
+
+
+def _w_start(w: _BitWriter, code: int):
+    w.align()
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(1, 8)
+    w.write(code, 8)
+
+
+def _w_mba(w: _BitWriter, inc: int):
+    while inc > 33:
+        _wbits(w, MBA_ESCAPE)
+        inc -= 33
+    _wbits(w, _MBA_ENC[inc])
+
+
+def _w_dc(w: _BitWriter, diff: int, comp: int):
+    size = abs(diff).bit_length()
+    _wbits(w, (_DC_LUMA_ENC if comp == 0 else _DC_CHROMA_ENC)[size])
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _w_motion(w: _BitWriter, code: int):
+    if not -3 <= code <= 3:
+        raise MpegError("fixture encoder keeps |motion_code| <= 3")
+    _wbits(w, _MOTION_ENC[code])
+
+
+def mpeg1_bytes(width: int, height: int, pictures: list[dict],
+                qscale: int = 8, full_pel: bool = True,
+                frame_rate_code: int = 3) -> bytes:
+    """Encode an MPEG-1 video elementary stream for fixtures/tests.
+
+    Each picture dict: ``{"type": "I", "mbs": [mb, ...]}`` with one
+    mb dict per macroblock in raster order:
+
+      I pictures   ``{"dc": [y0, y1, y2, y3, cb, cr]}`` — DC
+                   *differentials* per block (quantized units), plus
+                   optional ``"ac": [(idx, run, level), ...]`` escape-
+                   coded AC coefficients for luma block ``idx``;
+      P pictures   ``{"kind": "skip"}`` (not first/last of a slice),
+                   ``{"kind": "mc", "mv": (dx, dy)}`` motion-only in
+                   full pels (full_pel) or half-pels,
+                   ``{"kind": "intra", "dc": [...]}``.
+
+    The stream loads explicit all-16 quantizer matrices so decode
+    never depends on the default-matrix constant. One slice per
+    picture row 0; forward_f_code = 1 (motion codes are the vector)."""
+    w = _BitWriter()
+    _w_start(w, 0xB3)
+    w.write(width, 12)
+    w.write(height, 12)
+    w.write(1, 4)                                # square pixels
+    w.write(frame_rate_code, 4)
+    w.write(0x3FFFF, 18)                         # variable bitrate
+    w.write(1, 1)                                # marker
+    w.write(0, 10)
+    w.write(0, 1)
+    w.write(1, 1)                                # load intra matrix
+    for _ in range(64):
+        w.write(16, 8)
+    w.write(1, 1)                                # load non-intra
+    for _ in range(64):
+        w.write(16, 8)
+    _w_start(w, 0xB8)                            # GOP header
+    w.write(0, 25)                               # time code
+    w.write(1, 1)                                # closed gop
+    w.write(0, 1)                                # broken link
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    for t, pic in enumerate(pictures):
+        _w_start(w, 0x00)
+        w.write(t, 10)                           # temporal ref
+        ptype = PIC_I if pic["type"] == "I" else PIC_P
+        w.write(ptype, 3)
+        w.write(0xFFFF, 16)                      # vbv delay (vbr)
+        if ptype == PIC_P:
+            w.write(1 if full_pel else 0, 1)
+            w.write(1, 3)                        # forward_f_code = 1
+        w.write(0, 1)                            # no extra info
+        _w_start(w, 0x01)                        # slice, row 0
+        w.write(qscale, 5)
+        w.write(0, 1)
+        mbs = pic["mbs"]
+        if len(mbs) != mb_w * mb_h:
+            raise MpegError("need one mb entry per macroblock")
+        pending = 1
+        pmv = [0, 0]
+        for k, mb in enumerate(mbs):
+            if ptype == PIC_P and mb.get("kind") == "skip":
+                if k in (0, len(mbs) - 1):
+                    raise MpegError("first/last MB cannot be skipped")
+                pending += 1
+                pmv = [0, 0]
+                continue
+            _w_mba(w, pending)
+            pending = 1
+            if ptype == PIC_I or mb.get("kind") == "intra":
+                _wbits(w, "1" if ptype == PIC_I else "00011")
+                pmv = [0, 0]
+                dcs = mb["dc"]
+                ac = {a[0]: a for a in mb.get("ac", [])}
+                for b in range(6):
+                    comp = 0 if b < 4 else b - 3
+                    _w_dc(w, dcs[b], comp)
+                    if b in ac:
+                        _, run, level = ac[b]
+                        _wbits(w, DCT_ESCAPE)
+                        w.write(run, 6)
+                        if not -127 <= level <= 127 or level == 0:
+                            raise MpegError("fixture AC level must "
+                                            "be +-1..127")
+                        w.write(level & 0xFF, 8)
+                    _wbits(w, DCT_EOB)
+            elif mb.get("kind") == "mc":
+                _wbits(w, "001")                 # motion only
+                dx, dy = mb["mv"]
+                _w_motion(w, dx - pmv[0])
+                _w_motion(w, dy - pmv[1])
+                pmv = [dx, dy]
+            else:
+                raise MpegError(f"unknown mb kind {mb!r}")
+    _w_start(w, 0xB7)                            # sequence end
+    w.align()
+    return bytes(w.out)
+
+
+def mpeg1_fixture(doc_id: int) -> bytes:
+    """Deterministic I/P/P stream per document row with SQL-closed
+    forms (48x16, three macroblocks, full-pel vectors):
+
+      frame 0 (I)  MBs painted v0 | v1 | v2 (flat DC-only luma,
+                   chroma 128)
+      frame 1 (P)  MB0 motion (+2, 0) — 14 columns v0 + 2 columns
+                   v1; MB1 skipped (copy); MB2 motion (-2, 0) —
+                   2 columns v1 + 14 columns v2
+      frame 2 (P)  MB0 intra v3; MB1 motion (+2, 0) over frame 1
+                   (all v1); MB2 motion (-1, 0) over frame 1
+                   (3 columns v1 + 13 columns v2) — the -1 keeps the
+                   differential after MB1's (+2, 0) within the
+                   encoder's |motion_code| <= 3 envelope
+
+    Every decoded pixel is an exact integer (flat DC blocks, full-pel
+    copies), so frame means are closed-form in doc_id. Exercises
+    intra DC prediction, skipped-MB copy, differential motion
+    vectors, and intra-in-P refresh."""
+    v0 = 16 + doc_id % 224
+    v1 = 16 + (doc_id * 7 + 31) % 224
+    v2 = 16 + (doc_id * 13 + 5) % 224
+    v3 = 16 + (doc_id * 11 + 3) % 224
+
+    def intra_mb(prev: int, v: int) -> dict:
+        return {"dc": [v - prev, 0, 0, 0, 0, 0]}
+
+    pic0 = {"type": "I", "mbs": [intra_mb(128, v0),
+                                 intra_mb(v0, v1),
+                                 intra_mb(v1, v2)]}
+    pic1 = {"type": "P", "mbs": [{"kind": "mc", "mv": (2, 0)},
+                                 {"kind": "skip"},
+                                 {"kind": "mc", "mv": (-2, 0)}]}
+    pic2 = {"type": "P", "mbs": [{"kind": "intra",
+                                  "dc": [v3 - 128, 0, 0, 0, 0, 0]},
+                                 {"kind": "mc", "mv": (2, 0)},
+                                 {"kind": "mc", "mv": (-1, 0)}]}
+    return mpeg1_bytes(48, 16, [pic0, pic1, pic2],
+                       qscale=1 + doc_id % 31, full_pel=True)

@@ -18,11 +18,16 @@ Decode tiers:
    :mod:`tika_spark.analysis.jpegcodec`; audio as WAV PCM + G.711
    μ-law/A-law in :mod:`tika_spark.analysis.pcm` and FLAC
    (STREAMINFO-MD5 self-verified) in
-   :mod:`tika_spark.analysis.flac`; video frames via MJPEG-AVI demux
-   and animated-GIF sampling in :mod:`tika_spark.analysis.video` —
-   all pure Python+numpy, with exact micro-unit stats and
-   deterministic resize on top. Remaining codecs (perceptual audio,
-   inter-frame video) need libraries this container lacks; for those
+   :mod:`tika_spark.analysis.flac`, MP3 in
+   :mod:`tika_spark.analysis.mp3codec` and ADTS AAC-LC in
+   :mod:`tika_spark.analysis.aaccodec`; video frames via MJPEG-AVI
+   demux and animated-GIF/APNG sampling in
+   :mod:`tika_spark.analysis.video`, with real inter-frame paths
+   (MS-RLE8, MS Video 1) and motion-compensated MPEG-1 I/P decode
+   in :mod:`tika_spark.analysis.mpegvideo` — all pure Python+numpy,
+   with exact micro-unit stats and deterministic resize on top.
+   Remaining codecs (Opus/Vorbis, B-pictures, MPEG program-stream
+   demux) need libraries this container lacks; for those
    ``real_decode`` remains the clearly-marked hook that raises
    NotImplementedError until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
@@ -89,11 +94,15 @@ def real_decode(payload: bytes, media_type: str):
     if media_type in ("audio/x-aac", "audio/aac"):
         from tika_spark.analysis.aaccodec import decode_aac
         return decode_aac(payload)
+    if media_type == "video/mpeg" \
+            and payload[:4] == b"\x00\x00\x01\xb3":
+        from tika_spark.analysis.mpegvideo import decode_mpeg1
+        return decode_mpeg1(payload)
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(Opus/Vorbis samples, motion-compensated video) are not "
-        "installed in this environment; decode_media uses the "
-        "header-parse tier below")
+        "(Opus/Vorbis samples, B-picture video, MPEG program-stream "
+        "demux) are not installed in this environment; decode_media "
+        "uses the header-parse tier below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:

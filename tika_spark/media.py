@@ -906,9 +906,30 @@ def _adts_meta(data: bytes) -> dict[str, list[str]]:
     return meta
 
 
+def _mpeg1v_meta(data: bytes) -> dict[str, list[str]]:
+    """MPEG-1 video elementary stream: dimensions from the sequence
+    header, duration from the picture count at the header's frame
+    rate (program streams — 00 00 01 BA — only report the format)."""
+    if data[:4] != b"\x00\x00\x01\xb3":
+        return {}
+    if len(data) < 8:
+        return {}
+    w = (data[4] << 4) | (data[5] >> 4)
+    h = ((data[5] & 0x0F) << 8) | data[6]
+    fps_code = data[7] & 0x0F
+    fps = {1: 24000 / 1001, 2: 24.0, 3: 25.0, 4: 30000 / 1001,
+           5: 30.0, 6: 50.0, 7: 60000 / 1001, 8: 60.0}.get(fps_code)
+    meta = {"width": [str(w)], "height": [str(h)]}
+    n = data.count(b"\x00\x00\x01\x00")
+    if n and fps:
+        meta["xmpDM:duration"] = [f"{n / fps:.2f}"]
+    return meta
+
+
 _META_BY_MIME = {
     "audio/x-aac": _adts_meta,
     "audio/aac": _adts_meta,
+    "video/mpeg": _mpeg1v_meta,
     "audio/midi": _midi_meta,
     "audio/x-aiff": _aiff_meta,
     "audio/basic": _au_meta,

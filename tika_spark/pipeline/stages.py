@@ -71,6 +71,7 @@ ROUTE_TABLE = {
     "application/java-vm": "media",
     "audio/mpeg": "media",
     "audio/x-aac": "media",
+    "video/mpeg": "media",
     # widened web set: metadata-only media rows (format named, no body
     # text — what the reference's parser-less types produce)
     "video/mp4": "media",
