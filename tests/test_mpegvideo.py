@@ -125,27 +125,85 @@ class TestLayers:
         assert m.MOTION_VLC["00010"] == 3
 
 
+class TestBPictures:
+    def _fixture_values(self, doc_id):
+        return (16 + doc_id % 224, 16 + (doc_id * 7 + 31) % 224,
+                16 + (doc_id * 13 + 5) % 224,
+                16 + (doc_id * 11 + 3) % 224,
+                16 + (doc_id * 17 + 9) % 224,
+                16 + (doc_id * 23 + 11) % 224)
+
+    def test_bps_fixture_closed_forms(self):
+        for doc_id in (0, 3, 5, 41, 200):
+            ps = m.mpeg1_bps_fixture(doc_id)
+            es = m.ps_video_es(ps)
+            frames, meta = m.decode_mpeg1(es)
+            v0, v1, v2, w0, w1, w2 = self._fixture_values(doc_id)
+            # display order I B P from coded order I P B
+            assert meta["picture_types"] == [1, 3, 2]
+            f0, f1, f2 = frames
+            assert (f0[:, 0:16, 0] == v0).all()
+            assert (f0[:, 16:32, 0] == v1).all()
+            assert (f0[:, 32:48, 0] == v2).all()
+            # B: fwd (+2,0) | skipped repeat | bi average
+            exp1 = ([v0] * 14 + [v1] * 2 + [v1] * 14 + [v2] * 2
+                    + [(v2 + w2 + 1) >> 1] * 16)
+            assert (f1[..., 0] == np.array(exp1)[None, :]).all()
+            assert (f1[..., 1] == 128).all()
+            assert (f1[..., 2] == 128).all()
+            exp2 = [w0] * 16 + [w1] * 16 + [w2] * 16
+            assert (f2[..., 0] == np.array(exp2)[None, :]).all()
+
+    def test_max_frames_in_display_order(self):
+        es = m.ps_video_es(m.mpeg1_bps_fixture(5))
+        frames, meta = m.decode_mpeg1(es, max_frames=2)
+        assert meta["picture_types"] == [1, 3]
+        assert len(frames) == 2
+        frames, meta = m.decode_mpeg1(es, max_frames=1)
+        assert meta["picture_types"] == [1]
+
+    def test_backward_only_prediction(self):
+        # B with a pure backward macroblock row: copies the FUTURE
+        # anchor, not the past one
+        pic0 = {"type": "I", "mbs": [{"dc": [10, 0, 0, 0, 0, 0]},
+                                     {"dc": [0, 0, 0, 0, 0, 0]},
+                                     {"dc": [0, 0, 0, 0, 0, 0]}]}
+        pic1 = {"type": "P", "mbs": [
+            {"kind": "intra", "dc": [70, 0, 0, 0, 0, 0]},
+            {"kind": "intra", "dc": [0, 0, 0, 0, 0, 0]},
+            {"kind": "intra", "dc": [0, 0, 0, 0, 0, 0]}]}
+        picb = {"type": "B", "mbs": [
+            {"kind": "bwd", "mv": (0, 0)},
+            {"kind": "bwd", "mv": (0, 0)},
+            {"kind": "bwd", "mv": (0, 0)}]}
+        frames, meta = m.decode_mpeg1(
+            m.mpeg1_bytes(48, 16, [pic0, pic1, picb]))
+        assert meta["picture_types"] == [1, 3, 2]
+        assert (frames[1][..., 0] == frames[2][..., 0]).all()
+        assert (frames[1][:, 0:16, 0] == 198).all()
+
+    def test_ps_roundtrip_and_errors(self):
+        es = m.mpeg1_fixture(7)
+        for psize in (64, 256, 4096):
+            assert m.ps_video_es(m.ps_wrap(es, psize)) == es
+        with pytest.raises(ValueError, match="not an MPEG program"):
+            m.ps_video_es(es)
+        with pytest.raises(ValueError, match="no video packets"):
+            m.ps_video_es(b"\x00\x00\x01\xba" + bytes(
+                (0x21, 0, 1, 0, 1, 0x80, 0, 1)) + b"\x00\x00\x01\xb9")
+
+    def test_b_before_references_raises(self):
+        pic0 = {"type": "I", "mbs": [{"dc": [0] * 6}] * 3}
+        picb = {"type": "B", "mbs": [
+            {"kind": "fwd", "mv": (0, 0)}] * 3}
+        # B needs TWO anchors; after only the I it must refuse
+        with pytest.raises(ValueError, match="reference"):
+            m.decode_mpeg1(m.mpeg1_bytes(48, 16, [pic0, picb]))
+        with pytest.raises(ValueError, match="reference"):
+            m.decode_mpeg1(m.mpeg1_bytes(48, 16, [picb]))
+
+
 class TestErrors:
-    def test_b_picture_raises(self):
-        w = m._BitWriter()
-        m._w_start(w, 0xB3)
-        w.write(48, 12)
-        w.write(16, 12)
-        w.write(1, 4)
-        w.write(3, 4)
-        w.write(0x3FFFF, 18)
-        w.write(1, 1)
-        w.write(0, 10)
-        w.write(0, 1)
-        w.write(0, 1)
-        w.write(0, 1)
-        m._w_start(w, 0x00)
-        w.write(0, 10)
-        w.write(m.PIC_B, 3)
-        w.write(0, 16)
-        w.align()
-        with pytest.raises(ValueError, match="B-pictures"):
-            m.decode_mpeg1(bytes(w.out))
 
     def test_garbage_and_truncation(self):
         with pytest.raises(ValueError):

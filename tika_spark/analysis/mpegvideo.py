@@ -1,14 +1,18 @@
-"""From-scratch MPEG-1 video (ISO/IEC 11172-2) I/P-frame decoder.
+"""From-scratch MPEG-1 video (ISO/IEC 11172-2) I/P/B-frame decoder.
 
 Closes the documented motion-compensated-video hook with a real
 transform codec: sequence/GOP/picture/slice/macroblock/block layer
-parsing, intra DCT blocks (predicted DC + run/level AC), forward
-motion compensation with full- and half-pel interpolation,
-differential motion-vector reconstruction with the spec's modular
-wraparound, skipped-macroblock copy, and quantizer-scale updates.
-B-pictures (bidirectional references) raise a clean ValueError and
-remain the documented hook — a P-only "low delay" stream is common
-in practice and every motion-compensation mechanism is exercised.
+parsing, intra DCT blocks (predicted DC + run/level AC), forward AND
+backward motion compensation with full- and half-pel interpolation
+and bidirectional prediction averaging, differential motion-vector
+reconstruction with the spec's modular wraparound per direction,
+skipped-macroblock semantics (P: co-located copy with predictor
+reset; B: repeat of the previous macroblock's prediction mode and
+vectors), quantizer-scale updates, and the one-anchor-delay
+coded→display frame reordering. :func:`ps_video_es` additionally
+demuxes MPEG-1 *program streams* (ISO/IEC 11172-1 pack/PES layer)
+down to the video elementary stream, so real ``.mpg`` files route
+end-to-end.
 
 Provenance: written from the public ISO/IEC 11172-2 specification
 structure (widely documented — see also the MPEG-1 overview
@@ -72,12 +76,22 @@ for _code, _v in MBA_VLC.items():
     if _v >= 2:
         MOTION_VLC[_code] = (_v // 2) if _v % 2 else -(_v // 2)
 
-# Table B.2a/B.2b macroblock_type → (quant, motion_fwd, pattern, intra)
-MB_TYPE_I = {"1": (0, 0, 0, 1), "01": (1, 0, 0, 1)}
+# Tables B.2a/B.2b/B.2c macroblock_type →
+# (quant, motion_fwd, motion_bwd, pattern, intra)
+MB_TYPE_I = {"1": (0, 0, 0, 0, 1), "01": (1, 0, 0, 0, 1)}
 MB_TYPE_P = {
-    "1": (0, 1, 1, 0), "01": (0, 0, 1, 0), "001": (0, 1, 0, 0),
-    "00011": (0, 0, 0, 1), "00010": (1, 1, 1, 0),
-    "00001": (1, 0, 1, 0), "000001": (1, 0, 0, 1),
+    "1": (0, 1, 0, 1, 0), "01": (0, 0, 0, 1, 0),
+    "001": (0, 1, 0, 0, 0), "00011": (0, 0, 0, 0, 1),
+    "00010": (1, 1, 0, 1, 0), "00001": (1, 0, 0, 1, 0),
+    "000001": (1, 0, 0, 0, 1),
+}
+MB_TYPE_B = {
+    "10": (0, 1, 1, 0, 0), "11": (0, 1, 1, 1, 0),
+    "010": (0, 0, 1, 0, 0), "011": (0, 0, 1, 1, 0),
+    "0010": (0, 1, 0, 0, 0), "0011": (0, 1, 0, 1, 0),
+    "00011": (0, 0, 0, 0, 1), "00010": (1, 1, 1, 1, 0),
+    "000011": (1, 1, 0, 1, 0), "000010": (1, 0, 1, 1, 0),
+    "000001": (1, 0, 0, 0, 1),
 }
 
 # Table B.3 coded_block_pattern (cbp bit 32 = luma block 0 … bit 1 =
@@ -327,10 +341,12 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                  ) -> tuple[list[np.ndarray], dict]:
     """MPEG-1 video elementary stream → (frames, meta).
 
-    Frames are (h, w, 3) uint8 YCbCr (2x2-replicated chroma), in
-    coded order (I/P only, so coded order == display order). ``meta``
-    carries width/height/picture types. Raises MpegError on
-    B-pictures, unsupported constructs, or corrupt streams."""
+    Frames are (h, w, 3) uint8 YCbCr (2x2-replicated chroma) in
+    DISPLAY order: anchors (I/P) are held back one step and emitted
+    when the next anchor arrives, B pictures are emitted
+    immediately — the classic one-anchor-delay reorder. ``meta``
+    carries width/height/picture types (display order). Raises
+    MpegError on unsupported constructs or corrupt streams."""
     codes = _find_start_codes(data)
     if not codes or codes[0][0] != 0xB3:
         raise MpegError("no MPEG-1 sequence header")
@@ -361,9 +377,22 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
     Y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     Cb = np.full((ch, cw), 128, dtype=np.uint8)
     Cr = np.full((ch, cw), 128, dtype=np.uint8)
-    ref: tuple | None = None
+    fwd_ref: tuple | None = None                 # older anchor
+    bwd_ref: tuple | None = None                 # newest anchor
+    held: tuple | None = None                    # anchor awaiting output
     frames: list[np.ndarray] = []
     types: list[int] = []
+
+    def emit(planes: tuple, ptype: int):
+        eY, eCb, eCr = planes
+        frame = np.empty((height, width, 3), dtype=np.uint8)
+        frame[..., 0] = eY[:height, :width]
+        frame[..., 1] = np.repeat(np.repeat(eCb, 2, 0),
+                                  2, 1)[:height, :width]
+        frame[..., 2] = np.repeat(np.repeat(eCr, 2, 0),
+                                  2, 1)[:height, :width]
+        frames.append(frame)
+        types.append(ptype)
 
     i = 1
     while i < len(codes):
@@ -375,25 +404,70 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
         bits.read(10)                            # temporal reference
         ptype = bits.read(3)
         bits.read(16)                            # vbv delay
-        if ptype == PIC_B:
-            raise MpegError("B-pictures are the documented hook")
-        if ptype not in (PIC_I, PIC_P):
+        if ptype not in (PIC_I, PIC_P, PIC_B):
             raise MpegError(f"unsupported picture type {ptype}")
-        full_pel = fwd_f = 0
-        if ptype == PIC_P:
-            if ref is None:
-                raise MpegError("P-picture before any reference")
-            full_pel = bits.read(1)
-            fwd_f = bits.read(3)
-            if not 1 <= fwd_f <= 7:
+        full_pel = [0, 0]
+        f_code = [0, 0]
+        if ptype in (PIC_P, PIC_B):
+            if bwd_ref is None:
+                raise MpegError("P/B-picture before any reference")
+            full_pel[0] = bits.read(1)
+            f_code[0] = bits.read(3)
+            if not 1 <= f_code[0] <= 7:
                 raise MpegError("bad forward_f_code")
+        if ptype == PIC_B:
+            if fwd_ref is None:
+                raise MpegError("B-picture before two references")
+            full_pel[1] = bits.read(1)
+            f_code[1] = bits.read(3)
+            if not 1 <= f_code[1] <= 7:
+                raise MpegError("bad backward_f_code")
         while bits.read(1):                      # extra picture info
             bits.read(8)
-        newY, newCb, newCr = Y.copy(), Cb.copy(), Cr.copy()
-        if ptype == PIC_P:
-            refY, refCb, refCr = ref
-            newY, newCb, newCr = (refY.copy(), refCb.copy(),
-                                  refCr.copy())
+        if ptype == PIC_I:
+            newY, newCb, newCr = Y.copy(), Cb.copy(), Cr.copy()
+        else:
+            # P predicts from the newest anchor; B's forward ref is
+            # the OLDER anchor, backward ref the newest one
+            pY, pCb, pCr = bwd_ref
+            newY, newCb, newCr = pY.copy(), pCb.copy(), pCr.copy()
+        if ptype == PIC_B:
+            refs = (fwd_ref, bwd_ref)
+        else:
+            refs = (bwd_ref, None)
+        fvals = (1 << (f_code[0] - 1) if f_code[0] else 1,
+                 1 << (f_code[1] - 1) if f_code[1] else 1)
+
+        def applied_mvs(pmv):
+            """pmv (predictor units) → per-direction half-pel vectors
+            (full_pel doubles the stored value per §2.4.4.2)."""
+            return [(pmv[d][0] * (2 if full_pel[d] else 1),
+                     pmv[d][1] * (2 if full_pel[d] else 1))
+                    for d in (0, 1)]
+
+        def predict_mb(dirs, mvs, my, mx):
+            """One macroblock's motion-compensated prediction:
+            (16x16 Y, 8x8 Cb, 8x8 Cr) int arrays. Bidirectional
+            macroblocks average the two predictions with the spec's
+            round-away-from-zero half (§2.4.4.4)."""
+            acc = None
+            for d in (0, 1):
+                if not dirs[d]:
+                    continue
+                rY, rCb, rCr = refs[d]
+                mvx, mvy = mvs[d]
+                cvx = mvx // 2 if mvx >= 0 else -((-mvx) // 2)
+                cvy = mvy // 2 if mvy >= 0 else -((-mvy) // 2)
+                p = (_mc_predict(rY, mx * 16, my * 16, 16, 16,
+                                 mvx, mvy),
+                     _mc_predict(rCb, mx * 8, my * 8, 8, 8,
+                                 cvx, cvy),
+                     _mc_predict(rCr, mx * 8, my * 8, 8, 8,
+                                 cvx, cvy))
+                acc = p if acc is None else tuple(
+                    (a + b + 1) >> 1 for a, b in zip(acc, p))
+            return acc
+
         # slices follow until the next non-slice start code
         j = i + 1
         decoded_any = False
@@ -406,9 +480,9 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
             while sb.read(1):
                 sb.read(8)                       # extra slice info
             mb_addr = srow * mb_w - 1
-            pmv = [0, 0]                         # half-pel units
+            pmv = [[0, 0], [0, 0]]               # per-direction preds
+            prev_dirs = (0, 0)                   # for skipped B MBs
             dc_pred = [128, 128, 128]
-            f = 1 << (fwd_f - 1) if fwd_f else 1
             end_addr = mb_h * mb_w - 1
             while mb_addr < end_addr:
                 inc = 0
@@ -423,45 +497,72 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                         continue
                     inc += v
                     break
-                # skipped macroblocks: P copies co-located, resets
+                # skipped macroblocks: P copies co-located (the
+                # canvas already holds the anchor) and resets the
+                # predictors; B repeats the previous macroblock's
+                # prediction mode and vectors with zero residual and
+                # does NOT reset the vector predictors (§2.4.4.4)
                 for _ in range(inc - 1):
                     mb_addr += 1
-                    if ptype != PIC_P:
+                    if ptype == PIC_I:
                         raise MpegError("skipped MB in I-picture")
-                    pmv = [0, 0]
                     dc_pred = [128, 128, 128]
+                    if ptype == PIC_P:
+                        pmv = [[0, 0], [0, 0]]
+                        continue
+                    if prev_dirs == (0, 0):
+                        raise MpegError("skipped B macroblock with "
+                                        "no previous prediction")
+                    if mb_addr >= mb_h * mb_w:
+                        raise MpegError("macroblock address overrun")
+                    sy, sx = divmod(mb_addr, mb_w)
+                    sY, sCb, sCr = predict_mb(prev_dirs,
+                                              applied_mvs(pmv),
+                                              sy, sx)
+                    newY[sy * 16:sy * 16 + 16, sx * 16:sx * 16 + 16] \
+                        = np.clip(sY, 0, 255).astype(np.uint8)
+                    newCb[sy * 8:sy * 8 + 8, sx * 8:sx * 8 + 8] \
+                        = np.clip(sCb, 0, 255).astype(np.uint8)
+                    newCr[sy * 8:sy * 8 + 8, sx * 8:sx * 8 + 8] \
+                        = np.clip(sCr, 0, 255).astype(np.uint8)
                 mb_addr += 1
                 if mb_addr >= mb_h * mb_w:
                     raise MpegError("macroblock address overrun")
                 my, mx = divmod(mb_addr, mb_w)
-                table = MB_TYPE_I if ptype == PIC_I else MB_TYPE_P
-                (quant, mf, pattern, intra), _ = _read_vlc(
+                table = (MB_TYPE_I if ptype == PIC_I else
+                         MB_TYPE_P if ptype == PIC_P else MB_TYPE_B)
+                (quant, mf, mb_bwd, pattern, intra), _ = _read_vlc(
                     sb, table, "macroblock_type")
                 if quant:
                     qscale = sb.read(5)
                     if not 1 <= qscale <= 31:
                         raise MpegError("bad quantizer_scale")
-                mvx = mvy = 0
-                if mf:
+                dirs = (mf, mb_bwd)
+                for d in (0, 1):
+                    if not dirs[d]:
+                        continue
                     codeh, _ = _read_vlc(sb, MOTION_VLC,
                                          "motion_code")
-                    rh = sb.read(fwd_f - 1) if fwd_f > 1 and codeh \
-                        else 0
+                    rh = sb.read(f_code[d] - 1) \
+                        if f_code[d] > 1 and codeh else 0
                     codev, _ = _read_vlc(sb, MOTION_VLC,
                                          "motion_code")
-                    rv = sb.read(fwd_f - 1) if fwd_f > 1 and codev \
-                        else 0
-                    pmv[0] = _recon_mv(pmv[0], codeh, rh, f)
-                    pmv[1] = _recon_mv(pmv[1], codev, rv, f)
-                    mvx, mvy = pmv[0], pmv[1]
-                    if full_pel:
-                        mvx, mvy = mvx * 2, mvy * 2
-                elif ptype == PIC_P and not intra:
-                    pmv = [0, 0]                 # no-MC P macroblock
+                    rv = sb.read(f_code[d] - 1) \
+                        if f_code[d] > 1 and codev else 0
+                    pmv[d][0] = _recon_mv(pmv[d][0], codeh, rh,
+                                          fvals[d])
+                    pmv[d][1] = _recon_mv(pmv[d][1], codev, rv,
+                                          fvals[d])
                 if intra:
-                    pmv = [0, 0]
+                    pmv = [[0, 0], [0, 0]]
                 else:
                     dc_pred = [128, 128, 128]
+                    if ptype == PIC_P and not mf:
+                        # no-MC P macroblock: zero-vector forward
+                        # copy, predictors reset
+                        pmv = [[0, 0], [0, 0]]
+                        dirs = (1, 0)
+                    prev_dirs = dirs
                 cbp = 0
                 if pattern:
                     cbp, _ = _read_vlc(sb, CBP_VLC,
@@ -469,20 +570,13 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                 elif intra:
                     cbp = 63
                 # --- prediction
-                py = px = None
-                if ptype == PIC_P and not intra:
-                    predY = _mc_predict(refY, mx * 16, my * 16,
-                                        16, 16, mvx, mvy)
-                    cvx = mvx // 2 if mvx >= 0 else -((-mvx) // 2)
-                    cvy = mvy // 2 if mvy >= 0 else -((-mvy) // 2)
-                    predCb = _mc_predict(refCb, mx * 8, my * 8,
-                                         8, 8, cvx, cvy)
-                    predCr = _mc_predict(refCr, mx * 8, my * 8,
-                                         8, 8, cvx, cvy)
-                else:
+                if intra:
                     predY = np.zeros((16, 16), dtype=np.int32)
                     predCb = np.zeros((8, 8), dtype=np.int32)
                     predCr = np.zeros((8, 8), dtype=np.int32)
+                else:
+                    predY, predCb, predCr = predict_mb(
+                        dirs, applied_mvs(pmv), my, mx)
                 # --- blocks
                 planes = [(newY, predY, 0)] * 4 + \
                     [(newCb, predCb, 1), (newCr, predCr, 2)]
@@ -514,22 +608,109 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
         if not decoded_any:
             raise MpegError("picture without slices")
         Y, Cb, Cr = newY, newCb, newCr
-        ref = (Y, Cb, Cr)
-        frame = np.empty((height, width, 3), dtype=np.uint8)
-        frame[..., 0] = Y[:height, :width]
-        up_cb = np.repeat(np.repeat(Cb, 2, 0), 2, 1)
-        up_cr = np.repeat(np.repeat(Cr, 2, 0), 2, 1)
-        frame[..., 1] = up_cb[:height, :width]
-        frame[..., 2] = up_cr[:height, :width]
-        frames.append(frame)
-        types.append(ptype)
+        cur = (newY, newCb, newCr)
+        if ptype == PIC_B:
+            emit(cur, ptype)
+        else:
+            if held is not None:
+                emit(held[0], held[1])
+            held = (cur, ptype)
+            fwd_ref, bwd_ref = bwd_ref, cur
         if max_frames and len(frames) >= max_frames:
+            held = None
             break
         i = j
+    if held is not None:
+        emit(held[0], held[1])
+        if max_frames:
+            del frames[max_frames:]
+            del types[max_frames:]
     if not frames:
         raise MpegError("no pictures decoded")
     return frames, {"width": width, "height": height,
                     "picture_types": types}
+
+
+# ------------------------------------------------ program stream
+
+def ps_video_es(data: bytes) -> bytes:
+    """MPEG-1 program stream (ISO/IEC 11172-1) → the first video
+    stream's elementary bytes.
+
+    Walks pack headers (00 00 01 BA, MPEG-1 '0010' form, 12 bytes),
+    skips system headers (BB) and non-video PES packets by their
+    16-bit lengths, and concatenates video PES (E0-EF) payloads
+    after the MPEG-1 PES header: stuffing FF bytes, optional STD
+    buffer field ('01'), then PTS/DTS ('0010'/'0011') or the
+    no-timestamp byte 0x0F. Raises MpegError on non-PS input or
+    structural corruption."""
+    if data[:4] != b"\x00\x00\x01\xba":
+        raise MpegError("not an MPEG program stream")
+    out = bytearray()
+    vid_id = None
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos:pos + 3] != b"\x00\x00\x01":
+            raise MpegError("lost pack synchronization")
+        sid = data[pos + 3]
+        if sid == 0xBA:
+            if pos + 12 > n:
+                raise MpegError("truncated pack header")
+            if data[pos + 4] >> 4 != 0b0010:
+                raise MpegError("not an MPEG-1 pack header")
+            pos += 12
+            continue
+        if sid == 0xB9:                          # ISO 11172 end code
+            break
+        if pos + 6 > n:
+            raise MpegError("truncated packet header")
+        plen = int.from_bytes(data[pos + 4:pos + 6], "big")
+        body = data[pos + 6:pos + 6 + plen]
+        if len(body) < plen:
+            raise MpegError("truncated PES packet")
+        if 0xE0 <= sid <= 0xEF and (vid_id is None or sid == vid_id):
+            vid_id = sid
+            i = 0
+            while i < len(body) and body[i] == 0xFF:
+                i += 1                           # stuffing
+            if i < len(body) and body[i] >> 6 == 0b01:
+                i += 2                           # STD buffer size
+            if i < len(body):
+                tag = body[i] >> 4
+                if tag == 0b0010:
+                    i += 5                       # PTS
+                elif tag == 0b0011:
+                    i += 10                      # PTS + DTS
+                elif body[i] == 0x0F:
+                    i += 1                       # no timestamps
+                else:
+                    raise MpegError("bad PES header flags")
+            out += body[i:]
+        pos += 6 + plen
+    if not out:
+        raise MpegError("program stream has no video packets")
+    return bytes(out)
+
+
+def ps_wrap(es: bytes, packet_size: int = 512) -> bytes:
+    """Fixture builder: wrap a video elementary stream into a
+    minimal MPEG-1 program stream — one pack header, then E0 PES
+    packets of ``packet_size`` with no-timestamp headers, then the
+    ISO 11172 end code."""
+    w = bytearray()
+    # pack header: '0010' + 33-bit SCR(0) with marker bits + mux rate
+    w += b"\x00\x00\x01\xba"
+    w += bytes((0x21, 0x00, 0x01, 0x00, 0x01))   # SCR = 0, markers
+    w += bytes((0x80, 0x00, 0x01))               # mux rate marker|1
+    for off in range(0, len(es), packet_size):
+        chunk = es[off:off + packet_size]
+        body = b"\x0f" + chunk                   # no-timestamp PES
+        w += b"\x00\x00\x01\xe0"
+        w += len(body).to_bytes(2, "big")
+        w += body
+    w += b"\x00\x00\x01\xb9"
+    return bytes(w)
 
 
 # --------------------------------------------------------- encoder
@@ -588,11 +769,19 @@ def mpeg1_bytes(width: int, height: int, pictures: list[dict],
       P pictures   ``{"kind": "skip"}`` (not first/last of a slice),
                    ``{"kind": "mc", "mv": (dx, dy)}`` motion-only in
                    full pels (full_pel) or half-pels,
-                   ``{"kind": "intra", "dc": [...]}``.
+                   ``{"kind": "intra", "dc": [...]}``;
+      B pictures   ``{"kind": "fwd"|"bwd", "mv": (dx, dy)}``
+                   single-direction motion-only,
+                   ``{"kind": "bi", "mv": (fx, fy), "mv2": (bx, by)}``
+                   interpolated, plus ``"skip"`` (repeats the
+                   previous macroblock's prediction) and ``"intra"``.
 
     The stream loads explicit all-16 quantizer matrices so decode
     never depends on the default-matrix constant. One slice per
-    picture row 0; forward_f_code = 1 (motion codes are the vector)."""
+    picture row 0; f_codes = 1 (motion codes are the vector).
+    Pictures are listed in CODED order (anchors before the B
+    pictures that reference them); the decoder reorders to display
+    order."""
     w = _BitWriter()
     _w_start(w, 0xB3)
     w.write(width, 12)
@@ -617,12 +806,15 @@ def mpeg1_bytes(width: int, height: int, pictures: list[dict],
     for t, pic in enumerate(pictures):
         _w_start(w, 0x00)
         w.write(t, 10)                           # temporal ref
-        ptype = PIC_I if pic["type"] == "I" else PIC_P
+        ptype = {"I": PIC_I, "P": PIC_P, "B": PIC_B}[pic["type"]]
         w.write(ptype, 3)
         w.write(0xFFFF, 16)                      # vbv delay (vbr)
-        if ptype == PIC_P:
+        if ptype in (PIC_P, PIC_B):
             w.write(1 if full_pel else 0, 1)
             w.write(1, 3)                        # forward_f_code = 1
+        if ptype == PIC_B:
+            w.write(1 if full_pel else 0, 1)
+            w.write(1, 3)                        # backward_f_code = 1
         w.write(0, 1)                            # no extra info
         _w_start(w, 0x01)                        # slice, row 0
         w.write(qscale, 5)
@@ -631,19 +823,23 @@ def mpeg1_bytes(width: int, height: int, pictures: list[dict],
         if len(mbs) != mb_w * mb_h:
             raise MpegError("need one mb entry per macroblock")
         pending = 1
-        pmv = [0, 0]
+        pmv = [[0, 0], [0, 0]]
         for k, mb in enumerate(mbs):
-            if ptype == PIC_P and mb.get("kind") == "skip":
+            if mb.get("kind") == "skip":
+                if ptype == PIC_I:
+                    raise MpegError("cannot skip in an I-picture")
                 if k in (0, len(mbs) - 1):
                     raise MpegError("first/last MB cannot be skipped")
                 pending += 1
-                pmv = [0, 0]
+                if ptype == PIC_P:
+                    pmv = [[0, 0], [0, 0]]
                 continue
             _w_mba(w, pending)
             pending = 1
-            if ptype == PIC_I or mb.get("kind") == "intra":
+            kind = mb.get("kind")
+            if ptype == PIC_I or kind == "intra":
                 _wbits(w, "1" if ptype == PIC_I else "00011")
-                pmv = [0, 0]
+                pmv = [[0, 0], [0, 0]]
                 dcs = mb["dc"]
                 ac = {a[0]: a for a in mb.get("ac", [])}
                 for b in range(6):
@@ -658,12 +854,25 @@ def mpeg1_bytes(width: int, height: int, pictures: list[dict],
                                             "be +-1..127")
                         w.write(level & 0xFF, 8)
                     _wbits(w, DCT_EOB)
-            elif mb.get("kind") == "mc":
+            elif ptype == PIC_P and kind == "mc":
                 _wbits(w, "001")                 # motion only
                 dx, dy = mb["mv"]
-                _w_motion(w, dx - pmv[0])
-                _w_motion(w, dy - pmv[1])
-                pmv = [dx, dy]
+                _w_motion(w, dx - pmv[0][0])
+                _w_motion(w, dy - pmv[0][1])
+                pmv[0] = [dx, dy]
+            elif ptype == PIC_B and kind in ("fwd", "bwd", "bi"):
+                code, use = {"fwd": ("0010", (1, 0)),
+                             "bwd": ("010", (0, 1)),
+                             "bi": ("10", (1, 1))}[kind]
+                _wbits(w, code)                  # motion only
+                for d in (0, 1):
+                    if not use[d]:
+                        continue
+                    dx, dy = mb["mv2"] if d == 1 and kind == "bi" \
+                        else mb["mv"]
+                    _w_motion(w, dx - pmv[d][0])
+                    _w_motion(w, dy - pmv[d][1])
+                    pmv[d] = [dx, dy]
             else:
                 raise MpegError(f"unknown mb kind {mb!r}")
     _w_start(w, 0xB7)                            # sequence end
@@ -710,3 +919,45 @@ def mpeg1_fixture(doc_id: int) -> bytes:
                                  {"kind": "mc", "mv": (-1, 0)}]}
     return mpeg1_bytes(48, 16, [pic0, pic1, pic2],
                        qscale=1 + doc_id % 31, full_pel=True)
+
+
+def mpeg1_bps_fixture(doc_id: int) -> bytes:
+    """Deterministic MPEG-1 PROGRAM STREAM (pack/PES wrapped) with a
+    bidirectional picture per document row; SQL-closed forms
+    (48x16, coded order I P B → display order I B P):
+
+      I (display 0)  MBs painted v0 | v1 | v2 (flat DC-only luma)
+      P (display 2)  all-intra refresh w0 | w1 | w2
+      B (display 1)  MB0 forward (+2, 0) over I — 14 columns v0 +
+                     2 columns v1; MB1 SKIPPED — repeats MB0's
+                     forward mode/vector at its own address: 14
+                     columns v1 + 2 columns v2; MB2 bidirectional
+                     (0,0)/(0,0) — the spec's rounded average
+                     (v2 + w2 + 1) >> 1
+
+    Exercises backward motion, interpolated prediction, skipped-B
+    repeat semantics, coded→display reordering, and the ISO 11172-1
+    system-layer demux (:func:`ps_video_es`). Every decoded pixel is
+    an exact integer, so frame means are closed-form in doc_id."""
+    v0 = 16 + doc_id % 224
+    v1 = 16 + (doc_id * 7 + 31) % 224
+    v2 = 16 + (doc_id * 13 + 5) % 224
+    w0 = 16 + (doc_id * 11 + 3) % 224
+    w1 = 16 + (doc_id * 17 + 9) % 224
+    w2 = 16 + (doc_id * 23 + 11) % 224
+
+    def intra(prev: int, v: int) -> dict:
+        return {"kind": "intra", "dc": [v - prev, 0, 0, 0, 0, 0]}
+
+    pic0 = {"type": "I", "mbs": [{"dc": [v0 - 128, 0, 0, 0, 0, 0]},
+                                 {"dc": [v1 - v0, 0, 0, 0, 0, 0]},
+                                 {"dc": [v2 - v1, 0, 0, 0, 0, 0]}]}
+    pic1 = {"type": "P", "mbs": [intra(128, w0), intra(w0, w1),
+                                 intra(w1, w2)]}
+    pic2 = {"type": "B", "mbs": [{"kind": "fwd", "mv": (2, 0)},
+                                 {"kind": "skip"},
+                                 {"kind": "bi", "mv": (0, 0),
+                                  "mv2": (0, 0)}]}
+    es = mpeg1_bytes(48, 16, [pic0, pic1, pic2],
+                     qscale=1 + doc_id % 31, full_pel=True)
+    return ps_wrap(es, packet_size=256 + (doc_id % 7) * 64)
