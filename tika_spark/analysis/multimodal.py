@@ -23,13 +23,14 @@ Decode tiers:
    :mod:`tika_spark.analysis.aaccodec`; video frames via MJPEG-AVI
    demux and animated-GIF/APNG sampling in
    :mod:`tika_spark.analysis.video`, with real inter-frame paths
-   (MS-RLE8, MS Video 1) and motion-compensated MPEG-1 I/P decode
-   in :mod:`tika_spark.analysis.mpegvideo` — all pure Python+numpy,
-   with exact micro-unit stats and deterministic resize on top.
-   Remaining codecs (Opus/Vorbis, B-pictures, MPEG program-stream
-   demux) need libraries this container lacks; for those
-   ``real_decode`` remains the clearly-marked hook that raises
-   NotImplementedError until a codec lands.
+   (MS-RLE8, MS Video 1) and full motion-compensated MPEG-1 I/P/B
+   decode with display reordering and ISO 11172-1 program-stream
+   demux in :mod:`tika_spark.analysis.mpegvideo` — all pure
+   Python+numpy, with exact micro-unit stats and deterministic
+   resize on top. Remaining codecs (Opus/Vorbis audio, H.26x video)
+   need libraries this container lacks; for those ``real_decode``
+   remains the clearly-marked hook that raises NotImplementedError
+   until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
    (e.g. the synthetic ``image/fake``) fall back to metadata derived
    from payload length, so tests/oracles can pin values.
@@ -98,11 +99,15 @@ def real_decode(payload: bytes, media_type: str):
             and payload[:4] == b"\x00\x00\x01\xb3":
         from tika_spark.analysis.mpegvideo import decode_mpeg1
         return decode_mpeg1(payload)
+    if media_type == "video/mpeg" \
+            and payload[:4] == b"\x00\x00\x01\xba":
+        from tika_spark.analysis.mpegvideo import (decode_mpeg1,
+                                                   ps_video_es)
+        return decode_mpeg1(ps_video_es(payload))
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(Opus/Vorbis samples, B-picture video, MPEG program-stream "
-        "demux) are not installed in this environment; decode_media "
-        "uses the header-parse tier below")
+        "(Opus/Vorbis audio, H.26x video) are not installed in this "
+        "environment; decode_media uses the header-parse tier below")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:

@@ -15,8 +15,10 @@ codec libraries. Two codecs add real INTER-frame paths: MS-RLE8
 through, and MS Video 1 / CRAM (:func:`decode_msvc`, 8 and 16 bpp),
 whose multi-block skip codes do the same over 4×4 vector-quantized
 blocks — frames compose across the chain exactly like the GIF
-disposal rules. Motion-compensated transform codecs (H.264 etc.)
-remain the documented ``NotImplementedError`` hook in
+disposal rules. MPEG-1 gets the full motion-compensated transform
+treatment (I/P/B pictures, display reordering, program-stream
+demux) in :mod:`tika_spark.analysis.mpegvideo`; later codecs
+(H.26x) remain the documented ``NotImplementedError`` hook in
 multimodal.real_decode.
 
 Scale design: frame sampling is per-row work (no shuffle); the
