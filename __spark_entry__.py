@@ -1131,6 +1131,37 @@ def _q_media_mpeg_bps_frames(spark, sf_dir):
         F.get("mean_micro", 1).alias("mean_cb"))
 
 
+def _q_media_mpeg2_frames(spark, sf_dir):
+    """MPEG-2 (ISO 13818-2) Main-Profile decode (mpegvideo.py): each
+    row is an ISO 13818-1 pack/PES program stream whose video ES
+    varies intra_dc_precision (8/9/10), q_scale_type, and
+    alternate_scan; the pipeline demuxes the MPEG-2 PES form,
+    auto-detects the standard from the sequence extension, decodes
+    I/P/B with always-half-pel vectors from per-dimension f_codes,
+    applies §7.4.4 mismatch control, and reorders to display order.
+    Closed forms in mpeg2_ps_fixture's docstring."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.mpegvideo import mpeg2_ps_fixture
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([mpeg2_ps_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_y"),
+        F.get("mean_micro", 1).alias("mean_cb"))
+
+
 def _q_media_apng_frames(spark, sf_dir):
     """APNG (animated PNG) frame compositing (pixels.apng_frames):
     acTL/fcTL/fdAT parse, per-frame sub-rectangle zlib+unfilter,
@@ -4217,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_msvc_frames": _q_media_msvc_frames,
         "media_mpeg1_frames": _q_media_mpeg1_frames,
         "media_mpeg_bps_frames": _q_media_mpeg_bps_frames,
+        "media_mpeg2_frames": _q_media_mpeg2_frames,
         "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_pdf_images": _q_extract_pdf_images,
@@ -4640,6 +4672,29 @@ def oracle_sql() -> dict[str, str]:
             "CASE f.frame_idx WHEN 0 "
             "THEN (256 * (v0 + v1 + v2) * 1000000 + 384) // 768 "
             "WHEN 1 THEN (16 * (14 * v0 + 16 * v1 + 2 * v2 "
+            "+ 16 * ((v2 + w2 + 1) // 2)) * 1000000 + 384) // 768 "
+            "ELSE (256 * (w0 + w1 + w2) * 1000000 + 384) // 768 "
+            "END AS mean_y, "
+            "128000000 AS mean_cb "
+            "FROM p, (VALUES (0), (1), (2)) f(frame_idx)"),
+        "media_mpeg2_frames": (
+            # mpeg2_ps_fixture closed forms (display order I B P):
+            # frame 1 is the B picture — 15·v0 + 1·v1 (fwd 1-pel
+            # half-pel vector) | 15·v1 + 1·v2 (skipped-B repeat) |
+            # 16·avg(v2, w2) columns; frames 0/2 flat anchors
+            "WITH p AS (SELECT doc_id, 16 + doc_id % 224 AS v0, "
+            "16 + (doc_id * 7 + 31) % 224 AS v1, "
+            "16 + (doc_id * 13 + 5) % 224 AS v2, "
+            "16 + (doc_id * 11 + 3) % 224 AS w0, "
+            "16 + (doc_id * 17 + 9) % 224 AS w1, "
+            "16 + (doc_id * 23 + 11) % 224 AS w2 FROM documents) "
+            "SELECT doc_id AS id, CAST(f.frame_idx AS INT) "
+            "AS frame_idx, CAST(3 AS INT) AS n_frames, "
+            "CAST(48 AS BIGINT) AS width, CAST(16 AS BIGINT) "
+            "AS height, "
+            "CASE f.frame_idx WHEN 0 "
+            "THEN (256 * (v0 + v1 + v2) * 1000000 + 384) // 768 "
+            "WHEN 1 THEN (16 * (15 * v0 + 16 * v1 + v2 "
             "+ 16 * ((v2 + w2 + 1) // 2)) * 1000000 + 384) // 768 "
             "ELSE (256 * (w0 + w1 + w2) * 1000000 + 384) // 768 "
             "END AS mean_y, "

@@ -203,6 +203,120 @@ class TestBPictures:
             m.decode_mpeg1(m.mpeg1_bytes(48, 16, [picb]))
 
 
+def _idct_cosine_ref(F):
+    """Independent double-loop IDCT reference (the defining sum)."""
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 2 ** -0.5 if u == 0 else 1.0
+                    cv = 2 ** -0.5 if v == 0 else 1.0
+                    s += cu * cv * F[u, v] \
+                        * np.cos((2 * x + 1) * v * np.pi / 16) \
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+            ref[y, x] = s / 4.0
+    return ref
+
+
+class TestMpeg2:
+    def _values(self, doc_id):
+        return (16 + doc_id % 224, 16 + (doc_id * 7 + 31) % 224,
+                16 + (doc_id * 13 + 5) % 224,
+                16 + (doc_id * 11 + 3) % 224,
+                16 + (doc_id * 17 + 9) % 224,
+                16 + (doc_id * 23 + 11) % 224)
+
+    def test_fixture_closed_forms_across_precisions(self):
+        # doc_ids cover intra_dc_precision 8/9/10, both
+        # q_scale_types and both scans
+        for doc_id in (0, 1, 2, 3, 5, 41, 200):
+            ps = m.mpeg2_ps_fixture(doc_id)
+            es = m.ps_video_es(ps)
+            frames, meta = m.decode_mpeg1(es)
+            assert meta["mpeg2"] is True
+            assert meta["picture_types"] == [1, 3, 2]
+            v0, v1, v2, w0, w1, w2 = self._values(doc_id)
+            f0, f1, f2 = frames
+            assert (f0[:, 0:16, 0] == v0).all()
+            assert (f0[:, 16:32, 0] == v1).all()
+            assert (f0[:, 32:48, 0] == v2).all()
+            exp1 = ([v0] * 15 + [v1] + [v1] * 15 + [v2]
+                    + [(v2 + w2 + 1) >> 1] * 16)
+            assert (f1[..., 0] == np.array(exp1)[None, :]).all()
+            assert (f1[..., 1] == 128).all()
+            exp2 = [w0] * 16 + [w1] * 16 + [w2] * 16
+            assert (f2[..., 0] == np.array(exp2)[None, :]).all()
+
+    def test_dc_precision_11(self):
+        s = 3
+        pic = {"type": "I", "mbs": [
+            {"dc": [(200 - 128) << s, 0, 0, 0, 0, 0]}]}
+        frames, meta = m.decode_mpeg1(
+            m.mpeg2_bytes(16, 16, [pic], intra_dc_precision=11))
+        assert meta["mpeg2"] is True
+        assert (frames[0][..., 0] == 200).all()
+
+    @pytest.mark.parametrize("qst,alt", [(0, 0), (0, 1),
+                                         (1, 0), (1, 1)])
+    def test_ac_dequant_scan_and_mismatch(self, qst, alt):
+        # one escape-coded AC at scan position 1+run: MPEG-2 dequant
+        # is (2·L·qs·W)//32 toward zero (W=16 → exactly L·qs), the
+        # scan maps the position (zigzag vs alternate), and §7.4.4
+        # toggles F[7][7] when the coefficient sum lands even —
+        # all checked against the defining cosine IDCT sum
+        qcode, run, L = 6, 2, 5
+        qs = 2 * qcode if qst == 0 else m.NONLINEAR_QSCALE[qcode]
+        pic = {"type": "I", "mbs": [
+            {"dc": [10, 0, 0, 0, 0, 0], "ac": [(0, run, L)]}]}
+        frames, _ = m.decode_mpeg1(
+            m.mpeg2_bytes(16, 16, [pic], qscale_code=qcode,
+                          q_scale_type=qst, alternate_scan=alt))
+        coeff = np.zeros(64, dtype=np.int64)
+        coeff[0] = (128 + 10) * 8
+        scan = m.ALT_SCAN if alt else m.ZIGZAG
+        coeff[int(scan[1 + run])] = L * qs
+        if int(coeff.sum()) % 2 == 0:
+            coeff[63] ^= 1
+        expect = np.clip(np.rint(_idct_cosine_ref(
+            coeff.reshape(8, 8))), 0, 255).astype(np.uint8)
+        assert (frames[0][0:8, 0:8, 0] == expect).all()
+
+    def test_mismatch_toggle_is_live(self):
+        # even coefficient sum → F[7][7] flips 0→1; the ripple is
+        # sub-half so pixels stay flat, but the raw dequant output
+        # must show the toggle
+        bits = m._BitWriter()
+        m._w_dc(bits, 10, 0)
+        m._wbits(bits, m.DCT_EOB)
+        bits.align()
+        rd = m._Bits(bytes(bits.out), 0)
+        dc_pred = [128, 128, 128]
+        coeff = m._decode_block(rd, True, 0, dc_pred, 2,
+                                m.DEFAULT_NONINTRA_Q,
+                                m.DEFAULT_NONINTRA_Q, mpeg2=True)
+        assert coeff[0, 0] == 138 * 8 and coeff[7, 7] == 1
+        assert int(coeff.sum()) % 2 == 1
+
+    def test_ps_mpeg2_roundtrip(self):
+        es = m.ps_video_es(m.mpeg2_ps_fixture(9))
+        for psize in (64, 700):
+            assert m.ps_video_es(m.ps_wrap(es, psize,
+                                           mpeg2=True)) == es
+
+    def test_pipeline_metadata_demuxes_ps(self, spark):
+        from tika_spark import extract
+        pages = spark.createDataFrame(
+            [("http://a.example/film.mpg", m.mpeg2_ps_fixture(4))],
+            "url string, html binary").repartition(2)
+        row = extract(pages, mode="metadata").collect()[0]
+        assert row["status"] == "ok"
+        md = dict(row["metadata"])
+        assert md["Content-Type"] == ["video/mpeg"]
+        assert md["width"] == ["48"] and md["height"] == ["16"]
+
+
 class TestErrors:
 
     def test_garbage_and_truncation(self):

@@ -1,4 +1,5 @@
-"""From-scratch MPEG-1 video (ISO/IEC 11172-2) I/P/B-frame decoder.
+"""From-scratch MPEG-1/MPEG-2 video (ISO/IEC 11172-2 / 13818-2)
+I/P/B-frame decoder.
 
 Closes the documented motion-compensated-video hook with a real
 transform codec: sequence/GOP/picture/slice/macroblock/block layer
@@ -9,24 +10,31 @@ reconstruction with the spec's modular wraparound per direction,
 skipped-macroblock semantics (P: co-located copy with predictor
 reset; B: repeat of the previous macroblock's prediction mode and
 vectors), quantizer-scale updates, and the one-anchor-delay
-coded→display frame reordering. :func:`ps_video_es` additionally
-demuxes MPEG-1 *program streams* (ISO/IEC 11172-1 pack/PES layer)
-down to the video elementary stream, so real ``.mpg`` files route
+coded→display frame reordering. MPEG-2 Main-Profile progressive
+frame pictures are auto-detected via the sequence extension and add:
+per-(direction, dimension) f_codes from the picture coding
+extension, intra_dc_precision 8-11, both quantiser_scale mappings
+(linear and Table 7-6 non-linear), the alternate coefficient scan,
+signed-12-bit escape levels (Table B-16), /32
+truncate-toward-zero dequantization, and §7.4.4 sum-parity mismatch
+control. :func:`ps_video_es` additionally demuxes *program streams*
+(ISO/IEC 11172-1 and 13818-1 pack/PES layers) down to the video
+elementary stream, so real ``.mpg``/``.vob``-style files route
 end-to-end.
 
-Provenance: written from the public ISO/IEC 11172-2 specification
-structure (widely documented — see also the MPEG-1 overview
-literature). The Annex B Huffman tables are reproduced here from
-well-known public data; the entries the fixture encoder emits
+Provenance: written from the public ISO/IEC 11172-2 / 13818-2
+specification structure (widely documented — see also the MPEG
+overview literature). The Annex B Huffman tables are reproduced here
+from well-known public data; the entries the fixture encoders emit
 (address increments 1..15 + escape, motion codes |m| <= 3, DC size
 codes, run/level escape coding, EOB) are the thoroughly
-cross-checked core, and :func:`mpeg1_bytes` restricts itself to
-them, so encoder/decoder self-consistency plus the spec's layer
-structure carries correctness end to end (the same discipline as
-analysis/mp3codec.py and analysis/aaccodec.py). Reference parity
-note: the reference's video coverage is metadata-only
-(video/FLVParser.java, mp4/MP4Parser.java) — sample decode is the
-pipeline extension, not a port.
+cross-checked core, and :func:`mpeg1_bytes` / :func:`mpeg2_bytes`
+restrict themselves to them, so encoder/decoder self-consistency
+plus the spec's layer structure carries correctness end to end (the
+same discipline as analysis/mp3codec.py and analysis/aaccodec.py).
+Reference parity note: the reference's video coverage is
+metadata-only (video/FLVParser.java, mp4/MP4Parser.java) — sample
+decode is the pipeline extension, not a port.
 
 Output frames are (h, w, 3) uint8 in YCbCr (Y, Cb, Cr) with the
 4:2:0 chroma replicated 2x2 — channel statistics downstream are
@@ -116,12 +124,17 @@ CBP_VLC: dict[str, int] = {
     "000000100": 59,
 }
 
-# Tables B.5a/B.5b: dct_dc_size
+# Tables B.5a/B.5b: dct_dc_size. The 9..11 entries are the MPEG-2
+# (ISO 13818-2 B-12/B-13) extension for intra_dc_precision > 8;
+# they are prefix-free against the MPEG-1 core so one table serves
+# both standards.
 DC_LUMA_VLC = {"100": 0, "00": 1, "01": 2, "101": 3, "110": 4,
-               "1110": 5, "11110": 6, "111110": 7, "1111110": 8}
+               "1110": 5, "11110": 6, "111110": 7, "1111110": 8,
+               "11111110": 9, "111111110": 10, "111111111": 11}
 DC_CHROMA_VLC = {"00": 0, "01": 1, "10": 2, "110": 3, "1110": 4,
                  "11110": 5, "111110": 6, "1111110": 7,
-                 "11111110": 8}
+                 "11111110": 8, "111111110": 9, "1111111110": 10,
+                 "1111111111": 11}
 
 # Table B.5c dct_coeff run/level core (sign bit follows each code;
 # '1' is run 0 level 1 only for the FIRST coefficient of a block,
@@ -151,6 +164,26 @@ DEFAULT_INTRA_Q = np.array([
     27, 29, 35, 38, 46, 56, 69, 83], dtype=np.int64)
 DEFAULT_NONINTRA_Q = np.full(64, 16, dtype=np.int64)
 
+# MPEG-2 (ISO 13818-2) additions: the alternate coefficient scan
+# (Figure 7-3) and the non-linear quantiser_scale mapping
+# (Table 7-6, q_scale_type = 1).
+ALT_SCAN = np.array([
+    0, 8, 16, 24, 1, 9, 2, 10, 17, 25, 32, 40, 48, 56, 57, 49,
+    41, 33, 26, 18, 3, 11, 4, 12, 19, 27, 34, 42, 50, 58, 35, 43,
+    51, 59, 20, 28, 5, 13, 6, 14, 21, 29, 36, 44, 52, 60, 37, 45,
+    53, 61, 22, 30, 7, 15, 23, 31, 38, 46, 54, 62, 39, 47, 55, 63],
+    dtype=np.int64)
+NONLINEAR_QSCALE = (
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 18, 20, 22,
+    24, 28, 32, 36, 40, 44, 48, 52, 56, 64, 72, 80, 88, 96, 104, 112)
+
+
+def _div_to_zero(a: int, b: int) -> int:
+    """Integer division truncating toward zero (the '/' of ISO
+    13818-2 §7.4.2.3), vs Python's floor division."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
 
 def _read_vlc(bits: _Bits, table: dict[str, object], what: str,
               max_len: int = 12):
@@ -177,10 +210,19 @@ def _idct(block: np.ndarray) -> np.ndarray:
 
 def _decode_block(bits: _Bits, intra: bool, comp: int,
                   dc_pred: list[int], qscale: int,
-                  intra_q: np.ndarray, ninter_q: np.ndarray
-                  ) -> np.ndarray:
+                  intra_q: np.ndarray, ninter_q: np.ndarray,
+                  mpeg2: bool = False, dc_mult: int = 8,
+                  scan: np.ndarray | None = None) -> np.ndarray:
     """One 8x8 block → dequantized coefficient array (raster order).
-    ``comp``: 0 luma, 1 Cb, 2 Cr (for DC prediction bookkeeping)."""
+    ``comp``: 0 luma, 1 Cb, 2 Cr (for DC prediction bookkeeping).
+    ``mpeg2`` switches the ISO 13818-2 arithmetic: /32 dequant
+    truncating toward zero, 12-bit escape levels, saturate-then-
+    sum-parity mismatch control (vs MPEG-1's per-coefficient
+    oddification); ``dc_mult`` is the intra-DC multiplier
+    (8 >> (intra_dc_precision - 8)); ``scan`` the coefficient scan
+    (zigzag or ALT_SCAN)."""
+    if scan is None:
+        scan = ZIGZAG
     coeff = np.zeros(64, dtype=np.int64)
     idx = 0
     if intra:
@@ -191,7 +233,7 @@ def _decode_block(bits: _Bits, intra: bool, comp: int,
             v = bits.read(size)
             diff = v if v >> (size - 1) else v - ((1 << size) - 1)
         dc_pred[comp] += diff
-        coeff[0] = dc_pred[comp] * 8
+        coeff[0] = dc_pred[comp] * dc_mult
         idx = 1
         first = False
     else:
@@ -237,28 +279,43 @@ def _decode_block(bits: _Bits, intra: bool, comp: int,
                 break                            # end of block
         if run is None:                          # escape: fixed bits
             run = bits.read(6)
-            lv = bits.read(8)
-            if lv == 0:
-                level = bits.read(8)             # +128..+255
-            elif lv == 128:
-                level = bits.read(8) - 256       # -256..-129
+            if mpeg2:                            # B-16: signed 12 bit
+                v = bits.read(12)
+                level = v - 4096 if v >= 2048 else v
+                if level == 0:
+                    raise MpegError("escape level 0 is forbidden")
             else:
-                level = lv - 256 if lv > 128 else lv
+                lv = bits.read(8)
+                if lv == 0:
+                    level = bits.read(8)         # +128..+255
+                elif lv == 128:
+                    level = bits.read(8) - 256   # -256..-129
+                else:
+                    level = lv - 256 if lv > 128 else lv
         else:
             if bits.read(1):
                 level = -level
         idx += run
         if idx > 63:
             raise MpegError("dct run past end of block")
-        zz = int(ZIGZAG[idx])
-        if intra:
-            f = (2 * level * qscale * int(intra_q[zz])) // 16
+        zz = int(scan[idx])
+        if mpeg2:
+            if intra:
+                f = _div_to_zero(2 * level * qscale
+                                 * int(intra_q[zz]), 32)
+            else:
+                s = 1 if level > 0 else -1
+                f = _div_to_zero((2 * level + s) * qscale
+                                 * int(ninter_q[zz]), 32)
         else:
-            s = 1 if level > 0 else -1
-            f = ((2 * level + s) * qscale * int(ninter_q[zz]))
-            f = int(np.sign(f)) * (abs(f) // 32)
-        if f and f % 2 == 0:                     # mismatch control
-            f += -1 if f > 0 else 1
+            if intra:
+                f = (2 * level * qscale * int(intra_q[zz])) // 16
+            else:
+                s = 1 if level > 0 else -1
+                f = ((2 * level + s) * qscale * int(ninter_q[zz]))
+                f = int(np.sign(f)) * (abs(f) // 32)
+            if f and f % 2 == 0:                 # mismatch control
+                f += -1 if f > 0 else 1
         coeff[zz] = max(-2048, min(2047, f))
         idx += 1
         if intra and idx > 63:
@@ -276,6 +333,11 @@ def _decode_block(bits: _Bits, intra: bool, comp: int,
             if code != DCT_EOB:
                 raise MpegError("missing EOB after full block")
             break
+    if mpeg2 and int(coeff.sum()) % 2 == 0:
+        # §7.4.4 mismatch control: force the coefficient sum odd by
+        # toggling F[7][7]'s least-significant bit (odd → -1,
+        # even → +1 — exactly an LSB flip in two's complement)
+        coeff[63] ^= 1
     return coeff.reshape(8, 8)
 
 
@@ -339,17 +401,20 @@ def _find_start_codes(data: bytes) -> list[tuple[int, int]]:
 
 def decode_mpeg1(data: bytes, max_frames: int = 0
                  ) -> tuple[list[np.ndarray], dict]:
-    """MPEG-1 video elementary stream → (frames, meta).
+    """MPEG-1 or MPEG-2 video elementary stream → (frames, meta).
 
-    Frames are (h, w, 3) uint8 YCbCr (2x2-replicated chroma) in
-    DISPLAY order: anchors (I/P) are held back one step and emitted
-    when the next anchor arrives, B pictures are emitted
-    immediately — the classic one-anchor-delay reorder. ``meta``
-    carries width/height/picture types (display order). Raises
-    MpegError on unsupported constructs or corrupt streams."""
+    The standard is auto-detected: a sequence extension after the
+    sequence header selects ISO 13818-2 semantics (Main-Profile
+    progressive frame pictures). Frames are (h, w, 3) uint8 YCbCr
+    (2x2-replicated chroma) in DISPLAY order: anchors (I/P) are held
+    back one step and emitted when the next anchor arrives, B
+    pictures are emitted immediately — the classic one-anchor-delay
+    reorder. ``meta`` carries width/height/picture types (display
+    order) and ``mpeg2``. Raises MpegError on unsupported constructs
+    or corrupt streams."""
     codes = _find_start_codes(data)
     if not codes or codes[0][0] != 0xB3:
-        raise MpegError("no MPEG-1 sequence header")
+        raise MpegError("no MPEG sequence header")
     seq = _Bits(data, codes[0][1])
     width = seq.read(12)
     height = seq.read(12)
@@ -370,6 +435,20 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
         m = np.array([seq.read(8) for _ in range(64)], dtype=np.int64)
         ninter_q = np.zeros(64, dtype=np.int64)
         ninter_q[ZIGZAG] = m
+    # ISO 13818-2 detection: an extension start code with the
+    # sequence-extension identifier immediately after the sequence
+    # header marks an MPEG-2 stream (MPEG-1 has no 0xB5 codes)
+    mpeg2 = False
+    if len(codes) > 1 and codes[1][0] == 0xB5:
+        ext = _Bits(data, codes[1][1])
+        if ext.read(4) == 0b0001:
+            mpeg2 = True
+            ext.read(8)                          # profile_and_level
+            ext.read(1)                          # progressive_sequence
+            if ext.read(2) != 1:
+                raise MpegError("only 4:2:0 chroma is supported")
+            width += ext.read(2) << 12
+            height += ext.read(2) << 12
     if width <= 0 or height <= 0:
         raise MpegError("bad dimensions")
     mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
@@ -424,6 +503,55 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                 raise MpegError("bad backward_f_code")
         while bits.read(1):                      # extra picture info
             bits.read(8)
+        # fc[direction][dimension] motion ranges; MPEG-1 shares one
+        # f_code per direction, MPEG-2 carries all four in the
+        # picture coding extension (the header fields are dummies)
+        fc = [[f_code[0], f_code[0]], [f_code[1], f_code[1]]]
+        dc_prec = 8
+        q_scale_type = 0
+        scan = ZIGZAG
+        if mpeg2:
+            full_pel = [0, 0]
+            if i + 1 >= len(codes) or codes[i + 1][0] != 0xB5:
+                raise MpegError("missing picture coding extension")
+            pce = _Bits(data, codes[i + 1][1])
+            if pce.read(4) != 0b1000:
+                raise MpegError("missing picture coding extension")
+            fc = [[pce.read(4), pce.read(4)],
+                  [pce.read(4), pce.read(4)]]
+            if ptype in (PIC_P, PIC_B):
+                bad = [t for t in (0, 1) if not 1 <= fc[0][t] <= 9]
+                if ptype == PIC_B:
+                    bad += [t for t in (0, 1)
+                            if not 1 <= fc[1][t] <= 9]
+                if bad:
+                    raise MpegError("bad MPEG-2 f_code")
+            dc_prec = 8 + pce.read(2)
+            if pce.read(2) != 3:
+                raise MpegError("field pictures are not supported")
+            pce.read(1)                          # top_field_first
+            if not pce.read(1):
+                raise MpegError("frame_pred_frame_dct = 0 is not "
+                                "supported")
+            if pce.read(1):
+                raise MpegError("concealment motion vectors are not "
+                                "supported")
+            q_scale_type = pce.read(1)
+            if pce.read(1):
+                raise MpegError("intra_vlc_format 1 (Table B-15) is "
+                                "not supported")
+            if pce.read(1):
+                scan = ALT_SCAN
+        dc_reset = 1 << (dc_prec - 1)
+        dc_mult = 8 >> (dc_prec - 8)
+
+        def qs_val(code: int) -> int:
+            if not 1 <= code <= 31:
+                raise MpegError("bad quantizer_scale")
+            if not mpeg2:
+                return code
+            return 2 * code if q_scale_type == 0 \
+                else NONLINEAR_QSCALE[code]
         if ptype == PIC_I:
             newY, newCb, newCr = Y.copy(), Cb.copy(), Cr.copy()
         else:
@@ -435,8 +563,8 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
             refs = (fwd_ref, bwd_ref)
         else:
             refs = (bwd_ref, None)
-        fvals = (1 << (f_code[0] - 1) if f_code[0] else 1,
-                 1 << (f_code[1] - 1) if f_code[1] else 1)
+        fvals = [[1 << (fc[d][t] - 1) if fc[d][t] else 1
+                  for t in (0, 1)] for d in (0, 1)]
 
         def applied_mvs(pmv):
             """pmv (predictor units) → per-direction half-pel vectors
@@ -468,21 +596,28 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                     (a + b + 1) >> 1 for a, b in zip(acc, p))
             return acc
 
-        # slices follow until the next non-slice start code
+        # slices follow until the next non-slice start code (after
+        # any extension 0xB5 / user-data 0xB2 codes in between)
         j = i + 1
+        while j < len(codes) and codes[j][0] in (0xB5, 0xB2):
+            j += 1
         decoded_any = False
         while j < len(codes) and 0x01 <= codes[j][0] <= 0xAF:
             srow = codes[j][0] - 1
             sb = _Bits(data, codes[j][1])
-            qscale = sb.read(5)
-            if not 1 <= qscale <= 31:
-                raise MpegError("bad quantizer_scale")
-            while sb.read(1):
-                sb.read(8)                       # extra slice info
+            qscale = qs_val(sb.read(5))
+            if mpeg2:
+                if sb.read(1):                   # slice extension
+                    sb.read(8)                   # intra_slice+id bits
+                    while sb.read(1):
+                        sb.read(8)
+            else:
+                while sb.read(1):
+                    sb.read(8)                   # extra slice info
             mb_addr = srow * mb_w - 1
             pmv = [[0, 0], [0, 0]]               # per-direction preds
             prev_dirs = (0, 0)                   # for skipped B MBs
-            dc_pred = [128, 128, 128]
+            dc_pred = [dc_reset] * 3
             end_addr = mb_h * mb_w - 1
             while mb_addr < end_addr:
                 inc = 0
@@ -506,7 +641,7 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                     mb_addr += 1
                     if ptype == PIC_I:
                         raise MpegError("skipped MB in I-picture")
-                    dc_pred = [128, 128, 128]
+                    dc_pred = [dc_reset] * 3
                     if ptype == PIC_P:
                         pmv = [[0, 0], [0, 0]]
                         continue
@@ -534,29 +669,27 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                 (quant, mf, mb_bwd, pattern, intra), _ = _read_vlc(
                     sb, table, "macroblock_type")
                 if quant:
-                    qscale = sb.read(5)
-                    if not 1 <= qscale <= 31:
-                        raise MpegError("bad quantizer_scale")
+                    qscale = qs_val(sb.read(5))
                 dirs = (mf, mb_bwd)
                 for d in (0, 1):
                     if not dirs[d]:
                         continue
                     codeh, _ = _read_vlc(sb, MOTION_VLC,
                                          "motion_code")
-                    rh = sb.read(f_code[d] - 1) \
-                        if f_code[d] > 1 and codeh else 0
+                    rh = sb.read(fc[d][0] - 1) \
+                        if fc[d][0] > 1 and codeh else 0
                     codev, _ = _read_vlc(sb, MOTION_VLC,
                                          "motion_code")
-                    rv = sb.read(f_code[d] - 1) \
-                        if f_code[d] > 1 and codev else 0
+                    rv = sb.read(fc[d][1] - 1) \
+                        if fc[d][1] > 1 and codev else 0
                     pmv[d][0] = _recon_mv(pmv[d][0], codeh, rh,
-                                          fvals[d])
+                                          fvals[d][0])
                     pmv[d][1] = _recon_mv(pmv[d][1], codev, rv,
-                                          fvals[d])
+                                          fvals[d][1])
                 if intra:
                     pmv = [[0, 0], [0, 0]]
                 else:
-                    dc_pred = [128, 128, 128]
+                    dc_pred = [dc_reset] * 3
                     if ptype == PIC_P and not mf:
                         # no-MC P macroblock: zero-vector forward
                         # copy, predictors reset
@@ -593,7 +726,8 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
                     if cbp & (32 >> b):
                         coeff = _decode_block(
                             sb, intra, comp, dc_pred, qscale,
-                            intra_q, ninter_q)
+                            intra_q, ninter_q, mpeg2=mpeg2,
+                            dc_mult=dc_mult, scan=scan)
                         spatial = _idct(coeff)
                     else:
                         if intra:
@@ -628,22 +762,24 @@ def decode_mpeg1(data: bytes, max_frames: int = 0
     if not frames:
         raise MpegError("no pictures decoded")
     return frames, {"width": width, "height": height,
-                    "picture_types": types}
+                    "picture_types": types, "mpeg2": mpeg2}
 
 
 # ------------------------------------------------ program stream
 
 def ps_video_es(data: bytes) -> bytes:
-    """MPEG-1 program stream (ISO/IEC 11172-1) → the first video
-    stream's elementary bytes.
+    """MPEG program stream (ISO/IEC 11172-1 or 13818-1 PS) → the
+    first video stream's elementary bytes.
 
-    Walks pack headers (00 00 01 BA, MPEG-1 '0010' form, 12 bytes),
-    skips system headers (BB) and non-video PES packets by their
-    16-bit lengths, and concatenates video PES (E0-EF) payloads
-    after the MPEG-1 PES header: stuffing FF bytes, optional STD
-    buffer field ('01'), then PTS/DTS ('0010'/'0011') or the
-    no-timestamp byte 0x0F. Raises MpegError on non-PS input or
-    structural corruption."""
+    Walks pack headers (00 00 01 BA; the MPEG-1 '0010' 12-byte form
+    or the MPEG-2 '01' 14-byte + stuffing form), skips system
+    headers (BB) and non-video PES packets by their 16-bit lengths,
+    and concatenates video PES (E0-EF) payloads. PES headers are
+    handled in both shapes: the MPEG-1 form (stuffing FF bytes,
+    optional STD buffer field '01', then PTS/DTS '0010'/'0011' or
+    the no-timestamp byte 0x0F) and the MPEG-2 '10'-flags form
+    (flags pair + PES_header_data_length). Raises MpegError on
+    non-PS input or structural corruption."""
     if data[:4] != b"\x00\x00\x01\xba":
         raise MpegError("not an MPEG program stream")
     out = bytearray()
@@ -655,13 +791,20 @@ def ps_video_es(data: bytes) -> bytes:
             raise MpegError("lost pack synchronization")
         sid = data[pos + 3]
         if sid == 0xBA:
-            if pos + 12 > n:
-                raise MpegError("truncated pack header")
-            if data[pos + 4] >> 4 != 0b0010:
-                raise MpegError("not an MPEG-1 pack header")
-            pos += 12
-            continue
-        if sid == 0xB9:                          # ISO 11172 end code
+            b0 = data[pos + 4] if pos + 4 < n else 0
+            if b0 >> 6 == 0b01:                  # MPEG-2 pack
+                if pos + 14 > n:
+                    raise MpegError("truncated pack header")
+                stuff = data[pos + 13] & 0x07
+                pos += 14 + stuff
+                continue
+            if b0 >> 4 == 0b0010:                # MPEG-1 pack
+                if pos + 12 > n:
+                    raise MpegError("truncated pack header")
+                pos += 12
+                continue
+            raise MpegError("unrecognized pack header form")
+        if sid == 0xB9:                          # program end code
             break
         if pos + 6 > n:
             raise MpegError("truncated packet header")
@@ -671,21 +814,28 @@ def ps_video_es(data: bytes) -> bytes:
             raise MpegError("truncated PES packet")
         if 0xE0 <= sid <= 0xEF and (vid_id is None or sid == vid_id):
             vid_id = sid
-            i = 0
-            while i < len(body) and body[i] == 0xFF:
-                i += 1                           # stuffing
-            if i < len(body) and body[i] >> 6 == 0b01:
-                i += 2                           # STD buffer size
-            if i < len(body):
-                tag = body[i] >> 4
-                if tag == 0b0010:
-                    i += 5                       # PTS
-                elif tag == 0b0011:
-                    i += 10                      # PTS + DTS
-                elif body[i] == 0x0F:
-                    i += 1                       # no timestamps
-                else:
-                    raise MpegError("bad PES header flags")
+            if body and body[0] >> 6 == 0b10:    # MPEG-2 PES header
+                if len(body) < 3:
+                    raise MpegError("truncated PES header")
+                i = 3 + body[2]                  # flags + hdr length
+                if i > len(body):
+                    raise MpegError("truncated PES header")
+            else:                                # MPEG-1 PES header
+                i = 0
+                while i < len(body) and body[i] == 0xFF:
+                    i += 1                       # stuffing
+                if i < len(body) and body[i] >> 6 == 0b01:
+                    i += 2                       # STD buffer size
+                if i < len(body):
+                    tag = body[i] >> 4
+                    if tag == 0b0010:
+                        i += 5                   # PTS
+                    elif tag == 0b0011:
+                        i += 10                  # PTS + DTS
+                    elif body[i] == 0x0F:
+                        i += 1                   # no timestamps
+                    else:
+                        raise MpegError("bad PES header flags")
             out += body[i:]
         pos += 6 + plen
     if not out:
@@ -693,19 +843,33 @@ def ps_video_es(data: bytes) -> bytes:
     return bytes(out)
 
 
-def ps_wrap(es: bytes, packet_size: int = 512) -> bytes:
+def ps_wrap(es: bytes, packet_size: int = 512,
+            mpeg2: bool = False) -> bytes:
     """Fixture builder: wrap a video elementary stream into a
-    minimal MPEG-1 program stream — one pack header, then E0 PES
-    packets of ``packet_size`` with no-timestamp headers, then the
-    ISO 11172 end code."""
+    minimal program stream — one pack header, then E0 PES packets
+    of ``packet_size``, then the program end code. ``mpeg2``
+    selects the ISO 13818-1 shapes (14-byte '01' pack with SCR
+    extension; '10'-flags PES headers) over the ISO 11172-1 ones
+    ('0010' 12-byte pack; 0x0F no-timestamp PES headers)."""
     w = bytearray()
-    # pack header: '0010' + 33-bit SCR(0) with marker bits + mux rate
     w += b"\x00\x00\x01\xba"
-    w += bytes((0x21, 0x00, 0x01, 0x00, 0x01))   # SCR = 0, markers
-    w += bytes((0x80, 0x00, 0x01))               # mux rate marker|1
+    if mpeg2:
+        # '01' + SCR 0 (with markers) + SCR ext + mux rate + no
+        # stuffing
+        w += bytes((0x44, 0x00, 0x04, 0x00, 0x04, 0x01))
+        w += bytes((0x00, 0x00, 0x03))           # mux rate + markers
+        w += bytes((0xF8,))                      # stuffing length 0
+    else:
+        # '0010' + 33-bit SCR(0) with marker bits + mux rate
+        w += bytes((0x21, 0x00, 0x01, 0x00, 0x01))
+        w += bytes((0x80, 0x00, 0x01))           # mux rate marker|1
     for off in range(0, len(es), packet_size):
         chunk = es[off:off + packet_size]
-        body = b"\x0f" + chunk                   # no-timestamp PES
+        if mpeg2:
+            # flags '10 00...0', no optional fields, hdr length 0
+            body = b"\x80\x00\x00" + chunk
+        else:
+            body = b"\x0f" + chunk               # no-timestamp PES
         w += b"\x00\x00\x01\xe0"
         w += len(body).to_bytes(2, "big")
         w += body
@@ -819,62 +983,167 @@ def mpeg1_bytes(width: int, height: int, pictures: list[dict],
         _w_start(w, 0x01)                        # slice, row 0
         w.write(qscale, 5)
         w.write(0, 1)
-        mbs = pic["mbs"]
-        if len(mbs) != mb_w * mb_h:
-            raise MpegError("need one mb entry per macroblock")
-        pending = 1
-        pmv = [[0, 0], [0, 0]]
-        for k, mb in enumerate(mbs):
-            if mb.get("kind") == "skip":
-                if ptype == PIC_I:
-                    raise MpegError("cannot skip in an I-picture")
-                if k in (0, len(mbs) - 1):
-                    raise MpegError("first/last MB cannot be skipped")
-                pending += 1
-                if ptype == PIC_P:
-                    pmv = [[0, 0], [0, 0]]
-                continue
-            _w_mba(w, pending)
-            pending = 1
-            kind = mb.get("kind")
-            if ptype == PIC_I or kind == "intra":
-                _wbits(w, "1" if ptype == PIC_I else "00011")
+        _w_picture_mbs(w, ptype, pic["mbs"], mb_w * mb_h)
+    _w_start(w, 0xB7)                            # sequence end
+    w.align()
+    return bytes(w.out)
+
+
+def _w_picture_mbs(w: _BitWriter, ptype: int, mbs: list[dict],
+                   n_mbs: int, mpeg2: bool = False):
+    """Shared macroblock-layer writer (the VLC tables are common to
+    both standards; ``mpeg2`` switches the AC escape to the signed
+    12-bit ISO 13818-2 Table B-16 form)."""
+    if len(mbs) != n_mbs:
+        raise MpegError("need one mb entry per macroblock")
+    pending = 1
+    pmv = [[0, 0], [0, 0]]
+    for k, mb in enumerate(mbs):
+        if mb.get("kind") == "skip":
+            if ptype == PIC_I:
+                raise MpegError("cannot skip in an I-picture")
+            if k in (0, len(mbs) - 1):
+                raise MpegError("first/last MB cannot be skipped")
+            pending += 1
+            if ptype == PIC_P:
                 pmv = [[0, 0], [0, 0]]
-                dcs = mb["dc"]
-                ac = {a[0]: a for a in mb.get("ac", [])}
-                for b in range(6):
-                    comp = 0 if b < 4 else b - 3
-                    _w_dc(w, dcs[b], comp)
-                    if b in ac:
-                        _, run, level = ac[b]
-                        _wbits(w, DCT_ESCAPE)
-                        w.write(run, 6)
+            continue
+        _w_mba(w, pending)
+        pending = 1
+        kind = mb.get("kind")
+        if ptype == PIC_I or kind == "intra":
+            _wbits(w, "1" if ptype == PIC_I else "00011")
+            pmv = [[0, 0], [0, 0]]
+            dcs = mb["dc"]
+            ac = {a[0]: a for a in mb.get("ac", [])}
+            for b in range(6):
+                comp = 0 if b < 4 else b - 3
+                _w_dc(w, dcs[b], comp)
+                if b in ac:
+                    _, run, level = ac[b]
+                    _wbits(w, DCT_ESCAPE)
+                    w.write(run, 6)
+                    if mpeg2:
+                        if not -2047 <= level <= 2047 or level == 0:
+                            raise MpegError("fixture AC level must "
+                                            "be +-1..2047")
+                        w.write(level & 0xFFF, 12)
+                    else:
                         if not -127 <= level <= 127 or level == 0:
                             raise MpegError("fixture AC level must "
                                             "be +-1..127")
                         w.write(level & 0xFF, 8)
-                    _wbits(w, DCT_EOB)
-            elif ptype == PIC_P and kind == "mc":
-                _wbits(w, "001")                 # motion only
-                dx, dy = mb["mv"]
-                _w_motion(w, dx - pmv[0][0])
-                _w_motion(w, dy - pmv[0][1])
-                pmv[0] = [dx, dy]
-            elif ptype == PIC_B and kind in ("fwd", "bwd", "bi"):
-                code, use = {"fwd": ("0010", (1, 0)),
-                             "bwd": ("010", (0, 1)),
-                             "bi": ("10", (1, 1))}[kind]
-                _wbits(w, code)                  # motion only
-                for d in (0, 1):
-                    if not use[d]:
-                        continue
-                    dx, dy = mb["mv2"] if d == 1 and kind == "bi" \
-                        else mb["mv"]
-                    _w_motion(w, dx - pmv[d][0])
-                    _w_motion(w, dy - pmv[d][1])
-                    pmv[d] = [dx, dy]
-            else:
-                raise MpegError(f"unknown mb kind {mb!r}")
+                _wbits(w, DCT_EOB)
+        elif ptype == PIC_P and kind == "mc":
+            _wbits(w, "001")                     # motion only
+            dx, dy = mb["mv"]
+            _w_motion(w, dx - pmv[0][0])
+            _w_motion(w, dy - pmv[0][1])
+            pmv[0] = [dx, dy]
+        elif ptype == PIC_B and kind in ("fwd", "bwd", "bi"):
+            code, use = {"fwd": ("0010", (1, 0)),
+                         "bwd": ("010", (0, 1)),
+                         "bi": ("10", (1, 1))}[kind]
+            _wbits(w, code)                      # motion only
+            for d in (0, 1):
+                if not use[d]:
+                    continue
+                dx, dy = mb["mv2"] if d == 1 and kind == "bi" \
+                    else mb["mv"]
+                _w_motion(w, dx - pmv[d][0])
+                _w_motion(w, dy - pmv[d][1])
+                pmv[d] = [dx, dy]
+        else:
+            raise MpegError(f"unknown mb kind {mb!r}")
+
+
+def mpeg2_bytes(width: int, height: int, pictures: list[dict],
+                qscale_code: int = 8, intra_dc_precision: int = 8,
+                q_scale_type: int = 0, alternate_scan: int = 0,
+                frame_rate_code: int = 3) -> bytes:
+    """Encode an MPEG-2 (ISO/IEC 13818-2) Main-Profile progressive
+    video elementary stream for fixtures/tests. Same picture/mb
+    dict shapes as :func:`mpeg1_bytes`, with two deltas: DC
+    differentials are in *precision* units (pixel value <<
+    (intra_dc_precision - 8)) and motion vectors are always
+    half-pel (no full_pel flag; f_codes = 1). Emits sequence +
+    picture-coding extensions (frame pictures,
+    frame_pred_frame_dct = 1, intra_vlc_format = 0), explicit all-16
+    quantizer matrices, and one slice at row 0."""
+    if intra_dc_precision not in (8, 9, 10, 11):
+        raise MpegError("intra_dc_precision must be 8..11")
+    w = _BitWriter()
+    _w_start(w, 0xB3)
+    w.write(width, 12)
+    w.write(height, 12)
+    w.write(1, 4)                                # square pixels
+    w.write(frame_rate_code, 4)
+    w.write(0x3FFFF, 18)                         # variable bitrate
+    w.write(1, 1)                                # marker
+    w.write(0, 10)
+    w.write(0, 1)
+    w.write(1, 1)                                # load intra matrix
+    for _ in range(64):
+        w.write(16, 8)
+    w.write(1, 1)                                # load non-intra
+    for _ in range(64):
+        w.write(16, 8)
+    _w_start(w, 0xB5)                            # sequence extension
+    w.write(0b0001, 4)
+    w.write(0x48, 8)                             # main profile/level
+    w.write(1, 1)                                # progressive
+    w.write(1, 2)                                # 4:2:0
+    w.write(0, 2)                                # h size ext
+    w.write(0, 2)                                # v size ext
+    w.write(0, 12)                               # bitrate ext
+    w.write(1, 1)                                # marker
+    w.write(0, 8)                                # vbv ext
+    w.write(0, 1)                                # low delay
+    w.write(0, 2)                                # frame rate ext n
+    w.write(0, 5)                                # frame rate ext d
+    _w_start(w, 0xB8)                            # GOP header
+    w.write(0, 25)
+    w.write(1, 1)                                # closed gop
+    w.write(0, 1)                                # broken link
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+    for t, pic in enumerate(pictures):
+        _w_start(w, 0x00)
+        w.write(t, 10)                           # temporal ref
+        ptype = {"I": PIC_I, "P": PIC_P, "B": PIC_B}[pic["type"]]
+        w.write(ptype, 3)
+        w.write(0xFFFF, 16)                      # vbv delay (vbr)
+        if ptype in (PIC_P, PIC_B):
+            w.write(0, 1)                        # full_pel: '0'
+            w.write(7, 3)                        # f_code: '111' dummy
+        if ptype == PIC_B:
+            w.write(0, 1)
+            w.write(7, 3)
+        w.write(0, 1)                            # no extra info
+        _w_start(w, 0xB5)                        # picture coding ext
+        w.write(0b1000, 4)
+        fwd = 1 if ptype in (PIC_P, PIC_B) else 15
+        bwd = 1 if ptype == PIC_B else 15
+        w.write(fwd, 4)                          # f_code[0][0]
+        w.write(fwd, 4)                          # f_code[0][1]
+        w.write(bwd, 4)                          # f_code[1][0]
+        w.write(bwd, 4)                          # f_code[1][1]
+        w.write(intra_dc_precision - 8, 2)
+        w.write(3, 2)                            # frame picture
+        w.write(0, 1)                            # top_field_first
+        w.write(1, 1)                            # frame_pred_frame_dct
+        w.write(0, 1)                            # no concealment mv
+        w.write(q_scale_type, 1)
+        w.write(0, 1)                            # intra_vlc_format
+        w.write(alternate_scan, 1)
+        w.write(0, 1)                            # repeat_first_field
+        w.write(1, 1)                            # chroma_420_type
+        w.write(1, 1)                            # progressive_frame
+        w.write(0, 1)                            # no composite flag
+        _w_start(w, 0x01)                        # slice, row 0
+        w.write(qscale_code, 5)
+        w.write(0, 1)                            # no slice extension
+        _w_picture_mbs(w, ptype, pic["mbs"], mb_w * mb_h,
+                       mpeg2=True)
     _w_start(w, 0xB7)                            # sequence end
     w.align()
     return bytes(w.out)
@@ -961,3 +1230,53 @@ def mpeg1_bps_fixture(doc_id: int) -> bytes:
     es = mpeg1_bytes(48, 16, [pic0, pic1, pic2],
                      qscale=1 + doc_id % 31, full_pel=True)
     return ps_wrap(es, packet_size=256 + (doc_id % 7) * 64)
+
+
+def mpeg2_ps_fixture(doc_id: int) -> bytes:
+    """Deterministic MPEG-2 PROGRAM STREAM per document row;
+    SQL-closed forms (48x16, coded order I P B → display I B P):
+
+      I (display 0)  MBs painted v0 | v1 | v2 (flat DC-only luma,
+                     DC differentials in intra_dc_precision units)
+      P (display 2)  all-intra refresh w0 | w1 | w2
+      B (display 1)  MB0 forward (2, 0) — a 1-pel shift in MPEG-2's
+                     always-half-pel units: 15 columns v0 + 1 column
+                     v1; MB1 SKIPPED (repeat): 15 columns v1 + 1
+                     column v2; MB2 bidirectional (0,0)/(0,0):
+                     (v2 + w2 + 1) >> 1
+
+    Rows vary intra_dc_precision (8/9/10), q_scale_type, and
+    alternate_scan to exercise the ISO 13818-2 parse paths; the
+    §7.4.4 mismatch-control toggle on these DC-only blocks lands on
+    F[7][7] = ±1 whose IDCT ripple (< 0.25) rounds away, so every
+    pixel stays an exact closed form in doc_id. Wrapped in the
+    ISO 13818-1 pack/PES form (:func:`ps_wrap` ``mpeg2=True``)."""
+    prec = 8 + doc_id % 3
+    s = prec - 8
+    v0 = 16 + doc_id % 224
+    v1 = 16 + (doc_id * 7 + 31) % 224
+    v2 = 16 + (doc_id * 13 + 5) % 224
+    w0 = 16 + (doc_id * 11 + 3) % 224
+    w1 = 16 + (doc_id * 17 + 9) % 224
+    w2 = 16 + (doc_id * 23 + 11) % 224
+
+    def dc(prev: int, v: int) -> list[int]:
+        return [(v - prev) << s, 0, 0, 0, 0, 0]
+
+    pic0 = {"type": "I", "mbs": [{"dc": dc(128, v0)},
+                                 {"dc": dc(v0, v1)},
+                                 {"dc": dc(v1, v2)}]}
+    pic1 = {"type": "P", "mbs": [{"kind": "intra", "dc": dc(128, w0)},
+                                 {"kind": "intra", "dc": dc(w0, w1)},
+                                 {"kind": "intra", "dc": dc(w1, w2)}]}
+    pic2 = {"type": "B", "mbs": [{"kind": "fwd", "mv": (2, 0)},
+                                 {"kind": "skip"},
+                                 {"kind": "bi", "mv": (0, 0),
+                                  "mv2": (0, 0)}]}
+    es = mpeg2_bytes(48, 16, [pic0, pic1, pic2],
+                     qscale_code=1 + doc_id % 31,
+                     intra_dc_precision=prec,
+                     q_scale_type=doc_id % 2,
+                     alternate_scan=(doc_id // 2) % 2)
+    return ps_wrap(es, packet_size=256 + (doc_id % 5) * 128,
+                   mpeg2=True)

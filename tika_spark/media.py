@@ -907,9 +907,17 @@ def _adts_meta(data: bytes) -> dict[str, list[str]]:
 
 
 def _mpeg1v_meta(data: bytes) -> dict[str, list[str]]:
-    """MPEG-1 video elementary stream: dimensions from the sequence
-    header, duration from the picture count at the header's frame
-    rate (program streams — 00 00 01 BA — only report the format)."""
+    """MPEG-1/2 video: dimensions from the sequence header,
+    duration from the picture count at the header's frame rate.
+    Program streams (00 00 01 BA) are demuxed down to the video
+    elementary stream first (mpegvideo.ps_video_es handles both the
+    ISO 11172-1 and 13818-1 pack/PES shapes)."""
+    if data[:4] == b"\x00\x00\x01\xba":
+        try:
+            from tika_spark.analysis.mpegvideo import ps_video_es
+            data = ps_video_es(data)
+        except ValueError:
+            return {}
     if data[:4] != b"\x00\x00\x01\xb3":
         return {}
     if len(data) < 8:
