@@ -1162,6 +1162,37 @@ def _q_media_mpeg2_frames(spark, sf_dir):
         F.get("mean_micro", 1).alias("mean_cb"))
 
 
+def _q_media_mpegts_frames(spark, sf_dir):
+    """MPEG transport stream demux (analysis/mpegts.py): each row is
+    a .ts capture (HLS-segment shape) — PAT → PMT → PES reassembly
+    with CRC-verified PSI sections and continuity checking — whose
+    video PID carries the MPEG-2 fixture stream, so the decoded
+    display frames land on the same closed forms as
+    media_mpeg2_frames while exercising the 188-byte packet layer
+    end-to-end (adaptation-field stuffing, PUSI segmentation,
+    per-row PID variation)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.mpegts import mpegts_fixture
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        return pd.Series([mpegts_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_y"),
+        F.get("mean_micro", 1).alias("mean_cb"))
+
+
 def _q_media_apng_frames(spark, sf_dir):
     """APNG (animated PNG) frame compositing (pixels.apng_frames):
     acTL/fcTL/fdAT parse, per-frame sub-rectangle zlib+unfilter,
@@ -4249,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mpeg1_frames": _q_media_mpeg1_frames,
         "media_mpeg_bps_frames": _q_media_mpeg_bps_frames,
         "media_mpeg2_frames": _q_media_mpeg2_frames,
+        "media_mpegts_frames": _q_media_mpegts_frames,
         "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
         "extract_pdf_images": _q_extract_pdf_images,
@@ -4682,6 +4714,27 @@ def oracle_sql() -> dict[str, str]:
             # frame 1 is the B picture — 15·v0 + 1·v1 (fwd 1-pel
             # half-pel vector) | 15·v1 + 1·v2 (skipped-B repeat) |
             # 16·avg(v2, w2) columns; frames 0/2 flat anchors
+            "WITH p AS (SELECT doc_id, 16 + doc_id % 224 AS v0, "
+            "16 + (doc_id * 7 + 31) % 224 AS v1, "
+            "16 + (doc_id * 13 + 5) % 224 AS v2, "
+            "16 + (doc_id * 11 + 3) % 224 AS w0, "
+            "16 + (doc_id * 17 + 9) % 224 AS w1, "
+            "16 + (doc_id * 23 + 11) % 224 AS w2 FROM documents) "
+            "SELECT doc_id AS id, CAST(f.frame_idx AS INT) "
+            "AS frame_idx, CAST(3 AS INT) AS n_frames, "
+            "CAST(48 AS BIGINT) AS width, CAST(16 AS BIGINT) "
+            "AS height, "
+            "CASE f.frame_idx WHEN 0 "
+            "THEN (256 * (v0 + v1 + v2) * 1000000 + 384) // 768 "
+            "WHEN 1 THEN (16 * (15 * v0 + 16 * v1 + v2 "
+            "+ 16 * ((v2 + w2 + 1) // 2)) * 1000000 + 384) // 768 "
+            "ELSE (256 * (w0 + w1 + w2) * 1000000 + 384) // 768 "
+            "END AS mean_y, "
+            "128000000 AS mean_cb "
+            "FROM p, (VALUES (0), (1), (2)) f(frame_idx)"),
+        "media_mpegts_frames": (
+            # same video content as media_mpeg2_frames, re-muxed as
+            # a transport stream — identical closed forms
             "WITH p AS (SELECT doc_id, 16 + doc_id % 224 AS v0, "
             "16 + (doc_id * 7 + 31) % 224 AS v1, "
             "16 + (doc_id * 13 + 5) % 224 AS v2, "

@@ -104,6 +104,10 @@ def real_decode(payload: bytes, media_type: str):
         from tika_spark.analysis.mpegvideo import (decode_mpeg1,
                                                    ps_video_es)
         return decode_mpeg1(ps_video_es(payload))
+    if media_type == "video/mp2t":
+        from tika_spark.analysis.mpegts import ts_video_es
+        from tika_spark.analysis.mpegvideo import decode_mpeg1
+        return decode_mpeg1(ts_video_es(payload))
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
         "(Opus/Vorbis audio, H.26x video) are not installed in this "

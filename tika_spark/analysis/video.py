@@ -446,10 +446,15 @@ def _demux(payload: bytes):
     if payload[:4] == b"\x00\x00\x01\xb3":      # MPEG-1 video ES
         from tika_spark.analysis.mpegvideo import decode_mpeg1
         return "raw", decode_mpeg1(payload)[0]
-    if payload[:4] == b"\x00\x00\x01\xba":      # MPEG-1 program stream
+    if payload[:4] == b"\x00\x00\x01\xba":      # MPEG program stream
         from tika_spark.analysis.mpegvideo import (decode_mpeg1,
                                                    ps_video_es)
         return "raw", decode_mpeg1(ps_video_es(payload))[0]
+    if payload[:1] == b"\x47" and len(payload) >= 188 \
+            and payload[188:189] == b"\x47":    # MPEG transport stream
+        from tika_spark.analysis.mpegts import ts_video_es
+        from tika_spark.analysis.mpegvideo import decode_mpeg1
+        return "raw", decode_mpeg1(ts_video_es(payload))[0]
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from tika_spark.analysis.pixels import gif_frames
         return "raw", gif_frames(payload)

@@ -918,6 +918,12 @@ def _mpeg1v_meta(data: bytes) -> dict[str, list[str]]:
             data = ps_video_es(data)
         except ValueError:
             return {}
+    elif data[:1] == b"\x47" and data[188:189] == b"\x47":
+        try:
+            from tika_spark.analysis.mpegts import ts_video_es
+            data = ts_video_es(data)
+        except ValueError:
+            return {}
     if data[:4] != b"\x00\x00\x01\xb3":
         return {}
     if len(data) < 8:
@@ -938,6 +944,7 @@ _META_BY_MIME = {
     "audio/x-aac": _adts_meta,
     "audio/aac": _adts_meta,
     "video/mpeg": _mpeg1v_meta,
+    "video/mp2t": _mpeg1v_meta,
     "audio/midi": _midi_meta,
     "audio/x-aiff": _aiff_meta,
     "audio/basic": _au_meta,

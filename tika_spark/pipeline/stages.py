@@ -72,6 +72,7 @@ ROUTE_TABLE = {
     "audio/mpeg": "media",
     "audio/x-aac": "media",
     "video/mpeg": "media",
+    "video/mp2t": "media",
     # widened web set: metadata-only media rows (format named, no body
     # text — what the reference's parser-less types produce)
     "video/mp4": "media",
