@@ -1010,6 +1010,37 @@ def _q_media_aac_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_m4a_stats(spark, sf_dir):
+    """MP4/ISO-BMFF audio demux + raw-block AAC-LC decode
+    (analysis/isobmff.py): each row is a complete .m4a — ftyp,
+    mdat, and a moov whose stsc×stco×stsz tables resolve the raw
+    access units and whose esds AudioSpecificConfig parameterizes
+    the decoder (aaccodec.decode_aac_raw, no ADTS headers to lean
+    on). Silent spectra make the closed-form oracle exact while the
+    demux walks every table; byte-exactness of the mux↔demux AU
+    path and nonzero-spectrum decode are pinned in
+    tests/test_isobmff.py and tests/test_aac.py."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import m4a_fixture
+        return pd.Series([m4a_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/mp4").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_video_rle_frames(spark, sf_dir):
     """INTER-frame video decode (analysis/video.py decode_rle8): the
     MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
@@ -4274,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pcm_stats": _q_media_pcm_stats,
         "media_mp3_stats": _q_media_mp3_stats,
         "media_aac_stats": _q_media_aac_stats,
+        "media_m4a_stats": _q_media_m4a_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_msvc_frames": _q_media_msvc_frames,
@@ -4791,6 +4823,19 @@ def oracle_sql() -> dict[str, str]:
             "((1 + doc_id % 3) * 1024)::BIGINT AS n_samples, "
             "((1 + doc_id % 3) * 1024 * 1000 // "
             "(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END))"
+            "::BIGINT AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
+        "media_m4a_stats": (
+            # m4a_fixture closed forms: silent AAC-LC raw blocks in
+            # a full ISO-BMFF mux — structure-only oracle
+            "SELECT doc_id AS id, "
+            "(1 + doc_id % 2)::BIGINT AS n_channels, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END)"
+            "::BIGINT AS sample_rate, "
+            "((1 + doc_id % 4) * 1024)::BIGINT AS n_samples, "
+            "((1 + doc_id % 4) * 1024 * 1000 // "
+            "(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END))"
             "::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),

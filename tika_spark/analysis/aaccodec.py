@@ -589,8 +589,6 @@ def decode_aac(data: bytes) -> tuple[np.ndarray, int]:
     see module docstring)."""
     data = bytes(data or b"")
     pos = 0
-    rate = None
-    nch = None
     frames = []
     while pos + 7 <= len(data):
         hdr = parse_adts_header(data, pos)
@@ -605,15 +603,28 @@ def decode_aac(data: bytes) -> tuple[np.ndarray, int]:
     if not frames:
         raise AacError("no ADTS frames")
     rate = frames[0][0]["rate"]
+    for hdr, _body in frames:
+        if hdr["rate"] != rate:
+            raise AacError("mixed stream parameters")
+    return decode_aac_raw([body for _hdr, body in frames], rate)
+
+
+def decode_aac_raw(blocks: list[bytes],
+                   rate: int) -> tuple[np.ndarray, int]:
+    """Decode bare raw_data_block payloads (no ADTS framing) — the
+    form MP4/ISO-BMFF ``mp4a`` tracks carry as access units, with
+    the sample rate taken from the esds AudioSpecificConfig rather
+    than a per-frame header. Same output contract as
+    :func:`decode_aac`."""
     if rate not in (44100, 48000):
         raise AacError("only 44.1/48 kHz band geometry shipped")
-
+    if not blocks:
+        raise AacError("no raw data blocks")
+    nch = None
     overlap: list[np.ndarray] = []
     prev_shape: list[int] = []
     pcm: list[np.ndarray] = []
-    for hdr, body in frames:
-        if hdr["rate"] != rate:
-            raise AacError("mixed stream parameters")
+    for body in blocks:
         bits = _Bits(body)
         ch_specs: list[tuple[_Ics, np.ndarray]] = []
         while True:

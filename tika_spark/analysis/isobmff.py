@@ -1,0 +1,405 @@
+"""From-scratch MP4 / ISO-BMFF (ISO/IEC 14496-12) sample demux.
+
+Walks the box tree the way a real demuxer does — ``moov`` → ``trak``
+→ ``mdia`` (handler + timescale) → ``stbl`` sample tables — and
+resolves each track's access units from the four-table dance:
+``stsc`` (sample-to-chunk runs) × ``stco``/``co64`` (chunk offsets)
+× ``stsz`` (sample sizes) → byte ranges into ``mdat``. For ``mp4a``
+audio tracks the ``esds`` descriptor chain (ES → DecoderConfig →
+DecoderSpecificInfo) yields the AudioSpecificConfig, whose
+object-type/rate/channel fields parameterize the raw-block AAC
+decoder (:func:`tika_spark.analysis.aaccodec.decode_aac_raw`), so a
+real ``.m4a``/``.mp4`` audio file decodes to PCM with zero external
+libraries. :func:`mp4a_bytes` is the fixture muxer (ftyp + mdat +
+full moov with a correct sample-table set).
+
+Video tracks in MP4 are almost always H.26x — outside the shipped
+codec set — so :func:`mp4_tracks` still surfaces their codec fourcc
+and sample layout (useful for metadata and sampling decisions), but
+pixel decode remains the documented hook in multimodal.real_decode.
+
+Reference parity: the reference's MP4 handling is metadata-only
+(mp4/MP4Parser.java via a vendored ISO-BMFF library); sample-level
+demux + decode is the pipeline extension, not a port. Scale: all
+per-row work inside mapInPandas, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class Mp4Error(ValueError):
+    pass
+
+
+# frequency index table shared with the ADTS header (ISO 14496-3)
+_FREQS = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+          16000, 12000, 11025, 8000, 7350)
+
+
+def iter_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in
+    [start, end); handles 64-bit largesize and size-0 to-end."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise Mp4Error("truncated largesize box")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise Mp4Error(f"bad box size for {typ!r}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _child(data: bytes, start: int, end: int,
+           fourcc: bytes) -> tuple[int, int] | None:
+    for typ, b, e in iter_boxes(data, start, end):
+        if typ == fourcc:
+            return b, e
+    return None
+
+
+def _descend(data: bytes, start: int, end: int,
+             path: list[bytes]) -> tuple[int, int] | None:
+    span = (start, end)
+    for fourcc in path:
+        span = _child(data, span[0], span[1], fourcc)
+        if span is None:
+            return None
+    return span
+
+
+def _parse_esds(data: bytes, b: int, e: int) -> bytes:
+    """esds full box → DecoderSpecificInfo (AudioSpecificConfig)
+    bytes, walking the MPEG-4 descriptor chain with expandable
+    lengths."""
+    pos = b + 4                                  # version/flags
+
+    def rd_tag():
+        nonlocal pos
+        tag = data[pos]
+        pos += 1
+        length = 0
+        for _ in range(4):
+            c = data[pos]
+            pos += 1
+            length = (length << 7) | (c & 0x7F)
+            if not c & 0x80:
+                break
+        return tag, length
+
+    tag, _ = rd_tag()
+    if tag != 0x03:
+        raise Mp4Error("esds: expected ES descriptor")
+    flags = data[pos + 2]
+    pos += 3
+    if flags & 0x80:
+        pos += 2                                 # dependsOn_ES_ID
+    if flags & 0x40:
+        pos += 1 + data[pos]                     # URL string
+    if flags & 0x20:
+        pos += 2                                 # OCR_ES_ID
+    tag, _ = rd_tag()
+    if tag != 0x04:
+        raise Mp4Error("esds: expected DecoderConfig descriptor")
+    pos += 13                                    # OTI..avg bitrate
+    tag, dlen = rd_tag()
+    if tag != 0x05:
+        raise Mp4Error("esds: expected DecoderSpecificInfo")
+    if pos + dlen > e:
+        raise Mp4Error("esds: truncated DecoderSpecificInfo")
+    return data[pos:pos + dlen]
+
+
+def parse_asc(asc: bytes) -> tuple[int, int, int]:
+    """AudioSpecificConfig → (audio_object_type, sample_rate,
+    channels)."""
+    if len(asc) < 2:
+        raise Mp4Error("AudioSpecificConfig too short")
+    v = int.from_bytes(asc[:5].ljust(5, b"\x00"), "big")
+    aot = v >> 35
+    idx = (v >> 31) & 0xF
+    shift = 31
+    if idx == 15:
+        rate = (v >> 7) & 0xFFFFFF
+        shift = 7
+    else:
+        if idx >= len(_FREQS):
+            raise Mp4Error("bad sampling frequency index")
+        rate = _FREQS[idx]
+    nch = (v >> (shift - 4)) & 0xF
+    return aot, rate, nch
+
+
+def _samples_from_stbl(data: bytes, sb: int, se: int
+                       ) -> list[tuple[int, int]]:
+    """stbl → [(file_offset, size)] per sample, in sample order."""
+    stsz = _child(data, sb, se, b"stsz")
+    stsc = _child(data, sb, se, b"stsc")
+    stco = _child(data, sb, se, b"stco")
+    wide = False
+    if stco is None:
+        stco = _child(data, sb, se, b"co64")
+        wide = True
+    if stsz is None or stsc is None or stco is None:
+        raise Mp4Error("incomplete sample table")
+    b, e = stsz
+    fixed = int.from_bytes(data[b + 4:b + 8], "big")
+    n = int.from_bytes(data[b + 8:b + 12], "big")
+    if fixed:
+        sizes = [fixed] * n
+    else:
+        if b + 12 + 4 * n > e:
+            raise Mp4Error("truncated stsz")
+        sizes = list(struct.unpack_from(f">{n}I", data, b + 12))
+    b, e = stco
+    nchunks = int.from_bytes(data[b + 4:b + 8], "big")
+    fmt = "Q" if wide else "I"
+    offs = list(struct.unpack_from(f">{nchunks}{fmt}", data, b + 8))
+    b, e = stsc
+    nruns = int.from_bytes(data[b + 4:b + 8], "big")
+    runs = [struct.unpack_from(">III", data, b + 8 + 12 * k)
+            for k in range(nruns)]
+    out: list[tuple[int, int]] = []
+    si = 0
+    for k, (first, spc, _sdi) in enumerate(runs):
+        last = runs[k + 1][0] - 1 if k + 1 < nruns else nchunks
+        for chunk in range(first - 1, last):
+            pos = offs[chunk]
+            for _ in range(spc):
+                if si >= n:
+                    break
+                out.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+    if si != n:
+        raise Mp4Error("sample table resolves fewer samples "
+                       "than stsz declares")
+    return out
+
+
+def mp4_tracks(data: bytes) -> list[dict]:
+    """Box-tree walk → one dict per track: handler, codec fourcc,
+    timescale, sample byte ranges, and (audio) the parsed
+    AudioSpecificConfig fields."""
+    data = bytes(data or b"")
+    moov = _child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise Mp4Error("no moov box")
+    tracks = []
+    for typ, tb, te in iter_boxes(data, moov[0], moov[1]):
+        if typ != b"trak":
+            continue
+        mdia = _child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(data, mdia[0], mdia[1], b"hdlr")
+        mdhd = _child(data, mdia[0], mdia[1], b"mdhd")
+        stbl = _descend(data, mdia[0], mdia[1],
+                        [b"minf", b"stbl"])
+        if hdlr is None or mdhd is None or stbl is None:
+            continue
+        handler = data[hdlr[0] + 8:hdlr[0] + 12].decode(
+            "ascii", "replace")
+        hb = mdhd[0]
+        ver = data[hb]
+        timescale = int.from_bytes(
+            data[hb + 20:hb + 24] if ver == 1
+            else data[hb + 12:hb + 16], "big")
+        stsd = _child(data, stbl[0], stbl[1], b"stsd")
+        if stsd is None:
+            continue
+        entry_b = stsd[0] + 8                    # ver/flags + count
+        codec = data[entry_b + 4:entry_b + 8].decode(
+            "ascii", "replace")
+        track = {"handler": handler, "codec": codec,
+                 "timescale": timescale,
+                 "samples": _samples_from_stbl(data, stbl[0],
+                                               stbl[1])}
+        if handler == "soun" and codec == "mp4a":
+            # AudioSampleEntry: 8 reserved/dataref + 8
+            # version/revision/vendor + ch(2) + bits(2) + 4 + rate(4)
+            ab = entry_b + 8 + 8
+            esds_span = None
+            entry_end = entry_b + int.from_bytes(
+                data[entry_b:entry_b + 4], "big")
+            esds_span = _child(data, ab + 20, entry_end, b"esds")
+            if esds_span is not None:
+                asc = _parse_esds(data, esds_span[0], esds_span[1])
+                aot, rate, nch = parse_asc(asc)
+                track.update(asc=asc, object_type=aot,
+                             sample_rate=rate, channels=nch)
+        tracks.append(track)
+    if not tracks:
+        raise Mp4Error("moov has no usable tracks")
+    return tracks
+
+
+def mp4_audio(data: bytes) -> tuple[list[bytes], int, int]:
+    """First mp4a audio track → (access_units, sample_rate,
+    channels)."""
+    data = bytes(data or b"")
+    for track in mp4_tracks(data):
+        if track["handler"] == "soun" and track["codec"] == "mp4a" \
+                and "sample_rate" in track:
+            aus = []
+            for off, size in track["samples"]:
+                if off + size > len(data):
+                    raise Mp4Error("sample range beyond file end")
+                aus.append(data[off:off + size])
+            if not aus:
+                raise Mp4Error("audio track has no samples")
+            return aus, track["sample_rate"], track["channels"]
+    raise Mp4Error("no mp4a audio track")
+
+
+def decode_mp4_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Full .m4a/.mp4 audio decode: demux to raw access units, then
+    the raw-block AAC-LC path."""
+    from tika_spark.analysis.aaccodec import decode_aac_raw
+    aus, rate, _nch = mp4_audio(data)
+    return decode_aac_raw(aus, rate)
+
+
+# ------------------------------------------------------ fixture mux
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+
+def _full(fourcc: bytes, body: bytes, version: int = 0,
+          flags: int = 0) -> bytes:
+    return _box(fourcc, bytes((version,))
+                + flags.to_bytes(3, "big") + body)
+
+
+def _desc(tag: int, body: bytes) -> bytes:
+    if len(body) > 127:
+        raise Mp4Error("fixture descriptors stay single-length-byte")
+    return bytes((tag, len(body))) + body
+
+
+def mp4a_bytes(aus: list[bytes], rate_index: int = 4,
+               channels: int = 1) -> bytes:
+    """Fixture muxer: raw AAC-LC access units → a complete .m4a
+    (ftyp + mdat + moov with mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/
+    smhd/dinf/stbl and a correct stsd(mp4a+esds)/stts/stsc/stsz/
+    stco set, one chunk)."""
+    rate = _FREQS[rate_index]
+    n = len(aus)
+    dur = 1024 * n
+    ftyp = _box(b"ftyp", b"M4A " + b"\x00\x00\x00\x00"
+                + b"isomiso2")
+    mdat = _box(b"mdat", b"".join(aus))
+    mdat_body = len(ftyp) + 8                    # offset of chunk 0
+    asc_bits = (2 << 11) | (rate_index << 7) | (channels << 3)
+    asc = asc_bits.to_bytes(2, "big")
+    esds = _full(b"esds", _desc(
+        0x03,
+        b"\x00\x00\x00"                          # ES_ID + flags
+        + _desc(0x04, bytes((0x40, 0x15)) + b"\x00\x00\x00"
+                + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+                + _desc(0x05, asc))
+        + _desc(0x06, b"\x02")))
+    sample_entry = (
+        b"\x00" * 6 + (1).to_bytes(2, "big")     # reserved + dataref
+        + b"\x00" * 8                            # ver/rev/vendor
+        + channels.to_bytes(2, "big")
+        + (16).to_bytes(2, "big")                # sample size
+        + b"\x00" * 4
+        + (rate << 16).to_bytes(4, "big")        # 16.16 rate
+        + esds)
+    stsd = _full(b"stsd", (1).to_bytes(4, "big")
+                 + _box(b"mp4a", sample_entry))
+    stts = _full(b"stts", (1).to_bytes(4, "big")
+                 + n.to_bytes(4, "big") + (1024).to_bytes(4, "big"))
+    stsc = _full(b"stsc", (1).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+                 + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", (0).to_bytes(4, "big")
+                 + n.to_bytes(4, "big")
+                 + b"".join(len(a).to_bytes(4, "big") for a in aus))
+    stco = _full(b"stco", (1).to_bytes(4, "big")
+                 + mdat_body.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full(b"dref", (1).to_bytes(4, "big")
+                 + _full(b"url ", b"", flags=1))
+    minf = _box(b"minf",
+                _full(b"smhd", b"\x00" * 4)
+                + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", b"\x00" * 4 + b"soun"
+                 + b"\x00" * 12 + b"\x00")
+    mdhd = _full(b"mdhd", (0).to_bytes(8, "big")
+                 + rate.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                 + b"\x55\xc4\x00\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    matrix = (b"\x00\x01\x00\x00" + b"\x00" * 12
+              + b"\x00\x01\x00\x00" + b"\x00" * 12
+              + b"\x40\x00\x00\x00")
+    tkhd = _full(b"tkhd", (0).to_bytes(8, "big")
+                 + (1).to_bytes(4, "big") + b"\x00" * 4
+                 + dur.to_bytes(4, "big") + b"\x00" * 8
+                 + b"\x00\x00\x00\x00\x01\x00\x00\x00"
+                 + matrix + b"\x00" * 8, flags=7)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", (0).to_bytes(8, "big")
+                 + rate.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                 + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+                 + matrix + b"\x00" * 24 + (2).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def adts_to_aus(adts: bytes) -> tuple[list[bytes], int]:
+    """Strip ADTS framing → (raw access units, sample_rate). The
+    bridge between the ADTS fixture encoder and the MP4 muxer."""
+    from tika_spark.analysis.aaccodec import parse_adts_header
+    aus: list[bytes] = []
+    rate = 0
+    pos = 0
+    while pos + 7 <= len(adts):
+        hdr = parse_adts_header(adts, pos)
+        if hdr is None:
+            raise Mp4Error("not an ADTS stream")
+        rate = hdr["rate"]
+        aus.append(adts[pos + hdr["header_bytes"]
+                        :pos + hdr["frame_length"]])
+        pos += hdr["frame_length"]
+    if not aus:
+        raise Mp4Error("no ADTS frames")
+    return aus, rate
+
+
+def m4a_fixture(doc_id: int) -> bytes:
+    """Deterministic .m4a per document row: silent AAC-LC access
+    units (spectra all zero — exactly-zero PCM through the linear
+    tool chain) muxed into a full ISO-BMFF file. Closed forms:
+    n_frames = 1 + doc_id % 4, channels = 1 + doc_id % 2,
+    rate = 44100 when doc_id is even else 48000; window sequence
+    and codebook vary by row to exercise the raw-block parse."""
+    from tika_spark.analysis.aaccodec import EIGHT_SHORT, aac_bytes
+    n_frames = 1 + doc_id % 4
+    nch = 1 + doc_id % 2
+    rate_index = 4 - doc_id % 2
+    ws = doc_id % 4
+    if ws == EIGHT_SHORT:
+        spec = [np.zeros(128, dtype=np.int64)] * 8
+    else:
+        spec = np.zeros(1024, dtype=np.int64)
+    adts = aac_bytes([[spec] * nch] * n_frames,
+                     rate_index=rate_index,
+                     window_sequence=ws,
+                     codebook=1 + doc_id % 4,
+                     global_gain=100 + doc_id % 20)
+    aus, _rate = adts_to_aus(adts)
+    return mp4a_bytes(aus, rate_index=rate_index, channels=nch)

@@ -288,7 +288,8 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
 AUDIO_TYPES = frozenset({
     "audio/wav", "audio/x-wav", "audio/vnd.wave", "audio/flac",
     "audio/x-flac", "audio/basic", "audio/x-aiff", "audio/mpeg",
-    "audio/mp3", "audio/x-aac", "audio/aac"})
+    "audio/mp3", "audio/x-aac", "audio/aac", "audio/mp4",
+    "audio/x-m4a"})
 
 
 def decode_audio(payload: bytes, media_type: str
@@ -300,6 +301,9 @@ def decode_audio(payload: bytes, media_type: str
     if media_type in ("audio/x-aac", "audio/aac"):
         from tika_spark.analysis.aaccodec import decode_aac
         return decode_aac(payload)
+    if media_type in ("audio/mp4", "audio/x-m4a"):
+        from tika_spark.analysis.isobmff import decode_mp4_audio
+        return decode_mp4_audio(payload)
     if media_type.endswith("flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)

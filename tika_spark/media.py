@@ -792,6 +792,21 @@ def _mp4_meta(data: bytes) -> dict[str, list[str]]:
             return meta
         if ts:
             meta["xmpDM:duration"] = [f"{dur / ts:.2f}"]
+    # sample-table walk (analysis/isobmff.py): codec fourcc per
+    # track, audio rate/channels from the esds AudioSpecificConfig
+    try:
+        from tika_spark.analysis.isobmff import mp4_tracks
+        codecs = []
+        for track in mp4_tracks(data):
+            codecs.append(track["codec"])
+            if "sample_rate" in track:
+                meta["xmpDM:audioSampleRate"] = [
+                    str(track["sample_rate"])]
+                meta["channels"] = [str(track["channels"])]
+        if codecs:
+            meta["compression-type"] = sorted(set(codecs))
+    except Exception:
+        pass                                     # metadata best-effort
     return meta
 
 
