@@ -1041,6 +1041,35 @@ def _q_media_m4a_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_flv_audio_stats(spark, sf_dir):
+    """FLV tag demux + audio decode (analysis/flvdemux.py): each row
+    is a real FLV whose audio tags alternate by row between MP3
+    chunks (SoundFormat 2, bodies concatenate to a Layer III ES) and
+    raw AAC access units after an AudioSpecificConfig tag
+    (SoundFormat 10 — the MP4 esds arrangement in FLV clothing).
+    Silent spectra keep the oracle closed-form; tag back-pointer
+    chaining is validated on every walk."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.flvdemux import flv_fixture
+        return pd.Series([flv_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("video/x-flv").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_video_rle_frames(spark, sf_dir):
     """INTER-frame video decode (analysis/video.py decode_rle8): the
     MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
@@ -4306,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp3_stats": _q_media_mp3_stats,
         "media_aac_stats": _q_media_aac_stats,
         "media_m4a_stats": _q_media_m4a_stats,
+        "media_flv_audio_stats": _q_media_flv_audio_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_msvc_frames": _q_media_msvc_frames,
@@ -4836,6 +4866,21 @@ def oracle_sql() -> dict[str, str]:
             "((1 + doc_id % 4) * 1024)::BIGINT AS n_samples, "
             "((1 + doc_id % 4) * 1024 * 1000 // "
             "(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END))"
+            "::BIGINT AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
+        "media_flv_audio_stats": (
+            # flv_fixture closed forms: even rows mono MP3 (1152
+            # samples/frame), odd rows AAC raw blocks (1024/frame,
+            # channels from doc_id//2)
+            "SELECT doc_id AS id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 1 "
+            "ELSE 1 + (doc_id // 2) % 2 END)::BIGINT AS n_channels, "
+            "44100::BIGINT AS sample_rate, "
+            "((1 + doc_id % 3) * CASE WHEN doc_id % 2 = 0 "
+            "THEN 1152 ELSE 1024 END)::BIGINT AS n_samples, "
+            "((1 + doc_id % 3) * CASE WHEN doc_id % 2 = 0 "
+            "THEN 1152 ELSE 1024 END * 1000 // 44100)"
             "::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),

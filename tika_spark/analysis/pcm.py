@@ -289,7 +289,7 @@ AUDIO_TYPES = frozenset({
     "audio/wav", "audio/x-wav", "audio/vnd.wave", "audio/flac",
     "audio/x-flac", "audio/basic", "audio/x-aiff", "audio/mpeg",
     "audio/mp3", "audio/x-aac", "audio/aac", "audio/mp4",
-    "audio/x-m4a"})
+    "audio/x-m4a", "video/x-flv"})
 
 
 def decode_audio(payload: bytes, media_type: str
@@ -304,6 +304,9 @@ def decode_audio(payload: bytes, media_type: str
     if media_type in ("audio/mp4", "audio/x-m4a"):
         from tika_spark.analysis.isobmff import decode_mp4_audio
         return decode_mp4_audio(payload)
+    if media_type == "video/x-flv":
+        from tika_spark.analysis.flvdemux import decode_flv_audio
+        return decode_flv_audio(payload)
     if media_type.endswith("flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)
