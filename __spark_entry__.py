@@ -1070,6 +1070,37 @@ def _q_media_flv_audio_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_ogg_flac_stats(spark, sf_dir):
+    """Ogg container demux + FLAC-in-Ogg decode
+    (analysis/oggdemux.py): each row is a CRC-correct Ogg stream
+    (lacing tables, continued-packet spans, begin/end flags) whose
+    packets carry the FLAC mapping — packet 1 wraps STREAMINFO,
+    audio packets are native frames — reassembled and decoded
+    through the MD5-self-verifying FLAC decoder. The ramp signal
+    gives exact integer PCM, so rms/peak are closed-form; Vorbis
+    and Opus payloads surface identification metadata instead
+    (documented transform-decode hook)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.oggdemux import ogg_flac_fixture
+        return pd.Series([ogg_flac_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/ogg").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_video_rle_frames(spark, sf_dir):
     """INTER-frame video decode (analysis/video.py decode_rle8): the
     MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
@@ -4336,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_aac_stats": _q_media_aac_stats,
         "media_m4a_stats": _q_media_m4a_stats,
         "media_flv_audio_stats": _q_media_flv_audio_stats,
+        "media_ogg_flac_stats": _q_media_ogg_flac_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_msvc_frames": _q_media_msvc_frames,
@@ -4884,6 +4916,29 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),
+        "media_ogg_flac_stats": (
+            # ogg_flac_fixture ramp: s(t) = (t*amp) % 2048 - 1024;
+            # rms from the exact integer sum of squares (channel
+            # duplication cancels), peak from the integer max
+            "WITH p AS (SELECT doc_id, "
+            "512 + (doc_id % 4) * 256 AS n, "
+            "64 + doc_id % 192 AS amp, "
+            "8000 * (1 + doc_id % 3) AS rate, "
+            "1 + doc_id % 2 AS nch FROM documents), "
+            "v AS (SELECT p.doc_id, "
+            "((r.range * p.amp) % 2048 - 1024) AS s "
+            "FROM p, range(1280) r WHERE r.range < p.n), "
+            "agg AS (SELECT doc_id, SUM(s * s) AS sq, "
+            "MAX(ABS(s)) AS pk FROM v GROUP BY doc_id) "
+            "SELECT p.doc_id AS id, p.nch::BIGINT AS n_channels, "
+            "p.rate::BIGINT AS sample_rate, "
+            "p.n::BIGINT AS n_samples, "
+            "(p.n * 1000 // p.rate)::BIGINT AS duration_ms, "
+            "FLOOR(1000000 * SQRT(agg.sq / p.n) / 32768 + 0.5)"
+            "::BIGINT AS rms_micro, "
+            "FLOOR(1000000.0 * agg.pk / 32768 + 0.5)"
+            "::BIGINT AS peak_micro "
+            "FROM p JOIN agg USING (doc_id)"),
         "media_pcm_stats": (
             # odd ids: constant μ-law code c=id%256; linear magnitude
             # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c

@@ -101,6 +101,9 @@ def real_decode(payload: bytes, media_type: str):
     if media_type == "video/x-flv":
         from tika_spark.analysis.flvdemux import decode_flv_audio
         return decode_flv_audio(payload)
+    if media_type in ("audio/ogg", "application/ogg"):
+        from tika_spark.analysis.oggdemux import decode_ogg_flac
+        return decode_ogg_flac(payload)
     if media_type == "video/mpeg" \
             and payload[:4] == b"\x00\x00\x01\xb3":
         from tika_spark.analysis.mpegvideo import decode_mpeg1

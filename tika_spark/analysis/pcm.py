@@ -289,7 +289,7 @@ AUDIO_TYPES = frozenset({
     "audio/wav", "audio/x-wav", "audio/vnd.wave", "audio/flac",
     "audio/x-flac", "audio/basic", "audio/x-aiff", "audio/mpeg",
     "audio/mp3", "audio/x-aac", "audio/aac", "audio/mp4",
-    "audio/x-m4a", "video/x-flv"})
+    "audio/x-m4a", "video/x-flv", "audio/ogg", "application/ogg"})
 
 
 def decode_audio(payload: bytes, media_type: str
@@ -307,6 +307,10 @@ def decode_audio(payload: bytes, media_type: str
     if media_type == "video/x-flv":
         from tika_spark.analysis.flvdemux import decode_flv_audio
         return decode_flv_audio(payload)
+    if media_type in ("audio/ogg", "application/ogg"):
+        # FLAC-in-Ogg decodes fully; Vorbis/Opus raise (status row)
+        from tika_spark.analysis.oggdemux import decode_ogg_flac
+        return decode_ogg_flac(payload)
     if media_type.endswith("flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)

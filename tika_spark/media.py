@@ -763,7 +763,33 @@ def _flac_meta(data: bytes) -> dict[str, list[str]]:
 
 
 def _ogg_meta(data: bytes) -> dict[str, list[str]]:
-    """Vorbis identification header on the first Ogg page."""
+    """Ogg stream identification: the full CRC-verified page/packet
+    walk (analysis/oggdemux.py — Vorbis/Opus/FLAC/Theora ident
+    headers + comment tags) when the container parses, with the old
+    first-page Vorbis byte-scan as the lenient fallback for
+    truncated captures."""
+    try:
+        from tika_spark.analysis.oggdemux import ogg_info
+        meta: dict[str, list[str]] = {}
+        for info in ogg_info(data):
+            codec = info["codec"]
+            if codec != "unknown":
+                meta.setdefault("audioCompressor", []).append(
+                    codec.capitalize() if codec != "flac"
+                    else "FLAC")
+            if "channels" in info:
+                meta.setdefault("channels",
+                                [str(info["channels"])])
+            if "sample_rate" in info:
+                meta.setdefault("samplerate",
+                                [str(info["sample_rate"])])
+            for k, v in info.get("tags", {}).items():
+                if k in ("ARTIST", "TITLE", "ALBUM", "DATE"):
+                    meta.setdefault(k.lower(), [v])
+        if meta:
+            return meta
+    except Exception:
+        pass                                     # fall through
     i = data.find(b"\x01vorbis", 0, 4096)
     if i < 0 or i + 23 > len(data):
         return {}
