@@ -1608,6 +1608,54 @@ def _dbf_wrap_udf():
     return wrap
 
 
+def _q_extract_subtitles(spark, sf_dir):
+    """Subtitle cue extraction (tika_spark/subtitles.py): rows
+    alternate SubRip (cue counters, comma decimals, name-glob
+    detection) and WebVTT (signature magic, NOTE block, dot
+    decimals, a <v Speaker> voice tag rendered as a speaker
+    prefix); the pipeline must emit CLEAN dialogue — no counters,
+    timestamps, or markup — one paragraph per cue."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            nc = 2 + i % 3
+            vtt = i % 3 == 0
+            lines = []
+            if vtt:
+                lines += ["WEBVTT", "", "NOTE skipped block", ""]
+            for k in range(nc):
+                t0, t1 = k * 2000, k * 2000 + 1500
+
+                def fmt(ms):
+                    h, rem = divmod(ms, 3600000)
+                    m, rem = divmod(rem, 60000)
+                    s, mil = divmod(rem, 1000)
+                    sep = "." if vtt else ","
+                    return f"{h:02d}:{m:02d}:{s:02d}{sep}{mil:03d}"
+
+                if not vtt:
+                    lines.append(str(k + 1))
+                lines.append(f"{fmt(t0)} --> {fmt(t1)}")
+                body = f"Cue {i} line {k}."
+                if vtt and k == 0:
+                    body = f"<v Speaker {i}>" + body
+                lines += [body, ""]
+            out.append("\n".join(lines).encode())
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"),
+                 F.when(F.col("doc_id") % 3 == 0, F.lit(".vtt"))
+                 .otherwise(F.lit(".srt"))).alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
 def _q_extract_dbf_text(spark, sf_dir):
     """DBF route (glob-detected): header row + one trimmed record."""
     wrap = _dbf_wrap_udf()
@@ -4381,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
         "extract_dbf_text": _q_extract_dbf_text,
+        "extract_subtitles": _q_extract_subtitles,
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
         "extract_ppt_text": _q_extract_ppt_text,
@@ -5197,6 +5246,24 @@ def oracle_sql() -> dict[str, str]:
             "'docs' || chr(10) || 'id' || chr(9) || 'body' || chr(10) "
             "|| doc_id || chr(9) || text || chr(10) AS text "
             "FROM documents"),
+        "extract_subtitles": (
+            # subtitle fixture closed forms: 2 + doc_id % 3 cues,
+            # every doc_id % 3 == 0 row is WebVTT with a voice-tag
+            # speaker prefix on cue 0
+            "WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nc, "
+            "doc_id % 3 = 0 AS vtt FROM documents) "
+            "SELECT 'doc://' || doc_id || "
+            "CASE WHEN vtt THEN '.vtt' ELSE '.srt' END AS url, "
+            "CASE WHEN vtt THEN 'text/vtt' "
+            "ELSE 'application/x-subrip' END AS mime, "
+            "(CASE WHEN vtt THEN 'Speaker ' || doc_id || ': ' "
+            "ELSE '' END) || 'Cue ' || doc_id || ' line 0.' "
+            "|| chr(10) || 'Cue ' || doc_id || ' line 1.' "
+            "|| chr(10) || CASE WHEN nc >= 3 THEN 'Cue ' || doc_id "
+            "|| ' line 2.' || chr(10) ELSE '' END "
+            "|| CASE WHEN nc >= 4 THEN 'Cue ' || doc_id "
+            "|| ' line 3.' || chr(10) ELSE '' END AS text "
+            "FROM p"),
         "extract_dbf_text": (
             "SELECT 'doc://' || doc_id || '.dbf' AS url, "
             "'application/x-dbf' AS mime, "

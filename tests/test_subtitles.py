@@ -1,0 +1,104 @@
+"""SRT / WebVTT subtitle parser tests."""
+
+from tika_spark.subtitles import extract_subtitles, parse_cues
+
+SRT = """1
+00:00:01,000 --> 00:00:03,500
+Hello there.
+
+2
+00:00:04,000 --> 00:00:06,000
+<i>General Kenobi!</i>
+Two lines join.
+
+3
+01:02:03,450 --> 01:02:04,000
+Last cue.
+"""
+
+VTT = """WEBVTT - demo file
+
+NOTE
+this block is skipped entirely
+even across lines
+
+STYLE
+::cue { color: lime }
+
+intro
+00:01.000 --> 00:03.500 position:10%,line-left
+<v Roger Bingham>We are in New York City
+
+00:00:04.000 --> 00:00:06.000
+<b>Bold</b> and <c.yellow>classy</c> text
+"""
+
+
+class TestSrt:
+    def test_cues_and_timing(self):
+        cues = parse_cues(SRT, vtt=False)
+        assert len(cues) == 3
+        assert cues[0] == {"start_ms": 1000, "end_ms": 3500,
+                           "text": "Hello there."}
+        assert cues[1]["text"] == "General Kenobi! Two lines join."
+        assert cues[2]["start_ms"] == 3723450
+
+    def test_extractor_contract(self):
+        r = extract_subtitles(SRT.encode())
+        assert r["status"] == "ok"
+        assert r["metadata"]["Content-Type"] == [
+            "application/x-subrip"]
+        assert r["metadata"]["cue-count"] == ["3"]
+        assert r["metadata"]["xmpDM:duration"] == ["3724.00"]
+        assert "Hello there.\n" in r["text"]
+        assert "-->" not in r["text"] and "00:00" not in r["text"]
+        # one paragraph span per cue, offsets consistent
+        assert len(r["spans"]) == 3
+        s0 = r["spans"][0]
+        assert r["text"][s0[0]:s0[1]] == "Hello there."
+
+
+class TestVtt:
+    def test_blocks_settings_and_voice(self):
+        cues = parse_cues(VTT, vtt=True)
+        assert len(cues) == 2
+        assert cues[0]["start_ms"] == 1000
+        assert cues[0]["end_ms"] == 3500
+        assert cues[0]["text"] == \
+            "Roger Bingham: We are in New York City"
+        assert cues[1]["text"] == "Bold and classy text"
+
+    def test_extractor_detects_vtt(self):
+        r = extract_subtitles(VTT.encode())
+        assert r["metadata"]["Content-Type"] == ["text/vtt"]
+        assert r["metadata"]["cue-count"] == ["2"]
+
+    def test_bom_signature(self):
+        r = extract_subtitles(("﻿" + VTT).encode("utf-8"))
+        assert r["metadata"]["Content-Type"] == ["text/vtt"]
+        assert r["metadata"]["cue-count"] == ["2"]
+
+
+class TestPipeline:
+    def test_magic_detects_vtt(self):
+        from tika_spark.mime.magic import match_magic
+        assert match_magic(VTT.encode()[:32]) == "text/vtt"
+        assert match_magic(("﻿" + VTT).encode()[:32]) \
+            == "text/vtt"
+
+    def test_extract_routes_srt_by_name(self, spark):
+        from tika_spark import extract
+        pages = spark.createDataFrame(
+            [("http://a.example/film.srt", SRT.encode()),
+             ("http://a.example/talk.vtt", VTT.encode())],
+            "url string, html binary").repartition(2)
+        rows = {r.url: r for r in extract(pages, mode="text")
+                .collect()}
+        srt_row = rows["http://a.example/film.srt"]
+        assert srt_row["status"] == "ok"
+        assert srt_row["mime"] == "application/x-subrip"
+        assert "Hello there." in srt_row["text"]
+        assert "-->" not in srt_row["text"]
+        vtt_row = rows["http://a.example/talk.vtt"]
+        assert vtt_row["mime"] == "text/vtt"
+        assert "New York City" in vtt_row["text"]

@@ -51,6 +51,7 @@ _EXPLICIT_SUPER: dict[str, str] = {
     "application/ld+json": "application/json",
     "application/geo+json": "application/json",
     "application/x-subrip": "text/plain",
+    "text/vtt": "text/plain",
     "application/x-cue": "text/plain",
     "application/vnd.apple.mpegurl": "text/plain",
     "audio/x-mpegurl": "text/plain",

@@ -137,6 +137,9 @@ MAGIC_RULES: list[MagicRule] = [
     _m("video/ogg", 60, Clause(0, 0, b"OggS"),
        confirm=Clause(28, 28, b"\x80theora")),
     _m("application/ogg", 50, Clause(0, 0, b"OggS")),
+    # WebVTT signature (with or without a UTF-8 BOM)
+    _m("text/vtt", 50, Clause(0, 0, b"WEBVTT")),
+    _m("text/vtt", 50, Clause(0, 0, b"\xef\xbb\xbfWEBVTT")),
     # RIFF containers (masked four-CC at 8, tika-mimetypes.xml:3165,4215)
     _m("image/webp", 50,
        Clause(0, 0, b"RIFF\x00\x00\x00\x00WEBP",

@@ -39,6 +39,7 @@ from tika_spark.media import extract_media
 from tika_spark.chm.parser import extract_chm
 from tika_spark.ole.parser import extract_ole
 from tika_spark.rtf import extract_rtf
+from tika_spark.subtitles import extract_subtitles
 from tika_spark.textparse import extract_text
 from tika_spark.xmlparse import extract_feed, extract_xml
 
@@ -191,6 +192,10 @@ ROUTE_TABLE = {
     "application/x-tika-msoffice": "ole",
     # CADKEY PRT note/view text (prt/PRTParser.java)
     "application/x-prt": "prt",
+    # subtitle cue text (pipeline extension — the reference globs
+    # .srt to text/plain; see tika_spark/subtitles.py)
+    "application/x-subrip": "subtitle",
+    "text/vtt": "subtitle",
 }
 
 _EXTRACTORS = {
@@ -216,6 +221,7 @@ _EXTRACTORS = {
     "iwork": extract_iwork,
     "sqlite": extract_sqlite,
     "dbf": extract_dbf,
+    "subtitle": extract_subtitles,
 }
 
 # routes whose extractor takes the detected media type (dispatch detail)
