@@ -1101,6 +1101,38 @@ def _q_media_ogg_flac_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_vorbis_stats(spark, sf_dir):
+    """From-scratch Vorbis I decode over the Ogg packet layer
+    (analysis/vorbis.py): each row is a complete Ogg-Vorbis stream —
+    identification/comment/SETUP headers with three codebooks
+    (Huffman first-fit assignment, a VQ lookup-1 value table),
+    floor-1 and type-2 residue configurations, mapping and mode —
+    followed by audio packets whose floors are flagged unused, so
+    the decode runs the full header/mode/window/overlap machinery
+    and lands on exact silence. Nonzero floor-curve × VQ-residue ×
+    IMDCT decode is pinned against a from-first-principles reference
+    in tests/test_vorbis.py."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.vorbis import ogg_vorbis_fixture
+        return pd.Series([ogg_vorbis_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/ogg").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_video_rle_frames(spark, sf_dir):
     """INTER-frame video decode (analysis/video.py decode_rle8): the
     MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
@@ -4416,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_m4a_stats": _q_media_m4a_stats,
         "media_flv_audio_stats": _q_media_flv_audio_stats,
         "media_ogg_flac_stats": _q_media_ogg_flac_stats,
+        "media_vorbis_stats": _q_media_vorbis_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_msvc_frames": _q_media_msvc_frames,
@@ -4988,6 +5021,18 @@ def oracle_sql() -> dict[str, str]:
             "FLOOR(1000000.0 * agg.pk / 32768 + 0.5)"
             "::BIGINT AS peak_micro "
             "FROM p JOIN agg USING (doc_id)"),
+        "media_vorbis_stats": (
+            # ogg_vorbis_fixture closed forms: silent floors through
+            # the full Vorbis machinery — blocksize 256, one primer
+            # packet, so (1 + doc_id % 3) * 128 samples
+            "SELECT doc_id AS id, "
+            "(1 + doc_id % 2)::BIGINT AS n_channels, "
+            "(8000 * (1 + doc_id % 4))::BIGINT AS sample_rate, "
+            "((1 + doc_id % 3) * 128)::BIGINT AS n_samples, "
+            "((1 + doc_id % 3) * 128 * 1000 // "
+            "(8000 * (1 + doc_id % 4)))::BIGINT AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
         "media_pcm_stats": (
             # odd ids: constant μ-law code c=id%256; linear magnitude
             # = ((ū%16)*8+132) << ((ū//16)%8) - 132 with ū = 255-c

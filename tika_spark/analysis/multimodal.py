@@ -27,7 +27,7 @@ Decode tiers:
    decode with display reordering and ISO 11172-1 program-stream
    demux in :mod:`tika_spark.analysis.mpegvideo` — all pure
    Python+numpy, with exact micro-unit stats and deterministic
-   resize on top. Remaining codecs (Opus/Vorbis audio, H.26x video)
+   resize on top. Remaining codecs (Opus audio, H.26x video)
    need libraries this container lacks; for those ``real_decode``
    remains the clearly-marked hook that raises NotImplementedError
    until a codec lands.
@@ -102,8 +102,8 @@ def real_decode(payload: bytes, media_type: str):
         from tika_spark.analysis.flvdemux import decode_flv_audio
         return decode_flv_audio(payload)
     if media_type in ("audio/ogg", "application/ogg"):
-        from tika_spark.analysis.oggdemux import decode_ogg_flac
-        return decode_ogg_flac(payload)
+        from tika_spark.analysis.oggdemux import decode_ogg_audio
+        return decode_ogg_audio(payload)
     if media_type == "video/mpeg" \
             and payload[:4] == b"\x00\x00\x01\xb3":
         from tika_spark.analysis.mpegvideo import decode_mpeg1
@@ -119,7 +119,7 @@ def real_decode(payload: bytes, media_type: str):
         return decode_mpeg1(ts_video_es(payload))
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(Opus/Vorbis audio, H.26x video) are not installed in this "
+        "(Opus audio, H.26x video) are not installed in this "
         "environment; decode_media uses the header-parse tier below")
 
 

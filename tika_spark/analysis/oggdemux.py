@@ -306,3 +306,19 @@ def ogg_flac_fixture(doc_id: int) -> bytes:
     native = flac_bytes(samples, rate=8000 * (1 + doc_id % 3),
                         mode="verbatim")
     return ogg_flac_wrap(native)
+
+
+def decode_ogg_audio(data: bytes):
+    """Dispatch an Ogg container to its decodable codec: FLAC-in-Ogg
+    via the native FLAC decoder, Vorbis via the from-scratch Vorbis
+    I decoder (analysis/vorbis.py). Opus/Speex/Theora raise."""
+    for _serial, packets in ogg_packets(data).items():
+        if not packets:
+            continue
+        if packets[0].startswith(b"\x7fFLAC"):
+            return decode_ogg_flac(data)
+        if packets[0].startswith(b"\x01vorbis"):
+            from tika_spark.analysis.vorbis import \
+                decode_vorbis_packets
+            return decode_vorbis_packets(packets)
+    raise OggError("no decodable audio stream in Ogg container")

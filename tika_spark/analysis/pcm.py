@@ -8,9 +8,10 @@ audio format. The G.711 companded telephony formats (μ-law format 7,
 A-law format 6) also decode for real through the classic 256-entry
 expansion tables. MP3 decodes for real through the from-scratch
 Layer III decoder (:mod:`tika_spark.analysis.mp3codec`), and ADTS
-AAC-LC through :mod:`tika_spark.analysis.aaccodec`; the remaining
-perceptual codecs (Opus/Vorbis) stay behind the
-NotImplementedError hook.
+AAC-LC through :mod:`tika_spark.analysis.aaccodec`, Vorbis through
+:mod:`tika_spark.analysis.vorbis`, and FLAC-in-Ogg through the Ogg
+packet layer; the remaining perceptual codec (Opus) stays behind
+the NotImplementedError hook.
 
 Stats are exact micro-units over the normalized [-1, 1) signal:
 integer sums of squares are order-independent, so the distributed
@@ -308,9 +309,10 @@ def decode_audio(payload: bytes, media_type: str
         from tika_spark.analysis.flvdemux import decode_flv_audio
         return decode_flv_audio(payload)
     if media_type in ("audio/ogg", "application/ogg"):
-        # FLAC-in-Ogg decodes fully; Vorbis/Opus raise (status row)
-        from tika_spark.analysis.oggdemux import decode_ogg_flac
-        return decode_ogg_flac(payload)
+        # FLAC-in-Ogg and Vorbis decode fully; Opus raises (status
+        # row)
+        from tika_spark.analysis.oggdemux import decode_ogg_audio
+        return decode_ogg_audio(payload)
     if media_type.endswith("flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)
