@@ -1133,6 +1133,35 @@ def _q_media_vorbis_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_webm_vorbis_stats(spark, sf_dir):
+    """Matroska/WebM EBML demux + Vorbis decode (analysis/ebml.py):
+    each row is a real WebM — EBML header, Segment Info, a Vorbis
+    TrackEntry whose CodecPrivate Xiph-laces the three header
+    packets, and a Cluster of SimpleBlocks — demuxed by the vint
+    element walk and decoded through the from-scratch Vorbis
+    pipeline. Same closed forms as media_vorbis_stats (silent
+    floors; structural counts)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.ebml import mkv_vorbis_fixture
+        return pd.Series([mkv_vorbis_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("video/webm").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_video_rle_frames(spark, sf_dir):
     """INTER-frame video decode (analysis/video.py decode_rle8): the
     MS-RLE8 AVI codec's skip escapes (EOL, EOB, cursor delta) show
@@ -4449,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_flv_audio_stats": _q_media_flv_audio_stats,
         "media_ogg_flac_stats": _q_media_ogg_flac_stats,
         "media_vorbis_stats": _q_media_vorbis_stats,
+        "media_webm_vorbis_stats": _q_media_webm_vorbis_stats,
         "media_audio_features": _q_media_audio_features,
         "media_video_rle_frames": _q_media_video_rle_frames,
         "media_msvc_frames": _q_media_msvc_frames,
@@ -5025,6 +5055,17 @@ def oracle_sql() -> dict[str, str]:
             # ogg_vorbis_fixture closed forms: silent floors through
             # the full Vorbis machinery — blocksize 256, one primer
             # packet, so (1 + doc_id % 3) * 128 samples
+            "SELECT doc_id AS id, "
+            "(1 + doc_id % 2)::BIGINT AS n_channels, "
+            "(8000 * (1 + doc_id % 4))::BIGINT AS sample_rate, "
+            "((1 + doc_id % 3) * 128)::BIGINT AS n_samples, "
+            "((1 + doc_id % 3) * 128 * 1000 // "
+            "(8000 * (1 + doc_id % 4)))::BIGINT AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
+        "media_webm_vorbis_stats": (
+            # mkv_vorbis_fixture: the silent Vorbis packets re-muxed
+            # as WebM SimpleBlocks — identical structural forms
             "SELECT doc_id AS id, "
             "(1 + doc_id % 2)::BIGINT AS n_channels, "
             "(8000 * (1 + doc_id % 4))::BIGINT AS sample_rate, "

@@ -104,6 +104,9 @@ def real_decode(payload: bytes, media_type: str):
     if media_type in ("audio/ogg", "application/ogg"):
         from tika_spark.analysis.oggdemux import decode_ogg_audio
         return decode_ogg_audio(payload)
+    if media_type in ("video/webm", "video/x-matroska"):
+        from tika_spark.analysis.ebml import decode_mkv_vorbis
+        return decode_mkv_vorbis(payload)
     if media_type == "video/mpeg" \
             and payload[:4] == b"\x00\x00\x01\xb3":
         from tika_spark.analysis.mpegvideo import decode_mpeg1

@@ -290,7 +290,8 @@ AUDIO_TYPES = frozenset({
     "audio/wav", "audio/x-wav", "audio/vnd.wave", "audio/flac",
     "audio/x-flac", "audio/basic", "audio/x-aiff", "audio/mpeg",
     "audio/mp3", "audio/x-aac", "audio/aac", "audio/mp4",
-    "audio/x-m4a", "video/x-flv", "audio/ogg", "application/ogg"})
+    "audio/x-m4a", "video/x-flv", "audio/ogg", "application/ogg",
+    "video/webm", "video/x-matroska"})
 
 
 def decode_audio(payload: bytes, media_type: str
@@ -313,6 +314,9 @@ def decode_audio(payload: bytes, media_type: str
         # row)
         from tika_spark.analysis.oggdemux import decode_ogg_audio
         return decode_ogg_audio(payload)
+    if media_type in ("video/webm", "video/x-matroska"):
+        from tika_spark.analysis.ebml import decode_mkv_vorbis
+        return decode_mkv_vorbis(payload)
     if media_type.endswith("flac"):
         from tika_spark.analysis.flac import decode_flac
         return decode_flac(payload)

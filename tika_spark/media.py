@@ -226,6 +226,35 @@ def _amf0_value(data: bytes, p: int):
     raise ValueError(f"amf0 type {t}")
 
 
+def _mkv_meta(data: bytes) -> dict[str, list[str]]:
+    """Matroska/WebM: EBML walk (analysis/ebml.py) — doctype,
+    duration, per-track codec IDs, video dimensions, audio
+    rate/channels."""
+    try:
+        from tika_spark.analysis.ebml import mkv_info
+        info = mkv_info(data)
+    except Exception:
+        return {}
+    meta: dict[str, list[str]] = {}
+    if info["doctype"]:
+        meta["doctype"] = [info["doctype"]]
+    if info["duration_s"] is not None:
+        meta["xmpDM:duration"] = [f"{info['duration_s']:.2f}"]
+    codecs = sorted({t["codec"] for t in info["tracks"]
+                     if "codec" in t})
+    if codecs:
+        meta["compression-type"] = codecs
+    for t in info["tracks"]:
+        if "width" in t:
+            meta.setdefault("width", [str(t["width"])])
+            meta.setdefault("height", [str(t["height"])])
+        if "sample_rate" in t:
+            meta.setdefault("xmpDM:audioSampleRate",
+                            [str(t["sample_rate"])])
+            meta.setdefault("channels", [str(t.get("channels", 1))])
+    return meta
+
+
 def _flv_meta(data: bytes) -> dict[str, list[str]]:
     meta: dict[str, list[str]] = {}
     if not data.startswith(b"FLV\x01") or len(data) < 20:
@@ -986,6 +1015,8 @@ _META_BY_MIME = {
     "audio/aac": _adts_meta,
     "video/mpeg": _mpeg1v_meta,
     "video/mp2t": _mpeg1v_meta,
+    "video/webm": _mkv_meta,
+    "video/x-matroska": _mkv_meta,
     "audio/midi": _midi_meta,
     "audio/x-aiff": _aiff_meta,
     "audio/basic": _au_meta,
