@@ -128,8 +128,10 @@ def test_real_decode_hook_png(spark):
     assert np.array_equal(real_decode(png_bytes(arr), "image/png"), arr)
     with pytest.raises(ValueError):       # decoded for real, bad data
         real_decode(b"\xff\xd8junk", "image/jpeg")
-    with pytest.raises(NotImplementedError):   # codec hook remains
+    with pytest.raises(ValueError):       # PS demux decodes for real
         real_decode(b"\x00\x00\x01\xba", "video/mpeg")
+    with pytest.raises(NotImplementedError):   # codec hook remains
+        real_decode(b"OggS" + bytes(24), "audio/opus")
 
 
 def test_image_pixel_stats_operator(spark):
@@ -767,7 +769,7 @@ def test_audio_features_operator(spark):
             (3, wav_bytes(np.full(100, 7, np.int16), 8000),
              "audio/wav"),                    # DC offset, no crossings
             (4, b"corrupt", "audio/flac"),
-            (5, b"\x00", "audio/ogg")]
+            (5, b"\x00", "audio/opus")]
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     got = {r.id: r for r in audio_features(df).collect()}
