@@ -952,6 +952,56 @@ def _q_media_mp3_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_mp2_stats(spark, sf_dir):
+    """From-scratch MPEG-1 Layer II full decode, distributed
+    (analysis/mp2codec.py), reached through the layer-sniffing
+    audio/mpeg front door (decode_mpeg_audio): each row is a genuine
+    multi-frame MP2 stream cycling through all four Annex B
+    allocation tables (B.2a at 48 kHz, B.2b at 44.1 kHz stereo, the
+    low-rate B.2c/B.2d at <=48 kbps/ch), varying frame count, scfsi
+    sharing pattern and Table B.1 scalefactor index. All subband
+    targets are zero — exactly representable in every Layer II
+    quantizer (mid-code) — so the closed-form oracle is exact while
+    the decoder still walks allocation, scfsi, both scalefactor
+    layouts, grouped/ungrouped sample codes, dequant and the 32-band
+    synthesis filterbank end to end. Nonzero-value bit-exactness is
+    pinned by tests/test_mp2.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.mp2codec import mp2_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            v = i % 4
+            mode, rate, bitrate = (
+                ("mono", 48000, 192), ("stereo", 44100, 320),
+                ("mono", 44100, 48), ("mono", 32000, 48))[v]
+            nch = 2 if mode == "stereo" else 1
+            n_frames = 1 + i % 3
+            z = np.zeros((36, 32, nch) if nch == 2 else (36, 32))
+            out.append(mp2_bytes(
+                [z] * n_frames, rate=rate, mode=mode,
+                bitrate=bitrate, scalefactor_idx=(i * 7) % 63,
+                scfsi=i % 4))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/mpeg").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_aac_stats(spark, sf_dir):
     """From-scratch ADTS AAC-LC full decode, distributed
     (analysis/aaccodec.py): each row is a genuine multi-frame ADTS
@@ -4473,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_embed_neardup": _q_docs_embed_neardup,
         "media_pcm_stats": _q_media_pcm_stats,
         "media_mp3_stats": _q_media_mp3_stats,
+        "media_mp2_stats": _q_media_mp2_stats,
         "media_aac_stats": _q_media_aac_stats,
         "media_m4a_stats": _q_media_m4a_stats,
         "media_flv_audio_stats": _q_media_flv_audio_stats,
@@ -4985,6 +5036,23 @@ def oracle_sql() -> dict[str, str]:
             "((1 + doc_id % 4) * 1152)::BIGINT AS n_samples, "
             "((1 + doc_id % 4) * 1152 * 1000 // 44100)::BIGINT "
             "AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
+        "media_mp2_stats": (
+            # silent multi-frame Layer II cycling all four Annex B
+            # allocation tables: structure closed-form, samples
+            # exactly zero (mid-code) through the linear filterbank
+            "SELECT doc_id AS id, "
+            "(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END)"
+            "::BIGINT AS n_channels, "
+            "(CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 "
+            "WHEN 2 THEN 44100 ELSE 32000 END)"
+            "::BIGINT AS sample_rate, "
+            "((1 + doc_id % 3) * 1152)::BIGINT AS n_samples, "
+            "((1 + doc_id % 3) * 1152 * 1000 // "
+            "(CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 "
+            "WHEN 2 THEN 44100 ELSE 32000 END))"
+            "::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),
         "media_aac_stats": (

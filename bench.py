@@ -236,6 +236,23 @@ def main():
         sample_frame_stats(videos, every=2)))
     videos.unpersist()
 
+    # container-demux tier (new r4): transport stream → CRC-checked
+    # PAT/PMT → PES reassembly → MPEG-2 I/P/B decode + display
+    # reorder, one row per frame
+    from tika_spark.analysis.mpegts import mpegts_fixture
+
+    @pandas_udf(BinaryType())
+    def tswrap(ids):
+        import pandas as _pd
+        return _pd.Series([mpegts_fixture(int(i)) for i in ids])
+
+    ts = docs.select(F.col("doc_id").alias("id"),
+                     tswrap(F.col("doc_id")).alias("payload")).cache()
+    ts.count()
+    timed("media_ts_mpeg2_decode", lambda: force(
+        sample_frame_stats(ts, every=1)))
+    ts.unpersist()
+
     elapsed = round(time.perf_counter() - t_all, 3)
     total = round(sum(queries.values()), 3)
     extract_sec = queries["extract_pages_text"]

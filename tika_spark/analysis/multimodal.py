@@ -90,8 +90,8 @@ def real_decode(payload: bytes, media_type: str):
         from tika_spark.analysis.pcm import decode_aiff
         return decode_aiff(payload)
     if media_type in ("audio/mpeg", "audio/mp3"):
-        from tika_spark.analysis.mp3codec import decode_mp3
-        return decode_mp3(payload)
+        from tika_spark.analysis.mp2codec import decode_mpeg_audio
+        return decode_mpeg_audio(payload)    # layer sniff: II or III
     if media_type in ("audio/x-aac", "audio/aac"):
         from tika_spark.analysis.aaccodec import decode_aac
         return decode_aac(payload)

@@ -298,8 +298,8 @@ def decode_audio(payload: bytes, media_type: str
                  ) -> tuple[np.ndarray, int]:
     """Route a payload to its decoder: (int16 [n, ch], rate)."""
     if media_type in ("audio/mpeg", "audio/mp3"):
-        from tika_spark.analysis.mp3codec import decode_mp3
-        return decode_mp3(payload)
+        from tika_spark.analysis.mp2codec import decode_mpeg_audio
+        return decode_mpeg_audio(payload)    # layer sniff: II or III
     if media_type in ("audio/x-aac", "audio/aac"):
         from tika_spark.analysis.aaccodec import decode_aac
         return decode_aac(payload)
