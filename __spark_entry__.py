@@ -1002,6 +1002,52 @@ def _q_media_mp2_stats(spark, sf_dir):
         "n_samples", "duration_ms", "rms_micro", "peak_micro")
 
 
+def _q_media_mp1_stats(spark, sf_dir):
+    """From-scratch MPEG-1 Layer I full decode, distributed
+    (analysis/mp2codec.py decode_mp1), reached through the
+    layer-sniffing audio/mpeg front door: each row is a genuine
+    multi-frame Layer I stream varying sample rate, channel mode,
+    bitrate, frame count and Table B.1 scalefactor index. Subband
+    targets are zero (mid-code of every 2^k - 1 quantizer), so the
+    closed-form oracle is exact while the decoder still walks the
+    4-bit allocation, per-subband scalefactors, k-bit sample codes,
+    dequant and the shared 32-band synthesis filterbank end to end.
+    Nonzero-value bit-exactness is pinned by tests/test_mp2.py
+    (TestLayerI vs an independent plain-loop reference)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pcm import audio_pcm_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.mp2codec import mp1_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            mode, rate, bitrate = (
+                ("mono", 48000, 192), ("stereo", 44100, 448),
+                ("mono", 32000, 288))[i % 3]
+            nch = 2 if mode == "stereo" else 1
+            n_frames = 1 + i % 2
+            z = np.zeros((12, 32, nch) if nch == 2 else (12, 32))
+            out.append(mp1_bytes(
+                [z] * n_frames, rate=rate, mode=mode,
+                bitrate=bitrate, scalefactor_idx=(i * 5) % 63))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/mpeg").alias("media_type"))
+    out = audio_pcm_stats(media)
+    return out.select(
+        "id", F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples", "duration_ms", "rms_micro", "peak_micro")
+
+
 def _q_media_aac_stats(spark, sf_dir):
     """From-scratch ADTS AAC-LC full decode, distributed
     (analysis/aaccodec.py): each row is a genuine multi-frame ADTS
@@ -4524,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pcm_stats": _q_media_pcm_stats,
         "media_mp3_stats": _q_media_mp3_stats,
         "media_mp2_stats": _q_media_mp2_stats,
+        "media_mp1_stats": _q_media_mp1_stats,
         "media_aac_stats": _q_media_aac_stats,
         "media_m4a_stats": _q_media_m4a_stats,
         "media_flv_audio_stats": _q_media_flv_audio_stats,
@@ -5053,6 +5100,21 @@ def oracle_sql() -> dict[str, str]:
             "(CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100 "
             "WHEN 2 THEN 44100 ELSE 32000 END))"
             "::BIGINT AS duration_ms, "
+            "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
+            "FROM documents"),
+        "media_mp1_stats": (
+            # silent multi-frame Layer I varying rate/mode/bitrate:
+            # structure closed-form, samples exactly zero (mid-code)
+            # through the linear filterbank
+            "SELECT doc_id AS id, "
+            "(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END)"
+            "::BIGINT AS n_channels, "
+            "(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 "
+            "ELSE 32000 END)::BIGINT AS sample_rate, "
+            "((1 + doc_id % 2) * 384)::BIGINT AS n_samples, "
+            "((1 + doc_id % 2) * 384 * 1000 // "
+            "(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 "
+            "ELSE 32000 END))::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),
         "media_aac_stats": (

@@ -268,6 +268,99 @@ class TestAgainstReference:
         assert np.abs(both.astype(int) - ref.astype(int)).max() <= 1
 
 
+def _ref_decode_l1(frames, allocation, sf_idx=0, nch=1):
+    """Plain-loop Layer I reconstruction: one scalefactor per frame,
+    one sample per granule, ungrouped 2^nb - 1 quantizers (the same
+    Annex B affine form, so _ref_quant/_ref_dequant apply)."""
+    synth = [_RefSynth() for _ in range(nch)]
+    sfv = m.SCALEFACTORS[sf_idx]
+    out = []
+    for fr in frames:
+        a = np.asarray(fr, dtype=float)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        pcm = [[] for _ in range(nch)]
+        for t in range(12):
+            for ch in range(nch):
+                s = [0.0] * 32
+                for sb, code in allocation.items():
+                    nlev = (1 << (code + 1)) - 1
+                    q = _ref_quant(a[t, sb, ch] / sfv, nlev)
+                    s[sb] = _ref_dequant(q, nlev) * sfv
+                pcm[ch].extend(synth[ch].step(s))
+        out.append(np.array(pcm).T)
+    x = np.concatenate(out, axis=0)
+    return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(
+        np.int16)
+
+
+Z12 = lambda nch=1: np.zeros((12, 32) if nch == 1            # noqa
+                             else (12, 32, nch))
+
+
+class TestLayerI:
+    def test_header_fields(self):
+        raw = m.mp1_bytes([Z12()], rate=32000, mode="mono",
+                          bitrate=288)
+        hdr = m.parse_frame_header_l1(raw, 0)
+        assert hdr["bitrate"] == 288 and hdr["samplerate"] == 32000
+        assert hdr["mode"] == "mono" and hdr["nch"] == 1
+        assert hdr["frame_bytes"] == 12 * 288000 // 32000 * 4
+        assert len(raw) == hdr["frame_bytes"]
+        # a Layer II header is not a Layer I header and vice versa
+        raw2 = m.mp2_bytes([Z36()], bitrate=192)
+        assert m.parse_frame_header_l1(raw2, 0) is None
+        assert m.parse_frame_header(raw, 0) is None
+
+    @pytest.mark.parametrize("mode,nch", [("mono", 1), ("stereo", 2)])
+    def test_silent_exact_zero(self, mode, nch):
+        raw = m.mp1_bytes([Z12(nch)] * 3, rate=44100, mode=mode,
+                          bitrate=448, scalefactor_idx=20)
+        pcm, rate = m.decode_mp1(raw)
+        assert rate == 44100
+        assert pcm.shape == (3 * 384, nch)
+        assert not pcm.any()
+
+    def test_matches_reference(self):
+        rng = np.random.RandomState(3)
+        alloc = {0: 14, 1: 2, 7: 1, 15: 5, 31: 8}
+        fr = np.zeros((12, 32))
+        for sb in alloc:
+            fr[:, sb] = rng.uniform(-0.9, 0.9, 12)
+        raw = m.mp1_bytes([fr], rate=44100, mode="mono",
+                          bitrate=448, allocation=alloc,
+                          scalefactor_idx=4)
+        pcm, _ = m.decode_mp1(raw)
+        ref = _ref_decode_l1([fr], alloc, sf_idx=4)
+        assert pcm.shape == ref.shape == (384, 1)
+        assert np.abs(pcm.astype(int) - ref.astype(int)).max() <= 1
+        assert np.abs(pcm).max() > 0
+
+    def test_stereo_continuity_across_frames(self):
+        alloc = {0: 10}
+        fr = np.zeros((12, 32, 2))
+        fr[:, 0, 0] = 0.5
+        fr[:, 0, 1] = -0.25
+        raw2 = m.mp1_bytes([fr, fr], mode="stereo", bitrate=448,
+                           allocation=alloc)
+        raw1 = m.mp1_bytes([fr], mode="stereo", bitrate=448,
+                           allocation=alloc)
+        both, _ = m.decode_mp1(raw2)
+        one, _ = m.decode_mp1(raw1)
+        assert np.array_equal(both[:384], one)
+        assert not np.array_equal(both[384:], one)
+        ref = _ref_decode_l1([fr, fr], alloc, nch=2)
+        assert np.abs(both.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_bad_allocation_rejected(self):
+        with pytest.raises(ValueError, match="1..14"):
+            m.mp1_bytes([Z12()], allocation={0: 15})
+
+    def test_garbage_raises(self):
+        with pytest.raises(Mp3Error):
+            m.decode_mp1(b"\x00" * 4096)
+
+
 class TestRouting:
     def test_sniff_layer(self):
         raw2 = m.mp2_bytes([Z36()], bitrate=192)
@@ -279,7 +372,10 @@ class TestRouting:
         tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
         assert m.sniff_layer(tag + raw2) == 2
 
-    def test_decode_mpeg_audio_routes_both_layers(self):
+    def test_decode_mpeg_audio_routes_all_layers(self):
+        raw1 = m.mp1_bytes([Z12()], bitrate=192, rate=32000)
+        pcm, rate = m.decode_mpeg_audio(raw1)
+        assert rate == 32000 and pcm.shape == (384, 1)
         raw2 = m.mp2_bytes([Z36()], bitrate=192, rate=48000)
         pcm, rate = m.decode_mpeg_audio(raw2)
         assert rate == 48000 and pcm.shape == (1152, 1)
@@ -287,3 +383,4 @@ class TestRouting:
         raw3 = m3.mp3_bytes([[[z], [z]]], mode="mono", bitrate=64)
         pcm, rate = m.decode_mpeg_audio(raw3)
         assert rate == 44100 and pcm.shape[0] == 1152
+        assert m.sniff_layer(raw1) == 1

@@ -1,4 +1,4 @@
-"""From-scratch MPEG-1 Audio Layer II (MP2) codec (ISO/IEC 11172-3).
+"""From-scratch MPEG-1 Audio Layer I/II codec (ISO/IEC 11172-3).
 
 Layer II is what real-world MPEG program/transport streams carry
 (DVB/HLS captures mux MP2 far more often than Layer III), so this
@@ -233,11 +233,7 @@ def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
     """(samples int16 [n, nch], sample_rate). Full Layer II decode
     of every valid frame; ID3v2 prefix skipped."""
     data = bytes(data or b"")
-    pos = 0
-    if data[:3] == b"ID3" and len(data) >= 10:
-        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
-            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        pos = 10 + size
+    pos = _skip_id3(data)
     frames = []
     rate = None
     nch = None
@@ -272,15 +268,216 @@ def decode_mp2(data: bytes) -> tuple[np.ndarray, int]:
     return out.astype(np.int16), rate
 
 
+# ------------------------------------------------------------ Layer I
+#
+# Layer I (ISO §2.4.1.5 / §2.4.2.5) is the simplest family member:
+# 384 samples per frame (12 granules x 32 subbands x 1 sample), a
+# 4-bit allocation code per subband (code n -> n+1 bits per sample,
+# 2^(n+1)-1 steps; code 15 forbidden), ONE 6-bit Table B.1
+# scalefactor per coded subband (no scfsi), and the same ungrouped
+# affine dequant as Layer II — so _quant_class/_dequant_digit are
+# reused verbatim. Frames are slot-aligned to 4 bytes.
+
+BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+               352, 384, 416, 448)
+
+
+def parse_frame_header_l1(data: bytes, pos: int):
+    """dict for a valid MPEG-1 Layer I header at ``pos``, else None.
+    Same fields as :func:`parse_frame_header`."""
+    if pos + 4 > len(data):
+        return None
+    h = int.from_bytes(data[pos:pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    if (h >> 19) & 3 != 3 or (h >> 17) & 3 != 3:   # MPEG-1, Layer I
+        return None
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = BITRATES_L1[br_idx]
+    rate = SAMPLERATES[sr_idx]
+    padding = (h >> 9) & 1
+    mode = ("stereo", "joint", "dual", "mono")[(h >> 6) & 3]
+    return {
+        "bitrate": bitrate, "samplerate": rate, "padding": padding,
+        "protection": not ((h >> 16) & 1), "mode": mode,
+        "mode_ext": (h >> 4) & 3, "nch": 1 if mode == "mono" else 2,
+        "frame_bytes": (12 * bitrate * 1000 // rate + padding) * 4,
+    }
+
+
+def _decode_frame_l1(hdr: dict, body: bytes, synth: list,
+                     out: list) -> None:
+    nch = hdr["nch"]
+    bound = 32
+    if hdr["mode"] == "joint":
+        bound = min((hdr["mode_ext"] + 1) * 4, 32)
+    b = _Bits(body)
+
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        if sb < bound:
+            for ch in range(nch):
+                code = b.read(4)
+                if code == 15:
+                    raise Mp3Error("forbidden Layer I allocation")
+                alloc[ch][sb] = (1 << (code + 1)) - 1 if code else 0
+        else:
+            code = b.read(4)
+            if code == 15:
+                raise Mp3Error("forbidden Layer I allocation")
+            v = (1 << (code + 1)) - 1 if code else 0
+            for ch in range(nch):
+                alloc[ch][sb] = v
+
+    sf = [[1.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                i = b.read(6)
+                if i > 62:
+                    raise Mp3Error("illegal Layer I scalefactor")
+                sf[ch][sb] = SCALEFACTORS[i]
+
+    s = np.zeros((12, 32, nch))
+    for gr in range(12):
+        for sb in range(32):
+            read_chs = range(nch) if sb < bound else (0,)
+            vals: list = [None] * nch
+            for ch in read_chs:
+                nlev = alloc[ch][sb]
+                if not nlev:
+                    continue
+                # Layer I is always ungrouped: nlev = 2^k - 1 reads
+                # a k-bit code (the Layer II 3-level quantizer's
+                # 5-bit grouping does not exist here)
+                _, _, c, d = _quant_class(nlev)
+                bits = (nlev + 1).bit_length() - 1
+                vals[ch] = _dequant_digit(b.read(bits), nlev, c, d)
+            if sb >= bound and vals[0] is not None:
+                vals = [vals[0]] * nch          # intensity: shared
+            for ch in range(nch):
+                if vals[ch] is not None:
+                    s[gr, sb, ch] = vals[ch] * sf[ch][sb]
+
+    for ch in range(nch):
+        out.append((ch, synth[ch].run(s[:, :, ch])))
+
+
+def decode_mp1(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16 [n, nch], sample_rate). Full Layer I decode of
+    every valid frame; ID3v2 prefix skipped."""
+    data = bytes(data or b"")
+    pos = _skip_id3(data)
+    frames = []
+    rate = None
+    nch = None
+    while pos + 4 <= len(data):
+        hdr = parse_frame_header_l1(data, pos)
+        if hdr is None:
+            pos += 1
+            continue
+        if rate is None:
+            rate, nch = hdr["samplerate"], hdr["nch"]
+        if hdr["samplerate"] != rate or hdr["nch"] != nch:
+            raise Mp3Error("mixed stream parameters")
+        end = pos + hdr["frame_bytes"]
+        if end > len(data):
+            break
+        body = pos + 4 + (2 if hdr["protection"] else 0)
+        frames.append((hdr, data[body:end]))
+        pos = end
+    if not frames:
+        raise Mp3Error("no MPEG-1 Layer I frames")
+
+    synth = [_Synth() for _ in range(nch)]
+    chunks: list = []
+    for hdr, body in frames:
+        _decode_frame_l1(hdr, body, synth, chunks)
+    n_frames = len(frames)
+    out = np.zeros((384 * n_frames, nch))
+    for i in range(n_frames):
+        for ch, pcm in chunks[i * nch:(i + 1) * nch]:
+            out[384 * i:384 * (i + 1), ch] = pcm
+    out = np.clip(np.rint(out * 32768.0), -32768, 32767)
+    return out.astype(np.int16), rate
+
+
+def mp1_bytes(frames, rate: int = 44100, mode: str = "mono",
+              bitrate: int = 192, allocation=None,
+              scalefactor_idx: int = 0) -> bytes:
+    """Subband-domain frames → genuine Layer I bytes.
+
+    ``frames``: list of (12, 32) (mono) or (12, 32, 2) (stereo)
+    float arrays of target subband values in [-1, 1). ``allocation``
+    maps subband → bits-per-sample code 1..14 (nlevels =
+    2^(code+1) - 1); default codes every subband at 2 bits/sample."""
+    if mode not in ("mono", "stereo"):
+        raise ValueError("fixture encoder writes mono/stereo only")
+    nch = 1 if mode == "mono" else 2
+    if allocation is None:
+        allocation = {sb: 1 for sb in range(32)}
+    for sb, code in allocation.items():
+        if not 1 <= code <= 14:
+            raise ValueError("Layer I allocation code must be 1..14")
+
+    hdr = 0xFFF << 20 | 0x3 << 19 | 0x3 << 17 | 1 << 16   # L1, no CRC
+    hdr |= BITRATES_L1.index(bitrate) << 12
+    hdr |= SAMPLERATES.index(rate) << 10
+    hdr |= (3 if mode == "mono" else 0) << 6
+    frame_bytes = 12 * bitrate * 1000 // rate * 4
+    sfv = SCALEFACTORS[scalefactor_idx]
+
+    out = bytearray()
+    for fr in frames:
+        a = np.asarray(fr, dtype=float)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.shape != (12, 32, nch):
+            raise ValueError("frame must be (12, 32[, nch])")
+        w = _BitWriter()
+        w.write(hdr, 32)
+        for sb in range(32):
+            code = allocation.get(sb, 0)
+            for _ in range(nch):
+                w.write(code, 4)
+        for sb in range(32):
+            if sb in allocation:
+                for _ in range(nch):
+                    w.write(scalefactor_idx, 6)
+        for gr in range(12):
+            for sb in range(32):
+                if sb not in allocation:
+                    continue
+                nlev = (1 << (allocation[sb] + 1)) - 1
+                for ch in range(nch):
+                    w.write(_nearest_code(
+                        float(a[gr, sb, ch]) / sfv, nlev),
+                        allocation[sb] + 1)     # always ungrouped
+        w.align()
+        if len(w.out) > frame_bytes:
+            raise ValueError(
+                f"frame needs {len(w.out)} bytes > {frame_bytes}; "
+                "raise the bitrate")
+        w.out.extend(b"\x00" * (frame_bytes - len(w.out)))
+        out.extend(w.out)
+    return bytes(out)
+
+
+def _skip_id3(data: bytes) -> int:
+    if data[:3] == b"ID3" and len(data) >= 10:
+        return 10 + (((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+                     | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F))
+    return 0
+
+
 def sniff_layer(data: bytes) -> int:
     """1/2/3 from the first valid MPEG-1 audio sync in ``data``
     (ID3v2 prefix skipped), else 0."""
     data = bytes(data or b"")
-    pos = 0
-    if data[:3] == b"ID3" and len(data) >= 10:
-        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
-            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        pos = 10 + size
+    pos = _skip_id3(data)
     while pos + 4 <= len(data):
         h = int.from_bytes(data[pos:pos + 4], "big")
         if (h >> 21) & 0x7FF == 0x7FF and (h >> 19) & 3 == 3:
@@ -293,9 +490,11 @@ def sniff_layer(data: bytes) -> int:
 
 def decode_mpeg_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Layer-sniffing front door: routes an MPEG-1 audio elementary
-    stream (audio/mpeg — TS/PS stream_type 0x03/0x04, .mp2/.mp3
-    files) to the Layer II or Layer III decoder."""
+    stream (audio/mpeg — TS/PS stream_type 0x03/0x04, .mp1/.mp2/.mp3
+    files) to the Layer I, II or III decoder."""
     layer = sniff_layer(data)
+    if layer == 1:
+        return decode_mp1(data)
     if layer == 2:
         return decode_mp2(data)
     from tika_spark.analysis.mp3codec import decode_mp3
