@@ -908,7 +908,8 @@ def _q_media_pcm_stats(spark, sf_dir):
 def _q_media_mp3_stats(spark, sf_dir):
     """From-scratch MPEG-1 Layer III full decode, distributed
     (analysis/mp3codec.py): each row is a genuine multi-frame MP3 —
-    varying frame count, mono/stereo, bitrate, scalefac_compress,
+    cycling all three Table B.8 sample-rate geometries, varying
+    frame count, mono/stereo, bitrate, scalefac_compress,
     nonzero scalefactors, and real count1 Huffman codes — whose
     spectra are all zero, so the closed-form oracle is exact
     (silence survives the linear filterbank bit-exactly) while the
@@ -933,6 +934,7 @@ def _q_media_mp3_stats(spark, sf_dir):
             frame = [[z] * nch, [z] * nch]
             out.append(mp3_bytes(
                 [frame] * n_frames,
+                rate=(44100, 48000, 32000)[i % 3],
                 mode="mono" if nch == 1 else "stereo",
                 bitrate=BITRATES_L3[1 + i % 14],
                 count1_zeros=16 + i % 5,
@@ -5075,14 +5077,17 @@ def oracle_sql() -> dict[str, str]:
             "END::BIGINT AS peak_hz, "
             "0::BIGINT AS sum_amp FROM documents"),
         "media_mp3_stats": (
-            # silent multi-frame Layer III: structure closed-form,
+            # silent multi-frame Layer III cycling all three Table
+            # B.8 scalefactor-band geometries: structure closed-form,
             # samples exactly zero through the linear filterbank
             "SELECT doc_id AS id, "
             "(1 + doc_id % 2)::BIGINT AS n_channels, "
-            "44100::BIGINT AS sample_rate, "
+            "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END)::BIGINT AS sample_rate, "
             "((1 + doc_id % 4) * 1152)::BIGINT AS n_samples, "
-            "((1 + doc_id % 4) * 1152 * 1000 // 44100)::BIGINT "
-            "AS duration_ms, "
+            "((1 + doc_id % 4) * 1152 * 1000 // "
+            "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+            "ELSE 32000 END))::BIGINT AS duration_ms, "
             "0::BIGINT AS rms_micro, 0::BIGINT AS peak_micro "
             "FROM documents"),
         "media_mp2_stats": (

@@ -28,12 +28,13 @@ def _granule(*pairs):
 # ------------------------------------------------- direct-math ref
 
 
-def _ref_requantize(xs, global_gain, sf, scalefac_scale=0, preflag=0):
+def _ref_requantize(xs, global_gain, sf, scalefac_scale=0, preflag=0,
+                    rate=44100):
     gain = 2.0 ** ((global_gain - 210) / 4.0)
     mult = 0.5 * (scalefac_scale + 1)
     out = [0.0] * 576
     for band in range(22):
-        lo, hi = m.SFB_LONG_44[band], m.SFB_LONG_44[band + 1]
+        lo, hi = m.SFB_LONG[rate][band], m.SFB_LONG[rate][band + 1]
         sfv = sf[band] if band < 21 else 0
         pre = m.PRETAB[band] if (preflag and band < 21) else 0
         fac = gain * 2.0 ** (-mult * (sfv + pre))
@@ -101,7 +102,8 @@ class _RefSynth:
 
 
 def _ref_decode_mono(granules, global_gain, sf=None,
-                     block_type=0, scalefac_scale=0, preflag=0):
+                     block_type=0, scalefac_scale=0, preflag=0,
+                     rate=44100):
     """granules: list of 576-int arrays (2 per frame, wire order)."""
     sf = sf if sf is not None else [0] * 21
     overlap = [[0.0] * 18 for _ in range(32)]
@@ -115,8 +117,8 @@ def _ref_decode_mono(granules, global_gain, sf=None,
             pos = 0
             flat = [0.0] * 576
             for band in range(13):
-                lo = m.SFB_SHORT_44[band]
-                hi = m.SFB_SHORT_44[band + 1]
+                lo = m.SFB_SHORT[rate][band]
+                hi = m.SFB_SHORT[rate][band + 1]
                 for w in range(3):
                     for line in range(hi - lo):
                         v = xs[pos]
@@ -127,7 +129,7 @@ def _ref_decode_mono(granules, global_gain, sf=None,
             x = flat
         else:
             x = _ref_requantize(xs, global_gain, sf,
-                                scalefac_scale, preflag)
+                                scalefac_scale, preflag, rate)
             x = _ref_alias(x)
         block = []
         for sb in range(32):
@@ -176,10 +178,19 @@ class TestBitstream:
         with pytest.raises(m.Mp3Error):
             m.decode_mp3(b"not an mp3 at all" * 10)
 
-    def test_non_44k_raises(self):
-        data = m.mp3_bytes([[[Z()], [Z()]]], rate=48000)
-        with pytest.raises(m.Mp3Error, match="44.1"):
-            m.decode_mp3(data)
+    def test_sfb_geometries(self):
+        # every Table B.8 geometry: 22 long + 13 short intervals,
+        # both spanning the full 576-line granule
+        for rate in (44100, 48000, 32000):
+            assert len(m.SFB_LONG[rate]) == 23
+            assert len(m.SFB_SHORT[rate]) == 14
+            assert m.SFB_LONG[rate][0] == 0
+            assert m.SFB_LONG[rate][-1] == 576
+            assert m.SFB_SHORT[rate][0] == 0
+            assert m.SFB_SHORT[rate][-1] == 192
+            assert list(m.SFB_LONG[rate]) == sorted(m.SFB_LONG[rate])
+            assert list(m.SFB_SHORT[rate]) == sorted(
+                m.SFB_SHORT[rate])
 
     def test_esc_table_rejected_cleanly(self):
         # a table id outside the shipped data (ESC family) must fail
@@ -258,6 +269,67 @@ class TestDirectMath:
         assert np.array_equal(pcm[:, 0], ref)
         # IMDCT tail + synthesis FIFO ring into the second frame
         assert np.abs(pcm[1152:]).max() > 0
+
+
+class TestMultiRate:
+    @pytest.mark.parametrize("rate", [48000, 32000])
+    def test_silent_exact_zero(self, rate):
+        data = m.mp3_bytes([[[Z()], [Z()]]] * 2, rate=rate,
+                           count1_zeros=20)
+        pcm, got_rate = m.decode_mp3(data)
+        assert got_rate == rate and pcm.shape == (2 * 1152, 1)
+        assert np.abs(pcm).max() == 0
+
+    @pytest.mark.parametrize("rate", [48000, 32000])
+    def test_long_blocks_match_reference(self, rate):
+        # lines chosen to straddle band boundaries that DIFFER
+        # between the three geometries (42/44, 384/418/448)
+        g0 = _granule((0, 1), (6, -2), (43, 1), (120, -1), (161, 2))
+        g1 = _granule((2, 2), (90, -2))
+        data = m.mp3_bytes([[[g0], [g1]]], rate=rate,
+                           global_gain=226)
+        pcm, _ = m.decode_mp3(data)
+        ref = _ref_decode_mono([g0, g1], 226, rate=rate)
+        assert np.array_equal(pcm[:, 0], ref)
+        assert np.abs(pcm).max() > 100
+
+    @pytest.mark.parametrize("rate", [48000, 32000])
+    def test_scalefactors_match_reference(self, rate):
+        g0 = _granule((2, 1), (29, -1), (64, 1))
+        sf = [2, 0, 1, 0, 3, 0, 0, 1, 0, 2, 0,
+              1, 0, 0, 2, 0, 1, 0, 0, 1, 0]
+        data = m.mp3_bytes([[[g0], [Z()]]], rate=rate,
+                           global_gain=230, scalefac_compress=10,
+                           scalefactors=sf, preflag=1)
+        pcm, _ = m.decode_mp3(data)
+        ref = _ref_decode_mono([g0, Z()], 230, sf, preflag=1,
+                               rate=rate)
+        assert np.array_equal(pcm[:, 0], ref)
+
+    @pytest.mark.parametrize("rate", [48000, 32000])
+    def test_short_blocks_match_reference(self, rate):
+        g0 = Z()
+        g0[0], g0[5], g0[10], g0[14], g0[25] = 1, -1, 2, 1, -2
+        data = m.mp3_bytes([[[g0], [Z()]]], rate=rate,
+                           global_gain=226, block_type=2)
+        pcm, _ = m.decode_mp3(data)
+        ref = _ref_decode_mono([g0, Z()], 226, block_type=2,
+                               rate=rate)
+        assert np.array_equal(pcm[:, 0], ref)
+        assert np.abs(pcm).max() > 0
+
+    def test_rates_produce_different_audio(self):
+        # same spectra through different band geometries must
+        # requantize differently once scalefactors are in play
+        g0 = _granule((43, 1))       # in band 9 at 44.1k, band 10 at 48k
+        sf = list(range(21))
+        pcm44, _ = m.decode_mp3(m.mp3_bytes(
+            [[[g0], [Z()]]], rate=44100, global_gain=226,
+            scalefac_compress=15, scalefactors=sf))
+        pcm48, _ = m.decode_mp3(m.mp3_bytes(
+            [[[g0], [Z()]]], rate=48000, global_gain=226,
+            scalefac_compress=15, scalefactors=sf))
+        assert not np.array_equal(pcm44, pcm48)
 
 
 class TestEscTables:

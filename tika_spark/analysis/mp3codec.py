@@ -47,8 +47,9 @@ public-spec algebra or self-contained table data):
   property for verifying the pipeline. Drop the ISO table into
   ``SYNTH_WINDOW`` for bit-exact interop with spec encoders.
 
-Only the 44.1 kHz scalefactor-band geometry is carried (the dominant
-web rate); 48/32 kHz frames parse headers but raise on full decode.
+All three MPEG-1 sample rates are carried: the 44.1/48/32 kHz
+scalefactor-band geometries of ISO Table B.8 (22 long and 13 short
+band intervals each, so every band loop is geometry-independent).
 
 Verification strategy (no external MP3s exist in this environment,
 by design): the fixture encoder ``mp3_bytes`` writes genuine
@@ -82,11 +83,25 @@ BITRATES_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                224, 256, 320)           # kbit/s, MPEG-1 Layer III
 SAMPLERATES = (44100, 48000, 32000)
 
-# 44.1 kHz scalefactor band boundaries (ISO Table B.8)
+# scalefactor band boundaries per sample rate (ISO Table B.8);
+# every rate has 22 long and 13 short band intervals, so the band
+# loops below are geometry-independent
 SFB_LONG_44 = (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
                110, 134, 162, 196, 238, 288, 342, 418, 576)
 SFB_SHORT_44 = (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136,
                 192)
+SFB_LONG = {
+    44100: SFB_LONG_44,
+    48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88,
+            106, 128, 156, 190, 230, 276, 330, 384, 576),
+    32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
+            126, 156, 194, 240, 296, 364, 448, 550, 576),
+}
+SFB_SHORT = {
+    44100: SFB_SHORT_44,
+    48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+}
 
 # preflag emphasis per long band (bands 0-20)
 PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
@@ -402,14 +417,16 @@ def _huffman_quad(b: _Bits, table_id: int, counter: list) -> tuple:
             raise Mp3Error("bad count1 code")
 
 
-def _region_bounds(g: dict) -> tuple[int, int]:
-    r0 = min(g["region0_count"] + 1, len(SFB_LONG_44) - 1)
+def _region_bounds(g: dict, rate: int = 44100) -> tuple[int, int]:
+    sfb = SFB_LONG[rate]
+    r0 = min(g["region0_count"] + 1, len(sfb) - 1)
     r1 = min(g["region0_count"] + g["region1_count"] + 2,
-             len(SFB_LONG_44) - 1)
-    return SFB_LONG_44[r0], SFB_LONG_44[r1]
+             len(sfb) - 1)
+    return sfb[r0], sfb[r1]
 
 
-def _read_spectra(b: _Bits, g: dict, part2_bits: int) -> np.ndarray:
+def _read_spectra(b: _Bits, g: dict, part2_bits: int,
+                  rate: int = 44100) -> np.ndarray:
     """576 Huffman-decoded quantized values for one granule/channel,
     consuming exactly part2_3_length - part2_bits bits (stuffing
     skipped)."""
@@ -418,7 +435,7 @@ def _read_spectra(b: _Bits, g: dict, part2_bits: int) -> np.ndarray:
         raise Mp3Error("part2_3_length smaller than scalefactors")
     xs = np.zeros(576, dtype=np.int64)
     used = [0]
-    bound0, bound1 = _region_bounds(g)
+    bound0, bound1 = _region_bounds(g, rate)
     if g["block_type"] == 2:
         bound0, bound1 = 36, 576
     pos = 0
@@ -447,7 +464,9 @@ def _read_spectra(b: _Bits, g: dict, part2_bits: int) -> np.ndarray:
 # ----------------------------------------------------- requantize
 
 
-def _requantize(xs: np.ndarray, g: dict, sf: list) -> np.ndarray:
+def _requantize(xs: np.ndarray, g: dict, sf: list,
+                rate: int = 44100) -> np.ndarray:
+    sfb_long, sfb_short = SFB_LONG[rate], SFB_SHORT[rate]
     gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
     mult = 0.5 * (g["scalefac_scale"] + 1)
     mag = np.abs(xs).astype(np.float64) ** (4.0 / 3.0) * np.sign(xs)
@@ -455,8 +474,8 @@ def _requantize(xs: np.ndarray, g: dict, sf: list) -> np.ndarray:
     if g["block_type"] == 2 and not g["mixed_block_flag"]:
         # short: values laid out [band][window][line]
         pos = 0
-        for band in range(len(SFB_SHORT_44) - 1):
-            width = SFB_SHORT_44[band + 1] - SFB_SHORT_44[band]
+        for band in range(len(sfb_short) - 1):
+            width = sfb_short[band + 1] - sfb_short[band]
             for w in range(3):
                 sfv = sf[band][w] if band < 12 else 0
                 sb_gain = 2.0 ** (-2.0 * g["subblock_gain"][w])
@@ -464,8 +483,8 @@ def _requantize(xs: np.ndarray, g: dict, sf: list) -> np.ndarray:
                 out[pos:pos + width] = mag[pos:pos + width] * fac
                 pos += width
         return out
-    for band in range(len(SFB_LONG_44) - 1):
-        lo, hi = SFB_LONG_44[band], SFB_LONG_44[band + 1]
+    for band in range(len(sfb_long) - 1):
+        lo, hi = sfb_long[band], sfb_long[band + 1]
         sfv = sf[band] if band < 21 else 0
         pre = PRETAB[band] if (g["preflag"] and band < 21) else 0
         fac = gain * 2.0 ** (-mult * (sfv + pre))
@@ -473,14 +492,15 @@ def _requantize(xs: np.ndarray, g: dict, sf: list) -> np.ndarray:
     return out
 
 
-def _reorder_short(x: np.ndarray) -> np.ndarray:
+def _reorder_short(x: np.ndarray, rate: int = 44100) -> np.ndarray:
     """Short-block reorder: [band][window][line] → per-window
     sequential within each 18-line subband triple (ISO
     §2.4.3.4.10.3): after reorder line l of window w of band b sits
     at subband-interleaved position."""
     out = np.zeros(576)
-    for band in range(len(SFB_SHORT_44) - 1):
-        lo, hi = SFB_SHORT_44[band], SFB_SHORT_44[band + 1]
+    sfb_short = SFB_SHORT[rate]
+    for band in range(len(sfb_short) - 1):
+        lo, hi = sfb_short[band], sfb_short[band + 1]
         width = hi - lo
         src = 3 * lo
         for w in range(3):
@@ -558,8 +578,8 @@ class _Synth:
 
 def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     """(samples int16 [n, nch], sample_rate). Full Layer III decode
-    of every valid frame; ID3v2 prefix skipped; 44.1 kHz only (the
-    shipped scalefactor-band geometry — see module docstring)."""
+    of every valid frame at any MPEG-1 rate (44.1/48/32 kHz Table
+    B.8 geometries); ID3v2 prefix skipped."""
     data = bytes(data or b"")
     pos = 0
     if data[:3] == b"ID3" and len(data) >= 10:
@@ -588,8 +608,6 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
         pos = end
     if not frames:
         raise Mp3Error("no MPEG-1 Layer III frames")
-    if rate != 44100:
-        raise Mp3Error("only 44.1 kHz scalefactor bands shipped")
 
     reservoir = b""
     overlap = [np.zeros((32, 18)) for _ in range(nch)]
@@ -613,10 +631,10 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                     b, g, gr, si["scfsi"][ch], prev_sf[ch])
                 if gr == 0 and g["block_type"] != 2:
                     prev_sf[ch] = sf
-                xs = _read_spectra(b, g, p2)
-                x = _requantize(xs, g, sf)
+                xs = _read_spectra(b, g, p2, rate)
+                x = _requantize(xs, g, sf, rate)
                 if g["block_type"] == 2 and not g["mixed_block_flag"]:
-                    x = _reorder_short(x)
+                    x = _reorder_short(x, rate)
                 chans.append((g, x))
             if nch == 2 and hdr["mode"] == "joint" \
                     and hdr["mode_ext"] & 2:      # MS stereo
@@ -668,11 +686,12 @@ def _write_scalefactors(w: _BitWriter, g: dict, sf: list,
     return bits
 
 
-def _encode_spectra(w: _BitWriter, g: dict, xs) -> int:
+def _encode_spectra(w: _BitWriter, g: dict, xs,
+                    rate: int = 44100) -> int:
     """Huffman-code one granule's 576 quantized values; returns bit
     count. Caller guarantees |x| fits the selected tables."""
     bits = 0
-    bound0, bound1 = _region_bounds(g)
+    bound0, bound1 = _region_bounds(g, rate)
     if g["block_type"] == 2:
         bound0, bound1 = 36, 576
     for pair in range(g["big_values"]):
@@ -790,7 +809,7 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
                     g["region1_count"] = 0
                 # per-region table: smallest shipped table covering
                 # the region max (0 empty / 1 / 2 / ESC 16 / ESC 24)
-                bound0, bound1 = _region_bounds(g)
+                bound0, bound1 = _region_bounds(g, rate)
                 if block_type == 2:
                     bound0, bound1 = 36, 576
                 sel = []
@@ -811,7 +830,7 @@ def mp3_bytes(frames_spectra, rate: int = 44100, mode: str = "mono",
                 skip = (tuple(i for i, s in enumerate(scfsi) if s)
                         if gr == 1 else ())
                 p2 = _write_scalefactors(main, g, sf, skip)
-                p3 = _encode_spectra(main, g, xs)
+                p3 = _encode_spectra(main, g, xs, rate)
                 if big_values == 0:
                     tabA = COUNT1_TABLES[count1table]
                     code, ln = tabA[(0, 0, 0, 0)]
