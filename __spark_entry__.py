@@ -846,6 +846,61 @@ def _q_media_pixel_stats(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_webp_stats(spark, sf_dir):
+    """Full WebP lossless (VP8L) decode, distributed
+    (analysis/webp.py): each row is a genuine RIFF/WEBP bitstream of
+    a two-color split image, cycling the fixture encoder's five wire
+    paths — plain literals, color-indexing palette with sub-byte
+    bundling, subtract-green, a uniform predictor transform (mode
+    rotates through all 14), and color-cache + LZ77 row references.
+    Lossless round-trip makes the per-channel micro-unit means
+    closed-form regardless of path; wire-level behavior is pinned by
+    tests/test_webp.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pixels import image_pixel_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.webp import webp_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            h = 4 + i % 3
+            img = np.zeros((h, 8, 4), dtype=np.uint8)
+            img[:, :4] = ((i * 7) % 256, (i * 3) % 256,
+                          (i * 5 + 2) % 256, 255)
+            img[:, 4:] = ((i * 13 + 5) % 256, (i * 11 + 1) % 256,
+                          (i * 17 + 9) % 256, 255)
+            v = i % 5
+            if v == 0:
+                raw = webp_bytes(img)
+            elif v == 1:
+                raw = webp_bytes(img, palette=True)
+            elif v == 2:
+                raw = webp_bytes(img, subtract_green=True)
+            elif v == 3:
+                raw = webp_bytes(img, predictor=i % 14)
+            else:
+                raw = webp_bytes(img, cache_bits=4, row_refs=True)
+            out.append(raw)
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/webp").alias("media_type"))
+    out = image_pixel_stats(media)
+    return out.select(
+        "id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"))
+
+
 def _pcm_wav_wrap_udf():
     """Mono audio per document row. Even ids: a square wave with
     amplitude pinned ODD (A = 1001 + 2·(id%10000)) so A·1e6/32768
@@ -4563,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_xmp_meta": _q_media_xmp_meta,
         "media_pixel_stats": _q_media_pixel_stats,
+        "media_webp_stats": _q_media_webp_stats,
         "media_video_frames": _q_media_video_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
@@ -4832,6 +4888,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_recall": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"),
+        "media_webp_stats": (
+            # lossless VP8L round-trip of a two-color split image:
+            # per-channel mean = (left + right) * 500000 exactly,
+            # whatever wire path (palette/predictor/cache) carried it
+            "SELECT doc_id AS id, 8::BIGINT AS width, "
+            "(4 + doc_id % 3)::BIGINT AS height, "
+            "(((doc_id * 7) % 256 + (doc_id * 13 + 5) % 256) "
+            "* 500000)::BIGINT AS mean_r, "
+            "(((doc_id * 3) % 256 + (doc_id * 11 + 1) % 256) "
+            "* 500000)::BIGINT AS mean_g, "
+            "(((doc_id * 5 + 2) % 256 + (doc_id * 17 + 9) % 256) "
+            "* 500000)::BIGINT AS mean_b "
+            "FROM documents"),
         "media_pixel_stats": (
             # JPEG rows (id%4=2) are solid gray v=id%256 at quality
             # 50 (Q_DC=16): decoded pixel = 128 ± 2*((8*|v-128|+8)//16)

@@ -139,7 +139,10 @@ def test_image_pixel_stats_operator(spark):
             2: np.full((2, 2, 3), (250, 0, 128), dtype=np.uint8)}
     rows = [(i, png_bytes(a), "image/png") for i, a in arrs.items()]
     rows.append((3, b"corrupt", "image/png"))
-    rows.append((4, b"\x00\x01", "image/webp"))
+    rows.append((4, b"\x00\x01", "image/avif"))
+    from tika_spark.analysis.webp import webp_bytes
+    rgba = np.full((2, 3, 4), (9, 8, 7, 255), dtype=np.uint8)
+    rows.append((5, webp_bytes(rgba), "image/webp"))
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     out = {r["id"]: r for r in image_pixel_stats(df).collect()}
@@ -148,6 +151,9 @@ def test_image_pixel_stats_operator(spark):
     assert out[2]["mean_micro"] == [250_000_000, 0, 128_000_000]
     assert out[3]["status"] == "error"
     assert out[4]["status"] == "unsupported"
+    assert out[5]["status"] == "ok"
+    assert out[5]["mean_micro"] == [9_000_000, 8_000_000, 7_000_000,
+                                    255_000_000]
 
 
 # --------------------------------------------------- WAV PCM decode --

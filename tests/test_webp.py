@@ -1,0 +1,194 @@
+"""From-scratch VP8L WebP codec (tika_spark/analysis/webp.py).
+
+Lossless round-trips through genuine RIFF/WEBP bitstreams exercise
+every decoder stage: simple + normal prefix codes, color cache, LZ77
+row references, palette (incl. sub-byte bundling), subtract-green,
+uniform predictor (all 14 modes) and cross-color transforms. The
+neighbor distance map's near half is pinned against the published
+spec table; arbitrary bytes must raise clean ValueErrors.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tika_spark.analysis import webp as w
+
+_SETTINGS = dict(max_examples=60, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+def _rng_img(seed, h, wd, n_colors=None):
+    rng = np.random.RandomState(seed)
+    if n_colors:
+        pal = rng.randint(0, 256, (n_colors, 4), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, (h, wd))
+        return pal[idx]
+    return rng.randint(0, 256, (h, wd, 4), dtype=np.uint8)
+
+
+class TestRoundtrip:
+    def test_plain_literals(self):
+        img = _rng_img(1, 7, 5)
+        out = w.decode_webp(w.webp_bytes(img))
+        assert np.array_equal(out, img)
+
+    def test_single_color(self):
+        img = np.full((4, 6, 4), 77, dtype=np.uint8)
+        out = w.decode_webp(w.webp_bytes(img))
+        assert np.array_equal(out, img)
+
+    def test_two_colors_simple_codes(self):
+        img = np.zeros((5, 5, 4), dtype=np.uint8)
+        img[::2] = (200, 30, 9, 255)
+        out = w.decode_webp(w.webp_bytes(img))
+        assert np.array_equal(out, img)
+
+    @pytest.mark.parametrize("cache_bits", [1, 4, 8])
+    def test_color_cache(self, cache_bits):
+        img = _rng_img(2, 9, 9, n_colors=7)
+        out = w.decode_webp(w.webp_bytes(img, cache_bits=cache_bits))
+        assert np.array_equal(out, img)
+
+    def test_row_refs_lz77(self):
+        img = _rng_img(3, 2, 11)
+        img = np.repeat(img, 4, axis=0)     # runs of identical rows
+        raw = w.webp_bytes(img, row_refs=True)
+        short = w.webp_bytes(img, row_refs=False)
+        assert len(raw) < len(short)        # refs actually emitted
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    def test_row_refs_with_cache(self):
+        img = np.repeat(_rng_img(4, 3, 8, n_colors=4), 3, axis=0)
+        raw = w.webp_bytes(img, row_refs=True, cache_bits=3)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    def test_subtract_green(self):
+        img = _rng_img(5, 6, 6)
+        raw = w.webp_bytes(img, subtract_green=True)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    @pytest.mark.parametrize("n_colors,expect_bundle",
+                             [(2, True), (3, True), (11, True),
+                              (40, False), (200, False)])
+    def test_palette(self, n_colors, expect_bundle):
+        img = _rng_img(6 + n_colors, 5, 13, n_colors=n_colors)
+        raw = w.webp_bytes(img, palette=True)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    @pytest.mark.parametrize("mode", list(range(14)))
+    def test_predictor_modes(self, mode):
+        img = _rng_img(100 + mode, 8, 9)
+        raw = w.webp_bytes(img, predictor=mode)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    @pytest.mark.parametrize("cte", [(10, -20, 3), (-128, 127, 1),
+                                     (0, 0, 0), (31, 31, 31)])
+    def test_cross_color(self, cte):
+        img = _rng_img(7, 6, 7)
+        raw = w.webp_bytes(img, color_cte=cte)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    def test_subtract_green_plus_predictor(self):
+        img = _rng_img(8, 7, 7)
+        raw = w.webp_bytes(img, subtract_green=True, predictor=11)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    def test_subtract_green_color_predictor(self):
+        img = _rng_img(9, 6, 6)
+        raw = w.webp_bytes(img, subtract_green=True,
+                           color_cte=(5, -9, 17), predictor=12)
+        assert np.array_equal(w.decode_webp(raw), img)
+
+    def test_1x1(self):
+        img = np.array([[[1, 2, 3, 4]]], dtype=np.uint8)
+        assert np.array_equal(w.decode_webp(w.webp_bytes(img)), img)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10 ** 6), st.integers(1, 12),
+       st.integers(1, 12), st.booleans(), st.integers(0, 6))
+def test_roundtrip_property(seed, h, wd, sub_green, cache_bits):
+    img = _rng_img(seed, h, wd)
+    raw = w.webp_bytes(img, subtract_green=sub_green,
+                       cache_bits=cache_bits)
+    assert np.array_equal(w.decode_webp(raw), img)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, 10 ** 6), st.integers(2, 17))
+def test_palette_property(seed, n_colors):
+    img = _rng_img(seed, 6, 10, n_colors=n_colors)
+    raw = w.webp_bytes(img, palette=True)
+    assert np.array_equal(w.decode_webp(raw), img)
+
+
+class TestNeighborMap:
+    def test_near_half_matches_spec_table(self):
+        # first 40 entries of the spec's published distance map
+        spec = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+                (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+                (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+                (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+                (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+                (-3, 4), (4, 3), (-4, 3), (5, 0)]
+        assert w.NEIGHBOR_MAP[:40] == spec
+
+    def test_table_shape(self):
+        assert len(w.NEIGHBOR_MAP) == 120
+        assert len(set(w.NEIGHBOR_MAP)) == 120
+        for dx, dy in w.NEIGHBOR_MAP:
+            assert 0 <= dy <= 8 and -8 <= dx <= 8
+            assert dy > 0 or dx > 0
+
+    def test_plane_distance(self):
+        assert w._plane_distance(121, 100) == 1     # direct
+        assert w._plane_distance(1, 100) == 100     # (0, 1)
+        assert w._plane_distance(2, 100) == 1       # (1, 0)
+        assert w._plane_distance(4, 100) == 99      # (-1, 1)
+
+
+class TestContainment:
+    def test_not_riff(self):
+        with pytest.raises(ValueError):
+            w.decode_webp(b"GIF89a" + b"\x00" * 30)
+
+    def test_lossy_hook(self):
+        raw = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+               + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
+        with pytest.raises(ValueError, match="lossy"):
+            w.decode_webp(raw)
+
+    def test_vp8x_walks_to_vp8l(self):
+        inner = w.webp_bytes(_rng_img(1, 3, 3))
+        vp8l = inner[12:]                    # VP8L chunk onward
+        vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+        riff = b"WEBP" + vp8x + vp8l
+        raw = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+        assert np.array_equal(w.decode_webp(raw),
+                              w.decode_webp(inner))
+
+    @settings(**_SETTINGS)
+    @given(st.binary(max_size=256))
+    def test_random_bytes_valueerror(self, data):
+        hdr = b"RIFF" + (len(data) + 12).to_bytes(4, "little") \
+            + b"WEBP" + b"VP8L" + len(data).to_bytes(4, "little")
+        try:
+            w.decode_webp(hdr + data)
+        except ValueError:
+            pass
+
+    @settings(**_SETTINGS)
+    @given(st.data())
+    def test_mutated_stream_contained(self, data):
+        raw = bytearray(w.webp_bytes(_rng_img(11, 6, 6),
+                                     cache_bits=3))
+        i = data.draw(st.integers(12, len(raw) - 1))
+        raw[i] ^= data.draw(st.integers(1, 255))
+        try:
+            out = w.decode_webp(bytes(raw))
+            assert out.shape[2] == 4
+        except ValueError:
+            pass

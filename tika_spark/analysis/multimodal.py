@@ -74,6 +74,9 @@ def real_decode(payload: bytes, media_type: str):
     if media_type == "image/tiff":
         from tika_spark.analysis.pixels import decode_tiff
         return decode_tiff(payload)
+    if media_type == "image/webp":
+        from tika_spark.analysis.webp import decode_webp
+        return decode_webp(payload)
     if media_type in ("image/x-icon", "image/vnd.microsoft.icon"):
         from tika_spark.analysis.pixels import decode_ico
         return decode_ico(payload)

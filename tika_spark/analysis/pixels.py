@@ -1130,12 +1130,14 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                        "n_channels": 0, "mean_micro": [],
                        "status": "unsupported"}
                 from tika_spark.analysis.jpegcodec import decode_jpeg
+                from tika_spark.analysis.webp import decode_webp
                 decoder = {"image/png": decode_png,
                            "image/gif": decode_gif,
                            "image/bmp": decode_bmp,
                            "image/x-ms-bmp": decode_bmp,
                            "image/jpeg": decode_jpeg,
                            "image/tiff": decode_tiff,
+                           "image/webp": decode_webp,
                            "image/x-icon": decode_ico,
                            "image/vnd.microsoft.icon": decode_ico,
                            }.get(mt or "")
