@@ -33,10 +33,14 @@ def test_dhash_solid_is_zero():
 
 
 def test_image_dhash_operator(spark):
+    from tika_spark.analysis.webp import webp_bytes
+    g = _grad(1)
+    rgba = np.dstack([g, np.full(g.shape[:2], 255, np.uint8)])
     rows = [(1, png_bytes(_grad(1)), "image/png"),
             (2, png_bytes(_grad(1)), "image/png"),   # exact dup
             (3, b"junk", "image/png"),
-            (4, png_bytes(_grad(9)), "image/webp")]  # unsupported
+            (4, png_bytes(_grad(9)), "image/avif"),  # unsupported
+            (5, webp_bytes(rgba), "image/webp")]     # same luma as 1
     df = spark.createDataFrame(
         rows, "id long, payload binary, media_type string")
     out = {r["id"]: r for r in image_dhash(df).collect()}
@@ -44,6 +48,7 @@ def test_image_dhash_operator(spark):
     assert out[1]["dhash"] == out[2]["dhash"] == dhash_bits(_grad(1))
     assert out[3]["status"] == "error"
     assert out[4]["status"] == "unsupported"
+    assert out[5]["status"] == "ok"
 
 
 def test_dhash_pairs_banded_equals_allpairs(spark):

@@ -105,6 +105,16 @@ class TestRoundtrip:
         img = np.array([[[1, 2, 3, 4]]], dtype=np.uint8)
         assert np.array_equal(w.decode_webp(w.webp_bytes(img)), img)
 
+    def test_full_alphabet_flat_codes(self):
+        # a channel using ALL 256 values forces the flat-code
+        # fallback whose length list spans the whole alphabet —
+        # regression: the code-length code must not overrun it
+        v = np.arange(64 * 72, dtype=np.int64) % 256
+        img = np.stack([v, (v * 7) % 256, (v * 13) % 256,
+                        np.full_like(v, 255)],
+                       axis=1).astype(np.uint8).reshape(64, 72, 4)
+        assert np.array_equal(w.decode_webp(w.webp_bytes(img)), img)
+
 
 @settings(**_SETTINGS)
 @given(st.integers(0, 10 ** 6), st.integers(1, 12),

@@ -105,9 +105,11 @@ def image_phash(df: DataFrame, id_col: str = "id",
                                             decode_ico, decode_png,
                                             decode_tiff)
     slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.webp import decode_webp
     decoders = {"image/png": decode_png, "image/gif": decode_gif,
                 "image/bmp": decode_bmp, "image/x-ms-bmp": decode_bmp,
                 "image/jpeg": decode_jpeg, "image/tiff": decode_tiff,
+                "image/webp": decode_webp,
                 "image/x-icon": decode_ico}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,9 +145,11 @@ def image_dhash(df: DataFrame, id_col: str = "id",
                                             decode_ico, decode_png,
                                             decode_tiff)
     slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.webp import decode_webp
     decoders = {"image/png": decode_png, "image/gif": decode_gif,
                 "image/bmp": decode_bmp, "image/x-ms-bmp": decode_bmp,
                 "image/jpeg": decode_jpeg, "image/tiff": decode_tiff,
+                "image/webp": decode_webp,
                 "image/x-icon": decode_ico}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

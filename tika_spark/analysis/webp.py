@@ -658,11 +658,14 @@ def _write_prefix_code(w: _LsbWriter, lengths: dict,
     # literal length list 0..last (no 16/17/18 runs at fixture tier)
     lens = [lengths.get(s, 0) for s in range(last + 1)]
     used = sorted(set(lens))
-    if len(used) == 1:
-        lens.append(0)                         # force a 2-symbol clc
-        used = sorted(set(lens))
-    clc_len = max(1, (len(used) - 1).bit_length())
-    clc_lengths = {s: clc_len for s in used}
+    clc_syms = list(used)
+    if len(clc_syms) == 1:
+        # a 1-symbol clc would be a 0-bit degenerate code; pad the
+        # code-length code with an unused second symbol instead
+        clc_syms.append(0 if clc_syms[0] != 0 else 1)
+        clc_syms.sort()
+    clc_len = max(1, (len(clc_syms) - 1).bit_length())
+    clc_lengths = {s: clc_len for s in clc_syms}
     clc = _canonical(clc_lengths)
     num_cl = max(CODE_LENGTH_ORDER.index(s) for s in used) + 1
     num_cl = max(num_cl, 4)
