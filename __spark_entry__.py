@@ -901,6 +901,55 @@ def _q_media_webp_stats(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_webp_anim_frames(spark, sf_dir):
+    """Animated-WebP frame sampling: VP8X/ANMF demux + VP8L decode +
+    canvas compositing (analysis/webp.py webp_anim_frames) through
+    the shared video frame-stats stage, one row per frame. Frame 0
+    paints the full 8x6 canvas, frame 1 overwrites (even ids) or
+    alpha-blends an opaque sub-rect (odd ids — mathematically the
+    same, exercising the blend path), odd ids add a third full
+    frame; all means are closed-form. Blending/disposal arithmetic
+    beyond the opaque case is pinned by tests/test_webp.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.webp import webp_anim_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            c0 = ((i * 7) % 256, (i * 3) % 256, (i * 5 + 2) % 256)
+            c1 = ((i * 13 + 5) % 256, (i * 11 + 1) % 256,
+                  (i * 17 + 9) % 256)
+            c2 = ((i * 19 + 11) % 256, (i * 23 + 3) % 256,
+                  (i * 29 + 7) % 256)
+            f0 = np.full((6, 8, 4), c0 + (255,), dtype=np.uint8)
+            f1 = np.full((2, 4, 4), c1 + (255,), dtype=np.uint8)
+            frames = [(f0, 0, 0, 0, 1), (f1, 2, 2, 0, i % 2)]
+            if i % 2:
+                f2 = np.full((6, 8, 4), c2 + (255,), dtype=np.uint8)
+                frames.append((f2, 0, 0, 0, 1))
+            out.append(webp_anim_bytes(frames, 8, 6))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"))
+
+
 def _pcm_wav_wrap_udf():
     """Mono audio per document row. Even ids: a square wave with
     amplitude pinned ODD (A = 1001 + 2·(id%10000)) so A·1e6/32768
@@ -4619,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_xmp_meta": _q_media_xmp_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_webp_stats": _q_media_webp_stats,
+        "media_webp_anim_frames": _q_media_webp_anim_frames,
         "media_video_frames": _q_media_video_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
@@ -4901,6 +4951,31 @@ def oracle_sql() -> dict[str, str]:
             "(((doc_id * 5 + 2) % 256 + (doc_id * 17 + 9) % 256) "
             "* 500000)::BIGINT AS mean_b "
             "FROM documents"),
+        "media_webp_anim_frames": (
+            # 8x6 canvas: frame 0 solid c0; frame 1 paints a 4x2
+            # sub-rect c1 (8 of 48 px); odd ids add a solid c2 frame.
+            # mean = round-half-up of the pixel sum over 48 px.
+            "SELECT doc_id AS id, fi AS frame_idx, "
+            "(2 + doc_id % 2)::BIGINT AS n_frames, "
+            "8::BIGINT AS width, 6::BIGINT AS height, "
+            "(CASE fi WHEN 0 THEN ((doc_id * 7) % 256) * 1000000 "
+            "WHEN 1 THEN ((40 * ((doc_id * 7) % 256) "
+            "+ 8 * ((doc_id * 13 + 5) % 256)) * 1000000 + 24) // 48 "
+            "ELSE ((doc_id * 19 + 11) % 256) * 1000000 END)"
+            "::BIGINT AS mean_r, "
+            "(CASE fi WHEN 0 THEN ((doc_id * 3) % 256) * 1000000 "
+            "WHEN 1 THEN ((40 * ((doc_id * 3) % 256) "
+            "+ 8 * ((doc_id * 11 + 1) % 256)) * 1000000 + 24) // 48 "
+            "ELSE ((doc_id * 23 + 3) % 256) * 1000000 END)"
+            "::BIGINT AS mean_g, "
+            "(CASE fi WHEN 0 THEN ((doc_id * 5 + 2) % 256) * 1000000 "
+            "WHEN 1 THEN ((40 * ((doc_id * 5 + 2) % 256) "
+            "+ 8 * ((doc_id * 17 + 9) % 256)) * 1000000 + 24) // 48 "
+            "ELSE ((doc_id * 29 + 7) % 256) * 1000000 END)"
+            "::BIGINT AS mean_b "
+            "FROM documents CROSS JOIN "
+            "(SELECT UNNEST([0, 1, 2]) AS fi) u "
+            "WHERE fi < 2 + doc_id % 2"),
         "media_pixel_stats": (
             # JPEG rows (id%4=2) are solid gray v=id%256 at quality
             # 50 (Q_DC=16): decoded pixel = 128 ± 2*((8*|v-128|+8)//16)

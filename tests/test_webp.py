@@ -160,6 +160,71 @@ class TestNeighborMap:
         assert w._plane_distance(4, 100) == 99      # (-1, 1)
 
 
+class TestAnimation:
+    def test_single_full_frame(self):
+        img = _rng_img(20, 6, 8)
+        img[:, :, 3] = 255
+        raw = w.webp_anim_bytes([(img, 0, 0, 0, 1)], 8, 6)
+        frames = w.webp_anim_frames(raw)
+        assert len(frames) == 1
+        assert np.array_equal(frames[0], img[:, :, :3])
+
+    def test_overwrite_sequence_and_placement(self):
+        a = np.full((4, 4, 4), (10, 20, 30, 255), dtype=np.uint8)
+        b = np.full((2, 2, 4), (200, 0, 0, 255), dtype=np.uint8)
+        raw = w.webp_anim_bytes([(a, 0, 0, 0, 1), (b, 2, 2, 0, 1)],
+                                8, 6)
+        f = w.webp_anim_frames(raw)
+        assert len(f) == 2
+        # canvas premultiplied onto black: untouched area stays 0
+        assert (f[0][:4, :4] == (10, 20, 30)).all()
+        assert (f[0][:, 4:] == 0).all() and (f[0][4:, :] == 0).all()
+        assert (f[1][2:4, 2:4] == (200, 0, 0)).all()
+        assert (f[1][:2, :4] == (10, 20, 30)).all()   # persists
+
+    def test_alpha_over_blend(self):
+        base = np.full((2, 2, 4), (100, 100, 100, 255),
+                       dtype=np.uint8)
+        half = np.full((2, 2, 4), (200, 0, 0, 128), dtype=np.uint8)
+        raw = w.webp_anim_bytes([(base, 0, 0, 0, 1),
+                                 (half, 0, 0, 0, 0)], 2, 2)
+        f = w.webp_anim_frames(raw)
+        # straight-alpha over an opaque base: out_a = 255,
+        # rgb = round((fg*fa + bg*(255-fa)) / 255)
+        exp_r = round((200 * 128 + 100 * 127) / 255)
+        exp_g = round((0 * 128 + 100 * 127) / 255)
+        assert tuple(f[1][0, 0]) == (exp_r, exp_g, exp_g)
+
+    def test_dispose_clears_rect(self):
+        a = np.full((4, 4, 4), (50, 60, 70, 255), dtype=np.uint8)
+        b = np.full((2, 2, 4), (1, 2, 3, 255), dtype=np.uint8)
+        raw = w.webp_anim_bytes([(a, 0, 0, 1, 1),   # dispose after
+                                 (b, 0, 0, 0, 1)], 4, 4)
+        f = w.webp_anim_frames(raw)
+        assert (f[0] == (50, 60, 70)).all()
+        assert (f[1][:2, :2] == (1, 2, 3)).all()
+        assert (f[1][2:, 2:] == 0).all()            # cleared
+
+    def test_still_raises(self):
+        raw = w.webp_bytes(_rng_img(21, 3, 3))
+        with pytest.raises(ValueError, match="ANMF"):
+            w.webp_anim_frames(raw)
+
+    def test_demux_routes_webp_animation(self):
+        from tika_spark.analysis.video import _demux
+        img = _rng_img(22, 4, 4)
+        img[:, :, 3] = 255
+        raw = w.webp_anim_bytes([(img, 0, 0, 0, 1)], 4, 4)
+        kind, frames = _demux(raw)
+        assert kind == "raw" and len(frames) == 1
+        assert np.array_equal(frames[0], img[:, :, :3])
+
+    def test_odd_offset_rejected(self):
+        img = _rng_img(23, 2, 2)
+        with pytest.raises(ValueError, match="even"):
+            w.webp_anim_bytes([(img, 1, 0, 0, 1)], 4, 4)
+
+
 class TestContainment:
     def test_not_riff(self):
         with pytest.raises(ValueError):

@@ -417,7 +417,11 @@ def _avi_strf(data: bytes):
 
 def _demux(payload: bytes):
     """(kind, frames): 'jpeg' + compressed frames for MJPEG AVI,
-    'raw' + composited RGB arrays for RLE8 AVI and animated GIF."""
+    'raw' + composited RGB arrays for RLE8 AVI, animated GIF/APNG
+    and animated WebP."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from tika_spark.analysis.webp import webp_anim_frames
+        return "raw", webp_anim_frames(payload)  # raises if still
     if payload[:4] == b"RIFF":
         strf = _avi_strf(payload)
         frames = avi_frames(payload)

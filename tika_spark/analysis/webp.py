@@ -605,6 +605,139 @@ def decode_webp(data: bytes) -> np.ndarray:
     raise ValueError("no VP8L chunk in WEBP container")
 
 
+# --------------------------------------------------------- animation
+
+
+def _u24(data: bytes, off: int) -> int:
+    return int.from_bytes(data[off:off + 3], "little")
+
+
+def webp_anim_frames(data: bytes, max_frames: int = 10_000
+                     ) -> list[np.ndarray]:
+    """Composited RGB frames of an animated WebP (VP8X + ANMF).
+
+    Each ANMF sub-frame (a VP8L payload here; lossy sub-frames raise
+    like stills) lands on the canvas at its 2px-aligned offset, with
+    the spec's blending method (0 = straight-alpha over, integer
+    round-half-up; 1 = overwrite) and disposal method (1 = clear the
+    frame rectangle to transparent — the browser behavior; the ANIM
+    background color is not consulted). Emitted frames are the RGBA
+    canvas premultiplied onto black, matching the GIF/APNG
+    compositors' RGB output. Raises ValueError for a still WebP (no
+    ANMF) — a still image is not a video payload."""
+    data = bytes(data or b"")
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WEBP RIFF container")
+    pos = 12
+    canvas = None
+    cw = ch = 0
+    out: list[np.ndarray] = []
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            cw = _u24(body, 4) + 1
+            ch = _u24(body, 7) + 1
+            check_dims(cw, ch)
+            canvas = np.zeros((ch, cw, 4), dtype=np.int64)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X")
+            if len(body) < 16:
+                raise ValueError("short ANMF chunk")
+            fx = _u24(body, 0) * 2
+            fy = _u24(body, 3) * 2
+            fw = _u24(body, 6) + 1
+            fh = _u24(body, 9) + 1
+            flags = body[15]
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("WebP frame outside the canvas")
+            # frame data: inner chunks; find the VP8L payload
+            ip = 16
+            rgba = None
+            while ip + 8 <= len(body):
+                fcc = body[ip:ip + 4]
+                sz = int.from_bytes(body[ip + 4:ip + 8], "little")
+                if fcc == b"VP8L":
+                    rgba = decode_vp8l(body[ip + 8:ip + 8 + sz])
+                    break
+                if fcc == b"VP8 ":
+                    raise ValueError("lossy VP8 animation sub-frame "
+                                     "(pixel decode hook)")
+                ip += 8 + sz + (sz & 1)
+            if rgba is None:
+                raise ValueError("ANMF without an image payload")
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF dims disagree with payload")
+            f = rgba.astype(np.int64)
+            region = canvas[fy:fy + fh, fx:fx + fw]
+            if flags & 0x02:                    # no blend: overwrite
+                region[:] = f
+            else:                               # straight-alpha over
+                fa = f[:, :, 3:4]
+                ba = region[:, :, 3:4]
+                oa255 = fa * 255 + ba * (255 - fa)   # alpha * 255^2
+                num = (f[:, :, :3] * fa * 255
+                       + region[:, :, :3] * ba * (255 - fa))
+                rgb = np.where(oa255 > 0,
+                               (num + oa255 // 2) // np.maximum(
+                                   oa255, 1), 0)
+                region[:, :, :3] = rgb
+                region[:, :, 3] = (oa255[:, :, 0] + 127) // 255
+            premul = (canvas[:, :, :3] * canvas[:, :, 3:4]
+                      + 127) // 255
+            out.append(premul.astype(np.uint8))
+            if flags & 0x01:                    # dispose: clear rect
+                canvas[fy:fy + fh, fx:fx + fw] = 0
+            if len(out) > max_frames:
+                raise ValueError("too many WebP frames")
+        pos += 8 + size + (size & 1)
+    if not out:
+        raise ValueError("not an animated WebP (no ANMF)")
+    return out
+
+
+def webp_anim_bytes(frames: list[tuple], width: int,
+                    height: int) -> bytes:
+    """Fixture builder: animated WebP from [(rgba_array, x, y,
+    dispose, blend)] sub-frames (x/y must be even — the wire stores
+    them in 2px units; blend 0 = alpha over, 1 = overwrite;
+    dispose 1 = clear to transparent). Sub-frames are carried as
+    VP8L payloads from :func:`webp_bytes`."""
+    chunks = bytearray()
+    vp8x = bytearray(10)
+    vp8x[0] = 0x12                              # animation + alpha
+    vp8x[4:7] = (width - 1).to_bytes(3, "little")
+    vp8x[7:10] = (height - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    anim = bytes(4) + (0).to_bytes(2, "little")  # bg + loop forever
+    chunks += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for arr, x, y, dispose, blend in frames:
+        arr = np.asarray(arr, dtype=np.uint8)
+        if x % 2 or y % 2:
+            raise ValueError("frame offsets must be even")
+        fh, fw = arr.shape[:2]
+        if x + fw > width or y + fh > height:
+            raise ValueError("frame outside the canvas")
+        payload = webp_bytes(arr)[12:]          # the VP8L chunk
+        body = bytearray(16)
+        body[0:3] = (x // 2).to_bytes(3, "little")
+        body[3:6] = (y // 2).to_bytes(3, "little")
+        body[6:9] = (fw - 1).to_bytes(3, "little")
+        body[9:12] = (fh - 1).to_bytes(3, "little")
+        body[12:15] = (40).to_bytes(3, "little")     # duration ms
+        body[15] = (0x02 if blend else 0) | (0x01 if dispose else 0)
+        body += payload
+        chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    riff = b"WEBP" + chunks
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
 # ------------------------------------------------------------ encoder
 #
 # Fixture-tier encoder: genuine VP8L bitstreams from RGBA arrays.
