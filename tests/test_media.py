@@ -338,12 +338,44 @@ def _make_class(name="com/example/Widget"):
         + st.pack(">H", 3) + cp + st.pack(">HH", 0x21, 2)
 
 
+def _make_woff(family="Web Sans", full="Web Sans Bold",
+               compress=True):
+    import struct as st
+    import zlib as zl
+    sfnt = _make_ttf(family, full)
+    name_tbl = sfnt[28:]                 # after head(12) + 1 dir rec
+    comp = zl.compress(name_tbl) if compress else name_tbl
+    if len(comp) >= len(name_tbl):
+        comp = name_tbl                  # WOFF stores smaller form
+    off = 44 + 20
+    hdr = b"wOFF" + st.pack(">I", 0x00010000) \
+        + st.pack(">I", off + len(comp)) + st.pack(">HH", 1, 0) \
+        + st.pack(">I", 12 + 16 + len(name_tbl)) \
+        + st.pack(">HH", 1, 0) + st.pack(">IIIII", 0, 0, 0, 0, 0)
+    rec = b"name" + st.pack(">IIII", off, len(comp), len(name_tbl), 0)
+    return hdr + rec + comp
+
+
 def test_ttf_name_table():
     t = _make_ttf()
     assert detect(t, "http://x/f.ttf") == "application/x-font-ttf"
     r = extract_media(t, mime="application/x-font-ttf")
     assert r["title"] == "Fam Sans Regular"
     assert r["metadata"]["font-family"] == ["Fam Sans"]
+
+
+def test_woff_name_table():
+    for compress in (True, False):
+        t = _make_woff(compress=compress)
+        assert detect(t, "http://x/f.woff") == "font/woff"
+        r = extract_media(t, mime="font/woff")
+        assert r["title"] == "Web Sans Bold"
+        assert r["metadata"]["font-family"] == ["Web Sans"]
+    # corrupt deflate stream → graceful empty metadata
+    bad = bytearray(_make_woff())
+    bad[-5] ^= 0xFF
+    r = extract_media(bytes(bad), mime="font/woff")
+    assert "font-family" not in r["metadata"]
 
 
 def test_flv_metadata():

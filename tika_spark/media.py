@@ -19,6 +19,7 @@ tika_spark.analysis.pixels / jpegcodec.
 from __future__ import annotations
 
 import struct
+import zlib
 
 from tika_spark.config import ExtractConfig
 
@@ -172,40 +173,74 @@ _BY_MIME = {
 # title = font name via the sfnt name records)
 
 
+def _name_table_meta(tbl: bytes) -> dict[str, list[str]]:
+    """title/font-family from a standalone sfnt 'name' table."""
+    meta: dict[str, list[str]] = {}
+    if len(tbl) < 6:
+        return meta
+    _fmt, count, str_off = struct.unpack_from(">HHH", tbl, 0)
+    wanted = {1: "font-family", 4: "title"}
+    for i in range(min(count, 128)):
+        p = 6 + 12 * i
+        if p + 12 > len(tbl):
+            break
+        plat, _enc, _lang, name_id, ln, off = struct.unpack_from(
+            ">HHHHHH", tbl, p)
+        key = wanted.get(name_id)
+        if key is None or key in meta:
+            continue
+        raw = tbl[str_off + off:str_off + off + ln]
+        val = raw.decode("utf-16-be" if plat in (0, 3) else "latin-1",
+                         "replace").strip()
+        if val:
+            meta[key] = [val]
+    return meta
+
+
 def _ttf_meta(data: bytes) -> dict[str, list[str]]:
     meta: dict[str, list[str]] = {}
     if len(data) < 12 or data[:4] not in (b"\x00\x01\x00\x00", b"true",
                                           b"OTTO"):
         return meta
     (n_tables,) = struct.unpack_from(">H", data, 4)
-    name_off = name_len = None
     for i in range(min(n_tables, 64)):
         p = 12 + 16 * i
         if p + 16 > len(data):
             break
-        tag = data[p:p + 4]
-        if tag == b"name":
-            _, name_off, name_len = struct.unpack_from(">III", data, p + 4)
-            break
-    if name_off is None or name_off + 6 > len(data):
+        if data[p:p + 4] == b"name":
+            _, off, ln = struct.unpack_from(">III", data, p + 4)
+            return _name_table_meta(data[off:off + ln])
+    return meta
+
+
+def _woff_meta(data: bytes) -> dict[str, list[str]]:
+    """WOFF 1.0 (reference: font/TrueTypeParser.java reads the
+    unpacked sfnt; WOFF wraps each sfnt table with optional zlib):
+    locate the 'name' table in the WOFF directory, inflate it if
+    compressed, and reuse the sfnt name-record walk. WOFF2
+    (Brotli-transformed) stays metadata-light — a documented codec
+    hook like the other brotli surfaces."""
+    meta: dict[str, list[str]] = {}
+    if len(data) < 44 or data[:4] != b"wOFF":
         return meta
-    _fmt, count, str_off = struct.unpack_from(">HHH", data, name_off)
-    storage = name_off + str_off
-    wanted = {1: "font-family", 4: "title"}
-    for i in range(min(count, 128)):
-        p = name_off + 6 + 12 * i
-        if p + 12 > len(data):
+    (n_tables,) = struct.unpack_from(">H", data, 12)
+    for i in range(min(n_tables, 64)):
+        p = 44 + 20 * i
+        if p + 20 > len(data):
             break
-        plat, _enc, _lang, name_id, ln, off = struct.unpack_from(
-            ">HHHHHH", data, p)
-        key = wanted.get(name_id)
-        if key is None or key in meta:
+        if data[p:p + 4] != b"name":
             continue
-        raw = data[storage + off:storage + off + ln]
-        val = raw.decode("utf-16-be" if plat in (0, 3) else "latin-1",
-                         "replace").strip()
-        if val:
-            meta[key] = [val]
+        off, comp_len, orig_len = struct.unpack_from(">III", data,
+                                                     p + 4)
+        if orig_len > (1 << 22):            # inflate-bomb guard
+            return meta
+        raw = data[off:off + comp_len]
+        if comp_len < orig_len:
+            try:
+                raw = zlib.decompress(raw)
+            except Exception:
+                return meta
+        return _name_table_meta(raw[:orig_len])
     return meta
 
 
@@ -1094,9 +1129,10 @@ def extract_media(data: bytes, url: str | None = None,
             title = metadata.get("title", [None])[0]
         except Exception:
             pass
-    elif mime in ("application/x-font-ttf", "video/x-flv",
-                  "application/java-vm"):
+    elif mime in ("application/x-font-ttf", "font/woff",
+                  "video/x-flv", "application/java-vm"):
         fn2 = {"application/x-font-ttf": _ttf_meta,
+               "font/woff": _woff_meta,
                "video/x-flv": _flv_meta,
                "application/java-vm": _class_meta}[mime]
         try:
