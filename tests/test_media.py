@@ -288,6 +288,22 @@ def test_jpeg_exif_app1():
     assert r["metadata"]["width"] == ["640"]
 
 
+def test_webp_exif_chunk():
+    tiff = _make_tiff()
+    exif_body = b"Exif\x00\x00" + tiff
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x08\x00\x00\x00" \
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    exif = b"EXIF" + struct.pack("<I", len(exif_body)) + exif_body
+    if len(exif_body) & 1:
+        exif += b"\x00"
+    riff = b"WEBP" + vp8x + exif
+    raw = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    assert detect(raw, "http://x/p.webp") == "image/webp"
+    r = extract_media(raw, mime="image/webp")
+    assert r["metadata"]["tiff:Make"] == ["CamCo"]
+    assert r["metadata"]["width"] == ["640"]   # VP8X dims, not EXIF
+
+
 def test_tiff_corrupt_never_raises():
     for junk in (b"II*\x00", b"II*\x00\xff\xff\xff\xff", b"MM\x00*" + b"\x00" * 3):
         r = extract_media(junk, mime="image/tiff")

@@ -169,6 +169,23 @@ _BY_MIME = {
     "image/x-icon": _ico_dims,
 }
 
+def _webp_exif(data: bytes) -> dict[str, list[str]]:
+    """EXIF chunk of an extended WebP (VP8X): the body is the same
+    TIFF-structured blob JPEG APP1 carries (optionally with the
+    'Exif\\0\\0' prefix), so it feeds the shared IFD walk."""
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if fourcc == b"EXIF":
+            body = data[pos + 8:pos + 8 + size]
+            if body[:6] == b"Exif\x00\x00":
+                body = body[6:]
+            return _exif_metadata(body)
+        pos += 8 + size + (size & 1)
+    return {}
+
+
 # ---- TrueType 'name' table (reference: font/TrueTypeParser.java —
 # title = font name via the sfnt name records)
 
@@ -1121,6 +1138,11 @@ def extract_media(data: bytes, url: str | None = None,
     elif mime == "image/png":
         try:
             metadata.update(_png_xmp(data))
+        except Exception:
+            pass
+    elif mime == "image/webp":
+        try:
+            metadata.update(_webp_exif(data))
         except Exception:
             pass
     if mime == "audio/mpeg":
