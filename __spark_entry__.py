@@ -1710,6 +1710,66 @@ def _q_media_xmp_meta(spark, sf_dir):
         F.element_at(md["width"], 1).alias("width"))
 
 
+def _q_media_font_meta(spark, sf_dir):
+    """Font metadata end-to-end (reference: font/TrueTypeParser.java
+    name records; media.py:_ttf_meta/_woff_meta): even ids carry a
+    raw sfnt, odd ids the same name table zlib-wrapped in a WOFF 1.0
+    directory — both must surface the family and full-name records
+    through the staged metadata pipeline."""
+    import struct as _st
+    import zlib as _zl
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    def _name_table(recs):
+        strings = b""
+        out = b""
+        for nid, val in recs:
+            enc = val.encode("utf-16-be")
+            out += _st.pack(">HHHHHH", 3, 1, 0x409, nid,
+                            len(enc), len(strings))
+            strings += enc
+        return _st.pack(">HHH", 0, len(recs),
+                        6 + 12 * len(recs)) + out + strings
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            tbl = _name_table([(1, f"Fam {i}"),
+                               (4, f"Fam {i} Regular")])
+            if i % 2 == 0:                      # raw sfnt
+                head = _st.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+                rec = b"name" + _st.pack(">III", 0, 28, len(tbl))
+                out.append(head + rec + tbl)
+            else:                               # WOFF 1.0 wrapper
+                comp = _zl.compress(tbl)
+                if len(comp) >= len(tbl):
+                    comp = tbl
+                hdr = b"wOFF" + _st.pack(">I", 0x00010000) \
+                    + _st.pack(">I", 64 + len(comp)) \
+                    + _st.pack(">HH", 1, 0) \
+                    + _st.pack(">I", 28 + len(tbl)) \
+                    + _st.pack(">HH", 1, 0) \
+                    + _st.pack(">IIIII", 0, 0, 0, 0, 0)
+                rec = b"name" + _st.pack(">IIII", 64, len(comp),
+                                         len(tbl), 0)
+                out.append(hdr + rec + comp)
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="metadata")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md["title"], 1).alias("title"),
+        F.element_at(md["font-family"], 1).alias("family"))
+
+
 def _zip_wrap_udf():
     """Deterministic one-member zip per document (fixture builder for
     the F1 recursion check; ZIP_STORED + fixed date → byte-stable)."""
@@ -4666,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "media_meta": _q_media_meta,
         "media_xmp_meta": _q_media_xmp_meta,
+        "media_font_meta": _q_media_font_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_webp_stats": _q_media_webp_stats,
         "media_webp_anim_frames": _q_media_webp_anim_frames,
@@ -5058,6 +5119,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming "
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.h, b.h)) <= 7"),
+        "media_font_meta": (
+            # name records are deterministic strings of the doc id;
+            # TTF carries them raw, WOFF zlib-wrapped — same values
+            "SELECT 'doc://' || doc_id AS url, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'application/x-font-ttf' "
+            "ELSE 'font/woff' END AS mime, "
+            "'Fam ' || doc_id || ' Regular' AS title, "
+            "'Fam ' || doc_id AS family FROM documents"),
         "media_xmp_meta": (
             "SELECT 'doc://' || doc_id AS url, "
             "'image/jpeg' AS mime, "
