@@ -184,6 +184,46 @@ def main():
     timed("media_pixel_decode", lambda: force(image_pixel_stats(media)))
     media.unpersist()
 
+    # WebP lossless decode (new r4 final wave): 32x24 five-wire-path
+    # VP8L fixtures (literals/palette/subtract-green/predictor/cache)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def webpwrap(ids):
+        import numpy as _np
+        import pandas as _pd
+
+        from tika_spark.analysis.webp import webp_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            rng = _np.random.RandomState(i % 1000)
+            img = rng.randint(0, 256, (24, 32, 4), dtype=_np.uint8)
+            v = i % 5
+            if v == 1:
+                img = img[:, :, :1].repeat(4, axis=2)    # few colors
+                img[:, :, 3] = 255
+                img = (img // 64) * 64
+                out.append(webp_bytes(img, palette=True))
+            elif v == 2:
+                out.append(webp_bytes(img, subtract_green=True))
+            elif v == 3:
+                out.append(webp_bytes(img, predictor=i % 14))
+            elif v == 4:
+                out.append(webp_bytes(img, cache_bits=6))
+            else:
+                out.append(webp_bytes(img))
+        return _pd.Series(out)
+
+    webps = docs.select(
+        F.col("doc_id").alias("id"),
+        webpwrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/webp").alias("media_type")).cache()
+    webps.count()
+    timed("media_webp_decode", lambda: force(image_pixel_stats(webps)))
+    webps.unpersist()
+
     # audio full decode: from-scratch MP3 Layer III (header/side
     # info/Huffman/requantize/IMDCT/synthesis per row; new r4)
     from tika_spark.analysis.pcm import audio_pcm_stats
