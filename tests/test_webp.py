@@ -230,10 +230,12 @@ class TestContainment:
         with pytest.raises(ValueError):
             w.decode_webp(b"GIF89a" + b"\x00" * 30)
 
-    def test_lossy_hook(self):
+    def test_lossy_garbage_raises(self):
+        # a VP8 chunk routes to the lossy decoder, which rejects the
+        # zero payload (no keyframe start code) cleanly
         raw = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
                + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8)
-        with pytest.raises(ValueError, match="lossy"):
+        with pytest.raises(ValueError):
             w.decode_webp(raw)
 
     def test_vp8x_walks_to_vp8l(self):

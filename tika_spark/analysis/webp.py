@@ -6,9 +6,9 @@ codes, meta-prefix (entropy-image) group selection, color cache, LZ77
 backward references with both direct and neighbor distance codes, and
 all four transforms (predictor, cross-color, subtract-green,
 color-indexing incl. sub-byte pixel bundling) inverted in reverse
-stream order. Lossy ``VP8 `` payloads raise a clean ValueError (the
-pixel stage surfaces them as status rows); ``VP8X`` containers are
-walked for their lossless payload.
+stream order. Lossy ``VP8 `` payloads route to the keyframe decoder
+in analysis/vp8.py; ``VP8X`` containers are walked for their image
+payload.
 
 Reference parity: the reference (tballison/tika) detects WebP and
 reads dimensions only (`image/ImageParser.java` family, matched in
@@ -582,14 +582,12 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP container → (h, w, 4) RGBA via the VP8L payload.
-    Lossy VP8 payloads raise (documented hook, like inter-frame
-    video: the metadata tier in media.py still covers them)."""
+    """RIFF/WEBP container → (h, w, 4) RGBA via the VP8L (lossless)
+    or VP8 (lossy keyframe, analysis/vp8.py) payload."""
     data = bytes(data or b"")
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP RIFF container")
     pos = 12
-    saw_lossy = False
     while pos + 8 <= len(data):
         fourcc = data[pos:pos + 4]
         size = int.from_bytes(data[pos + 4:pos + 8], "little")
@@ -597,12 +595,10 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            saw_lossy = True
+            from tika_spark.analysis.vp8 import decode_vp8
+            return decode_vp8(body)
         pos += 8 + size + (size & 1)
-    if saw_lossy:
-        raise ValueError("lossy VP8 payload (pixel decode hook; "
-                         "metadata tier covers it)")
-    raise ValueError("no VP8L chunk in WEBP container")
+    raise ValueError("no VP8L/VP8 chunk in WEBP container")
 
 
 # --------------------------------------------------------- animation
@@ -616,8 +612,8 @@ def webp_anim_frames(data: bytes, max_frames: int = 10_000
                      ) -> list[np.ndarray]:
     """Composited RGB frames of an animated WebP (VP8X + ANMF).
 
-    Each ANMF sub-frame (a VP8L payload here; lossy sub-frames raise
-    like stills) lands on the canvas at its 2px-aligned offset, with
+    Each ANMF sub-frame (a VP8L or lossy VP8 payload)
+    lands on the canvas at its 2px-aligned offset, with
     the spec's blending method (0 = straight-alpha over, integer
     round-half-up; 1 = overwrite) and disposal method (1 = clear the
     frame rectangle to transparent — the browser behavior; the ANIM
@@ -665,8 +661,9 @@ def webp_anim_frames(data: bytes, max_frames: int = 10_000
                     rgba = decode_vp8l(body[ip + 8:ip + 8 + sz])
                     break
                 if fcc == b"VP8 ":
-                    raise ValueError("lossy VP8 animation sub-frame "
-                                     "(pixel decode hook)")
+                    from tika_spark.analysis.vp8 import decode_vp8
+                    rgba = decode_vp8(body[ip + 8:ip + 8 + sz])
+                    break
                 ip += 8 + sz + (sz & 1)
             if rgba is None:
                 raise ValueError("ANMF without an image payload")
