@@ -901,6 +901,57 @@ def _q_media_webp_stats(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_webp_lossy_stats(spark, sf_dir):
+    """Full WebP *lossy* (VP8 keyframe) decode, distributed
+    (analysis/vp8.py): each row is a genuine RIFF/WEBP VP8 bitstream
+    — boolean-arithmetic-coded headers/modes/tokens, integer
+    IDCT/WHT reconstruction, deblocking filter. Fixtures are solid
+    colors through the DC-exact encode path (quantized coefficients
+    chosen so reconstruction equals the target YUV exactly), so the
+    per-channel means are closed-form through the module's integer
+    BT.601 YUV pairing; variants cycle the normal + simple loop
+    filters and a 2-partition token layout (all identity on solid
+    frames). Wire-level behavior is pinned by tests/test_vp8.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pixels import image_pixel_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.vp8 import webp_lossy_from_rgb
+        out = []
+        for i in ids:
+            i = int(i)
+            h = 16 + (i % 2) * 16
+            img = np.zeros((h, 16, 3), dtype=np.uint8)
+            img[:] = ((i * 7) % 256, (i * 3) % 256, (i * 5 + 2) % 256)
+            v = i % 4
+            kw = {}
+            if v == 1:
+                kw = {"filter_level": 32}
+            elif v == 2:
+                kw = {"filter_level": 20, "filter_type": 1}
+            elif v == 3:
+                kw = {"partitions": 2}
+            raw, _ = webp_lossy_from_rgb(img, exact=True, **kw)
+            out.append(raw)
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/webp").alias("media_type"))
+    out = image_pixel_stats(media)
+    return out.select(
+        "id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"))
+
+
 def _q_media_webp_anim_frames(spark, sf_dir):
     """Animated-WebP frame sampling: VP8X/ANMF demux + VP8L decode +
     canvas compositing (analysis/webp.py webp_anim_frames) through
@@ -4729,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_font_meta": _q_media_font_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_webp_stats": _q_media_webp_stats,
+        "media_webp_lossy_stats": _q_media_webp_lossy_stats,
         "media_webp_anim_frames": _q_media_webp_anim_frames,
         "media_video_frames": _q_media_video_frames,
         "image_dhash": _q_image_dhash,
@@ -5012,6 +5064,34 @@ def oracle_sql() -> dict[str, str]:
             "(((doc_id * 5 + 2) % 256 + (doc_id * 17 + 9) % 256) "
             "* 500000)::BIGINT AS mean_b "
             "FROM documents"),
+        "media_webp_lossy_stats": (
+            # lossy VP8 DC-exact round-trip of a solid image: the
+            # decoder output is the solid color pushed through the
+            # module's integer BT.601 RGB->YUV->RGB pairing (floor
+            # shifts == FLOOR(x/256)); loop filter and partition
+            # variants are identity on solid frames
+            "WITH base AS (SELECT doc_id AS id, "
+            "(doc_id * 7) % 256 AS r, (doc_id * 3) % 256 AS g, "
+            "(doc_id * 5 + 2) % 256 AS b FROM documents), "
+            "yuv AS (SELECT id, "
+            "CAST(FLOOR((66*r + 129*g + 25*b + 128) / 256.0) AS "
+            "BIGINT) + 16 AS y, "
+            "CAST(FLOOR((-38*r - 74*g + 112*b + 128) / 256.0) AS "
+            "BIGINT) + 128 AS u, "
+            "CAST(FLOOR((112*r - 94*g - 18*b + 128) / 256.0) AS "
+            "BIGINT) + 128 AS v FROM base) "
+            "SELECT id, 16::BIGINT AS width, "
+            "(16 + (id % 2) * 16)::BIGINT AS height, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "+ 409*(v-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_r, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "- 100*(u-128) - 208*(v-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_g, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_b "
+            "FROM yuv"),
         "media_webp_anim_frames": (
             # 8x6 canvas: frame 0 solid c0; frame 1 paints a 4x2
             # sub-rect c1 (8 of 48 px); odd ids add a solid c2 frame.
