@@ -1763,10 +1763,12 @@ def _q_media_xmp_meta(spark, sf_dir):
 
 def _q_media_font_meta(spark, sf_dir):
     """Font metadata end-to-end (reference: font/TrueTypeParser.java
-    name records; media.py:_ttf_meta/_woff_meta): even ids carry a
-    raw sfnt, odd ids the same name table zlib-wrapped in a WOFF 1.0
-    directory — both must surface the family and full-name records
-    through the staged metadata pipeline."""
+    name records; media.py:_ttf_meta/_woff_meta/_woff2_meta): ids
+    cycle a raw sfnt, the same name table zlib-wrapped in a WOFF 1.0
+    directory, and a WOFF2 container whose table block rides the
+    from-scratch brotli codec (id%6 rotates raw / literals-only /
+    LZ-compressed meta-block forms) — all must surface the family
+    and full-name records through the staged metadata pipeline."""
     import struct as _st
     import zlib as _zl
 
@@ -1787,15 +1789,16 @@ def _q_media_font_meta(spark, sf_dir):
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
         out = []
+        from tika_spark.analysis.woff2 import woff2_bytes
         for i in ids:
             i = int(i)
             tbl = _name_table([(1, f"Fam {i}"),
                                (4, f"Fam {i} Regular")])
-            if i % 2 == 0:                      # raw sfnt
+            if i % 3 == 0:                      # raw sfnt
                 head = _st.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
                 rec = b"name" + _st.pack(">III", 0, 28, len(tbl))
                 out.append(head + rec + tbl)
-            else:                               # WOFF 1.0 wrapper
+            elif i % 3 == 1:                    # WOFF 1.0 wrapper
                 comp = _zl.compress(tbl)
                 if len(comp) >= len(tbl):
                     comp = tbl
@@ -1808,6 +1811,11 @@ def _q_media_font_meta(spark, sf_dir):
                 rec = b"name" + _st.pack(">IIII", 64, len(comp),
                                          len(tbl), 0)
                 out.append(hdr + rec + comp)
+            else:                               # WOFF2 (brotli)
+                mode = ("raw", "literals", "lz")[(i // 3) % 3]
+                out.append(woff2_bytes(
+                    [("head", b"\x00" * 54), ("name", tbl)],
+                    mode=mode))
         return pd.Series(out)
 
     pages = _docs(spark, sf_dir).select(
@@ -5201,10 +5209,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.h, b.h)) <= 7"),
         "media_font_meta": (
             # name records are deterministic strings of the doc id;
-            # TTF carries them raw, WOFF zlib-wrapped — same values
+            # TTF carries them raw, WOFF zlib-wrapped, WOFF2
+            # brotli-wrapped (from-scratch codec) — same values
             "SELECT 'doc://' || doc_id AS url, "
-            "CASE WHEN doc_id % 2 = 0 THEN 'application/x-font-ttf' "
-            "ELSE 'font/woff' END AS mime, "
+            "CASE doc_id % 3 WHEN 0 THEN 'application/x-font-ttf' "
+            "WHEN 1 THEN 'font/woff' ELSE 'font/woff2' END AS mime, "
             "'Fam ' || doc_id || ' Regular' AS title, "
             "'Fam ' || doc_id AS family FROM documents"),
         "media_xmp_meta": (

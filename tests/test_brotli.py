@@ -1,0 +1,193 @@
+"""Brotli codec (analysis/brotlicodec.py) + WOFF2 container
+(analysis/woff2.py): prefix-code forms, round-trips in all encoder
+modes, inflate guard, dictionary-drop error, base128, WOFF2
+parse/build and the media.py font-metadata surface."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tika_spark.analysis import brotlicodec as br
+from tika_spark.analysis import woff2
+
+
+class TestBits:
+    def test_lsb_first(self):
+        w = br._BitWriter()
+        w.write(0b101, 3)
+        w.write(0b01, 2)
+        w.write(0xAB, 8)
+        data = w.bytes()
+        r = br._Bits(data)
+        assert r.read(3) == 0b101
+        assert r.read(2) == 0b01
+        assert r.read(8) == 0xAB
+
+    def test_truncation(self):
+        with pytest.raises(ValueError):
+            br._Bits(b"\x01").read(16)
+
+
+class TestPrefixCodes:
+    @given(st.dictionaries(st.integers(0, 255), st.integers(1, 500),
+                           min_size=1, max_size=60))
+    @settings(max_examples=60, deadline=None)
+    def test_emit_read_roundtrip(self, freqs):
+        lens = br._huffman_lengths(freqs)
+        w = br._BitWriter()
+        br._emit_prefix_code(w, lens, 256)
+        # pad so the reader never hits EOF mid-walk
+        code = br._read_prefix_code(br._Bits(w.bytes() + b"\x00" * 8),
+                                    256)
+        # decode every symbol's canonical code through the reader
+        codes = br._canonical_codes(
+            [lens.get(s, 0) for s in range(256)])
+        if len(lens) == 1:
+            (only,) = lens
+            assert code.single == only
+            return
+        for sym, (cw, ln) in codes.items():
+            w2 = br._BitWriter()
+            br._emit_code(w2, cw, ln)
+            assert code.read(br._Bits(w2.bytes() + b"\x00" * 4)) == sym
+
+    def test_kraft_violation_rejected(self):
+        with pytest.raises(ValueError):
+            br._Prefix([1, 2, 2, 2])  # over-subscribed
+
+
+class TestRoundTrip:
+    CASES = [
+        b"",
+        b"x",
+        b"hello world hello world hello world",
+        bytes(range(256)) * 4,
+        b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        b"The quick brown fox jumps over the lazy dog. " * 64,
+    ]
+
+    @pytest.mark.parametrize("mode", ["raw", "literals", "lz"])
+    def test_cases(self, mode):
+        for t in self.CASES:
+            assert br.decompress(br.compress(t, mode=mode)) == t
+
+    @given(st.binary(min_size=0, max_size=4000),
+           st.sampled_from(["raw", "literals", "lz"]))
+    @settings(max_examples=80, deadline=None)
+    def test_random(self, data, mode):
+        assert br.decompress(br.compress(data, mode=mode)) == data
+
+    def test_lz_actually_compresses(self):
+        t = b"spark and tika and spark and tika and spark. " * 200
+        enc = br.compress(t, mode="lz")
+        assert len(enc) < len(t) // 10
+
+    def test_max_out_guard(self):
+        t = b"z" * 100_000
+        enc = br.compress(t, mode="lz")
+        with pytest.raises(ValueError, match="max_out"):
+            br.decompress(enc, max_out=50_000)
+
+    def test_dictionary_reference_raises(self):
+        # a distance beyond produced output = static dictionary ref
+        w = br._BitWriter()
+        w.write(0, 1)            # wbits 16
+        w.write(1, 1)            # ISLAST
+        w.write(0, 1)            # not empty
+        w.write(0, 2)            # MNIBBLES=4
+        w.write(9, 16)           # MLEN=10
+        for _ in range(3):
+            w.write(0, 1)        # NBLTYPES 1/1/1
+        w.write(0, 2)            # NPOSTFIX
+        w.write(0, 4)            # NDIRECT
+        w.write(0, 2)            # context mode
+        w.write(0, 1)            # NTREESL=1
+        w.write(0, 1)            # NTREESD=1
+        # literal code: single symbol 'q'
+        w.write(1, 2)
+        w.write(0, 2)
+        w.write(ord("q"), 8)
+        # command code: single symbol insert=2 copy-code 0 explicit
+        sym = br._cmd_symbol(2, 0, implicit=False)
+        w.write(1, 2)
+        w.write(0, 2)
+        w.write(sym, 10)
+        # distance code: single symbol 17 (alphabet 64 -> 6 bits)
+        w.write(1, 2)
+        w.write(0, 2)
+        w.write(17, 6)
+        # body: insert 2 literals, then copy at distance 4 > output 2
+        w.write(1, 1)            # distance extra bit -> dist 3+1=4
+        with pytest.raises(ValueError, match="dictionary"):
+            br.decompress(w.bytes() + b"\x00\x00")
+
+    @given(st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=120, deadline=None)
+    def test_fuzz_never_hangs(self, seed):
+        rng = np.random.RandomState(seed % (2 ** 31))
+        base = br.compress(bytes(rng.randint(0, 256, 300,
+                                             dtype=np.uint8).tobytes()),
+                           mode=("raw", "literals", "lz")[seed % 3])
+        buf = bytearray(base)
+        if seed % 2 and len(buf) > 2:
+            buf = buf[:rng.randint(1, len(buf))]
+        for _ in range(rng.randint(1, 5)):
+            buf[rng.randint(0, len(buf))] ^= int(rng.randint(1, 256))
+        try:
+            out = br.decompress(bytes(buf), max_out=1 << 22)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+def _name_table(recs):
+    strings = b""
+    out = b""
+    for nid, val in recs:
+        enc = val.encode("utf-16-be")
+        out += struct.pack(">HHHHHH", 3, 1, 0x409, nid,
+                           len(enc), len(strings))
+        strings += enc
+    return struct.pack(">HHH", 0, len(recs),
+                       6 + 12 * len(recs)) + out + strings
+
+
+class TestWoff2:
+    def test_base128(self):
+        for v in (0, 1, 127, 128, 300, 0xFFFF, 0xFFFFFFFF):
+            enc = woff2.write_base128(v)
+            got, pos = woff2.read_base128(enc, 0)
+            assert got == v and pos == len(enc)
+        with pytest.raises(ValueError):
+            woff2.read_base128(b"\x80\x01", 0)  # leading zero byte
+
+    @pytest.mark.parametrize("mode", ["raw", "literals", "lz"])
+    def test_build_parse(self, mode):
+        tbl = _name_table([(1, "Family A"), (4, "Family A Bold")])
+        raw = woff2.woff2_bytes(
+            [("head", b"\x00" * 54), ("name", tbl),
+             ("glyf", b"\x01\x02" * 32), ("Xxxx", b"custom")],
+            mode=mode)
+        parsed = woff2.parse_woff2(raw)
+        assert [t[0] for t in parsed["tables"]] == [
+            "head", "name", "glyf", "Xxxx"]
+        assert woff2.woff2_table(parsed, "name") == tbl
+        assert woff2.woff2_table(parsed, "Xxxx") == b"custom"
+        assert woff2.woff2_name_table(raw) == tbl
+
+    def test_media_meta_surface(self):
+        from tika_spark.media import _woff2_meta
+        tbl = _name_table([(1, "Fam Z"), (4, "Fam Z Regular")])
+        raw = woff2.woff2_bytes([("name", tbl)])
+        meta = _woff2_meta(raw)
+        assert meta["font-family"] == ["Fam Z"]
+        assert meta["title"] == ["Fam Z Regular"]
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            woff2.parse_woff2(b"wOF2" + b"\x00" * 10)
+        with pytest.raises(ValueError):
+            woff2.parse_woff2(b"not a font at all")

@@ -234,9 +234,8 @@ def _woff_meta(data: bytes) -> dict[str, list[str]]:
     """WOFF 1.0 (reference: font/TrueTypeParser.java reads the
     unpacked sfnt; WOFF wraps each sfnt table with optional zlib):
     locate the 'name' table in the WOFF directory, inflate it if
-    compressed, and reuse the sfnt name-record walk. WOFF2
-    (Brotli-transformed) stays metadata-light — a documented codec
-    hook like the other brotli surfaces."""
+    compressed, and reuse the sfnt name-record walk. WOFF2 goes
+    through _woff2_meta (from-scratch brotli, analysis/woff2.py)."""
     meta: dict[str, list[str]] = {}
     if len(data) < 44 or data[:4] != b"wOFF":
         return meta
@@ -259,6 +258,15 @@ def _woff_meta(data: bytes) -> dict[str, list[str]]:
                 return meta
         return _name_table_meta(raw[:orig_len])
     return meta
+
+
+def _woff2_meta(data: bytes) -> dict[str, list[str]]:
+    """WOFF2: brotli-decompress the table block (from-scratch codec,
+    analysis/brotlicodec.py) and walk the sfnt 'name' records —
+    pipeline extension; the reference stops at WOFF2 detection."""
+    from tika_spark.analysis.woff2 import woff2_name_table
+    tbl = woff2_name_table(data)
+    return _name_table_meta(tbl) if tbl else {}
 
 
 # ---- FLV header + onMetaData AMF0 scan (reference:
@@ -1152,9 +1160,11 @@ def extract_media(data: bytes, url: str | None = None,
         except Exception:
             pass
     elif mime in ("application/x-font-ttf", "font/woff",
-                  "video/x-flv", "application/java-vm"):
+                  "font/woff2", "video/x-flv",
+                  "application/java-vm"):
         fn2 = {"application/x-font-ttf": _ttf_meta,
                "font/woff": _woff_meta,
+               "font/woff2": _woff2_meta,
                "video/x-flv": _flv_meta,
                "application/java-vm": _class_meta}[mime]
         try:
