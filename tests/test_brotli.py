@@ -191,3 +191,18 @@ class TestWoff2:
             woff2.parse_woff2(b"wOF2" + b"\x00" * 10)
         with pytest.raises(ValueError):
             woff2.parse_woff2(b"not a font at all")
+
+
+class TestBlockSwitching:
+    @given(st.binary(min_size=1, max_size=3000), st.integers(9, 200))
+    @settings(max_examples=60, deadline=None)
+    def test_two_type_roundtrip(self, data, seg):
+        enc = br.compress_blocks(data, seg=seg)
+        assert br.decompress(enc) == data
+
+    def test_trees_differ(self):
+        # alternating segments with disjoint alphabets: the stream
+        # only decodes if block switching selects the right tree
+        t = (b"\x01" * 64 + b"\xfe" * 64) * 20
+        enc = br.compress_blocks(t, seg=64)
+        assert br.decompress(enc) == t

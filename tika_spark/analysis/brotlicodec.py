@@ -1015,3 +1015,99 @@ def _greedy_lz(data: bytes, min_match: int = 4):
             i += 1
     cmds.append((n - lit_start, data[lit_start:n], 0, 0))
     return cmds
+
+
+# ------------------------------------------- block-switching encoder
+
+
+def compress_blocks(data: bytes, seg: int = 64) -> bytes:
+    """Literals-only stream using TWO literal block types that
+    alternate every ``seg`` literals, NTREESL=2 with an explicit
+    context map (type 0 -> tree 0, type 1 -> tree 1, context-free),
+    and real block-switch commands — round-trip coverage for the
+    decoder's block machinery that the single-type modes never
+    touch. Each tree is trained on its own half of the literals."""
+    data = bytes(data)
+    if not data:
+        return compress(data)
+    if len(data) > (1 << 24):
+        raise ValueError("single-meta-block modes cap at 16 MiB")
+    w = _BitWriter()
+    w.write(0, 1)   # WBITS = 16
+    w.write(1, 1)   # ISLAST
+    w.write(0, 1)   # not empty
+    _write_var_mlen(w, len(data))
+    # literal blocks: 2 types
+    _write_count(w, 2)
+    # block type prefix code (alphabet 4): single symbol 1 =
+    # "current + 1 mod 2" — every switch toggles the type
+    w.write(1, 2)
+    w.write(0, 2)
+    w.write(1, 2)
+    # block count prefix code (alphabet 26): single symbol
+    segs = [data[i:i + seg] for i in range(0, len(data), seg)]
+    count_sym, count_extra = _len_code(seg, BLOCK_COUNT_BASE,
+                                       BLOCK_COUNT_EXTRA)
+    w.write(1, 2)
+    w.write(0, 2)
+    w.write(count_sym, 5)
+    # first block count (same symbol; extra bits follow)
+    w.write(count_extra, BLOCK_COUNT_EXTRA[count_sym])
+    # insert-and-copy / distance: 1 type each
+    _write_count(w, 1)
+    _write_count(w, 1)
+    w.write(0, 2)   # NPOSTFIX
+    w.write(0, 4)   # NDIRECT
+    w.write(_LSB6, 2)   # context mode, type 0
+    w.write(_LSB6, 2)   # context mode, type 1
+    # NTREESL = 2 with explicit context map: 64 zeros then 64 ones
+    _write_count(w, 2)
+    w.write(0, 1)                   # no RLE (RLEMAX absent)
+    # context-map prefix code over {0, 1}
+    w.write(1, 2)
+    w.write(1, 2)
+    w.write(0, 1)
+    w.write(1, 1)
+    for v in [0] * 64 + [1] * 64:
+        w.write(v, 1)               # canonical 1-bit codes: 0->0,1->1
+    w.write(0, 1)                   # no IMTF
+    _write_count(w, 1)              # NTREESD = 1
+    # literal trees per block type
+    lit_lens = []
+    for t in (0, 1):
+        freq: dict[int, int] = {}
+        for i, s in enumerate(segs):
+            if i % 2 == t:
+                for b in s:
+                    freq[b] = freq.get(b, 0) + 1
+        if not freq:
+            freq = {0: 1}
+        lit_lens.append(_huffman_lengths(freq))
+    # command code: one giant insert (copy cut off by MLEN)
+    ins_code, ins_extra = _len_code(len(data), INSERT_BASE,
+                                    INSERT_EXTRA)
+    cmd_sym = _cmd_symbol(ins_code, 0, implicit=False)
+    for lens in lit_lens:
+        _emit_prefix_code(w, lens, 256)
+    _emit_prefix_code(w, {cmd_sym: 1}, 704)
+    _emit_prefix_code(w, {0: 1}, 64)    # distance code, never read
+    # body: the command, then literals with block switches
+    w.write(ins_extra, INSERT_EXTRA[ins_code])
+    # copy extra bits for copy code 0: none
+    codes = [_canonical_codes([lens.get(s, 0) for s in range(256)])
+             for lens in lit_lens]
+    singles = [len(lens) == 1 for lens in lit_lens]
+    count = seg
+    btype = 0
+    for i, b in enumerate(data):
+        if count == 0:
+            # switch: type symbol is the single-code (no bits), then
+            # the count symbol (single, no bits) + its extra bits
+            w.write(count_extra, BLOCK_COUNT_EXTRA[count_sym])
+            btype ^= 1
+            count = seg
+        count -= 1
+        if not singles[btype]:
+            code, ln = codes[btype][b]
+            _emit_code(w, code, ln)
+    return w.bytes()
