@@ -4080,6 +4080,53 @@ def _q_media_video_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_webm_vp8_frames(spark, sf_dir):
+    """WebM (Matroska) video frame sampling: EBML demux of the V_VP8
+    track (analysis/ebml.py webm_vp8_frames) + the from-scratch VP8
+    keyframe decoder (analysis/vp8.py), one row per frame. Fixture
+    frames are solid colors through the DC-exact encode, so each
+    frame's mean is the integer BT.601 YUV round-trip closed form —
+    the same oracle algebra as media_webp_lossy_stats, replayed per
+    frame index."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.ebml import mkv_wrap_video
+        from tika_spark.analysis.vp8 import (encode_vp8_yuv,
+                                             rgb_to_yuv420)
+        out = []
+        for i in ids:
+            i = int(i)
+            n = 2 + i % 3
+            frames = []
+            for k in range(n):
+                img = np.zeros((16, 16, 3), dtype=np.uint8)
+                img[:] = ((i * 7 + 29 * k) % 256,
+                          (i * 3 + 31 * k) % 256,
+                          (i * 5 + 37 * k + 2) % 256)
+                payload, _ = encode_vp8_yuv(*rgb_to_yuv420(img),
+                                            exact=True)
+                frames.append(payload)
+            out.append(mkv_wrap_video(frames, 16, 16))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"))
+
+
 def _gradient_png_wrap_udf():
     """9×8 grayscale-gradient PNG per doc: pixel v(x,y) =
     (doc_id*7 + 11x + 3y) % 256 in all three channels, so the dHash
@@ -4791,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webp_lossy_stats": _q_media_webp_lossy_stats,
         "media_webp_anim_frames": _q_media_webp_anim_frames,
         "media_video_frames": _q_media_video_frames,
+        "media_webm_vp8_frames": _q_media_webm_vp8_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -5090,6 +5138,38 @@ def oracle_sql() -> dict[str, str]:
             "BIGINT) + 128 AS v FROM base) "
             "SELECT id, 16::BIGINT AS width, "
             "(16 + (id % 2) * 16)::BIGINT AS height, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "+ 409*(v-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_r, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "- 100*(u-128) - 208*(v-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_g, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_b "
+            "FROM yuv"),
+        "media_webm_vp8_frames": (
+            # n = 2 + id%3 solid 16x16 VP8 keyframes in a WebM;
+            # per-frame color through the integer BT.601 round trip
+            # (same algebra as media_webp_lossy_stats, per frame)
+            "WITH f AS (SELECT doc_id AS id, frame_idx, "
+            "2 + doc_id % 3 AS n, "
+            "(doc_id * 7 + 29 * frame_idx) % 256 AS r, "
+            "(doc_id * 3 + 31 * frame_idx) % 256 AS g, "
+            "(doc_id * 5 + 37 * frame_idx + 2) % 256 AS b "
+            "FROM documents CROSS JOIN (SELECT "
+            "unnest(generate_series(0, 4)) AS frame_idx) s "
+            "WHERE frame_idx < 2 + doc_id % 3), "
+            "yuv AS (SELECT id, frame_idx, n, "
+            "CAST(FLOOR((66*r + 129*g + 25*b + 128) / 256.0) AS "
+            "BIGINT) + 16 AS y, "
+            "CAST(FLOOR((-38*r - 74*g + 112*b + 128) / 256.0) AS "
+            "BIGINT) + 128 AS u, "
+            "CAST(FLOOR((112*r - 94*g - 18*b + 128) / 256.0) AS "
+            "BIGINT) + 128 AS v FROM f) "
+            "SELECT id, CAST(frame_idx AS INT) AS frame_idx, "
+            "CAST(n AS INT) AS n_frames, 16::BIGINT AS width, "
+            "16::BIGINT AS height, "
             "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
             "+ 409*(v-128) + 128) / 256.0) AS BIGINT))) "
             "* 1000000 AS mean_r, "

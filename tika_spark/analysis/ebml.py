@@ -378,3 +378,58 @@ def mkv_vorbis_fixture(doc_id: int) -> bytes:
     headers = vorbis_headers(channels, rate)
     audio = [vorbis_silent_packet(channels)] * n_audio
     return mkv_wrap_vorbis(headers, audio, rate, channels)
+
+
+def mkv_wrap_video(frames: list[bytes], width: int, height: int,
+                   codec_id: bytes = b"V_VP8",
+                   doctype: bytes = b"webm") -> bytes:
+    """Fixture muxer: coded video frames → a minimal Matroska/WebM
+    with one video TrackEntry and one Cluster of SimpleBlocks (one
+    frame per block, no lacing)."""
+    ebml_hdr = _el(0x1A45DFA3,
+                   _uint_el(0x4286, 1)
+                   + _uint_el(0x42F7, 1)
+                   + _uint_el(0x42F2, 4)
+                   + _uint_el(0x42F3, 8)
+                   + _el(DOCTYPE, doctype)
+                   + _uint_el(0x4287, 2)
+                   + _uint_el(0x4285, 2))
+    info = _el(INFO, _uint_el(TIMESTAMP_SCALE, 1_000_000)
+               + _el(DURATION, struct.pack(
+                   ">f", len(frames) * 40.0)))       # 25 fps
+    track = _el(TRACK_ENTRY,
+                _uint_el(TRACK_NUMBER, 1)
+                + _uint_el(0x73C5, 1)                # TrackUID
+                + _uint_el(TRACK_TYPE, 1)            # video
+                + _el(CODEC_ID, codec_id)
+                + _el(VIDEO, _uint_el(PIXEL_W, width)
+                      + _uint_el(PIXEL_H, height)))
+    tracks = _el(TRACKS, track)
+    blocks = bytearray(_uint_el(0xE7, 0))
+    for k, frame in enumerate(frames):
+        body = (_enc_vint(1) + struct.pack(">h", k)
+                + bytes((0x80,)) + frame)        # keyframe flag
+        blocks += _el(SIMPLE_BLOCK, body)
+    cluster = _el(CLUSTER, bytes(blocks))
+    segment = _el(SEGMENT, info + tracks + cluster)
+    return ebml_hdr + segment
+
+
+def webm_vp8_frames(data: bytes) -> list:
+    """Decoded RGB frames of the first VP8 video track (all-intra
+    streams: every SimpleBlock must hold a keyframe — interframes
+    raise like the other inter-coded hooks, and the pixel stage
+    surfaces them as status rows)."""
+    from tika_spark.analysis.vp8 import decode_vp8
+    info = mkv_info(data)
+    track_no = None
+    for t in info["tracks"]:
+        if t.get("codec") == "V_VP8":
+            track_no = t.get("number", 1)
+            break
+    if track_no is None:
+        raise EbmlError("no VP8 video track")
+    frames = mkv_track_frames(data, track_no)
+    if not frames:
+        raise EbmlError("VP8 track has no frames")
+    return [decode_vp8(f)[:, :, :3] for f in frames]

@@ -459,6 +459,9 @@ def _demux(payload: bytes):
         from tika_spark.analysis.mpegts import ts_video_es
         from tika_spark.analysis.mpegvideo import decode_mpeg1
         return "raw", decode_mpeg1(ts_video_es(payload))[0]
+    if payload[:4] == b"\x1aE\xdf\xa3":          # EBML: Matroska/WebM
+        from tika_spark.analysis.ebml import webm_vp8_frames
+        return "raw", webm_vp8_frames(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from tika_spark.analysis.pixels import gif_frames
         return "raw", gif_frames(payload)
