@@ -206,3 +206,10 @@ class TestBlockSwitching:
         t = (b"\x01" * 64 + b"\xfe" * 64) * 20
         enc = br.compress_blocks(t, seg=64)
         assert br.decompress(enc) == t
+
+    @given(st.binary(min_size=1, max_size=3000))
+    @settings(max_examples=60, deadline=None)
+    def test_context_keyed_trees(self, data):
+        # MSB6 context mode with a context-keyed map: tree choice
+        # depends on the previous byte, not the block type
+        assert br.decompress(br.compress_ctx(data)) == data

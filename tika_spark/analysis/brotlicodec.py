@@ -1111,3 +1111,63 @@ def compress_blocks(data: bytes, seg: int = 64) -> bytes:
             code, ln = codes[btype][b]
             _emit_code(w, code, ln)
     return w.bytes()
+
+
+def compress_ctx(data: bytes) -> bytes:
+    """Literals-only stream whose NTREESL=2 context map is keyed on
+    the literal CONTEXT (MSB6 of the previous byte: ctx < 32 ->
+    tree 0, else tree 1), not on block type — round-trip coverage
+    for context-dependent tree selection in the decoder."""
+    data = bytes(data)
+    if not data:
+        return compress(data)
+    if len(data) > (1 << 24):
+        raise ValueError("single-meta-block modes cap at 16 MiB")
+    w = _BitWriter()
+    w.write(0, 1)   # WBITS = 16
+    w.write(1, 1)   # ISLAST
+    w.write(0, 1)   # not empty
+    _write_var_mlen(w, len(data))
+    for _ in range(3):
+        _write_count(w, 1)          # NBLTYPES L/I/D = 1
+    w.write(0, 2)   # NPOSTFIX
+    w.write(0, 4)   # NDIRECT
+    w.write(_MSB6, 2)               # context mode
+    _write_count(w, 2)              # NTREESL = 2
+    w.write(0, 1)                   # no RLE
+    # context-map code over {0,1}; map: ctx 0..31 -> 0, 32..63 -> 1
+    w.write(1, 2)
+    w.write(1, 2)
+    w.write(0, 1)
+    w.write(1, 1)
+    for v in [0] * 32 + [1] * 32:
+        w.write(v, 1)
+    w.write(0, 1)                   # no IMTF
+    _write_count(w, 1)              # NTREESD = 1
+    # split literals by the tree each will use (MSB6 of prev byte)
+    freqs = [{}, {}]
+    prev = 0
+    for b in data:
+        t = 0 if (prev >> 2) < 32 else 1
+        freqs[t][b] = freqs[t].get(b, 0) + 1
+        prev = b
+    lens = [_huffman_lengths(f) if f else {0: 1} for f in freqs]
+    ins_code, ins_extra = _len_code(len(data), INSERT_BASE,
+                                    INSERT_EXTRA)
+    cmd_sym = _cmd_symbol(ins_code, 0, implicit=False)
+    for ln in lens:
+        _emit_prefix_code(w, ln, 256)
+    _emit_prefix_code(w, {cmd_sym: 1}, 704)
+    _emit_prefix_code(w, {0: 1}, 64)
+    w.write(ins_extra, INSERT_EXTRA[ins_code])
+    codes = [_canonical_codes([ln.get(s, 0) for s in range(256)])
+             for ln in lens]
+    singles = [len(ln) == 1 for ln in lens]
+    prev = 0
+    for b in data:
+        t = 0 if (prev >> 2) < 32 else 1
+        if not singles[t]:
+            code, lnb = codes[t][b]
+            _emit_code(w, code, lnb)
+        prev = b
+    return w.bytes()
