@@ -237,3 +237,36 @@ class TestFuzz:
             assert out.dtype == np.uint8 and out.ndim == 3
         except ValueError:
             pass
+
+
+class TestSegmentation:
+    @pytest.mark.parametrize("segs", [(0, 30), (0, 20, -10, 40)])
+    @pytest.mark.parametrize("plan", ["dc", "bpred"])
+    def test_per_segment_quantizers(self, segs, plan):
+        rng = np.random.RandomState(len(segs))
+        img = rng.randint(0, 256, (40, 56, 3), np.uint8)
+        y, u, v = vp8.rgb_to_yuv420(img)
+        payload, (ry, ru, rv) = vp8.encode_vp8_yuv(
+            y, u, v, qindex=50, plan=plan, segments=segs,
+            filter_level=20)
+        gy, gu, gv, w, h = vp8.decode_vp8_yuv(payload)
+        assert np.array_equal(gy, ry)
+        assert np.array_equal(gu, ru)
+        assert np.array_equal(gv, rv)
+
+    def test_segment_deltas_matter(self):
+        # same image, different per-segment deltas -> different recon
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (40, 56, 3), np.uint8)
+        y, u, v = vp8.rgb_to_yuv420(img)
+        _, r1 = vp8.encode_vp8_yuv(y, u, v, qindex=50,
+                                   segments=(0, 0))
+        _, r2 = vp8.encode_vp8_yuv(y, u, v, qindex=50,
+                                   segments=(0, 60))
+        assert not np.array_equal(r1[0], r2[0])
+
+    def test_exact_rejects_segments(self):
+        img = np.zeros((16, 16, 3), np.uint8)
+        y, u, v = vp8.rgb_to_yuv420(img)
+        with pytest.raises(ValueError):
+            vp8.encode_vp8_yuv(y, u, v, exact=True, segments=(0, 1))

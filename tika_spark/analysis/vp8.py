@@ -928,12 +928,15 @@ def _read_modes(bd, h, mb_w, mb_h):
     return mbs
 
 
-def _write_modes(be, h_skip_prob, mbs, mb_w, mb_h, skip_enabled):
+def _write_modes(be, h_skip_prob, mbs, mb_w, mb_h, skip_enabled,
+                 seg_enabled=False):
     above_b = [[B_DC] * 4 for _ in range(mb_w)]
     for my in range(mb_h):
         left_b = [B_DC] * 4
         for mx in range(mb_w):
             mb = mbs[my][mx]
+            if seg_enabled:
+                be.tree(SEGMENT_TREE, (255, 255, 255), mb.segment)
             if skip_enabled:
                 be.put(mb.skip, h_skip_prob)
             be.tree(KF_YMODE_TREE, KF_YMODE_PROB, mb.ymode)
@@ -1412,7 +1415,7 @@ def _quantize_block(res4, qdc, qac):
 def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
                    exact: bool = False, filter_level: int = 0,
                    filter_type: int = 0, sharpness: int = 0,
-                   partitions: int = 1):
+                   partitions: int = 1, segments=None):
     """Encode YUV420 planes as a VP8 keyframe. Returns ``(payload,
     recon)`` where ``recon`` is the (y, u, v) tuple the decoder MUST
     reproduce bit-exactly (the encoder runs the shared reconstruction
@@ -1421,6 +1424,11 @@ def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
     ``exact=True`` requires per-macroblock-constant planes, forces
     qindex 0 / plan "dc", and picks quantized coefficients so
     reconstruction equals the input exactly (see module docstring).
+
+    ``segments``: optional tuple of up to 4 per-segment quantizer
+    deltas — enables segmentation with an (mx + my) %% n checkerboard
+    map (exercises the decoder's segment-tree and per-segment quant
+    paths; incompatible with ``exact``).
     """
     y = np.asarray(y, dtype=np.int32)
     u = np.asarray(u, dtype=np.int32)
@@ -1431,7 +1439,11 @@ def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
     if u.shape != ((hh + 1) // 2, (w + 1) // 2):
         raise ValueError("chroma plane shape mismatch")
     if exact:
+        if segments:
+            raise ValueError("exact encode is qindex-0 single-segment")
         qindex, plan = 0, "dc"
+    if segments is not None and not (1 <= len(segments) <= 4):
+        raise ValueError("segments takes 1-4 quantizer deltas")
     if partitions not in (1, 2, 4, 8):
         raise ValueError("partitions must be 1/2/4/8")
     mb_w = (w + 15) >> 4
@@ -1448,8 +1460,13 @@ def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
         dst[:ch, :cw] = src
         dst[:ch, cw:] = src[:, -1:]
         dst[ch:, :] = dst[ch - 1:ch, :]
-    q = _Quant(_clamp_qi(qindex))
+    seg_deltas = list(segments or []) + [0] * (4 - len(segments or []))
+    quants = [_Quant(_clamp_qi(qindex + d)) for d in seg_deltas]
     mbs = _choose_modes(mb_w, mb_h, plan)
+    n_seg = len(segments) if segments else 0
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mbs[my][mx].segment = (mx + my) % n_seg if n_seg else 0
     # ---- pass 1: plan coefficients + reconstruct (shared inverse)
     ry = np.zeros_like(yp)
     ru = np.zeros_like(up)
@@ -1458,6 +1475,7 @@ def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
     for my in range(mb_h):
         for mx in range(mb_w):
             mb = mbs[my][mx]
+            q = quants[mb.segment]
             has_y2 = mb.ymode != B_PRED
             x0, y0 = mx * 16, my * 16
             blocks = {"y2": None, "y": [], "u": [], "v": []}
@@ -1596,7 +1614,23 @@ def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
     be = _BoolEnc()
     be.put(0)  # color space
     be.put(0)  # clamping
-    be.put(0)  # segmentation_enabled
+    if segments:
+        be.put(1)  # segmentation_enabled
+        be.put(1)  # update_mb_segmentation_map
+        be.put(1)  # update_segment_feature_data
+        be.put(0)  # delta (not absolute) quantizers
+        for d in seg_deltas:
+            if d:
+                be.put(1)
+                be.signed(d, 7)
+            else:
+                be.put(0)
+        for _ in range(4):
+            be.put(0)  # no per-segment loop-filter deltas
+        for _ in range(3):
+            be.put(0)  # segment tree probs stay at 255
+    else:
+        be.put(0)  # segmentation_enabled
     be.put(filter_type & 1)
     be.literal(filter_level, 6)
     be.literal(sharpness, 3)
@@ -1614,7 +1648,8 @@ def encode_vp8_yuv(y, u, v, qindex: int = 0, plan: str = "dc",
     skip_prob = 128
     be.put(1)  # mb_no_coeff_skip
     be.literal(skip_prob, 8)
-    _write_modes(be, skip_prob, mbs, mb_w, mb_h, True)
+    _write_modes(be, skip_prob, mbs, mb_w, mb_h, True,
+                 seg_enabled=bool(segments))
     part1 = be.bytes()
     # ---- pass 3: token partitions (mirror the decoder's contexts)
     encs = [_BoolEnc() for _ in range(partitions)]
