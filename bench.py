@@ -224,6 +224,35 @@ def main():
     timed("media_webp_decode", lambda: force(image_pixel_stats(webps)))
     webps.unpersist()
 
+    # WebP lossy decode (VP8 keyframe codec): 32x32 four-MB frames
+    # cycling mode plans, quantizers, and the deblocking filter
+    @pandas_udf(BinaryType())
+    def vp8wrap(ids):
+        import numpy as _np
+        import pandas as _pd
+
+        from tika_spark.analysis.vp8 import webp_lossy_from_rgb
+        out = []
+        for i in ids:
+            i = int(i)
+            rng = _np.random.RandomState(i % 1000)
+            img = rng.randint(0, 256, (32, 32, 3), dtype=_np.uint8)
+            raw, _ = webp_lossy_from_rgb(
+                img, qindex=(i * 13) % 128,
+                plan=("dc", "rotate", "bpred")[i % 3],
+                filter_level=(i * 7) % 64)
+            out.append(raw)
+        return _pd.Series(out)
+
+    vp8s = docs.select(
+        F.col("doc_id").alias("id"),
+        vp8wrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/webp").alias("media_type")).cache()
+    vp8s.count()
+    timed("media_webp_lossy_decode",
+          lambda: force(image_pixel_stats(vp8s)))
+    vp8s.unpersist()
+
     # audio full decode: from-scratch MP3 Layer III (header/side
     # info/Huffman/requantize/IMDCT/synthesis per row; new r4)
     from tika_spark.analysis.pcm import audio_pcm_stats
