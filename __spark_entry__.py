@@ -952,6 +952,48 @@ def _q_media_webp_lossy_stats(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_webp_alpha_stats(spark, sf_dir):
+    """Extended-WebP (VP8X) lossy decode with a real ALPH chunk:
+    VP8 color through the DC-exact path plus a lossless alpha plane
+    (ids cycle raw vs VP8L-green-channel compression and all four
+    prediction filters — identity on solid planes, pinned separately
+    by tests/test_vp8.py TestAlpha). mean_a is exact; RGB means are
+    the BT.601 round-trip closed form."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.pixels import image_pixel_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.vp8 import webp_lossy_rgba
+        out = []
+        for i in ids:
+            i = int(i)
+            img = np.zeros((16, 16, 4), dtype=np.uint8)
+            img[:] = ((i * 7) % 256, (i * 3) % 256,
+                      (i * 5 + 2) % 256, (i * 11 + 3) % 256)
+            raw, _ = webp_lossy_rgba(
+                img, exact=True, alpha_compression=i % 2,
+                alpha_filter=i % 4)
+            out.append(raw)
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("image/webp").alias("media_type"))
+    out = image_pixel_stats(media)
+    return out.select(
+        "id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"),
+        F.get("mean_micro", 3).alias("mean_a"))
+
+
 def _q_media_webp_anim_frames(spark, sf_dir):
     """Animated-WebP frame sampling: VP8X/ANMF demux + VP8L decode +
     canvas compositing (analysis/webp.py webp_anim_frames) through
@@ -4836,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixel_stats": _q_media_pixel_stats,
         "media_webp_stats": _q_media_webp_stats,
         "media_webp_lossy_stats": _q_media_webp_lossy_stats,
+        "media_webp_alpha_stats": _q_media_webp_alpha_stats,
         "media_webp_anim_frames": _q_media_webp_anim_frames,
         "media_video_frames": _q_media_video_frames,
         "media_webm_vp8_frames": _q_media_webm_vp8_frames,
@@ -5147,6 +5190,32 @@ def oracle_sql() -> dict[str, str]:
             "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
             "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
             "* 1000000 AS mean_b "
+            "FROM yuv"),
+        "media_webp_alpha_stats": (
+            # same BT.601 round-trip algebra as media_webp_lossy_stats
+            # for RGB; alpha is lossless -> exact
+            "WITH base AS (SELECT doc_id AS id, "
+            "(doc_id * 7) % 256 AS r, (doc_id * 3) % 256 AS g, "
+            "(doc_id * 5 + 2) % 256 AS b, "
+            "(doc_id * 11 + 3) % 256 AS a FROM documents), "
+            "yuv AS (SELECT id, a, "
+            "CAST(FLOOR((66*r + 129*g + 25*b + 128) / 256.0) AS "
+            "BIGINT) + 16 AS y, "
+            "CAST(FLOOR((-38*r - 74*g + 112*b + 128) / 256.0) AS "
+            "BIGINT) + 128 AS u, "
+            "CAST(FLOOR((112*r - 94*g - 18*b + 128) / 256.0) AS "
+            "BIGINT) + 128 AS v FROM base) "
+            "SELECT id, 16::BIGINT AS width, 16::BIGINT AS height, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "+ 409*(v-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_r, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "- 100*(u-128) - 208*(v-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_g, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y-16) "
+            "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
+            "* 1000000 AS mean_b, "
+            "a * 1000000 AS mean_a "
             "FROM yuv"),
         "media_webm_vp8_frames": (
             # n = 2 + id%3 solid 16x16 VP8 keyframes in a WebM;

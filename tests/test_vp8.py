@@ -270,3 +270,37 @@ class TestSegmentation:
         y, u, v = vp8.rgb_to_yuv420(img)
         with pytest.raises(ValueError):
             vp8.encode_vp8_yuv(y, u, v, exact=True, segments=(0, 1))
+
+
+class TestAlpha:
+    @pytest.mark.parametrize("comp", [0, 1])
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3])
+    def test_alph_roundtrip(self, comp, filt):
+        rng = np.random.RandomState(comp * 4 + filt)
+        img = rng.randint(0, 256, (20, 28, 4), dtype=np.uint8)
+        raw, expect = vp8.webp_lossy_rgba(
+            img, qindex=40, plan="rotate", alpha_compression=comp,
+            alpha_filter=filt)
+        assert np.array_equal(w.decode_webp(raw), expect)
+        # alpha itself is lossless
+        assert np.array_equal(w.decode_webp(raw)[:, :, 3],
+                              img[:, :, 3])
+
+    def test_exact_solid_with_alpha(self):
+        img = np.zeros((16, 16, 4), np.uint8)
+        img[:] = (120, 40, 220, 77)
+        raw, expect = vp8.webp_lossy_rgba(img, exact=True)
+        got = w.decode_webp(raw)
+        assert np.array_equal(got, expect)
+        assert (got[:, :, 3] == 77).all()
+
+    def test_truncated_alph_raises(self):
+        img = np.zeros((16, 16, 4), np.uint8)
+        raw, _ = vp8.webp_lossy_rgba(img, alpha_compression=0)
+        # cut the ALPH body short
+        broken = bytearray(raw)
+        i = raw.index(b"ALPH")
+        sz = int.from_bytes(raw[i + 4:i + 8], "little")
+        broken[i + 4:i + 8] = (sz + 400).to_bytes(4, "little")
+        with pytest.raises(ValueError):
+            w.decode_webp(bytes(broken))

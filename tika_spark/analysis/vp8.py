@@ -1747,3 +1747,42 @@ def webp_lossy_from_rgb(img: np.ndarray, qindex: int = 0,
     expect[:, :, :3] = rgb
     expect[:, :, 3] = 255
     return webp_lossy_bytes(payload), expect
+
+
+def webp_lossy_rgba(img: np.ndarray, qindex: int = 0,
+                    plan: str = "dc", exact: bool = False,
+                    filter_level: int = 0,
+                    alpha_compression: int = 1,
+                    alpha_filter: int = 0):
+    """RGBA image with a real alpha channel -> (extended VP8X WebP
+    with an ALPH chunk + VP8 frame, expected RGBA). Alpha is
+    lossless (raw or VP8L-green-channel per ``alpha_compression``);
+    color goes through the VP8 path like webp_lossy_from_rgb."""
+    from tika_spark.analysis.webp import alpha_chunk_bytes
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 4:
+        raise ValueError("webp_lossy_rgba wants (h, w, 4) RGBA")
+    hh, w = img.shape[:2]
+    y, u, v = rgb_to_yuv420(img)
+    payload, (ry, ru, rv) = encode_vp8_yuv(
+        y, u, v, qindex=qindex, plan=plan, exact=exact,
+        filter_level=filter_level)
+    alpha = img[:, :, 3]
+    alph = alpha_chunk_bytes(alpha, compression=alpha_compression,
+                             filt=alpha_filter)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        out = fourcc + len(body).to_bytes(4, "little") + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    vp8x = bytes((0x10, 0, 0, 0)) \
+        + (w - 1).to_bytes(3, "little") \
+        + (hh - 1).to_bytes(3, "little")       # alpha flag set
+    riff = (b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph)
+            + chunk(b"VP8 ", payload))
+    raw = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    rgb = yuv_to_rgb(ry, ru, rv)
+    expect = np.empty((hh, w, 4), dtype=np.uint8)
+    expect[:, :, :3] = rgb
+    expect[:, :, 3] = alpha
+    return raw, expect

@@ -588,15 +588,22 @@ def decode_webp(data: bytes) -> np.ndarray:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WEBP RIFF container")
     pos = 12
+    alpha_body = None
     while pos + 8 <= len(data):
         fourcc = data[pos:pos + 4]
         size = int.from_bytes(data[pos + 4:pos + 8], "little")
         body = data[pos + 8:pos + 8 + size]
         if fourcc == b"VP8L":
-            return decode_vp8l(body)
+            return decode_vp8l(body)    # VP8L carries its own alpha
+        if fourcc == b"ALPH":
+            alpha_body = body
         if fourcc == b"VP8 ":
             from tika_spark.analysis.vp8 import decode_vp8
-            return decode_vp8(body)
+            rgba = decode_vp8(body)
+            if alpha_body is not None:
+                h, w = rgba.shape[:2]
+                rgba[:, :, 3] = decode_alpha(alpha_body, w, h)
+            return rgba
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L/VP8 chunk in WEBP container")
 
@@ -1071,3 +1078,128 @@ def _encode_substream(wtr: _LsbWriter, px: np.ndarray, w: int, h: int,
             _emit(wtr, dt, dcode)
             if deb:
                 wtr.write(dex, deb)
+
+
+# ------------------------------------------------------------- alpha
+
+
+def _unfilter_alpha(a: np.ndarray, filt: int) -> np.ndarray:
+    """Invert the ALPH prediction filter in place (h, w int array).
+    0 = none, 1 = horizontal (pred = left; first column: above),
+    2 = vertical (pred = above; first row: left), 3 = gradient
+    (clamp(left + above - above-left)); the (0,0) pixel is raw."""
+    if filt == 0:
+        return a
+    h, w = a.shape
+    if filt == 1:
+        for y in range(h):
+            if y > 0:
+                a[y, 0] = (a[y, 0] + a[y - 1, 0]) & 0xFF
+            for x in range(1, w):
+                a[y, x] = (a[y, x] + a[y, x - 1]) & 0xFF
+    elif filt == 2:
+        for x in range(1, w):
+            a[0, x] = (a[0, x] + a[0, x - 1]) & 0xFF
+        for y in range(1, h):
+            a[y, :] = (a[y, :] + a[y - 1, :]) & 0xFF
+    elif filt == 3:
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    continue
+                if y == 0:
+                    pred = int(a[0, x - 1])
+                elif x == 0:
+                    pred = int(a[y - 1, 0])
+                else:
+                    pred = int(a[y, x - 1]) + int(a[y - 1, x]) \
+                        - int(a[y - 1, x - 1])
+                    pred = 0 if pred < 0 else 255 if pred > 255 \
+                        else pred
+                a[y, x] = (a[y, x] + pred) & 0xFF
+    else:
+        raise ValueError("bad ALPH filter")
+    return a
+
+
+def _filter_alpha(a: np.ndarray, filt: int) -> np.ndarray:
+    """Forward filter (encoder): residuals such that _unfilter_alpha
+    reproduces ``a`` exactly."""
+    if filt == 0:
+        return a.copy()
+    h, w = a.shape
+    out = a.astype(np.int32).copy()
+    if filt == 1:
+        for y in range(h - 1, -1, -1):
+            for x in range(w - 1, 0, -1):
+                out[y, x] = (out[y, x] - a[y, x - 1]) & 0xFF
+            if y > 0:
+                out[y, 0] = (out[y, 0] - a[y - 1, 0]) & 0xFF
+    elif filt == 2:
+        for y in range(h - 1, 0, -1):
+            out[y, :] = (out[y, :] - a[y - 1, :]) & 0xFF
+        for x in range(w - 1, 0, -1):
+            out[0, x] = (out[0, x] - a[0, x - 1]) & 0xFF
+    elif filt == 3:
+        for y in range(h - 1, -1, -1):
+            for x in range(w - 1, -1, -1):
+                if x == 0 and y == 0:
+                    continue
+                if y == 0:
+                    pred = int(a[0, x - 1])
+                elif x == 0:
+                    pred = int(a[y - 1, 0])
+                else:
+                    pred = int(a[y, x - 1]) + int(a[y - 1, x]) \
+                        - int(a[y - 1, x - 1])
+                    pred = 0 if pred < 0 else 255 if pred > 255 \
+                        else pred
+                out[y, x] = (out[y, x] - pred) & 0xFF
+    return out
+
+
+def decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk body -> (h, w) uint8 alpha plane. Header byte:
+    compression (bits 0-1: 0 raw, 1 VP8L green channel), filter
+    (bits 2-3), preprocessing (bits 4-5, informative)."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    hdr = body[0]
+    compression = hdr & 3
+    filt = (hdr >> 2) & 3
+    if compression == 0:
+        raw = body[1:1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("short raw ALPH plane")
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+        a = a.reshape(h, w).copy()
+    elif compression == 1:
+        b = _LsbBits(body, 1)
+        argb, transforms = _decode_image_stream(b, w, h, True)
+        px, w2 = _apply_inverse_transforms(argb, w, h, transforms)
+        if w2 != w:
+            raise ValueError("ALPH sub-stream width mismatch")
+        a = px[:, 2].astype(np.int32).reshape(h, w)   # green channel
+    else:
+        raise ValueError("reserved ALPH compression method")
+    return _unfilter_alpha(a, filt).astype(np.uint8)
+
+
+def alpha_chunk_bytes(alpha: np.ndarray, compression: int = 1,
+                      filt: int = 0) -> bytes:
+    """(h, w) uint8 alpha plane -> ALPH chunk body (fixture
+    encoder; compression 0 = raw, 1 = VP8L green channel)."""
+    alpha = np.asarray(alpha, dtype=np.uint8)
+    h, w = alpha.shape
+    res = _filter_alpha(alpha, filt).astype(np.uint8)
+    hdr = bytes(((0 << 4) | (filt << 2) | compression,))
+    if compression == 0:
+        return hdr + res.tobytes()
+    wtr = _LsbWriter()
+    wtr.write(0, 1)                        # no transforms
+    px = np.zeros((h * w, 4), dtype=np.int32)
+    px[:, 0] = 255
+    px[:, 2] = res.ravel()                 # alpha in the green channel
+    _encode_substream(wtr, px, w, h, level0=True)
+    wtr.align()
+    return hdr + bytes(wtr.out)
