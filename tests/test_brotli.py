@@ -213,3 +213,89 @@ class TestBlockSwitching:
         # MSB6 context mode with a context-keyed map: tree choice
         # depends on the previous byte, not the block type
         assert br.decompress(br.compress_ctx(data)) == data
+
+    def test_ring_and_implicit_distances(self):
+        # periodic data -> several same-distance copies: the encoder
+        # must emit implicit-zone commands / distance symbol 0 and
+        # the decoder's ring buffer must track them
+        t = b"abcdefgh" * 2000
+        cmds = br._greedy_lz(t)
+        last = None
+        implicit = ring0 = 0
+        for ins, lits, cop, dist in cmds:
+            if cop == 0:
+                continue
+            _, dsym, _ = br._command_symbol_for(ins, cop, dist, last)
+            if dsym is None:
+                implicit += 1
+            elif dsym[0] == 0:
+                ring0 += 1
+            last = dist
+        assert implicit + ring0 >= 2
+        assert br.decompress(br.compress(t, mode="lz")) == t
+
+    def test_metadata_metablock_skipped(self):
+        # hand-build: metadata meta-block (MNIBBLES=0) skipping 3
+        # bytes, then an uncompressed block, then last-empty
+        w = br._BitWriter()
+        w.write(0, 1)        # wbits 16
+        w.write(0, 1)        # not last
+        w.write(3, 2)        # MNIBBLES code 3 -> metadata
+        w.write(0, 1)        # reserved
+        w.write(1, 2)        # MSKIPBYTES = 1
+        w.write(2, 8)        # skip = 2 + 1 = 3
+        w.align()
+        w.raw(b"\xde\xad\xbf")
+        w.write(0, 1)        # not last
+        w.write(0, 2)        # MNIBBLES = 4
+        w.write(4, 16)       # MLEN = 5
+        w.write(1, 1)        # uncompressed
+        w.align()
+        w.raw(b"hello")
+        w.write(1, 1)
+        w.write(1, 1)        # last, empty
+        assert br.decompress(w.bytes()) == b"hello"
+
+    def test_implicit_distance_zone(self):
+        # cmd < 128: the decoder must take ring[0] WITHOUT reading a
+        # distance symbol. Stream: insert "ab", copy 4 @ dist 2
+        # (explicit), then an implicit-zone command copying 4 more.
+        w = br._BitWriter()
+        w.write(0, 1)        # wbits
+        w.write(1, 1)        # ISLAST
+        w.write(0, 1)        # not empty
+        w.write(0, 2)        # MNIBBLES=4
+        w.write(9, 16)       # MLEN = 10
+        for _ in range(3):
+            w.write(0, 1)    # one block type each
+        w.write(0, 2)        # NPOSTFIX
+        w.write(0, 4)        # NDIRECT
+        w.write(0, 2)        # context mode
+        w.write(0, 1)        # NTREESL=1
+        w.write(0, 1)        # NTREESD=1
+        # literal code: simple 2-symbol {a, b}
+        w.write(1, 2)
+        w.write(1, 2)
+        w.write(ord("a"), 8)
+        w.write(ord("b"), 8)
+        # command code: 2 symbols — explicit (ins 2, copy 4) and
+        # implicit (ins 0, copy 4)
+        c_exp = br._cmd_symbol(2, 2, implicit=False)   # ins 2, cop 4
+        c_imp = br._cmd_symbol(0, 2, implicit=True)    # ins 0, cop 4
+        lo, hi = sorted((c_exp, c_imp))
+        w.write(1, 2)
+        w.write(1, 2)
+        w.write(lo, 10)
+        w.write(hi, 10)
+        # distance code: single symbol 16 (dcode 0: nbits 1, off 0)
+        w.write(1, 2)
+        w.write(0, 2)
+        w.write(16, 6)
+        # body: explicit command (canonical 1-bit codes by symbol)
+        w.write(0 if c_exp == lo else 1, 1)
+        w.write(0, 1)        # literal 'a'
+        w.write(1, 1)        # literal 'b'
+        w.write(1, 1)        # distance extra bit -> dist 2
+        # implicit command: no distance read
+        w.write(0 if c_imp == lo else 1, 1)
+        assert br.decompress(w.bytes() + b"\x00\x00") == b"ababababab"

@@ -908,8 +908,12 @@ def compress(data: bytes, mode: str = "literals") -> bytes:
     lit_lens = _huffman_lengths(lit_freq)
     # command code over used command symbols
     cmd_syms = []
+    last_dist = None
     for ins_len, lits, cop_len, dist in cmds:
-        cmd_syms.append(_command_symbol_for(ins_len, cop_len, dist))
+        cmd_syms.append(_command_symbol_for(ins_len, cop_len, dist,
+                                            last_dist))
+        if cop_len:
+            last_dist = dist
     cmd_freq: dict[int, int] = {}
     for sym, _, _ in cmd_syms:
         cmd_freq[sym] = cmd_freq.get(sym, 0) + 1
@@ -956,35 +960,48 @@ def compress(data: bytes, mode: str = "literals") -> bytes:
     return w.bytes()
 
 
-def _command_symbol_for(ins_len: int, cop_len: int, dist: int):
+def _command_symbol_for(ins_len: int, cop_len: int, dist: int,
+                        last_dist: int | None = None):
     """-> (cmd symbol, (dist_sym, extra, extra_bits) | None,
     (ins_code, ins_extra, cop_code, cop_extra)). ``cop_len`` 0 means
     the tail command whose copy is cut off by MLEN (any legal copy
-    code works; we use code 0 = length 2)."""
+    code works; we use code 0 = length 2). When the distance repeats
+    ``last_dist``, the command uses the ring buffer: an implicit-
+    distance zone when the codes fit (cmd < 128 reads no distance
+    symbol at all), else distance symbol 0 (= ring[0], no push)."""
     ins_code, ins_extra = _len_code(ins_len, INSERT_BASE, INSERT_EXTRA)
     if cop_len == 0:
         cop_code, cop_extra = 0, 0
-        implicit = False
         dsym = None
-    else:
-        cop_code, cop_extra = _len_code(cop_len, COPY_BASE, COPY_EXTRA)
-        implicit = False
-        # distance symbol, NPOSTFIX=0 NDIRECT=0: sym >= 16
-        dcode_val = dist - 1    # NDIRECT + 1 subtracted
-        # find (nbits, hi) with ((2+hi) << nbits) - 4 <= dcode_val
-        dsym = None
-        for nb in range(1, 25):
-            for hi in (0, 1):
-                off = ((2 + hi) << nb) - 4
-                if off <= dcode_val < off + (1 << nb):
-                    sym = 16 + ((nb - 1) << 1) + hi
-                    dsym = (sym, dcode_val - off, nb)
-                    break
-            if dsym:
+        sym = _cmd_symbol(ins_code, cop_code, implicit=False)
+        return sym, dsym, (ins_code, ins_extra, cop_code, cop_extra)
+    cop_code, cop_extra = _len_code(cop_len, COPY_BASE, COPY_EXTRA)
+    if last_dist is not None and dist == last_dist:
+        if ins_code < 16 and cop_code < 16:
+            try:
+                sym = _cmd_symbol(ins_code, cop_code, implicit=True)
+                return sym, None, (ins_code, ins_extra, cop_code,
+                                   cop_extra)
+            except ValueError:
+                pass
+        sym = _cmd_symbol(ins_code, cop_code, implicit=False)
+        return sym, (0, 0, 0), (ins_code, ins_extra, cop_code,
+                                cop_extra)
+    # explicit distance, NPOSTFIX=0 NDIRECT=0: sym >= 16
+    dcode_val = dist - 1    # NDIRECT + 1 subtracted
+    # find (nbits, hi) with ((2+hi) << nbits) - 4 <= dcode_val
+    dsym = None
+    for nb in range(1, 25):
+        for hi in (0, 1):
+            off = ((2 + hi) << nb) - 4
+            if off <= dcode_val < off + (1 << nb):
+                sym = 16 + ((nb - 1) << 1) + hi
+                dsym = (sym, dcode_val - off, nb)
                 break
-        if dsym is None:
-            raise ValueError("distance out of range")
-    # a non-implicit zone so the decoder reads our explicit distance
+        if dsym:
+            break
+    if dsym is None:
+        raise ValueError("distance out of range")
     sym = _cmd_symbol(ins_code, cop_code, implicit=False)
     return sym, dsym, (ins_code, ins_extra, cop_code, cop_extra)
 
@@ -1002,9 +1019,10 @@ def _greedy_lz(data: bytes, min_match: int = 4):
         j = table.get(key)
         table[key] = i
         if j is not None and i - j <= (1 << 16) - 16:
-            # extend match
+            # extend match (capped so long periodic runs become
+            # several same-distance copies -> ring/implicit codes)
             length = min_match
-            while (i + length < n and length < 2118 + 16000
+            while (i + length < n and length < 1024
                    and data[j + length] == data[i + length]):
                 length += 1
             length = min(length, n - i)
