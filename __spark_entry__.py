@@ -3011,6 +3011,41 @@ def _q_extract_media_dims(spark, sf_dir):
                       height.cast("long").alias("height"))
 
 
+def _q_media_heif_meta(spark, sf_dir):
+    """AVIF/HEIC dimensions through the staged metadata pipeline:
+    ISO-BMFF meta/iprp/ipco walk to the ispe extents
+    (analysis/isobmff.py heif_dims); every odd id carries a smaller
+    thumbnail ispe that must lose to the primary extent. Detection
+    is the ftyp-brand magic; the reference's image tier is
+    dimensions-only, matched here for the two modern web formats it
+    predates."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import heif_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            w = 64 + (i * 13) % 1920
+            h = 48 + (i * 7) % 1080
+            brand = b"avif" if i % 2 == 0 else b"heic"
+            thumb = (w // 4, h // 4) if i % 2 else None
+            out.append(heif_bytes(w, h, brand=brand, thumb=thumb))
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="metadata")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md["width"], 1).cast("long").alias("width"),
+        F.element_at(md["height"], 1).cast("long").alias("height"))
+
+
 def _swf_wrap_udf():
     """Uncompressed SWF header per row: version 9, 16-bit RECT fields
     in twips derived from doc_id."""
@@ -4875,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_xmp_meta": _q_media_xmp_meta,
         "media_font_meta": _q_media_font_meta,
+        "media_heif_meta": _q_media_heif_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_webp_stats": _q_media_webp_stats,
         "media_webp_lossy_stats": _q_media_webp_lossy_stats,
@@ -5356,6 +5392,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming "
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.h, b.h)) <= 7"),
+        "media_heif_meta": (
+            # ispe extents are pure doc_id arithmetic; thumbnails
+            # (odd ids) are strictly smaller and must lose
+            "SELECT 'doc://' || doc_id AS url, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image/avif' "
+            "ELSE 'image/heic' END AS mime, "
+            "(64 + (doc_id * 13) % 1920)::BIGINT AS width, "
+            "(48 + (doc_id * 7) % 1080)::BIGINT AS height "
+            "FROM documents"),
         "media_font_meta": (
             # name records are deterministic strings of the doc id;
             # TTF carries them raw, WOFF zlib-wrapped, WOFF2

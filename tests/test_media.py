@@ -706,3 +706,21 @@ class TestMidiText:
                 + b"not a track")
         r = extract_media(blob, mime="audio/midi")
         assert r["text"] == "" and r["metadata"]["tracks"] == ["2"]
+
+
+class TestHeif:
+    def test_avif_dims(self):
+        from tika_spark.analysis.isobmff import heif_bytes, heif_dims
+        assert heif_dims(heif_bytes(800, 600)) == (800, 600)
+        # thumbnail ispe must lose to the primary extent
+        assert heif_dims(heif_bytes(1920, 1080, brand=b"heic",
+                                    thumb=(160, 90))) == (1920, 1080)
+        assert heif_dims(b"") is None
+        assert heif_dims(b"\x00\x00\x00\x08ftyp") is None
+
+    def test_extract_media_route(self):
+        from tika_spark.analysis.isobmff import heif_bytes
+        from tika_spark.media import extract_media
+        m = extract_media(heif_bytes(640, 480), mime="image/avif")
+        assert m["metadata"]["width"] == ["640"]
+        assert m["metadata"]["height"] == ["480"]

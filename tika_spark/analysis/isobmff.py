@@ -403,3 +403,47 @@ def m4a_fixture(doc_id: int) -> bytes:
                      global_gain=100 + doc_id % 20)
     aus, _rate = adts_to_aus(adts)
     return mp4a_bytes(aus, rate_index=rate_index, channels=nch)
+
+
+def heif_dims(data: bytes):
+    """AVIF/HEIC image dimensions: meta → iprp → ipco → ispe
+    (ImageSpatialExtents, a FullBox of width/height uint32). Returns
+    the LARGEST ispe (thumbnails carry their own smaller ones), or
+    None."""
+    data = bytes(data or b"")
+    best = None
+    for fourcc, b, e in iter_boxes(data, 0, len(data)):
+        if fourcc != b"meta":
+            continue
+        # meta is a FullBox: 4 bytes version/flags before children
+        span = _descend(data, b + 4, e, [b"iprp", b"ipco"])
+        if span is None:
+            continue
+        cb, ce = span
+        for fc, ib, ie in iter_boxes(data, cb, ce):
+            if fc == b"ispe" and ie - ib >= 12:
+                w = int.from_bytes(data[ib + 4:ib + 8], "big")
+                h = int.from_bytes(data[ib + 8:ib + 12], "big")
+                if w and h and (best is None or w * h > best[0] * best[1]):
+                    best = (w, h)
+    return best
+
+
+def heif_bytes(width: int, height: int, brand: bytes = b"avif",
+               thumb: tuple | None = None) -> bytes:
+    """Minimal AVIF/HEIC fixture: ftyp + meta/iprp/ipco with one (or
+    two, with ``thumb``) ispe property boxes. Payload-free (the
+    metadata tier reads dimensions only)."""
+    ftyp = _box(b"ftyp", brand + (0).to_bytes(4, "big") + brand)
+    ispe = _full(b"ispe", width.to_bytes(4, "big")
+                 + height.to_bytes(4, "big"))
+    props = ispe
+    if thumb:
+        props += _full(b"ispe", thumb[0].to_bytes(4, "big")
+                       + thumb[1].to_bytes(4, "big"))
+    ipco = _box(b"ipco", props)
+    iprp = _box(b"iprp", ipco)
+    hdlr = _full(b"hdlr", (0).to_bytes(4, "big") + b"pict"
+                 + b"\x00" * 12 + b"\x00")
+    meta = _full(b"meta", hdlr + iprp)
+    return ftyp + meta

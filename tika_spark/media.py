@@ -150,6 +150,13 @@ def _webp_dims(data: bytes):
     return None
 
 
+def _heif_dims(data: bytes):
+    """AVIF/HEIC: ISO-BMFF meta/iprp/ipco ispe walk
+    (analysis/isobmff.py) — largest extent wins over thumbnails."""
+    from tika_spark.analysis.isobmff import heif_dims
+    return heif_dims(data)
+
+
 def _ico_dims(data: bytes):
     """ICO: first directory entry's width/height bytes (0 means 256)."""
     if len(data) < 8 or data[:4] != b"\x00\x00\x01\x00":
@@ -167,6 +174,8 @@ _BY_MIME = {
     "image/vnd.adobe.photoshop": _psd_dims,
     "image/webp": _webp_dims,
     "image/x-icon": _ico_dims,
+    "image/avif": _heif_dims,
+    "image/heic": _heif_dims,
 }
 
 def _webp_exif(data: bytes) -> dict[str, list[str]]:
