@@ -3046,6 +3046,79 @@ def _q_media_heif_meta(spark, sf_dir):
         F.element_at(md["height"], 1).cast("long").alias("height"))
 
 
+def _q_media_jxl_meta(spark, sf_dir):
+    """JPEG XL dimensions through the staged metadata pipeline:
+    LSB-first SizeHeader parse (small mode, U32 sizes, the 7-entry
+    aspect-ratio table) for raw codestreams; ids rotate small-mode
+    8x-multiple dims, explicit dims, and ratio-coded widths."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        def jxl_bytes(w, h, small=False, ratio=0):
+            bits = []
+
+            def put(v, n):
+                for k in range(n):
+                    bits.append((v >> k) & 1)
+
+            def u32(v):
+                for sel, n in enumerate((9, 13, 18, 30)):
+                    if v - 1 < (1 << n):
+                        put(sel, 2)
+                        put(v - 1, n)
+                        return
+                raise ValueError
+
+            put(1 if small else 0, 1)
+            if small:
+                put(h // 8 - 1, 5)
+            else:
+                u32(h)
+            put(ratio, 3)
+            if ratio == 0:
+                if small:
+                    put(w // 8 - 1, 5)
+                else:
+                    u32(w)
+            out = bytearray()
+            for i2 in range(0, len(bits), 8):
+                byte = 0
+                for k, b in enumerate(bits[i2:i2 + 8]):
+                    byte |= b << k
+                out.append(byte)
+            return b"\xff\x0a" + bytes(out) + b"\x00" * 4
+
+        out = []
+        for i in ids:
+            i = int(i)
+            v = i % 3
+            if v == 0:          # small mode: multiples of 8, <= 256
+                w = 8 * (1 + (i * 5) % 32)
+                h = 8 * (1 + (i * 3) % 32)
+                out.append(jxl_bytes(w, h, small=True))
+            elif v == 1:        # explicit dims
+                w = 64 + (i * 13) % 3000
+                h = 48 + (i * 7) % 2000
+                out.append(jxl_bytes(w, h))
+            else:               # 16:9 ratio-coded width
+                h = 90 + (i * 11) % 900
+                out.append(jxl_bytes(0, h, ratio=5))
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".jxl"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="metadata")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md["width"], 1).cast("long").alias("width"),
+        F.element_at(md["height"], 1).cast("long").alias("height"))
+
+
 def _swf_wrap_udf():
     """Uncompressed SWF header per row: version 9, 16-bit RECT fields
     in twips derived from doc_id."""
@@ -4911,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_xmp_meta": _q_media_xmp_meta,
         "media_font_meta": _q_media_font_meta,
         "media_heif_meta": _q_media_heif_meta,
+        "media_jxl_meta": _q_media_jxl_meta,
         "media_pixel_stats": _q_media_pixel_stats,
         "media_webp_stats": _q_media_webp_stats,
         "media_webp_lossy_stats": _q_media_webp_lossy_stats,
@@ -5392,6 +5466,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming "
             "FROM h a JOIN h b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.h, b.h)) <= 7"),
+        "media_jxl_meta": (
+            # three SizeHeader wire forms, all doc_id arithmetic;
+            # ratio form: width = h * 16 / 9 floor
+            "SELECT 'doc://' || doc_id || '.jxl' AS url, "
+            "'image/jxl' AS mime, "
+            "CASE doc_id % 3 "
+            "WHEN 0 THEN 8 * (1 + (doc_id * 5) % 32) "
+            "WHEN 1 THEN 64 + (doc_id * 13) % 3000 "
+            "ELSE ((90 + (doc_id * 11) % 900) * 16) // 9 "
+            "END::BIGINT AS width, "
+            "CASE doc_id % 3 "
+            "WHEN 0 THEN 8 * (1 + (doc_id * 3) % 32) "
+            "WHEN 1 THEN 48 + (doc_id * 7) % 2000 "
+            "ELSE 90 + (doc_id * 11) % 900 "
+            "END::BIGINT AS height "
+            "FROM documents"),
         "media_heif_meta": (
             # ispe extents are pure doc_id arithmetic; thumbnails
             # (odd ids) are strictly smaller and must lose

@@ -724,3 +724,50 @@ class TestHeif:
         m = extract_media(heif_bytes(640, 480), mime="image/avif")
         assert m["metadata"]["width"] == ["640"]
         assert m["metadata"]["height"] == ["480"]
+
+
+class TestJxl:
+    def _jxl(self, w, h, small=False, ratio=0):
+        bits = []
+
+        def put(v, n):
+            for k in range(n):
+                bits.append((v >> k) & 1)
+
+        def u32(v):
+            for sel, n in enumerate((9, 13, 18, 30)):
+                if v - 1 < (1 << n):
+                    put(sel, 2)
+                    put(v - 1, n)
+                    return
+
+        put(1 if small else 0, 1)
+        put(h // 8 - 1, 5) if small else u32(h)
+        put(ratio, 3)
+        if ratio == 0:
+            put(w // 8 - 1, 5) if small else u32(w)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for k, b in enumerate(bits[i:i + 8]):
+                byte |= b << k
+            out.append(byte)
+        return b"\xff\x0a" + bytes(out) + b"\x00" * 4
+
+    def test_dims(self):
+        from tika_spark.media import _jxl_dims
+        assert _jxl_dims(self._jxl(640, 480)) == (640, 480)
+        assert _jxl_dims(self._jxl(64, 32, small=True)) == (64, 32)
+        assert _jxl_dims(self._jxl(0, 90, ratio=5)) == (160, 90)
+        assert _jxl_dims(b"\xff\x0a") is None
+        assert _jxl_dims(b"junk") is None
+
+    def test_container_form(self):
+        from tika_spark.media import _jxl_dims
+
+        def box(fcc, body):
+            return (8 + len(body)).to_bytes(4, "big") + fcc + body
+
+        cont = ((12).to_bytes(4, "big") + b"JXL " + b"\r\n\x87\n"
+                + box(b"jxlc", self._jxl(800, 600)))
+        assert _jxl_dims(cont) == (800, 600)

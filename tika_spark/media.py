@@ -150,6 +150,66 @@ def _webp_dims(data: bytes):
     return None
 
 
+def _jxl_dims(data: bytes):
+    """JPEG XL: SizeHeader at the head of the codestream (LSB-first
+    bits: small-mode 8x multiples, U32-coded ysize, aspect-ratio
+    table), or the same codestream inside an ISO-BMFF ``jxlc`` box
+    (container form, magic 0000000C 4A584C20)."""
+    if data[:2] == b"\xff\x0a":
+        return _jxl_size_header(data[2:])
+    if len(data) >= 12 and data[4:8] == b"JXL ":
+        # ISO-BMFF container: find the jxlc box
+        from tika_spark.analysis.isobmff import iter_boxes
+        try:
+            for fourcc, b, e in iter_boxes(data, 0, len(data)):
+                if fourcc == b"jxlc":
+                    body = data[b:e]
+                    if body[:2] == b"\xff\x0a":
+                        return _jxl_size_header(body[2:])
+        except Exception:
+            return None
+    return None
+
+
+def _jxl_size_header(bits_data: bytes):
+    pos = [0]
+
+    def u(n):
+        v = 0
+        for k in range(n):
+            byte_i = pos[0] >> 3
+            if byte_i >= len(bits_data):
+                raise ValueError("truncated JXL size header")
+            v |= ((bits_data[byte_i] >> (pos[0] & 7)) & 1) << k
+            pos[0] += 1
+        return v
+
+    def u32(c0, c1, c2, c3):
+        sel = u(2)
+        n = (c0, c1, c2, c3)[sel]
+        return u(n) + 1
+
+    try:
+        small = u(1)
+        if small:
+            ysize = (u(5) + 1) * 8
+        else:
+            ysize = u32(9, 13, 18, 30)
+        ratio = u(3)
+        if ratio == 0:
+            if small:
+                xsize = (u(5) + 1) * 8
+            else:
+                xsize = u32(9, 13, 18, 30)
+        else:
+            num, den = ((1, 1), (12, 10), (4, 3), (3, 2),
+                        (16, 9), (5, 4), (2, 1))[ratio - 1]
+            xsize = (ysize * num) // den
+        return (xsize, ysize) if xsize and ysize else None
+    except ValueError:
+        return None
+
+
 def _heif_dims(data: bytes):
     """AVIF/HEIC: ISO-BMFF meta/iprp/ipco ispe walk
     (analysis/isobmff.py) — largest extent wins over thumbnails."""
@@ -176,6 +236,7 @@ _BY_MIME = {
     "image/x-icon": _ico_dims,
     "image/avif": _heif_dims,
     "image/heic": _heif_dims,
+    "image/jxl": _jxl_dims,
 }
 
 def _webp_exif(data: bytes) -> dict[str, list[str]]:

@@ -88,6 +88,7 @@ ROUTE_TABLE = {
     "image/webp": "media",
     "image/avif": "media",
     "image/heic": "media",
+    "image/jxl": "media",
     "video/x-msvideo": "media",
     "audio/x-wav": "media",
     "audio/x-flac": "media",
