@@ -1908,6 +1908,40 @@ def _q_extract_recursive_zip(spark, sf_dir):
                       "text")
 
 
+def _q_extract_recursive_zstd(spark, sf_dir):
+    """F1 recursion through the from-scratch Zstandard decoder
+    (analysis/zstdcodec.py): every doc's text compressed as a genuine
+    zstd frame, cycling the encoder's wire forms — raw blocks,
+    literals-only, greedy-LZ with predefined FSE sequence tables,
+    Huffman literals (direct weights), and explicit-FSE LL tables
+    with FSE-coded Huffman weights. Parent rows carry the member
+    name, exploded children the decompressed text. The reference
+    needs the optional zstd-jni jar for this route
+    (CompressorParser.java); here it is first-class."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(df: pd.DataFrame) -> pd.Series:
+        from tika_spark.analysis.zstdcodec import compress
+        out = []
+        for i, t in zip(df["doc_id"], df["text"]):
+            mode = ("raw", "literals", "lz", "huff",
+                    "fse")[int(i) % 5]
+            out.append(compress((t or "").encode("utf-8"),
+                                mode=mode))
+        return pd.Series(out)
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".txt.zst"))
+        .alias("url"),
+        wrap(F.struct("doc_id", "text")).alias("html"))
+    out = extract_recursive(pages, mode="text")
+    return out.select("url", F.col("depth").cast("long").alias("depth"),
+                      "text")
+
+
 def _q_extract_pdf_images(spark, sf_dir):
     """PDF embedded-image extraction (pdf/parser.py page_images →
     children → F1 recursion): each row is a PDF carrying one
@@ -5016,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mpegts_frames": _q_media_mpegts_frames,
         "media_apng_frames": _q_media_apng_frames,
         "extract_recursive_zip": _q_extract_recursive_zip,
+        "extract_recursive_zstd": _q_extract_recursive_zstd,
         "extract_pdf_images": _q_extract_pdf_images,
         "extract_sevenz_recursive": _q_extract_sevenz_recursive,
         "extract_sqlite_text": _q_extract_sqlite_text,
@@ -6038,6 +6073,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS depth, 'doc.txt' || chr(10) AS text "
             "FROM documents UNION ALL "
             "SELECT 'doc://' || doc_id || '.zip!/doc.txt' AS url, "
+            "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
+            "FROM documents"),
+        "extract_recursive_zstd": (
+            # parent rows: the member name text; children: the
+            # losslessly decompressed document text
+            "SELECT 'doc://' || doc_id || '.txt.zst' AS url, "
+            "CAST(0 AS BIGINT) AS depth, "
+            "CAST(doc_id AS VARCHAR) || '.txt' || chr(10) AS text "
+            "FROM documents UNION ALL "
+            "SELECT 'doc://' || doc_id || '.txt.zst!/' || doc_id "
+            "|| '.txt' AS url, "
             "CAST(1 AS BIGINT) AS depth, text || chr(10) AS text "
             "FROM documents"),
         "extract_sevenz_recursive": (

@@ -1,0 +1,176 @@
+"""Zstandard codec (analysis/zstdcodec.py): FSE machinery, huffman
+weights (direct + FSE form), all encoder modes, repeat offsets,
+multi-block frames, skippable frames, guards, archive-tier
+integration, and fuzz robustness."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tika_spark.analysis import zstdcodec as z
+
+
+class TestFse:
+    def test_predefined_tables_build(self):
+        for counts, acc in ((z.LL_DEFAULT, 6), (z.ML_DEFAULT, 6),
+                            (z.OF_DEFAULT, 5)):
+            t = z._fse_decode_table(list(counts), acc)
+            assert len(t) == 1 << acc
+            # EACH SYMBOL's intervals partition the state space (the
+            # property the backward FSE encoder relies on)
+            iv = z._fse_intervals(t)
+            for sym, lst in iv.items():
+                pos = 0
+                for lo, hi, *_ in sorted(lst):
+                    assert lo == pos, (sym, lst)
+                    pos = hi
+                assert pos == 1 << acc, sym
+
+    @given(st.lists(st.integers(1, 40), min_size=2, max_size=10))
+    @settings(max_examples=40, deadline=None)
+    def test_distribution_roundtrip(self, raw):
+        acc = 6
+        size = 1 << acc
+        total = sum(raw)
+        counts = [max(1, (c * size) // total) for c in raw]
+        while sum(counts) > size:
+            counts[counts.index(max(counts))] -= 1
+        counts[-1] += size - sum(counts)
+        if counts[-1] <= 0:
+            return
+        blob = z._fse_write_distribution(counts, acc)
+        got, acc2, _ = z._fse_read_distribution(blob, 0, 9, 60)
+        a, b = list(counts), list(got)
+        while a and a[-1] == 0:
+            a.pop()
+        while b and b[-1] == 0:
+            b.pop()
+        assert acc2 == acc and a == b
+
+    def test_backward_stream(self):
+        bw = z._BackWriter()
+        fields = [(5, 3), (0, 2), (1023, 10), (1, 1)]
+        for v, n in fields:
+            bw.write(v, n)
+        bits = z._BackBits(bw.bytes())
+        for v, n in fields:
+            assert bits.read(n) == v
+        assert bits.exhausted()
+
+
+class TestRoundTrip:
+    CASES = [
+        b"",
+        b"x",
+        b"hello world hello world hello world hello world",
+        bytes(range(256)) * 4,
+        b"abcabcabcabcabcabcabcabcabc",
+        b"a" * 10000,
+        b"The quick brown fox jumps over the lazy dog. " * 200,
+    ]
+
+    @pytest.mark.parametrize("mode", ["raw", "literals", "lz",
+                                      "huff", "fse"])
+    def test_cases(self, mode):
+        for t in self.CASES:
+            assert z.decompress(z.compress(t, mode=mode)) == t
+
+    @given(st.binary(min_size=0, max_size=5000),
+           st.sampled_from(["raw", "literals", "lz", "huff", "fse"]))
+    @settings(max_examples=80, deadline=None)
+    def test_random(self, data, mode):
+        assert z.decompress(z.compress(data, mode=mode)) == data
+
+    def test_rle_blocks(self):
+        t = b"q" * 300000
+        enc = z.compress(t, mode="rle")
+        assert len(enc) < 30
+        assert z.decompress(enc) == t
+
+    def test_multi_block_with_cross_block_offsets(self):
+        t = (b"0123456789abcdef" * 5000)[: (1 << 17) + 5000]
+        enc = z.compress(t, mode="lz")
+        assert z.decompress(enc) == t
+
+    def test_repeat_offsets_used(self):
+        # periodic data: after the first explicit offset, later
+        # sequences must ride the repeat ring (coded values 1-3)
+        t = b"abcdefgh" * 4000
+        seqs, tail = z._greedy_matches(t)
+        reps = [1, 4, 8]
+        coded = [z._choose_of_value(off, ll, reps) or
+                 z._apply_offset(z._choose_of_value(off, ll, reps),
+                                 ll, reps)
+                 for ll, ml, off in seqs]
+        assert z.decompress(z.compress(t, mode="lz")) == t
+
+    def test_lz_compresses(self):
+        t = b"spark and tika and spark and tika. " * 400
+        assert len(z.compress(t, mode="lz")) < len(t) // 20
+
+    def test_huff_treeless_reuse(self):
+        # small blocks with shared alphabet: later blocks can reuse
+        # the previous huffman tree (treeless literals, type 3)
+        t = (b"structured text " * 40)[:600] * 3
+        enc = z.compress(t, mode="huff", block_cap=600)
+        assert z.decompress(enc) == t
+
+    def test_skippable_frame(self):
+        enc = z.compress(b"payload", mode="lz")
+        skip = (0x184D2A50).to_bytes(4, "little") \
+            + (5).to_bytes(4, "little") + b"meta!"
+        assert z.decompress(skip + enc) == b"payload"
+
+    def test_max_out_guard(self):
+        enc = z.compress(b"w" * 200000, mode="rle")
+        with pytest.raises(ValueError, match="max_out"):
+            z.decompress(enc, max_out=50000)
+
+    def test_dictionary_rejected(self):
+        enc = bytearray(z.compress(b"abc", mode="raw"))
+        enc[4] |= 1              # dict-id flag = 1 byte
+        enc.insert(5, 7)         # non-zero dictionary id
+        with pytest.raises(ValueError, match="dictionar"):
+            z.decompress(bytes(enc))
+
+    def test_content_size_verified(self):
+        enc = bytearray(z.compress(b"abcdef", mode="raw"))
+        enc[5] = 99              # lie about the content size
+        with pytest.raises(ValueError, match="content size"):
+            z.decompress(bytes(enc))
+
+    @given(st.integers(0, 2 ** 32 - 1))
+    @settings(max_examples=120, deadline=None)
+    def test_fuzz_never_hangs(self, seed):
+        rng = np.random.RandomState(seed % (2 ** 31))
+        mode = ("raw", "literals", "lz", "huff", "fse")[seed % 5]
+        base = z.compress(rng.randint(0, 256, 400,
+                                      dtype=np.uint8).tobytes(),
+                          mode=mode)
+        buf = bytearray(base)
+        if seed % 2 and len(buf) > 2:
+            buf = buf[:rng.randint(1, len(buf))]
+        for _ in range(rng.randint(1, 5)):
+            buf[rng.randint(0, len(buf))] ^= int(rng.randint(1, 256))
+        try:
+            out = z.decompress(bytes(buf), max_out=1 << 22)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+class TestArchiveTier:
+    def test_package_extraction(self):
+        from tika_spark.pkg.parser import extract_package
+        inner = b"zstd member text. " * 30
+        raw = z.compress(inner, mode="huff")
+        out = extract_package(raw, url="http://x/report.txt.zst")
+        assert out["status"] == "ok"
+        assert out["children"][0][0] == "report.txt"
+        assert out["children"][0][1] == inner
+
+    def test_magic_detection(self):
+        from tika_spark.mime.detector import detect
+        raw = z.compress(b"hello", mode="raw")
+        assert detect(raw, None) == "application/zstd"

@@ -108,7 +108,7 @@ ROUTE_TABLE = {
     # and re-enter recursion like gzip/bzip2 (PackageParser xz route)
     "application/x-xz": "pkg",
     "application/x-lzma": "pkg",
-    "application/zstd": "media",
+    "application/zstd": "pkg",
     "application/x-msdownload": "media",
     "application/x-elf": "media",
     "application/x-parquet": "media",

@@ -78,6 +78,18 @@ def _gzip_child(data: bytes, url: str | None, budget: int):
     return [(name, payload)], truncated
 
 
+def _zstd_child(data: bytes, url: str | None, budget: int):
+    """Zstandard member (from-scratch decoder, analysis/zstdcodec.py)
+    — one logical child like the gzip/bzip2/xz members."""
+    from tika_spark.analysis.zstdcodec import decompress
+    payload = decompress(data, max_out=budget)
+    name = "zst-entry"
+    if url:
+        base = url.rstrip("/").rsplit("/", 1)[-1]
+        name = base[:-4] if base.lower().endswith(".zst") else base
+    return [(name, payload)], False
+
+
 def _tar_children(data: bytes, budget: int):
     out, used, truncated = [], 0, False
     with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
@@ -219,7 +231,7 @@ _HANDLER_FAMILIES = frozenset((
     "application/x-gzip", "application/x-bzip2", "application/x-tar",
     "application/x-archive", "application/x-cpio", "application/zip",
     "application/x-xz", "application/x-lzma",
-    "application/x-7z-compressed"))
+    "application/zstd", "application/x-7z-compressed"))
 
 
 def extract_package(data: bytes, url: str | None = None,
@@ -234,6 +246,8 @@ def extract_package(data: bytes, url: str | None = None,
         mime = ("application/x-gzip" if data[:2] == b"\x1f\x8b" else
                 "application/x-bzip2" if data[:3] == b"BZh" else
                 "application/x-xz" if data[:6] == b"\xfd7zXZ\x00" else
+                "application/zstd"
+                if data[:4] == b"\x28\xb5\x2f\xfd" else
                 "application/x-7z-compressed"
                 if data[:6] == b"7z\xbc\xaf\x27\x1c" else
                 "application/x-tar" if data[257:262] == b"ustar" else
@@ -261,6 +275,8 @@ def extract_package(data: bytes, url: str | None = None,
             children, truncated = _cpio_children(data, budget)
         elif mime in ("application/x-xz", "application/x-lzma"):
             children, truncated = _xz_child(data, url, budget)
+        elif mime == "application/zstd":
+            children, truncated = _zstd_child(data, url, budget)
         elif mime == "application/x-7z-compressed":
             from tika_spark.pkg.sevenz import sevenz_children
             children, truncated = sevenz_children(
