@@ -174,3 +174,50 @@ class TestArchiveTier:
         from tika_spark.mime.detector import detect
         raw = z.compress(b"hello", mode="raw")
         assert detect(raw, None) == "application/zstd"
+
+
+class TestWarcZst:
+    def _blob(self, n=6, with_dict=True):
+        from tika_spark.fixtures.warcgen import warc_zst
+        recs = [(f"http://ex.com/{i}", "2026-08-19T00:00:00Z",
+                 f"<html><body>page {i}</body></html>".encode())
+                for i in range(n)]
+        return warc_zst(recs, with_dict_frame=with_dict)
+
+    def test_stream_pages(self):
+        import io
+        from tika_spark.sources.warc import warc_pages_from
+        pages = list(warc_pages_from(io.BytesIO(self._blob()).read,
+                                     zst=True))
+        assert len(pages) == 6
+        assert all(p["status"] == "ok" for p in pages)
+        assert pages[3]["url"] == "http://ex.com/3"
+        assert b"page 3" in pages[3]["html"]
+
+    def test_multi_record_frame(self):
+        import io
+        from tika_spark.sources.warc import (build_record,
+                                             warc_pages_from)
+        r1 = build_record("http://x/a", "2026-08-19T00:00:00Z", b"A")
+        r2 = build_record("http://x/b", "2026-08-19T00:00:00Z", b"B")
+        blob = z.compress(r1 + r2, mode="lz")
+        pages = list(warc_pages_from(io.BytesIO(blob).read, zst=True))
+        assert [p["url"] for p in pages] == ["http://x/a",
+                                             "http://x/b"]
+
+    def test_frame_end_walker(self):
+        from tika_spark.sources.warc import zstd_frame_end
+        for mode in ("raw", "rle", "lz", "huff"):
+            payload = b"frame walk test " * 40
+            if mode == "rle":
+                payload = b"r" * 640
+            enc = z.compress(payload, mode=mode)
+            assert zstd_frame_end(enc + b"tail", 0) == len(enc)
+            assert zstd_frame_end(enc[:5], 0) is None  # incomplete
+
+    def test_bad_magic_is_one_error_member(self):
+        import io
+        from tika_spark.sources.warc import warc_pages_from
+        blob = b"NOTZSTD!" + self._blob(2, with_dict=False)
+        pages = list(warc_pages_from(io.BytesIO(blob).read, zst=True))
+        assert pages and pages[0]["status"] == "warc_malformed_member"

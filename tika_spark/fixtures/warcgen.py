@@ -22,3 +22,20 @@ def warc_gz(records: list[tuple[str, str, bytes]]) -> bytes:
     becomes a response record in its own gzip member."""
     return b"".join(gzip_member(warc_record(u, d, p))
                     for (u, d, p) in records)
+
+
+def warc_zst(records: list[tuple[str, str, bytes]],
+             with_dict_frame: bool = True) -> bytes:
+    """Multi-record ``.warc.zst`` (IIPC layout): one zstd frame per
+    response record (wire form cycles the codec's modes), preceded by
+    an empty 0x184D2A5D dictionary skippable frame when
+    ``with_dict_frame`` (readers must skip it)."""
+    from tika_spark.analysis.zstdcodec import compress
+    out = bytearray()
+    if with_dict_frame:
+        out += (0x184D2A5D).to_bytes(4, "little")
+        out += (0).to_bytes(4, "little")
+    for k, (u, d, p) in enumerate(records):
+        mode = ("lz", "huff", "literals", "fse", "raw")[k % 5]
+        out += compress(warc_record(u, d, p), mode=mode)
+    return bytes(out)

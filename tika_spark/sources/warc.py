@@ -225,6 +225,122 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes | None]:
     return iter_gzip_members_from(read)
 
 
+def zstd_frame_end(data: bytes, pos: int) -> int | None:
+    """End offset of the zstd (or skippable) frame at ``pos`` by
+    header arithmetic alone (no decompression): frame header fields
+    then 3-byte block headers. None = need more bytes."""
+    if pos + 8 > len(data):
+        return None
+    magic = int.from_bytes(data[pos:pos + 4], "little")
+    if 0x184D2A50 <= magic <= 0x184D2A5F:        # skippable
+        sz = int.from_bytes(data[pos + 4:pos + 8], "little")
+        end = pos + 8 + sz
+        return end if end <= len(data) else None
+    if data[pos:pos + 4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("bad zstd magic in .warc.zst stream")
+    p = pos + 4
+    if p >= len(data):
+        return None
+    fhd = data[p]
+    p += 1
+    if not ((fhd >> 5) & 1):
+        p += 1                                   # window descriptor
+    p += (0, 1, 2, 4)[fhd & 3]                   # dictionary id
+    fcs = (1 if (fhd >> 5) & 1 else 0, 2, 4, 8)[fhd >> 6]
+    p += fcs
+    while True:
+        if p + 3 > len(data):
+            return None
+        bh = int.from_bytes(data[p:p + 3], "little")
+        p += 3
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        p += 1 if btype == 1 else bsize
+        if p > len(data):
+            return None
+        if bh & 1:
+            break
+    if (fhd >> 2) & 1:
+        p += 4                                   # content checksum
+    return p if p <= len(data) else None
+
+
+def split_warc_records(raw: bytes):
+    """Consecutive plain WARC records in one buffer (a .warc.zst
+    frame may hold several) -> list of record byte spans."""
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        if not raw.startswith(b"WARC/", pos):
+            break
+        head_end = raw.find(b"\r\n\r\n", pos, pos + _MAX_HEADER)
+        if head_end < 0:
+            break
+        m = None
+        for line in raw[pos:head_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if _ and k.strip().lower() == b"content-length":
+                try:
+                    m = int(v.strip())
+                except ValueError:
+                    pass
+        if m is None:
+            out.append(raw[pos:])
+            break
+        end = head_end + 4 + m
+        out.append(raw[pos:end])
+        pos = end
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+    return out
+
+
+def iter_zstd_members_from(read) -> Iterator[bytes | None]:
+    """WARC records of a ``.warc.zst`` stream: walk frame boundaries
+    by header arithmetic, decompress one frame at a time (bounded by
+    the same member inflate cap as gzip), split multi-record frames.
+    Dictionary frames (IIPC skippable 0x184D2A5D) are skipped; a
+    frame that NEEDS the dictionary fails its own decode and yields
+    one error member, like a corrupt gzip member."""
+    from tika_spark.analysis.zstdcodec import decompress
+    buf = b""
+    eof = False
+    pos = 0
+    while True:
+        try:
+            end = None if eof and pos >= len(buf) else                 zstd_frame_end(buf, pos)
+        except ValueError:
+            yield None
+            return
+        if end is None:
+            if eof:
+                if pos < len(buf):
+                    yield None                   # trailing garbage
+                return
+            chunk = read(1 << 20)
+            if not chunk:
+                eof = True
+            else:
+                if pos:
+                    buf = buf[pos:]
+                    pos = 0
+                buf += chunk
+            continue
+        frame = buf[pos:end]
+        pos = end
+        magic = int.from_bytes(frame[:4], "little")
+        if 0x184D2A50 <= magic <= 0x184D2A5F:
+            continue                             # skippable/dict
+        try:
+            raw = decompress(frame, max_out=_MAX_MEMBER)
+        except ValueError:
+            yield None
+            continue
+        for rec in split_warc_records(raw):
+            yield rec
+
+
 def parse_record(raw: bytes) -> dict | None:
     """One plain WARC record → {type, url, date, body} (content block
     only, HTTP envelope not yet stripped). None if the member is not
@@ -308,9 +424,11 @@ def warc_pages(data: bytes) -> Iterator[dict]:
     return _members_to_pages(iter_gzip_members(data))
 
 
-def warc_pages_from(read) -> Iterator[dict]:
+def warc_pages_from(read, zst: bool = False) -> Iterator[dict]:
     """All response-record pages from a ``read(n)`` callable —
     O(largest member) memory, never O(file)."""
+    if zst:
+        return _members_to_pages(iter_zstd_members_from(read))
     return _members_to_pages(iter_gzip_members_from(read))
 
 
@@ -412,8 +530,9 @@ def _paths_to_pages(batches: Iterator[pd.DataFrame]
                              "html": None, "declared_type": None,
                              "status": "warc_open_failed"})
                 continue
+            zst = str(path).lower().endswith(".zst")
             with stream as f:
-                for page in warc_pages_from(f.read):
+                for page in warc_pages_from(f.read, zst=zst):
                     rows.append(page)
                     if len(rows) >= _PAGES_PER_CHUNK:
                         yield _pages_frame(rows)
