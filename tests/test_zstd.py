@@ -221,3 +221,74 @@ class TestWarcZst:
         blob = b"NOTZSTD!" + self._blob(2, with_dict=False)
         pages = list(warc_pages_from(io.BytesIO(blob).read, zst=True))
         assert pages and pages[0]["status"] == "warc_malformed_member"
+
+
+class TestDecoderOnlyPaths:
+    """Hand-built streams for wire forms the fixture encoder never
+    emits: 4-stream Huffman literals, RLE literals, RLE sequence
+    tables."""
+
+    def test_four_stream_huffman_literals(self):
+        from tika_spark.analysis.brotlicodec import _huffman_lengths
+        lits = bytes(range(65, 91)) * 8
+        hist = {}
+        for b in lits:
+            hist[b] = hist.get(b, 0) + 1
+        lengths = _huffman_lengths(hist, max_len=11)
+        max_len = max(lengths.values())
+        last = max(lengths)
+        weights = [max_len + 1 - lengths[s] if s in lengths else 0
+                   for s in range(last + 1)]
+        huff = z._Huff(weights[:-1])
+        codes = huff.codes()
+        ws = weights[:-1]
+        packed = bytearray((127 + len(ws),))
+        for i in range(0, len(ws), 2):
+            packed.append((ws[i] << 4)
+                          | (ws[i + 1] if i + 1 < len(ws) else 0))
+        per = (len(lits) + 3) // 4
+        streams = []
+        for k in range(4):
+            chunk = lits[k * per:(k + 1) * per] if k < 3 \
+                else lits[3 * per:]
+            bw = z._BackWriter()
+            for b in chunk:
+                c, ln = codes[b]
+                bw.write(c, ln)
+            streams.append(bw.bytes())
+        jump = b"".join(len(s).to_bytes(2, "little")
+                        for s in streams[:3])
+        body = bytes(packed) + jump + b"".join(streams)
+        rs, cs = len(lits), len(body)
+        hdr = (2 | (1 << 2) | (rs << 4)
+               | (cs << 14)).to_bytes(3, "little")
+        block = hdr + body + b"\x00"
+        frame = bytearray(z.ZSTD_MAGIC)
+        frame.append((0 << 6) | (1 << 5))
+        frame.append(rs)
+        frame += (1 | (2 << 1) | (len(block) << 3)).to_bytes(
+            3, "little")
+        frame += block
+        assert z.decompress(bytes(frame)) == lits
+
+    def test_rle_literals_and_rle_sequence_tables(self):
+        lit = bytes(((30 << 3) | (0 << 2) | 1, ord("x")))
+        ll, ml, off = 10, 5, 4
+        ll_sym = z._ll_code(ll)
+        ml_sym = z._ml_code(ml)
+        ofv = off + 3
+        of_sym = ofv.bit_length() - 1
+        seq = bytearray((1, (1 << 6) | (1 << 4) | (1 << 2),
+                         ll_sym, of_sym, ml_sym))
+        bw = z._BackWriter()
+        bw.write(ofv - (1 << of_sym), of_sym)
+        bw.write(ml - z.ML_BASE[ml_sym], z.ML_EXTRA[ml_sym])
+        bw.write(ll - z.LL_BASE[ll_sym], z.LL_EXTRA[ll_sym])
+        block = lit + bytes(seq) + bw.bytes()
+        frame = bytearray(z.ZSTD_MAGIC)
+        frame.append((0 << 6) | (1 << 5))
+        frame.append(35)
+        frame += (1 | (2 << 1) | (len(block) << 3)).to_bytes(
+            3, "little")
+        frame += block
+        assert z.decompress(bytes(frame)) == b"x" * 35
