@@ -896,8 +896,11 @@ def _decode_block(block, out, prev_huff, prev_tables, max_out):
         if len(out) + ml > max_out * 2:
             raise ValueError("zstd output exceeds max_out guard")
         start = len(out) - off
-        for k in range(ml):                     # may self-overlap
-            out.append(out[start + k])
+        if off >= ml:                           # bulk copy
+            out += out[start:start + ml]
+        else:
+            for k in range(ml):                 # self-overlapping
+                out.append(out[start + k])
     out += lits[lp:]
     tables["reps"] = reps
     return huff, tables
