@@ -292,3 +292,23 @@ class TestDecoderOnlyPaths:
             3, "little")
         frame += block
         assert z.decompress(bytes(frame)) == b"x" * 35
+
+
+class TestXxhash:
+    def test_published_vectors(self):
+        assert z.xxh64(b"") == 0xEF46DB3751D8E999
+        assert z.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+        assert z.xxh64(b"abc") == 0x44BC2CF5AD770999
+
+    @pytest.mark.parametrize("mode", ["raw", "lz", "huff"])
+    def test_checksum_roundtrip(self, mode):
+        t = b"checksummed frame content " * 40
+        enc = z.compress(t, mode=mode, checksum=True)
+        assert z.decompress(enc) == t
+
+    def test_corruption_detected(self):
+        enc = bytearray(z.compress(b"hello world" * 10, mode="lz",
+                                   checksum=True))
+        enc[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum"):
+            z.decompress(bytes(enc))

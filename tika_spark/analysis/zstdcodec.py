@@ -15,9 +15,9 @@ shift, and sequence execution with overlapping matches.
 
 Deliberate drop (documented): dictionary frames (Dictionary_ID != 0
 raises — training-dictionary support is out of scope for the crawl
-tier) and content checksums are skipped, not verified (xxhash64 is
-not implemented; the field is consumed). Skippable frames are
-skipped per spec.
+tier). Content checksums ARE verified (from-scratch XXH64, pinned
+by the published test vectors). Skippable frames are skipped per
+spec.
 
 Encoder (fixtures): genuine zstd frames four ways — raw blocks, RLE
 blocks, compressed blocks with raw literals + predefined-FSE-coded
@@ -847,7 +847,11 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
     if checksum:
         if pos + 4 > len(data):
             raise ValueError("missing content checksum")
-        pos += 4                # consumed, not verified (documented)
+        want = int.from_bytes(data[pos:pos + 4], "little")
+        got = xxh64(bytes(out[start_len:])) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError("zstd content checksum mismatch")
+        pos += 4
     if content_size is not None and len(out) - start_len \
             != content_size:
         raise ValueError("frame content size mismatch")
@@ -1115,7 +1119,8 @@ def _greedy_matches(data: bytes, min_match: int = 3,
 
 
 def compress(data: bytes, mode: str = "lz",
-             block_cap: int = 1 << 17) -> bytes:
+             block_cap: int = 1 << 17,
+             checksum: bool = False) -> bytes:
     """Emit a genuine zstd frame.
 
     mode="raw": raw blocks. mode="rle": RLE blocks (uniform chunks
@@ -1130,17 +1135,20 @@ def compress(data: bytes, mode: str = "lz",
     n = len(data)
     out = bytearray(ZSTD_MAGIC)
     # single-segment header + exact content size
+    ck = (1 << 2) if checksum else 0
     if n < 256:
-        out.append((0 << 6) | (1 << 5))
+        out.append((0 << 6) | (1 << 5) | ck)
         out.append(n)
     elif n - 256 < (1 << 16):
-        out.append((1 << 6) | (1 << 5))
+        out.append((1 << 6) | (1 << 5) | ck)
         out += (n - 256).to_bytes(2, "little")
     else:
-        out.append((2 << 6) | (1 << 5))
+        out.append((2 << 6) | (1 << 5) | ck)
         out += n.to_bytes(4, "little")
     if n == 0:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+        if checksum:
+            out += (xxh64(b"") & 0xFFFFFFFF).to_bytes(4, "little")
         return bytes(out)
     pos = 0
     prev_huff = None
@@ -1211,4 +1219,84 @@ def compress(data: bytes, mode: str = "lz",
                     | (len(block) << 3)).to_bytes(3, "little")
             out += block
         pos += len(chunk)
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+# ------------------------------------------------------------ xxhash64
+
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (public xxHash spec) — zstd's content checksum stores
+    its low 32 bits. Pinned by the spec's empty/known vectors in
+    tests/test_zstd.py."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            for k, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * k:i + 8 * k + 8],
+                                      "little")
+                v = (v + lane * _XXP2) & _M64
+                v = _rotl(v, 31)
+                v = (v * _XXP1) & _M64
+                if k == 0:
+                    v1 = v
+                elif k == 1:
+                    v2 = v
+                elif k == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            vv = (v * _XXP2) & _M64
+            vv = _rotl(vv, 31)
+            vv = (vv * _XXP1) & _M64
+            h ^= vv
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        lane = (lane * _XXP2) & _M64
+        lane = _rotl(lane, 31)
+        lane = (lane * _XXP1) & _M64
+        h ^= lane
+        h = (_rotl(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h ^= (lane * _XXP1) & _M64
+        h = (_rotl(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
