@@ -37,5 +37,6 @@ def warc_zst(records: list[tuple[str, str, bytes]],
         out += (0).to_bytes(4, "little")
     for k, (u, d, p) in enumerate(records):
         mode = ("lz", "huff", "literals", "fse", "raw")[k % 5]
-        out += compress(warc_record(u, d, p), mode=mode)
+        out += compress(warc_record(u, d, p), mode=mode,
+                        checksum=(k % 2 == 0))
     return bytes(out)
