@@ -4069,6 +4069,49 @@ def _q_extract_warc_zst_pages(spark, sf_dir):
             .select("url", "warc_ts", "title", "text"))
 
 
+def _q_extract_warc_zst_dict_pages(spark, sf_dir):
+    """The dictionary-compressed .warc.zst shape: a structured zstd
+    dictionary (RFC 8878 section 5 — entropy tables + repeat ring +
+    shared-boilerplate content) rides the leading IIPC 0x184D2A5D
+    skippable frame, itself zstd-compressed; every record frame
+    names its Dictionary_ID and cycles window-only and entropy-reuse
+    wire forms (analysis/zstdcodec.py parse_dict/build_dict;
+    sources/warc.py iter_zstd_members_from consumes the dictionary
+    frame). Then the full extraction chain, as extract_warc_pages."""
+    from tika_spark.sources.warc import warc_pages_from
+
+    def build(batches):
+        from tika_spark.fixtures import warcgen
+        for pdf in batches:
+            recs = [(f"doc://{i}", "2026-01-17T08:30:00Z", bytes(h))
+                    for i, h in zip(pdf["doc_id"], pdf["html"])]
+            yield pd.DataFrame(
+                {"blob": [warcgen.warc_zst_dict(recs)]})
+
+    blobs = (_docs(spark, sf_dir)
+             .select("doc_id", _html_wrap().alias("html"))
+             .mapInPandas(build, "blob binary"))
+
+    def parse(batches):
+        import io
+        for pdf in batches:
+            rows = [(p["url"], p["warc_date"], p["html"])
+                    for b in pdf["blob"]
+                    for p in warc_pages_from(io.BytesIO(bytes(b)).read,
+                                             zst=True)
+                    if p["status"] == "ok"]
+            out = pd.DataFrame(rows,
+                               columns=["url", "warc_date", "html"])
+            out["warc_ts"] = pd.to_datetime(
+                out["warc_date"], format="ISO8601", utc=True
+            ).dt.tz_localize(None)
+            yield out[["url", "warc_ts", "html"]]
+    pages = blobs.mapInPandas(
+        parse, "url string, warc_ts timestamp, html binary")
+    return (extract(pages, mode="text")
+            .select("url", "warc_ts", "title", "text"))
+
+
 def _q_docs_dsir(spark, sf_dir):
     """DSIR-style importance reweighting: doc_id%10==0 docs play the
     target distribution, the rest are the raw pool scored by hashed
@@ -5161,6 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract_curate": _q_pipeline_extract_curate,
         "extract_warc_pages": _q_extract_warc_pages,
         "extract_warc_zst_pages": _q_extract_warc_zst_pages,
+        "extract_warc_zst_dict_pages": _q_extract_warc_zst_dict_pages,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -6769,6 +6813,11 @@ def oracle_sql() -> dict[str, str]:
             "'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),
         "extract_warc_zst_pages": (
+            "SELECT 'doc://' || doc_id AS url, "
+            "TIMESTAMP '2026-01-17 08:30:00' AS warc_ts, "
+            "'Doc ' || doc_id AS title, "
+            "text || chr(10) AS text FROM documents"),
+        "extract_warc_zst_dict_pages": (
             "SELECT 'doc://' || doc_id AS url, "
             "TIMESTAMP '2026-01-17 08:30:00' AS warc_ts, "
             "'Doc ' || doc_id AS title, "

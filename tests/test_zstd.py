@@ -312,3 +312,144 @@ class TestXxhash:
         enc[-1] ^= 0xFF
         with pytest.raises(ValueError, match="checksum"):
             z.decompress(bytes(enc))
+
+
+class TestDictionaries:
+    """RFC 8878 section 5 dictionaries: raw-content and structured,
+    window reach-back, entropy-table reuse, repeat-ring seeding, id
+    checks, and the .warc.zst dictionary frame (IIPC layout)."""
+
+    PAGE = (b"<html><head><title>Example crawl page</title></head>"
+            b"<body><p>shared boilerplate nav footer sidebar</p>"
+            b"<p>unique payload text goes here 12345</p></body></html>")
+    DICT = (b"<html><head><title></title></head><body>"
+            b"<p>shared boilerplate nav footer sidebar</p>"
+            b"</body></html>")
+
+    def test_raw_content_dict_roundtrip(self):
+        zd = z.parse_dict(self.DICT)
+        assert zd.dict_id == 0 and zd.tables is None
+        frame = z.compress(self.PAGE, mode="lz", zdict=zd)
+        assert z.decompress(frame, zdict=zd) == self.PAGE
+        # the window reach-back must actually pay off
+        assert len(frame) < len(z.compress(self.PAGE, mode="lz"))
+        # raw dicts write no Dictionary_ID field
+        assert frame[4] & 3 == 0
+
+    def test_raw_dict_frame_fails_without_dict(self):
+        zd = z.parse_dict(self.DICT)
+        frame = z.compress(self.PAGE, mode="lz", zdict=zd)
+        with pytest.raises(ValueError, match="offset beyond"):
+            z.decompress(frame)
+
+    def test_structured_dict_parse_fields(self):
+        raw = z.build_dict(self.DICT, dict_id=7,
+                           literal_sample=self.PAGE)
+        zd = z.parse_dict(raw)
+        assert zd.dict_id == 7
+        assert zd.content == self.DICT
+        assert zd.reps == (1, 4, 8)
+        assert zd.huff is not None and zd.tables is not None
+        for key in ("ll", "of", "ml"):
+            table, acc = zd.tables[key]
+            assert len(table) == 1 << acc
+
+    def test_structured_dict_all_modes_roundtrip(self):
+        raw = z.build_dict(self.DICT, dict_id=7,
+                           literal_sample=self.PAGE)
+        zd = z.parse_dict(raw)
+        for mode in ("lz", "huff", "fse", "dict", "raw", "literals"):
+            frame = z.compress(self.PAGE, mode=mode, zdict=zd,
+                               checksum=True)
+            assert z.decompress(frame, zdict=zd) == self.PAGE, mode
+            # raw dictionary bytes are accepted too
+            assert z.decompress(frame, zdict=raw) == self.PAGE, mode
+
+    def test_dict_mode_uses_repeat_and_treeless(self):
+        """The first block of a mode='dict' frame must open with the
+        all-repeat sequence modes byte and a treeless literals
+        section — entropy straight from the dictionary."""
+        raw = z.build_dict(self.DICT, dict_id=7,
+                           literal_sample=self.PAGE)
+        zd = z.parse_dict(raw)
+        frame = z.compress(self.PAGE, mode="dict", zdict=zd)
+        assert frame[4] & 3 == 1            # 1-byte Dictionary_ID
+        assert frame[5] == 7
+        # block payload starts after magic(4)+fhd(1)+did(1)+fcs(1)
+        block = frame[10:]
+        assert block[0] & 3 == 3            # treeless literals
+        # a mode='dict' frame cannot decode with the WRONG entropy:
+        # same content, different id -> rejected before any decode
+        with pytest.raises(ValueError, match="names dictionary"):
+            z.decompress(frame, zdict=z.ZstdDict(9, self.DICT))
+        with pytest.raises(ValueError, match="none was supplied"):
+            z.decompress(frame)
+
+    def test_multiblock_dict_frame(self):
+        data = (self.PAGE + b" tail variation %d " % 3) * 40
+        raw = z.build_dict(self.DICT, dict_id=300,
+                           literal_sample=data[:2000])
+        zd = z.parse_dict(raw)
+        frame = z.compress(data, mode="dict", zdict=zd, block_cap=512,
+                           checksum=True)
+        assert frame[4] & 3 == 2            # 2-byte Dictionary_ID
+        assert z.decompress(frame, zdict=zd) == data
+
+    def test_dict_validation(self):
+        with pytest.raises(ValueError, match="nonzero id"):
+            z.build_dict(self.DICT, dict_id=0)
+        # repeat offsets must be nonzero and within the content
+        raw = bytearray(z.build_dict(self.DICT, dict_id=7))
+        k = raw.index(self.DICT) - 12
+        raw[k:k + 4] = (0).to_bytes(4, "little")
+        with pytest.raises(ValueError, match="repeat offset"):
+            z.parse_dict(bytes(raw))
+        raw[k:k + 4] = (len(self.DICT) + 1).to_bytes(4, "little")
+        with pytest.raises(ValueError, match="repeat offset"):
+            z.parse_dict(bytes(raw))
+        with pytest.raises(ValueError, match="needs a structured"):
+            z.compress(b"x", mode="dict", zdict=z.parse_dict(b"raw"))
+
+    def test_warc_zst_dict_stream(self):
+        import io
+
+        from tika_spark.fixtures.warcgen import warc_zst_dict
+        from tika_spark.sources.warc import warc_pages_from
+        recs = [(f"http://ex.com/{i}", "2026-08-19T00:00:00Z",
+                 f"<html><body><p>page {i} text</p></body></html>"
+                 .encode()) for i in range(7)]
+        for compress_dict in (True, False):
+            blob = warc_zst_dict(recs, compress_dict=compress_dict)
+            pages = list(warc_pages_from(io.BytesIO(blob).read,
+                                         zst=True))
+            assert len(pages) == 7
+            assert all(p["status"] == "ok" for p in pages)
+            assert b"page 5 text" in pages[5]["html"]
+
+    def test_warc_dict_frame_actually_needed(self):
+        """Strip the dictionary frame: dict-naming members become
+        error members, window-only members still decode."""
+        import io
+
+        from tika_spark.fixtures.warcgen import warc_zst_dict
+        from tika_spark.sources.warc import (_zstd_frame_dict_id,
+                                             warc_pages_from,
+                                             zstd_frame_end)
+        recs = [(f"http://ex.com/{i}", "2026-08-19T00:00:00Z",
+                 f"<html><body>page {i}</body></html>".encode())
+                for i in range(6)]
+        blob = warc_zst_dict(recs)
+        end0 = zstd_frame_end(blob, 0)       # the dictionary frame
+        headless = blob[end0:]
+        n_named = 0
+        pos = 0
+        while pos < len(headless):
+            end = zstd_frame_end(headless, pos)
+            n_named += bool(_zstd_frame_dict_id(headless[pos:end]))
+            pos = end
+        assert n_named == 6                  # every member names it
+        pages = list(warc_pages_from(io.BytesIO(headless).read,
+                                     zst=True))
+        assert len(pages) == 6
+        assert all(p["status"] == "warc_malformed_member"
+                   for p in pages)

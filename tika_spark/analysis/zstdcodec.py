@@ -13,16 +13,28 @@ top), the literal/match-length/offset code baselines + extra bits,
 the three-slot repeat-offset ring with the literals-length-zero
 shift, and sequence execution with overlapping matches.
 
-Deliberate drop (documented): dictionary frames (Dictionary_ID != 0
-raises — training-dictionary support is out of scope for the crawl
-tier). Content checksums ARE verified (from-scratch XXH64, pinned
-by the published test vectors). Skippable frames are skipped per
-spec.
+Dictionaries (RFC 8878 section 5) are supported: raw-content
+dictionaries (no magic — the whole blob seeds the match window) and
+structured ``0xEC30A437`` dictionaries (Dictionary_ID, entropy
+tables in zstd's load order — Huffman literals, then OF/ML/LL FSE —
+three little-endian repeat offsets validated against the content
+size, then content). A frame naming a Dictionary_ID decodes only
+when the matching dictionary is passed (``zdict=``); matches may
+reach back into dictionary content, the first block may open in
+treeless/repeat entropy modes against the dictionary's tables, and
+the repeat-offset ring seeds from the dictionary. Content checksums
+ARE verified (from-scratch XXH64, pinned by the published test
+vectors). Skippable frames are skipped per spec.
 
 Encoder (fixtures): genuine zstd frames four ways — raw blocks, RLE
 blocks, compressed blocks with raw literals + predefined-FSE-coded
 sequences from a greedy LZ matcher (real repeat-offset usage), and
-single-stream Huffman literals with a direct-weights table. FSE
+single-stream Huffman literals with a direct-weights table — plus
+dictionary-referencing frames (``zdict=``): the match window is
+seeded with the dictionary content and mode="dict" opens the frame
+with treeless literals + all-repeat sequence tables straight from a
+structured dictionary's entropy section (``build_dict`` writes
+one). FSE
 encoding runs the decode table backward (each symbol's state
 intervals partition the table, so the previous state is unique);
 Huffman encoding uses the same weight-canonical code the decoder
@@ -748,14 +760,111 @@ def _apply_offset(of_value: int, ll: int, reps: list[int]) -> int:
     return off
 
 
+# ------------------------------------------------------- dictionaries
+
+DICT_MAGIC = b"\x37\xa4\x30\xec"                   # 0xEC30A437 LE
+
+
+class ZstdDict:
+    """Parsed RFC 8878 section 5 dictionary.
+
+    ``content`` seeds the match window; structured dictionaries also
+    carry ``dict_id``, a literals Huffman table, the three sequence
+    FSE tables (``tables`` in the decoder's prev-tables shape), and
+    the initial repeat-offset ring. Raw-content dictionaries have
+    ``dict_id`` 0 and no entropy section.
+    """
+
+    __slots__ = ("dict_id", "content", "huff", "tables", "reps")
+
+    def __init__(self, dict_id: int, content: bytes, huff=None,
+                 tables=None, reps=(1, 4, 8)):
+        self.dict_id = dict_id
+        self.content = bytes(content)
+        self.huff = huff
+        self.tables = tables
+        self.reps = tuple(reps)
+
+
+def parse_dict(raw: bytes) -> ZstdDict:
+    """Bytes → :class:`ZstdDict`. Without the ``0xEC30A437`` magic
+    the whole blob is a raw-content dictionary; with it, the entropy
+    section is loaded in zstd's order (Huffman literals, then OF /
+    ML / LL FSE tables), then the three little-endian repeat offsets
+    (each must be nonzero and within the content), then content."""
+    raw = bytes(raw)
+    if raw[:4] != DICT_MAGIC:
+        return ZstdDict(0, raw)
+    if len(raw) < 8:
+        raise ValueError("truncated zstd dictionary header")
+    dict_id = int.from_bytes(raw[4:8], "little")
+    huff, pos = _read_huffman(raw, 8)
+    of_counts, of_acc, pos = _fse_read_distribution(
+        raw, pos, OF_MAX_ACC, MAX_OF_SYMBOL)
+    ml_counts, ml_acc, pos = _fse_read_distribution(
+        raw, pos, ML_MAX_ACC, MAX_ML_SYMBOL)
+    ll_counts, ll_acc, pos = _fse_read_distribution(
+        raw, pos, LL_MAX_ACC, MAX_LL_SYMBOL)
+    if pos + 12 > len(raw):
+        raise ValueError("truncated zstd dictionary repeat offsets")
+    reps = [int.from_bytes(raw[pos + 4 * i:pos + 4 * i + 4], "little")
+            for i in range(3)]
+    pos += 12
+    content = raw[pos:]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("zstd dictionary repeat offset out of "
+                             "range")
+    tables = {
+        "ll": (_fse_decode_table(ll_counts, ll_acc), ll_acc),
+        "of": (_fse_decode_table(of_counts, of_acc), of_acc),
+        "ml": (_fse_decode_table(ml_counts, ml_acc), ml_acc),
+    }
+    return ZstdDict(dict_id, content, huff, tables, reps)
+
+
+def build_dict(content: bytes, dict_id: int,
+               literal_sample: bytes | None = None) -> bytes:
+    """Write a structured dictionary (fixture surface): Huffman
+    literals table trained on ``literal_sample`` (default: the
+    content), the three predefined sequence distributions written as
+    explicit FSE tables (so a repeat-mode first block can code any
+    sequence the predefined tables can), repeat ring {1,4,8}, then
+    ``content``. ``dict_id`` must be nonzero (0 means raw-content)."""
+    content = bytes(content)
+    if not dict_id:
+        raise ValueError("structured dictionaries need a nonzero id")
+    if len(content) < 8:
+        raise ValueError("dictionary content too short for the "
+                         "default repeat ring")
+    desc, _ = _huff_description(literal_sample
+                                if literal_sample is not None
+                                else content)
+    out = bytearray(DICT_MAGIC)
+    out += dict_id.to_bytes(4, "little")
+    out += desc
+    out += _fse_write_distribution(list(OF_DEFAULT), 5)
+    out += _fse_write_distribution(list(ML_DEFAULT), 6)
+    out += _fse_write_distribution(list(LL_DEFAULT), 6)
+    for r in (1, 4, 8):
+        out += r.to_bytes(4, "little")
+    out += content
+    return bytes(out)
+
+
 # ------------------------------------------------------- frame decode
 
 
-def decompress(data: bytes, max_out: int = 1 << 26) -> bytes:
+def decompress(data: bytes, max_out: int = 1 << 26,
+               zdict: "ZstdDict | bytes | None" = None) -> bytes:
     """Decode one-or-more concatenated zstd frames (skippable frames
-    skipped). Raises ValueError on corrupt input, dictionaries, or
+    skipped). ``zdict`` supplies the dictionary for frames that name
+    one (raw bytes are parsed via :func:`parse_dict`). Raises
+    ValueError on corrupt input, a missing/mismatched dictionary, or
     output beyond ``max_out``."""
     data = bytes(data or b"")
+    if zdict is not None and not isinstance(zdict, ZstdDict):
+        zdict = parse_dict(bytes(zdict))
     pos = 0
     out = bytearray()
     saw_frame = False
@@ -771,7 +880,7 @@ def decompress(data: bytes, max_out: int = 1 << 26) -> bytes:
             continue
         if data[pos:pos + 4] != ZSTD_MAGIC:
             raise ValueError("bad zstd magic")
-        pos = _decode_frame(data, pos + 4, out, max_out)
+        pos = _decode_frame(data, pos + 4, out, max_out, zdict)
         saw_frame = True
     if not saw_frame:
         raise ValueError("no zstd frame present")
@@ -779,7 +888,8 @@ def decompress(data: bytes, max_out: int = 1 << 26) -> bytes:
 
 
 def _decode_frame(data: bytes, pos: int, out: bytearray,
-                  max_out: int) -> int:
+                  max_out: int,
+                  zdict: "ZstdDict | None" = None) -> int:
     if pos >= len(data):
         raise ValueError("missing frame header")
     fhd = data[pos]
@@ -796,9 +906,14 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
     if did_bytes:
         did = int.from_bytes(data[pos:pos + did_bytes], "little")
         if did:
-            raise ValueError("zstd dictionaries are a documented "
-                             "drop (crawl frames are dictionary-"
-                             "free)")
+            if zdict is None:
+                raise ValueError(
+                    f"frame names dictionary {did} but none was "
+                    "supplied (zdict=)")
+            if zdict.dict_id and zdict.dict_id != did:
+                raise ValueError(
+                    f"frame names dictionary {did} but the supplied "
+                    f"dictionary is {zdict.dict_id}")
         pos += did_bytes
     fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
     content_size = None
@@ -810,9 +925,20 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if fcs_bytes == 2:
             content_size += 256
         pos += fcs_bytes
-    start_len = len(out)
+    # the frame decodes into its own window so matches can reach the
+    # dictionary content but never a PREVIOUS frame's output (RFC
+    # 8878: the window never spans frames)
     prev_huff = None
     prev_tables = None
+    if zdict is not None:
+        buf = bytearray(zdict.content)
+        prev_huff = zdict.huff
+        if zdict.tables is not None:
+            prev_tables = dict(zdict.tables)
+            prev_tables["reps"] = list(zdict.reps)
+    else:
+        buf = bytearray()
+    base = len(buf)
     while True:
         if pos + 3 > len(data):
             raise ValueError("missing block header")
@@ -824,12 +950,12 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if btype == 0:                              # raw
             if pos + bsize > len(data):
                 raise ValueError("raw block overruns frame")
-            out += data[pos:pos + bsize]
+            buf += data[pos:pos + bsize]
             pos += bsize
         elif btype == 1:                            # RLE
             if pos >= len(data):
                 raise ValueError("missing RLE byte")
-            out += data[pos:pos + 1] * bsize
+            buf += data[pos:pos + 1] * bsize
             pos += 1
         elif btype == 2:
             if pos + bsize > len(data):
@@ -837,10 +963,10 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             block = data[pos:pos + bsize]
             pos += bsize
             prev_huff, prev_tables = _decode_block(
-                block, out, prev_huff, prev_tables, max_out)
+                block, buf, prev_huff, prev_tables, max_out)
         else:
             raise ValueError("reserved block type")
-        if len(out) - start_len > max_out:
+        if len(buf) - base > max_out:
             raise ValueError("zstd output exceeds max_out guard")
         if last:
             break
@@ -848,13 +974,13 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if pos + 4 > len(data):
             raise ValueError("missing content checksum")
         want = int.from_bytes(data[pos:pos + 4], "little")
-        got = xxh64(bytes(out[start_len:])) & 0xFFFFFFFF
+        got = xxh64(bytes(buf[base:])) & 0xFFFFFFFF
         if got != want:
             raise ValueError("zstd content checksum mismatch")
         pos += 4
-    if content_size is not None and len(out) - start_len \
-            != content_size:
+    if content_size is not None and len(buf) - base != content_size:
         raise ValueError("frame content size mismatch")
+    out += buf[base:]
     return pos
 
 
@@ -955,8 +1081,12 @@ def _choose_of_value(offset: int, ll: int, reps: list[int]) -> int:
     return offset + 3
 
 
-def _encode_sequences(seqs, table_mode: str = "predefined"):
-    """-> (section bytes, uses) for (ll, ml, of_value) triples."""
+def _encode_sequences(seqs, table_mode: str = "predefined",
+                      tables: dict | None = None):
+    """-> (section bytes, uses) for (ll, ml, of_value) triples.
+    table_mode="repeat" codes against ``tables`` (the decoder's
+    prev-tables shape — a structured dictionary's entropy section or
+    a previous block's tables) with the all-repeat modes byte."""
     out = bytearray()
     n = len(seqs)
     ll_syms = [_ll_code(ll) for ll, _, _ in seqs]
@@ -964,7 +1094,14 @@ def _encode_sequences(seqs, table_mode: str = "predefined"):
     of_syms = [_of_code(ofv) for _, _, ofv in seqs]
     if max(of_syms) > MAX_OF_SYMBOL:
         raise ValueError("offset too large")
-    if table_mode == "predefined":
+    if table_mode == "repeat":
+        if tables is None:
+            raise ValueError("repeat mode needs prior tables")
+        out.append(0b11111100)             # LL/OF/ML all mode 3
+        ll_t, ll_acc = tables["ll"]
+        of_t, of_acc = tables["of"]
+        ml_t, ml_acc = tables["ml"]
+    elif table_mode == "predefined":
         out.append(0)                      # modes byte: all 00
         ll_t = _fse_decode_table(list(LL_DEFAULT), 6)
         of_t = _fse_decode_table(list(OF_DEFAULT), 5)
@@ -1029,6 +1166,36 @@ def _emit_literals_raw(lits: bytes) -> bytes:
     return bytes((b0, (n >> 4) & 0xFF, n >> 12)) + lits
 
 
+def _huff_description(sample: bytes, fse_weights: bool = False):
+    """Huffman tree description trained on ``sample`` -> (wire
+    bytes, _Huff). Raises ValueError when the sample cannot form one
+    (fewer than two distinct bytes, code too long, >128 weights in
+    the direct form)."""
+    hist = {}
+    for b in sample:
+        hist[b] = hist.get(b, 0) + 1
+    if len(hist) < 2:
+        raise ValueError("huffman table needs two distinct bytes")
+    from tika_spark.analysis.brotlicodec import _huffman_lengths
+    lengths = _huffman_lengths(hist, max_len=11)
+    max_len = max(lengths.values())
+    last_sym = max(lengths)
+    weights = [max_len + 1 - lengths[s] if s in lengths else 0
+               for s in range(last_sym + 1)]
+    huff = _Huff(weights[:-1])
+    if fse_weights:
+        return _write_huffman_weights_fse(weights[:-1]), huff
+    ws = weights[:-1]
+    if len(ws) > 128:
+        raise ValueError("direct form caps at 128 weights")
+    packed = bytearray((127 + len(ws),))
+    for i in range(0, len(ws), 2):
+        hi = ws[i] << 4
+        lo = ws[i + 1] if i + 1 < len(ws) else 0
+        packed.append(hi | lo)
+    return bytes(packed), huff
+
+
 def _emit_literals_huff(lits: bytes, reuse: "_Huff | None" = None,
                         fse_weights: bool = False):
     """Single-stream compressed (or treeless, when ``reuse``)
@@ -1038,36 +1205,10 @@ def _emit_literals_huff(lits: bytes, reuse: "_Huff | None" = None,
     if n == 0 or n > 1023:
         return None
     if reuse is None:
-        hist = {}
-        for b in lits:
-            hist[b] = hist.get(b, 0) + 1
-        if len(hist) < 2:
-            return None
-        from tika_spark.analysis.brotlicodec import _huffman_lengths
-        lengths = _huffman_lengths(hist, max_len=11)
-        max_len = max(lengths.values())
-        last_sym = max(lengths)
-        weights = [max_len + 1 - lengths[s] if s in lengths else 0
-                   for s in range(last_sym + 1)]
         try:
-            huff = _Huff(weights[:-1])
+            desc, huff = _huff_description(lits, fse_weights)
         except ValueError:
             return None
-        if fse_weights:
-            try:
-                desc = _write_huffman_weights_fse(weights[:-1])
-            except ValueError:
-                return None
-        else:
-            ws = weights[:-1]
-            if len(ws) > 128:
-                return None          # direct form caps at 128 weights
-            packed = bytearray((127 + len(ws),))
-            for i in range(0, len(ws), 2):
-                hi = ws[i] << 4
-                lo = ws[i + 1] if i + 1 < len(ws) else 0
-                packed.append(hi | lo)
-            desc = bytes(packed)
         ltype = 2
     else:
         huff = reuse
@@ -1089,13 +1230,24 @@ def _emit_literals_huff(lits: bytes, reuse: "_Huff | None" = None,
 
 
 def _greedy_matches(data: bytes, min_match: int = 3,
-                    max_match: int = 1 << 16):
-    """[(ll, ml, offset)] + trailing literal count, zstd-style."""
+                    max_match: int = 1 << 16,
+                    prefix: bytes = b""):
+    """[(ll, ml, offset)] + trailing literal count, zstd-style.
+    ``prefix`` (dictionary content + any earlier frame output) only
+    seeds the window: matches may reach INTO it but are emitted only
+    for ``data`` positions."""
+    base = len(prefix)
+    if base:
+        data = bytes(prefix) + data
     n = len(data)
     table: dict[bytes, int] = {}
     seqs = []
-    lit_start = 0
     i = 0
+    while i + 4 <= base:                 # seed window, emit nothing
+        table[data[i:i + 4]] = i
+        i += 1
+    lit_start = base
+    i = base
     while i + 4 <= n:
         key = data[i:i + 4]
         j = table.get(key)
@@ -1120,7 +1272,8 @@ def _greedy_matches(data: bytes, min_match: int = 3,
 
 def compress(data: bytes, mode: str = "lz",
              block_cap: int = 1 << 17,
-             checksum: bool = False) -> bytes:
+             checksum: bool = False,
+             zdict: "ZstdDict | bytes | None" = None) -> bytes:
     """Emit a genuine zstd frame.
 
     mode="raw": raw blocks. mode="rle": RLE blocks (uniform chunks
@@ -1129,21 +1282,47 @@ def compress(data: bytes, mode: str = "lz",
     tables + raw literals. mode="huff": like lz but Huffman literals
     (direct weights, treeless reuse on later blocks). mode="fse":
     like lz but the LL table is an explicit FSE distribution and the
-    Huffman weights ride the FSE form.
+    Huffman weights ride the FSE form. mode="dict": like lz but
+    every block opens in repeat sequence mode against a structured
+    dictionary's entropy tables with treeless literals on its
+    Huffman table (fresh-tree fallback when a literal byte lacks a
+    code).
+
+    ``zdict`` (any mode) seeds the match window with the dictionary
+    content and writes the Dictionary_ID header field for structured
+    dictionaries; the decoder then needs the same dictionary.
     """
     data = bytes(data)
     n = len(data)
+    zd = None
+    if zdict is not None:
+        zd = (zdict if isinstance(zdict, ZstdDict)
+              else parse_dict(bytes(zdict)))
+    if mode == "dict" and (zd is None or zd.tables is None):
+        raise ValueError("mode='dict' needs a structured dictionary")
+    dflag, did_field = 0, b""
+    if zd is not None and zd.dict_id:
+        did = zd.dict_id
+        if did < 256:
+            dflag, did_field = 1, did.to_bytes(1, "little")
+        elif did < (1 << 16):
+            dflag, did_field = 2, did.to_bytes(2, "little")
+        else:
+            dflag, did_field = 3, did.to_bytes(4, "little")
     out = bytearray(ZSTD_MAGIC)
-    # single-segment header + exact content size
+    # single-segment header (+dict id) + exact content size
     ck = (1 << 2) if checksum else 0
     if n < 256:
-        out.append((0 << 6) | (1 << 5) | ck)
+        out.append((0 << 6) | (1 << 5) | ck | dflag)
+        out += did_field
         out.append(n)
     elif n - 256 < (1 << 16):
-        out.append((1 << 6) | (1 << 5) | ck)
+        out.append((1 << 6) | (1 << 5) | ck | dflag)
+        out += did_field
         out += (n - 256).to_bytes(2, "little")
     else:
-        out.append((2 << 6) | (1 << 5) | ck)
+        out.append((2 << 6) | (1 << 5) | ck | dflag)
+        out += did_field
         out += n.to_bytes(4, "little")
     if n == 0:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
@@ -1151,8 +1330,13 @@ def compress(data: bytes, mode: str = "lz",
             out += (xxh64(b"") & 0xFFFFFFFF).to_bytes(4, "little")
         return bytes(out)
     pos = 0
-    prev_huff = None
-    reps = [1, 4, 8]        # repeat-offset ring persists frame-wide
+    window = zd.content if zd is not None else b""
+    prev_huff = zd.huff if (zd is not None and mode in
+                            ("huff", "fse", "dict")) else None
+    # repeat-offset ring persists frame-wide; a structured
+    # dictionary seeds it (mirrors the decoder)
+    reps = (list(zd.reps) if zd is not None and zd.tables is not None
+            else [1, 4, 8])
     while pos < n:
         chunk = data[pos:pos + block_cap]
         last = 1 if pos + len(chunk) >= n else 0
@@ -1172,14 +1356,16 @@ def compress(data: bytes, mode: str = "lz",
                 block += _emit_literals_raw(chunk)
                 block.append(0)                     # 0 sequences
             else:
-                seqs, tail = _greedy_matches(chunk)
+                seqs, tail = _greedy_matches(
+                    chunk, prefix=window + data[:pos])
                 lits = bytearray()
                 lp = 0
                 for ll, ml, off in seqs:
                     lits += chunk[lp:lp + ll]
                     lp += ll + ml
                 lits += chunk[lp:]
-                if mode in ("huff", "fse") and seqs:
+                if mode in ("huff", "fse", "dict") and (
+                        seqs or mode == "dict"):
                     got = _emit_literals_huff(
                         bytes(lits), reuse=prev_huff,
                         fse_weights=(mode == "fse"))
@@ -1212,9 +1398,13 @@ def compress(data: bytes, mode: str = "lz",
                         ofv = _choose_of_value(off, ll, reps)
                         _apply_offset(ofv, ll, reps)
                         coded.append((ll, ml, ofv))
-                    block += _encode_sequences(
-                        coded, "fse" if mode == "fse"
-                        else "predefined")
+                    if mode == "dict":
+                        block += _encode_sequences(
+                            coded, "repeat", tables=zd.tables)
+                    else:
+                        block += _encode_sequences(
+                            coded, "fse" if mode == "fse"
+                            else "predefined")
             out += (last | (2 << 1)
                     | (len(block) << 3)).to_bytes(3, "little")
             out += block

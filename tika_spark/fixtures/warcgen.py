@@ -14,7 +14,8 @@ from __future__ import annotations
 from tika_spark.sources.warc import build_record as warc_record
 from tika_spark.sources.warc import gzip_member
 
-__all__ = ["warc_record", "gzip_member", "warc_gz"]
+__all__ = ["warc_record", "gzip_member", "warc_gz", "warc_zst",
+           "warc_zst_dict"]
 
 
 def warc_gz(records: list[tuple[str, str, bytes]]) -> bytes:
@@ -38,5 +39,39 @@ def warc_zst(records: list[tuple[str, str, bytes]],
     for k, (u, d, p) in enumerate(records):
         mode = ("lz", "huff", "literals", "fse", "raw")[k % 5]
         out += compress(warc_record(u, d, p), mode=mode,
+                        checksum=(k % 2 == 0))
+    return bytes(out)
+
+
+def warc_zst_dict(records: list[tuple[str, str, bytes]],
+                  dict_id: int = 2026,
+                  compress_dict: bool = True) -> bytes:
+    """Dictionary-compressed ``.warc.zst`` (the layout IIPC designed
+    the format for): a structured zstd dictionary trained on the
+    shared WARC/HTTP boilerplate rides first in the 0x184D2A5D
+    skippable frame (itself zstd-compressed when ``compress_dict``),
+    then one frame per response record, each naming the
+    Dictionary_ID and cycling window-only ("lz"/"huff") and
+    entropy-reuse ("dict") wire forms."""
+    from tika_spark.analysis.zstdcodec import (build_dict, compress,
+                                               parse_dict)
+    # the dictionary content is exactly the cross-record boilerplate:
+    # a full record for an empty payload (WARC headers + HTTP
+    # envelope) — real .warc.zst dictionaries are trained the same
+    # way, on record-structure bytes shared across the file
+    template = warc_record("http://example.com/", "2026-01-01T00:00:00Z",
+                           b"")
+    sample = b"".join(warc_record(u, d, p) for u, d, p in records[:4])
+    raw_dict = build_dict(template, dict_id, literal_sample=sample)
+    zd = parse_dict(raw_dict)
+    blob = (compress(raw_dict, mode="lz") if compress_dict
+            else raw_dict)
+    out = bytearray()
+    out += (0x184D2A5D).to_bytes(4, "little")
+    out += len(blob).to_bytes(4, "little")
+    out += blob
+    for k, (u, d, p) in enumerate(records):
+        mode = ("dict", "lz", "huff")[k % 3]
+        out += compress(warc_record(u, d, p), mode=mode, zdict=zd,
                         checksum=(k % 2 == 0))
     return bytes(out)

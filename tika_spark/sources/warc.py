@@ -296,14 +296,35 @@ def split_warc_records(raw: bytes):
     return out
 
 
+def _zstd_frame_dict_id(frame: bytes) -> int:
+    """Dictionary_ID a zstd frame names in its header (0 = none)."""
+    if len(frame) < 5:
+        return 0
+    fhd = frame[4]
+    p = 5
+    if not ((fhd >> 5) & 1):
+        p += 1                                   # window descriptor
+    nb = (0, 1, 2, 4)[fhd & 3]
+    if not nb or p + nb > len(frame):
+        return 0
+    return int.from_bytes(frame[p:p + nb], "little")
+
+
 def iter_zstd_members_from(read) -> Iterator[bytes | None]:
     """WARC records of a ``.warc.zst`` stream: walk frame boundaries
     by header arithmetic, decompress one frame at a time (bounded by
     the same member inflate cap as gzip), split multi-record frames.
-    Dictionary frames (IIPC skippable 0x184D2A5D) are skipped; a
-    frame that NEEDS the dictionary fails its own decode and yields
-    one error member, like a corrupt gzip member."""
-    from tika_spark.analysis.zstdcodec import decompress
+
+    The IIPC dictionary frame (skippable magic 0x184D2A5D, first in
+    the file, holding a shared dictionary that may itself be
+    zstd-compressed) is USED, not skipped: record frames that name a
+    Dictionary_ID decode against it. A frame that names a dictionary
+    the stream never provided fails its own decode and yields one
+    error member, like a corrupt gzip member; other skippable frames
+    are skipped per spec."""
+    from tika_spark.analysis.zstdcodec import (ZSTD_MAGIC, decompress,
+                                               parse_dict)
+    zdict = None
     buf = b""
     eof = False
     pos = 0
@@ -331,9 +352,19 @@ def iter_zstd_members_from(read) -> Iterator[bytes | None]:
         pos = end
         magic = int.from_bytes(frame[:4], "little")
         if 0x184D2A50 <= magic <= 0x184D2A5F:
-            continue                             # skippable/dict
+            if magic == 0x184D2A5D and len(frame) > 8:
+                blob = frame[8:]
+                try:
+                    if blob[:4] == ZSTD_MAGIC:   # compressed dict
+                        blob = decompress(blob, max_out=_MAX_MEMBER)
+                    zdict = parse_dict(blob)
+                except ValueError:
+                    zdict = None                 # garbled dict frame
+            continue                             # other skippables
         try:
-            raw = decompress(frame, max_out=_MAX_MEMBER)
+            raw = decompress(
+                frame, max_out=_MAX_MEMBER,
+                zdict=zdict if _zstd_frame_dict_id(frame) else None)
         except ValueError:
             yield None
             continue
