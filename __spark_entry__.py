@@ -4112,6 +4112,74 @@ def _q_extract_warc_zst_dict_pages(spark, sf_dir):
             .select("url", "warc_ts", "title", "text"))
 
 
+def _q_table_snapshot_reads(spark, sf_dir):
+    """Snapshot-versioned table layer (pipeline/table.py — the
+    Iceberg-style atomic-rename commit protocol): append evens,
+    append odds, compact, overwrite doc_id<50, then time-travel read
+    each snapshot and aggregate it. The 4-row collect materializes
+    the per-snapshot aggregates before the temp table root is
+    removed — harness bookkeeping, not an operator collect."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="snaptab-")
+    shutil.rmtree(root)                  # create() wants a fresh root
+    try:
+        t = SnapshotTable.create(spark, root)
+        steps = [
+            ("append_even",
+             t.append(docs.filter(F.col("doc_id") % 2 == 0))),
+            ("append_odd",
+             t.append(docs.filter(F.col("doc_id") % 2 == 1))),
+        ]
+        steps.append(("compact", t.compact(target_bytes=1 << 30)))
+        steps.append(("overwrite",
+                      t.overwrite(docs.filter(F.col("doc_id") < 50))))
+        rows = []
+        for seq, (op, sid) in enumerate(steps, 1):
+            r = (t.read(sid)
+                 .agg(F.count("*").alias("n"),
+                      F.sum("doc_id").alias("s"),
+                      F.sum(F.length("text")).alias("c"))
+                 .collect()[0])
+            rows.append((seq, op, int(r["n"]), int(r["s"]),
+                         int(r["c"])))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "snap_seq int, op string, n_rows bigint, "
+              "sum_ids bigint, sum_chars bigint")
+
+
+def _q_table_incremental_read(spark, sf_dir):
+    """Incremental consumption off the snapshot table: the rows in
+    files added between two snapshots (the per-crawl delta feed) —
+    here, the odd-doc_id append. Materialized to pandas before the
+    temp root is removed (fixture-scale)."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="snapinc-")
+    shutil.rmtree(root)
+    try:
+        t = SnapshotTable.create(spark, root)
+        s1 = t.append(docs.filter(F.col("doc_id") % 2 == 0))
+        s2 = t.append(docs.filter(F.col("doc_id") % 2 == 1))
+        pdf = (t.incremental(s1, s2)
+               .select("doc_id",
+                       F.length("text").alias("n_chars"))
+               .toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf.astype(
+        {"doc_id": "int64", "n_chars": "int32"}),
+        "doc_id bigint, n_chars int")
+
+
 def _q_docs_dsir(spark, sf_dir):
     """DSIR-style importance reweighting: doc_id%10==0 docs play the
     target distribution, the rest are the raw pool scored by hashed
@@ -5205,6 +5273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_warc_pages": _q_extract_warc_pages,
         "extract_warc_zst_pages": _q_extract_warc_zst_pages,
         "extract_warc_zst_dict_pages": _q_extract_warc_zst_dict_pages,
+        "table_snapshot_reads": _q_table_snapshot_reads,
+        "table_incremental_read": _q_table_incremental_read,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -6822,6 +6892,25 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2026-01-17 08:30:00' AS warc_ts, "
             "'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),
+        "table_snapshot_reads": (
+            "WITH base AS (SELECT doc_id, length(text) AS c "
+            "FROM documents) "
+            "SELECT CAST(1 AS INT) AS snap_seq, 'append_even' AS op, "
+            "COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS "
+            "sum_ids, CAST(SUM(c) AS BIGINT) AS sum_chars "
+            "FROM base WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT CAST(2 AS INT), 'append_odd', COUNT(*), "
+            "CAST(SUM(doc_id) AS BIGINT), CAST(SUM(c) AS BIGINT) "
+            "FROM base "
+            "UNION ALL SELECT CAST(3 AS INT), 'compact', COUNT(*), "
+            "CAST(SUM(doc_id) AS BIGINT), CAST(SUM(c) AS BIGINT) "
+            "FROM base "
+            "UNION ALL SELECT CAST(4 AS INT), 'overwrite', COUNT(*), "
+            "CAST(SUM(doc_id) AS BIGINT), CAST(SUM(c) AS BIGINT) "
+            "FROM base WHERE doc_id < 50"),
+        "table_incremental_read": (
+            "SELECT doc_id, CAST(length(text) AS INT) AS n_chars "
+            "FROM documents WHERE doc_id % 2 = 1"),
         "docs_snapshot_delta": (
             "WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(text), "
             "'\\s+', ' ', 'g')) AS fp_md5 FROM documents), "

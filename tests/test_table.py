@@ -1,0 +1,160 @@
+"""Snapshot-versioned table layer (pipeline/table.py): atomic
+rename-commits, time travel, incremental reads, compaction, rollback,
+crash-orphan vacuum, retention, and commit races."""
+
+import json
+import os
+
+import pytest
+
+from tika_spark.pipeline.table import SnapshotTable
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tab")
+
+
+class TestBasics:
+    def test_create_append_read(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 100))
+        assert t.current_snapshot() == 1
+        got = t.read()
+        assert got.count() == 100
+        assert [f.name for f in got.schema.fields] == ["doc_id",
+                                                       "text"]
+        assert got.agg({"doc_id": "sum"}).collect()[0][0] == 4950
+
+    def test_time_travel(self, spark, root):
+        t = SnapshotTable.create(spark, root)
+        s1 = t.append(_docs(spark, 0, 50))
+        s2 = t.append(_docs(spark, 50, 100))
+        assert (s1, s2) == (1, 2)
+        assert t.read(s1).count() == 50
+        assert t.read(s2).count() == 100
+        assert t.read().count() == 100
+
+    def test_incremental(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 50))
+        s1 = t.current_snapshot()
+        s2 = t.append(_docs(spark, 50, 80))
+        delta = t.incremental(s1, s2)
+        assert delta.count() == 30
+        assert delta.agg({"doc_id": "min"}).collect()[0][0] == 50
+
+    def test_overwrite_and_rollback(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 100))
+        s1 = t.current_snapshot()
+        s2 = t.overwrite(_docs(spark, 0, 10))
+        assert t.read().count() == 10
+        s3 = t.rollback(s1)
+        assert s3 == s2 + 1
+        assert t.read().count() == 100          # history stays linear
+        assert [s["operation"] for s in t.snapshots()] == [
+            "append", "overwrite", "rollback"]
+
+    def test_empty_read_schema(self, spark, root):
+        t = SnapshotTable.create(spark, root)
+        t.append(_docs(spark, 0, 0))
+        got = t.read()
+        assert got.count() == 0
+        assert [f.name for f in got.schema.fields] == ["doc_id",
+                                                       "text"]
+
+    def test_manifest_lineage(self, spark, root):
+        t = SnapshotTable.create(
+            spark, root, _docs(spark, 0, 100).repartition(4))
+        snap = t.snapshots()[-1]
+        assert snap["n_rows"] == 100
+        assert snap["n_files"] >= 2
+        m = t._manifest(t.current_snapshot())
+        assert sum(f["rows"] for f in m["files"]) == 100
+        assert all(f["bytes"] > 0 for f in m["files"])
+
+
+class TestCompaction:
+    def test_compact_preserves_rows(self, spark, root):
+        t = SnapshotTable.create(spark, root)
+        for k in range(4):
+            t.append(_docs(spark, 25 * k, 25 * (k + 1))
+                     .repartition(3))
+        before = t.current_snapshot()
+        n_before = t.snapshots()[-1]["n_files"]
+        sid = t.compact(target_bytes=1 << 30)
+        assert sid == before + 1
+        assert t.snapshots()[-1]["n_files"] == 1 < n_before
+        assert t.read().agg({"doc_id": "sum"}).collect()[0][0] == 4950
+        # readers pinned to the old snapshot are untouched
+        assert t.read(before).count() == 100
+
+    def test_compact_noop(self, spark, root):
+        t = SnapshotTable.create(spark, root,
+                                 _docs(spark, 0, 10).coalesce(1))
+        sid = t.current_snapshot()
+        assert t.compact(target_bytes=1 << 30) == sid
+
+
+class TestCrashSafety:
+    def test_orphans_never_break_reads(self, spark, root):
+        """A writer that crashed after moving data files but before
+        the manifest rename leaves orphans — reads are unaffected and
+        vacuum sweeps them without touching live files."""
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 100))
+        # simulate the crash: stage files for a snapshot that never
+        # commits
+        t._stage_files(_docs(spark, 100, 200), snap_hint=99)
+        assert t.read().count() == 100
+        gone = t.vacuum()
+        assert gone and all(p.startswith("data/s00000099")
+                            for p in gone)
+        assert t.read().count() == 100
+        assert t.vacuum() == []                 # live files survive
+
+    def test_tmp_manifest_is_invisible(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 10))
+        t._write_bytes("metadata/.tmp-dead.json", b"{}")
+        assert t.current_snapshot() == 1
+        assert t.read().count() == 10
+
+    def test_commit_race_retries(self, spark, root):
+        """If another writer takes the next snapshot id between the
+        stage and the rename, the commit retries against the new
+        head instead of clobbering or failing."""
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 10))
+        # a rival commits snapshot 2 out from under us
+        rival = dict(t._manifest(1), snapshot_id=2, parent_id=1)
+        t._write_bytes("metadata/snap-00000002.json",
+                       json.dumps(rival).encode())
+        sid = t.append(_docs(spark, 10, 20))
+        assert sid == 3
+        assert t.read().count() == 20
+
+    def test_load_requires_table(self, spark, root):
+        with pytest.raises(ValueError, match="no snapshot table"):
+            SnapshotTable.load(spark, root)
+        SnapshotTable.create(spark, root, _docs(spark, 0, 5))
+        with pytest.raises(ValueError, match="already exists"):
+            SnapshotTable.create(spark, root)
+
+
+class TestRetention:
+    def test_expire_then_vacuum(self, spark, root):
+        t = SnapshotTable.create(spark, root)
+        t.append(_docs(spark, 0, 50))
+        t.overwrite(_docs(spark, 50, 60))
+        t.overwrite(_docs(spark, 60, 100))
+        dropped = t.expire_snapshots(keep_last=1)
+        assert dropped == [1, 2]
+        gone = t.vacuum()
+        assert gone                              # old file sets swept
+        assert t.read().count() == 40
+        data_files = [f for f in os.listdir(os.path.join(root, "data"))
+                      if not f.startswith((".", "_"))]
+        m = t._manifest(t.current_snapshot())
+        assert sorted("data/" + f for f in data_files) == sorted(
+            f["path"] for f in m["files"])
