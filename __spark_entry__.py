@@ -4112,6 +4112,48 @@ def _q_extract_warc_zst_dict_pages(spark, sf_dir):
             .select("url", "warc_ts", "title", "text"))
 
 
+def _q_extract_checkpointed_table(spark, sf_dir):
+    """extract_checkpointed with checkpoint manifests AS snapshot
+    commits (pipeline/checkpoint.py run_checkpointed_table over
+    pipeline/table.py): interrupted after one wave, resumed, then the
+    per-bucket counts are read from the table itself. Crash semantics
+    are strictly stronger than the directory variant — an uncommitted
+    wave is invisible, so no overwrite is needed on retry. Same
+    DuckDB oracle as extract_checkpointed (pure-SQL md5 bucket
+    replay)."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline import checkpoint as ck
+    from tika_spark.pipeline.table import SnapshotTable
+    pages = _pages_mixed(_docs(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="tika_ckpt_tab_")
+    shutil.rmtree(root)
+
+    def bucket_fn(col):
+        return F.pmod(
+            F.ascii(F.substring(F.md5(col), 1, 1)) * 16
+            + F.ascii(F.substring(F.md5(col), 2, 1)),
+            F.lit(8)).cast("int")
+
+    try:
+        ck.run_checkpointed_table(pages, root, n_buckets=8,
+                                  wave_size=3, max_waves=1,
+                                  bucket_fn=bucket_fn)  # interrupted
+        ck.run_checkpointed_table(pages, root, n_buckets=8,
+                                  wave_size=3,
+                                  bucket_fn=bucket_fn)  # resume
+        t = SnapshotTable.load(spark, root)
+        pdf = (t.read().groupBy("ckpt_bucket")
+               .agg(F.count("*").alias("n_rows"))
+               .toPandas())                 # materialize before rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf.astype({"ckpt_bucket": "int32", "n_rows": "int64"}),
+        "ckpt_bucket int, n_rows bigint")
+
+
 def _q_table_snapshot_reads(spark, sf_dir):
     """Snapshot-versioned table layer (pipeline/table.py — the
     Iceberg-style atomic-rename commit protocol): append evens,
@@ -5275,6 +5317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_warc_zst_dict_pages": _q_extract_warc_zst_dict_pages,
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_incremental_read": _q_table_incremental_read,
+        "extract_checkpointed_table": _q_extract_checkpointed_table,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -5387,6 +5430,11 @@ def __bpe_encode_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_checkpointed": (
+            "SELECT CAST((ascii(substr(md5('doc://' || doc_id), 1, 1)) "
+            "* 16 + ascii(substr(md5('doc://' || doc_id), 2, 1))) % 8 "
+            "AS INT) AS ckpt_bucket, count(*) AS n_rows "
+            "FROM documents GROUP BY 1"),
+        "extract_checkpointed_table": (
             "SELECT CAST((ascii(substr(md5('doc://' || doc_id), 1, 1)) "
             "* 16 + ascii(substr(md5('doc://' || doc_id), 2, 1))) % 8 "
             "AS INT) AS ckpt_bucket, count(*) AS n_rows "

@@ -158,3 +158,88 @@ class TestRetention:
         m = t._manifest(t.current_snapshot())
         assert sorted("data/" + f for f in data_files) == sorted(
             f["path"] for f in m["files"])
+
+
+class TestCheckpointTable:
+    """run_checkpointed_table: checkpoint manifests AS table commits
+    (the north-star layout) — interrupted runs resume from snapshot
+    summaries, crashed waves leave only invisible orphans."""
+
+    def _pages(self, spark, n=80):
+        import pyspark.sql.functions as F
+        return spark.range(n).select(
+            F.concat(F.lit("http://h"), F.pmod("id", F.lit(7)),
+                     F.lit(".test/p"), F.col("id")).alias("url"),
+            F.encode(F.concat(
+                F.lit("<html><head><title>T</title></head><body>"
+                      "<p>body "),
+                F.col("id").cast("string"),
+                F.lit("</p></body></html>")), "UTF-8").alias("html"))
+
+    def test_interrupt_then_resume_matches_one_shot(self, spark,
+                                                    tmp_path):
+        from tika_spark.pipeline import checkpoint as ck
+        from tika_spark.pipeline.job import extract
+        pages = self._pages(spark)
+        root = str(tmp_path / "tab")
+
+        s1 = ck.run_checkpointed_table(pages, root, n_buckets=8,
+                                       wave_size=3, max_waves=1)
+        assert s1["buckets_processed"] == 3 and not s1["complete"]
+        t = SnapshotTable.load(spark, root)
+        assert ck.table_done_buckets(t) == set(
+            t.snapshots()[-1]["summary"]["buckets"]) | set(
+            t.snapshots()[0]["summary"]["buckets"])
+
+        s2 = ck.run_checkpointed_table(pages, root, n_buckets=8,
+                                       wave_size=3)
+        assert s2["buckets_done_before"] == 3
+        assert s2["buckets_processed"] == 5 and s2["complete"]
+
+        got = t.read()
+        want = extract(pages, mode="text").drop("children")
+        assert got.count() == want.count() == 80
+        assert got.select("url").distinct().count() == 80
+        a = {(r["url"], r["text"]) for r in
+             got.select("url", "text").collect()}
+        b = {(r["url"], r["text"]) for r in
+             want.select("url", "text").collect()}
+        assert a == b
+        # wave stats rode the snapshot summaries
+        assert sum(s["summary"]["n_rows"]
+                   for s in t.snapshots()) == 80
+
+    def test_crashed_wave_is_invisible_and_vacuumable(self, spark,
+                                                      tmp_path):
+        from tika_spark.pipeline import checkpoint as ck
+        pages = self._pages(spark, 40)
+        root = str(tmp_path / "tab")
+        ck.run_checkpointed_table(pages, root, n_buckets=4,
+                                  wave_size=2, max_waves=1)
+        t = SnapshotTable.load(spark, root)
+        n_before = t.read().count()
+        # simulate a crash AFTER staging, BEFORE the snapshot commit
+        t.stage(t.read())
+        assert t.read().count() == n_before        # still invisible
+        # the resume neither sees nor double-counts the orphans
+        s = ck.run_checkpointed_table(pages, root, n_buckets=4,
+                                      wave_size=2)
+        assert s["complete"]
+        t2 = SnapshotTable.load(spark, root)
+        assert t2.read().count() == 40
+        assert t2.read().select("url").distinct().count() == 40
+        assert t2.vacuum()                         # orphans swept
+        assert t2.read().count() == 40
+
+    def test_rerun_is_a_noop(self, spark, tmp_path):
+        from tika_spark.pipeline import checkpoint as ck
+        pages = self._pages(spark, 20)
+        root = str(tmp_path / "tab")
+        ck.run_checkpointed_table(pages, root, n_buckets=4,
+                                  wave_size=4)
+        head = SnapshotTable.load(spark, root).current_snapshot()
+        s = ck.run_checkpointed_table(pages, root, n_buckets=4,
+                                      wave_size=4)
+        assert s["buckets_processed"] == 0 and s["complete"]
+        assert SnapshotTable.load(spark, root).current_snapshot() \
+            == head

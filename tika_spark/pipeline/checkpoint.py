@@ -213,3 +213,115 @@ def run_checkpointed(pages: DataFrame, out_dir: str,
             "wall_sec": wall,
             "docs_per_sec": rows_written / wall if wall > 0 else None,
             "complete": len(done) + n_processed == n_buckets}
+
+
+# ------------------------------------------- snapshot-table variant
+
+
+def table_done_buckets(table) -> set[int]:
+    """Bucket ids committed in ANY snapshot's wave summary."""
+    done: set[int] = set()
+    for s in table.snapshots():
+        done.update(int(b) for b in s["summary"].get("buckets", []))
+    return done
+
+
+def run_checkpointed_table(pages: DataFrame, table_root: str,
+                           n_buckets: int = 64, wave_size: int = 16,
+                           mode: str = "text",
+                           config: ExtractConfig | None = None,
+                           repartition: int | None = None,
+                           max_waves: int | None = None,
+                           bucket_fn: Callable[[Column], Column]
+                           | None = None,
+                           recursive: bool = False,
+                           verbose: bool = False) -> dict:
+    """The snapshot-table form of :func:`run_checkpointed` — the
+    north-star layout, where checkpoint manifests ARE table commits.
+
+    Each wave stages its output files into a
+    :class:`~tika_spark.pipeline.table.SnapshotTable` and commits ONE
+    atomic snapshot whose summary records the wave's bucket ids and
+    stats. Strictly stronger crash semantics than the directory
+    variant: a crash mid-wave leaves only invisible orphan files
+    (vacuum fodder) — never a half-written bucket partition — so the
+    retry needs no dynamic-partition overwrite, readers at any moment
+    see a complete prefix of waves, and resume is exactly the diff
+    between the bucket universe and the committed snapshots' wave
+    summaries. Per-file lineage (rows/bytes) rides each snapshot
+    manifest; per-bucket stats ride its summary.
+    """
+    from tika_spark.pipeline.table import SnapshotTable
+    spark = pages.sparkSession
+    if bucket_fn is None:
+        bucket_fn = md5_bucket_fn(n_buckets)
+    try:
+        table = SnapshotTable.load(spark, table_root)
+    except ValueError:
+        table = SnapshotTable.create(spark, table_root)
+
+    done = table_done_buckets(table)
+    todo = sorted(set(range(n_buckets)) - done)
+    waves = [todo[i:i + wave_size]
+             for i in range(0, len(todo), wave_size)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    t_start = time.time()
+    rows_written = 0
+    has_col = BUCKET_COL in pages.columns
+    for wave in waves:
+        t0 = time.time()
+        ids = [int(b) for b in wave]
+        wave_pages = pages.filter(
+            F.col(BUCKET_COL).isin(ids) if has_col
+            else bucket_fn(F.col("url")).isin(ids))
+        if has_col:
+            wave_pages = wave_pages.drop(BUCKET_COL)
+        if recursive:
+            out = extract_recursive(wave_pages, mode=mode,
+                                    config=config,
+                                    repartition=repartition)
+        else:
+            out = extract(wave_pages, mode=mode, config=config,
+                          repartition=repartition).drop("children")
+        root_url = F.substring_index(F.col("url"), "!/", 1)
+        out = out.withColumn(BUCKET_COL, bucket_fn(root_url))
+        # stage (invisible), read the STAGED files for durable
+        # stats, then the snapshot commit publishes data + manifest
+        # + wave summary in one atomic rename
+        entries = table.stage(out)
+        stats = {"buckets": ids, "n_rows": 0, "n_err": 0,
+                 "n_bytes": 0, "n_chars": 0}
+        if entries:
+            staged = spark.read.parquet(
+                *[table.root + "/" + e["path"] for e in entries])
+            r = (staged.agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.when(F.col("status") == "error", 1)
+                          .otherwise(0)).alias("n_err"),
+                    F.sum("n_bytes").alias("n_bytes"),
+                    F.sum("n_chars").alias("n_chars"))
+                 .collect()[0])
+            stats.update(n_rows=int(r["n_rows"] or 0),
+                         n_err=int(r["n_err"] or 0),
+                         n_bytes=int(r["n_bytes"] or 0),
+                         n_chars=int(r["n_chars"] or 0))
+        stats["wall_ms"] = (time.time() - t0) * 1000
+        table.commit_staged(entries, out.schema.json(), "append",
+                            summary=stats)
+        rows_written += stats["n_rows"]
+        if verbose:
+            print(f"[checkpoint/table] buckets {ids} committed in "
+                  f"{stats['wall_ms']:.0f} ms")
+
+    wall = time.time() - t_start
+    n_processed = sum(len(w) for w in waves)
+    return {"buckets_total": n_buckets,
+            "buckets_done_before": len(done),
+            "buckets_processed": n_processed,
+            "waves": len(waves),
+            "rows_written": rows_written,
+            "wall_sec": wall,
+            "docs_per_sec": rows_written / wall if wall > 0 else None,
+            "complete": len(done) + n_processed == n_buckets}

@@ -164,7 +164,8 @@ class SnapshotTable:
                         "operation": m["operation"],
                         "n_files": len(m["files"]),
                         "n_rows": sum(f["rows"] for f in m["files"]),
-                        "ts": m["ts"]})
+                        "ts": m["ts"],
+                        "summary": m.get("summary", {})})
         return out
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -236,10 +237,12 @@ class SnapshotTable:
         return entries
 
     def _commit(self, operation: str, files: list[dict],
-                schema_json: str) -> int:
+                schema_json: str, summary: dict | None = None) -> int:
         """Atomically publish a manifest as the next snapshot. The
         rename IS the commit; a lost race re-reads the head and
-        retries (the file set being committed does not change)."""
+        retries (the file set being committed does not change).
+        ``summary`` is caller metadata recorded verbatim (e.g. the
+        checkpoint runner's wave bucket ids + stats)."""
         for _ in range(_COMMIT_RETRIES):
             ids = self._snapshot_ids()
             sid = (ids[-1] + 1) if ids else 1
@@ -250,6 +253,7 @@ class SnapshotTable:
                 "ts": time.time(),
                 "schema": schema_json,
                 "files": files,
+                "summary": summary or {},
             }
             tmp_rel = ("metadata/.tmp-%s.json" % uuid.uuid4().hex)
             self._write_bytes(tmp_rel, json.dumps(
@@ -263,17 +267,39 @@ class SnapshotTable:
         raise CommitConflict(
             f"lost {_COMMIT_RETRIES} commit races at {self.root}")
 
-    def append(self, df: DataFrame) -> int:
-        ids = self._snapshot_ids()
-        prev = self._manifest(ids[-1])["files"] if ids else []
-        hint = (ids[-1] + 1) if ids else 1
-        new = self._stage_files(df, hint)
-        return self._commit("append", prev + new, df.schema.json())
-
-    def overwrite(self, df: DataFrame) -> int:
+    def stage(self, df: DataFrame) -> list[dict]:
+        """Write ``df``'s files into data/ WITHOUT committing them —
+        invisible to every reader until passed to
+        :meth:`commit_staged` (a crash in between leaves vacuum-able
+        orphans, never a visible partial write). Returns the manifest
+        entries."""
         hint = (self._snapshot_ids() or [0])[-1] + 1
-        new = self._stage_files(df, hint)
-        return self._commit("overwrite", new, df.schema.json())
+        return self._stage_files(df, hint)
+
+    def commit_staged(self, entries: list[dict], schema_json: str,
+                      operation: str = "append",
+                      summary: dict | None = None) -> int:
+        """Commit previously staged files: append adds them to the
+        current file set, overwrite replaces it."""
+        if operation == "append":
+            ids = self._snapshot_ids()
+            prev = self._manifest(ids[-1])["files"] if ids else []
+            files = prev + entries
+        elif operation == "overwrite":
+            files = entries
+        else:
+            raise ValueError(f"unknown operation {operation!r}")
+        return self._commit(operation, files, schema_json, summary)
+
+    def append(self, df: DataFrame,
+               summary: dict | None = None) -> int:
+        return self.commit_staged(self.stage(df), df.schema.json(),
+                                  "append", summary)
+
+    def overwrite(self, df: DataFrame,
+                  summary: dict | None = None) -> int:
+        return self.commit_staged(self.stage(df), df.schema.json(),
+                                  "overwrite", summary)
 
     def compact(self, target_bytes: int = 256 * 1024 * 1024) -> int:
         """Rewrite the current file set into ~``target_bytes`` files
