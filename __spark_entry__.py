@@ -4154,6 +4154,44 @@ def _q_extract_checkpointed_table(spark, sf_dir):
         "ckpt_bucket int, n_rows bigint")
 
 
+def _q_streaming_table_sink(spark, sf_dir):
+    """Exactly-once streaming ingest into the snapshot table
+    (streaming/table_sink.py): documents replayed as a file stream
+    (availableNow) through foreachBatch, each micro-batch one atomic
+    snapshot commit carrying its batch id (the Delta/Iceberg
+    streaming-sink idempotence pattern). The table's final contents
+    must equal the batch projection exactly. Materialized to pandas
+    before the temp roots are removed (fixture-scale)."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    from tika_spark.streaming.table_sink import stream_to_table
+    root = tempfile.mkdtemp(prefix="snapstream-")
+    shutil.rmtree(root)
+    ckpt = tempfile.mkdtemp(prefix="snapstream-ckpt-")
+    try:
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, lang string, "
+                          "source string, n_chars long")
+                  .parquet(_stream_dir(sf_dir, "documents"))
+                  .select("doc_id",
+                          F.length("text").cast("int")
+                          .alias("n_chars")))
+        q = stream_to_table(stream, root, ckpt,
+                            query_name="docs_ingest",
+                            available_now=True)
+        q.awaitTermination(300)
+        t = SnapshotTable.load(spark, root)
+        pdf = t.read().toPandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf.astype({"doc_id": "int64", "n_chars": "int32"}),
+        "doc_id bigint, n_chars int")
+
+
 def _q_table_snapshot_reads(spark, sf_dir):
     """Snapshot-versioned table layer (pipeline/table.py — the
     Iceberg-style atomic-rename commit protocol): append evens,
@@ -5318,6 +5356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_incremental_read": _q_table_incremental_read,
         "extract_checkpointed_table": _q_extract_checkpointed_table,
+        "streaming_table_sink": _q_streaming_table_sink,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -6959,6 +6998,9 @@ def oracle_sql() -> dict[str, str]:
         "table_incremental_read": (
             "SELECT doc_id, CAST(length(text) AS INT) AS n_chars "
             "FROM documents WHERE doc_id % 2 = 1"),
+        "streaming_table_sink": (
+            "SELECT doc_id, CAST(length(text) AS INT) AS n_chars "
+            "FROM documents"),
         "docs_snapshot_delta": (
             "WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(text), "
             "'\\s+', ' ', 'g')) AS fp_md5 FROM documents), "
