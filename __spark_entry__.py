@@ -4542,6 +4542,67 @@ def _q_media_webm_vp8_frames(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_webm_vp8p_frames(spark, sf_dir):
+    """WebM VP8 INTER-frame sampling (analysis/vp8inter.py — closes
+    the keyframe tier's inter-coded hook): each stream opens on a
+    two-tone exact keyframe (left MB c0, right MB c1) and pans left
+    by one MB per interframe (NEWMV then NEARESTMV through the
+    near-MV survey, motion compensation off the edge-extended last
+    frame), so frame 0's mean is the two-color average and every
+    interframe is solid c1 — closed forms in integer BT.601."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.ebml import mkv_wrap_video
+        from tika_spark.analysis.vp8 import (encode_vp8_yuv,
+                                             rgb_to_yuv420)
+        from tika_spark.analysis.vp8inter import (VP8Decoder,
+                                                  encode_vp8_inter_yuv)
+        H, W = 16, 32
+        out = []
+        for i in ids:
+            i = int(i)
+            c0 = ((i * 7) % 256, (i * 3) % 256, (i * 5 + 2) % 256)
+            c1 = ((i * 11 + 5) % 256, (i * 13 + 7) % 256,
+                  (i * 17 + 11) % 256)
+            img = np.zeros((H, W, 3), dtype=np.uint8)
+            img[:, :16] = c0
+            img[:, 16:] = c1
+            kf, _ = encode_vp8_yuv(*rgb_to_yuv420(img), exact=True)
+            dec = VP8Decoder()
+            dec.decode_yuv(kf)
+            sol = np.zeros((H, W, 3), dtype=np.uint8)
+            sol[:] = c1
+            y1, u1, v1 = rgb_to_yuv420(sol)
+            frames = [kf]
+            for _k in range(1 + i % 2):
+                p, _ = encode_vp8_inter_yuv(
+                    dec.last, y1.astype(np.int32),
+                    u1.astype(np.int32), v1.astype(np.int32),
+                    mv=(0, -128))            # pan one MB left
+                dec.decode_yuv(p)
+                frames.append(p)
+            out.append(mkv_wrap_video(frames, W, H))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_r"),
+        F.get("mean_micro", 1).alias("mean_g"),
+        F.get("mean_micro", 2).alias("mean_b"))
+
+
 def _gradient_png_wrap_udf():
     """9×8 grayscale-gradient PNG per doc: pixel v(x,y) =
     (doc_id*7 + 11x + 3y) % 256 in all three channels, so the dHash
@@ -5257,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webp_anim_frames": _q_media_webp_anim_frames,
         "media_video_frames": _q_media_video_frames,
         "media_webm_vp8_frames": _q_media_webm_vp8_frames,
+        "media_webm_vp8p_frames": _q_media_webm_vp8p_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -5636,6 +5698,57 @@ def oracle_sql() -> dict[str, str]:
             "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
             "* 1000000 AS mean_b "
             "FROM yuv"),
+        "media_webm_vp8p_frames": (
+            # two-tone exact keyframe (c0|c1) + 1-2 interframes that
+            # pan one MB left -> every interframe solid c1; means by
+            # the integer BT.601 round trip per color
+            "WITH f AS (SELECT doc_id AS id, frame_idx, "
+            "2 + doc_id % 2 AS n FROM documents CROSS JOIN (SELECT "
+            "unnest(generate_series(0, 2)) AS frame_idx) s "
+            "WHERE frame_idx < 2 + doc_id % 2), "
+            "c AS (SELECT id, frame_idx, n, "
+            "(id * 7) % 256 AS r0, (id * 3) % 256 AS g0, "
+            "(id * 5 + 2) % 256 AS b0, "
+            "(id * 11 + 5) % 256 AS r1, (id * 13 + 7) % 256 AS g1, "
+            "(id * 17 + 11) % 256 AS b1 FROM f), "
+            "yuv AS (SELECT *, "
+            "CAST(FLOOR((66*r0 + 129*g0 + 25*b0 + 128) / 256.0) AS "
+            "BIGINT) + 16 AS y0, "
+            "CAST(FLOOR((-38*r0 - 74*g0 + 112*b0 + 128) / 256.0) AS "
+            "BIGINT) + 128 AS u0, "
+            "CAST(FLOOR((112*r0 - 94*g0 - 18*b0 + 128) / 256.0) AS "
+            "BIGINT) + 128 AS v0, "
+            "CAST(FLOOR((66*r1 + 129*g1 + 25*b1 + 128) / 256.0) AS "
+            "BIGINT) + 16 AS y1, "
+            "CAST(FLOOR((-38*r1 - 74*g1 + 112*b1 + 128) / 256.0) AS "
+            "BIGINT) + 128 AS u1, "
+            "CAST(FLOOR((112*r1 - 94*g1 - 18*b1 + 128) / 256.0) AS "
+            "BIGINT) + 128 AS v1 FROM c), "
+            "rt AS (SELECT *, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y0-16) "
+            "+ 409*(v0-128) + 128) / 256.0) AS BIGINT))) AS rr0, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y0-16) "
+            "- 100*(u0-128) - 208*(v0-128) + 128) / 256.0) AS "
+            "BIGINT))) AS gg0, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y0-16) "
+            "+ 516*(u0-128) + 128) / 256.0) AS BIGINT))) AS bb0, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y1-16) "
+            "+ 409*(v1-128) + 128) / 256.0) AS BIGINT))) AS rr1, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y1-16) "
+            "- 100*(u1-128) - 208*(v1-128) + 128) / 256.0) AS "
+            "BIGINT))) AS gg1, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(y1-16) "
+            "+ 516*(u1-128) + 128) / 256.0) AS BIGINT))) AS bb1 "
+            "FROM yuv) "
+            "SELECT id, CAST(frame_idx AS INT) AS frame_idx, "
+            "CAST(n AS INT) AS n_frames, 32::BIGINT AS width, "
+            "16::BIGINT AS height, "
+            "CASE WHEN frame_idx = 0 THEN (rr0 + rr1) * 500000 "
+            "ELSE rr1 * 1000000 END AS mean_r, "
+            "CASE WHEN frame_idx = 0 THEN (gg0 + gg1) * 500000 "
+            "ELSE gg1 * 1000000 END AS mean_g, "
+            "CASE WHEN frame_idx = 0 THEN (bb0 + bb1) * 500000 "
+            "ELSE bb1 * 1000000 END AS mean_b FROM rt"),
         "media_webp_anim_frames": (
             # 8x6 canvas: frame 0 solid c0; frame 1 paints a 4x2
             # sub-rect c1 (8 of 48 px); odd ids add a solid c2 frame.

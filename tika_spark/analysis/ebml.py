@@ -407,8 +407,12 @@ def mkv_wrap_video(frames: list[bytes], width: int, height: int,
     tracks = _el(TRACKS, track)
     blocks = bytearray(_uint_el(0xE7, 0))
     for k, frame in enumerate(frames):
+        # keyframe flag from the coded frame itself (VP8 tag bit 0:
+        # 0 = keyframe); non-VP8 codecs keep the all-key marking
+        key = 0x80 if (codec_id != b"V_VP8" or not frame
+                       or not (frame[0] & 1)) else 0x00
         body = (_enc_vint(1) + struct.pack(">h", k)
-                + bytes((0x80,)) + frame)        # keyframe flag
+                + bytes((key,)) + frame)
         blocks += _el(SIMPLE_BLOCK, body)
     cluster = _el(CLUSTER, bytes(blocks))
     segment = _el(SEGMENT, info + tracks + cluster)
@@ -416,11 +420,13 @@ def mkv_wrap_video(frames: list[bytes], width: int, height: int,
 
 
 def webm_vp8_frames(data: bytes) -> list:
-    """Decoded RGB frames of the first VP8 video track (all-intra
-    streams: every SimpleBlock must hold a keyframe — interframes
-    raise like the other inter-coded hooks, and the pixel stage
-    surfaces them as status rows)."""
-    from tika_spark.analysis.vp8 import decode_vp8
+    """Decoded RGB frames of the first VP8 video track. Keyframes
+    AND interframes decode (vp8inter.py: motion-compensated P-frames
+    with last/golden/altref buffers); a stream that opens on an
+    interframe, or uses SPLITMV / the bilinear profiles, raises like
+    the other documented hooks and the pixel stage surfaces it as a
+    status row."""
+    from tika_spark.analysis.vp8inter import VP8Decoder
     info = mkv_info(data)
     track_no = None
     for t in info["tracks"]:
@@ -432,4 +438,5 @@ def webm_vp8_frames(data: bytes) -> list:
     frames = mkv_track_frames(data, track_no)
     if not frames:
         raise EbmlError("VP8 track has no frames")
-    return [decode_vp8(f)[:, :, :3] for f in frames]
+    dec = VP8Decoder()
+    return [dec.decode_rgba(f)[:, :, :3] for f in frames]

@@ -642,7 +642,8 @@ def _parse_headers(data: bytes):
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
     if tag & 1:
         raise ValueError("VP8 interframe without a keyframe context "
-                         "(still-image decode handles keyframes)")
+                         "(still-image decode handles keyframes; "
+                         "vp8inter.VP8Decoder decodes frame chains)")
     part1_size = tag >> 5
     if data[3:6] != b"\x9d\x01\x2a":
         raise ValueError("bad VP8 keyframe start code")
@@ -886,7 +887,7 @@ def _dequant(coeffs, qdc: int, qac: int) -> np.ndarray:
 
 class _MBInfo:
     __slots__ = ("ymode", "uvmode", "bmodes", "segment", "skip",
-                 "has_nonzero")
+                 "has_nonzero", "is_inter", "mv", "ref", "inter_mode")
 
     def __init__(self):
         self.ymode = DC_PRED
@@ -895,6 +896,11 @@ class _MBInfo:
         self.segment = 0
         self.skip = 0
         self.has_nonzero = False
+        # interframe fields (vp8inter.py); keyframes leave defaults
+        self.is_inter = False
+        self.mv = (0, 0)
+        self.ref = "last"
+        self.inter_mode = None
 
 
 def _read_modes(bd, h, mb_w, mb_h):
