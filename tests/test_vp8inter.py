@@ -253,3 +253,51 @@ class TestFuzz:
             dec.decode_yuv(bytes(buf))
         except ValueError:
             pass                             # clean rejection
+
+
+class TestReferenceBuffers:
+    def test_golden_reference_and_refresh(self):
+        """kf → P1 (refresh last only; golden stays the keyframe) →
+        P2 referencing GOLDEN must predict from the keyframe, not P1;
+        P3 after a refresh_golden frame predicts from the new golden."""
+        dec = vp8inter.VP8Decoder()
+        _, recon_kf = _keyframe(dec)
+        H, W = dec.height, dec.width
+        kf_planes = dec.last
+
+        # P1: darken, refresh last only
+        p1, rec1 = vp8inter.encode_vp8_inter_yuv(
+            dec.last, dec.last[0][:H, :W] // 2,
+            dec.last[1][:H // 2, :W // 2],
+            dec.last[2][:H // 2, :W // 2], mv=(0, 0), qindex=6)
+        dec.decode_yuv(p1)
+        assert dec.golden is kf_planes        # untouched
+
+        # P2: reference golden (the keyframe), zero motion, zero
+        # residual -> must reproduce the KEYFRAME exactly
+        p2, rec2 = vp8inter.encode_vp8_inter_yuv(
+            kf_planes, kf_planes[0][:H, :W],
+            kf_planes[1][:H // 2, :W // 2],
+            kf_planes[2][:H // 2, :W // 2], mv=(0, 0), qindex=0,
+            ref="golden", refresh=("last", "golden"))
+        dy, du, dv = dec.decode_yuv(p2)
+        assert np.array_equal(dy, recon_kf[0])
+        assert dec.golden is dec.last         # refreshed together
+
+        # P3: altref path — reference altref (still the keyframe)
+        assert dec.altref is kf_planes
+        p3, rec3 = vp8inter.encode_vp8_inter_yuv(
+            kf_planes, kf_planes[0][:H, :W],
+            kf_planes[1][:H // 2, :W // 2],
+            kf_planes[2][:H // 2, :W // 2], mv=(16, 0), qindex=8,
+            ref="altref", refresh=("last", "altref"))
+        dy3, _, _ = dec.decode_yuv(p3)
+        assert np.array_equal(dy3, rec3[0][:H, :W].astype(np.uint8))
+
+    def test_bad_ref_rejected(self):
+        dec = vp8inter.VP8Decoder()
+        _keyframe(dec, H=16, W=16)
+        with pytest.raises(ValueError, match="unknown reference"):
+            vp8inter.encode_vp8_inter_yuv(
+                dec.last, dec.last[0][:16, :16], dec.last[1][:8, :8],
+                dec.last[2][:8, :8], ref="nope")

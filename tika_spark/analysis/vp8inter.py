@@ -570,18 +570,26 @@ class VP8Decoder:
 def encode_vp8_inter_yuv(prev, y, u, v, mv=(0, 0), qindex: int = 0,
                          plan: str = "auto",
                          intra_every: int = 0,
-                         filter_level: int = 0):
+                         filter_level: int = 0,
+                         ref: str = "last",
+                         refresh=("last",)):
     """Encode one interframe against reconstruction ``prev`` (padded
-    (yp, up, vp) int32 planes, e.g. a :class:`VP8Decoder`'s
-    ``last``). Returns ``(payload, recon_planes)``.
+    (yp, up, vp) int32 planes — the buffer named by ``ref`` on the
+    decode side, e.g. a :class:`VP8Decoder`'s ``last`` or
+    ``golden``). Returns ``(payload, recon_planes)``.
 
     Every inter MB uses the global motion ``mv`` (eighth-pel,
     even-full-pixel recommended); the mode coded per MB is chosen
     from the shared survey (ZEROMV / NEARESTMV / NEARMV / NEWMV
     residual), so the decoder's survey logic is exercised end to
     end. ``intra_every`` > 0 makes every Nth MB an intra DC MB
-    inside the interframe (the intra-in-inter path).
+    inside the interframe (the intra-in-inter path). ``ref`` selects
+    the reference every inter MB names (last / golden / altref) and
+    ``refresh`` which buffers this frame refreshes — between them
+    the decoder's full reference-buffer management round-trips.
     """
+    if ref not in ("last", "golden", "altref"):
+        raise ValueError(f"unknown reference {ref!r}")
     y = np.asarray(y, dtype=np.int32)
     u = np.asarray(u, dtype=np.int32)
     v = np.asarray(v, dtype=np.int32)
@@ -620,7 +628,7 @@ def encode_vp8_inter_yuv(prev, y, u, v, mv=(0, 0), qindex: int = 0,
             intra = intra_every and (k % intra_every == 0)
             mb.is_inter = not intra
             mb.mv = (0, 0) if intra else tuple(mv)
-            mb.ref = "last"
+            mb.ref = ref
             blocks = {"y2": None, "y": [], "u": [], "v": []}
             x0, y0 = mx * 16, my * 16
             if intra:
@@ -712,14 +720,16 @@ def encode_vp8_inter_yuv(prev, y, u, v, mv=(0, 0), qindex: int = 0,
     be.literal(qindex, 7)
     for _ in range(5):
         be.put(0)                             # q deltas
-    be.put(0)                                 # refresh golden
-    be.put(0)                                 # refresh alt
-    be.literal(0, 2)                          # copy to golden: none
-    be.literal(0, 2)                          # copy to alt: none
+    be.put(1 if "golden" in refresh else 0)   # refresh golden
+    be.put(1 if "altref" in refresh else 0)   # refresh alt
+    if "golden" not in refresh:
+        be.literal(0, 2)                      # copy to golden: none
+    if "altref" not in refresh:
+        be.literal(0, 2)                      # copy to alt: none
     be.put(0)                                 # sign bias golden
     be.put(0)                                 # sign bias alt
     be.put(0)                                 # refresh entropy
-    be.put(1)                                 # refresh last
+    be.put(1 if "last" in refresh else 0)     # refresh last
     for t in range(4):
         for b in range(8):
             for c in range(3):
@@ -743,7 +753,11 @@ def encode_vp8_inter_yuv(prev, y, u, v, mv=(0, 0), qindex: int = 0,
             be.put(mb.skip, skip_prob)
             be.put(1 if mb.is_inter else 0, prob_intra)
             if mb.is_inter:
-                be.put(0, prob_last)          # ref = last
+                if ref == "last":
+                    be.put(0, prob_last)
+                else:
+                    be.put(1, prob_last)
+                    be.put(1 if ref == "altref" else 0, prob_gf)
                 best, nearest, near, cnt = _find_near_mvs(
                     mbs, mx, my, mb_w, mb_h)
                 probs = _mv_ref_probs(cnt)
