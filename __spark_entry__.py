@@ -4306,6 +4306,40 @@ def _q_docs_snapshot_delta(spark, sf_dir):
             .select("doc_id", "fp_md5"))
 
 
+def _q_table_incremental_dedup(spark, sf_dir):
+    """The 'new monthly crawl' composition over the snapshot table:
+    the prior corpus is snapshot 1 (even docs), the new crawl append
+    is snapshot 2 (the full table — evens arrive again as dupes);
+    the table's incremental delta feed deduplicates against the
+    prior snapshot's fingerprint index (curation.snapshot_delta_dedup
+    — 8/16-byte keys, no old text re-read), so only genuinely-new
+    content survives. Same closed form as docs_snapshot_delta, now
+    driven through pipeline/table.py's delta read. Materialized
+    before the temp root is removed (fixture-scale)."""
+    import shutil
+    import tempfile
+
+    from tika_spark.analysis.curation import snapshot_delta_dedup
+    from tika_spark.analysis.textstats import fingerprint
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="snapdelta-")
+    shutil.rmtree(root)
+    try:
+        t = SnapshotTable.create(spark, root)
+        s1 = t.append(docs.filter(F.col("doc_id") % 2 == 0))
+        s2 = t.append(docs)                  # the new crawl, dupes in
+        seen = (fingerprint(t.read(s1))
+                .select("fp_64", "fp_md5"))
+        delta = t.incremental(s1, s2)
+        pdf = (snapshot_delta_dedup(delta, seen)
+               .select("doc_id", "fp_md5").toPandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(pdf.astype({"doc_id": "int64"}),
+                                 "doc_id bigint, fp_md5 string")
+
+
 def _q_docs_normalize(spark, sf_dir):
     """Unicode/whitespace normalization over deterministically dirtied
     text (NFD combining accent, CRLF runs, BEL control, tab/space
@@ -5401,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_contamination": _q_docs_contamination,
         "docs_snapshot_delta": _q_docs_snapshot_delta,
+        "table_incremental_dedup": _q_table_incremental_dedup,
         "docs_normalize": _q_docs_normalize,
         "docs_dsir": _q_docs_dsir,
         "docs_substring_dedup": _q_docs_substring_dedup,
@@ -7115,6 +7150,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS INT) AS n_chars "
             "FROM documents"),
         "docs_snapshot_delta": (
+            "WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(text), "
+            "'\\s+', ' ', 'g')) AS fp_md5 FROM documents), "
+            "fresh AS (SELECT * FROM fp WHERE fp_md5 NOT IN "
+            "(SELECT fp_md5 FROM fp WHERE doc_id % 2 = 0)) "
+            "SELECT doc_id, fp_md5 FROM (SELECT doc_id, fp_md5, "
+            "row_number() OVER (PARTITION BY fp_md5 ORDER BY doc_id) "
+            "AS rn FROM fresh) WHERE rn = 1"),
+        "table_incremental_dedup": (
             "WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(text), "
             "'\\s+', ' ', 'g')) AS fp_md5 FROM documents), "
             "fresh AS (SELECT * FROM fp WHERE fp_md5 NOT IN "
