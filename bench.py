@@ -322,6 +322,94 @@ def main():
         sample_frame_stats(ts, every=1)))
     ts.unpersist()
 
+    # dictionary-compressed .warc.zst ingest (new r4 overtime): the
+    # IIPC layout — shared zstd dictionary in the leading skippable
+    # frame, every member naming its Dictionary_ID — walked by frame
+    # arithmetic and decoded by the from-scratch codec. Blobs are
+    # built outside the timed region; the timed path is
+    # dict-parse + member decode + WARC/HTTP split per row.
+    @pandas_udf(BinaryType())
+    def zstwrap(ids):
+        import pandas as _pd
+
+        from tika_spark.fixtures.warcgen import warc_zst_dict
+        out = []
+        for i in ids:
+            i = int(i)
+            recs = [(f"doc://{i}/{k}", "2026-01-17T08:30:00Z",
+                     (b"<html><body><p>page %d-%d </p>" % (i, k)
+                      + b"<p>crawl body text</p>" * 12
+                      + b"</body></html>")) for k in range(8)]
+            out.append(warc_zst_dict(recs))
+        return _pd.Series(out)
+
+    zst = docs.select(F.col("doc_id").alias("id"),
+                      zstwrap(F.col("doc_id")).alias("blob")).cache()
+    zst.count()
+
+    def zst_parse():
+        import io as _io
+
+        import pandas as _pd
+
+        from tika_spark.sources.warc import warc_pages_from
+
+        def run(batches):
+            for pdf in batches:
+                rows = [(p["url"], len(p["html"] or b""))
+                        for b in pdf["blob"]
+                        for p in warc_pages_from(
+                            _io.BytesIO(bytes(b)).read, zst=True)
+                        if p["status"] == "ok"]
+                yield _pd.DataFrame(rows, columns=["url", "n"])
+        force(zst.mapInPandas(run, "url string, n long"))
+
+    timed("warc_zst_dict_ingest", zst_parse)
+    zst.unpersist()
+
+    # VP8 inter-frame decode (new r4 overtime): WebM streams of one
+    # keyframe + three motion-compensated P-frames each (near-MV
+    # survey, NEWMV residuals, six-tap MC), one row per frame
+    @pandas_udf(BinaryType())
+    def vp8pwrap(ids):
+        import numpy as _np
+        import pandas as _pd
+
+        from tika_spark.analysis.ebml import mkv_wrap_video
+        from tika_spark.analysis.vp8 import encode_vp8_yuv
+        from tika_spark.analysis.vp8inter import (VP8Decoder,
+                                                  encode_vp8_inter_yuv)
+        out = []
+        for i in ids:
+            i = int(i)
+            rng = _np.random.RandomState(i % 1000)
+            y = rng.randint(0, 256, (32, 32)).astype(_np.int32)
+            u = rng.randint(0, 256, (16, 16)).astype(_np.int32)
+            v = rng.randint(0, 256, (16, 16)).astype(_np.int32)
+            kf, _ = encode_vp8_yuv(y, u, v, qindex=(i * 11) % 96,
+                                   plan="dc")
+            d = VP8Decoder()
+            d.decode_yuv(kf)
+            frames = [kf]
+            for mv in ((16, 0), (2, -6), (0, 16)):
+                src = _np.roll(d.last[0], (mv[0] // 8, mv[1] // 8),
+                               axis=(0, 1))[:32, :32]
+                p, _ = encode_vp8_inter_yuv(
+                    d.last, src, d.last[1][:16, :16],
+                    d.last[2][:16, :16], mv=mv, qindex=(i * 7) % 64)
+                d.decode_yuv(p)
+                frames.append(p)
+            out.append(mkv_wrap_video(frames, 32, 32))
+        return _pd.Series(out)
+
+    vp8p = docs.select(F.col("doc_id").alias("id"),
+                       vp8pwrap(F.col("doc_id")).alias("payload")) \
+        .cache()
+    vp8p.count()
+    timed("media_vp8_inter_decode", lambda: force(
+        sample_frame_stats(vp8p, every=1)))
+    vp8p.unpersist()
+
     elapsed = round(time.perf_counter() - t_all, 3)
     total = round(sum(queries.values()), 3)
     extract_sec = queries["extract_pages_text"]
