@@ -4112,6 +4112,28 @@ def _q_extract_warc_zst_dict_pages(spark, sf_dir):
             .select("url", "warc_ts", "title", "text"))
 
 
+def _q_warc_zst_dict_train_roundtrip(spark, sf_dir):
+    """Crawl-tier egress: TRAIN a zstd dictionary over the corpus
+    (analysis/dicttrain.py train_zstd_dict — COVER-style recurring
+    shingle counting as one JVM-side groupBy whose shuffle carries
+    16-byte shingles, never documents), export every document as
+    dictionary-compressed .warc.zst shards (one per partition, each
+    led by the IIPC dictionary skippable frame so shards stay
+    independently readable / splittable), then read the shards back
+    through the same sources/warc.py path that ingests CommonCrawl
+    archives. Hash-exact roundtrip proves the trained dictionary,
+    the RFC 8878 structured-dict encoder, and the shard reader agree
+    byte-for-byte; the compression-wins-over-no-dict property is
+    pinned in tests/test_dicttrain.py."""
+    from tika_spark.analysis.dicttrain import (
+        export_warc_zst, read_warc_zst_shards, train_zstd_dict)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    blob = train_zstd_dict(docs, dict_size=4096, dict_id=2026)
+    shards = export_warc_zst(docs, blob)
+    return (read_warc_zst_shards(shards)
+            .select("url", "text"))
+
+
 def _q_extract_checkpointed_table(spark, sf_dir):
     """extract_checkpointed with checkpoint manifests AS snapshot
     commits (pipeline/checkpoint.py run_checkpointed_table over
@@ -5450,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_warc_pages": _q_extract_warc_pages,
         "extract_warc_zst_pages": _q_extract_warc_zst_pages,
         "extract_warc_zst_dict_pages": _q_extract_warc_zst_dict_pages,
+        "warc_zst_dict_train_roundtrip": _q_warc_zst_dict_train_roundtrip,
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_incremental_read": _q_table_incremental_read,
         "extract_checkpointed_table": _q_extract_checkpointed_table,
@@ -7127,6 +7150,8 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2026-01-17 08:30:00' AS warc_ts, "
             "'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),
+        "warc_zst_dict_train_roundtrip": (
+            "SELECT 'doc://' || doc_id AS url, text FROM documents"),
         "table_snapshot_reads": (
             "WITH base AS (SELECT doc_id, length(text) AS c "
             "FROM documents) "
