@@ -1871,6 +1871,77 @@ def _q_media_font_meta(spark, sf_dir):
         F.element_at(md["font-family"], 1).alias("family"))
 
 
+def _q_media_font_glyphs(spark, sf_dir):
+    """WOFF2 glyf/loca geometry transform end-to-end (W3C WOFF2
+    sections 5.1-5.3; analysis/woff2.py transform_glyf/
+    reconstruct_glyf — no reference counterpart,
+    font/TrueTypeParser.java stops at name records): each id builds
+    a WOFF2 whose glyf table is stored TRANSFORMED (255UInt16 point
+    counts, per-point flag bytes, triplet-coded deltas, bbox bitmap,
+    zero-length loca stream), cycling both loca index formats and
+    explicit-vs-recomputed bboxes; the metadata pipeline must
+    reconstruct the outlines and report closed-form glyph/contour/
+    point/composite counts."""
+    import struct as _st
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.woff2 import build_glyf, woff2_bytes
+        out = []
+        for i in ids:
+            i = int(i)
+            k = i % 5 + 1
+            pts, end_pts, n = [], [], 0
+            x = y = 0
+            for c in range(k):
+                for j in range(c + 2):
+                    x += (c + 1) * 13 + j * 3 - 15
+                    y += 29 - j * 5
+                    pts.append((x, y, (j % 3) != 0))
+                    n += 1
+                end_pts.append(n - 1)
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            simple = {"bbox": (min(xs), min(ys), max(xs), max(ys)),
+                      "end_pts": end_pts, "points": pts,
+                      "instructions": b"\xb0\x01" * (i % 3)}
+            glyphs = [simple, None]
+            if i % 2:
+                comp = _st.pack(">HHhh", 0x0001 | 0x0100, 0, 7, -9)
+                glyphs.append({"bbox": (-4, -4, 90, 90),
+                               "composite": comp,
+                               "instructions": b"\x4f"})
+            fmt = i % 2
+            glyf, loca = build_glyf(glyphs, index_format=fmt)
+            head = bytearray(54)
+            _st.pack_into(">h", head, 50, fmt)
+            out.append(woff2_bytes(
+                [("head", bytes(head)), ("glyf", glyf),
+                 ("loca", loca)],
+                mode=("raw", "literals", "lz")[i % 3],
+                transform_glyphs=True, index_format=fmt))
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    out = extract(pages, mode="metadata")
+    md = F.col("metadata")
+    return out.select(
+        "url", "mime",
+        F.element_at(md["font-glyph-count"], 1).cast("long")
+        .alias("glyphs"),
+        F.element_at(md["font-contour-count"], 1).cast("long")
+        .alias("contours"),
+        F.element_at(md["font-point-count"], 1).cast("long")
+        .alias("points"),
+        F.element_at(md["font-composite-count"], 1).cast("long")
+        .alias("composites"))
+
+
 def _zip_wrap_udf():
     """Deterministic one-member zip per document (fixture builder for
     the F1 recursion check; ZIP_STORED + fixed date → byte-stable)."""
@@ -5365,6 +5436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_xmp_meta": _q_media_xmp_meta,
         "media_font_meta": _q_media_font_meta,
+        "media_font_glyphs": _q_media_font_glyphs,
         "media_heif_meta": _q_media_heif_meta,
         "media_jxl_meta": _q_media_jxl_meta,
         "media_pixel_stats": _q_media_pixel_stats,
@@ -5948,6 +6020,17 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 1 THEN 'font/woff' ELSE 'font/woff2' END AS mime, "
             "'Fam ' || doc_id || ' Regular' AS title, "
             "'Fam ' || doc_id AS family FROM documents"),
+        "media_font_glyphs": (
+            # closed form: k = id%5+1 contours of (c+2) points each
+            # -> k(k+3)/2 points; odd ids add one composite glyph
+            "SELECT 'doc://' || doc_id AS url, "
+            "'font/woff2' AS mime, "
+            "CAST(2 + doc_id % 2 AS BIGINT) AS glyphs, "
+            "CAST(doc_id % 5 + 1 AS BIGINT) AS contours, "
+            "CAST((doc_id % 5 + 1) * (doc_id % 5 + 4) // 2 AS BIGINT)"
+            " AS points, "
+            "CAST(doc_id % 2 AS BIGINT) AS composites "
+            "FROM documents"),
         "media_xmp_meta": (
             "SELECT 'doc://' || doc_id AS url, "
             "'image/jpeg' AS mime, "

@@ -333,10 +333,29 @@ def _woff_meta(data: bytes) -> dict[str, list[str]]:
 def _woff2_meta(data: bytes) -> dict[str, list[str]]:
     """WOFF2: brotli-decompress the table block (from-scratch codec,
     analysis/brotlicodec.py) and walk the sfnt 'name' records —
-    pipeline extension; the reference stops at WOFF2 detection."""
-    from tika_spark.analysis.woff2 import woff2_name_table
+    pipeline extension; the reference stops at WOFF2 detection.
+    When the font carries glyph outlines the WOFF2 glyf/loca
+    geometry transform is reconstructed (analysis/woff2.py
+    reconstruct_glyf) and summarized as glyph-count/contour/point/
+    bbox keys — absent for name-only fonts, so the metadata surface
+    of existing fixtures is unchanged."""
+    from tika_spark.analysis.woff2 import (woff2_glyph_stats,
+                                           woff2_name_table)
     tbl = woff2_name_table(data)
-    return _name_table_meta(tbl) if tbl else {}
+    meta = _name_table_meta(tbl) if tbl else {}
+    try:
+        stats = woff2_glyph_stats(data)
+    except ValueError:
+        stats = None
+    if stats:
+        meta["font-glyph-count"] = [str(stats["num_glyphs"])]
+        meta["font-contour-count"] = [str(stats["n_contours"])]
+        meta["font-point-count"] = [str(stats["n_points"])]
+        meta["font-composite-count"] = [str(stats["n_composites"])]
+        if stats["bbox"]:
+            meta["font-bbox"] = [" ".join(str(v)
+                                          for v in stats["bbox"])]
+    return meta
 
 
 # ---- FLV header + onMetaData AMF0 scan (reference:
