@@ -4730,6 +4730,39 @@ def _q_media_webm_vp8p_frames(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_mp4_frames(spark, sf_dir):
+    """MP4 (ISO-BMFF) H.264/AVC video frame sampling: avc1 track
+    demux (analysis/isobmff.py mp4_avc_track, length-prefixed NALs
+    per avcC) + the from-scratch H.264 intra decoder
+    (analysis/h264.py — CAVLC, Intra_4x4/16x16/chroma prediction,
+    integer transforms), one row per sampled frame.  Fixture frames
+    are solid 16x16 grays; even ids are I_PCM streams (bit-exact)
+    and odd ids Intra_16x16-DC at qp=28, where the LS*MF = 2^17
+    identity makes the DC path exactly lossless — so every decoded
+    mean is the BT.601 closed form the DuckDB oracle replays.
+    Reference's MP4 coverage is metadata-only (mp4/MP4Parser.java);
+    sample decode is the training-pipeline extension."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import video_h264_fixture
+        return pd.Series([video_h264_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _gradient_png_wrap_udf():
     """9×8 grayscale-gradient PNG per doc: pixel v(x,y) =
     (doc_id*7 + 11x + 3y) % 256 in all three channels, so the dHash
@@ -5447,6 +5480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": _q_media_video_frames,
         "media_webm_vp8_frames": _q_media_webm_vp8_frames,
         "media_webm_vp8p_frames": _q_media_webm_vp8p_frames,
+        "media_mp4_frames": _q_media_mp4_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -5828,6 +5862,24 @@ def oracle_sql() -> dict[str, str]:
             "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
             "* 1000000 AS mean_b "
             "FROM yuv"),
+        "media_mp4_frames": (
+            # n = 2 + id%3 solid 16x16 frames in an avc1 .mp4,
+            # sampled every 2; Y = (id*13 + 19*idx) % 256.  Even ids
+            # are I_PCM (lossless by construction); odd ids are
+            # Intra_16x16 DC at qp=28, exactly lossless via the
+            # LS*MF = 2^17 identity — so both decode to the BT.601
+            # studio-swing gray of Y with neutral chroma.
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "(doc_id * 13 + 19 * frame_idx) % 256 AS v, "
+            "2 + doc_id % 3 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS frame_idx) s "
+            "WHERE frame_idx % 2 = 0 AND frame_idx < 2 + doc_id % 3) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS "
+            "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
+            "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
+            "FROM f"),
         "media_webm_vp8p_frames": (
             # two-tone exact keyframe (c0|c1) + 1-2 interframes that
             # pan one MB left -> every interframe solid c1; means by

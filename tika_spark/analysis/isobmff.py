@@ -447,3 +447,197 @@ def heif_bytes(width: int, height: int, brand: bytes = b"avif",
                  + b"\x00" * 12 + b"\x00")
     meta = _full(b"meta", hdlr + iprp)
     return ftyp + meta
+
+
+# --------------------------------------------------------- AVC video
+# (H.264 intra tier: tika_spark.analysis.h264.  Reference parity:
+# mp4/MP4Parser.java is metadata-only; sample decode is the
+# training-pipeline extension.)
+
+_VISUAL_ENTRY_FIXED = 78     # bytes before the child boxes of avc1
+
+
+def parse_avcc(data: bytes, b: int, e: int) -> dict:
+    """AVCDecoderConfigurationRecord -> SPS/PPS NALs + NAL length
+    size."""
+    if e - b < 7 or data[b] != 1:
+        raise Mp4Error("bad avcC record")
+    length_size = (data[b + 4] & 3) + 1
+    n_sps = data[b + 5] & 0x1F
+    p = b + 6
+    sps = []
+    for _ in range(n_sps):
+        ln = int.from_bytes(data[p:p + 2], "big")
+        p += 2
+        sps.append(data[p:p + ln])
+        p += ln
+    n_pps = data[p]
+    p += 1
+    pps = []
+    for _ in range(n_pps):
+        ln = int.from_bytes(data[p:p + 2], "big")
+        p += 2
+        pps.append(data[p:p + ln])
+        p += ln
+    return {"length_size": length_size, "sps": sps, "pps": pps}
+
+
+def mp4_avc_track(data: bytes) -> tuple[dict, dict]:
+    """First avc1 video track -> (track dict, avcC dict)."""
+    data = bytes(data or b"")
+    moov = _child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise Mp4Error("no moov box")
+    for typ, tb, te in iter_boxes(data, moov[0], moov[1]):
+        if typ != b"trak":
+            continue
+        mdia = _child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _descend(data, mdia[0], mdia[1], [b"minf", b"stbl"])
+        if stbl is None:
+            continue
+        stsd = _child(data, stbl[0], stbl[1], b"stsd")
+        if stsd is None:
+            continue
+        entry_b = stsd[0] + 8
+        if data[entry_b + 4:entry_b + 8] != b"avc1":
+            continue
+        entry_end = entry_b + int.from_bytes(data[entry_b:entry_b + 4],
+                                             "big")
+        w = int.from_bytes(data[entry_b + 32:entry_b + 34], "big")
+        h = int.from_bytes(data[entry_b + 34:entry_b + 36], "big")
+        avcc = _child(data, entry_b + 8 + _VISUAL_ENTRY_FIXED,
+                      entry_end, b"avcC")
+        if avcc is None:
+            raise Mp4Error("avc1 entry without avcC")
+        track = {"width": w, "height": h,
+                 "samples": _samples_from_stbl(data, stbl[0],
+                                               stbl[1])}
+        return track, parse_avcc(data, avcc[0], avcc[1])
+    raise Mp4Error("no avc1 video track")
+
+
+def mp4_h264_frames(data: bytes) -> list:
+    """Demux + full intra decode of the first avc1 track -> list of
+    (h, w, 3) RGB uint8 frames."""
+    from tika_spark.analysis.h264 import H264Decoder, split_avcc
+    from tika_spark.analysis.vp8 import yuv_to_rgb
+    data = bytes(data or b"")
+    track, avcc = mp4_avc_track(data)
+    dec = H264Decoder()
+    for nal in avcc["sps"] + avcc["pps"]:
+        dec.push(nal)
+    for off, size in track["samples"]:
+        if off + size > len(data):
+            raise Mp4Error("sample range beyond file end")
+        for nal in split_avcc(data[off:off + size],
+                              avcc["length_size"]):
+            dec.push(nal)
+    if not dec.frames:
+        raise Mp4Error("avc1 track decoded no frames")
+    return [yuv_to_rgb(y, u, v) for y, u, v in dec.frames]
+
+
+def avc_bytes(frames: list, width: int, height: int, qp: int = 28,
+              plan: str = "i16dc", fps: int = 25) -> bytes:
+    """Fixture muxer: (y, u, v) planes -> a complete .mp4 with one
+    avc1 video track (every sample an IDR I-slice from the
+    from-scratch encoder; SPS/PPS carried in avcC)."""
+    from tika_spark.analysis.h264 import H264Encoder, _nal
+    enc = H264Encoder(width, height, qp)
+    sps_nal = _nal(7, enc.sps_rbsp())
+    pps_nal = _nal(8, enc.pps_rbsp())
+    samples = []
+    for y, u, v in frames:
+        import numpy as _np
+        nal = _nal(5, enc.encode_frame(_np.asarray(y, dtype="uint8"),
+                                       _np.asarray(u, dtype="uint8"),
+                                       _np.asarray(v, dtype="uint8"),
+                                       plan))
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+    n = len(samples)
+    tick = 1000 // fps
+    dur = tick * n
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00"
+                + b"isomiso2avc1")
+    mdat = _box(b"mdat", b"".join(samples))
+    chunk0 = len(ftyp) + 8
+    avcc = _box(b"avcC", bytes((1, 66, 0, 30, 0xFF, 0xE1))
+                + len(sps_nal).to_bytes(2, "big") + sps_nal
+                + bytes((1,))
+                + len(pps_nal).to_bytes(2, "big") + pps_nal)
+    sample_entry = (
+        b"\x00" * 6 + (1).to_bytes(2, "big")
+        + b"\x00" * 16
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x48 << 16).to_bytes(4, "big")
+        + (0x48 << 16).to_bytes(4, "big")
+        + b"\x00" * 4 + (1).to_bytes(2, "big")
+        + b"\x00" * 32
+        + (24).to_bytes(2, "big") + b"\xff\xff"
+        + avcc)
+    stsd = _full(b"stsd", (1).to_bytes(4, "big")
+                 + _box(b"avc1", sample_entry))
+    stts = _full(b"stts", (1).to_bytes(4, "big")
+                 + n.to_bytes(4, "big") + tick.to_bytes(4, "big"))
+    stsc = _full(b"stsc", (1).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + n.to_bytes(4, "big")
+                 + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", (0).to_bytes(4, "big")
+                 + n.to_bytes(4, "big")
+                 + b"".join(len(s).to_bytes(4, "big")
+                            for s in samples))
+    stco = _full(b"stco", (1).to_bytes(4, "big")
+                 + chunk0.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full(b"dref", (1).to_bytes(4, "big")
+                 + _full(b"url ", b"", flags=1))
+    minf = _box(b"minf", _full(b"vmhd", b"\x00" * 8, flags=1)
+                + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide"
+                 + b"\x00" * 12 + b"\x00")
+    mdhd = _full(b"mdhd", (0).to_bytes(8, "big")
+                 + (1000).to_bytes(4, "big") + dur.to_bytes(4, "big")
+                 + b"\x55\xc4\x00\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    matrix = (b"\x00\x01\x00\x00" + b"\x00" * 12
+              + b"\x00\x01\x00\x00" + b"\x00" * 12
+              + b"\x40\x00\x00\x00")
+    tkhd = _full(b"tkhd", (0).to_bytes(8, "big")
+                 + (1).to_bytes(4, "big") + b"\x00" * 4
+                 + dur.to_bytes(4, "big") + b"\x00" * 8
+                 + b"\x00\x00\x00\x00\x01\x00\x00\x00"
+                 + matrix
+                 + (width << 16).to_bytes(4, "big")
+                 + (height << 16).to_bytes(4, "big"), flags=7)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", (0).to_bytes(8, "big")
+                 + (1000).to_bytes(4, "big") + dur.to_bytes(4, "big")
+                 + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+                 + matrix + b"\x00" * 24 + (2).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def video_h264_fixture(doc_id: int) -> bytes:
+    """Deterministic .mp4 fixture: n = 2 + id%3 solid 16x16 frames,
+    Y = (id*13 + 19*k) % 256 for frame k, chroma neutral (128).
+    Even ids carry I_PCM macroblocks (bit-exact), odd ids
+    Intra_16x16-DC at qp=28 — where the LS·MF = 2^17 identity makes
+    the DC path exactly lossless too, so every frame's decoded gray
+    is the BT.601 closed form of Y the oracle replays in SQL."""
+    import numpy as np
+    did = int(doc_id)
+    n = 2 + did % 3
+    frames = []
+    for k in range(n):
+        yv = (did * 13 + 19 * k) % 256
+        frames.append((np.full((16, 16), yv, np.uint8),
+                       np.full((8, 8), 128, np.uint8),
+                       np.full((8, 8), 128, np.uint8)))
+    plan = "pcm" if did % 2 == 0 else "i16dc"
+    return avc_bytes(frames, 16, 16, qp=28, plan=plan)

@@ -462,6 +462,9 @@ def _demux(payload: bytes):
     if payload[:4] == b"\x1aE\xdf\xa3":          # EBML: Matroska/WebM
         from tika_spark.analysis.ebml import webm_vp8_frames
         return "raw", webm_vp8_frames(payload)
+    if payload[4:8] == b"ftyp":                  # ISO-BMFF: MP4/AVC
+        from tika_spark.analysis.isobmff import mp4_h264_frames
+        return "raw", mp4_h264_frames(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from tika_spark.analysis.pixels import gif_frames
         return "raw", gif_frames(payload)
