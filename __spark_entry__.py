@@ -4763,6 +4763,74 @@ def _q_media_mp4_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_flv_avc_frames(spark, sf_dir):
+    """FLV (Flash video) AVC frame sampling: VIDEODATA tag walk with
+    back-pointer validation (analysis/flvdemux.py flv_video — avcC
+    sequence header + length-prefixed NALU packets) through the
+    from-scratch H.264 intra decoder.  Fixtures alternate I_PCM and
+    Intra_16x16-DC@qp28 streams, both exactly lossless, so frame
+    means pin to the BT.601 closed form.  Reference parity:
+    video/FLVParser.java is metadata-only."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.flvdemux import flv_video_fixture
+        return pd.Series([flv_video_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
+def _q_media_ts_h264_frames(spark, sf_dir):
+    """MPEG transport stream carrying an H.264 elementary stream
+    (PMT stream_type 0x1B): the PSI/PES walk (analysis/mpegts.py)
+    routes the Annex-B ES to the intra decoder instead of the
+    MPEG-1/2 path — the dual of media_ts_mpeg2_decode on the same
+    container."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from tika_spark.analysis.h264 import encode_h264
+        from tika_spark.analysis.mpegts import ts_wrap
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = []
+            for k in range(1 + i % 2):
+                yv = (i * 29 + 37 * k) % 256
+                frames.append((np.full((16, 16), yv, np.uint8),
+                               np.full((8, 8), 128, np.uint8),
+                               np.full((8, 8), 128, np.uint8)))
+            es = encode_h264(frames, 16, 16, qp=28,
+                             plan="pcm" if i % 2 == 0 else "i16dc")
+            out.append(ts_wrap(es, stream_type=0x1B,
+                               pid=0x100 + i % 16))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _gradient_png_wrap_udf():
     """9×8 grayscale-gradient PNG per doc: pixel v(x,y) =
     (doc_id*7 + 11x + 3y) % 256 in all three channels, so the dHash
@@ -5481,6 +5549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webm_vp8_frames": _q_media_webm_vp8_frames,
         "media_webm_vp8p_frames": _q_media_webm_vp8p_frames,
         "media_mp4_frames": _q_media_mp4_frames,
+        "media_flv_avc_frames": _q_media_flv_avc_frames,
+        "media_ts_h264_frames": _q_media_ts_h264_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -5878,6 +5948,32 @@ def oracle_sql() -> dict[str, str]:
             "frame_idx, CAST(n AS INT) AS n_frames, "
             "CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS "
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
+            "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
+            "FROM f"),
+        "media_flv_avc_frames": (
+            # n = 2 + id%2 solid 16x16 AVC frames in an FLV,
+            # Y = (id*23 + 31*idx) % 256, both plans lossless
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "(doc_id * 23 + 31 * frame_idx) % 256 AS v, "
+            "2 + doc_id % 2 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 2)) AS frame_idx) s "
+            "WHERE frame_idx < 2 + doc_id % 2) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
+            "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
+            "FROM f"),
+        "media_ts_h264_frames": (
+            # n = 1 + id%2 solid 16x16 frames in a CRC-correct TS
+            # (stream_type 0x1B), Y = (id*29 + 37*idx) % 256
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "(doc_id * 29 + 37 * frame_idx) % 256 AS v, "
+            "1 + doc_id % 2 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 1)) AS frame_idx) s "
+            "WHERE frame_idx < 1 + doc_id % 2) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
         "media_webm_vp8p_frames": (

@@ -249,3 +249,82 @@ def test_mp4_corrupt_raises():
     good = video_h264_fixture(1)
     with pytest.raises((Mp4Error, H264Error, Exception)):
         mp4_h264_frames(good[:len(good) // 2] + b"\x00" * 4)
+
+
+# --------------------------------------------- container integrations
+
+
+def test_ts_h264_stream():
+    from tika_spark.analysis.h264 import encode_h264
+    from tika_spark.analysis.mpegts import (ts_video, ts_video_frames,
+                                            ts_wrap)
+    y = np.full((16, 16), 77, np.uint8)
+    c = np.full((8, 8), 128, np.uint8)
+    es = encode_h264([(y, c, c)] * 2, 16, 16, qp=28, plan="i16dc")
+    ts = ts_wrap(es, stream_type=0x1B, pid=0x123)
+    stype, es2 = ts_video(ts)
+    assert stype == 0x1B and es2 == es
+    frames = ts_video_frames(ts)
+    exp = (298 * (77 - 16) + 128) >> 8
+    assert len(frames) == 2
+    assert (frames[0][:, :, 0] == exp).all()
+    # MPEG-2 streams still route through mpegvideo
+    from tika_spark.analysis.mpegts import mpegts_fixture
+    assert ts_video(mpegts_fixture(1))[0] in (0x01, 0x02)
+
+
+def test_flv_avc_roundtrip():
+    from tika_spark.analysis.flvdemux import (decode_flv_video,
+                                              flv_video,
+                                              flv_video_fixture)
+    for did in range(6):
+        flv = flv_video_fixture(did)
+        avcc, payloads = flv_video(flv)
+        assert avcc[0] == 1 and len(payloads) == 2 + did % 2
+        frames = decode_flv_video(flv)
+        for k, f in enumerate(frames):
+            yv = (did * 23 + 31 * k) % 256
+            exp = max(0, min(255, (298 * (yv - 16) + 128) >> 8))
+            assert (f[:, :, 0] == exp).all(), (did, k)
+
+
+def test_flv_non_avc_video_raises():
+    from tika_spark.analysis.flvdemux import (FlvError, _tag,
+                                              decode_flv_video)
+    out = bytearray(b"FLV\x01\x01" + (9).to_bytes(4, "big"))
+    tag = _tag(9, 0, bytes((0x12,)) + b"\x00" * 8)   # Sorenson H.263
+    out += (0).to_bytes(4, "big") + tag
+    out += len(tag).to_bytes(4, "big")
+    with pytest.raises(FlvError):
+        decode_flv_video(bytes(out))
+
+
+def test_demux_dispatch_ts_flv():
+    from tika_spark.analysis.flvdemux import flv_video_fixture
+    from tika_spark.analysis.h264 import encode_h264
+    from tika_spark.analysis.mpegts import ts_wrap
+    from tika_spark.analysis.video import _demux
+    kind, fr = _demux(flv_video_fixture(2))
+    assert kind == "raw" and len(fr) == 2
+    y = np.full((16, 16), 30, np.uint8)
+    c = np.full((8, 8), 128, np.uint8)
+    ts = ts_wrap(encode_h264([(y, c, c)], 16, 16), stream_type=0x1B)
+    kind, fr = _demux(ts)
+    assert kind == "raw" and len(fr) == 1
+
+
+def test_media_meta_h264_dimensions():
+    from tika_spark.media import extract_media
+    mp4 = video_h264_fixture(5)
+    r = extract_media(mp4, mime="video/mp4")
+    assert r["metadata"]["width"] == ["16"]
+    assert r["metadata"]["height"] == ["16"]
+    assert "avc1" in r["metadata"]["compression-type"]
+    from tika_spark.analysis.h264 import encode_h264
+    from tika_spark.analysis.mpegts import ts_wrap
+    y = np.full((32, 48), 10, np.uint8)
+    c = np.full((16, 24), 128, np.uint8)
+    ts = ts_wrap(encode_h264([(y, c, c)], 48, 32), stream_type=0x1B)
+    r2 = extract_media(ts, mime="video/mp2t")
+    assert r2["metadata"]["width"] == ["48"]
+    assert r2["metadata"]["height"] == ["32"]

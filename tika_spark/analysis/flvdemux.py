@@ -171,3 +171,101 @@ def flv_fixture(doc_id: int) -> bytes:
     aus, _rate = adts_to_aus(adts)
     asc = ((2 << 11) | (4 << 7) | (nch << 3)).to_bytes(2, "big")
     return flv_wrap_audio(aus, SOUND_AAC, asc=asc)
+
+
+# ------------------------------------------------------- video (AVC)
+# FLV VIDEODATA tags (type 9): codec id 7 = AVC, carrying an
+# AVCDecoderConfigurationRecord (packet type 0) then length-prefixed
+# NALU packets (type 1) — the same wire forms the MP4 avc1 tier
+# parses.  Decode goes through the from-scratch H.264 intra decoder
+# (tika_spark.analysis.h264); Sorenson H.263 and VP6 remain the
+# documented hook.  Reference parity: video/FLVParser.java is
+# metadata-only.
+
+AVC_CODEC = 7
+
+
+def flv_video(data: bytes) -> tuple[bytes, list[bytes]]:
+    """Collect the AVC video track: (avcC record, [NALU payloads])."""
+    avcc = None
+    payloads: list[bytes] = []
+    for ttype, _ts, body in flv_tags(data):
+        if ttype != 9 or len(body) < 5:
+            continue
+        codec = body[0] & 0x0F
+        if codec != AVC_CODEC:
+            raise FlvError(f"video codec {codec} is not in the "
+                           "shipped codec set (AVC only)")
+        pkt = body[1]
+        if pkt == 0:
+            avcc = body[5:]
+        elif pkt == 1:
+            payloads.append(body[5:])
+    if avcc is None or not payloads:
+        raise FlvError("FLV has no decodable AVC video track")
+    return avcc, payloads
+
+
+def decode_flv_video(data: bytes) -> list:
+    """Full FLV AVC decode -> list of (h, w, 3) RGB frames."""
+    from tika_spark.analysis.h264 import H264Decoder, split_avcc
+    from tika_spark.analysis.isobmff import parse_avcc
+    from tika_spark.analysis.vp8 import yuv_to_rgb
+    avcc_rec, payloads = flv_video(bytes(data or b""))
+    cfg = parse_avcc(avcc_rec, 0, len(avcc_rec))
+    dec = H264Decoder()
+    for nal in cfg["sps"] + cfg["pps"]:
+        dec.push(nal)
+    for p in payloads:
+        for nal in split_avcc(p, cfg["length_size"]):
+            dec.push(nal)
+    if not dec.frames:
+        raise FlvError("AVC track decoded no frames")
+    return [yuv_to_rgb(y, u, v) for y, u, v in dec.frames]
+
+
+def flv_wrap_video(frames: list, width: int, height: int,
+                   qp: int = 28, plan: str = "i16dc") -> bytes:
+    """Fixture muxer: (y, u, v) planes -> an FLV with one AVC video
+    track (sequence-header tag + one IDR NALU tag per frame)."""
+    from tika_spark.analysis.h264 import H264Encoder, _nal
+    import numpy as np
+    enc = H264Encoder(width, height, qp)
+    sps = _nal(7, enc.sps_rbsp())
+    pps = _nal(8, enc.pps_rbsp())
+    avcc = (bytes((1, 66, 0, 30, 0xFF, 0xE1))
+            + len(sps).to_bytes(2, "big") + sps + bytes((1,))
+            + len(pps).to_bytes(2, "big") + pps)
+    out = bytearray(b"FLV\x01\x01" + (9).to_bytes(4, "big"))
+    tags = [_tag(9, 0, bytes((0x17, 0)) + b"\x00\x00\x00" + avcc)]
+    for k, (y, u, v) in enumerate(frames):
+        nal = _nal(5, enc.encode_frame(np.asarray(y, dtype=np.uint8),
+                                       np.asarray(u, dtype=np.uint8),
+                                       np.asarray(v, dtype=np.uint8),
+                                       plan))
+        tags.append(_tag(9, 40 * (k + 1),
+                         bytes((0x17, 1)) + b"\x00\x00\x00"
+                         + len(nal).to_bytes(4, "big") + nal))
+    prev = 0
+    for tag in tags:
+        out += prev.to_bytes(4, "big")
+        out += tag
+        prev = len(tag)
+    out += prev.to_bytes(4, "big")
+    return bytes(out)
+
+
+def flv_video_fixture(doc_id: int) -> bytes:
+    """Deterministic AVC FLV: n = 2 + id%2 solid 16x16 frames,
+    Y = (id*23 + 31*k) % 256, neutral chroma, qp=28 I16x16-DC
+    (exactly lossless via the LS*MF = 2^17 identity)."""
+    import numpy as np
+    did = int(doc_id)
+    frames = []
+    for k in range(2 + did % 2):
+        yv = (did * 23 + 31 * k) % 256
+        frames.append((np.full((16, 16), yv, np.uint8),
+                       np.full((8, 8), 128, np.uint8),
+                       np.full((8, 8), 128, np.uint8)))
+    return flv_wrap_video(frames, 16, 16, qp=28,
+                          plan="i16dc" if did % 2 else "pcm")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from tika_spark.analysis.mpegvideo import MpegError
 
 TS_PACKET = 188
-VIDEO_TYPES = {0x01, 0x02}          # MPEG-1 / MPEG-2 video
+VIDEO_TYPES = {0x01, 0x02, 0x1B}    # MPEG-1/2 video, H.264 (AVC)
 AUDIO_TYPES = {0x03, 0x04, 0x0F}    # MPEG-1/2 audio (MP3), ADTS AAC
 
 
@@ -157,14 +157,32 @@ def ts_streams(data: bytes) -> dict[int, tuple[int, bytes]]:
     return out
 
 
-def ts_video_es(data: bytes) -> bytes:
-    """First MPEG-1/2 video stream's elementary bytes."""
+def ts_video(data: bytes) -> tuple[int, bytes]:
+    """(stream_type, elementary bytes) of the first video stream —
+    0x01/0x02 feed mpegvideo.decode_mpeg1, 0x1B (H.264) feeds
+    h264.decode_h264_annexb."""
     streams = ts_streams(data)
     for pid in sorted(streams):
         stype, es = streams[pid]
         if stype in VIDEO_TYPES and es:
-            return es
+            return stype, es
     raise MpegError("transport stream has no video stream")
+
+
+def ts_video_es(data: bytes) -> bytes:
+    """First video stream's elementary bytes (type-blind form)."""
+    return ts_video(data)[1]
+
+
+def ts_video_frames(data: bytes) -> list:
+    """Full video decode of the first stream: MPEG-1/2 through
+    mpegvideo, H.264 (stream_type 0x1B) through the intra decoder."""
+    stype, es = ts_video(data)
+    if stype == 0x1B:
+        from tika_spark.analysis.h264 import decode_h264_annexb
+        return decode_h264_annexb(es)
+    from tika_spark.analysis.mpegvideo import decode_mpeg1
+    return decode_mpeg1(es)[0]
 
 
 def ts_audio_es(data: bytes) -> tuple[int, bytes]:

@@ -25,12 +25,14 @@ Decode tiers:
    :mod:`tika_spark.analysis.video`, with real inter-frame paths
    (MS-RLE8, MS Video 1) and full motion-compensated MPEG-1 I/P/B
    decode with display reordering and ISO 11172-1 program-stream
-   demux in :mod:`tika_spark.analysis.mpegvideo` — all pure
-   Python+numpy, with exact micro-unit stats and deterministic
-   resize on top. Remaining codecs (Opus audio, H.26x video)
-   need libraries this container lacks; for those ``real_decode``
-   remains the clearly-marked hook that raises NotImplementedError
-   until a codec lands.
+   demux in :mod:`tika_spark.analysis.mpegvideo`, and H.264/AVC
+   intra (I-slice CAVLC) in :mod:`tika_spark.analysis.h264` across
+   its three containers (MP4 avc1, MPEG-TS stream_type 0x1B, FLV
+   codec 7) — all pure Python+numpy, with exact micro-unit stats
+   and deterministic resize on top. Remaining codecs (Opus audio,
+   inter-coded/CABAC H.26x) need libraries this container lacks;
+   for those ``real_decode`` remains the clearly-marked hook that
+   raises NotImplementedError until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
    (e.g. the synthetic ``image/fake``) fall back to metadata derived
    from payload length, so tests/oracles can pin values.
@@ -120,12 +122,19 @@ def real_decode(payload: bytes, media_type: str):
                                                    ps_video_es)
         return decode_mpeg1(ps_video_es(payload))
     if media_type == "video/mp2t":
-        from tika_spark.analysis.mpegts import ts_video_es
+        from tika_spark.analysis.mpegts import ts_video
         from tika_spark.analysis.mpegvideo import decode_mpeg1
-        return decode_mpeg1(ts_video_es(payload))
+        stype, es = ts_video(payload)
+        if stype == 0x1B:
+            from tika_spark.analysis.h264 import decode_h264_annexb
+            return decode_h264_annexb(es)
+        return decode_mpeg1(es)
+    if media_type == "video/mp4":
+        from tika_spark.analysis.isobmff import mp4_h264_frames
+        return mp4_h264_frames(payload)
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(Opus audio, H.26x video) are not installed in this "
+        "(Opus audio, inter-coded H.26x) are not installed in this "
         "environment; decode_media uses the header-parse tier below")
 
 

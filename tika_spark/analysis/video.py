@@ -17,9 +17,10 @@ whose multi-block skip codes do the same over 4×4 vector-quantized
 blocks — frames compose across the chain exactly like the GIF
 disposal rules. MPEG-1 gets the full motion-compensated transform
 treatment (I/P/B pictures, display reordering, program-stream
-demux) in :mod:`tika_spark.analysis.mpegvideo`; later codecs
-(H.26x) remain the documented ``NotImplementedError`` hook in
-multimodal.real_decode.
+demux) in :mod:`tika_spark.analysis.mpegvideo`; H.264/AVC intra
+decodes for real via :mod:`tika_spark.analysis.h264` (MP4 avc1,
+MPEG-TS 0x1B, FLV); inter-coded/CABAC H.26x remains the documented
+``NotImplementedError`` hook in multimodal.real_decode.
 
 Scale design: frame sampling is per-row work (no shuffle); the
 binary column crosses into Python once; sampled-frame stats rows are
@@ -456,9 +457,11 @@ def _demux(payload: bytes):
         return "raw", decode_mpeg1(ps_video_es(payload))[0]
     if payload[:1] == b"\x47" and len(payload) >= 188 \
             and payload[188:189] == b"\x47":    # MPEG transport stream
-        from tika_spark.analysis.mpegts import ts_video_es
-        from tika_spark.analysis.mpegvideo import decode_mpeg1
-        return "raw", decode_mpeg1(ts_video_es(payload))[0]
+        from tika_spark.analysis.mpegts import ts_video_frames
+        return "raw", ts_video_frames(payload)
+    if payload[:3] == b"FLV":                    # Flash video (AVC)
+        from tika_spark.analysis.flvdemux import decode_flv_video
+        return "raw", decode_flv_video(payload)
     if payload[:4] == b"\x1aE\xdf\xa3":          # EBML: Matroska/WebM
         from tika_spark.analysis.ebml import webm_vp8_frames
         return "raw", webm_vp8_frames(payload)

@@ -1011,6 +1011,13 @@ def _mp4_meta(data: bytes) -> dict[str, list[str]]:
             meta["compression-type"] = sorted(set(codecs))
     except Exception:
         pass                                     # metadata best-effort
+    try:
+        from tika_spark.analysis.isobmff import mp4_avc_track
+        track, _avcc = mp4_avc_track(data)
+        meta["width"] = [str(track["width"])]
+        meta["height"] = [str(track["height"])]
+    except Exception:
+        pass
     return meta
 
 
@@ -1144,6 +1151,20 @@ def _mpeg1v_meta(data: bytes) -> dict[str, list[str]]:
         except ValueError:
             return {}
     if data[:4] != b"\x00\x00\x01\xb3":
+        # H.264 elementary stream (TS stream_type 0x1B): dimensions
+        # from the SPS
+        try:
+            from tika_spark.analysis.h264 import (parse_sps,
+                                                  rbsp_unescape,
+                                                  split_annexb)
+            for nal in split_annexb(data):
+                if nal and nal[0] & 0x1F == 7:
+                    sps = parse_sps(rbsp_unescape(nal[1:]))
+                    return {"width": [str(sps["width"])],
+                            "height": [str(sps["height"])],
+                            "compression-type": ["avc1"]}
+        except Exception:
+            pass
         return {}
     if len(data) < 8:
         return {}
