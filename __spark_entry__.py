@@ -4763,6 +4763,32 @@ def _q_media_mp4_frames(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_mp4_pframes(spark, sf_dir):
+    """MP4 IPPP decode: an IDR keyframe followed by motion-compensated
+    P slices (analysis/h264inter.py — mb_skip_run, P_L0_16x16,
+    median MV prediction, quarter-pel-capable MC).  Fixture: 32x16
+    two-tone keyframe (left gray c0, right c1), each P frame pans one
+    MB left with zero residual, so frame 0's mean is the two-gray
+    average and every P frame is solid c1 — exact closed forms."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import video_h264p_fixture
+        return pd.Series([video_h264p_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_flv_avc_frames(spark, sf_dir):
     """FLV (Flash video) AVC frame sampling: VIDEODATA tag walk with
     back-pointer validation (analysis/flvdemux.py flv_video — avcC
@@ -5551,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_frames": _q_media_mp4_frames,
         "media_flv_avc_frames": _q_media_flv_avc_frames,
         "media_ts_h264_frames": _q_media_ts_h264_frames,
+        "media_mp4_pframes": _q_media_mp4_pframes,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -5950,6 +5977,24 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "media_mp4_pframes": (
+            # IPPP: frame 0 two-tone (c0|c1 grays), P frames pan one
+            # MB left -> solid c1; n = 2 + id%2 frames
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "2 + doc_id % 2 AS n, "
+            "(doc_id * 19 + 3) % 256 AS c0, "
+            "(doc_id * 7 + 90) % 256 AS c1 FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 2)) AS frame_idx) s "
+            "WHERE frame_idx < 2 + doc_id % 2), "
+            "g AS (SELECT doc_id, frame_idx, n, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(c0-16) + 128) "
+            "/ 256.0) AS BIGINT))) AS g0, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(c1-16) + 128) "
+            "/ 256.0) AS BIGINT))) AS g1 FROM f) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "CASE WHEN frame_idx = 0 THEN (g0 + g1) * 500000 "
+            "ELSE g1 * 1000000 END AS mean_gray FROM g"),
         "media_flv_avc_frames": (
             # n = 2 + id%2 solid 16x16 AVC frames in an FLV,
             # Y = (id*23 + 31*idx) % 256, both plans lossless

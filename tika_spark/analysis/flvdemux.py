@@ -208,12 +208,13 @@ def flv_video(data: bytes) -> tuple[bytes, list[bytes]]:
 
 def decode_flv_video(data: bytes) -> list:
     """Full FLV AVC decode -> list of (h, w, 3) RGB frames."""
-    from tika_spark.analysis.h264 import H264Decoder, split_avcc
+    from tika_spark.analysis.h264 import split_avcc
+    from tika_spark.analysis.h264inter import H264InterDecoder
     from tika_spark.analysis.isobmff import parse_avcc
     from tika_spark.analysis.vp8 import yuv_to_rgb
     avcc_rec, payloads = flv_video(bytes(data or b""))
     cfg = parse_avcc(avcc_rec, 0, len(avcc_rec))
-    dec = H264Decoder()
+    dec = H264InterDecoder()
     for nal in cfg["sps"] + cfg["pps"]:
         dec.push(nal)
     for p in payloads:

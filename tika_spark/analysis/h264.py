@@ -1187,8 +1187,12 @@ class H264Decoder:
 
     def _macroblock(self, r: BitReader, f: _Frame, addr: int,
                     qp: int, cqp_off: int) -> int:
+        return self._macroblock_typed(r, f, addr, r.ue(), qp,
+                                      cqp_off)
+
+    def _macroblock_typed(self, r: BitReader, f: _Frame, addr: int,
+                          mb_type: int, qp: int, cqp_off: int) -> int:
         mbx, mby = addr % f.mb_w, addr // f.mb_w
-        mb_type = r.ue()
         if mb_type > 25:
             raise H264Error(f"bad I mb_type {mb_type}")
         x0, y0 = mbx * 16, mby * 16
@@ -1506,12 +1510,13 @@ class H264Encoder:
             else:
                 raise H264Error(f"unknown plan {p!r}")
         w.rbsp_trailing()
+        self._last_f = f          # recon state (P-encoder reference)
         return w.getvalue()
 
-    def _mb_pcm(self, w, f, addr, py, pu, pv):
+    def _mb_pcm(self, w, f, addr, py, pu, pv, toff=0):
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         x0, y0, cx0, cy0 = mbx * 16, mby * 16, mbx * 8, mby * 8
-        w.ue(25)
+        w.ue(25 + toff)
         w.byte_align_zero()
         yblk = py[y0:y0 + 16, x0:x0 + 16].astype(np.uint8)
         ublk = pu[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.uint8)
@@ -1598,7 +1603,7 @@ class H264Encoder:
                     pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res
             plane[y0:y0 + 8, x0:x0 + 8] = _clip8(recon)
 
-    def _mb_i16(self, w, f, addr, py, pu, pv, rotate=False):
+    def _mb_i16(self, w, f, addr, py, pu, pv, rotate=False, toff=0):
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         qp = self.qp
         x0, y0 = mbx * 16, mby * 16
@@ -1643,7 +1648,7 @@ class H264Encoder:
         cbp_chroma, comps, cqp = self._chroma_code(f, mbx, mby, pu,
                                                    pv, cmode)
         mb_type = 1 + pmode + 4 * cbp_chroma + (12 if cbp_luma else 0)
-        w.ue(mb_type)
+        w.ue(mb_type + toff)
         w.ue(cmode)                          # intra_chroma_pred_mode
         w.se(0)                              # mb_qp_delta
         nc = _nc(f.tc_y, bx0, by0)
@@ -1673,12 +1678,12 @@ class H264Encoder:
         f.blk_decoded[by0:by0 + 4, bx0:bx0 + 4] = True
         f.mb_decoded[mby, mbx] = True
 
-    def _mb_i4(self, w, f, addr, py, pu, pv, rotate=False):
+    def _mb_i4(self, w, f, addr, py, pu, pv, rotate=False, toff=0):
         mbx, mby = addr % self.mb_w, addr // self.mb_w
         qp = self.qp
         x0, y0 = mbx * 16, mby * 16
         bx0, by0 = mbx * 4, mby * 4
-        w.ue(0)                              # I_4x4
+        w.ue(0 + toff)                       # I_4x4
         zs = [None] * 16
         # first pass: quantize sequentially against the recon state
         # (prediction uses already-reconstructed blocks), buffering

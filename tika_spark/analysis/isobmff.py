@@ -13,10 +13,12 @@ real ``.m4a``/``.mp4`` audio file decodes to PCM with zero external
 libraries. :func:`mp4a_bytes` is the fixture muxer (ftyp + mdat +
 full moov with a correct sample-table set).
 
-Video tracks in MP4 are almost always H.26x — outside the shipped
-codec set — so :func:`mp4_tracks` still surfaces their codec fourcc
-and sample layout (useful for metadata and sampling decisions), but
-pixel decode remains the documented hook in multimodal.real_decode.
+Video tracks decode for REAL when they are H.264/AVC (``avc1``):
+:func:`mp4_h264_frames` resolves the avcC record + length-prefixed
+samples and runs the from-scratch intra+P decoder
+(:mod:`tika_spark.analysis.h264` / ``h264inter``); other video
+fourccs surface codec + sample layout only, with pixel decode the
+documented hook in multimodal.real_decode.
 
 Reference parity: the reference's MP4 handling is metadata-only
 (mp4/MP4Parser.java via a vendored ISO-BMFF library); sample-level
@@ -522,13 +524,14 @@ def mp4_avc_track(data: bytes) -> tuple[dict, dict]:
 
 
 def mp4_h264_frames(data: bytes) -> list:
-    """Demux + full intra decode of the first avc1 track -> list of
-    (h, w, 3) RGB uint8 frames."""
-    from tika_spark.analysis.h264 import H264Decoder, split_avcc
+    """Demux + full decode (intra + P slices) of the first avc1
+    track -> list of (h, w, 3) RGB uint8 frames."""
+    from tika_spark.analysis.h264 import split_avcc
+    from tika_spark.analysis.h264inter import H264InterDecoder
     from tika_spark.analysis.vp8 import yuv_to_rgb
     data = bytes(data or b"")
     track, avcc = mp4_avc_track(data)
-    dec = H264Decoder()
+    dec = H264InterDecoder()
     for nal in avcc["sps"] + avcc["pps"]:
         dec.push(nal)
     for off, size in track["samples"]:
@@ -559,6 +562,12 @@ def avc_bytes(frames: list, width: int, height: int, qp: int = 28,
                                        _np.asarray(v, dtype="uint8"),
                                        plan))
         samples.append(len(nal).to_bytes(4, "big") + nal)
+    return _mux_avc(samples, sps_nal, pps_nal, width, height, fps)
+
+
+def _mux_avc(samples: list, sps_nal: bytes, pps_nal: bytes,
+             width: int, height: int, fps: int) -> bytes:
+    """Shared avc1 box assembly for the intra and IPPP muxers."""
     n = len(samples)
     tick = 1000 // fps
     dur = tick * n
@@ -641,3 +650,54 @@ def video_h264_fixture(doc_id: int) -> bytes:
                        np.full((8, 8), 128, np.uint8)))
     plan = "pcm" if did % 2 == 0 else "i16dc"
     return avc_bytes(frames, 16, 16, qp=28, plan=plan)
+
+
+def avc_p_bytes(frames: list, width: int, height: int, qp: int = 28,
+                plan: str = "pan16", base_mv: tuple = (64, 0),
+                fps: int = 25) -> bytes:
+    """Fixture muxer: IPPP .mp4 — sample 0 an IDR keyframe, the rest
+    motion-compensated P slices from the inter encoder
+    (analysis/h264inter.py)."""
+    import numpy as _np
+
+    from tika_spark.analysis.h264 import _nal
+    from tika_spark.analysis.h264inter import H264InterEncoder
+    enc = H264InterEncoder(width, height, qp)
+    sps_nal = _nal(7, enc.sps_rbsp())
+    pps_nal = _nal(8, enc.pps_rbsp())
+    samples = []
+    ref = None
+    for k, (y, u, v) in enumerate(frames):
+        y = _np.asarray(y, dtype=_np.uint8)
+        u = _np.asarray(u, dtype=_np.uint8)
+        v = _np.asarray(v, dtype=_np.uint8)
+        if k == 0:
+            nal = _nal(5, enc.encode_frame(y, u, v, "i16dc"))
+        else:
+            nal = _nal(1, enc.encode_p_frame(y, u, v, ref,
+                                             enc._last_f, k, plan,
+                                             base_mv), ref=2)
+        lf = enc._last_f
+        ref = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+    return _mux_avc(samples, sps_nal, pps_nal, width, height, fps)
+
+
+def video_h264p_fixture(doc_id: int) -> bytes:
+    """Deterministic IPPP .mp4: 32x16 two-tone keyframe (left 16px
+    gray c0, right c1), then 1-2 P frames panning one MB left
+    (P_L0_16x16 MV (+16, 0) px, edge extension fills c1) — every P
+    frame decodes to solid c1 with zero residual, skip runs
+    exercised, all means exact BT.601 closed forms."""
+    import numpy as np
+    did = int(doc_id)
+    c0 = (did * 19 + 3) % 256
+    c1 = (did * 7 + 90) % 256
+    f0 = np.empty((16, 32), np.uint8)
+    f0[:, :16] = c0
+    f0[:, 16:] = c1
+    f1 = np.full((16, 32), c1, np.uint8)
+    u = np.full((8, 16), 128, np.uint8)
+    frames = [(f0, u, u)] + [(f1, u, u)] * (1 + did % 2)
+    return avc_p_bytes(frames, 32, 16, qp=28, plan="pan16",
+                       base_mv=(64, 0))

@@ -26,13 +26,15 @@ Decode tiers:
    (MS-RLE8, MS Video 1) and full motion-compensated MPEG-1 I/P/B
    decode with display reordering and ISO 11172-1 program-stream
    demux in :mod:`tika_spark.analysis.mpegvideo`, and H.264/AVC
-   intra (I-slice CAVLC) in :mod:`tika_spark.analysis.h264` across
-   its three containers (MP4 avc1, MPEG-TS stream_type 0x1B, FLV
-   codec 7) — all pure Python+numpy, with exact micro-unit stats
-   and deterministic resize on top. Remaining codecs (Opus audio,
-   inter-coded/CABAC H.26x) need libraries this container lacks;
-   for those ``real_decode`` remains the clearly-marked hook that
-   raises NotImplementedError until a codec lands.
+   intra (I-slice CAVLC) in :mod:`tika_spark.analysis.h264` plus
+   motion-compensated P slices in
+   :mod:`tika_spark.analysis.h264inter`, across its three
+   containers (MP4 avc1, MPEG-TS stream_type 0x1B, FLV codec 7) —
+   all pure Python+numpy, with exact micro-unit stats and
+   deterministic resize on top. Remaining codecs (Opus audio,
+   B-slice/CABAC H.264, H.265) need libraries this container
+   lacks; for those ``real_decode`` remains the clearly-marked
+   hook that raises NotImplementedError until a codec lands.
 3. **Deterministic fake.** Payloads whose type has no header reader
    (e.g. the synthetic ``image/fake``) fall back to metadata derived
    from payload length, so tests/oracles can pin values.
