@@ -4789,6 +4789,46 @@ def _q_media_mp4_pframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_mkv_avc_frames(spark, sf_dir):
+    """H.264 in Matroska (V_MPEG4/ISO/AVC): EBML track walk finds the
+    avcC record in CodecPrivate, SimpleBlocks carry length-prefixed
+    NALs (analysis/ebml.py mkv_video_frames) — the fourth container
+    over the same intra+P decoder.  Fixture: two-tone IDR + one
+    panning P frame, exact closed forms."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from tika_spark.analysis.ebml import mkv_avc_wrap
+        out = []
+        for i in ids:
+            i = int(i)
+            c0 = (i * 31 + 7) % 256
+            c1 = (i * 3 + 120) % 256
+            f0 = np.empty((16, 32), np.uint8)
+            f0[:, :16] = c0
+            f0[:, 16:] = c1
+            f1 = np.full((16, 32), c1, np.uint8)
+            u = np.full((8, 16), 128, np.uint8)
+            out.append(mkv_avc_wrap([(f0, u, u), (f1, u, u)], 32, 16,
+                                    qp=28, plan="pan16",
+                                    base_mv=(64, 0)))
+        return pd.Series(out)
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_flv_avc_frames(spark, sf_dir):
     """FLV (Flash video) AVC frame sampling: VIDEODATA tag walk with
     back-pointer validation (analysis/flvdemux.py flv_video — avcC
@@ -5578,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_flv_avc_frames": _q_media_flv_avc_frames,
         "media_ts_h264_frames": _q_media_ts_h264_frames,
         "media_mp4_pframes": _q_media_mp4_pframes,
+        "media_mkv_avc_frames": _q_media_mkv_avc_frames,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -5977,6 +6018,23 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "media_mkv_avc_frames": (
+            # Matroska AVC: frame 0 two-tone (c0|c1), frame 1 solid
+            # c1 (one-MB-left pan); always 2 frames
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "(doc_id * 31 + 7) % 256 AS c0, "
+            "(doc_id * 3 + 120) % 256 AS c1 FROM documents CROSS "
+            "JOIN (SELECT unnest(generate_series(0, 1)) AS "
+            "frame_idx) s), "
+            "g AS (SELECT doc_id, frame_idx, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(c0-16) + 128) "
+            "/ 256.0) AS BIGINT))) AS g0, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(c1-16) + 128) "
+            "/ 256.0) AS BIGINT))) AS g1 FROM f) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(2 AS INT) AS n_frames, "
+            "CASE WHEN frame_idx = 0 THEN (g0 + g1) * 500000 "
+            "ELSE g1 * 1000000 END AS mean_gray FROM g"),
         "media_mp4_pframes": (
             # IPPP: frame 0 two-tone (c0|c1 grays), P frames pan one
             # MB left -> solid c1; n = 2 + id%2 frames

@@ -45,6 +45,19 @@ def _probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _probe_mt(spark, cpus: int) -> float:
+    """Fixed all-cores Spark work (a cpus-partition codegen sum).
+    The single-thread probe cannot see many-core contention — a
+    co-tenant saturating most cores leaves 1-thread slots free while
+    halving 32-way stage throughput — so this probes what the
+    queries actually compete for.  Recorded once per query
+    (~0.1-0.3 s idle)."""
+    t0 = time.perf_counter()
+    spark.range(256_000_000, numPartitions=cpus) \
+        .selectExpr("sum(id)").collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +103,8 @@ def main():
     queries = {}
     cold = {}
     probes = {}
+    probes_mt = {}
+    _probe_mt(spark, cpus)      # warm the probe's codegen once
     t_all = time.perf_counter()
 
     def timed(name, thunk):
@@ -112,6 +127,7 @@ def main():
             thunk()
             runs.append(time.perf_counter() - t0)
         probes[name].append(_probe())
+        probes_mt[name] = _probe_mt(spark, cpus)
         cold[name] = round(runs[0], 3)
         queries[name] = round(min(runs), 3)
 
@@ -322,6 +338,24 @@ def main():
         sample_frame_stats(ts, every=1)))
     ts.unpersist()
 
+    # H.264/AVC tier (new r4): MP4 avc1 demux (avcC + length-prefixed
+    # NALs) → CAVLC intra keyframe + motion-compensated P slices
+    # (skip runs, quarter-pel-capable MC), one row per frame
+    @pandas_udf(BinaryType())
+    def avcwrap(ids):
+        import pandas as _pd
+
+        from tika_spark.analysis.isobmff import video_h264p_fixture
+        return _pd.Series([video_h264p_fixture(int(i)) for i in ids])
+
+    avc = docs.select(F.col("doc_id").alias("id"),
+                      avcwrap(F.col("doc_id")).alias("payload")) \
+        .cache()
+    avc.count()
+    timed("media_mp4_h264_decode", lambda: force(
+        sample_frame_stats(avc, every=1)))
+    avc.unpersist()
+
     # dictionary-compressed .warc.zst ingest (new r4 overtime): the
     # IIPC layout — shared zstd dictionary in the leading skippable
     # frame, every member naming its Dictionary_ID — walked by frame
@@ -428,6 +462,9 @@ def main():
         # values well above idle mean the query numbers were taken
         # under co-tenant load (see BENCH/BASELINE.md)
         "noise_probe": probes,
+        # per-query wall of a fixed cpus-partition Spark sum: the
+        # all-cores contention signal the 1-thread probe cannot see
+        "noise_probe_mt": probes_mt,
         "extract_docs_per_sec": round(n_pages / extract_sec, 1),
     }))
     spark.stop()

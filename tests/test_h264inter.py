@@ -182,3 +182,40 @@ def test_mp4_ippp_fixture():
         assert (frames[0][:, 16:, 0] == g1).all()
         for f in frames[1:]:
             assert (f[:, :, 0] == g1).all()
+
+
+def test_mkv_avc_track():
+    from tika_spark.analysis.ebml import (mkv_avc_wrap, mkv_info,
+                                          mkv_video_frames)
+    c0, c1 = 60, 190
+    f0 = np.zeros((16, 32), np.uint8)
+    f0[:, :16] = c0
+    f0[:, 16:] = c1
+    f1 = np.full((16, 32), c1, np.uint8)
+    u = np.full((8, 16), 128, np.uint8)
+    mkv = mkv_avc_wrap([(f0, u, u), (f1, u, u)], 32, 16)
+    info = mkv_info(mkv)
+    assert info["tracks"][0]["codec"] == "V_MPEG4/ISO/AVC"
+    assert info["tracks"][0]["codec_private"][0] == 1  # avcC
+    fr = mkv_video_frames(mkv)
+    g0 = (298 * (c0 - 16) + 128) >> 8
+    g1 = (298 * (c1 - 16) + 128) >> 8
+    assert len(fr) == 2
+    assert (fr[0][:, :16, 0] == g0).all()
+    assert (fr[0][:, 16:, 0] == g1).all()
+    assert (fr[1][:, :, 0] == g1).all()
+    # _demux dispatches the EBML branch to the AVC path
+    from tika_spark.analysis.video import _demux
+    kind, fr2 = _demux(mkv)
+    assert kind == "raw" and len(fr2) == 2
+
+
+def test_mkv_vp8_still_dispatches():
+    from tika_spark.analysis.ebml import mkv_video_frames, \
+        mkv_wrap_video
+    from tika_spark.analysis.vp8 import encode_vp8_yuv, rgb_to_yuv420
+    img = np.full((16, 16, 3), 77, np.uint8)
+    payload, _ = encode_vp8_yuv(*rgb_to_yuv420(img), exact=True)
+    mkv = mkv_wrap_video([payload], 16, 16)
+    fr = mkv_video_frames(mkv)
+    assert len(fr) == 1 and fr[0].shape == (16, 16, 3)

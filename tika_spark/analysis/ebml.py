@@ -18,7 +18,10 @@ Two tiers on top of the walk:
   CodecPrivate carries the three header packets under Xiph lacing
   (0x02 count prefix) and the blocks carry audio packets — exactly
   what :func:`tika_spark.analysis.vorbis.decode_vorbis_packets`
-  consumes. VP8/VP9/AV1/Opus tracks surface metadata only
+  consumes. Video decodes fully for V_VP8 (keyframes + motion-
+  compensated interframes, vp8.py/vp8inter.py) and V_MPEG4/ISO/AVC
+  (H.264 intra + P slices via the avcC CodecPrivate record,
+  h264.py/h264inter.py); VP9/AV1/Opus tracks surface metadata only
   (documented codec hooks).
 
 Scale: per-row work in mapInPandas, no shuffle.
@@ -382,10 +385,12 @@ def mkv_vorbis_fixture(doc_id: int) -> bytes:
 
 def mkv_wrap_video(frames: list[bytes], width: int, height: int,
                    codec_id: bytes = b"V_VP8",
-                   doctype: bytes = b"webm") -> bytes:
+                   doctype: bytes = b"webm",
+                   codec_private: bytes | None = None) -> bytes:
     """Fixture muxer: coded video frames → a minimal Matroska/WebM
     with one video TrackEntry and one Cluster of SimpleBlocks (one
-    frame per block, no lacing)."""
+    frame per block, no lacing).  ``codec_private`` lands in the
+    TrackEntry (e.g. the avcC record for V_MPEG4/ISO/AVC)."""
     ebml_hdr = _el(0x1A45DFA3,
                    _uint_el(0x4286, 1)
                    + _uint_el(0x42F7, 1)
@@ -402,6 +407,8 @@ def mkv_wrap_video(frames: list[bytes], width: int, height: int,
                 + _uint_el(0x73C5, 1)                # TrackUID
                 + _uint_el(TRACK_TYPE, 1)            # video
                 + _el(CODEC_ID, codec_id)
+                + (_el(CODEC_PRIVATE, codec_private)
+                   if codec_private else b"")
                 + _el(VIDEO, _uint_el(PIXEL_W, width)
                       + _uint_el(PIXEL_H, height)))
     tracks = _el(TRACKS, track)
@@ -440,3 +447,70 @@ def webm_vp8_frames(data: bytes) -> list:
         raise EbmlError("VP8 track has no frames")
     dec = VP8Decoder()
     return [dec.decode_rgba(f)[:, :, :3] for f in frames]
+
+
+def mkv_video_frames(data: bytes) -> list:
+    """Decoded RGB frames of the first supported video track: V_VP8
+    through the VP8 decoder, V_MPEG4/ISO/AVC (H.264 in Matroska —
+    avcC record in CodecPrivate, length-prefixed NALs per block)
+    through the intra+P H.264 decoder."""
+    info = mkv_info(data)
+    for t in info["tracks"]:
+        codec = t.get("codec", "")
+        if codec == "V_VP8":
+            return webm_vp8_frames(data)
+        if codec == "V_MPEG4/ISO/AVC":
+            from tika_spark.analysis.h264 import split_avcc
+            from tika_spark.analysis.h264inter import H264InterDecoder
+            from tika_spark.analysis.isobmff import parse_avcc
+            from tika_spark.analysis.vp8 import yuv_to_rgb
+            cp = t.get("codec_private")
+            if not cp:
+                raise EbmlError("AVC track without CodecPrivate")
+            cfg = parse_avcc(cp, 0, len(cp))
+            dec = H264InterDecoder()
+            for nal in cfg["sps"] + cfg["pps"]:
+                dec.push(nal)
+            for blk in mkv_track_frames(data, t.get("number", 1)):
+                for nal in split_avcc(blk, cfg["length_size"]):
+                    dec.push(nal)
+            if not dec.frames:
+                raise EbmlError("AVC track decoded no frames")
+            return [yuv_to_rgb(y, u, v) for y, u, v in dec.frames]
+    raise EbmlError("no decodable video track (V_VP8 or "
+                    "V_MPEG4/ISO/AVC)")
+
+
+def mkv_avc_wrap(frames: list, width: int, height: int,
+                 qp: int = 28, plan: str = "pan16",
+                 base_mv: tuple = (64, 0)) -> bytes:
+    """Fixture muxer: (y, u, v) planes → Matroska with one
+    V_MPEG4/ISO/AVC track (IDR + P slices, avcC in CodecPrivate)."""
+    import numpy as _np
+
+    from tika_spark.analysis.h264 import _nal
+    from tika_spark.analysis.h264inter import H264InterEncoder
+    enc = H264InterEncoder(width, height, qp)
+    sps = _nal(7, enc.sps_rbsp())
+    pps = _nal(8, enc.pps_rbsp())
+    avcc = (bytes((1, 66, 0, 30, 0xFF, 0xE1))
+            + len(sps).to_bytes(2, "big") + sps + bytes((1,))
+            + len(pps).to_bytes(2, "big") + pps)
+    blocks = []
+    ref = None
+    for k, (y, u, v) in enumerate(frames):
+        y = _np.asarray(y, dtype=_np.uint8)
+        u = _np.asarray(u, dtype=_np.uint8)
+        v = _np.asarray(v, dtype=_np.uint8)
+        if k == 0:
+            nal = _nal(5, enc.encode_frame(y, u, v, "i16dc"))
+        else:
+            nal = _nal(1, enc.encode_p_frame(y, u, v, ref,
+                                             enc._last_f, k, plan,
+                                             base_mv), ref=2)
+        lf = enc._last_f
+        ref = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+        blocks.append(len(nal).to_bytes(4, "big") + nal)
+    return mkv_wrap_video(blocks, width, height,
+                          codec_id=b"V_MPEG4/ISO/AVC",
+                          doctype=b"matroska", codec_private=avcc)

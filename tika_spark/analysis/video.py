@@ -463,8 +463,8 @@ def _demux(payload: bytes):
         from tika_spark.analysis.flvdemux import decode_flv_video
         return "raw", decode_flv_video(payload)
     if payload[:4] == b"\x1aE\xdf\xa3":          # EBML: Matroska/WebM
-        from tika_spark.analysis.ebml import webm_vp8_frames
-        return "raw", webm_vp8_frames(payload)
+        from tika_spark.analysis.ebml import mkv_video_frames
+        return "raw", mkv_video_frames(payload)  # VP8 or H.264
     if payload[4:8] == b"ftyp":                  # ISO-BMFF: MP4/AVC
         from tika_spark.analysis.isobmff import mp4_h264_frames
         return "raw", mp4_h264_frames(payload)
