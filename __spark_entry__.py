@@ -4789,6 +4789,34 @@ def _q_media_mp4_pframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_mp4_bframes(spark, sf_dir):
+    """MP4 IBP decode with display reordering: B slices
+    (analysis/h264inter.py H264BiEncoder/_mb_b — B_L0/L1/Bi 16x16,
+    per-list median MV prediction, bi-predictive averaging,
+    non-reference NALs) stored in decode order (I P B [P]) and
+    re-ordered by picture order count at the demuxer.  Fixture grays
+    are multiples of 8 so every P/B residual divides the qp=28
+    quantizer exactly — each displayed frame is its closed-form
+    gray, and a wrong/missing POC sort scrambles frames 1 and 2."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import video_h264b_fixture
+        return pd.Series([video_h264b_fixture(int(i)) for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=1)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_mkv_avc_frames(spark, sf_dir):
     """H.264 in Matroska (V_MPEG4/ISO/AVC): EBML track walk finds the
     avcC record in CodecPrivate, SimpleBlocks carry length-prefixed
@@ -5619,6 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ts_h264_frames": _q_media_ts_h264_frames,
         "media_mp4_pframes": _q_media_mp4_pframes,
         "media_mkv_avc_frames": _q_media_mkv_avc_frames,
+        "media_mp4_bframes": _q_media_mp4_bframes,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6018,6 +6047,18 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "media_mp4_bframes": (
+            # IBP with POC display reordering: n = 3 + id%2 solid
+            # frames, Y = 8*((id*5 + 7*k) % 32) at display index k
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "8 * ((doc_id * 5 + 7 * frame_idx) % 32) AS v, "
+            "3 + doc_id % 2 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS frame_idx) s "
+            "WHERE frame_idx < 3 + doc_id % 2) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) + 128) "
+            "/ 256.0) AS BIGINT))) * 1000000 AS mean_gray FROM f"),
         "media_mkv_avc_frames": (
             # Matroska AVC: frame 0 two-tone (c0|c1), frame 1 solid
             # c1 (one-MB-left pan); always 2 frames

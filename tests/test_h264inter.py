@@ -219,3 +219,90 @@ def test_mkv_vp8_still_dispatches():
     mkv = mkv_wrap_video([payload], 16, 16)
     fr = mkv_video_frames(mkv)
     assert len(fr) == 1 and fr[0].shape == (16, 16, 3)
+
+
+# ----------------------------------------------------------- B slices
+
+
+def test_b_slices_solid_exact():
+    """IBP with display reordering: grays chosen so every residual
+    divides the quantizer — all five frames land exactly, in display
+    order."""
+    from tika_spark.analysis.h264inter import encode_h264b
+    u = np.full((8, 16), 128, np.uint8)
+    vals = (40, 100, 160, 220, 72)
+    frames = [(np.full((16, 32), v, np.uint8), u, u) for v in vals]
+    bs = encode_h264b(frames, 32, 16, qp=28)
+    out = decode_h264p_annexb(bs)
+    exp = [max(0, min(255, (298 * (v - 16) + 128) >> 8))
+           for v in vals]
+    assert [int(f[0, 0, 0]) for f in out] == exp
+    for f, g in zip(out, exp):
+        assert (f[:, :, 0] == g).all()
+
+
+def test_b_slices_textured_roundtrip():
+    from tika_spark.analysis.h264inter import encode_h264b
+    yy0, xx0 = np.mgrid[0:32, 0:32]
+    base = ((yy0 * 5 + xx0 * 3) % 256).astype(np.uint8)
+    u2 = np.full((16, 16), 90, np.uint8)
+    v2 = np.full((16, 16), 170, np.uint8)
+    bs = encode_h264b([(base, u2, v2)] * 5, 32, 32, qp=10)
+    dec = H264InterDecoder()
+    _planes(dec, bs)
+    assert len(dec.frames) == 5
+    assert sorted(dec.pocs) == [0, 2, 4, 6, 8]
+    for y, uu, vv in dec.frames:
+        assert float(np.abs(y.astype(int)
+                            - base.astype(int)).mean()) < 0.3
+        assert float(np.abs(uu.astype(int)
+                            - u2.astype(int)).mean()) < 0.3
+
+
+def test_b_decode_order_differs_from_display():
+    """The bitstream stores I P B; POC sorting must swap the last
+    two back into display order."""
+    from tika_spark.analysis.h264inter import encode_h264b
+    u = np.full((8, 8), 128, np.uint8)
+    vals = (0, 80, 160)
+    frames = [(np.full((16, 16), v, np.uint8), u, u) for v in vals]
+    bs = encode_h264b(frames, 16, 16, qp=28)
+    dec = H264InterDecoder()
+    _planes(dec, bs)
+    # decode order: poc 0, 4, 2
+    assert dec.pocs == [0, 4, 2]
+    out = decode_h264p_annexb(bs)
+    exp = [max(0, min(255, (298 * (v - 16) + 128) >> 8))
+           for v in vals]
+    assert [int(f[0, 0, 0]) for f in out] == exp
+
+
+def test_b_without_future_ref_raises():
+    from tika_spark.analysis.h264 import _nal
+    from tika_spark.analysis.h264inter import H264BiEncoder
+    enc = H264BiEncoder(16, 16)
+    u = np.full((8, 8), 128, np.uint8)
+    y = np.full((16, 16), 50, np.uint8)
+    dec = H264InterDecoder()
+    dec.push(_nal(7, enc.sps_rbsp()))
+    dec.push(_nal(8, enc.pps_rbsp()))
+    enc._poc_lsb = 0
+    dec.push(_nal(5, enc.encode_frame(y, u, u, "i16dc")))
+    lf = enc._last_f
+    ref = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+    enc._poc_lsb = 2
+    b_rbsp = enc.encode_b_frame(y, u, u, ref, ref, 1)
+    with pytest.raises(H264Error):
+        dec.push(_nal(1, b_rbsp, ref=0))  # no future reference yet
+
+
+def test_mp4_ibp_fixture_display_order():
+    from tika_spark.analysis.isobmff import (mp4_h264_frames,
+                                             video_h264b_fixture)
+    for did in range(6):
+        frames = mp4_h264_frames(video_h264b_fixture(did))
+        assert len(frames) == 3 + did % 2
+        for k, f in enumerate(frames):
+            v = 8 * ((did * 5 + 7 * k) % 32)
+            exp = max(0, min(255, (298 * (v - 16) + 128) >> 8))
+            assert (f[:, :, 0] == exp).all(), (did, k)

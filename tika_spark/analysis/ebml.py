@@ -476,7 +476,9 @@ def mkv_video_frames(data: bytes) -> list:
                     dec.push(nal)
             if not dec.frames:
                 raise EbmlError("AVC track decoded no frames")
-            return [yuv_to_rgb(y, u, v) for y, u, v in dec.frames]
+            order = sorted(range(len(dec.frames)),
+                           key=lambda k: (dec.pocs[k], k))
+            return [yuv_to_rgb(*dec.frames[k]) for k in order]
     raise EbmlError("no decodable video track (V_VP8 or "
                     "V_MPEG4/ISO/AVC)")
 

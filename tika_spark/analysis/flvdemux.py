@@ -222,7 +222,9 @@ def decode_flv_video(data: bytes) -> list:
             dec.push(nal)
     if not dec.frames:
         raise FlvError("AVC track decoded no frames")
-    return [yuv_to_rgb(y, u, v) for y, u, v in dec.frames]
+    order = sorted(range(len(dec.frames)),
+                   key=lambda k: (dec.pocs[k], k))   # display order
+    return [yuv_to_rgb(*dec.frames[k]) for k in order]
 
 
 def flv_wrap_video(frames: list, width: int, height: int,

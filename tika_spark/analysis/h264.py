@@ -47,12 +47,13 @@ class H264Error(ValueError):
 class BitReader:
     """MSB-first bit reader over an RBSP (already unescaped)."""
 
-    __slots__ = ("data", "pos", "n")
+    __slots__ = ("data", "pos", "n", "_last_one")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0                       # bit position
         self.n = len(data) * 8
+        self._last_one = -2                # lazily located stop bit
 
     def u(self, k: int) -> int:
         if self.pos + k > self.n:
@@ -98,12 +99,16 @@ class BitReader:
         remain."""
         if self.pos >= self.n:
             return False
-        # find last 1 bit in the stream (the stop bit)
-        last = self.n - 1
-        d = self.data
-        while last >= 0 and not (d[last >> 3] >> (7 - (last & 7))) & 1:
-            last -= 1
-        return self.pos < last
+        if self._last_one == -2:
+            # locate the last 1 bit (the stop bit) once — rescanning
+            # per macroblock would make slice decode quadratic
+            last = self.n - 1
+            d = self.data
+            while last >= 0 \
+                    and not (d[last >> 3] >> (7 - (last & 7))) & 1:
+                last -= 1
+            self._last_one = last
+        return self.pos < self._last_one
 
 
 class BitWriter:
@@ -1119,7 +1124,7 @@ class H264Decoder:
             pps = parse_pps(rbsp)
             self.pps[pps["pps_id"]] = pps
         elif typ in (1, 5):
-            self._slice(rbsp, idr=typ == 5)
+            self._slice(rbsp, idr=typ == 5, ref_idc=(hdr >> 5) & 3)
         # SEI (6), AUD (9), filler (12) etc.: ignored
 
     def _flush(self) -> None:
@@ -1138,7 +1143,8 @@ class H264Decoder:
             self._cur = None
             self._next_mb = 0
 
-    def _slice(self, rbsp: bytes, idr: bool) -> None:
+    def _slice(self, rbsp: bytes, idr: bool, ref_idc: int = 3
+               ) -> None:
         r = BitReader(rbsp)
         first_mb = r.ue()
         slice_type = r.ue()
@@ -1412,6 +1418,8 @@ class H264Encoder:
         self.w, self.h, self.qp = width, height, qp
         self.mb_w = (width + 15) // 16
         self.mb_h = (height + 15) // 16
+        self.poc_type = 2         # 0 when B frames need explicit POC
+        self._poc_lsb = 0
 
     # -- headers ------------------------------------------------------
 
@@ -1422,8 +1430,10 @@ class H264Encoder:
         w.u(30, 8)                           # level 3.0
         w.ue(0)                              # sps_id
         w.ue(0)                              # log2_max_frame_num = 4
-        w.ue(2)                              # poc_type 2
-        w.ue(1)                              # max_num_ref_frames
+        w.ue(self.poc_type)
+        if self.poc_type == 0:
+            w.ue(4)                          # log2_max_poc_lsb = 8
+        w.ue(2 if self.poc_type == 0 else 1)  # max_num_ref_frames
         w.u(0, 1)                            # gaps allowed
         w.ue(self.mb_w - 1)
         w.ue(self.mb_h - 1)
@@ -1492,6 +1502,8 @@ class H264Encoder:
         w.ue(0)                              # pps_id
         w.u(0, 4)                            # frame_num
         w.ue(0)                              # idr_pic_id
+        if self.poc_type == 0:
+            w.u(self._poc_lsb & 255, 8)      # pic_order_cnt_lsb
         w.se(0)                              # slice_qp_delta
         w.ue(1)                              # disable deblocking
         plans = ("pcm", "i16dc", "i4dc")

@@ -13,17 +13,27 @@ IPPP web video).  Inter residuals reuse the intra tier's CAVLC and
 4x4 transform; the inter ``coded_block_pattern`` me(v) mapping is
 the Table 9-4 inter column.
 
-A fixture encoder produces IPPP streams: an IDR keyframe (intra
-tier) followed by P frames whose macroblocks carry explicit MVs,
-exercise skip runs when the residual vanishes and the MV matches the
-P_Skip prediction, and optionally split into 16x8/8x16/8x8
-partitions.  Same epistemic status as the intra module: encoder and
-decoder share every table, round-trip-verified; no third-party
-conformance stream exists in this container (SURVEY §7.4).
+B slices decode too (16x16 tier): B_L0 / B_L1 / B_Bi macroblocks
+with per-list median MV prediction and bi-predictive averaging,
+list0/list1 picked as nearest past/future reference by picture
+order count, non-reference B NALs, and POC-based display
+reordering (``decode_h264p_annexb`` and every container demuxer
+sort by POC — IBP streams come out in display order).
 
-Weighted prediction, multiple reference frames, B slices and CABAC
-remain out of scope (the PPS the fixture encoder writes disables
-them; foreign streams using them raise).
+Fixture encoders produce IPPP streams (an IDR keyframe followed by
+P frames whose macroblocks carry explicit MVs, exercise skip runs
+when the residual vanishes and the MV matches the P_Skip
+prediction, and optionally split into 16x8/8x16/8x8 partitions) and
+IBP streams (:class:`H264BiEncoder` — decode order I P B, POC type
+0 carrying display order).  Same epistemic status as the intra
+module: encoder and decoder share every table, round-trip-verified;
+no third-party conformance stream exists in this container
+(SURVEY §7.4).
+
+Weighted prediction, multiple reference frames per list, B
+partitions/direct/B_Skip, and CABAC remain out of scope (the PPS
+the fixture encoders write disables them; foreign streams using
+them raise).
 """
 
 from __future__ import annotations
@@ -151,29 +161,31 @@ def mc_chroma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
 # ----------------------------------------------------- MV prediction
 
 
-def _mv_at(f, gx: int, gy: int):
-    """(mv, ref) of the 4x4 block at grid (gx, gy); ref -1 when
-    unavailable / outside / intra."""
+def _mv_at(f, gx: int, gy: int, lst: int = 0):
+    """(mv, ref) of the 4x4 block at grid (gx, gy) in reference list
+    ``lst``; ref -1 when unavailable / outside / intra."""
     if gx < 0 or gy < 0 or gx >= f.mb_w * 4 or gy >= f.mb_h * 4:
         return (0, 0), -1
     if not f.blk_decoded[gy, gx]:
         return (0, 0), -1
-    return (int(f.mv[gy, gx, 0]), int(f.mv[gy, gx, 1])), \
-        int(f.ref[gy, gx])
+    mvg = f.mv if lst == 0 else f.mv1
+    refg = f.ref if lst == 0 else f.ref1
+    return (int(mvg[gy, gx, 0]), int(mvg[gy, gx, 1])), \
+        int(refg[gy, gx])
 
 
 def mv_pred(f, gx: int, gy: int, pw4: int, ph4: int,
-            part: str = "") -> tuple[int, int]:
+            part: str = "", lst: int = 0) -> tuple[int, int]:
     """§8.4.1.3 median MV prediction for a partition whose top-left
     4x4 block sits at grid (gx, gy), spanning pw4×ph4 blocks.
     ``part``: '' (median), 'top'/'bottom' (16x8), 'left'/'right'
     (8x16) directional rules (single-reference simplification: the
     directional neighbour is used when it is inter-coded)."""
-    mva, ra = _mv_at(f, gx - 1, gy)
-    mvb, rb = _mv_at(f, gx, gy - 1)
-    mvc, rc = _mv_at(f, gx + pw4, gy - 1)
+    mva, ra = _mv_at(f, gx - 1, gy, lst)
+    mvb, rb = _mv_at(f, gx, gy - 1, lst)
+    mvc, rc = _mv_at(f, gx + pw4, gy - 1, lst)
     if rc < 0:
-        mvc, rc = _mv_at(f, gx - 1, gy - 1)        # D fallback
+        mvc, rc = _mv_at(f, gx - 1, gy - 1, lst)   # D fallback
     if part == "top" and rb >= 0:
         return mvb
     if part == "bottom" and ra >= 0:
@@ -214,40 +226,63 @@ def skip_mv(f, mbx: int, mby: int) -> tuple[int, int]:
 
 
 class H264InterDecoder(H264Decoder):
-    """Intra + P-slice decoder with a single reference frame."""
+    """Intra + P + B(16x16) decoder.  References: the two most
+    recent reference pictures (nal_ref_idc > 0); P predicts from the
+    most recent, B picks list0 = nearest past / list1 = nearest
+    future by picture order count.  Completed frames land in
+    ``frames`` in decode order with ``pocs`` alongside — sort by POC
+    for display order (decode_h264p_annexb does)."""
 
     def __init__(self):
         super().__init__()
-        self._ref: tuple | None = None             # padded (y, u, v)
+        self._refs: list[tuple] = []      # [(poc, (y, u, v))], ≤2
+        self.pocs: list[int] = []
+        self._poc_cur = 0
+        self._cur_is_ref = True
+        self._decode_count = 0
+
+    @property
+    def _ref(self):
+        """Most recent reference planes (P prediction)."""
+        return self._refs[-1][1] if self._refs else None
 
     def _new_frame(self, mb_w: int, mb_h: int) -> _Frame:
         f = _Frame(mb_w, mb_h)
         f.mv = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
         f.ref = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
+        f.mv1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+        f.ref1 = np.full((mb_h * 4, mb_w * 4), -1, dtype=np.int32)
         return f
 
     def _flush(self) -> None:
         if self._cur is not None:
-            self._ref = (self._cur.y.copy(), self._cur.u.copy(),
-                         self._cur.v.copy())
+            planes = (self._cur.y.copy(), self._cur.u.copy(),
+                      self._cur.v.copy())
+            if self._cur_is_ref:
+                self._refs.append((self._poc_cur, planes))
+                self._refs = self._refs[-2:]
+            self.pocs.append(self._poc_cur)
         super()._flush()
 
-    def _slice(self, rbsp: bytes, idr: bool) -> None:
+    def _b_refs(self) -> tuple[tuple, tuple]:
+        """(list0, list1) reference planes for the current B frame."""
+        past = [(p, pl) for p, pl in self._refs if p < self._poc_cur]
+        fut = [(p, pl) for p, pl in self._refs if p > self._poc_cur]
+        if not past or not fut:
+            raise H264Error("B slice without past+future references")
+        return max(past)[1], min(fut)[1]
+
+    def _slice(self, rbsp: bytes, idr: bool, ref_idc: int = 3
+               ) -> None:
         r = BitReader(rbsp)
         first_mb = r.ue()
         slice_type = r.ue()
         st = slice_type % 5
-        if st == 2:
-            # intra path: re-parse via the base class, but frames
-            # must carry the mv grids for following P slices
-            return self._slice_common(r, first_mb, slice_type, idr,
-                                      inter=False)
-        if st != 0:
-            raise H264Error("only I and P slices supported")
-        return self._slice_common(r, first_mb, slice_type, idr,
-                                  inter=True)
+        if st not in (0, 1, 2):
+            raise H264Error("only I, P and B slices supported")
+        return self._slice_common(r, first_mb, st, idr, ref_idc)
 
-    def _slice_common(self, r, first_mb, slice_type, idr, inter):
+    def _slice_common(self, r, first_mb, st, idr, ref_idc):
         pps = self.pps.get(r.ue())
         if pps is None:
             raise H264Error("slice references unknown PPS")
@@ -256,24 +291,34 @@ class H264InterDecoder(H264Decoder):
             raise H264Error("PPS references unknown SPS")
         r.u(sps["log2_max_frame_num"])
         if idr:
+            self._refs = []                       # IDR clears the DPB
             r.ue()
+        poc = None
         if sps["poc_type"] == 0:
-            r.u(sps["log2_max_poc_lsb"])
+            poc = r.u(sps["log2_max_poc_lsb"])
             if pps["bottom_field_poc"]:
                 r.se()
         if pps["redundant_pic_cnt_present"]:
             r.ue()
-        nref = 1
-        if inter:
-            if r.flag():                           # num_ref_idx override
-                nref = r.ue() + 1
-            if r.flag():                           # ref list modification
-                raise H264Error("ref_pic_list_modification unsupported")
-            if nref != 1:
-                raise H264Error("multiple reference frames unsupported")
-            # (weighted_pred_flag is 0 in supported PPSes)
-            # dec_ref_pic_marking (nal_ref_idc > 0 assumed)
-            if r.flag():                           # adaptive marking
+        if st == 1:
+            r.flag()                              # direct_spatial flag
+        nref0 = nref1 = 1
+        if st in (0, 1):
+            if r.flag():                          # num_ref_idx override
+                nref0 = r.ue() + 1
+                if st == 1:
+                    nref1 = r.ue() + 1
+            if r.flag():                          # list0 modification
+                raise H264Error("ref_pic_list_modification "
+                                "unsupported")
+            if st == 1 and r.flag():              # list1 modification
+                raise H264Error("ref_pic_list_modification "
+                                "unsupported")
+            if nref0 != 1 or nref1 != 1:
+                raise H264Error("multiple reference frames "
+                                "unsupported")
+            # (weighted prediction is off in supported PPSes)
+            if ref_idc and r.flag():              # adaptive marking
                 raise H264Error("adaptive ref marking unsupported")
         qp = pps["pic_init_qp"] + r.se()
         if pps["deblock_ctrl"]:
@@ -285,20 +330,25 @@ class H264InterDecoder(H264Decoder):
             self._cur = self._new_frame(sps["mb_w"], sps["mb_h"])
             self._sps_active = sps
             self._next_mb = 0
+            self._cur_is_ref = ref_idc != 0
+            self._poc_cur = poc if poc is not None \
+                else 2 * self._decode_count
+            self._decode_count += 1
         if self._cur is None or first_mb != self._next_mb:
             raise H264Error("slices out of order")
         f = self._cur
-        if inter and self._ref is None:
+        if st == 0 and self._ref is None:
             raise H264Error("P slice with no reference frame")
+        brefs = self._b_refs() if st == 1 else None
         n_mbs = f.mb_w * f.mb_h
         addr = first_mb
-        if not inter:
+        if st == 2:
             while addr < n_mbs and (addr == first_mb
                                     or r.more_rbsp_data()):
                 qp = self._macroblock(r, f, addr, qp,
                                       pps["chroma_qp_offset"])
                 addr += 1
-        else:
+        elif st == 0:
             while addr < n_mbs and r.more_rbsp_data():
                 run = r.ue()                       # mb_skip_run
                 for _ in range(min(run, n_mbs - addr)):
@@ -309,9 +359,93 @@ class H264InterDecoder(H264Decoder):
                 qp = self._mb_p(r, f, addr, qp,
                                 pps["chroma_qp_offset"])
                 addr += 1
+        else:
+            while addr < n_mbs and r.more_rbsp_data():
+                if r.ue() != 0:                    # mb_skip_run
+                    raise H264Error("B_Skip / direct mode "
+                                    "unsupported")
+                if addr >= n_mbs or not r.more_rbsp_data():
+                    break
+                qp = self._mb_b(r, f, addr, qp,
+                                pps["chroma_qp_offset"], brefs)
+                addr += 1
         self._next_mb = addr
         if addr >= n_mbs:
             self._flush()
+
+    # -- B macroblocks -------------------------------------------------
+
+    def _mb_b(self, r, f, addr, qp, cqp_off, brefs):
+        mbx, mby = addr % f.mb_w, addr // f.mb_w
+        mb_type = r.ue()
+        if mb_type >= 23:                          # intra in B slice
+            return self._macroblock_typed(r, f, addr, mb_type - 23,
+                                          qp, cqp_off)
+        if mb_type not in (1, 2, 3):
+            raise H264Error("only B_L0/L1/Bi_16x16 (+intra) B "
+                            "macroblocks supported")
+        gx0, gy0 = mbx * 4, mby * 4
+        use_l0 = mb_type in (1, 3)
+        use_l1 = mb_type in (2, 3)
+        mv0 = mv1 = None
+        if use_l0:
+            pmv = mv_pred(f, gx0, gy0, 4, 4)
+            mv0 = (pmv[0] + r.se(), pmv[1] + r.se())
+        if use_l1:
+            pmv = mv_pred(f, gx0, gy0, 4, 4, lst=1)
+            mv1 = (pmv[0] + r.se(), pmv[1] + r.se())
+        pred_y, pred_u, pred_v = self._b_pred(
+            f, mbx, mby, brefs, mv0, mv1)
+        cbp = _CBP_INTER[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + r.se()) % 52
+        x0, y0 = mbx * 16, mby * 16
+        recon = pred_y.copy()
+        for i in range(16):
+            bx, by = _BLK4[i]
+            gx, gy = gx0 + bx, gy0 + by
+            if cbp_luma & (1 << (i >> 2)):
+                nc = _nc(f.tc_y, gx, gy)
+                lv, tc = read_residual_block(r, nc, 16)
+            else:
+                lv, tc = np.zeros(16, np.int32), 0
+            f.tc_y[gy, gx] = tc
+            m = dequant_ac(_zz_to_mat(lv, False), qp)
+            res = (inverse_core4(m) + 32) >> 6
+            recon[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] += res
+        f.y[y0:y0 + 16, x0:x0 + 16] = _clip8(recon)
+        self._chroma_inter(r, f, mbx, mby, cbp_chroma, qp, cqp_off,
+                           pred_u, pred_v)
+        f.blk_decoded[gy0:gy0 + 4, gx0:gx0 + 4] = True
+        f.mb_decoded[mby, mbx] = True
+        return qp
+
+    def _b_pred(self, f, mbx, mby, brefs, mv0, mv1):
+        """L0 / L1 / bi-average prediction for a whole MB; records
+        the per-list mv grids."""
+        ref0, ref1 = brefs
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        gx0, gy0 = mbx * 4, mby * 4
+        outs = []
+        for lst, (mv, ref) in enumerate(((mv0, ref0), (mv1, ref1))):
+            if mv is None:
+                outs.append(None)
+                continue
+            ry, ru, rv = ref
+            pl = (mc_luma(ry, x0, y0, 16, 16, mv[0], mv[1]),
+                  mc_chroma(ru, cx0, cy0, 8, 8, mv[0], mv[1]),
+                  mc_chroma(rv, cx0, cy0, 8, 8, mv[0], mv[1]))
+            outs.append(pl)
+            mvg = f.mv if lst == 0 else f.mv1
+            refg = f.ref if lst == 0 else f.ref1
+            mvg[gy0:gy0 + 4, gx0:gx0 + 4] = mv
+            refg[gy0:gy0 + 4, gx0:gx0 + 4] = 0
+        if outs[0] is not None and outs[1] is not None:
+            return tuple((a + b + 1) >> 1
+                         for a, b in zip(outs[0], outs[1]))
+        return outs[0] if outs[0] is not None else outs[1]
 
     # -- P macroblocks -------------------------------------------------
 
@@ -495,7 +629,8 @@ class H264InterDecoder(H264Decoder):
 
 
 def decode_h264p_annexb(data: bytes) -> list[np.ndarray]:
-    """Annex-B IPPP stream -> list of (h, w, 3) RGB frames."""
+    """Annex-B intra / IPPP / IBP stream -> list of (h, w, 3) RGB
+    frames in display order (sorted by picture order count)."""
     from tika_spark.analysis.vp8 import yuv_to_rgb
     from tika_spark.analysis.h264 import split_annexb
     dec = H264InterDecoder()
@@ -503,8 +638,11 @@ def decode_h264p_annexb(data: bytes) -> list[np.ndarray]:
         dec.push(nal)
     if not dec.frames:
         raise H264Error("no decodable frames")
-    return [yuv_to_rgb(y.astype(np.uint8), u, v)
-            for y, u, v in dec.frames]
+    order = sorted(range(len(dec.frames)),
+                   key=lambda k: (dec.pocs[k], k))
+    return [yuv_to_rgb(dec.frames[k][0].astype(np.uint8),
+                       dec.frames[k][1], dec.frames[k][2])
+            for k in order]
 
 
 # ------------------------------------------------------ P encoder
@@ -552,6 +690,8 @@ class H264InterEncoder(H264Encoder):
         w.ue(5)                               # slice_type P (all)
         w.ue(0)                               # pps_id
         w.u(frame_num & 15, 4)                # frame_num
+        if self.poc_type == 0:
+            w.u(self._poc_lsb & 255, 8)       # pic_order_cnt_lsb
         w.u(0, 1)                             # no ref-count override
         w.u(0, 1)                             # no list modification
         w.u(0, 1)                             # no adaptive marking
@@ -798,4 +938,214 @@ def encode_h264p(frames: list, width: int, height: int, qp: int = 28,
             out += b"\x00\x00\x00\x01" + _nal(1, rbsp, ref=2)
         lf = enc._last_f
         ref = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+    return bytes(out)
+
+
+# ------------------------------------------------------ B encoder
+
+
+class H264BiEncoder(H264InterEncoder):
+    """IBP fixture encoder: display order F0 F1 F2 F3 F4 … encodes
+    as I(F0) P(F2) B(F1) P(F4) B(F3) …; B frames are non-reference
+    and cycle B_L0 / B_L1 / B_Bi 16x16 macroblocks.  POC type 0
+    (explicit pic_order_cnt_lsb = 2 × display index) carries display
+    order; the decoder reorders by POC."""
+
+    def __init__(self, width: int, height: int, qp: int = 28):
+        super().__init__(width, height, qp)
+        self.poc_type = 0
+
+    def encode_b_frame(self, y, u, v, ref0, ref1, frame_num: int,
+                       mv0: tuple = (0, 0), mv1: tuple = (0, 0)
+                       ) -> bytes:
+        mbw, mbh = self.mb_w, self.mb_h
+        f = _Frame(mbw, mbh)
+        f.mv = np.zeros((mbh * 4, mbw * 4, 2), dtype=np.int32)
+        f.ref = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        f.mv1 = np.zeros((mbh * 4, mbw * 4, 2), dtype=np.int32)
+        f.ref1 = np.full((mbh * 4, mbw * 4), -1, dtype=np.int32)
+        py = np.zeros((mbh * 16, mbw * 16), dtype=np.int32)
+        pu = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
+        pv = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
+        py[:y.shape[0], :y.shape[1]] = y
+        pu[:u.shape[0], :u.shape[1]] = u
+        pv[:v.shape[0], :v.shape[1]] = v
+
+        w = BitWriter()
+        w.ue(0)                               # first_mb_in_slice
+        w.ue(6)                               # slice_type B (all)
+        w.ue(0)                               # pps_id
+        w.u(frame_num & 15, 4)
+        w.u(self._poc_lsb & 255, 8)
+        w.u(1, 1)                             # direct_spatial flag
+        w.u(0, 1)                             # no ref-count override
+        w.u(0, 1)                             # no list0 modification
+        w.u(0, 1)                             # no list1 modification
+        # non-reference NAL: no dec_ref_pic_marking
+        w.se(0)                               # slice_qp_delta
+        w.ue(1)                               # disable deblocking
+        for addr in range(mbw * mbh):
+            w.ue(0)                           # mb_skip_run
+            self._mb_b_enc(w, f, addr, py, pu, pv, ref0, ref1,
+                           mv0, mv1)
+        w.rbsp_trailing()
+        return w.getvalue()
+
+    def _mb_b_enc(self, w, f, addr, py, pu, pv, ref0, ref1, mv0,
+                  mv1):
+        mbx, mby = addr % self.mb_w, addr // self.mb_w
+        qp = self.qp
+        gx0, gy0 = mbx * 4, mby * 4
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        mb_type = 1 + addr % 3                # L0 / L1 / Bi
+        use_l0 = mb_type in (1, 3)
+        use_l1 = mb_type in (2, 3)
+        w.ue(mb_type)
+        preds = []
+        for lst, (use, mv, ref) in enumerate(
+                ((use_l0, mv0, ref0), (use_l1, mv1, ref1))):
+            if not use:
+                continue
+            pmv = mv_pred(f, gx0, gy0, 4, 4, lst=lst)
+            w.se(mv[0] - pmv[0])
+            w.se(mv[1] - pmv[1])
+            ry, ru, rv = ref
+            preds.append((mc_luma(ry, x0, y0, 16, 16, mv[0], mv[1]),
+                          mc_chroma(ru, cx0, cy0, 8, 8, mv[0], mv[1]),
+                          mc_chroma(rv, cx0, cy0, 8, 8, mv[0],
+                                    mv[1])))
+            mvg = f.mv if lst == 0 else f.mv1
+            refg = f.ref if lst == 0 else f.ref1
+            mvg[gy0:gy0 + 4, gx0:gx0 + 4] = mv
+            refg[gy0:gy0 + 4, gx0:gx0 + 4] = 0
+        if len(preds) == 2:
+            pred_y, pred_u, pred_v = (
+                (a + b + 1) >> 1 for a, b in zip(preds[0], preds[1]))
+        else:
+            pred_y, pred_u, pred_v = preds[0]
+        f.blk_decoded[gy0:gy0 + 4, gx0:gx0 + 4] = True
+        # residual (same machinery as P)
+        resid = py[y0:y0 + 16, x0:x0 + 16].astype(np.int64) - pred_y
+        zs = [None] * 16
+        for i in range(16):
+            bx4, by4 = _BLK4[i]
+            zs[i] = _quant4(forward_core4(
+                resid[by4 * 4:by4 * 4 + 4, bx4 * 4:bx4 * 4 + 4]),
+                qp, skip_dc=False)
+        cbp_luma = 0
+        for i in range(16):
+            if np.any(zs[i]):
+                cbp_luma |= 1 << (i >> 2)
+        cqp = chroma_qp(qp)
+        comps = []
+        any_dc = any_ac = False
+        from tika_spark.analysis.h264 import _quant_dc
+        for plane_src, pred_c in ((pu, pred_u), (pv, pred_v)):
+            rc = plane_src[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int64) \
+                - pred_c
+            dc_raw = np.zeros((2, 2), dtype=np.int64)
+            acs = []
+            for i in range(4):
+                bx4, by4 = i & 1, i >> 1
+                wm = forward_core4(rc[by4 * 4:by4 * 4 + 4,
+                                      bx4 * 4:bx4 * 4 + 4])
+                dc_raw[by4, bx4] = wm[0, 0]
+                acs.append(_quant4(wm, cqp, skip_dc=True))
+            h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+            zdc = _quant_dc(h2 @ dc_raw @ h2, cqp)
+            any_dc |= bool(np.any(zdc))
+            any_ac |= any(bool(np.any(a)) for a in acs)
+            comps.append((zdc, acs, pred_c))
+        cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(_CBP_INTER_INV[cbp])
+        if cbp:
+            w.se(0)
+        for i in range(16):
+            bx4, by4 = _BLK4[i]
+            gx, gy = gx0 + bx4, gy0 + by4
+            if cbp_luma & (1 << (i >> 2)):
+                nc = _nc(f.tc_y, gx, gy)
+                tc = write_residual_block(w, _mat_to_zz(zs[i], False),
+                                          nc, 16)
+            else:
+                tc = 0
+            f.tc_y[gy, gx] = tc
+        if cbp_chroma:
+            for zdc, _acs, _p in comps:
+                write_residual_block(
+                    w, np.array([zdc[0, 0], zdc[0, 1], zdc[1, 0],
+                                 zdc[1, 1]], dtype=np.int64), -1, 4)
+        for ci, (plane_tc, comp) in enumerate(
+                ((f.tc_u, comps[0]), (f.tc_v, comps[1]))):
+            zdc, acs, _p = comp
+            for i in range(4):
+                bx4, by4 = i & 1, i >> 1
+                gx, gy = mbx * 2 + bx4, mby * 2 + by4
+                if cbp_chroma == 2:
+                    nc = _nc(plane_tc, gx, gy)
+                    tc = write_residual_block(
+                        w, _mat_to_zz(acs[i], True), nc, 15)
+                else:
+                    tc = 0
+                plane_tc[gy, gx] = tc
+        f.mb_decoded[mby, mbx] = True
+
+
+def encode_h264b(frames: list, width: int, height: int,
+                 qp: int = 28, mv_fwd: tuple = (0, 0),
+                 mv_bwd: tuple = (0, 0)) -> bytes:
+    """Display-order (y, u, v) planes -> Annex-B IBP stream:
+    I(F0) P(F2) B(F1) P(F4) B(F3) …, one trailing P if the count is
+    even.  B macroblocks cycle L0/L1/Bi."""
+    from tika_spark.analysis.h264 import _nal
+    enc = H264BiEncoder(width, height, qp)
+    out = bytearray()
+    out += b"\x00\x00\x00\x01" + _nal(7, enc.sps_rbsp())
+    out += b"\x00\x00\x00\x01" + _nal(8, enc.pps_rbsp())
+
+    def planes(k):
+        y, u, v = frames[k]
+        return (np.asarray(y, dtype=np.uint8),
+                np.asarray(u, dtype=np.uint8),
+                np.asarray(v, dtype=np.uint8))
+
+    enc._poc_lsb = 0
+    y, u, v = planes(0)
+    out += b"\x00\x00\x00\x01" + _nal(5, enc.encode_frame(y, u, v,
+                                                          "i16dc"))
+    lf = enc._last_f
+    past = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+    fnum = 1
+    k = 1
+    while k < len(frames):
+        if k + 1 < len(frames):
+            # P for F[k+1]
+            enc._poc_lsb = 2 * (k + 1)
+            y, u, v = planes(k + 1)
+            out += b"\x00\x00\x00\x01" + _nal(
+                1, enc.encode_p_frame(y, u, v, past, enc._last_f,
+                                      fnum, "pan16", (0, 0)), ref=2)
+            lf = enc._last_f
+            fut = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+            fnum += 1
+            # B for F[k], non-reference
+            enc._poc_lsb = 2 * k
+            y, u, v = planes(k)
+            out += b"\x00\x00\x00\x01" + _nal(
+                1, enc.encode_b_frame(y, u, v, past, fut, fnum,
+                                      mv_fwd, mv_bwd), ref=0)
+            past = fut
+            k += 2
+        else:
+            enc._poc_lsb = 2 * k
+            y, u, v = planes(k)
+            out += b"\x00\x00\x00\x01" + _nal(
+                1, enc.encode_p_frame(y, u, v, past, enc._last_f,
+                                      fnum, "pan16", (0, 0)), ref=2)
+            lf = enc._last_f
+            past = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+            fnum += 1
+            k += 1
     return bytes(out)

@@ -542,7 +542,9 @@ def mp4_h264_frames(data: bytes) -> list:
             dec.push(nal)
     if not dec.frames:
         raise Mp4Error("avc1 track decoded no frames")
-    return [yuv_to_rgb(y, u, v) for y, u, v in dec.frames]
+    order = sorted(range(len(dec.frames)),
+                   key=lambda k: (dec.pocs[k], k))   # display order
+    return [yuv_to_rgb(*dec.frames[k]) for k in order]
 
 
 def avc_bytes(frames: list, width: int, height: int, qp: int = 28,
@@ -701,3 +703,76 @@ def video_h264p_fixture(doc_id: int) -> bytes:
     frames = [(f0, u, u)] + [(f1, u, u)] * (1 + did % 2)
     return avc_p_bytes(frames, 32, 16, qp=28, plan="pan16",
                        base_mv=(64, 0))
+
+
+def avc_b_bytes(frames: list, width: int, height: int,
+                qp: int = 28, fps: int = 25) -> bytes:
+    """Fixture muxer: IBP .mp4 — display-order frames encoded as
+    I P B (P before B in decode order, POC carries display order;
+    B macroblocks cycle L0/L1/Bi).  Samples are stored in DECODE
+    order; the demuxer's POC sort restores display order."""
+    import numpy as _np
+
+    from tika_spark.analysis.h264 import _nal
+    from tika_spark.analysis.h264inter import H264BiEncoder
+    enc = H264BiEncoder(width, height, qp)
+    sps_nal = _nal(7, enc.sps_rbsp())
+    pps_nal = _nal(8, enc.pps_rbsp())
+
+    def planes(k):
+        y, u, v = frames[k]
+        return (_np.asarray(y, dtype=_np.uint8),
+                _np.asarray(u, dtype=_np.uint8),
+                _np.asarray(v, dtype=_np.uint8))
+
+    samples = []
+
+    def add(nal):
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+
+    enc._poc_lsb = 0
+    add(_nal(5, enc.encode_frame(*planes(0), "i16dc")))
+    lf = enc._last_f
+    past = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+    fnum, k = 1, 1
+    while k < len(frames):
+        if k + 1 < len(frames):
+            enc._poc_lsb = 2 * (k + 1)
+            add(_nal(1, enc.encode_p_frame(*planes(k + 1), past,
+                                           enc._last_f, fnum,
+                                           "pan16", (0, 0)), ref=2))
+            lf = enc._last_f
+            fut = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+            fnum += 1
+            enc._poc_lsb = 2 * k
+            add(_nal(1, enc.encode_b_frame(*planes(k), past, fut,
+                                           fnum), ref=0))
+            past = fut
+            k += 2
+        else:
+            enc._poc_lsb = 2 * k
+            add(_nal(1, enc.encode_p_frame(*planes(k), past,
+                                           enc._last_f, fnum,
+                                           "pan16", (0, 0)), ref=2))
+            lf = enc._last_f
+            past = (lf.y.copy(), lf.u.copy(), lf.v.copy())
+            fnum += 1
+            k += 1
+    return _mux_avc(samples, sps_nal, pps_nal, width, height, fps)
+
+
+def video_h264b_fixture(doc_id: int) -> bytes:
+    """Deterministic IBP .mp4: n = 3 + id%2 solid 16x16 frames in
+    display order, Y = 8 * ((id*5 + 7*k) % 32) — multiples of 8 keep
+    every P/B residual divisible by 4, so the plain-4x4 quantizer at
+    qp=28 is exact and each displayed frame is its closed-form
+    gray.  Sample order is decode order (I P B [P]): the query
+    green-lights POC-based display reordering."""
+    import numpy as np
+    did = int(doc_id)
+    n = 3 + did % 2
+    u = np.full((8, 8), 128, np.uint8)
+    frames = [(np.full((16, 16),
+                       8 * ((did * 5 + 7 * k) % 32), np.uint8), u, u)
+              for k in range(n)]
+    return avc_b_bytes(frames, 16, 16, qp=28)
