@@ -4789,6 +4789,50 @@ def _q_media_mp4_pframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _video_dhash_wrap_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.videohash import video_dhash_fixture
+        return pd.Series([video_dhash_fixture(int(i)) for i in ids])
+
+    return wrap
+
+
+def _q_video_dhash(spark, sf_dir):
+    """Video frame fingerprints (analysis/videohash.py): demux any
+    supported container, dHash every sampled frame — the multimodal
+    dedup signal for re-encoded/trimmed video copies.  Fixture GIFs
+    carry the image tier's 9x8 gradient with a per-frame offset, so
+    the oracle replays every gradient-sign bit in SQL."""
+    from tika_spark.analysis.videohash import video_dhash
+    wrap = _video_dhash_wrap_udf()
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    return video_dhash(media, every=1).select(
+        "id", "frame_idx", "n_frames", "dhash")
+
+
+def _q_video_neardup_pairs(spark, sf_dir):
+    """Composed video near-dup mining: frame fingerprints →
+    hash-bucket equi-join (each 64-bit hash is its own LSH bucket,
+    degenerate buckets capped) → pairs sharing >= 2 distinct frame
+    hashes.  Fixture offsets collide for ids with equal (or
+    adjacent) id%5, so duplicates and shifted near-dups both
+    surface; the oracle replays hash + join + threshold."""
+    from tika_spark.analysis.videohash import (video_dhash,
+                                               video_neardup_pairs)
+    wrap = _video_dhash_wrap_udf()
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    fp = video_dhash(media, every=1)
+    return video_neardup_pairs(fp, min_shared=2, max_bucket=10_000)
+
+
 def _q_media_mp4_bframes(spark, sf_dir):
     """MP4 IBP decode with display reordering: B slices
     (analysis/h264inter.py H264BiEncoder/_mb_b — B_L0/L1/Bi 16x16,
@@ -5648,6 +5692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_pframes": _q_media_mp4_pframes,
         "media_mkv_avc_frames": _q_media_mkv_avc_frames,
         "media_mp4_bframes": _q_media_mp4_bframes,
+        "video_dhash": _q_video_dhash,
+        "video_neardup_pairs": _q_video_neardup_pairs,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6047,6 +6093,48 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "video_dhash": (
+            # frame content index o = (id//2)*4 + k; cell bit =
+            # parity of md5("o:x:y")[0] (fixture pixels step +-1 so
+            # the dHash extracts exactly these bits)
+            "WITH fr AS (SELECT doc_id, frame_idx, "
+            "(doc_id // 2) * 4 + frame_idx AS o, "
+            "2 + doc_id % 2 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 2)) AS frame_idx) s "
+            "WHERE frame_idx < 2 + doc_id % 2) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "SUM(CASE WHEN substr(md5(o || ':' || x || ':' || y), "
+            "1, 1) IN ('1','3','5','7','9','b','d','f') THEN "
+            "CASE WHEN y*8+x = 63 THEN -9223372036854775808 "
+            "ELSE (1::BIGINT << (y*8+x)) END ELSE 0 END)::BIGINT "
+            "AS dhash FROM fr CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 7)) AS x) sx "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) "
+            "sy GROUP BY doc_id, frame_idx, n"),
+        "video_neardup_pairs": (
+            # videos sharing >= 2 distinct frame hashes: exactly the
+            # (2i, 2i+1) trimmed-copy pairs by construction
+            "WITH fr AS (SELECT doc_id, frame_idx, "
+            "(doc_id // 2) * 4 + frame_idx AS o FROM documents "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS "
+            "frame_idx) s WHERE frame_idx < 2 + doc_id % 2), "
+            "h AS (SELECT doc_id, o, SUM(CASE WHEN "
+            "substr(md5(o || ':' || x || ':' || y), 1, 1) IN "
+            "('1','3','5','7','9','b','d','f') THEN "
+            "CASE WHEN y*8+x = 63 THEN -9223372036854775808 "
+            "ELSE (1::BIGINT << (y*8+x)) END ELSE 0 END)::BIGINT "
+            "AS h FROM fr CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 7)) AS x) sx "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) "
+            "sy GROUP BY doc_id, frame_idx, o), "
+            "d AS (SELECT DISTINCT doc_id, h FROM h), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h "
+            "FROM d a JOIN d b ON a.h = b.h "
+            "AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, COUNT(DISTINCT h)::BIGINT AS shared "
+            "FROM p GROUP BY id_a, id_b "
+            "HAVING COUNT(DISTINCT h) >= 2"),
         "media_mp4_bframes": (
             # IBP with POC display reordering: n = 3 + id%2 solid
             # frames, Y = 8*((id*5 + 7*k) % 32) at display index k

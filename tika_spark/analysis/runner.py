@@ -121,6 +121,15 @@ def _ops(args):
         hashes = image_dhash(d).filter(F.col("status") == "ok")
         return dhash_pairs(hashes, max_dist=args.hamming)
 
+    def video_dhash_op(d):
+        from tika_spark.analysis.videohash import video_dhash
+        return video_dhash(d)
+
+    def video_neardup_op(d):
+        from tika_spark.analysis.videohash import (video_dhash,
+                                                   video_neardup_pairs)
+        return video_neardup_pairs(video_dhash(d))
+
     def bpe_merges(d):
         from tika_spark.analysis.bpe import bpe_train
         return bpe_train(d, num_merges=args.merges)
@@ -168,6 +177,8 @@ def _ops(args):
         "video-frames": video_frames,
         "image-dhash": image_dhash_op,
         "image-dhash-pairs": image_dhash_pairs_op,
+        "video-dhash": video_dhash_op,
+        "video-neardup-pairs": video_neardup_op,
         "bpe-merges": bpe_merges, "quality-classifier": quality_clf,
         "assign-splits": splits, "shuffle-order": shuffle,
         "pagerank": pagerank_op, "anchor-text": anchors_op,
