@@ -4833,6 +4833,50 @@ def _q_video_neardup_pairs(spark, sf_dir):
     return video_neardup_pairs(fp, min_shared=2, max_bucket=10_000)
 
 
+def _audio_fp_wrap_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.audiohash import audio_fp_fixture
+        return pd.Series([audio_fp_fixture(int(i)) for i in ids])
+
+    return wrap
+
+
+def _q_audio_fingerprint(spark, sf_dir):
+    """Audio constellation landmarks (analysis/audiohash.py, Wang
+    2003 recipe): windowed dominant-bin pairs over the decoded PCM —
+    the audio near-dup signal.  Fixture WAVs are whole-period sines
+    whose per-window bin is five md5-parity bits, so every landmark
+    is a closed form the DuckDB oracle replays with no FFT."""
+    from tika_spark.analysis.audiohash import audio_fingerprint
+    wrap = _audio_fp_wrap_udf()
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/wav").alias("media_type"))
+    return audio_fingerprint(media).select(
+        "id", "t", "n_windows", "landmark")
+
+
+def _q_audio_neardup_pairs(spark, sf_dir):
+    """Composed audio near-dup mining: landmarks → equi-join (each
+    landmark its own LSH bucket, degenerate buckets capped) → pairs
+    sharing >= 2 distinct landmarks.  Fixture even/odd id pairs
+    overlap in four windows (three landmarks)."""
+    from tika_spark.analysis.audiohash import (audio_fingerprint,
+                                               audio_neardup_pairs)
+    wrap = _audio_fp_wrap_udf()
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"),
+        F.lit("audio/wav").alias("media_type"))
+    return audio_neardup_pairs(audio_fingerprint(media),
+                               min_shared=2, max_bucket=10_000)
+
+
 def _q_media_mp4_bframes(spark, sf_dir):
     """MP4 IBP decode with display reordering: B slices
     (analysis/h264inter.py H264BiEncoder/_mb_b — B_L0/L1/Bi 16x16,
@@ -5694,6 +5738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_bframes": _q_media_mp4_bframes,
         "video_dhash": _q_video_dhash,
         "video_neardup_pairs": _q_video_neardup_pairs,
+        "audio_fingerprint": _q_audio_fingerprint,
+        "audio_neardup_pairs": _q_audio_neardup_pairs,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6093,6 +6139,47 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "audio_fingerprint": (
+            # window o = (id//2)*8 + w; bin = 3 + five md5-parity
+            # bits of md5(o || ':a'); landmark packs adjacent bins
+            "WITH w AS (SELECT doc_id, wdx, "
+            "(doc_id // 2) * 8 + wdx AS o, 4 + doc_id % 2 AS n "
+            "FROM documents CROSS JOIN (SELECT "
+            "unnest(generate_series(0, 4)) AS wdx) s "
+            "WHERE wdx < 4 + doc_id % 2), "
+            "b AS (SELECT doc_id, wdx, n, 3 "
+            + "".join(
+                f"+ {1 << j} * (CASE WHEN substr(md5(o || ':a'), "
+                f"{j + 1}, 1) IN ('1','3','5','7','9','b','d','f') "
+                "THEN 1 ELSE 0 END) " for j in range(5))
+            + "AS bin FROM w) "
+            "SELECT cur.doc_id AS id, CAST(cur.wdx AS INT) AS t, "
+            "CAST(cur.n AS INT) AS n_windows, "
+            "(cur.bin * 1048576 + nxt.bin * 256 + 1)::BIGINT AS "
+            "landmark FROM b cur JOIN b nxt "
+            "ON nxt.doc_id = cur.doc_id AND nxt.wdx = cur.wdx + 1"),
+        "audio_neardup_pairs": (
+            "WITH w AS (SELECT doc_id, wdx, "
+            "(doc_id // 2) * 8 + wdx AS o FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 4)) AS wdx) s "
+            "WHERE wdx < 4 + doc_id % 2), "
+            "b AS (SELECT doc_id, wdx, 3 "
+            + "".join(
+                f"+ {1 << j} * (CASE WHEN substr(md5(o || ':a'), "
+                f"{j + 1}, 1) IN ('1','3','5','7','9','b','d','f') "
+                "THEN 1 ELSE 0 END) " for j in range(5))
+            + "AS bin FROM w), "
+            "lm AS (SELECT cur.doc_id, "
+            "(cur.bin * 1048576 + nxt.bin * 256 + 1)::BIGINT AS l "
+            "FROM b cur JOIN b nxt ON nxt.doc_id = cur.doc_id "
+            "AND nxt.wdx = cur.wdx + 1), "
+            "d AS (SELECT DISTINCT doc_id, l FROM lm), "
+            "p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.l "
+            "FROM d a JOIN d b2 ON a.l = b2.l "
+            "AND a.doc_id < b2.doc_id) "
+            "SELECT id_a, id_b, COUNT(DISTINCT l)::BIGINT AS shared "
+            "FROM p GROUP BY id_a, id_b "
+            "HAVING COUNT(DISTINCT l) >= 2"),
         "video_dhash": (
             # frame content index o = (id//2)*4 + k; cell bit =
             # parity of md5("o:x:y")[0] (fixture pixels step +-1 so

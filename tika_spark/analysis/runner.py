@@ -130,6 +130,15 @@ def _ops(args):
                                                    video_neardup_pairs)
         return video_neardup_pairs(video_dhash(d))
 
+    def audio_fp_op(d):
+        from tika_spark.analysis.audiohash import audio_fingerprint
+        return audio_fingerprint(d)
+
+    def audio_neardup_op(d):
+        from tika_spark.analysis.audiohash import (
+            audio_fingerprint, audio_neardup_pairs)
+        return audio_neardup_pairs(audio_fingerprint(d))
+
     def bpe_merges(d):
         from tika_spark.analysis.bpe import bpe_train
         return bpe_train(d, num_merges=args.merges)
@@ -179,6 +188,8 @@ def _ops(args):
         "image-dhash-pairs": image_dhash_pairs_op,
         "video-dhash": video_dhash_op,
         "video-neardup-pairs": video_neardup_op,
+        "audio-fingerprint": audio_fp_op,
+        "audio-neardup-pairs": audio_neardup_op,
         "bpe-merges": bpe_merges, "quality-classifier": quality_clf,
         "assign-splits": splits, "shuffle-order": shuffle,
         "pagerank": pagerank_op, "anchor-text": anchors_op,
