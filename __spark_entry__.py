@@ -4905,6 +4905,47 @@ def _q_media_mp4_bframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_mkv_subtitle_text(spark, sf_dir):
+    """Subtitle text mined out of video containers: the EBML walk
+    finds S_TEXT tracks and recovers cues with cluster+block timing
+    and BlockDuration (analysis/ebml.py mkv_subtitles), markup
+    stripped by the SRT/VTT tier — spoken-text training data that
+    byte-level text extraction never sees.  Fixture cues are doc_id
+    arithmetic the oracle rebuilds verbatim."""
+    from collections.abc import Iterator
+
+    from tika_spark.analysis.ebml import (mkv_subtitles,
+                                          mkv_wrap_subtitles)
+
+    def gen_cues(i: int):
+        n = 3 + i % 2
+        cues = []
+        for k in range(n):
+            start = 40_000 * k + (i % 7) * 10
+            cues.append({"start_ms": start,
+                         "end_ms": start + 800 + 100 * (k % 3),
+                         "text": f"Cue {i}-{k} <i>styled</i> words"})
+        return cues
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                mkv = mkv_wrap_subtitles(gen_cues(i))
+                for idx, c in enumerate(mkv_subtitles(mkv)):
+                    rows.append({"id": i, "cue_idx": idx,
+                                 "start_ms": c["start_ms"],
+                                 "end_ms": c["end_ms"],
+                                 "text": c["text"]})
+            yield pd.DataFrame(rows, columns=[
+                "id", "cue_idx", "start_ms", "end_ms", "text"])
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        run, schema=("id long, cue_idx int, start_ms long, "
+                     "end_ms long, text string"))
+
+
 def _q_media_mkv_avc_frames(spark, sf_dir):
     """H.264 in Matroska (V_MPEG4/ISO/AVC): EBML track walk finds the
     avcC record in CodecPrivate, SimpleBlocks carry length-prefixed
@@ -5740,6 +5781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup_pairs": _q_video_neardup_pairs,
         "audio_fingerprint": _q_audio_fingerprint,
         "audio_neardup_pairs": _q_audio_neardup_pairs,
+        "mkv_subtitle_text": _q_mkv_subtitle_text,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6139,6 +6181,19 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "mkv_subtitle_text": (
+            # n = 3 + id%2 cues; start = 40000k + (id%7)*10,
+            # duration 800 + 100*(k%3); markup stripped to spaces
+            "WITH c AS (SELECT doc_id, k, "
+            "40000 * k + (doc_id % 7) * 10 AS start_ms, "
+            "3 + doc_id % 2 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS k) s "
+            "WHERE k < 3 + doc_id % 2) "
+            "SELECT doc_id AS id, CAST(k AS INT) AS cue_idx, "
+            "start_ms::BIGINT AS start_ms, "
+            "(start_ms + 800 + 100 * (k % 3))::BIGINT AS end_ms, "
+            "'Cue ' || doc_id || '-' || k || ' styled words' AS text "
+            "FROM c"),
         "audio_fingerprint": (
             # window o = (id//2)*8 + w; bin = 3 + five md5-parity
             # bits of md5(o || ':a'); landmark packs adjacent bins

@@ -111,3 +111,28 @@ class TestPipeline:
             assert r.n_samples == (1 + i % 3) * 128
             assert r.sample_rate == 8000 * (1 + i % 4)
             assert r.rms_micro == 0
+
+
+def test_mkv_subtitles_roundtrip():
+    from tika_spark.analysis.ebml import (mkv_subtitles,
+                                          mkv_wrap_subtitles)
+    cues = [{"start_ms": 0, "end_ms": 1400, "text": "Hello world"},
+            {"start_ms": 90_000, "end_ms": 92_000,
+             "text": "<i>Deep</i> into the file"},
+            {"start_ms": 1500, "end_ms": 2900,
+             "text": "Out-of-order input"}]
+    out = mkv_subtitles(mkv_wrap_subtitles(cues))
+    assert [c["start_ms"] for c in out] == [0, 1500, 90_000]
+    assert out[2]["text"] == "Deep into the file"
+    assert out[0]["end_ms"] == 1400
+    # duration survives via BlockDuration
+    assert out[2]["end_ms"] == 92_000
+
+
+def test_mkv_subtitles_requires_s_text():
+    import pytest
+
+    from tika_spark.analysis.ebml import (EbmlError, mkv_subtitles,
+                                          mkv_wrap_video)
+    with pytest.raises(EbmlError):
+        mkv_subtitles(mkv_wrap_video([b"\x00"], 16, 16))

@@ -516,3 +516,115 @@ def mkv_avc_wrap(frames: list, width: int, height: int,
     return mkv_wrap_video(blocks, width, height,
                           codec_id=b"V_MPEG4/ISO/AVC",
                           doctype=b"matroska", codec_private=avcc)
+
+
+SUBTITLE_CODECS = ("S_TEXT/UTF8", "S_TEXT/ASCII", "S_TEXT/WEBVTT")
+_CLUSTER_TS = 0xE7
+_BLOCK_DURATION = 0x9B
+
+
+def mkv_subtitles(data: bytes) -> list[dict]:
+    """Text cues of the first S_TEXT subtitle track:
+    [{start_ms, end_ms, text}].  Timing = cluster timestamp + block
+    relative timestamp (scaled by TimestampScale), duration from
+    BlockGroup/BlockDuration (0 when absent, as for SimpleBlocks).
+    S_TEXT/WEBVTT payloads pass through the VTT cue-text markup
+    strip; styled formats (S_TEXT/ASS) are not flattened here."""
+    from tika_spark.subtitles import _strip_markup
+    data = bytes(data or b"")
+    info = mkv_info(data)
+    track_no = None
+    vtt = False
+    for t in info["tracks"]:
+        if t.get("type") == "subtitle" \
+                and t.get("codec") in SUBTITLE_CODECS:
+            track_no = t.get("number", 1)
+            vtt = t.get("codec") == "S_TEXT/WEBVTT"
+            break
+    if track_no is None:
+        raise EbmlError("no S_TEXT subtitle track")
+    scale = 1_000_000
+    cues: list[dict] = []
+
+    def handle(b: int, e: int, cluster_ts: int, dur: int):
+        tnum, pos = _vint(data, b, keep_marker=False)
+        if tnum != track_no:
+            return
+        rel = int.from_bytes(data[pos:pos + 2], "big", signed=True)
+        pos += 2
+        flags = data[pos]
+        pos += 1
+        sizes, pos = _lace_sizes(data, pos, flags, e)
+        for sz in sizes:
+            raw = data[pos:pos + sz].decode("utf-8", "replace")
+            pos += sz
+            text = " ".join(_strip_markup(ln) for ln
+                            in raw.splitlines() if ln.strip())
+            start = (cluster_ts + rel) * scale // 1_000_000
+            cues.append({"start_ms": start,
+                         "end_ms": start + dur * scale // 1_000_000,
+                         "text": text})
+
+    for eid, b, e in iter_elements(data, 0, len(data)):
+        if eid != SEGMENT:
+            continue
+        seg_info = _child(data, b, e, INFO)
+        if seg_info:
+            ts = _child(data, seg_info[0], seg_info[1],
+                        TIMESTAMP_SCALE)
+            if ts:
+                scale = _uint(data, *ts)
+        for cid, cb, ce in iter_elements(data, b, e):
+            if cid != CLUSTER:
+                continue
+            cluster_ts = 0
+            for bid, bb, be in iter_elements(data, cb, ce):
+                if bid == _CLUSTER_TS:
+                    cluster_ts = _uint(data, bb, be)
+                elif bid == SIMPLE_BLOCK:
+                    handle(bb, be, cluster_ts, 0)
+                elif bid == BLOCK_GROUP:
+                    blk = _child(data, bb, be, BLOCK)
+                    dur_el = _child(data, bb, be, _BLOCK_DURATION)
+                    dur = _uint(data, *dur_el) if dur_el else 0
+                    if blk:
+                        handle(*blk, cluster_ts, dur)
+    cues.sort(key=lambda c: c["start_ms"])
+    return cues
+
+
+def mkv_wrap_subtitles(cues: list[dict],
+                       codec: bytes = b"S_TEXT/UTF8") -> bytes:
+    """Fixture muxer: [{start_ms, end_ms, text}] → Matroska with one
+    subtitle track, one BlockGroup (+BlockDuration) per cue."""
+    ebml_hdr = _el(0x1A45DFA3,
+                   _uint_el(0x4286, 1)
+                   + _uint_el(0x42F7, 1)
+                   + _uint_el(0x42F2, 4)
+                   + _uint_el(0x42F3, 8)
+                   + _el(DOCTYPE, b"matroska")
+                   + _uint_el(0x4287, 2)
+                   + _uint_el(0x4285, 2))
+    last = max((c["end_ms"] for c in cues), default=0)
+    info = _el(INFO, _uint_el(TIMESTAMP_SCALE, 1_000_000)
+               + _el(DURATION, struct.pack(">f", float(last))))
+    track = _el(TRACK_ENTRY,
+                _uint_el(TRACK_NUMBER, 1)
+                + _uint_el(0x73C5, 1)
+                + _uint_el(TRACK_TYPE, 17)           # subtitle
+                + _el(CODEC_ID, codec))
+    # one Cluster per cue (cluster timestamp = cue start, relative
+    # timestamp 0) so starts are not bounded by the int16 relative
+    # field — the layout real muxers use for sparse subtitle tracks
+    clusters = bytearray()
+    for c in cues:
+        body = (_enc_vint(1) + struct.pack(">h", 0) + b"\x00"
+                + c["text"].encode("utf-8"))
+        dur = max(0, int(c["end_ms"]) - int(c["start_ms"]))
+        blocks = (_uint_el(_CLUSTER_TS, int(c["start_ms"]))
+                  + _el(BLOCK_GROUP, _el(BLOCK, bytes(body))
+                        + _uint_el(_BLOCK_DURATION, dur)))
+        clusters += _el(CLUSTER, blocks)
+    segment = _el(SEGMENT, info + _el(TRACKS, track)
+                  + bytes(clusters))
+    return ebml_hdr + segment
