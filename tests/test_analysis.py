@@ -294,9 +294,13 @@ def test_real_decode_tiers():
         multimodal.real_decode(b"", "image/png")
     with pytest.raises(ValueError):
         multimodal.real_decode(b"", "image/jpeg")
+    # video/mp4 graduated from hook to from-scratch H.264 decode
+    # (isobmff.mp4_h264_frames); garbage is a loud Mp4Error too
+    with pytest.raises(ValueError):
+        multimodal.real_decode(b"", "video/mp4")
     # ...while uncovered codecs remain an explicit integration hook.
     with pytest.raises(NotImplementedError):
-        multimodal.real_decode(b"", "video/mp4")
+        multimodal.real_decode(b"", "video/x-msvideo-unknown")
 
 
 def test_minhash_lsh_catches_every_qualifying_pair_sf001(spark):
