@@ -4043,6 +4043,19 @@ def _q_bm25_search(spark, sf_dir):
     return bm25_scores(_docs(spark, sf_dir), "hash join spark")
 
 
+def _q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (analysis/retrieval.py): BM25 lexical top-50
+    for "hash join spark" fused with the exact-cosine dense top-50
+    for the query embedding (vec_id 3) by reciprocal-rank fusion
+    (Cormack et al. 2009). Contributions are integer nano-units
+    (1e9 div (60+rank)) so the fused scores hash bit-exactly; the
+    fusion itself touches only the two bounded top-depth lists."""
+    from tika_spark.analysis.retrieval import hybrid_topk
+    return hybrid_topk(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                       "hash join spark", query_vec_id=3,
+                       k=20, depth=50)
+
+
 def _q_docs_token_budget(spark, sf_dir):
     """Global greedy token-budget selection ("best 15k tokens of the
     corpus" by n_chars score): the scalable two-phase prefix sum —
@@ -5871,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_token_budget": _q_docs_token_budget,
         "bm25_search": _q_bm25_search,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
@@ -7665,6 +7679,52 @@ def oracle_sql() -> dict[str, str]:
             "(tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)))"
             ") * 1000000)::BIGINT AS score_micro "
             "FROM d, s WHERE tf0 + tf1 + tf2 > 0"),
+        "hybrid_search_rrf": (
+            # bm25 fragment = the bm25_search oracle verbatim; dense
+            # fragment = the ann_topk cosine; RRF = 1e9 // (60+rank)
+            "WITH d AS (SELECT doc_id AS id, "
+            f"len({_TOKS})::DOUBLE AS dl, "
+            "len(list_filter(list_transform(regexp_split_to_array("
+            "trim(text), '\\s+'), y -> lower(y)), x -> x = 'hash'"
+            "))::DOUBLE AS tf0, "
+            "len(list_filter(list_transform(regexp_split_to_array("
+            "trim(text), '\\s+'), y -> lower(y)), x -> x = 'join'"
+            "))::DOUBLE AS tf1, "
+            "len(list_filter(list_transform(regexp_split_to_array("
+            "trim(text), '\\s+'), y -> lower(y)), x -> x = 'spark'"
+            "))::DOUBLE AS tf2 FROM documents), "
+            "s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, "
+            "sum((tf0 > 0)::INT)::DOUBLE AS df0, "
+            "sum((tf1 > 0)::INT)::DOUBLE AS df1, "
+            "sum((tf2 > 0)::INT)::DOUBLE AS df2 FROM d), "
+            "scored AS (SELECT id, round(("
+            "ln((n-df0+0.5)/(df0+0.5)+1.0) * "
+            "(tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/avgdl))) + "
+            "ln((n-df1+0.5)/(df1+0.5)+1.0) * "
+            "(tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/avgdl))) + "
+            "ln((n-df2+0.5)/(df2+0.5)+1.0) * "
+            "(tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)))"
+            ") * 1000000)::BIGINT AS score_micro "
+            "FROM d, s WHERE tf0 + tf1 + tf2 > 0), "
+            "lex AS (SELECT id, row_number() OVER (ORDER BY "
+            "score_micro DESC, id ASC) AS r FROM scored), "
+            "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id = 3), "
+            "dn AS (SELECT vec_id AS id, CAST(round("
+            "list_cosine_similarity(qv, embedding::DOUBLE[]) "
+            "* 1000000) AS BIGINT) AS sim FROM embeddings, q), "
+            "dense AS (SELECT id, row_number() OVER (ORDER BY "
+            "sim DESC, id ASC) AS r FROM dn), "
+            "c AS (SELECT id, 1000000000 // (60 + r) AS contrib "
+            "FROM lex WHERE r <= 50 UNION ALL "
+            "SELECT id, 1000000000 // (60 + r) FROM dense "
+            "WHERE r <= 50), "
+            "f AS (SELECT id, SUM(contrib)::BIGINT AS rrf_nano, "
+            "COUNT(*)::BIGINT AS n_lists FROM c GROUP BY id) "
+            "SELECT id, rrf_nano, n_lists, rank FROM ("
+            "SELECT id, rrf_nano, n_lists, row_number() OVER ("
+            "ORDER BY rrf_nano DESC, id ASC)::BIGINT AS rank FROM f"
+            ") WHERE rank <= 20"),
         "docs_token_budget": (
             "WITH t AS (SELECT doc_id AS id, n_chars::BIGINT AS score, "
             f"len({_TOKS})::BIGINT AS n_tok FROM documents), "

@@ -1,0 +1,63 @@
+import pytest
+
+from tika_spark.analysis.retrieval import bm25_topk, hybrid_topk, rrf_fuse
+
+NANO = 1_000_000_000
+
+
+def test_rrf_fuse_arithmetic(spark):
+    # list A ranks docs 1,2,3; list B ranks 2,1,4
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank long")
+    b = spark.createDataFrame([(2, 1), (1, 2), (4, 3)], "id long, rank long")
+    out = {r.id: r for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 1: 1e9//61 + 1e9//62 ; doc 2 identical (symmetric) -> tie,
+    # id asc breaks it
+    expect = NANO // 61 + NANO // 62
+    assert out[1].rrf_nano == expect and out[2].rrf_nano == expect
+    assert out[1].rank == 1 and out[2].rank == 2
+    assert out[1].n_lists == 2
+    # singletons: doc 3 (rank 3 in A), doc 4 (rank 3 in B) tie on
+    # 1e9//63, id asc
+    assert out[3].rrf_nano == out[4].rrf_nano == NANO // 63
+    assert out[3].n_lists == 1
+    assert (out[3].rank, out[4].rank) == (3, 4)
+
+
+def test_rrf_fuse_k_cut_and_empty(spark):
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)],
+                              "id long, rank long")
+    assert rrf_fuse([a], k=3).count() == 3
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_bm25_topk_rank_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark join"), (2, "spark join"),
+         (3, "nothing relevant"), (4, "join join spark spark")],
+        "doc_id long, text string")
+    out = bm25_topk(docs, "spark join", depth=10).collect()
+    ids = [r.id for r in out]
+    assert 3 not in ids                      # no matching term
+    assert out[0].rank == 1 and len(ids) == 3
+    # doc 4 has the most balanced tf mass -> beats doc 2
+    assert ids.index(4) < ids.index(2)
+
+
+def test_hybrid_topk_fuses_both_signals(spark):
+    docs = spark.createDataFrame(
+        [(0, "query words here"), (1, "query words"), (2, "words"),
+         (3, "unrelated text entirely")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [0.95, 0.05])],
+        "vec_id long, embedding array<double>")
+    out = {r.id: r for r in
+           hybrid_topk(docs, emb, "query words", query_vec_id=0,
+                       k=4, depth=4).collect()}
+    # doc 0 tops both lists; doc 3 is dense-only (lexically absent)
+    assert out[0].rank == 1
+    assert out[3].n_lists == 1
+    # doc 1 appears in both lists and must outrank dense-only doc 2
+    assert out[1].rank < out[2].rank
