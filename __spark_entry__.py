@@ -2185,6 +2185,54 @@ def _q_extract_subtitles(spark, sf_dir):
     return extract(pages, mode="text").select("url", "mime", "text")
 
 
+def _q_extract_ass_subtitles(spark, sf_dir):
+    """SubStation Alpha route (tika_spark/subtitles.py
+    parse_ass_cues, glob-detected .ass → text/x-ssa): Format-line
+    field mapping, centisecond H:MM:SS.cc times, override-block
+    strip, soft-break flattening, Name→speaker prefix, Comment
+    events and a {\\p1} drawing-only cue skipped."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            nc = 2 + i % 2
+            lines = ["[Script Info]", "Title: Fixture " + str(i), "",
+                     "[Events]",
+                     "Format: Layer, Start, End, Style, Name, "
+                     "MarginL, MarginR, MarginV, Effect, Text"]
+            for k in range(nc):
+                t0 = 1000 * k + (i % 5) * 10
+                t1 = t0 + 900
+
+                def fmt(ms):
+                    h, rem = divmod(ms, 3600000)
+                    m, rem = divmod(rem, 60000)
+                    s, mil = divmod(rem, 1000)
+                    return f"{h}:{m:02d}:{s:02d}.{mil // 10:02d}"
+
+                name = f"Speaker {i}" if k == 0 else ""
+                lines.append(
+                    f"Dialogue: 0,{fmt(t0)},{fmt(t1)},Default,"
+                    f"{name},0,0,0,,"
+                    f"{{\\i1}}Cue {i}{{\\i0}} part {k}\\Nnext")
+            lines.append("Comment: 0,0:00:00.00,0:00:01.00,Default,"
+                         ",0,0,0,,not a cue")
+            lines.append("Dialogue: 0,0:00:00.00,0:00:01.00,Default,"
+                         ",0,0,0,,{\\p1}m 0 0 l 10 0{\\p0}")
+            out.append("\n".join(lines).encode())
+        return pd.Series(out)
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id"), F.lit(".ass"))
+        .alias("url"),
+        wrap(F.col("doc_id")).alias("html"))
+    return extract(pages, mode="text").select("url", "mime", "text")
+
+
 def _q_extract_dbf_text(spark, sf_dir):
     """DBF route (glob-detected): header row + one trimmed record."""
     wrap = _dbf_wrap_udf()
@@ -5825,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sqlite_text": _q_extract_sqlite_text,
         "extract_dbf_text": _q_extract_dbf_text,
         "extract_subtitles": _q_extract_subtitles,
+        "extract_ass_subtitles": _q_extract_ass_subtitles,
         "extract_office_doc": _q_extract_office_doc,
         "extract_xls_text": _q_extract_xls_text,
         "extract_ppt_text": _q_extract_ppt_text,
@@ -7131,6 +7180,18 @@ def oracle_sql() -> dict[str, str]:
             "'docs' || chr(10) || 'id' || chr(9) || 'body' || chr(10) "
             "|| doc_id || chr(9) || text || chr(10) AS text "
             "FROM documents"),
+        "extract_ass_subtitles": (
+            # nc = 2 + id%2 cues; cue 0 carries the speaker prefix;
+            # the Comment event and the {\p1} drawing cue emit nothing
+            "WITH p AS (SELECT doc_id, 2 + doc_id % 2 AS nc "
+            "FROM documents) "
+            "SELECT 'doc://' || doc_id || '.ass' AS url, "
+            "'text/x-ssa' AS mime, "
+            "'Speaker ' || doc_id || ': Cue ' || doc_id || "
+            "' part 0 next' || chr(10) || "
+            "'Cue ' || doc_id || ' part 1 next' || chr(10) || "
+            "CASE WHEN nc >= 3 THEN 'Cue ' || doc_id || "
+            "' part 2 next' || chr(10) ELSE '' END AS text FROM p"),
         "extract_subtitles": (
             # subtitle fixture closed forms: 2 + doc_id % 3 cues,
             # every doc_id % 3 == 0 row is WebVTT with a voice-tag

@@ -102,3 +102,49 @@ class TestPipeline:
         vtt_row = rows["http://a.example/talk.vtt"]
         assert vtt_row["mime"] == "text/vtt"
         assert "New York City" in vtt_row["text"]
+
+
+ASS = """[Script Info]
+; generated for tests
+Title: Test
+ScriptType: v4.00+
+
+[V4+ Styles]
+Format: Name, Fontname
+Style: Default,Arial
+
+[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:01.00,0:00:03.50,Default,Ann,0,0,0,,{\\i1}Hello{\\i0} there\\Nold friend
+Comment: 0,0:00:04.00,0:00:05.00,Default,,0,0,0,,not a cue
+Dialogue: 0,0:00:06.20,0:00:07.90,Default,,0,0,0,,Commas, kept, in text
+Dialogue: 0,0:00:08.00,0:00:09.00,Default,,0,0,0,,{\\p1}m 0 0 l 100 0{\\p0}
+"""
+
+
+class TestAss:
+    def test_parse_ass_cues(self):
+        from tika_spark.subtitles import parse_ass_cues
+        cues = parse_ass_cues(ASS)
+        assert len(cues) == 2          # comment + drawing-only skipped
+        assert cues[0] == {"start_ms": 1000, "end_ms": 3500,
+                           "text": "Ann: Hello there old friend"}
+        assert cues[1]["text"] == "Commas, kept, in text"
+        assert cues[1]["start_ms"] == 6200 and cues[1]["end_ms"] == 7900
+
+    def test_extract_routes_ass(self):
+        r = extract_subtitles(ASS.encode())
+        assert r["metadata"]["Content-Type"] == ["text/x-ssa"]
+        assert "Ann: Hello there old friend\n" in r["text"]
+        assert r["metadata"]["cue-count"] == ["2"]
+
+    def test_mkv_ass_track(self):
+        from tika_spark.analysis.ebml import (mkv_subtitles,
+                                              mkv_wrap_subtitles)
+        payload = ("1,0,Default,Bob,0,0,0,,"
+                   "{\\b1}Bold{\\b0} words\\Nnext line")
+        cues = [{"start_ms": 2000, "end_ms": 3000, "text": payload}]
+        out = mkv_subtitles(mkv_wrap_subtitles(cues,
+                                               codec=b"S_TEXT/ASS"))
+        assert out == [{"start_ms": 2000, "end_ms": 3000,
+                        "text": "Bob: Bold words next line"}]

@@ -518,7 +518,8 @@ def mkv_avc_wrap(frames: list, width: int, height: int,
                           doctype=b"matroska", codec_private=avcc)
 
 
-SUBTITLE_CODECS = ("S_TEXT/UTF8", "S_TEXT/ASCII", "S_TEXT/WEBVTT")
+SUBTITLE_CODECS = ("S_TEXT/UTF8", "S_TEXT/ASCII", "S_TEXT/WEBVTT",
+                   "S_TEXT/ASS", "S_TEXT/SSA")
 _CLUSTER_TS = 0xE7
 _BLOCK_DURATION = 0x9B
 
@@ -528,18 +529,20 @@ def mkv_subtitles(data: bytes) -> list[dict]:
     [{start_ms, end_ms, text}].  Timing = cluster timestamp + block
     relative timestamp (scaled by TimestampScale), duration from
     BlockGroup/BlockDuration (0 when absent, as for SimpleBlocks).
-    S_TEXT/WEBVTT payloads pass through the VTT cue-text markup
-    strip; styled formats (S_TEXT/ASS) are not flattened here."""
-    from tika_spark.subtitles import _strip_markup
+    S_TEXT/UTF8|ASCII|WEBVTT payloads pass through the VTT cue-text
+    markup strip; S_TEXT/ASS|SSA payloads are the Matroska 9-field
+    Dialogue form — Text flattened (override blocks, soft breaks),
+    Name kept as a speaker prefix."""
+    from tika_spark.subtitles import _strip_markup, flatten_ass_text
     data = bytes(data or b"")
     info = mkv_info(data)
     track_no = None
-    vtt = False
+    ass = False
     for t in info["tracks"]:
         if t.get("type") == "subtitle" \
                 and t.get("codec") in SUBTITLE_CODECS:
             track_no = t.get("number", 1)
-            vtt = t.get("codec") == "S_TEXT/WEBVTT"
+            ass = t.get("codec") in ("S_TEXT/ASS", "S_TEXT/SSA")
             break
     if track_no is None:
         raise EbmlError("no S_TEXT subtitle track")
@@ -558,8 +561,17 @@ def mkv_subtitles(data: bytes) -> list[dict]:
         for sz in sizes:
             raw = data[pos:pos + sz].decode("utf-8", "replace")
             pos += sz
-            text = " ".join(_strip_markup(ln) for ln
-                            in raw.splitlines() if ln.strip())
+            if ass:
+                # Matroska ASS payload: ReadOrder,Layer,Style,Name,
+                # MarginL,MarginR,MarginV,Effect,Text (no times —
+                # timing comes from the block, exactly as here)
+                f = raw.split(",", 8)
+                text = flatten_ass_text(f[8]) if len(f) == 9 else ""
+                if len(f) == 9 and f[3].strip():
+                    text = f[3].strip() + ": " + text
+            else:
+                text = " ".join(_strip_markup(ln) for ln
+                                in raw.splitlines() if ln.strip())
             start = (cluster_ts + rel) * scale // 1_000_000
             cues.append({"start_ms": start,
                          "end_ms": start + dur * scale // 1_000_000,

@@ -153,6 +153,7 @@ EXT_MAP: dict[str, str] = {
     "vcf": "text/x-vcard", "vcard": "text/x-vcard",
     "ics": "text/calendar", "vcs": "text/x-vcalendar",
     "srt": "application/x-subrip", "vtt": "text/vtt",
+    "ass": "text/x-ssa", "ssa": "text/x-ssa",
     "m3u": "audio/x-mpegurl", "m3u8": "application/vnd.apple.mpegurl",
     "pls": "audio/x-scpls", "cue": "application/x-cue",
     "sgml": "text/sgml", "sgm": "text/sgml",

@@ -197,6 +197,7 @@ ROUTE_TABLE = {
     # .srt to text/plain; see tika_spark/subtitles.py)
     "application/x-subrip": "subtitle",
     "text/vtt": "subtitle",
+    "text/x-ssa": "subtitle",
 }
 
 _EXTRACTORS = {

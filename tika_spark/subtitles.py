@@ -106,6 +106,102 @@ def parse_cues(text: str, vtt: bool) -> list[dict]:
     return cues
 
 
+_ASS_OVERRIDE = re.compile(r"\{[^}]*\}")
+_ASS_TIME = re.compile(r"^\s*(\d+):(\d{2}):(\d{2})[.:](\d{2})\s*$")
+# v4+ Events order; SSA v4 uses Marked where v4+ has Layer — both
+# place Start/End/Name/Text identically, so one default serves both
+_ASS_DEFAULT_FIELDS = ("layer", "start", "end", "style", "name",
+                      "marginl", "marginr", "marginv", "effect",
+                      "text")
+
+
+def flatten_ass_text(raw: str) -> str:
+    r"""Dialogue text → clean dialogue: ``{\...}`` override blocks
+    dropped (a ``\p<n>`` drawing mode suppresses the vector payload
+    until ``\p0``), ``\N``/``\n`` soft breaks and ``\h`` hard spaces
+    become single spaces."""
+    parts: list[str] = []
+    pos = 0
+    drawing = False
+    for mt in _ASS_OVERRIDE.finditer(raw):
+        if not drawing:
+            parts.append(raw[pos:mt.start()])
+        block = mt.group(0)
+        for dm in re.finditer(r"\\p(\d+)", block):
+            drawing = dm.group(1) != "0"
+        pos = mt.end()
+    if not drawing:
+        parts.append(raw[pos:])
+    txt = "".join(parts)
+    txt = txt.replace("\\N", " ").replace("\\n", " ") \
+        .replace("\\h", " ")
+    return " ".join(txt.split())
+
+
+def _ass_ms(stamp: str) -> int | None:
+    mt = _ASS_TIME.match(stamp)
+    if mt is None:
+        return None
+    h, m, s, cs_ = mt.groups()
+    return ((int(h) * 60 + int(m)) * 60 + int(s)) * 1000 \
+        + int(cs_) * 10
+
+
+def parse_ass_cues(text: str) -> list[dict]:
+    """[{start_ms, end_ms, text}] from a SubStation Alpha (.ssa) or
+    Advanced SubStation Alpha (.ass) script.
+
+    Section walk to ``[Events]``; the ``Format:`` line fixes the
+    field order (the v4/v4+ default when absent); ``Dialogue:``
+    lines split on "," with the last field (Text) keeping its
+    commas. Times are H:MM:SS.cc centiseconds. A non-empty Name
+    field becomes a ``Name: `` speaker prefix, matching the WebVTT
+    voice-span convention. ``Comment:`` events are skipped."""
+    cues: list[dict] = []
+    section = ""
+    fields = _ASS_DEFAULT_FIELDS
+    for line in text.replace("﻿", "", 1).split("\n"):
+        line = line.rstrip("\r")
+        s = line.strip()
+        if not s:
+            continue
+        if s.startswith("[") and s.endswith("]"):
+            section = s[1:-1].strip().lower()
+            continue
+        if section != "events":
+            continue
+        key, _, rest = line.partition(":")
+        key = key.strip().lower()
+        if key == "format":
+            fields = tuple(f.strip().lower()
+                           for f in rest.split(","))
+            continue
+        if key != "dialogue":
+            continue
+        vals = rest.lstrip().split(",", len(fields) - 1)
+        if len(vals) < len(fields):
+            continue
+        row = dict(zip(fields, vals))
+        start = _ass_ms(row.get("start", ""))
+        end = _ass_ms(row.get("end", ""))
+        if start is None or end is None:
+            continue
+        body = flatten_ass_text(row.get("text", ""))
+        if not body:
+            continue
+        name = row.get("name", "").strip()
+        if name:
+            body = name + ": " + body
+        cues.append({"start_ms": start, "end_ms": end, "text": body})
+    return cues
+
+
+def looks_like_ass(decoded: str) -> bool:
+    head = decoded.lstrip("﻿").lstrip()[:512].lower()
+    return head.startswith("[script info]") \
+        or head.startswith(";") and "[script info]" in head
+
+
 def extract_subtitles(data: bytes, url: str | None = None,
                       declared_type: str | None = None,
                       config=None) -> dict:
@@ -116,7 +212,9 @@ def extract_subtitles(data: bytes, url: str | None = None,
     charset = cs.detect_statistical(data, declared=declared)
     decoded = cs.decode(data, charset)
     vtt = decoded.lstrip("﻿").startswith("WEBVTT")
-    cues = parse_cues(decoded, vtt)
+    ass = not vtt and looks_like_ass(decoded)
+    cues = parse_ass_cues(decoded) if ass \
+        else parse_cues(decoded, vtt)
     spans = []
     parts = []
     pos = 0
@@ -125,7 +223,8 @@ def extract_subtitles(data: bytes, url: str | None = None,
         parts.append(clean + "\n")
         spans.append((pos, pos + len(clean), "p"))
         pos += len(clean) + 1
-    mime = "text/vtt" if vtt else "application/x-subrip"
+    mime = "text/vtt" if vtt else (
+        "text/x-ssa" if ass else "application/x-subrip")
     meta = {"Content-Encoding": [charset], "Content-Type": [mime],
             "cue-count": [str(len(cues))]}
     if cues:
