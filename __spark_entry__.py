@@ -4346,6 +4346,43 @@ def _q_streaming_table_sink(spark, sf_dir):
         "doc_id bigint, n_chars int")
 
 
+def _q_table_merge_delete(spark, sf_dir):
+    """Copy-on-write MERGE + DELETE on the snapshot table layer
+    (pipeline/table.py merge/delete_where): two appends, then an
+    upsert (every doc_id%7==0 re-crawled with new text, 30 brand-new
+    ids inserted), then a predicate delete (doc_id%5==3). File-level
+    pruning rewrites only files holding matched keys; the final-state
+    collect materializes rows before the temp root is removed —
+    harness bookkeeping, not an operator collect."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="mergetab-")
+    shutil.rmtree(root)
+    try:
+        t = SnapshotTable.create(spark, root)
+        t.append(docs.filter(F.col("doc_id") % 2 == 0))
+        t.append(docs.filter(F.col("doc_id") % 2 == 1))
+        src = (docs.filter(F.col("doc_id") % 7 == 0)
+               .withColumn("text", F.concat(
+                   F.lit("upd-"), F.col("doc_id").cast("string")))
+               .unionByName(
+                   docs.filter(F.col("doc_id") < 30).select(
+                       (F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.lit("ins-"),
+                                F.col("doc_id").cast("string"))
+                       .alias("text"))))
+        t.merge(src, ["doc_id"])
+        sid = t.delete_where(F.col("doc_id") % 5 == 3)
+        rows = [(int(r["doc_id"]), r["text"])
+                for r in t.read(sid).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
 def _q_table_snapshot_reads(spark, sf_dir):
     """Snapshot-versioned table layer (pipeline/table.py — the
     Iceberg-style atomic-rename commit protocol): append evens,
@@ -5944,6 +5981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_warc_zst_dict_pages": _q_extract_warc_zst_dict_pages,
         "warc_zst_dict_train_roundtrip": _q_warc_zst_dict_train_roundtrip,
         "table_snapshot_reads": _q_table_snapshot_reads,
+        "table_merge_delete": _q_table_merge_delete,
         "table_incremental_read": _q_table_incremental_read,
         "extract_checkpointed_table": _q_extract_checkpointed_table,
         "streaming_table_sink": _q_streaming_table_sink,
@@ -7878,6 +7916,14 @@ def oracle_sql() -> dict[str, str]:
             "text || chr(10) AS text FROM documents"),
         "warc_zst_dict_train_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text FROM documents"),
+        "table_merge_delete": (
+            # upsert: %7==0 re-texted, 30 new ids; then delete %5==3
+            "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN 'upd-' || doc_id ELSE text END AS text "
+            "FROM documents UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, 'ins-' || doc_id "
+            "AS text FROM documents WHERE doc_id < 30) "
+            "SELECT doc_id, text FROM m WHERE doc_id % 5 <> 3"),
         "table_snapshot_reads": (
             "WITH base AS (SELECT doc_id, length(text) AS c "
             "FROM documents) "

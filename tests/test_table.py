@@ -243,3 +243,65 @@ class TestCheckpointTable:
         assert s["buckets_processed"] == 0 and s["complete"]
         assert SnapshotTable.load(spark, root).current_snapshot() \
             == head
+
+
+class TestMergeDelete:
+    def test_merge_upserts(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 100))
+        src = spark.range(90, 110).selectExpr(
+            "id AS doc_id", "concat('new-', id) AS text")
+        sid = t.merge(src, ["doc_id"])
+        got = t.read(sid)
+        assert got.count() == 110                      # 10 inserted
+        rows = {r.doc_id: r.text for r in got.collect()}
+        assert rows[95] == "new-95" and rows[105] == "new-105"
+        assert rows[10] == "text-10"                   # untouched
+        m = t.snapshots()[-1]
+        assert m["operation"] == "merge"
+
+    def test_merge_prunes_untouched_files(self, spark, root):
+        # two appends -> two disjoint file sets; merging keys that
+        # live only in the second must carry the first verbatim
+        t = SnapshotTable.create(spark, root,
+                                 _docs(spark, 0, 50).coalesce(1))
+        first_files = {f["path"] for f in t._manifest(1)["files"]}
+        t.append(_docs(spark, 50, 100).coalesce(1))
+        src = spark.range(60, 70).selectExpr(
+            "id AS doc_id", "concat('new-', id) AS text")
+        sid = t.merge(src, ["doc_id"])
+        m = t._manifest(sid)
+        paths = {f["path"] for f in m["files"]}
+        assert first_files <= paths           # carried, not rewritten
+        assert m["summary"]["touched_files"] == 1
+        assert t.read(sid).count() == 100
+
+    def test_merge_insert_only_and_schema_guard(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 10))
+        ins = spark.range(100, 105).selectExpr(
+            "id AS doc_id", "concat('text-', id) AS text")
+        sid = t.merge(ins, ["doc_id"])
+        assert t.read(sid).count() == 15
+        assert t.snapshots()[-1]["summary"]["touched_files"] == 0
+        bad = spark.range(5).selectExpr("id AS doc_id")
+        with pytest.raises(ValueError):
+            t.merge(bad, ["doc_id"])
+
+    def test_delete_where(self, spark, root):
+        t = SnapshotTable.create(spark, root,
+                                 _docs(spark, 0, 50).coalesce(1))
+        t.append(_docs(spark, 50, 100).coalesce(1))
+        from pyspark.sql import functions as F
+        sid = t.delete_where(F.col("doc_id") % 10 == 0)
+        got = t.read(sid)
+        assert got.count() == 90
+        assert got.filter("doc_id % 10 = 0").count() == 0
+        # time travel still sees the deleted rows
+        assert t.read(sid - 1).count() == 100
+
+    def test_delete_null_cond_keeps_row(self, spark, root):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "doc_id long, text string")
+        t = SnapshotTable.create(spark, root, df)
+        sid = t.delete_where(F.length("text") > 100)   # NULL for row 2
+        assert t.read(sid).count() == 2

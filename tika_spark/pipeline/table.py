@@ -301,6 +301,97 @@ class SnapshotTable:
         return self.commit_staged(self.stage(df), df.schema.json(),
                                   "overwrite", summary)
 
+    def _cur_with_file(self, sid: int) -> DataFrame:
+        """Snapshot scan carrying its source file as ``__f`` —
+        attached AT the scan (input_file_name is only defined in the
+        scan stage, not after joins)."""
+        return self.read(sid).withColumn("__f", F.input_file_name())
+
+    @staticmethod
+    def _touched(matched: DataFrame) -> set[str]:
+        """Basenames of data files holding >= 1 ``matched`` row (a
+        subset of a ``_cur_with_file`` scan) — file-level pruning;
+        the collect is O(files), metadata scale."""
+        return {
+            posixpath.basename(r["__f"]) for r in
+            matched.select("__f").distinct().collect()}
+
+    def merge(self, source: DataFrame, key_cols: list[str],
+              summary: dict | None = None) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``source`` REPLACE
+        current rows sharing their key, the rest are inserted — the
+        crawl-refresh pattern (re-fetched url supersedes the old
+        page, new urls append).
+
+        File-level pruning does the scale work: only data files that
+        actually contain a matched key are rewritten (matched keys
+        anti-joined out, survivors restaged); every untouched file
+        carries into the new manifest verbatim, so a merge touching
+        0.1% of keys rewrites ~0.1% of files, not the table. The key
+        join shuffles on ``key_cols`` like any upsert must; AQE picks
+        broadcast when the source is small.
+
+        Concurrency is the layer's optimistic last-writer-wins (same
+        as ``overwrite``): a commit race re-publishes THIS file set
+        against the new head. Serialize merges per table if lost
+        updates between concurrent mergers matter.
+        """
+        sid = self.current_snapshot()
+        m = self._manifest(sid)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        cols = [f.name for f in schema.fields]
+        if set(source.columns) != set(cols):
+            raise ValueError(
+                f"merge: source columns {sorted(source.columns)} != "
+                f"table columns {sorted(cols)}")
+        if not set(key_cols) <= set(cols):
+            raise ValueError(f"merge: key {key_cols} not in table")
+        keys = source.select(*key_cols).dropDuplicates(key_cols)
+        touched = self._touched(
+            self._cur_with_file(sid).join(keys, key_cols,
+                                          "left_semi"))
+        keep = [f for f in m["files"]
+                if posixpath.basename(f["path"]) not in touched]
+        tpaths = [self.root + "/" + f["path"] for f in m["files"]
+                  if posixpath.basename(f["path"]) in touched]
+        src = source.select(*cols)
+        if tpaths:
+            new_df = (self.spark.read.schema(schema)
+                      .parquet(*tpaths)
+                      .join(keys, key_cols, "left_anti")
+                      .unionByName(src))
+        else:
+            new_df = src
+        entries = self._stage_files(new_df, sid + 1)
+        info = {"touched_files": len(tpaths),
+                "carried_files": len(keep), **(summary or {})}
+        return self._commit("merge", keep + entries, m["schema"],
+                            info)
+
+    def delete_where(self, cond, summary: dict | None = None) -> int:
+        """Copy-on-write DELETE: drop rows where ``cond`` (a Column)
+        is TRUE (SQL semantics — NULL keeps the row). Same file-level
+        pruning as :meth:`merge`: only files containing a matching
+        row are rewritten without those rows; the rest carry over."""
+        sid = self.current_snapshot()
+        m = self._manifest(sid)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        hit = F.coalesce(cond, F.lit(False))
+        touched = self._touched(self._cur_with_file(sid).filter(hit))
+        keep = [f for f in m["files"]
+                if posixpath.basename(f["path"]) not in touched]
+        tpaths = [self.root + "/" + f["path"] for f in m["files"]
+                  if posixpath.basename(f["path"]) in touched]
+        entries = []
+        if tpaths:
+            survivors = (self.spark.read.schema(schema)
+                         .parquet(*tpaths).filter(~hit))
+            entries = self._stage_files(survivors, sid + 1)
+        info = {"touched_files": len(tpaths),
+                "carried_files": len(keep), **(summary or {})}
+        return self._commit("delete", keep + entries, m["schema"],
+                            info)
+
     def compact(self, target_bytes: int = 256 * 1024 * 1024) -> int:
         """Rewrite the current file set into ~``target_bytes`` files
         and commit the rewrite as a new snapshot. Row count is
