@@ -4346,6 +4346,54 @@ def _q_streaming_table_sink(spark, sf_dir):
         "doc_id bigint, n_chars int")
 
 
+def _q_unigram_seed_vocab(spark, sf_dir):
+    """Unigram-LM seed vocabulary (analysis/unigram.py seed_vocab):
+    every single character plus the top-50 length-2..3 substrings of
+    corpus words weighted by word frequency — the relational half of
+    SentencePiece-style training (one corpus scan to the word vocab,
+    per-row substring explosion, one top-k window)."""
+    from tika_spark.analysis.unigram import seed_vocab
+    return seed_vocab(_docs(spark, sf_dir), max_piece_len=3,
+                      top_k=50)
+
+
+def _q_unigram_train_pieces(spark, sf_dir):
+    """Unigram-LM tokenizer training (analysis/unigram.py
+    unigram_train, Kudo 2018): EM forward-backward over each word's
+    segmentation lattice + lowest-count pruning rounds down to a
+    48-piece vocabulary. Iterative EM is not SQL-expressible, so this
+    is a rows-only driver check; the hand-computed posterior goldens
+    and bit-reproducibility are pinned in tests/test_unigram.py.
+    Expected counts aggregate as integer micro-units, making the
+    whole run deterministic under any partitioning."""
+    from tika_spark.analysis.unigram import unigram_train
+    return unigram_train(_docs(spark, sf_dir), vocab_size=48,
+                         n_iters=2, seed_top=120, max_piece_len=3)
+
+
+def _q_unigram_encode_docs(spark, sf_dir):
+    """The APPLY half of the unigram tokenizer (unigram_encode):
+    Viterbi segmentation under a fixed piece table {a,b,ab} over
+    constructed doc_id-arithmetic text ('ab'*m words, one 'xq' word
+    per doc_id%5==0 exercising the unk fallback); the oracle rebuilds
+    the piece/unk counts in closed form."""
+    from tika_spark.analysis.unigram import unigram_encode
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("doc_id") % 2) + 1),
+                lambda k: F.repeat(
+                    F.lit("ab"),
+                    ((F.col("doc_id") + k) % 3 + 1).cast("int"))),
+            F.when(F.col("doc_id") % 5 == 0, F.array(F.lit("xq")))
+            .otherwise(F.array().cast("array<string>")))
+        .alias("text"))
+    pieces = [("a", -2.0), ("b", -2.0), ("ab", -1.0)]
+    return unigram_encode(docs, pieces, max_piece_len=2)
+
+
 def _q_table_merge_delete(spark, sf_dir):
     """Copy-on-write MERGE + DELETE on the snapshot table layer
     (pipeline/table.py merge/delete_where): two appends, then an
@@ -5982,6 +6030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_zst_dict_train_roundtrip": _q_warc_zst_dict_train_roundtrip,
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_merge_delete": _q_table_merge_delete,
+        "unigram_seed_vocab": _q_unigram_seed_vocab,
+        "unigram_train_pieces": _q_unigram_train_pieces,
+        "unigram_encode_docs": _q_unigram_encode_docs,
         "table_incremental_read": _q_table_incremental_read,
         "extract_checkpointed_table": _q_extract_checkpointed_table,
         "streaming_table_sink": _q_streaming_table_sink,
@@ -7916,6 +7967,40 @@ def oracle_sql() -> dict[str, str]:
             "text || chr(10) AS text FROM documents"),
         "warc_zst_dict_train_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text FROM documents"),
+        "unigram_seed_vocab": (
+            # chars ∪ top-50 len-2..3 substrings, word-freq weighted
+            "WITH w AS (SELECT unnest(regexp_split_to_array("
+            "trim(text), '\\s+')) AS word FROM documents), "
+            "wc AS (SELECT substr(word, 1, 64) AS word, "
+            "COUNT(*)::BIGINT AS cnt FROM w WHERE word <> '' "
+            "GROUP BY 1), "
+            "subs AS (SELECT substr(word, i, ln) AS piece, cnt "
+            "FROM wc CROSS JOIN (SELECT unnest(generate_series(1, "
+            "64)) AS i) a CROSS JOIN (SELECT unnest("
+            "generate_series(1, 3)) AS ln) b "
+            "WHERE i <= length(word) AND ln <= length(word) - i + 1), "
+            "pc AS (SELECT piece, SUM(cnt)::BIGINT AS count "
+            "FROM subs GROUP BY piece), "
+            "multi AS (SELECT piece, count, row_number() OVER ("
+            "ORDER BY count DESC, piece ASC) AS r FROM pc "
+            "WHERE length(piece) >= 2) "
+            "SELECT piece, count FROM pc WHERE length(piece) = 1 "
+            "UNION ALL SELECT piece, count FROM multi WHERE r <= 50"),
+        "unigram_encode_docs": (
+            # 2+id%2 words of 'ab'*((id+k)%3+1) -> m pieces each;
+            # id%5==0 adds an 'xq' word -> 2 unk char pieces
+            "WITH s AS (SELECT doc_id, "
+            "SUM((doc_id + k) % 3 + 1)::BIGINT AS base, "
+            "COUNT(*)::BIGINT AS nw FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 2)) AS k) t "
+            "WHERE k <= 1 + doc_id % 2 GROUP BY doc_id) "
+            "SELECT doc_id AS id, "
+            "(nw + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_words, "
+            "(base + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)"
+            "::BIGINT AS n_pieces, "
+            "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)::BIGINT "
+            "AS n_unk FROM s"),
         "table_merge_delete": (
             # upsert: %7==0 re-texted, 30 new ids; then delete %5==3
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
