@@ -4346,6 +4346,40 @@ def _q_streaming_table_sink(spark, sf_dir):
         "doc_id bigint, n_chars int")
 
 
+def _q_html_structured_data(spark, sf_dir):
+    """Structured-data mining (html/structdata.py): JSON-LD,
+    OpenGraph/Twitter meta, and nested HTML5 microdata flattened to
+    (url, fmt, entity, prop, value) rows — the schema.org extraction
+    stage of a web corpus pipeline. Fixture pages carry all three
+    encodings with doc_id-arithmetic values the oracle rebuilds."""
+    from tika_spark.html.structdata import structured_data
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<html><head><meta property="og:title" '
+                  'content="Title '),
+            F.col("doc_id"),
+            F.lit('"><meta name="twitter:card" content="summary">'
+                  '<script type="application/ld+json">'
+                  '{"@type":"Article","headline":"Head '),
+            F.col("doc_id"),
+            F.lit('","wordCount":'),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit('}</script></head><body>'
+                  '<div itemscope itemtype='
+                  '"https://schema.org/Product">'
+                  '<span itemprop="name">Item '),
+            F.col("doc_id"),
+            F.lit('</span><div itemprop="offers" itemscope '
+                  'itemtype="https://schema.org/Offer">'
+                  '<meta itemprop="price" content="'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('.99"></div></div></body></html>'))
+        .cast("binary").alias("html"))
+    return structured_data(pages)
+
+
 def _q_unigram_seed_vocab(spark, sf_dir):
     """Unigram-LM seed vocabulary (analysis/unigram.py seed_vocab):
     every single character plus the top-50 length-2..3 substrings of
@@ -6030,6 +6064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_zst_dict_train_roundtrip": _q_warc_zst_dict_train_roundtrip,
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_merge_delete": _q_table_merge_delete,
+        "html_structured_data": _q_html_structured_data,
         "unigram_seed_vocab": _q_unigram_seed_vocab,
         "unigram_train_pieces": _q_unigram_train_pieces,
         "unigram_encode_docs": _q_unigram_encode_docs,
@@ -7967,6 +8002,31 @@ def oracle_sql() -> dict[str, str]:
             "text || chr(10) AS text FROM documents"),
         "warc_zst_dict_train_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text FROM documents"),
+        "html_structured_data": (
+            # 11 rows per doc: og:title, twitter:card, 3 json-ld
+            # props, Product(+name,offers->#1) and Offer(+price)
+            "WITH d AS (SELECT 'doc://' || doc_id AS url, doc_id "
+            "FROM documents) "
+            "SELECT url, 'opengraph' AS fmt, 0 AS entity, "
+            "'og:title' AS prop, 'Title ' || doc_id AS value FROM d "
+            "UNION ALL SELECT url, 'twitter', 0, 'twitter:card', "
+            "'summary' FROM d "
+            "UNION ALL SELECT url, 'json-ld', 0, '@type', "
+            "'Article' FROM d "
+            "UNION ALL SELECT url, 'json-ld', 0, 'headline', "
+            "'Head ' || doc_id FROM d "
+            "UNION ALL SELECT url, 'json-ld', 0, 'wordCount', "
+            "CAST(doc_id % 100 AS VARCHAR) FROM d "
+            "UNION ALL SELECT url, 'microdata', 0, '@type', "
+            "'https://schema.org/Product' FROM d "
+            "UNION ALL SELECT url, 'microdata', 0, 'name', "
+            "'Item ' || doc_id FROM d "
+            "UNION ALL SELECT url, 'microdata', 1, '@type', "
+            "'https://schema.org/Offer' FROM d "
+            "UNION ALL SELECT url, 'microdata', 0, 'offers', "
+            "'#1' FROM d "
+            "UNION ALL SELECT url, 'microdata', 1, 'price', "
+            "(doc_id % 50) || '.99' FROM d"),
         "unigram_seed_vocab": (
             # chars ∪ top-50 len-2..3 substrings, word-freq weighted
             "WITH w AS (SELECT unnest(regexp_split_to_array("

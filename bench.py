@@ -184,6 +184,20 @@ def main():
     ivf_idx[0].unpersist()
     pq_idx[0].unpersist()
 
+    # hybrid retrieval (r4): BM25 scan + Arrow-matmul dense top-k
+    # fused by integer-nano RRF over the two bounded lists
+    from tika_spark.analysis.retrieval import hybrid_topk
+    timed("hybrid_search_rrf", lambda: force(hybrid_topk(
+        docs, emb, "hash join spark", query_vec_id=3, k=20,
+        depth=50)))
+
+    # unigram-LM tokenizer training (r4): EM forward-backward over
+    # the aggregated word vocabulary + pruning rounds to 48 pieces
+    from tika_spark.analysis.unigram import unigram_train
+    timed("unigram_train", lambda: force(unigram_train(
+        docs, vocab_size=48, n_iters=1, seed_top=120,
+        max_piece_len=3)))
+
     # multimodal full decode: real PNG/GIF/JPEG/TIFF pixel work
     # (payload generation is materialized outside the timed region)
     from __spark_entry__ import _png_pixels_wrap_udf
