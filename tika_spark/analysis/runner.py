@@ -156,10 +156,19 @@ def _ops(args):
         w = perceptron_train(feats, feat_cols, epochs=args.epochs)
         return perceptron_scores(feats, w, feat_cols)
 
-    # html-tables op: input is a raw pages table (url, html)
+    # html-tables / structured-data ops: input is a raw pages table
+    # (url, html)
     def tables_op(d):
         from tika_spark.analysis.tables import html_tables
         return html_tables(d)
+
+    def structdata_op(d):
+        from tika_spark.html.structdata import structured_data
+        return structured_data(d)
+
+    def unigram_op(d):
+        from tika_spark.analysis.unigram import unigram_train
+        return unigram_train(d, vocab_size=args.vocab_size)
 
     # webgraph ops: input is an extraction output table carrying the
     # `links` column (url, links), not the documents table
@@ -194,6 +203,8 @@ def _ops(args):
         "assign-splits": splits, "shuffle-order": shuffle,
         "pagerank": pagerank_op, "anchor-text": anchors_op,
         "html-tables": tables_op,
+        "structured-data": structdata_op,
+        "unigram-train": unigram_op,
     }
 
 
@@ -255,6 +266,9 @@ def main(argv=None):
                    help="perceptron epochs (quality-classifier)")
     p.add_argument("--iterations", type=int, default=10,
                    help="PageRank iterations (pagerank)")
+    p.add_argument("--vocab-size", type=int, default=64,
+                   dest="vocab_size",
+                   help="unigram-LM vocab target (unigram-train)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

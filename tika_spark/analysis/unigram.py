@@ -47,7 +47,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from tika_spark.analysis.curation import tokens
 
@@ -92,10 +92,11 @@ def seed_vocab(docs: DataFrame, max_piece_len: int = 4,
               .groupBy("piece").agg(F.sum("cnt").cast("long")
                                     .alias("count")))
     chars = pieces.filter(F.length("piece") == 1)
-    multi = pieces.filter(F.length("piece") >= 2)
-    w = Window.orderBy(F.desc("count"), F.asc("piece"))
-    top = (multi.withColumn("r", F.row_number().over(w))
-           .filter(F.col("r") <= top_k).drop("r"))
+    # distributed top-k (TakeOrderedAndProject), not a global-window
+    # single partition — the piece-count table is ~|substrings| of
+    # the word vocabulary and worth keeping parallel
+    top = (pieces.filter(F.length("piece") >= 2)
+           .orderBy(F.desc("count"), F.asc("piece")).limit(top_k))
     return chars.unionByName(top)
 
 
