@@ -4082,6 +4082,18 @@ def _q_docs_lm_perplexity(spark, sf_dir):
         "id", "n_bigrams", "nll_micro")
 
 
+def _q_docs_lm_perplexity_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (curation.py
+    lm_perplexity_kn — the smoothing the real CCNet/KenLM stack
+    uses): absolute discounting plus the continuation-count backoff,
+    all from three vocabulary-scale count tables; per-bigram
+    micro-nat rounding keeps the distributed sum order-independent
+    and hash-exact."""
+    from tika_spark.analysis.curation import lm_perplexity_kn
+    return lm_perplexity_kn(_docs(spark, sf_dir)).select(
+        "id", "n_bigrams", "nll_micro")
+
+
 def _q_bm25_search(spark, sf_dir):
     """Okapi BM25 corpus relevance scores for the query "hash join
     spark" — the retrieval scorer used to mine domain-relevant
@@ -6054,6 +6066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
+        "docs_lm_perplexity_kn": _q_docs_lm_perplexity_kn,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
         "docs_c4_rules": _q_docs_c4_rules,
@@ -7819,6 +7832,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_docs, n_tokens, share_micro, "
             "round(s_tau / z * 1000000)::BIGINT AS weight_micro "
             "FROM s, z"),
+        "docs_lm_perplexity_kn": (
+            # interpolated KN: (c2-D)/c1 + D*N1+(w1,*)/c1*N1+(*,w2)/T
+            "WITH t AS (SELECT doc_id AS id, regexp_split_to_array("
+            "lower(trim(text)), '\\s+') AS w FROM documents), "
+            "bg AS (SELECT id, w[i] AS w1, w[i+1] AS w2 FROM t, "
+            "unnest(generate_series(1, len(w)-1)) AS u(i) "
+            "WHERE len(w) >= 2), "
+            "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg "
+            "GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), "
+            "n1s AS (SELECT w1, count(*) AS n1s FROM c2 GROUP BY 1), "
+            "n1p AS (SELECT w2, count(*) AS n1p FROM c2 GROUP BY 1), "
+            "ty AS (SELECT count(*)::DOUBLE AS ty FROM c2), "
+            "s AS (SELECT id, round(-ln((c2.c2 - 0.75) / c1.c1 "
+            "+ 0.75 * n1s.n1s / c1.c1 * n1p.n1p / ty.ty) "
+            "* 1000000)::BIGINT AS nll FROM bg "
+            "JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
+            "JOIN n1s USING (w1) JOIN n1p USING (w2), ty), "
+            "a AS (SELECT id, count(*)::BIGINT AS n_bigrams, "
+            "sum(nll)::BIGINT AS nll_micro FROM s GROUP BY 1) "
+            "SELECT t.id, coalesce(n_bigrams, 0)::BIGINT AS "
+            "n_bigrams, coalesce(nll_micro, 0)::BIGINT AS nll_micro "
+            "FROM t LEFT JOIN a USING (id)"),
         "docs_lm_perplexity": (
             "WITH t AS (SELECT doc_id AS id, "
             "regexp_split_to_array(lower(trim(text)), '\\s+') AS w "

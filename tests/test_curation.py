@@ -631,3 +631,38 @@ class TestChunkDocuments:
         import pytest as _pt
         with _pt.raises(ValueError, match="overlap"):
             chunk_documents(df, 8, 8)
+
+
+class TestLmPerplexityKN:
+    """Interpolated Kneser-Ney bigram perplexity (Chen & Goodman
+    eq. 4.28 over the self-trained corpus LM)."""
+
+    def test_pinned_probabilities(self, spark):
+        import math
+        from tika_spark.analysis.curation import lm_perplexity_kn
+        # corpus "a b a b c": c(ab)=2 c(ba)=1 c(bc)=1; c1(a)=c1(b)=2;
+        # N1+(a,*)=1 N1+(b,*)=2; N1+(*,b)=N1+(*,a)=N1+(*,c)=1; T=3
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "x")], "doc_id long, text string")
+        out = {r["id"]: r for r in lm_perplexity_kn(df).collect()}
+        p_ab = (2 - 0.75) / 2 + 0.75 * (1 / 2) * (1 / 3)   # 0.75
+        p_ba = (1 - 0.75) / 2 + 0.75 * (2 / 2) * (1 / 3)   # 0.375
+        want = (2 * round(-math.log(p_ab) * 1e6)
+                + 2 * round(-math.log(p_ba) * 1e6))
+        assert out[1]["n_bigrams"] == 4
+        assert out[1]["nll_micro"] == want
+        assert out[2]["n_bigrams"] == 0 and out[2]["nll_micro"] == 0
+
+    def test_continuation_beats_raw_frequency(self, spark):
+        from tika_spark.analysis.curation import lm_perplexity_kn
+        # "francisco" is frequent but only ever follows "san";
+        # "common" follows many prefixes. KN's continuation count
+        # must prefer the versatile word in a fresh context.
+        rows = [(i, "san francisco") for i in range(10)]
+        rows += [(100 + i, w + " common") for i, w in enumerate(
+            ["very", "quite", "most", "so", "too"])]
+        rows += [(200, "new francisco"), (201, "new common")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r["nll_micro"]
+               for r in lm_perplexity_kn(df).collect()}
+        assert out[201] < out[200]

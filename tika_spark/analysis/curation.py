@@ -612,6 +612,77 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
                     .alias("nll_micro")))
 
 
+def lm_perplexity_kn(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing the
+    actual CCNet/KenLM stack uses (Kneser & Ney 1995; Chen & Goodman
+    1998 eq. 4.28), upgrading :func:`lm_perplexity`'s add-alpha
+    analog. For an observed bigram (every doc bigram is observed —
+    the LM is trained on the scored corpus itself):
+
+      P(w2|w1) = (c(w1,w2) - D)/c(w1)
+                 + D * N1+(w1,*)/c(w1) * N1+(*,w2)/N1+(*,*)
+
+    with D = ``discount``, N1+(w1,*) = distinct successors of w1,
+    N1+(*,w2) = distinct predecessors of w2 (the continuation count
+    that makes KN famously robust to "Francisco"-style words frequent
+    only after one prefix), N1+(*,*) = distinct bigram types.
+
+    Emits (id, n_bigrams, nll_micro) exactly like
+    :func:`lm_perplexity`; per-bigram -ln P rounds to integer
+    micro-nats before the per-doc sum, so the aggregation is
+    order-independent and cross-engine exact.
+
+    Shuffle profile: identical to lm_perplexity plus two
+    vocabulary-scale groupBys over the bigram-type table (distinct
+    successor / predecessor counts) and one scalar type count —
+    nothing new touches document text.
+    """
+    low = F.transform(tokens(F.col(text_col)), F.lower)
+    n = F.size(low)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)
+                 ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(low, (i + 1).cast("int")).alias("w1"),
+            F.element_at(low, (i + 2).cast("int")).alias("w2")))
+    base = df.select(F.col(id_col).alias("id"), pairs.alias("bg"))
+    bg = (base.select("id", F.explode("bg").alias("p"))
+          .select("id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    from pyspark import StorageLevel
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # the bigram-type table feeds four consumers (scoring join, both
+    # continuation counts, the scalar type count)
+    c_bi = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    c_pre = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    n1p_suc = c_bi.groupBy("w1").agg(F.count("*").alias("n1s"))
+    n1p_pre = c_bi.groupBy("w2").agg(F.count("*").alias("n1p"))
+    n_types = c_bi.count()
+
+    d = F.lit(discount)
+    prob = ((F.col("c2") - d) / F.col("c1")
+            + d * F.col("n1s") / F.col("c1")
+            * F.col("n1p") / F.lit(float(n_types)))
+    scored = (bg.join(c_bi, ["w1", "w2"]).join(c_pre, "w1")
+              .join(n1p_suc, "w1").join(n1p_pre, "w2")
+              .select("id", F.round(-F.log(prob) * 1_000_000)
+                      .cast("long").alias("nll")))
+    agg = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll").alias("nll_micro"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(agg, "id", "left")
+            .select("id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("nll_micro", F.lit(0)).cast("long")
+                    .alias("nll_micro")))
+
+
 # ----------------------------------------------- mixture weights --
 
 
