@@ -5811,6 +5811,35 @@ def _q_sitemap_entries(spark, sf_dir):
     return sitemap_entries(pages)
 
 
+def _q_frontier_robots_meta(spark, sf_dir):
+    """Per-host politeness metadata (sources/robots.py robots_meta):
+    Crawl-delay with group-specificity selection (the fetchbot group
+    beats *, the de-facto extension RFC 9309 leaves out) falling back
+    to the 1000 ms default when ungranted, plus the group-independent
+    Sitemap seed list — the scheduler half of robots handling."""
+    from tika_spark.sources.robots import robots_meta
+
+    host = F.concat(F.lit("h"), F.col("doc_id"),
+                    F.lit(".example"))
+    txt = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".5\nDisallow: /tmp/\nSitemap: https://h"),
+        F.col("doc_id"), F.lit(".example/s0.xml\n"),
+        F.when(F.col("doc_id") % 2 == 1, F.concat(
+            F.lit("Sitemap: https://h"), F.col("doc_id"),
+            F.lit(".example/s1.xml\n"))).otherwise(F.lit("")),
+        F.lit("\nUser-agent: fetchbot\n"),
+        F.when(F.col("doc_id") % 5 != 0, F.concat(
+            F.lit("Crawl-delay: "),
+            (F.col("doc_id") % 3).cast("string"), F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.lit("Disallow: /private/\n"))
+    pages = _docs(spark, sf_dir).select(
+        host.alias("host"), txt.alias("robots_txt"))
+    return robots_meta(pages, agent="fetchbot/1.0")
+
+
 def _q_frontier_robots(spark, sf_dir):
     """robots.txt frontier filtering (sources/robots.py): per-host
     rules broadcast against the candidate URL set; longest match
@@ -6107,6 +6136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_order": _q_docs_shuffle_order,
         "html_tables": _q_html_tables,
         "frontier_robots": _q_frontier_robots,
+        "frontier_robots_meta": _q_frontier_robots_meta,
         "sitemap_entries": _q_sitemap_entries,
         "wet_cdx_index": _q_wet_cdx_index,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
@@ -8436,6 +8466,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 500000 END::BIGINT AS priority_micro, "
             "FALSE AS is_index FROM documents, "
             "(VALUES (1), (2)) r(i)"),
+        "frontier_robots_meta": (
+            # fetchbot group wins; no fetchbot delay (id%5==0) ->
+            # 1000 ms default; sitemaps are group-independent
+            "SELECT 'h' || doc_id || '.example' AS host, "
+            "(CASE WHEN doc_id % 5 = 0 THEN 1000 "
+            "ELSE (doc_id % 3) * 1000 END)::BIGINT AS "
+            "crawl_delay_ms, "
+            "(1 + doc_id % 2)::BIGINT AS n_sitemaps, "
+            "'https://h' || doc_id || '.example/s0.xml' || "
+            "CASE WHEN doc_id % 2 = 1 THEN ' https://h' || doc_id "
+            "|| '.example/s1.xml' ELSE '' END AS sitemaps "
+            "FROM documents"),
         "frontier_robots": (
             "SELECT DISTINCT 'http://h' || (doc_id % 7) || '.ex/d' "
             "|| (doc_id % 20) AS url, "

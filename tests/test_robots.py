@@ -113,3 +113,61 @@ class TestFrontier:
                for r in frontier_filter(
                    urls, robots_rules(hosts)).collect()}
         assert got == {"http://b.ex": False, "http://b.ex/any": False}
+
+
+ROBOTS_META = """# politeness fixture
+User-agent: *
+Crawl-delay: 2.5
+Disallow: /tmp/
+Sitemap: https://ex.com/a.xml
+
+User-agent: fetchbot
+Crawl-delay: 0.5
+Disallow: /private/
+
+Sitemap: https://ex.com/b.xml
+"""
+
+
+class TestRobotsMeta:
+    def test_parse_full_generic(self):
+        from tika_spark.sources.robots import parse_robots_full
+        full = parse_robots_full(ROBOTS_META, "*")
+        assert full["crawl_delay"] == 2.5
+        assert full["sitemaps"] == ["https://ex.com/a.xml",
+                                    "https://ex.com/b.xml"]
+        assert ("/tmp/", False) in full["rules"]
+
+    def test_specific_group_wins_delay(self):
+        from tika_spark.sources.robots import parse_robots_full
+        full = parse_robots_full(ROBOTS_META, "FetchBot/1.0")
+        assert full["crawl_delay"] == 0.5
+        assert full["rules"] == [("/private/", False)]
+        # sitemaps are group-independent
+        assert len(full["sitemaps"]) == 2
+
+    def test_merged_groups_take_min_delay(self):
+        from tika_spark.sources.robots import parse_robots_full
+        txt = ("User-agent: *\nCrawl-delay: 4\nDisallow: /a\n\n"
+               "User-agent: *\nCrawl-delay: 1\nDisallow: /b\n")
+        full = parse_robots_full(txt, "*")
+        assert full["crawl_delay"] == 1.0
+        assert full["rules"] == [("/a", False), ("/b", False)]
+
+    def test_invalid_delay_ignored(self):
+        from tika_spark.sources.robots import parse_robots_full
+        txt = "User-agent: *\nCrawl-delay: soon\nDisallow: /x\n"
+        assert parse_robots_full(txt)["crawl_delay"] is None
+
+    def test_robots_meta_dataframe(self, spark):
+        from tika_spark.sources.robots import robots_meta
+        df = spark.createDataFrame(
+            [("ex.com", ROBOTS_META), ("bare.com", "")],
+            "host string, robots_txt string")
+        out = {r.host: r for r in robots_meta(df).collect()}
+        assert out["ex.com"].crawl_delay_ms == 2500
+        assert out["ex.com"].n_sitemaps == 2
+        assert out["ex.com"].sitemaps == \
+            "https://ex.com/a.xml https://ex.com/b.xml"
+        assert out["bare.com"].crawl_delay_ms == 1000   # default
+        assert out["bare.com"].n_sitemaps == 0

@@ -32,19 +32,27 @@ from pyspark.sql import DataFrame
 from tika_spark.analysis.webgraph import host_of
 
 
-def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """[(path_pattern, allowed), ...] for the best-matching groups.
+def parse_robots_full(text: str, agent: str = "*") -> dict:
+    """Full parse for one agent: ``{"rules": [(pattern, allowed)],
+    "crawl_delay": float seconds | None, "sitemaps": [url, ...]}``.
 
     Group selection: longest user-agent token that is a
     case-insensitive substring of ``agent`` (or equals ``*``); the
     generic ``*`` group is the fallback. Per RFC 9309 §2.2.1 rules
     are MERGED across every group that achieves the winning
     specificity — a robots.txt with two separate ``User-agent: *``
-    groups contributes both groups' rules.
+    groups contributes both groups' rules. ``Crawl-delay`` (de-facto
+    extension) is per-group; when merged groups disagree the minimum
+    wins (deterministic, and the conservative choice for the host is
+    the maximum fetch rate the site explicitly granted any matching
+    group). ``Sitemap`` lines are group-independent per the sitemaps
+    protocol and always collected, in file order.
     """
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    groups: list[tuple[list[str], list, float | None]] = []
+    sitemaps: list[str] = []
     agents: list[str] = []
     rules: list[tuple[str, bool]] = []
+    delay: float | None = None
     in_rules = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -55,10 +63,23 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
         val = val.strip()
         if key == "user-agent":
             if in_rules and agents:
-                groups.append((agents, rules))
-                agents, rules = [], []
+                groups.append((agents, rules, delay))
+                agents, rules, delay = [], [], None
             agents.append(val.lower())
             in_rules = False
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
+        elif key == "crawl-delay":
+            if not agents:
+                continue
+            in_rules = True
+            try:
+                d = float(val)
+                if d >= 0:
+                    delay = d
+            except ValueError:
+                pass
         elif key in ("allow", "disallow"):
             if not agents:
                 continue    # rules before any user-agent line: ignored
@@ -68,7 +89,7 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
             if val:
                 rules.append((val, key == "allow"))
     if agents:
-        groups.append((agents, rules))
+        groups.append((agents, rules, delay))
 
     agent_l = agent.lower()
 
@@ -85,16 +106,28 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
                 score = s
         return score
 
-    scored = [(s, rs) for ags, rs in groups
+    scored = [(s, rs, d) for ags, rs, d in groups
               if (s := group_score(ags)) is not None]
     if not scored:
-        return []
-    win = max(s for s, _ in scored)
+        return {"rules": [], "crawl_delay": None,
+                "sitemaps": sitemaps}
+    win = max(s for s, _, _ in scored)
     merged: list[tuple[str, bool]] = []
-    for s, rs in scored:
+    delays: list[float] = []
+    for s, rs, d in scored:
         if s == win:
             merged.extend(rs)
-    return merged
+            if d is not None:
+                delays.append(d)
+    return {"rules": merged,
+            "crawl_delay": min(delays) if delays else None,
+            "sitemaps": sitemaps}
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """[(path_pattern, allowed), ...] for the best-matching groups
+    (see :func:`parse_robots_full` for the group semantics)."""
+    return parse_robots_full(text, agent)["rules"]
 
 
 def pattern_regex(pattern: str) -> str:
@@ -129,6 +162,42 @@ def robots_rules(pages: DataFrame, host_col: str = "host",
                     .alias("pattern_len"),
                     F.col("r.allowed").alias("allowed"),
                     F.col("r.regex").alias("regex")))
+
+
+def robots_meta(pages: DataFrame, host_col: str = "host",
+                text_col: str = "robots_txt",
+                agent: str = "*",
+                default_delay_ms: int = 1000) -> DataFrame:
+    """(host, robots.txt) → per-host politeness metadata:
+    ``(host, crawl_delay_ms, n_sitemaps, sitemaps)`` — the two
+    robots.txt signals the frontier SCHEDULER (as opposed to the
+    frontier filter) needs: fetch-rate budgeting per host and the
+    sitemap seed list. ``crawl_delay_ms`` falls back to
+    ``default_delay_ms`` when the file grants no delay. Same scale
+    shape as :func:`robots_rules`: one pandas-UDF parse per host row
+    of the (tiny) per-host table."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<delay_ms:bigint,sitemaps:array<string>>")
+    def parse(texts: pd.Series) -> pd.DataFrame:
+        delays, maps = [], []
+        for t in texts:
+            full = parse_robots_full(t or "", agent)
+            d = full["crawl_delay"]
+            delays.append(default_delay_ms if d is None
+                          else int(round(d * 1000)))
+            maps.append(full["sitemaps"])
+        return pd.DataFrame({"delay_ms": delays, "sitemaps": maps})
+
+    return (pages
+            .select(F.col(host_col).alias("host"),
+                    parse(F.col(text_col)).alias("m"))
+            .select("host",
+                    F.col("m.delay_ms").alias("crawl_delay_ms"),
+                    F.size("m.sitemaps").cast("long")
+                    .alias("n_sitemaps"),
+                    F.array_join("m.sitemaps", " ")
+                    .alias("sitemaps")))
 
 
 def frontier_filter(urls: DataFrame, rules: DataFrame,
