@@ -5840,6 +5840,29 @@ def _q_frontier_robots_meta(spark, sf_dir):
     return robots_meta(pages, agent="fetchbot/1.0")
 
 
+def _q_frontier_fetch_schedule(spark, sf_dir):
+    """Politeness-aware fetch scheduling (sources/robots.py
+    fetch_schedule): the frontier shuffles once on host, each host's
+    queue orders by priority and stamps slot k with
+    (k-1)*crawl_delay_ms — the per-host window never goes global, and
+    the delay table rides as a broadcast."""
+    from tika_spark.sources.robots import fetch_schedule
+
+    docs = _docs(spark, sf_dir)
+    j = F.col("doc_id") % 20
+    frontier = docs.select(
+        F.concat(F.lit("https://h"), j, F.lit(".example/p"),
+                 F.col("doc_id")).alias("url"),
+        F.concat(F.lit("h"), j, F.lit(".example")).alias("host"),
+        F.col("n_chars").cast("long").alias("priority"))
+    meta = (docs.select(j.alias("j")).distinct()
+            .select(F.concat(F.lit("h"), F.col("j"),
+                             F.lit(".example")).alias("host"),
+                    ((F.col("j") % 3) * 500 + 500).cast("long")
+                    .alias("crawl_delay_ms")))
+    return fetch_schedule(frontier, meta)
+
+
 def _q_frontier_robots(spark, sf_dir):
     """robots.txt frontier filtering (sources/robots.py): per-host
     rules broadcast against the candidate URL set; longest match
@@ -6137,6 +6160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "frontier_robots": _q_frontier_robots,
         "frontier_robots_meta": _q_frontier_robots_meta,
+        "frontier_fetch_schedule": _q_frontier_fetch_schedule,
         "sitemap_entries": _q_sitemap_entries,
         "wet_cdx_index": _q_wet_cdx_index,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
@@ -8466,6 +8490,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 500000 END::BIGINT AS priority_micro, "
             "FALSE AS is_index FROM documents, "
             "(VALUES (1), (2)) r(i)"),
+        "frontier_fetch_schedule": (
+            "WITH f AS (SELECT 'https://h' || (doc_id % 20) || "
+            "'.example/p' || doc_id AS url, "
+            "'h' || (doc_id % 20) || '.example' AS host, "
+            "n_chars::BIGINT AS priority, doc_id % 20 AS j "
+            "FROM documents), "
+            "s AS (SELECT url, host, j, row_number() OVER ("
+            "PARTITION BY host ORDER BY priority DESC, url ASC) "
+            "AS slot FROM f) "
+            "SELECT url, host, slot::BIGINT AS slot, "
+            "((slot - 1) * ((j % 3) * 500 + 500))::BIGINT "
+            "AS fetch_offset_ms FROM s"),
         "frontier_robots_meta": (
             # fetchbot group wins; no fetchbot delay (id%5==0) ->
             # 1000 ms default; sitemaps are group-independent

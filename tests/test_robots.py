@@ -171,3 +171,24 @@ class TestRobotsMeta:
             "https://ex.com/a.xml https://ex.com/b.xml"
         assert out["bare.com"].crawl_delay_ms == 1000   # default
         assert out["bare.com"].n_sitemaps == 0
+
+    def test_fetch_schedule(self, spark):
+        from tika_spark.sources.robots import fetch_schedule
+        frontier = spark.createDataFrame(
+            [("https://a/1", "a", 10), ("https://a/2", "a", 30),
+             ("https://a/3", "a", 20), ("https://b/1", "b", 5)],
+            "url string, host string, priority long")
+        meta = spark.createDataFrame(
+            [("a", 2000)], "host string, crawl_delay_ms long")
+        out = {r.url: r for r in
+               fetch_schedule(frontier, meta).collect()}
+        # host a: priority order 2,3,1 -> slots 1,2,3 at 2000 ms
+        assert (out["https://a/2"].slot,
+                out["https://a/2"].fetch_offset_ms) == (1, 0)
+        assert (out["https://a/3"].slot,
+                out["https://a/3"].fetch_offset_ms) == (2, 2000)
+        assert (out["https://a/1"].slot,
+                out["https://a/1"].fetch_offset_ms) == (3, 4000)
+        # host b missing from meta -> default 1000 ms
+        assert (out["https://b/1"].slot,
+                out["https://b/1"].fetch_offset_ms) == (1, 0)

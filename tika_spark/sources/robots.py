@@ -27,7 +27,7 @@ import re
 import pandas as pd  # module scope: pandas_udf resolves the string
 #                      type hints of nested UDFs via __globals__
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from tika_spark.analysis.webgraph import host_of
 
@@ -198,6 +198,39 @@ def robots_meta(pages: DataFrame, host_col: str = "host",
                     .alias("n_sitemaps"),
                     F.array_join("m.sitemaps", " ")
                     .alias("sitemaps")))
+
+
+def fetch_schedule(frontier: DataFrame, meta: DataFrame,
+                   url_col: str = "url", host_col: str = "host",
+                   priority_col: str = "priority",
+                   default_delay_ms: int = 1000) -> DataFrame:
+    """Politeness-aware fetch schedule: within each host, order by
+    (priority desc, url asc) and give slot k the offset
+    ``(k-1) * crawl_delay_ms`` — the earliest time the crawler may
+    issue that fetch while honoring the host's granted rate
+    (:func:`robots_meta`'s ``crawl_delay_ms``; hosts absent from
+    ``meta`` get ``default_delay_ms``).
+
+    Emits (url, host, slot, fetch_offset_ms). Scale: the window
+    partitions BY HOST (never global), the meta table is a broadcast
+    left join — one frontier shuffle on host, which the downstream
+    per-host fetch queues need anyway.
+    """
+    w = Window.partitionBy("host").orderBy(
+        F.desc(priority_col), F.asc(url_col))
+    m = meta.select(F.col(host_col).alias("host"),
+                    F.col("crawl_delay_ms").alias("__delay"))
+    return (frontier
+            .select(F.col(url_col).alias("url"),
+                    F.col(host_col).alias("host"),
+                    F.col(priority_col))
+            .join(F.broadcast(m), "host", "left")
+            .withColumn("slot", F.row_number().over(w).cast("long"))
+            .select("url", "host", "slot",
+                    ((F.col("slot") - 1)
+                     * F.coalesce("__delay",
+                                  F.lit(default_delay_ms)))
+                    .cast("long").alias("fetch_offset_ms")))
 
 
 def frontier_filter(urls: DataFrame, rules: DataFrame,
