@@ -4094,6 +4094,20 @@ def _q_docs_lm_perplexity_kn(spark, sf_dir):
         "id", "n_bigrams", "nll_micro")
 
 
+def _q_embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss shrink (similarity.random_projection):
+    64-dim embeddings × a seeded ±1 Rademacher matrix (md5-parity
+    signs the oracle rebuilds cell by cell) down to 8 dims — the
+    map-only pre-shrink before ANN indexing at high dim."""
+    from tika_spark.analysis.similarity import random_projection
+    out = random_projection(_emb(spark, sf_dir), dim=64, d_out=8)
+    return (out.select("id", F.posexplode("proj")
+                       .alias("dim", "v"))
+            .select("id", F.col("dim").cast("int").alias("dim"),
+                    F.round(F.col("v") * 1_000_000).cast("long")
+                    .alias("val_micro")))
+
+
 def _q_bm25_search(spark, sf_dir):
     """Okapi BM25 corpus relevance scores for the query "hash join
     spark" — the retrieval scorer used to mine domain-relevant
@@ -6117,6 +6131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": _q_docs_token_budget,
         "bm25_search": _q_bm25_search,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "embedding_random_projection": _q_embedding_random_projection,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_lm_perplexity_kn": _q_docs_lm_perplexity_kn,
         "docs_mixture_weights": _q_docs_mixture_weights,
@@ -7954,6 +7969,20 @@ def oracle_sql() -> dict[str, str]:
             "(tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)))"
             ") * 1000000)::BIGINT AS score_micro "
             "FROM d, s WHERE tf0 + tf1 + tf2 > 0"),
+        "embedding_random_projection": (
+            # sign(i,j) = -1 iff first hex digit of md5('i:j:rp')
+            # is odd; proj[j] = sum_i v[i+1]*sign(i,j)
+            "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] "
+            "AS v FROM embeddings), "
+            "c AS (SELECT id, j, SUM(v[i+1] * CASE WHEN "
+            "substr(md5(i || ':' || j || ':rp'), 1, 1) IN "
+            "('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END) "
+            "AS val FROM e CROSS JOIN (SELECT unnest("
+            "generate_series(0, 63)) AS i) a CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 7)) AS j) b "
+            "WHERE i < len(v) GROUP BY id, j) "
+            "SELECT id, CAST(j AS INT) AS dim, "
+            "round(val * 1000000)::BIGINT AS val_micro FROM c"),
         "hybrid_search_rrf": (
             # bm25 fragment = the bm25_search oracle verbatim; dense
             # fragment = the ann_topk cosine; RRF = 1e9 // (60+rank)

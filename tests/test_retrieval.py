@@ -61,3 +61,26 @@ def test_hybrid_topk_fuses_both_signals(spark):
     assert out[3].n_lists == 1
     # doc 1 appears in both lists and must outrank dense-only doc 2
     assert out[1].rank < out[2].rank
+
+
+def test_random_projection_exact_and_jl(spark):
+    import numpy as np
+    from tika_spark.analysis.similarity import (random_projection,
+                                                rp_signs)
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    out = {r.id: np.array(r.proj) for r in
+           random_projection(df, dim=64, d_out=8).collect()}
+    s = rp_signs(64, 8)
+    # exact per-row matmul vs the library path
+    assert np.allclose(out[3], vecs[3] @ s)
+    # JL property: projected dot products track originals in rank
+    # (spearman-ish check on a few pairs, normalized by d_out)
+    orig = [float(vecs[i] @ vecs[j]) for i, j in
+            [(0, 1), (2, 3), (4, 5), (6, 7)]]
+    proj = [float(out[i] @ out[j]) / 8 for i, j in
+            [(0, 1), (2, 3), (4, 5), (6, 7)]]
+    assert np.corrcoef(orig, proj)[0, 1] > 0.5

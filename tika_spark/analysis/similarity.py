@@ -575,6 +575,60 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
     return _exact_rerank(shortlist, base, queries, k, id_col, vec_col)
 
 
+# ------------------------------------- random projection (JL) ------
+
+
+def rp_signs(d_in: int, d_out: int, tag: str = "rp"):
+    """Deterministic ±1 Rademacher matrix: sign(i,j) = parity of the
+    first hex digit of md5(f"{i}:{j}:{tag}") — the same md5-parity
+    idiom the fingerprint operators use, so a SQL oracle can rebuild
+    every entry."""
+    import hashlib
+
+    import numpy as np
+    s = np.empty((d_in, d_out), dtype=np.float64)
+    for i in range(d_in):
+        for j in range(d_out):
+            h = hashlib.md5(f"{i}:{j}:{tag}".encode()).hexdigest()
+            s[i, j] = -1.0 if int(h[0], 16) % 2 else 1.0
+    return s
+
+
+def random_projection(base: DataFrame, dim: int, d_out: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      tag: str = "rp") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a seeded
+    Rademacher projection (Achlioptas 2003, "Database-friendly random
+    projections"): ``proj = v @ S`` with S the ±1 matrix of
+    :func:`rp_signs`. Distances are preserved to (1±eps) with
+    d_out = O(log n / eps²) — the standard pre-shrink before ANN
+    indexing when the raw dim is large.
+
+    Emits (id, proj: array<double>), unnormalized (a constant
+    1/sqrt(d_out) scale does not change neighbor order or cosine).
+    Map-only: the sign matrix ships in the closure (d_in × d_out
+    doubles), each Arrow batch is one matmul; no shuffle.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    s = rp_signs(dim, d_out, tag)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def proj(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(v, dtype=np.float64)
+                      for v in vecs])
+        out = m @ s
+        return pd.Series(list(out))
+
+    return base.select(F.col(id_col).alias("id"),
+                       proj(F.col(vec_col)).alias("proj"))
+
+
 # ------------------------------------------------------------ SemDeDup
 
 
