@@ -4590,6 +4590,48 @@ def _q_export_wet_roundtrip(spark, sf_dir):
     return blobs.mapInPandas(parse, "url string, text string")
 
 
+def _q_export_wat_roundtrip(spark, sf_dir):
+    """CC-shaped metadata egress (sources/warc.py to_wat): the WAT
+    sibling of the WET sink — WARC metadata records whose sorted-key
+    JSON envelope carries Head.Title plus the outlink list, one gzip
+    member per record, stream-parsed back by wat_entries. Completes
+    the Common-Crawl WARC/WET/WAT surface."""
+    from tika_spark.sources.warc import to_wat, wat_entries
+
+    docs = _docs(spark, sf_dir)
+    extra = F.when(F.pmod("doc_id", F.lit(2)) == 1, F.concat(
+        F.lit(' <a href="http://ex.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('/x">extra</a>'))).otherwise(F.lit(""))
+    html = F.encode(F.concat(
+        F.lit('<html><head><meta charset="utf-8"/><title>T</title>'
+              '</head><body><p>t <a href="http://ex.com/a">a</a>'
+              ' <img src="http://ex.com/i.png" alt="im"/>'), extra,
+        F.lit("</p></body></html>")), "UTF-8")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    blobs = to_wat(extract(pages, mode="text"))
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for b in pdf["blob"]:
+                for p in wat_entries(bytes(b)):
+                    if p["status"] != "ok":
+                        continue
+                    sig = "|".join(
+                        f"{lk['path']}>{lk['url']}>{lk['text']}"
+                        for lk in p["links"])
+                    rows.append((p["url"], p["title"],
+                                 len(p["links"]), sig))
+            yield pd.DataFrame(rows, columns=[
+                "url", "title", "n_links", "links_sig"])
+    return blobs.mapInPandas(
+        parse, "url string, title string, n_links long, "
+               "links_sig string")
+
+
 def _q_docs_snapshot_delta(spark, sf_dir):
     """Incremental crawl-snapshot dedup: even-id docs play the prior
     corpus (fingerprint index only — 8/16-byte keys, no old text is
@@ -6152,6 +6194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_checkpointed_table": _q_extract_checkpointed_table,
         "streaming_table_sink": _q_streaming_table_sink,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
+        "export_wat_roundtrip": _q_export_wat_roundtrip,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -8102,6 +8145,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(round(sum(lw) * 1000000) AS BIGINT) AS "
             "dsir_micro FROM b JOIN ratio USING (b) "
             "WHERE doc_id % 10 <> 0 GROUP BY doc_id"),
+        "export_wat_roundtrip": (
+            # fixture links: a + img always, extra <a> on odd ids
+            "SELECT 'doc://' || doc_id AS url, 'T' AS title, "
+            "(2 + doc_id % 2)::BIGINT AS n_links, "
+            "'a>http://ex.com/a>a|img>http://ex.com/i.png>im' || "
+            "CASE WHEN doc_id % 2 = 1 THEN '|a>http://ex.com/' || "
+            "doc_id || '/x>extra' ELSE '' END AS links_sig "
+            "FROM documents"),
         "export_wet_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text FROM documents"),
         "extract_warc_pages": (

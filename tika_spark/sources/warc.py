@@ -73,6 +73,8 @@ def build_record(url: str, date_iso: str, payload: bytes,
     else:
         body = payload
         content_type = (b"text/plain" if rec_type == "conversion"
+                        else b"application/json"
+                        if rec_type == "metadata"      # WAT layout
                         else b"application/octet-stream")
     # header values must not contain CR/LF (a crafted url column
     # could otherwise inject/override WARC headers in the egress)
@@ -503,6 +505,77 @@ def to_wet(df: DataFrame, url_col: str = "url",
             yield pd.DataFrame({"blob": [blob]})
 
     return cols.mapInPandas(build, "blob binary")
+
+
+def to_wat(df: DataFrame, url_col: str = "url",
+           title_col: str = "title", links_col: str = "links",
+           date_iso: str = "1970-01-01T00:00:00Z") -> DataFrame:
+    """Extraction output → WAT blobs (the Common-Crawl metadata
+    egress beside WET): WARC ``metadata`` records whose JSON payload
+    follows the WAT envelope layout — Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata with Head.Title and the
+    outlink list. JSON is emitted with sorted keys and compact
+    separators so identical inputs are byte-identical archives (the
+    same guarantee as :func:`to_wet`). One blob per Arrow batch."""
+    import json as _json
+    cols = df.select(F.col(url_col).alias("u"),
+                     F.col(title_col).alias("t"),
+                     F.col(links_col).alias("l"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for u, t, links in zip(pdf["u"], pdf["t"], pdf["l"]):
+                lrows = [{"path": (lk["kind"] or ""),
+                          "url": (lk["uri"] or ""),
+                          "text": (lk["text"] or "")}
+                         for lk in (links if links is not None
+                                    else [])]
+                env = {"Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": u or "",
+                        "WARC-Date": date_iso,
+                        "WARC-Type": "response"},
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {"Title": t or ""},
+                                "Links": lrows}}}}}
+                payload = _json.dumps(
+                    env, sort_keys=True,
+                    separators=(",", ":")).encode("utf-8")
+                parts.append(gzip_member(build_record(
+                    u or "", date_iso, payload,
+                    rec_type="metadata")))
+            yield pd.DataFrame({"blob": [b"".join(parts)]})
+
+    return cols.mapInPandas(build, "blob binary")
+
+
+def wat_entries(data: bytes) -> Iterator[dict]:
+    """Parse a WAT blob back into ``{url, title, links, status}``
+    rows (``links`` = [{path, url, text}])."""
+    import json as _json
+    for member in iter_gzip_members(data):
+        rec = parse_record(member) if member is not None else None
+        if rec is None:
+            yield {"url": "", "title": "", "links": [],
+                   "status": "warc_malformed_member"}
+            continue
+        if rec["type"] != "metadata":
+            continue
+        try:
+            env = _json.loads(rec["body"].decode("utf-8",
+                                                 "replace"))
+            html_md = (env["Envelope"]["Payload-Metadata"]
+                       ["HTTP-Response-Metadata"]["HTML-Metadata"])
+            yield {"url": rec["url"],
+                   "title": html_md.get("Head", {}).get("Title", ""),
+                   "links": html_md.get("Links", []),
+                   "status": "ok"}
+        except Exception:
+            yield {"url": rec["url"], "title": "", "links": [],
+                   "status": "wat_malformed_json"}
 
 
 def wet_texts(data: bytes) -> Iterator[dict]:
