@@ -549,6 +549,31 @@ def _q_language_id(spark, sf_dir):
     return out.select("url", F.col("lang").alias("lang_pred"))
 
 
+def _q_language_spans(spark, sf_dir):
+    """Sentence-level code-switching segmentation (language/spans.py
+    language_spans): k = 2+id%3 seed sentences whose language cycles
+    in pairs (LANGS[(id + j//2) % 4]); consecutive same-language
+    sentences must merge into one span. Pins per-sentence 3-gram
+    classification on the seed corpus (like language_id) plus the
+    run-merge logic, in closed form."""
+    from tika_spark.language.corpus import SEED_TEXT
+    from tika_spark.language.spans import (language_spans,
+                                           sentence_split)
+    langs = ("en", "fr", "de", "es")
+    sents = F.array(*[F.lit(sentence_split(SEED_TEXT[lg])[0])
+                      for lg in langs])
+    k = 2 + F.col("doc_id") % 3
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), (k - 1).cast("int")),
+        lambda j: F.element_at(
+            sents,
+            ((F.col("doc_id") + F.floor(j / 2)) % 4 + 1)
+            .cast("int"))))
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return language_spans(docs).select(
+        "id", "span_idx", "lang", "n_sentences")
+
+
 def _q_outlinks(spark, sf_dir):
     docs = _docs(spark, sf_dir).withColumn(
         "text2", F.concat(F.col("text"), F.lit(" see http://example.com/d"),
@@ -6036,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_charset_statistical": _q_extract_charset_statistical,
         "extract_links": _q_extract_links,
         "language_id": _q_language_id,
+        "language_spans": _q_language_spans,
         "outlinks": _q_outlinks,
         "summary_500": _q_summary,
         "token_count": _q_token_count,
@@ -6350,6 +6376,19 @@ def oracle_sql() -> dict[str, str]:
             "chr(10) || chr(10) ELSE "
             "'Document ' || doc_id || chr(10) || text || chr(10) || "
             "chr(10) END AS text FROM documents"),
+        "language_spans": (
+            # pair-cycled langs: span g of doc id has lang
+            # LANGS[(id+g)%4] and min(2, k-2g) sentences, k = 2+id%3
+            "WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS k "
+            "FROM documents), "
+            "s AS (SELECT doc_id, k, gi FROM g CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 1)) AS gi) t "
+            "WHERE gi * 2 < k) "
+            "SELECT doc_id AS id, CAST(gi AS INT) AS span_idx, "
+            "CASE (doc_id + gi) % 4 WHEN 0 THEN 'en' "
+            "WHEN 1 THEN 'fr' WHEN 2 THEN 'de' ELSE 'es' END "
+            "AS lang, "
+            "LEAST(2, k - 2 * gi)::BIGINT AS n_sentences FROM s"),
         "language_id": (
             "SELECT 'doc://' || doc_id AS url, lang AS lang_pred "
             "FROM documents WHERE lang <> 'zh'"),
