@@ -4657,6 +4657,22 @@ def _q_export_wat_roundtrip(spark, sf_dir):
                "links_sig string")
 
 
+def _q_docs_host_boilerplate(spark, sf_dir):
+    """Host-conditioned boilerplate strip (curation.py
+    host_boilerplate_removal): per-source NAV/CONTACT furniture lines
+    injected on every page of a source must vanish (>= 3 pages of
+    that host carry them) while each page's own lines survive; the
+    oracle replays the (host, line) doc-count logic verbatim."""
+    from tika_spark.analysis.curation import host_boilerplate_removal
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.concat(F.lit("NAV "), F.col("source"), F.lit("\n"),
+                 F.col("text"), F.lit("\nCONTACT "),
+                 F.col("source")).alias("text"))
+    return host_boilerplate_removal(docs).select(
+        "doc_id", "n_lines", "n_boiler", "text_clean")
+
+
 def _q_docs_snapshot_delta(spark, sf_dir):
     """Incremental crawl-snapshot dedup: even-id docs play the prior
     corpus (fingerprint index only — 8/16-byte keys, no old text is
@@ -6221,6 +6237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_table_sink": _q_streaming_table_sink,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "export_wat_roundtrip": _q_export_wat_roundtrip,
+        "docs_host_boilerplate": _q_docs_host_boilerplate,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
         "events_asof_profile": _q_events_asof_profile,
@@ -8184,6 +8201,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(round(sum(lw) * 1000000) AS BIGINT) AS "
             "dsir_micro FROM b JOIN ratio USING (b) "
             "WHERE doc_id % 10 <> 0 GROUP BY doc_id"),
+        "docs_host_boilerplate": (
+            "WITH t AS (SELECT doc_id, source, "
+            "'NAV ' || source || chr(10) || text || chr(10) || "
+            "'CONTACT ' || source AS tx FROM documents), "
+            "p AS (SELECT doc_id, source, unnest(generate_series("
+            "1, len(l))) AS pos, unnest(l) AS para FROM (SELECT "
+            "doc_id, source, list_filter(string_split(tx, chr(10)), "
+            "x -> x <> '') AS l FROM t)), "
+            "c AS (SELECT source, para, count(DISTINCT doc_id) AS nd "
+            "FROM p GROUP BY 1, 2) "
+            "SELECT p.doc_id, count(*)::BIGINT AS n_lines, "
+            "sum(CASE WHEN c.nd >= 3 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_boiler, "
+            "coalesce(string_agg(CASE WHEN c.nd < 3 THEN p.para "
+            "END, chr(10) ORDER BY p.pos), '') AS text_clean "
+            "FROM p JOIN c USING (source, para) GROUP BY p.doc_id"),
         "export_wat_roundtrip": (
             # fixture links: a + img always, extra <a> on odd ids
             "SELECT 'doc://' || doc_id AS url, 'T' AS title, "

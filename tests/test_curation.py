@@ -666,3 +666,34 @@ class TestLmPerplexityKN:
         out = {r["id"]: r["nll_micro"]
                for r in lm_perplexity_kn(df).collect()}
         assert out[201] < out[200]
+
+
+class TestHostBoilerplate:
+    """Host-conditioned frequent-line removal."""
+
+    def test_furniture_stripped_per_host(self, spark):
+        from tika_spark.analysis.curation import \
+            host_boilerplate_removal
+        rows = [(i, "a.com", f"NAV BAR\nbody {i}\nFOOTER")
+                for i in range(3)]
+        rows += [(10, "b.com", "NAV BAR\nunique ten")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        out = {r.doc_id: r for r in
+               host_boilerplate_removal(df).collect()}
+        # a.com: NAV/FOOTER on 3 docs -> stripped, body survives
+        assert out[0].text_clean == "body 0"
+        assert (out[0].n_lines, out[0].n_boiler) == (3, 2)
+        # same NAV line on b.com appears once there -> kept
+        assert out[10].text_clean == "NAV BAR\nunique ten"
+        assert out[10].n_boiler == 0
+
+    def test_repeat_within_one_doc_not_boiler(self, spark):
+        from tika_spark.analysis.curation import \
+            host_boilerplate_removal
+        # the same line 3x in ONE doc is 1 distinct doc, not furniture
+        df = spark.createDataFrame(
+            [(1, "a.com", "x\nx\nx")],
+            "doc_id long, source string, text string")
+        r = host_boilerplate_removal(df).collect()[0]
+        assert r.n_boiler == 0 and r.text_clean == "x\nx\nx"

@@ -147,6 +147,43 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                      lambda s: s["para"])).alias("text_clean")))
 
 
+def host_boilerplate_removal(df: DataFrame, id_col: str = "doc_id",
+                             host_col: str = "source",
+                             text_col: str = "text",
+                             min_docs: int = 3) -> DataFrame:
+    """Host-conditioned boilerplate line removal — the within-site
+    complement of :func:`paragraph_dedup`: a line appearing on
+    ``min_docs``+ distinct pages OF THE SAME HOST is site furniture
+    (nav, cookie banner, footer) and is stripped from every page of
+    that host; the same line on another host is untouched (a
+    genuine quotation shared across sites is not furniture).
+
+    Emits (id, n_lines, n_boiler, text_clean) with surviving lines
+    in original order. Shuffle profile mirrors paragraph_dedup with
+    (host, hash64) keys: counts move 8-byte hashes with map-side
+    combine, the membership join is hash-to-hash, line text travels
+    once into the reassembly groupBy — never the full corpus twice.
+    """
+    paras = (df
+             .select(F.col(id_col), F.col(host_col).alias("__host"),
+                     F.posexplode(_nonempty_lines(F.col(text_col)))
+                     .alias("pos", "para"))
+             .withColumn("h", F.xxhash64("para")))
+    counts = (paras.select(id_col, "__host", "h").distinct()
+              .groupBy("__host", "h")
+              .agg(F.count("*").alias("n_docs")))
+    joined = paras.join(counts, ["__host", "h"])
+    boiler = F.col("n_docs") >= min_docs
+    return (joined
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum(boiler.cast("long")).alias("n_boiler"),
+                 F.concat_ws("\n", F.transform(
+                     F.array_sort(F.collect_list(F.when(
+                         ~boiler, F.struct("pos", "para")))),
+                     lambda s: s["para"])).alias("text_clean")))
+
+
 # --------------------------------------------- URL canonicalization --
 
 _TRACKING = "(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|mc_eid)"
