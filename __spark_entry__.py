@@ -4516,6 +4516,34 @@ def _q_table_merge_delete(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def _q_table_pruned_scan(spark, sf_dir):
+    """Iceberg-style file skipping (pipeline/table.py stats_cols +
+    read_where): four disjoint doc_id-range appends record per-file
+    min/max in the manifest; a range scan opens only overlapping
+    files (pruning pinned in tests/test_table.py) and the residual
+    filter makes the rows exactly match a full-scan filter."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="prunetab-")
+    shutil.rmtree(root)
+    try:
+        t = SnapshotTable.create(spark, root,
+                                 stats_cols=["doc_id"])
+        for k in range(4):
+            t.append(docs.filter(
+                (F.col("doc_id") >= k * 125)
+                & (F.col("doc_id") < (k + 1) * 125)).coalesce(1))
+        t.append(docs.filter(F.col("doc_id") >= 500).coalesce(1))
+        rows = [(int(r["doc_id"]), r["text"]) for r in
+                t.read_where("doc_id", 130, 260).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
 def _q_table_snapshot_reads(spark, sf_dir):
     """Snapshot-versioned table layer (pipeline/table.py — the
     Iceberg-style atomic-rename commit protocol): append evens,
@@ -6228,6 +6256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_zst_dict_train_roundtrip": _q_warc_zst_dict_train_roundtrip,
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_merge_delete": _q_table_merge_delete,
+        "table_pruned_scan": _q_table_pruned_scan,
         "html_structured_data": _q_html_structured_data,
         "unigram_seed_vocab": _q_unigram_seed_vocab,
         "unigram_train_pieces": _q_unigram_train_pieces,
@@ -8303,6 +8332,9 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS n_pieces, "
             "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)::BIGINT "
             "AS n_unk FROM s"),
+        "table_pruned_scan": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE doc_id BETWEEN 130 AND 260"),
         "table_merge_delete": (
             # upsert: %7==0 re-texted, 30 new ids; then delete %5==3
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "

@@ -305,3 +305,51 @@ class TestMergeDelete:
         t = SnapshotTable.create(spark, root, df)
         sid = t.delete_where(F.length("text") > 100)   # NULL for row 2
         assert t.read(sid).count() == 2
+
+
+class TestFileStats:
+    def test_stats_recorded_and_pruned(self, spark, root):
+        # 4 disjoint id-range files -> a narrow range scans 1 file
+        t = SnapshotTable.create(spark, root, stats_cols=["doc_id"])
+        for lo in (0, 100, 200, 300):
+            t.append(_docs(spark, lo, lo + 100).coalesce(1))
+        m = t._manifest(t.current_snapshot())
+        assert all("stats" in f and "doc_id" in f["stats"]
+                   for f in m["files"])
+        kept, total = t.prune_files("doc_id", 150, 160)
+        assert total == 4 and len(kept) == 1
+        got = t.read_where("doc_id", 150, 160)
+        assert got.count() == 11
+        assert got.agg({"doc_id": "min"}).collect()[0][0] == 150
+
+    def test_read_where_matches_full_filter(self, spark, root):
+        t = SnapshotTable.create(spark, root, stats_cols=["doc_id"])
+        for lo in (0, 50):
+            t.append(_docs(spark, lo, lo + 50).coalesce(1))
+        a = sorted(r.doc_id for r in
+                   t.read_where("doc_id", 30, 70).collect())
+        b = sorted(r.doc_id for r in t.read()
+                   .filter("doc_id between 30 and 70").collect())
+        assert a == b
+
+    def test_stats_survive_load_and_merge(self, spark, root):
+        t = SnapshotTable.create(spark, root,
+                                 _docs(spark, 0, 100).coalesce(1),
+                                 stats_cols=["doc_id"])
+        t2 = SnapshotTable.load(spark, root)
+        assert t2.stats_cols == ["doc_id"]
+        src = spark.range(200, 210).selectExpr(
+            "id AS doc_id", "concat('new-', id) AS text")
+        sid = t2.merge(src, ["doc_id"])
+        m = t2._manifest(sid)
+        news = [f for f in m["files"] if "stats" in f]
+        assert news      # merged-in files carry stats too
+        kept, total = t2.prune_files("doc_id", 205, 206)
+        assert len(kept) < total
+
+    def test_no_stats_table_keeps_all_files(self, spark, root):
+        t = SnapshotTable.create(spark, root,
+                                 _docs(spark, 0, 100).coalesce(1))
+        kept, total = t.prune_files("doc_id", 5, 6)
+        assert len(kept) == total        # conservatively unpruned
+        assert t.read_where("doc_id", 5, 6).count() == 2

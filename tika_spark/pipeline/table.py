@@ -81,10 +81,15 @@ def _fs_for(spark: SparkSession, path: str):
 class SnapshotTable:
     """Handle on a snapshot-versioned parquet table at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 stats_cols: list[str] | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._fs, self._hroot, self._jvm = _fs_for(spark, self.root)
+        # columns whose per-file min/max land in every manifest entry
+        # (Iceberg-style file statistics → scan pruning); persisted
+        # per manifest and restored by load()
+        self.stats_cols: list[str] = list(stats_cols or [])
 
     # ------------------------------------------------------ plumbing
 
@@ -127,11 +132,15 @@ class SnapshotTable:
 
     @classmethod
     def create(cls, spark: SparkSession, root: str,
-               df: DataFrame | None = None) -> "SnapshotTable":
+               df: DataFrame | None = None,
+               stats_cols: list[str] | None = None
+               ) -> "SnapshotTable":
         """New table at ``root`` (must not already hold one). With
         ``df``, snapshot 1 is an append of it; else the table starts
-        empty and schemaless until the first append."""
-        t = cls(spark, root)
+        empty and schemaless until the first append. ``stats_cols``
+        opts columns into per-file min/max statistics (see
+        :meth:`read_where`)."""
+        t = cls(spark, root, stats_cols)
         if t._snapshot_ids():
             raise ValueError(f"table already exists at {root}")
         t._fs.mkdirs(t._path("data"))
@@ -145,6 +154,8 @@ class SnapshotTable:
         t = cls(spark, root)
         if not t._snapshot_ids():
             raise ValueError(f"no snapshot table at {root}")
+        t.stats_cols = list(
+            t._manifest(t.current_snapshot()).get("stats_cols", []))
         return t
 
     def current_snapshot(self) -> int:
@@ -180,6 +191,53 @@ class SnapshotTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def prune_files(self, col: str, lo=None, hi=None,
+                    snapshot_id: int | None = None
+                    ) -> tuple[list[str], int]:
+        """Manifest-level file pruning: data-file paths of the
+        snapshot whose [min, max] range for ``col`` overlaps
+        [lo, hi] (either bound may be None = unbounded). Files
+        without recorded stats are conservatively kept. Returns
+        (kept_paths, n_total) — pure metadata, no Spark job."""
+        sid = (self.current_snapshot() if snapshot_id is None
+               else snapshot_id)
+        m = self._manifest(sid)
+        kept = []
+        for f in m["files"]:
+            st = (f.get("stats") or {}).get(col)
+            if st is not None and st[0] is not None:
+                fmin, fmax = st
+                if (hi is not None and fmin > hi) or \
+                        (lo is not None and fmax < lo):
+                    continue
+            kept.append(self.root + "/" + f["path"])
+        return kept, len(m["files"])
+
+    def read_where(self, col: str, lo=None, hi=None,
+                   snapshot_id: int | None = None) -> DataFrame:
+        """Range scan with Iceberg-style file skipping: only data
+        files whose manifest min/max for ``col`` overlap [lo, hi]
+        are opened (:meth:`prune_files`), then the exact residual
+        filter applies row-level — so the result is identical to
+        ``read().filter(...)`` while the scan touches a fraction of
+        the files when the table is clustered on ``col`` (e.g.
+        time-ordered appends pruned by date range)."""
+        sid = (self.current_snapshot() if snapshot_id is None
+               else snapshot_id)
+        m = self._manifest(sid)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        paths, _ = self.prune_files(col, lo, hi, sid)
+        if not paths:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)
 
     def incremental(self, from_id: int,
                     to_id: int | None = None) -> DataFrame:
@@ -223,17 +281,34 @@ class SnapshotTable:
         self._fs.delete(self._path(stage_rel), True)
         if moved:
             paths = [self.root + "/" + rel for rel, _ in moved]
-            counts = {
-                posixpath.basename(r["f"]): r["count"]
-                for r in self.spark.read.parquet(*paths)
-                .groupBy(F.input_file_name().alias("f")).count()
-                .collect()}
+            scan = self.spark.read.parquet(*paths)
+            stat_cols = [c for c in self.stats_cols
+                         if c in scan.columns]
+            aggs = [F.count("*").alias("count")]
+            for c in stat_cols:
+                aggs += [F.min(c).alias(f"__min_{c}"),
+                         F.max(c).alias(f"__max_{c}")]
+            # one metadata-scale job covers rows AND min/max stats
+            per_file = {
+                posixpath.basename(r["f"]): r
+                for r in scan.groupBy(F.input_file_name().alias("f"))
+                .agg(*aggs).collect()}
+
+            def _jsonable(v):
+                return v if isinstance(
+                    v, (int, float, str, bool, type(None))) else str(v)
+
             for rel, size in moved:
-                entries.append({
-                    "path": rel,
-                    "rows": int(counts.get(posixpath.basename(rel),
-                                           0)),
-                    "bytes": int(size)})
+                r = per_file.get(posixpath.basename(rel))
+                entry = {"path": rel,
+                         "rows": int(r["count"]) if r else 0,
+                         "bytes": int(size)}
+                if r is not None and stat_cols:
+                    entry["stats"] = {
+                        c: [_jsonable(r[f"__min_{c}"]),
+                            _jsonable(r[f"__max_{c}"])]
+                        for c in stat_cols}
+                entries.append(entry)
         return entries
 
     def _commit(self, operation: str, files: list[dict],
@@ -252,6 +327,7 @@ class SnapshotTable:
                 "operation": operation,
                 "ts": time.time(),
                 "schema": schema_json,
+                "stats_cols": self.stats_cols,
                 "files": files,
                 "summary": summary or {},
             }
