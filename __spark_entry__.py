@@ -4516,6 +4516,20 @@ def _q_table_merge_delete(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def _q_table_zorder_key(spark, sf_dir):
+    """Z-order clustering key (pipeline/table.py zorder_key): doc_id
+    and n_chars range-scale to 8 bits off one broadcast stats row and
+    interleave into a Morton key — integer arithmetic end to end, so
+    the oracle rebuilds every bit. Writing sorted by this key makes
+    read_where's file skipping work on BOTH columns (pinned in
+    tests/test_table.py)."""
+    from tika_spark.pipeline.table import zorder_key
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    return zorder_key(docs, ["doc_id", "n_chars"], bits=8).select(
+        "doc_id", "zkey")
+
+
 def _q_table_pruned_scan(spark, sf_dir):
     """Iceberg-style file skipping (pipeline/table.py stats_cols +
     read_where): four disjoint doc_id-range appends record per-file
@@ -6257,6 +6271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_merge_delete": _q_table_merge_delete,
         "table_pruned_scan": _q_table_pruned_scan,
+        "table_zorder_key": _q_table_zorder_key,
         "html_structured_data": _q_html_structured_data,
         "unigram_seed_vocab": _q_unigram_seed_vocab,
         "unigram_train_pieces": _q_unigram_train_pieces,
@@ -6309,6 +6324,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _WS = r"'\s+'"
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# 8-bit Morton interleave of x (odd bit lanes) and y (even lanes)
+_Z_INTERLEAVE = " | ".join(
+    f"(((x >> {b}) & 1) << {2 * b + 1}) | "
+    f"(((y >> {b}) & 1) << {2 * b})"
+    for b in range(8))
 # FNV-1a 64 fold for one token, h as HUGEINT (DuckDB ints are checked,
 # so h*p mod 2^64 is decomposed: p = 2^40 + 435, and the xor with a
 # 7-bit char only touches h's low byte)
@@ -8335,6 +8356,16 @@ def oracle_sql() -> dict[str, str]:
         "table_pruned_scan": (
             "SELECT doc_id, text FROM documents "
             "WHERE doc_id BETWEEN 130 AND 260"),
+        "table_zorder_key": (
+            "WITH s AS (SELECT min(doc_id) AS mna, max(doc_id) AS "
+            "mxa, min(n_chars) AS mnb, max(n_chars) AS mxb "
+            "FROM documents), "
+            "v AS (SELECT doc_id, CASE WHEN mxa > mna THEN "
+            "(doc_id - mna) * 255 // (mxa - mna) ELSE 0 END AS x, "
+            "CASE WHEN mxb > mnb THEN (n_chars - mnb) * 255 // "
+            "(mxb - mnb) ELSE 0 END AS y FROM documents, s) "
+            f"SELECT doc_id, ({_Z_INTERLEAVE})::BIGINT AS zkey "
+            "FROM v"),
         "table_merge_delete": (
             # upsert: %7==0 re-texted, 30 new ids; then delete %5==3
             "WITH m AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "

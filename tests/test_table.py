@@ -353,3 +353,48 @@ class TestFileStats:
         kept, total = t.prune_files("doc_id", 5, 6)
         assert len(kept) == total        # conservatively unpruned
         assert t.read_where("doc_id", 5, 6).count() == 2
+
+
+class TestZOrder:
+    def test_zkey_interleave_exact(self, spark):
+        from tika_spark.pipeline.table import zorder_key
+        # x,y in [0,3], bits=2: scaled value == raw value; morton
+        # interleave is x1 y1 x0 y0
+        df = spark.createDataFrame(
+            [(x, y) for x in range(4) for y in range(4)],
+            "a long, b long")
+        out = {(r.a, r.b): r.zkey
+               for r in zorder_key(df, ["a", "b"], bits=2).collect()}
+        def morton(x, y):
+            z = 0
+            for b in range(2):
+                z |= ((x >> b) & 1) << (2 * b + 1)
+                z |= ((y >> b) & 1) << (2 * b)
+            return z
+        assert out == {(x, y): morton(x, y)
+                       for x in range(4) for y in range(4)}
+        # locality: the four quadrant corners sort into quadrants
+        assert out[(0, 0)] < out[(0, 3)] < out[(3, 0)] < out[(3, 3)]
+
+    def test_zorder_write_prunes_both_columns(self, spark, tmp_path):
+        from tika_spark.pipeline.table import (SnapshotTable,
+                                               zorder_key)
+        df = spark.createDataFrame(
+            [(i, (i * 7919) % 256, i % 256) for i in range(1024)],
+            "doc_id long, a long, b long")
+        z = (zorder_key(df, ["a", "b"], bits=8)
+             .repartitionByRange(4, "zkey")
+             .sortWithinPartitions("zkey").drop("zkey"))
+        root = str(tmp_path / "ztab")
+        t = SnapshotTable.create(spark, root, z,
+                                 stats_cols=["a", "b"])
+        ka, na = t.prune_files("a", 0, 40)
+        kb, nb = t.prune_files("b", 0, 40)
+        assert na == nb >= 4
+        # a z-ordered layout prunes on BOTH dimensions
+        assert len(ka) < na and len(kb) < nb
+        # and the scans stay exact
+        assert t.read_where("a", 0, 40).count() == \
+            df.filter("a between 0 and 40").count()
+        assert t.read_where("b", 0, 40).count() == \
+            df.filter("b between 0 and 40").count()

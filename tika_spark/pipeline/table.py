@@ -67,6 +67,49 @@ _SNAP_FMT = "snap-%08d.json"
 _COMMIT_RETRIES = 20
 
 
+def zorder_key(df: DataFrame, cols: list[str],
+               bits: int = 16) -> DataFrame:
+    """Append a Z-order (Morton) clustering key over two numeric
+    columns: each value is range-scaled to ``bits`` bits with the
+    column's global min/max (one broadcast stats row), then the bits
+    interleave into ``zkey``. Writing a table sorted by ``zkey``
+    clusters BOTH dimensions, so :meth:`SnapshotTable.read_where`'s
+    min/max file skipping works on either column — the multi-column
+    layout trick behind Delta/Iceberg OPTIMIZE ZORDER.
+
+    All arithmetic is integer (``(v - min) * (2^bits - 1) div
+    (max - min)`` and shift/mask interleaving), so the key is
+    bit-exact across engines. Scale: one scalar aggregate + a
+    map-only projection; the clustering sort itself is whatever the
+    caller does with the key (repartitionByRange + sortWithin).
+    """
+    if len(cols) != 2:
+        raise ValueError("zorder_key: exactly two columns")
+    top = (1 << bits) - 1
+    stats = df.agg(*[f(c).cast("long").alias(f"__{n}_{c}")
+                     for c in cols
+                     for n, f in (("mn", F.min), ("mx", F.max))])
+    out = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        scaled.append(F.when(
+            mx > mn,
+            F.expr(f"(cast({c} as bigint) - __mn_{c}) * {top} "
+                   f"div (__mx_{c} - __mn_{c})"))
+            .otherwise(F.lit(0)).cast("long"))
+    x, y = scaled
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)),
+                        2 * b + 1)).bitwiseOR(
+            F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)),
+                        2 * b))
+    return out.withColumn("zkey", z).drop(
+        *[f"__{n}_{c}" for c in cols for n in ("mn", "mx")])
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the same snapshot id repeatedly."""
 
