@@ -4107,6 +4107,24 @@ def _q_docs_lm_perplexity(spark, sf_dir):
         "id", "n_bigrams", "nll_micro")
 
 
+def _q_docs_blocklist(spark, sf_dir):
+    """C4 bad-word page filter (curation.blocklist_filter): injected
+    blockterms on id%4==0 / id%6==0 rows must be caught by the single
+    compiled word-boundary alternation; the oracle replays the same
+    regex on the same constructed text."""
+    from tika_spark.analysis.curation import blocklist_filter
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" Blockterm here")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(" otherbad twice otherbad"))
+            .otherwise(F.lit(""))).alias("text"))
+    return blocklist_filter(docs, ["blockterm", "otherbad"])
+
+
 def _q_docs_lm_perplexity_kn(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity (curation.py
     lm_perplexity_kn — the smoothing the real CCNet/KenLM stack
@@ -6260,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": _q_embedding_random_projection,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_lm_perplexity_kn": _q_docs_lm_perplexity_kn,
+        "docs_blocklist": _q_docs_blocklist,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
         "docs_c4_rules": _q_docs_c4_rules,
@@ -8050,6 +8069,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_docs, n_tokens, share_micro, "
             "round(s_tau / z * 1000000)::BIGINT AS weight_micro "
             "FROM s, z"),
+        "docs_blocklist": (
+            "WITH t AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 4 = 0 THEN ' Blockterm here' "
+            "ELSE '' END || CASE WHEN doc_id % 6 = 0 THEN "
+            "' otherbad twice otherbad' ELSE '' END AS tx "
+            "FROM documents) "
+            "SELECT doc_id AS id, len(regexp_extract_all(lower(tx), "
+            "'\\b(blockterm|otherbad)\\b'))::BIGINT AS n_matches, "
+            "len(regexp_extract_all(lower(tx), "
+            "'\\b(blockterm|otherbad)\\b')) = 0 AS keep FROM t"),
         "docs_lm_perplexity_kn": (
             # interpolated KN: (c2-D)/c1 + D*N1+(w1,*)/c1*N1+(*,w2)/T
             "WITH t AS (SELECT doc_id AS id, regexp_split_to_array("

@@ -697,3 +697,36 @@ class TestHostBoilerplate:
             "doc_id long, source string, text string")
         r = host_boilerplate_removal(df).collect()[0]
         assert r.n_boiler == 0 and r.text_clean == "x\nx\nx"
+
+
+class TestBlocklist:
+    def test_word_boundary_and_case(self, spark):
+        from tika_spark.analysis.curation import blocklist_filter
+        df = spark.createDataFrame(
+            [(1, "a BAD word"), (2, "embadded inside"),
+             (3, "clean text"), (4, "bad bad bad")],
+            "doc_id long, text string")
+        out = {r.id: r for r in
+               blocklist_filter(df, ["bad"]).collect()}
+        assert (out[1].n_matches, out[1].keep) == (1, False)
+        assert (out[2].n_matches, out[2].keep) == (0, True)  # \b
+        assert out[3].keep is True
+        assert out[4].n_matches == 3
+
+    def test_empty_terms_keeps_all(self, spark):
+        from tika_spark.analysis.curation import blocklist_filter
+        df = spark.createDataFrame([(1, "x")],
+                                   "doc_id long, text string")
+        r = blocklist_filter(df, []).collect()[0]
+        assert r.keep is True and r.n_matches == 0
+
+    def test_regex_metachars_escaped(self, spark):
+        # terms are words (C4 semantics, \b edges); interior regex
+        # metachars must be literal, not wildcards
+        from tika_spark.analysis.curation import blocklist_filter
+        df = spark.createDataFrame(
+            [(1, "uses v1.0 today"), (2, "uses v1a0 today")],
+            "doc_id long, text string")
+        out = {r.id: r.n_matches for r in
+               blocklist_filter(df, ["v1.0"]).collect()}
+        assert out[1] == 1 and out[2] == 0   # '.' not a wildcard

@@ -649,6 +649,35 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
                     .alias("nll_micro")))
 
 
+def blocklist_filter(df: DataFrame, terms: list[str],
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4-style bad-word page filter (Raffel et al. 2020 §2.2 drops
+    any page containing a blocklisted word; :func:`c4_rules`
+    deliberately ships no wordlist — this is the slot). Terms match
+    case-insensitively on word boundaries; the whole list compiles
+    into ONE alternation regex evaluated inside codegen, so the scan
+    stays map-only regardless of list size (a 1000-term list is one
+    compiled automaton per task, not 1000 predicates).
+
+    Emits (id, n_matches, keep): occurrence count plus the C4
+    verdict (keep iff zero matches).
+    """
+    import re as _re
+    if not terms:
+        return df.select(F.col(id_col).alias("id"),
+                         F.lit(0).cast("long").alias("n_matches"),
+                         F.lit(True).alias("keep"))
+    pat = r"\b(" + "|".join(
+        _re.escape(t.lower()) for t in sorted(set(terms))) + r")\b"
+    hits = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(pat), 0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(hits).cast("long").alias("n_matches"),
+        (F.size(hits) == 0).alias("keep"))
+
+
 def lm_perplexity_kn(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      discount: float = 0.75) -> DataFrame:
