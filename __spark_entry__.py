@@ -5254,6 +5254,45 @@ def _q_media_mp4_bframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_opus_packet_stats(spark, sf_dir):
+    """Ogg Opus TOC walk (oggdemux.opus_packet_stats): duration and
+    SILK/hybrid/CELT mode census from packet headers alone — the
+    metadata tier for the codec whose sample decode is the
+    documented hook. Fixture packets cycle all 32 TOC configs; the
+    oracle rebuilds the RFC 6716 frame-duration table."""
+    from collections.abc import Iterator
+
+    from tika_spark.analysis.oggdemux import (ogg_wrap,
+                                              opus_packet_stats)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                head = (b"OpusHead" + bytes([1, 1 + i % 2])
+                        + (312).to_bytes(2, "little")
+                        + (48000).to_bytes(4, "little")
+                        + b"\x00\x00\x00")
+                tags = (b"OpusTags" + (4).to_bytes(4, "little")
+                        + b"spk!" + (0).to_bytes(4, "little"))
+                pkts = [head, tags]
+                for k in range(3 + i % 3):
+                    pkts.append(bytes([((i + k) % 32) << 3]))
+                st = opus_packet_stats(ogg_wrap(pkts))
+                rows.append((i, st["n_packets"], st["duration_ms"],
+                             st["n_silk"], st["n_hybrid"],
+                             st["n_celt"], st["channels"]))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_packets", "duration_ms", "n_silk",
+                "n_hybrid", "n_celt", "channels"])
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        run, schema=("id long, n_packets long, duration_ms long, "
+                     "n_silk long, n_hybrid long, n_celt long, "
+                     "channels long"))
+
+
 def _q_mkv_subtitle_text(spark, sf_dir):
     """Subtitle text mined out of video containers: the EBML walk
     finds S_TEXT tracks and recovers cues with cluster+block timing
@@ -6184,6 +6223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "audio_neardup_pairs": _q_audio_neardup_pairs,
         "mkv_subtitle_text": _q_mkv_subtitle_text,
+        "media_opus_packet_stats": _q_media_opus_packet_stats,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6618,6 +6658,28 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "media_opus_packet_stats": (
+            # RFC 6716 table: SILK {10,20,40,60}, hybrid {10,20},
+            # CELT {2.5,5,10,20} ms; one 1-frame packet per config
+            "WITH p AS (SELECT doc_id, (doc_id + k) % 32 AS c "
+            "FROM documents CROSS JOIN (SELECT unnest("
+            "generate_series(0, 4)) AS k) t "
+            "WHERE k < 3 + doc_id % 3), "
+            "u AS (SELECT doc_id, c, CASE WHEN c < 12 THEN "
+            "([10000,20000,40000,60000])[(c % 4) + 1] "
+            "WHEN c < 16 THEN ([10000,20000])[(c % 2) + 1] "
+            "ELSE ([2500,5000,10000,20000])[((c - 16) % 4) + 1] "
+            "END AS us FROM p) "
+            "SELECT doc_id AS id, count(*)::BIGINT AS n_packets, "
+            "(SUM(us) // 1000)::BIGINT AS duration_ms, "
+            "SUM(CASE WHEN c < 12 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_silk, "
+            "SUM(CASE WHEN c >= 12 AND c < 16 THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_hybrid, "
+            "SUM(CASE WHEN c >= 16 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_celt, "
+            "(1 + doc_id % 2)::BIGINT AS channels "
+            "FROM u GROUP BY doc_id"),
         "mkv_subtitle_text": (
             # n = 3 + id%2 cues; start = 40000k + (id%7)*10,
             # duration 800 + 100*(k%3); markup stripped to spaces

@@ -132,3 +132,30 @@ class TestPipeline:
             assert r.sample_rate == 8000 * (1 + i % 3)
             assert r.n_samples == 512 + (i % 4) * 256
             assert r.n_channels == 1 + i % 2
+
+class TestOpusPacketStats:
+    def test_toc_walk(self):
+        from tika_spark.analysis.oggdemux import (ogg_wrap,
+                                                  opus_packet_stats)
+        head = (b"OpusHead" + bytes([1, 2])
+                + (312).to_bytes(2, "little")
+                + (48000).to_bytes(4, "little") + b"\x00\x00\x00")
+        tags = (b"OpusTags" + (1).to_bytes(4, "little") + b"v"
+                + (0).to_bytes(4, "little"))
+        pkts = [head, tags,
+                bytes([(1 << 3)]),           # SILK 20 ms, code 0
+                bytes([(13 << 3) | 1]),      # hybrid 20 ms x2 frames
+                bytes([(16 << 3) | 3, 4]),   # CELT 2.5 ms x4 frames
+                bytes([(19 << 3)])]          # CELT 20 ms
+        st = opus_packet_stats(ogg_wrap(pkts))
+        assert st["n_packets"] == 4
+        assert st["duration_ms"] == 20 + 40 + 10 + 20
+        assert (st["n_silk"], st["n_hybrid"], st["n_celt"]) == (1, 1, 2)
+        assert st["channels"] == 2 and st["pre_skip"] == 312
+
+    def test_requires_opus(self):
+        import pytest
+        from tika_spark.analysis.oggdemux import (OggError, ogg_wrap,
+                                                  opus_packet_stats)
+        with pytest.raises(OggError):
+            opus_packet_stats(ogg_wrap([b"\x01vorbis" + b"\x00" * 24]))

@@ -164,6 +164,59 @@ def ogg_info(data: bytes) -> list[dict]:
     return infos
 
 
+def _opus_frame_us(config: int) -> int:
+    """Frame duration in µs for an Opus TOC config (RFC 6716 §3.1):
+    configs 0-11 SILK {10,20,40,60} ms, 12-15 hybrid {10,20} ms,
+    16-31 CELT {2.5,5,10,20} ms."""
+    if config < 12:
+        return (10_000, 20_000, 40_000, 60_000)[config % 4]
+    if config < 16:
+        return (10_000, 20_000)[config % 2]
+    return (2_500, 5_000, 10_000, 20_000)[(config - 16) % 4]
+
+
+def opus_packet_stats(data: bytes) -> dict:
+    """Duration and mode census of an Ogg Opus stream WITHOUT
+    decoding (RFC 6716 TOC walk — the metadata tier for the one
+    codec whose sample decode stays a documented hook): per packet,
+    config selects the mode (SILK/hybrid/CELT) and frame duration,
+    the frame-count code selects 1/2/N frames (code 3 reads the
+    count byte). Returns {n_packets, duration_ms, n_silk, n_hybrid,
+    n_celt, channels, pre_skip}."""
+    streams = ogg_packets(data)
+    for serial, packets in streams.items():
+        if packets and identify(packets[0]) == "opus":
+            break
+    else:
+        raise OggError("no Opus stream")
+    head = packets[0]
+    out = {"n_packets": 0, "duration_ms": 0, "n_silk": 0,
+           "n_hybrid": 0, "n_celt": 0,
+           "channels": head[9] if len(head) > 9 else 0,
+           "pre_skip": (int.from_bytes(head[10:12], "little")
+                        if len(head) >= 12 else 0)}
+    total_us = 0
+    for pkt in packets[2:]:            # skip OpusHead + OpusTags
+        if not pkt:
+            continue
+        toc = pkt[0]
+        config = toc >> 3
+        code = toc & 3
+        if code == 0:
+            frames = 1
+        elif code in (1, 2):
+            frames = 2
+        else:
+            frames = (pkt[1] & 0x3F) if len(pkt) > 1 else 0
+        out["n_packets"] += 1
+        total_us += frames * _opus_frame_us(config)
+        key = ("n_silk" if config < 12
+               else "n_hybrid" if config < 16 else "n_celt")
+        out[key] += 1
+    out["duration_ms"] = total_us // 1000
+    return out
+
+
 def _comments(body: bytes) -> dict:
     """Vorbis-comment block → {'vendor': ..., 'tags': {...}}."""
     try:
