@@ -170,6 +170,20 @@ def _ops(args):
         from tika_spark.analysis.unigram import unigram_train
         return unigram_train(d, vocab_size=args.vocab_size)
 
+    def perplexity_kn(d):
+        return curation.lm_perplexity_kn(d)
+
+    def host_boiler(d):
+        return curation.host_boilerplate_removal(d)
+
+    def blocklist_op(d):
+        return curation.blocklist_filter(
+            d, [t for t in (args.terms or "").split(",") if t])
+
+    def lang_spans_op(d):
+        from tika_spark.language.spans import language_spans
+        return language_spans(d)
+
     # webgraph ops: input is an extraction output table carrying the
     # `links` column (url, links), not the documents table
     def pagerank_op(d):
@@ -205,6 +219,10 @@ def _ops(args):
         "html-tables": tables_op,
         "structured-data": structdata_op,
         "unigram-train": unigram_op,
+        "perplexity-kn": perplexity_kn,
+        "host-boilerplate": host_boiler,
+        "blocklist": blocklist_op,
+        "language-spans": lang_spans_op,
     }
 
 
@@ -269,6 +287,8 @@ def main(argv=None):
     p.add_argument("--vocab-size", type=int, default=64,
                    dest="vocab_size",
                    help="unigram-LM vocab target (unigram-train)")
+    p.add_argument("--terms", default="",
+                   help="comma-separated blockterms (blocklist)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
