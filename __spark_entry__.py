@@ -4137,6 +4137,20 @@ def _q_docs_lm_perplexity_kn(spark, sf_dir):
         "id", "n_bigrams", "nll_micro")
 
 
+def _q_embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per anchor,
+    the top-5 most-similar vectors OUTSIDE its cluster (arithmetic
+    clusters vec_id%50), from a 16-deep candidate list with self and
+    same-cluster hits discarded then re-ranked — the contrastive-
+    training pair miner; the oracle replays candidate cut, exclusion,
+    and re-rank exactly."""
+    from tika_spark.analysis.similarity import hard_negatives
+    emb = _emb(spark, sf_dir)
+    clusters = emb.select("vec_id",
+                          (F.col("vec_id") % 50).alias("cluster"))
+    return hard_negatives(emb, clusters, k=5)
+
+
 def _q_embedding_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss shrink (similarity.random_projection):
     64-dim embeddings × a seeded ±1 Rademacher matrix (md5-parity
@@ -6316,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "embedding_random_projection": _q_embedding_random_projection,
+        "embedding_hard_negatives": _q_embedding_hard_negatives,
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_lm_perplexity_kn": _q_docs_lm_perplexity_kn,
         "docs_blocklist": _q_docs_blocklist,
@@ -8209,6 +8224,25 @@ def oracle_sql() -> dict[str, str]:
             "(tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/avgdl)))"
             ") * 1000000)::BIGINT AS score_micro "
             "FROM d, s WHERE tf0 + tf1 + tf2 > 0"),
+        "embedding_hard_negatives": (
+            # candidate cut at 16 (incl. self) by (sim desc, id),
+            # drop self + same cluster (id%50), re-rank, keep 5
+            "WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] "
+            "AS qv, vec_id % 50 AS ca FROM embeddings), "
+            "b AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS bv, "
+            "vec_id % 50 AS cb FROM embeddings), "
+            "s AS (SELECT qid, nid, ca, cb, CAST(round("
+            "list_cosine_similarity(qv, bv) * 1000000) AS BIGINT) "
+            "AS sim FROM q CROSS JOIN b), "
+            "r0 AS (SELECT qid, nid, ca, cb, sim, row_number() "
+            "OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) "
+            "AS r FROM s), "
+            "f AS (SELECT qid, nid, sim FROM r0 WHERE r <= 16 "
+            "AND nid <> qid AND ca <> cb), "
+            "rr AS (SELECT qid AS query_id, nid AS neg_id, sim AS "
+            "sim_micro, row_number() OVER (PARTITION BY qid "
+            "ORDER BY sim DESC, nid ASC)::BIGINT AS neg_rank "
+            "FROM f) SELECT * FROM rr WHERE neg_rank <= 5"),
         "embedding_random_projection": (
             # sign(i,j) = -1 iff first hex digit of md5('i:j:rp')
             # is odd; proj[j] = sum_i v[i+1]*sign(i,j)

@@ -84,3 +84,22 @@ def test_random_projection_exact_and_jl(spark):
     proj = [float(out[i] @ out[j]) / 8 for i, j in
             [(0, 1), (2, 3), (4, 5), (6, 7)]]
     assert np.corrcoef(orig, proj)[0, 1] > 0.5
+
+
+def test_hard_negatives_excludes_cluster_and_self(spark):
+    from tika_spark.analysis.similarity import hard_negatives
+    # 1D embeddings on a line: similarity order == proximity order
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    clusters = spark.createDataFrame(
+        [(i, i // 2) for i in range(8)], "vec_id long, cluster long")
+    out = [(r.neg_id, r.neg_rank) for r in
+           hard_negatives(emb, clusters, k=3).collect()
+           if r.query_id == 0]
+    ids = [n for n, _ in out]
+    assert 0 not in ids        # self excluded
+    assert 1 not in ids        # cluster-mate excluded
+    assert len(out) == 3 and [r for _, r in out] == [1, 2, 3]
+    # nearest non-cluster vector is the top hard negative
+    assert ids[0] == 2

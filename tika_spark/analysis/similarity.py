@@ -575,6 +575,49 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, k: int = 10,
     return _exact_rerank(shortlist, base, queries, k, id_col, vec_col)
 
 
+# --------------------------------------- hard-negative mining ------
+
+
+def hard_negatives(emb: DataFrame, clusters: DataFrame, k: int = 5,
+                   overfetch: int | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   cluster_col: str = "cluster") -> DataFrame:
+    """Mine hard negatives for contrastive embedding training: for
+    each anchor, the top-``k`` most-similar vectors that are NOT in
+    the anchor's duplicate/semantic cluster (``clusters`` = (id,
+    cluster), e.g. from dedup_clusters or semdedup). High-similarity
+    non-duplicates are exactly the negatives a contrastive loss
+    learns most from (e.g. Karpukhin et al. 2020, DPR).
+
+    Candidates come from an ``overfetch``-deep top list (default 3k
+    + 1; the +1 absorbs self) so same-cluster hits can be discarded
+    without emptying the pool; survivors re-rank per anchor. This
+    exact form (brute-force candidates) is the oracle twin — at
+    corpus scale swap the candidate stage for lsh_topk/ivfpq_topk
+    with the same overfetch, the exclusion join is unchanged.
+
+    Emits (query_id, neg_id, sim_micro, neg_rank).
+    """
+    nf = (overfetch if overfetch is not None else 3 * k) + 1
+    cand = brute_force_topk(emb, emb, k=nf, id_col=id_col,
+                            vec_col=vec_col)
+    a = clusters.select(F.col(id_col).alias("query_id"),
+                        F.col(cluster_col).alias("__ca"))
+    b = clusters.select(F.col(id_col),
+                        F.col(cluster_col).alias("__cb"))
+    out = (cand.join(a, "query_id").join(b, id_col)
+           .filter((F.col("query_id") != F.col(id_col))
+                   & (F.col("__ca") != F.col("__cb"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_micro"), F.asc(id_col))
+    return (out.withColumn("neg_rank",
+                           F.row_number().over(w).cast("long"))
+            .filter(F.col("neg_rank") <= k)
+            .select("query_id", F.col(id_col).alias("neg_id"),
+                    "sim_micro", "neg_rank"))
+
+
 # ------------------------------------- random projection (JL) ------
 
 
