@@ -4187,6 +4187,18 @@ def _q_hybrid_search_rrf(spark, sf_dir):
                        k=20, depth=50)
 
 
+def _q_bm25_indexed_search(spark, sf_dir):
+    """Index-once/query-many BM25 (textstats.inverted_index +
+    bm25_indexed): the query touches only its terms' postings rows —
+    no corpus rescan, unlike bm25_search's single-scan form.
+    Per-term contributions round to micro-units before the per-doc
+    sum so the aggregation is order-independent and hash-exact."""
+    from tika_spark.analysis.textstats import (bm25_indexed,
+                                               inverted_index)
+    postings, doclens = inverted_index(_docs(spark, sf_dir))
+    return bm25_indexed(postings, doclens, "hash join spark")
+
+
 def _q_docs_token_budget(spark, sf_dir):
     """Global greedy token-budget selection ("best 15k tokens of the
     corpus" by n_chars score): the scalable two-phase prefix sum —
@@ -6328,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_token_budget": _q_docs_token_budget,
         "bm25_search": _q_bm25_search,
+        "bm25_indexed_search": _q_bm25_indexed_search,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "embedding_random_projection": _q_embedding_random_projection,
         "embedding_hard_negatives": _q_embedding_hard_negatives,
@@ -8257,6 +8270,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE i < len(v) GROUP BY id, j) "
             "SELECT id, CAST(j AS INT) AS dim, "
             "round(val * 1000000)::BIGINT AS val_micro FROM c"),
+        "bm25_indexed_search": (
+            # postings-only scoring; per-term micro rounding before
+            # the per-doc sum (order-independent)
+            "WITH b0 AS (SELECT doc_id AS id, "
+            "list_transform(regexp_split_to_array(trim(text), "
+            "'\\s+'), y -> lower(y)) AS w FROM documents), "
+            "dl AS (SELECT id, len(w)::BIGINT AS dl FROM b0), "
+            "p AS (SELECT id, x AS term, count(*)::BIGINT AS tf "
+            "FROM (SELECT id, unnest(w) AS x FROM b0) "
+            "WHERE x IN ('hash', 'join', 'spark') GROUP BY 1, 2), "
+            "s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl "
+            "FROM dl), "
+            "d AS (SELECT term, count(*)::DOUBLE AS dft FROM p "
+            "GROUP BY 1), "
+            "c AS (SELECT p.id, round(ln((n - dft + 0.5) / "
+            "(dft + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 "
+            "+ 0.75 * dl.dl / avgdl))) * 1000000)::BIGINT AS c "
+            "FROM p JOIN dl USING (id) JOIN d USING (term), s) "
+            "SELECT id, count(*)::BIGINT AS n_terms_hit, "
+            "sum(c)::BIGINT AS score_micro FROM c GROUP BY id"),
         "hybrid_search_rrf": (
             # bm25 fragment = the bm25_search oracle verbatim; dense
             # fragment = the ann_topk cosine; RRF = 1e9 // (60+rank)

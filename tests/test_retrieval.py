@@ -103,3 +103,24 @@ def test_hard_negatives_excludes_cluster_and_self(spark):
     assert len(out) == 3 and [r for _, r in out] == [1, 2, 3]
     # nearest non-cluster vector is the top hard negative
     assert ids[0] == 2
+
+
+def test_bm25_indexed_agrees_with_scan_form(spark):
+    from tika_spark.analysis.textstats import (bm25_indexed,
+                                               bm25_scores,
+                                               inverted_index)
+    docs = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join only here"),
+         (3, "nothing relevant"), (4, "spark")],
+        "doc_id long, text string")
+    postings, doclens = inverted_index(docs)
+    idx = {r.id: r for r in
+           bm25_indexed(postings, doclens, "spark join").collect()}
+    scan = {r.id: r.score_micro for r in
+            bm25_scores(docs, "spark join").collect()}
+    assert set(idx) == set(scan) == {1, 2, 4}
+    # same formula; only the rounding order differs (per-term vs
+    # post-sum) -> within 1 micro per matched term
+    for i, r in idx.items():
+        assert abs(r.score_micro - scan[i]) <= r.n_terms_hit
+    assert idx[1].n_terms_hit == 2 and idx[4].n_terms_hit == 1

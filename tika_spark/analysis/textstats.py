@@ -371,6 +371,72 @@ def bm25_scores(df: DataFrame, query: str, k1: float = 1.2,
                     .alias("score_micro")))
 
 
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text"
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Build-once search index: ``(postings, doclens)`` with
+    postings = (term, id, tf) and doclens = (id, dl). One corpus
+    scan; the postings groupBy shuffles (term, id) pairs with
+    map-side combine — the standard inverted-index build. Persist
+    both (e.g. into the snapshot table layer, bucketed by term) and
+    :func:`bm25_indexed` answers queries WITHOUT rescanning the
+    corpus — the index-once / query-many shape
+    :func:`bm25_scores`'s single-scan form deliberately avoids."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), F.lower).alias("w"))
+    doclens = base.select("id", F.size("w").cast("long").alias("dl"))
+    postings = (base.select("id", F.explode("w").alias("term"))
+                .filter(F.col("term") != "")
+                .groupBy("term", "id")
+                .agg(F.count("*").cast("long").alias("tf")))
+    return postings, doclens
+
+
+def bm25_indexed(postings: DataFrame, doclens: DataFrame,
+                 query: str, k1: float = 1.2,
+                 b: float = 0.75) -> DataFrame:
+    """BM25 over a prebuilt :func:`inverted_index`: only the query
+    terms' postings rows move (predicate pushdown on ``term``), the
+    corpus text is never touched. Per-term contributions round to
+    integer micro-units BEFORE the per-doc sum, so the aggregation
+    is order-independent and cross-engine exact (the lm_perplexity
+    discipline; consequently scores can differ from
+    :func:`bm25_scores` by ±1 micro per term — a documented
+    rounding-order choice, not a formula difference).
+
+    Emits (id, n_terms_hit, score_micro) for docs hitting >= 1 term.
+    """
+    terms = []
+    for t in query.lower().split():
+        if t and t not in terms:
+            terms.append(t)
+    if not terms:
+        return (doclens.select(
+            "id", F.lit(0).cast("long").alias("n_terms_hit"),
+            F.lit(0).cast("long").alias("score_micro"))
+            .filter(F.lit(False)))
+    p = postings.filter(F.col("term").isin(terms))
+    stats = doclens.agg(F.count("*").cast("double").alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+    dfs = p.groupBy("term").agg(
+        F.count("*").cast("double").alias("df_t"))
+    scored = (p.join(doclens, "id")
+              .join(F.broadcast(dfs), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)) + F.lit(1.0))
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    contrib = F.round(
+        idf * (F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf") + norm)) * 1_000_000).cast("long")
+    return (scored.select("id", contrib.alias("c"))
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_terms_hit"),
+                 F.sum("c").cast("long").alias("score_micro")))
+
+
 def hash_embed(df: DataFrame, dim: int = 16, n: int = 3,
                id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
