@@ -4125,6 +4125,31 @@ def _q_docs_blocklist(spark, sf_dir):
     return blocklist_filter(docs, ["blockterm", "otherbad"])
 
 
+def _q_docs_pii_extended(spark, sf_dir):
+    """Extended PII pass (curation.pii_scrub_extended): +CC phone
+    numbers and Luhn-verified card numbers join the email/IPv4
+    scrub — the Luhn gate is exercised both ways (a valid test card
+    scrubs, a card-shaped non-Luhn string survives); the checksum is
+    a native array fold the oracle replays digit by digit."""
+    from tika_spark.analysis.curation import pii_scrub_extended
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" card 4111 1111 1111 1111 ok"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" bogus 1234 5678 9012 3456 no"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 1,
+                   F.lit(" tel +44 20 7946 0958"))
+            .otherwise(F.lit(""))).alias("text"))
+    return pii_scrub_extended(docs).select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "n_cards",
+        "text_scrubbed")
+
+
 def _q_docs_lm_perplexity_kn(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity (curation.py
     lm_perplexity_kn — the smoothing the real CCNet/KenLM stack
@@ -6347,6 +6372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity": _q_docs_lm_perplexity,
         "docs_lm_perplexity_kn": _q_docs_lm_perplexity_kn,
         "docs_blocklist": _q_docs_blocklist,
+        "docs_pii_extended": _q_docs_pii_extended,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
         "docs_c4_rules": _q_docs_c4_rules,
@@ -8159,6 +8185,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_docs, n_tokens, share_micro, "
             "round(s_tau / z * 1000000)::BIGINT AS weight_micro "
             "FROM s, z"),
+        "docs_pii_extended": (
+            # base corpus carries no PII-shaped strings (same premise
+            # as docs_pii_scrub); 4111... passes Luhn, 1234... fails
+            "SELECT doc_id, 0::BIGINT AS n_emails, "
+            "0::BIGINT AS n_ipv4, "
+            "(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_phones, "
+            "(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_cards, "
+            "text || CASE WHEN doc_id % 3 = 0 THEN "
+            "' card <CARD> ok' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "' bogus 1234 5678 9012 3456 no' ELSE '' END || "
+            "CASE WHEN doc_id % 2 = 1 THEN ' tel <PHONE>' "
+            "ELSE '' END AS text_scrubbed FROM documents"),
         "docs_blocklist": (
             "WITH t AS (SELECT doc_id, text || "
             "CASE WHEN doc_id % 4 = 0 THEN ' Blockterm here' "

@@ -730,3 +730,21 @@ class TestBlocklist:
         out = {r.id: r.n_matches for r in
                blocklist_filter(df, ["v1.0"]).collect()}
         assert out[1] == 1 and out[2] == 0   # '.' not a wildcard
+
+
+class TestPiiExtended:
+    def test_luhn_gate(self, spark):
+        from tika_spark.analysis.curation import pii_scrub_extended
+        df = spark.createDataFrame(
+            [(1, "pay 4111 1111 1111 1111 now"),
+             (2, "order 1234 5678 9012 3456 ref"),       # fails Luhn
+             (3, "twice 5500005555555559 and 5500005555555559"),
+             (4, "call +44 20 7946 0958 or a@b.co")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in pii_scrub_extended(df).collect()}
+        assert out[1].n_cards == 1 and "<CARD>" in out[1].text_scrubbed
+        assert out[2].n_cards == 0 and "1234" in out[2].text_scrubbed
+        assert out[3].n_cards == 2
+        assert out[3].text_scrubbed == "twice <CARD> and <CARD>"
+        assert out[4].n_phones == 1 and out[4].n_emails == 1
+        assert out[4].text_scrubbed == "call <PHONE> or <EMAIL>"

@@ -262,6 +262,71 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
                 _IPV4, "<IP>")))
 
 
+_PHONE = r"\+[0-9]{1,3}([ -][0-9]{2,4}){2,4}"
+_CARD = r"[0-9]{4}([ -]?[0-9]{4}){3}"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn checksum as a native array expression: strip separators,
+    double every second digit from the right (−9 overflow), sum
+    mod 10 == 0. No UDF — rides in codegen and replays in SQL."""
+    s = F.regexp_replace(cand, "[ -]", "")
+    n = F.length(s)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            (n - i) % 2 == 1,
+            F.when((F.ascii(s.substr(i.cast("int"), F.lit(1)))
+                    - 48) * 2 > 9,
+                   (F.ascii(s.substr(i.cast("int"), F.lit(1)))
+                    - 48) * 2 - 9)
+            .otherwise((F.ascii(s.substr(i.cast("int"), F.lit(1)))
+                        - 48) * 2))
+        .otherwise(F.ascii(s.substr(i.cast("int"), F.lit(1))) - 48))
+    return total % 10 == 0
+
+
+def pii_scrub_extended(df: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """:func:`pii_scrub` plus international phone numbers and
+    Luhn-verified payment-card numbers — the card gate is the point:
+    a 16-digit string only scrubs when its Luhn checksum passes, so
+    order ids and timestamps that merely LOOK card-shaped survive.
+    Phones are the conservative ``+CC``-prefixed form (RE2-safe — no
+    lookarounds, so the oracle replays the exact pattern).
+
+    Emits n_emails, n_ipv4, n_phones, n_cards, text_scrubbed with
+    <EMAIL>/<IP>/<PHONE>/<CARD> placeholders. All native regexp +
+    array-fold expressions: zero UDFs, zero shuffle.
+    """
+    text = F.col(text_col)
+    after_basic = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL, "<EMAIL>"), _IPV4, "<IP>")
+    after_phone = F.regexp_replace(after_basic, _PHONE, "<PHONE>")
+    cards = F.array_distinct(
+        F.regexp_extract_all(after_phone, F.lit(_CARD), 0))
+    valid = F.filter(cards, _luhn_valid)
+    scrubbed = F.aggregate(
+        valid, after_phone,
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")))
+    n_cards = F.aggregate(
+        valid, F.lit(0),
+        lambda acc, c: acc + F.size(F.split(after_phone, c)) - 1)
+    return (df
+            .withColumn("n_emails",
+                        F.regexp_count(text, F.lit(_EMAIL))
+                        .cast("long"))
+            .withColumn("n_ipv4",
+                        F.regexp_count(text, F.lit(_IPV4))
+                        .cast("long"))
+            .withColumn("n_phones",
+                        F.regexp_count(after_basic, F.lit(_PHONE))
+                        .cast("long"))
+            .withColumn("n_cards", n_cards.cast("long"))
+            .withColumn("text_scrubbed", scrubbed))
+
+
 # -------------------------------------- incremental snapshot dedup --
 
 
