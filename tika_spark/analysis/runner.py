@@ -184,6 +184,9 @@ def _ops(args):
         from tika_spark.language.spans import language_spans
         return language_spans(d)
 
+    def pii_ext(d):
+        return curation.pii_scrub_extended(d)
+
     # webgraph ops: input is an extraction output table carrying the
     # `links` column (url, links), not the documents table
     def pagerank_op(d):
@@ -223,6 +226,7 @@ def _ops(args):
         "host-boilerplate": host_boiler,
         "blocklist": blocklist_op,
         "language-spans": lang_spans_op,
+        "pii-scrub-extended": pii_ext,
     }
 
 
