@@ -4125,6 +4125,25 @@ def _q_docs_blocklist(spark, sf_dir):
     return blocklist_filter(docs, ["blockterm", "otherbad"])
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Mechanized corpus datasheet (textstats.corpus_report): global
+    counts plus per-language/per-source composition as one tidy
+    (metric, grp, value) table; averages in integer micro-units."""
+    from tika_spark.analysis.textstats import corpus_report
+    return corpus_report(_docs(spark, sf_dir))
+
+
+def _q_docs_epoch_mix(spark, sf_dir):
+    """Repetition-aware mixing plan (curation.epoch_mix, Muennighoff
+    et al. 2023): a 2.5M-token budget allocated by temperature
+    weights with each source capped at 4 epochs over its unique
+    tokens — integer micro-units at every fixed point so the plan
+    replays exactly."""
+    from tika_spark.analysis.curation import epoch_mix
+    return epoch_mix(_docs(spark, sf_dir),
+                     budget_tokens=2_500_000, max_epochs=4)
+
+
 def _q_docs_pii_extended(spark, sf_dir):
     """Extended PII pass (curation.pii_scrub_extended): +CC phone
     numbers and Luhn-verified card numbers join the email/IPv4
@@ -6373,6 +6392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_perplexity_kn": _q_docs_lm_perplexity_kn,
         "docs_blocklist": _q_docs_blocklist,
         "docs_pii_extended": _q_docs_pii_extended,
+        "docs_epoch_mix": _q_docs_epoch_mix,
+        "corpus_report": _q_corpus_report,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_split_long": _q_docs_split_long,
         "docs_c4_rules": _q_docs_c4_rules,
@@ -8185,6 +8206,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, n_docs, n_tokens, share_micro, "
             "round(s_tau / z * 1000000)::BIGINT AS weight_micro "
             "FROM s, z"),
+        "corpus_report": (
+            "WITH b AS (SELECT lang, source, "
+            "length(text)::BIGINT AS nc, "
+            f"len({_TOKS})::BIGINT AS nt FROM documents) "
+            "SELECT 'docs_total' AS metric, 'all' AS grp, "
+            "count(*)::BIGINT AS value FROM b "
+            "UNION ALL SELECT 'chars_total', 'all', "
+            "sum(nc)::BIGINT FROM b "
+            "UNION ALL SELECT 'tokens_total', 'all', "
+            "sum(nt)::BIGINT FROM b "
+            "UNION ALL SELECT 'docs_by_lang', lang, "
+            "count(*)::BIGINT FROM b GROUP BY lang "
+            "UNION ALL SELECT 'chars_by_lang', lang, "
+            "sum(nc)::BIGINT FROM b GROUP BY lang "
+            "UNION ALL SELECT 'avg_chars_by_lang_micro', lang, "
+            "(sum(nc) * 1000000 // count(*))::BIGINT FROM b "
+            "GROUP BY lang "
+            "UNION ALL SELECT 'docs_by_source', source, "
+            "count(*)::BIGINT FROM b GROUP BY source "
+            "UNION ALL SELECT 'tokens_by_source', source, "
+            "sum(nt)::BIGINT FROM b GROUP BY source"),
+        "docs_epoch_mix": (
+            # mixture_weights fragment + budget/epoch-cap arithmetic
+            "WITH g AS (SELECT source, count(*)::BIGINT AS n_docs, "
+            f"sum(len({_TOKS}))::BIGINT AS n_tokens "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT sum(n_tokens)::DOUBLE AS t_all FROM g), "
+            "s AS (SELECT source, n_tokens, "
+            "round(pow(n_tokens / t_all, 0.7) * 1000000)::BIGINT "
+            "AS s_tau FROM g, t), "
+            "z AS (SELECT sum(s_tau)::DOUBLE AS z FROM s), "
+            "w AS (SELECT source, n_tokens, "
+            "round(s_tau / z * 1000000)::BIGINT AS wm FROM s, z), "
+            "e AS (SELECT source, n_tokens, "
+            "2500000 * wm // 1000000 AS target_tokens, "
+            "LEAST(4000000, (2500000 * wm // 1000000) * 1000000 "
+            "// n_tokens) AS epochs_micro FROM w) "
+            "SELECT source, n_tokens, target_tokens::BIGINT AS "
+            "target_tokens, epochs_micro::BIGINT AS epochs_micro, "
+            "(epochs_micro * n_tokens // 1000000)::BIGINT AS "
+            "served_tokens FROM e"),
         "docs_pii_extended": (
             # base corpus carries no PII-shaped strings (same premise
             # as docs_pii_scrub); 4111... passes Luhn, 1234... fails

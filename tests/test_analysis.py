@@ -812,3 +812,20 @@ def test_remove_dup_spans_keep_first_election(spark):
     assert got[0].n_removed_tokens == 0
     assert got[1].text_dedup == "one head words"
     assert got[2].text_dedup == "two other head"
+
+
+def test_corpus_report_composition(spark):
+    from tika_spark.analysis.textstats import corpus_report
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en", "s1"), (2, "cc", "en", "s2"),
+         (3, "dd ee ff", "fr", "s1")],
+        "doc_id long, text string, lang string, source string")
+    rows = {(r.metric, r.grp): r.value
+            for r in corpus_report(df).collect()}
+    assert rows[("docs_total", "all")] == 3
+    assert rows[("tokens_total", "all")] == 6
+    assert rows[("docs_by_lang", "en")] == 2
+    assert rows[("chars_by_lang", "en")] == 7
+    assert rows[("avg_chars_by_lang_micro", "en")] == 3_500_000
+    assert rows[("docs_by_source", "s1")] == 2
+    assert rows[("tokens_by_source", "s1")] == 5

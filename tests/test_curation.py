@@ -748,3 +748,24 @@ class TestPiiExtended:
         assert out[3].text_scrubbed == "twice <CARD> and <CARD>"
         assert out[4].n_phones == 1 and out[4].n_emails == 1
         assert out[4].text_scrubbed == "call <PHONE> or <EMAIL>"
+
+
+class TestEpochMix:
+    def test_cap_and_allocation(self, spark):
+        from tika_spark.analysis.curation import epoch_mix
+        # tiny source (upweighted by tau) hits the 4-epoch cap;
+        # big source stays under it
+        rows = [(i, "big", "w " * 50) for i in range(20)]
+        rows += [(100, "rare", "one two three")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        out = {r.source: r for r in
+               epoch_mix(df, budget_tokens=2500,
+                         max_epochs=4).collect()}
+        assert out["rare"].epochs_micro == 4_000_000      # capped
+        assert out["rare"].served_tokens == 4 * out["rare"].n_tokens
+        assert out["big"].epochs_micro < 4_000_000
+        assert out["big"].served_tokens <= out["big"].target_tokens
+        # plan never invents data beyond the cap
+        assert all(r.served_tokens <= 4 * r.n_tokens
+                   for r in out.values())

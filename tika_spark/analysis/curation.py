@@ -817,6 +817,44 @@ def lm_perplexity_kn(df: DataFrame, id_col: str = "doc_id",
 # ----------------------------------------------- mixture weights --
 
 
+def epoch_mix(df: DataFrame, budget_tokens: int,
+              max_epochs: int = 4, tau: float = 0.7,
+              group_col: str = "source",
+              text_col: str = "text") -> DataFrame:
+    """Repetition-aware data-mixing plan (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": repeating data up to
+    ~4 epochs is nearly as good as fresh data; beyond that returns
+    decay fast). Allocate a token ``budget`` across source groups by
+    temperature-scaled weights (:func:`mixture_weights`' recipe),
+    then cap each group's allocation at ``max_epochs`` passes over
+    its unique tokens. Emits per group:
+
+      n_tokens        unique tokens held
+      target_tokens   budget * weight (before the epoch cap)
+      epochs_micro    min(max_epochs, target/unique) in micro-epochs
+      served_tokens   epochs * unique — what the schedule actually
+                      draws from this group
+
+    All ratios round to integer micro-units at fixed points (the
+    mixture_weights discipline) so the plan replays exactly. Scale:
+    group-table-sized arithmetic on top of one token-count groupBy.
+    """
+    w = mixture_weights(df, group_col=group_col, text_col=text_col,
+                        tau=tau)
+    target = F.expr(f"cast({budget_tokens} as bigint) "
+                    "* weight_micro div 1000000")
+    epochs = F.least(
+        F.lit(max_epochs * 1_000_000).cast("long"),
+        F.expr("target_tokens * 1000000 div n_tokens"))
+    return (w.withColumn("target_tokens", target.cast("long"))
+            .withColumn("epochs_micro", epochs.cast("long"))
+            .withColumn("served_tokens",
+                        F.expr("epochs_micro * n_tokens "
+                               "div 1000000").cast("long"))
+            .select(F.col(group_col), "n_tokens", "target_tokens",
+                    "epochs_micro", "served_tokens"))
+
+
 def mixture_weights(df: DataFrame, group_col: str = "source",
                     text_col: str = "text",
                     tau: float = 0.7) -> DataFrame:

@@ -187,6 +187,13 @@ def _ops(args):
     def pii_ext(d):
         return curation.pii_scrub_extended(d)
 
+    def report_op(d):
+        from tika_spark.analysis.textstats import corpus_report
+        return corpus_report(d)
+
+    def epoch_mix_op(d):
+        return curation.epoch_mix(d, budget_tokens=args.budget)
+
     # webgraph ops: input is an extraction output table carrying the
     # `links` column (url, links), not the documents table
     def pagerank_op(d):
@@ -227,6 +234,8 @@ def _ops(args):
         "blocklist": blocklist_op,
         "language-spans": lang_spans_op,
         "pii-scrub-extended": pii_ext,
+        "corpus-report": report_op,
+        "epoch-mix": epoch_mix_op,
     }
 
 
@@ -293,6 +302,8 @@ def main(argv=None):
                    help="unigram-LM vocab target (unigram-train)")
     p.add_argument("--terms", default="",
                    help="comma-separated blockterms (blocklist)")
+    p.add_argument("--budget", type=int, default=1_000_000,
+                   help="token budget (epoch-mix)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

@@ -371,6 +371,64 @@ def bm25_scores(df: DataFrame, query: str, k1: float = 1.2,
                     .alias("score_micro")))
 
 
+def corpus_report(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang",
+                  source_col: str = "source") -> DataFrame:
+    """Corpus datasheet (Gebru et al. 2021, "Datasheets for
+    Datasets" — the composition section, mechanized): one tidy
+    (metric, grp, value) table holding the global counts and the
+    per-language / per-source breakdowns every corpus release
+    documents:
+
+      docs_total/chars_total/tokens_total   ('all')
+      docs_by_lang, chars_by_lang,
+      avg_chars_by_lang_micro               (per language)
+      docs_by_source, tokens_by_source      (per source)
+
+    Averages are integer micro-units via div, so the report is
+    engine-exact. Scale: three partial-aggregatable groupBys over
+    scalar projections; output is breakdown-table sized.
+    """
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        F.length(text_col).cast("long").alias("nc"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("nt"))
+
+    def rows(metric, grp, value):
+        return (metric.alias("metric"), grp.alias("grp"),
+                value.cast("long").alias("value"))
+
+    tot = base.agg(F.count("*").alias("d"), F.sum("nc").alias("c"),
+                   F.sum("nt").alias("t"))
+    g_all = (tot.select(*rows(F.lit("docs_total"), F.lit("all"),
+                             F.col("d")))
+             .unionByName(tot.select(*rows(F.lit("chars_total"),
+                                          F.lit("all"),
+                                          F.col("c"))))
+             .unionByName(tot.select(*rows(F.lit("tokens_total"),
+                                          F.lit("all"),
+                                          F.col("t")))))
+    by_lang = base.groupBy("lang").agg(
+        F.count("*").alias("d"), F.sum("nc").alias("c"))
+    g_lang = (by_lang.select(*rows(F.lit("docs_by_lang"),
+                                  F.col("lang"), F.col("d")))
+              .unionByName(by_lang.select(*rows(
+                  F.lit("chars_by_lang"), F.col("lang"),
+                  F.col("c"))))
+              .unionByName(by_lang.select(*rows(
+                  F.lit("avg_chars_by_lang_micro"), F.col("lang"),
+                  F.expr("c * 1000000 div d")))))
+    by_src = base.groupBy("source").agg(
+        F.count("*").alias("d"), F.sum("nt").alias("t"))
+    g_src = (by_src.select(*rows(F.lit("docs_by_source"),
+                                F.col("source"), F.col("d")))
+             .unionByName(by_src.select(*rows(
+                 F.lit("tokens_by_source"), F.col("source"),
+                 F.col("t")))))
+    return g_all.unionByName(g_lang).unionByName(g_src)
+
+
 def inverted_index(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text"
                    ) -> tuple[DataFrame, DataFrame]:
