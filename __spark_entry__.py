@@ -6041,6 +6041,44 @@ def _q_cdx_fetch_roundtrip(spark, sf_dir):
         "url", F.decode(F.col("payload"), "UTF-8").alias("text"))
 
 
+def _q_zst_cdx_fetch_roundtrip(spark, sf_dir):
+    """Archive random access over DICTIONARY-COMPRESSED .warc.zst
+    (sources/cdx.py cdx_index_zst/cdx_fetch_zst): shards written to
+    files, frame-addressed CDX rows (frame spans by header
+    arithmetic, dictionary span carried per row), then every record
+    range-fetched back — two seeks per record (dict cached per
+    shard), one frame decompressed, payload must reproduce the
+    corpus text exactly through the from-scratch zstd."""
+    import os
+    import tempfile
+    import uuid
+
+    from tika_spark.sources.cdx import cdx_fetch_zst, cdx_index_zst
+
+    def build(batches):
+        from tika_spark.fixtures import warcgen
+        out_dir = tempfile.mkdtemp(prefix="tika_zstcdx_")
+        for pdf in batches:
+            recs = [(f"http://www.ex.com/d{i}",
+                     "2026-01-17T08:30:00Z",
+                     str(t).encode("utf-8"))
+                    for i, t in zip(pdf["doc_id"], pdf["text"])]
+            blob = warcgen.warc_zst_dict(recs)
+            p = os.path.join(out_dir,
+                             uuid.uuid4().hex + ".warc.zst")
+            with open(p, "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({"path": [p], "blob": [blob]})
+
+    shards = (_docs(spark, sf_dir).select("doc_id", "text")
+              .mapInPandas(build, "path string, blob binary"))
+    idx = (cdx_index_zst(shards, shard_col="path")
+           .withColumnRenamed("shard", "path"))
+    fetched = cdx_fetch_zst(idx)
+    return fetched.select(
+        "url", F.decode(F.col("payload"), "UTF-8").alias("text"))
+
+
 def _q_wet_cdx_index(spark, sf_dir):
     """WET export → CDX index composition (sources/cdx.py): the
     random-access layer over the text egress. Offsets/lengths are
@@ -6443,6 +6481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "wet_cdx_index": _q_wet_cdx_index,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
+        "zst_cdx_fetch_roundtrip": _q_zst_cdx_fetch_roundtrip,
         "docs_remove_dup_spans": _q_docs_remove_dup_spans,
         "url_features": _q_url_features,
         "docs_remove_dup_keepfirst": _q_docs_remove_dup_keepfirst,
@@ -8949,6 +8988,9 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(txt.text_dedup, '') AS text_dedup FROM t "
             "LEFT JOIN nrem USING (doc_id) "
             "LEFT JOIN txt USING (doc_id)"),
+        "zst_cdx_fetch_roundtrip": (
+            "SELECT 'http://www.ex.com/d' || doc_id AS url, text "
+            "FROM documents"),
         "cdx_fetch_roundtrip": (
             "SELECT 'http://www.ex.com/d' || doc_id AS url, text "
             "FROM documents"),

@@ -254,3 +254,56 @@ class TestWarcHardening:
         b = rid("http://s/", "2026-02-01T00:00:00Z")
         assert a != b                       # same url, two captures
         assert a == rid("http://s/", "2026-01-01T00:00:00Z")  # stable
+
+
+class TestZstCdx:
+    """Frame-addressed CDX over dictionary-compressed .warc.zst."""
+
+    def _shard(self):
+        from tika_spark.fixtures import warcgen
+        recs = [(f"http://ex.com/{i}", "2026-01-01T00:00:00Z",
+                 f"payload {i} body".encode()) for i in range(5)]
+        return warcgen.warc_zst_dict(recs)
+
+    def test_index_rows_and_spans(self):
+        from tika_spark.sources.cdx import zst_cdx_records
+        blob = self._shard()
+        rows = zst_cdx_records(blob)
+        assert len(rows) == 5
+        assert rows[0]["dict_len"] > 0            # dictionary span
+        for r in rows:
+            assert 0 < r["frame_len"] <= len(blob)
+            assert r["frame_off"] + r["frame_len"] <= len(blob)
+            assert r["urlkey"].startswith("com,ex)/")
+
+    def test_fetch_matches_payload(self, spark, tmp_path):
+        from tika_spark.sources.cdx import (cdx_fetch_zst,
+                                            cdx_index_zst)
+        blob = self._shard()
+        p = str(tmp_path / "s.warc.zst")
+        with open(p, "wb") as f:
+            f.write(blob)
+        shards = spark.createDataFrame([(p, blob)],
+                                       "shard string, blob binary")
+        idx = (cdx_index_zst(shards)
+               .withColumnRenamed("shard", "path"))
+        got = {r.url: bytes(r.payload)
+               for r in cdx_fetch_zst(idx).collect()}
+        assert got == {f"http://ex.com/{i}":
+                       f"payload {i} body".encode() for i in range(5)}
+
+    def test_bad_offset_is_status_row(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from tika_spark.sources.cdx import (cdx_fetch_zst,
+                                            cdx_index_zst)
+        blob = self._shard()
+        p = str(tmp_path / "s.warc.zst")
+        with open(p, "wb") as f:
+            f.write(blob)
+        shards = spark.createDataFrame([(p, blob)],
+                                       "shard string, blob binary")
+        idx = (cdx_index_zst(shards)
+               .withColumnRenamed("shard", "path")
+               .withColumn("frame_off", F.col("frame_off") + 7))
+        out = cdx_fetch_zst(idx).collect()
+        assert all(r.status == "fetch_error" for r in out)

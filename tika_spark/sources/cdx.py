@@ -159,6 +159,178 @@ def cdx_index(shards: DataFrame, shard_col: str = "shard",
     return slim.mapInPandas(run, schema=CDX_SCHEMA)
 
 
+def zst_cdx_records(data: bytes) -> list[dict]:
+    """CDX rows for one ``.warc.zst`` shard, frame-addressed: frame
+    spans come from header arithmetic (warc.zstd_frame_end — no
+    decompression to find boundaries), each data frame decodes once
+    against the shard's IIPC dictionary frame to enumerate its
+    records. A row addresses a record as (frame_off, frame_len,
+    rec_idx) plus the dictionary span (dict_off, dict_len; 0,0 when
+    the shard has none) — everything a range fetcher needs."""
+    from tika_spark.analysis.zstdcodec import (ZSTD_MAGIC, decompress,
+                                               parse_dict)
+    from tika_spark.sources.warc import (_zstd_frame_dict_id,
+                                         parse_record,
+                                         split_warc_records,
+                                         zstd_frame_end)
+    out: list[dict] = []
+    pos = 0
+    zdict = None
+    dict_off = dict_len = 0
+    n = len(data)
+    while pos < n:
+        try:
+            end = zstd_frame_end(data, pos)
+        except ValueError:
+            break
+        if end is None:
+            break
+        frame = data[pos:end]
+        magic = int.from_bytes(frame[:4], "little")
+        if 0x184D2A50 <= magic <= 0x184D2A5F:
+            if magic == 0x184D2A5D and len(frame) > 8:
+                blob = frame[8:]
+                try:
+                    if blob[:4] == ZSTD_MAGIC:
+                        blob = decompress(blob, max_out=_MAX_MEMBER)
+                    zdict = parse_dict(blob)
+                    dict_off, dict_len = pos, end - pos
+                except ValueError:
+                    zdict = None
+            pos = end
+            continue
+        try:
+            raw = decompress(
+                frame, max_out=_MAX_MEMBER,
+                zdict=zdict if _zstd_frame_dict_id(frame) else None)
+        except ValueError:
+            pos = end
+            continue
+        for ri, recb in enumerate(split_warc_records(raw)):
+            rec = parse_record(recb)
+            if rec is None or not rec.get("url"):
+                continue
+            payload = _payload_of(rec)
+            out.append({
+                "urlkey": surt_key(rec["url"]), "url": rec["url"],
+                "rec_type": rec["type"], "warc_date": rec["date"],
+                "frame_off": pos, "frame_len": end - pos,
+                "rec_idx": ri, "dict_off": dict_off,
+                "dict_len": dict_len,
+                "digest": hashlib.sha256(payload).hexdigest(),
+            })
+        pos = end
+    return out
+
+
+ZST_CDX_SCHEMA = ("shard string, urlkey string, url string, "
+                  "rec_type string, warc_date string, "
+                  "frame_off long, frame_len long, rec_idx int, "
+                  "dict_off long, dict_len long, digest string")
+
+
+def cdx_index_zst(shards: DataFrame, shard_col: str = "shard",
+                  blob_col: str = "blob") -> DataFrame:
+    """Frame-addressed CDX index over ``.warc.zst`` shard blobs —
+    the zstd sibling of :func:`cdx_index`, making dictionary-
+    compressed archives range-readable too."""
+    slim = shards.select(shard_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "urlkey", "url", "rec_type", "warc_date",
+                "frame_off", "frame_len", "rec_idx", "dict_off",
+                "dict_len", "digest"]
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf[shard_col], pdf[blob_col]):
+                try:
+                    recs = zst_cdx_records(bytes(blob or b""))
+                except Exception:
+                    continue
+                for r in recs:
+                    rows.append({"shard": shard, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slim.mapInPandas(run, schema=ZST_CDX_SCHEMA)
+
+
+def cdx_fetch_zst(index: DataFrame, path_col: str = "path"
+                  ) -> DataFrame:
+    """Range-fetch records from ``.warc.zst`` shards by a
+    :func:`cdx_index_zst` row: read [dict_off, dict_off+dict_len)
+    once per shard (parsed dictionary cached per open path), read
+    [frame_off, frame_off+frame_len), decompress the ONE frame,
+    split, take ``rec_idx``. Same posture as :func:`cdx_fetch`:
+    shards open once per consecutive path run, bad rows yield
+    status rows, only requested byte ranges are read."""
+    from tika_spark.analysis.zstdcodec import (ZSTD_MAGIC, decompress,
+                                               parse_dict)
+    from tika_spark.sources.warc import (_zstd_frame_dict_id,
+                                         parse_record,
+                                         split_warc_records)
+    slim = index.select(path_col, "frame_off", "frame_len",
+                        "rec_idx", "dict_off", "dict_len")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "url", "rec_type", "payload", "status"]
+        open_path, f = None, None
+        zdict_key, zdict = None, None
+        for pdf in batches:
+            rows = []
+            for path, fo, fl, ri, do, dl in zip(
+                    pdf[path_col], pdf["frame_off"],
+                    pdf["frame_len"], pdf["rec_idx"],
+                    pdf["dict_off"], pdf["dict_len"]):
+                row = {"path": path, "url": "", "rec_type": "",
+                       "payload": b"", "status": "fetch_error"}
+                try:
+                    if path != open_path:
+                        if f is not None:
+                            f.close()
+                        f = _open_file(str(path))
+                        open_path = path
+                        zdict_key = None
+                    if int(dl) > 0 and zdict_key != (path, int(do)):
+                        f.seek(int(do))
+                        dframe = f.read(int(dl))
+                        blob = dframe[8:]
+                        if blob[:4] == ZSTD_MAGIC:
+                            blob = decompress(blob,
+                                              max_out=_MAX_MEMBER)
+                        zdict = parse_dict(blob)
+                        zdict_key = (path, int(do))
+                    elif int(dl) == 0:
+                        zdict, zdict_key = None, None
+                    f.seek(int(fo))
+                    frame = f.read(int(fl))
+                    raw = decompress(
+                        frame, max_out=_MAX_MEMBER,
+                        zdict=zdict if _zstd_frame_dict_id(frame)
+                        else None)
+                    recs = split_warc_records(raw)
+                    rec = parse_record(recs[int(ri)])
+                    if rec is not None:
+                        row.update(url=rec["url"],
+                                   rec_type=rec["type"],
+                                   payload=_payload_of(rec),
+                                   status="ok")
+                except Exception:
+                    if f is not None:
+                        try:
+                            f.close()
+                        except Exception:
+                            pass
+                    open_path, f = None, None
+                    zdict_key, zdict = None, None
+                rows.append(row)
+            if f is not None:
+                f.close()
+                open_path, f = None, None
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slim.mapInPandas(run, schema=FETCH_SCHEMA)
+
+
 def _open_file(path: str):
     """Random-access (seekable) pyarrow file for any FS scheme."""
     from pyarrow import fs as pafs
