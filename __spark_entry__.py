@@ -4618,6 +4618,42 @@ def _q_table_zorder_key(spark, sf_dir):
         "doc_id", "zkey")
 
 
+def _q_table_incremental_index(spark, sf_dir):
+    """Incremental search-index maintenance: the inverted index
+    lives IN the snapshot table layer — postings/doclens of the
+    first crawl half committed, the second half appended as a delta
+    (no rebuild), then bm25_indexed queries the table head. The
+    result must equal a from-scratch index over the full corpus
+    (the oracle is exactly bm25_indexed_search's)."""
+    import shutil
+    import tempfile
+
+    from tika_spark.analysis.textstats import (bm25_indexed,
+                                               inverted_index)
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="idxtab-")
+    shutil.rmtree(root)
+    try:
+        p1, d1 = inverted_index(docs.filter(F.col("doc_id") % 2
+                                            == 0))
+        tp = SnapshotTable.create(spark, root + "-p", p1)
+        td = SnapshotTable.create(spark, root + "-d", d1)
+        p2, d2 = inverted_index(docs.filter(F.col("doc_id") % 2
+                                            == 1))
+        tp.append(p2)
+        td.append(d2)
+        out = bm25_indexed(tp.read(), td.read(),
+                           "hash join spark")
+        rows = [(int(r["id"]), int(r["n_terms_hit"]),
+                 int(r["score_micro"])) for r in out.collect()]
+    finally:
+        shutil.rmtree(root + "-p", ignore_errors=True)
+        shutil.rmtree(root + "-d", ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id bigint, n_terms_hit bigint, score_micro bigint")
+
+
 def _q_table_pruned_scan(spark, sf_dir):
     """Iceberg-style file skipping (pipeline/table.py stats_cols +
     read_where): four disjoint doc_id-range appends record per-file
@@ -6443,6 +6479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_merge_delete": _q_table_merge_delete,
         "table_pruned_scan": _q_table_pruned_scan,
+        "table_incremental_index": _q_table_incremental_index,
         "table_zorder_key": _q_table_zorder_key,
         "html_structured_data": _q_html_structured_data,
         "unigram_seed_vocab": _q_unigram_seed_vocab,
@@ -8653,6 +8690,26 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS n_pieces, "
             "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)::BIGINT "
             "AS n_unk FROM s"),
+        "table_incremental_index": (
+            # postings-only scoring; per-term micro rounding before
+            # the per-doc sum (order-independent)
+            "WITH b0 AS (SELECT doc_id AS id, "
+            "list_transform(regexp_split_to_array(trim(text), "
+            "'\\s+'), y -> lower(y)) AS w FROM documents), "
+            "dl AS (SELECT id, len(w)::BIGINT AS dl FROM b0), "
+            "p AS (SELECT id, x AS term, count(*)::BIGINT AS tf "
+            "FROM (SELECT id, unnest(w) AS x FROM b0) "
+            "WHERE x IN ('hash', 'join', 'spark') GROUP BY 1, 2), "
+            "s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl "
+            "FROM dl), "
+            "d AS (SELECT term, count(*)::DOUBLE AS dft FROM p "
+            "GROUP BY 1), "
+            "c AS (SELECT p.id, round(ln((n - dft + 0.5) / "
+            "(dft + 0.5) + 1.0) * (tf * 2.2 / (tf + 1.2 * (0.25 "
+            "+ 0.75 * dl.dl / avgdl))) * 1000000)::BIGINT AS c "
+            "FROM p JOIN dl USING (id) JOIN d USING (term), s) "
+            "SELECT id, count(*)::BIGINT AS n_terms_hit, "
+            "sum(c)::BIGINT AS score_micro FROM c GROUP BY id"),
         "table_pruned_scan": (
             "SELECT doc_id, text FROM documents "
             "WHERE doc_id BETWEEN 130 AND 260"),
