@@ -7,7 +7,7 @@ from hypothesis import strategies as st
 
 
 @given(st.text(max_size=200))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_flatten_ass_never_raises(s):
     from tika_spark.subtitles import flatten_ass_text
     out = flatten_ass_text(s)
@@ -16,7 +16,7 @@ def test_flatten_ass_never_raises(s):
 
 
 @given(st.text(alphabet="ab{}\\pi01 ", max_size=80))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_flatten_ass_strips_all_override_blocks(s):
     from tika_spark.subtitles import flatten_ass_text
     assert "{" not in flatten_ass_text(s).replace("{", "", 0) \
@@ -38,7 +38,7 @@ def test_viterbi_covers_word_with_char_vocab(word, max_len):
 
 @given(st.lists(st.integers(min_value=0, max_value=255), min_size=1,
                 max_size=12))
-@settings(max_examples=60)
+@settings(max_examples=60, deadline=None)
 def test_opus_toc_walk_total_matches_manual(tocs):
     from tika_spark.analysis.oggdemux import (_opus_frame_us,
                                               ogg_wrap,
@@ -58,7 +58,7 @@ def test_opus_toc_walk_total_matches_manual(tocs):
 
 
 @given(st.text(max_size=120))
-@settings(max_examples=80)
+@settings(max_examples=80, deadline=None)
 def test_surt_key_never_raises(url):
     from tika_spark.sources.cdx import surt_key
     assert isinstance(surt_key(url), str)
@@ -66,7 +66,7 @@ def test_surt_key_never_raises(url):
 
 @given(st.binary(min_size=0, max_size=400),
        st.integers(min_value=0, max_value=64))
-@settings(max_examples=80)
+@settings(max_examples=80, deadline=None)
 def test_zstd_frame_end_bounded(data, pos):
     """Frame-end arithmetic never over-runs and never loops: either
     a ValueError (bad magic), None (needs more bytes), or an offset
@@ -81,7 +81,7 @@ def test_zstd_frame_end_bounded(data, pos):
 
 @given(st.lists(st.tuples(st.text(alphabet="ab ", max_size=20),
                           st.integers(0, 10_000)), max_size=5))
-@settings(max_examples=40)
+@settings(max_examples=40, deadline=None)
 def test_parse_ass_cues_never_raises(rows):
     from tika_spark.subtitles import parse_ass_cues
     body = "[Events]\n" + "\n".join(
