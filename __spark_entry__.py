@@ -5360,6 +5360,48 @@ def _q_media_mp4_bframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_hls_playlists(spark, sf_dir):
+    """HLS manifest parsing (sources/hls.py, RFC 8216): doc_id%4==0
+    rows are master playlists (variant fan-out, max bandwidth), the
+    rest media playlists (EXTINF segment durations summed in ms,
+    ENDLIST on evens); the oracle rebuilds every summary field."""
+    from collections.abc import Iterator
+
+    from tika_spark.sources.hls import hls_summary
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 4 == 0:
+                    nv = 2 + i % 2
+                    lines = ["#EXTM3U", "#EXT-X-VERSION:4"]
+                    for v in range(nv):
+                        lines.append(
+                            f"#EXT-X-STREAM-INF:BANDWIDTH="
+                            f"{1000000 * (v + 1) + i},"
+                            f"RESOLUTION={640 * (v + 1)}x360")
+                        lines.append(f"v{v}/index.m3u8")
+                else:
+                    ns = 3 + i % 3
+                    lines = ["#EXTM3U", "#EXT-X-VERSION:3",
+                             "#EXT-X-TARGETDURATION:7",
+                             f"#EXT-X-MEDIA-SEQUENCE:{i}"]
+                    for k in range(ns):
+                        lines.append(
+                            f"#EXTINF:{4 + (i + k) % 3}.5,")
+                        lines.append(f"seg{i}_{k}.ts")
+                    if i % 2 == 0:
+                        lines.append("#EXT-X-ENDLIST")
+                rows.append((f"doc://{i}", "\n".join(lines)))
+            yield pd.DataFrame(rows, columns=["url", "m3u8"])
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "url string, m3u8 string")
+    return hls_summary(pages)
+
+
 def _q_media_opus_packet_stats(spark, sf_dir):
     """Ogg Opus TOC walk (oggdemux.opus_packet_stats): duration and
     SILK/hybrid/CELT mode census from packet headers alone — the
@@ -6368,6 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_pairs": _q_audio_neardup_pairs,
         "mkv_subtitle_text": _q_mkv_subtitle_text,
         "media_opus_packet_stats": _q_media_opus_packet_stats,
+        "hls_playlists": _q_hls_playlists,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6809,6 +6852,25 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "hls_playlists": (
+            # master on id%4==0: 2+id%2 variants, bw 1e6*(v+1)+id;
+            # else media: 3+id%3 segs of (4+(id+k)%3).5 s
+            "WITH m AS (SELECT doc_id, 2 + doc_id % 2 AS nv "
+            "FROM documents WHERE doc_id % 4 = 0), "
+            "s AS (SELECT doc_id, SUM(4500 + 1000 * "
+            "((doc_id + k) % 3))::BIGINT AS total, "
+            "COUNT(*)::INT AS ns FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 4)) AS k) t "
+            "WHERE doc_id % 4 <> 0 AND k < 3 + doc_id % 3 "
+            "GROUP BY doc_id) "
+            "SELECT 'doc://' || doc_id AS url, TRUE AS is_master, "
+            "4 AS version, CAST(nv AS INT) AS n_variants, "
+            "(1000000 * nv + doc_id)::BIGINT AS max_bandwidth, "
+            "0 AS n_segments, 0::BIGINT AS total_duration_ms, "
+            "FALSE AS ended FROM m "
+            "UNION ALL "
+            "SELECT 'doc://' || doc_id, FALSE, 3, 0, 0::BIGINT, "
+            "ns, total, doc_id % 2 = 0 FROM s"),
         "media_opus_packet_stats": (
             # RFC 6716 table: SILK {10,20,40,60}, hybrid {10,20},
             # CELT {2.5,5,10,20} ms; one 1-frame packet per config
