@@ -5360,6 +5360,42 @@ def _q_media_mp4_bframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_media_av1_meta(spark, sf_dir):
+    """AV1 metadata tier (analysis/av1.py): IVF-carried sequence
+    headers — profile/level/tier/size through the OBU walk, both
+    the reduced (AVIF-still) and general operating-point syntax
+    paths; every field is doc_id arithmetic the oracle rebuilds."""
+    from collections.abc import Iterator
+
+    from tika_spark.analysis.av1 import ivf_wrap, seq_header_obu
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tika_spark.analysis.av1 import av1_meta
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                reduced = i % 2 == 0
+                level = i % 14
+                tier = 1 if (not reduced and level > 7
+                             and i % 5 == 0) else 0
+                obu = seq_header_obu(
+                    i % 3, level, 16 + (i % 32) * 2,
+                    16 + (i % 24) * 2, reduced=reduced,
+                    still=reduced, tier=tier)
+                m = av1_meta(ivf_wrap(obu, 16 + (i % 32) * 2,
+                                      16 + (i % 24) * 2))
+                rows.append((i, m["profile"], m["level"], m["tier"],
+                             m["width"], m["height"], m["reduced"]))
+            yield pd.DataFrame(rows, columns=[
+                "id", "profile", "level", "tier", "width", "height",
+                "reduced"])
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        run, schema=("id long, profile int, level int, tier int, "
+                     "width int, height int, reduced boolean"))
+
+
 def _q_hls_playlists(spark, sf_dir):
     """HLS manifest parsing (sources/hls.py, RFC 8216): doc_id%4==0
     rows are master playlists (variant fan-out, max bandwidth), the
@@ -6411,6 +6447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mkv_subtitle_text": _q_mkv_subtitle_text,
         "media_opus_packet_stats": _q_media_opus_packet_stats,
         "hls_playlists": _q_hls_playlists,
+        "media_av1_meta": _q_media_av1_meta,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6852,6 +6889,15 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "media_av1_meta": (
+            "SELECT doc_id AS id, "
+            "CAST(doc_id % 3 AS INT) AS profile, "
+            "CAST(doc_id % 14 AS INT) AS level, "
+            "CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 14 > 7 "
+            "AND doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS tier, "
+            "CAST(16 + (doc_id % 32) * 2 AS INT) AS width, "
+            "CAST(16 + (doc_id % 24) * 2 AS INT) AS height, "
+            "doc_id % 2 = 0 AS reduced FROM documents"),
         "hls_playlists": (
             # master on id%4==0: 2+id%2 variants, bw 1e6*(v+1)+id;
             # else media: 3+id%3 segs of (4+(id+k)%3).5 s
