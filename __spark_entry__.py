@@ -5360,6 +5360,47 @@ def _q_media_mp4_bframes(spark, sf_dir):
         F.get("mean_micro", 0).alias("mean_gray"))
 
 
+def _q_dash_manifests(spark, sf_dir):
+    """MPEG-DASH MPD parsing (sources/dash.py): namespaced XML,
+    ISO-8601 durations, codec inheritance from the AdaptationSet,
+    contentType derived from mimeType for the audio set — one row
+    per representation, all fields doc_id arithmetic."""
+    from collections.abc import Iterator
+
+    from tika_spark.sources.dash import dash_representations
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nv = 1 + i % 3
+                reps = "".join(
+                    f'<Representation id="v{v}" '
+                    f'bandwidth="{500000 * (v + 1) + i}" '
+                    f'width="{320 * (v + 1)}" '
+                    f'height="{180 * (v + 1)}"/>'
+                    for v in range(nv))
+                audio = (
+                    '<AdaptationSet mimeType="audio/mp4">'
+                    f'<Representation id="a0" '
+                    f'bandwidth="{96000 + i}"/></AdaptationSet>'
+                    if i % 2 == 0 else "")
+                mpd = (
+                    '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" '
+                    f'mediaPresentationDuration='
+                    f'"PT{i % 60}M{i % 30}S">'
+                    '<Period><AdaptationSet contentType="video" '
+                    f'codecs="avc1.4d401e">{reps}</AdaptationSet>'
+                    f'{audio}</Period></MPD>')
+                rows.append((f"doc://{i}", mpd))
+            yield pd.DataFrame(rows, columns=["url", "mpd"])
+
+    pages = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        gen, "url string, mpd string")
+    return dash_representations(pages)
+
+
 def _q_media_av1_meta(spark, sf_dir):
     """AV1 metadata tier (analysis/av1.py): IVF-carried sequence
     headers — profile/level/tier/size through the OBU walk, both
@@ -6448,6 +6489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_opus_packet_stats": _q_media_opus_packet_stats,
         "hls_playlists": _q_hls_playlists,
         "media_av1_meta": _q_media_av1_meta,
+        "dash_manifests": _q_dash_manifests,
         "image_dhash": _q_image_dhash,
         "image_phash": _q_image_phash,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -6889,6 +6931,24 @@ def oracle_sql() -> dict[str, str]:
             "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
             "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
             "FROM f"),
+        "dash_manifests": (
+            # nv = 1+id%3 video reps (+1 audio rep on evens);
+            # duration = (id%60 min + id%30 s) in ms
+            "WITH v AS (SELECT doc_id, v FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 2)) AS v) t "
+            "WHERE v < 1 + doc_id % 3) "
+            "SELECT 'doc://' || doc_id AS url, "
+            "(((doc_id % 60) * 60 + doc_id % 30) * 1000)::BIGINT "
+            "AS duration_ms, 0 AS period, 'video' AS content_type, "
+            "'v' || v AS rep_id, "
+            "(500000 * (v + 1) + doc_id)::BIGINT AS bandwidth, "
+            "CAST(320 * (v + 1) AS INT) AS width, "
+            "CAST(180 * (v + 1) AS INT) AS height, "
+            "'avc1.4d401e' AS codecs FROM v "
+            "UNION ALL SELECT 'doc://' || doc_id, "
+            "(((doc_id % 60) * 60 + doc_id % 30) * 1000)::BIGINT, "
+            "0, 'audio', 'a0', (96000 + doc_id)::BIGINT, 0, 0, '' "
+            "FROM documents WHERE doc_id % 2 = 0"),
         "media_av1_meta": (
             "SELECT doc_id AS id, "
             "CAST(doc_id % 3 AS INT) AS profile, "
