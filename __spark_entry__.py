@@ -4485,6 +4485,29 @@ def _q_streaming_table_sink(spark, sf_dir):
         "doc_id bigint, n_chars int")
 
 
+def _q_html_image_candidates(spark, sf_dir):
+    """Responsive-image harvest (structdata.image_candidates): img
+    src + srcset and picture>source srcset candidates with their
+    width/density descriptors — the high-resolution variants a
+    src-only harvester misses; fixture markup is doc_id arithmetic
+    the oracle rebuilds row for row."""
+    from tika_spark.html.structdata import image_candidate_rows
+    nimg = 1 + F.col("doc_id") % 2
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<picture><source srcset="p'),
+            F.col("doc_id"), F.lit('.webp 1x, p'),
+            F.col("doc_id"), F.lit('-hd.webp 2x"><img src="m'),
+            F.col("doc_id"), F.lit('.jpg"></picture>'),
+            F.when(nimg == 2, F.concat(
+                F.lit('<img src="x'), F.col("doc_id"),
+                F.lit('.png" srcset="x'), F.col("doc_id"),
+                F.lit('-640.png 640w">'))).otherwise(F.lit("")))
+        .cast("binary").alias("html"))
+    return image_candidate_rows(pages)
+
+
 def _q_html_structured_data(spark, sf_dir):
     """Structured-data mining (html/structdata.py): JSON-LD,
     OpenGraph/Twitter meta, and nested HTML5 microdata flattened to
@@ -6604,6 +6627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_incremental_index": _q_table_incremental_index,
         "table_zorder_key": _q_table_zorder_key,
         "html_structured_data": _q_html_structured_data,
+        "html_image_candidates": _q_html_image_candidates,
         "unigram_seed_vocab": _q_unigram_seed_vocab,
         "unigram_train_pieces": _q_unigram_train_pieces,
         "unigram_encode_docs": _q_unigram_encode_docs,
@@ -8799,6 +8823,19 @@ def oracle_sql() -> dict[str, str]:
             "text || chr(10) AS text FROM documents"),
         "warc_zst_dict_train_roundtrip": (
             "SELECT 'doc://' || doc_id AS url, text FROM documents"),
+        "html_image_candidates": (
+            "WITH d AS (SELECT 'doc://' || doc_id AS url, doc_id "
+            "FROM documents) "
+            "SELECT url, 'source' AS tag, 'p' || doc_id || '.webp' "
+            "AS cand_url, '1x' AS descriptor FROM d "
+            "UNION ALL SELECT url, 'source', 'p' || doc_id || "
+            "'-hd.webp', '2x' FROM d "
+            "UNION ALL SELECT url, 'img', 'm' || doc_id || '.jpg', "
+            "'' FROM d "
+            "UNION ALL SELECT url, 'img', 'x' || doc_id || '.png', "
+            "'' FROM d WHERE doc_id % 2 = 1 "
+            "UNION ALL SELECT url, 'img-srcset', 'x' || doc_id || "
+            "'-640.png', '640w' FROM d WHERE doc_id % 2 = 1"),
         "html_structured_data": (
             # 11 rows per doc: og:title, twitter:card, 3 json-ld
             # props, Product(+name,offers->#1) and Offer(+price)

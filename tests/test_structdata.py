@@ -87,3 +87,29 @@ def test_dataframe_operator(spark):
     assert {r.url for r in out} == {"u1"}
     assert any(r.fmt == "json-ld" and r.prop == "headline"
                for r in out)
+
+
+class TestImageCandidates:
+    def test_img_srcset_and_picture(self):
+        from tika_spark.html.structdata import image_candidates
+        h = ('<picture><source srcset="a.webp 1x, a2.webp 2x" '
+             'type="image/webp"><img src="a.jpg" '
+             'srcset="a-640.jpg 640w,a-1280.jpg 1280w"></picture>'
+             '<img src="b.png">')
+        rows = [(r["tag"], r["url"], r["descriptor"])
+                for r in image_candidates(h)]
+        assert rows == [
+            ("source", "a.webp", "1x"), ("source", "a2.webp", "2x"),
+            ("img", "a.jpg", ""), ("img-srcset", "a-640.jpg", "640w"),
+            ("img-srcset", "a-1280.jpg", "1280w"),
+            ("img", "b.png", "")]
+
+    def test_operator(self, spark):
+        from tika_spark.html.structdata import image_candidate_rows
+        df = spark.createDataFrame(
+            [("u1", b'<img src="x.gif" srcset="y.gif 2x">')],
+            "url string, html binary")
+        out = [(r.tag, r.cand_url, r.descriptor)
+               for r in image_candidate_rows(df).collect()]
+        assert out == [("img", "x.gif", ""),
+                       ("img-srcset", "y.gif", "2x")]

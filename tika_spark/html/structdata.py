@@ -163,6 +163,78 @@ def structured_entities(html_text: str) -> list[dict]:
     return rows
 
 
+def _split_srcset(srcset: str) -> list[tuple[str, str]]:
+    """srcset attribute → [(url, descriptor)] (HTML spec §4.8.4.3:
+    comma-separated candidates, each a URL optionally followed by a
+    width ``640w`` or density ``1.5x`` descriptor). Commas inside
+    URLs are rare and unsupported by this simplified splitter —
+    matching what major crawl extractors do."""
+    out = []
+    for cand in (srcset or "").split(","):
+        parts = cand.strip().split()
+        if not parts:
+            continue
+        out.append((parts[0],
+                    parts[1] if len(parts) > 1 else ""))
+    return out
+
+
+def image_candidates(html_text: str) -> list[dict]:
+    """Image-candidate harvest for crawl-side image collection:
+    ``<img src/srcset>`` and ``<picture><source srcset>`` rows as
+    {tag, url, descriptor} in document order. The responsive-image
+    markup carries the HIGH-RESOLUTION variants a naive src-only
+    harvester misses."""
+    root = build_dom(html_text)
+    rows: list[dict] = []
+
+    def walk(node):
+        if isinstance(node, str):
+            return
+        if node.tag == "img":
+            if node.attrs.get("src"):
+                rows.append({"tag": "img",
+                             "url": node.attrs["src"],
+                             "descriptor": ""})
+            for u, d in _split_srcset(node.attrs.get("srcset", "")):
+                rows.append({"tag": "img-srcset", "url": u,
+                             "descriptor": d})
+        elif node.tag == "source":
+            for u, d in _split_srcset(node.attrs.get("srcset", "")):
+                rows.append({"tag": "source", "url": u,
+                             "descriptor": d})
+        for c in node.children:
+            walk(c)
+
+    walk(root)
+    return rows
+
+
+def image_candidate_rows(pages, id_col: str = "url",
+                         html_col: str = "html"):
+    """DataFrame operator: one row per image candidate —
+    (id, tag, cand_url, descriptor)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for key, payload in zip(pdf[id_col], pdf[html_col]):
+                if isinstance(payload, (bytes, bytearray,
+                                        memoryview)):
+                    text = bytes(payload).decode("utf-8", "replace")
+                else:
+                    text = str(payload or "")
+                for r in image_candidates(text):
+                    out.append((key, r["tag"], r["url"],
+                                r["descriptor"]))
+            yield pd.DataFrame(out, columns=[
+                id_col, "tag", "cand_url", "descriptor"])
+
+    return pages.select(id_col, html_col).mapInPandas(
+        run, schema=f"{id_col} string, tag string, "
+                    "cand_url string, descriptor string")
+
+
 def structured_data(pages, id_col: str = "url",
                     html_col: str = "html"):
     """DataFrame operator: one row per extracted (fmt, entity, prop,
