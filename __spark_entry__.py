@@ -5208,6 +5208,36 @@ def _q_media_webm_vp8p_frames(spark, sf_dir):
         F.get("mean_micro", 2).alias("mean_b"))
 
 
+def _q_media_mp4_cmaf_frames(spark, sf_dir):
+    """FRAGMENTED MP4 (CMAF — the DASH/HLS segment wire shape):
+    moof/traf/trun sample resolution (isobmff.fmp4_samples:
+    default-base-is-moof, per-run data_offset + sizes) feeding the
+    same from-scratch H.264 decode as the classic layout; fixture
+    frames and the oracle are media_mp4_frames' exactly, so the
+    fragment walk is pinned against the progressive baseline."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import sample_frame_stats
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import \
+            video_h264_cmaf_fixture
+        return pd.Series([video_h264_cmaf_fixture(int(i))
+                          for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = sample_frame_stats(media, every=2)
+    return out.select(
+        "id", "frame_idx", "n_frames",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.get("mean_micro", 0).alias("mean_gray"))
+
+
 def _q_media_mp4_frames(spark, sf_dir):
     """MP4 (ISO-BMFF) H.264/AVC video frame sampling: avc1 track
     demux (analysis/isobmff.py mp4_avc_track, length-prefixed NALs
@@ -6499,6 +6529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webm_vp8_frames": _q_media_webm_vp8_frames,
         "media_webm_vp8p_frames": _q_media_webm_vp8p_frames,
         "media_mp4_frames": _q_media_mp4_frames,
+        "media_mp4_cmaf_frames": _q_media_mp4_cmaf_frames,
         "media_flv_avc_frames": _q_media_flv_avc_frames,
         "media_ts_h264_frames": _q_media_ts_h264_frames,
         "media_mp4_pframes": _q_media_mp4_pframes,
@@ -6937,6 +6968,24 @@ def oracle_sql() -> dict[str, str]:
             "+ 516*(u-128) + 128) / 256.0) AS BIGINT))) "
             "* 1000000 AS mean_b "
             "FROM yuv"),
+        "media_mp4_cmaf_frames": (
+            # n = 2 + id%3 solid 16x16 frames in an avc1 .mp4,
+            # sampled every 2; Y = (id*13 + 19*idx) % 256.  Even ids
+            # are I_PCM (lossless by construction); odd ids are
+            # Intra_16x16 DC at qp=28, exactly lossless via the
+            # LS*MF = 2^17 identity — so both decode to the BT.601
+            # studio-swing gray of Y with neutral chroma.
+            "WITH f AS (SELECT doc_id, frame_idx, "
+            "(doc_id * 13 + 19 * frame_idx) % 256 AS v, "
+            "2 + doc_id % 3 AS n FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 3)) AS frame_idx) s "
+            "WHERE frame_idx % 2 = 0 AND frame_idx < 2 + doc_id % 3) "
+            "SELECT doc_id AS id, CAST(frame_idx AS INT) AS "
+            "frame_idx, CAST(n AS INT) AS n_frames, "
+            "CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS "
+            "height, GREATEST(0, LEAST(255, CAST(FLOOR((298*(v-16) "
+            "+ 128) / 256.0) AS BIGINT))) * 1000000 AS mean_gray "
+            "FROM f"),
         "media_mp4_frames": (
             # n = 2 + id%3 solid 16x16 frames in an avc1 .mp4,
             # sampled every 2; Y = (id*13 + 19*idx) % 256.  Even ids

@@ -523,14 +523,104 @@ def mp4_avc_track(data: bytes) -> tuple[dict, dict]:
     raise Mp4Error("no avc1 video track")
 
 
+def fmp4_samples(data: bytes) -> list[tuple[int, int]]:
+    """Sample (offset, size) spans of every movie fragment
+    (ISO/IEC 14496-12 §8.8): top-level ``moof`` walk → per ``traf``
+    the ``tfhd`` defaults (base-data-offset / default-base-is-moof /
+    default-sample-size) then each ``trun``'s data_offset + sizes.
+    CMAF — the wire format of DASH/HLS segments — is exactly this
+    layout. Runs without a data_offset are rejected loudly (never
+    produced by CMAF packagers)."""
+    samples: list[tuple[int, int]] = []
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = n - pos
+        if size < hdr or pos + size > n:
+            raise Mp4Error("bad top-level box size")
+        if typ == b"moof":
+            moof_start = pos
+            for t2, b2, e2 in iter_boxes(data, pos + hdr,
+                                         pos + size):
+                if t2 != b"traf":
+                    continue
+                base = moof_start
+                def_size = None
+                for t3, b3, e3 in iter_boxes(data, b2, e2):
+                    if t3 == b"tfhd":
+                        flags = int.from_bytes(data[b3 + 1:b3 + 4],
+                                               "big")
+                        p = b3 + 8          # past version/flags+id
+                        if flags & 0x1:
+                            base = int.from_bytes(
+                                data[p:p + 8], "big")
+                            p += 8
+                        if flags & 0x2:
+                            p += 4
+                        if flags & 0x8:
+                            p += 4
+                        if flags & 0x10:
+                            def_size = int.from_bytes(
+                                data[p:p + 4], "big")
+                            p += 4
+                        if flags & 0x20000:  # default-base-is-moof
+                            base = moof_start
+                    elif t3 == b"trun":
+                        flags = int.from_bytes(data[b3 + 1:b3 + 4],
+                                               "big")
+                        p = b3 + 4
+                        cnt = int.from_bytes(data[p:p + 4], "big")
+                        p += 4
+                        if not flags & 0x1:
+                            raise Mp4Error(
+                                "trun without data_offset")
+                        doff = int.from_bytes(data[p:p + 4], "big",
+                                              signed=True)
+                        p += 4
+                        if flags & 0x4:
+                            p += 4          # first_sample_flags
+                        off = base + doff
+                        for _ in range(cnt):
+                            if flags & 0x100:
+                                p += 4
+                            if flags & 0x200:
+                                ssz = int.from_bytes(
+                                    data[p:p + 4], "big")
+                                p += 4
+                            elif def_size is not None:
+                                ssz = def_size
+                            else:
+                                raise Mp4Error(
+                                    "trun sample without size")
+                            if flags & 0x400:
+                                p += 4
+                            if flags & 0x800:
+                                p += 4
+                            samples.append((off, ssz))
+                            off += ssz
+        pos += size
+    return samples
+
+
 def mp4_h264_frames(data: bytes) -> list:
     """Demux + full decode (intra + P slices) of the first avc1
-    track -> list of (h, w, 3) RGB uint8 frames."""
+    track -> list of (h, w, 3) RGB uint8 frames. Classic and
+    fragmented (CMAF) layouts both work: stbl samples first, then
+    any moof-carried samples in fragment order."""
     from tika_spark.analysis.h264 import split_avcc
     from tika_spark.analysis.h264inter import H264InterDecoder
     from tika_spark.analysis.vp8 import yuv_to_rgb
     data = bytes(data or b"")
     track, avcc = mp4_avc_track(data)
+    track = dict(track,
+                 samples=list(track["samples"]) + fmp4_samples(data))
     dec = H264InterDecoder()
     for nal in avcc["sps"] + avcc["pps"]:
         dec.push(nal)
@@ -567,8 +657,46 @@ def avc_bytes(frames: list, width: int, height: int, qp: int = 28,
     return _mux_avc(samples, sps_nal, pps_nal, width, height, fps)
 
 
+def avc_frag_bytes(frames: list, width: int, height: int,
+                   qp: int = 28, plan: str = "i16dc") -> bytes:
+    """Fixture muxer: CMAF-style FRAGMENTED .mp4 — an init segment
+    (ftyp + moov whose stbl is empty and whose mvex/trex announces
+    fragments) followed by one moof+mdat pair per IDR sample
+    (tfhd default-base-is-moof, trun data_offset+sizes) — the wire
+    shape of DASH/HLS segments."""
+    import numpy as _np
+
+    from tika_spark.analysis.h264 import H264Encoder, _nal
+    enc = H264Encoder(width, height, qp)
+    sps_nal = _nal(7, enc.sps_rbsp())
+    pps_nal = _nal(8, enc.pps_rbsp())
+    samples = []
+    for y, u, v in frames:
+        nal = _nal(5, enc.encode_frame(
+            _np.asarray(y, dtype="uint8"),
+            _np.asarray(u, dtype="uint8"),
+            _np.asarray(v, dtype="uint8"), plan))
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+    init = _mux_avc([], sps_nal, pps_nal, width, height, 25,
+                    fragmented=True)
+    out = bytearray(init)
+    for k, s in enumerate(samples, 1):
+        mfhd = _full(b"mfhd", k.to_bytes(4, "big"))
+        tfhd = _full(b"tfhd", (1).to_bytes(4, "big"),
+                     flags=0x20000)
+        # moof = 8 + mfhd(16) + traf(8 + tfhd(16) + trun(24)) = 72
+        trun = _full(b"trun", (1).to_bytes(4, "big")
+                     + (80).to_bytes(4, "big")
+                     + len(s).to_bytes(4, "big"), flags=0x201)
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        assert len(moof) == 72
+        out += moof + _box(b"mdat", s)
+    return bytes(out)
+
+
 def _mux_avc(samples: list, sps_nal: bytes, pps_nal: bytes,
-             width: int, height: int, fps: int) -> bytes:
+             width: int, height: int, fps: int,
+             fragmented: bool = False) -> bytes:
     """Shared avc1 box assembly for the intra and IPPP muxers."""
     n = len(samples)
     tick = 1000 // fps
@@ -630,6 +758,12 @@ def _mux_avc(samples: list, sps_nal: bytes, pps_nal: bytes,
                  + (1000).to_bytes(4, "big") + dur.to_bytes(4, "big")
                  + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
                  + matrix + b"\x00" * 24 + (2).to_bytes(4, "big"))
+    if fragmented:
+        trex = _full(b"trex", (1).to_bytes(4, "big")
+                     + (1).to_bytes(4, "big")
+                     + (0).to_bytes(4, "big") * 3)
+        moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+        return ftyp + moov
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
 
@@ -652,6 +786,23 @@ def video_h264_fixture(doc_id: int) -> bytes:
                        np.full((8, 8), 128, np.uint8)))
     plan = "pcm" if did % 2 == 0 else "i16dc"
     return avc_bytes(frames, 16, 16, qp=28, plan=plan)
+
+
+def video_h264_cmaf_fixture(doc_id: int) -> bytes:
+    """video_h264_fixture's FRAGMENTED twin: same frames, same
+    pcm/i16dc alternation, muxed CMAF-style (init segment +
+    moof/mdat per sample) — the DASH/HLS segment wire shape."""
+    import numpy as np
+    did = int(doc_id)
+    n = 2 + did % 3
+    frames = []
+    for k in range(n):
+        yv = (did * 13 + 19 * k) % 256
+        frames.append((np.full((16, 16), yv, np.uint8),
+                       np.full((8, 8), 128, np.uint8),
+                       np.full((8, 8), 128, np.uint8)))
+    plan = "pcm" if did % 2 == 0 else "i16dc"
+    return avc_frag_bytes(frames, 16, 16, qp=28, plan=plan)
 
 
 def avc_p_bytes(frames: list, width: int, height: int, qp: int = 28,
