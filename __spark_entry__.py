@@ -4804,6 +4804,40 @@ def _q_export_wet_roundtrip(spark, sf_dir):
     return blobs.mapInPandas(parse, "url string, text string")
 
 
+def _q_warc_http_census(spark, sf_dir):
+    """Crawl HTTP analytics (sources/warc.py http_headers_census):
+    response-envelope status / content-type / server / redirect
+    Location mined from .warc.gz shards without moving payloads —
+    every field doc_id arithmetic (3xx rows on id%4==3 carry a
+    Location), replayed by the oracle."""
+    from collections.abc import Iterator
+
+    from tika_spark.sources.warc import (build_record, gzip_member,
+                                         http_headers_census)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                status = (200, 404, 503, 301)[i % 4]
+                extra = [("Server", f"srv{i % 5}")]
+                if status == 301:
+                    extra.append(("Location",
+                                  f"https://moved.example/{i}"))
+                parts.append(gzip_member(build_record(
+                    f"http://h{i % 7}.example/p{i}",
+                    "2026-01-17T08:30:00Z",
+                    str(t).encode("utf-8"),
+                    http_status=status,
+                    http_headers=tuple(extra))))
+            yield pd.DataFrame({"blob": [b"".join(parts)]})
+
+    shards = (_docs(spark, sf_dir).select("doc_id", "text")
+              .mapInPandas(build, "blob binary"))
+    return http_headers_census(shards)
+
+
 def _q_export_wat_roundtrip(spark, sf_dir):
     """CC-shaped metadata egress (sources/warc.py to_wat): the WAT
     sibling of the WET sink — WARC metadata records whose sorted-key
@@ -6667,6 +6701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_table_sink": _q_streaming_table_sink,
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "export_wat_roundtrip": _q_export_wat_roundtrip,
+        "warc_http_census": _q_warc_http_census,
         "docs_host_boilerplate": _q_docs_host_boilerplate,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -8845,6 +8880,18 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(CASE WHEN c.nd < 3 THEN p.para "
             "END, chr(10) ORDER BY p.pos), '') AS text_clean "
             "FROM p JOIN c USING (source, para) GROUP BY p.doc_id"),
+        "warc_http_census": (
+            "SELECT 'http://h' || (doc_id % 7) || '.example/p' || "
+            "doc_id AS url, "
+            "CAST(([200, 404, 503, 301])[(doc_id % 4) + 1] AS INT) "
+            "AS status, "
+            "'text/html; charset=utf-8' AS content_type, "
+            "'srv' || (doc_id % 5) AS server, "
+            "CASE WHEN doc_id % 4 = 3 THEN "
+            "'https://moved.example/' || doc_id ELSE '' END "
+            "AS location, "
+            "octet_length(encode(text))::BIGINT AS payload_len "
+            "FROM documents"),
         "export_wat_roundtrip": (
             # fixture links: a + img always, extra <a> on odd ids
             "SELECT 'doc://' || doc_id AS url, 'T' AS title, "

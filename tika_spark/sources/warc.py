@@ -55,7 +55,9 @@ _CRLF = b"\r\n"
 def build_record(url: str, date_iso: str, payload: bytes,
                  rec_type: str = "response",
                  http_content_type: str = "text/html; charset=utf-8",
-                 record_id: str | None = None) -> bytes:
+                 record_id: str | None = None,
+                 http_status: int = 200,
+                 http_headers: tuple = ()) -> bytes:
     """One plain (uncompressed) WARC record per the ISO 28500 grammar.
 
     ``response`` records wrap the payload in an HTTP/1.1 envelope like
@@ -64,9 +66,13 @@ def build_record(url: str, date_iso: str, payload: bytes,
     octet-stream. Ends with the grammar's CRLFCRLF separator.
     """
     if rec_type == "response":
-        body = (b"HTTP/1.1 200 OK" + _CRLF
+        body = (b"HTTP/1.1 " + str(http_status).encode("ascii")
+                + b" OK" + _CRLF
                 + b"Content-Type: " + http_content_type.encode("ascii")
                 + _CRLF
+                + b"".join(k.encode("ascii") + b": "
+                           + v.encode("ascii") + _CRLF
+                           for k, v in http_headers)
                 + b"Content-Length: " + str(len(payload)).encode("ascii")
                 + _CRLF + _CRLF + payload)
         content_type = b"application/http; msgtype=response"
@@ -505,6 +511,69 @@ def to_wet(df: DataFrame, url_col: str = "url",
             yield pd.DataFrame({"blob": [blob]})
 
     return cols.mapInPandas(build, "blob binary")
+
+
+def parse_http_envelope(body: bytes) -> dict | None:
+    """HTTP response envelope of a WARC ``response`` body →
+    {status, headers (lowercased first-wins), payload_len}. None
+    when the body carries no envelope."""
+    if body[:5] != b"HTTP/":
+        return None
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    lines = body[:sep].split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if _:
+            key = k.strip().lower().decode("latin-1")
+            headers.setdefault(key, v.strip().decode("latin-1"))
+    return {"status": status, "headers": headers,
+            "payload_len": len(body) - sep - 4}
+
+
+def http_headers_census(shards: DataFrame, shard_col: str = "shard",
+                        blob_col: str = "blob") -> DataFrame:
+    """Crawl-side HTTP analytics over .warc.gz shard blobs: one row
+    per response record — (url, status, content_type, server,
+    location, payload_len). Status-class mixes, redirect targets,
+    and server/content-type censuses are one groupBy away; the
+    payloads never leave the stage (index-string economics, like
+    cdx_index)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "status", "content_type", "server",
+                "location", "payload_len"]
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for member in iter_gzip_members(bytes(blob or b"")):
+                    rec = (parse_record(member)
+                           if member is not None else None)
+                    if rec is None or rec["type"] != "response":
+                        continue
+                    env = parse_http_envelope(rec["body"])
+                    if env is None:
+                        continue
+                    h = env["headers"]
+                    rows.append((
+                        rec["url"], env["status"],
+                        h.get("content-type", ""),
+                        h.get("server", ""),
+                        h.get("location", ""),
+                        env["payload_len"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return shards.select(blob_col).mapInPandas(
+        run, schema="url string, status int, content_type string, "
+                    "server string, location string, "
+                    "payload_len long")
 
 
 def to_wat(df: DataFrame, url_col: str = "url",
