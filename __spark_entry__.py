@@ -4804,6 +4804,28 @@ def _q_export_wet_roundtrip(spark, sf_dir):
     return blobs.mapInPandas(parse, "url string, text string")
 
 
+def _q_crawl_redirect_resolve(spark, sf_dir):
+    """Redirect-chain canonicalization (webgraph.resolve_redirects):
+    a→b→c chains resolve to the terminal in 2 hops, direct b→c
+    edges in 1, and self-loop l→l rows are cut at max_hops with
+    terminal=false — all keyed equi-joins, no driver loop state."""
+    from tika_spark.analysis.webgraph import resolve_redirects
+    docs = _docs(spark, sf_dir)
+    e1 = docs.select(
+        F.concat(F.lit("a"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("b"), F.col("doc_id") % 50)
+        .alias("location"))
+    e2 = docs.filter(F.col("doc_id") < 50).select(
+        F.concat(F.lit("b"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("c"), F.col("doc_id") % 10)
+        .alias("location"))
+    e3 = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.concat(F.lit("l"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("l"), F.col("doc_id")).alias("location"))
+    return resolve_redirects(e1.unionByName(e2).unionByName(e3),
+                             max_hops=5)
+
+
 def _q_warc_http_census(spark, sf_dir):
     """Crawl HTTP analytics (sources/warc.py http_headers_census):
     response-envelope status / content-type / server / redirect
@@ -6702,6 +6724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_wet_roundtrip": _q_export_wet_roundtrip,
         "export_wat_roundtrip": _q_export_wat_roundtrip,
         "warc_http_census": _q_warc_http_census,
+        "crawl_redirect_resolve": _q_crawl_redirect_resolve,
         "docs_host_boilerplate": _q_docs_host_boilerplate,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -8880,6 +8903,15 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(CASE WHEN c.nd < 3 THEN p.para "
             "END, chr(10) ORDER BY p.pos), '') AS text_clean "
             "FROM p JOIN c USING (source, para) GROUP BY p.doc_id"),
+        "crawl_redirect_resolve": (
+            "SELECT 'a' || doc_id AS url, "
+            "'c' || ((doc_id % 50) % 10) AS final_url, "
+            "2::BIGINT AS hops, TRUE AS terminal FROM documents "
+            "UNION ALL SELECT 'b' || doc_id, 'c' || (doc_id % 10), "
+            "1::BIGINT, TRUE FROM documents WHERE doc_id < 50 "
+            "UNION ALL SELECT 'l' || doc_id, 'l' || doc_id, "
+            "5::BIGINT, FALSE FROM documents "
+            "WHERE doc_id % 100 = 0"),
         "warc_http_census": (
             "SELECT 'http://h' || (doc_id % 7) || '.example/p' || "
             "doc_id AS url, "

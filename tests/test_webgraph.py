@@ -130,3 +130,22 @@ class TestAnchors:
             "title:string,text:string>>")
         rows = webgraph.link_edges(ext).collect()
         assert [(r.dst, r.anchor) for r in rows] == [("http://t.ex", "x")]
+
+
+class TestRedirectResolve:
+    def test_chains_loops_and_cutoff(self, spark):
+        from tika_spark.analysis.webgraph import resolve_redirects
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"),     # 3-hop chain
+             ("x", "y"),                             # 1 hop
+             ("p", "q"), ("q", "p"),                 # 2-cycle
+             ("n", "")],                             # empty ignored
+            "url string, location string")
+        out = {r.url: r for r in
+               resolve_redirects(edges, max_hops=5).collect()}
+        assert (out["a"].final_url, out["a"].hops,
+                out["a"].terminal) == ("d", 3, True)
+        assert (out["x"].final_url, out["x"].terminal) == ("y", True)
+        # cycle: cut at max_hops, flagged non-terminal
+        assert out["p"].hops == 5 and not out["p"].terminal
+        assert "n" not in out

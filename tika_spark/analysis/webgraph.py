@@ -39,6 +39,45 @@ from pyspark.sql import DataFrame
 SCALE = 1_000_000  # integer micro-units for all rank arithmetic
 
 
+def resolve_redirects(edges: DataFrame, max_hops: int = 5,
+                      src_col: str = "url",
+                      dst_col: str = "location") -> DataFrame:
+    """Terminal-destination resolution over a crawl's 3xx edges
+    (e.g. ``sources.warc.http_headers_census`` rows carrying a
+    Location): follow url → location chains up to ``max_hops`` so
+    the corpus can canonicalize every captured URL to where it
+    actually lands (dedup and link-graph edges should credit the
+    terminal page, not the hop).
+
+    Emits (url, final_url, hops, terminal): ``terminal`` False means
+    the walk was cut by ``max_hops`` (longer chain or a loop). Pure
+    keyed equi-joins, one per hop, no driver loop state — the
+    bounded-unrolled-iteration discipline PageRank uses.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .filter(F.col("dst") != "").dropDuplicates(["src"]))
+    cur = e.select(F.col("src").alias("url"),
+                   F.col("dst").alias("final_url"),
+                   F.lit(1).alias("hops"))
+    for _ in range(max_hops - 1):
+        nxt = e.select(F.col("src").alias("final_url"),
+                       F.col("dst").alias("__d"))
+        cur = (cur.join(nxt, "final_url", "left")
+               .select("url",
+                       F.coalesce("__d", "final_url")
+                       .alias("final_url"),
+                       (F.col("hops")
+                        + F.when(F.col("__d").isNotNull(), 1)
+                        .otherwise(0)).alias("hops")))
+    more = e.select(F.col("src").alias("final_url"),
+                    F.lit(True).alias("__more"))
+    return (cur.join(more, "final_url", "left")
+            .select("url", "final_url",
+                    F.col("hops").cast("long").alias("hops"),
+                    F.col("__more").isNull().alias("terminal")))
+
+
 def host_of(col: F.Column) -> F.Column:
     """Authority component of an absolute URL ('' when relative)."""
     return F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
