@@ -4804,6 +4804,18 @@ def _q_export_wet_roundtrip(spark, sf_dir):
     return blobs.mapInPandas(parse, "url string, text string")
 
 
+def _q_frontier_assign_fetchers(spark, sf_dir):
+    """Rendezvous-hash fetcher assignment (robots.assign_fetchers):
+    each of 97 hosts lands on argmax_k md5(host:k) of 7 fetchers —
+    the 1/n-churn sharding real crawlers use; the oracle replays the
+    draws and the argmax tie-break."""
+    from tika_spark.sources.robots import assign_fetchers
+    frontier = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), F.col("doc_id") % 97,
+                 F.lit(".example")).alias("host"))
+    return assign_fetchers(frontier, n_fetchers=7)
+
+
 def _q_crawl_redirect_resolve(spark, sf_dir):
     """Redirect-chain canonicalization (webgraph.resolve_redirects):
     a→b→c chains resolve to the terminal in 2 hops, direct b→c
@@ -6725,6 +6737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_wat_roundtrip": _q_export_wat_roundtrip,
         "warc_http_census": _q_warc_http_census,
         "crawl_redirect_resolve": _q_crawl_redirect_resolve,
+        "frontier_assign_fetchers": _q_frontier_assign_fetchers,
         "docs_host_boilerplate": _q_docs_host_boilerplate,
         "length_histogram": _q_length_histogram,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -8903,6 +8916,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(string_agg(CASE WHEN c.nd < 3 THEN p.para "
             "END, chr(10) ORDER BY p.pos), '') AS text_clean "
             "FROM p JOIN c USING (source, para) GROUP BY p.doc_id"),
+        "frontier_assign_fetchers": (
+            "WITH h AS (SELECT DISTINCT 'h' || (doc_id % 97) || "
+            "'.example' AS host FROM documents), "
+            "d AS (SELECT host, k, ('0x' || substring(md5(host || "
+            "':' || k), 1, 15))::BIGINT AS w FROM h CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 6)) AS k) t), "
+            "r AS (SELECT host, k, row_number() OVER (PARTITION BY "
+            "host ORDER BY w DESC, k ASC) AS rn FROM d) "
+            "SELECT host, CAST(k AS INT) AS fetcher FROM r "
+            "WHERE rn = 1"),
         "crawl_redirect_resolve": (
             "SELECT 'a' || doc_id AS url, "
             "'c' || ((doc_id % 50) % 10) AS final_url, "

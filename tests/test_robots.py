@@ -192,3 +192,17 @@ class TestRobotsMeta:
         # host b missing from meta -> default 1000 ms
         assert (out["https://b/1"].slot,
                 out["https://b/1"].fetch_offset_ms) == (1, 0)
+
+    def test_assign_fetchers_churn(self, spark):
+        from tika_spark.sources.robots import assign_fetchers
+        hosts = spark.createDataFrame(
+            [(f"h{i}.x",) for i in range(200)], "host string")
+        a5 = {r.host: r.fetcher
+              for r in assign_fetchers(hosts, 5).collect()}
+        a6 = {r.host: r.fetcher
+              for r in assign_fetchers(hosts, 6).collect()}
+        assert set(a5.values()) <= set(range(5))
+        # HRW property: adding fetcher 5 only moves hosts TO it
+        moved = {h for h in a5 if a5[h] != a6[h]}
+        assert all(a6[h] == 5 for h in moved)
+        assert len(moved) < 200 / 2          # ~1/6 expected churn

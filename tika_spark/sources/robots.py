@@ -233,6 +233,35 @@ def fetch_schedule(frontier: DataFrame, meta: DataFrame,
                     .cast("long").alias("fetch_offset_ms")))
 
 
+def assign_fetchers(frontier: DataFrame, n_fetchers: int,
+                    host_col: str = "host") -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing of hosts onto
+    fetcher nodes: fetcher = argmax_k md5(host ':' k). The property
+    that matters at crawl scale: when a fetcher joins or leaves,
+    ONLY the hosts whose argmax involved it move (1/n churn),
+    unlike mod-N hashing where nearly everything reshuffles. Hosts
+    (not urls) are the unit so per-host politeness state lives on
+    exactly one node.
+
+    Emits (host, fetcher). Map-only integer expressions — the
+    32-hex md5 prefix compares as an unsigned draw, ties broken by
+    fetcher index implicitly (strict > keeps the first max).
+    """
+    if n_fetchers < 1:
+        raise ValueError("assign_fetchers: n_fetchers >= 1")
+    hosts = frontier.select(F.col(host_col).alias("host")).distinct()
+    draws = [F.conv(F.substring(
+        F.md5(F.concat(F.col("host"), F.lit(f":{k}"))), 1, 15),
+        16, 10).cast("bigint") for k in range(n_fetchers)]
+    best = draws[0]
+    pick = F.lit(0)
+    for k in range(1, n_fetchers):
+        pick = F.when(draws[k] > best, F.lit(k)).otherwise(pick)
+        best = F.greatest(best, draws[k])
+    return hosts.select("host",
+                        pick.cast("int").alias("fetcher"))
+
+
 def frontier_filter(urls: DataFrame, rules: DataFrame,
                     url_col: str = "url") -> DataFrame:
     """Per-URL fetch decision: broadcast-join rules on host, keep
