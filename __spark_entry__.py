@@ -4641,6 +4641,32 @@ def _q_table_zorder_key(spark, sf_dir):
         "doc_id", "zkey")
 
 
+def _q_table_schema_evolution(spark, sf_dir):
+    """Additive schema evolution (table.evolve_schema): the lang
+    column appears by metadata commit only — pre-evolution files
+    read it as NULL via by-name parquet resolution, post-evolution
+    appends carry values, no data file rewritten."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="evotab-")
+    shutil.rmtree(root)
+    try:
+        t = SnapshotTable.create(spark, root,
+                                 docs.select("doc_id", "text"))
+        t.evolve_schema([("lang", "string")])
+        t.append(docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text", "lang"))
+        rows = [(int(r["doc_id"]), r["lang"])
+                for r in t.read().collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
 def _q_table_incremental_index(spark, sf_dir):
     """Incremental search-index maintenance: the inverted index
     lives IN the snapshot table layer — postings/doclens of the
@@ -6724,6 +6750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_merge_delete": _q_table_merge_delete,
         "table_pruned_scan": _q_table_pruned_scan,
         "table_incremental_index": _q_table_incremental_index,
+        "table_schema_evolution": _q_table_schema_evolution,
         "table_zorder_key": _q_table_zorder_key,
         "html_structured_data": _q_html_structured_data,
         "html_image_candidates": _q_html_image_candidates,
@@ -9046,6 +9073,10 @@ def oracle_sql() -> dict[str, str]:
             "::BIGINT AS n_pieces, "
             "(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END)::BIGINT "
             "AS n_unk FROM s"),
+        "table_schema_evolution": (
+            "SELECT doc_id, CAST(NULL AS VARCHAR) AS lang "
+            "FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, lang FROM documents"),
         "table_incremental_index": (
             # postings-only scoring; per-term micro rounding before
             # the per-doc sum (order-independent)

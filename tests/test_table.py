@@ -398,3 +398,29 @@ class TestZOrder:
             df.filter("a between 0 and 40").count()
         assert t.read_where("b", 0, 40).count() == \
             df.filter("b between 0 and 40").count()
+
+
+class TestSchemaEvolution:
+    def test_add_column_reads_null_then_values(self, spark, root):
+        t = SnapshotTable.create(spark, root,
+                                 _docs(spark, 0, 20).coalesce(1))
+        sid = t.evolve_schema([("lang", "string")])
+        got = t.read(sid)
+        assert [f.name for f in got.schema.fields] == [
+            "doc_id", "text", "lang"]
+        assert got.filter("lang is null").count() == 20
+        # post-evolution appends carry real values
+        t.append(spark.range(20, 25).selectExpr(
+            "id AS doc_id", "concat('text-', id) AS text",
+            "'en' AS lang"))
+        final = t.read()
+        assert final.count() == 25
+        assert final.filter("lang = 'en'").count() == 5
+        # time travel still shows the narrow schema
+        assert [f.name for f in t.read(1).schema.fields] == [
+            "doc_id", "text"]
+
+    def test_duplicate_column_rejected(self, spark, root):
+        t = SnapshotTable.create(spark, root, _docs(spark, 0, 5))
+        with pytest.raises(ValueError, match="exists"):
+            t.evolve_schema([("text", "string")])

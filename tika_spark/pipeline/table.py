@@ -535,6 +535,29 @@ class SnapshotTable:
                 f"{total_rows}) at {self.root}; rewrite discarded")
         return self._commit("compact", new, m["schema"])
 
+    def evolve_schema(self, new_fields: list[tuple[str, str]],
+                      summary: dict | None = None) -> int:
+        """Iceberg-style additive schema evolution: commit the
+        CURRENT file set under a widened schema (each (name, type)
+        appended as a nullable column). No data file is touched —
+        Spark's by-name parquet resolution reads the new columns as
+        NULL from pre-evolution files, while post-evolution appends
+        carry real values. Removing or retyping columns is
+        deliberately unsupported (the rename/retype ambiguity needs
+        Iceberg's field IDs; additive-only stays correct with plain
+        name resolution)."""
+        sid = self.current_snapshot()
+        m = self._manifest(sid)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        existing = {f.name for f in schema.fields}
+        for name, dtype in new_fields:
+            if name in existing:
+                raise ValueError(
+                    f"evolve_schema: column {name!r} exists")
+            schema = schema.add(name, dtype, True)
+        return self._commit("evolve", m["files"], schema.json(),
+                            summary)
+
     def rollback(self, snapshot_id: int) -> int:
         """Make ``snapshot_id``'s file set current again — one more
         metadata commit, so history stays linear and auditable."""
