@@ -5168,6 +5168,32 @@ def _q_extract_main_justext(spark, sf_dir):
             .select("url", "text"))
 
 
+def _q_extract_main_readability(spark, sf_dir):
+    """Arc90 Readability container scoring (html/readability.py),
+    the third main-content scorer beside Boilerpipe and jusText: a
+    nav of links, a positive-class content div holding the lead
+    paragraph, and a neutral extras div holding a 160-char teaser.
+    The content div always wins (class weight +25); the extras div is
+    re-attached as a qualifying sibling iff its own candidate score
+    (6 + commas + length bonus) clears max(10, 0.2 * top score) — a
+    decision function the DuckDB oracle replays arithmetically."""
+    lead = F.concat(F.lit("Article lead paragraph, with context, "),
+                    F.col("text"))
+    teaser = F.substring(F.col("text"), 1, 160)
+    html = F.encode(F.concat(
+        F.lit('<html><body><div class="nav"><a href="/h">Home</a> '
+              '<a href="/n">News</a></div><div class="content"><p>'),
+        lead,
+        F.lit('</p></div><div id="extras"><p>'),
+        teaser,
+        F.lit("</p></div></body></html>")), "UTF-8")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        html.alias("html"))
+    return (extract(pages, mode="text-main-readability")
+            .select("url", "text"))
+
+
 def _q_media_video_frames(spark, sf_dir):
     """Video-column frame sampling: MJPEG AVI demux (analysis/video.py)
     + per-frame baseline-JPEG decode, one output row per sampled frame
@@ -6578,6 +6604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_checkpointed": _q_extract_checkpointed,
         "extract_main_text": _q_extract_main_text,
         "extract_main_justext": _q_extract_main_justext,
+        "extract_main_readability": _q_extract_main_readability,
         "extract_pdf_text": _q_extract_pdf_text,
         "detect_by_name": _q_detect_by_name,
         "detect_magic_wide": _q_detect_magic_wide,
@@ -6898,6 +6925,19 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_text": (
             "SELECT 'doc://' || doc_id AS url, 'Doc ' || doc_id AS title, "
             "text || chr(10) AS text FROM documents"),
+        "extract_main_readability": (
+            "WITH b AS (SELECT doc_id, "
+            "'Article lead paragraph, with context, ' || text AS p, "
+            "trim(substr(text, 1, 160)) AS sub FROM documents), "
+            "s AS (SELECT doc_id, p, sub, "
+            "31 + (length(p) - length(replace(p, ',', ''))) "
+            "+ least(length(p) // 100, 3) AS top_score, "
+            "6 + (length(sub) - length(replace(sub, ',', ''))) "
+            "+ least(length(sub) // 100, 3) AS extras_score FROM b) "
+            "SELECT 'doc://' || doc_id AS url, p || chr(10) || "
+            "CASE WHEN length(sub) >= 25 AND extras_score >= "
+            "greatest(10.0, 0.2 * top_score) "
+            "THEN sub || chr(10) ELSE '' END AS text FROM s"),
         "extract_main_justext": (
             "WITH w AS (SELECT doc_id, text, "
             "list_filter(string_split_regex(lower(text), '\\s+'), "

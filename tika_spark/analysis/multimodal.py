@@ -136,7 +136,7 @@ def real_decode(payload: bytes, media_type: str):
         return mp4_h264_frames(payload)
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(Opus audio, inter-coded H.26x) are not installed in this "
+        "(Opus audio, AV1/HEVC video) are not installed in this "
         "environment; decode_media uses the header-parse tier below")
 
 

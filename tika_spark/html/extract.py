@@ -84,7 +84,8 @@ def extract_html(data: bytes, url: str | None = None,
     base = _process_head(head, url, metadata)
 
     links: list = []
-    if config.mode in ("text-main", "text-main-justext"):
+    if config.mode in ("text-main", "text-main-justext",
+                       "text-main-readability"):
         # the full-body serialization's text/spans would be discarded
         # here — only run it when the caller wants the links side-
         # product (it is the dominant per-doc cost after the parse)
@@ -93,6 +94,10 @@ def extract_html(data: bytes, url: str | None = None,
         if config.mode == "text-main-justext":
             from tika_spark.html.justext import main_content_justext
             text, spans = main_content_justext(body)
+        elif config.mode == "text-main-readability":
+            from tika_spark.html.readability import (
+                main_content_readability)
+            text, spans = main_content_readability(body)
         else:
             text, spans = bp.main_content(body)
         text = safe_chars(text)

@@ -69,6 +69,7 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default="text",
                    choices=["text", "text-main", "text-main-justext",
+                            "text-main-readability",
                             "metadata", "xhtml", "detect", "language",
                             "xmp", "json", "markdown"])
     p.add_argument("--buckets", type=int, default=16)
