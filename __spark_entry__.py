@@ -6198,6 +6198,15 @@ def _q_graph_pagerank(spark, sf_dir):
     return webgraph.pagerank(hg, iterations=3)
 
 
+def _q_graph_hits(spark, sf_dir):
+    """2-iteration integer-micro HITS hubs/authorities over the same
+    fixture host graph (webgraph.hits) — L1-normalized fixed point,
+    bit-exact vs the unrolled SQL replay."""
+    from tika_spark.analysis import webgraph
+    hg = webgraph.host_graph(_graph_edges(spark, sf_dir))
+    return webgraph.hits(hg, iterations=2)
+
+
 def _q_graph_anchor_text(spark, sf_dir):
     """Per-target anchor roll-up: in-link count + first-2 sorted
     distinct anchors."""
@@ -6598,6 +6607,54 @@ def _pagerank_oracle_sql(iterations: int = 3,
             + f" SELECT host, rank::BIGINT AS rank_micro FROM r{iterations}")
 
 
+def _hits_oracle_sql(iterations: int = 2) -> str:
+    """Unrolled integer-micro HITS replay (same L1-normalized
+    floor-division schedule as webgraph.hits)."""
+    scale = 1_000_000
+    sql = [
+        "WITH e AS (" + _GRAPH_EDGE_SQL + "), ",
+        "hg AS (SELECT src_host AS src, dst_host AS dst, "
+        "COUNT(*)::BIGINT AS w FROM e GROUP BY 1, 2), ",
+        "nodes AS (SELECT DISTINCT src AS host FROM hg "
+        "UNION SELECT DISTINCT dst FROM hg), ",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes), ",
+        f"h0 AS (SELECT host, ({scale}::BIGINT // (SELECT n FROM nn)) "
+        "AS hub FROM nodes), ",
+    ]
+    for i in range(iterations):
+        ph, a, h = f"h{i}", f"a{i + 1}", f"h{i + 1}"
+        sql.append(
+            f"ra{i + 1} AS (SELECT hg.dst AS host, "
+            f"SUM(p.hub * hg.w)::BIGINT AS raw "
+            f"FROM hg JOIN {ph} p ON hg.src = p.host GROUP BY hg.dst), "
+            f"ta{i + 1} AS (SELECT COALESCE(SUM(raw), 0)::BIGINT AS t "
+            f"FROM ra{i + 1}), "
+            f"{a} AS (SELECT nodes.host, "
+            f"CASE WHEN (SELECT t FROM ta{i + 1}) > 0 "
+            f"THEN {scale}::BIGINT * COALESCE(r.raw, 0) "
+            f"// (SELECT t FROM ta{i + 1}) ELSE 0 END AS auth "
+            f"FROM nodes LEFT JOIN ra{i + 1} r "
+            "ON nodes.host = r.host), "
+            f"rh{i + 1} AS (SELECT hg.src AS host, "
+            f"SUM(q.auth * hg.w)::BIGINT AS raw "
+            f"FROM hg JOIN {a} q ON hg.dst = q.host GROUP BY hg.src), "
+            f"th{i + 1} AS (SELECT COALESCE(SUM(raw), 0)::BIGINT AS t "
+            f"FROM rh{i + 1}), "
+            f"{h} AS (SELECT nodes.host, "
+            f"CASE WHEN (SELECT t FROM th{i + 1}) > 0 "
+            f"THEN {scale}::BIGINT * COALESCE(r.raw, 0) "
+            f"// (SELECT t FROM th{i + 1}) ELSE 0 END AS hub "
+            f"FROM nodes LEFT JOIN rh{i + 1} r "
+            "ON nodes.host = r.host), ")
+    joined = "".join(sql)
+    assert joined.endswith("), ")
+    return (joined[:-2]
+            + f" SELECT a.host, a.auth::BIGINT AS auth_micro, "
+            f"h.hub::BIGINT AS hub_micro "
+            f"FROM a{iterations} a JOIN h{iterations} h "
+            "ON a.host = h.host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_text": _q_extract_html_text,
@@ -6809,6 +6866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk_overlap": _q_docs_chunk_overlap,
         "graph_host_degrees": _q_graph_host_degrees,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_hits": _q_graph_hits,
         "graph_anchor_text": _q_graph_anchor_text,
         "graph_crawl_priority": _q_graph_crawl_priority,
         "docs_assign_splits": _q_docs_assign_splits,
@@ -9321,6 +9379,7 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(iw, 0)::BIGINT AS in_weight "
             "FROM o FULL OUTER JOIN i ON o.host = i.host"),
         "graph_pagerank": _pagerank_oracle_sql(iterations=3),
+        "graph_hits": _hits_oracle_sql(iterations=2),
         "docs_assign_splits": __splits_oracle(),
         "url_features": (
             "SELECT doc_id, "

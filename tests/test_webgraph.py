@@ -149,3 +149,48 @@ class TestRedirectResolve:
         # cycle: cut at max_hops, flagged non-terminal
         assert out["p"].hops == 5 and not out["p"].terminal
         assert "n" not in out
+
+
+class TestHits:
+    def test_two_node_cycle_uniform(self, spark):
+        hg = spark.createDataFrame(
+            [("a", "b", 1), ("b", "a", 1)],
+            "src_host string, dst_host string, weight long")
+        out = {x.host: (x.auth_micro, x.hub_micro)
+               for x in webgraph.hits(hg, iterations=3).collect()}
+        assert out == {"a": (SCALE // 2, SCALE // 2),
+                       "b": (SCALE // 2, SCALE // 2)}
+
+    def test_star_hub_and_authority(self, spark):
+        # h links to a1..a3: h is the only hub, the a's split authority
+        hg = spark.createDataFrame(
+            [("h", "a1", 1), ("h", "a2", 1), ("h", "a3", 2)],
+            "src_host string, dst_host string, weight long")
+        out = {x.host: (x.auth_micro, x.hub_micro)
+               for x in webgraph.hits(hg, iterations=2).collect()}
+        # authorities proportional to edge weight (L1-normalized)
+        assert out["a1"][0] == SCALE // 4
+        assert out["a2"][0] == SCALE // 4
+        assert out["a3"][0] == SCALE // 2
+        assert out["h"][0] == 0
+        # h is the only node with out-edges -> all hub mass
+        assert out["h"][1] == SCALE
+        assert out["a1"][1] == 0
+
+    def test_one_iteration_hand_math(self, spark):
+        # a->b, b->c ; 3 nodes, hub0 = S//3 each
+        # raw_auth: b = S//3, c = S//3 ; auth1: b = c = S//2
+        # raw_hub: a = S//2 (to b), b = S//2 (to c) ; hub1 = S//2 each
+        hg = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1)],
+            "src_host string, dst_host string, weight long")
+        out = {x.host: (x.auth_micro, x.hub_micro)
+               for x in webgraph.hits(hg, iterations=1).collect()}
+        assert out["a"] == (0, SCALE // 2)
+        assert out["b"] == (SCALE // 2, SCALE // 2)
+        assert out["c"] == (SCALE // 2, 0)
+
+    def test_empty_graph(self, spark):
+        hg = spark.createDataFrame(
+            [], "src_host string, dst_host string, weight long")
+        assert webgraph.hits(hg).count() == 0

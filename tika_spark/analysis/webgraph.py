@@ -200,6 +200,77 @@ def pagerank(hgraph: DataFrame, iterations: int = 3,
     return ranks
 
 
+def hits(hgraph: DataFrame, iterations: int = 2) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999) hubs/authorities over a host
+    graph, in exact integer micro-units — the complement of
+    :func:`pagerank`: authority rewards being linked FROM good hubs
+    (directory/portal hosts), hub rewards linking TO good
+    authorities; crawl frontiers seed from hubs, quality features
+    read authorities.
+
+    Per iteration, with all ``/`` meaning BIGINT floor division
+    (L1 normalization instead of the classical L2 — scale-free in
+    exact integers, same fixed-point direction):
+
+        raw_auth(n) = Σ hub(src) * w(e)   over in-edges of n
+        auth'(n)    = SCALE * raw_auth(n) / Σ raw_auth
+        raw_hub(n)  = Σ auth'(dst) * w(e) over out-edges of n
+        hub'(n)     = SCALE * raw_hub(n) / Σ raw_hub
+
+    Returns (host, auth_micro, hub_micro); each column sums to
+    ≈ SCALE minus floor-rounding. Same per-iteration discipline as
+    pagerank: ranks⋈edges equi-join + groupBy, scalar totals folded
+    back via one-row crossJoin, eager localCheckpoint truncating the
+    self-referencing lineage.
+    """
+    nodes = (hgraph.select(F.col("src_host").alias("host"))
+             .union(hgraph.select("dst_host"))
+             .distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return hgraph.sparkSession.createDataFrame(
+            [], "host string, auth_micro long, hub_micro long")
+    hubs = nodes.select(
+        "host", F.lit(SCALE // n).cast("long").alias("hub_micro"))
+    auths = nodes.select(
+        "host", F.lit(0).cast("long").alias("auth_micro"))
+    for _ in range(iterations):
+        raw_a = (hgraph.join(hubs, hgraph.src_host == hubs.host)
+                 .select(F.col("dst_host").alias("host"),
+                         (F.col("hub_micro") * F.col("weight"))
+                         .cast("long").alias("r"))
+                 .groupBy("host").agg(F.sum("r").alias("raw_auth")))
+        tot_a = raw_a.agg(F.coalesce(F.sum("raw_auth"), F.lit(0))
+                          .alias("t"))
+        auths = (nodes.join(raw_a, "host", "left").crossJoin(tot_a)
+                 .select("host",
+                         F.when(F.col("t") > 0, F.expr(
+                             f"{SCALE}L * coalesce(raw_auth, 0L)"
+                             " div t"))
+                         .otherwise(F.lit(0))
+                         .cast("long").alias("auth_micro")))
+        auths = auths.localCheckpoint(eager=True)
+        raw_h = (hgraph.join(auths, hgraph.dst_host == auths.host)
+                 .select(F.col("src_host").alias("host"),
+                         (F.col("auth_micro") * F.col("weight"))
+                         .cast("long").alias("r"))
+                 .groupBy("host").agg(F.sum("r").alias("raw_hub")))
+        tot_h = raw_h.agg(F.coalesce(F.sum("raw_hub"), F.lit(0))
+                          .alias("t"))
+        hubs = (nodes.join(raw_h, "host", "left").crossJoin(tot_h)
+                .select("host",
+                        F.when(F.col("t") > 0, F.expr(
+                            f"{SCALE}L * coalesce(raw_hub, 0L)"
+                            " div t"))
+                        .otherwise(F.lit(0))
+                        .cast("long").alias("hub_micro")))
+        hubs = hubs.localCheckpoint(eager=True)
+    out = auths.join(hubs, "host")
+    nodes.unpersist()
+    return out.select("host", "auth_micro", "hub_micro")
+
+
 def anchor_summary(edges: DataFrame, k: int = 2) -> DataFrame:
     """Per-target anchor-text roll-up: in-link count plus the first
     ``k`` distinct anchors in lexicographic order (deterministic under
