@@ -612,6 +612,25 @@ def _q_word_topk(spark, sf_dir):
     return out.select("word", F.col("n").cast("long").alias("n"))
 
 
+def _q_docs_best_passage(spark, sf_dir):
+    """Query-biased best-passage selection (retrieval.best_passage):
+    idf-weighted query-term mass per 24-token window every 8 tokens,
+    winner chosen in-row by array_max over (score, -offset) — no
+    window explode, no shuffle beyond the one-row stats crossJoin.
+    The oracle unnests the same windows and replays the arithmetic."""
+    from tika_spark.analysis.retrieval import best_passage
+    return best_passage(_docs(spark, sf_dir), "vector merge",
+                        window_words=24, stride=8)
+
+
+def _q_docs_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 tf-idf keywords (textstats.tfidf_keywords):
+    smoothed idf micro-rounded per term before the integer tf
+    multiply, rank ties broken by term — the per-doc complement of
+    word_topk, hash-exact vs the SQL replay."""
+    return textstats.tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
 def _q_word_topk_by_lang(spark, sf_dir):
     out = textstats.word_topk(_docs(spark, sf_dir), k=10, by="lang")
     return out.select("lang", "word", F.col("n").cast("long").alias("n"))
@@ -6677,6 +6696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _q_quality,
         "fingerprint_md5": _q_fingerprint,
         "word_topk": _q_word_topk,
+        "docs_tfidf_keywords": _q_docs_tfidf_keywords,
+        "docs_best_passage": _q_docs_best_passage,
         "word_topk_by_lang": _q_word_topk_by_lang,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -8055,6 +8076,52 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": (
             "SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', "
             "'g')) AS fp_md5 FROM documents"),
+        "docs_best_passage": (
+            "WITH d AS (SELECT doc_id AS id, "
+            "string_split_regex(trim(text), '\\s+') AS toks, "
+            "list_transform(string_split_regex(trim(text), '\\s+'), "
+            "x -> lower(x)) AS low FROM documents), "
+            "nn AS (SELECT COUNT(*)::DOUBLE AS n, "
+            "SUM(CASE WHEN list_contains(low, 'vector') THEN 1 "
+            "ELSE 0 END)::DOUBLE AS df0, "
+            "SUM(CASE WHEN list_contains(low, 'merge') THEN 1 "
+            "ELSE 0 END)::DOUBLE AS df1 FROM d), "
+            "idf AS (SELECT CAST(round(ln((n + 1.0) / (df0 + 1.0)) "
+            "* 1000000) AS BIGINT) AS i0, "
+            "CAST(round(ln((n + 1.0) / (df1 + 1.0)) * 1000000) "
+            "AS BIGINT) AS i1 FROM nn), "
+            "w AS (SELECT id, toks, low, "
+            "unnest(range(0, len(low), 8)) AS off FROM d), "
+            "s AS (SELECT id, off, toks, "
+            "i0 * len(list_filter(list_slice(low, off + 1, off + 24), "
+            "x -> x = 'vector')) "
+            "+ i1 * len(list_filter(list_slice(low, off + 1, off + 24), "
+            "x -> x = 'merge')) AS score FROM w, idf), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY id "
+            "ORDER BY score DESC, off ASC) AS rk FROM s) "
+            "SELECT id, off::INT AS off, score::BIGINT AS score_micro, "
+            "array_to_string(list_slice(toks, off + 1, off + 24), ' ') "
+            "AS passage FROM r WHERE rk = 1 AND score > 0"),
+        "docs_tfidf_keywords": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "list_transform(string_split_regex(trim(text), '\\s+'), "
+            "x -> lower(x)), x -> length(x) >= 3)) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id AS id, term, COUNT(*)::BIGINT AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "dft AS (SELECT term, COUNT(*)::BIGINT AS dft "
+            "FROM tf GROUP BY 1), "
+            "nn AS (SELECT COUNT(*)::BIGINT AS n FROM documents), "
+            "idf AS (SELECT term, CAST(round(ln(((SELECT n FROM nn) "
+            "+ 1.0) / (dft + 1.0)) * 1000000) AS BIGINT) "
+            "AS idf_micro FROM dft), "
+            "s AS (SELECT tf.id, tf.term, tf.tf, "
+            "tf.tf * idf.idf_micro AS score_micro "
+            "FROM tf JOIN idf ON tf.term = idf.term), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY id "
+            "ORDER BY score_micro DESC, term ASC) AS rk FROM s) "
+            "SELECT id, term, tf, score_micro, rk FROM r "
+            "WHERE rk <= 5"),
         "word_topk": (
             f"SELECT word, COUNT(*)::BIGINT AS n FROM (SELECT "
             f"unnest({_TOKS}) AS word FROM documents) GROUP BY word "

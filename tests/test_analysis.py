@@ -829,3 +829,32 @@ def test_corpus_report_composition(spark):
     assert rows[("avg_chars_by_lang_micro", "en")] == 3_500_000
     assert rows[("docs_by_source", "s1")] == 2
     assert rows[("tokens_by_source", "s1")] == 5
+
+
+class TestTfidfKeywords:
+    def test_rare_term_outranks_common(self, spark):
+        from tika_spark.analysis.textstats import tfidf_keywords
+        df = spark.createDataFrame(
+            [(1, "common zebra common common"),
+             (2, "common common yak"),
+             (3, "common filler words here")],
+            "doc_id long, text string")
+        out = {(r.id, r.rk): r for r in
+               tfidf_keywords(df, k=2).collect()}
+        # doc 1: zebra (df=1) beats common (df=3, idf=0)
+        assert out[(1, 1)].term == "zebra"
+        assert out[(1, 1)].tf == 1
+        assert out[(1, 2)].term == "common"
+        assert out[(1, 2)].score_micro == 0  # idf ln(4/4)=0
+
+    def test_min_len_filter_and_k_cut(self, spark):
+        from tika_spark.analysis.textstats import tfidf_keywords
+        df = spark.createDataFrame(
+            [(1, "ab cd longword another third fourth")],
+            "doc_id long, text string")
+        rows = tfidf_keywords(df, k=3).collect()
+        assert len(rows) == 3
+        assert all(len(r.term) >= 3 for r in rows)
+        # ties (all tf=1, same idf) break by term asc
+        assert [r.term for r in sorted(rows, key=lambda r: r.rk)] == \
+            sorted([r.term for r in rows])[:3]

@@ -124,3 +124,51 @@ def test_bm25_indexed_agrees_with_scan_form(spark):
     for i, r in idx.items():
         assert abs(r.score_micro - scan[i]) <= r.n_terms_hit
     assert idx[1].n_terms_hit == 2 and idx[4].n_terms_hit == 1
+
+
+class TestBestPassage:
+    def test_window_selection_and_tie_offset(self, spark):
+        from tika_spark.analysis.retrieval import best_passage
+        # needles cluster near the end; the window covering both wins
+        text = "pad " * 20 + "needle mid needle " + "pad " * 20
+        df = spark.createDataFrame([(1, text.strip()),
+                                    (2, "none of the terms")],
+                                   "doc_id long, text string")
+        out = best_passage(df, "needle", window_words=8, stride=4)
+        rows = {r.id: r for r in out.collect()}
+        assert 2 not in rows          # zero-score docs dropped
+        r = rows[1]
+        # both needles (positions 20 and 22) fit one window; earliest
+        # covering offset = 16 (windows step by 4)
+        assert r.off == 16
+        assert r.passage.split().count("needle") == 2
+
+    def test_scores_are_idf_weighted_integers(self, spark):
+        from tika_spark.analysis.retrieval import best_passage
+        import math
+        df = spark.createDataFrame(
+            [(1, "rare common"), (2, "common common"), (3, "common")],
+            "doc_id long, text string")
+        out = {r.id: r for r in
+               best_passage(df, "rare common", window_words=4,
+                            stride=4).collect()}
+        idf_rare = round(math.log(4.0 / 2.0) * 1_000_000)
+        idf_common = round(math.log(4.0 / 4.0) * 1_000_000)  # 0
+        assert out[1].score_micro == idf_rare + idf_common
+        # docs matching only the df=N term score 0 -> dropped
+        assert 2 not in out and 3 not in out
+
+    def test_passage_keeps_original_case(self, spark):
+        from tika_spark.analysis.retrieval import best_passage
+        # second doc keeps df < N so the term's idf is nonzero
+        df = spark.createDataFrame([(1, "The Needle Wins Here"),
+                                    (2, "nothing to see")],
+                                   "doc_id long, text string")
+        r = best_passage(df, "needle", window_words=4, stride=4)\
+            .collect()[0]
+        assert r.passage == "The Needle Wins Here"
+
+    def test_empty_query(self, spark):
+        from tika_spark.analysis.retrieval import best_passage
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        assert best_passage(df, "   ").count() == 0

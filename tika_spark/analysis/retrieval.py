@@ -108,3 +108,81 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame, query: str,
         .select(F.col("vec_id").alias("id"),
                 F.col("rank").cast("long").alias("rank")))
     return rrf_fuse([lex, dense], k=k, rrf_k=rrf_k)
+
+
+def best_passage(docs: DataFrame, query: str, window_words: int = 64,
+                 stride: int = 32, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Query-biased best-passage (snippet) extraction: per document,
+    the ``window_words``-token window (every ``stride`` tokens) with
+    the highest idf-weighted query-term mass — the search-engine
+    snippet / RAG passage-selection operator on top of the corpus.
+
+      idf_t          = round(ln((N + 1) / (df_t + 1)) * 1e6)
+      score(d, off)  = sum_t idf_t * tf_t(window(d, off))
+      winner         = max by (score, -off)        (BIGINT, exact)
+
+    Emits (id, off, score_micro, passage) for documents whose best
+    window matches at least one query term; ``passage`` is the
+    original-case token slice joined with single spaces.
+
+    Plan shape (the zero-shuffle trick): windows are never exploded —
+    ``transform(sequence(0, n-1, stride), o -> (score, -o))`` builds
+    the per-offset score list as a native higher-order expression and
+    ``array_max`` picks the winner inside the row. Corpus statistics
+    (N, one df per query term via array_contains) are ONE
+    partial-aggregatable agg row folded back by a broadcast
+    crossJoin — at 100 TB this is one scan plus a scalar exchange,
+    identical shape to textstats.bm25_scores.
+    """
+    from tika_spark.analysis.textstats import tokens
+
+    terms = []
+    for t in query.lower().split():
+        if t and t not in terms:
+            terms.append(t)
+    if not terms:
+        return (docs.select(F.col(id_col).alias("id"),
+                            F.lit(0).alias("off"),
+                            F.lit(0).cast("long").alias("score_micro"),
+                            F.lit("").alias("passage"))
+                .filter(F.lit(False)))
+
+    toks = tokens(F.col(text_col))
+    low = F.transform(toks, F.lower)
+    d = docs.select(F.col(id_col).alias("id"),
+                    toks.alias("toks"), low.alias("low"),
+                    F.size(low).alias("n"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        *[F.sum(F.array_contains("low", t).cast("long"))
+          .cast("double").alias(f"df_{i}")
+          for i, t in enumerate(terms)])
+    idfs = [F.round(F.log((F.col("n_docs") + F.lit(1.0))
+                          / (F.col(f"df_{i}") + F.lit(1.0)))
+                    * 1_000_000).cast("long")
+            for i in range(len(terms))]
+
+    def win_score(o):
+        w = F.slice(F.col("low"), o + 1, window_words)
+        s = F.lit(0).cast("long")
+        for i, t in enumerate(terms):
+            s = s + idfs[i] * F.size(
+                F.filter(w, lambda x: x == F.lit(t))).cast("long")
+        return s
+
+    offsets = F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)),
+                         F.lit(stride))
+    best = F.array_max(F.transform(
+        offsets, lambda o: F.struct(win_score(o).alias("s"),
+                                    (-o).cast("long").alias("neg_off"))))
+    out = (d.crossJoin(F.broadcast(stats))
+           .select("id", "toks", best.alias("best"))
+           .select("id",
+                   (-F.col("best.neg_off")).cast("int").alias("off"),
+                   F.col("best.s").alias("score_micro"),
+                   F.array_join(
+                       F.slice(F.col("toks"),
+                               (-F.col("best.neg_off")).cast("int") + 1,
+                               window_words), " ").alias("passage")))
+    return out.filter(F.col("score_micro") > 0)

@@ -371,6 +371,57 @@ def bm25_scores(df: DataFrame, query: str, k1: float = 1.2,
                     .alias("score_micro")))
 
 
+def tfidf_keywords(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_len: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — the
+    per-document complement of :func:`word_topk` (corpus-level) and
+    :func:`bm25_scores` (query-level): document fingerprint keywords
+    for clustering labels, dedup explanation, and topic census.
+
+      idf_t        = ln((N + 1) / (df_t + 1))        (smoothed)
+      score(d, t)  = tf(d, t) * round(idf_t * 1e6)   (BIGINT)
+
+    Rank within a document is (score desc, term asc) — fully
+    deterministic; the float ln is micro-rounded once per TERM before
+    the integer multiply, the same cross-engine hazard class (1-ulp
+    ln) the bm25/lm oracles pin.
+
+    Emits (id, term, tf, score_micro, rk), rk = 1..k.
+
+    Plan shape: one explode + groupBy(id, term) for tf; document
+    frequencies are a groupBy(term) over the tf table (already one
+    row per (id, term)); N folds back as a one-row crossJoin; the
+    final per-doc top-k is a row_number window partitioned by id —
+    three key-partitioned shuffles, no driver collect, no all-pairs
+    anything. At 100 TB the vocabulary join is term-keyed and
+    AQE-broadcastable when the vocab is small.
+    """
+    low = F.filter(F.transform(tokens(F.col(text_col)), F.lower),
+                   lambda x: F.length(x) >= min_len)
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(low).alias("term"))
+          .groupBy("id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("dft"))
+    n = df.agg(F.count("*").cast("long").alias("n_docs"))
+    idf = (dft.crossJoin(F.broadcast(n))
+           .select("term",
+                   F.round(F.log((F.col("n_docs") + F.lit(1.0))
+                                 / (F.col("dft") + F.lit(1.0)))
+                           * 1_000_000).cast("long")
+                   .alias("idf_micro")))
+    scored = (tf.join(idf, "term")
+              .select("id", "term", "tf",
+                      (F.col("tf") * F.col("idf_micro"))
+                      .cast("long").alias("score_micro")))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_micro"), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("id", "term", "tf", "score_micro", "rk"))
+
+
 def corpus_report(df: DataFrame, text_col: str = "text",
                   lang_col: str = "lang",
                   source_col: str = "source") -> DataFrame:
