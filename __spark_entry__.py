@@ -4750,6 +4750,41 @@ def _q_table_pruned_scan(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def _q_table_bloom_lookup(spark, sf_dir):
+    """Per-file Bloom filters in the snapshot table layer
+    (pipeline/table.py bloom_cols + read_eq — the Iceberg
+    puffin/Delta bloom analog): four disjoint doc_id appends each
+    record a 32 Kbit md5 Bloom bitmap per file; a point lookup opens
+    only the file whose filter admits the key (no stats recorded, so
+    the skipping is bloom-only; no false negatives by construction,
+    zero false positives for these keys pinned by the oracle's
+    n_kept = 1)."""
+    import shutil
+    import tempfile
+
+    from tika_spark.pipeline.table import SnapshotTable
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    root = tempfile.mkdtemp(prefix="bloomtab-")
+    shutil.rmtree(root)
+    rows = []
+    try:
+        t = SnapshotTable.create(spark, root, bloom_cols=["doc_id"])
+        for k in range(4):
+            t.append(docs.filter(
+                (F.col("doc_id") >= k * 125)
+                & (F.col("doc_id") < (k + 1) * 125)).coalesce(1))
+        for key in (7, 133, 261, 389, 444, 100444):
+            kept, total = t.prune_files_eq("doc_id", key)
+            for r in t.read_eq("doc_id", key).collect():
+                rows.append((int(r["doc_id"]), r["lang"],
+                             len(kept), total))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_kept bigint, "
+              "n_total bigint")
+
+
 def _q_table_snapshot_reads(spark, sf_dir):
     """Snapshot-versioned table layer (pipeline/table.py — the
     Iceberg-style atomic-rename commit protocol): append evens,
@@ -6854,6 +6889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_snapshot_reads": _q_table_snapshot_reads,
         "table_merge_delete": _q_table_merge_delete,
         "table_pruned_scan": _q_table_pruned_scan,
+        "table_bloom_lookup": _q_table_bloom_lookup,
         "table_incremental_index": _q_table_incremental_index,
         "table_schema_evolution": _q_table_schema_evolution,
         "table_zorder_key": _q_table_zorder_key,
@@ -9262,6 +9298,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN dl USING (id) JOIN d USING (term), s) "
             "SELECT id, count(*)::BIGINT AS n_terms_hit, "
             "sum(c)::BIGINT AS score_micro FROM c GROUP BY id"),
+        "table_bloom_lookup": (
+            "SELECT doc_id, lang, 1::BIGINT AS n_kept, "
+            "4::BIGINT AS n_total FROM documents "
+            "WHERE doc_id IN (7, 133, 261, 389, 444)"),
         "table_pruned_scan": (
             "SELECT doc_id, text FROM documents "
             "WHERE doc_id BETWEEN 130 AND 260"),

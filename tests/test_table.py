@@ -424,3 +424,55 @@ class TestSchemaEvolution:
         t = SnapshotTable.create(spark, root, _docs(spark, 0, 5))
         with pytest.raises(ValueError, match="exists"):
             t.evolve_schema([("text", "string")])
+
+
+class TestBloomFilters:
+    def test_bloom_recorded_and_point_pruned(self, spark, root):
+        t = SnapshotTable.create(spark, root, bloom_cols=["text"])
+        for lo in (0, 100, 200, 300):
+            t.append(_docs(spark, lo, lo + 100).coalesce(1))
+        m = t._manifest(t.current_snapshot())
+        assert all("bloom" in f and "text" in f["bloom"]
+                   for f in m["files"])
+        kept, total = t.prune_files_eq("text", "text-250")
+        assert total == 4 and len(kept) == 1
+        rows = t.read_eq("text", "text-250").collect()
+        assert len(rows) == 1 and rows[0].doc_id == 250
+
+    def test_no_false_negatives_every_key(self, spark, root):
+        t = SnapshotTable.create(spark, root, bloom_cols=["doc_id"])
+        for lo in (0, 40):
+            t.append(_docs(spark, lo, lo + 40).coalesce(1))
+        for key in range(0, 80, 7):
+            kept, _ = t.prune_files_eq("doc_id", key)
+            assert kept, f"false negative for {key}"
+            got = t.read_eq("doc_id", key).collect()
+            assert len(got) == 1 and got[0].doc_id == key
+
+    def test_absent_key_prunes_everything(self, spark, root):
+        t = SnapshotTable.create(spark, root, bloom_cols=["doc_id"])
+        t.append(_docs(spark, 0, 200).coalesce(2))
+        kept, total = t.prune_files_eq("doc_id", 987654321)
+        assert kept == [] and total == 2
+        assert t.read_eq("doc_id", 987654321).count() == 0
+
+    def test_bloom_cols_persist_and_survive_compact(self, spark, root):
+        t = SnapshotTable.create(spark, root, bloom_cols=["doc_id"])
+        for lo in (0, 50, 100, 150):
+            t.append(_docs(spark, lo, lo + 50).coalesce(1))
+        t2 = SnapshotTable.load(spark, root)
+        assert t2.bloom_cols == ["doc_id"]
+        t2.compact(target_bytes=1 << 30)   # everything into one file
+        m = t2._manifest(t2.current_snapshot())
+        assert all("bloom" in f and "doc_id" in f["bloom"]
+                   for f in m["files"])
+        rows = t2.read_eq("doc_id", 125).collect()
+        assert len(rows) == 1 and rows[0].doc_id == 125
+
+    def test_stats_and_bloom_compose(self, spark, root):
+        t = SnapshotTable.create(spark, root, stats_cols=["doc_id"],
+                                 bloom_cols=["doc_id"])
+        for lo in (0, 100):
+            t.append(_docs(spark, lo, lo + 100).coalesce(1))
+        kept, total = t.prune_files_eq("doc_id", 150)
+        assert total == 2 and len(kept) == 1

@@ -54,17 +54,25 @@ the table layer).
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import posixpath
 import time
 import uuid
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _SNAP_FMT = "snap-%08d.json"
 _COMMIT_RETRIES = 20
+# per-file Bloom filter geometry (bloom_cols): 32768 bits / 5 hashes
+# -> ~4 KB base64 per (file, col), <1% false positives up to ~3k
+# distinct keys per file
+_BLOOM_M = 1 << 15
+_BLOOM_K = 5
 
 
 def zorder_key(df: DataFrame, cols: list[str],
@@ -125,7 +133,8 @@ class SnapshotTable:
     """Handle on a snapshot-versioned parquet table at ``root``."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 stats_cols: list[str] | None = None):
+                 stats_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._fs, self._hroot, self._jvm = _fs_for(spark, self.root)
@@ -133,6 +142,12 @@ class SnapshotTable:
         # (Iceberg-style file statistics → scan pruning); persisted
         # per manifest and restored by load()
         self.stats_cols: list[str] = list(stats_cols or [])
+        # columns with a per-file Bloom filter in the manifest entry
+        # (Iceberg puffin / Delta bloom analog): equality lookups
+        # skip files whose filter rejects the key. Same md5 bit
+        # derivation as analysis/bloom.py, over the STRING form of
+        # the value; m/8-byte bitmap stored base64 per file per col.
+        self.bloom_cols: list[str] = list(bloom_cols or [])
 
     # ------------------------------------------------------ plumbing
 
@@ -176,14 +191,16 @@ class SnapshotTable:
     @classmethod
     def create(cls, spark: SparkSession, root: str,
                df: DataFrame | None = None,
-               stats_cols: list[str] | None = None
+               stats_cols: list[str] | None = None,
+               bloom_cols: list[str] | None = None
                ) -> "SnapshotTable":
         """New table at ``root`` (must not already hold one). With
         ``df``, snapshot 1 is an append of it; else the table starts
         empty and schemaless until the first append. ``stats_cols``
         opts columns into per-file min/max statistics (see
-        :meth:`read_where`)."""
-        t = cls(spark, root, stats_cols)
+        :meth:`read_where`); ``bloom_cols`` into per-file Bloom
+        filters (see :meth:`read_eq`)."""
+        t = cls(spark, root, stats_cols, bloom_cols)
         if t._snapshot_ids():
             raise ValueError(f"table already exists at {root}")
         t._fs.mkdirs(t._path("data"))
@@ -197,8 +214,9 @@ class SnapshotTable:
         t = cls(spark, root)
         if not t._snapshot_ids():
             raise ValueError(f"no snapshot table at {root}")
-        t.stats_cols = list(
-            t._manifest(t.current_snapshot()).get("stats_cols", []))
+        m = t._manifest(t.current_snapshot())
+        t.stats_cols = list(m.get("stats_cols", []))
+        t.bloom_cols = list(m.get("bloom_cols", []))
         return t
 
     def current_snapshot(self) -> int:
@@ -341,8 +359,10 @@ class SnapshotTable:
                 return v if isinstance(
                     v, (int, float, str, bool, type(None))) else str(v)
 
+            blooms = self._file_blooms(scan)
             for rel, size in moved:
-                r = per_file.get(posixpath.basename(rel))
+                base = posixpath.basename(rel)
+                r = per_file.get(base)
                 entry = {"path": rel,
                          "rows": int(r["count"]) if r else 0,
                          "bytes": int(size)}
@@ -351,8 +371,94 @@ class SnapshotTable:
                         c: [_jsonable(r[f"__min_{c}"]),
                             _jsonable(r[f"__max_{c}"])]
                         for c in stat_cols}
+                if base in blooms:
+                    entry["bloom"] = blooms[base]
                 entries.append(entry)
         return entries
+
+    def _file_blooms(self, scan: DataFrame) -> dict:
+        """Per-file Bloom bitmaps for every bloom column: one job
+        emitting k set-bit rows per value (same md5 derivation as
+        analysis/bloom.py over the STRING form), distinct, grouped
+        by file — at most ``_BLOOM_M`` distinct bits per (file, col),
+        so the collected metadata is bounded by files x cols x m/8
+        bytes regardless of row count. Returns
+        {file_basename: {col: base64(bitmap)}}."""
+        cols = [c for c in self.bloom_cols if c in scan.columns]
+        if not cols:
+            return {}
+        from tika_spark.analysis.bloom import _bit_cols
+        parts = [
+            scan.select(
+                F.input_file_name().alias("f"), F.lit(c).alias("c"),
+                F.explode(_bit_cols(
+                    F.col(c).cast("string"), _BLOOM_M, _BLOOM_K))
+                .alias("b"))
+            for c in cols]
+        bits = parts[0]
+        for p in parts[1:]:
+            bits = bits.unionByName(p)
+        rows = (bits.distinct().groupBy("f", "c")
+                .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+                .collect())
+        out: dict = {}
+        for r in rows:
+            arr = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+            for b in r["bits"]:
+                arr[b >> 3] |= 1 << (b & 7)
+            out.setdefault(posixpath.basename(r["f"]), {})[r["c"]] = \
+                base64.b64encode(bytes(arr)).decode("ascii")
+        return out
+
+    def prune_files_eq(self, col: str, value,
+                       snapshot_id: int | None = None
+                       ) -> tuple[list[str], int]:
+        """Manifest-level point-lookup pruning: keep a data file only
+        if its Bloom filter for ``col`` may contain ``value`` (all k
+        bits set) AND its min/max range (when recorded) covers it.
+        Files without a filter are conservatively kept. No false
+        negatives by construction; pure metadata, no Spark job."""
+        sid = (self.current_snapshot() if snapshot_id is None
+               else snapshot_id)
+        m = self._manifest(sid)
+        sval = str(value)
+        idxs = [int(hashlib.md5(f"{sval}#{i}".encode())
+                    .hexdigest()[:8], 16) % _BLOOM_M
+                for i in range(_BLOOM_K)]
+        kept = []
+        for f in m["files"]:
+            st = (f.get("stats") or {}).get(col)
+            if st is not None and st[0] is not None \
+                    and not isinstance(value, str) \
+                    and isinstance(st[0], (int, float)):
+                if value < st[0] or value > st[1]:
+                    continue
+            b64 = (f.get("bloom") or {}).get(col)
+            if b64 is not None:
+                arr = np.frombuffer(base64.b64decode(b64),
+                                    dtype=np.uint8)
+                if not all((arr[b >> 3] >> (b & 7)) & 1
+                           for b in idxs):
+                    continue
+            kept.append(self.root + "/" + f["path"])
+        return kept, len(m["files"])
+
+    def read_eq(self, col: str, value,
+                snapshot_id: int | None = None) -> DataFrame:
+        """Point lookup with Bloom file skipping: identical result to
+        ``read().filter(col == value)`` while opening only the files
+        whose filter admits the key — the url/doc-id lookup path on
+        a crawl table (CDX-style random access over a snapshot)."""
+        sid = (self.current_snapshot() if snapshot_id is None
+               else snapshot_id)
+        m = self._manifest(sid)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        paths, _ = self.prune_files_eq(col, value, sid)
+        if not paths:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        return df.filter(F.col(col) == F.lit(value))
 
     def _commit(self, operation: str, files: list[dict],
                 schema_json: str, summary: dict | None = None) -> int:
@@ -371,6 +477,7 @@ class SnapshotTable:
                 "ts": time.time(),
                 "schema": schema_json,
                 "stats_cols": self.stats_cols,
+                "bloom_cols": self.bloom_cols,
                 "files": files,
                 "summary": summary or {},
             }
