@@ -623,6 +623,46 @@ def _q_docs_best_passage(spark, sf_dir):
                         window_words=24, stride=8)
 
 
+def _q_frontier_crawl_traps(spark, sf_dir):
+    """Crawler-trap URL flags (curation.crawl_trap_flags): five
+    deterministic URL variants (clean, mirror-loop /a/b/a/b,
+    calendar /2020/2021, jsessionid query, 220-char query tail);
+    the oracle rebuilds the same URLs in SQL and replays every
+    regex/array flag."""
+    from tika_spark.analysis.curation import crawl_trap_flags
+    host = F.concat(F.lit("http://h"), F.col("doc_id") % 7,
+                    F.lit(".ex"))
+    pid = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 5
+    url = (F.when(v == 0, F.concat(host, F.lit("/a/p"), pid))
+           .when(v == 1, F.concat(host, F.lit("/a/b/a/b/p"), pid))
+           .when(v == 2, F.concat(host, F.lit("/2020/2021/p"), pid))
+           .when(v == 3, F.concat(host, F.lit("/p"), pid,
+                                  F.lit("?jsessionid=abc123")))
+           .otherwise(F.concat(host, F.lit("/p"), pid, F.lit("?q="),
+                               F.lit("x" * 220))))
+    df = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return crawl_trap_flags(df).select(
+        "doc_id", "url", "r_repeat_seg", "r_deep_path", "r_calendar",
+        "r_session_id", "r_long_query", "is_trap")
+
+
+def _q_warc_revisit_census(spark, sf_dir):
+    """WARC revisit semantics (cdx.revisit_census): capture order and
+    copy counts per payload digest — duplicate-text documents in the
+    corpus become revisits of their first capture; one digest-keyed
+    window, replayed exactly by the SQL oracle."""
+    from tika_spark.sources.cdx import revisit_census
+    recs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        .alias("warc_date"),
+        F.md5(F.col("text")).alias("digest"))
+    return revisit_census(recs).select(
+        "url", "warc_date", "digest", "capture_idx", "is_revisit",
+        "n_copies")
+
+
 def _q_docs_tfidf_keywords(spark, sf_dir):
     """Per-document top-5 tf-idf keywords (textstats.tfidf_keywords):
     smoothed idf micro-rounded per term before the integer tf
@@ -6732,6 +6772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint,
         "word_topk": _q_word_topk,
         "docs_tfidf_keywords": _q_docs_tfidf_keywords,
+        "frontier_crawl_traps": _q_frontier_crawl_traps,
+        "warc_revisit_census": _q_warc_revisit_census,
         "docs_best_passage": _q_docs_best_passage,
         "word_topk_by_lang": _q_word_topk_by_lang,
         "dedup_exact": _q_dedup_exact,
@@ -8138,6 +8180,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, off::INT AS off, score::BIGINT AS score_micro, "
             "array_to_string(list_slice(toks, off + 1, off + 24), ' ') "
             "AS passage FROM r WHERE rk = 1 AND score > 0"),
+        "frontier_crawl_traps": (
+            "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
+            "WHEN 0 THEN 'http://h' || (doc_id % 7) || '.ex/a/p' "
+            "|| doc_id "
+            "WHEN 1 THEN 'http://h' || (doc_id % 7) "
+            "|| '.ex/a/b/a/b/p' || doc_id "
+            "WHEN 2 THEN 'http://h' || (doc_id % 7) "
+            "|| '.ex/2020/2021/p' || doc_id "
+            "WHEN 3 THEN 'http://h' || (doc_id % 7) || '.ex/p' "
+            "|| doc_id || '?jsessionid=abc123' "
+            "ELSE 'http://h' || (doc_id % 7) || '.ex/p' || doc_id "
+            "|| '?q=' || repeat('x', 220) END AS url "
+            "FROM documents), "
+            "f AS (SELECT doc_id, url, regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) "
+            "AS path, regexp_extract(url, '\\?([^#]*)', 1) "
+            "AS query FROM u), "
+            "g AS (SELECT doc_id, url, query, "
+            "list_filter(string_split(path, '/'), x -> x <> '') "
+            "AS segs FROM f), "
+            "h AS (SELECT doc_id, url, "
+            "(len(segs) - len(list_distinct(segs))) >= 2 "
+            "AS r_repeat_seg, len(segs) > 20 AS r_deep_path, "
+            "len(list_filter(segs, x -> regexp_matches(x, "
+            "'^(19|20)[0-9]{2}$'))) >= 2 AS r_calendar, "
+            "regexp_matches(lower(query), '(^|&)(phpsessid"
+            "|jsessionid|sessionid|sid|cfid|cftoken)=') "
+            "AS r_session_id, length(query) > 200 AS r_long_query "
+            "FROM g) "
+            "SELECT doc_id, url, r_repeat_seg, r_deep_path, "
+            "r_calendar, r_session_id, r_long_query, "
+            "r_repeat_seg OR r_deep_path OR r_calendar "
+            "OR r_session_id OR r_long_query AS is_trap FROM h"),
+        "warc_revisit_census": (
+            "WITH r AS (SELECT 'doc://' || doc_id AS url, "
+            "lpad(doc_id::VARCHAR, 8, '0') AS warc_date, "
+            "md5(text) AS digest FROM documents) "
+            "SELECT url, warc_date, digest, "
+            "row_number() OVER (PARTITION BY digest "
+            "ORDER BY warc_date ASC, url ASC)::BIGINT AS capture_idx, "
+            "row_number() OVER (PARTITION BY digest "
+            "ORDER BY warc_date ASC, url ASC) > 1 AS is_revisit, "
+            "COUNT(*) OVER (PARTITION BY digest)::BIGINT AS n_copies "
+            "FROM r"),
         "docs_tfidf_keywords": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
             "list_transform(string_split_regex(trim(text), '\\s+'), "

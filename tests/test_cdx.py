@@ -139,3 +139,29 @@ class TestFetch:
             "path string, offset long, clength long")
         got = cdx_fetch(idx).collect()
         assert [r.status for r in got] == ["fetch_error", "fetch_error"]
+
+
+class TestRevisitCensus:
+    def test_capture_order_and_copies(self, spark):
+        from tika_spark.sources.cdx import revisit_census
+        rows = [("u1", "2026-01-01", "d1"),
+                ("u2", "2026-01-03", "d1"),
+                ("u3", "2026-01-02", "d1"),
+                ("u4", "2026-01-01", "d2")]
+        df = spark.createDataFrame(
+            rows, "url string, warc_date string, digest string")
+        out = {r.url: r for r in revisit_census(df).collect()}
+        assert out["u1"].capture_idx == 1 and not out["u1"].is_revisit
+        assert out["u3"].capture_idx == 2 and out["u3"].is_revisit
+        assert out["u2"].capture_idx == 3
+        assert all(out[u].n_copies == 3 for u in ("u1", "u2", "u3"))
+        assert out["u4"].n_copies == 1 and not out["u4"].is_revisit
+
+    def test_url_breaks_date_ties(self, spark):
+        from tika_spark.sources.cdx import revisit_census
+        df = spark.createDataFrame(
+            [("b", "t", "d"), ("a", "t", "d")],
+            "url string, warc_date string, digest string")
+        out = {r.url: r.capture_idx
+               for r in revisit_census(df).collect()}
+        assert out == {"a": 1, "b": 2}

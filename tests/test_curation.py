@@ -769,3 +769,58 @@ class TestEpochMix:
         # plan never invents data beyond the cap
         assert all(r.served_tokens <= 4 * r.n_tokens
                    for r in out.values())
+
+
+class TestCrawlTrapFlags:
+    def test_each_flag_fires_alone(self, spark):
+        from tika_spark.analysis.curation import crawl_trap_flags
+        rows = [
+            (0, "http://a.ex/news/p1"),
+            (1, "http://a.ex/x/y/x/y/p"),             # mirror loop
+            (2, "http://a.ex/" + "/".join("d%d" % i for i in range(25))),
+            (3, "http://a.ex/2020/2021/p"),           # calendar
+            (4, "http://a.ex/p?jsessionid=deadbeef"),
+            (5, "http://a.ex/p?q=" + "z" * 250),
+        ]
+        df = spark.createDataFrame(rows, "id long, url string")
+        out = {r.id: r for r in crawl_trap_flags(df).collect()}
+        assert not out[0].is_trap
+        assert out[1].r_repeat_seg and out[1].is_trap
+        assert out[2].r_deep_path
+        assert out[3].r_calendar
+        assert out[4].r_session_id
+        assert out[5].r_long_query
+        # each trap row fires exactly its own flag
+        for i, flag in [(1, "r_repeat_seg"), (2, "r_deep_path"),
+                        (3, "r_calendar"), (4, "r_session_id"),
+                        (5, "r_long_query")]:
+            fired = [f for f in ("r_repeat_seg", "r_deep_path",
+                                 "r_calendar", "r_session_id",
+                                 "r_long_query")
+                     if getattr(out[i], f)]
+            assert fired == [flag], (i, fired)
+
+    def test_triple_segment_counts_as_repeat(self, spark):
+        from tika_spark.analysis.curation import crawl_trap_flags
+        df = spark.createDataFrame([(1, "http://a.ex/a/a/a/p")],
+                                   "id long, url string")
+        assert crawl_trap_flags(df).collect()[0].r_repeat_seg
+
+    def test_single_year_not_calendar(self, spark):
+        from tika_spark.analysis.curation import crawl_trap_flags
+        df = spark.createDataFrame(
+            [(1, "http://a.ex/2024/story-title")],
+            "id long, url string")
+        r = crawl_trap_flags(df).collect()[0]
+        assert not r.r_calendar and not r.is_trap
+
+    def test_sid_must_be_whole_key(self, spark):
+        from tika_spark.analysis.curation import crawl_trap_flags
+        # 'classid=' contains 'sid' but is not a session parameter
+        df = spark.createDataFrame(
+            [(1, "http://a.ex/p?classid=5"),
+             (2, "http://a.ex/p?a=1&sid=5")],
+            "id long, url string")
+        out = {r.id: r for r in crawl_trap_flags(df).collect()}
+        assert not out[1].r_session_id
+        assert out[2].r_session_id

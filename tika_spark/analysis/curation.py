@@ -1066,6 +1066,51 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
             .withColumn("has_query", url.contains("?")))
 
 
+def crawl_trap_flags(df: DataFrame, url_col: str = "url",
+                     max_depth: int = 20,
+                     max_query_len: int = 200) -> DataFrame:
+    """Crawler-trap detection flags per URL — the frontier-side
+    hygiene guards production crawlers ship (Heritrix's path-depth /
+    path-repetition filters, Nutch's regex-urlfilter defaults):
+    infinite URL spaces (mirror loops, calendars, session tokens)
+    must be cut BEFORE fetch or a polite crawler drowns one host.
+
+    Adds (pure regexp/array projections, zero shuffle):
+
+      r_repeat_seg   >= 2 repeated path segments (/a/b/a/b mirror
+                     loops; one segment 3x also qualifies)
+      r_deep_path    more than ``max_depth`` path segments
+      r_calendar     >= 2 pure-year path segments (endless calendar
+                     pagination)
+      r_session_id   phpsessid/jsessionid/sessionid/sid/cfid/cftoken
+                     query parameter (case-insensitive)
+      r_long_query   query string longer than ``max_query_len``
+      is_trap        any of the above
+    """
+    url = F.col(url_col)
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    r_repeat = (F.size(segs) - F.size(F.array_distinct(segs))) >= 2
+    r_deep = F.size(segs) > max_depth
+    r_cal = F.size(F.filter(
+        segs, lambda x: x.rlike(r"^(19|20)[0-9]{2}$"))) >= 2
+    r_sess = F.lower(query).rlike(
+        r"(^|&)(phpsessid|jsessionid|sessionid|sid|cfid|cftoken)=")
+    r_longq = F.length(query) > max_query_len
+    return (df
+            .withColumn("r_repeat_seg", r_repeat)
+            .withColumn("r_deep_path", r_deep)
+            .withColumn("r_calendar", r_cal)
+            .withColumn("r_session_id", r_sess)
+            .withColumn("r_long_query", r_longq)
+            .withColumn("is_trap",
+                        F.col("r_repeat_seg") | F.col("r_deep_path")
+                        | F.col("r_calendar") | F.col("r_session_id")
+                        | F.col("r_long_query")))
+
+
 # ------------------------------------------------- Gopher rules --
 
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have",

@@ -409,6 +409,39 @@ def cdx_fetch(index: DataFrame, path_col: str = "path",
     return slim.mapInPandas(run, schema=FETCH_SCHEMA)
 
 
+def revisit_census(records: DataFrame, digest_col: str = "digest",
+                   date_col: str = "warc_date",
+                   url_col: str = "url") -> DataFrame:
+    """WARC revisit semantics over an index of records: the first
+    capture of each payload digest is the original; every later
+    capture of the same digest is a ``revisit`` (what a conformant
+    writer would store as a WARC ``revisit`` record pointing at the
+    original — the archive-side exact-dedup that keeps recurring
+    crawls from storing unchanged pages twice).
+
+    Adds per record:
+
+      capture_idx  1-based capture order within the digest, by
+                   (date, url) — deterministic given unique pairs
+      is_revisit   capture_idx > 1
+      n_copies     captures sharing the digest
+
+    Scale: one digest-keyed window (row_number + count over the same
+    partitioning — a single hash shuffle on the 32-byte digest; the
+    payloads themselves never move).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(digest_col).orderBy(
+        F.asc(date_col), F.asc(url_col))
+    wall = Window.partitionBy(digest_col)
+    return (records
+            .withColumn("capture_idx",
+                        F.row_number().over(w).cast("long"))
+            .withColumn("is_revisit", F.col("capture_idx") > 1)
+            .withColumn("n_copies",
+                        F.count(F.lit(1)).over(wall).cast("long")))
+
+
 def main(argv=None):
     """CLI: index a directory of .warc[.wet].gz shards to parquet.
 
