@@ -623,6 +623,24 @@ def _q_docs_best_passage(spark, sf_dir):
                         window_words=24, stride=8)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment pairs (dedup.containment_pairs
+    — Broder's second resemblance measure): every doc_id%5==2
+    document gains a 25-word excerpt twin (id+10000) that symmetric
+    Jaccard would miss; candidates ride a stop-shingle-capped
+    inverted index, exact containment on candidates only. The
+    all-pairs form lives ONLY in the DuckDB oracle."""
+    from tika_spark.analysis.dedup import containment_pairs
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    exc = (docs.filter(F.col("doc_id") % 5 == 2)
+           .select((F.col("doc_id") + 10000).alias("doc_id"),
+                   F.array_join(F.slice(toks, 1, 25), " ")
+                   .alias("text")))
+    return containment_pairs(docs.unionByName(exc), threshold=0.9,
+                             k=3, max_postings=200)
+
+
 def _q_frontier_crawl_traps(spark, sf_dir):
     """Crawler-trap URL flags (curation.crawl_trap_flags): five
     deterministic URL variants (clean, mirror-loop /a/b/a/b,
@@ -6772,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint,
         "word_topk": _q_word_topk,
         "docs_tfidf_keywords": _q_docs_tfidf_keywords,
+        "dedup_containment": _q_dedup_containment,
         "frontier_crawl_traps": _q_frontier_crawl_traps,
         "warc_revisit_census": _q_warc_revisit_census,
         "docs_best_passage": _q_docs_best_passage,
@@ -8180,6 +8199,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, off::INT AS off, score::BIGINT AS score_micro, "
             "array_to_string(list_slice(toks, off + 1, off + 24), ' ') "
             "AS passage FROM r WHERE rk = 1 AND score > 0"),
+        "dedup_containment": (
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 10000, array_to_string("
+            "list_slice(regexp_split_to_array(trim(text), '\\s+'), "
+            "1, 25), ' ') FROM documents WHERE doc_id % 5 = 2), "
+            "s AS (SELECT doc_id, list_distinct(list_transform("
+            "generate_series(1, len(w) - 2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh "
+            "FROM (SELECT doc_id, regexp_split_to_array(trim(text), "
+            "'\\s+') AS w FROM base)), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.sh, b.sh))::BIGINT AS inter, "
+            "len(a.sh)::BIGINT AS size_a, len(b.sh)::BIGINT AS size_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id), "
+            "c AS (SELECT id_a, id_b, inter, size_a, size_b, "
+            "CASE WHEN size_a > 0 THEN 1000000 * inter // size_a "
+            "ELSE 0 END AS cont_a_micro, "
+            "CASE WHEN size_b > 0 THEN 1000000 * inter // size_b "
+            "ELSE 0 END AS cont_b_micro FROM p) "
+            "SELECT * FROM c WHERE cont_a_micro >= 900000 "
+            "OR cont_b_micro >= 900000"),
         "frontier_crawl_traps": (
             "WITH u AS (SELECT doc_id, CASE doc_id % 5 "
             "WHEN 0 THEN 'http://h' || (doc_id % 7) || '.ex/a/p' "

@@ -858,3 +858,37 @@ class TestTfidfKeywords:
         # ties (all tf=1, same idf) break by term asc
         assert [r.term for r in sorted(rows, key=lambda r: r.rk)] == \
             sorted([r.term for r in rows])[:3]
+
+
+class TestContainmentPairs:
+    def test_excerpt_detected_jaccard_would_miss(self, spark):
+        from tika_spark.analysis.dedup import containment_pairs
+        body = " ".join(f"w{i}" for i in range(100))
+        excerpt = " ".join(f"w{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, body), (2, excerpt), (3, "other text entirely here")],
+            "doc_id long, text string")
+        rows = containment_pairs(df, threshold=0.9).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.id_a, r.id_b) == (1, 2)
+        # excerpt fully contained: 18 of its 18 shingles
+        assert r.cont_b_micro == 1_000_000
+        # the container direction is far below threshold (98 shingles)
+        assert r.cont_a_micro == 1_000_000 * 18 // 98
+
+    def test_stop_shingle_cap_drops_ubiquitous_candidates(self, spark):
+        from tika_spark.analysis.dedup import containment_pairs
+        # 5 identical docs; cap 4 < postings 5 -> no candidates at all
+        df = spark.createDataFrame(
+            [(i, "a b c d e f") for i in range(5)],
+            "doc_id long, text string")
+        assert containment_pairs(df, max_postings=4).count() == 0
+        assert containment_pairs(df, max_postings=5).count() == 10
+
+    def test_short_docs_never_pair(self, spark):
+        from tika_spark.analysis.dedup import containment_pairs
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "one two")],
+            "doc_id long, text string")
+        assert containment_pairs(df).count() == 0

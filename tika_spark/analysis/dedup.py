@@ -105,6 +105,63 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
              .filter(F.col("sim_micro") >= int(threshold * 1_000_000)))
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.9,
+                      max_postings: int = 200) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle containment
+    ``|S(a) ∩ S(b)| / |S(a)|`` — catches documents that are
+    (near-)SUBSETS of another (syndicated excerpts, quote pages,
+    wrapper templates around a reused article), which symmetric
+    Jaccard misses whenever the container is much larger than the
+    contained (Broder 1997's second resemblance measure).
+
+    Output: (id_a, id_b, inter, size_a, size_b, cont_a_micro,
+    cont_b_micro) with id_a < id_b, kept when EITHER direction
+    reaches ``threshold``; containments are integer micro-units
+    (BIGINT floor division) so results hash identically everywhere.
+
+    Scale path: candidates come from an inverted shingle index —
+    shingles posted in more than ``max_postings`` documents are
+    dropped (the stop-shingle cap, same recall-guard family as
+    minhash_lsh_pairs' max_bucket: a qualifying pair is missed only
+    if EVERY shared shingle is that common — then exact containment
+    runs on candidate pairs only. One explode + groupBy(shingle),
+    bounded pair fan-out per shingle, one equi-join back to the
+    shingle arrays. Never an all-pairs join.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"))
+    posts = (sh.select(F.col("id"), F.explode("sh").alias("g"))
+             .groupBy("g").agg(F.collect_set("id").alias("ids"))
+             .filter((F.size("ids") >= 2)
+                     & (F.size("ids") <= max_postings)))
+    pairs = (posts.select(F.explode("ids").alias("id_a"), "ids")
+             .select("id_a", F.explode("ids").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .distinct())
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = (pairs.join(a, pairs.id_a == F.col("a.id"))
+         .join(b, pairs.id_b == F.col("b.id")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    out = j.select(
+        "id_a", "id_b", inter.cast("long").alias("inter"),
+        F.size(F.col("a.sh")).cast("long").alias("size_a"),
+        F.size(F.col("b.sh")).cast("long").alias("size_b"))
+    out = (out
+           .withColumn("cont_a_micro", F.expr(
+               "CASE WHEN size_a > 0 THEN 1000000L * inter div size_a"
+               " ELSE 0L END"))
+           .withColumn("cont_b_micro", F.expr(
+               "CASE WHEN size_b > 0 THEN 1000000L * inter div size_b"
+               " ELSE 0L END")))
+    thr = int(threshold * 1_000_000)
+    return out.filter((F.col("cont_a_micro") >= thr)
+                      | (F.col("cont_b_micro") >= thr))
+
+
 # ---------------------------------------------------------- minhash lsh
 
 # deterministic multipliers/offsets for the k hash permutations
