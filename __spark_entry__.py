@@ -623,6 +623,24 @@ def _q_docs_best_passage(spark, sf_dir):
                         window_words=24, stride=8)
 
 
+def _q_corpus_build(spark, sf_dir):
+    """End-to-end one-call corpus build (pipeline/corpus.py): extract
+    → token gates → exact dedup keep-first (one fingerprint shuffle)
+    → md5-band split assignment, over the html-wrapped documents.
+    The oracle composes the already-pinned replays of each stage."""
+    from tika_spark.pipeline.corpus import build_corpus
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        _html_wrap().alias("html"))
+    # mirrored copies under a later-sorting scheme: identical bytes,
+    # so dedup must keep the doc:// originals and drop every dup://
+    mirrors = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("dup://"), F.col("doc_id")).alias("url"),
+        _html_wrap().alias("html"))
+    return build_corpus(pages.unionByName(mirrors), min_words=5)
+
+
 def _q_dedup_containment(spark, sf_dir):
     """Asymmetric shingle-containment pairs (dedup.containment_pairs
     — Broder's second resemblance measure): every doc_id%5==2
@@ -6790,6 +6808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint,
         "word_topk": _q_word_topk,
         "docs_tfidf_keywords": _q_docs_tfidf_keywords,
+        "corpus_build": _q_corpus_build,
         "dedup_containment": _q_dedup_containment,
         "frontier_crawl_traps": _q_frontier_crawl_traps,
         "warc_revisit_census": _q_warc_revisit_census,
@@ -8199,6 +8218,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, off::INT AS off, score::BIGINT AS score_micro, "
             "array_to_string(list_slice(toks, off + 1, off + 24), ' ') "
             "AS passage FROM r WHERE rk = 1 AND score > 0"),
+        "corpus_build": (
+            "WITH e AS (SELECT 'doc://' || doc_id AS url, "
+            "'Doc ' || doc_id AS title, text || chr(10) AS text "
+            "FROM documents), "
+            "t AS (SELECT url, title, text, "
+            "len(string_split_regex(trim(text), '\\s+')) AS n_tokens, "
+            "md5(text) AS fingerprint FROM e), "
+            "g AS (SELECT * FROM t WHERE n_tokens >= 5 "
+            "AND n_tokens <= 100000), "
+            "d AS (SELECT *, row_number() OVER (PARTITION BY "
+            "fingerprint ORDER BY url) AS rn FROM g), "
+            "s AS (SELECT url, title, n_tokens, fingerprint, "
+            "('0x' || substring(md5(url), 1, 8))::BIGINT AS dr, text "
+            "FROM d WHERE rn = 1) "
+            "SELECT url, title, n_tokens::BIGINT AS n_tokens, "
+            "fingerprint, CASE WHEN dr < 3435973836 THEN 'train' "
+            "WHEN dr < 3865470566 THEN 'val' "
+            "WHEN dr < 4294967296 THEN 'test' "
+            "ELSE 'unassigned' END AS split, text FROM s"),
         "dedup_containment": (
             "WITH base AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 10000, array_to_string("

@@ -278,3 +278,42 @@ class TestRunnerInputFormats:
         assert got["a.html"]["mime"] == "text/html"
         assert "hello html" in got["a.html"]["text"]
         assert got["b.txt"]["text"].startswith("plain body text")
+
+
+class TestBuildCorpus:
+    def test_end_to_end_gates_dedup_splits(self, spark):
+        from tika_spark.pipeline.corpus import build_corpus
+        body = ("A sentence with enough words to clear the gate, "
+                "repeated for weight. " * 3)
+        rows = [
+            ("http://a.ex/1", f"<html><title>T1</title><p>{body}</p>"),
+            ("http://a.ex/2", f"<html><title>T1</title><p>{body}</p>"),
+            ("http://a.ex/3", "<html><title>T3</title><p>tiny</p>"),
+            ("http://a.ex/4", "<html><title>T4</title><p>"
+             + ("different content with plenty of words here, "
+                "clearing every configured gate easily. " * 3)
+             + "</p>"),
+        ]
+        pages = spark.createDataFrame(
+            [(u, h.encode()) for u, h in rows],
+            "url string, html binary")
+        out = {r.url: r for r in build_corpus(pages, min_words=10)
+               .collect()}
+        # dup of url 1 removed (keep-first by url asc)
+        assert set(out) == {"http://a.ex/1", "http://a.ex/4"}
+        r1 = out["http://a.ex/1"]
+        assert r1.split in ("train", "val", "test")
+        assert r1.n_tokens >= 10
+        assert len(r1.fingerprint) == 32
+
+    def test_deterministic_under_repartition(self, spark):
+        from tika_spark.pipeline.corpus import build_corpus
+        body = "word " * 40
+        pages = spark.createDataFrame(
+            [(f"http://h.ex/{i}",
+              f"<html><title>t</title><p>{body}{i}</p>".encode())
+             for i in range(20)], "url string, html binary")
+        a = sorted(map(tuple, build_corpus(pages).collect()))
+        b = sorted(map(tuple,
+                       build_corpus(pages.repartition(7)).collect()))
+        assert a == b
