@@ -141,6 +141,9 @@ def main():
         extract(_pages_mixed(docs), mode="text", repartition=cpus)))
     timed("lineage_manifest", lambda: force(
         lineage_manifest(extract(pages, mode="text", repartition=cpus))))
+    from tika_spark.pipeline.corpus import build_corpus
+    timed("corpus_build", lambda: force(
+        build_corpus(pages)))
     # the extraction block is done with the page bytes — release the
     # cached binary table so the dedup/ANN block isn't timed under its
     # storage-memory pressure (a real pipeline runs these as separate

@@ -892,3 +892,35 @@ class TestContainmentPairs:
             [(1, "one two"), (2, "one two")],
             "doc_id long, text string")
         assert containment_pairs(df).count() == 0
+
+
+def test_curation_cli_argparse_has_no_conflicts(spark, tmp_path):
+    """main()'s parser must BUILD (a duplicate option string raises at
+    definition time — regression: --budget was declared twice; --help
+    exits after the parser exists, before any Spark session), and the
+    round-4 ops run end-to-end through run()."""
+    import argparse
+
+    import pytest as _pytest
+
+    from tika_spark.analysis.runner import main, run
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["--help"])
+    assert exc.value.code == 0
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "words appear here often %d" % (i % 3))
+         for i in range(12)],
+        "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "out")
+    # query term '2' hits only the i%3==2 docs (idf > 0; a term in
+    # every doc has idf 0 and scores nothing)
+    args = argparse.Namespace(k=2, threshold=0.9, query="2")
+    written = run(spark, inp, out,
+                  ["tfidf-keywords", "best-passage",
+                   "dedup-containment"], args)
+    got = spark.read.parquet(written["tfidf-keywords"])
+    assert got.count() == 24  # 12 docs x k=2
+    assert spark.read.parquet(written["best-passage"]).count() > 0

@@ -192,7 +192,7 @@ def _ops(args):
         return corpus_report(d)
 
     def epoch_mix_op(d):
-        return curation.epoch_mix(d, budget_tokens=args.budget)
+        return curation.epoch_mix(d, budget_tokens=args.mix_budget)
 
     # webgraph ops: input is an extraction output table carrying the
     # `links` column (url, links), not the documents table
@@ -204,6 +204,29 @@ def _ops(args):
     def anchors_op(d):
         from tika_spark.analysis import webgraph
         return webgraph.anchor_summary(webgraph.link_edges(d))
+
+    def tfidf_op(d):
+        return textstats.tfidf_keywords(d, k=args.k)
+
+    def best_passage_op(d):
+        from tika_spark.analysis.retrieval import best_passage
+        return best_passage(d, args.query or "")
+
+    # crawl-traps input is a url-bearing table (url[, ...]), like
+    # the frontier/pages tables — not the documents table
+    def crawl_traps_op(d):
+        return curation.crawl_trap_flags(d)
+
+    def containment_op(d):
+        return dedup.containment_pairs(d, threshold=args.threshold)
+
+    def hits_op(d):
+        from tika_spark.analysis import webgraph
+        out = __import__("tika_spark.pipeline.job",
+                         fromlist=["extract"])
+        edges = webgraph.link_edges(out.extract(d, mode="text")) \
+            if "html" in d.columns else webgraph.link_edges(d)
+        return webgraph.hits(webgraph.host_graph(edges))
 
     return {
         "dedup-exact": exact, "dedup-minhash": minhash,
@@ -236,6 +259,11 @@ def _ops(args):
         "pii-scrub-extended": pii_ext,
         "corpus-report": report_op,
         "epoch-mix": epoch_mix_op,
+        "tfidf-keywords": tfidf_op,
+        "best-passage": best_passage_op,
+        "crawl-traps": crawl_traps_op,
+        "dedup-containment": containment_op,
+        "hits": hits_op,
     }
 
 
@@ -268,6 +296,8 @@ def main(argv=None):
                                           val_frac=0.05,
                                           test_frac=0.05,
                                           salt="")).keys()))
+    p.add_argument("--query", default="",
+                   help="query string for best-passage")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold")
     p.add_argument("--k", type=int, default=8,
@@ -302,7 +332,8 @@ def main(argv=None):
                    help="unigram-LM vocab target (unigram-train)")
     p.add_argument("--terms", default="",
                    help="comma-separated blockterms (blocklist)")
-    p.add_argument("--budget", type=int, default=1_000_000,
+    p.add_argument("--mix-budget", type=int, default=1_000_000,
+                   dest="mix_budget",
                    help="token budget (epoch-mix)")
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
