@@ -222,10 +222,10 @@ def _ops(args):
 
     def hits_op(d):
         from tika_spark.analysis import webgraph
-        out = __import__("tika_spark.pipeline.job",
-                         fromlist=["extract"])
-        edges = webgraph.link_edges(out.extract(d, mode="text")) \
-            if "html" in d.columns else webgraph.link_edges(d)
+        if "html" in d.columns:
+            from tika_spark.pipeline.job import extract
+            d = extract(d, mode="text")
+        edges = webgraph.link_edges(d)
         return webgraph.hits(webgraph.host_graph(edges))
 
     return {
