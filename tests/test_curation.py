@@ -824,3 +824,13 @@ class TestCrawlTrapFlags:
         out = {r.id: r for r in crawl_trap_flags(df).collect()}
         assert not out[1].r_session_id
         assert out[2].r_session_id
+
+
+class TestCrawlTrapPlanShape:
+    def test_zero_shuffle(self, spark):
+        from tika_spark.analysis.curation import crawl_trap_flags
+        df = spark.createDataFrame([(1, "http://a.ex/p")],
+                                   "id long, url string")
+        plan = crawl_trap_flags(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

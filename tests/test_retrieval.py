@@ -172,3 +172,21 @@ class TestBestPassage:
         from tika_spark.analysis.retrieval import best_passage
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         assert best_passage(df, "   ").count() == 0
+
+
+def test_best_passage_plan_single_broadcast_no_window_explode(spark):
+    """The window fan-out must never explode rows: the only exchange
+    in the plan is the one-row stats aggregation folded back by a
+    broadcast cross join."""
+    from tika_spark.analysis.retrieval import best_passage
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 30) for i in range(8)],
+        "doc_id long, text string")
+    plan = best_passage(df, "alpha", window_words=16, stride=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan          # no explode anywhere
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+        in plan                            # stats row folds back
+    # no hash/range exchange of the corpus rows themselves
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
