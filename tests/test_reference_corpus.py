@@ -1,0 +1,168 @@
+"""Integration sweep over the reference's OWN golden corpus: every
+file in tika-parsers' test-documents (216 real documents — the
+corpus the reference's unit tests run against) goes through the full
+pipeline (detect → route → parse) in one job.
+
+Pins three things the synthetic fixtures cannot:
+- fault isolation on real-world binaries (no file may error the job,
+  and the unparsed tail is an exact, explainable set);
+- detection over real magic/container bytes;
+- extracted-content phrases lifted from the reference's own test
+  assertions (e.g. PowerPointParserTest: "Sample Powerpoint Slide" /
+  "Powerpoint X for Mac").
+"""
+
+import glob
+import os
+
+import pytest
+
+CORPUS = "/root/reference/tika-parsers/src/test/resources/test-documents"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference corpus not present")
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    rows = []
+    for p in sorted(glob.glob(CORPUS + "/*")):
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                rows.append((os.path.basename(p), bytearray(f.read())))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    from tika_spark.pipeline.job import extract
+    out = {r.url: r for r in
+           extract(df, mode="text")
+           .select("url", "mime", "status", "text").collect()}
+    assert len(out) == len(rows)
+    return out
+
+
+# formats the reference (Tika ~1.0) also has no parser for — ours is
+# the same set (ASF/WMA/WMV, Access, AFM fonts, Foxmail, netpbm)
+NO_PARSER = {
+    "testACCESS.mdb", "testAFM.afm", "testASF.asf", "testFOXMAIL.box",
+    "testPBM.pbm", "testPGM.pgm", "testPPM.ppm", "testWMA.wma",
+    "testWMV.wmv",
+}
+
+DETECT = {
+    "testPDF.pdf": "application/pdf",
+    "testWORD.doc": "application/msword",
+    "testWORD.docx": "application/vnd.openxmlformats-officedocument"
+                     ".wordprocessingml.document",
+    "testEXCEL.xls": "application/vnd.ms-excel",
+    "testEXCEL.xlsx": "application/vnd.openxmlformats-officedocument"
+                      ".spreadsheetml.sheet",
+    "testPPT.ppt": "application/vnd.ms-powerpoint",
+    "testPPT.pptx": "application/vnd.openxmlformats-officedocument"
+                    ".presentationml.presentation",
+    "testHTML.html": "text/html",
+    "testXHTML.html": "text/html",
+    "testTXT.txt": "text/plain",
+    "testRTF.rtf": "application/rtf",
+    "testXML.xml": "application/xml",
+    "rsstest.rss": "application/rss+xml",
+    "testEPUB.epub": "application/epub+zip",
+    "testChm.chm": "application/vnd.ms-htmlhelp",
+    "testVISIO.vsd": "application/vnd.visio",
+    "testPUBLISHER.pub": "application/x-mspublisher",
+    "test-outlook.msg": "application/vnd.ms-outlook",
+    "testWINMAIL.dat": "application/vnd.ms-tnef",
+    "testPages.pages": "application/vnd.apple.pages",
+    "testNumbers.numbers": "application/vnd.apple.numbers",
+    "testKeynote.key": "application/vnd.apple.keynote",
+    "testOpenOffice2.odt": "application/vnd.oasis.opendocument.text",
+    "testJPEG.jpg": "image/jpeg",
+    "testPNG.png": "image/png",
+    "testGIF.gif": "image/gif",
+    "testBMP.bmp": "image/bmp",
+    "testTIFF.tif": "image/tiff",
+    "testPSD.psd": "image/vnd.adobe.photoshop",
+    "testSVG.svg": "image/svg+xml",
+    "testMP3id3v2.mp3": "audio/mpeg",
+    "testWAV.wav": "audio/x-wav",
+    "testMID.mid": "audio/midi",
+    "testFLV.flv": "video/x-flv",
+    "testTrueType.ttf": "application/x-font-ttf",
+    "testJAR.jar": "application/java-archive",
+    "test-documents.tar": "application/x-gtar",
+    "testDWG2007.dwg": "image/vnd.dwg",
+    "testCADKEY.prt": "application/x-prt",
+    "test.fb2": "application/x-fictionbook+xml",
+    "sresa1b_ncar_ccsm3_0_run1_200001.nc": "application/x-netcdf",
+    "AutoDetectParser.class": "application/java-vm",
+    "testRFC822": "message/rfc822",
+    "complex.mbox": "application/mbox",
+}
+
+# phrases from the reference's OWN test assertions (file: the
+# reference test that pins each)
+CONTENT = {
+    # PowerPointParserTest.java:38-44
+    "testPPT.ppt": ["Sample Powerpoint Slide", "Powerpoint X for Mac"],
+    # HtmlParserTest / fixture body
+    "testHTML.html": ["Test Indexation Html"],
+    # TXTParserTest fixture
+    "testTXT.txt": ["Test d'indexation de Txt"],
+    # PDFParserTest.java:147 (reading order = box order)
+    "testPDFTwoTextBoxes.pdf": [
+        "Left column line 1", "Left column line 2",
+        "Right column line 1", "Right column line 2"],
+    # PDFParserTest.java:62-70: body text inside a /Fm1 form XObject,
+    # per-glyph Tm positioning re-joined via the /Widths metrics
+    "testPDF.pdf": ["Apache Tika",
+                    "Tika - Content Analysis Toolkit",
+                    "incubator", "Apache Software Foundation"],
+    "testEXCEL.xls": ["Sample Excel Worksheet"],
+    "testEXCEL.xlsx": ["Sample Excel Worksheet"],
+    "testWORD.doc": ["Sample Word Document"],
+    "testWORD.docx": ["Sample Word Document"],
+    # WordParserTest comment handling
+    "testComment.doc": ["Here is some text.", "Here is a comment"],
+    "testOptionalHyphen.doc": ["optionalhyphen"],
+    "testVISIO.vsd": ["Test View"],
+    "testPages.pages": ["Sample pages document"],
+    "testKeynote.key": ["A sample presentation"],
+    "testChm.chm": ["ALink command"],
+    "testEPUB.epub": ["Chapter 1"],
+    "rsstest.rss": ["TestChannel"],
+    "test-outlook.msg": ["La réponse à vos attentes"],
+    "russian.cp866.txt": ["Однажды"],
+    "english.cp500.txt": ["IntelliStation POWER"],
+    "testXML.xml": ["Rida Benjelloun"],
+    "testJAR.jar": ["Empty.java"],
+    "testCADKEY.prt": ["Top View", "Front View"],
+    "testSVG.svg": ["Test SVG image"],
+    "test-documents.tar": ["testEXCEL.xls", "testHTML.html"],
+}
+
+
+class TestReferenceCorpus:
+    def test_fault_isolation_zero_errors(self, extracted):
+        errors = sorted(u for u, r in extracted.items()
+                        if r.status == "error")
+        assert errors == []
+
+    def test_unparsed_tail_is_exactly_the_reference_gap(self, extracted):
+        nop = {u for u, r in extracted.items()
+               if r.status == "no_parser"}
+        assert nop == NO_PARSER
+
+    def test_parse_coverage_rate(self, extracted):
+        ok = sum(1 for r in extracted.values() if r.status == "ok")
+        assert ok >= 195   # 195/216 produce text on real-world files
+
+    def test_detection_pins(self, extracted):
+        got = {u: extracted[u].mime for u in DETECT}
+        assert got == DETECT
+
+    def test_content_pins(self, extracted):
+        missing = []
+        for u, phrases in CONTENT.items():
+            text = extracted[u].text or ""
+            for ph in phrases:
+                if ph not in text:
+                    missing.append((u, ph))
+        assert missing == []

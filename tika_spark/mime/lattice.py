@@ -75,6 +75,9 @@ _EXPLICIT_SUPER: dict[str, str] = {
     "application/java-archive": "application/zip",
     "application/x-cbz": "application/zip",
     "application/x-debian-package": "application/x-archive",
+    # GNU tar ("ustar  \0" magic) is a tar specialization
+    # (tika-mimetypes.xml sub-class-of; PackageParser.java:48)
+    "application/x-gtar": "application/x-tar",
     "application/vnd.ms-cab-compressed": "application/octet-stream",
     "application/vnd.ms-visio.drawing": "application/zip",
     "application/x-gzip": "application/octet-stream",

@@ -80,6 +80,14 @@ _PIDDSI = {2: "category", 14: "Manager", 15: "Company",
 _EPOCH_1601 = datetime.datetime(1601, 1, 1, tzinfo=datetime.timezone.utc)
 
 
+# Mac codepage ids (POI CodePageUtil's CP_MAC_* family) → the Python
+# codec names (Windows ids map to f"cp{n}" directly; these do not)
+_MAC_CODEPAGES = {
+    10000: "mac_roman", 10006: "mac_greek", 10007: "mac_cyrillic",
+    10029: "mac_latin2", 10079: "mac_iceland", 10081: "mac_turkish",
+}
+
+
 def _parse_property_set(raw: bytes, pidmap: dict[int, str],
                         metadata: dict[str, list[str]]):
     if len(raw) < 48:
@@ -108,11 +116,17 @@ def _parse_property_set(raw: bytes, pidmap: dict[int, str],
                 cp = cp & 0xFFFF
                 if cp == 65001:
                     codec = "utf-8"
+                elif cp in _MAC_CODEPAGES:
+                    codec = _MAC_CODEPAGES[cp]
                 elif cp and cp != 1252:
                     try:
-                        b"".decode(f"cp{cp}")
+                        # probe with a non-empty byte: the empty-bytes
+                        # decode shortcut skips codec lookup entirely,
+                        # so b"".decode("cp10000") "succeeds" and the
+                        # bogus name then blows up on real data
+                        b"\x41".decode(f"cp{cp}")
                         codec = f"cp{cp}"
-                    except LookupError:
+                    except (LookupError, UnicodeDecodeError):
                         pass
             break
     for i in range(min(n_props, 64)):

@@ -821,6 +821,72 @@ class PdfDocument:
                 continue
         return out
 
+    def page_font_widths(self, page: dict
+                         ) -> dict[str, tuple[int, list, float]]:
+        """Resource name → (/FirstChar, /Widths (em/1000), missing
+        default) for the node's simple fonts — the REAL advance
+        metrics PDFTextStripper uses for word-boundary decisions;
+        glyph classes (_adv) are only the fallback."""
+        out: dict[str, tuple[int, list, float]] = {}
+        res = self._resources_of(page)
+        fonts = self.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):
+            return out
+        for name, fref in fonts.items():
+            fd = self.resolve(fref)
+            if not isinstance(fd, dict):
+                continue
+            widths = self.resolve(fd.get("Widths"))
+            first = self.resolve(fd.get("FirstChar"))
+            if isinstance(widths, list) and isinstance(first, int):
+                ws = [float(self.resolve(w) or 0) for w in widths]
+                desc = self.resolve(fd.get("FontDescriptor"))
+                missing = 500.0
+                if isinstance(desc, dict):
+                    mw = self.resolve(desc.get("MissingWidth"))
+                    if isinstance(mw, (int, float)) and mw > 0:
+                        missing = float(mw)
+                out[str(name)] = (first, ws, missing)
+        return out
+
+    def _resources_of(self, node: dict) -> dict:
+        """Resolve the (inheritable) /Resources of a page or form."""
+        res, depth = None, 0
+        while isinstance(node, dict) and depth <= 32:
+            res = self.resolve(node.get("Resources"))
+            if isinstance(res, dict):
+                return res
+            node, depth = self.resolve(node.get("Parent")), depth + 1
+        return {}
+
+    def form_xobjects(self, node: dict, depth: int = 0
+                      ) -> dict[str, tuple]:
+        """Resource name → (content, fonts, nested forms) for every
+        /Subtype /Form XObject reachable from ``node``'s resources —
+        page text frequently lives inside form XObjects drawn with
+        ``Do`` (e.g. the reference's testPDF.pdf puts its whole body
+        in /Fm1), so the interpreter must descend. Depth ≤ 3,
+        ≤ 32 forms per level (defensive budgets)."""
+        out: dict[str, tuple] = {}
+        if depth > 3:
+            return out
+        res = self._resources_of(node)
+        xo = self.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return out
+        for name, ref in list(xo.items())[:32]:
+            obj = self.resolve(ref)
+            if not isinstance(obj, dict) \
+                    or str(obj.get("Subtype")) != "Form":
+                continue
+            data = self.stream_of(ref) if isinstance(ref, Ref) else None
+            if not data:
+                continue
+            out[str(name)] = (data, self.page_fonts(obj),
+                              self.page_font_widths(obj),
+                              self.form_xobjects(obj, depth + 1))
+        return out
+
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
         if isinstance(contents, Ref) and self.stream_of(contents) is None:
@@ -932,42 +998,99 @@ def _decode_with_cmap(s: bytes, width: int, table: dict[int, str]) -> str:
 # ------------------------------------------------- content interpreter --
 
 
+# approximate Helvetica advance widths (em/1000) by glyph class —
+# used ONLY to estimate where a text chunk ends for word-boundary
+# decisions (no font programs are loaded); values from the published
+# AFM metrics, bucketed
+_NARROW = set("iIl.,:;'!|jft()[]{}/\\ \"`*r-")
+_WIDE = set("mMW@%")
+_MID_CAPS = set("ABCDEFGHKNOPQRSUVXYZ&")
+
+
+def _adv(s: str) -> float:
+    """Estimated advance of ``s`` in em units."""
+    w = 0.0
+    for c in s:
+        if c in _NARROW:
+            w += 0.30
+        elif c in _WIDE:
+            w += 0.87
+        elif c in _MID_CAPS or c.isdigit():
+            w += 0.69
+        else:
+            w += 0.52
+    return w
+
+
 def _interpret_text(content: bytes,
                     font_cmaps: dict[str, tuple[int, dict[int, str]]]
+                    | None = None,
+                    xobjects: dict[str, tuple] | None = None,
+                    depth: int = 0,
+                    font_widths: dict[str, tuple[int, list, float]]
                     | None = None) -> str:
     """Run the text-showing subset of the content-stream language.
 
     Line logic (PDFTextStripper-equivalent defaults): a vertical move
     starts a new line; a horizontal move within a line inserts the
-    word separator; TJ kerning gaps below -180/1000 em insert the word
-    separator."""
+    word separator only when the gap past the previous chunk's
+    estimated end exceeds the spacing tolerance (0.139 em ≈ half a
+    Helvetica space width — PDFTextStripper's 0.5 × space-width
+    default), so kerned words split across text objects re-join
+    ("R"+"igh"+"t column" in testPDFTwoTextBoxes.pdf must read
+    "Right column", PDFParserTest.java:147) while true inter-word
+    gaps still separate; TJ kerning gaps below -180/1000 em insert
+    the word separator. Chunk end is estimated at 0.5 em per char
+    (no font metrics are loaded — average Latin advance)."""
     lex = _Lexer(content)
     stack: list = []
     out: list[str] = []
     in_text = False
     x = y = 0.0
     leading = 0.0
-    last_x: float | None = None
+    size = 12.0
+    scale = 1.0                   # |a| of the last Tm (text→user units)
+    last_end_x: float | None = None
     last_y: float | None = None
     font_cmaps = font_cmaps or {}
+    xobjects = xobjects or {}
+    font_widths = font_widths or {}
     cur_cmap: tuple[int, dict[int, str]] | None = None
+    cur_widths: tuple[int, list, float] | None = None
 
     def txt(s: PdfString) -> str:
         if cur_cmap is not None and not s.startswith(b"\xfe\xff"):
             return _decode_with_cmap(bytes(s), cur_cmap[0], cur_cmap[1])
         return s.text()
 
+    def adv(s: str) -> float:
+        # real /Widths when the current simple font declares them
+        # (byte code == char ordinal for the latin encodings we
+        # decode); the class table is the fallback
+        if cur_widths is not None and cur_cmap is None:
+            first, ws, missing = cur_widths
+            total = 0.0
+            for c in s:
+                idx = ord(c) - first
+                w = ws[idx] if 0 <= idx < len(ws) else missing
+                total += (w if w > 0 else missing) / 1000.0
+            return total
+        return _adv(s)
+
     def show(s: str):
-        nonlocal last_x, last_y
+        nonlocal last_end_x, last_y
         if s == "":
             return
+        em = size * scale
         if last_y is not None and y != last_y:
             out.append("\n")                      # line separator
-        elif last_y is not None and x != last_x and out \
+        elif last_y is not None and last_end_x is not None \
+                and x - last_end_x > 0.139 * em and out \
                 and not out[-1].endswith((" ", "\n")):
             out.append(" ")                       # word separator at joins
         out.append(s)
-        last_x, last_y = x, y
+        last_end_x = x + adv(s) * em
+        last_y = y
 
     while True:
         try:
@@ -992,6 +1115,9 @@ def _interpret_text(content: bytes,
             x, y = x + _f(stack[-2]), y + _f(stack[-1])
         elif op == "Tm" and len(stack) >= 6:
             x, y = _f(stack[-2]), _f(stack[-1])
+            a = abs(_f(stack[-6]))
+            if a > 0:
+                scale = a
         elif op == "T*":
             y -= leading
         elif op == "TL" and stack:
@@ -999,6 +1125,9 @@ def _interpret_text(content: bytes,
         elif op == "Tf" and len(stack) >= 2:
             name = next((v for v in stack if isinstance(v, Name)), None)
             cur_cmap = font_cmaps.get(str(name)) if name else None
+            cur_widths = font_widths.get(str(name)) if name else None
+            if isinstance(stack[-1], (int, float)) and stack[-1] > 0:
+                size = float(stack[-1])
         elif op in ("Tj", "'", '"') and in_text:
             if op != "Tj":
                 y -= leading
@@ -1016,6 +1145,20 @@ def _interpret_text(content: bytes,
                     elif isinstance(item, (int, float)) and item < -180:
                         parts.append(" ")  # big kerning gap = word break
                 show("".join(parts))
+        elif op == "Do" and depth < 3:
+            name = next((v for v in reversed(stack)
+                         if isinstance(v, Name)), None)
+            form = xobjects.get(str(name)) if name else None
+            if form is not None:
+                fdata, ffonts, fwidths, fchildren = form
+                sub = _interpret_text(
+                    fdata, ffonts or font_cmaps, fchildren,
+                    depth + 1, fwidths or font_widths)
+                if sub:
+                    if out and not out[-1].endswith("\n"):
+                        out.append("\n")
+                    out.append(sub)
+                    last_end_x = last_y = None  # fresh layout state
         stack.clear()
 
     return "".join(out)
@@ -1080,7 +1223,10 @@ def extract_pdf(data: bytes, url: str | None = None,
         try:
             content = doc.page_content(page)
             page_text = _interpret_text(
-                content, doc.page_fonts(page)) if content else ""
+                content, doc.page_fonts(page),
+                doc.form_xobjects(page),
+                font_widths=doc.page_font_widths(page)) \
+                if content else ""
         except Exception:
             page_text = ""
         try:
