@@ -78,6 +78,9 @@ DETECT = {
     "testPNG.png": "image/png",
     "testGIF.gif": "image/gif",
     "testBMP.bmp": "image/bmp",
+    # TestMimeTypes.java:251 — "BMW to Make Hybrid Sports Car" must
+    # NOT false-positive as a bitmap
+    "testBMPfp.txt": "text/plain",
     "testTIFF.tif": "image/tiff",
     "testPSD.psd": "image/vnd.adobe.photoshop",
     "testSVG.svg": "image/svg+xml",

@@ -72,7 +72,14 @@ MAGIC_RULES: list[MagicRule] = [
     _m("image/png", 50, Clause(0, 0, b"\x89PNG\r\n\x1a\n")),
     _m("image/gif", 50, Clause(0, 0, b"GIF87a"), Clause(0, 0, b"GIF89a")),
     _m("image/jpeg", 50, Clause(0, 0, b"\xff\xd8\xff")),
-    _m("image/bmp", 50, Clause(0, 0, b"BM", mask=None)),
+    # "BM" alone false-positives on text ("BMW to Make…",
+    # TestMimeTypes.java:251 testBMPfp.txt → text/plain): the
+    # reference confirms planes == 1 at offset 26 and a legal bit
+    # depth at 28 (tika-mimetypes.xml image/x-ms-bmp nested matches)
+    _m("image/bmp", 50,
+       *[Clause(28, 28, bytes([b, 0]))
+         for b in (0, 1, 4, 8, 16, 24, 32)],
+       confirm=(Clause(0, 0, b"BM"), Clause(26, 26, b"\x01\x00"))),
     _m("image/tiff", 50, Clause(0, 0, b"II*\x00"),
        Clause(0, 0, b"MM\x00*")),
     _m("video/x-flv", 50, Clause(0, 0, b"FLV\x01")),
