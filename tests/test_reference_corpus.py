@@ -216,3 +216,51 @@ def test_reference_testmimetypes_parity():
         bad.append((kind, fn, mt, got))
     assert checked >= 50
     assert bad == []
+
+
+# (file, metadata key, expected value) from the reference's parser
+# tests: WordParserTest:47-48, ExcelParserTest:43-44,
+# PowerPointParserTest:40-41, PDFParserTest:54-55, Mp3ParserTest:54-55,
+# DcXMLParserTest, JpegParserTest:42-53 (our EXIF keys are the XMP
+# names; values identical)
+METADATA_PINS = [
+    ("testWORD.doc", "title", "Sample Word Document"),
+    ("testWORD.doc", "Author", "Keith Bennett"),
+    ("testEXCEL.xls", "title", "Simple Excel document"),
+    ("testEXCEL.xls", "Author", "Keith Bennett"),
+    ("testPPT.ppt", "title", "Sample Powerpoint Slide"),
+    ("testPPT.ppt", "Author", "Keith Bennett"),
+    ("testPDF.pdf", "title", "Apache Tika - Apache Tika"),
+    ("testPDF.pdf", "Author", "Bertrand Delacrétaz"),
+    ("testMP3id3v2.mp3", "title", "Test Title"),
+    ("testMP3id3v2.mp3", "Author", "Test Artist"),
+    ("testXML.xml", "title", "Tika test document"),
+    ("testXML.xml", "dc:creator", "Rida Benjelloun"),
+    ("testJPEG_EXIF.jpg", "width", "100"),
+    ("testJPEG_EXIF.jpg", "height", "68"),
+    ("testJPEG_EXIF.jpg", "tiff:Make", "Canon"),
+    ("testJPEG_EXIF.jpg", "tiff:Model", "Canon EOS 40D"),
+    ("testJPEG_EXIF.jpg", "tiff:Software",
+     "Adobe Photoshop CS3 Macintosh"),
+    ("testJPEG_EXIF.jpg", "exif:FNumber", "5.6"),
+    ("testJPEG_EXIF.jpg", "exif:IsoSpeedRatings", "400"),
+]
+
+
+def test_reference_metadata_pins(spark):
+    names = sorted({f for f, _, _ in METADATA_PINS})
+    rows = []
+    for n in names:
+        with open(os.path.join(CORPUS, n), "rb") as f:
+            rows.append((n, bytearray(f.read())))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    from tika_spark.pipeline.job import extract
+    got = {r.url: r.metadata or {} for r in
+           extract(df, mode="text")
+           .select("url", "metadata").collect()}
+    bad = []
+    for fn, key, want in METADATA_PINS:
+        vals = got[fn].get(key) or []
+        if want not in vals:
+            bad.append((fn, key, want, vals))
+    assert bad == []
