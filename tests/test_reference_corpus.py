@@ -264,3 +264,85 @@ def test_reference_metadata_pins(spark):
         if want not in vals:
             bad.append((fn, key, want, vals))
     assert bad == []
+
+
+class TestEmbeddedResources:
+    """POIContainerExtractionTest / OOXMLContainerExtractionTest
+    semantics: embedded pictures and office docs surface as child
+    rows through the F1 recursion."""
+
+    @pytest.fixture(scope="class")
+    def recursed(self, spark):
+        names = ["testWORD_1img.doc", "testWORD_3imgs.doc",
+                 "testEXCEL_1img.xls", "testEXCEL_embeded.xls",
+                 "testWORD_embeded.doc", "testWORD_3imgs.docx",
+                 "testPPT_2imgs.pptx", "EmbeddedPDF.docx",
+                 "EmbeddedOutlook.docx"]
+        rows = []
+        for n in names:
+            with open(os.path.join(CORPUS, n), "rb") as f:
+                rows.append((n, bytearray(f.read())))
+        df = spark.createDataFrame(rows, "url string, html binary")
+        from tika_spark.pipeline.job import extract_recursive
+        return {r.url: r for r in
+                extract_recursive(df, mode="text")
+                .select("url", "mime", "status", "text").collect()}
+
+    def _kids(self, rec, parent):
+        return sorted(u[len(parent) + 2:] for u in rec
+                      if u.startswith(parent + "!/")
+                      and "!/" not in u[len(parent) + 2:])
+
+    def test_word_images_poi_names(self, recursed):
+        # POIContainerExtractionTest:85-94 — exact names and order
+        assert self._kids(recursed, "testWORD_1img.doc") == \
+            ["image1.png"]
+        assert self._kids(recursed, "testWORD_3imgs.doc") == \
+            ["image1.png", "image2.jpg", "image3.png"]
+
+    def test_excel_embedded_office_docs(self, recursed):
+        # POIContainerExtractionTest:116-131 — 2 EMF icons, 1 PNG,
+        # and the two embedded docs under their MBD storage names
+        kids = self._kids(recursed, "testEXCEL_embeded.xls")
+        assert kids == ["MBD0003271D.ppt", "MBD00032A24.doc",
+                        "image1.emf", "image2.emf", "image3.png"]
+        ppt = recursed["testEXCEL_embeded.xls!/MBD0003271D.ppt"]
+        assert ppt.mime == "application/vnd.ms-powerpoint"
+        assert ppt.status == "ok"
+        doc = recursed["testEXCEL_embeded.xls!/MBD00032A24.doc"]
+        assert doc.mime == "application/msword"
+        assert "quick brown fox" in doc.text
+
+    def test_word_embedded_objectpool(self, recursed):
+        # POIContainerExtractionTest:169-186 — ObjectPool children
+        kids = self._kids(recursed, "testWORD_embeded.doc")
+        assert "_1345470949.xls" in kids
+        assert "_1345471035.ppt" in kids
+        assert "_1345471034.bin" in kids   # Package = raw docx
+        x = recursed["testWORD_embeded.doc!/_1345471034.bin"]
+        assert x.mime.endswith("wordprocessingml.document")
+
+    def test_recursion_reaches_grandchildren(self, recursed):
+        # images inside the re-wrapped embedded ppt/doc
+        assert recursed[
+            "testEXCEL_embeded.xls!/MBD00032A24.doc!/image1.png"
+        ].mime == "image/png"
+
+    def test_ooxml_media_children(self, recursed):
+        assert self._kids(recursed, "testWORD_3imgs.docx") == \
+            ["image2.png", "image3.jpeg", "image4.png"]
+        assert self._kids(recursed, "testPPT_2imgs.pptx") == \
+            ["image1.png", "image2.gif", "image3.png"]
+
+    def test_ole_wrapper_unwraps_to_real_payload(self, recursed):
+        pdf = recursed[
+            "EmbeddedPDF.docx!/oleObject1.bin!/contents.bin"]
+        assert pdf.mime == "application/pdf"
+        assert "embedded as" in pdf.text
+        msg = recursed["EmbeddedOutlook.docx!/oleObject1.bin!/"
+                       "licensedTestMsgwAtt.msg"]
+        assert msg.mime == "application/vnd.ms-outlook"
+        # 4th level: the pdf attached to the embedded msg
+        deep = [u for u in recursed
+                if u.count("!/") == 3 and u.endswith(".pdf")]
+        assert deep and recursed[deep[0]].status == "ok"

@@ -24,8 +24,10 @@ formats — never from POI's source:
 from __future__ import annotations
 
 import datetime
+import hashlib
 import re
 import struct
+import zlib
 
 from tika_spark.config import ExtractConfig
 from tika_spark.html.layout import safe_chars
@@ -628,6 +630,222 @@ def _msg_extract(cfb: CfbFile, metadata: dict[str, list[str]]
     return body, children
 
 
+# ------------------------------------------- embedded media / objects --
+
+# OfficeArt BLIP record types (MS-ODRAW 2.2.23+): raster blips carry
+# the image after 1-2 16-byte UIDs + a 1-byte tag; metafile blips
+# after the UIDs + a 34-byte header whose byte 32 is the compression
+# (0 = deflate, 0xFE = none)
+_BLIP_RASTER = {0xF01D: "jpg", 0xF01E: "png", 0xF01F: "dib",
+                0xF029: "jpg", 0xF02A: "png"}
+_BLIP_META = {0xF01A: "emf", 0xF01B: "wmf", 0xF01C: "pict"}
+_RASTER_SIGS = ((b"\xff\xd8\xff", "jpg"), (b"\x89PNG", "png"),
+                (b"GIF8", "gif"), (b"II*\x00", "tiff"),
+                (b"MM\x00*", "tiff"))
+
+
+def scan_blips(data: bytes) -> list[tuple[str, bytes]]:
+    """(ext, image bytes) for every OfficeArt blip found in ``data``
+    (a Pictures stream, a Word Data/Table stream, or reassembled
+    Excel MsoDrawingGroup payload). Record-header scan: the blip
+    length field frames each image, raster payload starts at the
+    image magic (UID count varies by recInstance), metafiles are
+    inflated per the compression byte. The scan is the
+    ParserContainerExtractor image surface (POIFS embedded
+    resources) without loading full escher trees."""
+    out: list[tuple[str, bytes]] = []
+    i, n = 0, len(data)
+    while i + 8 <= n:
+        vi, rt, ln = struct.unpack_from("<HHI", data, i)
+        body = data[i + 8:i + 8 + ln]
+        if 16 < ln <= n - i - 8:
+            if rt in _BLIP_RASTER:
+                hit = None
+                for off in (17, 33):
+                    for sig, ext in _RASTER_SIGS:
+                        if body[off:off + len(sig)] == sig:
+                            hit = (off, ext)
+                            break
+                    if hit:
+                        break
+                if hit:
+                    out.append((hit[1], bytes(body[hit[0]:])))
+                    i += 8 + ln
+                    continue
+            elif rt in _BLIP_META:
+                for uid in (16, 32):
+                    hdr = body[uid:uid + 34]
+                    if len(hdr) != 34:
+                        continue
+                    comp = hdr[32]
+                    payload = bytes(body[uid + 34:])
+                    if comp == 0:
+                        try:
+                            payload = zlib.decompress(payload)
+                        except Exception:
+                            continue
+                    elif comp != 0xFE:
+                        continue
+                    out.append((_BLIP_META[rt], payload))
+                    i += 8 + ln
+                    break
+                else:
+                    i += 1
+                    continue
+                continue
+        i += 1
+    return out
+
+
+def _xls_escher(cfb: CfbFile) -> bytes:
+    """Concatenated MSODRAWINGGROUP (0x00EB) + following CONTINUE
+    (0x003C) payloads of the Workbook stream — blips span BIFF
+    record boundaries, so a raw scan over the stream would truncate
+    them."""
+    wb = cfb.stream("Workbook") or cfb.stream("Book")
+    if not wb:
+        return b""
+    parts: list[bytes] = []
+    in_group = False
+    for op, payload, _pos in _xls_records(wb):
+        if op == 0x00EB:
+            in_group = True
+            parts.append(payload)
+        elif op == 0x003C and in_group:
+            parts.append(payload)
+        else:
+            in_group = False
+    return b"".join(parts)
+
+
+_INTERNAL_STREAMS = {"\x01Ole", "\x01CompObj", "\x03ObjInfo",
+                     "\x03EPRINT", "\x03LinkInfo"}
+
+
+def _office_children(cfb: CfbFile, mime: str
+                     ) -> list[tuple[str, bytes]]:
+    """Embedded resources of a binary Office doc, in two families
+    (the ParserContainerExtractor surface,
+    extractor/ParserContainerExtractor.java semantics):
+
+    - pictures: OfficeArt blips from the format's art stream(s),
+      named image1.ext, image2.ext, … in stream order (the POI
+      naming the reference pins — 'image1.png' in
+      POIContainerExtractionTest);
+    - embedded objects: every MBD* storage (Excel) / ObjectPool/_*
+      storage (Word): a Package stream is the raw embedded file
+      (OOXML zip, pdf); otherwise the storage's streams re-serialize
+      into a standalone CFB via the fixture writer and the child is
+      '<storage>.<ext>' with ext from the OLE2 container refinement
+      ('MBD0003271D.ppt', '_1345471035.ppt' — the reference's own
+      expected names).
+    """
+    children: list[tuple[str, bytes]] = []
+    art: list[bytes] = []
+    if mime == "application/msword":
+        for s in ("Data", "1Table", "0Table", "WordDocument"):
+            st = cfb.stream(s)
+            if st:
+                art.append(st)
+    elif mime == "application/vnd.ms-excel":
+        art.append(_xls_escher(cfb))
+    elif mime == "application/vnd.ms-powerpoint":
+        st = cfb.stream("Pictures")
+        if st:
+            art.append(st)
+    seen: set[bytes] = set()
+    idx = 0
+    for stream_data in art:
+        for ext, payload in scan_blips(stream_data):
+            digest = hashlib.md5(payload).digest()
+            if digest in seen:
+                continue    # same blip reachable via two streams
+            seen.add(digest)
+            idx += 1
+            children.append((f"image{idx}.{ext}", payload))
+
+    # --- embedded OLE objects
+    objs: dict[tuple, list] = {}
+    for e in cfb.entries:
+        if e.kind != 2 or not e.path:
+            continue
+        if e.path[0] == "ObjectPool":
+            if len(e.path) < 2:
+                continue
+            key = e.path[:2]
+        elif e.path[0].startswith("MBD"):
+            key = e.path[:1]
+        else:
+            continue
+        objs.setdefault(key, []).append(e)
+    _EXT = {"application/msword": "doc",
+            "application/vnd.ms-excel": "xls",
+            "application/vnd.ms-powerpoint": "ppt",
+            "application/vnd.visio": "vsd",
+            "application/x-mspublisher": "pub"}
+    for key in sorted(objs, key=lambda k: k[-1]):
+        entries = objs[key]
+        names = {e.name for e in entries}
+        if "Package" in names:
+            pkg = cfb.stream("Package", key)
+            if pkg:
+                children.append((key[-1] + ".bin", pkg))
+            continue
+        if "CONTENTS" in names:
+            raw = cfb.stream("CONTENTS", key)
+            if raw:
+                children.append((key[-1] + ".bin", raw))
+            continue
+        streams = []
+        for e in entries:
+            if e.name in _INTERNAL_STREAMS:
+                continue
+            raw = cfb.read(e)
+            if raw is not None:
+                streams.append((e.path[len(key):], e.name, raw))
+        if not streams:
+            continue
+        try:
+            from tika_spark.fixtures.olegen import write_cfb
+            rebuilt = write_cfb(streams)
+        except Exception:
+            continue
+        try:
+            sub = refine_ole2(rebuilt)
+        except Exception:
+            sub = None
+        ext = _EXT.get(sub or "", "ole")
+        children.append((key[-1] + "." + ext, rebuilt))
+    return children
+
+
+
+
+def _ole10_native(raw: bytes) -> tuple[str, bytes] | None:
+    """(filename, file bytes) from a \x01Ole10Native stream — the
+    'packaged file' form of an embedded object (u32 size, u16 flags,
+    label\0, source path\0, u32 flags, u32 temp-path len + path,
+    u32 data len, data)."""
+    try:
+        p = 6
+        e = raw.index(b"\x00", p)
+        label = raw[p:e].decode("cp1252", "replace")
+        p = e + 1
+        e = raw.index(b"\x00", p)
+        p = e + 1
+        p += 4
+        (tlen,) = struct.unpack_from("<I", raw, p)
+        p += 4 + tlen
+        (dlen,) = struct.unpack_from("<I", raw, p)
+        p += 4
+        data = raw[p:p + dlen]
+        if dlen and len(data) == dlen:
+            return (label or "embedded.bin", bytes(data))
+    except Exception:
+        pass
+    return None
+
+
 # -------------------------------------------------------------- entry --
 
 
@@ -667,6 +885,29 @@ def extract_ole(data: bytes, url: str | None = None,
             text = ""  # metadata-only (unknown office layouts)
     except Exception:
         text = ""
+    if mime in ("application/msword", "application/vnd.ms-excel",
+                "application/vnd.ms-powerpoint"):
+        try:
+            children = _office_children(cfb, mime)
+        except Exception:
+            children = []
+    elif mime == "application/x-tika-msoffice":
+        # a bare OLE wrapper (docx embeddings/oleObjectN.bin): the
+        # payload is a root CONTENTS/Package stream or an
+        # Ole10Native packaged file
+        try:
+            for sname, cname in (("CONTENTS", "contents.bin"),
+                                 ("Package", "package.bin")):
+                raw = cfb.stream(sname)
+                if raw:
+                    children.append((cname, raw))
+            nat = cfb.stream("\x01Ole10Native")
+            if nat:
+                hit = _ole10_native(nat)
+                if hit:
+                    children.append(hit)
+        except Exception:
+            pass
     text = safe_chars(text)
     # no text extracted => metadata_only, whatever metadata holds
     # (the chm/parser.py convention; metadata-only is about TEXT)

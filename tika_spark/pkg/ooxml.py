@@ -391,6 +391,29 @@ def _pptx_text(zf: zipfile.ZipFile) -> str:
     return "".join(out)
 
 
+# package parts that are embedded resources (POI's embedded-resource
+# surface: pictures under media/, OLE/raw objects under embeddings/ —
+# OOXMLContainerExtractionTest expectations)
+_CHILD_RE = re.compile(
+    r"^(?:word|xl|ppt)/(?:media|embeddings)/([^/]+)$")
+_MAX_CHILDREN = 64
+
+
+def _package_children(zf: zipfile.ZipFile) -> list[tuple[str, bytes]]:
+    out: list[tuple[str, bytes]] = []
+    for name in zf.namelist():
+        m = _CHILD_RE.match(name)
+        if not m:
+            continue
+        if len(out) >= _MAX_CHILDREN:
+            break
+        try:
+            out.append((m.group(1), zf.read(name)))
+        except Exception:
+            continue
+    return out
+
+
 def extract_ooxml(data: bytes, url: str | None = None,
                   declared_type: str | None = None,
                   config: ExtractConfig = _DEFAULT,
@@ -409,6 +432,7 @@ def extract_ooxml(data: bytes, url: str | None = None,
             text = _xlsx_text(zf)
         else:
             text = _pptx_text(zf)
+        children = _package_children(zf)
     text = safe_chars(text)
     limit = max(config.output_min_chars,
                 config.output_ratio * max(1, len(data)))
@@ -423,4 +447,5 @@ def extract_ooxml(data: bytes, url: str | None = None,
         "links": [],
         "metadata": {**metadata, "Content-Type": [mime or "application/zip"]},
         "status": status,
+        "children": children,
     }
