@@ -788,3 +788,36 @@ def test_audio_features_operator(spark):
     assert got[3].sum_amp == 700
     assert got[4].status == "error"
     assert got[5].status == "unsupported"
+
+
+class TestNetpbm:
+    def test_all_six_variants(self):
+        import numpy as np
+        from tika_spark.analysis.pixels import decode_pnm
+        a1 = decode_pnm(b"P1\n2 2\n0 1\n1 0\n")
+        assert a1[:, :, 0].tolist() == [[255, 0], [0, 255]]
+        a2 = decode_pnm(b"P2 2 1 255\n0 255\n")
+        assert a2[0, :, 0].tolist() == [0, 255]
+        a3 = decode_pnm(b"P3 1 1 255\n1 2 3\n")
+        assert a3[0, 0].tolist() == [1, 2, 3]
+        a4 = decode_pnm(b"P4 4 1\n" + bytes([0b10100000]))
+        assert a4[0, :, 0].tolist() == [0, 255, 0, 255]
+        a5 = decode_pnm(b"P5 2 1 255\n" + bytes([7, 250]))
+        assert a5[0, :, 0].tolist() == [7, 250]
+        a6 = decode_pnm(b"P6 1 1 255\n" + bytes([9, 8, 7]))
+        assert a6[0, 0].tolist() == [9, 8, 7]
+
+    def test_maxval_scaling_and_comments(self):
+        from tika_spark.analysis.pixels import decode_pnm
+        g = decode_pnm(b"P2\n# comment\n1 1\n# more\n15\n15\n")
+        assert g[0, 0, 0] == 255
+        wide = decode_pnm(b"P5 1 1 65535\n" + bytes([0x80, 0x00]))
+        assert wide[0, 0, 0] == 255 * 0x8000 // 65535
+
+    def test_rejects_garbage(self):
+        import pytest as _p
+        from tika_spark.analysis.pixels import decode_pnm
+        with _p.raises(ValueError):
+            decode_pnm(b"PX 1 1\n")
+        with _p.raises(ValueError):
+            decode_pnm(b"P2 0 0 255\n")

@@ -968,6 +968,75 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Netpbm P1-P6 (ASCII and raw bitmap/graymap/pixmap) → HxWxC
+    uint8. Bit images map 0→255 (white) / 1→0 (black, the PBM
+    convention); maxval scales to 8 bits."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"123456":
+        raise ValueError("not a netpbm image")
+    kind = data[1] - 0x30
+
+    pos = 2
+
+    def tokens():
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos]
+            if c in b"# ":
+                if c == 0x23:              # comment to end of line
+                    nl = data.find(b"\n", pos)
+                    pos = len(data) if nl < 0 else nl + 1
+                    continue
+                pos += 1
+                continue
+            if c in b"\t\r\n \x0b\x0c":
+                pos += 1
+                continue
+            start = pos
+            while pos < len(data) and data[pos] not in b"\t\r\n \x0c":
+                pos += 1
+            yield data[start:pos]
+
+    t = tokens()
+    w = int(next(t))
+    h = int(next(t))
+    maxval = 1 if kind in (1, 4) else int(next(t))
+    if w <= 0 or h <= 0 or maxval <= 0 or w * h > 64_000_000:
+        raise ValueError("bad netpbm header")
+    ch = 3 if kind in (3, 6) else 1
+    if kind in (1, 2, 3):                  # ASCII samples
+        vals = []
+        need = w * h * ch
+        for tok in t:
+            vals.append(int(tok))
+            if len(vals) >= need:
+                break
+        if len(vals) < need:
+            raise ValueError("truncated netpbm data")
+        arr = np.array(vals, dtype=np.int64).reshape(h, w, ch)
+        if kind == 1:
+            arr = (1 - arr) * 255
+        else:
+            arr = arr * 255 // maxval
+        return arr.astype(np.uint8)
+    # raw: exactly one whitespace byte after the header
+    pos += 1
+    if kind == 4:                          # packed bits, row-padded
+        stride = (w + 7) // 8
+        raw = np.frombuffer(data, np.uint8, stride * h, pos)
+        bits = np.unpackbits(raw.reshape(h, stride), axis=1)[:, :w]
+        return ((1 - bits) * 255).astype(np.uint8)[..., None]
+    nbytes = w * h * ch * (2 if maxval > 255 else 1)
+    raw = np.frombuffer(data, np.uint8, nbytes, pos)
+    if maxval > 255:
+        samples = raw.reshape(-1, 2)
+        vals = (samples[:, 0].astype(np.int64) << 8) | samples[:, 1]
+    else:
+        vals = raw.astype(np.int64)
+    arr = (vals * 255 // maxval).astype(np.uint8)
+    return arr.reshape(h, w, ch)
+
+
 def decode_ico(data: bytes, index: int = 0) -> np.ndarray:
     """ICO/CUR → uint8 RGBA array (h, w, 4) for one directory entry.
 
@@ -1140,6 +1209,10 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
                            "image/webp": decode_webp,
                            "image/x-icon": decode_ico,
                            "image/vnd.microsoft.icon": decode_ico,
+                           "image/x-portable-bitmap": decode_pnm,
+                           "image/x-portable-graymap": decode_pnm,
+                           "image/x-portable-pixmap": decode_pnm,
+                           "image/x-portable-anymap": decode_pnm,
                            }.get(mt or "")
                 if decoder is not None:
                     try:

@@ -225,6 +225,52 @@ def _ico_dims(data: bytes):
     return (w or 256), (h or 256)
 
 
+def _pnm_dims(data: bytes):
+    """Netpbm P1-P6 header (whitespace/comment-tolerant)."""
+    if data[:1] != b"P" or data[1:2] not in b"123456":
+        return None
+    toks = []
+    pos = 2
+    while pos < len(data) and len(toks) < 2:
+        c = data[pos]
+        if c == 0x23:                       # '#' comment
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+            continue
+        if c in b"\t\r\n \x0b\x0c":
+            pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos] not in b"\t\r\n \x0c":
+            pos += 1
+        toks.append(data[start:pos])
+    try:
+        return (int(toks[0]), int(toks[1]))
+    except (IndexError, ValueError):
+        return None
+
+
+def _emf_dims(data: bytes):
+    """EMF EMR_HEADER: rclBounds (device px) at offset 8."""
+    if len(data) < 24 or data[:4] != b"\x01\x00\x00\x00":
+        return None
+    l, t, r, b = struct.unpack_from("<4i", data, 8)
+    if r >= l and b >= t:
+        return (r - l + 1, b - t + 1)
+    return None
+
+
+def _wmf_dims(data: bytes):
+    """Placeable WMF (Aldus) header: bbox in twips at offset 6,
+    scaled by the Inch field to pixels-at-unit density."""
+    if data[:4] != b"\xd7\xcd\xc6\x9a":
+        return None
+    l, t, r, b = struct.unpack_from("<4h", data, 6)
+    if r >= l and b >= t:
+        return (r - l, b - t)
+    return None
+
+
 _BY_MIME = {
     "image/png": _png_dims,
     "image/gif": _gif_dims,
@@ -237,6 +283,14 @@ _BY_MIME = {
     "image/avif": _heif_dims,
     "image/heic": _heif_dims,
     "image/jxl": _jxl_dims,
+    "image/x-portable-bitmap": _pnm_dims,
+    "image/x-portable-graymap": _pnm_dims,
+    "image/x-portable-pixmap": _pnm_dims,
+    "image/x-portable-anymap": _pnm_dims,
+    "image/emf": _emf_dims,
+    "image/x-emf": _emf_dims,
+    "image/wmf": _wmf_dims,
+    "image/x-wmf": _wmf_dims,
 }
 
 def _webp_exif(data: bytes) -> dict[str, list[str]]:

@@ -96,6 +96,14 @@ ROUTE_TABLE = {
     "font/woff": "media",
     "font/woff2": "media",
     "image/x-icon": "media",
+    "image/x-portable-bitmap": "media",
+    "image/x-portable-graymap": "media",
+    "image/x-portable-pixmap": "media",
+    "image/x-portable-anymap": "media",
+    "image/emf": "media",
+    "image/x-emf": "media",
+    "image/wmf": "media",
+    "image/x-wmf": "media",
     # SQLite: real table walk (dbparse.py), BLOB cells re-enter
     # recursion as children (jdbc/SQLite3Parser route)
     "application/x-sqlite3": "sqlite",
