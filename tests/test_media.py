@@ -771,3 +771,35 @@ class TestJxl:
         cont = ((12).to_bytes(4, "big") + b"JXL " + b"\r\n\x87\n"
                 + box(b"jxlc", self._jxl(800, 600)))
         assert _jxl_dims(cont) == (800, 600)
+
+
+class TestAsfMeta:
+    BASE = ("/root/reference/tika-parsers/src/test/resources/"
+            "test-documents")
+
+    def _meta(self, name, mime):
+        import os
+        import pytest as _p
+        from tika_spark.media import extract_media
+        p = os.path.join(self.BASE, name)
+        if not os.path.isfile(p):
+            _p.skip("corpus not present")
+        with open(p, "rb") as f:
+            return extract_media(f.read(), mime=mime)["metadata"]
+
+    def test_wma_content_and_duration(self):
+        md = self._meta("testWMA.wma", "audio/x-ms-wma")
+        assert md["Author"][0].strip() == "administrator"
+        assert md["WM/Year"] == ["2005-09-26"]
+        assert md["asf:streams"] == ["audio"]
+        assert 3000 < int(md["xmpDM:duration"][0]) < 3600
+
+    def test_wmv_title_and_streams(self):
+        md = self._meta("testWMV.wmv", "video/x-ms-wmv")
+        assert md["title"] == ["support.microsoft.com"]
+        assert md["copyright"] == ["2005 Microsoft"]
+        assert md["asf:streams"] == ["audio,video"]
+
+    def test_garbage_yields_empty(self):
+        from tika_spark.media import _asf_meta
+        assert _asf_meta(b"notasf" * 10) == {}

@@ -40,11 +40,10 @@ def extracted(spark):
 
 
 # formats the reference (Tika ~1.0) also has no parser for; ours is
-# the same set MINUS netpbm (we decode P1-P6 — a pipeline extension
-# beyond the reference)
+# that set MINUS netpbm (P1-P6 decode) and ASF/WMA/WMV (container
+# metadata tier) — pipeline extensions beyond the reference
 NO_PARSER = {
-    "testACCESS.mdb", "testAFM.afm", "testASF.asf", "testFOXMAIL.box",
-    "testWMA.wma", "testWMV.wmv",
+    "testACCESS.mdb", "testAFM.afm", "testFOXMAIL.box",
 }
 
 DETECT = {
@@ -244,6 +243,10 @@ METADATA_PINS = [
      "Adobe Photoshop CS3 Macintosh"),
     ("testJPEG_EXIF.jpg", "exif:FNumber", "5.6"),
     ("testJPEG_EXIF.jpg", "exif:IsoSpeedRatings", "400"),
+    # ASF tier (beyond the reference: it has no ASF parser)
+    ("testWMV.wmv", "title", "support.microsoft.com"),
+    ("testWMV.wmv", "Author", "Microsoft"),
+    ("testWMA.wma", "WM/Year", "2005-09-26"),
 ]
 
 

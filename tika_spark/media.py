@@ -1234,6 +1234,88 @@ def _mpeg1v_meta(data: bytes) -> dict[str, list[str]]:
     return meta
 
 
+# ASF top-level object GUIDs (little-endian on-disk form; [MS-ASF])
+_ASF_HEADER = bytes.fromhex("3026b2758e66cf11a6d900aa0062ce6c")
+_ASF_CONTENT = bytes.fromhex("3326b2758e66cf11a6d900aa0062ce6c")
+_ASF_FILEPROPS = bytes.fromhex("a1dcab8c47a9cf118ee400c00c205365")
+_ASF_EXTCONTENT = bytes.fromhex("40a4d0d207e3d21197f000a0c95ea850")
+_ASF_STREAMPROPS = bytes.fromhex("9107dcb7b7a9cf118ee600c00c205365")
+_ASF_AUDIO_MEDIA = bytes.fromhex("409e69f84d5bcf11a8fd00805f5c442b")
+_ASF_VIDEO_MEDIA = bytes.fromhex("c0ef19bc4d5bcf11a8fd00805f5c442b")
+
+
+def _asf_u16str(raw: bytes) -> str:
+    return raw.decode("utf-16-le", "replace").rstrip("\x00")
+
+
+def _asf_meta(data: bytes) -> dict[str, list[str]]:
+    """WMA/WMV (ASF container) metadata: Content Description
+    (title/author/copyright/description), Extended Content
+    Description WM/* attributes, File Properties duration
+    (play duration minus preroll), stream media kinds. Reference has
+    NO ASF parser (the corpus's testASF/WMA/WMV sit in its unparsed
+    tail) — this is a pipeline extension."""
+    out: dict[str, list[str]] = {}
+    if data[:16] != _ASF_HEADER or len(data) < 30:
+        return out
+    (n_obj,) = struct.unpack_from("<I", data, 24)
+    pos = 30
+    kinds: list[str] = []
+    for _ in range(min(n_obj, 64)):
+        if pos + 24 > len(data):
+            break
+        g = data[pos:pos + 16]
+        (osz,) = struct.unpack_from("<Q", data, pos + 16)
+        if osz < 24 or pos + osz > len(data):
+            break
+        body = data[pos + 24:pos + osz]
+        if g == _ASF_CONTENT and len(body) >= 10:
+            lens = struct.unpack_from("<5H", body, 0)
+            p = 10
+            for key, ln in zip(("title", "Author", "copyright",
+                                "description"), lens[:4]):
+                val = _asf_u16str(body[p:p + ln])
+                p += ln
+                if val:
+                    out[key] = [val]
+        elif g == _ASF_FILEPROPS and len(body) >= 64:
+            (play,) = struct.unpack_from("<Q", body, 40)
+            (preroll,) = struct.unpack_from("<Q", body, 56)
+            dur_ms = play // 10_000 - preroll
+            if 0 < dur_ms < 1 << 40:
+                out["xmpDM:duration"] = [str(dur_ms)]
+        elif g == _ASF_EXTCONTENT and len(body) >= 2:
+            (cnt,) = struct.unpack_from("<H", body, 0)
+            p = 2
+            for _i in range(min(cnt, 64)):
+                if p + 2 > len(body):
+                    break
+                (nlen,) = struct.unpack_from("<H", body, p)
+                p += 2
+                name = _asf_u16str(body[p:p + nlen])
+                p += nlen
+                if p + 4 > len(body):
+                    break
+                vtype, vlen = struct.unpack_from("<HH", body, p)
+                p += 4
+                raw = body[p:p + vlen]
+                p += vlen
+                if vtype == 0 and name.startswith("WM/"):
+                    val = _asf_u16str(raw)
+                    if val:
+                        out[name] = [val]
+        elif g == _ASF_STREAMPROPS and len(body) >= 16:
+            st = body[:16]
+            if st == _ASF_AUDIO_MEDIA:
+                kinds.append("audio")
+            elif st == _ASF_VIDEO_MEDIA:
+                kinds.append("video")
+        pos += osz
+    if kinds:
+        out["asf:streams"] = [",".join(sorted(set(kinds)))]
+    return out
+
+
 _META_BY_MIME = {
     "audio/x-aac": _adts_meta,
     "audio/aac": _adts_meta,
@@ -1256,6 +1338,9 @@ _META_BY_MIME = {
     "application/x-hdf": _hdf_meta,
     "image/vnd.dwg": _dwg_meta,
     "application/x-shockwave-flash": _swf_meta,
+    "video/x-ms-asf": _asf_meta,
+    "audio/x-ms-wma": _asf_meta,
+    "video/x-ms-wmv": _asf_meta,
 }
 
 

@@ -96,6 +96,9 @@ ROUTE_TABLE = {
     "font/woff": "media",
     "font/woff2": "media",
     "image/x-icon": "media",
+    "video/x-ms-asf": "media",
+    "audio/x-ms-wma": "media",
+    "video/x-ms-wmv": "media",
     "image/x-portable-bitmap": "media",
     "image/x-portable-graymap": "media",
     "image/x-portable-pixmap": "media",
