@@ -26,8 +26,11 @@ def make_jpeg(w: int, h: int) -> bytes:
 
 
 def make_bmp(w: int, h: int) -> bytes:
+    # planes=1 / bpp=24 at offsets 26/28: the magic's false-positive
+    # confirms (TestMimeTypes testBMPfp) require a structurally
+    # plausible DIB header, not just "BM"
     return (b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
-            + b"\x00" * 10)
+            + struct.pack("<HH", 1, 24) + b"\x00" * 6)
 
 
 def test_detect_images():
