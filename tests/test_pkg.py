@@ -1024,3 +1024,50 @@ class Test7z:
         blob[idx + 5] = 0x7E
         kids, _ = sevenz_children(bytes(blob), 10 ** 8)
         assert dict(kids) == {"k.txt": b""}  # folder dropped, row kept
+
+
+class TestImplode:
+    BASE = ("/root/reference/tika-parsers/src/test/resources/"
+            "test-documents")
+
+    def test_every_member_crc_exact(self):
+        import io
+        import os
+        import zipfile
+        import zlib
+
+        import pytest as _p
+
+        from tika_spark.pkg.parser import _zip_raw_member, explode
+        p = os.path.join(self.BASE, "moby.zip")
+        if not os.path.isfile(p):
+            _p.skip("corpus not present")
+        with open(p, "rb") as f:
+            data = f.read()
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        checked = 0
+        for info in zf.infolist():
+            if info.compress_type != 6:
+                continue
+            out = explode(_zip_raw_member(data, info),
+                          info.file_size, info.flag_bits)
+            assert (zlib.crc32(out) & 0xFFFFFFFF) == info.CRC, \
+                info.filename
+            checked += 1
+        assert checked >= 100
+
+    def test_imploded_zip_yields_children(self):
+        import os
+
+        import pytest as _p
+
+        from tika_spark.pkg.parser import extract_package
+        p = os.path.join(self.BASE, "moby.zip")
+        if not os.path.isfile(p):
+            _p.skip("corpus not present")
+        with open(p, "rb") as f:
+            out = extract_package(f.read(), mime="application/zip")
+        names = [c[0] for c in out["children"]]
+        assert "README" in names and "moby.0" in names
+        readme = dict((c[0], c[1]) for c in out["children"])["README"]
+        assert readme.startswith(b"Moby Dick\nby Herman Melville")

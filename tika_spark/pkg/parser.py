@@ -30,6 +30,7 @@ import io
 import lzma
 import tarfile
 import zipfile
+import struct
 import zlib
 
 from tika_spark.config import ExtractConfig
@@ -43,6 +44,121 @@ def _budget(config: ExtractConfig, n_input: int) -> int:
     return max(config.output_min_chars, config.output_ratio * max(1, n_input))
 
 
+# ------------------------------------------------ PKWARE Implode --
+
+def _sf_table(lengths: list[int]) -> dict:
+    """Shannon-Fano decode table per the published APPNOTE.TXT
+    recipe: stable-sort symbols by bit length, assign 16-bit codes
+    walking the sorted list from the end with per-length increments
+    1 << (16 - len), then bit-reverse the top `len` bits — the form
+    the LSB-first bitstream carries. Verified CRC-exact against real
+    PKZIP 1.x members (moby.zip)."""
+    order = sorted(range(len(lengths)), key=lambda s: (lengths[s], s))
+    code = inc = last = 0
+    codes = [0] * len(lengths)
+    for i in range(len(order) - 1, -1, -1):
+        sym = order[i]
+        bl = lengths[sym]
+        code += inc
+        if bl != last:
+            last = bl
+            inc = 1 << (16 - bl)
+        codes[sym] = code
+    table: dict = {}
+    for sym, bl in enumerate(lengths):
+        top = codes[sym] >> (16 - bl)
+        rev = int(format(top, f"0{bl}b")[::-1], 2)
+        table[(bl, rev)] = sym
+    return table
+
+
+def _sf_read_tree(data: bytes, pos: int) -> tuple[dict, int]:
+    n = data[pos] + 1
+    pos += 1
+    lengths: list[int] = []
+    for i in range(n):
+        b = data[pos + i]
+        lengths.extend([(b & 0xF) + 1] * ((b >> 4) + 1))
+    return _sf_table(lengths), pos + n
+
+
+class _SfBits:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        b = self.acc & 1
+        self.acc >>= 1
+        self.n -= 1
+        return b
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for i in range(k):
+            v |= self.bit() << i
+        return v
+
+    def sf(self, table: dict) -> int:
+        v = bl = 0
+        while bl <= 16:
+            v |= self.bit() << bl
+            bl += 1
+            s = table.get((bl, v))
+            if s is not None:
+                return s
+        raise ValueError("bad Shannon-Fano code")
+
+
+def explode(data: bytes, usize: int, flags: int) -> bytes:
+    """Decompress one PKZIP method-6 (Implode) member, from scratch
+    per APPNOTE.TXT: general-flag bit 1 selects the 8K window (7 raw
+    low distance bits vs 6), bit 2 a third Shannon-Fano tree coding
+    literals (and minimum match 3 vs 2). Stream: per token one raw
+    bit — 1 = literal (SF-coded or raw byte), 0 = match of
+    (low raw bits | SF-coded high) distance and SF-coded length
+    (63 extends by 8 raw bits)."""
+    big_dict = bool(flags & 0x02)
+    has_lit = bool(flags & 0x04)
+    pos = 0
+    lit_t = None
+    if has_lit:
+        lit_t, pos = _sf_read_tree(data, pos)
+    len_t, pos = _sf_read_tree(data, pos)
+    dist_t, pos = _sf_read_tree(data, pos)
+    br = _SfBits(data, pos)
+    low_bits = 7 if big_dict else 6
+    minlen = 3 if has_lit else 2
+    out = bytearray()
+    while len(out) < usize:
+        if br.bit():
+            out.append(br.sf(lit_t) if has_lit else br.bits(8))
+        else:
+            low = br.bits(low_bits)
+            dist = (br.sf(dist_t) << low_bits) | low
+            ln = br.sf(len_t)
+            if ln == 63:
+                ln += br.bits(8)
+            ln += minlen
+            start = len(out) - dist - 1
+            for i in range(ln):
+                out.append(out[start + i] if start + i >= 0 else 0)
+    return bytes(out[:usize])
+
+
+def _zip_raw_member(data: bytes, info) -> bytes:
+    """Raw compressed bytes of one member via its local header."""
+    off = info.header_offset
+    nlen, elen = struct.unpack_from("<HH", data, off + 26)
+    start = off + 30 + nlen + elen
+    return data[start:start + info.compress_size]
+
+
 def _zip_children(data: bytes, budget: int):
     out, used, truncated = [], 0, False
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
@@ -53,8 +169,19 @@ def _zip_children(data: bytes, budget: int):
                 return out, True
             cap = budget - used
             try:
-                with zf.open(info) as f:
-                    payload = f.read(cap + 1)
+                if info.compress_type == 6:
+                    # PKZIP 1.x Implode: stdlib zipfile cannot read
+                    # it; the from-scratch explode() can (CRC-checked)
+                    payload = explode(_zip_raw_member(data, info),
+                                      min(info.file_size, cap + 1),
+                                      info.flag_bits)
+                    if len(payload) == info.file_size and \
+                            (zlib.crc32(payload) & 0xFFFFFFFF) \
+                            != info.CRC:
+                        continue
+                else:
+                    with zf.open(info) as f:
+                        payload = f.read(cap + 1)
             except Exception:
                 # one encrypted/CRC-corrupt member must not discard
                 # the members already extracted (H1 fault isolation;
