@@ -124,6 +124,9 @@ CONTENT = {
     # WordParserTest comment handling
     "testComment.doc": ["Here is some text.", "Here is a comment"],
     "testOptionalHyphen.doc": ["optionalhyphen"],
+    # Word 6.0 (wIdent 0xA5DC) — the reference CANNOT read this
+    # (HWPF throws OldWordFileFormatException); contiguous-text FIB
+    "testWORD6.doc": ["The quick brown fox jumps over the lazy dog"],
     "testVISIO.vsd": ["Test View"],
     "testPages.pages": ["Sample pages document"],
     "testKeynote.key": ["A sample presentation"],
@@ -154,7 +157,7 @@ class TestReferenceCorpus:
 
     def test_parse_coverage_rate(self, extracted):
         ok = sum(1 for r in extracted.values() if r.status == "ok")
-        assert ok >= 198   # includes the netpbm tier beyond the ref
+        assert ok >= 199   # netpbm + Word6 tiers beyond the ref
 
     def test_detection_pins(self, extracted):
         got = {u: extracted[u].mime for u in DETECT}

@@ -197,7 +197,11 @@ def _doc_text(cfb: CfbFile) -> str:
     if not word or len(word) < 0x200:
         return ""
     (w_ident,) = struct.unpack_from("<H", word, 0)
-    if w_ident != 0xA5EC:
+    # 0xA5EC = Word 8/95 family; 0xA5DC = Word 6.0 (same fcMin/fcMac
+    # FIB slots, always the contiguous-text branch below — a format
+    # the reference CANNOT read: POI's HWPF throws
+    # OldWordFileFormatException on it)
+    if w_ident not in (0xA5EC, 0xA5DC):
         return ""
     (n_fib,) = struct.unpack_from("<H", word, 0x0002)
     (flags,) = struct.unpack_from("<H", word, 0x000A)
