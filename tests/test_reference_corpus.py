@@ -43,7 +43,7 @@ def extracted(spark):
 # that set MINUS netpbm (P1-P6 decode) and ASF/WMA/WMV (container
 # metadata tier) — pipeline extensions beyond the reference
 NO_PARSER = {
-    "testACCESS.mdb", "testAFM.afm", "testFOXMAIL.box",
+    "testACCESS.mdb", "testFOXMAIL.box",
 }
 
 DETECT = {
@@ -250,6 +250,8 @@ METADATA_PINS = [
     ("testWMV.wmv", "title", "support.microsoft.com"),
     ("testWMV.wmv", "Author", "Microsoft"),
     ("testWMA.wma", "WM/Year", "2005-09-26"),
+    ("testAFM.afm", "title", "TestFullName"),
+    ("testAFM.afm", "font:FamilyName", "TestSymbol"),
 ]
 
 

@@ -1316,6 +1316,35 @@ def _asf_meta(data: bytes) -> dict[str, list[str]]:
     return out
 
 
+def _afm_meta(data: bytes) -> dict[str, list[str]]:
+    """Adobe Font Metrics (a line-oriented text format): font
+    identity keys from the header section. The reference (~1.0) has
+    no AFM parser; later Tika ships AdobeFontMetricParser with these
+    same fields."""
+    out: dict[str, list[str]] = {}
+    if not data.startswith(b"StartFontMetrics"):
+        return out
+    keymap = {"FontName": "font:FontName",
+              "FullName": "title",
+              "FamilyName": "font:FamilyName",
+              "Weight": "font:Weight",
+              "Version": "font:Version",
+              "Notice": "font:Notice",
+              "EncodingScheme": "font:EncodingScheme"}
+    for line in data[:65536].splitlines()[:200]:
+        try:
+            text = line.decode("latin-1").strip()
+        except Exception:
+            continue
+        if text.startswith("StartCharMetrics"):
+            break
+        head, _, rest = text.partition(" ")
+        key = keymap.get(head)
+        if key and rest.strip():
+            out.setdefault(key, []).append(rest.strip())
+    return out
+
+
 _META_BY_MIME = {
     "audio/x-aac": _adts_meta,
     "audio/aac": _adts_meta,
@@ -1338,6 +1367,7 @@ _META_BY_MIME = {
     "application/x-hdf": _hdf_meta,
     "image/vnd.dwg": _dwg_meta,
     "application/x-shockwave-flash": _swf_meta,
+    "application/x-font-adobe-metric": _afm_meta,
     "video/x-ms-asf": _asf_meta,
     "audio/x-ms-wma": _asf_meta,
     "video/x-ms-wmv": _asf_meta,

@@ -96,6 +96,7 @@ ROUTE_TABLE = {
     "font/woff": "media",
     "font/woff2": "media",
     "image/x-icon": "media",
+    "application/x-font-adobe-metric": "media",
     "video/x-ms-asf": "media",
     "audio/x-ms-wma": "media",
     "video/x-ms-wmv": "media",
