@@ -354,3 +354,21 @@ class TestEmbeddedResources:
         deep = [u for u in recursed
                 if u.count("!/") == 3 and u.endswith(".pdf")]
         assert deep and recursed[deep[0]].status == "ok"
+
+
+@pytest.mark.parametrize("mode", ["text-main", "xhtml", "metadata"])
+def test_all_modes_fault_isolated_on_real_corpus(spark, mode):
+    """Every output mode must survive all 216 real-world files with
+    status rows only — the H1 contract is per-mode, not just for
+    mode=text."""
+    rows = []
+    for p in sorted(glob.glob(CORPUS + "/*")):
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                rows.append((os.path.basename(p), bytearray(f.read())))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    from tika_spark.pipeline.job import extract
+    got = extract(df, mode=mode).select("url", "status").collect()
+    assert len(got) == len(rows)
+    errors = sorted(r.url for r in got if r.status == "error")
+    assert errors == []
