@@ -178,3 +178,32 @@ def test_tnef_through_recursion(spark):
     inner = rows["http://e.com/winmail.dat!/inner.txt"]
     assert inner["text"] == "inner text\n"
     assert inner["depth"] == 1
+
+
+class TestFoxmail:
+    BASE = ("/root/reference/tika-parsers/src/test/resources/"
+            "test-documents")
+
+    def test_box_splits_into_messages(self):
+        import os
+
+        import pytest as _p
+
+        from tika_spark.mail import extract_foxmail
+        p = os.path.join(self.BASE, "testFOXMAIL.box")
+        if not os.path.isfile(p):
+            _p.skip("corpus not present")
+        with open(p, "rb") as f:
+            out = extract_foxmail(f.read())
+        assert out["metadata"]["message-count"] == ["5"]
+        # furniture headers stripped: every child starts at a real
+        # RFC822 header that magic detection recognizes
+        from tika_spark.mime.detector import detect
+        for name, body in out["children"]:
+            assert detect(body, name) == "message/rfc822", name
+
+    def test_non_foxmail_is_metadata_only(self):
+        from tika_spark.mail import extract_foxmail
+        out = extract_foxmail(b"not a foxmail store")
+        assert out["status"] == "metadata_only"
+        assert out["children"] == []

@@ -43,7 +43,7 @@ def extracted(spark):
 # that set MINUS netpbm (P1-P6 decode) and ASF/WMA/WMV (container
 # metadata tier) — pipeline extensions beyond the reference
 NO_PARSER = {
-    "testACCESS.mdb", "testFOXMAIL.box",
+    "testACCESS.mdb",
 }
 
 DETECT = {
@@ -157,7 +157,7 @@ class TestReferenceCorpus:
 
     def test_parse_coverage_rate(self, extracted):
         ok = sum(1 for r in extracted.values() if r.status == "ok")
-        assert ok >= 199   # netpbm + Word6 tiers beyond the ref
+        assert ok >= 200   # netpbm/Word6/Foxmail tiers beyond the ref
 
     def test_detection_pins(self, extracted):
         got = {u: extracted[u].mime for u in DETECT}

@@ -174,6 +174,53 @@ def extract_mbox(data: bytes, url: str | None = None,
     }
 
 
+_FOXMAIL_MARK = b"\x10" * 7 + b"\x11" * 6
+
+
+def extract_foxmail(data: bytes, url: str | None = None,
+                    declared_type: str | None = None,
+                    config: ExtractConfig = _DEFAULT) -> dict:
+    """Foxmail .box mail store: RFC822 messages delimited by the
+    13-byte \x10*7 \x11*6 marker (+ one status tag byte + CRLF).
+    Same child-explosion shape as mbox; each message re-enters the
+    pipeline as message/rfc822. No reference counterpart (the
+    corpus's testFOXMAIL.box sits in the reference's unparsed
+    tail)."""
+    data = bytes(data or b"")
+    children: list[tuple[str, bytes]] = []
+    if data.startswith(_FOXMAIL_MARK):
+        parts = data.split(_FOXMAIL_MARK)
+        for n, chunk in enumerate(p for p in parts if p):
+            # skip the tag byte(s) up to the first CRLF
+            nl = chunk.find(b"\r\n")
+            body = chunk[nl + 2:] if nl >= 0 else chunk
+            # container furniture: Foxmail writes empty-valued header
+            # stubs (e.g. "Date: \r\n") before the real message —
+            # drop them so the child starts at a real RFC822 header
+            while True:
+                m = re.match(rb"[!-9;-~]+:[ \t]*\r\n", body)
+                if not m:
+                    break
+                body = body[m.end():]
+            if b":" not in body[:256]:
+                continue    # trailing binary index block, not a message
+            children.append((f"msg-{n}.eml", body))
+            if len(children) >= 1000:
+                break
+    text = "".join(name + "\n" for name, _ in children)
+    return {
+        "charset": None,
+        "title": None,
+        "text": text,
+        "spans": [(0, len(text), "body")] if text else [],
+        "links": [],
+        "metadata": {"Content-Type": ["application/x-foxmail"],
+                     "message-count": [str(len(children))]},
+        "status": "ok" if children else "metadata_only",
+        "children": children,
+    }
+
+
 # ----------------------------------------------------------------- TNEF
 
 # Attribute ids (level-prefixed stream, MS-OXTNEF §2.1; the reference

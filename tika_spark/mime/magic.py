@@ -105,7 +105,11 @@ MAGIC_RULES: list[MagicRule] = [
     _m("message/rfc822", 40,
        Clause(0, 0, b"Relay-Version:"), Clause(0, 0, b"Return-Path:"),
        Clause(0, 0, b"Received:"), Clause(0, 0, b"Message-ID:"),
-       Clause(0, 0, b"MIME-Version:"), Clause(0, 0, b"From:")),
+       Clause(0, 0, b"MIME-Version:"), Clause(0, 0, b"From:"),
+       # POP3 store artifact leading messages ripped out of Foxmail/
+       # UIDL-tracking mail stores (beyond the reference's token list;
+       # cannot fire on anything but mail)
+       Clause(0, 0, b"X-Uidl:")),
     # UTF BOMs with no other signature -> text/plain (MimeDetectionTest BOM cases)
     _m("text/plain", 30,
        Clause(0, 0, b"\xef\xbb\xbf"),

@@ -34,7 +34,8 @@ from tika_spark.pkg.odf import extract_flat_odf, extract_odf
 from tika_spark.pkg.ooxml import extract_ooxml
 from tika_spark.pkg.parser import extract_package
 from tika_spark.pkg.xps import extract_xps
-from tika_spark.mail import extract_mbox, extract_rfc822, extract_tnef
+from tika_spark.mail import (extract_foxmail, extract_mbox,
+                             extract_rfc822, extract_tnef)
 from tika_spark.media import extract_media
 from tika_spark.chm.parser import extract_chm
 from tika_spark.ole.parser import extract_ole
@@ -60,6 +61,7 @@ ROUTE_TABLE = {
     "application/rtf": "rtf",
     "message/rfc822": "rfc822",
     "application/mbox": "mbox",
+    "application/x-foxmail": "foxmail",
     # metadata-only media rows (E12)
     "image/png": "media",
     "image/gif": "media",
@@ -221,6 +223,7 @@ _EXTRACTORS = {
     "rtf": extract_rtf,
     "rfc822": extract_rfc822,
     "mbox": extract_mbox,
+    "foxmail": extract_foxmail,
     "tnef": extract_tnef,
     "media": extract_media,
     "pkg": extract_package,
