@@ -60,3 +60,52 @@ def build_corpus(pages: DataFrame, mode: str = "text",
                         key_col="url", salt=salt)
     return out.select("url", "title", "n_tokens", "fingerprint",
                       "split", "text")
+
+
+def main(argv=None):
+    """spark-submit surface: pages parquet in, corpus parquet out.
+
+        python -m tika_spark.pipeline.corpus \
+            --input /data/pages.parquet --output /data/corpus \
+            [--mode text] [--min-words 20] [--max-words 100000]
+            [--salt r1] [--cpus 8]
+    """
+    import argparse
+    import json
+    import os
+
+    from pyspark.sql import SparkSession
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default="text",
+                   choices=["text", "text-main", "text-main-justext",
+                            "text-main-readability"])
+    p.add_argument("--min-words", type=int, default=20)
+    p.add_argument("--max-words", type=int, default=100_000)
+    p.add_argument("--salt", default="")
+    p.add_argument("--cpus", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = p.parse_args(argv)
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .appName("tika-spark-corpus-build")
+             .config("spark.sql.shuffle.partitions", str(args.cpus))
+             .getOrCreate())
+    try:
+        out = build_corpus(spark.read.parquet(args.input),
+                           mode=args.mode, min_words=args.min_words,
+                           max_words=args.max_words, salt=args.salt)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        splits = {r["split"]: r["n"] for r in
+                  spark.read.parquet(args.output)
+                  .groupBy("split").agg(F.count("*").alias("n"))
+                  .collect()}
+        print(json.dumps({"rows": n, "splits": splits,
+                          "output": args.output}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
