@@ -372,3 +372,21 @@ def test_all_modes_fault_isolated_on_real_corpus(spark, mode):
     assert len(got) == len(rows)
     errors = sorted(r.url for r in got if r.status == "error")
     assert errors == []
+
+
+def test_full_census_matches_golden(extracted):
+    """The frozen 216-file census (mime, status, text length per
+    file) — the whole-corpus regression net. Regenerate
+    tests/data/reference_corpus_census.json deliberately when an
+    improvement changes it; silent drift fails here."""
+    import json
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "reference_corpus_census.json")
+    with open(path) as f:
+        golden = json.load(f)
+    got = {u: [r.mime, r.status, len(r.text or "")]
+           for u, r in extracted.items()}
+    diff = {u: (golden.get(u), got.get(u))
+            for u in set(golden) | set(got)
+            if golden.get(u) != got.get(u)}
+    assert diff == {}
