@@ -317,3 +317,46 @@ class TestBuildCorpus:
         b = sorted(map(tuple,
                        build_corpus(pages.repartition(7)).collect()))
         assert a == b
+
+
+class TestInputByteCap:
+    """Truncate-and-flag input cap (config.MAX_INPUT_BYTES): no page,
+    however large, reaches a parser in full — the giant-page skew
+    residual from BENCH/SKEW.md is bounded by policy."""
+
+    def _run(self, spark, rows, cap):
+        df = spark.createDataFrame(
+            rows, "url string, html binary")
+        cfg = ExtractConfig(mode="text", max_input_bytes=cap)
+        out = extract(df, mode="text", config=cfg)
+        return {r["url"]: r for r in out.collect()}
+
+    def test_html_prefix_parse_and_flag(self, spark):
+        body = ("<html><head><title>T</title></head><body>"
+                + "<p>word </p>" * 400 + "</body></html>")
+        rows = [("u:big", bytearray(body.encode())),
+                ("u:small", bytearray(b"<html><body><p>ok</p>"
+                                      b"</body></html>"))]
+        got = self._run(spark, rows, cap=1000)
+        big, small = got["u:big"], got["u:small"]
+        assert big["status"] == "input_capped"
+        assert big["mime"] == "text/html"
+        assert 0 < big["n_chars"] < 500      # prefix text only
+        assert big["n_bytes"] == len(body)   # accounting keeps true size
+        assert "word" in big["text"]
+        assert small["status"] == "ok"
+
+    def test_binary_metadata_only_row(self, spark):
+        import zlib
+        blob = b"PK\x03\x04" + zlib.compress(b"x" * 4096) * 40
+        got = self._run(spark, [("u:zip", bytearray(blob))], cap=100)
+        r = got["u:zip"]
+        assert r["status"] == "input_capped"
+        assert r["text"] == ""
+        assert r["metadata"]["Content-Type"] == [r["mime"]]
+        assert r["n_bytes"] == len(blob)
+
+    def test_cap_zero_disables(self, spark):
+        body = b"<html><body><p>" + b"w " * 2000 + b"</p></body></html>"
+        got = self._run(spark, [("u:h", bytearray(body))], cap=0)
+        assert got["u:h"]["status"] == "ok"

@@ -86,3 +86,22 @@ def test_unigram_encode(spark):
     assert (out[0].n_words, out[0].n_pieces, out[0].n_unk) == (3, 3, 0)
     # "xq" falls back to floor-scored chars -> 2 unk pieces
     assert (out[1].n_words, out[1].n_pieces, out[1].n_unk) == (2, 3, 2)
+
+
+def test_seed_vocab_char_cap_bounds_driver_rows(spark):
+    # adversarial wide alphabet: 600 distinct codepoints as
+    # single-char words — the driver-side seed must stay at
+    # max_chars + top_k rows, keeping the most frequent chars
+    wide = " ".join(chr(0x4E00 + i) for i in range(600))
+    docs = _docs(spark, [wide, "aa aa aa"])
+    rows = seed_vocab(docs, max_piece_len=2, top_k=5,
+                      max_chars=50).collect()
+    assert len(rows) <= 55
+    pieces = {r.piece for r in rows}
+    assert "a" in pieces          # most frequent char survives
+    assert "aa" in pieces
+    # training over the capped seed still converges: words whose
+    # chars were dropped simply contribute no expected counts
+    out = unigram_train(docs, vocab_size=8, n_iters=1, seed_top=5,
+                        max_piece_len=2, max_seed_chars=50).collect()
+    assert 0 < len(out) <= 55

@@ -67,15 +67,26 @@ def word_counts(docs: DataFrame, id_col: str = "doc_id",
 
 def seed_vocab(docs: DataFrame, max_piece_len: int = 4,
                top_k: int = 200, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
-    """Seed pieces: every single character, plus the ``top_k``
-    multi-char substrings (length 2..max_piece_len) of corpus words,
-    weighted by word frequency. Emits (piece, count).
+               text_col: str = "text",
+               max_chars: int = 10_000) -> DataFrame:
+    """Seed pieces: the ``max_chars`` most frequent single characters,
+    plus the ``top_k`` multi-char substrings (length 2..max_piece_len)
+    of corpus words, weighted by word frequency. Emits (piece, count).
 
     Pure relational: words aggregate once; substrings are a per-row
     array explosion over the (small) word vocabulary; top-k is one
     window over piece counts. Ties break lexicographically so the
     seed is deterministic.
+
+    ``max_chars`` is the driver-side size guarantee: the seed (and
+    hence every later ``collect`` in :func:`unigram_train` — the EM
+    E-step can only ever emit pieces already in the broadcast
+    probability table) is at most ``max_chars + top_k`` rows, no
+    matter how wide the corpus alphabet is. Adversarial crawl text
+    (binary garbage, full-Unicode soup) can present ~1.1M distinct
+    codepoints; words containing a dropped character simply fail
+    segmentation and contribute no expected counts, the same path an
+    out-of-vocabulary character already takes at encode time.
     """
     wc = word_counts(docs, id_col, text_col).withColumn(
         "word", F.substring("word", 1, _MAX_WORD_LEN))
@@ -91,10 +102,12 @@ def seed_vocab(docs: DataFrame, max_piece_len: int = 4,
     pieces = (wc.select(F.explode(subs).alias("piece"), "cnt")
               .groupBy("piece").agg(F.sum("cnt").cast("long")
                                     .alias("count")))
-    chars = pieces.filter(F.length("piece") == 1)
     # distributed top-k (TakeOrderedAndProject), not a global-window
     # single partition — the piece-count table is ~|substrings| of
     # the word vocabulary and worth keeping parallel
+    chars = (pieces.filter(F.length("piece") == 1)
+             .orderBy(F.desc("count"), F.asc("piece"))
+             .limit(max_chars))
     top = (pieces.filter(F.length("piece") >= 2)
            .orderBy(F.desc("count"), F.asc("piece")).limit(top_k))
     return chars.unionByName(top)
@@ -201,7 +214,8 @@ def unigram_train(docs: DataFrame, vocab_size: int = 64,
                   n_iters: int = 2, seed_top: int = 200,
                   max_piece_len: int = 4, prune_frac: float = 0.25,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  max_seed_chars: int = 10_000) -> DataFrame:
     """Train a unigram-LM piece vocabulary by EM + pruning rounds.
 
     Each round runs ``n_iters`` EM iterations, then (while the
@@ -212,8 +226,11 @@ def unigram_train(docs: DataFrame, vocab_size: int = 64,
     micro units, ranked by probability desc then piece asc.
     """
     words = word_counts(docs, id_col, text_col).cache()
+    # bounded collect: ≤ max_seed_chars + seed_top rows by
+    # construction, and every later E-step collect is a subset of
+    # this piece set (the lattice only scores broadcast pieces)
     seed = seed_vocab(docs, max_piece_len, seed_top, id_col,
-                      text_col).collect()
+                      text_col, max_chars=max_seed_chars).collect()
     counts = {r["piece"]: int(r["count"]) * _MICRO for r in seed}
     char_set = {p for p in counts if len(p) == 1}
     target = max(vocab_size, len(char_set))

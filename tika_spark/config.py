@@ -27,6 +27,13 @@ META_CHARSET_PREFIX = 8192  # HtmlParser.java:60 — meta-charset regex window
 
 OUTPUT_MIN_CHARS = 1_000_000
 OUTPUT_RATIO = 100            # output chars <= max(1MB, 100x input bytes)
+# Input-side truncate-and-flag cap (BENCH/SKEW.md giant-page
+# residual): a single page larger than this never reaches a parser in
+# full, so no task can be pinned for minutes by one adversarial
+# payload.  Prefix-parseable routes (html, plain text) parse the
+# capped prefix and the row is flagged ``status='input_capped'``;
+# opaque binary routes become a metadata-only capped row.  0 disables.
+MAX_INPUT_BYTES = 64 << 20
 MAX_XML_DEPTH = 100
 MAX_EMBED_DEPTH = 10
 WRITE_LIMIT = 100_000         # parseToString default cap
@@ -56,6 +63,8 @@ class ExtractConfig:
     write_limit: int = 0
     output_min_chars: int = OUTPUT_MIN_CHARS
     output_ratio: int = OUTPUT_RATIO
+    # input-side byte cap (truncate-and-flag); 0 = unlimited
+    max_input_bytes: int = MAX_INPUT_BYTES
     default_charset: str = DEFAULT_CHARSET
     identify_language: bool = True
     collect_links: bool = True

@@ -261,13 +261,17 @@ def _emf_dims(data: bytes):
 
 
 def _wmf_dims(data: bytes):
-    """Placeable WMF (Aldus) header: bbox in twips at offset 6,
-    scaled by the Inch field to pixels-at-unit density."""
-    if data[:4] != b"\xd7\xcd\xc6\x9a":
+    """Placeable WMF (Aldus) header: bbox in logical units at offset 6,
+    scaled by the Inch field (units per inch, offset 14 — typically
+    1440 twips/inch) to 72-dpi pixels."""
+    if data[:4] != b"\xd7\xcd\xc6\x9a" or len(data) < 16:
         return None
     l, t, r, b = struct.unpack_from("<4h", data, 6)
+    (inch,) = struct.unpack_from("<H", data, 14)
+    if inch <= 0:
+        inch = 1440
     if r >= l and b >= t:
-        return (r - l, b - t)
+        return (round((r - l) * 72 / inch), round((b - t) * 72 / inch))
     return None
 
 

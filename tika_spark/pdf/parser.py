@@ -1109,17 +1109,20 @@ def _interpret_text(content: bytes,
         elif op == "ET":
             in_text = False
         elif op == "Td" and len(stack) >= 2:
-            x, y = x + _f(stack[-2]), y + _f(stack[-1])
+            # Td translations are text-space; x/y (and the 0.139*em
+            # word-gap threshold in show()) live in user space, so the
+            # deltas scale by the tracked Tm scale factor
+            x, y = x + _f(stack[-2]) * scale, y + _f(stack[-1]) * scale
         elif op == "TD" and len(stack) >= 2:
             leading = -_f(stack[-1])
-            x, y = x + _f(stack[-2]), y + _f(stack[-1])
+            x, y = x + _f(stack[-2]) * scale, y + _f(stack[-1]) * scale
         elif op == "Tm" and len(stack) >= 6:
             x, y = _f(stack[-2]), _f(stack[-1])
             a = abs(_f(stack[-6]))
             if a > 0:
                 scale = a
         elif op == "T*":
-            y -= leading
+            y -= leading * scale
         elif op == "TL" and stack:
             leading = _f(stack[-1])
         elif op == "Tf" and len(stack) >= 2:
@@ -1130,7 +1133,7 @@ def _interpret_text(content: bytes,
                 size = float(stack[-1])
         elif op in ("Tj", "'", '"') and in_text:
             if op != "Tj":
-                y -= leading
+                y -= leading * scale
             s = next((v for v in reversed(stack)
                       if isinstance(v, PdfString)), None)
             if s is not None:

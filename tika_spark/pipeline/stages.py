@@ -244,6 +244,12 @@ _EXTRACTORS = {
 # routes whose extractor takes the detected media type (dispatch detail)
 _MIME_AWARE_ROUTES = frozenset({"pkg", "ooxml", "odf", "flat_odf", "xps", "media", "ole", "iwork"})
 
+# routes whose parser degrades gracefully on a byte-prefix of the
+# document: the input cap truncates these and parses the prefix.
+# Every other (structured/binary) route gets a metadata-only capped
+# row — a truncated zip/OLE/PDF would just error out anyway.
+_PREFIX_CAPPED_ROUTES = frozenset({"html", "txt"})
+
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, mime string, charset string, "
     "lang string, lang_distance double, title string, text string, "
@@ -345,6 +351,7 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
 
     # group rows by route, run each group's extractor in batch order
     positions = {i: k for k, i in enumerate(pdf.index)}
+    cap = config.max_input_bytes
     for route, idx in routes.groupby(routes).groups.items():
         fn = _EXTRACTORS.get(route)
         for i in idx:
@@ -352,13 +359,29 @@ def process_batch(pdf: pd.DataFrame, config: ExtractConfig,
             if fn is None:
                 results[k] = _empty_result()
                 continue
+            data_i = html[i]
+            capped = bool(cap) and data_i is not None \
+                and len(data_i) > cap
+            if capped:
+                if route not in _PREFIX_CAPPED_ROUTES:
+                    # opaque/structured payload: truncation would only
+                    # produce a parse error — emit the metadata-only
+                    # capped row directly (type census still works)
+                    r = _empty_result()
+                    r["status"] = "input_capped"
+                    r["metadata"] = {"Content-Type": [mimes[i]]}
+                    results[k] = r
+                    continue
+                data_i = bytes(data_i)[:cap]
             try:
                 decl_i = declared[i] if declared is not None else None
                 if route in _MIME_AWARE_ROUTES:
-                    results[k] = fn(html[i], urls[i], decl_i, config,
+                    results[k] = fn(data_i, urls[i], decl_i, config,
                                     mime=mimes[i])
                 else:
-                    results[k] = fn(html[i], urls[i], decl_i, config)
+                    results[k] = fn(data_i, urls[i], decl_i, config)
+                if capped and results[k].get("status") != "error":
+                    results[k]["status"] = "input_capped"
             except Exception as e:  # poison doc -> error row, task survives
                 r = _empty_result()
                 r["status"], r["error"] = "error", repr(e)[:1000]

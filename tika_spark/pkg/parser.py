@@ -38,6 +38,10 @@ from tika_spark.config import ExtractConfig
 _DEFAULT = ExtractConfig()
 
 MAX_PKG_ENTRIES = 1000
+# Implode members at or below this size are decoded in full (so the
+# CRC guard runs) even when the recursion byte budget would truncate
+# the child; above it, the capped decode skips CRC like stdlib zipfile
+_IMPLODE_CRC_BOUND = 8 << 20
 
 
 def _budget(config: ExtractConfig, n_input: int) -> int:
@@ -171,14 +175,23 @@ def _zip_children(data: bytes, budget: int):
             try:
                 if info.compress_type == 6:
                     # PKZIP 1.x Implode: stdlib zipfile cannot read
-                    # it; the from-scratch explode() can (CRC-checked)
+                    # it; the from-scratch explode() can (CRC-checked).
+                    # Modest members decode in full even past the
+                    # budget cap so the CRC guard still applies (the
+                    # cap then truncates AFTER verification); only
+                    # genuinely huge members take the capped,
+                    # unverified path — mirroring stdlib zipfile's
+                    # truncated reads, which also skip CRC.
+                    want = info.file_size \
+                        if info.file_size <= _IMPLODE_CRC_BOUND \
+                        else min(info.file_size, cap + 1)
                     payload = explode(_zip_raw_member(data, info),
-                                      min(info.file_size, cap + 1),
-                                      info.flag_bits)
+                                      want, info.flag_bits)
                     if len(payload) == info.file_size and \
                             (zlib.crc32(payload) & 0xFFFFFFFF) \
                             != info.CRC:
                         continue
+                    payload = payload[:cap + 1]
                 else:
                     with zf.open(info) as f:
                         payload = f.read(cap + 1)

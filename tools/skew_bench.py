@@ -86,6 +86,57 @@ def giant_page_case(spark, n_pages: int, giant_mb: int) -> dict:
             "pass_2x": w_adv <= 2 * floor}
 
 
+def giant_capped_case(spark, n_pages: int, giant_mb: int,
+                      cap_mb: int) -> dict:
+    """The input-byte-cap policy case (round-5 fix of the giant-page
+    residual): one giant_mb HTML page among n_pages uniform pages,
+    run WITH ``ExtractConfig.max_input_bytes`` = cap_mb.  The giant
+    parses only its cap_mb prefix (status='input_capped'), so the
+    adversarial wall is bounded by max(uniform wall, cap-prefix
+    parse) no matter how large the page is."""
+    import pyspark.sql.functions as F
+
+    from tika_spark.config import ExtractConfig
+    from tika_spark.fixtures.pages import generate_pages_df
+    from tika_spark.pipeline.job import extract
+
+    cfg = ExtractConfig(mode="text",
+                        max_input_bytes=cap_mb << 20)
+    pages = generate_pages_df(spark, n_pages, partitions=8)
+    giant_html = ("<html><head><title>giant</title></head><body>"
+                  + "<div class=x><p>some paragraph text with words "
+                  "<a href='/l'>link</a></p></div>\n"
+                  * (giant_mb * 13000)
+                  + "</body></html>").encode()
+    giant = spark.createDataFrame(
+        [("http://giant.example/one", None, bytearray(giant_html),
+          None, None, "synthetic")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string")
+
+    def run(df):
+        out = extract(df, mode="text", config=cfg)
+        by = dict(out.groupBy("status").count().collect())
+        return by
+
+    run(generate_pages_df(spark, 500, partitions=8))   # warm workers
+    w_uniform, _ = _timed(lambda: run(pages))
+    w_prefix, _ = _timed(lambda: run(giant))   # cap_mb prefix alone
+    w_adv, by = _timed(lambda: run(pages.unionByName(giant)))
+    floor = max(w_uniform, w_prefix)
+    return {"case": "giant-page-capped", "n_pages": n_pages,
+            "giant_mb": giant_mb, "cap_mb": cap_mb,
+            "status_counts": by,
+            "capped_rows": by.get("input_capped", 0),
+            "wall_uniform_s": round(w_uniform, 2),
+            "wall_capped_prefix_alone_s": round(w_prefix, 2),
+            "wall_adversarial_s": round(w_adv, 2),
+            "floor_s": round(floor, 2),
+            "ratio_vs_floor": round(w_adv / max(floor, 0.001), 3),
+            "pass_2x": w_adv <= 2 * floor
+            and by.get("input_capped", 0) == 1}
+
+
 def host_skew_case(spark, n_rows: int) -> dict:
     import pyspark.sql.functions as F
 
@@ -167,6 +218,8 @@ def main(argv=None):
     ap.add_argument("--docs", type=int, default=30000)
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--giant-mb", type=int, default=16)
+    ap.add_argument("--capped-giant-mb", type=int, default=200)
+    ap.add_argument("--cap-mb", type=int, default=8)
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args(argv)
 
@@ -181,6 +234,8 @@ def main(argv=None):
     try:
         results = [
             giant_page_case(spark, args.pages, args.giant_mb),
+            giant_capped_case(spark, args.pages,
+                              args.capped_giant_mb, args.cap_mb),
             host_skew_case(spark, args.rows),
             lsh_band_case(spark, args.docs),
         ]
