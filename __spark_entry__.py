@@ -453,7 +453,11 @@ _CS_VARIANTS = [("utf-8", "de"), ("windows-1251", "ru"), ("koi8-r", "ru"),
                 ("iso-8859-2", "pl"),
                 # ISO-2022 escape-designation tier (CharsetRecog_2022):
                 # CN decodes through the in-repo RFC 1922 state decoder
-                ("iso-2022-cn", "zh"), ("iso2022_kr", "ko")]
+                ("iso-2022-cn", "zh"), ("iso2022_kr", "ko"),
+                # EBCDIC script tier (CharsetRecog_IBM424/IBM420):
+                # cp420 decodes via the JDK-dumped CDRA-420 tables in
+                # tika_spark.charset_cp420 (round-5 gap close)
+                ("cp424", "he"), ("cp420", "ar")]
 
 _ZH_GB = "中文测试 数据处理 系统设计 网络爬虫 文本抽取"
 _KO = "안녕하세요 데이터 처리 시스템 설계 문서 추출"
@@ -465,6 +469,7 @@ def _charset_wrap_udf():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
+    from tika_spark import charset_cp420  # noqa: F401 (register cp420)
     from tika_spark.language.corpus import SEED_TEXT
 
     def iso2022cn(s: str) -> bytes:
@@ -477,9 +482,10 @@ def _charset_wrap_udf():
 
     @pandas_udf(BinaryType())
     def wrap(ids: pd.Series) -> pd.Series:
-        out = []
+        from tika_spark import charset_cp420  # noqa: F401 — register
+        out = []                              # cp420 in THIS worker
         for i in ids:
-            codec, lang = _CS_VARIANTS[int(i) % 12]
+            codec, lang = _CS_VARIANTS[int(i) % 14]
             if codec == "iso-2022-cn":
                 out.append(b"<html><head><title>T</title></head>"
                            b"<body><p>" + iso2022cn(_ZH_GB)
@@ -8153,13 +8159,14 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset "
             "FROM documents WHERE lang = 'en'"),
         "extract_charset_statistical": (
-            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 12 "
+            "SELECT 'doc://' || doc_id AS url, CASE doc_id % 14 "
             "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' "
             "WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'iso-8859-7' "
             "WHEN 4 THEN 'windows-1256' WHEN 5 THEN 'windows-1255' "
             "WHEN 6 THEN 'windows-1254' WHEN 7 THEN 'tis-620' "
             "WHEN 8 THEN 'iso-8859-1' WHEN 9 THEN 'iso-8859-2' "
-            "WHEN 10 THEN 'iso-2022-cn' ELSE 'iso2022_kr' END "
+            "WHEN 10 THEN 'iso-2022-cn' WHEN 11 THEN 'iso2022_kr' "
+            "WHEN 12 THEN 'cp424' ELSE 'cp420' END "
             "AS charset FROM documents"),
         "extract_links": (
             "SELECT 'doc://' || doc_id AS url, "

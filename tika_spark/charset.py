@@ -43,6 +43,8 @@ _ALIASES = {
     "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
     "ibm866": "cp866", "cp866": "cp866",
     "ibm500": "cp500", "cp500": "cp500", "ebcdic-cp-us": "cp500",
+    "ibm424": "cp424", "cp424": "cp424", "ebcdic-cp-he": "cp424",
+    "ibm420": "cp420", "cp420": "cp420", "ebcdic-cp-ar1": "cp420",
     "koi8-r": "koi8-r", "koi8r": "koi8-r",
 }
 
@@ -240,17 +242,16 @@ def _score_cp500(buf: np.ndarray) -> int:
 
 # EBCDIC script variants (the reference's IBM424/IBM420 recognizers,
 # CharsetDetector.java:483-545 family): all share the EBCDIC shape
-# (space 0x40, sparse <0x40 region). IBM424 (Hebrew EBCDIC) now
-# carries a genuine trained byte-bigram model like the other sbcs
-# recognizers — seed corpus encoded into cp424, scored by bigram hit
-# rate — replacing the decoded-script-rate approximation (VERDICT r3
-# task 7). IBM420 (Arabic EBCDIC) remains an explicit drop: Python
-# ships no cp420 codec and the IBM420 byte↔Arabic mapping is spec
-# table data we will not reproduce from memory; without a decoder a
-# detection hit would be a dead end (nothing downstream could decode
-# the bytes), so the structural EBCDIC score (cp500) is the honest
-# answer for such input.
-_EBCDIC_NGRAM_CODECS = (("cp424", ("he",)),)
+# (space 0x40, sparse <0x40 region). IBM424 (Hebrew EBCDIC) and
+# IBM420 (Arabic EBCDIC) carry genuine trained byte-bigram models
+# like the other sbcs recognizers — seed corpus encoded into the
+# codec, scored by bigram hit rate. Python ships no cp420 codec;
+# tika_spark.charset_cp420 registers one from JDK-dumped IBM CDRA
+# code page 420 tables (VERDICT r4 task 7), so a detection hit is
+# decodable downstream, not a dead end.
+from tika_spark import charset_cp420  # noqa: F401  (registers cp420)
+
+_EBCDIC_NGRAM_CODECS = (("cp424", ("he",)), ("cp420", ("ar",)))
 
 _ebcdic_model_cache: list[tuple[str, np.ndarray]] | None = None
 
@@ -485,7 +486,15 @@ def detect_statistical(data: bytes, declared: str | None = None) -> str:
     scores["utf-16-le"] = _score_utf16(buf, little=True)
     scores["utf-16-be"] = _score_utf16(buf, little=False)
     scores["cp500"] = _score_cp500(buf)
-    scores.update(_score_ebcdic_script(raw, buf))
+    ebcdic = _score_ebcdic_script(raw, buf)
+    scores.update(ebcdic)
+    if ebcdic:
+        # a trained EBCDIC-script hit behind the structural gate
+        # (space = 0x40 frequent, ASCII control region near-empty) is
+        # mutually exclusive with every ASCII-compatible encoding —
+        # don't let an MBCS validity score (gb18030 accepts most byte
+        # soup) outbid it on byte-pattern coincidence
+        return max(ebcdic.items(), key=lambda kv: kv[1])[0]
     if has_high:
         # single-byte Cyrillic heuristics
         scores["cp866"] = _score_sbcs_cyrillic(buf,
