@@ -1980,7 +1980,10 @@ def _q_media_font_meta(spark, sf_dir):
                                          len(tbl), 0)
                 out.append(hdr + rec + comp)
             else:                               # WOFF2 (brotli)
-                mode = ("raw", "literals", "lz")[(i // 3) % 3]
+                # "ref" = reference brotli encoder at q11 (static
+                # dictionary + context maps), decoded by the
+                # from-scratch decoder — round-5 conformance widening
+                mode = ("raw", "literals", "lz", "ref")[(i // 3) % 4]
                 out.append(woff2_bytes(
                     [("head", b"\x00" * 54), ("name", tbl)],
                     mode=mode))

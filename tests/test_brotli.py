@@ -299,3 +299,106 @@ class TestBlockSwitching:
         # implicit command: no distance read
         w.write(0 if c_imp == lo else 1, 1)
         assert br.decompress(w.bytes() + b"\x00\x00") == b"ababababab"
+
+
+class TestStaticDictionary:
+    """Round-5 close of the documented drop: the RFC 7932 Appendix A
+    dictionary + section 8 transforms + section 7.1 context LUTs,
+    extracted from the public brotli implementation and pinned here.
+    Semantics facts below were established against the reference
+    decoder with crafted streams (dictionary distances never enter
+    the ring; the virgin ring reads 4, 11, 15, 16 for codes 0-3)."""
+
+    def test_dictionary_data_shape(self):
+        from tika_spark.analysis.brotlicodec import (_DICT_NDBITS,
+                                                     _DICT_OFFSETS,
+                                                     _static_dictionary)
+        blob = _static_dictionary()
+        assert len(blob) == 122_784
+        assert blob[:20] == b"timedownlifeleftback"
+        assert blob[4096:4106] == b"firstvideo"
+        # len-4 word 17 is "year", len-9 word 169 is "the world"
+        assert blob[17 * 4:18 * 4] == b"year"
+        off9 = _DICT_OFFSETS[9 - 4]
+        assert blob[off9 + 169 * 9:off9 + 170 * 9] == b"the world"
+        assert len(_DICT_NDBITS) == 21
+
+    def test_transform_table(self):
+        from tika_spark.analysis.brotli_transforms import (PREFIX_SUFFIX,
+                                                           TRANSFORMS)
+        assert len(PREFIX_SUFFIX) == 50 and PREFIX_SUFFIX[49] == b""
+        assert len(TRANSFORMS) == 121
+        assert TRANSFORMS[0] == (49, 0, 49)          # identity
+        assert sum(len(s) + 1 for s in PREFIX_SUFFIX) == 217
+
+    def test_dict_word_transforms(self):
+        from tika_spark.analysis.brotlicodec import _dict_word
+        assert _dict_word(4, 17) == b"year"                  # identity
+        assert _dict_word(4, (1 << 10) | 17) == b"year "     # suffix ' '
+        assert _dict_word(4, (9 << 10) | 17) == b"Year"      # uc-first
+        assert _dict_word(11, (2 << 10) | 905) == b" time of the "
+        # omit-last-3 of len-19 "background-color: #"
+        assert _dict_word(19, (23 << 7) | 9) == b"background-color"
+
+    def test_ferment_utf8(self):
+        from tika_spark.analysis.brotlicodec import _dict_word
+        import pytest as _p
+        with _p.raises(ValueError):
+            _dict_word(3, 0)        # below min word length
+        with _p.raises(ValueError):
+            _dict_word(25, 0)       # above max
+        with _p.raises(ValueError):
+            _dict_word(4, 121 << 10)  # transform id out of range
+
+    def test_decode_dictionary_reference_stream(self):
+        # crafted single-metablock stream: 8 literals then an explicit
+        # distance 9 at position 8 -> static dictionary word 0 ("time")
+        from tika_spark.analysis.brotlicodec import (_BitWriter,
+                                                     _write_var_mlen,
+                                                     _write_count,
+                                                     _huffman_lengths,
+                                                     _emit_prefix_code,
+                                                     _canonical_codes,
+                                                     _emit_code,
+                                                     _cmd_symbol,
+                                                     _LSB6,
+                                                     INSERT_BASE,
+                                                     INSERT_EXTRA,
+                                                     COPY_BASE,
+                                                     COPY_EXTRA,
+                                                     decompress)
+        w = _BitWriter()
+        w.write(0, 1)            # WBITS 16
+        w.write(1, 1)            # ISLAST
+        w.write(0, 1)
+        _write_var_mlen(w, 12)
+        for _ in range(3):
+            _write_count(w, 1)
+        w.write(0, 2)
+        w.write(0, 4)
+        w.write(_LSB6, 2)
+        _write_count(w, 1)
+        _write_count(w, 1)
+        lits = b"abcdefgh"
+        lit_lens = _huffman_lengths({b: 1 for b in lits})
+        ic = max(i for i, b in enumerate(INSERT_BASE) if b <= 8)
+        cc = max(i for i, b in enumerate(COPY_BASE) if b <= 4)
+        sym = _cmd_symbol(ic, cc, False)
+        cmd_lens = _huffman_lengths({sym: 1})
+        # explicit distance 9: sym 19 covers 9..12 (nbits 2, offset 8)
+        dist_lens = _huffman_lengths({19: 1})
+        _emit_prefix_code(w, lit_lens, 256)
+        _emit_prefix_code(w, cmd_lens, 704)
+        _emit_prefix_code(w, dist_lens, 64)
+        lit_codes = _canonical_codes(
+            [lit_lens.get(s, 0) for s in range(256)])
+        code_w = _canonical_codes([cmd_lens.get(s, 0)
+                                   for s in range(704)])
+        w.write(8 - INSERT_BASE[ic], INSERT_EXTRA[ic])
+        w.write(4 - COPY_BASE[cc], COPY_EXTRA[cc])
+        for b in lits:
+            c, ln = lit_codes[b]
+            _emit_code(w, c, ln)
+        w.write(9 - 1 - 8, 2)    # distance extra for sym 19 -> 9
+        out = decompress(w.bytes())
+        assert out == b"abcdefghtime"

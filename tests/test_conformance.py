@@ -1,0 +1,61 @@
+"""Cross-implementation codec conformance (SURVEY §7.4 item 7 /
+VERDICT r4 task 6): decode streams produced by an INDEPENDENT public
+implementation (the zstd/brotli codecs bundled with pyarrow) with the
+from-scratch decoders and require byte-exactness. Complements the
+own-encoder round-trips, which cannot catch shared misreadings of the
+spec. Full sweep results are ledgered in BENCH/CONFORMANCE.md."""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+TEXT = (b"The information about the world government and public "
+        b"development management of international understanding "
+        b"window.location document.getElementById background-color "
+        b"description of the education university performance data. ")
+
+
+def _corpus(seed=11, n=60):
+    rng = random.Random(seed)
+    words = TEXT.split()
+    out = [b"", b"a", TEXT, TEXT * 40]
+    for _ in range(n):
+        k = rng.randint(1, 80)
+        out.append(b" ".join(rng.choice(words) for _ in range(k)))
+    for _ in range(n // 3):
+        out.append(bytes(rng.getrandbits(8)
+                         for _ in range(rng.randint(0, 400))))
+    return out
+
+
+class TestBrotliConformance:
+    @pytest.mark.parametrize("quality", [1, 5, 9, 11])
+    def test_reference_encoder_streams(self, quality):
+        from tika_spark.analysis.brotlicodec import decompress
+        codec = pa.Codec("brotli", compression_level=quality)
+        for t in _corpus():
+            comp = codec.compress(t, asbytes=True)
+            assert decompress(comp) == t
+
+    def test_dictionary_heavy_stream(self):
+        # quality 11 on pure dictionary words forces static-dictionary
+        # references with transforms (the round-5 feature)
+        from tika_spark.analysis.brotlicodec import decompress
+        codec = pa.Codec("brotli", compression_level=11)
+        t = (b"This is the time of the year when people from the "
+             b"world work together. Additional information about "
+             b"the University Department of Development.")
+        comp = codec.compress(t, asbytes=True)
+        assert len(comp) < len(t) // 2      # only possible via dict
+        assert decompress(comp) == t
+
+
+class TestZstdConformance:
+    @pytest.mark.parametrize("level", [1, 3, 9, 19])
+    def test_reference_encoder_streams(self, level):
+        from tika_spark.analysis.zstdcodec import decompress
+        codec = pa.Codec("zstd", compression_level=level)
+        for t in _corpus(seed=13):
+            comp = codec.compress(t, asbytes=True)
+            assert decompress(comp) == t

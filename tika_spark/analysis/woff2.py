@@ -715,7 +715,15 @@ def woff2_bytes(tables: list[tuple[str, bytes]],
             directory += write_base128(len(body))  # transformLength
         blob += body
         total_sfnt += orig_len + ((4 - orig_len % 4) % 4)
-    comp = compress(bytes(blob), mode=mode)
+    if mode == "ref":
+        # reference-encoder stream (pyarrow's bundled brotli, max
+        # quality): exercises static-dictionary references and
+        # context-mapped literals the fixture encoder never emits
+        import pyarrow as pa
+        comp = pa.Codec("brotli", compression_level=11).compress(
+            bytes(blob), asbytes=True)
+    else:
+        comp = compress(bytes(blob), mode=mode)
     header_len = 48 + len(directory)
     total = header_len + len(comp)
     out = bytearray()
