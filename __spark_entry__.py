@@ -5644,6 +5644,33 @@ def _q_audio_neardup_pairs(spark, sf_dir):
                                min_shared=2, max_bucket=10_000)
 
 
+def _q_media_mp4_slice_census(spark, sf_dir):
+    """Round-5 CABAC tier: entropy-mode-independent H.264 frame
+    census (analysis/video.py mp4_slice_census over
+    isobmff.mp4_h264_slice_census / h264.parse_slice_header). The
+    fixture is a Main-profile CABAC MP4 (spec-valid Exp-Golomb slice
+    headers, CABAC-flagged PPS, opaque slice data) — the web-MP4
+    shape the CAVLC pixel decoder must status-row but the census
+    tier must fully read: slice types I+PB cycle, frame_num, POC."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from tika_spark.analysis.video import mp4_slice_census
+
+    @pandas_udf(BinaryType())
+    def wrap(ids: pd.Series) -> pd.Series:
+        from tika_spark.analysis.isobmff import video_h264_cabac_fixture
+        return pd.Series([video_h264_cabac_fixture(int(i))
+                          for i in ids])
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        wrap(F.col("doc_id")).alias("payload"))
+    out = mp4_slice_census(media)
+    return out.select("id", "slice_idx", "slice_type", "frame_num",
+                      "poc_lsb", "idr", "entropy")
+
+
 def _q_media_mp4_bframes(spark, sf_dir):
     """MP4 IBP decode with display reordering: B slices
     (analysis/h264inter.py H264BiEncoder/_mb_b — B_L0/L1/Bi 16x16,
@@ -6858,6 +6885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_pframes": _q_media_mp4_pframes,
         "media_mkv_avc_frames": _q_media_mkv_avc_frames,
         "media_mp4_bframes": _q_media_mp4_bframes,
+        "media_mp4_slice_census": _q_media_mp4_slice_census,
         "video_dhash": _q_video_dhash,
         "video_neardup_pairs": _q_video_neardup_pairs,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -7510,6 +7538,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, COUNT(DISTINCT h)::BIGINT AS shared "
             "FROM p GROUP BY id_a, id_b "
             "HAVING COUNT(DISTINCT h) >= 2"),
+        "media_mp4_slice_census": (
+            "SELECT id, j::INT AS slice_idx, "
+            "CASE WHEN j = 0 THEN 'I' "
+            "WHEN (id + j - 1) % 2 = 0 THEN 'P' ELSE 'B' END "
+            "AS slice_type, "
+            "((id + j) % 16)::INT AS frame_num, "
+            "((2 * j) % 256)::INT AS poc_lsb, "
+            "(j = 0) AS idr, 'cabac' AS entropy FROM ("
+            "SELECT doc_id AS id, "
+            "unnest(generate_series(0, 2 + (doc_id % 4)::INT)) AS j "
+            "FROM documents)"),
         "media_mp4_bframes": (
             # IBP with POC display reordering: n = 3 + id%2 solid
             # frames, Y = 8*((id*5 + 7*k) % 32) at display index k

@@ -328,3 +328,112 @@ def test_media_meta_h264_dimensions():
     r2 = extract_media(ts, mime="video/mp2t")
     assert r2["metadata"]["width"] == ["48"]
     assert r2["metadata"]["height"] == ["32"]
+
+
+class TestSliceCensus:
+    """Round-5 CABAC tier: entropy-mode-independent frame census
+    (slice headers are plain Exp-Golomb even in Main/High-profile
+    CABAC streams), plus clean refusal of CABAC slice data by the
+    CAVLC pixel decoders."""
+
+    def test_cabac_mp4_census(self):
+        from tika_spark.analysis.isobmff import (mp4_h264_slice_census,
+                                                 video_h264_cabac_fixture)
+        rows = mp4_h264_slice_census(video_h264_cabac_fixture(3))
+        assert [r["slice_type"] for r in rows] == \
+            ["I", "B", "P", "B", "P", "B"]
+        assert all(r["entropy"] == "cabac" for r in rows)
+        assert rows[0]["idr"] and not rows[1]["idr"]
+        assert [r["frame_num"] for r in rows] == [3, 4, 5, 6, 7, 8]
+        assert [r["poc_lsb"] for r in rows] == [0, 2, 4, 6, 8, 10]
+        assert all(r["nal_bytes"] > 64 for r in rows)
+
+    def test_cavlc_census_and_refusal(self):
+        import pytest
+        from tika_spark.analysis.isobmff import (Mp4Error,
+                                                 mp4_h264_frames,
+                                                 mp4_h264_slice_census,
+                                                 video_h264_cabac_fixture,
+                                                 video_h264_fixture)
+        rows = mp4_h264_slice_census(video_h264_fixture(4))
+        assert all(r["entropy"] == "cavlc" and r["slice_type"] == "I"
+                   for r in rows)
+        assert len(rows) == 3           # 2 + 4%3 frames
+        with pytest.raises((Mp4Error, ValueError)):
+            mp4_h264_frames(video_h264_cabac_fixture(1))
+
+
+class TestCabacEngine:
+    """§9.3.3.2 / §9.3.4 arithmetic engine: encoder/decoder inverse
+    over randomized decisions/bypass/terminate, init formula, and
+    structural pins on the transcribed tables (the published
+    alpha=0.9492 state-decay law)."""
+
+    def test_roundtrip_randomized(self):
+        import random
+        from tika_spark.analysis.h264 import (CabacDecoder,
+                                              CabacEncoder,
+                                              cabac_init_context)
+        rng = random.Random(9)
+        for _ in range(40):
+            n_ctx = rng.randint(1, 6)
+            inits = [(rng.randint(-40, 40), rng.randint(-40, 90))
+                     for _ in range(n_ctx)]
+            qp = rng.randint(0, 51)
+            ops = []
+            for _ in range(rng.randint(1, 200)):
+                r = rng.random()
+                if r < 0.6:
+                    ops.append(("d", rng.randrange(n_ctx),
+                                rng.randint(0, 1)))
+                elif r < 0.9:
+                    ops.append(("b", None, rng.randint(0, 1)))
+                else:
+                    ops.append(("t", None, 0))
+            ops.append(("t", None, 1))
+            enc = CabacEncoder()
+            ectx = [list(cabac_init_context(m, n, qp))
+                    for m, n in inits]
+            for op, c, v in ops:
+                (enc.decision(ectx[c], v) if op == "d"
+                 else enc.bypass(v) if op == "b"
+                 else enc.terminate(v))
+            dec = CabacDecoder(enc.flush())
+            dctx = [list(cabac_init_context(m, n, qp))
+                    for m, n in inits]
+            for op, c, v in ops:
+                got = (dec.decision(dctx[c]) if op == "d"
+                       else dec.bypass() if op == "b"
+                       else dec.terminate())
+                assert got == v
+
+    def test_table_structure(self):
+        from tika_spark.analysis.h264 import (_RANGE_TAB_LPS,
+                                              _TRANS_IDX_LPS)
+        assert len(_RANGE_TAB_LPS) == 64 and len(_TRANS_IDX_LPS) == 64
+        assert _RANGE_TAB_LPS[0] == (128, 176, 208, 240)
+        assert _RANGE_TAB_LPS[63] == (2, 2, 2, 2)
+        # rows decay ~alpha=0.9492 (quantization tolerance ±2);
+        # column 0 is clamped at 128 for the first three states in
+        # the spec table, so its decay check starts at s=3.
+        # columns strictly increase with the range quantile
+        for s in range(1, 63):
+            for q in range(4):
+                if q == 0 and s < 4:
+                    assert _RANGE_TAB_LPS[s][0] in (128, 123)
+                    continue
+                expect = _RANGE_TAB_LPS[s - 1][q] * 0.9492
+                assert abs(_RANGE_TAB_LPS[s][q] - expect) <= 2, (s, q)
+        for s in range(63):
+            row = _RANGE_TAB_LPS[s]
+            assert row[0] < row[1] < row[2] < row[3]
+        assert _TRANS_IDX_LPS[63] == 63        # terminal state sticks
+        assert all(_TRANS_IDX_LPS[s] <= s or s < 2 for s in range(64))
+
+    def test_init_formula(self):
+        from tika_spark.analysis.h264 import cabac_init_context
+        # §9.3.1.1 worked examples: pre <= 63 flips MPS
+        assert cabac_init_context(0, 64, 26) == (0, 1)
+        assert cabac_init_context(0, 63, 26) == (0, 0)
+        state, mps = cabac_init_context(-20, 40, 51)
+        assert 0 <= state <= 62 and mps in (0, 1)

@@ -286,6 +286,11 @@ class H264InterDecoder(H264Decoder):
         pps = self.pps.get(r.ue())
         if pps is None:
             raise H264Error("slice references unknown PPS")
+        if pps.get("entropy_cabac"):
+            raise H264Error(
+                "CABAC slice data not supported (CAVLC pixel decode "
+                "only; header-level census still works — see "
+                "h264.slice_census)")
         sps = self.sps.get(pps["sps_id"])
         if sps is None:
             raise H264Error("PPS references unknown SPS")

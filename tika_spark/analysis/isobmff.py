@@ -637,6 +637,41 @@ def mp4_h264_frames(data: bytes) -> list:
     return [yuv_to_rgb(*dec.frames[k]) for k in order]
 
 
+def mp4_h264_slice_census(data: bytes) -> list[dict]:
+    """Entropy-mode-independent per-slice census of the first avc1
+    track (slice type, frame_num, POC lsb, IDR flag, entropy mode,
+    NAL size) — works for the CABAC Main/High-profile web MP4
+    majority that the CAVLC pixel decoder must status-row, because
+    slice HEADERS are plain Exp-Golomb (h264.parse_slice_header).
+    Classic and fragmented layouts both walk."""
+    from tika_spark.analysis.h264 import slice_census, split_avcc
+    data = bytes(data or b"")
+    track, avcc = mp4_avc_track(data)
+    nals = list(avcc["sps"]) + list(avcc["pps"])
+    samples = list(track["samples"]) + fmp4_samples(data)
+    for off, size in samples:
+        if off + size > len(data):
+            raise Mp4Error("sample range beyond file end")
+        nals.extend(split_avcc(data[off:off + size],
+                               avcc["length_size"]))
+    return slice_census(nals)
+
+
+def video_h264_cabac_fixture(doc_id: int) -> bytes:
+    """Deterministic Main-profile CABAC .mp4 fixture: pattern
+    I + ("PB"-cycle of 2+id%4 more slices), spec-valid Exp-Golomb
+    slice headers, opaque CABAC payload (see h264.cabac_slice_nals).
+    Census reads it fully; pixel decoders must refuse cleanly."""
+    from tika_spark.analysis.h264 import cabac_slice_nals
+    did = int(doc_id)
+    pattern = "I" + "".join("PB"[(did + k) % 2]
+                            for k in range(2 + did % 4))
+    nals = cabac_slice_nals(pattern, seed=did)
+    sps_nal, pps_nal = nals[0], nals[1]
+    samples = [len(n).to_bytes(4, "big") + n for n in nals[2:]]
+    return _mux_avc(samples, sps_nal, pps_nal, 16, 16, 25)
+
+
 def avc_bytes(frames: list, width: int, height: int, qp: int = 28,
               plan: str = "i16dc", fps: int = 25) -> bytes:
     """Fixture muxer: (y, u, v) planes -> a complete .mp4 with one

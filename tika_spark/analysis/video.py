@@ -526,6 +526,49 @@ def sample_frame_stats(df: DataFrame, every: int = 2,
     return slim.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
 
 
+SLICE_CENSUS_SCHEMA = ("id long, slice_idx int, slice_type string, "
+                       "frame_num int, poc_lsb int, idr boolean, "
+                       "entropy string, nal_bytes int")
+
+
+def mp4_slice_census(df: DataFrame, id_col: str = "id",
+                     payload_col: str = "payload") -> DataFrame:
+    """mapInPandas H.264 frame-census stage: (id, payload) → one row
+    per slice NAL of the first avc1 track with slice type, frame_num,
+    POC lsb, IDR flag, entropy mode and NAL size. Entropy-mode
+    independent (slice headers are Exp-Golomb even in CABAC
+    Main/High-profile streams — the web MP4 majority the CAVLC pixel
+    decoder must refuse), so keyframe cadence / GOP structure / IBP
+    mix census works on every H.264 MP4. Unparsable payloads yield
+    zero rows (H1 fault isolation); no shuffle."""
+    from tika_spark.analysis.isobmff import mp4_h264_slice_census
+
+    slim = df.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    census = mp4_h264_slice_census(
+                        bytes(payload or b""))
+                except Exception:
+                    census = []
+                for k, r in enumerate(census):
+                    rows.append({"id": i, "slice_idx": k,
+                                 "slice_type": r["slice_type"],
+                                 "frame_num": r["frame_num"],
+                                 "poc_lsb": r["poc_lsb"],
+                                 "idr": bool(r["idr"]),
+                                 "entropy": r["entropy"],
+                                 "nal_bytes": r["nal_bytes"]})
+            yield pd.DataFrame(rows, columns=[
+                "id", "slice_idx", "slice_type", "frame_num",
+                "poc_lsb", "idr", "entropy", "nal_bytes"])
+
+    return slim.mapInPandas(run, schema=SLICE_CENSUS_SCHEMA)
+
+
 def video_rle_fixture(doc_id: int) -> bytes:
     """Deterministic inter-frame RLE8 AVI per document row, built to
     a closed form the oracle replays in SQL. Grayscale identity
