@@ -69,7 +69,9 @@ def audio_fingerprint(df: DataFrame, window: int = 256,
     dominant-bin pair); corrupt payloads yield status rows."""
     from tika_spark.analysis.pcm import AUDIO_TYPES, decode_audio
 
-    slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(
+        df.select(id_col, payload_col, type_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -104,7 +104,9 @@ def image_phash(df: DataFrame, id_col: str = "id",
     from tika_spark.analysis.pixels import (decode_bmp, decode_gif,
                                             decode_ico, decode_png,
                                             decode_tiff)
-    slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(
+        df.select(id_col, payload_col, type_col), id_col)
     from tika_spark.analysis.webp import decode_webp
     decoders = {"image/png": decode_png, "image/gif": decode_gif,
                 "image/bmp": decode_bmp, "image/x-ms-bmp": decode_bmp,
@@ -144,7 +146,9 @@ def image_dhash(df: DataFrame, id_col: str = "id",
     from tika_spark.analysis.pixels import (decode_bmp, decode_gif,
                                             decode_ico, decode_png,
                                             decode_tiff)
-    slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(
+        df.select(id_col, payload_col, type_col), id_col)
     from tika_spark.analysis.webp import decode_webp
     decoders = {"image/png": decode_png, "image/gif": decode_gif,
                 "image/bmp": decode_bmp, "image/x-ms-bmp": decode_bmp,

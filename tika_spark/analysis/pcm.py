@@ -258,7 +258,9 @@ def audio_pcm_stats(df: DataFrame, id_col: str = "id",
                     type_col: str = "media_type") -> DataFrame:
     """mapInPandas full-decode stage for audio: WAV PCM decodes for
     real; other media types / corrupt payloads yield status rows."""
-    slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(
+        df.select(id_col, payload_col, type_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -357,7 +359,9 @@ def audio_features(df: DataFrame, id_col: str = "id",
     Same scale contract as :func:`audio_pcm_stats`: per-row work in
     mapInPandas, no shuffle, corrupt payloads become status rows.
     """
-    slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(
+        df.select(id_col, payload_col, type_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1188,7 +1188,9 @@ def image_pixel_stats(df: DataFrame, id_col: str = "id",
     PNG decodes for real; other media types and corrupt payloads
     yield status rows ('unsupported' / 'error'), never task failures
     — the H1 fault-isolation contract."""
-    slim = df.select(id_col, payload_col, type_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(
+        df.select(id_col, payload_col, type_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -489,8 +489,9 @@ def sample_frame_stats(df: DataFrame, every: int = 2,
     never task failures."""
     from tika_spark.analysis.jpegcodec import decode_jpeg
     from tika_spark.analysis.pixels import channel_means_micro
+    from tika_spark.analysis.spread import spread_for_decode
 
-    slim = df.select(id_col, payload_col)
+    slim = spread_for_decode(df.select(id_col, payload_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -542,8 +543,9 @@ def mp4_slice_census(df: DataFrame, id_col: str = "id",
     mix census works on every H.264 MP4. Unparsable payloads yield
     zero rows (H1 fault isolation); no shuffle."""
     from tika_spark.analysis.isobmff import mp4_h264_slice_census
+    from tika_spark.analysis.spread import spread_for_decode
 
-    slim = df.select(id_col, payload_col)
+    slim = spread_for_decode(df.select(id_col, payload_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -47,7 +47,8 @@ def video_dhash(df: DataFrame, every: int = 1, id_col: str = "id",
     from tika_spark.analysis.imagehash import dhash_bits
     from tika_spark.analysis.video import _demux
 
-    slim = df.select(id_col, payload_col)
+    from tika_spark.analysis.spread import spread_for_decode
+    slim = spread_for_decode(df.select(id_col, payload_col), id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from tika_spark.analysis.jpegcodec import decode_jpeg

@@ -95,22 +95,34 @@ class _BoolDec:
         return 0
 
     def bool(self, prob: int = 128) -> int:
-        split = 1 + (((self.range - 1) * prob) >> 8)
+        r = self.range
+        v = self.value
+        split = 1 + (((r - 1) * prob) >> 8)
         big = split << 8
-        if self.value >= big:
+        if v >= big:
             bit = 1
-            self.range -= split
-            self.value -= big
+            r -= split
+            v -= big
         else:
             bit = 0
-            self.range = split
-        while self.range < 128:
-            self.range <<= 1
-            self.value <<= 1
-            self.bits += 1
-            if self.bits == 8:
-                self.bits = 0
-                self.value |= self._byte()
+            r = split
+        if r < 128:
+            # batched renorm: shift = 8 - bit_length brings range into
+            # [128, 255]; shift <= 7 so at most ONE byte boundary is
+            # crossed, and the fresh byte lands at the exact bit
+            # position the one-bit-at-a-time loop would give it
+            s = 8 - r.bit_length()
+            r <<= s
+            b = self.bits + s
+            if b >= 8:
+                k = 8 - self.bits
+                v = ((v << k) | self._byte()) << (s - k)
+                b -= 8
+            else:
+                v <<= s
+            self.bits = b
+        self.range = r
+        self.value = v
         return bit
 
     def literal(self, nbits: int) -> int:
