@@ -924,3 +924,26 @@ def test_curation_cli_argparse_has_no_conflicts(spark, tmp_path):
     got = spark.read.parquet(written["tfidf-keywords"])
     assert got.count() == 24  # 12 docs x k=2
     assert spark.read.parquet(written["best-passage"]).count() > 0
+
+
+class TestSpreadForDecode:
+    """Round-5 parallelism guard: narrow inputs fan out to cluster
+    parallelism before decode-heavy mapInPandas stages; already-wide
+    inputs keep the exchange-free plan."""
+
+    def test_narrow_input_spreads(self, spark):
+        from tika_spark.analysis.spread import spread_for_decode
+        df = spark.range(100).coalesce(1) \
+            .selectExpr("id", "cast(id as string) AS payload")
+        out = spread_for_decode(df, "id")
+        assert out.rdd.getNumPartitions() \
+            == spark.sparkContext.defaultParallelism
+        assert out.count() == 100
+
+    def test_wide_input_untouched(self, spark):
+        from tika_spark.analysis.spread import spread_for_decode
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(100).repartition(target + 4)
+        out = spread_for_decode(df, "id")
+        # no extra exchange: partitioning preserved
+        assert out.rdd.getNumPartitions() == target + 4

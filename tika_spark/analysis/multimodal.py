@@ -136,8 +136,14 @@ def real_decode(payload: bytes, media_type: str):
         return mp4_h264_frames(payload)
     raise NotImplementedError(
         "codec libraries for the remaining compressed media "
-        "(Opus audio, AV1/HEVC video) are not installed in this "
-        "environment; decode_media uses the header-parse tier below")
+        "(Opus audio, AV1/HEVC video, CABAC H.264) are not installed "
+        "in this environment, and their entropy/probability tables "
+        "are spec data with no in-container source to extract — a "
+        "from-memory transcription would silently MIS-decode real "
+        "streams instead of raising here (see BENCH/CONFORMANCE.md "
+        "'H.264 CABAC' for the full rationale). The census tiers "
+        "(oggdemux.opus_packet_stats, video.mp4_slice_census, "
+        "av1.obu stats) cover these formats structurally.")
 
 
 def _mp3_duration_ms(payload: bytes) -> int:
