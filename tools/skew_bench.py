@@ -226,6 +226,8 @@ def main(argv=None):
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .appName("tika-spark-skew-bench")
+             .config("spark.driver.memory", "48g")
+             .config("spark.driver.maxResultSize", "4g")
              .config("spark.sql.shuffle.partitions", str(args.cpus))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
