@@ -1,0 +1,199 @@
+"""Image-codec cross-implementation conformance via the JDK's ImageIO
+(reached through Spark's own JVM gateway — the same JVM the engine
+runs on; no new dependency).
+
+Closes the image half of SURVEY §7.4 item 7: PNG/GIF/BMP/TIFF streams
+produced by an INDEPENDENT public encoder must decode pixel-exactly
+through the from-scratch decoders, and streams produced by OUR
+encoders must decode pixel-exactly through ImageIO. JPEG is lossy and
+the spec does not mandate bit-exact IDCT, so the JPEG check is
+decoder-AGREEMENT on the same compressed bytes within a +/-1 pixel
+tolerance (the accepted conformance envelope for spec-conformant
+IDCTs). Ledgered in BENCH/CONFORMANCE.md."""
+
+import numpy as np
+import pytest
+
+
+def _jvm(spark):
+    return spark._jvm
+
+
+def _test_rgb(w=24, h=16, seed=3):
+    rng = np.random.RandomState(seed)
+    # mix of smooth gradient + hard edges + noise: exercises filters,
+    # predictors and runs without being pathological
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = ((xx * 255 // max(w - 1, 1))[..., None]
+            * np.array([1, 0, 0])
+            + (yy * 255 // max(h - 1, 1))[..., None]
+            * np.array([0, 1, 0]))
+    noise = rng.randint(0, 64, (h, w, 3))
+    arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+    arr[h // 2:, : w // 3] = (255, 0, 255)        # flat block
+    return arr
+
+
+def _imageio_encode(spark, arr: np.ndarray, fmt: str) -> bytes:
+    j = _jvm(spark)
+    h, w = arr.shape[:2]
+    img = j.java.awt.image.BufferedImage(
+        w, h, j.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    flat = (arr[..., 0].astype(np.int64) << 16) \
+        | (arr[..., 1].astype(np.int64) << 8) | arr[..., 2]
+    for y in range(h):
+        for x in range(w):
+            img.setRGB(x, y, int(flat[y, x]))
+    bos = j.java.io.ByteArrayOutputStream()
+    ok = j.javax.imageio.ImageIO.write(img, fmt, bos)
+    assert ok, f"ImageIO has no {fmt} writer"
+    return bytes(bos.toByteArray())
+
+
+def _imageio_decode(spark, data: bytes) -> np.ndarray:
+    j = _jvm(spark)
+    bis = j.java.io.ByteArrayInputStream(data)
+    img = j.javax.imageio.ImageIO.read(bis)
+    assert img is not None, "ImageIO could not decode"
+    w, h = img.getWidth(), img.getHeight()
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px = img.getRGB(x, y)
+            out[y, x] = ((px >> 16) & 0xFF, (px >> 8) & 0xFF,
+                         px & 0xFF)
+    return out
+
+
+class TestReferenceEncoderStreams:
+    """JDK-encoded streams through the from-scratch decoders."""
+
+    def test_png(self, spark):
+        from tika_spark.analysis.pixels import decode_png
+        arr = _test_rgb()
+        data = _imageio_encode(spark, arr, "png")
+        got = decode_png(data)
+        assert got.shape[:2] == arr.shape[:2]
+        assert np.array_equal(got[..., :3], arr)
+
+    def test_bmp(self, spark):
+        from tika_spark.analysis.pixels import decode_bmp
+        arr = _test_rgb(seed=5)
+        data = _imageio_encode(spark, arr, "bmp")
+        got = decode_bmp(data)
+        assert np.array_equal(got[..., :3], arr)
+
+    def test_gif(self, spark):
+        from tika_spark.analysis.pixels import decode_gif
+        # GIF is 256-color: use a paletted-friendly image (few colors)
+        arr = _test_rgb(seed=7)
+        arr = (arr // 64) * 64                   # <= 64 colors
+        data = _imageio_encode(spark, arr, "gif")
+        got = decode_gif(data)
+        assert np.array_equal(got[..., :3], arr)
+
+    def test_tiff(self, spark):
+        from tika_spark.analysis.pixels import decode_tiff
+        arr = _test_rgb(seed=11)
+        data = _imageio_encode(spark, arr, "tiff")
+        got = decode_tiff(data)
+        assert np.array_equal(got[..., :3], arr)
+
+    def test_jpeg_grayscale_decoder_agreement(self, spark):
+        # single-component JPEG isolates the entropy+DCT pipeline
+        # from chroma conventions: same compressed bytes through both
+        # decoders must agree within the +/-1 spec-conformant-IDCT
+        # envelope on EVERY sample. (Read the JDK side through the
+        # raw Raster — getRGB silently converts gray through linear
+        # sRGB and would skew both directions by ~40.)
+        from tika_spark.analysis.jpegcodec import decode_jpeg
+        j = _jvm(spark)
+        g = _test_rgb(32, 32, seed=13)[..., 1]
+        img = j.java.awt.image.BufferedImage(
+            32, 32, j.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for y in range(32):
+            for x in range(32):
+                v = int(g[y, x])
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        bos = j.java.io.ByteArrayOutputStream()
+        assert j.javax.imageio.ImageIO.write(img, "jpg", bos)
+        data = bytes(bos.toByteArray())
+        ours = decode_jpeg(data).astype(np.int32)[..., 0]
+        bis = j.java.io.ByteArrayInputStream(data)
+        rimg = j.javax.imageio.ImageIO.read(bis)
+        raster = rimg.getRaster()
+        ref = np.empty((32, 32), np.int32)
+        for y in range(32):
+            for x in range(32):
+                ref[y, x] = raster.getSample(x, y, 0)
+        diff = np.abs(ours - ref)
+        assert diff.max() <= 1
+        assert float(diff.mean()) < 0.1
+
+    def test_jpeg_color_decoder_agreement_block_means(self, spark):
+        # color 4:2:0 decodes differ by chroma-upsampling CONVENTION
+        # (ours is box replication = libjpeg's -nosmooth mode; the
+        # JDK uses triangular "fancy" upsampling), so per-pixel
+        # equality is not a spec requirement. 2x2 block means cancel
+        # the upsampling phase: both decoders must agree there.
+        from tika_spark.analysis.jpegcodec import decode_jpeg
+        # smooth chroma field: at hard color edges the two upsampling
+        # conventions legitimately differ even in block means (the
+        # triangular filter smooths across 2x2 boundaries), so the
+        # cross-check uses gradients — which still exercise the full
+        # YCbCr 4:2:0 color path end-to-end
+        xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+        arr = np.stack([(xx * 8) % 256, (yy * 8) % 256,
+                        ((xx + yy) * 4) % 256], axis=-1) \
+            .astype(np.uint8)
+        data = _imageio_encode(spark, arr, "jpg")
+        ours = decode_jpeg(data).astype(np.float64)
+        ref = _imageio_decode(spark, data).astype(np.float64)
+        assert ours.shape == ref.shape
+        po = ours.reshape(16, 2, 16, 2, 3).mean((1, 3))
+        pr = ref.reshape(16, 2, 16, 2, 3).mean((1, 3))
+        diff = np.abs(po - pr)
+        assert float((diff <= 3).mean()) >= 0.98, \
+            f"block-mean agreement {float((diff <= 3).mean()):.3f}"
+        assert float(diff.mean()) < 1.5
+
+
+class TestOwnEncoderStreams:
+    """Our encoders through the JDK decoder (the reverse direction)."""
+
+    def test_png_bytes(self, spark):
+        from tika_spark.analysis.pixels import png_bytes
+        arr = _test_rgb(seed=17)
+        got = _imageio_decode(spark, png_bytes(arr))
+        assert np.array_equal(got, arr)
+
+    def test_gif_bytes(self, spark):
+        from tika_spark.analysis.pixels import gif_bytes
+        rng = np.random.RandomState(19)
+        palette = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+        indices = rng.randint(0, 64, (16, 24)).astype(np.uint8)
+        got = _imageio_decode(spark, gif_bytes(indices, palette))
+        assert np.array_equal(got, palette[indices])
+
+    def test_tiff_bytes(self, spark):
+        from tika_spark.analysis.pixels import tiff_bytes
+        arr = _test_rgb(seed=23)
+        for compression in (1, 5, 32773):     # none / LZW / PackBits
+            got = _imageio_decode(spark,
+                                  tiff_bytes(arr,
+                                             compression=compression))
+            assert np.array_equal(got, arr), compression
+
+    def test_jpeg_encoder_through_imageio(self, spark):
+        # our baseline JPEG encoder's streams must be readable by the
+        # reference decoder and land near the source (lossy: loose
+        # bound, the point is stream VALIDITY + approximate fidelity)
+        from tika_spark.analysis.jpegcodec import jpeg_bytes
+        arr = _test_rgb(32, 32, seed=29)
+        try:
+            data = jpeg_bytes(arr)
+        except ImportError:
+            pytest.skip("no fixture JPEG encoder in this build")
+        got = _imageio_decode(spark, data).astype(np.int32)
+        err = np.abs(got - arr.astype(np.int32)).mean()
+        assert err < 24, f"mean abs error {err:.1f}"
