@@ -54,7 +54,7 @@ class TextBlock:
                  "is_content", "tag")
 
     def __init__(self, text, num_words, anchor_words, offset, tag="",
-                 tokens=None):
+                 tokens=None, tokens_are_words=False):
         # text kept as a piece list so merge_next is O(1): a giant page
         # fusing hundreds of equal-density blocks must not go quadratic
         # on string concatenation (measured 3 s/2000 docs before)
@@ -67,8 +67,10 @@ class TextBlock:
         self.is_content = False
         # callers that already tokenized pass the list in — the wrap
         # computation must not re-split (the segmenter hot path)
-        self._compute_wrap(tokens if tokens is not None
-                           else self.pieces[0].split())
+        if tokens is None:
+            tokens = self.pieces[0].split()
+            tokens_are_words = False
+        self._compute_wrap(tokens, tokens_are_words)
 
     @property
     def text(self) -> str:
@@ -76,15 +78,18 @@ class TextBlock:
             self.pieces = ["\n".join(self.pieces)]
         return self.pieces[0]
 
-    def _compute_wrap(self, words):
+    def _compute_wrap(self, words, filtered: bool = False):
         line_len = -1
         lines = 0
         words_cur_line = 0
+        search = _ALNUM_RE.search
         for w in words:
             # only WORD tokens advance the counters (the published
             # flushBlock skips non-word tokens) — counting separators
-            # here would let num_words - words_cur_line go negative
-            if not _ALNUM_RE.search(w):
+            # here would let num_words - words_cur_line go negative.
+            # callers that already filtered (the segmenter hot path)
+            # skip the per-token regex entirely
+            if not filtered and not search(w):
                 continue
             words_cur_line += 1
             line_len += len(w) + 1
@@ -145,7 +150,8 @@ class _Segmenter:
         # UnicodeTokenizer word/non-word distinction); filter() keeps
         # the count loop in C
         search = _ALNUM_RE.search
-        num_words = len(list(filter(search, tokens)))
+        word_tokens = list(filter(search, tokens))
+        num_words = len(word_tokens)
         if num_words == 0:
             # tokens but no words (separators, bullets): consumes an
             # offset slot without storing a block -> creates the gaps
@@ -157,7 +163,8 @@ class _Segmenter:
         self._anchor_pieces.clear()
         anchor_words = len(list(filter(search, atoks))) if atoks else 0
         blk = TextBlock(text, num_words, min(anchor_words, num_words),
-                        self.offset, self._block_tag, tokens=tokens)
+                        self.offset, self._block_tag,
+                        tokens=word_tokens, tokens_are_words=True)
         self.blocks.append(blk)
         self.offset += 1
 
