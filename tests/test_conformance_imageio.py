@@ -286,3 +286,69 @@ class TestAudioConformance:
         got, got_rate = self._jdk_read(spark, aiff_bytes(sig, rate))
         assert got_rate == rate
         assert np.array_equal(got.astype(np.int16), sig)
+
+
+class TestPngVariantStreams:
+    """JDK-encoded PNG color-type variants through the from-scratch
+    decoder: palette (color type 3), RGBA (6), grayscale (0) — each a
+    distinct decode path. Lossless, so the check is equality against
+    the SOURCE array (no JDK decode needed)."""
+
+    def test_palette_png(self, spark):
+        from tika_spark.analysis.pixels import decode_png
+        j = _jvm(spark)
+        img = j.java.awt.image.BufferedImage(
+            20, 12, j.java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+        rng = np.random.RandomState(53)
+        src = np.zeros((12, 20, 3), np.uint8)
+        for y in range(12):
+            for x in range(20):
+                px = int(rng.randint(0, 1 << 24))
+                img.setRGB(x, y, px)
+                # read back what the indexed model actually stored
+                stored = img.getRGB(x, y)
+                src[y, x] = ((stored >> 16) & 0xFF,
+                             (stored >> 8) & 0xFF, stored & 0xFF)
+        bos = j.java.io.ByteArrayOutputStream()
+        assert j.javax.imageio.ImageIO.write(img, "png", bos)
+        got = decode_png(bytes(bos.toByteArray()))
+        assert np.array_equal(got[..., :3], src)
+
+    def test_rgba_png(self, spark):
+        from tika_spark.analysis.pixels import decode_png
+        j = _jvm(spark)
+        rng = np.random.RandomState(59)
+        h, w = 10, 14
+        src = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+        img = j.java.awt.image.BufferedImage(
+            w, h, j.java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        for y in range(h):
+            for x in range(w):
+                r, g, b, a = (int(v) for v in src[y, x])
+                v = (a << 24) | (r << 16) | (g << 8) | b
+                if v >= 1 << 31:      # py4j needs a signed int32
+                    v -= 1 << 32
+                img.setRGB(x, y, v)
+        bos = j.java.io.ByteArrayOutputStream()
+        assert j.javax.imageio.ImageIO.write(img, "png", bos)
+        got = decode_png(bytes(bos.toByteArray()))
+        assert got.shape[-1] == 4
+        assert np.array_equal(got, src)
+
+    def test_gray_png(self, spark):
+        from tika_spark.analysis.pixels import decode_png
+        j = _jvm(spark)
+        rng = np.random.RandomState(61)
+        h, w = 9, 13
+        src = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        img = j.java.awt.image.BufferedImage(
+            w, h, j.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        raster = img.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(src[y, x]))
+        bos = j.java.io.ByteArrayOutputStream()
+        assert j.javax.imageio.ImageIO.write(img, "png", bos)
+        got = decode_png(bytes(bos.toByteArray()))
+        gray = got[..., 0] if got.ndim == 3 else got
+        assert np.array_equal(gray, src)
