@@ -130,6 +130,21 @@ class TestReferenceEncoderStreams:
         assert diff.max() <= 1
         assert float(diff.mean()) < 0.1
 
+    def test_jpeg_color_fancy_perpixel_agreement(self, spark):
+        # with fancy_chroma=True our decoder uses the same triangular
+        # upsampling convention as libjpeg-derived decoders (incl. the
+        # JDK) — per-pixel agreement within the +/-2 envelope on the
+        # HARD-EDGE image where box mode legitimately differs by 100+
+        from tika_spark.analysis.jpegcodec import decode_jpeg
+        arr = _test_rgb(32, 32, seed=13)
+        data = _imageio_encode(spark, arr, "jpg")
+        ours = decode_jpeg(data, fancy_chroma=True).astype(np.int32)
+        ref = _imageio_decode(spark, data).astype(np.int32)
+        diff = np.abs(ours - ref)
+        assert diff.max() <= 3
+        assert float((diff <= 2).mean()) >= 0.999
+        assert float(diff.mean()) < 0.6
+
     def test_jpeg_color_decoder_agreement_block_means(self, spark):
         # color 4:2:0 decodes differ by chroma-upsampling CONVENTION
         # (ours is box replication = libjpeg's -nosmooth mode; the

@@ -10,7 +10,11 @@ component spectral-selection AC scans with EOB-run decoding, and
 successive-approximation AC refinement (correction bits with the
 zero-history run semantics). Coefficients accumulate across scans
 and reconstruct once at EOI: dequantize + dezigzag, batched matrix
-IDCT, chroma upsampling by sample replication, JFIF YCbCr→RGB.
+IDCT, chroma upsampling by sample replication (or, opt-in, the
+libjpeg triangular "fancy" convention — decode_jpeg(fancy_chroma=
+True) — which matches libjpeg-derived decoders per-pixel within the
+IDCT envelope; see tests/test_conformance_imageio.py), JFIF
+YCbCr→RGB.
 Arithmetic coding, hierarchical, lossless, and 12-bit precision
 raise ValueError — callers surface a status row (the H1
 fault-isolation contract).
@@ -221,10 +225,16 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, fancy_chroma: bool = False) -> np.ndarray:
     """Baseline JPEG → uint8 array (h, w, channels); channels is 1
     for grayscale, 3 for YCbCr color. Raises ValueError on anything
-    that is not a decodable baseline sequential JPEG."""
+    that is not a decodable baseline sequential JPEG.
+
+    ``fancy_chroma`` selects triangular (libjpeg "fancy") chroma
+    upsampling instead of the default box replication (libjpeg's
+    ``-nosmooth`` convention the rest of the pipeline pins). Both are
+    spec-conformant; fancy matches what libjpeg-derived decoders
+    (incl. the JDK's) emit per-pixel (±IDCT envelope)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -303,7 +313,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not frame["progressive"]:
                 return _decode_scan(data, pos + 2 + seglen, frame,
                                     scan, qt, huff_dc, huff_ac,
-                                    restart)
+                                    restart, fancy_chroma)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if prog is None:
@@ -316,11 +326,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         pos += 2 + seglen
     if prog is not None:
-        return _reconstruct_prog(frame, prog, qt)
+        return _reconstruct_prog(frame, prog, qt, fancy_chroma)
     raise ValueError("no scan data")
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart, fancy_chroma: bool = False):
     h, w = frame["h"], frame["w"]
     from tika_spark.analysis.pixels import check_dims
     check_dims(w, h)   # decompression-bomb guard (shared MAX_PIXELS)
@@ -378,10 +389,24 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
             mcu_index += 1
 
     return _reconstruct([c for c, _, _ in scan], planes,
-                        hmax, vmax, h, w)
+                        hmax, vmax, h, w, fancy_chroma)
 
 
-def _reconstruct(comps, planes_dequant, hmax, vmax, h, w):
+def _fancy2x(img: np.ndarray, axis: int) -> np.ndarray:
+    """2x triangular upsample along one axis (libjpeg jdsample.c
+    h2v1/h2v2 fancy weights: out[2i] = (3·a[i]+a[i-1])/4,
+    out[2i+1] = (3·a[i]+a[i+1])/4, edges replicated)."""
+    a = np.moveaxis(img, axis, 0)
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    out = np.empty((a.shape[0] * 2,) + a.shape[1:], dtype=a.dtype)
+    out[0::2] = (3.0 * a + prev) * 0.25
+    out[1::2] = (3.0 * a + nxt) * 0.25
+    return np.moveaxis(out, 0, axis)
+
+
+def _reconstruct(comps, planes_dequant, hmax, vmax, h, w,
+                 fancy_chroma: bool = False):
     """Dequantized zigzag coefficient planes → decoded image:
     batched dezigzag + IDCT per component, replication upsample,
     JFIF YCbCr→RGB. Shared by the baseline and progressive paths."""
@@ -401,6 +426,12 @@ def _reconstruct(comps, planes_dequant, hmax, vmax, h, w):
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if (vmax % comp["v"]) or (hmax % comp["h"]):
             raise ValueError("non-integer sampling ratio")
+        if fancy_chroma and ry == 2:
+            img = _fancy2x(img, 0)
+            ry = 1
+        if fancy_chroma and rx == 2:
+            img = _fancy2x(img, 1)
+            rx = 1
         if ry > 1 or rx > 1:
             img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
         out_ch.append(img[:h, :w])
@@ -617,7 +648,7 @@ def _decode_prog_scan(data, pos, frame, scan, prog, huff_dc,
     return _find_next_marker(data, br.pos)
 
 
-def _reconstruct_prog(frame, prog, qt):
+def _reconstruct_prog(frame, prog, qt, fancy_chroma: bool = False):
     comps = frame["comps"]
     planes = []
     for comp in comps:
@@ -626,7 +657,7 @@ def _reconstruct_prog(frame, prog, qt):
             raise ValueError("missing quantization table")
         planes.append(prog.planes[comp["id"]] * q[None, None, :])
     return _reconstruct(comps, planes, prog.hmax, prog.vmax,
-                        frame["h"], frame["w"])
+                        frame["h"], frame["w"], fancy_chroma)
 
 
 # ------------------------------------------------------------------ encoder
