@@ -2,14 +2,16 @@
 (reached through Spark's own JVM gateway — the same JVM the engine
 runs on; no new dependency).
 
-Closes the image half of SURVEY §7.4 item 7: PNG/GIF/BMP/TIFF streams
-produced by an INDEPENDENT public encoder must decode pixel-exactly
-through the from-scratch decoders, and streams produced by OUR
-encoders must decode pixel-exactly through ImageIO. JPEG is lossy and
-the spec does not mandate bit-exact IDCT, so the JPEG check is
-decoder-AGREEMENT on the same compressed bytes within a +/-1 pixel
-tolerance (the accepted conformance envelope for spec-conformant
-IDCTs). Ledgered in BENCH/CONFORMANCE.md."""
+Closes the image+audio half of SURVEY §7.4 item 7: PNG/GIF/BMP/TIFF
+and WAV/AIFF/AU streams produced by an INDEPENDENT public
+implementation must decode pixel/sample-exactly through the
+from-scratch decoders, and streams produced by OUR encoders must
+decode exactly through the JDK. JPEG is lossy and the spec does not
+mandate bit-exact IDCT, so the JPEG checks are decoder-AGREEMENT on
+the same compressed bytes: grayscale within the ±1 IDCT envelope on
+every sample, color per-pixel within ±2 under fancy_chroma (the
+libjpeg triangular convention), plus box-mode block-mean agreement.
+Ledgered in BENCH/CONFORMANCE.md."""
 
 import numpy as np
 import pytest
