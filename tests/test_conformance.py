@@ -59,3 +59,24 @@ class TestZstdConformance:
         for t in _corpus(seed=13):
             comp = codec.compress(t, asbytes=True)
             assert decompress(comp) == t
+
+    def test_long_match_and_large_offset_streams(self):
+        # pins the round-5 FSE low-probability-cell fix: predefined
+        # ML/OF table states that land in the "less than 1" cells
+        # (any match length >= ~8k, large offsets) only occur in
+        # long inputs — the earlier short-corpus sweep never reached
+        # them and the reversed cell placement mis-decoded every
+        # such frame
+        import random
+        from tika_spark.analysis.zstdcodec import decompress
+        rng = random.Random(5)
+        words = TEXT.split()
+        cases = [b"x" * 16389, b"x" * 400_000,
+                 b"ab" * 120_000,
+                 b" ".join(rng.choice(words)
+                           for _ in range(60_000))]
+        for level in (1, 19, 22):
+            codec = pa.Codec("zstd", compression_level=level)
+            for t in cases:
+                comp = codec.compress(t, asbytes=True)
+                assert decompress(comp, max_out=1 << 24) == t

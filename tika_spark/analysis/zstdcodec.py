@@ -140,11 +140,16 @@ def _fse_decode_table(counts: list[int], accuracy: int):
             1 for c in counts if c == -1) > size:
         raise ValueError("over-subscribed FSE distribution")
     cells = [None] * size
-    # low-probability symbols occupy the top cells
+    # low-probability symbols occupy the top cells, assigned from the
+    # LAST cell downward in ascending symbol order (reference
+    # FSE_buildDTable: tableDecode[highThreshold--] — round-5
+    # conformance sweep caught the ascending placement mis-decoding
+    # every frame whose state lands in these cells, e.g. any match
+    # length >= 8k via the predefined ML table)
     low = [s for s, c in enumerate(counts) if c == -1]
     high_start = size - len(low)
     for i, s in enumerate(low):
-        cells[high_start + i] = s
+        cells[size - 1 - i] = s
     pos = 0
     step = (size >> 1) + (size >> 3) + 3
     mask = size - 1
