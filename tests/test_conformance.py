@@ -38,6 +38,21 @@ class TestBrotliConformance:
             comp = codec.compress(t, asbytes=True)
             assert decompress(comp) == t
 
+    def test_long_input_streams(self):
+        # long-input widening (the zstd FSE bug class: table states
+        # only reached by long matches/large offsets)
+        import random
+        from tika_spark.analysis.brotlicodec import decompress
+        rng = random.Random(3)
+        words = TEXT.split()
+        cases = [b"x" * 300_000, b"ab" * 150_000,
+                 b" ".join(rng.choice(words) for _ in range(40_000))]
+        for q in (1, 11):
+            codec = pa.Codec("brotli", compression_level=q)
+            for t in cases:
+                comp = codec.compress(t, asbytes=True)
+                assert decompress(comp, max_out=1 << 26) == t
+
     def test_dictionary_heavy_stream(self):
         # quality 11 on pure dictionary words forces static-dictionary
         # references with transforms (the round-5 feature)
