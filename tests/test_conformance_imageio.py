@@ -369,3 +369,45 @@ class TestPngVariantStreams:
         got = decode_png(bytes(bos.toByteArray()))
         gray = got[..., 0] if got.ndim == 3 else got
         assert np.array_equal(gray, src)
+
+
+class TestTiffCompressionVariants:
+    """JDK-encoded COMPRESSED TIFFs through the from-scratch decoder:
+    LZW, PackBits, and both Deflate tag spellings (8 'ZLib'/'Adobe'
+    and 32946 legacy — added round 5), each pixel-exact."""
+
+    @pytest.mark.parametrize("ctype", ["LZW", "ZLib", "PackBits",
+                                       "Deflate"])
+    def test_compressed_tiff(self, spark, ctype):
+        from tika_spark.analysis.pixels import decode_tiff
+        j = _jvm(spark)
+        arr = _test_rgb(40, 28, seed=71)
+        h, w = arr.shape[:2]
+        img = j.java.awt.image.BufferedImage(
+            w, h, j.java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in arr[y, x])
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = j.javax.imageio.ImageIO \
+            .getImageWritersByFormatName("tiff").next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(
+            j.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(ctype)
+        bos = j.java.io.ByteArrayOutputStream()
+        ios = j.javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(None, j.javax.imageio.IIOImage(img, None, None),
+                     param)
+        ios.flush()
+        got = decode_tiff(bytes(bos.toByteArray()))
+        assert np.array_equal(got[..., :3], arr)
+
+    def test_large_png(self, spark):
+        from tika_spark.analysis.pixels import decode_png
+        big = np.random.RandomState(5).randint(
+            0, 256, (256, 384, 3)).astype(np.uint8)
+        data = _imageio_encode(spark, big, "png")
+        got = decode_png(data)
+        assert np.array_equal(got[..., :3], big)

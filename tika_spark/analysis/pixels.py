@@ -767,9 +767,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
     Both byte orders; 8-bit gray/RGB and palette (16-bit ColorMap
     scaled to 8); strips (any RowsPerStrip); Compression 1 (none),
-    5 (LZW, with Predictor 2 horizontal differencing) and 32773
-    (PackBits); chunky planar config only. Anything else raises
-    ValueError — callers surface a status row."""
+    5 (LZW, with Predictor 2 horizontal differencing), 8/32946
+    (Adobe/legacy Deflate — zlib per strip) and 32773 (PackBits);
+    chunky planar config only. Anything else raises ValueError —
+    callers surface a status row."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
     bo = "<" if data[:2] == b"II" else ">"
@@ -827,6 +828,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw += strip[:need]
         elif comp == 5:
             raw += _tiff_lzw_decode(strip, need)
+        elif comp in (8, 32946):        # Adobe / legacy Deflate
+            import zlib
+            d = zlib.decompressobj()
+            raw += d.decompress(strip, need)
         elif comp == 32773:
             raw += _packbits_decode(strip, need)
         else:
