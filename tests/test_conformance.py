@@ -66,6 +66,43 @@ class TestBrotliConformance:
         assert decompress(comp) == t
 
 
+class TestOwnEncodersThroughReferenceDecoders:
+    """Reverse direction: streams from OUR fixture encoders must be
+    accepted byte-exactly by the reference decoders — own-decoder
+    round-trips alone cannot prove spec-validity (round 5 caught the
+    lz-mode encoder emitting a trailing empty command whose bits lay
+    past the declared meta-block content; sometimes tolerated,
+    sometimes rejected as corrupt)."""
+
+    def test_brotli_encoder_modes(self):
+        import random
+        from tika_spark.analysis import brotlicodec as B
+        rng = random.Random(31)
+        codec = pa.Codec("brotli")
+        texts = [b"", b"a", TEXT, b"the quick brown fox " * 200,
+                 b"abcd" * 2000,
+                 bytes(rng.getrandbits(8) for _ in range(5000))]
+        for t in texts:
+            for mode in ("raw", "literals", "lz"):
+                s = B.compress(t, mode=mode)
+                assert bytes(codec.decompress(s, len(t))) == t, \
+                    (mode, len(t))
+            for fn in (B.compress_blocks, B.compress_ctx):
+                s = fn(t)
+                assert bytes(codec.decompress(s, len(t))) == t, \
+                    (fn.__name__, len(t))
+
+    def test_zstd_encoder(self):
+        import random
+        from tika_spark.analysis import zstdcodec as Z
+        rng = random.Random(37)
+        codec = pa.Codec("zstd")
+        for t in [b"", b"a", TEXT, b"xy" * 5000,
+                  bytes(rng.getrandbits(8) for _ in range(4000))]:
+            s = Z.compress(t)
+            assert bytes(codec.decompress(s, len(t))) == t, len(t)
+
+
 class TestZstdConformance:
     @pytest.mark.parametrize("level", [1, 3, 9, 19])
     def test_reference_encoder_streams(self, level):

@@ -1082,7 +1082,14 @@ def _greedy_lz(data: bytes, min_match: int = 4):
             lit_start = i
         else:
             i += 1
-    cmds.append((n - lit_start, data[lit_start:n], 0, 0))
+    if lit_start < n or not cmds:
+        # trailing literals ride a final copy-cut-by-MLEN command;
+        # when the last match already reached EOF, appending an
+        # empty command would write bits PAST the meta-block's
+        # declared content — our decoder never reads them, but the
+        # reference decoder (rightly) rejects such streams as
+        # corrupt (round-5 reverse-conformance finding)
+        cmds.append((n - lit_start, data[lit_start:n], 0, 0))
     return cmds
 
 
