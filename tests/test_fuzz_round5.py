@@ -94,3 +94,25 @@ def test_extract_mass_fuzz_with_input_cap():
     assert len(out) == len(pdf)
     assert set(out["status"].unique()) <= {
         "ok", "error", "no_parser", "input_capped", "metadata_only"}
+
+
+def test_xhtml_sink_is_well_formed_xml():
+    """Reverse-oracle on the A4 sink: every non-empty xhtml-mode
+    output must parse under a STRICT XML parser — downstream
+    consumers of the -x projection depend on well-formedness, and
+    own-serializer round-trips can't prove it."""
+    import xml.etree.ElementTree as ET
+
+    from tika_spark.config import ExtractConfig
+    from tika_spark.fixtures.pages import generate_pages_pandas
+    from tika_spark.pipeline.stages import process_batch
+
+    pdf = generate_pages_pandas(400)
+    out = process_batch(pdf, ExtractConfig(mode="xhtml"))
+    checked = 0
+    for text, status in zip(out["text"], out["status"]):
+        if not text or status == "no_parser":
+            continue
+        ET.fromstring(text)        # raises on malformed output
+        checked += 1
+    assert checked > 300
