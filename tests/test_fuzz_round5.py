@@ -116,3 +116,11 @@ def test_xhtml_sink_is_well_formed_xml():
         ET.fromstring(text)        # raises on malformed output
         checked += 1
     assert checked > 300
+    # the -y (XMP packet) and -j (JSON metadata) sinks carry the
+    # same contract under their own strict parsers
+    import json as _json
+    for mode, check in (("xmp", ET.fromstring), ("json", _json.loads)):
+        out = process_batch(pdf, ExtractConfig(mode=mode))
+        for text in out["text"]:
+            if text:
+                check(text)
